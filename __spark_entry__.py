@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` exposes
+one callable per implemented operator from SURVEY.md §2 (each takes
+``(spark, sf_dir)`` and returns a DataFrame); ``oracle_sql()`` provides the
+DuckDB-equivalent SQL with identical column names for the driver's
+hash-match correctness gate.
 """
 
 from __future__ import annotations
@@ -14,25 +14,39 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registry():
+    """name -> (table_fn, oracle_sql_or_None); assembled from the operator
+    modules' QUERIES/ORACLES pairs."""
+    from flink_210225_spark.operators import serving
+
+    modules = [serving]
+    reg: dict[str, tuple] = {}
+    for mod in modules:
+        for name, fn in mod.QUERIES.items():
+            reg[name] = (fn, mod.ORACLES.get(name))
+    return reg
+
+
+def _wrap(fn) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from flink_210225_spark.io import load_tables
+
+        return fn(load_tables(spark, sf_dir))
+
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from flink_210225_spark.io import load_tables
+    from flink_210225_spark.operators.serving import trademark_topn
+
+    return trademark_topn(load_tables(spark, "/root/testdata/sf0.001"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: _wrap(fn) for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _registry().items() if sql is not None}

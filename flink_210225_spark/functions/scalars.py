@@ -1,0 +1,64 @@
+"""Scalar expression helpers mirroring the reference's function surface.
+
+Reference surface (SURVEY.md §2.8): TO_TIMESTAMP (F1/F2), DATE_FORMAT (F3),
+UNIX_TIMESTAMP (F4), toYYYYMMDD/toHour (F5/F6), if()/multiIf (F7/F8), map
+subscript (F9), split/substring (F10), date math (F11), age derivation (F12),
+guarded ratios (F13). All are thin compositions of built-in functions so they
+stay inside whole-stage codegen — no Python UDFs here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# yyyy-MM-dd HH:mm:ss — the reference's canonical datetime string format
+# (utils/DateTimeUtil.java:15-25).
+YMD_HMS = "yyyy-MM-dd HH:mm:ss"
+
+
+def round2(col: Column) -> Column:
+    """Money-style rounding; mirrors BigDecimal scale-2 HALF_UP
+    (gmall-publisher bean/VisitorStats.java:39)."""
+    return F.round(col, 2)
+
+
+def to_yyyymmdd(ts: Column) -> Column:
+    """ClickHouse toYYYYMMDD analog (ProductStatsMapper.java:17)."""
+    return F.date_format(ts, "yyyyMMdd").cast("int")
+
+
+def fmt_ymd_hms(ts: Column) -> Column:
+    """DATE_FORMAT(x,'yyyy-MM-dd HH:mm:ss') (ProvinceStatsSqlApp.java:48-49)."""
+    return F.date_format(ts, YMD_HMS)
+
+
+def cond_sum(cond: Column, value: Column | int = 1) -> Column:
+    """ClickHouse sum(if(cond,x,0)) analog (VisitorStatsMapper.java:22)."""
+    v = F.lit(value) if isinstance(value, int) else value
+    return F.sum(F.when(cond, v).otherwise(F.lit(0)))
+
+
+def multi_if(*branches: tuple[Column, Column | int], default: int = 0) -> Column:
+    """ClickHouse multiIf analog (KeywordStatsMapper.java:15-19)."""
+    expr = F.lit(default)
+    for cond, val in reversed(branches):
+        v = F.lit(val) if isinstance(val, int) else val
+        expr = F.when(cond, v).otherwise(expr)
+    return expr
+
+
+def guarded_ratio(num: Column, den: Column, scale: int = 100) -> Column:
+    """num*scale/den rounded to 2dp, NULL-safe when den==0
+    (gmall-publisher bean/VisitorStats.java:35-64 guards uv_ct != 0)."""
+    return F.when(den != 0, F.round(num * scale / den, 2)).otherwise(F.lit(None))
+
+
+def age_years(birthday: Column) -> Column:
+    """floor((now-birthday)/365) in years (OrderWideApp.java:77-84)."""
+    return F.floor(F.datediff(F.current_date(), birthday) / 365)
+
+
+def revenue(extendedprice: Column, discount: Column) -> Column:
+    """Canonical line revenue used across the serving queries."""
+    return extendedprice * (F.lit(1) - discount)

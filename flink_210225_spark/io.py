@@ -1,0 +1,56 @@
+"""Fixture table loaders.
+
+The driver provides TPC-H-ish parquet tables (TESTDATA.md):
+region nation customer supplier part orders lineitem events documents
+embeddings. Loading is plain ``spark.read.parquet`` so Catalyst gets full
+predicate pushdown / column pruning into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events stores ts as TIMESTAMP(NANOS), which the Parquet reader
+        # rejects outright; this runtime conf must be set on ANY session
+        # (incl. driver-built vanilla ones) before reading it.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read via nanosAsLong: convert to timestamp_ntz
+        # (micro-aligned in fixtures, so integer division is lossless).
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000))).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every fixture table; values are lazy DataFrames (no IO yet)."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register each table as a temp view for spark.sql() querying."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,301 @@
+"""Serving-layer queries — the gmall-publisher dashboard workload (SURVEY §2.10).
+
+Each reference endpoint's SQL (gmall-publisher mapper/*.java) is re-expressed
+over the driver's TPC-H-ish fixture tables using the FIXTURES.md §7 mapping:
+orders→order_info, lineitem→order_detail, part→DIM_SKU/trademark/category,
+supplier→DIM_SPU-like, customer+nation→DIM_USER/DIM_BASE_PROVINCE,
+events→visitor stream.
+
+All are single-pass groupBy/agg/filter/orderBy/limit plans: Catalyst pushes
+the date filters into the parquet scan, the part/supplier/customer/nation dim
+joins broadcast, and aggregates run partial→final with map-side combine, so
+every query here scales linearly with fact rows (lineitem/orders/events) and
+shuffles only the grouped keys.
+
+Every aggregate is aliased; ``ORACLES`` holds the DuckDB-equivalent SQL with
+the SAME column names (driver hash-matches values by sorted column name).
+Double aggregates are rounded to 2dp on both sides so fp summation order
+cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_210225_spark.functions.scalars import cond_sum, guarded_ratio, revenue, round2
+
+# --- /gmv — total revenue for a period (ProductStatsMapper.java:17-18) ---
+
+
+def gmv(tables: dict[str, DataFrame]) -> DataFrame:
+    """select sum(order_amount) where toYYYYMMDD(stt)=? analog: one year of
+    lineitem revenue. The year filter pushes down to the parquet scan."""
+    li = tables["lineitem"]
+    return (
+        li.filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .agg(round2(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount")))).alias("gmv"))
+    )
+
+
+# --- /trademark — brand revenue top-N (ProductStatsMapper.java:23-26) ---
+
+
+def trademark_topn(tables: dict[str, DataFrame], limit: int = 10) -> DataFrame:
+    """group by tm_name, having >0, order desc, limit — p_brand as trademark.
+    part is broadcast (2k..2M rows ≪ threshold); lineitem never shuffles on
+    the join, only on the final 25-ish brand keys."""
+    li, part = tables["lineitem"], tables["part"]
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("tm_name"))
+        .agg(
+            round2(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount")))).alias(
+                "order_amount"
+            ),
+            F.countDistinct("l_orderkey").alias("order_ct"),
+        )
+        .filter(F.col("order_amount") > 0)
+        .orderBy(F.desc("order_amount"), F.asc("tm_name"))
+        .limit(limit)
+    )
+
+
+# --- /category3 — category revenue top-N (ProductStatsMapper.java:31-34) ---
+
+
+def category_topn(tables: dict[str, DataFrame], limit: int = 10) -> DataFrame:
+    li, part = tables["lineitem"], tables["part"]
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_type").alias("category_name"))
+        .agg(
+            round2(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount")))).alias(
+                "order_amount"
+            )
+        )
+        .filter(F.col("order_amount") > 0)
+        .orderBy(F.desc("order_amount"), F.asc("category_name"))
+        .limit(limit)
+    )
+
+
+# --- /spu — spu revenue + order count top-N (ProductStatsMapper.java:40-43) ---
+
+
+def spu_topn(tables: dict[str, DataFrame], limit: int = 10) -> DataFrame:
+    """supplier plays the SPU role (FIXTURES.md §7)."""
+    li, sup = tables["lineitem"], tables["supplier"]
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_name").alias("spu_name"))
+        .agg(
+            round2(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount")))).alias(
+                "order_amount"
+            ),
+            F.countDistinct("l_orderkey").alias("order_ct"),
+        )
+        .filter(F.col("order_amount") > 0)
+        .orderBy(F.desc("order_amount"), F.asc("spu_name"))
+        .limit(limit)
+    )
+
+
+# --- /province — per-province order totals (ProvinceStatsMapper.java:12-14) ---
+
+
+def province_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """orders enriched with customer→nation (broadcast chain), grouped by
+    nation — the DIM_BASE_PROVINCE analog."""
+    orders, cust, nation = tables["orders"], tables["customer"], tables["nation"]
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("province_name"))
+        .agg(
+            round2(F.sum("o_totalprice")).alias("order_amount"),
+            F.count("*").alias("order_count"),
+        )
+    )
+
+
+# --- /visitor — per-segment visitor stats + derived ratios ---
+# (VisitorStatsMapper.java:12-14; ratios gmall-publisher bean/VisitorStats.java:35-64)
+
+
+def visitor_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """events grouped by event_type (the is_new segment analog): uv/pv,
+    conditional sums (F7), and the guarded ratio derivations (F13)."""
+    ev = tables["events"]
+    agg = ev.groupBy(F.col("event_type").alias("segment")).agg(
+        F.countDistinct("user_id").alias("uv_ct"),
+        F.count("*").alias("pv_ct"),
+        round2(F.sum("value")).alias("dur_sum"),
+        cond_sum(F.col("value") > 10.0).alias("deep_ct"),
+    )
+    return agg.select(
+        "segment",
+        "uv_ct",
+        "pv_ct",
+        "dur_sum",
+        "deep_ct",
+        guarded_ratio(F.col("pv_ct"), F.col("uv_ct"), 1).alias("pv_per_uv"),
+        guarded_ratio(F.col("deep_ct"), F.col("pv_ct"), 100).alias("deep_rate"),
+    )
+
+
+# --- /hr — hourly series with dense 0-23 gap fill ---
+# (VisitorStatsMapper.java:22-25; gap fill SugarController.java:77-103)
+
+
+def hourly_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """group by hour with conditional new_uv sum; dense hour fill is a left
+    join from an exploded sequence(0,23) — the SQL analog of the reference's
+    app-side gap fill."""
+    ev = tables["events"]
+    spark = ev.sparkSession
+    hours = spark.range(24).select(F.col("id").cast("int").alias("hr"))
+    by_hr = ev.groupBy(F.hour("ts").alias("hr")).agg(
+        F.countDistinct("user_id").alias("uv_ct"),
+        F.count("*").alias("pv_ct"),
+        cond_sum(F.col("event_type") == "signup").alias("new_uv"),
+    )
+    return (
+        hours.join(by_hr, "hr", "left")
+        .select(
+            "hr",
+            F.coalesce("uv_ct", F.lit(0)).alias("uv_ct"),
+            F.coalesce("pv_ct", F.lit(0)).alias("pv_ct"),
+            F.coalesce("new_uv", F.lit(0)).alias("new_uv"),
+        )
+        .orderBy("hr")
+    )
+
+
+# --- /keyword — weighted keyword score top-N ---
+# (KeywordStatsMapper.java:15-19 multiIf weights; D1 UDTF split+explode)
+
+
+KEYWORD_WEIGHTS = {"zh": 10, "es": 3, "de": 2, "fr": 2}  # en → 1 (default)
+
+
+def keyword_topn(tables: dict[str, DataFrame], limit: int = 20) -> DataFrame:
+    """Tokenize documents (split+explode — the UDTF analog), weight rows by
+    source language (multiIf analog: SEARCH×10/ORDER×3/CART×2/CLICK×1), rank.
+    The explode runs JVM-side (no Python UDF); the shuffle carries only
+    (word, partial sums) thanks to map-side combine."""
+    docs = tables["documents"]
+    weight = F.lit(1)
+    for lang, w in sorted(KEYWORD_WEIGHTS.items()):
+        weight = F.when(F.col("lang") == lang, F.lit(w)).otherwise(weight)
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("keyword"),
+        weight.alias("w"),
+    ).filter(F.col("keyword") != "")
+    return (
+        words.groupBy("keyword")
+        .agg(F.sum("w").alias("score"), F.count("*").alias("ct"))
+        .orderBy(F.desc("score"), F.asc("keyword"))
+        .limit(limit)
+    )
+
+
+QUERIES = {
+    "serving_gmv": gmv,
+    "serving_trademark_topn": trademark_topn,
+    "serving_category_topn": category_topn,
+    "serving_spu_topn": spu_topn,
+    "serving_province": province_stats,
+    "serving_visitor": visitor_stats,
+    "serving_hourly": hourly_stats,
+    "serving_keyword_topn": keyword_topn,
+}
+
+ORACLES = {
+    "serving_gmv": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS gmv
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+    "serving_trademark_topn": """
+        SELECT p_brand AS tm_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS order_amount,
+               count(DISTINCT l_orderkey) AS order_ct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        HAVING order_amount > 0
+        ORDER BY order_amount DESC, tm_name ASC
+        LIMIT 10
+    """,
+    "serving_category_topn": """
+        SELECT p_type AS category_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS order_amount
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type
+        HAVING order_amount > 0
+        ORDER BY order_amount DESC, category_name ASC
+        LIMIT 10
+    """,
+    "serving_spu_topn": """
+        SELECT s_name AS spu_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS order_amount,
+               count(DISTINCT l_orderkey) AS order_ct
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+        HAVING order_amount > 0
+        ORDER BY order_amount DESC, spu_name ASC
+        LIMIT 10
+    """,
+    "serving_province": """
+        SELECT n_name AS province_name,
+               round(sum(o_totalprice), 2) AS order_amount,
+               count(*) AS order_count
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "serving_visitor": """
+        WITH agg AS (
+            SELECT event_type AS segment,
+                   count(DISTINCT user_id) AS uv_ct,
+                   count(*) AS pv_ct,
+                   round(sum(value), 2) AS dur_sum,
+                   sum(CASE WHEN value > 10.0 THEN 1 ELSE 0 END)::BIGINT AS deep_ct
+            FROM events GROUP BY event_type
+        )
+        SELECT segment, uv_ct, pv_ct, dur_sum, deep_ct,
+               CASE WHEN uv_ct != 0 THEN round(pv_ct * 1.0 / uv_ct, 2) END AS pv_per_uv,
+               CASE WHEN pv_ct != 0 THEN round(deep_ct * 100.0 / pv_ct, 2) END AS deep_rate
+        FROM agg
+    """,
+    "serving_hourly": """
+        WITH hours AS (SELECT range::INT AS hr FROM range(24)),
+        by_hr AS (
+            SELECT hour(ts)::INT AS hr,
+                   count(DISTINCT user_id) AS uv_ct,
+                   count(*) AS pv_ct,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS new_uv
+            FROM events GROUP BY 1
+        )
+        SELECT hours.hr,
+               coalesce(uv_ct, 0)::BIGINT AS uv_ct,
+               coalesce(pv_ct, 0)::BIGINT AS pv_ct,
+               coalesce(new_uv, 0)::BIGINT AS new_uv
+        FROM hours LEFT JOIN by_hr ON hours.hr = by_hr.hr
+        ORDER BY hours.hr
+    """,
+    "serving_keyword_topn": """
+        WITH words AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS keyword,
+                   CASE lang WHEN 'zh' THEN 10 WHEN 'es' THEN 3
+                             WHEN 'de' THEN 2 WHEN 'fr' THEN 2 ELSE 1 END AS w
+            FROM documents
+        )
+        SELECT keyword, sum(w)::BIGINT AS score, count(*) AS ct
+        FROM words WHERE keyword != ''
+        GROUP BY keyword
+        ORDER BY score DESC, keyword ASC
+        LIMIT 20
+    """,
+}

@@ -1,0 +1,27 @@
+import pytest
+
+from flink_210225_spark import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_MED = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="flink_210225_spark_tests", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def tables(spark):
+    from flink_210225_spark.io import load_tables
+
+    return load_tables(spark, SF_DIR)
+
+
+@pytest.fixture(scope="session")
+def tables_med(spark):
+    from flink_210225_spark.io import load_tables
+
+    return load_tables(spark, SF_DIR_MED)

@@ -1,0 +1,12 @@
+import pytest
+
+from flink_210225_spark.operators import serving
+
+from .conftest import SF_DIR
+from .oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(serving.QUERIES))
+def test_serving_matches_oracle(name, tables):
+    df = serving.QUERIES[name](tables)
+    assert_matches_oracle(df, serving.ORACLES[name], SF_DIR)
