@@ -18,9 +18,21 @@ YMD_HMS = "yyyy-MM-dd HH:mm:ss"
 
 
 def round2(col: Column) -> Column:
-    """Money-style rounding; mirrors BigDecimal scale-2 HALF_UP
-    (gmall-publisher bean/VisitorStats.java:39)."""
-    return F.round(col, 2)
+    """Money-style scale-2 rounding, as a pure double expression.
+
+    Mirrors BigDecimal scale-2 HALF_UP (gmall-publisher
+    bean/VisitorStats.java:39) — but deliberately NOT F.round: Spark's round
+    rounds the shortest decimal rendering (HALF_UP on "x.425"), DuckDB rounds
+    the binary value (x.4249999... → down). floor(x*100+0.5)/100 is the same
+    double arithmetic in both engines, so oracle hashes match exactly.
+    The matching oracle-side spelling is ``ORACLE_ROUND2``.
+    """
+    return F.floor(col * 100 + F.lit(0.5)) / 100
+
+
+def oracle_round2(expr: str) -> str:
+    """DuckDB spelling of round2 for oracle SQL strings."""
+    return f"floor(({expr}) * 100 + 0.5) / 100"
 
 
 def to_yyyymmdd(ts: Column) -> Column:

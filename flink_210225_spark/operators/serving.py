@@ -213,13 +213,13 @@ QUERIES = {
 
 ORACLES = {
     "serving_gmv": """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS gmv
+        SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS gmv
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
     """,
     "serving_trademark_topn": """
         SELECT p_brand AS tm_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS order_amount,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS order_amount,
                count(DISTINCT l_orderkey) AS order_ct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
@@ -229,7 +229,7 @@ ORACLES = {
     """,
     "serving_category_topn": """
         SELECT p_type AS category_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS order_amount
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS order_amount
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_type
         HAVING order_amount > 0
@@ -238,7 +238,7 @@ ORACLES = {
     """,
     "serving_spu_topn": """
         SELECT s_name AS spu_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS order_amount,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS order_amount,
                count(DISTINCT l_orderkey) AS order_ct
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_name
@@ -248,7 +248,7 @@ ORACLES = {
     """,
     "serving_province": """
         SELECT n_name AS province_name,
-               round(sum(o_totalprice), 2) AS order_amount,
+               floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS order_amount,
                count(*) AS order_count
         FROM orders
         JOIN customer ON o_custkey = c_custkey
@@ -260,13 +260,13 @@ ORACLES = {
             SELECT event_type AS segment,
                    count(DISTINCT user_id) AS uv_ct,
                    count(*) AS pv_ct,
-                   round(sum(value), 2) AS dur_sum,
+                   floor((sum(value)) * 100 + 0.5) / 100 AS dur_sum,
                    sum(CASE WHEN value > 10.0 THEN 1 ELSE 0 END)::BIGINT AS deep_ct
             FROM events GROUP BY event_type
         )
         SELECT segment, uv_ct, pv_ct, dur_sum, deep_ct,
-               CASE WHEN uv_ct != 0 THEN round(pv_ct * 1.0 / uv_ct, 2) END AS pv_per_uv,
-               CASE WHEN pv_ct != 0 THEN round(deep_ct * 100.0 / pv_ct, 2) END AS deep_rate
+               CASE WHEN uv_ct != 0 THEN floor((pv_ct * 1.0 / uv_ct) * 100 + 0.5) / 100 END AS pv_per_uv,
+               CASE WHEN pv_ct != 0 THEN floor((deep_ct * 100.0 / pv_ct) * 100 + 0.5) / 100 END AS deep_rate
         FROM agg
     """,
     "serving_hourly": """

@@ -1,0 +1,210 @@
+"""DWS tumbling-window aggregations (SURVEY §2.6 A1-A4).
+
+The reference computes all DWS stats with 10-second event-time tumbling
+windows (TumblingEventTimeWindows / SQL TUMBLE — VisitorStatsApp.java:99,
+ProductStatsApp.java:217, ProvinceStatsSqlApp.java:47-65,
+KeywordStatsApp.java:56-66) and stamps ``stt``/``edt`` window-bound strings
+via DATE_FORMAT. Here the same shapes run over the fixture tables with
+windows sized to the fixtures' time density (hours/days instead of seconds —
+the operator is identical, only the interval literal differs; the streaming
+variants in ``streaming/`` reuse these builders with ``withWatermark``).
+
+Scale notes:
+- ``F.window`` group keys shuffle once on (window, dims) with map-side
+  partial aggregation — the same partial→final split the reference
+  hand-builds with ReduceFunction+WindowFunction (VisitorStatsApp.java:100-117).
+- Exact distinct (A2/A3's HashSet / COUNT(DISTINCT)) uses Spark's native
+  countDistinct (expand + two-phase agg). At 100 TB swap in
+  approx_count_distinct via the ``exact`` flag if the distinct keyspace per
+  window explodes; both spellings are provided.
+- Windows align to the unix epoch in UTC (Spark's window() origin); oracle
+  SQL uses time_bucket with an explicit epoch origin so both engines bucket
+  identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_210225_spark.functions.scalars import fmt_ymd_hms, round2
+
+# Epoch-aligned origin handed to DuckDB's time_bucket so its buckets match
+# Spark's window() (which aligns to 1970-01-01 00:00:00 UTC).
+_EPOCH = "TIMESTAMP '1970-01-01 00:00:00'"
+
+
+def tumble(df: DataFrame, ts_col: str, duration: str) -> DataFrame:
+    """Attach epoch-aligned tumbling-window bounds as stt/edt string columns
+    (the reference's WindowFunction stt/edt stamping, VisitorStatsApp.java:108-117)."""
+    w = F.window(F.col(ts_col), duration)
+    return df.withColumn("__w", w).withColumn(
+        "stt", fmt_ymd_hms(F.col("__w.start"))
+    ).withColumn("edt", fmt_ymd_hms(F.col("__w.end"))).drop("__w")
+
+
+def _window_cols(ts: Column, duration: str) -> list[Column]:
+    w = F.window(ts, duration)
+    return [
+        fmt_ymd_hms(w["start"]).alias("stt"),
+        fmt_ymd_hms(w["end"]).alias("edt"),
+    ]
+
+
+# --- A1: VisitorStats — multi-dim keyed tumbling window ---
+
+
+def visitor_stats_window(tables: dict[str, DataFrame], duration: str = "1 hour") -> DataFrame:
+    """key=(event_type) over 1h tumble: uv/pv/dur sums + window bounds
+    (VisitorStatsApp.java:94-117's 4-dim key reduced to the fixture's one
+    behavioral dim)."""
+    ev = tables["events"]
+    return (
+        ev.groupBy(F.window("ts", duration), F.col("event_type").alias("ch"))
+        .agg(
+            F.countDistinct("user_id").alias("uv_ct"),
+            F.count("*").alias("pv_ct"),
+            round2(F.sum("value")).alias("dur_sum"),
+        )
+        .select(
+            fmt_ymd_hms(F.col("window.start")).alias("stt"),
+            fmt_ymd_hms(F.col("window.end")).alias("edt"),
+            "ch",
+            "uv_ct",
+            "pv_ct",
+            "dur_sum",
+        )
+    )
+
+
+# --- A2: ProductStats — per-sku window with exact distinct order counts ---
+
+
+def product_stats_window(
+    tables: dict[str, DataFrame], duration: str = "1 day", exact: bool = True
+) -> DataFrame:
+    """key=sku (l_partkey) per day: metric sums + distinct order count —
+    the HashSet-based exact distinct of ProductStatsApp.java:216-261.
+    ``exact=False`` switches to approx_count_distinct for extreme scale."""
+    li = tables["lineitem"]
+    order_ct = (
+        F.countDistinct("l_orderkey") if exact else F.approx_count_distinct("l_orderkey")
+    )
+    return (
+        li.groupBy(F.window("l_shipdate", duration), F.col("l_partkey").alias("sku_id"))
+        .agg(
+            order_ct.alias("order_ct"),
+            round2(F.sum("l_quantity")).alias("order_sku_num"),
+            round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "order_amount"
+            ),
+        )
+        .select(
+            fmt_ymd_hms(F.col("window.start")).alias("stt"),
+            fmt_ymd_hms(F.col("window.end")).alias("edt"),
+            "sku_id",
+            "order_ct",
+            "order_sku_num",
+            "order_amount",
+        )
+    )
+
+
+# --- A3: ProvinceStats — SQL TUMBLE + COUNT(DISTINCT) with dim enrichment ---
+
+
+def province_stats_window(tables: dict[str, DataFrame], duration: str = "7 days") -> DataFrame:
+    """orders → customer → nation (broadcast), 7-day tumble per province:
+    sum(total_amount) + count(distinct order_id) (ProvinceStatsSqlApp.java:47-65)."""
+    orders, cust, nation = tables["orders"], tables["customer"], tables["nation"]
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.window("o_orderdate", duration), F.col("n_name").alias("province_name"))
+        .agg(
+            round2(F.sum("o_totalprice")).alias("order_amount"),
+            F.countDistinct("o_orderkey").alias("order_count"),
+        )
+        .select(
+            fmt_ymd_hms(F.col("window.start")).alias("stt"),
+            fmt_ymd_hms(F.col("window.end")).alias("edt"),
+            "province_name",
+            "order_amount",
+            "order_count",
+        )
+    )
+
+
+# --- A4: KeywordStats — TUMBLE count(*) with constant source column ---
+
+
+def keyword_stats_window(tables: dict[str, DataFrame], duration: str = "1 day") -> DataFrame:
+    """group by word + tumble, COUNT(*), constant source tag
+    (KeywordStatsApp.java:56-66; GmallConstant.java:65)."""
+    ev = tables["events"]
+    return (
+        ev.groupBy(F.window("ts", duration), F.col("event_type").alias("keyword"))
+        .agg(F.count("*").alias("ct"))
+        .select(
+            fmt_ymd_hms(F.col("window.start")).alias("stt"),
+            fmt_ymd_hms(F.col("window.end")).alias("edt"),
+            "keyword",
+            "ct",
+            F.lit("EVENT").alias("source"),
+        )
+    )
+
+
+QUERIES = {
+    "window_visitor_stats": visitor_stats_window,
+    "window_product_stats": product_stats_window,
+    "window_province_stats": province_stats_window,
+    "window_keyword_stats": keyword_stats_window,
+}
+
+ORACLES = {
+    "window_visitor_stats": f"""
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts, {_EPOCH}), '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(time_bucket(INTERVAL '1 hour', ts, {_EPOCH}) + INTERVAL '1 hour',
+                        '%Y-%m-%d %H:%M:%S') AS edt,
+               event_type AS ch,
+               count(DISTINCT user_id) AS uv_ct,
+               count(*) AS pv_ct,
+               floor((sum(value)) * 100 + 0.5) / 100 AS dur_sum
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "window_product_stats": f"""
+        SELECT strftime(time_bucket(INTERVAL '1 day', l_shipdate, {_EPOCH}), '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(time_bucket(INTERVAL '1 day', l_shipdate, {_EPOCH}) + INTERVAL '1 day',
+                        '%Y-%m-%d %H:%M:%S') AS edt,
+               l_partkey AS sku_id,
+               count(DISTINCT l_orderkey) AS order_ct,
+               floor((sum(l_quantity)) * 100 + 0.5) / 100 AS order_sku_num,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS order_amount
+        FROM lineitem
+        GROUP BY 1, 2, 3
+    """,
+    "window_province_stats": f"""
+        SELECT strftime(time_bucket(INTERVAL '7 days', o_orderdate, {_EPOCH}), '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(time_bucket(INTERVAL '7 days', o_orderdate, {_EPOCH}) + INTERVAL '7 days',
+                        '%Y-%m-%d %H:%M:%S') AS edt,
+               n_name AS province_name,
+               floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS order_amount,
+               count(DISTINCT o_orderkey) AS order_count
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3
+    """,
+    "window_keyword_stats": f"""
+        SELECT strftime(time_bucket(INTERVAL '1 day', ts, {_EPOCH}), '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(time_bucket(INTERVAL '1 day', ts, {_EPOCH}) + INTERVAL '1 day',
+                        '%Y-%m-%d %H:%M:%S') AS edt,
+               event_type AS keyword,
+               count(*) AS ct,
+               'EVENT' AS source
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+}
