@@ -17,9 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 def _registry():
     """name -> (table_fn, oracle_sql_or_None); assembled from the operator
     modules' QUERIES/ORACLES pairs."""
-    from flink_210225_spark.operators import serving, windows
+    from flink_210225_spark.operators import joins, serving, stateful, windows
 
-    modules = [serving, windows]
+    modules = [serving, windows, joins, stateful]
     reg: dict[str, tuple] = {}
     for mod in modules:
         for name, fn in mod.QUERIES.items():

@@ -1,0 +1,158 @@
+"""DWM joins (SURVEY §2.4): interval joins J1/J2 and the dim-enrichment
+chain J3.
+
+Reference semantics:
+- J1 order_info ⋈ order_detail interval join, detail.ts ∈ [info.ts-5s, info.ts+5s]
+  (OrderWideApp.java:59-66) → here orders ⋈ lineitem with l_shipdate within
+  [o_orderdate, o_orderdate+5 days).
+- J2 orderWide ⋈ payment_info, payment.ts ∈ [order.ts, order.ts+15min]
+  (PaymentWideApp.java:75-83) → asymmetric bounds [10 days, 30 days).
+- J3 async HBase/Phoenix dim lookups ×6 with Redis cache
+  (DimAsyncFunction.java:34-51, OrderWideApp.java:72-171) → ONE pass of
+  broadcast hash joins against the 5 dim tables + a shuffle join to orders.
+  Broadcast replaces the whole cache/async machinery: each executor holds the
+  dim hash map once, lookups are O(1) in-memory, refresh is per-batch.
+
+Scale notes: the equi-key predicate (l_orderkey = o_orderkey) drives a
+single shuffle-hash/sort-merge join; the range predicate is evaluated as a
+post-join filter on matched keys only — never a cartesian. AQE handles skewed
+order keys. Dim joins never shuffle the fact side (BroadcastHashJoin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_210225_spark.functions.scalars import round2
+
+# --- J1: interval join orders ⋈ lineitem, [0, +5 days) ---
+
+
+def interval_join_order_detail(tables: dict[str, DataFrame]) -> DataFrame:
+    o, li = tables["orders"], tables["lineitem"]
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.date_add(o.o_orderdate, 5))
+    )
+    return li.join(o, cond).select(
+        "o_orderkey",
+        "l_linenumber",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        round2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("split_amount"),
+    )
+
+
+# --- J2: interval join with asymmetric bounds [+10 days, +30 days) ---
+
+
+def interval_join_payment(tables: dict[str, DataFrame]) -> DataFrame:
+    """The pay-within-15-minutes analog: ship within (order_date+10d, +30d]."""
+    o, li = tables["orders"], tables["lineitem"]
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= F.date_add(o.o_orderdate, 10))
+        & (li.l_shipdate < F.date_add(o.o_orderdate, 30))
+    )
+    return li.join(o, cond).select(
+        "o_orderkey",
+        "l_linenumber",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("pay_date"),
+        round2(F.col("l_extendedprice")).alias("payment_amount"),
+    )
+
+
+# --- J3: OrderWide — the 6-table dim enrichment chain ---
+
+
+def order_wide(tables: dict[str, DataFrame], min_quantity: int = 49) -> DataFrame:
+    """lineitem enriched with orders + customer→nation→region + part +
+    supplier — the Spark re-expression of the reference's six sequential
+    async dim lookups (DIM_USER/PROVINCE/SKU/SPU/TRADEMARK/CATEGORY3,
+    OrderWideApp.java:72-171). Left joins: a dangling FK keeps the fact row
+    with NULL dim attrs (DimAsyncFunction.java:43-45 skips the merge).
+
+    min_quantity bounds the output for the correctness harness; pass 0 for
+    the full wide table."""
+    li = tables["lineitem"].filter(F.col("l_quantity") >= min_quantity)
+    o, cust = tables["orders"], tables["customer"]
+    nation, region = tables["nation"], tables["region"]
+    part, sup = tables["part"], tables["supplier"]
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left")
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey, "left")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey, "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_orderstatus").alias("order_status"),
+            F.col("c_name").alias("user_name"),
+            F.col("n_name").alias("province_name"),
+            F.col("r_name").alias("region_name"),
+            F.col("p_name").alias("sku_name"),
+            F.col("p_brand").alias("tm_name"),
+            F.col("p_type").alias("category_name"),
+            F.col("s_name").alias("spu_name"),
+            round2(F.col("l_quantity")).alias("sku_num"),
+            round2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "split_total_amount"
+            ),
+        )
+    )
+
+
+QUERIES = {
+    "join_interval_order_detail": interval_join_order_detail,
+    "join_interval_payment": interval_join_payment,
+    "join_order_wide": order_wide,
+}
+
+ORACLES = {
+    "join_interval_order_detail": """
+        SELECT o_orderkey, l_linenumber,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+               floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS split_amount
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate
+          AND l_shipdate < o_orderdate + INTERVAL 5 DAY
+    """,
+    "join_interval_payment": """
+        SELECT o_orderkey, l_linenumber,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               strftime(l_shipdate, '%Y-%m-%d') AS pay_date,
+               floor((l_extendedprice) * 100 + 0.5) / 100 AS payment_amount
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate + INTERVAL 10 DAY
+          AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+    """,
+    "join_order_wide": """
+        SELECT l_orderkey, l_linenumber,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               o_orderstatus AS order_status,
+               c_name AS user_name,
+               n_name AS province_name,
+               r_name AS region_name,
+               p_name AS sku_name,
+               p_brand AS tm_name,
+               p_type AS category_name,
+               s_name AS spu_name,
+               floor((l_quantity) * 100 + 0.5) / 100 AS sku_num,
+               floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS split_total_amount
+        FROM lineitem
+        LEFT JOIN orders ON l_orderkey = o_orderkey
+        LEFT JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        LEFT JOIN region ON n_regionkey = r_regionkey
+        LEFT JOIN part ON l_partkey = p_partkey
+        LEFT JOIN supplier ON l_suppkey = s_suppkey
+        WHERE l_quantity >= 49
+    """,
+}
