@@ -17,9 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 def _registry():
     """name -> (table_fn, oracle_sql_or_None); assembled from the operator
     modules' QUERIES/ORACLES pairs."""
-    from flink_210225_spark.operators import joins, serving, stateful, windows
+    from flink_210225_spark.operators import joins, logsplit, serving, stateful, windows
 
-    modules = [serving, windows, joins, stateful]
+    modules = [serving, windows, joins, stateful, logsplit]
     reg: dict[str, tuple] = {}
     for mod in modules:
         for name, fn in mod.QUERIES.items():

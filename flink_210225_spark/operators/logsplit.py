@@ -1,0 +1,158 @@
+"""DWD log parsing & stream splitting (SURVEY §2.3 P1-P9).
+
+Reference behavior (BaseLogApp.java:46-141):
+- P1 try-parse JSON, dirty rows to a side output;
+- T1 new-visitor correction (see ``stateful``);
+- P3 three-way split: start logs / page logs / exploded ``displays[]`` with
+  the parent page_id injected into each display row.
+
+Spark-first: ``from_json`` gives typed parse-or-NULL (the NULL side IS the
+dirty stream — no exceptions, fully vectorized), filters give the split, and
+``explode`` replaces the per-row display loop (BaseLogApp.java:117-127).
+Each returned DataFrame is an independent projection of ONE parsed scan;
+Catalyst prunes the unused struct fields per branch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_210225_spark.functions.scalars import cond_sum, round2
+from flink_210225_spark.schemas import LOG_EVENT_SCHEMA
+
+
+def parse_logs(raw: DataFrame, json_col: str = "value") -> tuple[DataFrame, DataFrame]:
+    """P1: returns (parsed, dirty). ``parsed`` has the typed event struct;
+    ``dirty`` keeps the original string for the dead-letter sink
+    (BaseLogApp.java:57-70's OutputTag)."""
+    with_parsed = raw.withColumn("event", F.from_json(F.col(json_col), LOG_EVENT_SCHEMA))
+    # from_json yields NULL for malformed rows AND for valid JSON of a
+    # totally different shape (all fields NULL) — match the reference's
+    # "parseable at all" notion by requiring at least ts or common.
+    ok = F.col("event").isNotNull() & (
+        F.col("event.ts").isNotNull() | F.col("event.common").isNotNull()
+    )
+    return with_parsed.filter(ok), with_parsed.filter(~ok).drop("event")
+
+
+def split_log_stream(parsed: DataFrame) -> dict[str, DataFrame]:
+    """P3: start / page / display branches off one parsed stream
+    (BaseLogApp.java:103-141)."""
+    start = parsed.filter(F.col("event.start").isNotNull()).select(
+        "event.common.*", "event.start.*", F.col("event.ts").alias("ts")
+    )
+    page = parsed.filter(F.col("event.start").isNull()).select(
+        "event.common.*", "event.page.*", F.col("event.ts").alias("ts")
+    )
+    display = (
+        parsed.filter(F.col("event.start").isNull() & (F.size("event.displays") > 0))
+        .select(
+            F.col("event.common.mid").alias("mid"),
+            F.col("event.page.page_id").alias("page_id"),  # injected parent id
+            F.explode("event.displays").alias("display"),
+            F.col("event.ts").alias("ts"),
+        )
+        .select("mid", "page_id", "display.*", "ts")
+    )
+    return {"start": start, "page": page, "display": display}
+
+
+# --- Fixture-table queries (driver-checkable analogs) ---
+
+
+def props_extract(tables: dict[str, DataFrame]) -> DataFrame:
+    """P1/F9 analog on fixtures: typed JSON field extraction from the events
+    ``props`` payload (the reference's page['item'] map access,
+    KeywordStatsApp.java:42-46). get_json_object stays JVM-side."""
+    ev = tables["events"]
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def padzero_union_metrics(tables: dict[str, DataFrame]) -> DataFrame:
+    """P7: the pad-zero union pattern — each source projected into the common
+    wide schema with its one metric seeded, unionByName, then one aggregation
+    (VisitorStatsApp.java:48-83; ProductStatsApp.java:120-202).
+
+    Deliberately built as N projections + unionByName (not conditional sums)
+    to exercise the operator shape; the oracle proves the two formulations
+    equivalent. Catalyst collapses the union branches back into one scan."""
+    ev = tables["events"]
+
+    def seeded(event_type: str, metric: str, metrics: list[str]) -> DataFrame:
+        cols = [F.col("user_id")]
+        for m in metrics:
+            cols.append(
+                (F.lit(1) if m == metric else F.lit(0)).alias(m)
+            )
+        cols.append(
+            (F.col("value") if metric == "purchase_ct" else F.lit(0.0)).alias("amount")
+        )
+        return ev.filter(F.col("event_type") == event_type).select(*cols)
+
+    metrics = ["pv_ct", "click_ct", "purchase_ct", "error_ct", "signup_ct"]
+    branches = [
+        seeded("view", "pv_ct", metrics),
+        seeded("click", "click_ct", metrics),
+        seeded("purchase", "purchase_ct", metrics),
+        seeded("error", "error_ct", metrics),
+        seeded("signup", "signup_ct", metrics),
+    ]
+    unioned = branches[0]
+    for b in branches[1:]:
+        unioned = unioned.unionByName(b)
+    return unioned.groupBy("user_id").agg(
+        F.sum("pv_ct").alias("pv_ct"),
+        F.sum("click_ct").alias("click_ct"),
+        F.sum("purchase_ct").alias("purchase_ct"),
+        F.sum("error_ct").alias("error_ct"),
+        F.sum("signup_ct").alias("signup_ct"),
+        round2(F.sum("amount")).alias("purchase_amount"),
+    )
+
+
+def page_flatmap_metrics(tables: dict[str, DataFrame]) -> DataFrame:
+    """P6/P8 analog: conditional flag rows — click row iff page_id=='good_detail'
+    (here event_type=='click'), good-comment flag iff appraise=='1201' (here
+    value>=30) — computed as when() guards inside one pass."""
+    ev = tables["events"]
+    return ev.groupBy("event_type").agg(
+        cond_sum(F.col("value") >= 30.0).alias("flag_ct"),
+        cond_sum(F.get_json_object("props", "$.k").cast("int") > 50).alias("high_k_ct"),
+    )
+
+
+QUERIES = {
+    "log_props_extract": props_extract,
+    "log_padzero_union": padzero_union_metrics,
+    "log_flag_rows": page_flatmap_metrics,
+}
+
+ORACLES = {
+    "log_props_extract": """
+        SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events
+    """,
+    "log_padzero_union": """
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS pv_ct,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click_ct,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase_ct,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error_ct,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup_ct,
+               floor((sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)) * 100 + 0.5) / 100
+                   AS purchase_amount
+        FROM events
+        WHERE event_type IN ('view','click','purchase','error','signup')
+        GROUP BY user_id
+    """,
+    "log_flag_rows": """
+        SELECT event_type,
+               sum(CASE WHEN value >= 30.0 THEN 1 ELSE 0 END)::BIGINT AS flag_ct,
+               sum(CASE WHEN CAST(props->>'$.k' AS INT) > 50 THEN 1 ELSE 0 END)::BIGINT AS high_k_ct
+        FROM events
+        GROUP BY event_type
+    """,
+}

@@ -1,0 +1,102 @@
+import json
+
+import pytest
+
+from flink_210225_spark.operators import logsplit, router
+from flink_210225_spark.schemas import CDC_ENVELOPE_SCHEMA, TABLE_PROCESS_SCHEMA
+
+from .conftest import SF_DIR
+from .oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(logsplit.QUERIES))
+def test_logsplit_matches_oracle(name, tables):
+    assert_matches_oracle(logsplit.QUERIES[name](tables), logsplit.ORACLES[name], SF_DIR)
+
+
+GOOD_LOG = json.dumps(
+    {
+        "common": {"mid": "m1", "is_new": "1", "ch": "web", "ar": "110000", "vc": "v1"},
+        "page": {"page_id": "good_detail", "item": "42", "item_type": "sku_id"},
+        "displays": [
+            {"item": "1", "item_type": "sku_id", "display_type": "promo", "order": 1},
+            {"item": "2", "item_type": "sku_id", "display_type": "query", "order": 2},
+        ],
+        "ts": 1700000000000,
+    }
+)
+START_LOG = json.dumps(
+    {
+        "common": {"mid": "m2", "is_new": "0"},
+        "start": {"entry": "icon", "open_ad_id": 7, "loading_time": 100},
+        "ts": 1700000001000,
+    }
+)
+DIRTY_LOG = "{not valid json"
+
+
+def test_parse_and_split(spark):
+    raw = spark.createDataFrame([(GOOD_LOG,), (START_LOG,), (DIRTY_LOG,)], "value string")
+    parsed, dirty = logsplit.parse_logs(raw)
+    assert parsed.count() == 2
+    assert dirty.count() == 1
+    assert dirty.columns == ["value"]  # original string preserved for dead-letter
+
+    branches = logsplit.split_log_stream(parsed)
+    assert branches["start"].count() == 1
+    page_rows = branches["page"].collect()
+    assert len(page_rows) == 1 and page_rows[0]["page_id"] == "good_detail"
+    disp = branches["display"].collect()
+    assert len(disp) == 2
+    # parent page_id injected into each display row (BaseLogApp.java:117-127)
+    assert {d["page_id"] for d in disp} == {"good_detail"}
+    assert {d["item"] for d in disp} == {"1", "2"}
+
+
+@pytest.fixture()
+def cdc_fixture(spark):
+    envelopes = [
+        ("gmall", "order_info", "insert", {"id": "1", "total_amount": "10.5", "secret": "x"}, None),
+        ("gmall", "order_info", "update", {"id": "1", "total_amount": "11.0", "secret": "y"}, {"id": "1"}),
+        ("gmall", "order_info", "delete", {"id": "1"}, {"id": "1"}),
+        ("gmall", "user_info", "insert", {"id": "7", "name": "u7", "birthday": "2000-01-01"}, None),
+        ("gmall", "unconfigured", "insert", {"id": "9"}, None),
+    ]
+    return spark.createDataFrame(envelopes, CDC_ENVELOPE_SCHEMA)
+
+
+@pytest.fixture()
+def config_fixture(spark):
+    rows = [
+        ("order_info", "insert", "kafka", "dwd_order_info", "id,total_amount", None, None),
+        ("order_info", "update", "kafka", "dwd_order_info_update", "id,total_amount", None, None),
+        ("user_info", "insert", "hbase", "dim_user_info", "id,name,birthday", "id", None),
+    ]
+    return spark.createDataFrame(rows, TABLE_PROCESS_SCHEMA)
+
+
+def test_router(cdc_fixture, config_fixture):
+    routed = router.route(cdc_fixture, config_fixture)
+    rows = {(r["tableName"], r["type"]): r for r in routed.collect()}
+    # deletes filtered (P2), unconfigured dropped (T3 unknown-key branch)
+    assert set(rows) == {
+        ("order_info", "insert"),
+        ("order_info", "update"),
+        ("user_info", "insert"),
+    }
+    # column pruning to sink_columns (P4): 'secret' removed
+    assert set(rows[("order_info", "insert")]["data"].keys()) == {"id", "total_amount"}
+    assert rows[("order_info", "insert")]["sink_table"] == "dwd_order_info"
+    sinks = router.split_sinks(routed)
+    assert sinks["kafka"].count() == 2
+    assert sinks["hbase"].count() == 1
+
+
+def test_dim_upsert(spark, tmp_path):
+    path = str(tmp_path / "dim_user")
+    b1 = spark.createDataFrame([("1", "alice"), ("2", "bob")], "id string, name string")
+    router.upsert_dim(b1, path)
+    b2 = spark.createDataFrame([("2", "bobby"), ("3", "carol")], "id string, name string")
+    router.upsert_dim(b2, path)
+    got = {r["id"]: r["name"] for r in spark.read.parquet(path).collect()}
+    assert got == {"1": "alice", "2": "bobby", "3": "carol"}
