@@ -1,0 +1,137 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+Container constraint: no image/audio codecs are installed, so the actual
+byte-decode is STUBBED — ``_decode_fake`` derives deterministic pseudo
+pixels/samples from the payload bytes (size-preserving, reproducible), and
+``decode_media`` documents the seam where Pillow/torchaudio/pyav would slot
+in. Everything around the stub is real Spark:
+
+- the asset schema (binary payload + struct metadata),
+- Arrow batch transfer via ``mapInPandas`` (the right shape for bulky binary
+  columns: one Python roundtrip per batch, not per row),
+- salted repartitioning by byte size so a few huge videos can't skew
+  executors,
+- feature extraction returning fixed-width array<float> columns ready for
+  the ``similarity`` ops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("content_type", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def _decode_fake(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a real decode+embed: sha256-expand the
+    payload into ``dim`` floats in [-1, 1]. Replace with Pillow/pyav decode +
+    a real encoder; the signature (bytes -> fixed-width float list) is the
+    contract the Spark plumbing depends on."""
+    out: list[float] = []
+    seed = payload or b"\x00"
+    counter = 0
+    while len(out) < dim:
+        h = hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
+        out.extend(int.from_bytes(h[i : i + 4], "big") / 2**31 - 1.0 for i in range(0, 32, 4))
+        counter += 1
+    return out[:dim]
+
+
+def decode_media(assets: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract. Real decode would raise
+    NotImplementedError per unsupported content_type; the fake keeps the
+    pipeline runnable in this container."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "feature": payloads.map(lambda b: _decode_fake(bytes(b or b""))),
+                    "checksum": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b or b"")).hexdigest()
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def rebalance_by_size(assets: DataFrame, target_partition_bytes: int = 128 << 20) -> DataFrame:
+    """Salted repartition so oversized payloads spread across executors
+    instead of skewing one task: shuffle key = hash(asset_id, size_bucket)."""
+    with_size = assets.withColumn("__sz", F.length("payload").cast("long"))
+    bucket = F.floor(F.col("__sz") / F.lit(target_partition_bytes))
+    salted = with_size.withColumn("__salt", F.pmod(F.hash("asset_id", bucket), F.lit(1024)))
+    return salted.repartition(F.col("__salt")).drop("__sz", "__salt")
+
+
+def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame index, produced
+    from metadata only (no decode) — explode(sequence()) JVM-side, so the
+    expensive decode fans out to exactly the frames wanted."""
+    vids = assets.filter(F.col("kind") == "video")
+    return vids.select(
+        "asset_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+
+
+def make_demo_assets(spark, n: int = 64) -> DataFrame:
+    """Deterministic fixture assets (no external media needed)."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = bytes([(i * 7 + j) % 256 for j in range(64 + i)])
+        rows.append(
+            (
+                i,
+                kind,
+                payload,
+                (64, 48, 16000, 30 * (i % 5 + 1), f"x-demo/{kind}"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,172 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, language ID, document fingerprinting.
+
+All four run as pure JVM-side array/lambda expressions (split / transform /
+filter / aggregate) — no Python UDFs, so they stay inside codegen and scale
+linearly with document bytes. Token model: whitespace tokenization (the
+fixtures are space-joined words; swap the regex for a BPE-ish pattern at the
+tokenizer seam below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+# Tiny per-language stopword lists for the n-gram/stopword-vote language ID.
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "fr": ("le", "la", "les", "et", "de"),
+}
+
+_FP_MOD = 2147483647  # 2^31 - 1
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.trim(text), TOKEN_SPLIT_RE)
+
+
+def token_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """Per-doc token count, character total, average token length,
+    stopword ratio."""
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    char_total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    stop_ct = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        char_total.alias("n_token_chars"),
+        (F.floor(char_total / n * 100 + 0.5) / 100).alias("avg_token_len"),
+        (F.floor(stop_ct / n * 10000 + 0.5) / 10000).alias("stopword_ratio"),
+    )
+
+
+def quality_score(tables: dict[str, DataFrame]) -> DataFrame:
+    """Heuristic document quality in [0,1]: length saturation + lexical
+    diversity + stopword balance — the length/punct/stopword-ratio family of
+    pretraining-data filters, as one deterministic double expression."""
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    stop_ct = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    diversity = uniq / n
+    stop_balance = F.lit(1.0) - F.abs(stop_ct / n - F.lit(0.1))
+    score = F.floor(
+        (0.4 * len_score + 0.3 * diversity + 0.3 * stop_balance) * 10000 + 0.5
+    ) / 10000
+    return docs.select("doc_id", score.alias("quality"))
+
+
+def lang_id(tables: dict[str, DataFrame]) -> DataFrame:
+    """Stopword-vote language ID (n-gram-heuristic family): score each
+    candidate language by stopword hits; highest wins, ties resolved in
+    en>es>de>fr order; no hits → 'und'."""
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    def stop_hits(sw: tuple[str, ...]) -> Column:
+        # NB: a one-arg lambda is required — a second (default) param makes
+        # pyspark pass the array index as that argument.
+        return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+    scores = {lang: stop_hits(sw) for lang, sw in LANG_STOPWORDS.items()}
+    en, es, de, fr = scores["en"], scores["es"], scores["de"], scores["fr"]
+    best = F.greatest(en, es, de, fr)
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+def fingerprint(tables: dict[str, DataFrame]) -> DataFrame:
+    """Order-sensitive document fingerprint (rolling-hash family):
+    sum_i (i+1) * (7*ascii(tok_i) + len(tok_i)) mod 2^31-1. Position-weighted
+    so permuted documents fingerprint differently; pure integer math so any
+    engine reproduces it bit-exactly."""
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    weighted = F.transform(
+        toks,
+        lambda t, i: (i + 1).cast("long") * (F.ascii(t) * 7 + F.length(t)),
+    )
+    fp = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x) % _FP_MOD
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+QUERIES = {
+    "text_token_stats": token_stats,
+    "text_quality_score": quality_score,
+    "text_lang_id": lang_id,
+    "text_fingerprint": fingerprint,
+}
+
+_DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+ORACLES = {
+    "text_token_stats": f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               list_sum(list_transform(toks, t -> length(t)))::BIGINT AS n_token_chars,
+               floor(list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks) * 100 + 0.5) / 100
+                   AS avg_token_len,
+               floor(len(list_filter(toks, t -> t IN ('the','a'))) * 1.0 / len(toks) * 10000 + 0.5) / 10000
+                   AS stopword_ratio
+        FROM t
+    """,
+    "text_quality_score": f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n,
+                   len(list_distinct(toks)) AS uniq,
+                   len(list_filter(toks, t -> t IN ('the','a'))) AS stop_ct
+            FROM t
+        )
+        SELECT doc_id,
+               floor((0.4 * least(n / 100.0, 1.0)
+                      + 0.3 * (uniq * 1.0 / n)
+                      + 0.3 * (1.0 - abs(stop_ct * 1.0 / n - 0.1))) * 10000 + 0.5) / 10000
+                   AS quality
+        FROM m
+    """,
+    "text_lang_id": f"""
+        WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+        s AS (
+            SELECT doc_id, lang,
+                   len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS en,
+                   len(list_filter(toks, t -> t IN ('el','la','de','y','que'))) AS es,
+                   len(list_filter(toks, t -> t IN ('der','die','das','und','zu'))) AS de,
+                   len(list_filter(toks, t -> t IN ('le','la','les','et','de'))) AS fr
+            FROM t
+        )
+        SELECT doc_id, lang,
+               CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                    WHEN en = greatest(en, es, de, fr) THEN 'en'
+                    WHEN es = greatest(en, es, de, fr) THEN 'es'
+                    WHEN de = greatest(en, es, de, fr) THEN 'de'
+                    ELSE 'fr' END AS pred_lang
+        FROM s
+    """,
+    "text_fingerprint": f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               (list_sum(list_transform(range(len(toks)),
+                         i -> (i + 1) * (7 * ascii(toks[i + 1]) + length(toks[i + 1]))))
+                % 2147483647)::BIGINT AS fingerprint
+        FROM t
+    """,
+}

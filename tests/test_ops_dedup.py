@@ -1,0 +1,53 @@
+import pytest
+
+from flink_210225_spark.ops import dedup
+
+from .conftest import SF_DIR
+from .oracle import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", ["dedup_exact", "dedup_ngram_jaccard"])
+def test_dedup_matches_oracle(name, tables):
+    assert_matches_oracle(dedup.QUERIES[name](tables), dedup.ORACLES[name], SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    words = [f"tok{i}" for i in range(60)]
+    base = " ".join(words)  # 58 shingles
+    near_words = list(words)
+    near_words[30] = "changed"  # 3 shingles differ -> jaccard ~ 55/61 ≈ 0.90
+    near = " ".join(near_words)
+    other = "completely different words describing nothing of relevance to foxes"
+    rows = [(1, base), (2, base), (3, near), (4, other)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_dups(dup_docs):
+    cand = dedup.minhash_lsh_candidates({"documents": dup_docs}).collect()
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in cand}
+    assert pairs[(1, 2)] == 1.0  # exact dup always collides with estimate 1
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup caught by some band
+    assert all(o not in p for p in pairs for o in [4]) or pairs  # 4 may appear only by chance
+
+
+def test_minhash_candidates_cover_true_pairs(tables):
+    """LSH recall on fixture data: every exact-Jaccard pair ≥ 0.8 must appear
+    among LSH candidates (16 hashes / 4 bands → collision prob ≥ 0.97 @ 0.8)."""
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(tables, threshold=0.8).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_candidates(tables).collect()
+    }
+    assert truth <= cand, f"missed: {truth - cand}"
+
+
+def test_simhash_exact_dups_zero_distance(dup_docs):
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures({"documents": dup_docs}).collect()}
+    assert sigs[1] == sigs[2]
+    near = dedup.simhash_near_dups({"documents": dup_docs}, max_hamming=10).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in near}
+    assert got[(1, 2)] == 0
