@@ -1,0 +1,104 @@
+import json
+
+import pytest
+
+from flink_210225_spark.operators import stateful
+from flink_210225_spark.schemas import TABLE_PROCESS_SCHEMA
+from flink_210225_spark.streaming import pipelines as sp
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark):
+    return sp.stream_events(spark, SF_DIR)
+
+
+def test_windowed_agg_stream_complete_matches_batch(spark, event_stream, tables):
+    got = sp.run_stream_to_memory(
+        sp.windowed_agg_stream(event_stream), "win_complete", output_mode="complete"
+    )
+    # batch reference computed with identical expressions
+    from pyspark.sql import functions as F
+
+    want = (
+        tables["events"]
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type").alias("ch"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("uv_ct"),
+            F.count("*").alias("pv_ct"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "ch",
+            "uv_ct",
+            "pv_ct",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_uv_dedup_stream_subset_of_batch(spark, event_stream, tables):
+    got = sp.run_stream_to_memory(sp.uv_dedup_stream(event_stream), "uv_stream")
+    got_keys = {(r.user_id, r.dt) for r in got.collect()}
+    want_keys = {
+        (r.user_id, r.dt) for r in stateful.unique_visitor_dedup(tables).collect()
+    }
+    # same (user, day) keys; the surviving event may differ when events are
+    # out of order (stream keeps first-arrival, batch keeps first-by-time)
+    assert got_keys == want_keys
+
+
+def test_jump_detection_stream_vs_batch(spark, event_stream, tables):
+    got = sp.run_stream_to_memory(
+        sp.jump_detection_stream(event_stream), "jump_stream"
+    )
+    got_ids = {r.event_id for r in got.collect()}
+    batch = stateful.jump_detection(tables).collect()
+    batch_ids = {r.event_id for r in batch}
+    # streaming emits every batch-detected jump except possibly the pending
+    # tail (absence-jumps whose event-time timer is beyond the final
+    # watermark) — it must be a subset and cover all gap-based jumps
+    assert got_ids <= batch_ids
+    assert len(got_ids) >= 0.9 * len(batch_ids)
+
+
+def test_router_stream_end_to_end(spark, tmp_path):
+    from flink_210225_spark.schemas import CDC_ENVELOPE_SCHEMA
+
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    envelopes = [
+        {"databaseName": "g", "tableName": "order_info", "type": "insert",
+         "data": {"id": "1", "total_amount": "10.5", "junk": "z"}},
+        {"databaseName": "g", "tableName": "user_info", "type": "insert",
+         "data": {"id": "7", "name": "u7"}},
+        {"databaseName": "g", "tableName": "user_info", "type": "update",
+         "data": {"id": "7", "name": "u7b"}},
+        {"databaseName": "g", "tableName": "order_info", "type": "delete",
+         "data": {"id": "1"}},
+    ]
+    (cdc_dir / "batch.json").write_text("\n".join(json.dumps(e) for e in envelopes))
+
+    def config_loader(s):
+        rows = [
+            ("order_info", "insert", "kafka", "dwd_order_info", "id,total_amount", None, None),
+            ("user_info", "insert", "hbase", "dim_user_info", "id,name", "id", None),
+            ("user_info", "update", "hbase", "dim_user_info", "id,name", "id", None),
+        ]
+        return s.createDataFrame(rows, TABLE_PROCESS_SCHEMA)
+
+    stream = spark.readStream.schema(CDC_ENVELOPE_SCHEMA).json(str(cdc_dir))
+    q = sp.run_router_stream(
+        stream, config_loader, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    topic = spark.read.parquet(str(tmp_path / "out/topics/dwd_order_info")).collect()
+    assert len(topic) == 1
+    assert json.loads(topic[0]["data_json"]) == {"id": "1", "total_amount": "10.5"}
+    dim = spark.read.parquet(str(tmp_path / "out/dims/dim_user_info")).collect()
+    assert len(dim) == 1  # upsert collapsed insert+update
+    assert json.loads(dim[0]["payload"])["name"] == "u7b"
