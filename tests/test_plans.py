@@ -1,0 +1,43 @@
+"""Scale-posture assertions: the plans must SAY what the docstrings claim —
+pushdown, pruning, broadcast, codegen, no cartesian — for every registered
+query (SURVEY §4: 'everything else is stock' only holds if Catalyst actually
+applies it)."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from flink_210225_spark.operators import joins, serving
+from flink_210225_spark.plans import explain
+
+
+def test_gmv_pushdown_and_pruning(tables):
+    df = serving.gmv(tables)
+    pushed = " ".join(explain.pushed_filters(df))
+    assert "l_shipdate" in pushed, f"date filter not pushed: {pushed}"
+    schemas = explain.read_schemas(df)
+    assert all("l_orderkey" not in s for s in schemas), "column pruning failed"
+
+
+def test_dim_joins_broadcast(tables):
+    for fn in (serving.trademark_topn, serving.province_stats, joins.order_wide):
+        df = fn(tables)
+        assert explain.has_broadcast_join(df), f"{fn.__name__} lost its broadcast"
+
+
+def test_codegen_present(tables):
+    assert explain.codegen_stage_count(serving.gmv(tables)) >= 1
+    assert explain.codegen_stage_count(serving.trademark_topn(tables)) >= 1
+
+
+# sim_cosine_topk is deliberately a broadcast nested-loop: the brute-force
+# exact baseline scores every (query, corpus) pair with the tiny query side
+# broadcast. Every other query must stay equi-join shaped.
+CARTESIAN_OK = {"sim_cosine_topk"}
+
+
+@pytest.mark.parametrize("name", sorted(set(entry_mod.queries()) - CARTESIAN_OK))
+def test_no_cartesian_anywhere(name, spark):
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    assert not explain.has_cartesian(df), f"{name} plans a cartesian/nested-loop join"
