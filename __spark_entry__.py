@@ -17,10 +17,17 @@ from pyspark.sql import DataFrame, SparkSession
 def _registry():
     """name -> (table_fn, oracle_sql_or_None); assembled from the operator
     modules' QUERIES/ORACLES pairs."""
-    from flink_210225_spark.operators import joins, logsplit, serving, stateful, windows
+    from flink_210225_spark.operators import (
+        joins,
+        logsplit,
+        serving,
+        sessions,
+        stateful,
+        windows,
+    )
     from flink_210225_spark.ops import dedup, similarity, text
 
-    modules = [serving, windows, joins, stateful, logsplit, text, dedup, similarity]
+    modules = [serving, windows, joins, stateful, logsplit, sessions, text, dedup, similarity]
     reg: dict[str, tuple] = {}
     for mod in modules:
         for name, fn in mod.QUERIES.items():

@@ -1,0 +1,121 @@
+"""Session windows — the §2.6 extension beyond the reference's tumbling-only
+surface (the reference has no session windows; Spark gives them natively via
+``session_window``, and the DWM "visit" notion — UV dedup + jump detection —
+is really sessionization in disguise, so this is the natural unification).
+
+Batch oracle: classic gaps-and-islands — a session starts where the gap from
+the previous event of the same user exceeds the timeout; the session id is a
+running count of starts."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_210225_spark.functions.scalars import fmt_ymd_hms, round2
+
+
+def sessionize(tables: dict[str, DataFrame], gap_sec: int = 1800) -> DataFrame:
+    """Per-user sessions with a 30-min inactivity gap: session start/end,
+    event count, value sum. Built on gaps-and-islands (deterministic,
+    oracle-checkable); ``session_window_agg`` below is the native Spark
+    spelling of the same thing for streaming."""
+    ev = tables["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "__new_session",
+        F.when(
+            F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+            > gap_sec * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn(
+        "__session_seq",
+        F.sum("__new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return gapped.groupBy("user_id", "__session_seq").agg(
+        fmt_ymd_hms(F.min("ts")).alias("session_start"),
+        fmt_ymd_hms(F.max("ts")).alias("session_end"),
+        F.count("*").alias("n_events"),
+        round2(F.sum("value")).alias("value_sum"),
+    ).select(
+        "user_id",
+        F.col("__session_seq").alias("session_seq"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "value_sum",
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session_window form — usable batch AND streaming (with
+    withWatermark upstream); semantics match ``sessionize`` on gap merging
+    (window end extends gap past the last event, hence different bound
+    columns)."""
+    return (
+        events.groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), round2(F.sum("value")).alias("value_sum"))
+        .select(
+            "user_id",
+            fmt_ymd_hms(F.col("session_window.start")).alias("session_start"),
+            F.col("n_events"),
+            F.col("value_sum"),
+        )
+    )
+
+
+QUERIES = {
+    "session_gaps_islands": sessionize,
+    "session_window_native": lambda tables: session_window_agg(tables["events"]),
+}
+
+ORACLES = {
+    "session_gaps_islands": """
+        WITH gapped AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        seq AS (
+            SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM gapped
+        )
+        SELECT user_id, session_seq::BIGINT AS session_seq,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_events,
+               floor((sum(value)) * 100 + 0.5) / 100 AS value_sum
+        FROM seq
+        GROUP BY user_id, session_seq
+    """,
+    # the native session_window's start bounds coincide with gaps-and-islands
+    # session starts, so it shares the same oracle minus the end column
+    "session_window_native": """
+        WITH gapped AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        seq AS (
+            SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM gapped
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*) AS n_events,
+               floor((sum(value)) * 100 + 0.5) / 100 AS value_sum
+        FROM seq
+        GROUP BY user_id, session_seq
+    """,
+}

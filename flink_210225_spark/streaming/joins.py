@@ -1,0 +1,60 @@
+"""Stream-stream interval joins (SURVEY §2.4 J1/J2 as true streaming ops).
+
+The reference's OrderWideApp joins two live Kafka streams with an event-time
+interval (order_info.id == order_detail.order_id, detail.ts ∈ info.ts ± 5s,
+OrderWideApp.java:59-66). Structured Streaming expresses exactly this:
+watermarks on both sides bound the join state, the equi-key drives the
+shuffle, and the range condition both filters matches and lets Spark evict
+state (state retention ≈ watermark + interval width). PaymentWideApp's
+asymmetric [0, 15 min] window (PaymentWideApp.java:75-83) is the same shape
+with different bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_sec: int,
+    upper_sec: int,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """right.ts ∈ [left.ts + lower_sec, left.ts + upper_sec) on matching keys;
+    both sides watermarked so join state is bounded and evictable."""
+    l = left.withColumn(left_ts, F.col(left_ts).cast("timestamp")).withWatermark(
+        left_ts, watermark
+    )
+    r = right.withColumn(right_ts, F.col(right_ts).cast("timestamp")).withWatermark(
+        right_ts, watermark
+    )
+    cond = (
+        (l[left_key] == r[right_key])
+        & (r[right_ts] >= l[left_ts] + F.expr(f"INTERVAL {lower_sec} SECONDS"))
+        & (r[right_ts] < l[left_ts] + F.expr(f"INTERVAL {upper_sec} SECONDS"))
+    )
+    return l.join(r, cond)
+
+
+def order_detail_wide_stream(
+    orders: DataFrame, details: DataFrame, window_days: int = 5
+) -> DataFrame:
+    """J1 streaming: orders ⋈ lineitem within [0, +window_days) — the
+    OrderWide join re-expressed over the fixture streams."""
+    sec = window_days * 86400
+    joined = interval_join_streams(
+        orders, details, "o_orderkey", "l_orderkey", "o_orderdate", "l_shipdate", 0, sec
+    )
+    return joined.select(
+        "o_orderkey",
+        "l_linenumber",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+    )
