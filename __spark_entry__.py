@@ -20,14 +20,27 @@ def _registry():
     from flink_210225_spark.operators import (
         joins,
         logsplit,
+        router,
         serving,
         sessions,
         stateful,
         windows,
     )
-    from flink_210225_spark.ops import dedup, similarity, text
+    from flink_210225_spark.ops import dedup, multimodal, similarity, text
 
-    modules = [serving, windows, joins, stateful, logsplit, sessions, text, dedup, similarity]
+    modules = [
+        serving,
+        windows,
+        joins,
+        stateful,
+        logsplit,
+        router,
+        sessions,
+        text,
+        dedup,
+        similarity,
+        multimodal,
+    ]
     reg: dict[str, tuple] = {}
     for mod in modules:
         for name, fn in mod.QUERIES.items():

@@ -63,6 +63,54 @@ def split_sinks(routed: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+def cdc_route_demo(tables: dict[str, DataFrame]) -> DataFrame:
+    """Driver-checkable T3 end-to-end: render nation/region as CDC snapshot
+    envelopes (sources/cdc.py), route them through a two-row config (nation →
+    kafka topic, region → hbase dim), and project the routed identity +
+    pruned-map width. ``n_cols`` proves the column pruning (4-col source maps
+    shrink to the 2 configured columns)."""
+    from flink_210225_spark.sources.cdc import snapshot_envelopes
+
+    spark = tables["nation"].sparkSession
+    cdc = snapshot_envelopes(tables["nation"], "gmall", "nation").unionByName(
+        snapshot_envelopes(tables["region"], "gmall", "region")
+    )
+    config = spark.createDataFrame(
+        [
+            ("nation", "insert", SINK_TYPE_KAFKA, "dwd_nation", "n_nationkey,n_name", "n_nationkey", None),
+            ("region", "insert", SINK_TYPE_HBASE, "dim_region", "r_regionkey,r_name", "r_regionkey", None),
+        ],
+        "source_table string, operate_type string, sink_type string, sink_table string,"
+        "sink_columns string, sink_pk string, sink_extend string",
+    )
+    routed = route(cdc, config)
+    return routed.select(
+        F.col("tableName").alias("table_name"),
+        F.col("type").alias("op_type"),
+        "sink_type",
+        "sink_table",
+        F.col("data")[F.col("sink_pk")].alias("rec_id"),
+        F.coalesce(F.col("data")["n_name"], F.col("data")["r_name"]).alias("rec_name"),
+        F.size("data").alias("n_cols"),
+    )
+
+
+QUERIES = {"cdc_route_config": cdc_route_demo}
+
+ORACLES = {
+    "cdc_route_config": """
+        SELECT 'nation' AS table_name, 'insert' AS op_type, 'kafka' AS sink_type,
+               'dwd_nation' AS sink_table, n_nationkey::VARCHAR AS rec_id,
+               n_name AS rec_name, 2 AS n_cols
+        FROM nation
+        UNION ALL
+        SELECT 'region', 'insert', 'hbase', 'dim_region',
+               r_regionkey::VARCHAR, r_name, 2
+        FROM region
+    """,
+}
+
+
 def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id") -> None:
     """K4/K5: dim upsert sink. The reference upserts by PK into Phoenix and
     invalidates the Redis cache (DimSinkFunction.java:33-67); here the dim

@@ -229,8 +229,34 @@ def simhash_near_dups(
     )
 
 
+# --- embedding-cosine near-dup ---
+
+
+def embedding_near_dups(
+    tables: dict[str, DataFrame], threshold: float = 0.40
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold — the semantic member
+    of the dedup family (byte/shingle methods miss paraphrases). Exact
+    pairwise form here (oracle-checkable); at corpus scale the identical
+    filter runs on LSH-bucketed candidates from similarity.lsh_ann_topk's
+    machinery instead of the full cross product."""
+    from flink_210225_spark.ops.similarity import _dot, with_norm
+
+    emb = with_norm(tables["embeddings"])
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.floor(cos * 1000000 + 0.5) / 1000000)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
+    "dedup_embedding_cosine": embedding_near_dups,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     # LSH/simhash results depend on xxhash64 — not SQL-expressible in DuckDB,
     # so these are rows-only checks for the driver (weaker gate, noted).
@@ -239,6 +265,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_embedding_cosine": """
+        WITH normed AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS v,
+                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               floor((list_sum(list_transform(range(64), i -> a.v[i + 1] * b.v[i + 1]))
+                      / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS cosine
+        FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+        WHERE floor((list_sum(list_transform(range(64), i -> a.v[i + 1] * b.v[i + 1]))
+                     / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 >= 0.40
+    """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_ct
         FROM documents GROUP BY md5(text)

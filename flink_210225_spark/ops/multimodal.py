@@ -120,6 +120,64 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media assets derived from the documents fixture:
+    payload = UTF-8 bytes of the text, kind by doc_id mod 3, frame count from
+    text length — so the binary pipeline is driver-checkable against a SQL
+    oracle (sha256/octet_length are pure functions of the text)."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(64).cast("int").alias("width"),
+            F.lit(48).cast("int").alias("height"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            (F.pmod(F.length("text"), F.lit(120)) + 1).cast("int").alias("n_frames"),
+            F.lit("x-demo").alias("content_type"),
+        ).alias("meta"),
+    )
+
+
+def decode_documents(tables: dict[str, DataFrame]) -> DataFrame:
+    """Arrow-batched decode over document-derived assets; feature column
+    dropped here so checksum/n_bytes hash-match the oracle (the feature path
+    is covered by tests/test_ops_multimodal.py)."""
+    return decode_media(assets_from_documents(tables["documents"])).select(
+        "asset_id", "kind", "n_bytes", "checksum"
+    )
+
+
+def frame_plan_documents(tables: dict[str, DataFrame]) -> DataFrame:
+    """Metadata-only frame sampling plan over the video-kind assets."""
+    return frame_sample_plan(assets_from_documents(tables["documents"]))
+
+
+QUERIES = {
+    "multimodal_decode": decode_documents,
+    "multimodal_frame_plan": frame_plan_documents,
+}
+
+ORACLES = {
+    "multimodal_decode": """
+        SELECT doc_id AS asset_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               sha256(text) AS checksum
+        FROM documents
+    """,
+    "multimodal_frame_plan": """
+        SELECT doc_id AS asset_id,
+               unnest(range(0, length(text) % 120 + 1, 10))::INT AS frame_idx
+        FROM documents
+        WHERE doc_id % 3 = 2
+    """,
+}
+
+
 def make_demo_assets(spark, n: int = 64) -> DataFrame:
     """Deterministic fixture assets (no external media needed)."""
     rows = []

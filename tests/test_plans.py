@@ -29,10 +29,11 @@ def test_codegen_present(tables):
     assert explain.codegen_stage_count(serving.trademark_topn(tables)) >= 1
 
 
-# sim_cosine_topk is deliberately a broadcast nested-loop: the brute-force
-# exact baseline scores every (query, corpus) pair with the tiny query side
-# broadcast. Every other query must stay equi-join shaped.
-CARTESIAN_OK = {"sim_cosine_topk"}
+# sim_cosine_topk / dedup_embedding_cosine are deliberately broadcast
+# nested-loops: the brute-force exact baselines score every pair (the scale
+# path is their LSH-bucketed siblings, which ARE equi-join shaped). Every
+# other query must stay equi-join shaped.
+CARTESIAN_OK = {"sim_cosine_topk", "dedup_embedding_cosine"}
 
 
 @pytest.mark.parametrize("name", sorted(set(entry_mod.queries()) - CARTESIAN_OK))

@@ -1,0 +1,98 @@
+"""CDC/Kafka source builders, router driver query, multimodal driver queries,
+and embedding-cosine near-dup."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_210225_spark.operators import router
+from flink_210225_spark.ops import dedup, multimodal
+from flink_210225_spark.sources import cdc, kafka
+
+from .conftest import SF_DIR
+from .oracle import assert_matches_oracle
+
+
+def test_parse_envelopes_clean_and_dirty(spark):
+    raw = spark.createDataFrame(
+        [
+            ('{"databaseName":"g","tableName":"t","type":"insert","data":{"id":"1"}}',),
+            ('{"tableName":"t","type":"update","data":{"id":"2"},"before":{"id":"1"}}',),
+            ("not json at all",),
+            ('{"databaseName":"g","data":{"id":"3"}}',),  # no tableName/type
+        ],
+        "value string",
+    )
+    clean, dirty = cdc.parse_envelopes(raw)
+    rows = {r["data"]["id"]: r for r in clean.collect()}
+    assert set(rows) == {"1", "2"}
+    assert rows["2"]["before"] == {"id": "1"}
+    assert dirty.count() == 2
+
+
+def test_snapshot_and_initial_load(spark, tables):
+    snap = cdc.snapshot_envelopes(tables["region"], "gmall", "region")
+    got = snap.collect()
+    assert len(got) == tables["region"].count()
+    assert all(r["type"] == "insert" and r["tableName"] == "region" for r in got)
+    assert all("r_name" in r["data"] for r in got)
+
+    live = spark.createDataFrame(
+        [("gmall", "region", "update", {"r_regionkey": "0"}, {"r_regionkey": "0"})],
+        cdc.CDC_ENVELOPE_SCHEMA,
+    )
+    combined = cdc.initial_load(tables["region"], live, "gmall", "region")
+    assert combined.count() == len(got) + 1
+
+
+def test_kafka_shapers_batch_side(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    fixed = kafka.shape_for_topic(df, "dwd_x", ["id", "name"])
+    assert fixed.columns == ["topic", "value"]
+    assert {r["topic"] for r in fixed.collect()} == {"dwd_x"}
+
+    routed = spark.createDataFrame(
+        [("dwd_a", {"id": "1"}), ("dwd_b", {"id": "2"})],
+        "sink_table string, data map<string,string>",
+    )
+    dyn = kafka.shape_dynamic_topic(routed)
+    got = {r["topic"]: r["value"] for r in dyn.collect()}
+    assert got == {"dwd_a": '{"id":"1"}', "dwd_b": '{"id":"2"}'}
+
+
+def test_cdc_route_config_matches_oracle(tables):
+    assert_matches_oracle(
+        router.QUERIES["cdc_route_config"](tables),
+        router.ORACLES["cdc_route_config"],
+        SF_DIR,
+    )
+
+
+@pytest.mark.parametrize("name", sorted(multimodal.QUERIES))
+def test_multimodal_match_oracle(name, tables):
+    assert_matches_oracle(
+        multimodal.QUERIES[name](tables), multimodal.ORACLES[name], SF_DIR
+    )
+
+
+def test_embedding_near_dups_matches_oracle(tables_med):
+    assert_matches_oracle(
+        dedup.embedding_near_dups(tables_med),
+        dedup.ORACLES["dedup_embedding_cosine"],
+        "/root/testdata/sf0.01",
+    )
+
+
+def test_embedding_near_dups_symmetric_threshold(tables_med):
+    out = dedup.embedding_near_dups(tables_med, threshold=0.35)
+    rows = out.collect()
+    assert all(r["vec_a"] < r["vec_b"] for r in rows)
+    assert all(r["cosine"] >= 0.35 for r in rows)
+
+
+def test_decode_media_feature_shape(spark):
+    assets = multimodal.make_demo_assets(spark, n=12)
+    out = multimodal.decode_media(assets).collect()
+    assert len(out) == 12
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in out)
+    assert all(-1.0 <= x <= 1.0 for r in out for x in r["feature"])
