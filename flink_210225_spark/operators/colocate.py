@@ -1,0 +1,96 @@
+"""Co-location & skew machinery — the 100 TB join toolbox.
+
+The reference sidesteps shuffle economics entirely (parallelism 1,
+FlinkCDCApp.java:24-30); at cluster scale the two dominant costs this module
+addresses are:
+
+- **Repeated shuffles of the same fact table on the same key.** Bucketing
+  writes the table pre-hash-partitioned AND pre-sorted on the join key;
+  a join of two tables bucketed on that key with equal bucket counts needs
+  NO Exchange on either side (sort-merge runs directly on bucket files).
+  At 100 TB this turns every orders⋈lineitem-shaped join from two full
+  shuffles into zero.
+- **Skewed keys.** AQE's skew-join splitting (on in session.py) handles
+  moderate skew at runtime; ``salted_join`` is the explicit fallback for
+  pathological hot keys (one key ≫ executor memory): the big side gets a
+  deterministic salt in [0, n), the small side is replicated n ways, and the
+  equi-join runs on (key, salt) — the hot key's rows spread over n tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str | list[str],
+    num_buckets: int = 32,
+    sort_key: str | list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist hash-bucketed (and bucket-sorted) — the co-located layout for
+    a key joined repeatedly. num_buckets must match across co-joined tables.
+    ``path`` makes it an external table (warehouse.dir is a static conf, so
+    tests and ad-hoc runs point tables at scratch space explicitly)."""
+    keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+    sorts = keys if sort_key is None else (
+        [sort_key] if isinstance(sort_key, str) else list(sort_key)
+    )
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, keys[0], *keys[1:])
+        .sortBy(sorts[0], *sorts[1:])
+        .format("parquet")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark, left_table: str, right_table: str, on, how: str = "inner") -> DataFrame:
+    """Join two same-bucketed catalog tables; with matching bucket counts the
+    plan contains no Exchange (verify with plans.explain.audit)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Skew-resistant equi-join: big side salted by a deterministic hash of
+    its non-key content, small side replicated ``n_salts`` ways. Semantics
+    identical to ``big.join(small, key, how)`` for inner/left joins; cost =
+    small side inflated n×, hot-key rows spread over n tasks."""
+    salt = (
+        F.pmod(F.hash(*[c for c in big.columns if c != key]), F.lit(n_salts))
+        if salt_source is None
+        else F.pmod(salt_source, F.lit(n_salts))
+    )
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = b.join(s, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """Skew diagnostic: per-key row counts vs the mean — feeds the decision
+    between AQE-only and explicit salting."""
+    counts = df.groupBy(key).agg(F.count("*").alias("ct"))
+    stats = counts.agg(
+        F.avg("ct").alias("avg_ct"), F.max("ct").alias("max_ct")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .withColumn("skew_ratio", F.round(F.col("ct") / F.col("avg_ct"), 2))
+        .orderBy(F.desc("ct"))
+        .limit(top)
+    )

@@ -236,22 +236,45 @@ def embedding_near_dups(
     tables: dict[str, DataFrame], threshold: float = 0.40
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold — the semantic member
-    of the dedup family (byte/shingle methods miss paraphrases). Exact
-    pairwise form here (oracle-checkable); at corpus scale the identical
-    filter runs on LSH-bucketed candidates from similarity.lsh_ann_topk's
-    machinery instead of the full cross product."""
-    from flink_210225_spark.ops.similarity import _dot, with_norm
+    of the dedup family (byte/shingle methods miss paraphrases).
 
-    emb = with_norm(tables["embeddings"])
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.floor(cos * 1000000 + 0.5) / 1000000)
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
-    )
+    Shape: one side of the pair matrix is broadcast (like a dim table), the
+    other streams through ``mapInPandas`` doing a float64 GEMM per Arrow
+    batch — vectorized exact scoring, no per-pair row explosion. This is the
+    right physical plan while one side fits in executor memory (seconds for
+    ~10^4×10^4 pairs); past that, the same GEMM kernel runs per block-pair of
+    a chunked cross join, or on LSH-bucketed candidates from
+    similarity.lsh_ann_topk's machinery."""
+    import numpy as np
+    import pandas as pd
+
+    emb = tables["embeddings"]
+    spark = emb.sparkSession
+    corpus = emb.select("vec_id", "embedding").toPandas()
+    c_ids = corpus["vec_id"].to_numpy()
+    c_mat = np.array(corpus["embedding"].tolist(), dtype=np.float64)
+    c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_nrm))
+
+    out_schema = "vec_a long, vec_b long, cosine double"
+
+    def score(batches):
+        ids, mat, nrm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            b_ids = pdf["vec_id"].to_numpy()
+            b_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            b_nrm = np.sqrt((b_mat * b_mat).sum(axis=1))
+            cos = (b_mat @ mat.T) / np.outer(b_nrm, nrm)
+            cos = np.floor(cos * 1_000_000 + 0.5) / 1_000_000
+            keep = (b_ids[:, None] < ids[None, :]) & (cos >= threshold)
+            ai, ci = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"vec_a": b_ids[ai], "vec_b": ids[ci], "cosine": cos[ai, ci]}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(score, out_schema)
 
 
 QUERIES = {

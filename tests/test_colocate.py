@@ -1,0 +1,86 @@
+"""Bucketed co-located joins must be exchange-free; salted joins must match
+their unsalted equivalents row-for-row."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_210225_spark.operators import colocate
+from flink_210225_spark.plans import explain
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tables, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("bucketed_wh"))
+    colocate.write_bucketed(
+        tables["orders"].select("o_orderkey", "o_totalprice"),
+        "b_orders",
+        "o_orderkey",
+        num_buckets=8,
+        path=f"{wh}/b_orders",
+    )
+    colocate.write_bucketed(
+        tables["lineitem"].select("l_orderkey", "l_quantity"),
+        "b_lineitem",
+        "l_orderkey",
+        num_buckets=8,
+        path=f"{wh}/b_lineitem",
+    )
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_no_exchange(spark, bucketed_tables):
+    lt, rt = bucketed_tables
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocate.bucketed_join(
+            spark, lt, rt, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        a = explain.audit(joined)
+        assert a["shuffles"] == 0, f"bucketed join still shuffles: {a}"
+        # formatted plans name each op in the tree AND the details section
+        assert a["sort_merge_joins"] >= 1
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_agg_no_exchange(spark, bucketed_tables):
+    _, rt = bucketed_tables
+    agg = spark.table(rt).groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    assert explain.audit(agg)["shuffles"] == 0, "groupBy on bucket key should reuse layout"
+
+
+def test_salted_join_matches_plain(spark, tables):
+    li = tables["lineitem"].select("l_orderkey", "l_partkey", "l_quantity")
+    part = tables["part"].select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    plain = li.join(part, "l_partkey").groupBy("p_brand").agg(
+        F.sum("l_quantity").alias("q"), F.count("*").alias("n")
+    )
+    salted = colocate.salted_join(li, part, "l_partkey", n_salts=8).groupBy(
+        "p_brand"
+    ).agg(F.sum("l_quantity").alias("q"), F.count("*").alias("n"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, payload string"
+    )
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k long, dim string")
+    got = colocate.salted_join(big, small, "k", n_salts=4, how="left").collect()
+    assert len(got) == 4
+    assert {(r["k"], r["payload"], r["dim"]) for r in got} == {
+        (1, "a", "x"), (1, "b", "x"), (2, "c", "y"), (3, "d", None),
+    }
+
+
+def test_key_skew_profile(spark):
+    rows = [(1,)] * 90 + [(2,)] * 5 + [(3,)] * 5
+    df = spark.createDataFrame(rows, "k long")
+    prof = colocate.key_skew_profile(df, "k", top=1).collect()
+    assert prof[0]["k"] == 1 and prof[0]["ct"] == 90
+    assert prof[0]["skew_ratio"] > 2
