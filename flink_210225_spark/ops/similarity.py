@@ -136,6 +136,134 @@ def lsh_ann_topk(
     )
 
 
+# --- IVF-Flat ANN (the other scale path: coarse quantizer + cell probe) ---
+
+
+def ivf_assign(emb: DataFrame, n_cells: int = 16, iters: int = 2):
+    """Coarse quantizer: deterministic k-means (init = first ``n_cells``
+    vectors, ``iters`` Lloyd rounds). Returns (assigned DataFrame with a
+    ``cell`` column, centroid matrix). Assignment is a broadcast-GEMM
+    ``mapInPandas`` — one Arrow pass per round; centroids (n_cells × dim)
+    are the only driver-side state, exactly like a broadcast dim table."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    cent = np.array(
+        emb.filter(F.col("vec_id") < n_cells)
+        .orderBy("vec_id")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+
+    def make_assign(centroids: "np.ndarray"):
+        cn = np.sqrt((centroids * centroids).sum(axis=1))
+
+        def assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                nrm = np.sqrt((mat * mat).sum(axis=1))
+                cos = (mat @ centroids.T) / np.outer(nrm, cn)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "embedding": pdf["embedding"],
+                        "cell": cos.argmax(axis=1).astype("int32"),
+                    }
+                )
+
+        return assign
+
+    schema = "vec_id long, embedding array<float>, cell int"
+    base = emb.select("vec_id", "embedding")
+    for _ in range(iters):
+        assigned = base.mapInPandas(make_assign(cent), schema)
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                F.array(
+                    *[
+                        F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")
+                        for i in range(DIM)
+                    ]
+                ).alias("centroid")
+            )
+            .orderBy("cell")
+            .toPandas()
+        )
+        new_cent = cent.copy()
+        for _, row in means.iterrows():
+            new_cent[row["cell"]] = np.array(row["centroid"], dtype=np.float64)
+        cent = new_cent
+    return base.mapInPandas(make_assign(cent), schema), cent
+
+
+def ivf_ann_topk(
+    tables: dict[str, DataFrame],
+    num_queries: int = 20,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-Flat: exact cosine restricted to the ``n_probe`` cells nearest
+    each query. Candidate generation is an equi-join on cell id (shuffle ∝
+    corpus × n_probe / n_cells, not corpus²); n_cells ~ sqrt(corpus) and
+    n_probe tune the recall/cost curve at scale."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    assigned, cent = ivf_assign(emb, n_cells)
+    spark = emb.sparkSession
+
+    qpdf = (
+        emb.filter(F.col("vec_id") < num_queries)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    qmat = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
+    qnrm = np.sqrt((qmat * qmat).sum(axis=1))
+    cn = np.sqrt((cent * cent).sum(axis=1))
+    qcos = (qmat @ cent.T) / np.outer(qnrm, cn)
+    probes = np.argsort(-qcos, axis=1)[:, :n_probe]
+    probe_rows = [
+        (int(qid), [int(c) for c in cells])
+        for qid, cells in zip(qpdf["vec_id"], probes)
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, cells array<int>").select(
+        "query_id", F.explode("cells").alias("cell")
+    )
+
+    q = emb.filter(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qv"),
+    )
+    q = q.withColumn("qn", _norm(F.col("qv"))).join(probe_df, "query_id")
+
+    n = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("nv"),
+        "cell",
+    ).withColumn("nn", _norm(F.col("nv")))
+
+    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    scored = (
+        F.broadcast(q)
+        .join(n, (q["cell"] == n["cell"]) & (F.col("query_id") != F.col("neighbor_id")))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", F.floor(cos * 1000000 + 0.5) / 1000000)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rn").alias("rank"))
+    )
+
+
 def embedding_cluster_stats(tables: dict[str, DataFrame]) -> DataFrame:
     """Per-label centroid norm + dispersion — array aggregation surface
     (element-wise mean via zip_with fold over collected partial sums)."""
@@ -152,6 +280,7 @@ def embedding_cluster_stats(tables: dict[str, DataFrame]) -> DataFrame:
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
     "sim_lsh_ann_topk": lsh_ann_topk,  # rows-only (xxhash64 planes not in DuckDB)
+    "sim_ivf_ann_topk": ivf_ann_topk,  # rows-only (k-means cells not in SQL); recall-tested vs exact
     "sim_cluster_stats": embedding_cluster_stats,
 }
 
