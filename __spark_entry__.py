@@ -27,8 +27,10 @@ def _registry():
         windows,
     )
     from flink_210225_spark.ops import dedup, multimodal, similarity, text
+    from flink_210225_spark.streaming import sql_jobs
 
     modules = [
+        sql_jobs,
         serving,
         windows,
         joins,
