@@ -164,6 +164,57 @@ def jump_detection_stream(events: DataFrame, timeout_sec: int = 600) -> DataFram
     )
 
 
+NEW_VISITOR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("is_new", T.StringType()),
+    ]
+)
+NEW_VISITOR_STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def _new_visitor_func(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """T1 streaming kernel (BaseLogApp.java:72-101): keyed ValueState records
+    first-ever sighting; within a batch, events after the user's first are
+    rewritten is_new='0'. State is one boolean per user — the reference's
+    unbounded cross-day state; cap via the state-store TTL knob if the id
+    space is unbounded (SURVEY §7.4)."""
+    (user_id,) = key
+    seen = state.exists
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        flags = []
+        for _ in range(len(pdf)):
+            flags.append("0" if seen else "1")
+            seen = True
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": user_id,
+                "is_new": flags,
+            }
+        )
+    state.update((True,))
+
+
+def new_visitor_stream(events: DataFrame) -> DataFrame:
+    """T1 as a stream: first-ever event per user keeps is_new=1, later events
+    forced to 0 — keyed state via applyInPandasWithState."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", "10 seconds"
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _new_visitor_func,
+        outputStructType=NEW_VISITOR_OUTPUT_SCHEMA,
+        stateStructType=NEW_VISITOR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_router_stream(
     cdc_stream: DataFrame,
     config_loader: Callable[[SparkSession], DataFrame],

@@ -1,0 +1,47 @@
+"""Partitioned serving store (pruning must reach the scan) and the T1
+new-visitor streaming kernel vs its batch oracle."""
+
+from pyspark.sql import functions as F
+
+from flink_210225_spark.operators import warehouse
+from flink_210225_spark.operators.windows import visitor_stats_window
+from flink_210225_spark.plans import explain
+from flink_210225_spark.streaming import pipelines as sp
+
+from .conftest import SF_DIR
+
+
+def test_stats_store_partition_pruning(spark, tables, tmp_path):
+    stats = visitor_stats_window(tables)
+    path = str(tmp_path / "visitor_stats")
+    warehouse.write_stats(stats, path)
+
+    days = [r["dt"] for r in warehouse.read_stats(spark, path).select("dt").distinct().collect()]
+    assert len(days) > 1, "fixture must span multiple days for a pruning test"
+    day = str(days[0])
+
+    q = warehouse.stats_for_day(spark, path, day)
+    plan = explain.formatted_plan(q)
+    assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters")[1][:200], (
+        "dt filter did not reach the scan as a partition filter"
+    )
+    assert q.count() > 0
+
+
+def test_write_stats_append_idempotent_layout(spark, tables, tmp_path):
+    stats = visitor_stats_window(tables)
+    path = str(tmp_path / "visitor_stats")
+    warehouse.write_stats(stats, path)
+    warehouse.write_stats(stats, path)  # second micro-batch append
+    assert warehouse.read_stats(spark, path).count() == 2 * stats.count()
+
+
+def test_new_visitor_stream_matches_batch(spark, tables):
+    from flink_210225_spark.operators.stateful import new_visitor_correction
+
+    stream = sp.stream_events(spark, SF_DIR)
+    got = sp.run_stream_to_memory(sp.new_visitor_stream(stream), "nv_stream")
+    want = new_visitor_correction(tables).select(
+        "event_id", "user_id", F.col("is_new").cast("string").alias("is_new")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
