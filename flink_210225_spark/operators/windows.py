@@ -155,7 +155,62 @@ def keyword_stats_window(tables: dict[str, DataFrame], duration: str = "1 day") 
     )
 
 
+# --- Beyond the reference: sliding windows + rollup (SURVEY §2.6 note:
+# "no sliding/session windows, no grouping sets/cube/rollup in reference";
+# Spark provides both natively, so the engine exposes them) ---
+
+
+def sliding_visitor_stats(
+    tables: dict[str, DataFrame], size: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding event-time window: each event lands in size/slide overlapping
+    windows (here 2). Same one-shuffle partial→final agg as tumbling — the
+    overlap factor multiplies shuffle rows, which is the knob to watch at
+    scale."""
+    ev = tables["events"]
+    w = F.window("ts", size, slide)
+    return (
+        ev.groupBy(w, F.col("event_type"))
+        .agg(F.count("*").alias("pv_ct"), round2(F.sum("value")).alias("value_sum"))
+        .select(
+            fmt_ymd_hms(F.col("window.start")).alias("stt"),
+            fmt_ymd_hms(F.col("window.end")).alias("edt"),
+            "event_type",
+            "pv_ct",
+            "value_sum",
+        )
+    )
+
+
+def rollup_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """ROLLUP over (event_type, is_mobile): per-combination, per-event_type
+    subtotal, and grand total in ONE pass (Expand + single shuffle — vs the
+    3 separate jobs the reference would need). grouping_id() disambiguates
+    subtotal rows; NULL dims are labeled 'ALL'."""
+    ev = tables["events"]
+    flagged = ev.withColumn(
+        "is_mobile", F.when(F.col("event_type").isin("page_view", "click"), "y").otherwise("n")
+    )
+    return (
+        flagged.rollup("event_type", "is_mobile")
+        .agg(
+            F.count("*").alias("pv_ct"),
+            F.countDistinct("user_id").alias("uv_ct"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("is_mobile", F.lit("ALL")).alias("is_mobile"),
+            "pv_ct",
+            "uv_ct",
+            "gid",
+        )
+    )
+
+
 QUERIES = {
+    "window_sliding_stats": sliding_visitor_stats,
+    "window_rollup_stats": rollup_stats,
     "window_visitor_stats": visitor_stats_window,
     "window_product_stats": product_stats_window,
     "window_province_stats": province_stats_window,
@@ -163,6 +218,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_sliding_stats": """
+        WITH ex AS (
+            SELECT event_type, value,
+                   floor(epoch(ts) / 1800) * 1800 - k * 1800 AS ws
+            FROM events, (SELECT unnest(range(2)) AS k)
+        )
+        SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(to_timestamp(ws + 3600), '%Y-%m-%d %H:%M:%S') AS edt,
+               event_type,
+               count(*) AS pv_ct,
+               floor(sum(value) * 100 + 0.5) / 100 AS value_sum
+        FROM ex
+        GROUP BY ws, event_type
+    """,
+    "window_rollup_stats": """
+        WITH flagged AS (
+            SELECT event_type,
+                   CASE WHEN event_type IN ('page_view', 'click') THEN 'y' ELSE 'n' END AS is_mobile,
+                   user_id
+            FROM events
+        )
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(is_mobile, 'ALL') AS is_mobile,
+               count(*) AS pv_ct,
+               count(DISTINCT user_id) AS uv_ct,
+               (CASE WHEN event_type IS NULL THEN 2 ELSE 0 END
+                + CASE WHEN is_mobile IS NULL THEN 1 ELSE 0 END)::BIGINT AS gid
+        FROM flagged
+        GROUP BY ROLLUP(event_type, is_mobile)
+    """,
     "window_visitor_stats": f"""
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts, {_EPOCH}), '%Y-%m-%d %H:%M:%S') AS stt,
                strftime(time_bucket(INTERVAL '1 hour', ts, {_EPOCH}) + INTERVAL '1 hour',
