@@ -102,3 +102,12 @@ def test_router_stream_end_to_end(spark, tmp_path):
     dim = spark.read.parquet(str(tmp_path / "out/dims/dim_user_info")).collect()
     assert len(dim) == 1  # upsert collapsed insert+update
     assert json.loads(dim[0]["payload"])["name"] == "u7b"
+
+    # T7 exactly-once: restart against the same checkpoint — already-committed
+    # batches must not replay, so outputs stay byte-identical.
+    q2 = sp.run_router_stream(
+        stream, config_loader, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination()
+    assert len(spark.read.parquet(str(tmp_path / "out/topics/dwd_order_info")).collect()) == 1
+    assert len(spark.read.parquet(str(tmp_path / "out/dims/dim_user_info")).collect()) == 1
