@@ -67,7 +67,16 @@ def salted_join(
     """Skew-resistant equi-join: big side salted by a deterministic hash of
     its non-key content, small side replicated ``n_salts`` ways. Semantics
     identical to ``big.join(small, key, how)`` for inner/left joins; cost =
-    small side inflated n×, hot-key rows spread over n tasks."""
+    small side inflated n×, hot-key rows spread over n tasks.
+
+    right/full/semi/anti are rejected: replication would emit each unmatched
+    small-side row once per salt (wrong multiplicity)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "small-side replication breaks unmatched-row multiplicity for "
+            "right/full/semi/anti joins"
+        )
     salt = (
         F.pmod(F.hash(*[c for c in big.columns if c != key]), F.lit(n_salts))
         if salt_source is None

@@ -78,6 +78,14 @@ def test_salted_join_left_outer(spark):
     }
 
 
+def test_salted_join_rejects_right_joins(spark):
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        colocate.salted_join(df, df, "k", how="full")
+
+
 def test_key_skew_profile(spark):
     rows = [(1,)] * 90 + [(2,)] * 5 + [(3,)] * 5
     df = spark.createDataFrame(rows, "k long")

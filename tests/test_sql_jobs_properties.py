@@ -143,3 +143,82 @@ def test_jump_stateful_func_matches_model(gaps, timeout):
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
+
+
+# --- sessionization properties ---
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=4000), min_size=1, max_size=20),
+)
+@settings(max_examples=10, deadline=None)
+def test_sessionize_matches_model(spark_global, gaps):
+    """Gaps-and-islands session count and sizes match a brute-force model,
+    and the native session_window agg agrees on session starts/sizes
+    (gap timeout 1800 s)."""
+    from flink_210225_spark.operators.sessions import session_window_agg, sessionize
+
+    ts = [0]
+    for g in gaps:
+        ts.append(ts[-1] + g)
+    from datetime import datetime, timezone
+
+    rows = [
+        (i, 3, datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None), "x", 1.0)
+        for i, t in enumerate(ts)
+    ]
+    df = spark_global.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+    # model: sessions split where gap > 1800
+    sizes, cur = [], 1
+    for g in gaps:
+        if g > 1800:
+            sizes.append(cur)
+            cur = 1
+        else:
+            cur += 1
+    sizes.append(cur)
+
+    got = sessionize({"events": df}).collect()
+    assert sorted(r["n_events"] for r in got) == sorted(sizes)
+
+    native = session_window_agg(df).collect()
+    assert sorted(r["n_events"] for r in native) == sorted(sizes)
+    assert {r["session_start"] for r in native} == {r["session_start"] for r in got}
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=3 * 86400),  # ts offset
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_uv_dedup_matches_model(spark_global, pairs):
+    """First event per (user, day) — exactly one survivor per active
+    (user, day), and it is the earliest (ties broken by event_id)."""
+    from flink_210225_spark.operators.stateful import unique_visitor_dedup
+    from datetime import datetime, timezone
+
+    rows = [
+        (i, u, datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None), "x", 0.0)
+        for i, (u, t) in enumerate(pairs)
+    ]
+    df = spark_global.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = unique_visitor_dedup({"events": df}).collect()
+
+    best: dict = {}
+    for i, (u, t) in enumerate(pairs):
+        day = t // 86400
+        if (u, day) not in best or (t, i) < best[(u, day)]:
+            best[(u, day)] = (t, i)
+    want_ids = {i for (_t, i) in best.values()}
+    assert {r["event_id"] for r in got} == want_ids
