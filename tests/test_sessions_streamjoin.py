@@ -1,6 +1,8 @@
 import os
 
+import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from flink_210225_spark.operators import sessions
 from flink_210225_spark.streaming import joins as sjoins
@@ -23,6 +25,36 @@ def _file_stream(spark, sf_dir, table):
     os.symlink(src, os.path.join(link_dir, f"{table}.parquet"))
     schema = spark.read.parquet(src).schema
     return spark.readStream.schema(schema).parquet(link_dir)
+
+
+def test_session_window_streaming_matches_batch(spark, tables):
+    """Native session_window works on a stream (watermarked, append mode)
+    and reproduces the batch result once the stream drains."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        sp.stream_events(spark, SF_DIR)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    got = sp.run_stream_to_memory(
+        sessions.session_window_agg(stream), "sess_stream", output_mode="append"
+    )
+    want = sessions.session_window_agg(
+        tables["events"].withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got_rows = set(map(tuple, got.collect()))
+    want_rows = set(map(tuple, want.collect()))
+    # Append mode only emits sessions closed before the final watermark
+    # (max event time - 1h); the undecided tail stays in state. So the
+    # streamed result is a subset, and everything withheld must sit within
+    # the final watermark horizon.
+    assert got_rows <= want_rows
+    max_ts = tables["events"].agg(F.max("ts")).collect()[0][0]
+    horizon = (max_ts - pd.Timedelta(hours=2)).strftime("%Y-%m-%d %H:%M:%S")
+    missing = want_rows - got_rows
+    assert all(row[1] >= horizon for row in missing), missing
+    assert len(got_rows) >= 0.9 * len(want_rows)
 
 
 def test_stream_interval_join_matches_batch(spark, tables):
