@@ -66,9 +66,11 @@ def guarded_ratio(num: Column, den: Column, scale: int = 100) -> Column:
     return F.when(den != 0, F.round(num * scale / den, 2)).otherwise(F.lit(None))
 
 
-def age_years(birthday: Column) -> Column:
-    """floor((now-birthday)/365) in years (OrderWideApp.java:77-84)."""
-    return F.floor(F.datediff(F.current_date(), birthday) / 365)
+def age_years(birthday: Column, as_of: Column | None = None) -> Column:
+    """floor((as_of - birthday)/365) in years (OrderWideApp.java:77-84).
+    Defaults to now; tests/oracles pass a fixed as_of for determinism."""
+    anchor = F.current_date() if as_of is None else as_of
+    return F.floor(F.datediff(anchor, birthday) / 365)
 
 
 def revenue(extendedprice: Column, discount: Column) -> Column:

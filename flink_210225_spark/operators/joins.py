@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_210225_spark.functions.scalars import round2
+from flink_210225_spark.functions.scalars import age_years, round2
 
 # --- J1: interval join orders ⋈ lineitem, [0, +5 days) ---
 
@@ -104,6 +104,14 @@ def order_wide(tables: dict[str, DataFrame], min_quantity: int = 49) -> DataFram
             round2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "split_total_amount"
             ),
+            # F12 age derivation (OrderWideApp.java:77-84): the reference
+            # computes user age from DIM_USER_INFO.birthday; the fixture has
+            # no birthday, so the same floor(datediff/365) expression runs on
+            # o_orderdate against a fixed as-of date (deterministic for the
+            # oracle; swap in birthday + current_date on real dims).
+            age_years(F.col("o_orderdate"), F.lit("1998-12-31").cast("date")).alias(
+                "order_age_years"
+            ),
         )
     )
 
@@ -145,7 +153,8 @@ ORACLES = {
                p_type AS category_name,
                s_name AS spu_name,
                floor((l_quantity) * 100 + 0.5) / 100 AS sku_num,
-               floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS split_total_amount
+               floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS split_total_amount,
+               floor(date_diff('day', o_orderdate, DATE '1998-12-31') / 365.0)::BIGINT AS order_age_years
         FROM lineitem
         LEFT JOIN orders ON l_orderkey = o_orderkey
         LEFT JOIN customer ON o_custkey = c_custkey
