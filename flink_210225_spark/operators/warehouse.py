@@ -17,9 +17,13 @@ from pyspark.sql import functions as F
 
 
 def write_stats(df: DataFrame, path: str, dt_col: str = "stt", mode: str = "append") -> None:
-    """Land a stats table partitioned by calendar day of ``dt_col``."""
+    """Land a stats table partitioned by calendar day of ``dt_col``.
+    Rows are sorted by ``dt_col`` within each task so parquet row-group
+    min/max stats stay tight — sub-day time-range filters skip whole row
+    groups on top of the directory-level day pruning."""
     (
         df.withColumn("dt", F.to_date(F.col(dt_col)))
+        .sortWithinPartitions("dt", dt_col)
         .write.mode(mode)
         .partitionBy("dt")
         .parquet(path)
