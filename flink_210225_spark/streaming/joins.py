@@ -54,7 +54,30 @@ def order_detail_wide_stream(
     )
     return joined.select(
         "o_orderkey",
+        F.col("o_custkey"),
         "l_linenumber",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+    )
+
+
+def enrich_with_dims(fact_stream: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """J3 streaming form: stream-static broadcast joins against dim
+    snapshots — the full OrderWideApp composition (interval join feeding six
+    async dim lookups, OrderWideApp.java:59-171) as
+    interval-join → broadcast-enrich. Static sides re-resolve per micro-batch,
+    giving the dim-freshness the reference buys with cache invalidation."""
+    return (
+        fact_stream.join(
+            F.broadcast(customer), fact_stream["o_custkey"] == customer["c_custkey"], "left"
+        )
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"], "left")
+        .select(
+            "o_orderkey",
+            "l_linenumber",
+            "order_date",
+            "ship_date",
+            F.col("c_name").alias("user_name"),
+            F.col("n_name").alias("province_name"),
+        )
     )

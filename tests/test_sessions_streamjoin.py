@@ -61,11 +61,45 @@ def test_stream_interval_join_matches_batch(spark, tables):
     orders_s = _file_stream(spark, SF_DIR, "orders")
     details_s = _file_stream(spark, SF_DIR, "lineitem")
     got = sp.run_stream_to_memory(
-        sjoins.order_detail_wide_stream(orders_s, details_s), "swide"
+        sjoins.order_detail_wide_stream(orders_s, details_s).drop("o_custkey"), "swide"
     )
     from flink_210225_spark.operators.joins import interval_join_order_detail
 
     want = interval_join_order_detail(tables).select(
         "o_orderkey", "l_linenumber", "order_date", "ship_date"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_orderwide_dim_enrichment_matches_batch(spark, tables):
+    """OrderWideApp end-to-end as a stream: interval join + broadcast dim
+    enrichment (stream-static), equal to the same composition in batch."""
+    orders_s = _file_stream(spark, SF_DIR, "orders")
+    details_s = _file_stream(spark, SF_DIR, "lineitem")
+    enriched = sjoins.enrich_with_dims(
+        sjoins.order_detail_wide_stream(orders_s, details_s),
+        tables["customer"],
+        tables["nation"],
+    )
+    got = sp.run_stream_to_memory(enriched, "swide_enriched")
+
+    o, li = tables["orders"], tables["lineitem"]
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.date_add(o.o_orderdate, 5))
+    )
+    want = (
+        li.join(o, cond)
+        .join(tables["customer"], o.o_custkey == F.col("c_custkey"), "left")
+        .join(tables["nation"], F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .select(
+            "o_orderkey",
+            "l_linenumber",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+            F.col("c_name").alias("user_name"),
+            F.col("n_name").alias("province_name"),
+        )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
