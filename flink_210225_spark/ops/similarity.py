@@ -144,11 +144,20 @@ def ivf_assign(emb: DataFrame, n_cells: int = 16, iters: int = 2):
     vectors, ``iters`` Lloyd rounds). Returns (assigned DataFrame with a
     ``cell`` column, centroid matrix). Assignment is a broadcast-GEMM
     ``mapInPandas`` — one Arrow pass per round; centroids (n_cells × dim)
-    are the only driver-side state, exactly like a broadcast dim table."""
+    are the only driver-side state, exactly like a broadcast dim table.
+
+    Scale shape of the Lloyd loop (MLlib's k-means does the same two things):
+    - the input is persisted once (MEMORY_AND_DISK) so each round re-reads
+      cached blocks, not parquet;
+    - the centroid update is map-side combined INSIDE the assignment pass:
+      each Arrow batch emits n_cells partial (count, sum-vector) rows, so the
+      driver collects O(partitions × n_cells) tiny rows per round — no
+      shuffle, no wide aggregate over the full corpus."""
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
+    from pyspark import StorageLevel
+
     cent = np.array(
         emb.filter(F.col("vec_id") < n_cells)
         .orderBy("vec_id")
@@ -178,26 +187,42 @@ def ivf_assign(emb: DataFrame, n_cells: int = 16, iters: int = 2):
 
         return assign
 
-    schema = "vec_id long, embedding array<float>, cell int"
-    base = emb.select("vec_id", "embedding")
-    for _ in range(iters):
-        assigned = base.mapInPandas(make_assign(cent), schema)
-        means = (
-            assigned.groupBy("cell")
-            .agg(
-                F.array(
-                    *[
-                        F.avg(F.col("embedding")[i].cast("double")).alias(f"c{i}")
-                        for i in range(DIM)
-                    ]
-                ).alias("centroid")
+    def make_partials(centroids: "np.ndarray"):
+        cn = np.sqrt((centroids * centroids).sum(axis=1))
+        k = centroids.shape[0]
+
+        def partials(batches):
+            cnt = np.zeros(k, dtype=np.int64)
+            sums = np.zeros_like(centroids)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                nrm = np.sqrt((mat * mat).sum(axis=1))
+                cell = ((mat @ centroids.T) / np.outer(nrm, cn)).argmax(axis=1)
+                np.add.at(cnt, cell, 1)
+                np.add.at(sums, cell, mat)
+            hit = np.nonzero(cnt)[0]
+            yield pd.DataFrame(
+                {"cell": hit, "cnt": cnt[hit], "s": list(sums[hit])}
             )
-            .orderBy("cell")
-            .toPandas()
-        )
+
+        return partials
+
+    schema = "vec_id long, embedding array<float>, cell int"
+    base = emb.select("vec_id", "embedding").persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(iters):
+        pp = base.mapInPandas(
+            make_partials(cent), "cell int, cnt long, s array<double>"
+        ).toPandas()
+        cnt = np.zeros(n_cells, dtype=np.int64)
+        sums = np.zeros_like(cent)
+        for _, row in pp.iterrows():
+            cnt[row["cell"]] += row["cnt"]
+            sums[row["cell"]] += np.asarray(row["s"], dtype=np.float64)
+        hit = cnt > 0
         new_cent = cent.copy()
-        for _, row in means.iterrows():
-            new_cent[row["cell"]] = np.array(row["centroid"], dtype=np.float64)
+        new_cent[hit] = sums[hit] / cnt[hit, None]
         cent = new_cent
     return base.mapInPandas(make_assign(cent), schema), cent
 
