@@ -10,9 +10,9 @@ Scale design (the whole point of these ops at 100 TB):
   cap (drop shingles appearing in > N docs, standard prefix filtering)
   bounds the worst case.
 - **minhash_lsh**: k minhashes from xxhash64 (JVM-side, no UDF), banded into
-  b bands of r rows; equal (band, band-signature) buckets produce candidate
-  pairs. Shuffle cost O(docs × b), bucket joins are equi-joins — this is the
-  linear-ish scale path.
+  b bands of r rows; docs agreeing on a band's sub-signature share a bucket
+  and pair up in place (groupBy band+bucket, collect, ordered pairs — no
+  self-join, one scan). Shuffle cost O(docs × b) — the linear-ish scale path.
 - **simhash**: 64-bit signature via per-bit majority vote over token hashes,
   computed as 64 conditional sums in ONE aggregation pass (no UDF, no
   explode-per-bit). Near-dups = small hamming distance, blocked on 16-bit
@@ -65,37 +65,52 @@ def ngram_jaccard_pairs(
     """Exact pairwise Jaccard over word-3-gram shingle sets for pairs sharing
     at least one shingle; emit pairs ≥ threshold with doc_a < doc_b."""
     docs = tables["documents"]
-    # Join on xxhash64(shingle), not the string: ~8-byte shuffle keys instead
-    # of ~20-byte text (19% faster at sf0.1, and the gap widens with shuffle
-    # volume). A 64-bit collision would overcount one intersection pair —
-    # probability ~n²/2⁶⁵ over n distinct shingles (≪1e-9 at any realistic
-    # corpus); the sf0.01 oracle gate runs collision-free.
+    # Shuffle xxhash64(shingle), not the string: ~8-byte keys instead of
+    # ~20-byte text. A 64-bit collision would overcount one intersection
+    # pair — probability ~n²/2⁶⁵ over n distinct shingles (≪1e-9 at any
+    # realistic corpus); the sf0.01 oracle gate runs collision-free.
     sh = doc_shingles(docs, n).select("doc_id", F.xxhash64("shingle").alias("sh"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # Lossless prefilter: a shingle appearing in exactly one document cannot
-    # form a pair — drop it before the self-join (on a real corpus this
-    # removes the long tail of unique shingles). The window also forces ONE
-    # shuffle by shingle that both join branches then reuse (ReusedExchange),
-    # so shingle extraction runs once, not twice: 7.2 s → 4.0 s at sf0.1.
-    shared = (
-        sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
-        .filter(F.col("df") > 1)
-        .drop("df")
+    # Carry each doc's shingle count through the shuffles (window by doc_id)
+    # so Jaccard needs NO size join-back at the end. Then group by shingle and
+    # generate ordered doc pairs in place: the whole computation scans
+    # documents ONCE with three key-partitioned shuffles (doc_id → sh → pair).
+    # The previous self-join formulation scanned documents 4× (two join
+    # branches + two size branches). The size-1 bucket filter is lossless
+    # (a shingle in one document forms no pair). Hot shingles make k² pairs
+    # in one task either way (equi-join co-locates a bucket identically);
+    # past moderate skew, cap document frequency (standard prefix filtering)
+    # — at threshold 0.5 a shingle shared by >2/J·|corpus| docs can be
+    # dropped only with recall loss, so the cap is a tuning knob, not free.
+    sh = sh.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+    buckets = (
+        sh.groupBy("sh")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
-    a = shared.alias("a")
-    b = shared.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda x: F.transform(
+                            "ds", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                        ),
+                    )
+                ),
+                lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
+            )
+        ).alias("p")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    inter = pairs.groupBy(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.n_sh").alias("na"),
+        F.col("p.b.n_sh").alias("nb"),
+    ).agg(F.count("*").alias("inter"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.floor(jac * 10000 + 0.5) / 10000)
+        inter.withColumn("jaccard", F.floor(jac * 10000 + 0.5) / 10000)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -147,22 +162,40 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "minhash", "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.minhash").alias("mh_a"),
-            F.col("b.minhash").alias("mh_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    # In-bucket pair generation instead of a bucket self-join: group by
+    # (band, bucket), collect the (doc_id, minhash) structs, emit ordered
+    # pairs with array lambdas. The shingle→minhash→band pipeline runs ONCE
+    # (a self-join plans it twice — lambda subtrees defeat ReuseExchange) and
+    # there is exactly one shuffle, keyed by (band, bucket). A bucket's rows
+    # land in one task either way (equi-join does the same), so the skew
+    # profile is unchanged; bucket size stays small by LSH construction
+    # (bits ≈ log2 corpus), which is also what bounds collect_list memory.
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(F.struct("doc_id", "minhash")).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ms",
+                        lambda x: F.transform(
+                            "ms", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                        ),
+                    )
+                ),
+                lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
+            )
+        ).alias("p")
+    )
+    cand = pairs.select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.minhash").alias("mh_a"),
+        F.col("p.b.minhash").alias("mh_b"),
+    ).dropDuplicates(["doc_a", "doc_b"])
     est = F.size(
         F.filter(
             F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda eq: eq
@@ -220,19 +253,34 @@ def simhash_near_dups(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.key")
-    a, b = bands.alias("a"), bands.alias("b")
+    # Same in-bucket pair generation as minhash_lsh_candidates: the
+    # 63-bit-vote signature aggregation runs once, one shuffle total.
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ms",
+                            lambda x: F.transform(
+                                "ms", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                            ),
+                        )
+                    ),
+                    lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
+                )
+            ).alias("p")
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.simhash").alias("sh_a"),
+            F.col("p.b.simhash").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
