@@ -292,6 +292,108 @@ def simhash_near_dups(
     )
 
 
+# --- LSH-propose + exact-verify (the composed 100 TB dedup pipeline) ---
+
+
+def minhash_verified_pairs(
+    tables: dict[str, DataFrame],
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The scale-path composition the docstrings above describe: MinHash-LSH
+    proposes candidate pairs (linear-ish), exact Jaccard verifies ONLY those
+    pairs. Per-doc distinct-shingle-hash sets are joined to the candidate
+    list (shuffles keyed by doc_id) and intersected with ``array_intersect``
+    — cost O(candidates × avg shingles), never O(corpus²). Emits the same
+    (doc_a, doc_b, jaccard) shape as ``ngram_jaccard_pairs`` restricted to
+    pairs LSH surfaced; recall vs the full exact verifier is the LSH
+    band/row tradeoff, gated in tests."""
+    docs = tables["documents"]
+    cand = minhash_lsh_candidates(tables, num_hashes, bands, n).select("doc_a", "doc_b")
+    # doc_shingles is already per-doc distinct, so the collected hash set's
+    # size equals the shingle count used by the full verifier.
+    sets = (
+        doc_shingles(docs, n)
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("s"))
+    )
+    pairs = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    return (
+        pairs.withColumn("jaccard", F.floor(jac * 10000 + 0.5) / 10000)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- connected components over near-dup edges (dedup group assignment) ---
+
+
+def dedup_components(
+    tables: dict[str, DataFrame], threshold: float = 0.5, max_iters: int = 20
+) -> DataFrame:
+    """Assign every document a component id = min doc_id reachable through
+    near-dup edges (byte-identical OR shingle-Jaccard ≥ threshold); the
+    component id is the canonical survivor, everything else is a duplicate.
+
+    Edges: exact groups contribute star edges (doc → group-min, equivalent
+    connectivity to the full clique, linear not quadratic); Jaccard pairs
+    come from the exact verifier. Iterative min-label propagation with
+    ``localCheckpoint`` truncating lineage per round and an early-stop on a
+    changed-row count — the standard bounded-round DataFrame shape for
+    iterative graph algorithms (rounds = graph diameter here; an
+    alternating large-star/small-star contraction brings that to O(log n)
+    at extreme scale, same per-round plan)."""
+    docs = tables["documents"]
+    md5_star = docs.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("m"),
+    )
+    e1 = md5_star.filter(F.col("doc_id") != F.col("m")).select(
+        F.col("doc_id").alias("a"), F.col("m").alias("b")
+    )
+    e2 = ngram_jaccard_pairs(tables, threshold=threshold).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    edges = e1.unionByName(e2)
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    und = und.localCheckpoint(eager=True)
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iters):
+        msgs = und.join(labels, und["a"] == labels["doc_id"]).select(
+            F.col("b").alias("doc_id"), "component"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), "doc_id"
+            )
+            .filter(F.col("component") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # --- embedding-cosine near-dup ---
 
 
@@ -344,10 +446,14 @@ QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_embedding_cosine": embedding_near_dups,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_components": dedup_components,
     # LSH/simhash results depend on xxhash64 — not SQL-expressible in DuckDB,
     # so these are rows-only checks for the driver (weaker gate, noted).
     "dedup_minhash_lsh": minhash_lsh_candidates,
     "dedup_simhash": simhash_near_dups,
+    # rows-only too (candidate set is LSH-derived); tests gate it against the
+    # exact verifier restricted to the candidate pairs.
+    "dedup_minhash_verified": minhash_verified_pairs,
 }
 
 ORACLES = {
@@ -392,5 +498,48 @@ ORACLES = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000 + 0.5) / 10000 >= 0.5
+    """,
+    # Same edge definition as the Spark op (md5 star edges ∪ Jaccard ≥ 0.5
+    # pairs, undirected), closed with a recursive CTE; component = min
+    # reachable doc_id.
+    "dedup_components": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(greatest(len(t) - 3, 0) + 1),
+                       i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS shingle
+            FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jac_edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000 + 0.5) / 10000 >= 0.5
+        ),
+        md5_star AS (
+            SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY md5(text)) AS b
+            FROM documents
+        ),
+        edges AS (
+            SELECT a, b FROM md5_star WHERE a != b
+            UNION SELECT b, a FROM md5_star WHERE a != b
+            UNION SELECT a, b FROM jac_edges
+            UNION SELECT b, a FROM jac_edges
+        ),
+        reach(doc_id, comp) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.doc_id
+        )
+        SELECT doc_id, min(comp)::BIGINT AS component FROM reach GROUP BY doc_id
     """,
 }

@@ -45,6 +45,46 @@ def test_minhash_candidates_cover_true_pairs(tables):
     assert truth <= cand, f"missed: {truth - cand}"
 
 
+def test_minhash_verified_equals_exact_on_candidates(tables):
+    """The propose+verify pipeline returns exactly the exact-verifier pairs
+    restricted to LSH candidates — same jaccard values, no extras."""
+    cand = {
+        (r.doc_a, r.doc_b) for r in dedup.minhash_lsh_candidates(tables).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(tables).collect()
+    }
+    verified = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_verified_pairs(tables).collect()
+    }
+    want = {p: j for p, j in exact.items() if p in cand}
+    assert verified == want
+    # recall of the composed pipeline vs the full quadratic verifier
+    assert len(verified) >= 0.9 * len(exact)
+
+
+def test_dedup_components_consistent(tables):
+    comp = {
+        r.doc_id: r.component for r in dedup.dedup_components(tables).collect()
+    }
+    # every document labeled, component id is a member and is minimal
+    assert set(comp.values()) <= set(comp)
+    assert all(comp[c] == c for c in set(comp.values()))
+    assert all(c <= d for d, c in comp.items())
+    # both edge kinds connect their endpoints
+    for r in dedup.ngram_jaccard_pairs(tables).collect():
+        assert comp[r.doc_a] == comp[r.doc_b]
+    for r in dedup.exact_dedup(tables).collect():
+        assert comp[r.keep_id] == comp[r.keep_id]  # keep_id labeled
+    assert_matches_oracle(
+        dedup.QUERIES["dedup_components"](tables),
+        dedup.ORACLES["dedup_components"],
+        SF_DIR,
+    )
+
+
 def test_simhash_exact_dups_zero_distance(dup_docs):
     sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures({"documents": dup_docs}).collect()}
     assert sigs[1] == sigs[2]
