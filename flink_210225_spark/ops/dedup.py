@@ -368,8 +368,15 @@ def dedup_components(
     ).distinct()
     und = und.localCheckpoint(eager=True)
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint(
-        eager=True
+    # Propagate only over the near-dup subgraph: documents touching no edge
+    # can never change label, so the loop runs on |edge nodes| rows (≪ corpus
+    # — at 100 TB the duplicate subgraph is a sliver of the table) and the
+    # full corpus gets its label in ONE final broadcast-able left join.
+    labels = (
+        und.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         msgs = und.join(labels, und["a"] == labels["doc_id"]).select(
@@ -391,7 +398,9 @@ def dedup_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    return docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
 
 
 # --- embedding-cosine near-dup ---
