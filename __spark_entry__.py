@@ -26,7 +26,7 @@ def _registry():
         stateful,
         windows,
     )
-    from flink_210225_spark.ops import dedup, multimodal, similarity, text
+    from flink_210225_spark.ops import dedup, multimodal, sampling, similarity, text
     from flink_210225_spark.streaming import sql_jobs
 
     modules = [
@@ -42,6 +42,7 @@ def _registry():
         dedup,
         similarity,
         multimodal,
+        sampling,
     ]
     reg: dict[str, tuple] = {}
     for mod in modules:

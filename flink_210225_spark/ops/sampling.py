@@ -1,0 +1,79 @@
+"""Deterministic sampling / split / balancing for training-data pipelines.
+
+These are the dataset-assembly ops that sit between dedup and training:
+- **hash_split**: content-keyed train/val/test assignment. The split key is
+  md5(text), NOT doc_id or random(): byte-identical documents always land in
+  the same split, so surviving duplicates can never leak train→test; re-runs
+  and backfills assign identically with zero stored state. Pure projection —
+  no shuffle, scales embarrassingly.
+- **quota_per_group**: per-(lang, source) document cap with a deterministic
+  priority (md5 order = stable pseudo-random), the standard "balance the
+  mixture" step. One shuffle keyed by the group; skewed groups are exactly
+  the ones the cap truncates, so the post-filter partition sizes are bounded
+  by the quota — at 100 TB replace row_number with a two-phase
+  per-partition-prefilter (keep ≤ quota per map partition first) if a single
+  group's pre-cap rows overwhelm one reducer.
+
+Both are fully SQL-expressible (md5 is identical hex in Spark and DuckDB),
+so both carry exact oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# First hex char of md5(text) → 16 equiprobable buckets:
+# 0-9,a,b = train (75%), c,d = val (12.5%), e,f = test (12.5%).
+_VAL = ("c", "d")
+_TEST = ("e", "f")
+
+
+def hash_split(tables: dict[str, DataFrame]) -> DataFrame:
+    """Assign every document a stable train/val/test split from its content
+    hash. 12/2/2 sixteenths ≈ 75/12.5/12.5."""
+    docs = tables["documents"]
+    h1 = F.substring(F.md5("text"), 1, 1)
+    split = (
+        F.when(h1.isin(*_VAL), F.lit("val"))
+        .when(h1.isin(*_TEST), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+def quota_per_group(tables: dict[str, DataFrame], quota: int = 10) -> DataFrame:
+    """Keep at most ``quota`` documents per (lang, source), chosen by stable
+    md5 priority (doc_id tiebreak for byte-identical texts). Returns the
+    surviving docs with their in-group priority rank."""
+    docs = tables["documents"]
+    w = Window.partitionBy("lang", "source").orderBy(F.md5("text"), F.col("doc_id"))
+    return (
+        docs.withColumn("priority", F.row_number().over(w))
+        .filter(F.col("priority") <= quota)
+        .select("doc_id", "lang", "source", "priority")
+    )
+
+
+QUERIES = {
+    "sample_hash_split": hash_split,
+    "sample_quota_per_group": quota_per_group,
+}
+
+ORACLES = {
+    "sample_hash_split": """
+        SELECT doc_id,
+               CASE WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+                    WHEN substr(md5(text), 1, 1) IN ('e', 'f') THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    """,
+    "sample_quota_per_group": """
+        SELECT doc_id, lang, source, priority FROM (
+            SELECT doc_id, lang, source,
+                   row_number() OVER (PARTITION BY lang, source
+                                      ORDER BY md5(text), doc_id) AS priority
+            FROM documents
+        ) WHERE priority <= 10
+    """,
+}

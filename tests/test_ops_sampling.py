@@ -1,0 +1,38 @@
+from flink_210225_spark.ops import dedup, sampling
+
+from .conftest import SF_DIR
+from .oracle import assert_matches_oracle
+
+
+def test_sampling_matches_oracle(tables):
+    for name in sampling.QUERIES:
+        assert_matches_oracle(
+            sampling.QUERIES[name](tables), sampling.ORACLES[name], SF_DIR
+        )
+
+
+def test_hash_split_proportions_and_leakage(tables):
+    rows = sampling.hash_split(tables).collect()
+    n = len(rows)
+    frac = {s: sum(r.split == s for r in rows) / n for s in ("train", "val", "test")}
+    # 12/2/2 sixteenths with fixture-size tolerance
+    assert 0.60 <= frac["train"] <= 0.90
+    assert 0.05 <= frac["val"] <= 0.22
+    assert 0.05 <= frac["test"] <= 0.22
+    # content-keyed: byte-identical docs always share a split (no leakage)
+    split_by_id = {r.doc_id: r.split for r in rows}
+    comp = {r.doc_id: r.component for r in dedup.dedup_components(tables).collect()}
+    docs = {r.doc_id: r.text for r in tables["documents"].collect()}
+    for d, c in comp.items():
+        if d != c and docs[d] == docs[c]:
+            assert split_by_id[d] == split_by_id[c]
+
+
+def test_quota_caps_every_group(tables):
+    rows = sampling.quota_per_group(tables, quota=5).collect()
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault((r.lang, r.source), []).append(r.priority)
+    for ranks in by_group.values():
+        assert len(ranks) <= 5
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
