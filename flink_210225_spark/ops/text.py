@@ -106,11 +106,92 @@ def fingerprint(tables: dict[str, DataFrame]) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+def contamination_check(
+    tables: dict[str, DataFrame], bench_source: str = "src1", n: int = 5
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``n``-gram with the held-out benchmark set (here: docs whose ``source``
+    is ``bench_source``). Emits (doc_id, n_overlap, overlap_frac) for
+    contaminated docs.
+
+    Scale shape: the benchmark's distinct shingles are a small set (eval
+    suites are MBs against a 100 TB corpus) — Catalyst broadcasts that side,
+    so the corpus streams through one scan with a broadcast semi-join-like
+    probe and an aggregation keyed by doc_id; no corpus-sized shuffle on the
+    benchmark axis."""
+    from flink_210225_spark.ops.dedup import shingles_col  # deferred: dedup imports us
+
+    docs = tables["documents"]
+    corpus = docs.filter(F.col("source") != bench_source)
+    bench = docs.filter(F.col("source") == bench_source)
+    c_sh = corpus.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle")
+    )
+    b_sh = bench.select(
+        F.explode(shingles_col(F.col("text"), n)).alias("shingle")
+    ).distinct()
+    sizes = c_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    overlap = (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        overlap.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_overlap",
+            (F.floor(F.col("n_overlap") / F.col("n_sh") * 10000 + 0.5) / 10000).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
+def pack_plan(
+    tables: dict[str, DataFrame], seq_len: int = 256
+) -> DataFrame:
+    """Pretraining sequence-packing layout: per language, documents are
+    concatenated in doc_id order and chunked into fixed ``seq_len``-token
+    sequences; each doc gets its stream offset and the first/last sequence
+    it lands in (docs may straddle a boundary — standard packed-pretraining
+    semantics). Pure window cumsum — one shuffle keyed by lang; at scale
+    partition the stream key finer (lang × shard) so one language isn't one
+    reducer."""
+    from pyspark.sql import Window
+
+    docs = tables["documents"]
+    n_tok = F.size(tokens_col(F.col("text")))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_offset = docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.coalesce(F.sum(n_tok).over(w), F.lit(0)).cast("long").alias("offset"),
+    )
+    return with_offset.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "offset",
+        F.floor(F.col("offset") / seq_len).cast("long").alias("first_seq"),
+        F.floor((F.col("offset") + F.col("n_tokens") - 1) / seq_len)
+        .cast("long")
+        .alias("last_seq"),
+    )
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
     "text_fingerprint": fingerprint,
+    "text_contamination": contamination_check,
+    "text_pack_plan": pack_plan,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -168,5 +249,46 @@ ORACLES = {
                          i -> (i + 1) * (7 * ascii(toks[i + 1]) + length(toks[i + 1]))))
                 % 2147483647)::BIGINT AS fingerprint
         FROM t
+    """,
+    "text_contamination": f"""
+        WITH toks AS (
+            SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, source,
+                   unnest(list_distinct(list_transform(
+                       range(greatest(len(t) - 5, 0) + 1),
+                       i -> array_to_string(t[i + 1 : i + 5], ' ')))) AS shingle
+            FROM toks
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src1'),
+        corpus AS (SELECT doc_id, shingle FROM sh WHERE source != 'src1'),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM corpus GROUP BY doc_id),
+        overlap AS (
+            SELECT c.doc_id, count(*) AS n_overlap
+            FROM corpus c JOIN bench b ON c.shingle = b.shingle
+            GROUP BY c.doc_id
+        )
+        SELECT o.doc_id, o.n_overlap::BIGINT AS n_overlap,
+               floor(o.n_overlap * 1.0 / s.n_sh * 10000 + 0.5) / 10000 AS overlap_frac
+        FROM overlap o JOIN sizes s ON o.doc_id = s.doc_id
+    """,
+    "text_pack_plan": f"""
+        WITH t AS (
+            SELECT doc_id, lang, len({_DUCK_TOKS})::BIGINT AS n_tokens
+            FROM documents
+        ),
+        o AS (
+            SELECT doc_id, lang, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                       AS "offset"
+            FROM t
+        )
+        SELECT doc_id, lang, n_tokens, "offset",
+               floor("offset" / 256)::BIGINT AS first_seq,
+               floor(("offset" + n_tokens - 1) / 256)::BIGINT AS last_seq
+        FROM o
     """,
 }
