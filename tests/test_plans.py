@@ -24,6 +24,24 @@ def test_dim_joins_broadcast(tables):
         assert explain.has_broadcast_join(df), f"{fn.__name__} lost its broadcast"
 
 
+def test_contamination_broadcasts_benchmark(tables):
+    """The held-out shingle set must be the broadcast side — a corpus-sized
+    shuffle on the benchmark axis would be the wrong plan at 100 TB."""
+    from flink_210225_spark.ops import text
+
+    df = text.contamination_check(tables)
+    assert explain.has_broadcast_join(df), "benchmark shingles not broadcast"
+
+
+def test_pack_plan_single_shuffle(tables):
+    """Packing layout = one window over (lang, doc_id): exactly one Exchange."""
+    from flink_210225_spark.ops import text
+
+    df = text.pack_plan(tables)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_codegen_present(tables):
     assert explain.codegen_stage_count(serving.gmv(tables)) >= 1
     assert explain.codegen_stage_count(serving.trademark_topn(tables)) >= 1
