@@ -55,9 +55,32 @@ def quota_per_group(tables: dict[str, DataFrame], quota: int = 10) -> DataFrame:
     )
 
 
+# Per-language keep rates for mixture rebalancing; 2-hex-char md5 prefix
+# comparison = deterministic Bernoulli at 1/256 granularity ('zz' > 'ff'
+# keeps everything). Same content-keyed property as hash_split: identical
+# texts get identical keep/drop decisions.
+MIXTURE_THRESHOLDS = {"en": "40"}  # en → 64/256 = 25 %; everything else 100 %
+
+
+def mixture_downsample(
+    tables: dict[str, DataFrame], thresholds: dict[str, str] | None = None
+) -> DataFrame:
+    """Rate-based mixture rebalancing: downsample over-represented groups to
+    target keep-rates (the rate sibling of ``quota_per_group``'s count cap).
+    Stateless projection — no shuffle, streams unchanged, reruns agree."""
+    docs = tables["documents"]
+    thresholds = MIXTURE_THRESHOLDS if thresholds is None else thresholds
+    h2 = F.substring(F.md5("text"), 1, 2)
+    thr = F.lit("zz")
+    for lang, t in sorted(thresholds.items()):
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    return docs.filter(h2 < thr).select("doc_id", "lang")
+
+
 QUERIES = {
     "sample_hash_split": hash_split,
     "sample_quota_per_group": quota_per_group,
+    "sample_mixture_rate": mixture_downsample,
 }
 
 ORACLES = {
@@ -75,5 +98,10 @@ ORACLES = {
                                       ORDER BY md5(text), doc_id) AS priority
             FROM documents
         ) WHERE priority <= 10
+    """,
+    "sample_mixture_rate": """
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(text), 1, 2) <
+              CASE WHEN lang = 'en' THEN '40' ELSE 'zz' END
     """,
 }

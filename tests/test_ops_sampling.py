@@ -28,6 +28,38 @@ def test_hash_split_proportions_and_leakage(tables):
             assert split_by_id[d] == split_by_id[c]
 
 
+def test_mixture_rate_downsamples_target_group(tables):
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    kept = sampling.mixture_downsample(tables).collect()
+    total = {
+        r.lang: r.cnt
+        for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    kept_by_lang: dict = {}
+    for r in kept:
+        kept_by_lang[r.lang] = kept_by_lang.get(r.lang, 0) + 1
+    # en downsampled to ~25% (±15pp at fixture size); other langs untouched
+    assert 0.10 <= kept_by_lang.get("en", 0) / total["en"] <= 0.40
+    for lang, n in total.items():
+        if lang != "en":
+            assert kept_by_lang.get(lang, 0) == n
+
+
+def test_sampling_is_stream_composable(spark, tables):
+    """hash_split and mixture_downsample are stateless projections — the
+    same code path runs on a readStream and agrees with batch."""
+    from .test_sessions_streamjoin import _file_stream
+    from flink_210225_spark.streaming import pipelines as sp
+
+    stream_tables = {"documents": _file_stream(spark, SF_DIR, "documents")}
+    for fn in (sampling.hash_split, sampling.mixture_downsample):
+        got = sp.run_stream_to_memory(fn(stream_tables), f"s_{fn.__name__}")
+        want = fn(tables)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_quota_caps_every_group(tables):
     rows = sampling.quota_per_group(tables, quota=5).collect()
     by_group: dict = {}
