@@ -185,6 +185,38 @@ def pack_plan(
     )
 
 
+def pack_bins(tables: dict[str, DataFrame], seq_len: int = 256) -> DataFrame:
+    """Non-straddling sequence packing: greedy next-fit in doc_id order per
+    language — a document never splits across bins (instruction-tuning-style
+    packing, vs ``pack_plan``'s concat-and-chunk). Sequential state per group
+    ⇒ ``applyInPandas`` (one Arrow batch per language); at 100 TB shard the
+    group key (lang × hash bucket) so one language isn't one task — bin ids
+    are only meaningful within a group either way. Oversized docs get a bin
+    alone (truncation is the tokenizer's concern, not the packer's)."""
+    import pandas as pd
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id", "lang", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+    )
+
+    def assign(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_id, fill, out = 0, 0, []
+        for n in pdf["n_tokens"]:
+            n_eff = min(int(n), seq_len)
+            if fill > 0 and fill + n_eff > seq_len:
+                bin_id, fill = bin_id + 1, 0
+            out.append(bin_id)
+            fill += n_eff
+        pdf["bin"] = out
+        return pdf[["doc_id", "lang", "n_tokens", "bin"]]
+
+    return base.groupBy("lang").applyInPandas(
+        assign, "doc_id long, lang string, n_tokens int, bin long"
+    )
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -192,6 +224,9 @@ QUERIES = {
     "text_fingerprint": fingerprint,
     "text_contamination": contamination_check,
     "text_pack_plan": pack_plan,
+    # rows-only: greedy sequential state isn't SQL-expressible; invariants
+    # (bin fill ≤ seq_len, monotone bins, dense ids) are pytest-gated.
+    "text_pack_bins": pack_bins,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
