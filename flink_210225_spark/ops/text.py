@@ -217,6 +217,62 @@ def pack_bins(tables: dict[str, DataFrame], seq_len: int = 256) -> DataFrame:
     )
 
 
+def repetition_filter(
+    tables: dict[str, DataFrame],
+    top_frac_max: float = 0.18,
+    dup_bigram_max: float = 0.55,
+) -> DataFrame:
+    """Gopher-style repetition quality filters: per-doc duplicate-token
+    fraction, most-frequent-token fraction, duplicate-bigram fraction, and a
+    keep/drop flag (Rae et al. 2021 §A1.1 family). The mode count comes from
+    the longest run in the *sorted* token array (aggregate with a
+    (prev,run,best) struct accumulator) — O(n log n) per row, entirely
+    JVM-side lambda expressions, zero shuffle: at 100 TB this is a pure
+    projection that rides the parquet scan."""
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+
+    def run_step(acc: Column, t: Column) -> Column:
+        run2 = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"),
+            run2.alias("run"),
+            F.greatest(acc["best"], run2).alias("best"),
+        )
+
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+    top_ct = F.aggregate(F.array_sort(toks), acc0, run_step, lambda a: a["best"])
+
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.slice(toks, 1, n - 1),
+            lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    uniq_bi = F.size(F.array_distinct(bigrams))
+
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    top_frac = r4(top_ct / n)
+    dup_tok = r4(F.lit(1.0) - uniq / n)
+    dup_bi = F.when(n_bi > 0, r4(F.lit(1.0) - uniq_bi / n_bi)).otherwise(F.lit(0.0))
+    keep = (top_frac <= top_frac_max) & (dup_bi <= dup_bigram_max)
+    return docs.select(
+        "doc_id",
+        top_frac.alias("top_token_frac"),
+        dup_tok.alias("dup_token_frac"),
+        dup_bi.alias("dup_bigram_frac"),
+        keep.alias("keep"),
+    )
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -224,6 +280,7 @@ QUERIES = {
     "text_fingerprint": fingerprint,
     "text_contamination": contamination_check,
     "text_pack_plan": pack_plan,
+    "text_repetition": repetition_filter,
     # rows-only: greedy sequential state isn't SQL-expressible; invariants
     # (bin fill ≤ seq_len, monotone bins, dense ids) are pytest-gated.
     "text_pack_bins": pack_bins,
@@ -307,6 +364,31 @@ ORACLES = {
         SELECT o.doc_id, o.n_overlap::BIGINT AS n_overlap,
                floor(o.n_overlap * 1.0 / s.n_sh * 10000 + 0.5) / 10000 AS overlap_frac
         FROM overlap o JOIN sizes s ON o.doc_id = s.doc_id
+    """,
+    "text_repetition": f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n,
+                   len(list_distinct(toks)) AS uniq,
+                   list_max(list_transform(list_distinct(toks),
+                            d -> len(list_filter(toks, t -> t = d)))) AS top_ct,
+                   list_transform(range(greatest(len(toks) - 1, 0)),
+                                  i -> toks[i + 1] || ' ' || toks[i + 2]) AS bi
+            FROM t
+        ),
+        f AS (
+            SELECT doc_id,
+                   floor(top_ct * 1.0 / n * 10000 + 0.5) / 10000 AS top_token_frac,
+                   floor((1.0 - uniq * 1.0 / n) * 10000 + 0.5) / 10000 AS dup_token_frac,
+                   CASE WHEN len(bi) > 0
+                        THEN floor((1.0 - len(list_distinct(bi)) * 1.0 / len(bi)) * 10000 + 0.5) / 10000
+                        ELSE 0.0 END AS dup_bigram_frac
+            FROM m
+        )
+        SELECT doc_id, top_token_frac, dup_token_frac, dup_bigram_frac,
+               (top_token_frac <= 0.18 AND dup_bigram_frac <= 0.55) AS keep
+        FROM f
     """,
     "text_pack_plan": f"""
         WITH t AS (

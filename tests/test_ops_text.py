@@ -50,6 +50,30 @@ def test_contamination_flags_real_overlap(spark):
     assert got == {2: 1}
 
 
+def test_repetition_flags_degenerate_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),          # one token repeated
+            (2, "buy now buy now buy now buy now"),        # looping bigram
+            (3, "a quick brown fox jumps over the dog"),   # all-distinct prose
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           text.repetition_filter({"documents": docs}).collect()}
+    assert got[1].top_token_frac == 1.0 and not got[1].keep
+    assert got[2].dup_bigram_frac > 0.55 and not got[2].keep
+    assert got[3].dup_token_frac == 0.0 and got[3].keep
+
+
+def test_repetition_splits_fixture_corpus(tables):
+    """Thresholds must actually discriminate on the driver corpus — a filter
+    that keeps (or drops) everything is a no-op, not a filter."""
+    rows = text.repetition_filter(tables).collect()
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows)
+
+
 def test_pack_bins_invariants(tables):
     rows = text.pack_bins(tables, seq_len=256).collect()
     by_lang: dict = {}

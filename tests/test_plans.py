@@ -42,6 +42,16 @@ def test_pack_plan_single_shuffle(tables):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_repetition_is_shuffle_free(tables):
+    """Repetition filters are per-row array math — any Exchange would mean an
+    accidental explode/groupBy crept in and the op stopped being a projection."""
+    from flink_210225_spark.ops import text
+
+    df = text.repetition_filter(tables)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+
+
 def test_codegen_present(tables):
     assert explain.codegen_stage_count(serving.gmv(tables)) >= 1
     assert explain.codegen_stage_count(serving.trademark_topn(tables)) >= 1
