@@ -39,8 +39,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read via nanosAsLong: convert to timestamp_ntz
         # (micro-aligned in fixtures, so integer division is lossless).
+        # `div` keeps the arithmetic in LONG — `floor(ts / 1000)` would go
+        # through double, whose 53-bit mantissa rounds epoch-nanos by up to
+        # ±128 ns and flips the resulting microsecond for ~half the rows.
         df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000))).cast("timestamp_ntz")
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
         )
     return df
 

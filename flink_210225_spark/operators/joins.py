@@ -21,7 +21,7 @@ order keys. Dim joins never shuffle the fact side (BroadcastHashJoin).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_210225_spark.functions.scalars import age_years, round2
@@ -116,10 +116,54 @@ def order_wide(tables: dict[str, DataFrame], min_quantity: int = 49) -> DataFram
     )
 
 
+# --- As-of join: latest view at-or-before each purchase ---
+
+
+def asof_join_events(tables: dict[str, DataFrame]) -> DataFrame:
+    """As-of join (the time-series lookup Spark lacks as a built-in): each
+    ``purchase`` event picks the latest ``view`` event at-or-before its
+    timestamp from the same user — the reference's dim-lookup idea applied on
+    the time axis (nearest-prior match instead of equality).
+
+    NOT a range join: both sides union into one stream, then a last-non-null
+    (LOCF) over a (user_id) window ordered by (ts, side, event_id) carries
+    each view forward to the purchases after it. One shuffle on user_id,
+    O(n log n) per partition, zero pair explosion — at 100 TB this beats any
+    `ts BETWEEN` formulation, whose matched-pair count is unbounded. Ordering
+    puts views (side 0) before purchases (side 1) at equal ts ⇒ inclusive
+    "<="; equal-ts views resolve to max event_id, deterministically."""
+    ev = tables["events"]
+    view = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id", F.lit(0).alias("side")
+    )
+    purchase = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id", F.lit(1).alias("side")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = purchase.unionByName(view).withColumn(
+        "asof",
+        F.last(
+            F.when(F.col("side") == 0, F.struct("ts", "value")), ignorenulls=True
+        ).over(w),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof.ts").alias("view_ts"),
+        F.col("asof.value").alias("view_value"),
+    )
+
+
 QUERIES = {
     "join_interval_order_detail": interval_join_order_detail,
     "join_interval_payment": interval_join_payment,
     "join_order_wide": order_wide,
+    "join_asof_events": asof_join_events,
 }
 
 ORACLES = {
@@ -140,6 +184,23 @@ ORACLES = {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= o_orderdate + INTERVAL 10 DAY
           AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+    """,
+    # Independent formulation on purpose: DuckDB's native ASOF JOIN (with the
+    # view side deduped per (user_id, ts) to max event_id — ASOF is otherwise
+    # free to pick any tied row) checks our union+LOCF window against a
+    # different algorithm entirely.
+    "join_asof_events": """
+        WITH v AS (
+            SELECT user_id, ts, value, event_id,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view'
+        ),
+        vd AS (SELECT user_id, ts, value FROM v WHERE rn = 1),
+        p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, p.ts,
+               vd.ts AS view_ts, vd.value AS view_value
+        FROM p ASOF LEFT JOIN vd ON p.user_id = vd.user_id AND p.ts >= vd.ts
     """,
     "join_order_wide": """
         SELECT l_orderkey, l_linenumber,

@@ -273,6 +273,26 @@ def repetition_filter(
     )
 
 
+def corpus_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """Mixture profiling: per-(lang, source) doc counts, token totals, and
+    exact length percentiles — the numbers that drive mixture-weight /
+    quota / downsampling decisions upstream of training. One shuffle on the
+    group key with map-side partials for count/sum; ``percentile`` is exact
+    (collects per-group values) — at 100 TB swap to ``approx_percentile``,
+    which is mergeable sketch state; exact here because the oracle gate
+    demands bit-stable answers."""
+    docs = tables["documents"]
+    n_tok = F.size(tokens_col(F.col("text")))
+    r2 = lambda c: F.floor(c * 100 + 0.5) / 100  # noqa: E731
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        r2(F.avg("n_chars")).alias("avg_chars"),
+        r2(F.percentile("n_chars", F.lit(0.5))).alias("p50_chars"),
+        r2(F.percentile("n_chars", F.lit(0.9))).alias("p90_chars"),
+    )
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -281,6 +301,7 @@ QUERIES = {
     "text_contamination": contamination_check,
     "text_pack_plan": pack_plan,
     "text_repetition": repetition_filter,
+    "text_corpus_stats": corpus_stats,
     # rows-only: greedy sequential state isn't SQL-expressible; invariants
     # (bin fill ≤ seq_len, monotone bins, dense ids) are pytest-gated.
     "text_pack_bins": pack_bins,
@@ -389,6 +410,16 @@ ORACLES = {
         SELECT doc_id, top_token_frac, dup_token_frac, dup_bigram_frac,
                (top_token_frac <= 0.18 AND dup_bigram_frac <= 0.55) AS keep
         FROM f
+    """,
+    "text_corpus_stats": f"""
+        SELECT lang, source,
+               count(*)::BIGINT AS n_docs,
+               sum(len({_DUCK_TOKS}))::BIGINT AS total_tokens,
+               floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars,
+               floor(quantile_cont(n_chars, 0.5) * 100 + 0.5) / 100 AS p50_chars,
+               floor(quantile_cont(n_chars, 0.9) * 100 + 0.5) / 100 AS p90_chars
+        FROM documents
+        GROUP BY lang, source
     """,
     "text_pack_plan": f"""
         WITH t AS (
