@@ -289,6 +289,66 @@ def ivf_ann_topk(
     )
 
 
+def diversity_coreset(tables: dict[str, DataFrame], k: int = 10) -> DataFrame:
+    """Greedy farthest-point (k-center) coreset over the embedding corpus —
+    the diversity-sampling step that picks k maximally-spread exemplars
+    (dataset curation / eval-set seeding). Cosine distance, seeded at the
+    smallest vec_id; ties break to the smallest vec_id so the pick sequence
+    is fully deterministic.
+
+    Scale shape: the only driver state is the (k × dim) center matrix. Each
+    of the k rounds is one ``mapInPandas`` pass that NumPy-GEMMs a batch
+    against all current centers and emits ONE candidate row per Arrow batch
+    (partition-local argmax) — the driver collects O(partitions) rows per
+    round, never vectors. The corpus is persisted once and re-read from
+    cache each round. O(k·n·dim) flops total; for k in the thousands carry a
+    cached min-distance column instead (update vs the newest center only)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark import StorageLevel
+
+    emb = tables["embeddings"]
+    spark = emb.sparkSession
+    base = emb.select("vec_id", "embedding").persist(StorageLevel.MEMORY_AND_DISK)
+
+    seed = base.orderBy("vec_id").limit(1).toPandas()
+    seed_id = int(seed["vec_id"][0])
+    centers = np.array([seed["embedding"][0]], dtype=np.float64)
+    picks = [(0, seed_id, None)]
+
+    for step in range(1, k):
+        C = centers
+        cn = np.sqrt((C * C).sum(axis=1))
+
+        def cand(batches):
+            best_id, best_d = -1, -1.0
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                nrm = np.sqrt((mat * mat).sum(axis=1))
+                mind = (1.0 - (mat @ C.T) / np.outer(nrm, cn)).min(axis=1)
+                i = int(np.lexsort((pdf["vec_id"].to_numpy(), -mind))[0])
+                if (mind[i], -pdf["vec_id"].iloc[i]) > (best_d, -best_id):
+                    best_id, best_d = int(pdf["vec_id"].iloc[i]), float(mind[i])
+            if best_id >= 0:
+                yield pd.DataFrame({"vec_id": [best_id], "mindist": [best_d]})
+
+        pp = base.mapInPandas(cand, "vec_id long, mindist double").toPandas()
+        row = pp.sort_values(["mindist", "vec_id"], ascending=[False, True]).iloc[0]
+        pick_id = int(row["vec_id"])
+        picks.append((step, pick_id, float(row["mindist"])))
+        vec = base.filter(F.col("vec_id") == pick_id).toPandas()["embedding"][0]
+        centers = np.vstack([centers, np.asarray(vec, dtype=np.float64)])
+
+    base.unpersist()  # result is driver-built; cache has no dependents
+    return spark.createDataFrame(
+        [(o, i, d) for o, i, d in picks],
+        "pick_order int, vec_id long, mindist double",
+    )
+
+
 def embedding_cluster_stats(tables: dict[str, DataFrame]) -> DataFrame:
     """Per-label centroid norm + dispersion — array aggregation surface
     (element-wise mean via zip_with fold over collected partial sums)."""
@@ -307,6 +367,9 @@ QUERIES = {
     "sim_lsh_ann_topk": lsh_ann_topk,  # rows-only (xxhash64 planes not in DuckDB)
     "sim_ivf_ann_topk": ivf_ann_topk,  # rows-only (k-means cells not in SQL); recall-tested vs exact
     "sim_cluster_stats": embedding_cluster_stats,
+    # rows-only: k greedy argmax rounds aren't SQL-expressible; pytest gates
+    # exact pick-sequence parity vs a straight NumPy farthest-point run.
+    "sim_diversity_coreset": diversity_coreset,
 }
 
 _COS = """

@@ -41,3 +41,34 @@ def test_ivf_ann_recall(tables):
         for r in similarity.ivf_ann_topk(tables, n_cells=16, n_probe=16).collect()
     }
     assert full == exact, "probing every cell must reproduce the exact top-k"
+
+
+def test_diversity_coreset_matches_numpy_greedy(tables):
+    """The distributed farthest-point run must pick the IDENTICAL sequence a
+    single-machine NumPy greedy picks — partition-local argmax + driver
+    reduce is a pure reformulation, not an approximation."""
+    import numpy as np
+
+    k = 8
+    got = sorted(
+        similarity.diversity_coreset(tables, k=k).collect(),
+        key=lambda r: r.pick_order,
+    )
+
+    pdf = tables["embeddings"].select("vec_id", "embedding").toPandas()
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    want = [int(ids[0])]
+    mind = np.full(len(ids), np.inf)
+    for _ in range(1, k):
+        c = mat[np.where(ids == want[-1])[0][0]]
+        d = 1.0 - (mat @ c) / (nrm * np.sqrt(c @ c))
+        mind = np.minimum(mind, d)
+        best = np.lexsort((ids, -mind))[0]
+        want.append(int(ids[best]))
+
+    assert [r.vec_id for r in got] == want
+    radii = [r.mindist for r in got[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), "coverage radius must shrink"
