@@ -55,8 +55,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(src, link)
     stream = spark.readStream.schema(batch.schema).parquet(link_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
+        # `div` (long integer division) — floor(ts/1000) rounds through
+        # double and flips microseconds; keep identical to io.load_table so
+        # stream==batch parity holds on raw ts values.
         stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000))).cast("timestamp_ntz")
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
         )
     return stream
 
@@ -210,6 +213,60 @@ def new_visitor_stream(events: DataFrame) -> DataFrame:
         _new_visitor_func,
         outputStructType=NEW_VISITOR_OUTPUT_SCHEMA,
         stateStructType=NEW_VISITOR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+QUOTA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("priority", T.IntegerType()),
+    ]
+)
+QUOTA_STATE_SCHEMA = T.StructType([T.StructField("admitted", T.IntegerType())])
+
+
+def make_quota_func(quota: int = 10) -> Callable:
+    """Streaming sibling of ``ops/sampling.quota_per_group``. Semantics
+    differ deliberately: batch quota ranks the WHOLE corpus by md5 priority
+    (needs global order — impossible online); the stream admits in arrival
+    order (doc_id within a batch) until the per-(lang, source) cap, carrying
+    the admitted count as keyed state across micro-batches. Same guarantee
+    where it matters: ≤ quota survivors per group, dense ranks, replay-safe
+    (counts live in the state store, rescanned batches don't double-admit)."""
+
+    def f(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        lang, source = key
+        admitted = state.get[0] if state.exists else 0
+        rows = pd.concat(list(pdfs)).sort_values("doc_id")
+        take = rows.head(max(0, quota - admitted))
+        state.update((admitted + len(take),))
+        if len(take):
+            yield pd.DataFrame(
+                {
+                    "doc_id": take["doc_id"],
+                    "lang": lang,
+                    "source": source,
+                    "priority": range(admitted + 1, admitted + len(take) + 1),
+                }
+            )
+
+    return f
+
+
+def quota_stream(docs: DataFrame, quota: int = 10) -> DataFrame:
+    """Per-(lang, source) admission cap over a document stream."""
+    return docs.groupBy("lang", "source").applyInPandasWithState(
+        make_quota_func(quota),
+        outputStructType=QUOTA_OUTPUT_SCHEMA,
+        stateStructType=QUOTA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -60,6 +60,55 @@ def test_sampling_is_stream_composable(spark, tables):
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_quota_stream_admission_cap(spark, tables):
+    """Streaming quota: one availableNow batch ⇒ admitted set must equal the
+    first-quota-by-doc_id docs per (lang, source), with dense ranks."""
+    from .test_sessions_streamjoin import _file_stream
+    from flink_210225_spark.streaming import pipelines as sp
+
+    stream = _file_stream(spark, SF_DIR, "documents")
+    got = sp.run_stream_to_memory(sp.quota_stream(stream, quota=7), "s_quota").collect()
+    by_group: dict = {}
+    for r in got:
+        by_group.setdefault((r.lang, r.source), []).append(r)
+    docs = tables["documents"].select("doc_id", "lang", "source").collect()
+    want: dict = {}
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        want.setdefault((r.lang, r.source), []).append(r.doc_id)
+    assert set(by_group) == set(want)
+    for grp, rows in by_group.items():
+        rows.sort(key=lambda r: r.priority)
+        assert [r.priority for r in rows] == list(range(1, len(rows) + 1))
+        assert [r.doc_id for r in rows] == want[grp][:7]
+
+
+def test_quota_stream_kernel_carries_state_across_batches():
+    """Direct kernel check: a second micro-batch only admits the remainder
+    of the cap, and a full group admits nothing more."""
+    import pandas as pd
+
+    from flink_210225_spark.streaming.pipelines import make_quota_func
+
+    class FakeState:
+        def __init__(self):
+            self.exists, self._v = False, None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+    f, st = make_quota_func(quota=3), FakeState()
+    b1 = list(f(("en", "s"), iter([pd.DataFrame({"doc_id": [2, 1]})]), st))
+    assert list(b1[0]["doc_id"]) == [1, 2] and list(b1[0]["priority"]) == [1, 2]
+    b2 = list(f(("en", "s"), iter([pd.DataFrame({"doc_id": [3, 4]})]), st))
+    assert list(b2[0]["doc_id"]) == [3] and list(b2[0]["priority"]) == [3]
+    b3 = list(f(("en", "s"), iter([pd.DataFrame({"doc_id": [5]})]), st))
+    assert b3 == []
+
+
 def test_quota_caps_every_group(tables):
     rows = sampling.quota_per_group(tables, quota=5).collect()
     by_group: dict = {}
