@@ -45,14 +45,22 @@ def exact_dedup(tables: dict[str, DataFrame]) -> DataFrame:
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the document."""
-    toks = tokens_col(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    """Distinct word n-gram shingles of the document.
+
+    The split is let-bound via a single-element transform: referencing the
+    raw split expression inside the inner lambda would re-tokenize the
+    document per shingle INDEX (expressions don't CSE across lambda
+    boundaries) — O(tokens²) per doc; binding makes it O(tokens·n)."""
+
+    def mk(toks: Column) -> Column:
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
         )
-    )
+
+    return F.get(F.transform(F.array(tokens_col(text)), mk), 0)
 
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
