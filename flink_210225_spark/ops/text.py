@@ -49,30 +49,24 @@ def token_stats(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def quality_score(tables: dict[str, DataFrame]) -> DataFrame:
-    """Heuristic document quality in [0,1]: length saturation + lexical
-    diversity + stopword balance — the length/punct/stopword-ratio family of
-    pretraining-data filters, as one deterministic double expression."""
-    docs = tables["documents"]
-    toks = tokens_col(F.col("text"))
+def _quality_expr(toks: Column) -> Column:
+    """Length saturation + lexical diversity + stopword balance in [0,1]."""
     n = F.size(toks)
     uniq = F.size(F.array_distinct(toks))
     stop_ct = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
     len_score = F.least(n / F.lit(100.0), F.lit(1.0))
     diversity = uniq / n
     stop_balance = F.lit(1.0) - F.abs(stop_ct / n - F.lit(0.1))
-    score = F.floor(
-        (0.4 * len_score + 0.3 * diversity + 0.3 * stop_balance) * 10000 + 0.5
-    ) / 10000
-    return docs.select("doc_id", score.alias("quality"))
+    return (
+        F.floor((0.4 * len_score + 0.3 * diversity + 0.3 * stop_balance) * 10000 + 0.5)
+        / 10000
+    )
 
 
-def lang_id(tables: dict[str, DataFrame]) -> DataFrame:
-    """Stopword-vote language ID (n-gram-heuristic family): score each
-    candidate language by stopword hits; highest wins, ties resolved in
+def _pred_lang_expr(toks: Column) -> Column:
+    """Stopword-vote language ID: highest hit count wins, ties resolved in
     en>es>de>fr order; no hits → 'und'."""
-    docs = tables["documents"]
-    toks = tokens_col(F.col("text"))
+
     def stop_hits(sw: tuple[str, ...]) -> Column:
         # NB: a one-arg lambda is required — a second (default) param makes
         # pyspark pass the array index as that argument.
@@ -81,14 +75,29 @@ def lang_id(tables: dict[str, DataFrame]) -> DataFrame:
     scores = {lang: stop_hits(sw) for lang, sw in LANG_STOPWORDS.items()}
     en, es, de, fr = scores["en"], scores["es"], scores["de"], scores["fr"]
     best = F.greatest(en, es, de, fr)
-    pred = (
+    return (
         F.when(best == 0, F.lit("und"))
         .when(en == best, F.lit("en"))
         .when(es == best, F.lit("es"))
         .when(de == best, F.lit("de"))
         .otherwise(F.lit("fr"))
     )
-    return docs.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+def quality_score(tables: dict[str, DataFrame]) -> DataFrame:
+    """Heuristic document quality in [0,1] — the length/punct/stopword-ratio
+    family of pretraining-data filters, as one deterministic double
+    expression."""
+    docs = tables["documents"]
+    base = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    return base.select("doc_id", _quality_expr(F.col("toks")).alias("quality"))
+
+
+def lang_id(tables: dict[str, DataFrame]) -> DataFrame:
+    """Stopword-vote language ID (n-gram-heuristic family)."""
+    docs = tables["documents"]
+    base = docs.select("doc_id", "lang", tokens_col(F.col("text")).alias("toks"))
+    return base.select("doc_id", "lang", _pred_lang_expr(F.col("toks")).alias("pred_lang"))
 
 
 def fingerprint(tables: dict[str, DataFrame]) -> DataFrame:
@@ -236,7 +245,19 @@ def repetition_filter(
     1.5 s at sf0.1). Bigrams come from zip_with of two slices, not indexing."""
     docs = tables["documents"]
     base = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
-    toks = F.col("toks")
+    rep = _repetition_cols(F.col("toks"), top_frac_max, dup_bigram_max)
+    return base.select(
+        "doc_id",
+        rep["top_frac"].alias("top_token_frac"),
+        rep["dup_tok"].alias("dup_token_frac"),
+        rep["dup_bi"].alias("dup_bigram_frac"),
+        rep["keep"].alias("keep"),
+    )
+
+
+def _repetition_cols(
+    toks: Column, top_frac_max: float, dup_bigram_max: float
+) -> dict[str, Column]:
     n = F.size(toks)
     uniq = F.size(F.array_distinct(toks))
 
@@ -267,13 +288,49 @@ def repetition_filter(
     top_frac = r4(top_ct / n)
     dup_tok = r4(F.lit(1.0) - uniq / n)
     dup_bi = F.when(n_bi > 0, r4(F.lit(1.0) - uniq_bi / n_bi)).otherwise(F.lit(0.0))
-    keep = (top_frac <= top_frac_max) & (dup_bi <= dup_bigram_max)
+    return {
+        "top_frac": top_frac,
+        "dup_tok": dup_tok,
+        "dup_bi": dup_bi,
+        "keep": (top_frac <= top_frac_max) & (dup_bi <= dup_bigram_max),
+    }
+
+
+def curation_pipeline(
+    tables: dict[str, DataFrame],
+    min_quality: float = 0.55,
+    top_frac_max: float = 0.18,
+    dup_bigram_max: float = 0.55,
+) -> DataFrame:
+    """The composed curation pass a training-data pipeline actually runs:
+    quality score, repetition keep-flag, language ID, and content-keyed split
+    — all four filters in ONE scan, zero shuffles. Each column reuses the
+    exact expression its standalone query uses (single source of truth), so
+    this is the per-row filter stack fused the way a 100 TB run would fuse
+    it: one pass over the corpus deciding selected = repetition-clean AND
+    quality ≥ threshold, with the split carried for downstream routing."""
+    from flink_210225_spark.ops.sampling import _TEST, _VAL
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id", "lang", "text", tokens_col(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
+    rep = _repetition_cols(toks, top_frac_max, dup_bigram_max)
+    quality = _quality_expr(toks)
+    h1 = F.substring(F.md5("text"), 1, 1)
+    split = (
+        F.when(h1.isin(*_VAL), F.lit("val"))
+        .when(h1.isin(*_TEST), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
     return base.select(
         "doc_id",
-        top_frac.alias("top_token_frac"),
-        dup_tok.alias("dup_token_frac"),
-        dup_bi.alias("dup_bigram_frac"),
-        keep.alias("keep"),
+        quality.alias("quality"),
+        rep["keep"].alias("keep_repetition"),
+        _pred_lang_expr(toks).alias("pred_lang"),
+        split.alias("split"),
+        (rep["keep"] & (quality >= min_quality)).alias("selected"),
     )
 
 
@@ -306,6 +363,7 @@ QUERIES = {
     "text_pack_plan": pack_plan,
     "text_repetition": repetition_filter,
     "text_corpus_stats": corpus_stats,
+    "text_curation_pipeline": curation_pipeline,
     # rows-only: greedy sequential state isn't SQL-expressible; invariants
     # (bin fill ≤ seq_len, monotone bins, dense ids) are pytest-gated.
     "text_pack_bins": pack_bins,
@@ -413,6 +471,47 @@ ORACLES = {
         )
         SELECT doc_id, top_token_frac, dup_token_frac, dup_bigram_frac,
                (top_token_frac <= 0.18 AND dup_bigram_frac <= 0.55) AS keep
+        FROM f
+    """,
+    "text_curation_pipeline": f"""
+        WITH t AS (SELECT doc_id, lang, text, {_DUCK_TOKS} AS toks FROM documents),
+        m AS (
+            SELECT doc_id, lang, text, toks,
+                   len(toks) AS n,
+                   len(list_distinct(toks)) AS uniq,
+                   len(list_filter(toks, tk -> tk IN ('the','a'))) AS stop_ct,
+                   list_max(list_transform(list_distinct(toks),
+                            d -> len(list_filter(toks, tk -> tk = d)))) AS top_ct,
+                   list_transform(range(greatest(len(toks) - 1, 0)),
+                                  i -> toks[i + 1] || ' ' || toks[i + 2]) AS bi,
+                   len(list_filter(toks, tk -> tk IN ('the','a','of','and','to'))) AS en,
+                   len(list_filter(toks, tk -> tk IN ('el','la','de','y','que'))) AS es,
+                   len(list_filter(toks, tk -> tk IN ('der','die','das','und','zu'))) AS de,
+                   len(list_filter(toks, tk -> tk IN ('le','la','les','et','de'))) AS fr
+            FROM t
+        ),
+        f AS (
+            SELECT doc_id,
+                   floor((0.4 * least(n / 100.0, 1.0)
+                          + 0.3 * (uniq * 1.0 / n)
+                          + 0.3 * (1.0 - abs(stop_ct * 1.0 / n - 0.1))) * 10000 + 0.5) / 10000
+                       AS quality,
+                   (floor(top_ct * 1.0 / n * 10000 + 0.5) / 10000 <= 0.18
+                    AND CASE WHEN len(bi) > 0
+                             THEN floor((1.0 - len(list_distinct(bi)) * 1.0 / len(bi)) * 10000 + 0.5) / 10000
+                             ELSE 0.0 END <= 0.55) AS keep_repetition,
+                   CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                        WHEN en = greatest(en, es, de, fr) THEN 'en'
+                        WHEN es = greatest(en, es, de, fr) THEN 'es'
+                        WHEN de = greatest(en, es, de, fr) THEN 'de'
+                        ELSE 'fr' END AS pred_lang,
+                   CASE WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+                        WHEN substr(md5(text), 1, 1) IN ('e', 'f') THEN 'test'
+                        ELSE 'train' END AS split
+            FROM m
+        )
+        SELECT doc_id, quality, keep_repetition, pred_lang, split,
+               (keep_repetition AND quality >= 0.55) AS selected
         FROM f
     """,
     "text_corpus_stats": f"""

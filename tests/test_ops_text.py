@@ -74,6 +74,18 @@ def test_repetition_splits_fixture_corpus(tables):
     assert 0 < kept < len(rows)
 
 
+def test_curation_pipeline_composes_components(tables):
+    """Fused columns must equal the standalone queries', and `selected` must
+    actually discriminate on the fixture corpus."""
+    pipe = {r.doc_id: r for r in text.curation_pipeline(tables).collect()}
+    q = {r.doc_id: r.quality for r in text.quality_score(tables).collect()}
+    rep = {r.doc_id: r.keep for r in text.repetition_filter(tables).collect()}
+    assert all(pipe[d].quality == v for d, v in q.items())
+    assert all(pipe[d].keep_repetition == v for d, v in rep.items())
+    sel = sum(r.selected for r in pipe.values())
+    assert 0 < sel < len(pipe)
+
+
 def test_pack_bins_invariants(tables):
     rows = text.pack_bins(tables, seq_len=256).collect()
     by_lang: dict = {}

@@ -47,9 +47,9 @@ def test_repetition_is_shuffle_free(tables):
     accidental explode/groupBy crept in and the op stopped being a projection."""
     from flink_210225_spark.ops import text
 
-    df = text.repetition_filter(tables)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 0, plan
+    for fn in (text.repetition_filter, text.curation_pipeline):
+        plan = fn(tables)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, (fn.__name__, plan)
 
 
 def test_codegen_present(tables):
