@@ -41,6 +41,19 @@ def exact_dedup(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def normalized_dedup(tables: dict[str, DataFrame]) -> DataFrame:
+    """Exact dedup after CCNet-style normalization (lowercase, collapse
+    whitespace, trim): catches near-identical docs that differ only in case
+    or spacing, which byte-exact dedup misses. Same scale shape as
+    ``exact_dedup`` — one shuffle keyed by the 16-byte digest of the
+    normalized text, never by document bytes."""
+    docs = tables["documents"]
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.groupBy(F.md5(norm).alias("norm_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_ct")
+    )
+
+
 # --- n-gram (shingle) machinery shared by jaccard + minhash ---
 
 
@@ -461,6 +474,7 @@ def embedding_near_dups(
 
 QUERIES = {
     "dedup_exact": exact_dedup,
+    "dedup_normalized": normalized_dedup,
     "dedup_embedding_cosine": embedding_near_dups,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_components": dedup_components,
@@ -491,6 +505,12 @@ ORACLES = {
     "dedup_exact": """
         SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_ct
         FROM documents GROUP BY md5(text)
+    """,
+    "dedup_normalized": """
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_hash,
+               min(doc_id) AS keep_id, count(*) AS dup_ct
+        FROM documents
+        GROUP BY 1
     """,
     "dedup_ngram_jaccard": """
         WITH toks AS (

@@ -6,7 +6,7 @@ from .conftest import SF_DIR
 from .oracle import assert_matches_oracle
 
 
-@pytest.mark.parametrize("name", ["dedup_exact", "dedup_ngram_jaccard"])
+@pytest.mark.parametrize("name", ["dedup_exact", "dedup_normalized", "dedup_ngram_jaccard"])
 def test_dedup_matches_oracle(name, tables):
     assert_matches_oracle(dedup.QUERIES[name](tables), dedup.ORACLES[name], SF_DIR)
 
@@ -91,3 +91,13 @@ def test_simhash_exact_dups_zero_distance(dup_docs):
     near = dedup.simhash_near_dups({"documents": dup_docs}, max_hamming=10).collect()
     got = {(r.doc_a, r.doc_b): r.hamming for r in near}
     assert got[(1, 2)] == 0
+
+
+def test_normalized_dedup_merges_case_and_spacing(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "HELLO WORLD  "), (4, "other")],
+        "doc_id long, text string",
+    )
+    rows = dedup.normalized_dedup({"documents": docs}).collect()
+    by_keep = {r.keep_id: r.dup_ct for r in rows}
+    assert by_keep == {1: 3, 4: 1}
