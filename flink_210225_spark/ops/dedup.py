@@ -472,10 +472,79 @@ def embedding_near_dups(
     return emb.select("vec_id", "embedding").mapInPandas(score, out_schema)
 
 
+def embedding_near_dups_blocked(
+    tables: dict[str, DataFrame], threshold: float = 0.40, n_blocks: int = 8
+) -> DataFrame:
+    """Block-pair chunked GEMM — the scale path past the point where one
+    side of ``embedding_near_dups`` fits in executor memory. Vectors hash
+    into ``n_blocks`` buckets; each bucket packs into one row
+    (collect_list); the (i ≤ j) block-pair grid — n_blocks² tiny rows, NOT
+    corpus² — fans out across executors, and each pair scores with one
+    float64 GEMM per Arrow batch. No driver-side collect, no broadcast of
+    the corpus: pick n_blocks so two blocks fit an executor
+    (≈ corpus_bytes / (executor_mem/4)), and the same kernel scales to any
+    corpus. Emits the identical (vec_a, vec_b, cosine) rows as the
+    broadcast variant — the driver oracle is shared."""
+    import numpy as np
+    import pandas as pd
+
+    emb = tables["embeddings"]
+    packed = (
+        emb.select(
+            F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"),
+            F.struct("vec_id", "embedding").alias("ve"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list("ve").alias("vs"))
+    )
+    a, b = packed.alias("a"), packed.alias("b")
+    grid = a.join(b, F.col("a.blk") <= F.col("b.blk")).select(
+        F.col("a.blk").alias("blk_a"),
+        F.col("a.vs").alias("vs_a"),
+        F.col("b.blk").alias("blk_b"),
+        F.col("b.vs").alias("vs_b"),
+    )
+
+    def unpack(cell) -> tuple["np.ndarray", "np.ndarray"]:
+        ids = np.array([r["vec_id"] for r in cell], dtype=np.int64)
+        mat = np.array([r["embedding"] for r in cell], dtype=np.float64)
+        return ids, mat
+
+    def score(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                a_ids, a_mat = unpack(row["vs_a"])
+                b_ids, b_mat = unpack(row["vs_b"])
+                a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+                b_nrm = np.sqrt((b_mat * b_mat).sum(axis=1))
+                cos = (a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm)
+                cos = np.floor(cos * 1_000_000 + 0.5) / 1_000_000
+                keep = cos >= threshold
+                if row["blk_a"] == row["blk_b"]:
+                    # diagonal: same set on both sides — upper triangle only
+                    keep &= a_ids[:, None] < b_ids[None, :]
+                # off-diagonal blocks are disjoint, so every cross pair
+                # appears in exactly one grid row; id order does NOT follow
+                # block order, so normalize to vec_a < vec_b on output.
+                ai, bi = np.nonzero(keep)
+                if len(ai):
+                    left, right = a_ids[ai], b_ids[bi]
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": np.minimum(left, right),
+                            "vec_b": np.maximum(left, right),
+                            "cosine": cos[ai, bi],
+                        }
+                    )
+
+    return grid.mapInPandas(score, "vec_a long, vec_b long, cosine double")
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_normalized": normalized_dedup,
     "dedup_embedding_cosine": embedding_near_dups,
+    "dedup_embedding_blocked": embedding_near_dups_blocked,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_components": dedup_components,
     # LSH/simhash results depend on xxhash64 — not SQL-expressible in DuckDB,
@@ -488,6 +557,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    # blocked variant emits identical rows — shares the exact oracle below
     "dedup_embedding_cosine": """
         WITH normed AS (
             SELECT vec_id,
@@ -580,3 +650,7 @@ ORACLES = {
         SELECT doc_id, min(comp)::BIGINT AS component FROM reach GROUP BY doc_id
     """,
 }
+
+# The blocked variant emits identical (vec_a, vec_b, cosine) rows — the
+# broadcast variant's exact oracle gates both physical plans.
+ORACLES["dedup_embedding_blocked"] = ORACLES["dedup_embedding_cosine"]

@@ -101,3 +101,12 @@ def test_normalized_dedup_merges_case_and_spacing(spark):
     rows = dedup.normalized_dedup({"documents": docs}).collect()
     by_keep = {r.keep_id: r.dup_ct for r in rows}
     assert by_keep == {1: 3, 4: 1}
+
+
+def test_blocked_embedding_dedup_equals_broadcast(tables):
+    """The chunked block-pair GEMM must emit exactly the broadcast variant's
+    pairs — different physical plan, identical result, including pairs whose
+    lower id hashes into the higher block."""
+    a = sorted(map(tuple, dedup.embedding_near_dups(tables).collect()))
+    b = sorted(map(tuple, dedup.embedding_near_dups_blocked(tables).collect()))
+    assert a == b

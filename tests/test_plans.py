@@ -59,9 +59,11 @@ def test_codegen_present(tables):
 
 # sim_cosine_topk / dedup_embedding_cosine are deliberately broadcast
 # nested-loops: the brute-force exact baselines score every pair (the scale
-# path is their LSH-bucketed siblings, which ARE equi-join shaped). Every
-# other query must stay equi-join shaped.
-CARTESIAN_OK = {"sim_cosine_topk", "dedup_embedding_cosine"}
+# path is their LSH-bucketed siblings, which ARE equi-join shaped).
+# dedup_embedding_blocked range-joins the n_blocks² block-pair GRID (tiny by
+# construction), not the corpus — the nested loop is over packed block rows.
+# Every other query must stay equi-join shaped.
+CARTESIAN_OK = {"sim_cosine_topk", "dedup_embedding_cosine", "dedup_embedding_blocked"}
 
 
 @pytest.mark.parametrize("name", sorted(set(entry_mod.queries()) - CARTESIAN_OK))
