@@ -208,7 +208,29 @@ def rollup_stats(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def uv_approx_sketch(tables: dict[str, DataFrame], rsd: float = 0.02) -> DataFrame:
+    """HLL++ sketch distinct: per-(day, event_type) approximate unique users
+    via ``approx_count_distinct``. This is the streaming-exact-distinct
+    escape hatch SURVEY §7.4 calls for (A2/A3's HashSet state): the sketch
+    is fixed-size (~kilobytes at rsd=2%) and MERGEABLE, so partial
+    aggregation works map-side and windows/days roll up without rescanning —
+    exact countDistinct holds the full key set per group instead. Paired
+    with the exact count here so the pytest gate can bound the error."""
+    ev = tables["events"]
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+            "event_type",
+        )
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("uv_approx"),
+            F.countDistinct("user_id").alias("uv_exact"),
+        )
+    )
+
+
 QUERIES = {
+    "window_uv_sketch": uv_approx_sketch,  # rows-only: HLL values are engine-specific
     "window_sliding_stats": sliding_visitor_stats,
     "window_rollup_stats": rollup_stats,
     "window_visitor_stats": visitor_stats_window,
