@@ -86,6 +86,18 @@ def test_curation_pipeline_composes_components(tables):
     assert 0 < sel < len(pipe)
 
 
+def test_curation_pipeline_is_stream_composable(spark, tables):
+    """All four fused filters are per-row projections — the same code path
+    runs on a readStream and agrees with batch row-for-row."""
+    from .test_sessions_streamjoin import _file_stream
+    from flink_210225_spark.streaming import pipelines as sp
+
+    stream_tables = {"documents": _file_stream(spark, SF_DIR, "documents")}
+    got = sp.run_stream_to_memory(text.curation_pipeline(stream_tables), "s_curation")
+    want = text.curation_pipeline(tables)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_pack_bins_invariants(tables):
     rows = text.pack_bins(tables, seq_len=256).collect()
     by_lang: dict = {}
