@@ -43,6 +43,62 @@ def test_asof_join_semantics(spark):
     assert got[7].view_value is None and got[7].view_ts is None
 
 
+def _ev_strategy():
+    from hypothesis import strategies as st
+
+    return st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),     # user_id
+            st.integers(min_value=0, max_value=40),    # ts seconds (ties likely)
+            st.sampled_from(["view", "purchase"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+
+def test_asof_join_matches_bruteforce_model(spark):
+    """Property: against random event sets (shared timestamps, interleaved
+    users, tie views) the union+LOCF formulation equals the brute-force
+    'latest view at-or-before, ties to max event_id' definition."""
+    from datetime import datetime, timezone
+
+    from hypothesis import given, settings
+
+    @given(events=_ev_strategy())
+    @settings(max_examples=20, deadline=None)
+    def run(events):
+        rows = [
+            (i, u, datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None),
+             float(i), kind)
+            for i, (u, t, kind) in enumerate(events)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts timestamp_ntz, value double, event_type string",
+        )
+        got = {
+            r.event_id: (r.view_ts, r.view_value)
+            for r in joins.asof_join_events({"events": df}).collect()
+        }
+        want = {}
+        for i, (u, t, kind) in enumerate(events):
+            if kind != "purchase":
+                continue
+            cands = [
+                (tv, j) for j, (uv, tv, kv) in enumerate(events)
+                if kv == "view" and uv == u and tv <= t
+            ]
+            if cands:
+                tv, j = max(cands)
+                want[i] = (rows[j][2], float(j))
+            else:
+                want[i] = (None, None)
+        assert got == want
+
+    run()
+
+
 def test_jump_detection_semantics(spark):
     import datetime as dt
 
