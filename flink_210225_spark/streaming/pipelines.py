@@ -272,6 +272,27 @@ def quota_stream(docs: DataFrame, quota: int = 10) -> DataFrame:
     )
 
 
+def run_curation_stream(docs_stream: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Materialize the curated dataset: the fused curation pass
+    (ops/text.curation_pipeline — quality + repetition + lang ID + split in
+    one projection) runs on the document stream and selected docs land as
+    parquet partitioned by split, so train/val/test are separate directory
+    trees prunable at read time. Stateless transform ⇒ the file sink's own
+    exactly-once log suffices (no foreachBatch needed); restart against the
+    same checkpoint never duplicates output files."""
+    from flink_210225_spark.ops.text import curation_pipeline
+
+    curated = curation_pipeline({"documents": docs_stream}).filter(F.col("selected"))
+    return (
+        curated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("split")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_router_stream(
     cdc_stream: DataFrame,
     config_loader: Callable[[SparkSession], DataFrame],

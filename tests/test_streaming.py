@@ -111,3 +111,29 @@ def test_router_stream_end_to_end(spark, tmp_path):
     q2.awaitTermination()
     assert len(spark.read.parquet(str(tmp_path / "out/topics/dwd_order_info")).collect()) == 1
     assert len(spark.read.parquet(str(tmp_path / "out/dims/dim_user_info")).collect()) == 1
+
+
+def test_curation_stream_writes_partitioned_dataset(spark, tmp_path):
+    """Curated-dataset writer: selected docs land under split=... partitions
+    and equal the batch pipeline's selected set; a restart against the same
+    checkpoint replays nothing (file-sink exactly-once)."""
+    from flink_210225_spark.io import load_tables
+    from flink_210225_spark.ops.text import curation_pipeline
+    from .test_sessions_streamjoin import _file_stream
+    from .conftest import SF_DIR
+
+    out, ckpt = str(tmp_path / "dataset"), str(tmp_path / "ckpt")
+    stream = _file_stream(spark, SF_DIR, "documents")
+    sp.run_curation_stream(stream, out, ckpt).awaitTermination()
+
+    got = spark.read.parquet(out)
+    assert set(r.split for r in got.select("split").distinct().collect()) <= {
+        "train", "val", "test"}
+    want = curation_pipeline(load_tables(spark, SF_DIR)).filter("selected")
+    cols = ["doc_id", "quality", "keep_repetition", "pred_lang", "split", "selected"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect()))
+
+    n0 = got.count()
+    sp.run_curation_stream(stream, out, ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == n0
