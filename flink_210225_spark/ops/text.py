@@ -334,6 +334,33 @@ def curation_pipeline(
     )
 
 
+# BPE-ish tokenizer seam: letter runs capped at 4 chars, digit runs at 3,
+# punctuation char-by-char — approximates subword granularity with a pure
+# regex both Java (Spark) and RE2 (DuckDB) execute identically.
+BPE_TOKEN_RE = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def token_stats_bpe(tables: dict[str, DataFrame]) -> DataFrame:
+    """Token counting under the BPE-ish regex vs whitespace words: per doc
+    both counts and the expansion ratio (subword tokens per word) — the
+    number that converts corpus word counts into training-token budgets.
+    Pure projection, rides the scan."""
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)).alias("n_bpe"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_bpe",
+        (F.floor(F.col("n_bpe") / F.col("n_words") * 10000 + 0.5) / 10000).alias(
+            "tokens_per_word"
+        ),
+    )
+
+
 def corpus_stats(tables: dict[str, DataFrame]) -> DataFrame:
     """Mixture profiling: per-(lang, source) doc counts, token totals, and
     exact length percentiles — the numbers that drive mixture-weight /
@@ -354,6 +381,46 @@ def corpus_stats(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def pack_bins_bfd(tables: dict[str, DataFrame], seq_len: int = 256) -> DataFrame:
+    """Best-fit-decreasing packing: per language, docs sorted by token count
+    descending, each placed into the fullest bin that still fits (new bin
+    otherwise) — fewer bins / higher fill than ``pack_bins``'s next-fit at
+    the cost of losing doc_id order inside bins. Same execution shape:
+    sequential state per group ⇒ ``applyInPandas``; shard the group key at
+    scale. The open-bin search uses a best-fit scan over bin fills — O(docs ×
+    bins) per group; swap in a sorted container for huge groups."""
+    import pandas as pd
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id", "lang", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+    )
+
+    def assign(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        out = []
+        for n in pdf["n_tokens"]:
+            n_eff = min(int(n), seq_len)
+            best, best_fill = -1, -1
+            for b, f in enumerate(fills):
+                if f + n_eff <= seq_len and f > best_fill:
+                    best, best_fill = b, f
+            if best < 0:
+                best = len(fills)
+                fills.append(0)
+            fills[best] += n_eff
+            out.append(best)
+        pdf["bin"] = out
+        return pdf[["doc_id", "lang", "n_tokens", "bin"]]
+
+    return base.groupBy("lang").applyInPandas(
+        assign, "doc_id long, lang string, n_tokens int, bin long"
+    )
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -364,9 +431,13 @@ QUERIES = {
     "text_repetition": repetition_filter,
     "text_corpus_stats": corpus_stats,
     "text_curation_pipeline": curation_pipeline,
+    "text_token_stats_bpe": token_stats_bpe,
     # rows-only: greedy sequential state isn't SQL-expressible; invariants
     # (bin fill ≤ seq_len, monotone bins, dense ids) are pytest-gated.
     "text_pack_bins": pack_bins,
+    # rows-only: best-fit placement is sequential too; gated on fill ≤
+    # seq_len, full coverage, and bin count ≤ next-fit's per group.
+    "text_pack_bins_bfd": pack_bins_bfd,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -472,6 +543,18 @@ ORACLES = {
         SELECT doc_id, top_token_frac, dup_token_frac, dup_bigram_frac,
                (top_token_frac <= 0.18 AND dup_bigram_frac <= 0.55) AS keep
         FROM f
+    """,
+    "text_token_stats_bpe": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len({_DUCK_TOKS}) AS n_words,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]{{1,4}}|[0-9]{{1,3}}|[^A-Za-z0-9\\s]')) AS n_bpe
+            FROM documents
+        )
+        SELECT doc_id, n_words::BIGINT AS n_words, n_bpe::BIGINT AS n_bpe,
+               floor(n_bpe * 1.0 / n_words * 10000 + 0.5) / 10000 AS tokens_per_word
+        FROM m
     """,
     "text_curation_pipeline": f"""
         WITH t AS (SELECT doc_id, lang, text, {_DUCK_TOKS} AS toks FROM documents),

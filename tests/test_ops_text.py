@@ -98,6 +98,38 @@ def test_curation_pipeline_is_stream_composable(spark, tables):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_bpe_token_counts_semantics(spark):
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "windowing 12345 a,b")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.token_stats_bpe({"documents": docs}).collect()}
+    assert (got[1].n_words, got[1].n_bpe) == (2, 2)          # short words: 1:1
+    # windowing -> wind|owin|g (3), 12345 -> 123|45 (2), a,b -> a|,|b (3)
+    assert (got[2].n_words, got[2].n_bpe) == (3, 8)
+    assert got[2].tokens_per_word > 2.0
+
+
+def test_pack_bins_bfd_dominates_next_fit(tables):
+    """BFD must pack every doc, never overfill a bin, and use no more bins
+    than next-fit in any language group (best-fit-decreasing dominance)."""
+    nf = text.pack_bins(tables, seq_len=256).collect()
+    bfd = text.pack_bins_bfd(tables, seq_len=256).collect()
+    assert sorted(r.doc_id for r in bfd) == sorted(r.doc_id for r in nf)
+    fills: dict = {}
+    for r in bfd:
+        fills[(r.lang, r.bin)] = fills.get((r.lang, r.bin), 0) + min(r.n_tokens, 256)
+    assert all(v <= 256 for v in fills.values())
+    nf_bins: dict = {}
+    bfd_bins: dict = {}
+    for r in nf:
+        nf_bins.setdefault(r.lang, set()).add(r.bin)
+    for r in bfd:
+        bfd_bins.setdefault(r.lang, set()).add(r.bin)
+    for lang in nf_bins:
+        assert len(bfd_bins[lang]) <= len(nf_bins[lang]), lang
+
+
 def test_pack_bins_invariants(tables):
     rows = text.pack_bins(tables, seq_len=256).collect()
     by_lang: dict = {}
