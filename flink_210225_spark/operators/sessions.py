@@ -71,12 +71,81 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def funnel_conversion(
+    tables: dict[str, DataFrame], steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Ordered conversion funnel: a user reaches stage k when an event of
+    type ``steps[k]`` occurs at-or-after the time they reached stage k-1
+    (min-time chain — deterministic, tie-tolerant via >=). Emits one row per
+    stage with the surviving user count.
+
+    Shape: the chained stage times are consecutive Window aggregates over
+    the SAME (user_id) partitioning, so Catalyst plans ONE Exchange and
+    reuses the sort; the final count is a global agg over one row per user.
+    No joins, no self-reads of the events table."""
+    from pyspark.sql import Window
+
+    ev = tables["events"].filter(F.col("event_type").isin(*steps))
+    w = Window.partitionBy("user_id")
+    cur = ev
+    prev_t = None
+    t_cols = []
+    for k, step in enumerate(steps):
+        cond = F.col("event_type") == step
+        if prev_t is not None:
+            cond &= F.col("ts") >= F.col(prev_t)
+        name = f"t{k}"
+        cur = cur.withColumn(name, F.min(F.when(cond, F.col("ts"))).over(w))
+        prev_t = name
+        t_cols.append(name)
+    per_user = cur.groupBy("user_id").agg(
+        *[F.max(t).alias(t) for t in t_cols]
+    )
+    counts = per_user.agg(
+        *[F.count(t).alias(f"users_{k}") for k, t in enumerate(t_cols)]
+    )
+    stack = ", ".join(
+        f"{k}, '{step}', users_{k}" for k, step in enumerate(steps)
+    )
+    return counts.selectExpr(
+        f"stack({len(steps)}, {stack}) AS (stage, step, users)"
+    )
+
+
 QUERIES = {
     "session_gaps_islands": sessionize,
     "session_window_native": lambda tables: session_window_agg(tables["events"]),
+    "session_funnel": funnel_conversion,
 }
 
 ORACLES = {
+    "session_funnel": """
+        WITH t0 AS (
+            SELECT user_id, min(ts) FILTER (event_type = 'signup') AS t0
+            FROM events GROUP BY user_id
+        ),
+        t1 AS (
+            SELECT e.user_id, min(e.ts) AS t1
+            FROM events e JOIN t0 ON e.user_id = t0.user_id
+            WHERE e.event_type = 'view' AND e.ts >= t0.t0
+            GROUP BY e.user_id
+        ),
+        t2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= t1.t1
+            GROUP BY e.user_id
+        )
+        SELECT 0 AS stage, 'signup' AS step,
+               (SELECT count(*) FROM t0 WHERE t0 IS NOT NULL)::BIGINT AS users
+        UNION ALL
+        SELECT 1, 'view', (SELECT count(*) FROM t1)::BIGINT
+        UNION ALL
+        SELECT 2, 'purchase', (SELECT count(*) FROM t2)::BIGINT
+    """,
     "session_gaps_islands": """
         WITH gapped AS (
             SELECT user_id, ts, event_id, value,

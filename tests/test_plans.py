@@ -52,6 +52,16 @@ def test_repetition_is_shuffle_free(tables):
         assert plan.count("Exchange") == 0, (fn.__name__, plan)
 
 
+def test_funnel_single_user_shuffle(tables):
+    """Three chained stage-time windows + the per-user rollup must share ONE
+    user_id Exchange; the only other Exchange is the global-count collapse."""
+    from flink_210225_spark.operators.sessions import funnel_conversion
+
+    plan = funnel_conversion(tables)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange") == 2, plan
+
+
 def test_codegen_present(tables):
     assert explain.codegen_stage_count(serving.gmv(tables)) >= 1
     assert explain.codegen_stage_count(serving.trademark_topn(tables)) >= 1

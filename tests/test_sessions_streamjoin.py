@@ -103,3 +103,26 @@ def test_stream_orderwide_dim_enrichment_matches_batch(spark, tables):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_funnel_ordering_semantics(spark):
+    """Stage k needs its event AT-OR-AFTER stage k-1's time: a user with
+    view-before-signup reaches stage 1 only if ANOTHER view follows."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, t(1), "signup"), (2, 1, t(2), "view"), (3, 1, t(3), "purchase"),
+        # user 2: view BEFORE signup, purchase after -> stops at stage 0
+        (4, 2, t(1), "view"), (5, 2, t(2), "signup"), (6, 2, t(3), "purchase"),
+        # user 3: signup then purchase, no view -> purchase can't count
+        (7, 3, t(1), "signup"), (8, 3, t(2), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, ts, et, 0.0) for i, u, ts, et in rows],
+        "event_id long, user_id long, ts timestamp_ntz, event_type string, value double",
+    )
+    got = {r.step: r.users for r in
+           sessions.funnel_conversion({"events": ev}).collect()}
+    assert got == {"signup": 3, "view": 1, "purchase": 1}
