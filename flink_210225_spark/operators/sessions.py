@@ -115,13 +115,54 @@ def funnel_conversion(
     )
 
 
+def retention_cohorts(tables: dict[str, DataFrame]) -> DataFrame:
+    """Cohort retention: for each first-seen day (cohort) and day-offset k,
+    the distinct users active k days after their first event. First-seen day
+    is a min-window over the same user_id partitioning the activity dedup
+    uses. One explicit repartition(user_id) feeds BOTH the (user_id, day)
+    dedup-aggregate and the first-day window without re-shuffling
+    (HashPartitioning(user_id) satisfies the clustered distribution of any
+    superset key), so raw events are deduped to user-days BEFORE the window
+    sort — 2 shuffles total instead of 3, and the window sorts user-days,
+    not raw events. Exact countDistinct here (oracle-gated); at extreme
+    cardinality this is where the HLL sketch (window_uv_sketch) swaps in."""
+    ev = (
+        tables["events"]
+        .select("user_id", F.to_date("ts").alias("day"))
+        .repartition("user_id")
+    )
+    w = Window.partitionBy("user_id")
+    act = ev.distinct().withColumn("first_day", F.min("day").over(w))
+    return (
+        act.groupBy(
+            F.date_format("first_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("day", "first_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("users"))
+    )
+
+
 QUERIES = {
     "session_gaps_islands": sessionize,
     "session_window_native": lambda tables: session_window_agg(tables["events"]),
     "session_funnel": funnel_conversion,
+    "session_retention": retention_cohorts,
 }
 
 ORACLES = {
+    "session_retention": """
+        WITH act AS (
+            SELECT DISTINCT user_id, ts::DATE AS day FROM events
+        ),
+        firsts AS (
+            SELECT user_id, min(day) AS first_day FROM act GROUP BY user_id
+        )
+        SELECT strftime(f.first_day, '%Y-%m-%d') AS cohort,
+               date_diff('day', f.first_day, a.day)::INT AS day_offset,
+               count(DISTINCT a.user_id) AS users
+        FROM act a JOIN firsts f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
     "session_funnel": """
         WITH t0 AS (
             SELECT user_id, min(ts) FILTER (event_type = 'signup') AS t0

@@ -62,6 +62,17 @@ def test_funnel_single_user_shuffle(tables):
     assert plan.count("Exchange") == 2, plan
 
 
+def test_retention_two_shuffles(tables):
+    """One repartition(user_id) must feed BOTH the user-day dedup-aggregate
+    and the first-day window (HashPartitioning(user_id) satisfies the
+    (user_id, day) clustered distribution); the only other Exchange is the
+    final (cohort, offset) agg. Dedup happens BEFORE the window sort."""
+    from flink_210225_spark.operators.sessions import retention_cohorts
+
+    plan = retention_cohorts(tables)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+
+
 def test_codegen_present(tables):
     assert explain.codegen_stage_count(serving.gmv(tables)) >= 1
     assert explain.codegen_stage_count(serving.trademark_topn(tables)) >= 1
