@@ -421,6 +421,107 @@ def pack_bins_bfd(tables: dict[str, DataFrame], seq_len: int = 256) -> DataFrame
     )
 
 
+# --- PII redaction ---------------------------------------------------------
+# Pattern battery shared verbatim between the Spark operator and the DuckDB
+# oracle: Java-regex and RE2 dialects agree on this subset (char classes,
+# bounded repeats, \d, \b — no lookaround, which RE2 lacks). Order matters
+# only in that replacement tokens must not re-match later patterns (they
+# are letter-only, so they can't).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact_col(text: Column) -> tuple[Column, dict[str, Column]]:
+    """Redact the PII battery from ``text``; returns (redacted, counts).
+    Counts are taken against the ORIGINAL text (order-independent since the
+    patterns are mutually non-overlapping by construction); redaction is a
+    sequential fold. Pure JVM regexp — stays in codegen, no shuffle."""
+    counts = {
+        name: F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    }
+    red = text
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return red, counts
+
+
+def pii_redact(tables: dict[str, DataFrame]) -> DataFrame:
+    """PII redaction over ``documents``. The synthetic corpus contains no
+    digits at all (word-bag fixtures), so the query injects deterministic
+    doc_id-derived PII into 2/3 of the docs FIRST — the injection is part of
+    the query on both the Spark and oracle sides, making the redaction
+    battery a non-trivial exact-match oracle. Reference parity: the
+    reference has no PII op; this is part of the training-data-pipeline
+    extension surface (SURVEY §2 extensions)."""
+    docs = tables["documents"]
+    d = F.col("doc_id")
+    s = d.cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s, F.lit("@mail.example.com"),
+        F.lit(" ph 555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."), (d % 256).cast("string"),
+        F.lit(".0."), ((d * 7) % 256).cast("string"),
+        F.lit(" ssn 123-45-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    aug = F.when(d % 3 == 0, F.col("text")).otherwise(injected)
+    base = docs.select("doc_id", aug.alias("aug"))
+    red, counts = pii_redact_col(F.col("aug"))
+    return base.select(
+        "doc_id",
+        *counts.values(),
+        F.length(red).alias("redacted_len"),
+        F.md5(red).alias("digest"),
+    )
+
+
+# --- TF-IDF top terms ------------------------------------------------------
+
+
+def tfidf_top_terms(tables: dict[str, DataFrame], k: int = 3) -> DataFrame:
+    """Top-k terms per doc by tf·idf. Scoring uses LINEAR idf (tf · N/df)
+    rather than ln(N/df): IEEE-754 `*` and `/` are exactly rounded, so the
+    score — and therefore the ranking — is bit-identical across engines,
+    whereas libm `ln` differs in the last ulp and can flip ranks of
+    near-tied terms between Spark and the DuckDB oracle. Ties break on term
+    ASC. Plan at scale: tf is a (doc_id, term) partial-agg (map-side
+    combine shrinks to distinct doc-terms), df re-aggregates tf by term
+    (vocab-sized), N joins in via broadcast of a 1-row agg (no
+    driver collect), and top-k is a row_number window on doc_id."""
+    docs = tables["documents"].select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n)).withColumn(
+        "s", F.col("tf") * (F.col("n").cast("double") / F.col("df"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "rank",
+            (F.floor(F.col("s") * 100 + 0.5) / 100).alias("score"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -438,11 +539,71 @@ QUERIES = {
     # rows-only: best-fit placement is sequential too; gated on fill ≤
     # seq_len, full coverage, and bin count ≤ next-fit's per group.
     "text_pack_bins_bfd": pack_bins_bfd,
+    "text_pii_redact": pii_redact,
+    "text_tfidf_topk": tfidf_top_terms,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
+# The same injection + battery as pii_redact, spelled in DuckDB. DuckDB
+# regexp_replace needs the explicit 'g' flag (Spark replaces all matches by
+# default); the patterns themselves are dialect-shared.
+_PII_AUG = """
+    CASE WHEN doc_id % 3 = 0 THEN text
+         ELSE text || ' contact user' || doc_id || '@mail.example.com'
+              || ' ph 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+              || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              || ' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+              || ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+    END
+"""
+
+
+def _pii_oracle_sql() -> str:
+    counts = ",\n               ".join(
+        f"len(regexp_extract_all(aug, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "aug"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+        WITH a AS (SELECT doc_id, {_PII_AUG} AS aug FROM documents)
+        SELECT doc_id,
+               {counts},
+               length({red})::BIGINT AS redacted_len,
+               md5({red}) AS digest
+        FROM a
+    """
+
+
 ORACLES = {
+    "text_pii_redact": _pii_oracle_sql(),
+    "text_tfidf_topk": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*)::BIGINT AS tf
+            FROM toks WHERE term <> '' GROUP BY 1, 2
+        ),
+        dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.term,
+                   t.tf * ((SELECT n FROM n)::DOUBLE / d.df) AS s
+            FROM tf t JOIN dfr d USING (term)
+        ),
+        ranked AS (
+            SELECT doc_id, term, s,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY s DESC, term ASC
+                   )::BIGINT AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, rank, floor(s * 100 + 0.5) / 100 AS score
+        FROM ranked WHERE rank <= 3
+    """,
     "text_token_stats": f"""
         WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
         SELECT doc_id,

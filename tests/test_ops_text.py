@@ -148,3 +148,52 @@ def test_pack_bins_invariants(tables):
         for r1, r2 in zip(lang_rows, lang_rows[1:]):
             if r2.bin == r1.bin + 1:
                 assert fill[r1.bin] + min(r2.n_tokens, 256) > 256
+
+
+def test_pii_redact_battery(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org end"),
+            (2, "call 555-123-4567 or ssn 123-45-6789"),
+            (3, "host 192.168.1.254 twice 10.0.0.1"),
+            (4, "clean text no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    red, counts = text.pii_redact_col(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in docs.select("doc_id", red.alias("red"), *counts.values()).collect()
+    }
+    assert out[1].red == "mail <EMAIL> end" and out[1].n_email == 1
+    assert out[2].red == "call <PHONE> or ssn <SSN>"
+    assert out[2].n_phone == 1 and out[2].n_ssn == 1
+    assert out[3].red == "host <IP> twice <IP>" and out[3].n_ip == 2
+    assert out[4].red == out[4].red == "clean text no pii at all"
+    assert out[4].n_email == out[4].n_phone == out[4].n_ip == out[4].n_ssn == 0
+
+
+def test_tfidf_ranking_and_ties(spark):
+    # 3 docs: "rare" appears only in doc 1 (df=1, idf=3), "mid" in docs 1-2
+    # (df=2), "common" everywhere (df=3, idf=1). Within doc 1 the ranking
+    # must be rare > mid > common; equal-score terms break ties term-ASC.
+    docs = spark.createDataFrame(
+        [
+            (1, "rare mid common"),
+            (2, "mid common zz aa"),
+            (3, "common common"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = text.tfidf_top_terms({"documents": docs}, k=4).collect()
+    d1 = sorted([r for r in rows if r.doc_id == 1], key=lambda r: r.rank)
+    assert [r.term for r in d1] == ["rare", "mid", "common"]
+    assert [r.score for r in d1] == [3.0, 1.5, 1.0]
+    d2 = sorted([r for r in rows if r.doc_id == 2], key=lambda r: r.rank)
+    # aa and zz both have tf=1, df=1 → equal score 3.0; term-ASC tie-break.
+    assert [r.term for r in d2][:2] == ["aa", "zz"]
+    # doc 3: tf=2 for common → score 2·(3/3) = 2.0 beats nothing else there.
+    d3 = [r for r in rows if r.doc_id == 3]
+    assert len(d3) == 1 and d3[0].score == 2.0
