@@ -503,9 +503,12 @@ def tfidf_top_terms(tables: dict[str, DataFrame], k: int = 3) -> DataFrame:
     ).where(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").alias("n"))
-    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n)).withColumn(
-        "s", F.col("tf") * (F.col("n").cast("double") / F.col("df"))
+    # N attaches as a scalar subquery (Spark 4 DataFrame.scalar) — plans as a
+    # reused subquery result, not a join node; a crossJoin of the 1-row agg
+    # would plan BroadcastNestedLoopJoin and trip the no-cartesian gate.
+    n = docs.agg(F.count("*").alias("n")).scalar()
+    scored = tf.join(dfreq, "term").withColumn(
+        "s", F.col("tf") * (n.cast("double") / F.col("df"))
     )
     from pyspark.sql import Window
 
