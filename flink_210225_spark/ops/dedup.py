@@ -80,6 +80,70 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return docs.select("doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle"))
 
 
+def keep_best_dedup(tables: dict[str, DataFrame]) -> DataFrame:
+    """Survivor selection for duplicate groups: within each normalized-text
+    group keep the HIGHEST-QUALITY document (tie → lowest doc_id), not the
+    arbitrary min-id that ``exact_dedup``/``normalized_dedup`` pick. This is
+    the curation-grade dedup shape (e.g. keep the best-formatted mirror of a
+    page, drop the scraped-twice copies).
+
+    Scale: quality is computed in the same scan that digests the text (no
+    second pass, no join against the quality query), then ONE shuffle keyed
+    by the 16-byte digest feeds both window functions (rank + group size
+    share the partition key, Spark plans a single Exchange + sort)."""
+    from .text import _quality_expr, tokens_col
+
+    docs = tables["documents"]
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    base = docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        _quality_expr(tokens_col(F.col("text"))).alias("quality"),
+    )
+    from pyspark.sql import Window
+
+    part = Window.partitionBy("norm_hash")
+    ranked = base.select(
+        "norm_hash",
+        "doc_id",
+        "quality",
+        F.row_number()
+        .over(part.orderBy(F.desc("quality"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count("*").over(part).alias("dup_ct"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "norm_hash",
+        F.col("doc_id").alias("keep_id"),
+        F.col("quality").alias("keep_quality"),
+        "dup_ct",
+    )
+
+
+def shingle_hotspots(
+    tables: dict[str, DataFrame], n: int = 5, min_docs: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-wide boilerplate detection: word ``n``-grams that appear in
+    ≥ ``min_docs`` distinct documents (headers, footers, license blurbs —
+    the C4/RefinedWeb "remove repeated lines across pages" family), top-k
+    by document frequency.
+
+    Scale: shingles are distinct-per-doc at the source (``shingles_col``
+    dedups inside the row — no corpus-level distinct needed), the count is
+    a map-side-combined groupBy on the shingle, and the top-k is
+    orderBy+limit which Spark executes as TakeOrderedAndProject (per
+    -partition heaps + driver merge of k rows, never a full sort)."""
+    docs = tables["documents"]
+    sh = docs.select(F.explode(shingles_col(F.col("text"), n)).alias("shingle"))
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("doc_ct"))
+        .filter(F.col("doc_ct") >= min_docs)
+        .orderBy(F.desc("doc_ct"), F.asc("shingle"))
+        .limit(k)
+    )
+
+
 def ngram_jaccard_pairs(
     tables: dict[str, DataFrame], n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
@@ -543,6 +607,8 @@ def embedding_near_dups_blocked(
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_normalized": normalized_dedup,
+    "dedup_keep_best": keep_best_dedup,
+    "dedup_shingle_hotspots": shingle_hotspots,
     "dedup_embedding_cosine": embedding_near_dups,
     "dedup_embedding_blocked": embedding_near_dups_blocked,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
@@ -581,6 +647,59 @@ ORACLES = {
                min(doc_id) AS keep_id, count(*) AS dup_ct
         FROM documents
         GROUP BY 1
+    """,
+    # Same quality expression as text_quality_score's oracle; survivor =
+    # row_number over (quality DESC, doc_id ASC) per normalized digest.
+    "dedup_keep_best": """
+        WITH t AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_hash,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, norm_hash,
+                   len(toks) AS n,
+                   len(list_distinct(toks)) AS uniq,
+                   len(list_filter(toks, t -> t IN ('the','a'))) AS stop_ct
+            FROM t
+        ),
+        q AS (
+            SELECT doc_id, norm_hash,
+                   floor((0.4 * least(n / 100.0, 1.0)
+                          + 0.3 * (uniq * 1.0 / n)
+                          + 0.3 * (1.0 - abs(stop_ct * 1.0 / n - 0.1))) * 10000 + 0.5)
+                       / 10000 AS quality
+            FROM m
+        ),
+        r AS (
+            SELECT norm_hash, doc_id, quality,
+                   row_number() OVER (PARTITION BY norm_hash
+                                      ORDER BY quality DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY norm_hash) AS dup_ct
+            FROM q
+        )
+        SELECT norm_hash, doc_id AS keep_id, quality AS keep_quality,
+               dup_ct::BIGINT AS dup_ct
+        FROM r WHERE rn = 1
+    """,
+    "dedup_shingle_hotspots": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(greatest(len(t) - 5, 0) + 1),
+                       i -> array_to_string(t[i + 1 : i + 5], ' ')))) AS shingle
+            FROM toks
+        )
+        SELECT shingle, count(*)::BIGINT AS doc_ct
+        FROM sh
+        GROUP BY shingle
+        HAVING count(*) >= 2
+        ORDER BY doc_ct DESC, shingle ASC
+        LIMIT 20
     """,
     "dedup_ngram_jaccard": """
         WITH toks AS (

@@ -6,7 +6,16 @@ from .conftest import SF_DIR
 from .oracle import assert_matches_oracle
 
 
-@pytest.mark.parametrize("name", ["dedup_exact", "dedup_normalized", "dedup_ngram_jaccard"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_exact",
+        "dedup_normalized",
+        "dedup_ngram_jaccard",
+        "dedup_keep_best",
+        "dedup_shingle_hotspots",
+    ],
+)
 def test_dedup_matches_oracle(name, tables):
     assert_matches_oracle(dedup.QUERIES[name](tables), dedup.ORACLES[name], SF_DIR)
 
@@ -101,6 +110,45 @@ def test_normalized_dedup_merges_case_and_spacing(spark):
     rows = dedup.normalized_dedup({"documents": docs}).collect()
     by_keep = {r.keep_id: r.dup_ct for r in rows}
     assert by_keep == {1: 3, 4: 1}
+
+
+def test_keep_best_prefers_quality_over_min_id(spark):
+    """Within a normalized group the survivor is the highest-quality doc,
+    not the lowest id. 'The ...' and 'the ...' normalize to one group, but
+    quality is computed on the RAW tokens, where only lowercase 'the' counts
+    as a stopword — stop_balance 0.925 vs 0.900 — so doc 5 must win despite
+    the larger id; exact quality ties fall back to min doc_id."""
+    body = " ".join(f"w{i}" for i in range(39))
+    docs = spark.createDataFrame(
+        [(2, "The " + body), (5, "the " + body)],
+        "doc_id long, text string",
+    )
+    rows = dedup.keep_best_dedup({"documents": docs}).collect()
+    assert len(rows) == 1 and rows[0].keep_id == 5 and rows[0].dup_ct == 2
+
+    tied = spark.createDataFrame(
+        [(4, "w0 w1  w2"), (9, "w0 w1 w2  ")],  # identical tokens -> tie
+        "doc_id long, text string",
+    )
+    rows = dedup.keep_best_dedup({"documents": tied}).collect()
+    assert len(rows) == 1 and rows[0].keep_id == 4 and rows[0].dup_ct == 2
+
+
+def test_shingle_hotspots_flags_shared_boilerplate(spark):
+    footer = "copyright acme corp all rights reserved"  # 6 tokens -> 2 5-grams
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + footer),
+            (2, "delta epsilon zeta " + footer),
+            (3, "unique page body with no shared phrasing at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.shingle_hotspots({"documents": docs}).collect()
+    shingles = {r.shingle: r.doc_ct for r in rows}
+    assert shingles.get("copyright acme corp all rights") == 2
+    assert shingles.get("acme corp all rights reserved") == 2
+    assert all(ct >= 2 for ct in shingles.values())
 
 
 def test_blocked_embedding_dedup_equals_broadcast(tables):

@@ -52,6 +52,17 @@ def test_repetition_is_shuffle_free(tables):
         assert plan.count("Exchange") == 0, (fn.__name__, plan)
 
 
+def test_keep_best_single_shuffle(tables):
+    """Quality is computed in the digest scan, then ONE norm_hash Exchange
+    feeds both window functions (rank + group count share the partition
+    key); a second Exchange would mean the quality computation or the group
+    size became a separate pass."""
+    from flink_210225_spark.ops.dedup import keep_best_dedup
+
+    plan = keep_best_dedup(tables)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_funnel_single_user_shuffle(tables):
     """Three chained stage-time windows + the per-user rollup must share ONE
     user_id Exchange; the only other Exchange is the global-count collapse."""
