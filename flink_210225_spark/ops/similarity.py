@@ -289,6 +289,126 @@ def ivf_ann_topk(
     )
 
 
+def quantize_int8(tables: dict[str, DataFrame]) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the storage/transfer
+    compression step in front of an ANN index (scale = maxabs/127, one byte
+    per component instead of four/eight). Emits one row per (vec_id, pos)
+    with the quantized value and the reconstruction error so the oracle
+    compares only scalars (array columns canonicalize differently across
+    engines).
+
+    Numeric contract: all math in double after an elementwise float→double
+    cast; q = floor(x/scale + 0.5) is explicit round-half-up — identical in
+    Spark and DuckDB, unlike engine-native rint/banker's rounding. maxabs
+    and scale are let-bound as LAMBDA VARIABLES (nested single-element
+    transforms): referencing the maxabs aggregate inside the per-element
+    lambda would recompute it per component — O(dim²)/vector (expressions
+    don't CSE across lambda boundaries; see shingles_col)."""
+    emb = tables["embeddings"]
+    v = _as_double(F.col("embedding"))
+
+    def per_vec(vv: Column) -> Column:
+        maxabs = F.aggregate(vv, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+
+        def with_m(m: Column) -> Column:
+            scale = F.when(m == 0.0, F.lit(1.0)).otherwise(m / 127.0)
+
+            def cell(x: Column) -> Column:
+                q = F.floor(x / scale + 0.5)
+                err = F.abs(q * scale - x)
+                return F.struct(
+                    q.cast("int").alias("qv"),
+                    (F.floor(err * 1000000 + 0.5) / 1000000).alias("err"),
+                )
+
+            return F.struct(F.transform(vv, cell).alias("cells"), m.alias("maxabs"))
+
+        return F.get(F.transform(F.array(maxabs), with_m), 0)
+
+    bound = F.get(F.transform(F.array(v), per_vec), 0)
+    qdf = emb.select("vec_id", bound.alias("b"))
+    return qdf.select(
+        "vec_id",
+        F.col("b.maxabs").alias("maxabs"),
+        F.posexplode("b.cells").alias("pos", "cell"),
+    ).select(
+        "vec_id",
+        "maxabs",
+        "pos",
+        F.col("cell.qv").alias("qv"),
+        F.col("cell.err").alias("err"),
+    )
+
+
+def semantic_dedup(
+    tables: dict[str, DataFrame],
+    n_cells: int = 8,
+    n_probe: int = 3,
+    threshold: float = 0.40,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse k-means
+    clusters (the IVF quantizer, reused) bound the pair search — exact
+    cosine runs only between vectors sharing a cell. SOFT assignment (each
+    vector joins its ``n_probe`` nearest cells) is the recall lever:
+    single-assignment recall on moderate-similarity pairs is cluster-
+    boundary-limited (~0.3 on the fixtures), top-3-of-8 reaches 1.0 with
+    zero extra pairs.
+
+    Scale: candidate pairs drop from n² to ~n²·n_probe²/n_cells (balanced
+    cells); the pair generation is an equi-join shuffling on cell id, and
+    duplicate pair hits from shared probe cells collapse with one
+    dropDuplicates on the pair key. n_cells ~ sqrt(corpus) keeps cells
+    executor-sized. Rows-only for the driver (k-means cells aren't
+    SQL-expressible); pytest gates recall ≥ 0.95 and no-extras vs the
+    global near-dup pair set."""
+    import numpy as np
+    import pandas as pd
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    _assigned, cent = ivf_assign(emb, n_cells)
+    cn = np.sqrt((cent * cent).sum(axis=1))
+
+    def soft_assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            cos = (mat @ cent.T) / np.outer(nrm, cn)
+            top = np.argsort(-cos, axis=1)[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(n_probe),
+                    "embedding": pdf["embedding"].to_numpy().repeat(n_probe),
+                    "cell": top.ravel().astype("int32"),
+                }
+            )
+
+    assigned = emb.mapInPandas(soft_assign, "vec_id long, embedding array<float>, cell int")
+    v = _as_double(F.col("embedding"))
+    e = assigned.select("vec_id", "cell", v.alias("v"), _norm(v).alias("nrm"))
+    a = e.select(
+        "cell",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cosine", F.floor(cos * 1000000 + 0.5) / 1000000)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 def diversity_coreset(tables: dict[str, DataFrame], k: int = 10) -> DataFrame:
     """Greedy farthest-point (k-center) coreset over the embedding corpus —
     the diversity-sampling step that picks k maximally-spread exemplars
@@ -370,6 +490,10 @@ QUERIES = {
     # rows-only: k greedy argmax rounds aren't SQL-expressible; pytest gates
     # exact pick-sequence parity vs a straight NumPy farthest-point run.
     "sim_diversity_coreset": diversity_coreset,
+    "sim_quantize_int8": quantize_int8,
+    # rows-only (k-means cells not in SQL); pytest gates exact parity with
+    # the global near-dup pairs restricted to co-clustered pairs + recall.
+    "sim_semantic_dedup": semantic_dedup,
 }
 
 _COS = """
@@ -404,5 +528,26 @@ ORACLES = {
                floor(avg(nrm) * 1000000 + 0.5) / 1000000 AS avg_norm,
                floor(stddev_pop(nrm) * 1000000 + 0.5) / 1000000 AS std_norm
         FROM per_row GROUP BY label
+    """,
+    # Same explicit round-half-up quantizer; lateral unnest over the
+    # component index so only scalars are compared.
+    "sim_quantize_int8": """
+        WITH base AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ),
+        sc AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS maxabs,
+                   CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+                        ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+                   END AS scale
+            FROM base
+        )
+        SELECT vec_id, maxabs, u.i AS pos,
+               floor(v[u.i + 1] / scale + 0.5)::INTEGER AS qv,
+               floor(abs(floor(v[u.i + 1] / scale + 0.5) * scale - v[u.i + 1])
+                     * 1000000 + 0.5) / 1000000 AS err
+        FROM sc, unnest(range(len(v))) AS u(i)
     """,
 }

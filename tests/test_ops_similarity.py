@@ -6,9 +6,32 @@ from .conftest import SF_DIR
 from .oracle import assert_matches_oracle
 
 
-@pytest.mark.parametrize("name", ["sim_cosine_topk", "sim_cluster_stats"])
+@pytest.mark.parametrize(
+    "name", ["sim_cosine_topk", "sim_cluster_stats", "sim_quantize_int8"]
+)
 def test_similarity_matches_oracle(name, tables):
     assert_matches_oracle(similarity.QUERIES[name](tables), similarity.ORACLES[name], SF_DIR)
+
+
+def test_quantize_int8_reconstruction(tables):
+    """Quantized values stay in int8 range and dequantization error is
+    bounded by scale/2 = maxabs/254 per component."""
+    rows = similarity.quantize_int8(tables).collect()
+    assert all(-127 <= r.qv <= 127 for r in rows)
+    # err was rounded half-up at 1e-6, allow that much slack on the bound
+    assert all(r.err <= r.maxabs / 254 + 1e-6 for r in rows)
+
+
+def test_semantic_dedup_recall_and_purity(tables):
+    """Cluster-scoped pairs must be a subset of the global near-dup pairs
+    (same threshold, same rounding) with soft-assignment recall ≥ 0.95."""
+    from flink_210225_spark.ops.dedup import embedding_near_dups
+
+    glob = {(r.vec_a, r.vec_b): r.cosine for r in embedding_near_dups(tables).collect()}
+    sem = {(r.vec_a, r.vec_b): r.cosine for r in similarity.semantic_dedup(tables).collect()}
+    assert not set(sem) - set(glob), "semantic dedup emitted non-near-dup pairs"
+    assert len(sem) / len(glob) >= 0.95, f"recall {len(sem) / len(glob):.2f}"
+    assert all(abs(glob[p] - sem[p]) < 1e-6 for p in sem), "cosine mismatch vs global"
 
 
 def test_lsh_ann_recall(tables):
