@@ -469,6 +469,84 @@ def diversity_coreset(tables: dict[str, DataFrame], k: int = 10) -> DataFrame:
     )
 
 
+def diversity_coreset_cached(tables: dict[str, DataFrame], k: int = 10) -> DataFrame:
+    """Farthest-point coreset, large-k scale path: instead of re-scoring
+    every row against ALL centers each round (O(k·n·dim) per round,
+    O(k²·n·dim) total), carry a cached per-row min-distance column and
+    update it against ONLY the newest center — O(n·dim) per round. The
+    argmax partials also carry the winning row's embedding, so the next
+    center comes back with the same collect (no per-round filter job; see
+    ``diversity_coreset``'s NOTES caveat). ``localCheckpoint`` truncates
+    the per-round lineage so round r doesn't re-execute rounds 1..r-1.
+
+    Same pick sequence as ``diversity_coreset`` (gated by test); rows-only
+    for the driver — greedy sequential argmax isn't SQL-expressible."""
+    import numpy as np
+    import pandas as pd
+
+    emb = tables["embeddings"]
+    spark = emb.sparkSession
+
+    seed = emb.orderBy("vec_id").limit(1).toPandas()
+    seed_id = int(seed["vec_id"][0])
+    picks: list[tuple[int, int, float | None]] = [(0, seed_id, None)]
+    pick_vec = np.asarray(seed["embedding"][0], dtype=np.float64)
+
+    cur = emb.select("vec_id", "embedding", F.lit(float("inf")).alias("mind"))
+    for step in range(1, k):
+        c = pick_vec
+        cnrm = float(np.sqrt(c @ c))
+
+        def upd(batches, c=c, cnrm=cnrm):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                nrm = np.sqrt((mat * mat).sum(axis=1))
+                d = 1.0 - (mat @ c) / (nrm * cnrm)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "embedding": pdf["embedding"],
+                        "mind": np.minimum(pdf["mind"].to_numpy(), d),
+                    }
+                )
+
+        cur = cur.mapInPandas(
+            upd, "vec_id long, embedding array<float>, mind double"
+        ).localCheckpoint()
+
+        def cand(batches):
+            best = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                i = int(np.lexsort((pdf["vec_id"].to_numpy(), -pdf["mind"].to_numpy()))[0])
+                row = (
+                    float(pdf["mind"].iloc[i]),
+                    int(pdf["vec_id"].iloc[i]),
+                    list(pdf["embedding"].iloc[i]),
+                )
+                if best is None or (row[0], -row[1]) > (best[0], -best[1]):
+                    best = row
+            if best is not None:
+                yield pd.DataFrame(
+                    {"mind": [best[0]], "vec_id": [best[1]], "embedding": [best[2]]}
+                )
+
+        pp = cur.mapInPandas(
+            cand, "mind double, vec_id long, embedding array<float>"
+        ).toPandas()
+        row = pp.sort_values(["mind", "vec_id"], ascending=[False, True]).iloc[0]
+        picks.append((step, int(row["vec_id"]), float(row["mind"])))
+        pick_vec = np.asarray(row["embedding"], dtype=np.float64)
+
+    return spark.createDataFrame(
+        [(o, i, d) for o, i, d in picks],
+        "pick_order int, vec_id long, mindist double",
+    )
+
+
 def embedding_cluster_stats(tables: dict[str, DataFrame]) -> DataFrame:
     """Per-label centroid norm + dispersion — array aggregation surface
     (element-wise mean via zip_with fold over collected partial sums)."""
@@ -494,6 +572,8 @@ QUERIES = {
     # rows-only (k-means cells not in SQL); pytest gates exact parity with
     # the global near-dup pairs restricted to co-clustered pairs + recall.
     "sim_semantic_dedup": semantic_dedup,
+    # rows-only; pytest gates pick-sequence parity with diversity_coreset.
+    "sim_diversity_coreset_cached": diversity_coreset_cached,
 }
 
 _COS = """

@@ -381,6 +381,27 @@ def corpus_stats(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def corpus_stats_approx(
+    tables: dict[str, DataFrame], accuracy: int = 1000
+) -> DataFrame:
+    """``corpus_stats``'s 100 TB form: ``approx_percentile`` replaces exact
+    ``percentile``. Exact per-group percentiles materialize every group's
+    values at the reducer (memory ∝ largest group); the GK sketch is
+    fixed-size mergeable state (error ≤ n/accuracy ranks), so partials
+    combine map-side like any sum — the same shape that makes it legal in
+    streaming aggregations. Rows-only for the driver (sketch results are
+    engine-specific); the pytest gate bounds each approx percentile inside
+    the exact ±5-percentile-rank window."""
+    docs = tables["documents"]
+    n_tok = F.size(tokens_col(F.col("text")))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.approx_percentile("n_chars", F.lit(0.5), F.lit(accuracy)).alias("p50_chars"),
+        F.approx_percentile("n_chars", F.lit(0.9), F.lit(accuracy)).alias("p90_chars"),
+    )
+
+
 def pack_bins_bfd(tables: dict[str, DataFrame], seq_len: int = 256) -> DataFrame:
     """Best-fit-decreasing packing: per language, docs sorted by token count
     descending, each placed into the fullest bin that still fits (new bin
@@ -534,6 +555,9 @@ QUERIES = {
     "text_pack_plan": pack_plan,
     "text_repetition": repetition_filter,
     "text_corpus_stats": corpus_stats,
+    # rows-only: GK-sketch values are engine-specific; pytest gates each
+    # approx percentile inside the exact ±5-rank window.
+    "text_corpus_stats_approx": corpus_stats_approx,
     "text_curation_pipeline": curation_pipeline,
     "text_token_stats_bpe": token_stats_bpe,
     # rows-only: greedy sequential state isn't SQL-expressible; invariants

@@ -272,6 +272,28 @@ def quota_stream(docs: DataFrame, quota: int = 10) -> DataFrame:
     )
 
 
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup: admit the first-seen document per text digest;
+    later byte-identical copies are dropped by ``dropDuplicates`` keyed
+    state that persists across micro-batches (a re-ingested mirror three
+    batches later still dedups).
+
+    Scale posture: state is ONE 16-byte digest per distinct document (never
+    the text), hash-partitioned by the state store exactly like the batch
+    groupBy digest shuffle; it grows with the distinct corpus, which is the
+    inherent cost of global exact dedup — bound it by re-keying to
+    ``dropDuplicatesWithinWatermark`` when the stream carries event time and
+    a dedup horizon is acceptable. Which doc of a duplicate group is
+    admitted follows arrival order (batch's min-doc_id tiebreak needs a
+    total order a stream doesn't have) — the parity test checks the
+    admitted digest SET and group membership, not the survivor id."""
+    return (
+        docs.withColumn("text_hash", F.md5("text"))
+        .dropDuplicates(["text_hash"])
+        .select("doc_id", "text_hash", "lang", "source")
+    )
+
+
 def run_curation_stream(docs_stream: DataFrame, out_dir: str, checkpoint_dir: str):
     """Materialize the curated dataset: the fused curation pass
     (ops/text.curation_pipeline — quality + repetition + lang ID + split in

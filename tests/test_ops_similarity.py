@@ -66,6 +66,17 @@ def test_ivf_ann_recall(tables):
     assert full == exact, "probing every cell must reproduce the exact top-k"
 
 
+def test_coreset_cached_matches_full_rescore(tables):
+    """The O(n·dim)-per-round cached-min-distance variant must reproduce the
+    full-rescore pick sequence exactly (ids) with matching radii."""
+    full = similarity.diversity_coreset(tables).orderBy("pick_order").collect()
+    cached = similarity.diversity_coreset_cached(tables).orderBy("pick_order").collect()
+    assert [r.vec_id for r in full] == [r.vec_id for r in cached]
+    for a, b in zip(full, cached):
+        if a.mindist is not None:
+            assert abs(a.mindist - b.mindist) < 1e-9
+
+
 def test_diversity_coreset_matches_numpy_greedy(tables):
     """The distributed farthest-point run must pick the IDENTICAL sequence a
     single-machine NumPy greedy picks — partition-local argmax + driver

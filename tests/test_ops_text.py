@@ -11,6 +11,35 @@ def test_text_matches_oracle(name, tables):
     assert_matches_oracle(text.QUERIES[name](tables), text.ORACLES[name], SF_DIR)
 
 
+def test_corpus_stats_approx_within_rank_window(tables):
+    """Each approx percentile must land inside the exact ±5-percentile-rank
+    window of its group's n_chars distribution (GK guarantee at
+    accuracy=1000 is ±0.1 ranks — 5 is generous slack, catches wiring bugs
+    like wrong column/group, not sketch noise)."""
+    from pyspark.sql import functions as F
+
+    approx = {r.lang: r for r in text.corpus_stats_approx(tables).collect()}
+    bounds = {
+        r.lang: r
+        for r in tables["documents"]
+        .groupBy("lang")
+        .agg(
+            F.percentile("n_chars", F.lit(0.45)).alias("p45"),
+            F.percentile("n_chars", F.lit(0.55)).alias("p55"),
+            F.percentile("n_chars", F.lit(0.85)).alias("p85"),
+            F.percentile("n_chars", F.lit(0.95)).alias("p95"),
+            F.count("*").alias("n_docs"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(bounds)
+    for lang, a in approx.items():
+        b = bounds[lang]
+        assert a.n_docs == b.n_docs
+        assert b.p45 <= a.p50_chars <= b.p55, (lang, a.p50_chars, b.p45, b.p55)
+        assert b.p85 <= a.p90_chars <= b.p95, (lang, a.p90_chars, b.p85, b.p95)
+
+
 def test_fingerprint_order_sensitive(spark):
     docs = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],

@@ -65,6 +65,56 @@ def test_jump_detection_stream_vs_batch(spark, event_stream, tables):
     assert len(got_ids) >= 0.9 * len(batch_ids)
 
 
+def test_dedup_stream_matches_batch_digests(spark, tables):
+    """One drained stream run must admit exactly one doc per distinct text
+    digest — the same digest set as batch exact_dedup — and each admitted
+    doc must belong to its digest group."""
+    from .test_sessions_streamjoin import _file_stream
+    from flink_210225_spark.ops.dedup import exact_dedup
+
+    got = sp.run_stream_to_memory(
+        sp.dedup_stream(_file_stream(spark, SF_DIR, "documents")), "s_dedup"
+    ).collect()
+    batch = {r.text_hash: r.dup_ct for r in exact_dedup(tables).collect()}
+    assert len(got) == len(batch)
+    assert {r.text_hash for r in got} == set(batch)
+    from pyspark.sql import functions as F
+
+    members = {
+        (r.text_hash, r.doc_id)
+        for r in tables["documents"].select(F.md5("text").alias("text_hash"), "doc_id").collect()
+    }
+    assert all((r.text_hash, r.doc_id) in members for r in got)
+
+
+def test_dedup_stream_state_spans_batches(spark, tmp_path):
+    """A duplicate arriving in a LATER micro-batch is still dropped: two
+    files processed one per trigger (maxFilesPerTrigger=1), second file
+    re-sends doc 1's text under a new id — only 3 docs admitted."""
+    import pandas as pd
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["alpha beta", "gamma delta"],
+         "lang": ["en", "en"], "source": ["s", "s"]}
+    ).to_parquet(src / "b1.parquet")
+    pd.DataFrame(
+        {"doc_id": [3, 4], "text": ["alpha beta", "epsilon zeta"],
+         "lang": ["en", "en"], "source": ["s", "s"]}
+    ).to_parquet(src / "b2.parquet")
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = sp.run_stream_to_memory(sp.dedup_stream(stream), "s_dedup_2b").collect()
+    assert len(got) == 3
+    ids = {r.doc_id for r in got}
+    assert {2, 4} <= ids and len(ids & {1, 3}) == 1
+
+
 def test_router_stream_end_to_end(spark, tmp_path):
     from flink_210225_spark.schemas import CDC_ENVELOPE_SCHEMA
 
