@@ -208,6 +208,32 @@ def rollup_stats(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def grouping_sets_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """Explicit GROUPING SETS — the general form of ROLLUP/CUBE: exactly the
+    granularities the dashboard needs ((event_type, day), (event_type),
+    (day)), skipping the grand total CUBE would also compute. One Expand +
+    one shuffle, vs one job per granularity hand-scheduled. At scale the
+    Expand multiplies input rows by the number of sets BEFORE the shuffle —
+    prune sets you don't serve (this is why not-just-CUBE matters)."""
+    ev = tables["events"]
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    flagged = ev.select("event_type", day, "user_id", "value")
+    flagged.createOrReplaceTempView("gs_events")
+    return flagged.sparkSession.sql(
+        """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(day, 'ALL') AS day,
+               count(*) AS pv_ct,
+               floor(sum(value) * 100 + 0.5) / 100 AS value_sum,
+               -- explicit bit math: grouping_id() arg order is engine-
+               -- specific, grouping(col) is portable
+               CAST(grouping(event_type) * 2 + grouping(day) AS BIGINT) AS gid
+        FROM gs_events
+        GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
+        """
+    )
+
+
 def uv_approx_sketch(tables: dict[str, DataFrame], rsd: float = 0.02) -> DataFrame:
     """HLL++ sketch distinct: per-(day, event_type) approximate unique users
     via ``approx_count_distinct``. This is the streaming-exact-distinct
@@ -233,6 +259,7 @@ QUERIES = {
     "window_uv_sketch": uv_approx_sketch,  # rows-only: HLL values are engine-specific
     "window_sliding_stats": sliding_visitor_stats,
     "window_rollup_stats": rollup_stats,
+    "window_grouping_sets": grouping_sets_stats,
     "window_visitor_stats": visitor_stats_window,
     "window_product_stats": product_stats_window,
     "window_province_stats": province_stats_window,
@@ -269,6 +296,22 @@ ORACLES = {
                 + CASE WHEN is_mobile IS NULL THEN 1 ELSE 0 END)::BIGINT AS gid
         FROM flagged
         GROUP BY ROLLUP(event_type, is_mobile)
+    """,
+    # fixture dims are never NULL, so NULL-ness identifies subtotal rows —
+    # same derivation as the rollup oracle.
+    "window_grouping_sets": """
+        WITH flagged AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+            FROM events
+        )
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(day, 'ALL') AS day,
+               count(*) AS pv_ct,
+               floor(sum(value) * 100 + 0.5) / 100 AS value_sum,
+               (CASE WHEN event_type IS NULL THEN 2 ELSE 0 END
+                + CASE WHEN day IS NULL THEN 1 ELSE 0 END)::BIGINT AS gid
+        FROM flagged
+        GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
     """,
     "window_visitor_stats": f"""
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts, {_EPOCH}), '%Y-%m-%d %H:%M:%S') AS stt,
