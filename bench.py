@@ -37,11 +37,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry_mod.queries()
-    # JVM/codegen warm-up on the smallest fixture so per-query numbers
-    # measure the engine, not first-call JIT.
+    # Warm-up on the smallest fixture so per-query numbers measure the
+    # engine, not first-call JIT — one JVM-side query for codegen, plus one
+    # trivial mapInPandas so the Python/Arrow worker pool is already spawned
+    # when the first Pandas-UDF query runs (worker spawn is ~3 s of pure
+    # fixed overhead otherwise, billed to whichever query happens first).
     next(iter(queries.values()))(spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     per_query: dict[str, float] = {}
     for name, fn in queries.items():

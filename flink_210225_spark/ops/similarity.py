@@ -385,26 +385,41 @@ def semantic_dedup(
             )
 
     assigned = emb.mapInPandas(soft_assign, "vec_id long, embedding array<float>, cell int")
-    v = _as_double(F.col("embedding"))
-    e = assigned.select("vec_id", "cell", v.alias("v"), _norm(v).alias("nrm"))
-    a = e.select(
-        "cell",
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = e.select(
-        F.col("cell").alias("cell_b"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+
+    # Per-cell pairwise scoring as ONE NumPy GEMM per cluster (applyInPandas
+    # groups by cell = one shuffle on cell id). An equi-self-join scoring
+    # each pair with a JVM fold was ~30× slower at sf0.1: 14M candidate
+    # pairs × a 64-step lambda vs 8 matrix multiplies. Cells are ~n·p/k
+    # rows; at scale pick n_cells ~ sqrt(corpus) and chunk a huge cell like
+    # embedding_near_dups_blocked if (n/k)² outgrows executor memory.
+    def pairs_in_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ mat.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        c = np.floor(cos[iu, ju] * 1000000 + 0.5) / 1000000
+        keep = c >= threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(a, b),
+                "vec_b": np.maximum(a, b),
+                "cosine": c[keep],
+            }
+        )
+
     return (
-        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cosine", F.floor(cos * 1000000 + 0.5) / 1000000)
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
+        assigned.groupBy("cell")
+        .applyInPandas(pairs_in_cell, "vec_a long, vec_b long, cosine double")
         .dropDuplicates(["vec_a", "vec_b"])
     )
 
