@@ -315,6 +315,69 @@ def run_curation_stream(docs_stream: DataFrame, out_dir: str, checkpoint_dir: st
     )
 
 
+def merge_stats_batch(batch: DataFrame, batch_id: int, stats_dir: str) -> bool:
+    """Fold one micro-batch's partial (day, event_type) aggregates into the
+    compact stats table at ``stats_dir/table``. Returns False if this
+    batch_id was already applied (replay) — the `_applied` journal parquet
+    next to the table is what upgrades foreachBatch's at-least-once into
+    exactly-once merges. Factored out of the stream so replay semantics are
+    testable without a restart."""
+    spark = batch.sparkSession
+    jdir = os.path.join(stats_dir, "_applied")
+    try:
+        applied = {r.batch_id for r in spark.read.parquet(jdir).collect()}
+    except Exception:
+        applied = set()
+    if batch_id in applied:
+        return False
+    part = batch.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count("*").alias("pv_ct"), F.sum("value").alias("value_sum"))
+    data_dir = os.path.join(stats_dir, "table")
+    try:
+        merged = spark.read.parquet(data_dir).unionByName(part)
+    except Exception:  # first batch: table auto-created
+        merged = part
+    out = merged.groupBy("day", "event_type").agg(
+        F.sum("pv_ct").cast("long").alias("pv_ct"),
+        F.sum("value_sum").alias("value_sum"),
+    )
+    # Materialize before overwrite: the plan reads the path it writes.
+    out.cache()
+    out.count()
+    out.write.mode("overwrite").parquet(data_dir)
+    out.unpersist()
+    spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+        "append"
+    ).parquet(jdir)
+    return True
+
+
+def run_stats_maintenance_stream(events: DataFrame, stats_dir: str, checkpoint_dir: str):
+    """Incremental serving-table maintenance — the ClickHouse-sink analog
+    (K3) with MERGE-ON-WRITE semantics: each micro-batch folds its partial
+    aggregates into a compact (day, event_type) stats table instead of
+    appending raw rows, so the serving read is a plain small scan with no
+    compaction debt and dashboards never see partially-applied batches.
+
+    Scale posture: partials are map-side combined (per-batch shuffle is
+    group-count rows, not event rows) and the merge rewrites only the
+    AGGREGATE table — serving-sized (days × event types), not data-sized;
+    with Delta the read-union-overwrite becomes MERGE INTO. Exactly-once:
+    foreachBatch is at-least-once on restart, the batch-id journal makes
+    the merge idempotent (``merge_stats_batch``)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        merge_stats_batch(batch, batch_id, stats_dir)
+
+    return (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_router_stream(
     cdc_stream: DataFrame,
     config_loader: Callable[[SparkSession], DataFrame],

@@ -115,6 +115,57 @@ def test_dedup_stream_state_spans_batches(spark, tmp_path):
     assert {2, 4} <= ids and len(ids & {1, 3}) == 1
 
 
+def test_stats_maintenance_merges_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1) must merge into the same
+    (day, event_type) totals a single batch aggregate over all data gives,
+    and a full checkpoint-loss replay must NOT double-count (batch-id
+    journal skips re-applied batches)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows1 = {"ts": pd.to_datetime(["2021-02-25 10:00:00", "2021-02-25 11:00:00"]),
+             "event_type": ["click", "click"], "value": [1.5, 2.0]}
+    rows2 = {"ts": pd.to_datetime(["2021-02-25 12:00:00", "2021-02-26 09:00:00"]),
+             "event_type": ["click", "view"], "value": [3.0, 4.0]}
+    # micros, not pandas' default nanos: the session-wide nanosAsLong conf
+    # (set for the events fixture) would surface nanos as BIGINT
+    pd.DataFrame(rows1).to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    pd.DataFrame(rows2).to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    schema = spark.read.parquet(str(src)).schema
+
+    def run(cp: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        sp.run_stats_maintenance_stream(
+            stream, str(tmp_path / "stats"), str(tmp_path / cp)
+        ).awaitTermination()
+
+    run("cp1")
+
+    def table():
+        return {
+            (r.day, r.event_type): (r.pv_ct, round(r.value_sum, 2))
+            for r in spark.read.parquet(str(tmp_path / "stats" / "table")).collect()
+        }
+
+    want = {
+        (r.day, r.event_type): (r.pv_ct, round(r.value_sum, 2))
+        for r in spark.read.parquet(str(src))
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(F.count("*").alias("pv_ct"), F.sum("value").alias("value_sum"))
+        .collect()
+    }
+    assert table() == want
+    # replay from scratch (checkpoint lost): same batch ids re-delivered
+    run("cp2")
+    assert table() == want
+
+
 def test_router_stream_end_to_end(spark, tmp_path):
     from flink_210225_spark.schemas import CDC_ENVELOPE_SCHEMA
 
