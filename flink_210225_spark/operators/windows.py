@@ -234,6 +234,44 @@ def grouping_sets_stats(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def hourly_moving_stats(tables: dict[str, DataFrame], trail: int = 3) -> DataFrame:
+    """OVER-clause window FRAMES (rowsBetween) — the time-series smoothing /
+    anomaly surface the reference lacks entirely (its only ranking is
+    order-by+limit): per event_type hourly counts with a trailing
+    ``trail``-hour moving average and a deviation ratio (current/avg).
+
+    Two-level plan: the hourly rollup is a map-side-combined groupBy (event
+    rows collapse to hours BEFORE any sort), then the frame runs over the
+    tiny hourly series — one shuffle on event_type whose partitions are
+    hours-count sized, never event-sized. Frame math in double with
+    explicit 4dp rounding for cross-engine stability."""
+    ev = tables["events"]
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias("hr"),
+        "event_type",
+    ).agg(F.count("*").alias("pv_ct"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-trail, -1)
+    )
+    trail_avg = F.avg(F.col("pv_ct").cast("double")).over(w)
+    return hourly.select(
+        "hr",
+        "event_type",
+        "pv_ct",
+        (F.floor(trail_avg * 10000 + 0.5) / 10000).alias("trail_avg"),
+        (
+            F.when(
+                trail_avg.isNotNull(),
+                F.floor(F.col("pv_ct") / trail_avg * 10000 + 0.5) / 10000,
+            )
+        ).alias("dev_ratio"),
+    )
+
+
 def uv_approx_sketch(tables: dict[str, DataFrame], rsd: float = 0.02) -> DataFrame:
     """HLL++ sketch distinct: per-(day, event_type) approximate unique users
     via ``approx_count_distinct``. This is the streaming-exact-distinct
@@ -260,6 +298,7 @@ QUERIES = {
     "window_sliding_stats": sliding_visitor_stats,
     "window_rollup_stats": rollup_stats,
     "window_grouping_sets": grouping_sets_stats,
+    "window_moving_avg": hourly_moving_stats,
     "window_visitor_stats": visitor_stats_window,
     "window_product_stats": product_stats_window,
     "window_province_stats": province_stats_window,
@@ -296,6 +335,28 @@ ORACLES = {
                 + CASE WHEN is_mobile IS NULL THEN 1 ELSE 0 END)::BIGINT AS gid
         FROM flagged
         GROUP BY ROLLUP(event_type, is_mobile)
+    """,
+    # empty trailing frame: Spark's avg over 0 rows and DuckDB's both yield
+    # NULL, so the first row per event_type has NULL trail_avg/dev_ratio.
+    "window_moving_avg": """
+        WITH hourly AS (
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hr,
+                   event_type, count(*) AS pv_ct
+            FROM events
+            GROUP BY 1, 2
+        ),
+        framed AS (
+            SELECT hr, event_type, pv_ct,
+                   avg(pv_ct::DOUBLE) OVER (PARTITION BY event_type ORDER BY hr
+                                            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                       AS ta
+            FROM hourly
+        )
+        SELECT hr, event_type, pv_ct,
+               floor(ta * 10000 + 0.5) / 10000 AS trail_avg,
+               CASE WHEN ta IS NOT NULL
+                    THEN floor(pv_ct / ta * 10000 + 0.5) / 10000 END AS dev_ratio
+        FROM framed
     """,
     # fixture dims are never NULL, so NULL-ness identifies subtotal rows —
     # same derivation as the rollup oracle.

@@ -381,6 +381,31 @@ def corpus_stats(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def quality_top_quantile(tables: dict[str, DataFrame], keep_frac: float = 0.25) -> DataFrame:
+    """Relative quality thresholding: keep each language's top ``keep_frac``
+    of documents by quality score — the curation policy that adapts to
+    per-language score distributions instead of one global cutoff (a 0.8
+    threshold can mean top-5% in one language and top-60% in another).
+
+    percent_rank over (lang, quality) needs one sort per language partition
+    — a single shuffle; at 100 TB swap percent_rank for a two-pass
+    approx-quantile threshold (compute per-lang p75 via the GK sketch, then
+    filter), trading exactness at the boundary for no full sort. Ties at
+    the boundary resolve by doc_id so the kept set is deterministic."""
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id", "lang", _quality_expr(tokens_col(F.col("text"))).alias("quality")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        base.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= keep_frac)
+        .select("doc_id", "lang", "quality", (F.floor(F.col("pr") * 10000 + 0.5) / 10000).alias("pr"))
+    )
+
+
 def corpus_stats_approx(
     tables: dict[str, DataFrame], accuracy: int = 1000
 ) -> DataFrame:
@@ -558,6 +583,7 @@ QUERIES = {
     # rows-only: GK-sketch values are engine-specific; pytest gates each
     # approx percentile inside the exact ±5-rank window.
     "text_corpus_stats_approx": corpus_stats_approx,
+    "text_quality_topq": quality_top_quantile,
     "text_curation_pipeline": curation_pipeline,
     "text_token_stats_bpe": token_stats_bpe,
     # rows-only: greedy sequential state isn't SQL-expressible; invariants
@@ -657,6 +683,33 @@ ORACLES = {
                       + 0.3 * (1.0 - abs(stop_ct * 1.0 / n - 0.1))) * 10000 + 0.5) / 10000
                    AS quality
         FROM m
+    """,
+    "text_quality_topq": f"""
+        WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+        m AS (
+            SELECT doc_id, lang,
+                   len(toks) AS n,
+                   len(list_distinct(toks)) AS uniq,
+                   len(list_filter(toks, t -> t IN ('the','a'))) AS stop_ct
+            FROM t
+        ),
+        q AS (
+            SELECT doc_id, lang,
+                   floor((0.4 * least(n / 100.0, 1.0)
+                          + 0.3 * (uniq * 1.0 / n)
+                          + 0.3 * (1.0 - abs(stop_ct * 1.0 / n - 0.1))) * 10000 + 0.5)
+                       / 10000 AS quality
+            FROM m
+        ),
+        r AS (
+            SELECT doc_id, lang, quality,
+                   percent_rank() OVER (PARTITION BY lang
+                                        ORDER BY quality DESC, doc_id) AS pr
+            FROM q
+        )
+        SELECT doc_id, lang, quality,
+               floor(pr * 10000 + 0.5) / 10000 AS pr
+        FROM r WHERE pr <= 0.25
     """,
     "text_lang_id": f"""
         WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),

@@ -11,6 +11,33 @@ def test_text_matches_oracle(name, tables):
     assert_matches_oracle(text.QUERIES[name](tables), text.ORACLES[name], SF_DIR)
 
 
+def test_quality_topq_keeps_per_lang_quartile(tables):
+    """Kept fraction per language ≈ keep_frac (percent_rank boundary: at
+    most one extra tie-run past 25%), and every kept doc beats its
+    language's dropped docs on (quality, doc_id) order."""
+    kept = text.quality_top_quantile(tables).collect()
+    all_q = {
+        (r.doc_id, r.lang): r.quality for r in text.quality_score(tables)
+        .join(tables["documents"].select("doc_id", "lang"), "doc_id")
+        .collect()
+    }
+    from collections import Counter
+
+    lang_n = Counter(lang for (_d, lang) in all_q)
+    kept_n = Counter(r.lang for r in kept)
+    for lang, n in lang_n.items():
+        frac = kept_n[lang] / n
+        assert 0.15 <= frac <= 0.35, (lang, frac)
+    worst_kept = {}
+    for r in kept:
+        key = (r.quality, -r.doc_id)
+        if r.lang not in worst_kept or key < worst_kept[r.lang]:
+            worst_kept[r.lang] = key
+    for (doc_id, lang), q in all_q.items():
+        if all(r.doc_id != doc_id for r in kept if r.lang == lang):
+            assert (q, -doc_id) <= worst_kept[lang], (doc_id, lang)
+
+
 def test_corpus_stats_approx_within_rank_window(tables):
     """Each approx percentile must land inside the exact ±5-percentile-rank
     window of its group's n_chars distribution (GK guarantee at

@@ -18,6 +18,30 @@ def test_product_stats_approx_mode(tables):
     assert set(df.columns) == {"stt", "edt", "sku_id", "order_ct", "order_sku_num", "order_amount"}
 
 
+def test_moving_avg_frame_semantics(spark):
+    """Trailing frame excludes the current row; the first row per key has an
+    empty frame -> NULL avg and ratio."""
+    import pandas as pd
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    ["2021-01-01 00:10", "2021-01-01 01:10", "2021-01-01 02:10", "2021-01-01 03:10"]
+                ),
+                "event_type": ["a"] * 4,
+                "value": [0.0] * 4,
+            }
+        )
+    )
+    # hourly counts are all 1 -> trail_avg 1.0 from the second row on
+    rows = {r.hr: r for r in windows.hourly_moving_stats({"events": ev}).collect()}
+    assert rows["2021-01-01 00:00:00"].trail_avg is None
+    assert rows["2021-01-01 00:00:00"].dev_ratio is None
+    assert rows["2021-01-01 01:00:00"].trail_avg == 1.0
+    assert rows["2021-01-01 03:00:00"].dev_ratio == 1.0
+
+
 def test_uv_sketch_error_bound(tables):
     """HLL++ at rsd=2% must land within 3x the nominal rsd of exact on every
     (day, event_type) group (fixture cardinalities are thousands, where the
