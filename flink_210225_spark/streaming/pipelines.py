@@ -315,6 +315,42 @@ def run_curation_stream(docs_stream: DataFrame, out_dir: str, checkpoint_dir: st
     )
 
 
+def embedding_assign_stream(emb_stream: DataFrame, cent) -> DataFrame:
+    """Incremental ANN-index maintenance: assign arriving embeddings to the
+    FROZEN coarse-quantizer cells of an IVF index built offline by
+    ``ops.similarity.ivf_assign`` (cent = its returned centroid matrix).
+    The kernel is a stateless Arrow ``mapInPandas`` GEMM — it composes with
+    any sink, replays idempotently, and parallelizes with zero shuffle
+    (each batch partition scores against the broadcast-small centroid
+    matrix). Retraining the quantizer is an offline cadence decision —
+    monitor cell-size drift with ``embedding_cluster_stats``; the frozen
+    index stays queryable throughout (same trade IVF services make)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cent, dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            cos = (mat @ C.T) / np.outer(nrm, cn)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": cos.argmax(axis=1).astype("int32"),
+                }
+            )
+
+    return emb_stream.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, embedding array<float>, cell int"
+    )
+
+
 def merge_stats_batch(batch: DataFrame, batch_id: int, stats_dir: str) -> bool:
     """Fold one micro-batch's partial (day, event_type) aggregates into the
     compact stats table at ``stats_dir/table``. Returns False if this

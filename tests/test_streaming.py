@@ -115,6 +115,21 @@ def test_dedup_stream_state_spans_batches(spark, tmp_path):
     assert {2, 4} <= ids and len(ids & {1, 3}) == 1
 
 
+def test_embedding_assign_stream_matches_batch_index(spark, tables):
+    """Streaming assignment against the frozen quantizer must give every
+    vector the same cell the batch ivf_assign pass gives it."""
+    from .test_sessions_streamjoin import _file_stream
+    from flink_210225_spark.ops.similarity import ivf_assign
+
+    assigned, cent = ivf_assign(tables["embeddings"].select("vec_id", "embedding"))
+    want = {r.vec_id: r.cell for r in assigned.collect()}
+    got = sp.run_stream_to_memory(
+        sp.embedding_assign_stream(_file_stream(spark, SF_DIR, "embeddings"), cent),
+        "s_ivf_assign",
+    ).collect()
+    assert {r.vec_id: r.cell for r in got} == want
+
+
 def test_stats_maintenance_merges_across_batches(spark, tmp_path):
     """Two micro-batches (maxFilesPerTrigger=1) must merge into the same
     (day, event_type) totals a single batch aggregate over all data gives,
