@@ -447,44 +447,61 @@ def dedup_components(
     e2 = ngram_jaccard_pairs(tables, threshold=threshold).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    edges = e1.unionByName(e2)
+    comp = components_from_edges(
+        e1.unionByName(e2), docs.select(F.col("doc_id").alias("id")), max_iters
+    )
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+def components_from_edges(
+    edges: DataFrame, universe: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Generic min-label connected components: ``edges`` is any (a, b) pair
+    DataFrame (undirected closure taken here), ``universe`` the full id set
+    (one ``id`` column). Shared by every dedup family that produces pairs
+    (shingle-Jaccard, SemDeDup cosine, simhash) — pairs in, transitive
+    duplicate GROUPS out, component id = min reachable id = the canonical
+    survivor.
+
+    Propagation runs only over the edge-touching subgraph: isolated ids can
+    never change label, so each round's join is |edge nodes| sized (≪
+    corpus — at 100 TB the duplicate subgraph is a sliver of the table) and
+    the full universe gets its label in ONE final left join.
+    ``localCheckpoint`` truncates per-round lineage; early-stop on a
+    changed-row count. Rounds = graph diameter; an alternating
+    large-star/small-star contraction brings that to O(log n) at extreme
+    scale, same per-round plan."""
     und = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     und = und.localCheckpoint(eager=True)
 
-    # Propagate only over the near-dup subgraph: documents touching no edge
-    # can never change label, so the loop runs on |edge nodes| rows (≪ corpus
-    # — at 100 TB the duplicate subgraph is a sliver of the table) and the
-    # full corpus gets its label in ONE final broadcast-able left join.
     labels = (
-        und.select(F.col("a").alias("doc_id"))
+        und.select(F.col("a").alias("id"))
         .distinct()
-        .withColumn("component", F.col("doc_id"))
+        .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
-        msgs = und.join(labels, und["a"] == labels["doc_id"]).select(
-            F.col("b").alias("doc_id"), "component"
+        msgs = und.join(labels, und["a"] == labels["id"]).select(
+            F.col("b").alias("id"), "component"
         )
         new_labels = (
             labels.unionByName(msgs)
-            .groupBy("doc_id")
+            .groupBy("id")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "old"), "doc_id"
-            )
+            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
             .filter(F.col("component") < F.col("old"))
             .count()
         )
         labels = new_labels
         if changed == 0:
             break
-    return docs.select("doc_id").join(labels, "doc_id", "left").select(
-        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    return universe.join(labels, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
     )
 
 

@@ -484,6 +484,31 @@ def diversity_coreset(tables: dict[str, DataFrame], k: int = 10) -> DataFrame:
     )
 
 
+def semantic_dedup_groups(
+    tables: dict[str, DataFrame],
+    n_cells: int = 8,
+    n_probe: int = 3,
+    threshold: float = 0.40,
+) -> DataFrame:
+    """SemDeDup completed end-to-end: cluster-scoped near-dup PAIRS
+    (``semantic_dedup``) closed into transitive duplicate GROUPS via the
+    shared min-label propagation (``dedup.components_from_edges``) — every
+    vector labeled with its component id = the canonical survivor (min
+    vec_id reachable); keep-one = filter vec_id == component. Same
+    composition shape as ``dedup_components``, semantic edges instead of
+    shingle edges. Rows-only for the driver (k-means upstream); pytest
+    gates component consistency against a driver-side union-find over the
+    same pairs."""
+    from .dedup import components_from_edges
+
+    pairs = semantic_dedup(tables, n_cells, n_probe, threshold)
+    comp = components_from_edges(
+        pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b")),
+        tables["embeddings"].select(F.col("vec_id").alias("id")),
+    )
+    return comp.select(F.col("id").alias("vec_id"), "component")
+
+
 def diversity_coreset_cached(tables: dict[str, DataFrame], k: int = 10) -> DataFrame:
     """Farthest-point coreset, large-k scale path: instead of re-scoring
     every row against ALL centers each round (O(k·n·dim) per round,
@@ -589,6 +614,9 @@ QUERIES = {
     "sim_semantic_dedup": semantic_dedup,
     # rows-only; pytest gates pick-sequence parity with diversity_coreset.
     "sim_diversity_coreset_cached": diversity_coreset_cached,
+    # rows-only; pytest gates component parity vs a union-find over the
+    # same pair set.
+    "sim_semantic_groups": semantic_dedup_groups,
 }
 
 _COS = """

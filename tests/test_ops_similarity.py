@@ -66,6 +66,32 @@ def test_ivf_ann_recall(tables):
     assert full == exact, "probing every cell must reproduce the exact top-k"
 
 
+def test_semantic_groups_match_union_find(tables):
+    """Component labels must equal a driver-side union-find closure over the
+    same semantic pair set (min reachable id), with isolated vectors
+    labeling themselves."""
+    pairs = [(r.vec_a, r.vec_b) for r in similarity.semantic_dedup(tables).collect()]
+    got = {r.vec_id: r.component for r in similarity.semantic_dedup_groups(tables).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-reachable == union-find root because unions always root at the
+    # smaller id (union by min)
+    want = {v: (find(v) if v in parent else v) for v in got}
+    assert got == want
+
+
 def test_coreset_cached_matches_full_rescore(tables):
     """The O(n·dim)-per-round cached-min-distance variant must reproduce the
     full-rescore pick sequence exactly (ids) with matching radii."""
