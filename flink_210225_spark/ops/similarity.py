@@ -224,6 +224,11 @@ def ivf_assign(emb: DataFrame, n_cells: int = 16, iters: int = 2):
         new_cent = cent.copy()
         new_cent[hit] = sums[hit] / cnt[hit, None]
         cent = new_cent
+    # The cache's job (the Lloyd loop's repeated passes) is done — release
+    # it so long-lived sessions don't accumulate a corpus-sized block per
+    # ivf_assign call. The returned assignment DF recomputes from source on
+    # evaluation: one extra scan, no leaked executor memory.
+    base.unpersist()
     return base.mapInPandas(make_assign(cent), schema), cent
 
 
