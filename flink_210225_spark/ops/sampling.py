@@ -77,10 +77,39 @@ def mixture_downsample(
     return docs.filter(h2 < thr).select("doc_id", "lang")
 
 
+def stratified_exact_split(
+    tables: dict[str, DataFrame], val_frac: float = 0.1, test_frac: float = 0.1
+) -> DataFrame:
+    """Exact-proportion stratified split: within each language, documents
+    ordered by stable md5 priority are cut at exact fractional boundaries —
+    every stratum gets val/test shares correct to ±1 document, where
+    ``hash_split``'s bucketing is only correct in expectation (±√n noise,
+    which starves small strata). The trade: adding documents RESHUFFLES
+    assignments near boundaries (percent_rank moves), so use this for
+    frozen snapshots and ``hash_split`` for growing corpora — that pairing
+    is why both exist.
+
+    One shuffle (per-lang window sort on the digest); the md5 order makes
+    the cut a stable pseudo-random sample, and the doc_id tiebreak keeps
+    byte-identical texts adjacent — but unlike hash_split, exact dup pairs
+    CAN straddle a boundary; dedup before splitting (keep_best_dedup) if
+    that matters."""
+    docs = tables["documents"]
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.col("doc_id"))
+    pr = F.percent_rank().over(w)
+    split = (
+        F.when(pr < val_frac, F.lit("val"))
+        .when(pr < val_frac + test_frac, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
 QUERIES = {
     "sample_hash_split": hash_split,
     "sample_quota_per_group": quota_per_group,
     "sample_mixture_rate": mixture_downsample,
+    "sample_stratified_exact": stratified_exact_split,
 }
 
 ORACLES = {
@@ -103,5 +132,17 @@ ORACLES = {
         SELECT doc_id, lang FROM documents
         WHERE substr(md5(text), 1, 2) <
               CASE WHEN lang = 'en' THEN '40' ELSE 'zz' END
+    """,
+    "sample_stratified_exact": """
+        SELECT doc_id, lang,
+               CASE WHEN pr < 0.1 THEN 'val'
+                    WHEN pr < 0.2 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM (
+            SELECT doc_id, lang,
+                   percent_rank() OVER (PARTITION BY lang
+                                        ORDER BY md5(text), doc_id) AS pr
+            FROM documents
+        )
     """,
 }

@@ -28,6 +28,21 @@ def test_hash_split_proportions_and_leakage(tables):
             assert split_by_id[d] == split_by_id[c]
 
 
+def test_stratified_exact_proportions_per_stratum(tables):
+    """Every language gets val/test shares exact to ±1 document — the
+    property hash_split's bucketing can't give small strata."""
+    from collections import Counter
+
+    rows = sampling.stratified_exact_split(tables).collect()
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, Counter())[r.split] += 1
+    for lang, c in per_lang.items():
+        n = sum(c.values())
+        for s, frac in (("val", 0.1), ("test", 0.1)):
+            assert abs(c[s] - frac * n) <= 1, (lang, s, c[s], n)
+
+
 def test_mixture_rate_downsamples_target_group(tables):
     from pyspark.sql import functions as F
 

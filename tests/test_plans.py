@@ -52,6 +52,25 @@ def test_repetition_is_shuffle_free(tables):
         assert plan.count("Exchange") == 0, (fn.__name__, plan)
 
 
+def test_quality_topq_single_shuffle(tables):
+    """Quality is computed in the scan projection; ONE lang Exchange feeds
+    the percent_rank window."""
+    from flink_210225_spark.ops.text import quality_top_quantile
+
+    plan = quality_top_quantile(tables)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_moving_avg_two_shuffles(tables):
+    """The hourly rollup (map-side combined) and the event_type frame window
+    are one Exchange each; the frame must run on the hourly series, never
+    on event rows."""
+    from flink_210225_spark.operators.windows import hourly_moving_stats
+
+    plan = hourly_moving_stats(tables)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+
+
 def test_keep_best_single_shuffle(tables):
     """Quality is computed in the digest scan, then ONE norm_hash Exchange
     feeds both window functions (rank + group count share the partition
