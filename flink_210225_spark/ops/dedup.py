@@ -218,19 +218,12 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> Dat
     )
 
 
-def minhash_lsh_candidates(
-    tables: dict[str, DataFrame],
-    num_hashes: int = 16,
-    bands: int = 4,
-    n: int = 3,
-) -> DataFrame:
-    """LSH-banded candidate pairs with the estimated Jaccard (signature
-    agreement rate). rows_per_band = num_hashes/bands; pairs collide when any
-    band's sub-signature matches exactly."""
-    docs = tables["documents"]
+def banded_buckets(sig: DataFrame, num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """(doc_id, minhash, band, bucket): bucket = xxhash64 of the band's
+    sub-signature. Shared by the batch candidate generator and the
+    streaming signature store so both index signatures identically."""
     r = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n)
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         "minhash",
         F.explode(
@@ -247,6 +240,27 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "minhash", "bb.band", "bb.bucket")
+
+
+def est_jaccard_col(a, b, num_hashes: int = 16):
+    """Signature agreement rate — the MinHash Jaccard estimator."""
+    return F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda e: e)) / F.lit(
+        num_hashes
+    )
+
+
+def minhash_lsh_candidates(
+    tables: dict[str, DataFrame],
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """LSH-banded candidate pairs with the estimated Jaccard (signature
+    agreement rate). rows_per_band = num_hashes/bands; pairs collide when any
+    band's sub-signature matches exactly."""
+    docs = tables["documents"]
+    sig = minhash_signatures(docs, num_hashes, n)
+    banded = banded_buckets(sig, num_hashes, bands)
     # In-bucket pair generation instead of a bucket self-join: group by
     # (band, bucket), collect the (doc_id, minhash) structs, emit ordered
     # pairs with array lambdas. The shingle→minhash→band pipeline runs ONCE

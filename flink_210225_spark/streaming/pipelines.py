@@ -315,6 +315,106 @@ def run_curation_stream(docs_stream: DataFrame, out_dir: str, checkpoint_dir: st
     )
 
 
+def near_dedup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> bool:
+    """Fold one micro-batch through the streaming NEAR-dup filter: admit a
+    document unless its MinHash estimated Jaccard against (a) any previously
+    admitted signature or (b) a smaller-doc_id document in the same batch
+    reaches ``threshold``. Admitted signatures append to the store at
+    ``store_dir/sigs``; the batch-id journal makes replays no-ops (same
+    pattern as ``merge_stats_batch``).
+
+    Scale posture: the store holds one ``num_hashes``-long signature per
+    admitted doc — signature-sized, not text-sized — and candidate
+    generation is a (band, bucket) equi-join between the batch and the
+    store, so per-batch cost is batch × collision rate, never batch ×
+    store. Returns False on a replayed batch."""
+    from flink_210225_spark.ops.dedup import (
+        banded_buckets,
+        est_jaccard_col,
+        minhash_signatures,
+    )
+
+    spark = batch.sparkSession
+    jdir = os.path.join(store_dir, "_applied")
+    sdir = os.path.join(store_dir, "sigs")
+    try:
+        applied = {r.batch_id for r in spark.read.parquet(jdir).collect()}
+    except Exception:
+        applied = set()
+    if batch_id in applied:
+        return False
+
+    sig = minhash_signatures(batch.select("doc_id", "text"), num_hashes)
+    bb = banded_buckets(sig, num_hashes, bands)
+
+    def dup_ids(other_bb: DataFrame, pair_cond) -> DataFrame:
+        n, s = bb.alias("n"), other_bb.alias("s")
+        pairs = (
+            n.join(
+                s,
+                (F.col("n.band") == F.col("s.band"))
+                & (F.col("n.bucket") == F.col("s.bucket"))
+                & pair_cond,
+            )
+            .select(
+                F.col("n.doc_id").alias("doc_id"),
+                F.col("s.doc_id").alias("other"),
+                F.col("n.minhash").alias("ma"),
+                F.col("s.minhash").alias("mb"),
+            )
+            .dropDuplicates(["doc_id", "other"])
+        )
+        return (
+            pairs.filter(est_jaccard_col(F.col("ma"), F.col("mb"), num_hashes) >= threshold)
+            .select("doc_id")
+            .distinct()
+        )
+
+    # intra-batch: drop the larger id of any near-dup pair (min-id
+    # representative, matching the batch dedup family's survivor rule)
+    dropped = dup_ids(bb, F.col("n.doc_id") > F.col("s.doc_id"))
+    try:
+        store = spark.read.parquet(sdir)
+        dropped = dropped.unionByName(
+            dup_ids(banded_buckets(store, num_hashes, bands), F.lit(True))
+        ).distinct()
+    except Exception:  # first batch: empty store
+        pass
+    admitted = sig.join(dropped, "doc_id", "left_anti")
+    admitted.write.mode("append").parquet(sdir)
+    spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+        "append"
+    ).parquet(jdir)
+    return True
+
+
+def near_dedup_stream(
+    docs_stream: DataFrame, store_dir: str, checkpoint_dir: str, threshold: float = 0.5
+):
+    """Streaming near-duplicate filtering — the MinHash-LSH sibling of
+    ``dedup_stream``'s exact digests: a late-arriving paraphrase or
+    re-crawl is dropped against the accumulated signature store even when
+    the bytes differ. The admitted corpus is the signature store's doc_id
+    set; join it back to the raw stream's sink for the surviving text."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        near_dedup_batch(batch, batch_id, store_dir, threshold)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def embedding_assign_stream(emb_stream: DataFrame, cent) -> DataFrame:
     """Incremental ANN-index maintenance: assign arriving embeddings to the
     FROZEN coarse-quantizer cells of an IVF index built offline by

@@ -115,6 +115,60 @@ def test_dedup_stream_state_spans_batches(spark, tmp_path):
     assert {2, 4} <= ids and len(ids & {1, 3}) == 1
 
 
+def test_near_dedup_stream_drops_cross_batch_near_dups(spark, tmp_path):
+    """Batch 2 re-sends an exact copy AND a near-dup (1 of 60 tokens
+    changed) of a batch-1 doc — both must be dropped against the signature
+    store; the unique doc is admitted. A checkpoint-loss replay leaves the
+    store unchanged."""
+    import pandas as pd
+
+    words = [f"tok{i}" for i in range(60)]
+    base = " ".join(words)
+    near = " ".join(["changed" if i == 30 else w for i, w in enumerate(words)])
+    other = "completely different words describing nothing of relevance to foxes"
+    uniq = "yet another entirely unrelated document about gardening and rivers"
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [1, 4], "text": [base, other]}).to_parquet(src / "b1.parquet")
+    pd.DataFrame({"doc_id": [2, 3, 5], "text": [base, near, uniq]}).to_parquet(
+        src / "b2.parquet"
+    )
+    schema = spark.read.parquet(str(src)).schema
+
+    def run(cp: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        sp.near_dedup_stream(stream, str(tmp_path / "store"), str(tmp_path / cp)).awaitTermination()
+
+    run("cp1")
+
+    def admitted():
+        return {
+            r.doc_id for r in spark.read.parquet(str(tmp_path / "store" / "sigs")).collect()
+        }
+
+    assert admitted() == {1, 4, 5}
+    run("cp2")  # full replay from scratch: journal makes it a no-op
+    assert admitted() == {1, 4, 5}
+
+
+def test_near_dedup_batch_intra_batch_min_id_survivor(spark, tmp_path):
+    """Within one batch the smaller id of a near-dup pair survives."""
+    docs = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta"),
+         (4, "totally unrelated content about volcanoes and maps")],
+        "doc_id long, text string",
+    )
+    assert sp.near_dedup_batch(docs, 0, str(tmp_path / "store2"))
+    got = {r.doc_id for r in spark.read.parquet(str(tmp_path / "store2" / "sigs")).collect()}
+    assert got == {2, 4}
+
+
 def test_embedding_assign_stream_matches_batch_index(spark, tables):
     """Streaming assignment against the frozen quantizer must give every
     vector the same cell the batch ivf_assign pass gives it."""
