@@ -144,6 +144,74 @@ def shingle_hotspots(
     )
 
 
+def span_dedup(
+    tables: dict[str, DataFrame], n: int = 13, min_ct: int = 2
+) -> DataFrame:
+    """Duplicated-span statistics per document — the bounded, shuffle-friendly
+    approximation of suffix-array ExactSubstr dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): instead of
+    arbitrary-length duplicated substrings via a corpus suffix array (a
+    global sort no engine does cheaply at 100 TB), find every word
+    ``n``-gram span that occurs ≥ ``min_ct`` times ANYWHERE in the corpus
+    (cross-doc or within-doc) and report, per affected document, how many
+    span occurrences are duplicated and what fraction of its tokens a
+    duplicated span covers. Any duplicated substring of length ≥ n contains
+    a duplicated n-span, so coverage is a superset-marker of the exact
+    method's removable ranges; downstream policy drops docs above a
+    dup_fraction threshold (or excises the marked ranges).
+
+    Scale: one scan emits (pos, xxhash64(span)) per span — 8-byte keys, the
+    document bytes never shuffle. Occurrence counting is a window count over
+    span_hash (streams per key; no collect_list, so a corpus-wide
+    boilerplate span cannot build a giant in-memory bucket). Coverage is an
+    interval-union in one lag window: spans all have length n, so the union
+    of [pos, pos+n) intervals is n for the first occurrence plus
+    min(n, pos - prev_pos) for each next — the doc_id window and the final
+    groupBy share one Exchange. Total: two shuffles, both on 8-byte keys.
+    Docs with < n tokens cannot contain an n-span and are filtered at the
+    scan (matching ExactSubstr, where the 50-token threshold plays n's
+    role)."""
+    docs = tables["documents"]
+    base = docs.select("doc_id", tokens_col(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    spans = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i + 1, n))),
+            )
+        ).alias("pos", "span_hash"),
+    )
+    dup_occ = spans.withColumn(
+        "ct", F.count("*").over(Window.partitionBy("span_hash"))
+    ).filter(F.col("ct") >= min_ct)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = dup_occ.select(
+        "doc_id",
+        "n_tokens",
+        F.least(
+            F.lit(n), F.coalesce(F.col("pos") - F.lag("pos").over(w), F.lit(n))
+        ).alias("cov"),
+    )
+    res = cov.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count("*").alias("dup_span_ct"),
+        F.sum("cov").alias("covered_tokens"),
+    )
+    return res.select(
+        "doc_id",
+        "n_tokens",
+        "dup_span_ct",
+        "covered_tokens",
+        (
+            F.floor(F.col("covered_tokens") * 10000.0 / F.col("n_tokens") + 0.5) / 10000
+        ).alias("dup_fraction"),
+    )
+
+
 def ngram_jaccard_pairs(
     tables: dict[str, DataFrame], n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
@@ -519,6 +587,96 @@ def components_from_edges(
     )
 
 
+def components_from_edges_star(
+    edges: DataFrame, universe: DataFrame, max_iters: int = 15
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") — the O(log n)-round scale path promised in
+    ``components_from_edges``'s docstring. Min-label propagation needs
+    diameter rounds, which is fine for shallow near-dup graphs but
+    pathological on chain-shaped components (re-crawl chains where each
+    revision near-matches only its neighbors); star contraction halves
+    component height every other round regardless of shape.
+
+    Per round: large-star hangs every strictly-larger neighbor of u onto
+    min(Γ(u) ∪ {u}); small-star re-hangs the smaller neighborhood of each
+    node onto its min. Both are one Exchange on the grouping node + one
+    distinct — same per-round plan shape as a propagation round, just
+    O(log n) of them. Convergence = (count, xxhash64-xor) fingerprint
+    unchanged, a cheap single agg instead of a subtract. At convergence the
+    edge set IS the answer: one star per component centered at its min.
+    Output contract identical to ``components_from_edges``."""
+    e = (
+        edges.select(F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp = None
+    for _ in range(max_iters):
+        # large-star: neighborhoods from both directions
+        nbrs = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        w = Window.partitionBy("a")
+        m = F.least(F.col("a"), F.min("b").over(w))
+        e = (
+            nbrs.select("a", "b", m.alias("m"))
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: orient toward the larger endpoint, re-hang Γ(u) ∪ {u}
+        o = e.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        wu = Window.partitionBy("u")
+        o = o.select("u", "v", F.min("v").over(wu).alias("m"))
+        e = (
+            o.select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(o.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # bit_xor, not sum: ANSI mode makes a 64-bit-hash sum overflow; xor
+        # of distinct-edge hashes is an equally strong set fingerprint.
+        fp = e.agg(
+            F.count("*").alias("ct"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("hs"),
+        ).collect()[0]
+        if prev_fp == (fp["ct"], fp["hs"]):
+            break
+        prev_fp = (fp["ct"], fp["hs"])
+    labels = e.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    return universe.join(labels, "id", "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
+
+
+def dedup_components_star(
+    tables: dict[str, DataFrame], threshold: float = 0.5
+) -> DataFrame:
+    """``dedup_components`` on the star-contraction engine — identical
+    semantics (same edges, same min-id component labels, same oracle),
+    different iteration structure for extreme-diameter duplicate graphs."""
+    docs = tables["documents"]
+    md5_star = docs.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("m"),
+    )
+    e1 = md5_star.filter(F.col("doc_id") != F.col("m")).select(
+        F.col("doc_id").alias("a"), F.col("m").alias("b")
+    )
+    e2 = ngram_jaccard_pairs(tables, threshold=threshold).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    comp = components_from_edges_star(
+        e1.unionByName(e2), docs.select(F.col("doc_id").alias("id"))
+    )
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 # --- embedding-cosine near-dup ---
 
 
@@ -640,10 +798,12 @@ QUERIES = {
     "dedup_normalized": normalized_dedup,
     "dedup_keep_best": keep_best_dedup,
     "dedup_shingle_hotspots": shingle_hotspots,
+    "dedup_span_stats": span_dedup,
     "dedup_embedding_cosine": embedding_near_dups,
     "dedup_embedding_blocked": embedding_near_dups_blocked,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_components": dedup_components,
+    "dedup_components_star": dedup_components_star,
     # LSH/simhash results depend on xxhash64 — not SQL-expressible in DuckDB,
     # so these are rows-only checks for the driver (weaker gate, noted).
     "dedup_minhash_lsh": minhash_lsh_candidates,
@@ -732,6 +892,39 @@ ORACLES = {
         ORDER BY doc_ct DESC, shingle ASC
         LIMIT 20
     """,
+    # Span equality is tested on xxhash64(span) in Spark and on the span
+    # string here — identical results absent a 64-bit collision (the same
+    # argument as dedup_ngram_jaccard's hashed shingle shuffle).
+    "dedup_span_stats": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, len(t) AS n_tokens,
+                   unnest(list_transform(
+                       range(len(t) - 13 + 1),
+                       i -> struct_pack(pos := i,
+                                        span := array_to_string(t[i + 1 : i + 13], ' ')))) AS s
+            FROM toks WHERE len(t) >= 13
+        ),
+        occ AS (SELECT doc_id, n_tokens, s.pos AS pos, s.span AS span FROM spans),
+        dup AS (
+            SELECT doc_id, n_tokens, pos,
+                   count(*) OVER (PARTITION BY span) AS ct
+            FROM occ
+        ),
+        cov AS (
+            SELECT doc_id, n_tokens,
+                   least(13, coalesce(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 13)) AS c
+            FROM dup WHERE ct >= 2
+        )
+        SELECT doc_id,
+               max(n_tokens)::BIGINT AS n_tokens,
+               count(*)::BIGINT AS dup_span_ct,
+               sum(c)::BIGINT AS covered_tokens,
+               floor(sum(c) * 10000.0 / max(n_tokens) + 0.5) / 10000 AS dup_fraction
+        FROM cov GROUP BY doc_id
+    """,
     "dedup_ngram_jaccard": """
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
@@ -804,3 +997,7 @@ ORACLES = {
 # The blocked variant emits identical (vec_a, vec_b, cosine) rows — the
 # broadcast variant's exact oracle gates both physical plans.
 ORACLES["dedup_embedding_blocked"] = ORACLES["dedup_embedding_cosine"]
+
+# Star contraction computes the same (doc_id, component) labels as min-label
+# propagation — the propagation oracle gates both iteration engines.
+ORACLES["dedup_components_star"] = ORACLES["dedup_components"]

@@ -30,7 +30,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -448,6 +448,107 @@ def embedding_assign_stream(emb_stream: DataFrame, cent) -> DataFrame:
 
     return emb_stream.select("vec_id", "embedding").mapInPandas(
         assign, "vec_id long, embedding array<float>, cell int"
+    )
+
+
+def merge_cell_counts_batch(
+    batch: DataFrame, batch_id: int, monitor_dir: str, train_sizes
+) -> bool:
+    """Fold one micro-batch of IVF cell assignments into the running
+    observed-cell histogram at ``monitor_dir/counts`` and append a drift
+    report row to ``monitor_dir/drift``. Returns False on a replayed
+    batch_id (same journal-parquet exactly-once upgrade as
+    ``merge_stats_batch``). Factored out of the stream so drift math and
+    replay semantics are testable without a restart.
+
+    ``train_sizes`` is {cell: count} from the offline build (small — one
+    entry per coarse cell, broadcast as a literal DataFrame). Drift =
+    total-variation distance between the normalized training histogram and
+    the normalized observed histogram, plus the max per-cell load ratio;
+    ``retrain`` fires when TVD exceeds the threshold stored alongside. The
+    merge touches only cell-count-sized tables — nothing data-sized."""
+    spark = batch.sparkSession
+    jdir = os.path.join(monitor_dir, "_applied")
+    try:
+        applied = {r.batch_id for r in spark.read.parquet(jdir).collect()}
+    except Exception:
+        applied = set()
+    if batch_id in applied:
+        return False
+    part = batch.groupBy("cell").agg(F.count("*").alias("ct"))
+    counts_dir = os.path.join(monitor_dir, "counts")
+    try:
+        merged = spark.read.parquet(counts_dir).unionByName(part)
+    except Exception:
+        merged = part
+    obs = merged.groupBy("cell").agg(F.sum("ct").cast("long").alias("ct"))
+    obs.cache()
+    obs.count()
+    obs.write.mode("overwrite").parquet(counts_dir)
+
+    train = spark.createDataFrame(
+        [(int(c), int(n)) for c, n in sorted(train_sizes.items())],
+        "cell int, train_ct long",
+    )
+    joined = train.join(obs, "cell", "full").select(
+        "cell",
+        F.coalesce("train_ct", F.lit(0)).alias("train_ct"),
+        F.coalesce("ct", F.lit(0)).alias("obs_ct"),
+    )
+    # one global-frame window (the joined table is cell-count sized), then
+    # the agg — a window function can't sit inside an aggregate directly
+    w = Window.partitionBy()
+    shares = joined.select(
+        (F.col("train_ct") / F.sum("train_ct").over(w)).alias("p"),
+        (F.col("obs_ct") / F.sum("obs_ct").over(w)).alias("q"),
+        F.count("*").over(w).alias("n_cells"),
+    )
+    row = shares.agg(
+        (F.sum(F.abs(F.col("p") - F.col("q"))) / 2).alias("tvd"),
+        F.max(F.col("q") * F.col("n_cells")).alias("max_load_ratio"),
+    ).collect()[0]
+    obs.unpersist()
+    spark.createDataFrame(
+        [(int(batch_id), float(row["tvd"]), float(row["max_load_ratio"]))],
+        "batch_id long, tvd double, max_load_ratio double",
+    ).write.mode("append").parquet(os.path.join(monitor_dir, "drift"))
+    spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+        "append"
+    ).parquet(jdir)
+    return True
+
+
+def run_ivf_drift_monitor_stream(
+    emb_stream: DataFrame,
+    cent,
+    train_sizes,
+    monitor_dir: str,
+    checkpoint_dir: str,
+):
+    """IVF quantizer drift monitor — the retrain-trigger half of
+    incremental ANN index maintenance (``embedding_assign_stream`` keeps
+    the index queryable; this decides WHEN the frozen quantizer has gone
+    stale). Each micro-batch is assigned to cells with the same stateless
+    GEMM, folded into a running cell histogram, and scored against the
+    training-time histogram; downstream automation reads
+    ``monitor_dir/drift`` and kicks an offline ``ivf_assign`` rebuild when
+    ``tvd`` crosses its policy threshold (the index serves unchanged
+    throughout — the same trade production IVF services make).
+
+    Scale posture: state is one row per coarse cell (√N cells for N
+    vectors — KB-sized at 100 TB), partials map-side combine inside each
+    batch, and the embedding vectors themselves never shuffle or persist
+    here. Exactly-once via the batch-id journal."""
+    assigned = embedding_assign_stream(emb_stream, cent).select("cell")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        merge_cell_counts_batch(batch, batch_id, monitor_dir, train_sizes)
+
+    return (
+        assigned.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

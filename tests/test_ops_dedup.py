@@ -1,4 +1,5 @@
 import pytest
+from pyspark.sql import functions as F
 
 from flink_210225_spark.ops import dedup
 
@@ -14,10 +15,46 @@ from .oracle import assert_matches_oracle
         "dedup_ngram_jaccard",
         "dedup_keep_best",
         "dedup_shingle_hotspots",
+        "dedup_span_stats",
     ],
 )
 def test_dedup_matches_oracle(name, tables):
     assert_matches_oracle(dedup.QUERIES[name](tables), dedup.ORACLES[name], SF_DIR)
+
+
+def test_span_stats_coverage_semantics(spark):
+    # doc 1 & 2 share a 13-token block (one duplicated span each at pos 0);
+    # doc 3 repeats its own 13 tokens back-to-back (within-doc duplication:
+    # spans at 0..13 all duplicated via cross-matching, overlapping
+    # intervals must union, not sum); doc 4 is unique; doc 5 is < 13 tokens.
+    block = " ".join(f"w{i}" for i in range(13))
+    uniq1 = " ".join(f"a{i}" for i in range(10))
+    uniq2 = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        (1, block + " " + uniq1),
+        (2, block + " " + uniq2),
+        (3, block + " " + block),
+        (4, " ".join(f"c{i}" for i in range(30))),
+        (5, "too short for any span"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dedup.span_dedup({"documents": docs}).collect()
+    }
+    assert set(got) == {1, 2, 3}  # 4 unique, 5 too short
+    # docs 1/2: exactly the pos-0 span is duplicated -> 13 tokens covered
+    for d in (1, 2):
+        assert got[d]["dup_span_ct"] == 1
+        assert got[d]["covered_tokens"] == 13
+    # doc 3: "block block" = 26 tokens; spans at pos 0 and 13 are both the
+    # block itself (duplicated within-doc AND vs docs 1/2); the boundary-
+    # straddling spans at pos 1..12 are unique. [0,13) ∪ [13,26) = 26 — the
+    # two disjoint intervals must each contribute the full 13.
+    assert got[3]["n_tokens"] == 26
+    assert got[3]["dup_span_ct"] == 2
+    assert got[3]["covered_tokens"] == 26
+    assert abs(got[3]["dup_fraction"] - 1.0) < 1e-9
 
 
 @pytest.fixture(scope="module")
@@ -92,6 +129,57 @@ def test_dedup_components_consistent(tables):
         dedup.ORACLES["dedup_components"],
         SF_DIR,
     )
+
+
+def test_star_contraction_matches_propagation(tables):
+    """Both component engines must produce identical labels on the fixture
+    corpus; the star engine is additionally gated on the recursive-CTE
+    oracle through the shared ORACLES entry (parametrized test above covers
+    only the propagation engine's key)."""
+    prop = {
+        r.doc_id: r.component for r in dedup.dedup_components(tables).collect()
+    }
+    star = {
+        r.doc_id: r.component
+        for r in dedup.dedup_components_star(tables).collect()
+    }
+    assert prop == star
+    assert_matches_oracle(
+        dedup.QUERIES["dedup_components_star"](tables),
+        dedup.ORACLES["dedup_components_star"],
+        SF_DIR,
+    )
+
+
+def test_star_contraction_deep_path(spark):
+    """A 300-node path graph has diameter 299 — min-label propagation would
+    need 299 rounds (far past its max_iters); star contraction halves
+    component height per alternation and must fully converge well inside 15
+    rounds, labeling every node 0."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "a long, b long"
+    )
+    universe = spark.range(300).select(F.col("id"))
+    got = {
+        r.id: r.component
+        for r in dedup.components_from_edges_star(edges, universe).collect()
+    }
+    assert got == {i: 0 for i in range(300)}
+
+
+def test_star_contraction_isolated_and_multi(spark):
+    # two components + isolated nodes; labels = component min, isolated self
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21)], "a long, b long"
+    )
+    universe = spark.createDataFrame(
+        [(i,) for i in [3, 5, 9, 20, 21, 40]], "id long"
+    )
+    got = {
+        r.id: r.component
+        for r in dedup.components_from_edges_star(edges, universe).collect()
+    }
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 40: 40}
 
 
 def test_simhash_exact_dups_zero_distance(dup_docs):

@@ -184,6 +184,59 @@ def test_embedding_assign_stream_matches_batch_index(spark, tables):
     assert {r.vec_id: r.cell for r in got} == want
 
 
+def test_ivf_drift_monitor_flags_skew(spark, tables, tmp_path):
+    """Batch 1 streams the training corpus itself — observed histogram ==
+    training histogram, TVD ≈ 0. Batch 2 dumps a pile of vectors into one
+    cell — cumulative TVD must rise and max_load_ratio must exceed 1.
+    Replaying batch 1's id against the monitor is a no-op (journal)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from flink_210225_spark.ops.similarity import ivf_assign
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    assigned, cent = ivf_assign(emb)
+    train_sizes = {r.cell: r.ct for r in
+                   assigned.groupBy("cell").agg(F.count("*").alias("ct")).collect()}
+
+    src = tmp_path / "emb"
+    src.mkdir()
+    base = emb.toPandas()
+    base.to_parquet(src / "b1.parquet")
+    # batch 2: many copies of centroid 0's vector -> all land in one cell
+    skew = pd.DataFrame(
+        {"vec_id": np.arange(10_000, 10_000 + 200),
+         "embedding": [np.asarray(cent[0], dtype=np.float32)] * 200}
+    )
+    skew.to_parquet(src / "b2.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    mon = str(tmp_path / "monitor")
+    sp.run_ivf_drift_monitor_stream(
+        stream, cent, train_sizes, mon, str(tmp_path / "cp")
+    ).awaitTermination()
+
+    drift = {r.batch_id: r for r in spark.read.parquet(mon + "/drift").collect()}
+    assert set(drift) == {0, 1}
+    first, second = drift[0], drift[1]
+    assert first.tvd < 1e-9 and abs(first.max_load_ratio) > 0
+    assert second.tvd > 0.05 and second.max_load_ratio > 1.0
+
+    # journal: re-applying an already-seen batch id must change nothing
+    counts_before = sorted(
+        map(tuple, spark.read.parquet(mon + "/counts").collect())
+    )
+    fake = spark.createDataFrame([(0,)], "cell int")
+    assert sp.merge_cell_counts_batch(fake, 0, mon, train_sizes) is False
+    assert sorted(map(tuple, spark.read.parquet(mon + "/counts").collect())) == counts_before
+
+
 def test_stats_maintenance_merges_across_batches(spark, tmp_path):
     """Two micro-batches (maxFilesPerTrigger=1) must merge into the same
     (day, event_type) totals a single batch aggregate over all data gives,
