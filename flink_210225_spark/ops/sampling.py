@@ -105,11 +105,48 @@ def stratified_exact_split(
     return docs.select("doc_id", "lang", split.alias("split"))
 
 
+def temperature_weights(
+    tables: dict[str, DataFrame], alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-based mixture weights: per-language sampling shares
+    q_l ∝ (n_l/N)^α (α = 0.3, the multilingual-pretraining exponent from
+    XLM-R / mT5 — α = 1 keeps the natural mixture, α → 0 approaches
+    uniform), plus the up/down-sampling factor q_l / p_l each language
+    needs to realize the target mixture. This computes the POLICY;
+    ``mixture_downsample`` (rate thresholds) or repetition-based
+    upsampling applies it.
+
+    Scale: one map-side-combined count per language — the only data-sized
+    pass; everything after runs on the language-count table (dozens of
+    rows), where global-frame windows are free. Rounded to 6dp half-up on
+    both engines (pow differs ≤ 1 ulp between libm and java.lang.Math)."""
+    docs = tables["documents"]
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()
+    share = F.col("n_docs") / F.sum("n_docs").over(w)
+    t = counts.select(
+        "lang", "n_docs", share.alias("share"), F.pow(share, F.lit(alpha)).alias("ts")
+    )
+    temp_share = F.col("ts") / F.sum("ts").over(w)
+
+    def r6(c):
+        return F.floor(c * 1000000 + 0.5) / 1000000
+
+    return t.select(
+        "lang",
+        "n_docs",
+        r6(F.col("share")).alias("share"),
+        r6(temp_share).alias("temp_share"),
+        r6(temp_share / F.col("share")).alias("sample_factor"),
+    )
+
+
 QUERIES = {
     "sample_hash_split": hash_split,
     "sample_quota_per_group": quota_per_group,
     "sample_mixture_rate": mixture_downsample,
     "sample_stratified_exact": stratified_exact_split,
+    "sample_temperature_weights": temperature_weights,
 }
 
 ORACLES = {
@@ -144,5 +181,19 @@ ORACLES = {
                                         ORDER BY md5(text), doc_id) AS pr
             FROM documents
         )
+    """,
+    "sample_temperature_weights": """
+        WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang),
+        t AS (
+            SELECT lang, n_docs,
+                   n_docs * 1.0 / sum(n_docs) OVER () AS share,
+                   pow(n_docs * 1.0 / sum(n_docs) OVER (), 0.3) AS ts
+            FROM c
+        )
+        SELECT lang, n_docs,
+               floor(share * 1000000 + 0.5) / 1000000 AS share,
+               floor(ts / sum(ts) OVER () * 1000000 + 0.5) / 1000000 AS temp_share,
+               floor(ts / sum(ts) OVER () / share * 1000000 + 0.5) / 1000000 AS sample_factor
+        FROM t
     """,
 }

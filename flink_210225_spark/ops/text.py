@@ -571,6 +571,37 @@ def tfidf_top_terms(tables: dict[str, DataFrame], k: int = 3) -> DataFrame:
     )
 
 
+def unigram_logprob(tables: dict[str, DataFrame]) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own unigram
+    LM — the SQL-expressible stand-in for CCNet's KenLM 5-gram perplexity
+    filter (docs whose tokens are improbable under the reference LM are
+    flagged as low-quality/noisy; filter policy thresholds avg_logprob per
+    language downstream). Self-scored, so no OOV arises; a production run
+    freezes the vocab from a reference corpus snapshot and adds an OOV
+    floor, which turns the vocab join below into a broadcast of a top-K
+    table — the exact join here exists for oracle parity.
+
+    Plan: (doc_id, token) partial agg (map-side combine collapses repeats),
+    vocab re-agg of that result (vocab-sized, Zipf-bounded), corpus total
+    attached as a scalar subquery (no join node), one vocab-keyed join, one
+    doc-keyed agg. avg_logprob rounds 4dp half-up: doc-level sums are short
+    (≤ distinct-tokens terms), so cross-engine ln-ulp and summation-order
+    noise sits ~1e-12, far inside the rounding grid."""
+    docs = tables["documents"].select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("ct"))
+    total = vocab.agg(F.sum("ct").alias("t")).scalar()
+    scored = tf.join(vocab, "tok")
+    avg = F.sum(F.col("tf") * F.log(F.col("ct") / total.cast("double"))) / F.sum("tf")
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        (F.floor(avg * 10000 + 0.5) / 10000).alias("avg_logprob"),
+    )
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -594,6 +625,7 @@ QUERIES = {
     "text_pack_bins_bfd": pack_bins_bfd,
     "text_pii_redact": pii_redact,
     "text_tfidf_topk": tfidf_top_terms,
+    "text_unigram_logprob": unigram_logprob,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -656,6 +688,23 @@ ORACLES = {
         )
         SELECT doc_id, term, rank, floor(s * 100 + 0.5) / 100 AS score
         FROM ranked WHERE rank <= 3
+    """,
+    "text_unigram_logprob": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, tok, count(*)::BIGINT AS tf
+            FROM toks WHERE tok <> '' GROUP BY 1, 2
+        ),
+        vocab AS (SELECT tok, sum(tf)::BIGINT AS ct FROM tf GROUP BY 1),
+        tot AS (SELECT sum(ct)::BIGINT AS total FROM vocab)
+        SELECT t.doc_id,
+               sum(t.tf)::BIGINT AS n_tokens,
+               floor(sum(t.tf * ln(v.ct::DOUBLE / (SELECT total FROM tot)))
+                     / sum(t.tf) * 10000 + 0.5) / 10000 AS avg_logprob
+        FROM tf t JOIN vocab v USING (tok)
+        GROUP BY t.doc_id
     """,
     "text_token_stats": f"""
         WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)

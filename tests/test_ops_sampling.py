@@ -132,3 +132,24 @@ def test_quota_caps_every_group(tables):
     for ranks in by_group.values():
         assert len(ranks) <= 5
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_temperature_weights_flatten_mixture(spark):
+    """alpha=0.3 must upsample the minority language (factor > 1) and
+    downsample the majority (factor < 1); temp shares sum to 1 and sit
+    strictly between the natural mixture and uniform."""
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en" if i < 80 else "fr") for i in range(100)],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r.lang: r
+        for r in sampling.temperature_weights({"documents": docs}).collect()
+    }
+    assert got["en"].n_docs == 80 and got["fr"].n_docs == 20
+    assert abs(got["en"].share - 0.8) < 1e-6 and abs(got["fr"].share - 0.2) < 1e-6
+    assert abs(got["en"].temp_share + got["fr"].temp_share - 1.0) < 1e-5
+    # flattened: en pulled below 0.8 toward 0.5, fr pulled above 0.2
+    assert 0.5 < got["en"].temp_share < 0.8
+    assert 0.2 < got["fr"].temp_share < 0.5
+    assert got["en"].sample_factor < 1.0 < got["fr"].sample_factor

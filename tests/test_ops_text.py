@@ -253,3 +253,22 @@ def test_tfidf_ranking_and_ties(spark):
     # doc 3: tf=2 for common → score 2·(3/3) = 2.0 beats nothing else there.
     d3 = [r for r in rows if r.doc_id == 3]
     assert len(d3) == 1 and d3[0].score == 2.0
+
+
+def test_unigram_logprob_orders_common_above_rare(spark):
+    """A doc made of corpus-common tokens must out-score a doc of
+    singleton tokens; scores are ≤ 0 and n_tokens matches the tokenizer."""
+    common = "the the the cat cat"        # 'the' and 'cat' dominate the corpus
+    filler = "the cat the cat the cat"
+    rare = "zyx wvu tsr qpo nml"          # every token appears exactly once
+    docs = spark.createDataFrame(
+        [(1, common), (2, filler), (3, rare)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in text.unigram_logprob({"documents": docs}).collect()}
+    assert got[1].n_tokens == 5 and got[3].n_tokens == 5
+    assert all(r.avg_logprob <= 0 for r in got.values())
+    assert got[1].avg_logprob > got[3].avg_logprob
+    # rare doc: every token has p = 1/16 (16 corpus tokens) -> ln(1/16)
+    import math
+
+    assert abs(got[3].avg_logprob - round(math.log(1 / 16), 4)) < 5e-4
