@@ -24,7 +24,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_210225_spark.functions.scalars import fmt_ymd_hms, round2
@@ -272,6 +272,43 @@ def hourly_moving_stats(tables: dict[str, DataFrame], trail: int = 3) -> DataFra
     )
 
 
+def daily_anomaly(tables: dict[str, DataFrame], z_thresh: float = 2.0) -> DataFrame:
+    """Per-(event_type, day) traffic anomaly flags: z-score of the daily
+    event count against the type's own distribution, |z| ≥ ``z_thresh``
+    flagged. The batch twin of a streaming alerting rule — complements
+    ``hourly_moving_stats``'s trailing-window deviation (that one detects
+    level shifts vs recent history; this one global outlier days).
+
+    Plan: the (day, event_type) rollup map-side combines event rows before
+    its Exchange; the stats window then runs per event_type over a
+    days-count-sized series — both shuffles move rollup rows, never
+    events. Stats in double, 4dp half-up on BOTH z and the flag boundary
+    (the flag tests the ROUNDED z, so engines can't disagree at the
+    threshold). Degenerate case: a single-day type has σ = 0 → null z,
+    never flagged."""
+    ev = tables["events"]
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count("*").alias("pv_ct"))
+    w = Window.partitionBy("event_type")
+    mu = F.avg(F.col("pv_ct").cast("double")).over(w)
+    sd = F.stddev_pop(F.col("pv_ct").cast("double")).over(w)
+
+    def r4(c: Column) -> Column:
+        return F.floor(c * 10000 + 0.5) / 10000
+
+    z = F.when(sd > 0, r4((F.col("pv_ct") - mu) / sd))
+    return daily.select(
+        "day",
+        "event_type",
+        "pv_ct",
+        r4(mu).alias("mean_ct"),
+        r4(sd).alias("std_ct"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) >= z_thresh, F.lit(False)).alias("is_anomaly"),
+    )
+
+
 def uv_approx_sketch(tables: dict[str, DataFrame], rsd: float = 0.02) -> DataFrame:
     """HLL++ sketch distinct: per-(day, event_type) approximate unique users
     via ``approx_count_distinct``. This is the streaming-exact-distinct
@@ -299,6 +336,7 @@ QUERIES = {
     "window_rollup_stats": rollup_stats,
     "window_grouping_sets": grouping_sets_stats,
     "window_moving_avg": hourly_moving_stats,
+    "window_daily_anomaly": daily_anomaly,
     "window_visitor_stats": visitor_stats_window,
     "window_product_stats": product_stats_window,
     "window_province_stats": province_stats_window,
@@ -306,6 +344,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_daily_anomaly": """
+        WITH d AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   count(*)::BIGINT AS pv_ct
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT day, event_type, pv_ct,
+                   avg(pv_ct) OVER (PARTITION BY event_type) AS mu,
+                   stddev_pop(pv_ct) OVER (PARTITION BY event_type) AS sd
+            FROM d
+        )
+        SELECT day, event_type, pv_ct,
+               floor(mu * 10000 + 0.5) / 10000 AS mean_ct,
+               floor(sd * 10000 + 0.5) / 10000 AS std_ct,
+               CASE WHEN sd > 0
+                    THEN floor((pv_ct - mu) / sd * 10000 + 0.5) / 10000 END AS zscore,
+               coalesce(abs(CASE WHEN sd > 0
+                    THEN floor((pv_ct - mu) / sd * 10000 + 0.5) / 10000 END) >= 2,
+                    FALSE) AS is_anomaly
+        FROM s
+    """,
     "window_sliding_stats": """
         WITH ex AS (
             SELECT event_type, value,

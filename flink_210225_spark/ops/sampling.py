@@ -8,11 +8,14 @@ These are the dataset-assembly ops that sit between dedup and training:
   no shuffle, scales embarrassingly.
 - **quota_per_group**: per-(lang, source) document cap with a deterministic
   priority (md5 order = stable pseudo-random), the standard "balance the
-  mixture" step. One shuffle keyed by the group; skewed groups are exactly
-  the ones the cap truncates, so the post-filter partition sizes are bounded
-  by the quota — at 100 TB replace row_number with a two-phase
-  per-partition-prefilter (keep ≤ quota per map partition first) if a single
-  group's pre-cap rows overwhelm one reducer.
+  mixture" step. One shuffle keyed by the group — and it is skew-safe as
+  written: Catalyst rewrites `row_number() <= k` filters into a
+  `WindowGroupLimit ... Partial` BEFORE the Exchange (Spark 3.5+), keeping
+  ≤ quota rows per (group, map partition), so a group holding half the
+  corpus ships ≤ quota × n_partitions rows to its reducer, not half the
+  corpus. The manual two-phase spark_partition_id() prefilter would be
+  redundant; test_plans gates the WindowGroupLimit so a conf regression
+  (spark.sql.window.group.limit.threshold = -1) is caught.
 
 Both are fully SQL-expressible (md5 is identical hex in Spark and DuckDB),
 so both carry exact oracles.

@@ -123,3 +123,20 @@ def test_no_cartesian_anywhere(name, spark):
 
     df = entry_mod.queries()[name](spark, SF_DIR)
     assert not explain.has_cartesian(df), f"{name} plans a cartesian/nested-loop join"
+
+def test_quota_group_limit_pushed_below_shuffle(tables):
+    """quota_per_group's skew safety lives in Catalyst's WindowGroupLimit
+    rewrite: the `row_number() <= quota` filter must become a Partial
+    group-limit BELOW the Exchange, bounding any hot group's shuffle volume
+    to quota rows per map partition. If this disappears (e.g. someone sets
+    spark.sql.window.group.limit.threshold = -1), a corpus-dominating group
+    melts one reducer at scale — fail loudly here instead."""
+    from flink_210225_spark.ops.sampling import quota_per_group
+
+    plan = quota_per_group(tables)._jdf.queryExecution().executedPlan().toString()
+    partial = plan.find("WindowGroupLimit")
+    exchange = plan.find("Exchange hashpartitioning")
+    assert partial != -1 and "Partial" in plan, plan
+    # plan strings print top-down: the Partial limit is DEEPER than (below)
+    # the Exchange, so it appears after it in the text
+    assert plan.rfind("WindowGroupLimit") > exchange, plan

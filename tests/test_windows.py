@@ -53,3 +53,32 @@ def test_uv_sketch_error_bound(tables):
     for r in rows:
         assert abs(r.uv_approx - r.uv_exact) <= max(0.06 * r.uv_exact, 2.0), (
             r.dt, r.event_type, r.uv_approx, r.uv_exact)
+
+
+def test_daily_anomaly_flags_outlier_day(spark):
+    """9 calm days at ~100 events + one 10x day: only the spike day is
+    flagged; a type with a single day (sigma = 0) gets null z, unflagged."""
+    import pandas as pd
+
+    rows = []
+    for d in range(1, 10):
+        rows += [(f"2021-02-{d:02d} 10:00", "click")] * 100
+    rows += [("2021-02-10 10:00", "click")] * 1000
+    rows += [("2021-02-01 09:00", "rare")] * 7
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime([t for t, _ in rows]),
+                "event_type": [e for _, e in rows],
+            }
+        )
+    )
+    got = {
+        (r.day, r.event_type): r
+        for r in windows.daily_anomaly({"events": ev}).collect()
+    }
+    flagged = {k for k, r in got.items() if r.is_anomaly}
+    assert flagged == {("2021-02-10", "click")}
+    assert got[("2021-02-10", "click")].zscore > 2
+    rare = got[("2021-02-01", "rare")]
+    assert rare.zscore is None and rare.is_anomaly is False
