@@ -592,6 +592,115 @@ def diversity_coreset_cached(tables: dict[str, DataFrame], k: int = 10) -> DataF
     )
 
 
+def pq_train(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 2):
+    """Product quantization (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search"): the embedding splits into ``m`` subvectors,
+    each quantized against its own ``k``-centroid L2 codebook, giving
+    m·log2(k) bits per vector (8×4 = 4 bytes here vs 64 for int8, vs 256
+    raw) — the memory step that makes billion-vector ANN serving fit in
+    RAM, composing with the IVF coarse stage (IVF picks cells, PQ codes
+    the residual-free vectors within them here; residual coding is a
+    centroid subtraction away). Returns (codes DataFrame, codebook array
+    of shape (m, k, dim/m)).
+
+    Same scale skeleton as ``ivf_assign``'s Lloyd loop: deterministic init
+    (first ``k`` vectors' subvectors), input persisted across rounds, ALL
+    m codebooks updated from ONE Arrow pass per round — each batch emits
+    (subspace, cell, count, partial-sum) rows, m×k tiny rows per
+    partition, no shuffle, codebooks are the only driver state. Final
+    coding pass streams once more, emitting per-vector codes plus the
+    reconstruction MSE (exact, since quantization error = sum of
+    per-subspace min distances)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark import StorageLevel
+
+    dim = len(emb.select("embedding").first()["embedding"])
+    assert dim % m == 0, (dim, m)
+    d_sub = dim // m
+    init = np.array(
+        emb.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    cent = init.reshape(k, m, d_sub).transpose(1, 0, 2).copy()  # (m, k, d_sub)
+
+    def make_partials(cb: "np.ndarray"):
+        def partials(batches):
+            cnt = np.zeros((m, k), dtype=np.int64)
+            sums = np.zeros_like(cb)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                sub = mat.reshape(len(mat), m, d_sub)
+                for j in range(m):
+                    d2 = ((sub[:, j, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+                    cell = d2.argmin(axis=1)
+                    np.add.at(cnt[j], cell, 1)
+                    np.add.at(sums[j], cell, sub[:, j, :])
+            sj, cell = np.nonzero(cnt)
+            yield pd.DataFrame(
+                {"sub": sj, "cell": cell, "cnt": cnt[sj, cell], "s": list(sums[sj, cell])}
+            )
+
+        return partials
+
+    def make_code(cb: "np.ndarray"):
+        def code(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                sub = mat.reshape(len(mat), m, d_sub)
+                codes = np.empty((len(mat), m), dtype=np.int32)
+                err = np.zeros(len(mat))
+                for j in range(m):
+                    d2 = ((sub[:, j, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+                    codes[:, j] = d2.argmin(axis=1)
+                    err += d2.min(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "codes": list(codes),
+                        "recon_mse": err / dim,
+                    }
+                )
+
+        return code
+
+    base = emb.select("vec_id", "embedding").persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(iters):
+        pp = base.mapInPandas(
+            make_partials(cent), "sub int, cell int, cnt long, s array<double>"
+        ).toPandas()
+        cnt = np.zeros((m, k), dtype=np.int64)
+        sums = np.zeros_like(cent)
+        for _, row in pp.iterrows():
+            cnt[row["sub"], row["cell"]] += row["cnt"]
+            sums[row["sub"], row["cell"]] += np.asarray(row["s"], dtype=np.float64)
+        hit = cnt > 0
+        new_cent = cent.copy()
+        new_cent[hit] = sums[hit] / cnt[hit][:, None]
+        cent = new_cent
+    base.unpersist()
+    return (
+        base.mapInPandas(
+            make_code(cent), "vec_id long, codes array<int>, recon_mse double"
+        ),
+        cent,
+    )
+
+
+def quantize_pq(tables: dict[str, DataFrame]) -> DataFrame:
+    """Driver entry for PQ coding over the embeddings table."""
+    return pq_train(tables["embeddings"])[0]
+
+
 def embedding_cluster_stats(tables: dict[str, DataFrame]) -> DataFrame:
     """Per-label centroid norm + dispersion — array aggregation surface
     (element-wise mean via zip_with fold over collected partial sums)."""
@@ -622,6 +731,9 @@ QUERIES = {
     # rows-only; pytest gates component parity vs a union-find over the
     # same pair set.
     "sim_semantic_groups": semantic_dedup_groups,
+    # rows-only (k-means codebooks not in SQL); pytest gates NumPy
+    # code/MSE parity, determinism, and MSE < per-subspace-mean baseline.
+    "sim_quantize_pq": quantize_pq,
 }
 
 _COS = """

@@ -132,3 +132,47 @@ def test_diversity_coreset_matches_numpy_greedy(tables):
     assert [r.vec_id for r in got] == want
     radii = [r.mindist for r in got[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:])), "coverage radius must shrink"
+
+
+def test_pq_codes_numpy_parity_and_compression(tables):
+    """Spark's PQ codes/MSE must equal a straight NumPy recompute from the
+    returned codebook; coding must beat the k=1 (per-subspace mean)
+    baseline, i.e. the codebook actually learned structure; and the whole
+    pipeline is deterministic across runs."""
+    import numpy as np
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    codes_df, cb = similarity.pq_train(emb)
+    got = {r.vec_id: (list(r.codes), r.recon_mse) for r in codes_df.collect()}
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    m, k, d_sub = cb.shape
+    sub = mat.reshape(len(mat), m, d_sub)
+    err = np.zeros(len(mat))
+    for j in range(m):
+        d2 = ((sub[:, j, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+        want_codes = d2.argmin(axis=1)
+        assert [got[int(i)][0][j] for i in ids] == list(want_codes)
+        err += d2.min(axis=1)
+    want_mse = err / mat.shape[1]
+    np.testing.assert_allclose(
+        [got[int(i)][1] for i in ids], want_mse, rtol=1e-9
+    )
+
+    # beat the per-subspace-mean (k=1) baseline
+    base_err = np.zeros(len(mat))
+    for j in range(m):
+        mu = sub[:, j, :].mean(axis=0)
+        base_err += ((sub[:, j, :] - mu) ** 2).sum(-1)
+    assert want_mse.mean() < (base_err / mat.shape[1]).mean() * 0.9
+
+    # determinism
+    again = {r.vec_id: (list(r.codes), r.recon_mse)
+             for r in similarity.pq_train(emb)[0].collect()}
+    assert again == got
+
+    # codes in range
+    flat = [c for codes, _ in got.values() for c in codes]
+    assert min(flat) >= 0 and max(flat) < k
