@@ -17,7 +17,7 @@ replace the side output. In streaming this runs per micro-batch inside
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_210225_spark.schemas import SINK_TYPE_HBASE, SINK_TYPE_KAFKA
@@ -95,20 +95,85 @@ def cdc_route_demo(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-QUERIES = {"cdc_route_config": cdc_route_demo}
+def changes_from_envelopes(
+    env: DataFrame, key_field: str, attr_fields: list[str], ts_field: str = "ts"
+) -> DataFrame:
+    """Adapter: CDC envelopes (sources/cdc.py canonical form, plus a ts
+    column) → the flat change-row contract ``scd2_history`` consumes. Keys
+    and attributes come out of the varchar ``data`` map — the same
+    everything-is-varchar posture as the reference's Phoenix dims
+    (TableProcessFunction.java:105-107)."""
+    cols = [F.col("data")[key_field].alias("key"), F.col("type"), F.col(ts_field).alias("ts")]
+    cols += [F.col("data")[a].alias(a) for a in attr_fields]
+    return env.select(*cols)
 
-ORACLES = {
-    "cdc_route_config": """
-        SELECT 'nation' AS table_name, 'insert' AS op_type, 'kafka' AS sink_type,
-               'dwd_nation' AS sink_table, n_nationkey::VARCHAR AS rec_id,
-               n_name AS rec_name, 2 AS n_cols
-        FROM nation
-        UNION ALL
-        SELECT 'region', 'insert', 'hbase', 'dim_region',
-               r_regionkey::VARCHAR, r_name, 2
-        FROM region
-    """,
-}
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    type_col: str = "type",
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 from a CDC change stream: instead of
+    keeping only the latest row per key (``upsert_dim``, the reference's
+    Phoenix upsert at DimSinkFunction.java:33-67 — SCD type 1), keep EVERY
+    version with its validity interval. insert/update rows open a version at
+    their ts; the next event on the same key (any type) closes it; a delete
+    closes the last open version and opens nothing. ``is_current`` marks the
+    open version; ``version`` numbers surviving versions 1..n in ts order.
+
+    Scale: one shuffle keyed by the dim key. ``valid_to`` is a lead window
+    over all events and ``version`` a row_number over the post-filter rows —
+    both windows share the (key, ts) partitioning+ordering, so Catalyst plans
+    a single Exchange with the second Window consuming the first's sort. Dim
+    change streams are small relative to facts by construction; for a
+    100 TB fact build the output is the broadcast side of as-of/range joins
+    against fact event time."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    closed = changes.withColumn("valid_to", F.lead(ts_col).over(w))
+    versions = closed.filter(F.col(type_col) != "delete")
+    return (
+        versions.withColumn("version", F.row_number().over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumnRenamed(ts_col, "valid_from")
+        .drop(type_col)
+    )
+
+
+def scd2_demo(tables: dict[str, DataFrame]) -> DataFrame:
+    """Driver-checkable SCD2 end-to-end on fixture data: the customer dim
+    tracked through a synthetic-but-deterministic change stream — an insert
+    per customer (ts 0, status 'NEW'), an update per order stamping the
+    order's status on its customer (ts = epoch-day·10⁵ + order key: unique
+    and SQL-expressible on both engines), and a delete for every 1000th
+    customer at the far-future ts 10¹⁵ (closes their history;
+    ``is_current`` false everywhere for those keys)."""
+    cust, orders = tables["customer"], tables["orders"]
+    inserts = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("insert").alias("type"),
+        F.lit(0).cast("long").alias("ts"),
+        F.lit("NEW").alias("status"),
+    )
+    updates = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.lit("update").alias("type"),
+        (
+            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * 100000
+            + F.col("o_orderkey")
+        ).alias("ts"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    deletes = cust.filter(F.col("c_custkey") % 1000 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("delete").alias("type"),
+        F.lit(10**15).alias("ts"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    changes = inserts.unionByName(updates).unionByName(deletes)
+    return scd2_history(changes, ["custkey"], "ts").select(
+        "custkey", "version", "status", "valid_from", "valid_to", "is_current"
+    )
 
 
 def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id") -> None:
@@ -137,3 +202,44 @@ def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id") -> None:
     latest.count()
     latest.write.mode("overwrite").parquet(dim_path)
     latest.unpersist()
+
+
+QUERIES = {"cdc_route_config": cdc_route_demo, "cdc_scd2_history": scd2_demo}
+
+ORACLES = {
+    "cdc_route_config": """
+        SELECT 'nation' AS table_name, 'insert' AS op_type, 'kafka' AS sink_type,
+               'dwd_nation' AS sink_table, n_nationkey::VARCHAR AS rec_id,
+               n_name AS rec_name, 2 AS n_cols
+        FROM nation
+        UNION ALL
+        SELECT 'region', 'insert', 'hbase', 'dim_region',
+               r_regionkey::VARCHAR, r_name, 2
+        FROM region
+    """,
+    "cdc_scd2_history": """
+        WITH changes AS (
+            SELECT c_custkey AS custkey, 'insert' AS type, 0::BIGINT AS ts,
+                   'NEW' AS status
+            FROM customer
+            UNION ALL
+            SELECT o_custkey, 'update',
+                   datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT * 100000
+                       + o_orderkey,
+                   o_orderstatus
+            FROM orders
+            UNION ALL
+            SELECT c_custkey, 'delete', 1000000000000000::BIGINT, NULL
+            FROM customer WHERE c_custkey % 1000 = 0
+        ),
+        closed AS (
+            SELECT *, lead(ts) OVER (PARTITION BY custkey ORDER BY ts) AS valid_to
+            FROM changes
+        )
+        SELECT custkey,
+               row_number() OVER (PARTITION BY custkey ORDER BY ts)::INT AS version,
+               status, ts AS valid_from, valid_to,
+               valid_to IS NULL AS is_current
+        FROM closed WHERE type != 'delete'
+    """,
+}

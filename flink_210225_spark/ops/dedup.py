@@ -269,6 +269,91 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_pairs(
+    tables: dict[str, DataFrame], n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin family,
+    Bayardo et al. 2007): same output as ``ngram_jaccard_pairs`` — every pair
+    with word-n-gram Jaccard ≥ threshold — but candidates are generated only
+    from each document's *prefix* shingles instead of all of them.
+
+    Under any global total order on shingles, if J(A,B) ≥ t then the prefixes
+    of length |S| − ceil(t·|S|) + 1 must intersect (if they didn't, even the
+    best case — everything after both prefixes shared — leaves the overlap
+    below t·max(|A|,|B|)). Ordering by ascending document frequency makes
+    prefixes the RAREST shingles, so candidate buckets are the smallest the
+    theorem allows; the corpus-hottest shingles (the skew bombs of the full
+    self-bucket approach) fall outside every large doc's prefix. A length
+    filter (min size ≥ ceil(t·max size)) prunes candidates before the
+    verification joins.
+
+    Scale: two extra window passes over the shingle table (document frequency
+    by shingle, rarity rank by doc) versus ``ngram_jaccard_pairs``, in
+    exchange for pair generation on ~(1−t)·|S| shingles per doc and immunity
+    to boilerplate-shingle bucket blowups. Verification joins touch only the
+    candidate set. Shuffles stay keyed on 8-byte hashes / doc ids. This is the
+    exact-similarity scale path at 100 TB; the quadratic sibling remains the
+    oracle-checked baseline."""
+    docs = tables["documents"]
+    sh = doc_shingles(docs, n).select("doc_id", F.xxhash64("shingle").alias("sh"))
+    sh = sh.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+    sh = sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
+    )
+    plen = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ranked = sh.withColumn("rk", rk)
+    prefix = ranked.filter(F.col("rk") <= plen).select("doc_id", "n_sh", "sh")
+    # In-bucket ordered pair generation on prefix shingles only (same shape
+    # as the full-bucket version in ngram_jaccard_pairs).
+    buckets = (
+        prefix.groupBy("sh")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ds",
+                            lambda x: F.transform(
+                                "ds", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                            ),
+                        )
+                    ),
+                    lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n_sh").alias("na"),
+            F.col("p.b.n_sh").alias("nb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        # Length filter: J(A,B) ≤ min/max of the set sizes.
+        .filter(
+            F.least("na", "nb") >= F.ceil(F.lit(threshold) * F.greatest("na", "nb"))
+        )
+    )
+    full = sh.select("doc_id", "sh")
+    inter = (
+        cand.join(full.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(full.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.floor(jac * 10000 + 0.5) / 10000)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 # --- MinHash + LSH ---
 
 
@@ -802,6 +887,7 @@ QUERIES = {
     "dedup_embedding_cosine": embedding_near_dups,
     "dedup_embedding_blocked": embedding_near_dups_blocked,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_prefix_filter": prefix_filter_pairs,
     "dedup_components": dedup_components,
     "dedup_components_star": dedup_components_star,
     # LSH/simhash results depend on xxhash64 — not SQL-expressible in DuckDB,
@@ -1001,3 +1087,8 @@ ORACLES["dedup_embedding_blocked"] = ORACLES["dedup_embedding_cosine"]
 # Star contraction computes the same (doc_id, component) labels as min-label
 # propagation — the propagation oracle gates both iteration engines.
 ORACLES["dedup_components_star"] = ORACLES["dedup_components"]
+
+# Prefix filtering is candidate pruning, not approximation: the emitted
+# (doc_a, doc_b, jaccard) rows are identical to the quadratic baseline's, so
+# the same oracle gates both physical strategies.
+ORACLES["dedup_prefix_filter"] = ORACLES["dedup_ngram_jaccard"]

@@ -157,6 +157,46 @@ def contamination_check(
     )
 
 
+def chunk_windows(
+    tables: dict[str, DataFrame], size: int = 50, stride: int = 40
+) -> DataFrame:
+    """Overlapping token-window chunking (RAG / long-context training prep):
+    each document becomes chunks of ``size`` tokens starting every ``stride``
+    tokens (overlap = size − stride), the last chunk keeping the tail
+    (possibly shorter). Chunk count = max(ceil((n − size)/stride), 0) + 1, so
+    a document shorter than ``size`` yields exactly one chunk.
+
+    Scale: pure per-row array expressions — tokenization, start-index
+    generation, slicing and re-joining all happen inside whole-stage codegen
+    with ZERO shuffles; the output is a flat chunk table ready for the
+    embedding/indexing stages downstream. The token array is materialized
+    once per row (let-bound via the select), not per chunk."""
+    docs = tables["documents"]
+    base = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    k = F.greatest(
+        F.ceil((n - F.lit(size)) / F.lit(stride)), F.lit(0)
+    ).cast("int")
+    starts = base.select(
+        "doc_id",
+        "toks",
+        n.alias("n_tokens"),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), k), lambda i: i * stride)
+        ).alias("chunk_idx", "start_tok"),
+    )
+    return starts.select(
+        "doc_id",
+        "n_tokens",
+        "chunk_idx",
+        "start_tok",
+        F.least(F.lit(size), F.col("n_tokens") - F.col("start_tok")).alias("chunk_len"),
+        F.concat_ws(" ", F.slice("toks", F.col("start_tok") + 1, size)).alias(
+            "chunk_text"
+        ),
+    )
+
+
 def pack_plan(
     tables: dict[str, DataFrame], seq_len: int = 256
 ) -> DataFrame:
@@ -609,6 +649,7 @@ QUERIES = {
     "text_fingerprint": fingerprint,
     "text_contamination": contamination_check,
     "text_pack_plan": pack_plan,
+    "text_chunk_windows": chunk_windows,
     "text_repetition": repetition_filter,
     "text_corpus_stats": corpus_stats,
     # rows-only: GK-sketch values are engine-specific; pytest gates each
@@ -896,6 +937,21 @@ ORACLES = {
                floor(quantile_cont(n_chars, 0.9) * 100 + 0.5) / 100 AS p90_chars
         FROM documents
         GROUP BY lang, source
+    """,
+    "text_chunk_windows": f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        c AS (
+            SELECT doc_id, toks, len(toks) AS n_tokens,
+                   unnest(range(greatest(ceil((len(toks) - 50) / 40.0), 0)::BIGINT + 1))
+                       AS chunk_idx
+            FROM t
+        )
+        SELECT doc_id, n_tokens, chunk_idx,
+               chunk_idx * 40 AS start_tok,
+               least(50, n_tokens - chunk_idx * 40) AS chunk_len,
+               array_to_string(toks[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' ')
+                   AS chunk_text
+        FROM c
     """,
     "text_pack_plan": f"""
         WITH t AS (

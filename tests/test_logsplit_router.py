@@ -100,3 +100,50 @@ def test_dim_upsert(spark, tmp_path):
     router.upsert_dim(b2, path)
     got = {r["id"]: r["name"] for r in spark.read.parquet(path).collect()}
     assert got == {"1": "alice", "2": "bobby", "3": "carol"}
+
+
+def test_scd2_history_semantics(spark):
+    """Micro SCD2 semantics: k1 insert→update→update = 3 versions chained by
+    valid_to, last one current; k2 insert→delete = 1 closed version, nothing
+    current; k3 lone insert = 1 open version."""
+    changes = spark.createDataFrame(
+        [
+            (1, "insert", 10, "a"),
+            (1, "update", 20, "b"),
+            (1, "update", 30, "c"),
+            (2, "insert", 10, "x"),
+            (2, "delete", 50, None),
+            (3, "insert", 10, "z"),
+        ],
+        "key long, type string, ts long, val string",
+    )
+    rows = router.scd2_history(changes, ["key"], "ts").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r)
+    k1 = sorted(by_key[1], key=lambda r: r.version)
+    assert [(r.val, r.valid_from, r.valid_to, r.is_current) for r in k1] == [
+        ("a", 10, 20, False),
+        ("b", 20, 30, False),
+        ("c", 30, None, True),
+    ]
+    (k2,) = by_key[2]
+    assert (k2.val, k2.valid_from, k2.valid_to, k2.is_current) == ("x", 10, 50, False)
+    (k3,) = by_key[3]
+    assert k3.is_current and k3.valid_to is None
+
+
+def test_scd2_demo_matches_oracle(tables):
+    assert_matches_oracle(
+        router.QUERIES["cdc_scd2_history"](tables),
+        router.ORACLES["cdc_scd2_history"],
+        SF_DIR,
+    )
+
+
+def test_scd2_single_exchange(tables):
+    """Both windows (lead + row_number) share the custkey partitioning: the
+    plan must contain exactly one hash-partitioning Exchange."""
+    df = router.QUERIES["cdc_scd2_history"](tables)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

@@ -13,6 +13,7 @@ from .oracle import assert_matches_oracle
         "dedup_exact",
         "dedup_normalized",
         "dedup_ngram_jaccard",
+        "dedup_prefix_filter",
         "dedup_keep_best",
         "dedup_shingle_hotspots",
         "dedup_span_stats",
@@ -109,6 +110,51 @@ def test_minhash_verified_equals_exact_on_candidates(tables):
     assert verified == want
     # recall of the composed pipeline vs the full quadratic verifier
     assert len(verified) >= 0.9 * len(exact)
+
+
+def test_prefix_filter_equals_quadratic(tables, dup_docs):
+    """Prefix filtering is lossless pruning: identical (pair, jaccard) output
+    to the quadratic baseline on fixture data and on the near-dup micro set."""
+    for t in (tables, {"documents": dup_docs}):
+        exact = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(t).collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.prefix_filter_pairs(t).collect()
+        }
+        assert pref == exact
+
+
+def test_prefix_filter_prunes_boilerplate_buckets(spark):
+    """A corpus-hot shingle shared by every doc must not put all docs in one
+    candidate bucket: with unique content dominating each doc, the hot
+    shingle's document frequency is maximal so it sorts LAST and falls outside
+    every prefix. The near-dup pair must still be found (theorem: prefixes of
+    J≥t pairs intersect)."""
+    boiler = "all rights reserved copyright notice footer"
+    rows = []
+    for d in range(20):
+        uniq = " ".join(f"d{d}w{i}" for i in range(40))
+        rows.append((d, uniq + " " + boiler))
+    # one near-dup pair: doc 100/101 share most content
+    words = [f"s{i}" for i in range(40)]
+    rows.append((100, " ".join(words) + " " + boiler))
+    w2 = list(words)
+    w2[35] = "x"
+    rows.append((101, " ".join(w2) + " " + boiler))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.prefix_filter_pairs({"documents": docs}).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs({"documents": docs}).collect()
+    }
+    assert got == want
+    assert (100, 101) in got
 
 
 def test_dedup_components_consistent(tables):

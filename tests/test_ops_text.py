@@ -272,3 +272,35 @@ def test_unigram_logprob_orders_common_above_rare(spark):
     import math
 
     assert abs(got[3].avg_logprob - round(math.log(1 / 16), 4)) < 5e-4
+
+
+def test_chunk_windows_semantics(spark):
+    """Overlap and tail semantics: 100 tokens at size 50 / stride 40 →
+    chunks [0,50) [40,90) [80,100); 50 tokens → one full chunk; 10 tokens →
+    one short chunk. Consecutive chunks overlap by size − stride tokens."""
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(100))),
+        (2, " ".join(f"t{i}" for i in range(50))),
+        (3, " ".join(f"t{i}" for i in range(10))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = text.chunk_windows({"documents": docs}).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [(r.start_tok, r.chunk_len) for r in c1] == [(0, 50), (40, 50), (80, 20)]
+    # overlap: last 10 tokens of chunk 0 == first 10 tokens of chunk 1
+    assert c1[0].chunk_text.split()[40:] == c1[1].chunk_text.split()[:10]
+    # tail chunk text is the real tail
+    assert c1[2].chunk_text.split() == [f"t{i}" for i in range(80, 100)]
+    assert [(r.start_tok, r.chunk_len) for r in by_doc[2]] == [(0, 50)]
+    assert [(r.start_tok, r.chunk_len) for r in by_doc[3]] == [(0, 10)]
+
+
+def test_chunk_windows_shuffle_free(tables):
+    """Chunking is a per-row explode — any Exchange means a join/groupBy
+    crept in."""
+    df = text.chunk_windows(tables)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
