@@ -24,6 +24,7 @@ def _registry():
         serving,
         sessions,
         stateful,
+        warehouse,
         windows,
     )
     from flink_210225_spark.ops import dedup, multimodal, sampling, similarity, text
@@ -38,6 +39,7 @@ def _registry():
         logsplit,
         router,
         sessions,
+        warehouse,
         text,
         dedup,
         similarity,

@@ -714,11 +714,37 @@ def embedding_cluster_stats(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def embed_dim_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column (mean, pop
+    stddev, min, max per component) — the input to normalization / whitening
+    decisions and a drift fingerprint to compare snapshots of an embedding
+    corpus.
+
+    Scale: posexplode fans each vector into (dim, x) rows inside codegen,
+    then Spark's partial HashAggregate collapses them map-side — the shuffle
+    carries only (partitions × dims) pre-aggregated rows, not n×d. Rounding
+    at 1e-6 absorbs summation-order differences across engines (double
+    accumulation error is ~1e-12 relative at any realistic n)."""
+    emb = tables["embeddings"]
+    e = emb.select(
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "x")
+    )
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    return e.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        r6(F.avg("x")).alias("mean_x"),
+        r6(F.stddev_pop("x")).alias("std_x"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
     "sim_lsh_ann_topk": lsh_ann_topk,  # rows-only (xxhash64 planes not in DuckDB)
     "sim_ivf_ann_topk": ivf_ann_topk,  # rows-only (k-means cells not in SQL); recall-tested vs exact
     "sim_cluster_stats": embedding_cluster_stats,
+    "sim_embed_dim_stats": embed_dim_stats,
     # rows-only: k greedy argmax rounds aren't SQL-expressible; pytest gates
     # exact pick-sequence parity vs a straight NumPy farthest-point run.
     "sim_diversity_coreset": diversity_coreset,
@@ -757,6 +783,17 @@ ORACLES = {
                                          ORDER BY cosine DESC, neighbor_id ASC) AS rank
             FROM scored
         ) WHERE rank <= 5
+    """,
+    "sim_embed_dim_stats": """
+        WITH e AS (
+            SELECT t.i AS dim, embedding[t.i + 1]::DOUBLE AS x
+            FROM embeddings, range(64) t(i)
+        )
+        SELECT dim, count(*)::BIGINT AS n,
+               floor(avg(x) * 1000000 + 0.5) / 1000000 AS mean_x,
+               floor(stddev_pop(x) * 1000000 + 0.5) / 1000000 AS std_x,
+               min(x) AS min_x, max(x) AS max_x
+        FROM e GROUP BY dim
     """,
     "sim_cluster_stats": """
         WITH per_row AS (

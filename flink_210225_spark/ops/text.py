@@ -10,7 +10,7 @@ tokenizer seam below).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"\s+"
@@ -642,6 +642,48 @@ def unigram_logprob(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def bigram_condprob(tables: dict[str, DataFrame]) -> DataFrame:
+    """Corpus bigram language model: every adjacent token pair with its
+    count, the first token's total continuation count, and the conditional
+    probability P(w2|w1) — the n=2 member of the n-gram LM family
+    (``unigram_logprob`` is n=1; KenLM-style perplexity filters are the
+    production big sibling). Downstream uses: collocation mining (high
+    cond_p at high pair_ct), boilerplate phrase detection, and next-token
+    surprisal scoring.
+
+    Plan: pair generation is per-row array expressions (codegen), the pair
+    count is a map-side-combined groupBy, and w1 totals ride a window over
+    the GROUPED result (vocab²-bounded, not corpus-bounded). cond_p is
+    floor(pair_ct·10⁶ / w1_ct + 0.5)/10⁶ with the exact same expression
+    shape on both engines: integer-valued doubles divide deterministically,
+    so the comparison is bit-identical."""
+    docs = tables["documents"].select("doc_id", "text")
+    base = docs.select(tokens_col(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    pairs = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.get("toks", i).alias("w1"), F.get("toks", i + 1).alias("w2")
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_ct"))
+    w1_ct = F.sum("pair_ct").over(Window.partitionBy("w1"))
+    return bi.select(
+        "w1",
+        "w2",
+        "pair_ct",
+        w1_ct.alias("w1_ct"),
+        (F.floor(F.col("pair_ct") * 1000000.0 / w1_ct + 0.5) / 1000000).alias(
+            "cond_p"
+        ),
+    )
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -667,6 +709,7 @@ QUERIES = {
     "text_pii_redact": pii_redact,
     "text_tfidf_topk": tfidf_top_terms,
     "text_unigram_logprob": unigram_logprob,
+    "text_bigram_lm": bigram_condprob,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -729,6 +772,24 @@ ORACLES = {
         )
         SELECT doc_id, term, rank, floor(s * 100 + 0.5) / 100 AS score
         FROM ranked WHERE rank <= 3
+    """,
+    "text_bigram_lm": f"""
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        p AS (
+            SELECT unnest(list_transform(
+                       range(len(toks) - 1),
+                       i -> struct_pack(w1 := toks[i + 1], w2 := toks[i + 2]))) AS pr
+            FROM t WHERE len(toks) >= 2
+        ),
+        bi AS (
+            SELECT pr.w1 AS w1, pr.w2 AS w2, count(*)::BIGINT AS pair_ct
+            FROM p GROUP BY 1, 2
+        )
+        SELECT w1, w2, pair_ct,
+               sum(pair_ct) OVER (PARTITION BY w1)::BIGINT AS w1_ct,
+               floor(pair_ct * 1000000.0 / sum(pair_ct) OVER (PARTITION BY w1)
+                     + 0.5) / 1000000 AS cond_p
+        FROM bi
     """,
     "text_unigram_logprob": f"""
         WITH toks AS (

@@ -86,6 +86,25 @@ def windowed_agg_stream(
     )
 
 
+def session_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Sessionization as a stream: the native session_window aggregation
+    (operators/sessions.py session_window_agg — the same code path batch
+    uses) under a watermark. Session state merges windows within ``gap`` and
+    evicts once the watermark passes a session's close — the streaming form
+    of the reference's "session = visit" analysis (sv_ct seeding at
+    VisitorStatsApp.java:72-75), which the reference only approximates with
+    per-event flags because Flink session windows never made it into the
+    gmall jobs."""
+    from flink_210225_spark.operators.sessions import session_window_agg
+
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    return session_window_agg(ev, gap)
+
+
 def uv_dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """T2 as a stream: first event per (user, day). dropDuplicates state is
     evicted once the watermark passes the day — the 24h-TTL analog

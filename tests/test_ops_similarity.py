@@ -176,3 +176,28 @@ def test_pq_codes_numpy_parity_and_compression(tables):
     # codes in range
     flat = [c for codes, _ in got.values() for c in codes]
     assert min(flat) >= 0 and max(flat) < k
+
+
+def test_embed_dim_stats_matches_oracle(tables):
+    from .conftest import SF_DIR
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        similarity.QUERIES["sim_embed_dim_stats"](tables),
+        similarity.ORACLES["sim_embed_dim_stats"],
+        SF_DIR,
+    )
+
+
+def test_embed_dim_stats_semantics(spark):
+    from flink_210225_spark.ops import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -2.0], 0), (2, [3.0, 4.0], 0), (3, [5.0, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r.dim: r for r in sim.embed_dim_stats({"embeddings": emb}).collect()}
+    assert rows[0].n == 3 and rows[0].mean_x == 3.0
+    assert rows[0].min_x == 1.0 and rows[0].max_x == 5.0
+    assert rows[1].mean_x == abs(rows[1].mean_x)  # (−2+4+0)/3 = 2/3 > 0
+    assert abs(rows[1].mean_x - round(2 / 3, 6)) < 2e-6

@@ -304,3 +304,25 @@ def test_chunk_windows_shuffle_free(tables):
     df = text.chunk_windows(tables)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 0, plan
+
+
+def test_bigram_lm_matches_oracle(tables):
+    assert_matches_oracle(
+        text.QUERIES["text_bigram_lm"](tables),
+        text.ORACLES["text_bigram_lm"],
+        SF_DIR,
+    )
+
+
+def test_bigram_lm_semantics(spark):
+    """'a b a b a c' → pairs ab, ba, ab, ba, ac: P(b|a)=2/3, P(c|a)=1/3,
+    P(a|b)=1. Single-token docs contribute nothing."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "solo")], "doc_id long, text string"
+    )
+    got = {(r.w1, r.w2): r for r in text.bigram_condprob({"documents": docs}).collect()}
+    assert set(got) == {("a", "b"), ("b", "a"), ("a", "c")}
+    assert got[("a", "b")].pair_ct == 2 and got[("a", "b")].w1_ct == 3
+    assert abs(got[("a", "b")].cond_p - 0.666667) < 1e-6
+    assert abs(got[("a", "c")].cond_p - 0.333333) < 1e-6
+    assert got[("b", "a")].cond_p == 1.0

@@ -360,3 +360,20 @@ def test_curation_stream_writes_partitioned_dataset(spark, tmp_path):
     n0 = got.count()
     sp.run_curation_stream(stream, out, ckpt).awaitTermination()
     assert spark.read.parquet(out).count() == n0
+
+
+def test_session_stream_matches_batch(spark, event_stream, tables):
+    """Streaming sessionization == batch session_window_agg on the same
+    fixture (complete mode drains all sessions; the operator is the SAME
+    function both ways — only the watermark wrapper differs)."""
+    from pyspark.sql import functions as F
+
+    from flink_210225_spark.operators.sessions import session_window_agg
+
+    got = sp.run_stream_to_memory(
+        sp.session_stream(event_stream), "sess_stream", output_mode="complete"
+    )
+    want = session_window_agg(
+        tables["events"].withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

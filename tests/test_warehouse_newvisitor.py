@@ -45,3 +45,28 @@ def test_new_visitor_stream_matches_batch(spark, tables):
         "event_id", "user_id", F.col("is_new").cast("string").alias("is_new")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_dq_profile_matches_oracle(tables):
+    from flink_210225_spark.operators import warehouse
+
+    from .conftest import SF_DIR
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        warehouse.QUERIES["warehouse_dq_profile"](tables),
+        warehouse.ORACLES["warehouse_dq_profile"],
+        SF_DIR,
+    )
+
+
+def test_dq_profile_semantics(spark):
+    from flink_210225_spark.operators.warehouse import dq_profile
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "x"), (None, "y")], "a long, b string"
+    )
+    got = {r.col_name: r for r in dq_profile(df).collect()}
+    assert got["a"].n_rows == 4 and got["a"].n_null == 1 and got["a"].n_distinct == 3
+    assert got["b"].n_null == 1 and got["b"].n_distinct == 2
+    assert got["a"].null_frac == 0.25
