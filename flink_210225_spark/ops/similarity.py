@@ -739,12 +739,46 @@ def embed_dim_stats(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def whiten_embeddings(tables: dict[str, DataFrame]) -> DataFrame:
+    """Per-dimension z-score whitening of the embedding corpus (diagonal
+    whitening: subtract the corpus mean, divide by the corpus stddev, per
+    component) — the standard preprocessing in front of cosine ANN when
+    dimensions have wildly different scales. Emits exploded (vec_id, dim, z)
+    scalars for cross-engine comparison.
+
+    Numeric contract: mean and stddev are rounded to 1e-6 BEFORE use, so
+    both engines plug bit-identical parameters into z = (x − m)/s (x is an
+    exact float; the division is then correctly-rounded identically).
+    Constant dimensions (s = 0) map to z = 0.
+
+    Plan: the 64-row parameter table comes from the same partial-agg shape
+    as ``embed_dim_stats`` and is BROADCAST-joined onto the exploded
+    (vec_id, dim, x) rows — explode, join, and projection all run inside one
+    codegen stage with zero shuffles on the main scan (a scalar-subquery
+    array was rejected: subqueries can't appear inside higher-order
+    lambdas). At 100 TB both scans stream; nothing driver-sized beyond the
+    64-row broadcast."""
+    emb = tables["embeddings"]
+    v = _as_double(F.col("embedding"))
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    e = emb.select(F.posexplode(v).alias("dim", "x"))
+    st = e.groupBy("dim").agg(
+        r6(F.avg("x")).alias("m"), r6(F.stddev_pop("x")).alias("s")
+    )
+    rows = emb.select("vec_id", F.posexplode(v).alias("dim", "x"))
+    z = F.when(F.col("s") == 0.0, F.lit(0.0)).otherwise(
+        r6((F.col("x") - F.col("m")) / F.col("s"))
+    )
+    return rows.join(F.broadcast(st), "dim").select("vec_id", "dim", z.alias("z"))
+
+
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
     "sim_lsh_ann_topk": lsh_ann_topk,  # rows-only (xxhash64 planes not in DuckDB)
     "sim_ivf_ann_topk": ivf_ann_topk,  # rows-only (k-means cells not in SQL); recall-tested vs exact
     "sim_cluster_stats": embedding_cluster_stats,
     "sim_embed_dim_stats": embed_dim_stats,
+    "sim_whiten_zscore": whiten_embeddings,
     # rows-only: k greedy argmax rounds aren't SQL-expressible; pytest gates
     # exact pick-sequence parity vs a straight NumPy farthest-point run.
     "sim_diversity_coreset": diversity_coreset,
@@ -794,6 +828,25 @@ ORACLES = {
                floor(stddev_pop(x) * 1000000 + 0.5) / 1000000 AS std_x,
                min(x) AS min_x, max(x) AS max_x
         FROM e GROUP BY dim
+    """,
+    "sim_whiten_zscore": """
+        WITH e AS (
+            SELECT t.i AS dim, embedding[t.i + 1]::DOUBLE AS x
+            FROM embeddings, range(64) t(i)
+        ),
+        st AS (
+            SELECT dim,
+                   floor(avg(x) * 1000000 + 0.5) / 1000000 AS m,
+                   floor(stddev_pop(x) * 1000000 + 0.5) / 1000000 AS s
+            FROM e GROUP BY dim
+        )
+        SELECT v.vec_id, t.i AS dim,
+               CASE WHEN st.s = 0 THEN 0.0
+                    ELSE floor((v.embedding[t.i + 1]::DOUBLE - st.m) / st.s
+                               * 1000000 + 0.5) / 1000000
+               END AS z
+        FROM embeddings v, range(64) t(i)
+        JOIN st ON st.dim = t.i
     """,
     "sim_cluster_stats": """
         WITH per_row AS (

@@ -684,6 +684,40 @@ def bigram_condprob(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def curation_report(tables: dict[str, DataFrame]) -> DataFrame:
+    """Corpus curation dashboard: per (lang, source) cell — document count,
+    distinct-text count, exact-duplicate fraction, total quality mass, and
+    token total. The one-glance table a data curator reads before deciding
+    mixture weights and dedup policy; composes the same expressions as
+    ``exact_dedup``, ``quality_score`` and ``token_stats`` into ONE scan +
+    ONE groupBy.
+
+    Numeric contract: quality is emitted as a SUM of 4-decimal values
+    (integer-valued after ×10⁴ scaling — summation-order noise sits ~1e-14
+    from any rounding boundary), not a mean, whose quotient can land exactly
+    on a half-ulp boundary across engines. dup_frac is a single division of
+    exact integers — bit-identical everywhere."""
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    base = docs.select(
+        "lang",
+        "source",
+        F.md5("text").alias("digest"),
+        _quality_expr(toks).alias("quality"),
+        F.size(toks).alias("n_tokens"),
+    )
+    n_docs, n_uniq = F.count("*"), F.countDistinct("digest")
+    return base.groupBy("lang", "source").agg(
+        n_docs.alias("n_docs"),
+        n_uniq.alias("n_uniq"),
+        (F.floor((n_docs - n_uniq) * 1000000.0 / n_docs + 0.5) / 1000000).alias(
+            "dup_frac"
+        ),
+        (F.floor(F.sum("quality") * 10000 + 0.5) / 10000).alias("sum_quality"),
+        F.sum("n_tokens").cast("long").alias("token_total"),
+    )
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -710,6 +744,7 @@ QUERIES = {
     "text_tfidf_topk": tfidf_top_terms,
     "text_unigram_logprob": unigram_logprob,
     "text_bigram_lm": bigram_condprob,
+    "text_curation_report": curation_report,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -772,6 +807,34 @@ ORACLES = {
         )
         SELECT doc_id, term, rank, floor(s * 100 + 0.5) / 100 AS score
         FROM ranked WHERE rank <= 3
+    """,
+    "text_curation_report": f"""
+        WITH t AS (
+            SELECT lang, source, md5(text) AS digest, {_DUCK_TOKS} AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT lang, source, digest, len(toks) AS n,
+                   len(list_distinct(toks)) AS uniq,
+                   len(list_filter(toks, x -> x IN ('the', 'a'))) AS stop_ct
+            FROM t
+        ),
+        q AS (
+            SELECT lang, source, digest, n,
+                   floor((0.4 * least(n / 100.0, 1.0)
+                          + 0.3 * (uniq * 1.0 / n)
+                          + 0.3 * (1.0 - abs(stop_ct * 1.0 / n - 0.1))) * 10000
+                         + 0.5) / 10000 AS quality
+            FROM m
+        )
+        SELECT lang, source,
+               count(*)::BIGINT AS n_docs,
+               count(DISTINCT digest)::BIGINT AS n_uniq,
+               floor((count(*) - count(DISTINCT digest)) * 1000000.0 / count(*)
+                     + 0.5) / 1000000 AS dup_frac,
+               floor(sum(quality) * 10000 + 0.5) / 10000 AS sum_quality,
+               sum(n)::BIGINT AS token_total
+        FROM q GROUP BY 1, 2
     """,
     "text_bigram_lm": f"""
         WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),

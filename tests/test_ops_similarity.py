@@ -201,3 +201,23 @@ def test_embed_dim_stats_semantics(spark):
     assert rows[0].min_x == 1.0 and rows[0].max_x == 5.0
     assert rows[1].mean_x == abs(rows[1].mean_x)  # (−2+4+0)/3 = 2/3 > 0
     assert abs(rows[1].mean_x - round(2 / 3, 6)) < 2e-6
+
+
+def test_whiten_zscore_matches_oracle(tables):
+    assert_matches_oracle(
+        similarity.QUERIES["sim_whiten_zscore"](tables),
+        similarity.ORACLES["sim_whiten_zscore"],
+        SF_DIR,
+    )
+
+
+def test_whiten_zscore_semantics(spark):
+    """Two vectors → per-dim mean is the midpoint, z = ±1 for pop-stddev of
+    a two-point set; a constant dimension maps to z = 0."""
+    emb = spark.createDataFrame(
+        [(1, [0.0, 5.0], 0), (2, [2.0, 5.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {(r.vec_id, r.dim): r.z for r in similarity.whiten_embeddings({"embeddings": emb}).collect()}
+    assert rows[(1, 0)] == -1.0 and rows[(2, 0)] == 1.0
+    assert rows[(1, 1)] == 0.0 and rows[(2, 1)] == 0.0

@@ -326,3 +326,31 @@ def test_bigram_lm_semantics(spark):
     assert abs(got[("a", "b")].cond_p - 0.666667) < 1e-6
     assert abs(got[("a", "c")].cond_p - 0.333333) < 1e-6
     assert got[("b", "a")].cond_p == 1.0
+
+
+def test_curation_report_matches_oracle(tables):
+    assert_matches_oracle(
+        text.QUERIES["text_curation_report"](tables),
+        text.ORACLES["text_curation_report"],
+        SF_DIR,
+    )
+
+
+def test_curation_report_dup_accounting(spark):
+    """Two identical docs + one unique in one cell: dup_frac = 1/3; token
+    totals add across duplicates (dedup policy is downstream's call)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "same text here", "en", "web", 14),
+            (2, "same text here", "en", "web", 14),
+            (3, "unique document text", "en", "web", 20),
+            (4, "altro documento", "it", "web", 15),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {(r.lang, r.source): r for r in text.curation_report({"documents": docs}).collect()}
+    en = got[("en", "web")]
+    assert en.n_docs == 3 and en.n_uniq == 2
+    assert abs(en.dup_frac - 0.333333) < 1e-6
+    assert en.token_total == 9
+    assert got[("it", "web")].dup_frac == 0.0
