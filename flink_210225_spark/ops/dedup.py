@@ -295,8 +295,8 @@ def prefix_filter_pairs(
     exact-similarity scale path at 100 TB; the quadratic sibling remains the
     oracle-checked baseline."""
     docs = tables["documents"]
-    sh = doc_shingles(docs, n).select("doc_id", F.xxhash64("shingle").alias("sh"))
-    sh = sh.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+    base = doc_shingles(docs, n).select("doc_id", F.xxhash64("shingle").alias("sh"))
+    sh = base.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
     sh = sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
     rk = F.row_number().over(
         Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
@@ -339,7 +339,10 @@ def prefix_filter_pairs(
             F.least("na", "nb") >= F.ceil(F.lit(threshold) * F.greatest("na", "nb"))
         )
     )
-    full = sh.select("doc_id", "sh")
+    # Verification needs only raw (doc_id, shingle-hash) pairs — built from
+    # the PRE-window base so the two join branches don't each recompute the
+    # doc-size and document-frequency window chains.
+    full = base
     inter = (
         cand.join(full.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(full.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "sh"])

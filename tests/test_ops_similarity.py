@@ -221,3 +221,73 @@ def test_whiten_zscore_semantics(spark):
     rows = {(r.vec_id, r.dim): r.z for r in similarity.whiten_embeddings({"embeddings": emb}).collect()}
     assert rows[(1, 0)] == -1.0 and rows[(2, 0)] == 1.0
     assert rows[(1, 1)] == 0.0 and rows[(2, 1)] == 0.0
+
+
+def test_ivfpq_matches_numpy_reference(tables):
+    """End-to-end IVFPQ parity: an independent NumPy implementation fed the
+    SAME coarse centroids and codebook must produce the same top-k per query
+    (probes, codes, ADC sums and tie-breaks all replicated)."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    num_q, k, n_cells, n_probe, m, k_codes = 20, 5, 16, 4, 8, 16
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.approx_d)
+        for r in similarity.ivf_pq_ann_topk(tables).collect()
+    }
+
+    assigned, coarse = similarity.ivf_assign(emb, n_cells)
+    codes_df, cb = similarity.pq_train(emb, m=m, k=k_codes)
+    cell_of = {r.vec_id: r.cell for r in assigned.select("vec_id", "cell").collect()}
+    codes = {r.vec_id: list(r.codes) for r in codes_df.select("vec_id", "codes").collect()}
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    vecs = {int(v): np.array(e, dtype=np.float64) for v, e in zip(pdf["vec_id"], pdf["embedding"])}
+    dim = cb.shape[0] * cb.shape[2]
+    d_sub = cb.shape[2]
+
+    refine = 4
+    want = {}
+    for qid in range(num_q):
+        q = vecs[qid]
+        d2c = ((q[None, :] - coarse) ** 2).sum(-1)
+        probe = set(int(c) for c in np.argsort(d2c)[:n_probe])
+        tab = ((q.reshape(m, 1, d_sub) - cb) ** 2).sum(-1)  # (m, k_codes)
+        cands = []
+        for nid, cell in cell_of.items():
+            if nid == qid or cell not in probe:
+                continue
+            d = sum(tab[j, codes[nid][j]] for j in range(m))
+            cands.append((np.floor(d / dim * 1e6 + 0.5) / 1e6, nid))
+        cands.sort(key=lambda t: (t[0], t[1]))
+        short = [nid for _, nid in cands[: k * refine]]
+        rer = sorted(
+            (np.floor(((vecs[nid] - q) ** 2).sum() / dim * 1e6 + 0.5) / 1e6, nid)
+            for nid in short
+        )
+        for rank, (d, nid) in enumerate(rer[:k], 1):
+            want[(qid, rank)] = nid
+    assert set(got) == set(want)
+    for key, nid in want.items():
+        assert got[key][0] == nid, (key, got[key], nid)
+
+
+def test_ivfpq_recall_vs_exact_l2(tables):
+    """Probe-bounded PQ search must still recover a solid share of the true
+    L2 top-5 on the fixture corpus."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    got = {}
+    for r in similarity.ivf_pq_ann_topk(tables).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for qid in range(20):
+        q = mat[ids == qid][0]
+        d = ((mat - q) ** 2).sum(1)
+        order = [int(i) for i in ids[np.argsort(d, kind="stable")] if i != qid][:5]
+        hits += len(set(order) & got.get(qid, set()))
+        total += 5
+    assert hits / total >= 0.5, hits / total
