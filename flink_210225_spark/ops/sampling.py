@@ -144,12 +144,43 @@ def temperature_weights(
     )
 
 
+def temperature_downsample(
+    tables: dict[str, DataFrame], alpha: float = 0.3
+) -> DataFrame:
+    """APPLY the temperature policy: languages with sample_factor < 1 are
+    downsampled to exactly that rate with a content-keyed deterministic
+    Bernoulli (first 8 md5 hex chars as a uniform over 2³², compared against
+    the factor converted to a zero-padded hex threshold — engine-identical
+    because the 6dp-rounded factor maps to the same 32-bit integer on both
+    sides). Languages at factor ≥ 1 pass through; realizing their UPsampling
+    (repeating docs) is the trainer's loop, not a filter.
+
+    Scale: the policy table is language-sized and broadcast; the pass is a
+    stateless filter over one scan — stream-composable like
+    ``mixture_downsample``, whose fixed thresholds this replaces with the
+    data-derived XLM-R mixture."""
+    docs = tables["documents"]
+    wts = temperature_weights(tables, alpha).select("lang", "sample_factor")
+    thr = F.lower(
+        F.lpad(
+            F.hex(F.floor(F.col("sample_factor") * F.lit(4294967296.0)).cast("bigint")),
+            8,
+            "0",
+        )
+    )
+    keep = (F.col("sample_factor") >= 1) | (F.substring(F.md5("text"), 1, 8) < thr)
+    return (
+        docs.join(F.broadcast(wts), "lang").filter(keep).select("doc_id", "lang")
+    )
+
+
 QUERIES = {
     "sample_hash_split": hash_split,
     "sample_quota_per_group": quota_per_group,
     "sample_mixture_rate": mixture_downsample,
     "sample_stratified_exact": stratified_exact_split,
     "sample_temperature_weights": temperature_weights,
+    "sample_temperature_apply": temperature_downsample,
 }
 
 ORACLES = {
@@ -198,5 +229,25 @@ ORACLES = {
                floor(ts / sum(ts) OVER () * 1000000 + 0.5) / 1000000 AS temp_share,
                floor(ts / sum(ts) OVER () / share * 1000000 + 0.5) / 1000000 AS sample_factor
         FROM t
+    """,
+    "sample_temperature_apply": """
+        WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang),
+        t AS (
+            SELECT lang,
+                   n_docs * 1.0 / sum(n_docs) OVER () AS share,
+                   pow(n_docs * 1.0 / sum(n_docs) OVER (), 0.3) AS ts
+            FROM c
+        ),
+        w AS (
+            SELECT lang,
+                   floor(ts / sum(ts) OVER () / share * 1000000 + 0.5) / 1000000
+                       AS sample_factor
+            FROM t
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN w ON w.lang = d.lang
+        WHERE w.sample_factor >= 1
+           OR substr(md5(d.text), 1, 8) <
+              lower(lpad(hex(floor(w.sample_factor * 4294967296.0)::BIGINT), 8, '0'))
     """,
 }

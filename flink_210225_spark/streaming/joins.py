@@ -81,3 +81,36 @@ def enrich_with_dims(fact_stream: DataFrame, customer: DataFrame, nation: DataFr
             F.col("n_name").alias("province_name"),
         )
     )
+
+
+def interval_join_streams_outer(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_sec: int,
+    upper_sec: int,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: same key + time-bound shape as
+    ``interval_join_streams``, but left rows with no match inside their
+    interval are emitted NULL-padded once the watermark passes the
+    interval's end (Spark holds the left row in state exactly that long —
+    the outer result is as late as the watermark, never wrong). This is the
+    reference's J4 outer-join surface (TestFlinkSQLJoin.java:34-44) combined
+    with J1's interval bounds, a shape Flink SQL couldn't express without
+    idle-state-retention hacks."""
+    l = left.withColumn(left_ts, F.col(left_ts).cast("timestamp")).withWatermark(
+        left_ts, watermark
+    )
+    r = right.withColumn(right_ts, F.col(right_ts).cast("timestamp")).withWatermark(
+        right_ts, watermark
+    )
+    cond = (
+        (l[left_key] == r[right_key])
+        & (r[right_ts] >= l[left_ts] + F.expr(f"INTERVAL {lower_sec} SECONDS"))
+        & (r[right_ts] < l[left_ts] + F.expr(f"INTERVAL {upper_sec} SECONDS"))
+    )
+    return l.join(r, cond, "left_outer")

@@ -153,3 +153,31 @@ def test_temperature_weights_flatten_mixture(spark):
     assert 0.5 < got["en"].temp_share < 0.8
     assert 0.2 < got["fr"].temp_share < 0.5
     assert got["en"].sample_factor < 1.0 < got["fr"].sample_factor
+
+
+def test_temperature_apply_matches_oracle(tables):
+    assert_matches_oracle(
+        sampling.QUERIES["sample_temperature_apply"](tables),
+        sampling.ORACLES["sample_temperature_apply"],
+        SF_DIR,
+    )
+
+
+def test_temperature_apply_realizes_rates(tables):
+    """Downsampled languages land within Bernoulli noise of sample_factor;
+    factor ≥ 1 languages pass through completely."""
+    wts = {r.lang: r for r in sampling.temperature_weights(tables).collect()}
+    kept = (
+        sampling.temperature_downsample(tables)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    kept = {r.lang: r["count"] for r in kept}
+    for lang, w in wts.items():
+        if w.sample_factor >= 1:
+            assert kept.get(lang, 0) == w.n_docs, lang
+        else:
+            exp = w.sample_factor * w.n_docs
+            sd = (w.n_docs * w.sample_factor * (1 - w.sample_factor)) ** 0.5
+            assert abs(kept.get(lang, 0) - exp) <= 4 * sd + 1, (lang, kept.get(lang), exp)

@@ -126,3 +126,43 @@ def test_funnel_ordering_semantics(spark):
     got = {r.step: r.users for r in
            sessions.funnel_conversion({"events": ev}).collect()}
     assert got == {"signup": 3, "view": 1, "purchase": 1}
+
+
+def test_interval_outer_join_stream(spark, tables):
+    """Left-outer streaming interval join: matched rows equal the inner
+    streaming join; unmatched left rows surface NULL-padded after the
+    watermark passes (availableNow's final batch flushes expired state)."""
+    from flink_210225_spark.streaming import joins as sj
+    from flink_210225_spark.streaming import pipelines as sp
+
+    orders = _file_stream(spark, SF_DIR, "orders")
+    details = _file_stream(spark, SF_DIR, "lineitem")
+    outer = sj.interval_join_streams_outer(
+        orders, details, "o_orderkey", "l_orderkey", "o_orderdate", "l_shipdate",
+        0, 5 * 86400,
+    ).select("o_orderkey", "l_linenumber")
+    got = sp.run_stream_to_memory(outer, "outer_join_t").collect()
+    matched = {(r.o_orderkey, r.l_linenumber) for r in got if r.l_linenumber is not None}
+    nulls = {r.o_orderkey for r in got if r.l_linenumber is None}
+
+    o = tables["orders"].withColumn("ts", F.col("o_orderdate").cast("timestamp"))
+    li = tables["lineitem"].withColumn("lts", F.col("l_shipdate").cast("timestamp"))
+    inner = (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["lts"] >= o["ts"])
+            & (li["lts"] < o["ts"] + F.expr("INTERVAL 5 DAYS")),
+        )
+        .select("o_orderkey", "l_linenumber")
+        .collect()
+    )
+    want_matched = {(r.o_orderkey, r.l_linenumber) for r in inner}
+    want_null = {r.o_orderkey for r in tables["orders"].select("o_orderkey").collect()} - {
+        k for k, _ in want_matched
+    }
+    assert matched == want_matched
+    # outer rows: every unmatched order eventually null-padded, no matched
+    # order ever null-padded
+    assert nulls <= want_null
+    assert nulls, "no outer rows flushed — watermark never expired state"
