@@ -142,14 +142,77 @@ def retention_cohorts(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def last_touch_attribution(
+    tables: dict[str, DataFrame],
+    touch_type: str = "view",
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """Last-touch attribution: each conversion event is credited to the
+    user's most recent preceding touch event (ties at the same timestamp
+    break toward the touch — "at-or-before" — then by event id; conversions
+    with no prior touch attribute to NULL). The marketing-analytics sibling
+    of the as-of join: here both sides live in ONE events table, so instead
+    of a union-LOCF two-table as-of, a single running `last(ignorenulls)`
+    window over the user's interleaved timeline does it — one shuffle keyed
+    by user_id, no join at all.
+
+    Latency credit (seconds from touch to conversion) uses exact timestamp
+    arithmetic — deterministic across engines."""
+    ev = tables["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_id = F.last(
+        F.when(F.col("event_type") == touch_type, F.col("event_id")), ignorenulls=True
+    ).over(w)
+    touch_ts = F.last(
+        F.when(F.col("event_type") == touch_type, F.col("ts")), ignorenulls=True
+    ).over(w)
+    attributed = ev.select(
+        "event_id", "user_id", "ts", "event_type", touch_id.alias("touch_event_id"),
+        touch_ts.alias("touch_ts"),
+    ).filter(F.col("event_type") == convert_type)
+    lag_sec = F.floor(
+        F.timestamp_diff("MICROSECOND", F.col("touch_ts"), F.col("ts")) / 1_000_000
+    )
+    return attributed.select(
+        F.col("event_id").alias("conversion_id"),
+        "user_id",
+        "touch_event_id",
+        lag_sec.alias("lag_sec"),
+    )
+
+
 QUERIES = {
     "session_gaps_islands": sessionize,
     "session_window_native": lambda tables: session_window_agg(tables["events"]),
     "session_funnel": funnel_conversion,
     "session_retention": retention_cohorts,
+    "session_attribution": last_touch_attribution,
 }
 
 ORACLES = {
+    "session_attribution": """
+        WITH w AS (
+            SELECT event_id, user_id, ts, event_type,
+                   last_value(CASE WHEN event_type = 'view' THEN event_id END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS touch_event_id,
+                   last_value(CASE WHEN event_type = 'view' THEN ts END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS touch_ts
+            FROM events
+        )
+        SELECT event_id AS conversion_id, user_id, touch_event_id,
+               floor((epoch_us(ts) - epoch_us(touch_ts)) / 1000000.0) AS lag_sec
+        FROM w WHERE event_type = 'purchase'
+    """,
     "session_retention": """
         WITH act AS (
             SELECT DISTINCT user_id, ts::DATE AS day FROM events

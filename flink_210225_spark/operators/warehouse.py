@@ -80,7 +80,58 @@ def dq_profile_events(tables: dict[str, DataFrame]) -> DataFrame:
     return dq_profile(tables["events"])
 
 
-QUERIES = {"warehouse_dq_profile": dq_profile_events}
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, payload: str
+) -> DataFrame:
+    """Dataset-version diff: per key, is the row added / removed / changed /
+    unchanged between two snapshots — the audit behind incremental
+    republishing (ship only added+changed partitions) and pipeline
+    regression review (an upstream filter change shows up as a removed
+    spike). Content is compared by md5(payload) computed inside each scan,
+    so the join carries 16-byte digests plus keys, never payload bytes.
+
+    Scale: ONE full-outer shuffle join on the key. At 100 TB both sides are
+    typically partitioned/bucketed by the same key already (storage-ordered
+    snapshots), which turns the Exchange into a co-located merge."""
+    o = old.select(F.col(key).alias("k"), F.md5(F.col(payload)).alias("oh"))
+    n = new.select(F.col(key).alias("k"), F.md5(F.col(payload)).alias("nh"))
+    j = o.join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("oh").isNull(), F.lit("added"))
+        .when(F.col("nh").isNull(), F.lit("removed"))
+        .when(F.col("oh") != F.col("nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col("k").alias(key), status.alias("status"))
+
+
+def snapshot_diff_demo(tables: dict[str, DataFrame]) -> DataFrame:
+    """Driver entry: documents vs a deterministic next version (every 10th
+    doc dropped, every 7th-not-10th rewritten, plus re-keyed additions)."""
+    docs = tables["documents"]
+    v2 = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(docs.select("doc_id", "text"), v2, "doc_id", "text")
+
+
+QUERIES = {
+    "warehouse_dq_profile": dq_profile_events,
+    "warehouse_snapshot_diff": snapshot_diff_demo,
+}
 
 ORACLES = {
     "warehouse_dq_profile": """
@@ -110,5 +161,22 @@ ORACLES = {
             SELECT 'props', sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
                    count(DISTINCT props) FROM events
         ) c
+    """,
+    "warehouse_snapshot_diff": """
+        WITH v2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text
+            FROM documents WHERE doc_id % 10 != 0
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0
+        ),
+        o AS (SELECT doc_id AS k, md5(text) AS oh FROM documents),
+        n AS (SELECT doc_id AS k, md5(text) AS nh FROM v2)
+        SELECT coalesce(o.k, n.k) AS doc_id,
+               CASE WHEN o.oh IS NULL THEN 'added'
+                    WHEN n.nh IS NULL THEN 'removed'
+                    WHEN o.oh != n.nh THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.k = n.k
     """,
 }

@@ -166,3 +166,37 @@ def test_interval_outer_join_stream(spark, tables):
     # order ever null-padded
     assert nulls <= want_null
     assert nulls, "no outer rows flushed — watermark never expired state"
+
+
+def test_attribution_matches_oracle(tables):
+    assert_matches_oracle(
+        sessions.QUERIES["session_attribution"](tables),
+        sessions.ORACLES["session_attribution"],
+        SF_DIR,
+    )
+
+
+def test_attribution_semantics(spark):
+    """u1: view(1) → purchase(2) credits 1; later view(3) → purchase(4)
+    credits 3 (LAST touch); u2 purchase with no prior view → NULL; same-ts
+    tie credits the touch (at-or-before)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2021, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=30), 1, "purchase", 1.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=60), 1, "view", 0.0, "{}"),
+        (4, t0 + dt.timedelta(seconds=90), 1, "purchase", 1.0, "{}"),
+        (5, t0, 2, "purchase", 1.0, "{}"),
+        (6, t0, 3, "view", 0.0, "{}"),
+        (7, t0, 3, "purchase", 1.0, "{}"),  # same ts, higher event_id
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.conversion_id: r for r in sessions.last_touch_attribution({"events": ev}).collect()}
+    assert got[2].touch_event_id == 1 and got[2].lag_sec == 30
+    assert got[4].touch_event_id == 3 and got[4].lag_sec == 30
+    assert got[5].touch_event_id is None and got[5].lag_sec is None
+    assert got[7].touch_event_id == 6 and got[7].lag_sec == 0

@@ -70,3 +70,29 @@ def test_dq_profile_semantics(spark):
     assert got["a"].n_rows == 4 and got["a"].n_null == 1 and got["a"].n_distinct == 3
     assert got["b"].n_null == 1 and got["b"].n_distinct == 2
     assert got["a"].null_frac == 0.25
+
+
+def test_snapshot_diff_matches_oracle(tables):
+    from flink_210225_spark.operators import warehouse
+
+    from .conftest import SF_DIR
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        warehouse.QUERIES["warehouse_snapshot_diff"](tables),
+        warehouse.ORACLES["warehouse_snapshot_diff"],
+        SF_DIR,
+    )
+
+
+def test_snapshot_diff_semantics(spark):
+    from flink_210225_spark.operators.warehouse import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
