@@ -200,6 +200,31 @@ def keyword_topn(tables: dict[str, DataFrame], limit: int = 20) -> DataFrame:
     )
 
 
+def ship_latency(tables: dict[str, DataFrame]) -> DataFrame:
+    """Order-fulfillment latency distribution per order priority: line-item
+    count, mean and exact p50/p90 of ship lag (days from order date to ship
+    date) — the SLA dashboard over the fact join. The big-big
+    orders⋈lineitem equi-join shuffles both sides on the order key (AQE
+    sizes/coalesces partitions; bucketing both tables on the key makes it
+    co-located, operators/colocate.py); the percentile is exact per the
+    corpus_stats contract, with approx_percentile as the 100 TB slot-in."""
+    o = tables["orders"].select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = tables["lineitem"].select("l_orderkey", "l_shipdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    lag = F.datediff("l_shipdate", "o_orderdate")
+    r2 = lambda c: F.floor(c * 100 + 0.5) / 100  # noqa: E731
+    return (
+        j.select(F.col("o_orderpriority").alias("priority"), lag.alias("lag"))
+        .groupBy("priority")
+        .agg(
+            F.count("*").alias("n_items"),
+            r2(F.avg("lag")).alias("avg_lag_days"),
+            r2(F.percentile("lag", F.lit(0.5))).alias("p50_lag"),
+            r2(F.percentile("lag", F.lit(0.9))).alias("p90_lag"),
+        )
+    )
+
+
 QUERIES = {
     "serving_gmv": gmv,
     "serving_trademark_topn": trademark_topn,
@@ -209,9 +234,22 @@ QUERIES = {
     "serving_visitor": visitor_stats,
     "serving_hourly": hourly_stats,
     "serving_keyword_topn": keyword_topn,
+    "serving_ship_latency": ship_latency,
 }
 
 ORACLES = {
+    "serving_ship_latency": """
+        SELECT o.o_orderpriority AS priority,
+               count(*)::BIGINT AS n_items,
+               floor(avg(datediff('day', o.o_orderdate, l.l_shipdate)) * 100 + 0.5)
+                   / 100 AS avg_lag_days,
+               floor(quantile_cont(datediff('day', o.o_orderdate, l.l_shipdate), 0.5)
+                     * 100 + 0.5) / 100 AS p50_lag,
+               floor(quantile_cont(datediff('day', o.o_orderdate, l.l_shipdate), 0.9)
+                     * 100 + 0.5) / 100 AS p90_lag
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    """,
     "serving_gmv": """
         SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS gmv
         FROM lineitem

