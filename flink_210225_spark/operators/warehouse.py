@@ -128,9 +128,58 @@ def snapshot_diff_demo(tables: dict[str, DataFrame]) -> DataFrame:
     return snapshot_diff(docs.select("doc_id", "text"), v2, "doc_id", "text")
 
 
+def delete_cascade(tables: dict[str, DataFrame]) -> DataFrame:
+    """Right-to-be-forgotten propagation accounting: for a deletion list of
+    customer keys, how many rows each downstream table loses (orders by
+    key, lineitem transitively through orders) and what survives — the
+    audit a GDPR erasure job emits before the actual rewrite. The erasure
+    itself is the same joins with anti-join semantics feeding an overwrite.
+
+    Scale: the deletion list broadcast-SEMI-joins each fact (no row
+    widening, Catalyst turns it into a bloom-ish hash probe); the lineitem
+    cascade reuses the already-filtered orders keys, again broadcast. One
+    aggregate per table, unioned — each fact scanned once."""
+    cust, orders, li = tables["customer"], tables["orders"], tables["lineitem"]
+    victims = cust.filter(F.col("c_custkey") % 997 == 0).select(
+        "c_custkey", F.lit(1).alias("__v")
+    )
+    # left-join markers instead of semi-join + crossJoin of 1-row counts:
+    # one scan and ONE aggregate per table yields deleted AND total together
+    # (count of the marker vs count(*)), no cartesian anywhere.
+    o_marked = orders.join(
+        F.broadcast(victims), orders["o_custkey"] == victims["c_custkey"], "left"
+    ).select("o_orderkey", "__v")
+    dead_order_keys = o_marked.filter(F.col("__v").isNotNull()).select(
+        "o_orderkey", F.lit(1).alias("__vo")
+    )
+    li_marked = li.join(
+        F.broadcast(dead_order_keys), li["l_orderkey"] == F.col("o_orderkey"), "left"
+    ).select(F.col("__vo").alias("__v"))
+
+    def counted(marked: DataFrame, name: str) -> DataFrame:
+        return marked.agg(
+            F.count("__v").alias("rows_deleted"), F.count(F.lit(1)).alias("rows_total")
+        ).select(
+            F.lit(name).alias("table_name"),
+            "rows_deleted",
+            "rows_total",
+            (F.col("rows_total") - F.col("rows_deleted")).alias("rows_kept"),
+        )
+
+    c_marked = cust.select(
+        F.when(F.col("c_custkey") % 997 == 0, 1).alias("__v")
+    )
+    return (
+        counted(c_marked, "customer")
+        .unionByName(counted(o_marked.select("__v"), "orders"))
+        .unionByName(counted(li_marked, "lineitem"))
+    )
+
+
 QUERIES = {
     "warehouse_dq_profile": dq_profile_events,
     "warehouse_snapshot_diff": snapshot_diff_demo,
+    "warehouse_delete_cascade": delete_cascade,
 }
 
 ORACLES = {
@@ -178,5 +227,26 @@ ORACLES = {
                     WHEN o.oh != n.nh THEN 'changed'
                     ELSE 'unchanged' END AS status
         FROM o FULL OUTER JOIN n ON o.k = n.k
+    """,
+    "warehouse_delete_cascade": """
+        WITH victims AS (SELECT c_custkey FROM customer WHERE c_custkey % 997 = 0),
+        dead_orders AS (
+            SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM victims)
+        )
+        SELECT 'customer' AS table_name,
+               (SELECT count(*) FROM victims)::BIGINT AS rows_deleted,
+               (SELECT count(*) FROM customer)::BIGINT AS rows_total,
+               ((SELECT count(*) FROM customer) - (SELECT count(*) FROM victims))::BIGINT AS rows_kept
+        UNION ALL
+        SELECT 'orders',
+               (SELECT count(*) FROM dead_orders)::BIGINT,
+               (SELECT count(*) FROM orders)::BIGINT,
+               ((SELECT count(*) FROM orders) - (SELECT count(*) FROM dead_orders))::BIGINT
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders))::BIGINT,
+               (SELECT count(*) FROM lineitem)::BIGINT,
+               ((SELECT count(*) FROM lineitem)
+                - (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders)))::BIGINT
     """,
 }

@@ -881,6 +881,35 @@ def whiten_embeddings(tables: dict[str, DataFrame]) -> DataFrame:
     return rows.join(F.broadcast(st), "dim").select("vec_id", "dim", z.alias("z"))
 
 
+def centroid_pairs(tables: dict[str, DataFrame]) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids — the
+    cluster-geometry report behind "which classes are confusable" and
+    merge-candidate review after k-means/SemDeDup. Centroids are
+    element-wise means (posexplode + partial agg, shuffle = partitions×dims
+    like ``embed_dim_stats``); the pair scoring EQUI-joins the two exploded
+    centroid tables on the dimension index — label_a < label_b applied as a
+    post-join filter keeps the join an Exchange+SMJ/BHJ on dim, never a
+    BroadcastNestedLoopJoin (labels² × dims rows is tiny: it's a
+    label-count-sized problem after the means)."""
+    emb = tables["embeddings"]
+    e = emb.select("label", F.posexplode(_as_double(F.col("embedding"))).alias("dim", "x"))
+    cent = e.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    a = cent.select(F.col("label").alias("label_a"), "dim", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "dim", F.col("c").alias("cb"))
+    pairs = a.join(b, "dim").filter(F.col("label_a") < F.col("label_b"))
+    agg = pairs.groupBy("label_a", "label_b").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+        F.sum(F.col("ca") * F.col("ca")).alias("na2"),
+        F.sum(F.col("cb") * F.col("cb")).alias("nb2"),
+    )
+    cos = F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2"))
+    return agg.select(
+        "label_a",
+        "label_b",
+        (F.floor(cos * 1000000 + 0.5) / 1000000).alias("cosine"),
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
     "sim_lsh_ann_topk": lsh_ann_topk,  # rows-only (xxhash64 planes not in DuckDB)
@@ -888,6 +917,7 @@ QUERIES = {
     "sim_cluster_stats": embedding_cluster_stats,
     "sim_embed_dim_stats": embed_dim_stats,
     "sim_whiten_zscore": whiten_embeddings,
+    "sim_centroid_pairs": centroid_pairs,
     # rows-only: k greedy argmax rounds aren't SQL-expressible; pytest gates
     # exact pick-sequence parity vs a straight NumPy farthest-point run.
     "sim_diversity_coreset": diversity_coreset,
@@ -940,6 +970,24 @@ ORACLES = {
                floor(stddev_pop(x) * 1000000 + 0.5) / 1000000 AS std_x,
                min(x) AS min_x, max(x) AS max_x
         FROM e GROUP BY dim
+    """,
+    "sim_centroid_pairs": """
+        WITH e AS (
+            SELECT label, t.i AS dim, embedding[t.i + 1]::DOUBLE AS x
+            FROM embeddings, range(64) t(i)
+        ),
+        cent AS (SELECT label, dim, avg(x) AS c FROM e GROUP BY label, dim),
+        p AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   sum(a.c * b.c) AS dot,
+                   sum(a.c * a.c) AS na2, sum(b.c * b.c) AS nb2
+            FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+            GROUP BY 1, 2
+        )
+        SELECT label_a, label_b,
+               floor(dot / (sqrt(na2) * sqrt(nb2)) * 1000000 + 0.5) / 1000000
+                   AS cosine
+        FROM p
     """,
     "sim_whiten_zscore": """
         WITH e AS (

@@ -291,3 +291,26 @@ def test_ivfpq_recall_vs_exact_l2(tables):
         hits += len(set(order) & got.get(qid, set()))
         total += 5
     assert hits / total >= 0.5, hits / total
+
+
+def test_centroid_pairs_matches_oracle(tables):
+    assert_matches_oracle(
+        similarity.QUERIES["sim_centroid_pairs"](tables),
+        similarity.ORACLES["sim_centroid_pairs"],
+        SF_DIR,
+    )
+
+
+def test_centroid_pairs_geometry(spark):
+    """Two labels along +x and +y axes → centroid cosine 0; identical
+    clusters → cosine 1."""
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [3.0, 0.0], 0),
+        (3, [0.0, 2.0], 1), (4, [0.0, 5.0], 1),
+        (5, [1.0, 0.0], 2), (6, [3.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r.label_a, r.label_b): r.cosine for r in similarity.centroid_pairs({"embeddings": emb}).collect()}
+    assert got[(0, 1)] == 0.0
+    assert got[(0, 2)] == 1.0
+    assert got[(1, 2)] == 0.0

@@ -96,3 +96,27 @@ def test_snapshot_diff_semantics(spark):
     )
     got = {r.doc_id: r.status for r in snapshot_diff(old, new, "doc_id", "text").collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_delete_cascade_matches_oracle(tables):
+    from flink_210225_spark.operators import warehouse
+
+    from .conftest import SF_DIR
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        warehouse.QUERIES["warehouse_delete_cascade"](tables),
+        warehouse.ORACLES["warehouse_delete_cascade"],
+        SF_DIR,
+    )
+
+
+def test_delete_cascade_consistency(tables):
+    from flink_210225_spark.operators import warehouse
+
+    rows = {r.table_name: r for r in warehouse.delete_cascade(tables).collect()}
+    for t in ("customer", "orders", "lineitem"):
+        assert rows[t].rows_deleted + rows[t].rows_kept == rows[t].rows_total
+    assert rows["customer"].rows_deleted >= 1
+    # cascade can only delete orders of deleted customers
+    assert rows["orders"].rows_deleted <= rows["orders"].rows_total
