@@ -18,6 +18,7 @@ def _registry():
     """name -> (table_fn, oracle_sql_or_None); assembled from the operator
     modules' QUERIES/ORACLES pairs."""
     from flink_210225_spark.operators import (
+        colocate,
         joins,
         logsplit,
         router,
@@ -32,6 +33,7 @@ def _registry():
 
     modules = [
         sql_jobs,
+        colocate,
         serving,
         windows,
         joins,

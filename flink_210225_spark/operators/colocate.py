@@ -92,14 +92,39 @@ def salted_join(
 
 def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     """Skew diagnostic: per-key row counts vs the mean — feeds the decision
-    between AQE-only and explicit salting."""
+    between AQE-only and explicit salting. The mean attaches as a SCALAR
+    SUBQUERY (no crossJoin → no BNLJ node; the counts aggregate is planned
+    twice, both runs key-count-sized); the top-k is orderBy+limit with a
+    key tiebreak → TakeOrderedAndProject."""
     counts = df.groupBy(key).agg(F.count("*").alias("ct"))
-    stats = counts.agg(
-        F.avg("ct").alias("avg_ct"), F.max("ct").alias("max_ct")
-    )
+    avg_ct = counts.agg(F.avg("ct")).scalar()
     return (
-        counts.crossJoin(F.broadcast(stats))
-        .withColumn("skew_ratio", F.round(F.col("ct") / F.col("avg_ct"), 2))
-        .orderBy(F.desc("ct"))
+        counts.withColumn(
+            "skew_ratio", F.floor(F.col("ct") / avg_ct * 100 + 0.5) / 100
+        )
+        .orderBy(F.desc("ct"), F.asc(key))
         .limit(top)
     )
+
+
+def skew_profile_demo(tables: dict[str, DataFrame]) -> DataFrame:
+    """Driver entry: heaviest event users vs the mean — the pre-join check
+    that decides whether ``salted_join`` is warranted."""
+    return key_skew_profile(tables["events"], "user_id")
+
+
+QUERIES = {"join_skew_profile": skew_profile_demo}
+
+ORACLES = {
+    "join_skew_profile": """
+        WITH counts AS (
+            SELECT user_id, count(*)::BIGINT AS ct FROM events GROUP BY user_id
+        )
+        SELECT user_id, ct,
+               floor(ct / (SELECT avg(ct) FROM counts) * 100 + 0.5) / 100
+                   AS skew_ratio
+        FROM counts
+        ORDER BY ct DESC, user_id ASC
+        LIMIT 10
+    """,
+}

@@ -234,6 +234,36 @@ def grouping_sets_stats(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def cube_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """Full CUBE over (event_type, day) — all four granularities including
+    the grand total in ONE Expand + shuffle (completes the subtotal family:
+    ``rollup_stats`` = hierarchy prefixes, ``grouping_sets_stats`` =
+    explicit list, CUBE = the power set). Same portable grouping-bit gid
+    contract; same 100 TB caveat — the Expand multiplies input by 2^dims
+    before the shuffle, so prefer GROUPING SETS when a dashboard doesn't
+    serve every slice."""
+    ev = tables["events"]
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    flagged = ev.select("event_type", day, "value")
+    return (
+        flagged.cube("event_type", "day")
+        .agg(
+            F.count("*").alias("pv_ct"),
+            (F.floor(F.sum("value") * 100 + 0.5) / 100).alias("value_sum"),
+            (F.grouping("event_type") * 2 + F.grouping("day"))
+            .cast("long")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "pv_ct",
+            "value_sum",
+            "gid",
+        )
+    )
+
+
 def hourly_moving_stats(tables: dict[str, DataFrame], trail: int = 3) -> DataFrame:
     """OVER-clause window FRAMES (rowsBetween) — the time-series smoothing /
     anomaly surface the reference lacks entirely (its only ranking is
@@ -335,6 +365,7 @@ QUERIES = {
     "window_sliding_stats": sliding_visitor_stats,
     "window_rollup_stats": rollup_stats,
     "window_grouping_sets": grouping_sets_stats,
+    "window_cube_stats": cube_stats,
     "window_moving_avg": hourly_moving_stats,
     "window_daily_anomaly": daily_anomaly,
     "window_visitor_stats": visitor_stats_window,
@@ -420,6 +451,15 @@ ORACLES = {
     """,
     # fixture dims are never NULL, so NULL-ness identifies subtotal rows —
     # same derivation as the rollup oracle.
+    "window_cube_stats": """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+               count(*)::BIGINT AS pv_ct,
+               floor(sum(value) * 100 + 0.5) / 100 AS value_sum,
+               (grouping(event_type) * 2 + grouping(strftime(ts, '%Y-%m-%d')))::BIGINT AS gid
+        FROM events
+        GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+    """,
     "window_grouping_sets": """
         WITH flagged AS (
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value

@@ -881,6 +881,54 @@ def whiten_embeddings(tables: dict[str, DataFrame]) -> DataFrame:
     return rows.join(F.broadcast(st), "dim").select("vec_id", "dim", z.alias("z"))
 
 
+def knn_label_predict(
+    tables: dict[str, DataFrame], num_queries: int = 20, k: int = 5
+) -> DataFrame:
+    """kNN label prediction: each query vector takes the MAJORITY label of
+    its exact top-k cosine neighbors (tie → smallest label — deterministic),
+    with the vote fraction and the query's true label for agreement
+    review — the standard embedding-space sanity check ("do my labels
+    cluster?") and the eval harness for the ANN variants (swap
+    ``cosine_topk`` for ``ivf_pq_ann_topk`` at scale, same vote).
+
+    Plan: top-k from the existing operator (broadcast-bounded), neighbor
+    labels attach by a broadcast join on vec_id, votes are a count over
+    (query, label) + one window for the argmax — everything after the
+    top-k is query-count-sized."""
+    topk = cosine_topk(tables, num_queries, k)
+    labels = tables["embeddings"].select("vec_id", "label")
+    votes = (
+        topk.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("vote_ct"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("vote_ct"), F.asc("label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("pred_label"),
+            "vote_ct",
+            (F.floor(F.col("vote_ct") * 10000.0 / k + 0.5) / 10000).alias("vote_frac"),
+        )
+    )
+    truth = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "true_label"
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "pred_label",
+        "vote_ct",
+        "vote_frac",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("agree"),
+    )
+
+
 def centroid_pairs(tables: dict[str, DataFrame]) -> DataFrame:
     """Pairwise cosine between per-label embedding centroids — the
     cluster-geometry report behind "which classes are confusable" and
@@ -918,6 +966,7 @@ QUERIES = {
     "sim_embed_dim_stats": embed_dim_stats,
     "sim_whiten_zscore": whiten_embeddings,
     "sim_centroid_pairs": centroid_pairs,
+    "sim_knn_label": knn_label_predict,
     # rows-only: k greedy argmax rounds aren't SQL-expressible; pytest gates
     # exact pick-sequence parity vs a straight NumPy farthest-point run.
     "sim_diversity_coreset": diversity_coreset,
@@ -959,6 +1008,38 @@ ORACLES = {
                                          ORDER BY cosine DESC, neighbor_id ASC) AS rank
             FROM scored
         ) WHERE rank <= 5
+    """,
+    "sim_knn_label": f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.label,
+                   floor(({_COS}) * 1000000 + 0.5) / 1000000 AS cosine
+            FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
+            WHERE q.vec_id < 20
+        ),
+        topk AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        ),
+        votes AS (
+            SELECT query_id, label, count(*)::BIGINT AS vote_ct
+            FROM topk GROUP BY 1, 2
+        ),
+        pred AS (
+            SELECT query_id, label AS pred_label, vote_ct,
+                   floor(vote_ct * 10000.0 / 5 + 0.5) / 10000 AS vote_frac
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY vote_ct DESC, label ASC) AS rn
+                FROM votes
+            ) WHERE rn = 1
+        )
+        SELECT p.query_id, p.pred_label, p.vote_ct, p.vote_frac,
+               e.label AS true_label,
+               p.pred_label = e.label AS agree
+        FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
     """,
     "sim_embed_dim_stats": """
         WITH e AS (

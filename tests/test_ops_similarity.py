@@ -314,3 +314,30 @@ def test_centroid_pairs_geometry(spark):
     assert got[(0, 1)] == 0.0
     assert got[(0, 2)] == 1.0
     assert got[(1, 2)] == 0.0
+
+
+def test_knn_label_matches_oracle(tables):
+    assert_matches_oracle(
+        similarity.QUERIES["sim_knn_label"](tables),
+        similarity.ORACLES["sim_knn_label"],
+        SF_DIR,
+    )
+
+
+def test_knn_label_vote_semantics(tables):
+    """Votes must sum to k per query, the winner must hold a plurality, and
+    predictions must match a hand vote over the top-k table."""
+    topk = similarity.cosine_topk(tables).collect()
+    labels = {r.vec_id: r.label for r in tables["embeddings"].select("vec_id", "label").collect()}
+    votes = {}
+    for r in topk:
+        votes.setdefault(r.query_id, []).append(labels[r.neighbor_id])
+    got = {r.query_id: r for r in similarity.knn_label_predict(tables).collect()}
+    for qid, ls in votes.items():
+        from collections import Counter
+
+        c = Counter(ls)
+        best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[qid].pred_label == best[0]
+        assert got[qid].vote_ct == best[1]
+        assert got[qid].true_label == labels[qid]

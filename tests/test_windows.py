@@ -82,3 +82,21 @@ def test_daily_anomaly_flags_outlier_day(spark):
     assert got[("2021-02-10", "click")].zscore > 2
     rare = got[("2021-02-01", "rare")]
     assert rare.zscore is None and rare.is_anomaly is False
+
+
+def test_cube_matches_oracle(tables):
+    assert_matches_oracle(
+        windows.QUERIES["window_cube_stats"](tables),
+        windows.ORACLES["window_cube_stats"],
+        SF_DIR,
+    )
+
+
+def test_cube_contains_all_granularities(tables):
+    rows = windows.cube_stats(tables).collect()
+    gids = {r.gid for r in rows}
+    assert gids == {0, 1, 2, 3}
+    # exactly one grand-total row, equal to the table count
+    totals = [r for r in rows if r.gid == 3]
+    assert len(totals) == 1
+    assert totals[0].pv_ct == tables["events"].count()
