@@ -120,6 +120,68 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def audio_segment_plan(assets: DataFrame, seg_samples: int = 16000) -> DataFrame:
+    """Audio segmentation plan: fixed-duration segments (1 s at 16 kHz mono
+    16-bit ⇒ 16000 samples = 32000 bytes) per audio asset, from metadata +
+    payload length only — the binary sibling of ``text.chunk_windows``. The
+    decode stage then fans out per segment instead of per file, so one long
+    recording can't pin an executor. Last partial segment kept (ASR-style);
+    sample count = floor(bytes/2) for 16-bit PCM."""
+    auds = assets.filter(F.col("kind") == "audio")
+    n_samples = F.floor(F.length("payload") / 2).cast("long")
+    base = auds.select("asset_id", n_samples.alias("n_samples")).filter(
+        F.col("n_samples") > 0
+    )
+    n_segs = F.ceil(F.col("n_samples") / F.lit(seg_samples)).cast("long")
+    segs = base.select(
+        "asset_id",
+        "n_samples",
+        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_idx"),
+    )
+    start = F.col("seg_idx") * seg_samples
+    return segs.select(
+        "asset_id",
+        "seg_idx",
+        start.alias("start_sample"),
+        F.least(F.lit(seg_samples), F.col("n_samples") - start).alias("seg_samples"),
+    )
+
+
+def image_tile_plan(assets: DataFrame, tile: int = 32) -> DataFrame:
+    """Image tiling plan: the ``tile``×``tile`` grid over each image's
+    (width, height), metadata-only — the ViT-patch / tiled-inference layout.
+    One explode over a flat tile index, x/y recovered by mod/div; edge tiles
+    carry their clipped extents so the decode stage reads exact byte
+    windows."""
+    imgs = assets.filter(F.col("kind") == "image")
+    w, h = F.col("meta.width"), F.col("meta.height")
+    nx = F.ceil(w / F.lit(tile)).cast("long")
+    base = imgs.select(
+        "asset_id",
+        w.alias("w"),
+        h.alias("h"),
+        nx.alias("nx"),
+        (nx * F.ceil(h / F.lit(tile)).cast("long")).alias("n_tiles"),
+    )
+    tiles = base.select(
+        "asset_id",
+        "w",
+        "h",
+        "nx",
+        F.explode(F.sequence(F.lit(0), F.col("n_tiles") - 1)).alias("tile_id"),
+    )
+    x0 = F.pmod(F.col("tile_id"), F.col("nx")) * tile
+    y0 = F.floor(F.col("tile_id") / F.col("nx")) * tile
+    return tiles.select(
+        "asset_id",
+        "tile_id",
+        x0.alias("x0"),
+        y0.cast("long").alias("y0"),
+        F.least(F.lit(tile), F.col("w") - x0).alias("tile_w"),
+        F.least(F.lit(tile), F.col("h") - y0).cast("long").alias("tile_h"),
+    )
+
+
 def assets_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media assets derived from the documents fixture:
     payload = UTF-8 bytes of the text, kind by doc_id mod 3, frame count from
@@ -133,8 +195,8 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
         ).alias("kind"),
         F.encode("text", "UTF-8").alias("payload"),
         F.struct(
-            F.lit(64).cast("int").alias("width"),
-            F.lit(48).cast("int").alias("height"),
+            (F.pmod(F.length("text"), F.lit(96)) + 32).cast("int").alias("width"),
+            (F.pmod(F.length("text") * 7, F.lit(64)) + 32).cast("int").alias("height"),
             F.lit(16000).cast("int").alias("sample_rate"),
             (F.pmod(F.length("text"), F.lit(120)) + 1).cast("int").alias("n_frames"),
             F.lit("x-demo").alias("content_type"),
@@ -156,9 +218,21 @@ def frame_plan_documents(tables: dict[str, DataFrame]) -> DataFrame:
     return frame_sample_plan(assets_from_documents(tables["documents"]))
 
 
+def audio_segments_documents(tables: dict[str, DataFrame]) -> DataFrame:
+    # 128-sample segments so fixture-sized payloads still produce multi-
+    # segment plans (production default is 1 s = 16000).
+    return audio_segment_plan(assets_from_documents(tables["documents"]), 128)
+
+
+def tile_plan_documents(tables: dict[str, DataFrame]) -> DataFrame:
+    return image_tile_plan(assets_from_documents(tables["documents"]))
+
+
 QUERIES = {
     "multimodal_decode": decode_documents,
     "multimodal_frame_plan": frame_plan_documents,
+    "multimodal_audio_segments": audio_segments_documents,
+    "multimodal_tile_plan": tile_plan_documents,
 }
 
 ORACLES = {
@@ -174,6 +248,41 @@ ORACLES = {
                unnest(range(0, length(text) % 120 + 1, 10))::INT AS frame_idx
         FROM documents
         WHERE doc_id % 3 = 2
+    """,
+    "multimodal_audio_segments": """
+        WITH a AS (
+            SELECT doc_id AS asset_id,
+                   floor(octet_length(encode(text)) / 2)::BIGINT AS n_samples
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        s AS (
+            SELECT asset_id, n_samples,
+                   unnest(range(ceil(n_samples / 128.0)::BIGINT)) AS seg_idx
+            FROM a WHERE n_samples > 0
+        )
+        SELECT asset_id, seg_idx, seg_idx * 128 AS start_sample,
+               least(128, n_samples - seg_idx * 128) AS seg_samples
+        FROM s
+    """,
+    "multimodal_tile_plan": """
+        WITH i AS (
+            SELECT doc_id AS asset_id,
+                   (length(text) % 96 + 32)::BIGINT AS w,
+                   (length(text) * 7 % 64 + 32)::BIGINT AS h
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        g AS (
+            SELECT asset_id, w, h, ceil(w / 32.0)::BIGINT AS nx,
+                   (ceil(w / 32.0)::BIGINT * ceil(h / 32.0)::BIGINT) AS n_tiles
+            FROM i
+        ),
+        t AS (SELECT asset_id, w, h, nx, unnest(range(n_tiles)) AS tile_id FROM g)
+        SELECT asset_id, tile_id,
+               (tile_id % nx) * 32 AS x0,
+               (tile_id // nx) * 32 AS y0,
+               least(32, w - (tile_id % nx) * 32) AS tile_w,
+               least(32, h - (tile_id // nx) * 32) AS tile_h
+        FROM t
     """,
 }
 

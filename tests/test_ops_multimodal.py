@@ -26,3 +26,51 @@ def test_frame_sample_plan(spark):
 def test_rebalance_runs(spark):
     assets = multimodal.make_demo_assets(spark, 16)
     assert multimodal.rebalance_by_size(assets).count() == 16
+
+
+def test_audio_segments_cover_payload(spark):
+    """Segments tile [0, n_samples) exactly: contiguous, non-overlapping,
+    last one clipped."""
+    from flink_210225_spark.ops.multimodal import assets_from_documents, audio_segment_plan
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 600), (4, "y" * 100), (7, "z")],  # doc_id % 3 == 1 -> audio
+        "doc_id long, text string",
+    )
+    segs = audio_segment_plan(assets_from_documents(docs), 128).collect()
+    by_asset = {}
+    for r in segs:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    # 600 bytes -> 300 samples -> segments 128+128+44
+    s1 = sorted(by_asset[1], key=lambda r: r.seg_idx)
+    assert [(r.start_sample, r.seg_samples) for r in s1] == [(0, 128), (128, 128), (256, 44)]
+    # 100 bytes -> 50 samples -> one short segment
+    assert [(r.start_sample, r.seg_samples) for r in by_asset[4]] == [(0, 50)]
+    # 1 char -> 0 samples (floor(1/2)) -> no plan rows
+    assert 7 not in by_asset
+
+
+def test_tile_plan_covers_image(spark):
+    """Tiles cover width×height exactly once (sum of areas == w*h)."""
+    from flink_210225_spark.ops.multimodal import assets_from_documents, image_tile_plan
+
+    docs = spark.createDataFrame(
+        [(3, "a" * 50)], "doc_id long, text string"  # %3==0 -> image
+    )
+    tiles = image_tile_plan(assets_from_documents(docs)).collect()
+    w = 50 % 96 + 32  # 82
+    h = 50 * 7 % 64 + 32  # 62
+    assert sum(r.tile_w * r.tile_h for r in tiles) == w * h
+    assert len({(r.x0, r.y0) for r in tiles}) == len(tiles)
+    assert max(r.x0 + r.tile_w for r in tiles) == w
+    assert max(r.y0 + r.tile_h for r in tiles) == h
+
+
+def test_multimodal_plans_match_oracle(tables):
+    from flink_210225_spark.ops import multimodal as mm
+
+    from .conftest import SF_DIR
+    from .oracle import assert_matches_oracle
+
+    for name in ("multimodal_audio_segments", "multimodal_tile_plan"):
+        assert_matches_oracle(mm.QUERIES[name](tables), mm.ORACLES[name], SF_DIR)
