@@ -45,6 +45,29 @@ def interval_join_order_detail(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def interval_join_outer(tables: dict[str, DataFrame]) -> DataFrame:
+    """LEFT OUTER interval join: every order keeps a row even when no line
+    item ships inside its [order_date, +5 days) window — NULL-padded, the
+    batch twin of ``streaming/joins.interval_join_streams_outer`` (same
+    bounds, same null semantics; the streaming test gates the two against
+    each other through the inner results). The equi-key still drives the
+    shuffle; the range predicate rides along as a join-condition filter, so
+    the plan stays a hash/sort-merge join, never a theta join."""
+    o, li = tables["orders"], tables["lineitem"]
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.date_add(o.o_orderdate, 5))
+    )
+    return o.join(li, cond, "left_outer").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        F.col("l_linenumber").isNull().alias("unmatched"),
+    )
+
+
 # --- J2: interval join with asymmetric bounds [+10 days, +30 days) ---
 
 
@@ -162,11 +185,23 @@ def asof_join_events(tables: dict[str, DataFrame]) -> DataFrame:
 QUERIES = {
     "join_interval_order_detail": interval_join_order_detail,
     "join_interval_payment": interval_join_payment,
+    "join_interval_outer": interval_join_outer,
     "join_order_wide": order_wide,
     "join_asof_events": asof_join_events,
 }
 
 ORACLES = {
+    "join_interval_outer": """
+        SELECT o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+               l.l_linenumber,
+               strftime(l.l_shipdate, '%Y-%m-%d') AS ship_date,
+               l.l_linenumber IS NULL AS unmatched
+        FROM orders o LEFT JOIN lineitem l
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 5 DAY
+    """,
     "join_interval_order_detail": """
         SELECT o_orderkey, l_linenumber,
                strftime(o_orderdate, '%Y-%m-%d') AS order_date,

@@ -100,6 +100,27 @@ def lang_id(tables: dict[str, DataFrame]) -> DataFrame:
     return base.select("doc_id", "lang", _pred_lang_expr(F.col("toks")).alias("pred_lang"))
 
 
+def langid_confusion(tables: dict[str, DataFrame]) -> DataFrame:
+    """Confusion matrix for the language-ID heuristic: (true lang, predicted
+    lang) counts plus the share of the true language each cell captures —
+    the evaluation harness every classifier-ish curation op needs (which
+    languages leak into 'und', which pairs confuse). One scan, the same
+    prediction expression ``lang_id`` ships (shared builder, so the eval
+    can't drift from the op), one small groupBy; the share window runs on
+    the langs²-bounded grid."""
+    docs = tables["documents"]
+    base = docs.select("lang", tokens_col(F.col("text")).alias("toks"))
+    pred = base.select("lang", _pred_lang_expr(F.col("toks")).alias("pred_lang"))
+    cells = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("lang"))
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n",
+        (F.floor(F.col("n") * 10000.0 / tot + 0.5) / 10000).alias("share_of_true"),
+    )
+
+
 def fingerprint(tables: dict[str, DataFrame]) -> DataFrame:
     """Order-sensitive document fingerprint (rolling-hash family):
     sum_i (i+1) * (7*ascii(tok_i) + len(tok_i)) mod 2^31-1. Position-weighted
@@ -722,6 +743,7 @@ QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
+    "text_langid_confusion": langid_confusion,
     "text_fingerprint": fingerprint,
     "text_contamination": contamination_check,
     "text_pack_plan": pack_plan,
@@ -924,6 +946,31 @@ ORACLES = {
         SELECT doc_id, lang, quality,
                floor(pr * 10000 + 0.5) / 10000 AS pr
         FROM r WHERE pr <= 0.25
+    """,
+    "text_langid_confusion": f"""
+        WITH t AS (SELECT lang, {_DUCK_TOKS} AS toks FROM documents),
+        s AS (
+            SELECT lang,
+                   len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS en,
+                   len(list_filter(toks, t -> t IN ('el','la','de','y','que'))) AS es,
+                   len(list_filter(toks, t -> t IN ('der','die','das','und','zu'))) AS de,
+                   len(list_filter(toks, t -> t IN ('le','la','les','et','de'))) AS fr
+            FROM t
+        ),
+        p AS (
+            SELECT lang,
+                   CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                        WHEN en = greatest(en, es, de, fr) THEN 'en'
+                        WHEN es = greatest(en, es, de, fr) THEN 'es'
+                        WHEN de = greatest(en, es, de, fr) THEN 'de'
+                        ELSE 'fr' END AS pred_lang
+            FROM s
+        ),
+        c AS (SELECT lang, pred_lang, count(*)::BIGINT AS n FROM p GROUP BY 1, 2)
+        SELECT lang, pred_lang, n,
+               floor(n * 10000.0 / sum(n) OVER (PARTITION BY lang) + 0.5) / 10000
+                   AS share_of_true
+        FROM c
     """,
     "text_lang_id": f"""
         WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),

@@ -116,3 +116,25 @@ def test_jump_detection_semantics(spark):
         for r in stateful.jump_detection({"events": ev}, timeout_sec=600).collect()
     }
     assert got == {2, 3, 4}
+
+
+def test_interval_outer_matches_oracle(tables):
+    assert_matches_oracle(
+        joins.QUERIES["join_interval_outer"](tables),
+        joins.ORACLES["join_interval_outer"],
+        SF_DIR,
+    )
+
+
+def test_interval_outer_covers_all_orders(tables):
+    from pyspark.sql import functions as F
+
+    out = joins.interval_join_outer(tables)
+    n_orders = tables["orders"].count()
+    assert out.select("o_orderkey").distinct().count() == n_orders
+    matched = {
+        r.o_orderkey
+        for r in joins.interval_join_order_detail(tables).select("o_orderkey").distinct().collect()
+    }
+    nulls = {r.o_orderkey for r in out.filter(F.col("unmatched")).collect()}
+    assert nulls.isdisjoint(matched)

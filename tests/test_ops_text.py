@@ -354,3 +354,26 @@ def test_curation_report_dup_accounting(spark):
     assert abs(en.dup_frac - 0.333333) < 1e-6
     assert en.token_total == 9
     assert got[("it", "web")].dup_frac == 0.0
+
+
+def test_langid_confusion_matches_oracle(tables):
+    assert_matches_oracle(
+        text.QUERIES["text_langid_confusion"](tables),
+        text.ORACLES["text_langid_confusion"],
+        SF_DIR,
+    )
+
+
+def test_langid_confusion_consistent_with_langid(tables):
+    """Cell counts must re-aggregate the per-doc lang_id output exactly, and
+    each true-language's shares must sum to 1."""
+    from collections import Counter
+
+    per_doc = Counter((r.lang, r.pred_lang) for r in text.lang_id(tables).collect())
+    cells = {(r.lang, r.pred_lang): r for r in text.langid_confusion(tables).collect()}
+    assert {k: v.n for k, v in cells.items()} == dict(per_doc)
+    by_lang = {}
+    for (lang, _), r in cells.items():
+        by_lang.setdefault(lang, 0.0)
+        by_lang[lang] += r.share_of_true
+    assert all(abs(s - 1.0) < 2e-3 for s in by_lang.values()), by_lang
