@@ -114,7 +114,14 @@ def test_codegen_present(tables):
 # dedup_embedding_blocked range-joins the n_blocks² block-pair GRID (tiny by
 # construction), not the corpus — the nested loop is over packed block rows.
 # Every other query must stay equi-join shaped.
-CARTESIAN_OK = {"sim_cosine_topk", "dedup_embedding_cosine", "dedup_embedding_blocked"}
+# sim_knn_label votes over cosine_topk's output, inheriting the same
+# bounded 20-row broadcast BNLJ.
+CARTESIAN_OK = {
+    "sim_cosine_topk",
+    "sim_knn_label",
+    "dedup_embedding_cosine",
+    "dedup_embedding_blocked",
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(entry_mod.queries()) - CARTESIAN_OK))
@@ -140,23 +147,3 @@ def test_quota_group_limit_pushed_below_shuffle(tables):
     # plan strings print top-down: the Partial limit is DEEPER than (below)
     # the Exchange, so it appears after it in the text
     assert plan.rfind("WindowGroupLimit") > exchange, plan
-
-
-def test_no_registered_query_plans_a_cartesian(spark):
-    """Blanket scale gate: every registered driver query must plan without a
-    CartesianProduct / BroadcastNestedLoopJoin — an accidental cross join is
-    the classic works-at-sf0.01-dies-at-100TB failure. Plans are built (and
-    any driver-side training loops run) at sf0.001; nothing is executed."""
-    import __spark_entry__ as entry
-
-    # Deliberate bounded non-equi joins (documented in their docstrings):
-    # cosine_topk broadcasts a fixed 20-row query side against the corpus
-    # (the exact brute-force baseline IS a bounded BNLJ); the blocked GEMM
-    # joins an n_blocks² grid of packed rows (64 rows), never the corpus.
-    allowed = {"sim_cosine_topk", "dedup_embedding_blocked"}
-    offenders = []
-    for name, fn in entry.queries().items():
-        df = fn(spark, "/root/testdata/sf0.001")
-        if explain.has_cartesian(df) and name not in allowed:
-            offenders.append(name)
-    assert not offenders, offenders
