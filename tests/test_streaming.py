@@ -429,3 +429,61 @@ def test_scd2_stream_matches_batch_history(spark, tmp_path):
 
     run("cp_replay")  # fresh checkpoint -> re-deliver everything
     assert table() == got
+
+
+def test_layered_warehouse_end_to_end(spark, event_stream, tables, tmp_path):
+    """The reference's full architecture in ONE chained flow (SURVEY §3.1):
+    ODS event stream → DWS windowed aggregation (watermarked) → foreachBatch
+    into the day-partitioned serving store → batch dashboard read with
+    partition pruning — and the served numbers equal a batch recompute of
+    the same day from the raw fixture."""
+    from pyspark.sql import functions as F
+
+    from flink_210225_spark.operators import warehouse
+    from flink_210225_spark.plans import explain
+
+    store = str(tmp_path / "dws_store")
+    agg_stream = sp.windowed_agg_stream(event_stream)
+    q = (
+        agg_stream.writeStream.foreachBatch(
+            lambda df, bid: warehouse.write_stats(df, store)
+        )
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    days = sorted(
+        str(r["dt"]) for r in warehouse.read_stats(spark, store).select("dt").distinct().collect()
+    )
+    assert days, "stream landed nothing in the serving store"
+    day = days[len(days) // 2]  # interior day: every window closed + emitted
+
+    served = warehouse.stats_for_day(spark, store, day)
+    plan = explain.formatted_plan(served)
+    assert "PartitionFilters" in plan, "dashboard read lost partition pruning"
+
+    got = {
+        (r.stt, r.ch): (r.uv_ct, r.pv_ct)
+        for r in served.select("stt", "ch", "uv_ct", "pv_ct").collect()
+    }
+    want_df = (
+        tables["events"]
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.to_date("ts") == day)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type").alias("ch"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("uv_ct"),
+            F.count("*").alias("pv_ct"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            "ch",
+            "uv_ct",
+            "pv_ct",
+        )
+    )
+    want = {(r.stt, r.ch): (r.uv_ct, r.pv_ct) for r in want_df.collect()}
+    assert got == want
