@@ -222,3 +222,120 @@ def test_uv_dedup_matches_model(spark_global, pairs):
             best[(u, day)] = (t, i)
     want_ids = {i for (_t, i) in best.values()}
     assert {r["event_id"] for r in got} == want_ids
+
+
+# --- SCD2 property test: random change streams vs a brute-force model ---
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # key
+            st.sampled_from(["insert", "update", "delete"]),
+            st.integers(min_value=0, max_value=100),     # ts (may collide)
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+)
+@settings(max_examples=25, deadline=None)
+def test_scd2_matches_model(spark_global, events):
+    """scd2_history vs a brute-force model: for each key, sort events by
+    (ts, seq); non-delete event i opens a version closed by the next event's
+    ts; version numbers count non-delete events; is_current = open and not
+    followed by anything."""
+    from flink_210225_spark.operators.router import scd2_history
+
+    # de-dup (key, ts) collisions: window order must be deterministic for
+    # the comparison, so keep the first occurrence per (key, ts)
+    seen, rows = set(), []
+    for k, typ, ts in events:
+        if (k, ts) in seen:
+            continue
+        seen.add((k, ts))
+        rows.append((k, typ, ts, f"v{len(rows)}"))
+    df = spark_global.createDataFrame(rows, "key long, type string, ts long, val string")
+    got = {
+        (r.key, r.version): (r.val, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(df, ["key"], "ts").collect()
+    }
+
+    want = {}
+    by_key: dict[int, list] = {}
+    for k, typ, ts, val in rows:
+        by_key.setdefault(k, []).append((ts, typ, val))
+    for k, evs in by_key.items():
+        evs.sort(key=lambda e: e[0])
+        version = 0
+        for i, (ts, typ, val) in enumerate(evs):
+            nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+            if typ == "delete":
+                continue
+            version += 1
+            want[(k, version)] = (val, ts, nxt, nxt is None)
+    assert got == want
+
+
+# --- chunk_windows property test ---
+
+
+@given(
+    n_tokens=st.integers(min_value=1, max_value=300),
+    size=st.integers(min_value=2, max_value=60),
+    stride_frac=st.floats(min_value=0.2, max_value=1.0),
+)
+@settings(max_examples=25, deadline=None)
+def test_chunk_windows_invariants(spark_global, n_tokens, size, stride_frac):
+    """For any (doc length, chunk size, stride ≤ size): chunks start every
+    `stride`, every token is covered, the reconstruction of the doc from
+    non-overlapping chunk parts is exact, and the final chunk reaches the
+    last token."""
+    from flink_210225_spark.ops.text import chunk_windows
+
+    stride = max(1, int(size * stride_frac))
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark_global.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        chunk_windows({"documents": df}, size=size, stride=stride).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert chunks[0].start_tok == 0
+    for i, c in enumerate(chunks):
+        assert c.start_tok == i * stride
+        assert c.chunk_len == min(size, n_tokens - c.start_tok)
+        assert c.chunk_len >= 1
+        assert len(c.chunk_text.split()) == c.chunk_len
+    last = chunks[-1]
+    assert last.start_tok + last.chunk_len == n_tokens  # tail reached
+    if len(chunks) > 1:  # penultimate chunk must not already cover the tail
+        prev = chunks[-2]
+        assert prev.start_tok + size < n_tokens or last.start_tok + size >= n_tokens
+    covered = set()
+    for c in chunks:
+        covered.update(range(c.start_tok, c.start_tok + c.chunk_len))
+    assert covered == set(range(n_tokens))
+
+
+# --- prefix-filter lossless-pruning property test ---
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=9), min_size=3, max_size=25),
+        min_size=2,
+        max_size=8,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_prefix_filter_lossless_on_random_docs(spark_global, docs):
+    """On random token sequences over a tiny alphabet (maximal shingle
+    collisions — the prefix theorem's stress zone), prefix filtering must
+    emit exactly the quadratic baseline's pairs."""
+    from flink_210225_spark.ops.dedup import ngram_jaccard_pairs, prefix_filter_pairs
+
+    rows = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark_global.createDataFrame(rows, "doc_id long, text string")
+    t = {"documents": df}
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(t).collect()}
+    pref = {(r.doc_a, r.doc_b): r.jaccard for r in prefix_filter_pairs(t).collect()}
+    assert pref == exact
