@@ -357,6 +357,44 @@ def prefix_filter_pairs(
     )
 
 
+def edit_distance_pairs(
+    tables: dict[str, DataFrame],
+    candidate_jaccard: float = 0.3,
+    min_ratio: float = 0.6,
+) -> DataFrame:
+    """Fuzzy dedup verification by true edit distance: Levenshtein similarity
+    ratio (1 − dist/max_len) over CANDIDATE pairs only — the
+    character-level verifier for near-dup pairs whose token shingles
+    under-report similarity (small in-word edits shift every containing
+    shingle, so Jaccard punishes them ~n× while edit distance counts them
+    once).
+
+    Scale: Levenshtein is O(len²) per pair — the one cost rule is NEVER run
+    it corpus×corpus. Candidates come from the shingle-bucket generator at
+    a low Jaccard floor (swap in MinHash-LSH candidates at scale, same
+    contract); the distance runs JVM-side (built-in ``levenshtein``) on
+    candidate-count rows after two id-keyed joins pull the texts back."""
+    docs = tables["documents"]
+    cand = ngram_jaccard_pairs(tables, threshold=candidate_jaccard).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    scored = cand.join(ta, "doc_a").join(tb, "doc_b")
+    dist = F.levenshtein("text_a", "text_b")
+    ratio = F.lit(1.0) - dist / F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        scored.select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            dist.alias("edit_dist"),
+            (F.floor(ratio * 10000 + 0.5) / 10000).alias("sim_ratio"),
+        )
+        .filter(F.col("sim_ratio") >= min_ratio)
+    )
+
+
 # --- MinHash + LSH ---
 
 
@@ -891,6 +929,7 @@ QUERIES = {
     "dedup_embedding_blocked": embedding_near_dups_blocked,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_prefix_filter": prefix_filter_pairs,
+    "dedup_edit_distance": edit_distance_pairs,
     "dedup_components": dedup_components,
     "dedup_components_star": dedup_components_star,
     # LSH/simhash results depend on xxhash64 — not SQL-expressible in DuckDB,
@@ -1095,3 +1134,41 @@ ORACLES["dedup_components_star"] = ORACLES["dedup_components"]
 # (doc_a, doc_b, jaccard) rows are identical to the quadratic baseline's, so
 # the same oracle gates both physical strategies.
 ORACLES["dedup_prefix_filter"] = ORACLES["dedup_ngram_jaccard"]
+
+ORACLES["dedup_edit_distance"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(greatest(len(t) - 3, 0) + 1),
+                   i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT doc_a, doc_b,
+               floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000 + 0.5) / 10000 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000 + 0.5) / 10000 >= 0.3
+    )
+    SELECT c.doc_a, c.doc_b, c.jaccard,
+           levenshtein(da.text, db.text)::BIGINT AS edit_dist,
+           floor((1.0 - levenshtein(da.text, db.text) * 1.0
+                  / greatest(length(da.text), length(db.text))) * 10000 + 0.5)
+               / 10000 AS sim_ratio
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE floor((1.0 - levenshtein(da.text, db.text) * 1.0
+                 / greatest(length(da.text), length(db.text))) * 10000 + 0.5)
+              / 10000 >= 0.6
+"""

@@ -174,6 +174,32 @@ def temperature_downsample(
     )
 
 
+def temperature_repeat_plan(
+    tables: dict[str, DataFrame], alpha: float = 0.3
+) -> DataFrame:
+    """The FULL temperature-mixture realization: per document, how many
+    copies the training stream should carry — floor(factor) guaranteed
+    repeats plus one more with probability frac(factor) (content-keyed hex
+    Bernoulli, same engine-identical threshold trick as
+    ``temperature_downsample``, which this generalizes: factor < 1 langs
+    get n_copies ∈ {0,1} ≡ the downsample filter; factor > 1 langs get
+    their XLM-R epoch multiplier). Expected copies per doc = factor
+    exactly; the trainer consumes n_copies directly or via
+    explode(sequence(1, n_copies))."""
+    docs = tables["documents"]
+    wts = temperature_weights(tables, alpha).select("lang", "sample_factor")
+    frac = F.col("sample_factor") - F.floor(F.col("sample_factor"))
+    thr = F.lower(
+        F.lpad(F.hex(F.floor(frac * F.lit(4294967296.0)).cast("bigint")), 8, "0")
+    )
+    extra = F.when(F.substring(F.md5("text"), 1, 8) < thr, 1).otherwise(0)
+    return docs.join(F.broadcast(wts), "lang").select(
+        "doc_id",
+        "lang",
+        (F.floor("sample_factor").cast("long") + extra).alias("n_copies"),
+    )
+
+
 QUERIES = {
     "sample_hash_split": hash_split,
     "sample_quota_per_group": quota_per_group,
@@ -181,6 +207,7 @@ QUERIES = {
     "sample_stratified_exact": stratified_exact_split,
     "sample_temperature_weights": temperature_weights,
     "sample_temperature_apply": temperature_downsample,
+    "sample_temperature_repeats": temperature_repeat_plan,
 }
 
 ORACLES = {
@@ -249,5 +276,27 @@ ORACLES = {
         WHERE w.sample_factor >= 1
            OR substr(md5(d.text), 1, 8) <
               lower(lpad(hex(floor(w.sample_factor * 4294967296.0)::BIGINT), 8, '0'))
+    """,
+    "sample_temperature_repeats": """
+        WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang),
+        t AS (
+            SELECT lang,
+                   n_docs * 1.0 / sum(n_docs) OVER () AS share,
+                   pow(n_docs * 1.0 / sum(n_docs) OVER (), 0.3) AS ts
+            FROM c
+        ),
+        w AS (
+            SELECT lang,
+                   floor(ts / sum(ts) OVER () / share * 1000000 + 0.5) / 1000000
+                       AS sample_factor
+            FROM t
+        )
+        SELECT d.doc_id, d.lang,
+               floor(w.sample_factor)::BIGINT
+               + CASE WHEN substr(md5(d.text), 1, 8) <
+                      lower(lpad(hex(floor((w.sample_factor - floor(w.sample_factor))
+                                           * 4294967296.0)::BIGINT), 8, '0'))
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN w ON w.lang = d.lang
     """,
 }

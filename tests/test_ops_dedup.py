@@ -292,3 +292,30 @@ def test_blocked_embedding_dedup_equals_broadcast(tables):
     a = sorted(map(tuple, dedup.embedding_near_dups(tables).collect()))
     b = sorted(map(tuple, dedup.embedding_near_dups_blocked(tables).collect()))
     assert a == b
+
+
+def test_edit_distance_matches_oracle(tables):
+    assert_matches_oracle(
+        dedup.QUERIES["dedup_edit_distance"](tables),
+        dedup.ORACLES["dedup_edit_distance"],
+        SF_DIR,
+    )
+
+
+def test_edit_distance_catches_shingle_blind_edits(spark):
+    """In-word edits shift every containing shingle (Jaccard craters) but
+    cost one edit each: the pair must clear the ratio gate while staying
+    below the exact-Jaccard 0.5 threshold."""
+    words = [f"tok{i}" for i in range(30)]
+    w2 = list(words)
+    for i in (3, 9, 15, 21):  # four in-word edits, spread out: 12 of 28
+        w2[i] = words[i] + "x"  # shingles shift -> J = 16/40 = 0.4 < 0.5
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(w2))], "doc_id long, text string"
+    )
+    t = {"documents": docs}
+    fuzzy = {(r.doc_a, r.doc_b): r for r in dedup.edit_distance_pairs(t).collect()}
+    strict = {(r.doc_a, r.doc_b) for r in dedup.ngram_jaccard_pairs(t).collect()}
+    assert (1, 2) in fuzzy and fuzzy[(1, 2)].edit_dist == 4
+    assert fuzzy[(1, 2)].sim_ratio >= 0.95
+    assert (1, 2) not in strict  # token-shingle Jaccard missed it

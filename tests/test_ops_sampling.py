@@ -181,3 +181,36 @@ def test_temperature_apply_realizes_rates(tables):
             exp = w.sample_factor * w.n_docs
             sd = (w.n_docs * w.sample_factor * (1 - w.sample_factor)) ** 0.5
             assert abs(kept.get(lang, 0) - exp) <= 4 * sd + 1, (lang, kept.get(lang), exp)
+
+
+def test_temperature_repeats_matches_oracle(tables):
+    assert_matches_oracle(
+        sampling.QUERIES["sample_temperature_repeats"](tables),
+        sampling.ORACLES["sample_temperature_repeats"],
+        SF_DIR,
+    )
+
+
+def test_temperature_repeats_expectation_and_consistency(tables):
+    """Mean copies per language tracks sample_factor (±4σ of the Bernoulli
+    fractional part), and for downsampled languages n_copies∈{0,1} agrees
+    exactly with temperature_downsample's keep set."""
+    wts = {r.lang: r for r in sampling.temperature_weights(tables).collect()}
+    plan = sampling.temperature_repeat_plan(tables).collect()
+    by_lang = {}
+    for r in plan:
+        by_lang.setdefault(r.lang, []).append(r)
+    kept = {
+        r.doc_id for r in sampling.temperature_downsample(tables).collect()
+    }
+    for lang, rows in by_lang.items():
+        f = wts[lang].sample_factor
+        total = sum(r.n_copies for r in rows)
+        frac = f - int(f)
+        sd = (len(rows) * frac * (1 - frac)) ** 0.5
+        assert abs(total - f * len(rows)) <= 4 * sd + 1, (lang, total, f * len(rows))
+        if f < 1:
+            assert all(r.n_copies in (0, 1) for r in rows)
+            assert {r.doc_id for r in rows if r.n_copies == 1} == {
+                r.doc_id for r in rows if r.doc_id in kept
+            }
