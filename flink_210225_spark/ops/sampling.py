@@ -200,6 +200,28 @@ def temperature_repeat_plan(
     )
 
 
+def curriculum_deciles(tables: dict[str, DataFrame], n_buckets: int = 10) -> DataFrame:
+    """Curriculum-learning buckets: NTILE deciles of quality within each
+    language (decile 10 = highest quality — train on it first / last per
+    your curriculum policy). Per-language so a low-resource language's
+    curriculum isn't dictated by the high-resource quality distribution —
+    the same per-lang-adaptive posture as ``quality_top_quantile``.
+
+    One shuffle (lang window sort); NTILE is exact rank bucketing, so
+    bucket sizes differ by ≤1 within a language. Ties on quality break by
+    doc_id for cross-engine determinism."""
+    from flink_210225_spark.ops.text import _quality_expr, tokens_col
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id", "lang", _quality_expr(tokens_col(F.col("text"))).alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("quality"), F.asc("doc_id"))
+    return base.select(
+        "doc_id", "lang", "quality", F.ntile(n_buckets).over(w).alias("decile")
+    )
+
+
 QUERIES = {
     "sample_hash_split": hash_split,
     "sample_quota_per_group": quota_per_group,
@@ -208,6 +230,7 @@ QUERIES = {
     "sample_temperature_weights": temperature_weights,
     "sample_temperature_apply": temperature_downsample,
     "sample_temperature_repeats": temperature_repeat_plan,
+    "sample_curriculum_deciles": curriculum_deciles,
 }
 
 ORACLES = {
@@ -276,6 +299,31 @@ ORACLES = {
         WHERE w.sample_factor >= 1
            OR substr(md5(d.text), 1, 8) <
               lower(lpad(hex(floor(w.sample_factor * 4294967296.0)::BIGINT), 8, '0'))
+    """,
+    "sample_curriculum_deciles": """
+        WITH t AS (
+            SELECT doc_id, lang,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, lang, len(toks) AS n,
+                   len(list_distinct(toks)) AS uniq,
+                   len(list_filter(toks, x -> x IN ('the', 'a'))) AS stop_ct
+            FROM t
+        ),
+        q AS (
+            SELECT doc_id, lang,
+                   floor((0.4 * least(n / 100.0, 1.0)
+                          + 0.3 * (uniq * 1.0 / n)
+                          + 0.3 * (1.0 - abs(stop_ct * 1.0 / n - 0.1))) * 10000
+                         + 0.5) / 10000 AS quality
+            FROM m
+        )
+        SELECT doc_id, lang, quality,
+               ntile(10) OVER (PARTITION BY lang ORDER BY quality ASC, doc_id ASC)
+                   AS decile
+        FROM q
     """,
     "sample_temperature_repeats": """
         WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang),

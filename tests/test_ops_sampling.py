@@ -214,3 +214,31 @@ def test_temperature_repeats_expectation_and_consistency(tables):
             assert {r.doc_id for r in rows if r.n_copies == 1} == {
                 r.doc_id for r in rows if r.doc_id in kept
             }
+
+
+def test_curriculum_deciles_matches_oracle(tables):
+    assert_matches_oracle(
+        sampling.QUERIES["sample_curriculum_deciles"](tables),
+        sampling.ORACLES["sample_curriculum_deciles"],
+        SF_DIR,
+    )
+
+
+def test_curriculum_deciles_invariants(tables):
+    """Within each language: bucket sizes differ by ≤1, and quality is
+    monotone across deciles (max of decile d ≤ min of decile d+2 fails only
+    on ties — check non-strict monotonicity of decile means)."""
+    rows = sampling.curriculum_deciles(tables).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = {}
+        for r in rs:
+            sizes[r.decile] = sizes.get(r.decile, 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        means = []
+        for d in sorted(sizes):
+            qs = [r.quality for r in rs if r.decile == d]
+            means.append(sum(qs) / len(qs))
+        assert all(a <= b + 1e-12 for a, b in zip(means, means[1:])), (lang, means)
