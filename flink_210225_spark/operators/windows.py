@@ -234,6 +234,33 @@ def grouping_sets_stats(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def rolling_active_users(tables: dict[str, DataFrame], window_days: int = 7) -> DataFrame:
+    """Trailing N-day distinct active users per day (WAU) — the rolling
+    engagement series every dashboard carries, and a distinct count no
+    window FRAME can express (countDistinct over a range frame is
+    unsupported everywhere). The scalable spelling: collapse events to
+    (user, day) once, EXPLODE each activity day into the N as-of days it
+    contributes to, and countDistinct per as-of day — shuffle volume is
+    active-(user, day) pairs × N, with map-side combine collapsing
+    duplicates, vs the naive N-fold self-join re-scanning events. Trailing
+    windows that extend past the last day are clipped via a scalar-subquery
+    max (no data leaves the cluster)."""
+    ev = tables["events"]
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+        ).alias("as_of"),
+    )
+    max_day = ev.agg(F.max(F.to_date("ts"))).scalar()
+    return (
+        contrib.filter(F.col("as_of") <= max_day)
+        .groupBy(F.date_format("as_of", "yyyy-MM-dd").alias("as_of"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
 def cube_stats(tables: dict[str, DataFrame]) -> DataFrame:
     """Full CUBE over (event_type, day) — all four granularities including
     the grand total in ONE Expand + shuffle (completes the subtotal family:
@@ -366,6 +393,7 @@ QUERIES = {
     "window_rollup_stats": rollup_stats,
     "window_grouping_sets": grouping_sets_stats,
     "window_cube_stats": cube_stats,
+    "window_rolling_active": rolling_active_users,
     "window_moving_avg": hourly_moving_stats,
     "window_daily_anomaly": daily_anomaly,
     "window_visitor_stats": visitor_stats_window,
@@ -451,6 +479,18 @@ ORACLES = {
     """,
     # fixture dims are never NULL, so NULL-ness identifies subtotal rows —
     # same derivation as the rollup oracle.
+    "window_rolling_active": """
+        WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        c AS (
+            SELECT user_id, day + to_days(i.i::INT) AS as_of
+            FROM ud, range(7) i(i)
+        )
+        SELECT strftime(as_of, '%Y-%m-%d') AS as_of,
+               count(DISTINCT user_id)::BIGINT AS active_users
+        FROM c
+        WHERE as_of <= (SELECT max(ts::DATE) FROM events)
+        GROUP BY 1
+    """,
     "window_cube_stats": """
         SELECT coalesce(event_type, 'ALL') AS event_type,
                coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,

@@ -100,3 +100,29 @@ def test_cube_contains_all_granularities(tables):
     totals = [r for r in rows if r.gid == 3]
     assert len(totals) == 1
     assert totals[0].pv_ct == tables["events"].count()
+
+
+def test_rolling_active_matches_oracle(tables):
+    assert_matches_oracle(
+        windows.QUERIES["window_rolling_active"](tables),
+        windows.ORACLES["window_rolling_active"],
+        SF_DIR,
+    )
+
+
+def test_rolling_active_semantics(spark):
+    """u1 active day 1 and day 5, u2 active day 1: WAU(d) counts users with
+    any activity in (d-6, d]; windows clip at the last observed day."""
+    import datetime as dt
+
+    rows = []
+    for i, (u, d) in enumerate([(1, 1), (1, 5), (2, 1)]):
+        rows.append((i, dt.datetime(2021, 1, d, 12), u, "view", 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.as_of: r.active_users for r in windows.rolling_active_users({"events": ev}).collect()}
+    assert got["2021-01-01"] == 2      # both active that day
+    assert got["2021-01-05"] == 2      # u1 re-active; u2 within trailing 7d
+    assert max(got) == "2021-01-05"    # clipped at last observed day
+    assert all(v == 2 for v in got.values())
