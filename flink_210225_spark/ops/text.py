@@ -100,6 +100,34 @@ def lang_id(tables: dict[str, DataFrame]) -> DataFrame:
     return base.select("doc_id", "lang", _pred_lang_expr(F.col("toks")).alias("pred_lang"))
 
 
+def length_histogram(tables: dict[str, DataFrame], bucket_tokens: int = 50) -> DataFrame:
+    """Document-length histogram per language: fixed-width token buckets
+    (integer floor division — no float boundary ambiguity across engines),
+    count and share per (lang, bucket). The length-distribution profile
+    behind truncation policy, packing seq_len choice, and before/after
+    filter comparisons. One scan + one map-side-combined groupBy; the share
+    window runs on the bucket-count-sized grid."""
+    docs = tables["documents"]
+    n = F.size(tokens_col(F.col("text")))
+    bucket = F.floor(n / F.lit(bucket_tokens)).cast("long")
+    cells = (
+        docs.select(
+            "lang",
+            bucket.alias("bucket"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    tot = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return cells.select(
+        "lang",
+        "bucket",
+        (F.col("bucket") * bucket_tokens).alias("min_tokens"),
+        "n_docs",
+        (F.floor(F.col("n_docs") * 10000.0 / tot + 0.5) / 10000).alias("share"),
+    )
+
+
 def langid_confusion(tables: dict[str, DataFrame]) -> DataFrame:
     """Confusion matrix for the language-ID heuristic: (true lang, predicted
     lang) counts plus the share of the true language each cell captures —
@@ -744,6 +772,7 @@ QUERIES = {
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
     "text_langid_confusion": langid_confusion,
+    "text_length_histogram": length_histogram,
     "text_fingerprint": fingerprint,
     "text_contamination": contamination_check,
     "text_pack_plan": pack_plan,
@@ -946,6 +975,17 @@ ORACLES = {
         SELECT doc_id, lang, quality,
                floor(pr * 10000 + 0.5) / 10000 AS pr
         FROM r WHERE pr <= 0.25
+    """,
+    "text_length_histogram": f"""
+        WITH t AS (SELECT lang, len({_DUCK_TOKS}) AS n FROM documents),
+        c AS (
+            SELECT lang, (n // 50)::BIGINT AS bucket, count(*)::BIGINT AS n_docs
+            FROM t GROUP BY 1, 2
+        )
+        SELECT lang, bucket, bucket * 50 AS min_tokens, n_docs,
+               floor(n_docs * 10000.0 / sum(n_docs) OVER (PARTITION BY lang) + 0.5)
+                   / 10000 AS share
+        FROM c
     """,
     "text_langid_confusion": f"""
         WITH t AS (SELECT lang, {_DUCK_TOKS} AS toks FROM documents),

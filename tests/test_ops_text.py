@@ -377,3 +377,21 @@ def test_langid_confusion_consistent_with_langid(tables):
         by_lang.setdefault(lang, 0.0)
         by_lang[lang] += r.share_of_true
     assert all(abs(s - 1.0) < 2e-3 for s in by_lang.values()), by_lang
+
+
+def test_length_histogram_matches_oracle(tables):
+    assert_matches_oracle(
+        text.QUERIES["text_length_histogram"](tables),
+        text.ORACLES["text_length_histogram"],
+        SF_DIR,
+    )
+
+
+def test_length_histogram_shares_sum_to_one(tables):
+    rows = text.length_histogram(tables).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, 0.0)
+        by_lang[r.lang] += r.share
+        assert r.min_tokens == r.bucket * 50
+    assert all(abs(s - 1.0) < 2e-3 for s in by_lang.values()), by_lang

@@ -147,3 +147,15 @@ def test_quota_group_limit_pushed_below_shuffle(tables):
     # plan strings print top-down: the Partial limit is DEEPER than (below)
     # the Exchange, so it appears after it in the text
     assert plan.rfind("WindowGroupLimit") > exchange, plan
+
+
+def test_broadcast_survives_sf01_scale(spark):
+    """Scale probe (the verify recipe's last gotcha): dim joins must still
+    plan BroadcastHashJoin against the 10× bench tables — if statistics
+    drift past the broadcast threshold the enrichment chain degrades to
+    shuffle joins silently."""
+    from flink_210225_spark.io import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.1")
+    for fn in (serving.trademark_topn, serving.province_stats, joins.order_wide):
+        assert explain.has_broadcast_join(fn(t)), f"{fn.__name__} lost broadcast at sf0.1"
