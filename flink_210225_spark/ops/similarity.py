@@ -805,6 +805,122 @@ def ivf_pq_ann_topk(
     )
 
 
+def _centroid_df(spark, cent):
+    """(cell, carr) rows from the coarse-centroid NumPy array — the
+    broadcast side for residual computation."""
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)],
+        "cell int, carr array<double>",
+    )
+
+
+def residual_vectors(assigned: DataFrame, cent) -> DataFrame:
+    """v − coarse[cell] per vector, computed JVM-side (broadcast centroid
+    join + zip_with) — the input to residual PQ coding."""
+    spark = assigned.sparkSession
+    cdf = _centroid_df(spark, cent)
+    return assigned.join(F.broadcast(cdf), "cell").select(
+        "vec_id",
+        "cell",
+        F.zip_with(
+            _as_double(F.col("embedding")), "carr", lambda a, b: a - b
+        ).alias("embedding"),
+    )
+
+
+def ivf_pq_residual_ann_topk(
+    tables: dict[str, DataFrame],
+    num_queries: int = 20,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    refine: int = 4,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL coding (the full Jégou et al. construction):
+    each vector's PQ codes quantize v − coarse[cell] instead of v, so the
+    codebook spends its 4 bytes on the within-cell geometry the coarse
+    quantizer can't express — reconstruction MSE drops vs raw-vector
+    coding and ADC ranking sharpens. The ADC table becomes per-(query,
+    probed-cell): tab[j,c] = ||(q − coarse[cell])_sub_j − cb[j][c]||², so
+    the broadcast rows each carry their own m×k table (n_probe tables per
+    query — still trivially broadcastable). Residuals are computed
+    JVM-side (broadcast centroid join + zip_with); the coding pass and the
+    scoring/rerank skeleton are shared with ``ivf_pq_ann_topk``."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    spark = emb.sparkSession
+    assigned, coarse = ivf_assign(emb, n_cells)
+    res = residual_vectors(assigned, coarse)
+    codes_df, cb = pq_train(res.select("vec_id", "embedding"), m=m, k=k_codes)
+    dim = cb.shape[0] * cb.shape[2]
+    d_sub = cb.shape[2]
+
+    qpdf = (
+        emb.filter(F.col("vec_id") < num_queries)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    qmat = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
+    d2c = ((qmat[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+    probes = np.argsort(d2c, axis=1)[:, :n_probe]
+    rows = []
+    for qi, (qid, pr) in enumerate(zip(qpdf["vec_id"], probes)):
+        for cell in pr:
+            rq = (qmat[qi] - coarse[cell]).reshape(m, d_sub)
+            tab = ((rq[:, None, :] - cb) ** 2).sum(-1)  # (m, k_codes)
+            rows.append((int(qid), int(cell), [float(x) for x in tab.ravel()]))
+    q = spark.createDataFrame(rows, "query_id long, cell int, tab array<double>")
+
+    corpus = codes_df.join(
+        res.select("vec_id", "cell"), "vec_id"
+    ).select(F.col("vec_id").alias("neighbor_id"), "cell", "codes")
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at("tab", j * k_codes + F.element_at("codes", j + 1) + 1),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(corpus, (q["cell"] == corpus["cell"]) & (F.col("query_id") != F.col("neighbor_id")))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("approx_d", F.floor(adc / dim * 1000000 + 0.5) / 1000000)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * refine)
+        .select("query_id", "neighbor_id", "approx_d")
+    )
+    qv = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in zip(qpdf["vec_id"], qmat)],
+        "query_id long, qv array<double>",
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("nv")
+    )
+    l2 = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    reranked = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("exact_d", F.floor(l2 / dim * 1000000 + 0.5) / 1000000)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("exact_d"), F.asc("neighbor_id"))
+    return (
+        reranked.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "approx_d", "exact_d", F.col("rn").alias("rank"))
+    )
+
+
 def quantize_pq(tables: dict[str, DataFrame]) -> DataFrame:
     """Driver entry for PQ coding over the embeddings table."""
     return pq_train(tables["embeddings"])[0]
@@ -985,6 +1101,8 @@ QUERIES = {
     # rows-only; pytest gates end-to-end parity vs a NumPy IVFPQ reference
     # (same probes, same ADC tables) + recall vs exact L2.
     "sim_ivfpq_ann_topk": ivf_pq_ann_topk,
+    # rows-only; pytest gates residual-MSE < raw-MSE and recall parity.
+    "sim_ivfpq_residual_topk": ivf_pq_residual_ann_topk,
 }
 
 _COS = """

@@ -341,3 +341,46 @@ def test_knn_label_vote_semantics(tables):
         assert got[qid].pred_label == best[0]
         assert got[qid].vote_ct == best[1]
         assert got[qid].true_label == labels[qid]
+
+
+def test_residual_coding_reduces_mse(tables):
+    """Residual PQ must reconstruct better than raw-vector PQ: the coarse
+    centroid absorbs the between-cell variance, leaving the codebook only
+    the within-cell geometry."""
+    emb = tables["embeddings"]
+    assigned, coarse = similarity.ivf_assign(emb, 16)
+    raw_codes, _ = similarity.pq_train(emb.select("vec_id", "embedding"))
+    res = similarity.residual_vectors(assigned, coarse)
+    res_codes, _ = similarity.pq_train(res.select("vec_id", "embedding"))
+    raw_mse = sum(r.recon_mse for r in raw_codes.collect())
+    res_mse = sum(r.recon_mse for r in res_codes.collect())
+    assert res_mse < raw_mse * 0.9, (res_mse, raw_mse)
+
+
+def test_ivfpq_residual_recall_not_worse(tables):
+    """Residual-coded search must recall at least as much of the true L2
+    top-5 as the raw-coded variant (both share probes and the exact
+    re-rank; the residual ADC shortlist is strictly better informed)."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+
+    def recall(fn):
+        got = {}
+        for r in fn(tables).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = 0
+        for qid in range(20):
+            q = mat[ids == qid][0]
+            d = ((mat - q) ** 2).sum(1)
+            order = [int(i) for i in ids[np.argsort(d, kind="stable")] if i != qid][:5]
+            hits += len(set(order) & got.get(qid, set()))
+        return hits / 100
+
+    r_res = recall(similarity.ivf_pq_residual_ann_topk)
+    r_raw = recall(similarity.ivf_pq_ann_topk)
+    assert r_res >= r_raw - 0.05, (r_res, r_raw)
+    assert r_res >= 0.5, r_res
