@@ -128,3 +128,54 @@ ORACLES = {
         LIMIT 10
     """,
 }
+
+
+def zorder_value(
+    a: Column, b: Column, a_range: tuple[float, float], b_range: tuple[float, float], bits: int = 16
+) -> Column:
+    """Morton/Z-order key: each column scales to ``bits`` bits over its
+    known [min, max] range, then the bits interleave (a even, b odd
+    positions). Nearby (a, b) points get nearby z-values, so a z-sorted
+    layout keeps parquet row-group/file min-max tight on BOTH columns at
+    once — the multi-dimensional generalization of ``write_stats``'s
+    single-key sort, and what Delta's OPTIMIZE ZORDER BY computes. Pure
+    integer expression (floor-scale + shift/mask folds), codegen-friendly."""
+    def scaled(c: Column, lo: float, hi: float) -> Column:
+        frac = (c.cast("double") - F.lit(lo)) / F.lit(hi - lo)
+        clamped = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+        return F.floor(clamped * F.lit((1 << bits) - 1)).cast("long")
+
+    sa, sb = scaled(a, *a_range), scaled(b, *b_range)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftrightunsigned(sa, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftrightunsigned(sb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    a: str,
+    b: str,
+    a_range: tuple[float, float],
+    b_range: tuple[float, float],
+    n_files: int = 8,
+) -> None:
+    """Z-ordered parquet layout: range-partition by the z-value into
+    ``n_files`` tasks and sort within each — every output file covers a
+    contiguous z-range, i.e. a small rectangle-ish region of (a, b) space,
+    so predicates on EITHER column prune files/row-groups via footer
+    min-max stats."""
+    z = zorder_value(F.col(a), F.col(b), a_range, b_range)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -92,3 +92,46 @@ def test_key_skew_profile(spark):
     prof = colocate.key_skew_profile(df, "k", top=1).collect()
     assert prof[0]["k"] == 1 and prof[0]["ct"] == 90
     assert prof[0]["skew_ratio"] > 2
+
+
+def test_zorder_value_locality(spark):
+    """Morton-key sanity: interleaving is exact on known bit patterns, and
+    z-distance tracks 2-D locality (the four quadrant corners sort into
+    quadrant order)."""
+    df = spark.createDataFrame([(0, 0), (0, 1), (1, 0), (1, 1)], "a int, b int")
+    z = colocate.zorder_value(F.col("a"), F.col("b"), (0, 1), (0, 1), bits=1)
+    got = {(r.a, r.b): r.z for r in df.withColumn("z", z).collect()}
+    assert got == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3}
+
+
+def test_zorder_layout_prunes_both_dims(spark, tmp_path):
+    """Per-file min/max must be tight on BOTH z-ordered columns, while a
+    single-column sort leaves the second column's per-file range at full
+    width — the property parquet footer pruning feeds on."""
+    import glob
+
+    n = 1 << 12
+    df = spark.range(n).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        F.floor(F.col("id") / 64).cast("int").alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    colocate.write_zordered(df, zpath, "x", "y", (0, 63), (0, 63), n_files=16)
+    spath = str(tmp_path / "sorted")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+
+    def avg_width(path, col):
+        widths = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            r = spark.read.parquet(f).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).collect()[0]
+            widths.append(r.hi - r.lo)
+        return sum(widths) / len(widths)
+
+    # z-order: both dims clustered (each file ≈ a quadrant-ish rectangle)
+    assert avg_width(zpath, "x") < 63 * 0.6
+    assert avg_width(zpath, "y") < 63 * 0.6
+    # linear sort: x tight but y spans nearly the full range per file
+    assert avg_width(spath, "x") < 63 * 0.6
+    assert avg_width(spath, "y") > 63 * 0.8
