@@ -80,10 +80,92 @@ def jump_detection(tables: dict[str, DataFrame], timeout_sec: int = 600) -> Data
     )
 
 
+def match_pattern_kernel(
+    rows: list[tuple[int, str, int]],
+    steps: tuple[str, ...],
+    within_us: int,
+    init: tuple[int, int | None, int | None] = (0, None, None),
+) -> tuple[list[tuple[int, int]], tuple[int, int | None, int | None]]:
+    """Greedy earliest-start sequential pattern matcher over ONE user's
+    time-ordered (event_id, event_type, ts_us) rows — the deterministic
+    semantics both the batch and streaming paths run (Flink CEP
+    ``begin.followedBy...within`` relaxed contiguity, non-overlapping
+    matches): advance a stage pointer on each event matching the next step;
+    a match whose span would exceed ``within_us`` resets and re-tries the
+    current event at stage 0; completing the last stage emits
+    (start_event_id, end_event_id) and resets. ``init`` is the in-flight
+    partial match carried across micro-batches; returns (matches, final
+    state). ONE shared kernel so batch, streaming and the hypothesis model
+    can't drift apart."""
+    out: list[tuple[int, int]] = []
+    stage, start_id, start_ts = init
+    for eid, etype, ts in rows:
+        while True:
+            if stage > 0 and ts - start_ts > within_us:
+                stage, start_id, start_ts = 0, None, None
+                continue
+            if etype == steps[stage]:
+                if stage == 0:
+                    start_id, start_ts = eid, ts
+                if stage == len(steps) - 1:
+                    out.append((start_id, eid))
+                    stage, start_id, start_ts = 0, None, None
+                else:
+                    stage += 1
+            break
+    return out, (stage, start_id, start_ts)
+
+
+def pattern_matches(
+    tables: dict[str, DataFrame],
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    within_sec: int = 3600,
+) -> DataFrame:
+    """Generalized CEP (T4's arbitrary-step form): per user, non-overlapping
+    greedy occurrences of the ordered ``steps`` sequence completing within
+    ``within_sec`` — the reference's 2-entry jump pattern
+    (UserJumpDetailApp.java:57-63) generalized to any step list, relaxed
+    contiguity. Batch spelling: sort each user's events once
+    (``applyInPandas`` — sequential stage state is inherently per-key
+    imperative), emit (user_id, start/end event ids, span). Streaming
+    sibling: ``streaming/pipelines.pattern_stream`` carries (stage, start)
+    across micro-batches with the same kernel."""
+    import pandas as pd
+
+    ev = tables["events"]
+
+    def f(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        rows = list(
+            zip(
+                pdf["event_id"],
+                pdf["event_type"],
+                pdf["ts"].astype("int64") // 1000,  # ns -> us
+            )
+        )
+        got, _final = match_pattern_kernel(rows, steps, within_sec * 1_000_000)
+        uid = pdf["user_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(got),
+                "start_event_id": [a for a, _ in got],
+                "end_event_id": [b for _, b in got],
+            }
+        )
+
+    return ev.select("user_id", "event_id", "event_type", "ts").groupBy(
+        "user_id"
+    ).applyInPandas(f, "user_id long, start_event_id long, end_event_id long")
+
+
 QUERIES = {
     "state_new_visitor": new_visitor_correction,
     "state_uv_dedup": unique_visitor_dedup,
     "state_jump_detection": jump_detection,
+    # rows-only: greedy non-overlapping occurrence matching isn't
+    # SQL-expressible; pytest gates the kernel against a hypothesis model
+    # and the streaming sibling against the batch path.
+    "state_pattern_matches": pattern_matches,
 }
 
 ORACLES = {

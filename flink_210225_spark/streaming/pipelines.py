@@ -753,3 +753,84 @@ def run_scd2_stream(changes: DataFrame, dim_dir: str, checkpoint_dir: str, key: 
         .trigger(availableNow=True)
         .start()
     )
+
+
+PATTERN_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("start_event_id", T.LongType()),
+        T.StructField("end_event_id", T.LongType()),
+    ]
+)
+# state: (stage, start_event_id, start_ts_us) of the in-flight partial match
+PATTERN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.IntegerType()),
+        T.StructField("start_event_id", T.LongType()),
+        T.StructField("start_ts_us", T.LongType()),
+    ]
+)
+
+
+def make_pattern_func(
+    steps: tuple[str, ...] = ("view", "click", "purchase"), within_sec: int = 3600
+) -> Callable:
+    """Generalized CEP as keyed streaming state: the SAME greedy kernel the
+    batch path runs (operators/stateful.match_pattern_kernel), with the
+    in-flight partial match (stage, start id, start ts) carried across
+    micro-batches. Events are sorted within each batch; cross-batch order
+    is the stream's arrival order (watermark-bounded sources deliver
+    in-order per key in micro-batch mode)."""
+    from flink_210225_spark.operators.stateful import match_pattern_kernel
+
+    within_us = within_sec * 1_000_000
+
+    def f(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ev = list(
+            zip(rows["event_id"], rows["event_type"], rows["ts"].astype("int64") // 1000)
+        )
+        init = tuple(state.get) if state.exists else (0, None, None)
+        out, (stage, start_id, start_ts) = match_pattern_kernel(
+            ev, steps, within_us, init
+        )
+        state.update(
+            (
+                int(stage),
+                int(start_id) if start_id is not None else None,
+                int(start_ts) if start_ts is not None else None,
+            )
+        )
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "start_event_id": [a for a, _ in out],
+                    "end_event_id": [b for _, b in out],
+                }
+            )
+
+    return f
+
+
+def pattern_stream(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    within_sec: int = 3600,
+) -> DataFrame:
+    """T4 generalized: arbitrary-step CEP over the event stream."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", "10 seconds"
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        make_pattern_func(steps, within_sec),
+        outputStructType=PATTERN_OUTPUT_SCHEMA,
+        stateStructType=PATTERN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

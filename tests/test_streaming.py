@@ -487,3 +487,118 @@ def test_layered_warehouse_end_to_end(spark, event_stream, tables, tmp_path):
     )
     want = {(r.stt, r.ch): (r.uv_ct, r.pv_ct) for r in want_df.collect()}
     assert got == want
+
+
+def test_pattern_matches_batch_semantics(spark):
+    """Crafted sequences: relaxed contiguity, window reset with re-try, and
+    non-overlapping greedy restarts."""
+    import datetime as dt
+
+    t0 = dt.datetime(2021, 1, 1)
+
+    def ev(eid, sec, u, typ):
+        return (eid, t0 + dt.timedelta(seconds=sec), u, typ, 0.0, "{}")
+
+    rows = [
+        # u1: view click purchase with noise -> one match (1, 4)
+        ev(1, 0, 1, "view"), ev(2, 10, 1, "error"), ev(3, 20, 1, "click"), ev(4, 30, 1, "purchase"),
+        # and a second full match later -> (5, 7)
+        ev(5, 100, 1, "view"), ev(6, 110, 1, "click"), ev(7, 120, 1, "purchase"),
+        # u2: window exceeded mid-pattern; the late view re-seeds and completes
+        ev(10, 0, 2, "view"), ev(11, 10, 2, "click"),
+        ev(12, 5000, 2, "view"), ev(13, 5010, 2, "click"), ev(14, 5020, 2, "purchase"),
+        # u3: never completes
+        ev(20, 0, 3, "view"), ev(21, 10, 3, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        (r.user_id, r.start_event_id, r.end_event_id)
+        for r in stateful.pattern_matches({"events": df}, within_sec=3600).collect()
+    }
+    assert got == {(1, 1, 4), (1, 5, 7), (2, 12, 14)}
+
+
+def test_pattern_kernel_invariants_random(spark):
+    """Hypothesis-style randomized soundness over the batch path: every
+    emitted match is type-correct, in-window, and matches are ordered and
+    disjoint per user."""
+    import random
+
+    import datetime as dt
+
+    rnd = random.Random(7)
+    types = ["view", "click", "purchase", "error", "signup"]
+    t0 = dt.datetime(2021, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(8):
+        for _ in range(rnd.randint(5, 40)):
+            eid += 1
+            rows.append(
+                (eid, t0 + dt.timedelta(seconds=rnd.randint(0, 7200)), u, rnd.choice(types), 0.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    within = 600
+    got = stateful.pattern_matches({"events": df}, within_sec=within).collect()
+    info = {r[0]: (r[1], r[3]) for r in rows}  # eid -> (ts, type)
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append((r.start_event_id, r.end_event_id))
+        ts_s, ty_s = info[r.start_event_id]
+        ts_e, ty_e = info[r.end_event_id]
+        assert ty_s == "view" and ty_e == "purchase"
+        assert (ts_e - ts_s).total_seconds() <= within
+    for u, ms in by_user.items():
+        ms.sort()
+        ends = [info[e][0] for _, e in ms]
+        starts = [info[s][0] for s, _ in ms]
+        for i in range(len(ms) - 1):
+            assert ends[i] <= starts[i + 1], (u, ms)  # disjoint, ordered
+
+
+def test_pattern_stream_continues_across_batches(spark, tmp_path):
+    """A pattern straddling the micro-batch boundary must still match: batch
+    1 delivers view+click, batch 2 the purchase. Stream result == batch
+    result on the union."""
+    import pandas as pd
+
+    src = tmp_path / "pev"
+    src.mkdir()
+    b1 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2021-01-01 10:00:00", "2021-01-01 10:05:00"]),
+            "user_id": [1, 1],
+            "event_type": ["view", "click"],
+            "value": [0.0, 0.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "event_id": [3, 4, 5],
+            "ts": pd.to_datetime(
+                ["2021-01-01 10:10:00", "2021-01-01 10:12:00", "2021-01-01 10:15:00"]
+            ),
+            "user_id": [1, 2, 1],
+            "event_type": ["purchase", "view", "view"],
+            "value": [0.0, 0.0, 0.0],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    b1.to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    b2.to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    got = sp.run_stream_to_memory(sp.pattern_stream(stream), "pattern_s").collect()
+    assert {(r.user_id, r.start_event_id, r.end_event_id) for r in got} == {(1, 1, 3)}
+
+    batch = stateful.pattern_matches({"events": spark.read.parquet(str(src))})
+    want = {(r.user_id, r.start_event_id, r.end_event_id) for r in batch.collect()}
+    assert {(r.user_id, r.start_event_id, r.end_event_id) for r in got} == want
