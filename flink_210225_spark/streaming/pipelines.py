@@ -791,6 +791,12 @@ def make_pattern_func(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            # partial match expired (watermark passed start + within): no
+            # completion is possible any more — clear, don't emit (unlike
+            # jump detection, an incomplete pattern is not a result)
+            state.remove()
+            return
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         ev = list(
             zip(rows["event_id"], rows["event_type"], rows["ts"].astype("int64") // 1000)
@@ -806,6 +812,11 @@ def make_pattern_func(
                 int(start_ts) if start_ts is not None else None,
             )
         )
+        if stage > 0:
+            # state TTL (T6): an in-flight match is only completable until
+            # start + within — register an event-time timer so stale
+            # partials evict instead of living forever for quiet users
+            state.setTimeoutTimestamp(start_ts // 1000 + within_us // 1000)
         if out:
             yield pd.DataFrame(
                 {
@@ -832,5 +843,5 @@ def pattern_stream(
         outputStructType=PATTERN_OUTPUT_SCHEMA,
         stateStructType=PATTERN_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
