@@ -88,6 +88,35 @@ def interval_join_payment(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def payment_wide(tables: dict[str, DataFrame]) -> DataFrame:
+    """PaymentWide (the reference's second DWM wide table,
+    PaymentWideApp.java:75-83 — payment interval join THEN the dim chain):
+    the J2 asymmetric interval join composed with customer→nation broadcast
+    enrichment in one pass. Same plan shape as order_wide: the only fact
+    shuffle is the orderkey equi-join; dims ride broadcast hash joins."""
+    o, li = tables["orders"], tables["lineitem"]
+    cust, nation = tables["customer"], tables["nation"]
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= F.date_add(o.o_orderdate, 10))
+        & (li.l_shipdate < F.date_add(o.o_orderdate, 30))
+    )
+    return (
+        li.join(o, cond)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey, "left")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            "o_orderkey",
+            "l_linenumber",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("pay_date"),
+            round2(F.col("l_extendedprice")).alias("payment_amount"),
+            F.col("c_name").alias("user_name"),
+            F.col("n_name").alias("province_name"),
+        )
+    )
+
+
 # --- J3: OrderWide — the 6-table dim enrichment chain ---
 
 
@@ -186,11 +215,26 @@ QUERIES = {
     "join_interval_order_detail": interval_join_order_detail,
     "join_interval_payment": interval_join_payment,
     "join_interval_outer": interval_join_outer,
+    "join_payment_wide": payment_wide,
     "join_order_wide": order_wide,
     "join_asof_events": asof_join_events,
 }
 
 ORACLES = {
+    "join_payment_wide": """
+        SELECT o.o_orderkey, l.l_linenumber,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+               strftime(l.l_shipdate, '%Y-%m-%d') AS pay_date,
+               floor(l.l_extendedprice * 100 + 0.5) / 100 AS payment_amount,
+               c.c_name AS user_name,
+               n.n_name AS province_name
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >= o.o_orderdate + INTERVAL 10 DAY
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
     "join_interval_outer": """
         SELECT o.o_orderkey,
                strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,

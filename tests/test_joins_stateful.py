@@ -138,3 +138,17 @@ def test_interval_outer_covers_all_orders(tables):
     }
     nulls = {r.o_orderkey for r in out.filter(F.col("unmatched")).collect()}
     assert nulls.isdisjoint(matched)
+
+
+def test_payment_wide_matches_oracle(tables):
+    assert_matches_oracle(
+        joins.QUERIES["join_payment_wide"](tables),
+        joins.ORACLES["join_payment_wide"],
+        SF_DIR,
+    )
+
+
+def test_payment_wide_broadcasts_dims(tables):
+    from flink_210225_spark.plans import explain
+
+    assert explain.has_broadcast_join(joins.payment_wide(tables))

@@ -384,3 +384,51 @@ def test_ivfpq_residual_recall_not_worse(tables):
     r_raw = recall(similarity.ivf_pq_ann_topk)
     assert r_res >= r_raw - 0.05, (r_res, r_raw)
     assert r_res >= 0.5, r_res
+
+
+def test_ivfpq_residual_matches_numpy_reference(tables):
+    """End-to-end residual-IVFPQ parity: an independent NumPy implementation
+    fed the same coarse centroids and residual codebook must produce the
+    same top-k (probes, residual tables, ADC, shortlist, exact re-rank)."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    num_q, k, n_cells, n_probe, m, k_codes, refine = 20, 5, 16, 4, 8, 16, 4
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.ivf_pq_residual_ann_topk(tables).collect()
+    }
+
+    assigned, coarse = similarity.ivf_assign(emb, n_cells)
+    res = similarity.residual_vectors(assigned, coarse)
+    codes_df, cb = similarity.pq_train(res.select("vec_id", "embedding"), m=m, k=k_codes)
+    cell_of = {r.vec_id: r.cell for r in assigned.select("vec_id", "cell").collect()}
+    codes = {r.vec_id: list(r.codes) for r in codes_df.select("vec_id", "codes").collect()}
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    vecs = {int(v): np.array(e, dtype=np.float64) for v, e in zip(pdf["vec_id"], pdf["embedding"])}
+    dim = cb.shape[0] * cb.shape[2]
+    d_sub = cb.shape[2]
+
+    want = {}
+    for qid in range(num_q):
+        q = vecs[qid]
+        d2c = ((q[None, :] - coarse) ** 2).sum(-1)
+        probe = [int(c) for c in np.argsort(d2c)[:n_probe]]
+        tabs = {
+            c: (((q - coarse[c]).reshape(m, 1, d_sub) - cb) ** 2).sum(-1) for c in probe
+        }
+        cands = []
+        for nid, cell in cell_of.items():
+            if nid == qid or cell not in tabs:
+                continue
+            d = sum(tabs[cell][j, codes[nid][j]] for j in range(m))
+            cands.append((np.floor(d / dim * 1e6 + 0.5) / 1e6, nid))
+        cands.sort(key=lambda t: (t[0], t[1]))
+        short = [nid for _, nid in cands[: k * refine]]
+        rer = sorted(
+            (np.floor(((vecs[nid] - q) ** 2).sum() / dim * 1e6 + 0.5) / 1e6, nid)
+            for nid in short
+        )
+        for rank, (d, nid) in enumerate(rer[:k], 1):
+            want[(qid, rank)] = nid
+    assert got == want

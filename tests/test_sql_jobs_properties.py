@@ -339,3 +339,149 @@ def test_prefix_filter_lossless_on_random_docs(spark_global, docs):
     exact = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(t).collect()}
     pref = {(r.doc_a, r.doc_b): r.jaccard for r in prefix_filter_pairs(t).collect()}
     assert pref == exact
+
+
+# --- last-touch attribution property test ---
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # user
+            st.integers(min_value=0, max_value=50),  # ts seconds (ties likely)
+            st.sampled_from(["view", "purchase", "click"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_attribution_matches_bruteforce(spark_global, events):
+    """Random interleaved timelines: running-last window == brute-force
+    'latest view at-or-before by (ts, event_id)' credit."""
+    from datetime import datetime, timezone
+
+    from flink_210225_spark.operators.sessions import last_touch_attribution
+
+    rows = [
+        (i, datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None), u, k, 0.0, "{}")
+        for i, (u, t, k) in enumerate(events)
+    ]
+    df = spark_global.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        r.conversion_id: (r.touch_event_id, r.lag_sec)
+        for r in last_touch_attribution({"events": df}).collect()
+    }
+    want = {}
+    for i, (u, t, k) in enumerate(events):
+        if k != "purchase":
+            continue
+        cands = [
+            (tv, j) for j, (uv, tv, kv) in enumerate(events)
+            if kv == "view" and uv == u and (tv, j) <= (t, i)
+        ]
+        if cands:
+            tv, j = max(cands)
+            want[i] = (j, t - tv)
+        else:
+            want[i] = (None, None)
+    assert got == want
+
+
+# --- rolling active users property test ---
+
+
+@given(
+    activity=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),   # user
+            st.integers(min_value=1, max_value=20),  # day of month
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_rolling_active_matches_bruteforce(spark_global, activity):
+    from datetime import datetime
+
+    from flink_210225_spark.operators.windows import rolling_active_users
+
+    rows = [
+        (i, datetime(2021, 1, d, 12), u, "view", 0.0, "{}")
+        for i, (u, d) in enumerate(activity)
+    ]
+    df = spark_global.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.as_of: r.active_users for r in rolling_active_users({"events": df}).collect()}
+    days = sorted({d for _, d in activity})
+    max_day = days[-1]
+    want = {}
+    for d in range(days[0], max_day + 1):
+        users = {u for u, ad in activity if d - 6 <= ad <= d}
+        if users:
+            want[f"2021-01-{d:02d}"] = len(users)
+    assert got == want
+
+
+# --- pattern-matcher property test vs an independent recursive model ---
+
+
+@given(
+    seq=st.lists(st.sampled_from(["a", "b", "c", "x"]), min_size=1, max_size=30),
+    gaps=st.lists(st.integers(min_value=1, max_value=400), min_size=30, max_size=30),
+    within=st.integers(min_value=50, max_value=2000),
+)
+@settings(max_examples=25, deadline=None)
+def test_pattern_kernel_matches_recursive_model(seq, gaps, within):
+    """The greedy kernel vs an independent recursive definition: scan left
+    to right; when stalled-out-of-window, the current event re-seeds; a
+    completed match consumes its span."""
+    from flink_210225_spark.operators.stateful import match_pattern_kernel
+
+    ts = []
+    t = 0
+    for g in gaps[: len(seq)]:
+        ts.append(t)
+        t += g
+    rows = [(i, typ, ts[i] * 1_000_000) for i, typ in enumerate(seq)]
+    got, _ = match_pattern_kernel(rows, ("a", "b", "c"), within * 1_000_000)
+
+    def model(rows):
+        # structurally independent formulation (index-based two-level scan,
+        # vs the kernel's single-pass stage machine): find the next 'a',
+        # walk forward taking the first 'b' then the first 'c' inside the
+        # window; on completion resume AFTER the 'c'; on falling out of the
+        # window resume AT the stalling event (it may itself re-seed)
+        w_us = within * 1_000_000
+        out = []
+        i, n = 0, len(rows)
+        while i < n:
+            if rows[i][1] != "a":
+                i += 1
+                continue
+            s_ts = rows[i][2]
+            stage, j, done, stall = 1, i + 1, None, None
+            while j < n:
+                if rows[j][2] - s_ts > w_us:
+                    stall = j
+                    break
+                if rows[j][1] == ("a", "b", "c")[stage]:
+                    if stage == 2:
+                        done = j
+                        break
+                    stage += 1
+                j += 1
+            if done is not None:
+                out.append((rows[i][0], rows[done][0]))
+                i = done + 1
+            elif stall is not None:
+                i = stall
+            else:
+                break
+        return out
+
+    assert got == model(rows)
