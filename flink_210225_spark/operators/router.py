@@ -204,7 +204,44 @@ def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id") -> None:
     latest.unpersist()
 
 
-QUERIES = {"cdc_route_config": cdc_route_demo, "cdc_scd2_history": scd2_demo}
+def scd2_point_in_time(tables: dict[str, DataFrame]) -> DataFrame:
+    """The query SCD2 exists to serve: POINT-IN-TIME dimension lookup —
+    each fact row joins to the history version valid at its event time
+    (ts ∈ [valid_from, valid_to)). Here: every order asks "what was this
+    customer's status JUST BEFORE this order" (lookup at ts − 1), so the
+    first order per customer sees the insert-time 'NEW' and later orders
+    see the previous order's status — a real temporal join, not a
+    self-identity.
+
+    Scale: the history is dim-sized and BROADCAST; the custkey equality
+    drives the hash join and the interval predicate rides as a filter on
+    matched keys — a fact-side single pass, no shuffle, the same posture as
+    the J3 dim chain but on the time axis."""
+    hist = scd2_demo(tables)
+    orders = tables["orders"]
+    ts = (
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * 100000
+        + F.col("o_orderkey")
+    )
+    o = orders.select("o_orderkey", F.col("o_custkey").alias("custkey"), (ts - 1).alias("at_ts"))
+    cond = (
+        (o["custkey"] == hist["custkey"])
+        & (o["at_ts"] >= hist["valid_from"])
+        & (hist["valid_to"].isNull() | (o["at_ts"] < hist["valid_to"]))
+    )
+    return o.join(F.broadcast(hist), cond, "left").select(
+        "o_orderkey",
+        o["custkey"].alias("custkey"),
+        hist["status"].alias("prev_status"),
+        hist["version"].alias("version_at"),
+    )
+
+
+QUERIES = {
+    "cdc_route_config": cdc_route_demo,
+    "cdc_scd2_history": scd2_demo,
+    "cdc_scd2_lookup": scd2_point_in_time,
+}
 
 ORACLES = {
     "cdc_route_config": """
@@ -241,5 +278,43 @@ ORACLES = {
                status, ts AS valid_from, valid_to,
                valid_to IS NULL AS is_current
         FROM closed WHERE type != 'delete'
+    """,
+    "cdc_scd2_lookup": """
+        WITH changes AS (
+            SELECT c_custkey AS custkey, 'insert' AS type, 0::BIGINT AS ts,
+                   'NEW' AS status
+            FROM customer
+            UNION ALL
+            SELECT o_custkey, 'update',
+                   datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT * 100000
+                       + o_orderkey,
+                   o_orderstatus
+            FROM orders
+            UNION ALL
+            SELECT c_custkey, 'delete', 1000000000000000::BIGINT, NULL
+            FROM customer WHERE c_custkey % 1000 = 0
+        ),
+        closed AS (
+            SELECT *, lead(ts) OVER (PARTITION BY custkey ORDER BY ts) AS valid_to
+            FROM changes
+        ),
+        hist AS (
+            SELECT custkey,
+                   row_number() OVER (PARTITION BY custkey ORDER BY ts)::INT AS version,
+                   status, ts AS valid_from, valid_to
+            FROM closed WHERE type != 'delete'
+        ),
+        o AS (
+            SELECT o_orderkey, o_custkey AS custkey,
+                   datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT * 100000
+                       + o_orderkey - 1 AS at_ts
+            FROM orders
+        )
+        SELECT o.o_orderkey, o.custkey,
+               h.status AS prev_status, h.version AS version_at
+        FROM o LEFT JOIN hist h
+          ON h.custkey = o.custkey
+         AND o.at_ts >= h.valid_from
+         AND (h.valid_to IS NULL OR o.at_ts < h.valid_to)
     """,
 }

@@ -147,3 +147,35 @@ def test_scd2_single_exchange(tables):
     df = router.QUERIES["cdc_scd2_history"](tables)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_scd2_lookup_matches_oracle(tables):
+    assert_matches_oracle(
+        router.QUERIES["cdc_scd2_lookup"](tables),
+        router.ORACLES["cdc_scd2_lookup"],
+        SF_DIR,
+    )
+
+
+def test_scd2_lookup_temporal_semantics(tables):
+    """Every order's looked-up version must be valid at at_ts (interval
+    containment) and the FIRST order per customer must see the insert-time
+    'NEW' status."""
+    from pyspark.sql import functions as F
+
+    hist = {
+        (r.custkey, r.version): r for r in router.scd2_demo(tables).collect()
+    }
+    rows = router.scd2_point_in_time(tables).collect()
+    orders = tables["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).collect()
+    first_order = {}
+    for o in sorted(orders, key=lambda r: (r.o_orderdate, r.o_orderkey)):
+        first_order.setdefault(o.o_custkey, o.o_orderkey)
+    for r in rows:
+        assert r.prev_status is not None  # insert at ts 0 covers every order
+        h = hist[(r.custkey, r.version_at)]
+        if first_order[r.custkey] == r.o_orderkey:
+            assert r.prev_status == "NEW", r
+        assert h.status == r.prev_status
