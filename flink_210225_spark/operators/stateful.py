@@ -119,7 +119,7 @@ def match_pattern_kernel(
 def pattern_matches(
     tables: dict[str, DataFrame],
     steps: tuple[str, ...] = ("view", "click", "purchase"),
-    within_sec: int = 3600,
+    within_sec: int = 86400,
 ) -> DataFrame:
     """Generalized CEP (T4's arbitrary-step form): per user, non-overlapping
     greedy occurrences of the ordered ``steps`` sequence completing within

@@ -773,7 +773,7 @@ PATTERN_STATE_SCHEMA = T.StructType(
 
 
 def make_pattern_func(
-    steps: tuple[str, ...] = ("view", "click", "purchase"), within_sec: int = 3600
+    steps: tuple[str, ...] = ("view", "click", "purchase"), within_sec: int = 86400
 ) -> Callable:
     """Generalized CEP as keyed streaming state: the SAME greedy kernel the
     batch path runs (operators/stateful.match_pattern_kernel), with the
@@ -832,7 +832,7 @@ def make_pattern_func(
 def pattern_stream(
     events: DataFrame,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
-    within_sec: int = 3600,
+    within_sec: int = 86400,
 ) -> DataFrame:
     """T4 generalized: arbitrary-step CEP over the event stream."""
     ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
