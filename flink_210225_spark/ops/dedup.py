@@ -395,6 +395,55 @@ def edit_distance_pairs(
     )
 
 
+def dedup_savings(tables: dict[str, DataFrame]) -> DataFrame:
+    """Dedup impact estimate per language: document/token totals before vs
+    after exact and normalized dedup (survivor = min doc_id per digest, the
+    ``exact_dedup``/``normalized_dedup`` contract) — the planning number a
+    curation run needs BEFORE committing to the rewrite ("what does dedup
+    buy us, per language?").
+
+    Plan: one scan computes both digests + the token count; two
+    digest-keyed windows rank survivors (one Exchange each — different
+    keys), then a lang groupBy folds conditional sums. Token math is exact
+    integers end to end."""
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("d_exact"),
+        F.md5(norm).alias("d_norm"),
+        F.size(toks).alias("n_tokens"),
+    )
+    rn_e = F.row_number().over(Window.partitionBy("d_exact").orderBy("doc_id"))
+    rn_n = F.row_number().over(Window.partitionBy("d_norm").orderBy("doc_id"))
+    flagged = base.withColumn("keep_e", rn_e == 1).withColumn("keep_n", rn_n == 1)
+    kept = lambda flag, col: F.sum(F.when(F.col(flag), F.col(col)).otherwise(0))  # noqa: E731
+    agg = flagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        kept("keep_e", "n_tokens").cast("long").alias("exact_kept_tokens"),
+        F.sum(F.when(F.col("keep_e"), 1).otherwise(0)).cast("long").alias("exact_kept_docs"),
+        kept("keep_n", "n_tokens").cast("long").alias("norm_kept_tokens"),
+        F.sum(F.when(F.col("keep_n"), 1).otherwise(0)).cast("long").alias("norm_kept_docs"),
+    )
+    frac = lambda kept_c: F.floor(  # noqa: E731
+        (F.col("total_tokens") - F.col(kept_c)) * 1000000.0 / F.col("total_tokens") + 0.5
+    ) / 1000000
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "exact_kept_docs",
+        "exact_kept_tokens",
+        frac("exact_kept_tokens").alias("exact_savings_frac"),
+        "norm_kept_docs",
+        "norm_kept_tokens",
+        frac("norm_kept_tokens").alias("norm_savings_frac"),
+    )
+
+
 # --- MinHash + LSH ---
 
 
@@ -930,6 +979,7 @@ QUERIES = {
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_prefix_filter": prefix_filter_pairs,
     "dedup_edit_distance": edit_distance_pairs,
+    "dedup_savings": dedup_savings,
     "dedup_components": dedup_components,
     "dedup_components_star": dedup_components_star,
     # LSH/simhash results depend on xxhash64 — not SQL-expressible in DuckDB,
@@ -1134,6 +1184,40 @@ ORACLES["dedup_components_star"] = ORACLES["dedup_components"]
 # (doc_a, doc_b, jaccard) rows are identical to the quadratic baseline's, so
 # the same oracle gates both physical strategies.
 ORACLES["dedup_prefix_filter"] = ORACLES["dedup_ngram_jaccard"]
+
+ORACLES["dedup_savings"] = """
+    WITH base AS (
+        SELECT doc_id, lang,
+               md5(text) AS d_exact,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS d_norm,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    flagged AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY d_exact ORDER BY doc_id) = 1 AS keep_e,
+               row_number() OVER (PARTITION BY d_norm ORDER BY doc_id) = 1 AS keep_n
+        FROM base
+    ),
+    agg AS (
+        SELECT lang,
+               count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS total_tokens,
+               sum(CASE WHEN keep_e THEN n_tokens ELSE 0 END)::BIGINT AS exact_kept_tokens,
+               sum(CASE WHEN keep_e THEN 1 ELSE 0 END)::BIGINT AS exact_kept_docs,
+               sum(CASE WHEN keep_n THEN n_tokens ELSE 0 END)::BIGINT AS norm_kept_tokens,
+               sum(CASE WHEN keep_n THEN 1 ELSE 0 END)::BIGINT AS norm_kept_docs
+        FROM flagged GROUP BY lang
+    )
+    SELECT lang, n_docs, total_tokens,
+           exact_kept_docs, exact_kept_tokens,
+           floor((total_tokens - exact_kept_tokens) * 1000000.0 / total_tokens + 0.5)
+               / 1000000 AS exact_savings_frac,
+           norm_kept_docs, norm_kept_tokens,
+           floor((total_tokens - norm_kept_tokens) * 1000000.0 / total_tokens + 0.5)
+               / 1000000 AS norm_savings_frac
+    FROM agg
+"""
 
 ORACLES["dedup_edit_distance"] = """
     WITH toks AS (

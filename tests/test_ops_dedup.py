@@ -319,3 +319,24 @@ def test_edit_distance_catches_shingle_blind_edits(spark):
     assert (1, 2) in fuzzy and fuzzy[(1, 2)].edit_dist == 4
     assert fuzzy[(1, 2)].sim_ratio >= 0.95
     assert (1, 2) not in strict  # token-shingle Jaccard missed it
+
+
+def test_dedup_savings_matches_oracle(tables):
+    assert_matches_oracle(
+        dedup.QUERIES["dedup_savings"](tables),
+        dedup.ORACLES["dedup_savings"],
+        SF_DIR,
+    )
+
+
+def test_dedup_savings_accounting(tables):
+    """Normalized dedup can only merge MORE than exact (norm digests are a
+    coarsening), kept tokens never exceed totals, and exact kept-doc counts
+    re-derive from exact_dedup's group table."""
+    rows = {r.lang: r for r in dedup.dedup_savings(tables).collect()}
+    n_exact_groups = dedup.exact_dedup(tables).count()
+    assert sum(r.exact_kept_docs for r in rows.values()) == n_exact_groups
+    for r in rows.values():
+        assert r.exact_kept_tokens <= r.total_tokens
+        assert r.norm_kept_docs <= r.exact_kept_docs
+        assert r.norm_savings_frac >= r.exact_savings_frac
