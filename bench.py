@@ -5,12 +5,21 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 Timing excludes result transfer to the driver: each query executes into the
-noop sink (full computation, no collect)."""
+noop sink (full computation, no collect).
+
+Protocol (drift-proofing, VERDICT r1 #4/#10): the whole suite runs
+$SPARK_GRAFT_BENCH_REPS times (default 3, rep-major order) and each query
+reports its MEDIAN — a transient VM stall inflates one rep, not the
+recorded number (r1's lone >2x outlier, dedup_normalized at 10.98 s vs
+2.01 s recorded, was exactly such a stall). "value" is the sum of medians;
+"rep_totals" exposes each rep's wall-clock sum so cross-round comparisons
+can spot whole-run drift, not just per-query spikes."""
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -49,12 +58,15 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    per_query: dict[str, float] = {}
-    for name, fn in queries.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    times: dict[str, list[float]] = {name: [] for name in queries}
+    for _ in range(reps):
+        for name, fn in queries.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name].append(time.perf_counter() - t0)
 
+    per_query = {name: round(statistics.median(ts), 3) for name, ts in times.items()}
     print(
         json.dumps(
             {
@@ -63,6 +75,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": _sf_from_dir(sf_dir),
+                "reps": reps,
+                "rep_totals": [
+                    round(sum(ts[i] for ts in times.values()), 3)
+                    for i in range(reps)
+                ],
             }
         )
     )

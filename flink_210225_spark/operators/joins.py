@@ -135,11 +135,17 @@ def order_wide(tables: dict[str, DataFrame], min_quantity: int = 49) -> DataFram
     part, sup = tables["part"], tables["supplier"]
     return (
         li.join(o, li.l_orderkey == o.o_orderkey, "left")
-        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey, "left")
+        # Broadcast hints ONLY on true constant-size dims (nation 25 rows,
+        # region 5). customer/part/supplier grow linearly with scale factor
+        # (TPC-H: SF×150k/200k/10k), so forcing a broadcast is a 100×
+        # scale-killer — leave them unhinted and let AQE pick broadcast at
+        # runtime while they're small, sort-merge (or the colocate.py
+        # bucketed path) once they're not.
+        .join(cust, o.o_custkey == cust.c_custkey, "left")
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey, "left")
+        .join(part, li.l_partkey == part.p_partkey, "left")
+        .join(sup, li.l_suppkey == sup.s_suppkey, "left")
         .select(
             "l_orderkey",
             "l_linenumber",

@@ -181,9 +181,21 @@ def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id") -> None:
     invalidates the Redis cache (DimSinkFunction.java:33-67); here the dim
     table is parquet and the upsert is read-union-dedup-overwrite per batch.
     Broadcast-join consumers re-read per micro-batch, so no cache exists to
-    invalidate. (With Delta available this would be MERGE INTO.)"""
+    invalidate. (With Delta available this would be MERGE INTO.)
+
+    Crash-atomic (VERDICT r1 #6): the merged table is fully written to a
+    sibling temp dir, then swapped in with two directory renames. A crash
+    before the first rename leaves the old dim intact; between the renames
+    there is a sub-millisecond window where the dim is absent but fully
+    recoverable from the temp dir (single-filesystem rename is atomic; a
+    true zero-window swap needs a metastore pointer or Delta)."""
+    import shutil
+    import uuid
+    from pathlib import Path
+
     spark = batch.sparkSession
     batch = batch.withColumn("__v", F.monotonically_increasing_id())
+    target = Path(dim_path)
     try:
         existing = spark.read.parquet(dim_path).withColumn("__v", F.lit(-1).cast("long"))
         merged = existing.unionByName(batch)
@@ -197,11 +209,16 @@ def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id") -> None:
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__v")
     )
-    # Materialize before overwrite: the plan reads the same path it writes.
-    latest.cache()
-    latest.count()
-    latest.write.mode("overwrite").parquet(dim_path)
-    latest.unpersist()
+    tmp = target.with_name(f"{target.name}.__tmp_{uuid.uuid4().hex}")
+    old = target.with_name(f"{target.name}.__old_{uuid.uuid4().hex}")
+    try:
+        latest.write.mode("overwrite").parquet(str(tmp))
+        if target.exists():
+            target.rename(old)
+        tmp.rename(target)
+    finally:
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def scd2_point_in_time(tables: dict[str, DataFrame]) -> DataFrame:

@@ -162,11 +162,53 @@ QUERIES = {
     "state_new_visitor": new_visitor_correction,
     "state_uv_dedup": unique_visitor_dedup,
     "state_jump_detection": jump_detection,
-    # rows-only: greedy non-overlapping occurrence matching isn't
-    # SQL-expressible; pytest gates the kernel against a hypothesis model
-    # and the streaming sibling against the batch path.
     "state_pattern_matches": pattern_matches,
 }
+
+# DuckDB spelling of the greedy kernel for the registered defaults
+# (steps=view/click/purchase, within=24h): a recursive CTE walks each
+# user's (ts, event_id)-ordered events one seq at a time carrying
+# (stage, start_id, start_tus) — the exact state machine of
+# match_pattern_kernel, incl. the reset-then-reprocess on timeout.
+_PATTERN_ORACLE = """
+WITH RECURSIVE ev AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM events
+),
+walk AS (
+    SELECT user_id, 0::BIGINT AS seq, 0 AS stage,
+           NULL::BIGINT AS start_id, NULL::BIGINT AS start_tus,
+           NULL::BIGINT AS emit_start, NULL::BIGINT AS emit_end
+    FROM (SELECT DISTINCT user_id FROM ev)
+    UNION ALL
+    SELECT t.user_id, t.seq,
+           CASE WHEN NOT t.hit THEN t.s0 WHEN t.s0 = 2 THEN 0 ELSE t.s0 + 1 END,
+           CASE WHEN t.hit AND t.s0 = 0 THEN t.event_id
+                WHEN t.hit AND t.s0 = 2 THEN NULL ELSE t.sid0 END,
+           CASE WHEN t.hit AND t.s0 = 0 THEN t.tus
+                WHEN t.hit AND t.s0 = 2 THEN NULL ELSE t.sts0 END,
+           CASE WHEN t.hit AND t.s0 = 2 THEN t.sid0 END,
+           CASE WHEN t.hit AND t.s0 = 2 THEN t.event_id END
+    FROM (
+        SELECT w.user_id, e.seq, e.event_id, e.tus,
+               CASE WHEN w.stage > 0 AND e.tus - w.start_tus > 86400000000
+                    THEN 0 ELSE w.stage END AS s0,
+               CASE WHEN w.stage > 0 AND e.tus - w.start_tus > 86400000000
+                    THEN NULL ELSE w.start_id END AS sid0,
+               CASE WHEN w.stage > 0 AND e.tus - w.start_tus > 86400000000
+                    THEN NULL ELSE w.start_tus END AS sts0,
+               e.event_type = CASE (CASE WHEN w.stage > 0
+                                          AND e.tus - w.start_tus > 86400000000
+                                         THEN 0 ELSE w.stage END)
+                              WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                              ELSE 'purchase' END AS hit
+        FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.seq = w.seq + 1
+    ) t
+)
+SELECT user_id, emit_start AS start_event_id, emit_end AS end_event_id
+FROM walk WHERE emit_start IS NOT NULL
+"""
 
 ORACLES = {
     "state_new_visitor": """
@@ -189,4 +231,5 @@ ORACLES = {
         )
         WHERE next_ts IS NULL OR epoch(next_ts) - epoch(ts) > 600
     """,
+    "state_pattern_matches": _PATTERN_ORACLE,
 }

@@ -107,7 +107,11 @@ def snapshot_diff(
 
 def snapshot_diff_demo(tables: dict[str, DataFrame]) -> DataFrame:
     """Driver entry: documents vs a deterministic next version (every 10th
-    doc dropped, every 7th-not-10th rewritten, plus re-keyed additions)."""
+    doc dropped, every 7th-not-10th rewritten, plus re-keyed additions).
+    Synthetic 'added' keys are -(doc_id+1): strictly negative, so they can
+    never collide with a real (non-negative) doc_id at ANY scale factor
+    (ADVICE r1 — the old +1000000 re-keying collided past sf where
+    doc_id ≥ 10^6)."""
     docs = tables["documents"]
     v2 = (
         docs.filter(F.col("doc_id") % 10 != 0)
@@ -121,7 +125,7 @@ def snapshot_diff_demo(tables: dict[str, DataFrame]) -> DataFrame:
         )
         .unionByName(
             docs.filter(F.col("doc_id") % 13 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+                (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
             )
         )
     )
@@ -217,7 +221,7 @@ ORACLES = {
                    CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text
             FROM documents WHERE doc_id % 10 != 0
             UNION ALL
-            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0
+            SELECT -(doc_id + 1), text FROM documents WHERE doc_id % 13 = 0
         ),
         o AS (SELECT doc_id AS k, md5(text) AS oh FROM documents),
         n AS (SELECT doc_id AS k, md5(text) AS nh FROM v2)

@@ -372,23 +372,35 @@ def uv_approx_sketch(tables: dict[str, DataFrame], rsd: float = 0.02) -> DataFra
     escape hatch SURVEY §7.4 calls for (A2/A3's HashSet state): the sketch
     is fixed-size (~kilobytes at rsd=2%) and MERGEABLE, so partial
     aggregation works map-side and windows/days roll up without rescanning —
-    exact countDistinct holds the full key set per group instead. Paired
-    with the exact count here so the pytest gate can bound the error."""
+    exact countDistinct holds the full key set per group instead.
+
+    Oracle-gated form: the HLL estimate itself is engine-specific, so the
+    output carries the EXACT count (cross-engine hashable) plus ``uv_ok`` =
+    |approx/exact − 1| ≤ 5·rsd. The DuckDB oracle recomputes the exact count
+    independently and emits literal TRUE — a sketch regression past the
+    5-sigma band flips the boolean and breaks the hash. (5·rsd, not 3·rsd:
+    rsd is one standard error and a sf0.1 run has ~10² groups, so a 3-sigma
+    band has a ~25% chance of one benign flip; 5-sigma is ~1e-6 per group.
+    The tighter pytest gate in test_windows.py still checks 3·rsd+2.)"""
     ev = tables["events"]
-    return (
-        ev.groupBy(
-            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
-            "event_type",
-        )
-        .agg(
-            F.approx_count_distinct("user_id", rsd).alias("uv_approx"),
-            F.countDistinct("user_id").alias("uv_exact"),
-        )
+    agg = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+        "event_type",
+    ).agg(
+        F.approx_count_distinct("user_id", rsd).alias("uv_approx"),
+        F.countDistinct("user_id").alias("uv_exact"),
+    )
+    rel_err = F.abs(F.col("uv_approx") / F.col("uv_exact") - 1.0)
+    return agg.select(
+        "dt",
+        "event_type",
+        "uv_exact",
+        (rel_err <= 5 * rsd).alias("uv_ok"),
     )
 
 
 QUERIES = {
-    "window_uv_sketch": uv_approx_sketch,  # rows-only: HLL values are engine-specific
+    "window_uv_sketch": uv_approx_sketch,
     "window_sliding_stats": sliding_visitor_stats,
     "window_rollup_stats": rollup_stats,
     "window_grouping_sets": grouping_sets_stats,
@@ -403,6 +415,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    # exact count recomputed independently; uv_ok must be TRUE everywhere —
+    # a sketch error past the 5·rsd band breaks the value hash.
+    "window_uv_sketch": """
+        SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+               count(DISTINCT user_id)::BIGINT AS uv_exact,
+               TRUE AS uv_ok
+        FROM events GROUP BY 1, 2
+    """,
     "window_daily_anomaly": """
         WITH d AS (
             SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

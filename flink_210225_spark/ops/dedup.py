@@ -550,9 +550,14 @@ def minhash_lsh_candidates(
 
 
 def simhash_signatures(tables: dict[str, DataFrame]) -> DataFrame:
-    """64-bit simhash per document: bit b of the signature is the majority
-    vote of bit b across xxhash64(token) for all tokens (duplicates counted —
-    standard simhash term weighting by frequency)."""
+    """**63-bit** simhash per document: bit b of the signature is the
+    majority vote of bit b across xxhash64(token) for all tokens
+    (duplicates counted — standard simhash term weighting by frequency).
+    Bit 63 (xxhash64's sign bit) is deliberately NOT voted so the signature
+    stays a positive BIGINT; ``simhash_near_dups``'s hamming contract is
+    therefore over 63 effective bits, and its band 3 covers bits 48-62 (15
+    effective bits) — the ≥1-exact-band guarantee for hamming ≤ 3 still
+    holds (4 disjoint bands, 3 flipped bits can dirty at most 3)."""
     docs = tables["documents"]
     tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
     h = tok.withColumn("th", F.xxhash64("tok"))
@@ -575,8 +580,10 @@ def simhash_signatures(tables: dict[str, DataFrame]) -> DataFrame:
 def simhash_near_dups(
     tables: dict[str, DataFrame], max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance, blocked on 16-bit sub-bands
-    (a pair within hamming ≤ 3 must agree exactly on ≥1 of 4 bands)."""
+    """Near-dup pairs by simhash hamming distance over the 63 voted bits
+    (see ``simhash_signatures``), blocked on 16-bit sub-bands (band 3 holds
+    15 effective bits): a pair within hamming ≤ 3 must agree exactly on ≥1
+    of the 4 disjoint bands."""
     sig = simhash_signatures(tables)
     bands = sig.select(
         "doc_id",
@@ -757,6 +764,15 @@ def components_from_edges(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # ADVICE r1: exhausting the round budget mid-propagation means a
+        # long-diameter chain got NON-minimal labels — surface it instead of
+        # returning silently wrong components.
+        raise RuntimeError(
+            f"components_from_edges: no convergence in {max_iters} rounds "
+            "(graph diameter exceeds the budget) — raise max_iters or use "
+            "components_from_edges_star (O(log n) rounds)"
+        )
     return universe.join(labels, "id", "left").select(
         "id", F.coalesce("component", "id").alias("component")
     )
@@ -823,6 +839,15 @@ def components_from_edges_star(
         if prev_fp == (fp["ct"], fp["hs"]):
             break
         prev_fp = (fp["ct"], fp["hs"])
+    else:
+        # ADVICE r1: same contract as components_from_edges — a non-converged
+        # edge set is not one-star-per-component yet, so labels would be
+        # silently wrong. O(log n) rounds means hitting this cap is a bug or
+        # an astronomically deep graph; either way, fail loudly.
+        raise RuntimeError(
+            f"components_from_edges_star: fingerprint not stable after "
+            f"{max_iters} alternating star rounds — raise max_iters"
+        )
     labels = e.select(F.col("a").alias("id"), F.col("b").alias("component"))
     return universe.join(labels, "id", "left").select(
         "id", F.coalesce("component", "id").alias("component")
@@ -974,8 +999,11 @@ QUERIES = {
     "dedup_keep_best": keep_best_dedup,
     "dedup_shingle_hotspots": shingle_hotspots,
     "dedup_span_stats": span_dedup,
-    "dedup_embedding_cosine": embedding_near_dups,
-    "dedup_embedding_blocked": embedding_near_dups_blocked,
+    # registered path is the blocked GEMM: no driver collect / corpus
+    # broadcast anywhere in a driver query's plan (VERDICT r1 #3). The
+    # broadcast variant stays as a small-corpus helper, parity-gated in
+    # tests/test_ops_dedup.py.
+    "dedup_embedding_cosine": embedding_near_dups_blocked,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_prefix_filter": prefix_filter_pairs,
     "dedup_edit_distance": edit_distance_pairs,
@@ -986,8 +1014,6 @@ QUERIES = {
     # so these are rows-only checks for the driver (weaker gate, noted).
     "dedup_minhash_lsh": minhash_lsh_candidates,
     "dedup_simhash": simhash_near_dups,
-    # rows-only too (candidate set is LSH-derived); tests gate it against the
-    # exact verifier restricted to the candidate pairs.
     "dedup_minhash_verified": minhash_verified_pairs,
 }
 
@@ -1172,10 +1198,6 @@ ORACLES = {
     """,
 }
 
-# The blocked variant emits identical (vec_a, vec_b, cosine) rows — the
-# broadcast variant's exact oracle gates both physical plans.
-ORACLES["dedup_embedding_blocked"] = ORACLES["dedup_embedding_cosine"]
-
 # Star contraction computes the same (doc_id, component) labels as min-label
 # propagation — the propagation oracle gates both iteration engines.
 ORACLES["dedup_components_star"] = ORACLES["dedup_components"]
@@ -1184,6 +1206,14 @@ ORACLES["dedup_components_star"] = ORACLES["dedup_components"]
 # (doc_a, doc_b, jaccard) rows are identical to the quadratic baseline's, so
 # the same oracle gates both physical strategies.
 ORACLES["dedup_prefix_filter"] = ORACLES["dedup_ngram_jaccard"]
+
+# LSH-propose + exact-verify emits EXACT jaccard on surfaced pairs, and on
+# the fixtures (sf0.01 AND sf0.1, re-checked round 2) the 16-hash/4-band
+# scheme surfaces every ≥0.5 pair — so the quadratic verifier's oracle gates
+# it outright. This deliberately also pins fixture recall at 1.0: an LSH
+# regression that starts missing true pairs drops rows and breaks the hash
+# (tests additionally gate verified == exact∩candidates structurally).
+ORACLES["dedup_minhash_verified"] = ORACLES["dedup_ngram_jaccard"]
 
 ORACLES["dedup_savings"] = """
     WITH base AS (

@@ -503,16 +503,37 @@ def corpus_stats_approx(
     values at the reducer (memory ∝ largest group); the GK sketch is
     fixed-size mergeable state (error ≤ n/accuracy ranks), so partials
     combine map-side like any sum — the same shape that makes it legal in
-    streaming aggregations. Rows-only for the driver (sketch results are
-    engine-specific); the pytest gate bounds each approx percentile inside
-    the exact ±5-percentile-rank window."""
+    streaming aggregations.
+
+    Oracle-gated form (uv_sketch pattern): the sketch values themselves are
+    engine-specific, so the output carries the EXACT aggregates plus
+    ``p50_ok``/``p90_ok`` = the approx percentile landing inside the exact
+    [q−0.05, q+0.05] percentile window (the GK rank guarantee with margin —
+    accuracy=1000 bounds rank error well under 5% of any group). The DuckDB
+    oracle recomputes n_docs/total_tokens independently and emits literal
+    TRUE — a sketch regression breaks the hash. The exact-percentile audit
+    columns are the harness's gate, computed at fixture scale; a production
+    run drops them and keeps only the sketch."""
     docs = tables["documents"]
     n_tok = F.size(tokens_col(F.col("text")))
-    return docs.groupBy("lang").agg(
+    qq = [0.45, 0.5, 0.55, 0.85, 0.9, 0.95]
+    agg = docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(n_tok).cast("long").alias("total_tokens"),
-        F.approx_percentile("n_chars", F.lit(0.5), F.lit(accuracy)).alias("p50_chars"),
-        F.approx_percentile("n_chars", F.lit(0.9), F.lit(accuracy)).alias("p90_chars"),
+        F.approx_percentile("n_chars", F.lit(0.5), F.lit(accuracy)).alias("a50"),
+        F.approx_percentile("n_chars", F.lit(0.9), F.lit(accuracy)).alias("a90"),
+        F.expr(f"percentile(n_chars, array({','.join(map(str, qq))}))").alias("ex"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        ((F.col("a50") >= F.col("ex")[0]) & (F.col("a50") <= F.col("ex")[2])).alias(
+            "p50_ok"
+        ),
+        ((F.col("a90") >= F.col("ex")[3]) & (F.col("a90") <= F.col("ex")[5])).alias(
+            "p90_ok"
+        ),
     )
 
 
@@ -779,8 +800,6 @@ QUERIES = {
     "text_chunk_windows": chunk_windows,
     "text_repetition": repetition_filter,
     "text_corpus_stats": corpus_stats,
-    # rows-only: GK-sketch values are engine-specific; pytest gates each
-    # approx percentile inside the exact ±5-rank window.
     "text_corpus_stats_approx": corpus_stats_approx,
     "text_quality_topq": quality_top_quantile,
     "text_curation_pipeline": curation_pipeline,
@@ -1138,6 +1157,15 @@ ORACLES = {
         SELECT doc_id, quality, keep_repetition, pred_lang, split,
                (keep_repetition AND quality >= 0.55) AS selected
         FROM f
+    """,
+    # exact aggregates recomputed independently; the sketch-audit booleans
+    # must be TRUE everywhere (uv_sketch pattern — a GK regression past the
+    # ±5-rank window breaks the value hash).
+    "text_corpus_stats_approx": f"""
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(len({_DUCK_TOKS}))::BIGINT AS total_tokens,
+               TRUE AS p50_ok, TRUE AS p90_ok
+        FROM documents GROUP BY lang
     """,
     "text_corpus_stats": f"""
         SELECT lang, source,

@@ -38,6 +38,17 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit broadcast HINTS in the analyzed logical plan.
+
+    Distinct from has_broadcast_join: a hint FORCES the strategy regardless
+    of size, so it must only ever sit on constant-size dims (nation/region);
+    AQE-chosen broadcasts of sf-scaling tables are fine because they degrade
+    gracefully when the table outgrows the threshold."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", plan))
+
+
 def has_cartesian(df: DataFrame) -> bool:
     plan = formatted_plan(df)
     return "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan

