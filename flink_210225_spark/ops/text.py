@@ -804,11 +804,7 @@ QUERIES = {
     "text_quality_topq": quality_top_quantile,
     "text_curation_pipeline": curation_pipeline,
     "text_token_stats_bpe": token_stats_bpe,
-    # rows-only: greedy sequential state isn't SQL-expressible; invariants
-    # (bin fill ≤ seq_len, monotone bins, dense ids) are pytest-gated.
     "text_pack_bins": pack_bins,
-    # rows-only: best-fit placement is sequential too; gated on fill ≤
-    # seq_len, full coverage, and bin count ≤ next-fit's per group.
     "text_pack_bins_bfd": pack_bins_bfd,
     "text_pii_redact": pii_redact,
     "text_tfidf_topk": tfidf_top_terms,
@@ -1157,6 +1153,74 @@ ORACLES = {
         SELECT doc_id, quality, keep_repetition, pred_lang, split,
                (keep_repetition AND quality >= 0.55) AS selected
         FROM f
+    """,
+    # greedy NEXT-FIT re-implemented as a recursive CTE: one walk row per
+    # language carries (bin, fill) doc-by-doc in doc_id order — the same
+    # sequential kernel pack_bins runs per Arrow group.
+    "text_pack_bins": f"""
+        WITH RECURSIVE d AS (
+            SELECT lang, doc_id, len({_DUCK_TOKS})::INT AS n_tokens,
+                   least(len({_DUCK_TOKS}), 256)::BIGINT AS n_eff,
+                   row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS seq
+            FROM documents
+        ),
+        walk AS (
+            SELECT lang, 0::BIGINT AS seq, 0::BIGINT AS bin, 0::BIGINT AS fill,
+                   NULL::BIGINT AS doc_id, NULL::INT AS n_tokens,
+                   NULL::BIGINT AS out_bin
+            FROM (SELECT DISTINCT lang FROM d)
+            UNION ALL
+            SELECT w.lang, e.seq,
+                   CASE WHEN w.fill > 0 AND w.fill + e.n_eff > 256
+                        THEN w.bin + 1 ELSE w.bin END,
+                   CASE WHEN w.fill > 0 AND w.fill + e.n_eff > 256
+                        THEN e.n_eff ELSE w.fill + e.n_eff END,
+                   e.doc_id, e.n_tokens,
+                   CASE WHEN w.fill > 0 AND w.fill + e.n_eff > 256
+                        THEN w.bin + 1 ELSE w.bin END
+            FROM walk w JOIN d e ON e.lang = w.lang AND e.seq = w.seq + 1
+        )
+        SELECT doc_id, lang, n_tokens, out_bin AS bin
+        FROM walk WHERE doc_id IS NOT NULL
+    """,
+    # BEST-FIT-DECREASING via the same walk, with the whole bin-fill vector
+    # as a LIST column: best bin = first position of the max fill that still
+    # fits (identical tie-break to the Python scan, since equal fills share
+    # eligibility), list_transform((f, i) -> ...) applies the placement.
+    "text_pack_bins_bfd": f"""
+        WITH RECURSIVE d AS (
+            SELECT lang, doc_id, len({_DUCK_TOKS})::INT AS n_tokens,
+                   least(len({_DUCK_TOKS}), 256)::BIGINT AS n_eff,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY len({_DUCK_TOKS}) DESC, doc_id ASC)
+                       AS seq
+            FROM documents
+        ),
+        walk AS (
+            SELECT lang, 0::BIGINT AS seq, []::BIGINT[] AS fills,
+                   NULL::BIGINT AS doc_id, NULL::INT AS n_tokens,
+                   NULL::BIGINT AS out_bin
+            FROM (SELECT DISTINCT lang FROM d)
+            UNION ALL
+            SELECT t.lang, t.seq,
+                   CASE WHEN t.best IS NULL THEN list_append(t.fills, t.n_eff)
+                        ELSE list_transform(t.fills,
+                             (f, i) -> CASE WHEN i = t.best
+                                            THEN f + t.n_eff ELSE f END)
+                   END,
+                   t.doc_id, t.n_tokens,
+                   CASE WHEN t.best IS NULL THEN len(t.fills)::BIGINT
+                        ELSE t.best - 1 END
+            FROM (
+                SELECT w.lang, e.seq, e.doc_id, e.n_tokens, e.n_eff, w.fills,
+                       list_position(w.fills,
+                           list_max(list_filter(w.fills,
+                                                f -> f + e.n_eff <= 256))) AS best
+                FROM walk w JOIN d e ON e.lang = w.lang AND e.seq = w.seq + 1
+            ) t
+        )
+        SELECT doc_id, lang, n_tokens, out_bin AS bin
+        FROM walk WHERE doc_id IS NOT NULL
     """,
     # exact aggregates recomputed independently; the sketch-audit booleans
     # must be TRUE everywhere (uv_sketch pattern — a GK regression past the
