@@ -228,6 +228,18 @@ def test_star_contraction_isolated_and_multi(spark):
     assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 40: 40}
 
 
+def test_components_raise_on_iteration_cap(spark):
+    """ADVICE r1: exhausting the round budget without convergence must fail
+    loudly — a 40-node path can't finish min-label propagation in 2 rounds,
+    and labels at that point would be silently non-minimal."""
+    import pytest
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(39)], "a long, b long")
+    universe = spark.range(40).select(F.col("id"))
+    with pytest.raises(RuntimeError, match="no convergence"):
+        dedup.components_from_edges(edges, universe, max_iters=2)
+
+
 def test_simhash_exact_dups_zero_distance(dup_docs):
     sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures({"documents": dup_docs}).collect()}
     assert sigs[1] == sigs[2]

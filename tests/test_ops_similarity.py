@@ -92,6 +92,17 @@ def test_semantic_groups_match_union_find(tables):
     assert got == want
 
 
+def test_coreset_k_caps(tables):
+    """VERDICT r1 #8: FPS is k sequential driver rounds — out-of-range k
+    must be rejected up front with the scale guidance, not ground through."""
+    import pytest
+
+    with pytest.raises(ValueError, match="diversity_coreset_cached"):
+        similarity.diversity_coreset(tables, k=1001)
+    with pytest.raises(ValueError, match="per-cell FPS"):
+        similarity.diversity_coreset_cached(tables, k=10_001)
+
+
 def test_coreset_cached_matches_full_rescore(tables):
     """The O(n·dim)-per-round cached-min-distance variant must reproduce the
     full-rescore pick sequence exactly (ids) with matching radii."""

@@ -133,6 +133,8 @@ CARTESIAN_OK = {
     "sim_knn_label",
     # composes cosine_topk's bounded 20-row broadcast BNLJ as its exact side
     "sim_ann_recall_audit",
+    # composes the blocked GEMM below as its exact side — same block grid
+    "sim_semantic_audit",
     "dedup_embedding_cosine",
 }
 
