@@ -546,6 +546,91 @@ def minhash_lsh_candidates(
     return cand.select("doc_a", "doc_b", (F.floor(est * 10000 + 0.5) / 10000).alias("est_jaccard"))
 
 
+def minhash_banded_md5(
+    tables: dict[str, DataFrame],
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs with a FULLY SQL-replayable hash family:
+    hash_i(shingle) = md5(i ':' shingle), minimum taken lexicographically
+    over the hex digests (uniform over 128 bits, so the min-hex IS the
+    permutation minimum). Every step — shingling, k-way min, banding,
+    in-bucket pairing, agreement estimate — is exactly expressible in
+    DuckDB, so unlike the xxhash64 fast path (``minhash_lsh_candidates``,
+    rows-only for the driver) this variant hash-gates end-to-end.
+
+    Same scale shape as the fast path (reference parity:
+    gmall-realtime has no dedup layer; this is the LLM-pipeline extension
+    family): ONE scan computes shingles→signature (groupBy doc_id, k min
+    aggregates, map-side combined), banding explodes to docs×bands rows,
+    and the ONLY data-sized shuffle is keyed by (band, bucket_key). Pairs
+    are generated in-bucket (collect_list + ordered array lambdas), never
+    via a self-join, so the shingle pipeline is not planned twice. At 100 TB
+    the band key should be hashed to shorten shuffle keys (the fast path's
+    xxhash64 bucket does exactly that); here the key stays the literal
+    4×32-hex concat so the oracle can reproduce it byte-for-byte — the
+    shuffle carries ~130 extra bytes/row, a constant factor, not a
+    different asymptotic."""
+    docs = tables["documents"]
+    r = num_hashes // bands
+    sh = doc_shingles(docs, n)
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs).select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("mh")
+    )
+    banded = sig.select(
+        "doc_id",
+        "mh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws("|", F.slice("mh", bi * r + 1, r)).alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "mh", "bb.band", "bb.bkey")
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(F.collect_list(F.struct("doc_id", "mh")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ms",
+                        lambda x: F.transform(
+                            "ms", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                        ),
+                    )
+                ),
+                lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
+            )
+        ).alias("p")
+    )
+    cand = pairs.select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.mh").alias("mh_a"),
+        F.col("p.b.mh").alias("mh_b"),
+    ).dropDuplicates(["doc_a", "doc_b"])
+    est = F.size(
+        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda eq: eq)
+    ) / F.lit(num_hashes)
+    return cand.select(
+        "doc_a", "doc_b", (F.floor(est * 10000 + 0.5) / 10000).alias("est_jaccard")
+    )
+
+
 # --- SimHash ---
 
 
@@ -1015,6 +1100,9 @@ QUERIES = {
     "dedup_minhash_lsh": minhash_lsh_candidates,
     "dedup_simhash": simhash_near_dups,
     "dedup_minhash_verified": minhash_verified_pairs,
+    # md5-family sibling: same banded-LSH plan, DuckDB-replayable hashes —
+    # the minhash pipeline's end-to-end hash gate.
+    "dedup_minhash_banded": minhash_banded_md5,
 }
 
 ORACLES = {
@@ -1214,6 +1302,46 @@ ORACLES["dedup_prefix_filter"] = ORACLES["dedup_ngram_jaccard"]
 # regression that starts missing true pairs drops rows and breaks the hash
 # (tests additionally gate verified == exact∩candidates structurally).
 ORACLES["dedup_minhash_verified"] = ORACLES["dedup_ngram_jaccard"]
+
+# Exact replay of minhash_banded_md5: same md5 hash family (lexicographic
+# min over hex digests), same 4-band/4-row banding on the literal hex
+# concat, same agreement-rate estimator. Any drift in shingling, the hash
+# family, banding, or the estimator breaks the driver hash.
+ORACLES["dedup_minhash_banded"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(greatest(len(t) - 3, 0) + 1),
+                   i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS shingle
+        FROM toks
+    ),
+    hashes AS (
+        SELECT doc_id, r.i AS i, min(md5(r.i::VARCHAR || ':' || shingle)) AS h
+        FROM sh, range(16) r(i)
+        GROUP BY doc_id, r.i
+    ),
+    sig AS (
+        SELECT doc_id, list(h ORDER BY i) AS mh FROM hashes GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, mh, rb.b AS band,
+               array_to_string(mh[rb.b * 4 + 1 : rb.b * 4 + 4], '|') AS bkey
+        FROM sig, range(4) rb(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.mh AS mh_a, b.mh AS mh_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           floor(len(list_filter(range(16), i -> mh_a[i + 1] = mh_b[i + 1]))
+                 * 10000.0 / 16 + 0.5) / 10000 AS est_jaccard
+    FROM cand
+"""
 
 ORACLES["dedup_savings"] = """
     WITH base AS (

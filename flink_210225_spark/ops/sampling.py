@@ -222,6 +222,33 @@ def curriculum_deciles(tables: dict[str, DataFrame], n_buckets: int = 10) -> Dat
     )
 
 
+def shuffle_shards(tables: dict[str, DataFrame], n_shards: int = 64) -> DataFrame:
+    """Deterministic global training shuffle: each document gets a stable
+    pseudo-random shard and an in-shard position — the layout a trainer
+    reads sequentially to see the corpus in (fixed-seed) shuffled order.
+    Keyed by doc_id (not content) so exact duplicates still land at
+    independent positions; the 'shuf:' prefix is the seed — change it to
+    re-shuffle every epoch deterministically.
+
+    Scale: this is how you shuffle 100 TB WITHOUT a global sort. shard =
+    first 32 hash bits mod n_shards is a stateless projection; the only
+    shuffle is the per-shard window sort (each shard ≈ N/n_shards rows,
+    sorted independently — no single-task global ORDER BY anywhere).
+    Written out partitioned-by-shard, the trainer's "read shard s in pos
+    order" is a partition-pruned sequential scan."""
+    docs = tables["documents"]
+    skey = F.md5(F.concat_ws(":", F.lit("shuf"), F.col("doc_id").cast("string")))
+    base = docs.select("doc_id", skey.alias("skey"))
+    shard = (F.conv(F.substring("skey", 1, 8), 16, 10).cast("long") % n_shards).alias(
+        "shard"
+    )
+    keyed = base.select("doc_id", "skey", shard)
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id", "skey", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
 QUERIES = {
     "sample_hash_split": hash_split,
     "sample_quota_per_group": quota_per_group,
@@ -231,9 +258,27 @@ QUERIES = {
     "sample_temperature_apply": temperature_downsample,
     "sample_temperature_repeats": temperature_repeat_plan,
     "sample_curriculum_deciles": curriculum_deciles,
+    "sample_shuffle_shards": shuffle_shards,
 }
 
 ORACLES = {
+    # Exact replay: same seeded md5 key, same first-32-bits shard
+    # assignment (DuckDB parses the hex prefix via '0x' cast — verified
+    # equal to Spark's conv(hex,16,10)), same per-shard position order.
+    "sample_shuffle_shards": """
+        WITH s AS (
+            SELECT doc_id, md5('shuf:' || doc_id::VARCHAR) AS skey FROM documents
+        ),
+        h AS (
+            SELECT doc_id, skey,
+                   (('0x' || substr(skey, 1, 8))::UBIGINT % 64)::BIGINT AS shard
+            FROM s
+        )
+        SELECT doc_id, skey, shard,
+               row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)::BIGINT
+                   AS pos
+        FROM h
+    """,
     "sample_hash_split": """
         SELECT doc_id,
                CASE WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'

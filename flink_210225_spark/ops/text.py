@@ -754,6 +754,63 @@ def bigram_condprob(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def frequent_tokens(tables: dict[str, DataFrame], denom: int = 500) -> DataFrame:
+    """Corpus-wide frequent tokens (count ≥ N/denom) via Misra-Gries
+    sketch-propose + exact-verify — the heavy-hitters operator a mixture
+    curator runs to find boilerplate/spam tokens without shuffling the whole
+    vocabulary.
+
+    Scale story (why not just groupBy(token)): a full token groupBy
+    shuffles every DISTINCT token (web-scale vocab: billions of rows,
+    long-tail-dominated). Here each input partition runs a bounded
+    Misra-Gries summary (k = 2·denom + 64 counters) inside ONE
+    ``mapInPandas`` pass — the iterator covers the whole partition, so the
+    summary state lives across Arrow batches and each partition emits at
+    most k candidate tokens. The merge/prune step (subtract the (k+1)-th
+    largest weight, drop non-positives — Agarwal et al., mergeable
+    summaries) keeps per-partition undercount ≤ n_p/(k+1); summed over
+    partitions, any token with global count ≥ N/denom therefore survives in
+    at least one partition's summary, so the candidate union is a GUARANTEED
+    superset of the answer. Stage 2 re-counts candidates exactly (broadcast
+    semi-join keeps the scan pruned to candidate tokens; shuffle is
+    candidates-sized, ≤ partitions·k rows) and filters with INTEGER
+    arithmetic (ct·denom ≥ N) — so the emitted rows equal the exact SQL
+    answer and the DuckDB oracle hash-gates the whole sketch path: a recall
+    bug in the sketch drops a row and breaks the hash."""
+    import pandas as pd
+
+    docs = tables["documents"]
+    toks = docs.select(
+        F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    k = 2 * denom + 64
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf["tok"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > k:
+                # prune to k: subtract the (k+1)-th largest count from all
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {t: c - cut for t, c in counters.items() if c > cut}
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    cands = toks.mapInPandas(mg_partition, schema="tok string").dropDuplicates(["tok"])
+    n_total = toks.agg(F.count("*").alias("n")).scalar()
+    exact = (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("ct"))
+        .where(F.col("ct") * denom >= n_total)
+    )
+    return exact.select(
+        "tok",
+        "ct",
+        (F.floor(F.col("ct") * 1000000.0 / n_total + 0.5) / 1000000).alias("frac"),
+    )
+
+
 def curation_report(tables: dict[str, DataFrame]) -> DataFrame:
     """Corpus curation dashboard: per (lang, source) cell — document count,
     distinct-text count, exact-duplicate fraction, total quality mass, and
@@ -811,6 +868,7 @@ QUERIES = {
     "text_unigram_logprob": unigram_logprob,
     "text_bigram_lm": bigram_condprob,
     "text_curation_report": curation_report,
+    "text_frequent_tokens": frequent_tokens,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1273,5 +1331,19 @@ ORACLES = {
                floor("offset" / 256)::BIGINT AS first_seq,
                floor(("offset" + n_tokens - 1) / 256)::BIGINT AS last_seq
         FROM o
+    """,
+    # Exact frequent-tokens answer — the Misra-Gries propose path must
+    # surface every token with ct·500 ≥ N or the hash breaks (superset
+    # guarantee + exact re-count make sketch output == exact output).
+    "text_frequent_tokens": f"""
+        WITH toks AS (
+            SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+        ),
+        t AS (SELECT tok FROM toks WHERE tok <> ''),
+        n AS (SELECT count(*) AS n FROM t),
+        ct AS (SELECT tok, count(*)::BIGINT AS ct FROM t GROUP BY tok)
+        SELECT tok, ct,
+               floor(ct * 1000000.0 / n.n + 0.5) / 1000000 AS frac
+        FROM ct, n WHERE ct * 500 >= n.n
     """,
 }

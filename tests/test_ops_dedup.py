@@ -17,6 +17,7 @@ from .oracle import assert_matches_oracle
         "dedup_keep_best",
         "dedup_shingle_hotspots",
         "dedup_span_stats",
+        "dedup_minhash_banded",
     ],
 )
 def test_dedup_matches_oracle(name, tables):
@@ -352,3 +353,22 @@ def test_dedup_savings_accounting(tables):
         assert r.exact_kept_tokens <= r.total_tokens
         assert r.norm_kept_docs <= r.exact_kept_docs
         assert r.norm_savings_frac >= r.exact_savings_frac
+
+
+def test_minhash_banded_recall_and_estimator(tables):
+    """The md5-banded LSH surfaces every true high-Jaccard pair on the
+    fixtures (same recall contract as the xxhash64 path), and the agreement
+    estimator tracks exact Jaccard on strong candidates."""
+    cands = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.minhash_banded_md5(tables).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(tables).collect()
+    }
+    missed = [p for p in exact if p not in cands]
+    assert not missed, f"banded LSH missed true pairs: {missed}"
+    for p, j in exact.items():
+        if j >= 0.9:
+            assert cands[p] >= 0.5, (p, j, cands[p])

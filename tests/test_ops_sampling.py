@@ -242,3 +242,19 @@ def test_curriculum_deciles_invariants(tables):
             qs = [r.quality for r in rs if r.decile == d]
             means.append(sum(qs) / len(qs))
         assert all(a <= b + 1e-12 for a, b in zip(means, means[1:])), (lang, means)
+
+
+def test_shuffle_shards_layout_invariants(tables):
+    """Positions are dense 1..|shard| per shard, assignment is deterministic
+    across runs, and no shard hogs the corpus (64 shards over 500 docs:
+    binomial tail makes >3× mean implausible)."""
+    rows = sampling.shuffle_shards(tables).collect()
+    again = sampling.shuffle_shards(tables).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    mean = len(rows) / 64
+    assert max(len(p) for p in by_shard.values()) <= 3 * mean + 5

@@ -396,3 +396,35 @@ def test_length_histogram_shares_sum_to_one(tables):
         by_lang[r.lang] += r.share
         assert r.min_tokens == r.bucket * 50
     assert all(abs(s - 1.0) < 2e-3 for s in by_lang.values()), by_lang
+
+
+def test_frequent_tokens_mg_superset_small_partitions(spark):
+    """MG propose must keep its superset guarantee even when the corpus is
+    split across many tiny partitions (worst case for per-partition
+    undercounting): sketch output == exact output regardless of layout."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, ("hot " * 40 + f"tail{i} unique{i} w{i % 7}").strip()) for i in range(60)],
+        "doc_id long, text string",
+    ).repartition(16)
+    out = {r.tok: r.ct for r in text.frequent_tokens({"documents": docs}).collect()}
+    toks = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    n = toks.count()
+    exact = {
+        r.tok: r.ct
+        for r in toks.groupBy("tok").agg(F.count("*").alias("ct")).collect()
+        if r.ct * 500 >= n
+    }
+    assert out == exact
+
+
+def test_frequent_tokens_candidates_bounded(tables):
+    """Stage-1 candidate volume stays ≤ partitions·k — the sketch's whole
+    point: the exact-verify shuffle is candidate-sized, not vocab-sized."""
+    docs = tables["documents"]
+    n_parts = docs.rdd.getNumPartitions()
+    out = text.frequent_tokens(tables)
+    assert out.count() <= n_parts * (2 * 500 + 64)
