@@ -546,6 +546,40 @@ def minhash_lsh_candidates(
     return cand.select("doc_a", "doc_b", (F.floor(est * 10000 + 0.5) / 10000).alias("est_jaccard"))
 
 
+# Universal-hash minhash families over the Mersenne prime 2^31-1:
+# h_i(x) = (a_i·x + b_i) mod P with x = md5-prefix mod P. a_i·x < 2^62, so
+# every intermediate fits signed-64 on BOTH engines (no 128-bit anywhere).
+# Constants are fixed seeded-PRNG draws, shared verbatim by the Spark
+# expression and the DuckDB oracle. NB: the multipliers must be UNRELATED
+# random values. Two tempting shortcuts both break min-wise independence
+# and were caught by the recall/false-positive gates: (1) plain
+# Kirsch-Mitzenmacher h1 + i·h2 per shingle — consecutive families share
+# argmin shingles and LSH bands are consecutive rows, so band collisions
+# explode (measured 142 candidate pairs vs 25 at sf0.01); (2)
+# arithmetic-progression multipliers a_i = 1 + i·δ — algebraically the SAME
+# correlation ((1+iδ)x + b = h1(x) + i·h2(x)), which instead MISSES
+# true pairs (3 pairs at Jaccard ≥ 0.91 dropped on the sf0.001 fixture).
+_MH_P = 2147483647  # 2^31 - 1
+_MH_AB = [
+    (2058367755, 1250378731),
+    (1328920189, 372282286),
+    (35052690, 260070992),
+    (1425365892, 920539464),
+    (409468654, 638079615),
+    (1652464807, 2033713062),
+    (1010120343, 873091422),
+    (910172515, 1362467471),
+    (1577225783, 708511551),
+    (1389507383, 1784693824),
+    (2003597556, 347112816),
+    (2133395955, 1638263921),
+    (1962772767, 908613595),
+    (1364526543, 932472842),
+    (1976978008, 656157898),
+    (1457334632, 212322978),
+]
+
+
 def minhash_banded_md5(
     tables: dict[str, DataFrame],
     num_hashes: int = 16,
@@ -553,12 +587,13 @@ def minhash_banded_md5(
     n: int = 3,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs with a FULLY SQL-replayable hash family:
-    hash_i(shingle) = md5(i ':' shingle), minimum taken lexicographically
-    over the hex digests (uniform over 128 bits, so the min-hex IS the
-    permutation minimum). Every step — shingling, k-way min, banding,
-    in-bucket pairing, agreement estimate — is exactly expressible in
-    DuckDB, so unlike the xxhash64 fast path (``minhash_lsh_candidates``,
-    rows-only for the driver) this variant hash-gates end-to-end.
+    one md5 per shingle reduced to x ∈ [0, 2^31-1), expanded into k
+    universal-hash families (a_i·x + b_i) mod (2^31-1); the per-family
+    minimum is the permutation minimum. Every step — shingling, digest
+    reduction, affine families, k-way min, banding, in-bucket pairing,
+    agreement estimate — is exactly expressible in DuckDB, so unlike the
+    xxhash64 fast path (``minhash_lsh_candidates``, rows-only for the
+    driver) this variant hash-gates end-to-end.
 
     Same scale shape as the fast path (reference parity:
     gmall-realtime has no dedup layer; this is the LLM-pipeline extension
@@ -575,11 +610,18 @@ def minhash_banded_md5(
     docs = tables["documents"]
     r = num_hashes // bands
     sh = doc_shingles(docs, n)
+    # ONE md5 per shingle (16× fewer digests than hashing (i, shingle) per
+    # family); universal affine families over the Mersenne prime provide
+    # the per-family independent permutations the banding needs.
+    x = F.pmod(F.conv(F.substring("m", 1, 15), 16, 10).cast("long"), F.lit(_MH_P))
+    hashed = sh.select("doc_id", F.md5("shingle").alias("m")).select(
+        "doc_id", x.alias("x")
+    )
     aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(_MH_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_MH_AB[:num_hashes])
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs).select(
+    sig = hashed.groupBy("doc_id").agg(*aggs).select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("mh")
     )
     banded = sig.select(
@@ -590,7 +632,13 @@ def minhash_banded_md5(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.concat_ws("|", F.slice("mh", bi * r + 1, r)).alias("bkey"),
+                        F.array_join(
+                            F.transform(
+                                F.slice("mh", bi * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                            "|",
+                        ).alias("bkey"),
                     )
                     for bi in range(bands)
                 ]
@@ -1303,11 +1351,13 @@ ORACLES["dedup_prefix_filter"] = ORACLES["dedup_ngram_jaccard"]
 # (tests additionally gate verified == exact∩candidates structurally).
 ORACLES["dedup_minhash_verified"] = ORACLES["dedup_ngram_jaccard"]
 
-# Exact replay of minhash_banded_md5: same md5 hash family (lexicographic
-# min over hex digests), same 4-band/4-row banding on the literal hex
-# concat, same agreement-rate estimator. Any drift in shingling, the hash
-# family, banding, or the estimator breaks the driver hash.
-ORACLES["dedup_minhash_banded"] = """
+# Exact replay of minhash_banded_md5: same md5-prefix reduction (hex-prefix
+# UBIGINT parse verified equal to Spark's conv(hex,16,10)), same universal
+# affine families from the SAME _MH_AB constants (interpolated below), same
+# 4-band/4-row banding, same agreement-rate estimator. Any drift in
+# shingling, the hash family, banding, or the estimator breaks the hash.
+_MH_AB_SQL = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_AB))
+ORACLES["dedup_minhash_banded"] = f"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
     ),
@@ -1318,10 +1368,17 @@ ORACLES["dedup_minhash_banded"] = """
                    i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS shingle
         FROM toks
     ),
+    hv AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(shingle), 1, 15))::UBIGINT
+                   % {_MH_P})::BIGINT AS x
+        FROM sh
+    ),
+    ab(i, a, b) AS (VALUES {_MH_AB_SQL}),
     hashes AS (
-        SELECT doc_id, r.i AS i, min(md5(r.i::VARCHAR || ':' || shingle)) AS h
-        FROM sh, range(16) r(i)
-        GROUP BY doc_id, r.i
+        SELECT doc_id, ab.i AS i, min((ab.a * x + ab.b) % {_MH_P}) AS h
+        FROM hv, ab
+        GROUP BY doc_id, ab.i
     ),
     sig AS (
         SELECT doc_id, list(h ORDER BY i) AS mh FROM hashes GROUP BY doc_id

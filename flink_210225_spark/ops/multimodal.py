@@ -228,14 +228,95 @@ def tile_plan_documents(tables: dict[str, DataFrame]) -> DataFrame:
     return image_tile_plan(assets_from_documents(tables["documents"]))
 
 
+def shard_layout(assets: DataFrame, shard_bytes: int = 4096) -> DataFrame:
+    """WebDataset-style shard packing: per media kind, assets in asset_id
+    order are packed greedily (next-fit) into ~``shard_bytes`` shards, each
+    asset annotated with its shard id and byte offset — exactly the layout a
+    tar-shard writer consumes and a dataloader seeks into. An oversized
+    asset gets a shard alone (media can't be truncated; byte budget is a
+    target, not a cap).
+
+    Sequential state per kind ⇒ ``applyInPandas`` (the ``text.pack_bins``
+    kernel shape, reference-free LLM-pipeline extension). At 100 TB the
+    group key must be (kind × hash bucket of asset ranges) so one kind is
+    not one task — shard ids are only meaningful within a group either way,
+    and the production default budget is ~1 GiB, not the fixture-sized 4 KiB
+    used so driver fixtures produce multi-asset shards."""
+    import pandas as pd
+
+    base = assets.select(
+        "asset_id", "kind", F.length("payload").cast("long").alias("n_bytes")
+    )
+
+    def assign(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("asset_id").reset_index(drop=True)
+        shard, fill = 0, 0
+        shards, offsets = [], []
+        for n in pdf["n_bytes"]:
+            n = int(n)
+            if fill > 0 and fill + n > shard_bytes:
+                shard, fill = shard + 1, 0
+            shards.append(shard)
+            offsets.append(fill)
+            fill += n
+        pdf["shard"] = shards
+        pdf["byte_offset"] = offsets
+        return pdf[["asset_id", "kind", "n_bytes", "shard", "byte_offset"]]
+
+    return base.groupBy("kind").applyInPandas(
+        assign, "asset_id long, kind string, n_bytes long, shard long, byte_offset long"
+    )
+
+
+def shard_layout_documents(tables: dict[str, DataFrame]) -> DataFrame:
+    return shard_layout(assets_from_documents(tables["documents"]))
+
+
 QUERIES = {
     "multimodal_decode": decode_documents,
     "multimodal_frame_plan": frame_plan_documents,
     "multimodal_audio_segments": audio_segments_documents,
     "multimodal_tile_plan": tile_plan_documents,
+    "multimodal_shard_layout": shard_layout_documents,
 }
 
 ORACLES = {
+    # Recursive-CTE walk of the same next-fit kernel per kind: state tuple
+    # (shard, fill) advances one asset per iteration; byte_offset is the
+    # fill BEFORE placement. Any drift in ordering, the overflow rule, or
+    # the oversized-asset case breaks the driver hash.
+    "multimodal_shard_layout": """
+        WITH RECURSIVE d AS (
+            SELECT doc_id AS asset_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   row_number() OVER (PARTITION BY doc_id % 3 ORDER BY doc_id)
+                       AS seq
+            FROM documents
+        ),
+        walk AS (
+            SELECT kind, 0::BIGINT AS seq, 0::BIGINT AS shard, 0::BIGINT AS fill,
+                   NULL::BIGINT AS asset_id, NULL::BIGINT AS n_bytes,
+                   NULL::BIGINT AS out_shard, NULL::BIGINT AS out_offset
+            FROM (SELECT DISTINCT kind FROM d)
+            UNION ALL
+            SELECT w.kind, e.seq,
+                   CASE WHEN w.fill > 0 AND w.fill + e.n_bytes > 4096
+                        THEN w.shard + 1 ELSE w.shard END,
+                   CASE WHEN w.fill > 0 AND w.fill + e.n_bytes > 4096
+                        THEN e.n_bytes ELSE w.fill + e.n_bytes END,
+                   e.asset_id, e.n_bytes,
+                   CASE WHEN w.fill > 0 AND w.fill + e.n_bytes > 4096
+                        THEN w.shard + 1 ELSE w.shard END,
+                   CASE WHEN w.fill > 0 AND w.fill + e.n_bytes > 4096
+                        THEN 0 ELSE w.fill END
+            FROM walk w JOIN d e ON e.kind = w.kind AND e.seq = w.seq + 1
+        )
+        SELECT asset_id, kind, n_bytes, out_shard AS shard,
+               out_offset AS byte_offset
+        FROM walk WHERE asset_id IS NOT NULL
+    """,
     "multimodal_decode": """
         SELECT doc_id AS asset_id,
                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -72,5 +72,38 @@ def test_multimodal_plans_match_oracle(tables):
     from .conftest import SF_DIR
     from .oracle import assert_matches_oracle
 
-    for name in ("multimodal_audio_segments", "multimodal_tile_plan"):
+    for name in (
+        "multimodal_audio_segments",
+        "multimodal_tile_plan",
+        "multimodal_shard_layout",
+    ):
         assert_matches_oracle(mm.QUERIES[name](tables), mm.ORACLES[name], SF_DIR)
+
+
+def test_shard_layout_invariants(spark):
+    """Next-fit byte packing: shards never exceed the budget unless a single
+    oversized asset owns the shard; offsets are contiguous within a shard
+    (offset = running fill); order within a kind is asset_id order."""
+    from flink_210225_spark.ops import multimodal as mm
+    from flink_210225_spark.ops.multimodal import shard_layout
+
+    rows = []
+    for i in range(12):
+        size = 6000 if i == 5 else 1500 + (i % 3) * 700  # one oversized asset
+        rows.append((i, "image", bytes(size), (1, 1, 0, 0, "x")))
+    assets = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = sorted(shard_layout(assets, 4096).collect(), key=lambda r: r.asset_id)
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        total = sum(r.n_bytes for r in rs)
+        assert total <= 4096 or len(rs) == 1, (shard, total)
+        rs_sorted = sorted(rs, key=lambda r: r.byte_offset)
+        fill = 0
+        for r in rs_sorted:
+            assert r.byte_offset == fill
+            fill += r.n_bytes
+    # oversized asset 5 sits alone
+    alone = [r for r in out if r.asset_id == 5][0]
+    assert len(by_shard[alone.shard]) == 1 and alone.byte_offset == 0

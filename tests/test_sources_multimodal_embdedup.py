@@ -96,3 +96,62 @@ def test_decode_media_feature_shape(spark):
     assert len(out) == 12
     assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in out)
     assert all(-1.0 <= x <= 1.0 for r in out for x in r["feature"])
+
+
+def test_socket_source_runtime_end_to_end(spark):
+    """S5 at runtime, not just construction: a real TCP listener feeds the
+    socket source (reference TestFlinkSQLJoin.java:20-29 reads nc lines);
+    lines stream through a parse projection into a memory sink."""
+    import socket
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    lines = ["1001,click", "1002,view", "1003,click"]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop_evt = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        try:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            stop_evt.wait(timeout=30)  # hold the connection until asserted
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    raw = kafka.socket_source(spark, "127.0.0.1", port)
+    parsed = raw.select(F.split("value", ",").alias("p")).select(
+        F.col("p").getItem(0).cast("long").alias("user_id"),
+        F.col("p").getItem(1).alias("event_type"),
+    )
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("socket_rt")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = spark.sql(
+                "SELECT user_id, event_type FROM socket_rt ORDER BY user_id"
+            ).collect()
+            if len(got) >= len(lines):
+                break
+            time.sleep(0.5)
+        assert [(r.user_id, r.event_type) for r in got] == [
+            (1001, "click"),
+            (1002, "view"),
+            (1003, "click"),
+        ]
+    finally:
+        stop_evt.set()
+        q.stop()
+        srv.close()
