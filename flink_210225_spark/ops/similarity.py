@@ -238,6 +238,7 @@ def ivf_ann_topk(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
+    trained=None,
 ) -> DataFrame:
     """IVF-Flat: exact cosine restricted to the ``n_probe`` cells nearest
     each query. Candidate generation is an equi-join on cell id (shuffle ∝
@@ -246,7 +247,7 @@ def ivf_ann_topk(
     import numpy as np
 
     emb = tables["embeddings"]
-    assigned, cent = ivf_assign(emb, n_cells)
+    assigned, cent = trained if trained is not None else ivf_assign(emb, n_cells)
     spark = emb.sparkSession
 
     qpdf = (
@@ -728,6 +729,7 @@ def ivf_pq_ann_topk(
     m: int = 8,
     k_codes: int = 16,
     refine: int = 4,
+    trained=None,
 ) -> DataFrame:
     """IVF-PQ with exact re-ranking (the billion-scale ANN serving
     architecture, Jégou et al. 2011): the IVF coarse quantizer restricts the
@@ -754,7 +756,7 @@ def ivf_pq_ann_topk(
 
     emb = tables["embeddings"]
     spark = emb.sparkSession
-    assigned, coarse = ivf_assign(emb, n_cells)
+    assigned, coarse = trained if trained is not None else ivf_assign(emb, n_cells)
     codes_df, cb = pq_train(emb, m=m, k=k_codes)  # cb: (m, k_codes, d_sub)
     dim = cb.shape[0] * cb.shape[2]
     d_sub = cb.shape[2]
@@ -860,6 +862,7 @@ def ivf_pq_residual_ann_topk(
     m: int = 8,
     k_codes: int = 16,
     refine: int = 4,
+    trained=None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL coding (the full Jégou et al. construction):
     each vector's PQ codes quantize v − coarse[cell] instead of v, so the
@@ -875,7 +878,7 @@ def ivf_pq_residual_ann_topk(
 
     emb = tables["embeddings"]
     spark = emb.sparkSession
-    assigned, coarse = ivf_assign(emb, n_cells)
+    assigned, coarse = trained if trained is not None else ivf_assign(emb, n_cells)
     res = residual_vectors(assigned, coarse)
     codes_df, cb = pq_train(res.select("vec_id", "embedding"), m=m, k=k_codes)
     dim = cb.shape[0] * cb.shape[2]
@@ -1127,12 +1130,32 @@ def ann_recall_audit(
 
     Scale: exact brute force over a BOUNDED query sample (num_queries ×
     corpus, the same plan as cosine_topk) — the audit cost is the sample
-    size knob, independent of index size."""
-    exact = cosine_topk(tables, num_queries, k).select("query_id", "neighbor_id")
+    size knob, independent of index size. The exact top-k subtree feeds all
+    four method branches of the union; Pandas-UDF subtrees never
+    canonicalize equal so ReuseExchange cannot dedup them — persist the
+    (num_queries·k)-row ground truth once instead of re-running the exact
+    GEMM per branch (measured ~3 s of the audit's cost at sf0.1)."""
+    exact = (
+        cosine_topk(tables, num_queries, k)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    # Train the IVF coarse quantizer ONCE and inject it into all three
+    # IVF-based methods (identical deterministic centroids either way —
+    # audited recall is unchanged); the persisted assignment also spares
+    # each method its own corpus assignment pass. Cuts ~3 of the audit's
+    # 4 Lloyd trainings.
+    from pyspark import StorageLevel
+
+    emb = tables["embeddings"]
+    assigned, cent = ivf_assign(emb, 16)
+    trained = (assigned.persist(StorageLevel.MEMORY_AND_DISK), cent)
     methods = {
-        "ivf": ivf_ann_topk,
-        "ivfpq": ivf_pq_ann_topk,
-        "ivfpq_residual": ivf_pq_residual_ann_topk,
+        "ivf": lambda t, nq, kk: ivf_ann_topk(t, nq, kk, trained=trained),
+        "ivfpq": lambda t, nq, kk: ivf_pq_ann_topk(t, nq, kk, trained=trained),
+        "ivfpq_residual": lambda t, nq, kk: ivf_pq_residual_ann_topk(
+            t, nq, kk, trained=trained
+        ),
         "lsh": lsh_ann_topk,
     }
     rows = []

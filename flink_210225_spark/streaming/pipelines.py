@@ -903,8 +903,52 @@ def curation_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def dedup_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
+    """Second driver-checkable END-TO-END streaming query — this one
+    STATEFUL: the documents fixture is staged TWICE in the landing zone and
+    replayed with maxFilesPerTrigger=1, so micro-batch 2 re-ingests every
+    document and must drop ALL of them against the dropDuplicates digest
+    state carried over from batch 1. The admitted rows land in parquet
+    through the file sink's exactly-once commit log and are read back.
+
+    Output is the admitted digest SET (not survivor doc_ids — which copy of
+    a duplicate group is admitted follows arrival order, nondeterministic
+    under parallelism; the digest set is exactly determined). Oracle =
+    DISTINCT md5(text): if cross-batch state ever leaked (batch 2 re-admits
+    a digest) the parquet output doubles and the row-count/hash gates
+    break."""
+    import tempfile
+
+    docs = tables["documents"]
+    spark = docs.sparkSession
+    src = docs.inputFiles()[0]
+    local = "/" + src.split(":", 1)[1].lstrip("/")
+    out = tempfile.mkdtemp(prefix="dedup_stream_out_")
+    cp = tempfile.mkdtemp(prefix="dedup_stream_cp_")
+    srcdir = tempfile.mkdtemp(prefix="dedup_stream_src_")
+    os.symlink(local, os.path.join(srcdir, "replay_a.parquet"))
+    os.symlink(local, os.path.join(srcdir, "replay_b.parquet"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+    q = (
+        dedup_stream(stream)
+        .select("text_hash")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 QUERIES = {
     "stream_curation_materialized": curation_stream_materialized,
+    "stream_dedup_materialized": dedup_stream_materialized,
 }
 
 
@@ -920,4 +964,7 @@ def _curation_selected_oracle() -> str:
 
 ORACLES = {
     "stream_curation_materialized": _curation_selected_oracle(),
+    "stream_dedup_materialized": (
+        "SELECT DISTINCT md5(text) AS text_hash FROM documents"
+    ),
 }

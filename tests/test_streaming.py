@@ -638,3 +638,17 @@ def test_pattern_stream_continues_across_batches(spark, tmp_path):
     batch = stateful.pattern_matches({"events": spark.read.parquet(str(src))})
     want = {(r.user_id, r.start_event_id, r.end_event_id) for r in batch.collect()}
     assert {(r.user_id, r.start_event_id, r.end_event_id) for r in got} == want
+
+
+def test_dedup_stream_materialized_two_batch_replay(tables):
+    """The driver-gated stateful streaming query: fixture replayed twice
+    (maxFilesPerTrigger=1 ⇒ two micro-batches), batch 2's 500 re-ingested
+    copies all dropped by cross-batch digest state; admitted digest set ==
+    batch DISTINCT md5(text)."""
+    from flink_210225_spark.streaming import pipelines as sp
+
+    from .conftest import SF_DIR
+    from .oracle import assert_matches_oracle
+
+    df = sp.QUERIES["stream_dedup_materialized"](tables)
+    assert_matches_oracle(df, sp.ORACLES["stream_dedup_materialized"], SF_DIR)
