@@ -777,6 +777,97 @@ def simhash_near_dups(
 # --- LSH-propose + exact-verify (the composed 100 TB dedup pipeline) ---
 
 
+def simhash_banded_md5(
+    tables: dict[str, DataFrame], max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs with a FULLY SQL-replayable hash — the gated
+    sibling of the xxhash64 fast path (``simhash_near_dups``, rows-only
+    for the driver), at the SAME signature geometry: 63 voted bits, 4
+    disjoint 16-bit sub-bands (band 3 = 15 effective bits), hamming ≤ 3 ⇒
+    ≥ 1 exact band. The 63 token-hash bits come from two 32-bit words of
+    ONE md5 per token (bits 0-31 from hex[1:8], bits 32-62 from hex[9:16])
+    — md5's 128 bits cover the width, so precision matches the fast path
+    (a 32-bit variant measured 38× more candidate pairs on templated
+    fixtures AND its 8-bit bands cap at 256 buckets — wrong at scale).
+
+    Same scale shape as the fast path: one scan, 63 conditional sums in
+    ONE aggregation pass (no explode-per-bit), in-bucket pair generation
+    — the only data-sized shuffle is the (band, key) groupBy over 2^16
+    buckets per band."""
+    docs = tables["documents"]
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    m = F.md5("tok")
+    h = tok.select(
+        "doc_id",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("x1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("x2"),
+    )
+
+    def bit(b):
+        src, off = ("x1", b) if b < 32 else ("x2", b - 32)
+        return F.shiftrightunsigned(src, off).bitwiseAND(F.lit(1))
+
+    votes = [
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"v{b}") for b in range(63)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    sim = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0)),
+        range(63),
+        F.lit(0).cast("long"),
+    )
+    sig = agg.select("doc_id", sim.alias("simhash"))
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned("simhash", bi * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ms",
+                        lambda a: F.transform(
+                            "ms", lambda b: F.struct(a.alias("a"), b.alias("b"))
+                        ),
+                    )
+                ),
+                lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
+            )
+        ).alias("p")
+    )
+    cand = pairs.select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.simhash").alias("sa"),
+        F.col("p.b.simhash").alias("sb"),
+    ).dropDuplicates(["doc_a", "doc_b"])
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def minhash_verified_pairs(
     tables: dict[str, DataFrame],
     num_hashes: int = 16,
@@ -1148,9 +1239,10 @@ QUERIES = {
     "dedup_minhash_lsh": minhash_lsh_candidates,
     "dedup_simhash": simhash_near_dups,
     "dedup_minhash_verified": minhash_verified_pairs,
-    # md5-family sibling: same banded-LSH plan, DuckDB-replayable hashes —
-    # the minhash pipeline's end-to-end hash gate.
+    # md5-family siblings: same banded plans, DuckDB-replayable hashes —
+    # the minhash/simhash pipelines' end-to-end hash gates.
     "dedup_minhash_banded": minhash_banded_md5,
+    "dedup_simhash_banded": simhash_banded_md5,
 }
 
 ORACLES = {
@@ -1398,6 +1490,49 @@ ORACLES["dedup_minhash_banded"] = f"""
            floor(len(list_filter(range(16), i -> mh_a[i + 1] = mh_b[i + 1]))
                  * 10000.0 / 16 + 0.5) / 10000 AS est_jaccard
     FROM cand
+"""
+
+# Exact replay of simhash_banded_md5: same two 32-bit md5 words per token,
+# same ±1 votes over 63 bits (token frequency weighted — no distinct),
+# same 4×16-bit banding, same xor-popcount hamming cut.
+ORACLES["dedup_simhash_banded"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    hx AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(tok), 1, 8))::UBIGINT)::BIGINT AS x1,
+               (('0x' || substr(md5(tok), 9, 8))::UBIGINT)::BIGINT AS x2
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, b.b AS b,
+               sum(CASE WHEN ((CASE WHEN b.b < 32 THEN x1 >> b.b
+                                    ELSE x2 >> (b.b - 32) END) & 1) = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM hx, range(63) b(b)
+        GROUP BY doc_id, b.b
+    ),
+    sig AS (
+        SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                   AS simhash
+        FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, simhash, rb.b AS band,
+               (simhash >> (rb.b * 16)) & 65535 AS key
+        FROM sig, range(4) rb(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 ORACLES["dedup_savings"] = """

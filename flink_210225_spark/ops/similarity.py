@@ -1271,11 +1271,63 @@ def pq_audit(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def coreset_audit(tables: dict[str, DataFrame], k: int = 10) -> DataFrame:
+    """Farthest-point-sampling audit (uv_sketch oracle pattern) — the last
+    rows-only family's driver hash gate. ``n_centers`` = least(k, corpus)
+    is independently recomputable; three booleans pin FPS's defining
+    invariants: picks are distinct; pick distances are monotone
+    non-increasing (each round takes the current farthest point); and the
+    k-th pick distance dominates the FINAL covering radius (d_k ≥ d_{k+1}
+    = r — the inequality behind the greedy 2-approximation guarantee).
+    The covering radius is recomputed from scratch against the chosen
+    centers in one Arrow pass, so a pick-selection regression (e.g. a
+    partial-argmax merge bug) breaks the hash."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    spark = emb.sparkSession
+    picks = diversity_coreset(tables, k).toPandas()
+    ids = [int(v) for v in picks["vec_id"]]
+    dists = [d for d in picks["mindist"] if d is not None and not np.isnan(d)]
+    distinct_ok = len(set(ids)) == len(ids)
+    monotone_ok = all(a >= b - 1e-12 for a, b in zip(dists, dists[1:]))
+    cpdf = emb.filter(F.col("vec_id").isin(ids)).select("embedding").toPandas()
+    C = np.array(cpdf["embedding"].tolist(), dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+
+    def radius(batches):
+        import pandas as pd
+
+        worst = 0.0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            mind = (1.0 - (mat @ C.T) / np.outer(nrm, cn)).min(axis=1)
+            worst = max(worst, float(mind.max()))
+        yield pd.DataFrame({"r": [worst]})
+
+    r = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(radius, "r double")
+        .agg(F.max("r"))
+        .collect()[0][0]
+    )
+    sep_ok = (min(dists) if dists else 0.0) >= r - 1e-9
+    return spark.createDataFrame(
+        [(len(ids), bool(distinct_ok), bool(monotone_ok), bool(sep_ok))],
+        "n_centers long, picks_distinct boolean, radius_monotone boolean, "
+        "separation_ok boolean",
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
     "sim_ann_recall_audit": ann_recall_audit,
     "sim_semantic_audit": semantic_dedup_audit,
     "sim_pq_audit": pq_audit,
+    "sim_coreset_audit": coreset_audit,
     "sim_lsh_ann_topk": lsh_ann_topk,  # rows-only (xxhash64 planes not in DuckDB)
     "sim_ivf_ann_topk": ivf_ann_topk,  # rows-only (k-means cells not in SQL); recall-tested vs exact
     "sim_cluster_stats": embedding_cluster_stats,
@@ -1333,6 +1385,15 @@ ORACLES = {
         SELECT 'n_exact_pairs' AS metric, count(*)::BIGINT AS value FROM pairs
         UNION ALL SELECT 'recall_ok', 1
         UNION ALL SELECT 'extras', 0
+    """,
+    # n_centers recomputed independently; the three FPS invariants must be
+    # TRUE (uv_sketch pattern).
+    "sim_coreset_audit": """
+        SELECT least(10, count(*))::BIGINT AS n_centers,
+               TRUE AS picks_distinct,
+               TRUE AS radius_monotone,
+               TRUE AS separation_ok
+        FROM embeddings
     """,
     # n_vectors recomputed independently; both coding-quality booleans must
     # be TRUE (uv_sketch pattern). Claims verified at sf0.01 AND sf0.1.

@@ -18,6 +18,7 @@ from .oracle import assert_matches_oracle
         "dedup_shingle_hotspots",
         "dedup_span_stats",
         "dedup_minhash_banded",
+        "dedup_simhash_banded",
     ],
 )
 def test_dedup_matches_oracle(name, tables):
@@ -374,3 +375,31 @@ def test_minhash_banded_recall_and_estimator(tables):
     for p, j in exact.items():
         if j >= 0.9:
             assert cands[p] >= 0.5, (p, j, cands[p])
+
+
+def test_simhash_banded_semantics(spark, tables):
+    """Identical docs pair at hamming 0; a 1-token-in-60 edit stays within
+    the hamming cut; unrelated docs don't pair. And on the fixture corpus
+    the md5 sibling's pair count stays in the same regime as the xxhash
+    fast path (same 63-bit/4-band geometry — a 32-bit variant measured 38x
+    the candidates)."""
+    words = [f"tok{i}" for i in range(60)]
+    near = list(words)
+    near[30] = "changed"
+    rows = [
+        (1, " ".join(words)),
+        (2, " ".join(words)),
+        (3, " ".join(near)),
+        (4, "completely different content about foxes and hedgehogs entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_banded_md5({"documents": docs}).collect()
+    }
+    assert got.get((1, 2)) == 0
+    assert (1, 3) in got and got[(1, 3)] <= 3
+    assert all(4 not in p for p in got)
+    n_md5 = dedup.simhash_banded_md5(tables).count()
+    n_fast = dedup.simhash_near_dups(tables).count()
+    assert n_md5 <= 3 * n_fast + 10

@@ -7,7 +7,7 @@ from .oracle import assert_matches_oracle
 
 
 @pytest.mark.parametrize(
-    "name", ["sim_cosine_topk", "sim_cluster_stats", "sim_quantize_int8", "sim_pq_audit"]
+    "name", ["sim_cosine_topk", "sim_cluster_stats", "sim_quantize_int8", "sim_pq_audit", "sim_coreset_audit"]
 )
 def test_similarity_matches_oracle(name, tables):
     assert_matches_oracle(similarity.QUERIES[name](tables), similarity.ORACLES[name], SF_DIR)
