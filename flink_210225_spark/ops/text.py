@@ -754,6 +754,75 @@ def bigram_condprob(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def langid_trigram(
+    tables: dict[str, DataFrame], profile_k: int = 50
+) -> DataFrame:
+    """Char-n-gram language ID (Cavnar-Trenkle family): per-language
+    profiles are the top-``profile_k`` DISTINCTIVE character trigrams of
+    that language's corpus — distinctive = the MAJORITY of the trigram's
+    corpus-wide occurrences are in this language (2·ct_lang > ct_total,
+    integer-exact on both engines), ranked by occurrence count (trigram
+    ASC tie-break). Two weaker profile definitions measured and rejected
+    on the shared-vocabulary fixture: raw top-k (profiles near-identical
+    across languages, 0.25 accuracy = chance) and drop-if-in-every-lang
+    (kills boundary trigrams that also occur INSIDE shared words — 'der'
+    appears in 'order' everywhere — 0.05 accuracy, everything 'und'). A document's prediction is the language whose
+    profile its distinct trigrams overlap most; ties break language ASC;
+    no overlap ⇒ 'und'. Only the first 400 chars of each document are
+    read, the standard truncation for n-gram langid — identification
+    saturates long before the full text and the trigram explode stays
+    bounded per doc. Character-level sibling of the word-stopword vote in
+    ``lang_id``.
+
+    Scale: profile building is one map-side-combined (lang, trigram)
+    count + an all-langs document-frequency filter + a per-lang top-k
+    window, all on the VOCAB-sized count table; scoring explodes distinct
+    doc trigrams once and equi-joins the langs×k-row BROADCAST profile —
+    linear in corpus bytes. Self-trained on the declared labels (the
+    production form freezes profiles from a labeled reference corpus —
+    same join, static profile table)."""
+    docs = tables["documents"]
+    tri = F.expr(
+        "transform(sequence(1, greatest(length(substr(lower(text), 1, 400)) - 2, 0)),"
+        " i -> substr(substr(lower(text), 1, 400), i, 3))"
+    )
+    base = docs.select("doc_id", "lang", F.array_distinct(tri).alias("tgs"))
+    occs = docs.select("lang", F.explode(tri).alias("tg"))
+    counts = occs.groupBy("lang", "tg").agg(F.count("*").alias("ct"))
+    wdf = Window.partitionBy("tg")
+    distinctive = counts.withColumn("tot", F.sum("ct").over(wdf)).filter(
+        2 * F.col("ct") > F.col("tot")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("ct"), F.asc("tg"))
+    profiles = (
+        distinctive.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= profile_k)
+        .select(F.col("lang").alias("plang"), "tg")
+    )
+    doc_tri = base.select("doc_id", F.explode("tgs").alias("tg"))
+    hits = (
+        doc_tri.join(F.broadcast(profiles), "tg")
+        .groupBy("doc_id", "plang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.desc("overlap"), F.asc("plang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "plang", "overlap")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("plang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+        )
+    )
+
+
 def frequent_tokens(tables: dict[str, DataFrame], denom: int = 500) -> DataFrame:
     """Corpus-wide frequent tokens (count ≥ N/denom) via Misra-Gries
     sketch-propose + exact-verify — the heavy-hitters operator a mixture
@@ -869,6 +938,7 @@ QUERIES = {
     "text_bigram_lm": bigram_condprob,
     "text_curation_report": curation_report,
     "text_frequent_tokens": frequent_tokens,
+    "text_langid_trigram": langid_trigram,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1331,6 +1401,52 @@ ORACLES = {
                floor("offset" / 256)::BIGINT AS first_seq,
                floor(("offset" + n_tokens - 1) / 256)::BIGINT AS last_seq
         FROM o
+    """,
+    # Exact replay of the trigram profiles, the distinct-trigram overlap,
+    # and both tie-breaks; 'und' for no-overlap docs.
+    "text_langid_trigram": """
+        WITH tri AS (
+            SELECT doc_id, lang,
+                   list_transform(
+                       range(greatest(length(substr(lower(text), 1, 400)) - 2, 0)),
+                       i -> substr(substr(lower(text), 1, 400), i + 1, 3)) AS tgs
+            FROM documents
+        ),
+        occs AS (SELECT lang, unnest(tgs) AS tg FROM tri),
+        counts AS (SELECT lang, tg, count(*) AS ct FROM occs GROUP BY lang, tg),
+        distinctive AS (
+            SELECT lang, tg, ct FROM (
+                SELECT lang, tg, ct, sum(ct) OVER (PARTITION BY tg) AS tot
+                FROM counts
+            ) WHERE 2 * ct > tot
+        ),
+        profiles AS (
+            SELECT lang AS plang, tg FROM (
+                SELECT lang, tg,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY ct DESC, tg ASC) AS rn
+                FROM distinctive
+            ) WHERE rn <= 50
+        ),
+        doc_tri AS (
+            SELECT doc_id, unnest(list_distinct(tgs)) AS tg FROM tri
+        ),
+        hits AS (
+            SELECT d.doc_id, p.plang, count(*) AS overlap
+            FROM doc_tri d JOIN profiles p ON d.tg = p.tg
+            GROUP BY d.doc_id, p.plang
+        ),
+        best AS (
+            SELECT doc_id, plang, overlap FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY overlap DESC, plang ASC) AS rn
+                FROM hits
+            ) WHERE rn = 1
+        )
+        SELECT t.doc_id, t.lang,
+               coalesce(b.plang, 'und') AS pred_lang,
+               coalesce(b.overlap, 0)::BIGINT AS overlap
+        FROM tri t LEFT JOIN best b ON b.doc_id = t.doc_id
     """,
     # Exact frequent-tokens answer — the Misra-Gries propose path must
     # surface every token with ct·500 ≥ N or the hash breaks (superset
