@@ -782,12 +782,19 @@ def langid_trigram(
     production form freezes profiles from a labeled reference corpus —
     same join, static profile table)."""
     docs = tables["documents"]
-    tri = F.expr(
-        "transform(sequence(1, greatest(length(substr(lower(text), 1, 400)) - 2, 0)),"
-        " i -> substr(substr(lower(text), 1, 400), i, 3))"
+    # The 400-char head is MATERIALIZED in a projection before the lambda:
+    # referencing substr(lower(text),1,400) inside the transform would
+    # re-derive it per trigram INDEX (the no-CSE-across-lambda-boundary
+    # trap this repo documents in shingles_col) — O(400²) char ops per doc,
+    # measured ~2× the whole query's cost.
+    head = docs.select(
+        "doc_id", "lang", F.expr("substr(lower(text), 1, 400)").alias("t4")
     )
-    base = docs.select("doc_id", "lang", F.array_distinct(tri).alias("tgs"))
-    occs = docs.select("lang", F.explode(tri).alias("tg"))
+    tri = F.expr(
+        "transform(sequence(1, greatest(length(t4) - 2, 0)), i -> substr(t4, i, 3))"
+    )
+    base = head.select("doc_id", "lang", F.array_distinct(tri).alias("tgs"))
+    occs = head.select("lang", F.explode(tri).alias("tg"))
     counts = occs.groupBy("lang", "tg").agg(F.count("*").alias("ct"))
     wdf = Window.partitionBy("tg")
     distinctive = counts.withColumn("tot", F.sum("ct").over(wdf)).filter(
