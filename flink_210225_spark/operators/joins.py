@@ -217,7 +217,43 @@ def asof_join_events(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def semi_anti_profile(tables: dict[str, DataFrame]) -> DataFrame:
+    """Explicit LEFT SEMI / LEFT ANTI join surface: per nation, customers
+    WITH at least one order (semi) and customers WITHOUT any (anti) — the
+    existence-check join pair every warehouse needs (active-customer
+    filters, orphan detection) spelled as first-class join types rather
+    than EXISTS subqueries or count-filtered outer joins.
+
+    Scale: both semi and anti are null-aware hash joins on c_custkey —
+    Spark dedups the build side to distinct keys (no row multiplication,
+    unlike inner-join-then-distinct) and AQE picks broadcast when the
+    distinct-key side fits. The two passes share the customers scan; the
+    nation rollup is dim-sized."""
+    c, o = tables["customer"], tables["orders"]
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    without_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    semi = with_orders.groupBy("c_nationkey").agg(
+        F.count("*").alias("with_orders")
+    )
+    anti = without_orders.groupBy("c_nationkey").agg(
+        F.count("*").alias("without_orders")
+    )
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+        .join(semi, "c_nationkey", "left")
+        .join(anti, "c_nationkey", "left")
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            "n_customers",
+            F.coalesce("with_orders", F.lit(0)).cast("long").alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).cast("long").alias("without_orders"),
+        )
+    )
+
+
 QUERIES = {
+    "join_semi_anti": semi_anti_profile,
     "join_interval_order_detail": interval_join_order_detail,
     "join_interval_payment": interval_join_payment,
     "join_interval_outer": interval_join_outer,
@@ -227,6 +263,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_semi_anti": """
+        SELECT c_nationkey AS nationkey,
+               count(*)::BIGINT AS n_customers,
+               count(*) FILTER (WHERE EXISTS (
+                   SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+               ))::BIGINT AS with_orders,
+               count(*) FILTER (WHERE NOT EXISTS (
+                   SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+               ))::BIGINT AS without_orders
+        FROM customer c
+        GROUP BY c_nationkey
+    """,
     "join_payment_wide": """
         SELECT o.o_orderkey, l.l_linenumber,
                strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,

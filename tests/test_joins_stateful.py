@@ -152,3 +152,13 @@ def test_payment_wide_broadcasts_dims(tables):
     from flink_210225_spark.plans import explain
 
     assert explain.has_broadcast_join(joins.payment_wide(tables))
+
+
+def test_semi_anti_plan_and_accounting(tables):
+    """The existence pair must plan as real LeftSemi/LeftAnti hash joins
+    (not inner+distinct), and the counts must partition the customers."""
+    df = joins.semi_anti_profile(tables)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    for r in df.collect():
+        assert r.with_orders + r.without_orders == r.n_customers
