@@ -212,28 +212,29 @@ def span_dedup(
     )
 
 
-def ngram_jaccard_pairs(
-    tables: dict[str, DataFrame], n: int = 3, threshold: float = 0.5
-) -> DataFrame:
-    """Exact pairwise Jaccard over word-3-gram shingle sets for pairs sharing
-    at least one shingle; emit pairs ≥ threshold with doc_a < doc_b."""
-    docs = tables["documents"]
-    # Shuffle xxhash64(shingle), not the string: ~8-byte keys instead of
-    # ~20-byte text. A 64-bit collision would overcount one intersection
-    # pair — probability ~n²/2⁶⁵ over n distinct shingles (≪1e-9 at any
-    # realistic corpus); the sf0.01 oracle gate runs collision-free.
+def _pair_intersections(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Shared kernel of the exact set-overlap family (Jaccard, containment):
+    for every ordered doc pair sharing ≥1 word-n-gram shingle, the pair's
+    intersection size plus both docs' distinct-shingle counts
+    (doc_a, doc_b, na, nb, inter).
+
+    Shuffles xxhash64(shingle), not the string: ~8-byte keys instead of
+    ~20-byte text. A 64-bit collision would overcount one intersection
+    pair — probability ~n²/2⁶⁵ over n distinct shingles (≪1e-9 at any
+    realistic corpus); the sf0.01 oracle gate runs collision-free.
+
+    Carries each doc's shingle count through the shuffles (window by doc_id)
+    so the final metric needs NO size join-back. Then groups by shingle and
+    generates ordered doc pairs in place: the whole computation scans
+    documents ONCE with three key-partitioned shuffles (doc_id → sh → pair).
+    The previous self-join formulation scanned documents 4× (two join
+    branches + two size branches). The size-1 bucket filter is lossless
+    (a shingle in one document forms no pair). Hot shingles make k² pairs
+    in one task either way (equi-join co-locates a bucket identically);
+    past moderate skew, cap document frequency (standard prefix filtering)
+    — at threshold 0.5 a shingle shared by >2/J·|corpus| docs can be
+    dropped only with recall loss, so the cap is a tuning knob, not free."""
     sh = doc_shingles(docs, n).select("doc_id", F.xxhash64("shingle").alias("sh"))
-    # Carry each doc's shingle count through the shuffles (window by doc_id)
-    # so Jaccard needs NO size join-back at the end. Then group by shingle and
-    # generate ordered doc pairs in place: the whole computation scans
-    # documents ONCE with three key-partitioned shuffles (doc_id → sh → pair).
-    # The previous self-join formulation scanned documents 4× (two join
-    # branches + two size branches). The size-1 bucket filter is lossless
-    # (a shingle in one document forms no pair). Hot shingles make k² pairs
-    # in one task either way (equi-join co-locates a bucket identically);
-    # past moderate skew, cap document frequency (standard prefix filtering)
-    # — at threshold 0.5 a shingle shared by >2/J·|corpus| docs can be
-    # dropped only with recall loss, so the cap is a tuning knob, not free.
     sh = sh.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
     buckets = (
         sh.groupBy("sh")
@@ -255,17 +256,58 @@ def ngram_jaccard_pairs(
             )
         ).alias("p")
     )
-    inter = pairs.groupBy(
+    return pairs.groupBy(
         F.col("p.a.doc_id").alias("doc_a"),
         F.col("p.b.doc_id").alias("doc_b"),
         F.col("p.a.n_sh").alias("na"),
         F.col("p.b.n_sh").alias("nb"),
     ).agg(F.count("*").alias("inter"))
+
+
+def ngram_jaccard_pairs(
+    tables: dict[str, DataFrame], n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact pairwise Jaccard over word-3-gram shingle sets for pairs sharing
+    at least one shingle; emit pairs ≥ threshold with doc_a < doc_b.
+    Plan notes in ``_pair_intersections`` (shared with containment)."""
+    inter = _pair_intersections(tables["documents"], n)
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         inter.withColumn("jaccard", F.floor(jac * 10000 + 0.5) / 10000)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def containment_pairs(
+    tables: dict[str, DataFrame], n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Directed near-SUBSET detection: containment C(A→B) = |A∩B|/|A| over
+    word-n-gram shingle sets. Jaccard misses a short document embedded in a
+    much longer one (the union term swamps it); containment is the standard
+    asymmetric complement — quote extraction, article-inside-page, prompt
+    leakage into longer corpora. Emits ordered pairs whose LARGER directional
+    containment ≥ threshold, with the direction: ``a_in_b`` when doc_a's set
+    is the (weakly) smaller one, else ``b_in_a``.
+
+    Same single-scan bucket-pair kernel as exact Jaccard
+    (``_pair_intersections``) — the only change is the final projection, so
+    the scale posture (one scan, three key-partitioned shuffles, no
+    size join-back) is identical. At 100 TB this runs on LSH candidates
+    instead of raw co-occurrence buckets, same as the Jaccard family."""
+    inter = _pair_intersections(tables["documents"], n)
+    cont = F.col("inter") / F.least("na", "nb")
+    return (
+        inter.withColumn("containment", F.floor(cont * 10000 + 0.5) / 10000)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "containment",
+            F.when(F.col("na") <= F.col("nb"), F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("direction"),
+        )
     )
 
 
@@ -441,6 +483,84 @@ def dedup_savings(tables: dict[str, DataFrame]) -> DataFrame:
         "norm_kept_docs",
         "norm_kept_tokens",
         frac("norm_kept_tokens").alias("norm_savings_frac"),
+    )
+
+
+def incremental_dedup(tables: dict[str, DataFrame]) -> DataFrame:
+    """Incremental-ingest dedup: classify an INCOMING batch of documents
+    against an already-curated corpus without re-deduplicating the corpus —
+    the shape every rolling crawl/refresh pipeline runs daily. Statuses:
+    ``dup_corpus`` (normalized digest already in the corpus), ``dup_batch``
+    (first occurrence of the digest is earlier IN THIS BATCH), ``new``.
+    The fixture splits documents deterministically (doc_id % 5 == 0 is the
+    incoming batch, the rest is the standing corpus) so the classification
+    is replayable.
+
+    Scale: the corpus side is reduced to DISTINCT 16-byte digests before
+    the join (aggregate pushed below the join — corpus bytes never move),
+    and the join is a digest-keyed left join AQE can turn into broadcast
+    when the incoming batch's digest set is small. In production the
+    standing-corpus digest scan is further skipped by a bloom-filter
+    pre-probe (false positives re-checked by this exact join); the
+    semantics here are the exact reference for that accelerated path."""
+    docs = tables["documents"]
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    digests = docs.select("doc_id", F.md5(norm).alias("norm_hash"))
+    incoming = digests.filter(F.col("doc_id") % 5 == 0)
+    corpus_digests = (
+        digests.filter(F.col("doc_id") % 5 != 0)
+        .select("norm_hash")
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    first_in_batch = F.min("doc_id").over(Window.partitionBy("norm_hash"))
+    return (
+        incoming.withColumn("first_id", first_in_batch)
+        .join(corpus_digests, "norm_hash", "left")
+        .select(
+            "doc_id",
+            "norm_hash",
+            F.when(F.col("in_corpus"), F.lit("dup_corpus"))
+            .when(F.col("doc_id") != F.col("first_id"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+def ngram_novelty(tables: dict[str, DataFrame], n: int = 3) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything earlier in the corpus
+    (doc_id order = ingest order): the fraction of a doc's distinct word
+    n-grams whose first corpus occurrence is this document. Low novelty =
+    boilerplate/recombination; the curation signal behind "fuzzy dup but
+    not pairwise-duplicate" filtering and memorization studies.
+
+    Plan: one documents scan → shingle explode → ONE window keyed by the
+    8-byte shingle hash computes each shingle's first-occurrence doc (the
+    min over a key — map-side combinable) → one doc_id-keyed aggregation.
+    Two key-partitioned shuffles total, no joins, no pair explosion — this
+    is the linear-cost sibling of the quadratic pair family, so it runs on
+    the FULL corpus even at 100 TB (the window key is the same shingle hash
+    the LSH family shuffles)."""
+    docs = tables["documents"]
+    sh = doc_shingles(docs, n).select("doc_id", F.xxhash64("shingle").alias("sh"))
+    first = sh.withColumn("first_id", F.min("doc_id").over(Window.partitionBy("sh")))
+    return (
+        first.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_novel",
+            (F.floor(F.col("n_novel") * 10000.0 / F.col("n_sh") + 0.5) / 10000).alias(
+                "novelty"
+            ),
+        )
     )
 
 
@@ -1229,6 +1349,9 @@ QUERIES = {
     # tests/test_ops_dedup.py.
     "dedup_embedding_cosine": embedding_near_dups_blocked,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_containment": containment_pairs,
+    "dedup_incremental": incremental_dedup,
+    "text_ngram_novelty": ngram_novelty,
     "dedup_prefix_filter": prefix_filter_pairs,
     "dedup_edit_distance": edit_distance_pairs,
     "dedup_savings": dedup_savings,
@@ -1356,6 +1479,73 @@ ORACLES = {
                sum(c)::BIGINT AS covered_tokens,
                floor(sum(c) * 10000.0 / max(n_tokens) + 0.5) / 10000 AS dup_fraction
         FROM cov GROUP BY doc_id
+    """,
+    "dedup_containment": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(greatest(len(t) - 3, 0) + 1),
+                       i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS shingle
+            FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               floor((i * 1.0 / least(sa.n_sh, sb.n_sh)) * 10000 + 0.5) / 10000
+                   AS containment,
+               CASE WHEN sa.n_sh <= sb.n_sh THEN 'a_in_b' ELSE 'b_in_a' END
+                   AS direction
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE floor((i * 1.0 / least(sa.n_sh, sb.n_sh)) * 10000 + 0.5) / 10000 >= 0.8
+    """,
+    "text_ngram_novelty": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(greatest(len(t) - 3, 0) + 1),
+                       i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS shingle
+            FROM toks
+        ),
+        firsts AS (
+            SELECT doc_id, shingle,
+                   min(doc_id) OVER (PARTITION BY shingle) AS first_id
+            FROM sh
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_sh,
+               count(*) FILTER (WHERE first_id = doc_id)::BIGINT AS n_novel,
+               floor(count(*) FILTER (WHERE first_id = doc_id) * 10000.0
+                     / count(*) + 0.5) / 10000 AS novelty
+        FROM firsts GROUP BY doc_id
+    """,
+    "dedup_incremental": """
+        WITH d AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_hash
+            FROM documents
+        ),
+        corpus AS (SELECT DISTINCT norm_hash FROM d WHERE doc_id % 5 != 0),
+        incoming AS (
+            SELECT doc_id, norm_hash,
+                   min(doc_id) OVER (PARTITION BY norm_hash) AS first_id
+            FROM d WHERE doc_id % 5 = 0
+        )
+        SELECT i.doc_id, i.norm_hash,
+               CASE WHEN c.norm_hash IS NOT NULL THEN 'dup_corpus'
+                    WHEN i.doc_id != i.first_id THEN 'dup_batch'
+                    ELSE 'new' END AS status
+        FROM incoming i LEFT JOIN corpus c ON i.norm_hash = c.norm_hash
     """,
     "dedup_ngram_jaccard": """
         WITH toks AS (

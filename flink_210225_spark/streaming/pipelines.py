@@ -946,9 +946,108 @@ def dedup_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def window_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
+    """Third driver-checkable END-TO-END streaming query — WATERMARK-DRIVEN
+    WINDOW FLUSH: the events fixture replayed file-by-file
+    (maxFilesPerTrigger=1) through a tumbling 1-hour aggregation in APPEND
+    mode, where a window may only be emitted once the event-time watermark
+    passes its end. Two sentinel files (lone far-future rows, +2h/+4h past
+    the fixture max) are staged AFTER the data file, so the real windows sit
+    in the state store across micro-batch boundaries and flush only when the
+    later batches advance the watermark — the exact mechanism Flink's
+    tumbling event-time windows fire by (SURVEY §2.5 A1/T5). Sentinel rows
+    drive event-time forward and aggregate into their own
+    ``__sentinel__`` group, dropped on read-back (they cannot be filtered
+    pre-agg: Catalyst pushes the filter below the watermark operator).
+
+    Output = the batch ``window_visitor_stats`` shape (exact UV via
+    collect_set — streaming forbids countDistinct; sum 2dp-floored), so the
+    oracle is shared with the batch query: stream == batch, hash-gated."""
+    import tempfile
+
+    ev = tables["events"]
+    spark = ev.sparkSession
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = ev.inputFiles()[0]
+    local = "/" + src.split(":", 1)[1].lstrip("/")
+    raw = spark.read.parquet(local)  # ts: bigint (epoch nanos) or timestamp
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+    ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
+    out = tempfile.mkdtemp(prefix="window_stream_out_")
+    cp = tempfile.mkdtemp(prefix="window_stream_cp_")
+    srcdir = tempfile.mkdtemp(prefix="window_stream_src_")
+    os.symlink(local, os.path.join(srcdir, "events.parquet"))
+    for i, hours in enumerate((2, 4)):
+        if ts_is_long:
+            sent_ts = max_ts + hours * 3_600_000_000_000
+        else:
+            from datetime import timedelta
+
+            sent_ts = max_ts + timedelta(hours=hours)
+        sent = spark.createDataFrame(
+            [(-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}")],
+            raw.schema,
+        )
+        sdir = tempfile.mkdtemp(prefix=f"window_stream_sentinel{i}_")
+        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        # copy (not symlink) so the file's mtime is NOW → the file source
+        # orders it after the fixture file
+        os.link(os.path.join(sdir, part), os.path.join(srcdir, f"sentinel_{i}.parquet"))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+    if ts_is_long:
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp")
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # NOTE: no pre-agg sentinel filter — Catalyst pushes filters BELOW the
+    # EventTimeWatermark operator (down to the scan), so a filtered sentinel
+    # would never advance the watermark and the final real windows would
+    # stay unflushed in state. The sentinel aggregates into its own
+    # '__sentinel__' group instead and is dropped on read-back.
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type").alias("ch"))
+        .agg(
+            F.collect_set("user_id").alias("users"),
+            F.count("*").alias("pv_ct"),
+            F.sum("value").alias("sv"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "ch",
+            F.size("users").cast("long").alias("uv_ct"),
+            F.col("pv_ct").cast("long").alias("pv_ct"),
+            (F.floor(F.col("sv") * 100 + F.lit(0.5)) / 100).alias("dur_sum"),
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).filter(F.col("ch") != "__sentinel__")
+
+
+def _visitor_stats_oracle() -> str:
+    from flink_210225_spark.operators.windows import ORACLES as _WINDOW_ORACLES
+
+    return _WINDOW_ORACLES["window_visitor_stats"]
+
+
 QUERIES = {
     "stream_curation_materialized": curation_stream_materialized,
     "stream_dedup_materialized": dedup_stream_materialized,
+    "stream_window_materialized": window_stream_materialized,
 }
 
 
@@ -967,4 +1066,5 @@ ORACLES = {
     "stream_dedup_materialized": (
         "SELECT DISTINCT md5(text) AS text_hash FROM documents"
     ),
+    "stream_window_materialized": _visitor_stats_oracle(),
 }

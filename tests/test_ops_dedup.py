@@ -19,10 +19,58 @@ from .oracle import assert_matches_oracle
         "dedup_span_stats",
         "dedup_minhash_banded",
         "dedup_simhash_banded",
+        "dedup_containment",
+        "dedup_incremental",
+        "text_ngram_novelty",
     ],
 )
 def test_dedup_matches_oracle(name, tables):
     assert_matches_oracle(dedup.QUERIES[name](tables), dedup.ORACLES[name], SF_DIR)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    # doc 2 is doc 1's first 6 tokens verbatim inside a 30-token doc:
+    # containment(2→1 side) is 1.0 while Jaccard is far below 0.5 —
+    # the asymmetric case the Jaccard family is blind to.
+    long_toks = " ".join(f"w{i}" for i in range(30))
+    short_toks = " ".join(f"w{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [(1, long_toks), (2, short_toks), (3, "совсем другой текст без общего")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): (r.containment, r.direction)
+        for r in dedup.containment_pairs({"documents": docs}).collect()
+    }
+    assert pairs == {(1, 2): (1.0, "b_in_a")}
+    jac = dedup.ngram_jaccard_pairs({"documents": docs}).collect()
+    assert jac == []  # Jaccard at 0.5 misses the embedded quote
+
+
+def test_incremental_dedup_statuses(spark):
+    # corpus = ids 1,2 (digest A, B); batch = ids 5,10,15 where 5 dups the
+    # corpus (A), 15 dups 10 inside the batch (C), 10 is genuinely new.
+    docs = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (5, "Alpha   text"),
+         (10, "gamma text"), (15, "GAMMA TEXT")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in dedup.incremental_dedup({"documents": docs}).collect()}
+    assert got == {5: "dup_corpus", 10: "new", 15: "dup_batch"}
+
+
+def test_ngram_novelty_ordering_semantics(spark):
+    # doc 1 introduces everything (novelty 1.0); doc 2 is a verbatim copy
+    # (novelty 0.0); doc 3 shares half its shingles with doc 1.
+    a = " ".join(f"w{i}" for i in range(6))  # shingles w0..w3 starts -> 4
+    mixed = "w0 w1 w2 x0 x1 x2"
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, mixed)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in dedup.ngram_novelty({"documents": docs}).collect()}
+    assert rows[1].novelty == 1.0
+    assert rows[2].novelty == 0.0
+    assert rows[3].n_sh == 4 and rows[3].n_novel == 3  # only 'w0 w1 w2' seen before
 
 
 def test_span_stats_coverage_semantics(spark):

@@ -652,3 +652,17 @@ def test_dedup_stream_materialized_two_batch_replay(tables):
 
     df = sp.QUERIES["stream_dedup_materialized"](tables)
     assert_matches_oracle(df, sp.ORACLES["stream_dedup_materialized"], SF_DIR)
+
+
+def test_window_stream_materialized_watermark_flush(tables):
+    """Third driver-gated streaming query: tumbling windows held in state
+    across micro-batches flush only when the sentinel batches push the
+    watermark past their ends; the flushed set equals the batch
+    window_visitor_stats oracle exactly (stream == batch)."""
+    from flink_210225_spark.streaming import pipelines as sp
+
+    from .conftest import SF_DIR
+    from .oracle import assert_matches_oracle
+
+    df = sp.QUERIES["stream_window_materialized"](tables)
+    assert_matches_oracle(df, sp.ORACLES["stream_window_materialized"], SF_DIR)
