@@ -921,6 +921,215 @@ def curation_report(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def nb_quality(tables: dict[str, DataFrame]) -> DataFrame:
+    """Naive-Bayes token-log-odds quality classifier, self-trained on the
+    heuristic quality teacher — the SQL-expressible core of the
+    fasttext/CCNet "train a cheap linear classifier on a reference split,
+    score everything" pretraining filter. Teacher label: rounded heuristic
+    quality ≥ 0.5 (the production form swaps in a curated positive set,
+    e.g. wiki-ref pages; identical plan). Per-token class counts with
+    Laplace +1 smoothing give log-odds ln((ct⁺+1)/(T⁺+V)) −
+    ln((ct⁻+1)/(T⁻+V)); a document's score is its tf-weighted MEAN token
+    log-odds (mean, not sum, so score is length-invariant like fasttext's
+    normalized input vector), and nb_pos is the resulting decision.
+
+    Plan: one corpus scan → (doc, tok) partial agg (map-side combined),
+    vocab re-agg of that result (Zipf-bounded), the three totals (T⁺, T⁻,
+    V) ride ONE struct-typed scalar subquery (no join node, no 1-row
+    crossJoin → BNLJ trap), one vocab-keyed join, one doc-keyed agg.
+    Numeric contract: per-doc sums are ≤ distinct-token terms of ln values
+    (cross-engine ulp noise ~1e-12), rounded 4dp half-up; nb_pos compares
+    the ROUNDED score so both engines decide on the exact same grid. The
+    teacher cut is the corpus MEAN of the (4dp-rounded) quality — an
+    absolute cut like 0.5 degenerates to one class on easy/hard corpora;
+    the mean guarantees both classes exist wherever quality varies."""
+    docs = tables["documents"]
+    qbase = docs.select(
+        "doc_id",
+        tokens_col(F.col("text")).alias("toks"),
+    ).select("doc_id", "toks", _quality_expr(F.col("toks")).alias("quality"))
+    qcut = qbase.agg(F.avg("quality").alias("a")).scalar()
+    base = qbase.select("doc_id", "toks", (F.col("quality") >= qcut).alias("teacher"))
+    tf = (
+        base.select("doc_id", "teacher", F.explode("toks").alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "teacher", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = tf.groupBy("tok").agg(
+        F.sum(F.when(F.col("teacher"), F.col("tf")).otherwise(0)).alias("ct_pos"),
+        F.sum(F.when(~F.col("teacher"), F.col("tf")).otherwise(0)).alias("ct_neg"),
+    )
+    tot = stats.agg(
+        F.struct(
+            F.sum("ct_pos").alias("tp"),
+            F.sum("ct_neg").alias("tn"),
+            F.count("*").alias("v"),
+        ).alias("t")
+    ).scalar()
+    logodds = F.log(
+        (F.col("ct_pos") + 1) / (tot.getField("tp") + tot.getField("v"))
+    ) - F.log((F.col("ct_neg") + 1) / (tot.getField("tn") + tot.getField("v")))
+    scored = tf.join(stats, "tok")
+    avg = F.sum(F.col("tf") * logodds) / F.sum("tf")
+    out = scored.groupBy("doc_id", "teacher").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        (F.floor(avg * 10000 + 0.5) / 10000).alias("nb_score"),
+    )
+    return out.select(
+        "doc_id", "teacher", "n_tokens", "nb_score", (F.col("nb_score") > 0).alias("nb_pos")
+    )
+
+
+def dsir_weights(
+    tables: dict[str, DataFrame], target_source: str = "src0", buckets: int = 1024
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, data selection via
+    importance resampling): every document is scored by the log-likelihood
+    ratio of its HASHED unigram features under a target-domain bag-of-words
+    model vs the raw-corpus model — log w(x) = Σ_f tf_f · ln(p̂_T(f)/p̂_R(f))
+    with Laplace +1 over ``buckets`` hashed features. Downstream, documents
+    are resampled ∝ softmax of these weights to shift the corpus toward the
+    target domain. Target here = ``source == target_source`` rows (the
+    production form points this at a small curated corpus; same plan).
+
+    Feature hashing is md5-prefix mod ``buckets`` — DuckDB-replayable
+    (verified idiom: hex-prefix UBIGINT parse == Spark conv(hex,16,10)),
+    and the bucketed model is what makes DSIR 100 TB-viable: the model
+    table is ``buckets`` rows regardless of vocab, so the scoring join
+    broadcasts. One corpus scan → (bucket, is_target) map-side-combined
+    counts; totals ride one struct scalar; one broadcast join + doc agg."""
+    docs = tables["documents"]
+    toks = docs.select(
+        "doc_id",
+        (F.col("source") == target_source).alias("is_target"),
+        F.explode(tokens_col(F.col("text"))).alias("tok"),
+    ).where(F.col("tok") != "")
+    feat = toks.select(
+        "doc_id",
+        "is_target",
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+            F.lit(buckets),
+        ).alias("bucket"),
+    )
+    tf = feat.groupBy("doc_id", "is_target", "bucket").agg(F.count("*").alias("tf"))
+    model = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("tf")).otherwise(0)).alias("ct_t"),
+        F.sum(F.when(~F.col("is_target"), F.col("tf")).otherwise(0)).alias("ct_r"),
+    )
+    tot = model.agg(
+        F.struct(F.sum("ct_t").alias("tt"), F.sum("ct_r").alias("tr")).alias("t")
+    ).scalar()
+    llr = F.log((F.col("ct_t") + 1) / (tot.getField("tt") + F.lit(buckets))) - F.log(
+        (F.col("ct_r") + 1) / (tot.getField("tr") + F.lit(buckets))
+    )
+    scored = tf.join(F.broadcast(model), "bucket")
+    return scored.groupBy("doc_id", "is_target").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        (F.floor(F.sum(F.col("tf") * llr) * 10000 + 0.5) / 10000).alias("logw"),
+    )
+
+
+_BLOOM_M = 1 << 20  # bits
+_BLOOM_K = 4
+
+
+def bloom_contamination(
+    tables: dict[str, DataFrame], bench_source: str = "src1", n: int = 5
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the broadcast-bitset form
+    of ``contamination_check`` that survives benchmarks too big to ship as
+    a broadcast-join hash table. The benchmark's shingles are folded into
+    an m-bit Bloom filter (m=2²⁰, k=4 double-hashed probes from two
+    md5-prefix words, p_i = (h1 + i·h2) mod m); the filter travels to every
+    task as ONE m/8-byte array (128 KB here — a 1B-shingle benchmark at
+    fpp 1% is ~1.4 GB, still broadcastable where the shingle set is not),
+    and the corpus streams through a pure-expression membership probe with
+    ZERO shuffle on the benchmark axis. Only documents the filter flags are
+    then exact-verified (the shingle join runs on the candidate sliver, not
+    the corpus), the standard two-phase sieve.
+
+    Everything is deterministic given the hash construction, so the WHOLE
+    output — including false-positive docs — hash-gates: the DuckDB oracle
+    recomputes membership as a set-join on the same (h1 + i·h2) mod m
+    positions (all k present ⇔ all k bits set; bench bit-positions are
+    distinct, each i matches ≤ once). The bitset build collects the
+    benchmark's DISTINCT bit positions to the driver — ≤ k·|bench shingles|
+    ints, small by construction (eval suites are MBs), same boundedness as
+    the config collect in the CDC router."""
+    from flink_210225_spark.ops.dedup import shingles_col  # deferred: dedup imports us
+
+    docs = tables["documents"]
+    m, k = _BLOOM_M, _BLOOM_K
+    corpus = docs.filter(F.col("source") != bench_source)
+    bench = docs.filter(F.col("source") == bench_source)
+
+    def h12(col: str):
+        md = F.md5(col)
+        h1 = F.pmod(F.conv(F.substring(md, 1, 15), 16, 10).cast("long"), F.lit(m))
+        h2 = F.pmod(F.conv(F.substring(md, 16, 15), 16, 10).cast("long"), F.lit(m))
+        return h1, h2
+
+    b_sh = bench.select(
+        F.explode(shingles_col(F.col("text"), n)).alias("shingle")
+    ).distinct()
+    bh1, bh2 = h12("shingle")
+    positions = (
+        b_sh.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda i: F.pmod(bh1 + i * bh2, F.lit(m)),
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for row in positions:
+        p = row["p"]
+        words[p // 64] |= 1 << (p % 64)
+    # fold to signed int64 (bit 63 set → negative long), LongType-exact
+    bitset = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
+
+    c_sh = corpus.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle")
+    )
+    ch1, ch2 = h12("shingle")
+    probe = c_sh.select("doc_id", "shingle", ch1.alias("h1"), ch2.alias("h2"))
+    pos_i = lambda i: F.pmod(F.col("h1") + i * F.col("h2"), F.lit(m))  # noqa: E731
+    bit_set = lambda p: (  # noqa: E731
+        F.call_function(
+            "shiftright",
+            F.element_at(bitset, (p / 64).cast("int") + 1),
+            p.cast("int") % 64,
+        ).bitwiseAND(F.lit(1))
+        == 1
+    )
+    hit = F.forall(
+        F.sequence(F.lit(0), F.lit(k - 1)), lambda i: bit_set(pos_i(i))
+    )
+    per_doc = probe.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("bloom_hits"),
+    )
+    cand = per_doc.filter(F.col("bloom_hits") > 0)
+    exact = (
+        c_sh.join(cand.select("doc_id"), "doc_id")
+        .join(F.broadcast(b_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("eh"))
+    )
+    return cand.join(exact, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        "bloom_hits",
+        F.coalesce(F.col("eh"), F.lit(0)).cast("long").alias("exact_hits"),
+    )
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -946,6 +1155,9 @@ QUERIES = {
     "text_curation_report": curation_report,
     "text_frequent_tokens": frequent_tokens,
     "text_langid_trigram": langid_trigram,
+    "text_nb_quality": nb_quality,
+    "text_dsir_weights": dsir_weights,
+    "text_bloom_contamination": bloom_contamination,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -982,7 +1194,144 @@ def _pii_oracle_sql() -> str:
     """
 
 
+# The heuristic quality expression (text_quality_score's oracle), reused as
+# the NB teacher label below.
+_DUCK_QUALITY = """floor((0.4 * least(len(toks) / 100.0, 1.0)
+                      + 0.3 * (len(list_distinct(toks)) * 1.0 / len(toks))
+                      + 0.3 * (1.0 - abs(len(list_filter(toks, t -> t IN ('the','a')))
+                                         * 1.0 / len(toks) - 0.1))) * 10000 + 0.5) / 10000"""
+
+# Shared 5-gram shingle construction (same as text_contamination's oracle).
+_DUCK_SHINGLE5 = """unnest(list_distinct(list_transform(
+                       range(greatest(len(t) - 5, 0) + 1),
+                       i -> array_to_string(t[i + 1 : i + 5], ' '))))"""
+
 ORACLES = {
+    "text_nb_quality": f"""
+        WITH q AS (
+            SELECT doc_id, toks, {_DUCK_QUALITY} AS quality
+            FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+        ),
+        lab AS (
+            SELECT doc_id, toks, quality >= (SELECT avg(quality) FROM q) AS teacher
+            FROM q
+        ),
+        tf AS (
+            SELECT doc_id, teacher, tok, count(*)::BIGINT AS tf
+            FROM (SELECT doc_id, teacher, unnest(toks) AS tok FROM lab)
+            WHERE tok <> '' GROUP BY 1, 2, 3
+        ),
+        stats AS (
+            SELECT tok,
+                   sum(CASE WHEN teacher THEN tf ELSE 0 END)::BIGINT AS ct_pos,
+                   sum(CASE WHEN NOT teacher THEN tf ELSE 0 END)::BIGINT AS ct_neg
+            FROM tf GROUP BY 1
+        ),
+        tot AS (
+            SELECT sum(ct_pos)::BIGINT AS tp, sum(ct_neg)::BIGINT AS tn,
+                   count(*)::BIGINT AS v
+            FROM stats
+        ),
+        sc AS (
+            SELECT t.doc_id, t.teacher,
+                   sum(t.tf)::BIGINT AS n_tokens,
+                   floor(sum(t.tf * (ln((s.ct_pos + 1)
+                                        / ((SELECT tp FROM tot) + (SELECT v FROM tot)))
+                                   - ln((s.ct_neg + 1)
+                                        / ((SELECT tn FROM tot) + (SELECT v FROM tot)))))
+                         / sum(t.tf) * 10000 + 0.5) / 10000 AS nb_score
+            FROM tf t JOIN stats s USING (tok)
+            GROUP BY 1, 2
+        )
+        SELECT doc_id, teacher, n_tokens, nb_score, nb_score > 0 AS nb_pos FROM sc
+    """,
+    "text_dsir_weights": """
+        WITH feat AS (
+            SELECT doc_id, is_target,
+                   (('0x' || substr(md5(tok), 1, 15))::UBIGINT % 1024)::BIGINT AS bucket
+            FROM (
+                SELECT doc_id, source = 'src0' AS is_target,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents
+            )
+            WHERE tok <> ''
+        ),
+        tf AS (
+            SELECT doc_id, is_target, bucket, count(*)::BIGINT AS tf
+            FROM feat GROUP BY 1, 2, 3
+        ),
+        model AS (
+            SELECT bucket,
+                   sum(CASE WHEN is_target THEN tf ELSE 0 END)::BIGINT AS ct_t,
+                   sum(CASE WHEN NOT is_target THEN tf ELSE 0 END)::BIGINT AS ct_r
+            FROM tf GROUP BY 1
+        ),
+        tot AS (SELECT sum(ct_t)::BIGINT AS tt, sum(ct_r)::BIGINT AS tr FROM model)
+        SELECT t.doc_id, t.is_target,
+               sum(t.tf)::BIGINT AS n_tokens,
+               floor(sum(t.tf * (ln((m.ct_t + 1) / ((SELECT tt FROM tot) + 1024))
+                               - ln((m.ct_r + 1) / ((SELECT tr FROM tot) + 1024))))
+                     * 10000 + 0.5) / 10000 AS logw
+        FROM tf t JOIN model m USING (bucket)
+        GROUP BY 1, 2
+    """,
+    # Membership replay without a bitset: all k probe positions present in the
+    # benchmark's distinct position set ⇔ all k bits set (each i-row matches
+    # bpos at most once, so HAVING count(*) = k is the forall).
+    "text_bloom_contamination": f"""
+        WITH toks AS (
+            SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, source, {_DUCK_SHINGLE5} AS shingle FROM toks
+        ),
+        bsh AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src1'),
+        csh AS (SELECT doc_id, shingle FROM sh WHERE source != 'src1'),
+        bpos AS (
+            SELECT DISTINCT (h1 + r.i * h2) % {_BLOOM_M} AS p
+            FROM (
+                SELECT (('0x' || substr(md5(shingle), 1, 15))::UBIGINT
+                            % {_BLOOM_M})::BIGINT AS h1,
+                       (('0x' || substr(md5(shingle), 16, 15))::UBIGINT
+                            % {_BLOOM_M})::BIGINT AS h2
+                FROM bsh
+            ), range({_BLOOM_K}) r(i)
+        ),
+        cpos AS (
+            SELECT doc_id, shingle, r.i AS i, (h1 + r.i * h2) % {_BLOOM_M} AS p
+            FROM (
+                SELECT doc_id, shingle,
+                       (('0x' || substr(md5(shingle), 1, 15))::UBIGINT
+                            % {_BLOOM_M})::BIGINT AS h1,
+                       (('0x' || substr(md5(shingle), 16, 15))::UBIGINT
+                            % {_BLOOM_M})::BIGINT AS h2
+                FROM csh
+            ), range({_BLOOM_K}) r(i)
+        ),
+        hits AS (
+            SELECT doc_id, shingle
+            FROM cpos JOIN bpos USING (p)
+            GROUP BY doc_id, shingle
+            HAVING count(*) = {_BLOOM_K}
+        ),
+        perdoc AS (
+            SELECT c.doc_id,
+                   count(*)::BIGINT AS n_shingles,
+                   count(h.shingle)::BIGINT AS bloom_hits
+            FROM csh c LEFT JOIN hits h USING (doc_id, shingle)
+            GROUP BY c.doc_id
+            HAVING count(h.shingle) > 0
+        ),
+        exact AS (
+            SELECT doc_id, count(*)::BIGINT AS exact_hits
+            FROM csh JOIN bsh USING (shingle)
+            GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.n_shingles, p.bloom_hits,
+               coalesce(e.exact_hits, 0)::BIGINT AS exact_hits
+        FROM perdoc p LEFT JOIN exact e USING (doc_id)
+    """,
     "text_pii_redact": _pii_oracle_sql(),
     "text_tfidf_topk": f"""
         WITH toks AS (

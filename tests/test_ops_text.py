@@ -469,3 +469,54 @@ def test_langid_trigram_on_real_language_samples(spark):
     got = text.langid_trigram({"documents": docs}).collect()
     acc = sum(r.lang == r.pred_lang for r in got) / len(got)
     assert acc == 1.0, [(r.doc_id, r.lang, r.pred_lang) for r in got if r.lang != r.pred_lang]
+
+
+def test_nb_quality_separates_teacher_classes(tables):
+    """The self-trained NB scorer must separate its own training labels:
+    mean nb_score of teacher-positive docs above teacher-negative docs, and
+    training-set decision agreement above the majority-class baseline (a
+    broken scorer — zeroed counts, flipped sign — collapses both)."""
+    rows = text.nb_quality(tables).collect()
+    pos = [r.nb_score for r in rows if r.teacher]
+    neg = [r.nb_score for r in rows if not r.teacher]
+    assert pos and neg
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
+    acc = sum((r.nb_score > 0) == r.teacher for r in rows) / len(rows)
+    majority = max(len(pos), len(neg)) / len(rows)
+    assert acc >= majority, (acc, majority)
+
+
+def test_dsir_target_domain_scores_higher(spark):
+    """On a corpus where the target domain has genuinely distinct vocabulary,
+    every target doc's importance weight must exceed every raw doc's — the
+    log-likelihood ratio is exactly what separates the domains. (On the
+    shared-vocabulary fixtures the means are smoothing-noise; a distinct
+    vocabulary makes the direction a hard guarantee.)"""
+    rows = []
+    for i in range(20):
+        words = " ".join(f"med{j}" for j in range(i % 5, i % 5 + 30))
+        rows.append((i, words, "en", "src0", len(words)))
+    for i in range(20, 80):
+        words = " ".join(f"web{j}" for j in range(i % 7, i % 7 + 30))
+        rows.append((i, words, "en", "src1", len(words)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = text.dsir_weights({"documents": docs}).collect()
+    t = [r.logw for r in got if r.is_target]
+    r_ = [r.logw for r in got if not r.is_target]
+    assert t and r_
+    assert min(t) > max(r_), (min(t), max(r_))
+
+
+def test_bloom_contamination_no_false_negatives(tables):
+    """Bloom membership can only over-approximate: every exactly
+    contaminated doc (contamination_check) must surface with its full
+    exact overlap count, and per doc bloom_hits >= exact_hits."""
+    bloom = {r.doc_id: r for r in text.bloom_contamination(tables).collect()}
+    exact = {r.doc_id: r.n_overlap for r in text.contamination_check(tables).collect()}
+    for doc_id, n_overlap in exact.items():
+        assert doc_id in bloom, doc_id
+        assert bloom[doc_id].exact_hits == n_overlap, doc_id
+    for r in bloom.values():
+        assert r.bloom_hits >= r.exact_hits, r
