@@ -1038,6 +1038,70 @@ def window_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     return spark.read.parquet(out).filter(F.col("ch") != "__sentinel__")
 
 
+def join_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
+    """Fourth driver-checkable END-TO-END streaming query — STREAM-STREAM
+    JOIN STATE: orders and lineitem fixtures replayed as two independent
+    file-source streams through the watermarked interval join
+    (``streaming/joins.interval_join_streams``, the reference's
+    OrderWideApp J1 shape: detail.ship_ts ∈ [order.ts, +5 days) on the
+    order key, OrderWideApp.java:59-66), materialized through the file
+    sink's exactly-once commit log and read back. Both sides pass through
+    Spark's symmetric join-state machinery (each row is buffered keyed by
+    o_orderkey/l_orderkey until the other side's watermark clears it), so
+    a state-handling regression — dropped buffers, premature eviction,
+    double emission — changes the row set. Oracle = the BATCH interval
+    join's SQL (join_interval_order_detail): stream == batch, hash-gated.
+
+    Columns are pruned BEFORE the join (only the key, the two event times
+    and the two price fields enter the buffered state) — at 100 TB the
+    join state holds exactly what the output needs, not whole rows."""
+    o, li = tables["orders"], tables["lineitem"]
+    spark = o.sparkSession
+    o_local = "/" + o.inputFiles()[0].split(":", 1)[1].lstrip("/")
+    l_local = "/" + li.inputFiles()[0].split(":", 1)[1].lstrip("/")
+    out = tempfile.mkdtemp(prefix="join_stream_out_")
+    cp = tempfile.mkdtemp(prefix="join_stream_cp_")
+    odir = tempfile.mkdtemp(prefix="join_stream_osrc_")
+    ldir = tempfile.mkdtemp(prefix="join_stream_lsrc_")
+    os.symlink(o_local, os.path.join(odir, "orders.parquet"))
+    os.symlink(l_local, os.path.join(ldir, "lineitem.parquet"))
+    o_stream = (
+        spark.readStream.schema(o.schema)
+        .parquet(odir)
+        .select("o_orderkey", "o_orderdate")
+    )
+    l_stream = (
+        spark.readStream.schema(li.schema)
+        .parquet(ldir)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_discount")
+    )
+    from flink_210225_spark.streaming.joins import interval_join_streams
+
+    joined = interval_join_streams(
+        o_stream, l_stream, "o_orderkey", "l_orderkey", "o_orderdate", "l_shipdate",
+        0, 5 * 86400,
+    )
+    result = joined.select(
+        "o_orderkey",
+        "l_linenumber",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        (
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+            / 100
+        ).alias("split_amount"),
+    )
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 def _visitor_stats_oracle() -> str:
     from flink_210225_spark.operators.windows import ORACLES as _WINDOW_ORACLES
 
@@ -1048,7 +1112,14 @@ QUERIES = {
     "stream_curation_materialized": curation_stream_materialized,
     "stream_dedup_materialized": dedup_stream_materialized,
     "stream_window_materialized": window_stream_materialized,
+    "stream_join_materialized": join_stream_materialized,
 }
+
+
+def _interval_join_oracle() -> str:
+    from flink_210225_spark.operators.joins import ORACLES as _JOIN_ORACLES
+
+    return _JOIN_ORACLES["join_interval_order_detail"]
 
 
 def _curation_selected_oracle() -> str:
@@ -1067,4 +1138,5 @@ ORACLES = {
         "SELECT DISTINCT md5(text) AS text_hash FROM documents"
     ),
     "stream_window_materialized": _visitor_stats_oracle(),
+    "stream_join_materialized": _interval_join_oracle(),
 }

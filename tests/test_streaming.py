@@ -666,3 +666,17 @@ def test_window_stream_materialized_watermark_flush(tables):
 
     df = sp.QUERIES["stream_window_materialized"](tables)
     assert_matches_oracle(df, sp.ORACLES["stream_window_materialized"], SF_DIR)
+
+
+def test_join_stream_materialized_stream_equals_batch(tables):
+    """Fourth driver-gated streaming query: the stream-stream interval join
+    (both sides buffered in symmetric join state, watermark-bounded) must
+    emit exactly the batch interval join's rows — no drops, no premature
+    eviction, no double emission through the file sink's commit log."""
+    from flink_210225_spark.streaming import pipelines as sp
+
+    from .conftest import SF_DIR
+    from .oracle import assert_matches_oracle
+
+    df = sp.QUERIES["stream_join_materialized"](tables)
+    assert_matches_oracle(df, sp.ORACLES["stream_join_materialized"], SF_DIR)
