@@ -451,3 +451,24 @@ def test_simhash_banded_semantics(spark, tables):
     n_md5 = dedup.simhash_banded_md5(tables).count()
     n_fast = dedup.simhash_near_dups(tables).count()
     assert n_md5 <= 3 * n_fast + 10
+
+
+def test_crossdoc_spans_maximal_island(spark):
+    """A 20-token substring shared by two docs (all other tokens unique per
+    doc) must surface as exactly ONE island of exactly 20 tokens in each —
+    the maximal-run merge, not per-window counts."""
+    shared = " ".join(f"s{i}" for i in range(20))
+    a = " ".join(f"a{i}" for i in range(15)) + " " + shared + " " + " ".join(
+        f"z{i}" for i in range(15)
+    )
+    b = " ".join(f"b{i}" for i in range(18)) + " " + shared
+    docs = spark.createDataFrame(
+        [(1, a, "en", "s", len(a)), (2, b, "en", "s", len(b))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in dedup.crossdoc_spans({"documents": docs}).collect()}
+    assert set(got) == {1, 2}
+    for r in got.values():
+        assert r.n_islands == 1, r
+        assert r.max_run == 20, r
+        assert r.covered_tokens == 20, r
