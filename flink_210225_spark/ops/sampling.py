@@ -249,6 +249,58 @@ def shuffle_shards(tables: dict[str, DataFrame], n_shards: int = 64) -> DataFram
     )
 
 
+def reservoir_weighted(tables: dict[str, DataFrame], k: int = 20) -> DataFrame:
+    """Weighted reservoir sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES), derandomized: each document draws u ∈ (0,1] from a seeded md5
+    hash and competes on key = ln(u)/w — taking the per-language top-k by
+    that key is EXACTLY a weighted sample without replacement with
+    inclusion ∝ weight (here w = token count: a token-budget-aware doc
+    pick). The hash-derived u makes the "random" sample reproducible,
+    backfill-stable, and cross-engine replayable — the same property
+    hash_split buys for splits.
+
+    This is the canonical DISTRIBUTED reservoir: no sequential scan state
+    (classic reservoir sampling is single-stream), just a stateless key
+    projection + per-group top-k, which Catalyst executes with a partial
+    WindowGroupLimit before the Exchange — each map partition forwards at
+    most k rows per language, so a 100 TB corpus ships k·partitions rows,
+    not itself. Key ties are broken by doc_id; cross-engine double-order
+    risk is the same sub-ulp ln() class the tfidf ranking already carries
+    (adjacent-key gaps ~1e-5 vs noise ~1e-16)."""
+    docs = tables["documents"]
+    w_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("resv"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1
+    ) / F.lit(4503599627370497.0)  # 2^52 + 1 → u ∈ (0, 1]
+    base = docs.select(
+        "lang", "doc_id", w_tok.alias("n_tokens"), (F.log(u) / w_tok).alias("key")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("key"), F.asc("doc_id"))
+    ranked = base.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        "key",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "lang",
+        "rank",
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.floor(F.col("key") * 100000000 + 0.5) / 100000000).alias("key_r"),
+    )
+
+
 QUERIES = {
     "sample_hash_split": hash_split,
     "sample_quota_per_group": quota_per_group,
@@ -259,9 +311,31 @@ QUERIES = {
     "sample_temperature_repeats": temperature_repeat_plan,
     "sample_curriculum_deciles": curriculum_deciles,
     "sample_shuffle_shards": shuffle_shards,
+    "sample_reservoir_weighted": reservoir_weighted,
 }
 
 ORACLES = {
+    # Exact A-ES replay: same seeded md5 uniform, same ln(u)/w key, same
+    # per-language top-k and tie-break.
+    "sample_reservoir_weighted": """
+        WITH b AS (
+            SELECT lang, doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   ln((('0x' || substr(md5('resv:' || doc_id::VARCHAR), 1, 13))::UBIGINT
+                        + 1) / 4503599627370497.0)
+                       / len(regexp_split_to_array(trim(text), '\\s+')) AS key
+            FROM documents
+        ),
+        r AS (
+            SELECT lang, doc_id, n_tokens, key,
+                   row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id ASC)
+                       ::BIGINT AS rank
+            FROM b
+        )
+        SELECT lang, rank, doc_id, n_tokens::BIGINT AS n_tokens,
+               floor(key * 100000000 + 0.5) / 100000000 AS key_r
+        FROM r WHERE rank <= 20
+    """,
     # Exact replay: same seeded md5 key, same first-32-bits shard
     # assignment (DuckDB parses the hex prefix via '0x' cast — verified
     # equal to Spark's conv(hex,16,10)), same per-shard position order.

@@ -258,3 +258,36 @@ def test_shuffle_shards_layout_invariants(tables):
         assert sorted(ps) == list(range(1, len(ps) + 1)), shard
     mean = len(rows) / 64
     assert max(len(p) for p in by_shard.values()) <= 3 * mean + 5
+
+
+def test_reservoir_weighted_matches_python_model(tables):
+    """Exact parity with an independent Python A-ES model: same seeded md5
+    uniform, key = ln(u)/w, per-language top-20 with doc_id tie-break. Also
+    checks the weighted-inclusion direction: the sampled docs' mean token
+    count should exceed the corpus mean (inclusion ∝ weight)."""
+    import hashlib
+    import math
+    import re
+    from collections import defaultdict
+
+    rows = tables["documents"].select("doc_id", "lang", "text").collect()
+    per_lang = defaultdict(list)
+    weights = {}
+    for r in rows:
+        w = len(re.split(r"\s+", r.text.strip()))
+        u = (int(hashlib.md5(f"resv:{r.doc_id}".encode()).hexdigest()[:13], 16) + 1) / 4503599627370497.0
+        per_lang[r.lang].append((math.log(u) / w, r.doc_id))
+        weights[r.doc_id] = w
+    want = set()
+    for lang, ks in per_lang.items():
+        ks.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_key, doc_id) in enumerate(ks[:20], start=1):
+            want.add((lang, rank, doc_id))
+    from flink_210225_spark.ops import sampling
+
+    got_rows = sampling.reservoir_weighted(tables).collect()
+    got = {(r.lang, r.rank, r.doc_id) for r in got_rows}
+    assert got == want
+    sampled_mean = sum(weights[r.doc_id] for r in got_rows) / len(got_rows)
+    corpus_mean = sum(weights.values()) / len(weights)
+    assert sampled_mean > corpus_mean
