@@ -1102,6 +1102,72 @@ def join_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def stateful_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
+    """Fifth driver-checkable END-TO-END streaming query — CUSTOM KEYED
+    STATE + EVENT-TIME TIMERS under the gate: the events fixture replayed
+    file-by-file through ``jump_detection_stream``
+    (``applyInPandasWithState``: per-user pending event carried across
+    micro-batches, event-time timer emits the absence-jump — the
+    reference's CEP timeout side output, UserJumpDetailApp.java:46-86).
+    Two far-future sentinel files (+2h/+4h, user −1, dropped on read-back)
+    are staged AFTER the data so the watermark advances past every real
+    user's ts+timeout timer: the +2h batch raises the watermark, the +4h
+    batch runs with it raised and FIRES the timers (timers are evaluated
+    against the watermark computed from prior batches — the same one-batch
+    lag the window query's two sentinels cover). With all timers fired,
+    stream output == batch ``state_jump_detection`` exactly, so the batch
+    oracle hash-gates the whole stateful machinery: state carry-over,
+    timer registration, timeout emission, file-sink commit log."""
+    ev = tables["events"]
+    spark = ev.sparkSession
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = ev.inputFiles()[0]
+    local = "/" + src.split(":", 1)[1].lstrip("/")
+    raw = spark.read.parquet(local)
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+    ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
+    out = tempfile.mkdtemp(prefix="stateful_stream_out_")
+    cp = tempfile.mkdtemp(prefix="stateful_stream_cp_")
+    srcdir = tempfile.mkdtemp(prefix="stateful_stream_src_")
+    os.symlink(local, os.path.join(srcdir, "events.parquet"))
+    for i, hours in enumerate((2, 4)):
+        if ts_is_long:
+            sent_ts = max_ts + hours * 3_600_000_000_000
+        else:
+            from datetime import timedelta
+
+            sent_ts = max_ts + timedelta(hours=hours)
+        sent = spark.createDataFrame(
+            [(-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}")],
+            raw.schema,
+        )
+        sdir = tempfile.mkdtemp(prefix=f"stateful_stream_sentinel{i}_")
+        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        os.link(os.path.join(sdir, part), os.path.join(srcdir, f"sentinel_{i}.parquet"))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+    if ts_is_long:
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp")
+        )
+    q = (
+        jump_detection_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0).select(
+        "event_id", "user_id"
+    )
+
+
 def _visitor_stats_oracle() -> str:
     from flink_210225_spark.operators.windows import ORACLES as _WINDOW_ORACLES
 
@@ -1113,7 +1179,14 @@ QUERIES = {
     "stream_dedup_materialized": dedup_stream_materialized,
     "stream_window_materialized": window_stream_materialized,
     "stream_join_materialized": join_stream_materialized,
+    "stream_stateful_materialized": stateful_stream_materialized,
 }
+
+
+def _jump_oracle() -> str:
+    from flink_210225_spark.operators.stateful import ORACLES as _ST_ORACLES
+
+    return _ST_ORACLES["state_jump_detection"]
 
 
 def _interval_join_oracle() -> str:
@@ -1139,4 +1212,5 @@ ORACLES = {
     ),
     "stream_window_materialized": _visitor_stats_oracle(),
     "stream_join_materialized": _interval_join_oracle(),
+    "stream_stateful_materialized": _jump_oracle(),
 }

@@ -680,3 +680,17 @@ def test_join_stream_materialized_stream_equals_batch(tables):
 
     df = sp.QUERIES["stream_join_materialized"](tables)
     assert_matches_oracle(df, sp.ORACLES["stream_join_materialized"], SF_DIR)
+
+
+def test_stateful_stream_materialized_timers_fire_all(tables):
+    """Fifth driver-gated streaming query: applyInPandasWithState jump
+    detection with sentinel-advanced watermark must emit EXACTLY the batch
+    jump set — cross-batch pending state, event-time timer firing (with its
+    one-batch watermark lag), and the sink commit log all under one hash."""
+    from flink_210225_spark.streaming import pipelines as sp
+
+    from .conftest import SF_DIR
+    from .oracle import assert_matches_oracle
+
+    df = sp.QUERIES["stream_stateful_materialized"](tables)
+    assert_matches_oracle(df, sp.ORACLES["stream_stateful_materialized"], SF_DIR)
