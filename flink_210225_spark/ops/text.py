@@ -1031,6 +1031,60 @@ def dsir_weights(
     )
 
 
+def line_filter(tables: dict[str, DataFrame], line_tokens: int = 8) -> DataFrame:
+    """C4-style LINE-level cleanup (Raffel et al. 2020 §2.2: keep lines that
+    end in terminal punctuation and have enough words): per document, count
+    lines before/after the filter and emit the cleaned text's digest — the
+    line-granularity member of the filter family (quality/repetition are
+    doc-level, span_dedup is substring-level). The fixtures are single-line
+    punctuation-free token streams, so — exactly like ``pii_redact``'s
+    injected PII battery — the line structure is SYNTHESIZED
+    deterministically in both engines: lines of ``line_tokens`` tokens,
+    with line i of doc d ending in '.' iff (d + i) % 3 ≠ 0 (≈⅔ of lines
+    keepable). The rules then applied are real C4: ≥ 3 words AND terminal
+    punctuation.
+
+    Scale: pure per-row array/lambda expressions — line split, punctuation
+    tag, filter, re-join and digest all inside whole-stage codegen, ZERO
+    shuffles; the token array is let-bound once per row."""
+    docs = tables["documents"]
+    base = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    k = F.ceil(F.size("t") / F.lit(float(line_tokens))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice("t", i * line_tokens + 1, line_tokens)),
+    )
+    with_lines = base.select("doc_id", lines.alias("ls"))
+    tagged = with_lines.select(
+        "doc_id",
+        F.transform(
+            "ls",
+            lambda s, i: F.when(
+                (F.col("doc_id") + i) % 3 != 0, F.concat(s, F.lit("."))
+            ).otherwise(s),
+        ).alias("ls2"),
+    )
+    kept = F.filter(
+        "ls2",
+        lambda s: (F.size(F.split(s, r"\s+")) >= 3) & s.endswith("."),
+    )
+    out = tagged.select("doc_id", "ls2", kept.alias("kept"))
+    return out.select(
+        "doc_id",
+        F.size("ls2").cast("long").alias("n_lines"),
+        F.size("kept").cast("long").alias("kept_lines"),
+        F.aggregate(
+            "kept",
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.size(F.split(s, r"\s+")),
+        ).alias("kept_tokens"),
+        (
+            F.floor(F.size("kept") * 10000.0 / F.size("ls2") + 0.5) / 10000
+        ).alias("kept_frac"),
+        F.md5(F.concat_ws("\n", F.col("kept"))).alias("cleaned_digest"),
+    )
+
+
 _BLOOM_M = 1 << 20  # bits
 _BLOOM_K = 4
 
@@ -1158,6 +1212,7 @@ QUERIES = {
     "text_nb_quality": nb_quality,
     "text_dsir_weights": dsir_weights,
     "text_bloom_contamination": bloom_contamination,
+    "text_line_filter": line_filter,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1331,6 +1386,44 @@ ORACLES = {
         SELECT p.doc_id, p.n_shingles, p.bloom_hits,
                coalesce(e.exact_hits, 0)::BIGINT AS exact_hits
         FROM perdoc p LEFT JOIN exact e USING (doc_id)
+    """,
+    "text_line_filter": """
+        WITH b AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        l AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(ceil(len(t) / 8.0)::INT),
+                       i -> array_to_string(t[i * 8 + 1 : i * 8 + 8], ' ')) AS ls
+            FROM b
+        ),
+        l2 AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(len(ls)),
+                       i -> CASE WHEN (doc_id + i) % 3 <> 0 THEN ls[i + 1] || '.'
+                                 ELSE ls[i + 1] END) AS ls2
+            FROM l
+        ),
+        kf AS (
+            SELECT doc_id, ls2,
+                   list_filter(
+                       ls2,
+                       s -> len(regexp_split_to_array(s, '\\s+')) >= 3
+                            AND s LIKE '%.') AS kept
+            FROM l2
+        )
+        SELECT doc_id,
+               len(ls2)::BIGINT AS n_lines,
+               len(kept)::BIGINT AS kept_lines,
+               coalesce(list_sum(list_transform(
+                   kept, s -> len(regexp_split_to_array(s, '\\s+')))), 0)::BIGINT
+                   AS kept_tokens,
+               floor(len(kept) * 10000.0 / len(ls2) + 0.5) / 10000 AS kept_frac,
+               md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_digest
+        FROM kf
     """,
     "text_pii_redact": _pii_oracle_sql(),
     "text_tfidf_topk": f"""

@@ -520,3 +520,20 @@ def test_bloom_contamination_no_false_negatives(tables):
         assert bloom[doc_id].exact_hits == n_overlap, doc_id
     for r in bloom.values():
         assert r.bloom_hits >= r.exact_hits, r
+
+
+def test_line_filter_semantics(spark):
+    """Hand-checkable micro: 16 tokens → 2 lines of 8; doc 2 tags lines
+    where (2+i)%3 != 0 → line 0 ('.'), line 1 ((2+1)%3=0, no '.'). Kept =
+    line 0 only: 8 tokens, digest of that exact line."""
+    import hashlib
+
+    text16 = " ".join(f"w{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(2, text16, "en", "s", len(text16))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = text.line_filter({"documents": docs}).collect()[0]
+    assert (r.n_lines, r.kept_lines, r.kept_tokens) == (2, 1, 8)
+    expect = " ".join(f"w{i}" for i in range(8)) + "."
+    assert r.cleaned_digest == hashlib.md5(expect.encode()).hexdigest()
