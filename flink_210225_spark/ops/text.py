@@ -1085,6 +1085,79 @@ def line_filter(tables: dict[str, DataFrame], line_tokens: int = 8) -> DataFrame
     )
 
 
+def cdc_chunks(
+    tables: dict[str, DataFrame], divisor: int = 8, min_tokens: int = 4
+) -> DataFrame:
+    """Content-defined chunking at token granularity (the Rabin/Gear CDC
+    idea, as used for dedup-friendly storage and FastCDC): a chunk boundary
+    falls AFTER token i whenever md5(token) mod ``divisor`` == 0 and the
+    current chunk already has ``min_tokens`` tokens — so boundaries are a
+    function of CONTENT, not position. Insert one token into a document and
+    only the chunk containing it changes; every downstream chunk keeps its
+    boundaries and digest (fixed-stride ``chunk_windows`` shifts every
+    subsequent chunk — the whole reason CDC exists). Emitted per chunk:
+    position, length, and digest — the unit for chunk-level exact dedup
+    across near-identical documents.
+
+    Scale: boundary flags, running chunk ids, and per-chunk re-joins are
+    per-row array/lambda expressions (zero shuffle, codegen); the chunk
+    table explodes to ~n_tokens/divisor rows per doc. The min-size floor is
+    enforced with a sequential fold (aggregate) over the boundary flags —
+    still per-row, still linear."""
+    docs = tables["documents"]
+    base = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    # boundary AFTER token i (0-based) iff hash%divisor==0; the fold walks
+    # tokens carrying (chunk_start, acc) and emits closed chunk starts.
+    is_cut = lambda tok: (  # noqa: E731
+        F.pmod(F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"), F.lit(divisor))
+        == 0
+    )
+    cuts = F.transform("t", lambda tok: F.when(is_cut(tok), 1).otherwise(0))
+    # fold: state = array of chunk start indices (0-based); a cut at i with
+    # i - last_start + 1 >= min_tokens opens a new chunk at i+1
+    starts = F.aggregate(
+        F.zip_with(cuts, F.sequence(F.lit(0), F.size("t") - 1), lambda c, i: F.struct(c.alias("c"), i.alias("i"))),
+        F.array(F.lit(0)),
+        lambda acc, x: F.when(
+            (x.getField("c") == 1)
+            & (x.getField("i") - F.element_at(acc, -1) + 1 >= min_tokens)
+            & (x.getField("i") + 1 < F.size("t")),
+            F.concat(acc, F.array(x.getField("i") + 1)),
+        ).otherwise(acc),
+    )
+    with_starts = base.select("doc_id", "t", starts.alias("starts"))
+    chunks = with_starts.select(
+        "doc_id",
+        "t",
+        F.size("t").alias("n_tokens"),
+        F.posexplode(
+            F.zip_with(
+                "starts",
+                F.concat(
+                    F.slice("starts", 2, F.greatest(F.size("starts") - 1, F.lit(1))),
+                    F.array(F.size("t")),
+                ),
+                lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+            )
+        ).alias("chunk_idx", "se"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("se.s").cast("long").alias("start_tok"),
+        (F.col("se.e") - F.col("se.s")).cast("long").alias("chunk_len"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "t", F.col("se.s") + 1, (F.col("se.e") - F.col("se.s")).cast("int")
+                ),
+            )
+        ).alias("chunk_digest"),
+    )
+
+
 _BLOOM_M = 1 << 20  # bits
 _BLOOM_K = 4
 
@@ -1213,6 +1286,7 @@ QUERIES = {
     "text_dsir_weights": dsir_weights,
     "text_bloom_contamination": bloom_contamination,
     "text_line_filter": line_filter,
+    "text_cdc_chunks": cdc_chunks,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1424,6 +1498,56 @@ ORACLES = {
                floor(len(kept) * 10000.0 / len(ls2) + 0.5) / 10000 AS kept_frac,
                md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_digest
         FROM kf
+    """,
+    # Recursive-CTE sequential kernel (the repo's established oracle pattern
+    # for greedy walks): candidate cuts in order, a cut closes a chunk only
+    # if the open chunk already has min_tokens — same state the Spark fold
+    # carries. Iterations = cuts per doc (~n_tokens/divisor).
+    "text_cdc_chunks": """
+        WITH RECURSIVE b AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        cand AS (
+            SELECT doc_id, i,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+            FROM (
+                SELECT doc_id, unnest(range(len(t))) AS i, t FROM b
+            )
+            WHERE (('0x' || substr(md5(t[i + 1]), 1, 15))::UBIGINT % 8) = 0
+              AND i + 1 < len(t)
+        ),
+        walk AS (
+            SELECT doc_id, 0 AS rn, 0 AS last_start, [0] AS starts FROM b
+            UNION ALL
+            SELECT w.doc_id, w.rn + 1,
+                   CASE WHEN c.i - w.last_start + 1 >= 4 THEN c.i + 1
+                        ELSE w.last_start END,
+                   CASE WHEN c.i - w.last_start + 1 >= 4
+                        THEN list_append(w.starts, c.i + 1)
+                        ELSE w.starts END
+            FROM walk w JOIN cand c ON c.doc_id = w.doc_id AND c.rn = w.rn + 1
+        ),
+        fin AS (
+            SELECT w.doc_id, w.starts
+            FROM walk w
+            JOIN (SELECT doc_id, max(rn) AS mr FROM walk GROUP BY doc_id) m
+              ON w.doc_id = m.doc_id AND w.rn = m.mr
+        ),
+        ch AS (
+            SELECT x.doc_id, b.t, len(b.t) AS n_tokens, x.k AS chunk_idx,
+                   x.starts[x.k + 1] AS s,
+                   CASE WHEN x.k + 1 < len(x.starts) THEN x.starts[x.k + 2]
+                        ELSE len(b.t) END AS e
+            FROM (
+                SELECT doc_id, starts, unnest(range(len(starts))) AS k FROM fin
+            ) x
+            JOIN b ON b.doc_id = x.doc_id
+        )
+        SELECT doc_id, n_tokens::BIGINT AS n_tokens, chunk_idx::BIGINT AS chunk_idx,
+               s::BIGINT AS start_tok, (e - s)::BIGINT AS chunk_len,
+               md5(array_to_string(t[s + 1 : e], ' ')) AS chunk_digest
+        FROM ch
     """,
     "text_pii_redact": _pii_oracle_sql(),
     "text_tfidf_topk": f"""

@@ -537,3 +537,37 @@ def test_line_filter_semantics(spark):
     assert (r.n_lines, r.kept_lines, r.kept_tokens) == (2, 1, 8)
     expect = " ".join(f"w{i}" for i in range(8)) + "."
     assert r.cleaned_digest == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_cdc_chunks_insertion_stability(spark):
+    """The CDC property: inserting one token must leave every other chunk's
+    digest intact — boundaries are content-defined, so chunks resynchronize
+    at the next cut point (fixed-stride chunking would shift every
+    downstream chunk). Also: chunks partition the doc exactly."""
+    base_toks = [f"w{i}" for i in range(200)]
+    ins_toks = base_toks[:100] + ["XXINSERT"] + base_toks[100:]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(base_toks), "en", "s", 0),
+            (2, " ".join(ins_toks), "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = text.cdc_chunks({"documents": docs}).collect()
+    by_doc: dict = {1: [], 2: []}
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        # exact partition: contiguous, covers all tokens
+        pos = 0
+        for r in rs:
+            assert r.start_tok == pos, (d, r)
+            pos += r.chunk_len
+        assert pos == rs[0].n_tokens
+    d1 = [r.chunk_digest for r in by_doc[1]]
+    d2 = [r.chunk_digest for r in by_doc[2]]
+    from collections import Counter
+
+    common = sum((Counter(d1) & Counter(d2)).values())
+    assert common >= len(d1) - 2, (len(d1), len(d2), common)
