@@ -1411,6 +1411,53 @@ def embedding_near_dups_blocked(
     return grid.mapInPandas(score, "vec_a long, vec_b long, cosine double")
 
 
+def paraphrase_mining(
+    tables: dict[str, DataFrame],
+    sem_threshold: float = 0.40,
+    lex_threshold: float = 0.30,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-modal paraphrase mining: pairs that are SEMANTICALLY near
+    (embedding cosine ≥ ``sem_threshold``, via the blocked block-pair GEMM —
+    no driver collect) but LEXICALLY far (exact ``n``-gram Jaccard <
+    ``lex_threshold``) — same meaning, different words. The complement of
+    near-dup removal: these pairs are what you KEEP (hard-positive pairs
+    for embedding training, paraphrase augmentation) and exactly what
+    MinHash-only dedup can never surface. Joins ``embeddings`` to
+    ``documents`` on vec_id == doc_id (the fixture contract).
+
+    Scale: candidate pairs come from the GEMM (output-sized, not corpus²);
+    Jaccard is computed ONLY on those pairs — the shingle join fans out
+    |pairs|·shingles_per_doc rows, then one groupBy. Both sides reuse the
+    semantic candidates the way ``minhash_verified`` reuses LSH buckets:
+    the expensive exact verify never touches non-candidates."""
+    pairs = embedding_near_dups_blocked(tables, threshold=sem_threshold)
+    docs = tables["documents"]
+    sh = doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("vec_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("vec_b"), "shingle")
+    inter = (
+        pairs.join(a_sh, "vec_a")
+        .join(b_sh, ["vec_b", "shingle"])
+        .groupBy("vec_a", "vec_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("vec_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("vec_b"), F.col("n_sh").alias("nb"))
+    scored = (
+        pairs.join(inter, ["vec_a", "vec_b"], "left")
+        .join(sa, "vec_a")
+        .join(sb, "vec_b")
+    )
+    i0 = F.coalesce(F.col("i"), F.lit(0))
+    jac = F.floor(i0 * 1000000.0 / (F.col("na") + F.col("nb") - i0) + 0.5) / 1000000
+    return (
+        scored.select("vec_a", "vec_b", "cosine", jac.alias("jaccard"))
+        .filter(F.col("jaccard") < lex_threshold)
+    )
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_normalized": normalized_dedup,
@@ -1423,6 +1470,7 @@ QUERIES = {
     # broadcast variant stays as a small-corpus helper, parity-gated in
     # tests/test_ops_dedup.py.
     "dedup_embedding_cosine": embedding_near_dups_blocked,
+    "dedup_paraphrase_mining": paraphrase_mining,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_containment": containment_pairs,
     "dedup_incremental": incremental_dedup,
@@ -1554,6 +1602,54 @@ ORACLES = {
                sum(c)::BIGINT AS covered_tokens,
                floor(sum(c) * 10000.0 / max(n_tokens) + 0.5) / 10000 AS dup_fraction
         FROM cov GROUP BY doc_id
+    """,
+    # Semantic pairs replayed exactly as dedup_embedding_cosine's oracle;
+    # Jaccard on candidates only, integer-ratio rounding, filter on the
+    # ROUNDED value so both engines cut on the same grid.
+    "dedup_paraphrase_mining": """
+        WITH normed AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS v,
+                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   floor((list_sum(list_transform(range(64), i -> a.v[i + 1] * b.v[i + 1]))
+                          / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS cosine
+            FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+            WHERE floor((list_sum(list_transform(range(64), i -> a.v[i + 1] * b.v[i + 1]))
+                         / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 >= 0.40
+        ),
+        toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(greatest(len(t) - 3, 0) + 1),
+                       i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS shingle
+            FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT p.vec_a, p.vec_b, count(*) AS i
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.vec_a
+            JOIN sh b ON b.doc_id = p.vec_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT p.vec_a, p.vec_b, p.cosine,
+                   floor(coalesce(i.i, 0) * 1000000.0
+                         / (sa.n_sh + sb.n_sh - coalesce(i.i, 0)) + 0.5) / 1000000
+                       AS jaccard
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.vec_a
+            JOIN sizes sb ON sb.doc_id = p.vec_b
+            LEFT JOIN inter i ON i.vec_a = p.vec_a AND i.vec_b = p.vec_b
+        )
+        SELECT * FROM scored WHERE jaccard < 0.30
     """,
     # Same xxhash64-vs-string equality argument as dedup_span_stats above.
     "dedup_crossdoc_spans": """

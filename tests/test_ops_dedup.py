@@ -472,3 +472,33 @@ def test_crossdoc_spans_maximal_island(spark):
         assert r.n_islands == 1, r
         assert r.max_run == 20, r
         assert r.covered_tokens == 20, r
+
+
+def test_paraphrase_mining_excludes_lexical_dups(spark):
+    """Same embedding + same words = near-dup → excluded; same embedding +
+    different words = paraphrase → surfaced with jaccard 0."""
+    vec = [1.0] + [0.0] * 63
+    vec2 = [0.0, 1.0] + [0.0] * 62
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat today", "en", "s", 0),
+            (1, "the cat sat on the mat today", "en", "s", 0),   # dup of 0
+            (2, "a feline rested upon a rug", "en", "s", 0),     # paraphrase of 0
+            (3, "unrelated text about spark plans", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [(0, vec, 0), (1, vec, 0), (2, vec, 0), (3, vec2, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        (r.vec_a, r.vec_b): r
+        for r in dedup.paraphrase_mining(
+            {"documents": docs, "embeddings": emb}
+        ).collect()
+    }
+    assert (0, 2) in got and (1, 2) in got       # semantically near, lexically far
+    assert (0, 1) not in got                     # exact dup: jaccard 1.0 filtered
+    assert all(b != 3 and a != 3 for (a, b) in got)  # cosine 0 to vec2
+    assert got[(0, 2)].jaccard == 0.0 and got[(0, 2)].cosine == 1.0
