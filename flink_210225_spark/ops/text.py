@@ -1158,6 +1158,94 @@ def cdc_chunks(
     )
 
 
+def corpus_manifest(
+    tables: dict[str, DataFrame],
+    min_quality: float = 0.55,
+    bench_source: str = "src1",
+    n: int = 5,
+) -> DataFrame:
+    """The END-TO-END corpus-build manifest — the whole preprocessing
+    pipeline as ONE Spark plan: exact-dedup survivor selection (min doc_id
+    per content digest), quality + repetition keep-flags, benchmark
+    decontamination, content-keyed split, and the final ``selected``
+    verdict every downstream trainer consumes. This is the query a user of
+    the engine actually ships: each column reuses the exact expression its
+    standalone query oracle-gates (single source of truth), so the capstone
+    inherits their verified semantics.
+
+    Plan: one scan computes all per-row columns + the digest; the survivor
+    flag is ONE window over the 16-byte digest (document bytes do not ride
+    the shuffle — only the manifest columns); decontamination is the
+    broadcast shingle probe reduced to a DISTINCT doc_id flag joined back.
+    selected = survivor ∧ repetition-clean ∧ quality ≥ τ ∧ ¬contaminated ∧
+    ¬benchmark. Total: the digest-window shuffle + the flag join, at any
+    corpus size."""
+    from flink_210225_spark.ops.dedup import shingles_col
+    from flink_210225_spark.ops.sampling import _TEST, _VAL
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id", "lang", "source", "text", tokens_col(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
+    rep = _repetition_cols(toks, 0.18, 0.55)
+    quality = _quality_expr(toks)
+    h1 = F.substring(F.md5("text"), 1, 1)
+    split = (
+        F.when(h1.isin(*_VAL), F.lit("val"))
+        .when(h1.isin(*_TEST), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    per_doc = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5("text").alias("digest"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        quality.alias("quality"),
+        rep["keep"].alias("keep_repetition"),
+        split.alias("split"),
+        (F.col("source") == bench_source).alias("is_bench"),
+    )
+    wdg = Window.partitionBy("digest")
+    surv = per_doc.withColumn(
+        "is_survivor", F.min("doc_id").over(wdg) == F.col("doc_id")
+    )
+    corpus_sh = docs.filter(F.col("source") != bench_source).select(
+        "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle")
+    )
+    bench_sh = docs.filter(F.col("source") == bench_source).select(
+        F.explode(shingles_col(F.col("text"), n)).alias("shingle")
+    ).distinct()
+    contam = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    out = surv.join(contam, "doc_id", "left")
+    contaminated = F.coalesce(F.col("contaminated"), F.lit(False))
+    return out.select(
+        "doc_id",
+        "lang",
+        "source",
+        "split",
+        "n_tokens",
+        "quality",
+        "keep_repetition",
+        "is_survivor",
+        contaminated.alias("contaminated"),
+        "is_bench",
+        (
+            F.col("is_survivor")
+            & F.col("keep_repetition")
+            & (F.col("quality") >= min_quality)
+            & ~contaminated
+            & ~F.col("is_bench")
+        ).alias("selected"),
+    )
+
+
 _BLOOM_M = 1 << 20  # bits
 _BLOOM_K = 4
 
@@ -1287,6 +1375,7 @@ QUERIES = {
     "text_bloom_contamination": bloom_contamination,
     "text_line_filter": line_filter,
     "text_cdc_chunks": cdc_chunks,
+    "text_corpus_manifest": corpus_manifest,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1498,6 +1587,70 @@ ORACLES = {
                floor(len(kept) * 10000.0 / len(ls2) + 0.5) / 10000 AS kept_frac,
                md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_digest
         FROM kf
+    """,
+    # Capstone: every fragment reused from its standalone oracle (quality /
+    # repetition / split from text_curation_pipeline, survivor = min-over-
+    # digest window, contamination = the text_contamination probe as an
+    # existence flag).
+    "text_corpus_manifest": """
+        WITH t AS (
+            SELECT doc_id, lang, source, text,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, lang, source, text, toks,
+                   len(toks) AS n,
+                   len(list_distinct(toks)) AS uniq,
+                   len(list_filter(toks, tk -> tk IN ('the','a'))) AS stop_ct,
+                   list_max(list_transform(list_distinct(toks),
+                            d -> len(list_filter(toks, tk -> tk = d)))) AS top_ct,
+                   list_transform(range(greatest(len(toks) - 1, 0)),
+                                  i -> toks[i + 1] || ' ' || toks[i + 2]) AS bi
+            FROM t
+        ),
+        f AS (
+            SELECT doc_id, lang, source, md5(text) AS digest,
+                   n::BIGINT AS n_tokens,
+                   floor((0.4 * least(n / 100.0, 1.0)
+                          + 0.3 * (uniq * 1.0 / n)
+                          + 0.3 * (1.0 - abs(stop_ct * 1.0 / n - 0.1))) * 10000 + 0.5)
+                       / 10000 AS quality,
+                   (floor(top_ct * 1.0 / n * 10000 + 0.5) / 10000 <= 0.18
+                    AND CASE WHEN len(bi) > 0
+                             THEN floor((1.0 - len(list_distinct(bi)) * 1.0 / len(bi))
+                                        * 10000 + 0.5) / 10000
+                             ELSE 0.0 END <= 0.55) AS keep_repetition,
+                   CASE WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+                        WHEN substr(md5(text), 1, 1) IN ('e', 'f') THEN 'test'
+                        ELSE 'train' END AS split,
+                   source = 'src1' AS is_bench
+            FROM m
+        ),
+        surv AS (
+            SELECT *, min(doc_id) OVER (PARTITION BY digest) = doc_id AS is_survivor
+            FROM f
+        ),
+        sh AS (
+            SELECT doc_id, source,
+                   unnest(list_distinct(list_transform(
+                       range(greatest(len(toks) - 5, 0) + 1),
+                       i -> array_to_string(toks[i + 1 : i + 5], ' ')))) AS shingle
+            FROM t
+        ),
+        contam AS (
+            SELECT DISTINCT c.doc_id
+            FROM sh c
+            JOIN (SELECT DISTINCT shingle FROM sh WHERE source = 'src1') b
+              USING (shingle)
+            WHERE c.source != 'src1'
+        )
+        SELECT s.doc_id, s.lang, s.source, s.split, s.n_tokens, s.quality,
+               s.keep_repetition, s.is_survivor,
+               (c.doc_id IS NOT NULL) AS contaminated, s.is_bench,
+               (s.is_survivor AND s.keep_repetition AND s.quality >= 0.55
+                AND c.doc_id IS NULL AND NOT s.is_bench) AS selected
+        FROM surv s LEFT JOIN contam c ON c.doc_id = s.doc_id
     """,
     # Recursive-CTE sequential kernel (the repo's established oracle pattern
     # for greedy walks): candidate cuts in order, a cut closes a chunk only

@@ -571,3 +571,33 @@ def test_cdc_chunks_insertion_stability(spark):
 
     common = sum((Counter(d1) & Counter(d2)).values())
     assert common >= len(d1) - 2, (len(d1), len(d2), common)
+
+
+def test_corpus_manifest_composes_verified_components(tables):
+    """Every manifest column must equal the standalone oracle-gated query it
+    reuses: quality, repetition keep, split, contamination doc set, and
+    exact-dedup survivorship; selected must discriminate."""
+    man = {r.doc_id: r for r in text.corpus_manifest(tables).collect()}
+    q = {r.doc_id: r.quality for r in text.quality_score(tables).collect()}
+    rep = {r.doc_id: r.keep for r in text.repetition_filter(tables).collect()}
+    from flink_210225_spark.ops import sampling
+
+    split = {r.doc_id: r.split for r in sampling.hash_split(tables).collect()}
+    contam = {r.doc_id for r in text.contamination_check(tables).collect()}
+    assert all(man[d].quality == v for d, v in q.items())
+    assert all(man[d].keep_repetition == v for d, v in rep.items())
+    assert all(man[d].split == v for d, v in split.items())
+    assert {d for d, r in man.items() if r.contaminated} == contam
+    # survivors: exactly one per digest group, the min doc_id
+    import hashlib
+
+    texts = {r.doc_id: r.text for r in tables["documents"].select("doc_id", "text").collect()}
+    by_digest: dict = {}
+    for d, t in texts.items():
+        by_digest.setdefault(hashlib.md5(t.encode()).hexdigest(), []).append(d)
+    for ds in by_digest.values():
+        keep = min(ds)
+        for d in ds:
+            assert man[d].is_survivor == (d == keep), d
+    sel = sum(r.selected for r in man.values())
+    assert 0 < sel < len(man)
