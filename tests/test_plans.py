@@ -136,6 +136,9 @@ CARTESIAN_OK = {
     # composes the blocked GEMM below as its exact side — same block grid
     "sim_semantic_audit",
     "dedup_embedding_cosine",
+    # composes the blocked GEMM as its semantic-candidate source — same
+    # n_blocks² block grid; the Jaccard verify side is equi-join shaped
+    "dedup_paraphrase_mining",
 }
 
 
