@@ -252,8 +252,63 @@ def semi_anti_profile(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def range_join_bucketed(
+    tables: dict[str, DataFrame], delta: float = 50.0
+) -> DataFrame:
+    """Numeric BAND join without a theta join: customers ⋈ suppliers in the
+    same nation with |c_acctbal − s_acctbal| ≤ δ — the entity-matching /
+    numeric-proximity family (J1/J2 are its event-TIME siblings; this is
+    the value-axis member). Spark has no range-join operator, and the naive
+    condition plans BroadcastNestedLoopJoin — O(|C|·|S|) per nation. The
+    scale shape bucketizes: bucket = floor(bal/δ); a match within ±δ can
+    only sit in the same or an adjacent bucket, so the small side explodes
+    ×3 to (bucket−1, bucket, bucket+1) and the join becomes EQUI on
+    (nation, bucket) — hash-shuffled, AQE-skew-splittable, with the exact
+    |diff| ≤ δ predicate riding as a post-join filter. 3× the small side is
+    the entire cost of turning O(n²) into O(n).
+
+    Dedup note: a pair whose buckets differ by one would match via exactly
+    ONE of the three offsets (the one aligning s's bucket to c's), so no
+    duplicate pairs arise and no distinct is needed."""
+    c, s = tables["customer"], tables["supplier"]
+    cb = c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.floor(F.col("c_acctbal") / delta).alias("bucket"),
+    )
+    sb = s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(F.col("s_acctbal") / delta) + off).alias("b")
+                    for off in (-1, 0, 1)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    joined = cb.join(
+        sb,
+        (cb.c_nationkey == sb.s_nationkey) & (cb.bucket == sb.bucket),
+    ).filter(F.abs(F.col("c_acctbal") - F.col("s_acctbal")) <= delta)
+    return joined.select(
+        "c_custkey",
+        "s_suppkey",
+        F.col("c_nationkey").alias("nationkey"),
+        "c_acctbal",
+        "s_acctbal",
+        (
+            F.floor(F.abs(F.col("c_acctbal") - F.col("s_acctbal")) * 100 + 0.5) / 100
+        ).alias("bal_diff"),
+    )
+
+
 QUERIES = {
     "join_semi_anti": semi_anti_profile,
+    "join_range_bucketed": range_join_bucketed,
     "join_interval_order_detail": interval_join_order_detail,
     "join_interval_payment": interval_join_payment,
     "join_interval_outer": interval_join_outer,
@@ -263,6 +318,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    # The oracle is free to theta-join (DuckDB's IEJoin handles bands
+    # natively) — an INDEPENDENT algorithm arriving at the same pair set.
+    "join_range_bucketed": """
+        SELECT c_custkey, s_suppkey, c_nationkey AS nationkey,
+               c_acctbal, s_acctbal,
+               floor(abs(c_acctbal - s_acctbal) * 100 + 0.5) / 100 AS bal_diff
+        FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        WHERE abs(c_acctbal - s_acctbal) <= 50.0
+    """,
     "join_semi_anti": """
         SELECT c_nationkey AS nationkey,
                count(*)::BIGINT AS n_customers,

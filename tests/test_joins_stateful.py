@@ -162,3 +162,22 @@ def test_semi_anti_plan_and_accounting(tables):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     for r in df.collect():
         assert r.with_orders + r.without_orders == r.n_customers
+
+
+def test_range_join_bucketed_boundary_pairs(spark):
+    """Pairs straddling a bucket boundary must match via the adjacent-bucket
+    explode (49.9 vs 50.1 sit in buckets 0/1 but differ by 0.2), far pairs
+    must not, and no pair may be emitted twice."""
+    from flink_210225_spark.operators.joins import range_join_bucketed
+
+    c = spark.createDataFrame(
+        [(1, "a", 0, 49.9, "m"), (2, "b", 0, 500.0, "m"), (3, "c", 1, 50.1, "m")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    s = spark.createDataFrame(
+        [(10, "x", 0, 50.1), (11, "y", 0, 455.0), (12, "z", 1, 120.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    rows = range_join_bucketed({"customer": c, "supplier": s}).collect()
+    pairs = [(r.c_custkey, r.s_suppkey) for r in rows]
+    assert sorted(pairs) == [(1, 10), (2, 11)]  # boundary pair matched once; nation 1 pair too far
