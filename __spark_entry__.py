@@ -30,11 +30,13 @@ def _registry():
     )
     from flink_210225_spark.functions import segmentation
     from flink_210225_spark.ops import dedup, multimodal, sampling, similarity, text
+    from flink_210225_spark.sources import pyds
     from flink_210225_spark.streaming import pipelines as streaming_pipelines
     from flink_210225_spark.streaming import sql_jobs
 
     modules = [
         segmentation,
+        pyds,
         streaming_pipelines,
         sql_jobs,
         colocate,

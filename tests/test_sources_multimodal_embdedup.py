@@ -155,3 +155,54 @@ def test_socket_source_runtime_end_to_end(spark):
         stop_evt.set()
         q.stop()
         srv.close()
+
+
+def test_pyds_batch_read_row_groups(spark):
+    """Custom Python DataSource (batch): row-group-partitioned read must
+    return exactly the parquet fixture's rows."""
+    from flink_210225_spark.sources.pyds import register
+
+    register(spark)
+    path = "/root/testdata/sf0.001/documents.parquet"
+    got = (
+        spark.read.format("fixture_replay").option("path", path).load()
+    )
+    want = spark.read.parquet(path)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_pyds_stream_offsets_and_restart_recovery(spark, tmp_path):
+    """Custom source streaming: row-offset cursor serves batch_rows per
+    micro-batch; repeated availableNow restarts over the SAME checkpoint
+    drain the fixture without loss or duplication (offset recovery) into a
+    file sink with exactly-once commit log."""
+    from flink_210225_spark.sources.pyds import register
+
+    register(spark)
+    path = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    prev = -1
+    for _ in range(10):
+        stream = (
+            spark.readStream.format("fixture_replay")
+            .option("path", path)
+            .option("batch_rows", "150")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(out).count()
+        if n == prev:
+            break
+        prev = n
+    got = spark.read.parquet(out)
+    want = spark.read.parquet(path)
+    assert got.count() == want.count() == 500
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
