@@ -934,15 +934,20 @@ def nb_quality(tables: dict[str, DataFrame]) -> DataFrame:
     normalized input vector), and nb_pos is the resulting decision.
 
     Plan: one corpus scan → (doc, tok) partial agg (map-side combined),
-    vocab re-agg of that result (Zipf-bounded), the three totals (T⁺, T⁻,
-    V) ride ONE struct-typed scalar subquery (no join node, no 1-row
-    crossJoin → BNLJ trap), one vocab-keyed join, one doc-keyed agg.
-    Numeric contract: per-doc sums are ≤ distinct-token terms of ln values
-    (cross-engine ulp noise ~1e-12), rounded 4dp half-up; nb_pos compares
-    the ROUNDED score so both engines decide on the exact same grid. The
-    teacher cut is the corpus MEAN of the (4dp-rounded) quality — an
-    absolute cut like 0.5 degenerates to one class on easy/hard corpora;
-    the mean guarantees both classes exist wherever quality varies."""
+    vocab re-agg of that result (Zipf-bounded), one vocab-keyed join, one
+    doc-keyed agg. The totals enter the score ONLY as the constant
+    C = ln((T⁻+V)/(T⁺+V)) — the per-token log-odds is rewritten
+    ln(ct⁺+1) − ln(ct⁻+1), with C added once to the per-doc mean — so ONE
+    scalar subquery carries everything. (A struct-typed scalar with three
+    getFields was measured to decompose into FOUR independent subqueries,
+    each replaying the whole tf pipeline: 20 scans / 39 exchanges; the
+    algebraic fold is 3 scans.) Numeric contract: per-doc sums are
+    ≤ distinct-token terms of ln values (cross-engine ulp noise ~1e-12),
+    rounded 4dp half-up; nb_pos compares the ROUNDED score so both engines
+    decide on the exact same grid. The teacher cut is the corpus MEAN of
+    the (4dp-rounded) quality — an absolute cut like 0.5 degenerates to
+    one class on easy/hard corpora; the mean guarantees both classes exist
+    wherever quality varies."""
     docs = tables["documents"]
     qbase = docs.select(
         "doc_id",
@@ -960,18 +965,15 @@ def nb_quality(tables: dict[str, DataFrame]) -> DataFrame:
         F.sum(F.when(F.col("teacher"), F.col("tf")).otherwise(0)).alias("ct_pos"),
         F.sum(F.when(~F.col("teacher"), F.col("tf")).otherwise(0)).alias("ct_neg"),
     )
-    tot = stats.agg(
-        F.struct(
-            F.sum("ct_pos").alias("tp"),
-            F.sum("ct_neg").alias("tn"),
-            F.count("*").alias("v"),
-        ).alias("t")
+    c_const = stats.agg(
+        F.log(
+            (F.sum("ct_neg") + F.count("*"))
+            / (F.sum("ct_pos") + F.count("*")).cast("double")
+        ).alias("c")
     ).scalar()
-    logodds = F.log(
-        (F.col("ct_pos") + 1) / (tot.getField("tp") + tot.getField("v"))
-    ) - F.log((F.col("ct_neg") + 1) / (tot.getField("tn") + tot.getField("v")))
+    logodds = F.log(F.col("ct_pos") + 1) - F.log(F.col("ct_neg") + 1)
     scored = tf.join(stats, "tok")
-    avg = F.sum(F.col("tf") * logodds) / F.sum("tf")
+    avg = F.sum(F.col("tf") * logodds) / F.sum("tf") + c_const
     out = scored.groupBy("doc_id", "teacher").agg(
         F.sum("tf").cast("long").alias("n_tokens"),
         (F.floor(avg * 10000 + 0.5) / 10000).alias("nb_score"),
@@ -998,7 +1000,7 @@ def dsir_weights(
     and the bucketed model is what makes DSIR 100 TB-viable: the model
     table is ``buckets`` rows regardless of vocab, so the scoring join
     broadcasts. One corpus scan → (bucket, is_target) map-side-combined
-    counts; totals ride one struct scalar; one broadcast join + doc agg."""
+    counts; totals fold into one scalar constant; broadcast join + doc agg."""
     docs = tables["documents"]
     toks = docs.select(
         "doc_id",
@@ -1018,16 +1020,25 @@ def dsir_weights(
         F.sum(F.when(F.col("is_target"), F.col("tf")).otherwise(0)).alias("ct_t"),
         F.sum(F.when(~F.col("is_target"), F.col("tf")).otherwise(0)).alias("ct_r"),
     )
-    tot = model.agg(
-        F.struct(F.sum("ct_t").alias("tt"), F.sum("ct_r").alias("tr")).alias("t")
+    # Totals enter only as the constant C = ln((T_r+B)/(T_t+B)) scaled by
+    # the doc's token count — ONE scalar subquery instead of per-field
+    # subqueries that each replay the model pipeline (see nb_quality).
+    c_const = model.agg(
+        F.log(
+            (F.sum("ct_r") + F.lit(buckets))
+            / (F.sum("ct_t") + F.lit(buckets)).cast("double")
+        ).alias("c")
     ).scalar()
-    llr = F.log((F.col("ct_t") + 1) / (tot.getField("tt") + F.lit(buckets))) - F.log(
-        (F.col("ct_r") + 1) / (tot.getField("tr") + F.lit(buckets))
-    )
+    llr = F.log(F.col("ct_t") + 1) - F.log(F.col("ct_r") + 1)
     scored = tf.join(F.broadcast(model), "bucket")
     return scored.groupBy("doc_id", "is_target").agg(
         F.sum("tf").cast("long").alias("n_tokens"),
-        (F.floor(F.sum(F.col("tf") * llr) * 10000 + 0.5) / 10000).alias("logw"),
+        (
+            F.floor(
+                (F.sum(F.col("tf") * llr) + F.sum("tf") * c_const) * 10000 + 0.5
+            )
+            / 10000
+        ).alias("logw"),
     )
 
 
@@ -1479,11 +1490,10 @@ ORACLES = {
         sc AS (
             SELECT t.doc_id, t.teacher,
                    sum(t.tf)::BIGINT AS n_tokens,
-                   floor(sum(t.tf * (ln((s.ct_pos + 1)
-                                        / ((SELECT tp FROM tot) + (SELECT v FROM tot)))
-                                   - ln((s.ct_neg + 1)
-                                        / ((SELECT tn FROM tot) + (SELECT v FROM tot)))))
-                         / sum(t.tf) * 10000 + 0.5) / 10000 AS nb_score
+                   floor((sum(t.tf * (ln(s.ct_pos + 1) - ln(s.ct_neg + 1)))
+                          / sum(t.tf)
+                          + (SELECT ln((tn + v) / (tp + v)) FROM tot))
+                         * 10000 + 0.5) / 10000 AS nb_score
             FROM tf t JOIN stats s USING (tok)
             GROUP BY 1, 2
         )
@@ -1513,8 +1523,8 @@ ORACLES = {
         tot AS (SELECT sum(ct_t)::BIGINT AS tt, sum(ct_r)::BIGINT AS tr FROM model)
         SELECT t.doc_id, t.is_target,
                sum(t.tf)::BIGINT AS n_tokens,
-               floor(sum(t.tf * (ln((m.ct_t + 1) / ((SELECT tt FROM tot) + 1024))
-                               - ln((m.ct_r + 1) / ((SELECT tr FROM tot) + 1024))))
+               floor((sum(t.tf * (ln(m.ct_t + 1) - ln(m.ct_r + 1)))
+                      + sum(t.tf) * (SELECT ln((tr + 1024) / (tt + 1024)) FROM tot))
                      * 10000 + 0.5) / 10000 AS logw
         FROM tf t JOIN model m USING (bucket)
         GROUP BY 1, 2
