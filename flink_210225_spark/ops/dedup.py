@@ -1458,6 +1458,111 @@ def paraphrase_mining(
     )
 
 
+def pagerank_dup_graph(
+    tables: dict[str, DataFrame],
+    n: int = 3,
+    threshold: float = 0.5,
+    iters: int = 8,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the near-duplicate graph — the graph-centrality member
+    of the iterative family (``components_from_edges`` finds WHO is
+    connected; this ranks how CENTRAL each doc is inside its duplicate
+    cluster — the canonical-representative signal: hub pages that many
+    variants orbit score high, one-off mirrors score low). Edges are the
+    exact-Jaccard ≥ threshold pairs (same oracle-verified edge set as
+    ``dedup_ngram_jaccard``), undirected → both directions contribute.
+
+    FIXED-iteration synchronous power method (``iters`` rounds), so the
+    result is deterministic and the DuckDB oracle replays it as ``iters``
+    UNROLLED CTEs — an iterative graph algorithm under the exact hash gate,
+    no convergence heuristics in the contract. Spark shape: the canonical
+    Pregel loop — one shuffle per round (contributions grouped by dst);
+    the edge+degree table is localCheckpoint-ed ONCE so the shingle-pair
+    pipeline is not replayed per round (same discipline as the components
+    loop); rank lineage stays ``iters`` joins deep, all on 8-byte keys.
+    N (node count) is the only driver round-trip — one tiny aggregate,
+    the components-loop precedent."""
+    edges = ngram_jaccard_pairs(tables, n, threshold).select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    ewd = sym.join(deg, "src").localCheckpoint()
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        spark = tables["documents"].sparkSession
+        return spark.createDataFrame([], "doc_id long, degree long, rank double")
+    # NB: 0.15 literal, NOT (1.0 - damping) — IEEE 1.0-0.85 is
+    # 0.15000000000000002, a different constant than the oracle's 0.15
+    base = F.lit(0.15 / n_nodes)
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iters):
+        contrib = ewd.join(ranks, ewd.src == ranks.node).select(
+            "dst", (F.col("rank") / F.col("d")).alias("c")
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (base + damping * F.sum("c")).alias("rank")
+        ).select(F.col("dst").alias("node"), "rank")
+    return ranks.join(deg, ranks.node == deg.src).select(
+        F.col("node").alias("doc_id"),
+        F.col("d").cast("long").alias("degree"),
+        (F.floor(F.col("rank") * 1000000 + 0.5) / 1000000).alias("rank"),
+    )
+
+
+def _pagerank_oracle(iters: int = 8) -> str:
+    head = """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(greatest(len(t) - 3, 0) + 1),
+                       i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS shingle
+            FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000 + 0.5) / 10000
+                  >= 0.5
+        ),
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM edges
+        ),
+        deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM deg),
+        r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+        r{k} AS (
+            SELECT s.dst AS node,
+                   0.15 / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.d) AS rank
+            FROM sym s
+            JOIN r{k - 1} r ON r.node = s.src
+            JOIN deg d ON d.src = s.src
+            GROUP BY s.dst
+        )""")
+    tail = f"""
+        SELECT r.node AS doc_id, d.d::BIGINT AS degree,
+               floor(r.rank * 1000000 + 0.5) / 1000000 AS rank
+        FROM r{iters} r JOIN deg d ON d.src = r.node"""
+    return head + "," + ",".join(steps) + tail
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_normalized": normalized_dedup,
@@ -1471,6 +1576,7 @@ QUERIES = {
     # tests/test_ops_dedup.py.
     "dedup_embedding_cosine": embedding_near_dups_blocked,
     "dedup_paraphrase_mining": paraphrase_mining,
+    "dedup_pagerank": pagerank_dup_graph,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_containment": containment_pairs,
     "dedup_incremental": incremental_dedup,
@@ -1837,6 +1943,9 @@ ORACLES = {
 # Star contraction computes the same (doc_id, component) labels as min-label
 # propagation — the propagation oracle gates both iteration engines.
 ORACLES["dedup_components_star"] = ORACLES["dedup_components"]
+# Fixed-iteration PageRank: 8 power-method rounds UNROLLED as CTEs over the
+# same oracle-verified edge set as dedup_ngram_jaccard.
+ORACLES["dedup_pagerank"] = _pagerank_oracle()
 
 # Prefix filtering is candidate pruning, not approximation: the emitted
 # (doc_a, doc_b, jaccard) rows are identical to the quadratic baseline's, so

@@ -502,3 +502,27 @@ def test_paraphrase_mining_excludes_lexical_dups(spark):
     assert (0, 1) not in got                     # exact dup: jaccard 1.0 filtered
     assert all(b != 3 and a != 3 for (a, b) in got)  # cosine 0 to vec2
     assert got[(0, 2)].jaccard == 0.0 and got[(0, 2)].cosine == 1.0
+
+
+def test_pagerank_mass_and_hub_dominance(spark, tables):
+    """Rank mass is conserved (undirected graph has no dangling loss: ranks
+    sum to ~1), and in a star micro-graph the hub (degree 3) outranks every
+    leaf (degree 1)."""
+    rows = dedup.pagerank_dup_graph(tables).collect()
+    if rows:
+        assert abs(sum(r.rank for r in rows) - 1.0) < 1e-3
+    hub = [f"w{i}" for i in range(40)]
+    leaves = []
+    for li, lo in enumerate((0, 15, 30)):
+        toks = list(hub)
+        for j in range(10):
+            toks[lo + j] = f"u{li}_{j}"
+        leaves.append(" ".join(toks))
+    docs = spark.createDataFrame(
+        [(0, " ".join(hub), "en", "s", 0)]
+        + [(i + 1, t, "en", "s", 0) for i, t in enumerate(leaves)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in dedup.pagerank_dup_graph({"documents": docs}).collect()}
+    assert got[0].degree == 3 and all(got[i].degree == 1 for i in (1, 2, 3))
+    assert all(got[0].rank > got[i].rank for i in (1, 2, 3))
