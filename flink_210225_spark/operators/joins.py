@@ -217,6 +217,45 @@ def asof_join_events(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def asof_join_events_forward(tables: dict[str, DataFrame]) -> DataFrame:
+    """FORWARD as-of join: each ``purchase`` picks the EARLIEST ``view``
+    at-or-after its timestamp from the same user — the post-event lookup
+    (what did the user see right after buying), mirror of
+    ``asof_join_events``'s latest-prior. Same zero-pair-explosion shape:
+    one union, one user_id-keyed window, NOCB (next-non-null carry
+    BACKWARD) via ``first(...) over [current, unboundedFollowing]``.
+    Ordering (ts, side DESC, event_id): at equal ts the purchase (side 1)
+    sorts BEFORE the view (side 0), so the forward window includes it —
+    inclusive ">="; equal-ts views resolve to MIN event_id (first in
+    order), deterministically — the oracle dedups to the same row before
+    its native ASOF."""
+    ev = tables["events"]
+    view = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id", F.lit(0).alias("side")
+    )
+    purchase = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id", F.lit(1).alias("side")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.desc("side"), F.col("event_id"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = purchase.unionByName(view).withColumn(
+        "asof",
+        F.first(
+            F.when(F.col("side") == 0, F.struct("ts", "value")), ignorenulls=True
+        ).over(w),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof.ts").alias("view_ts"),
+        F.col("asof.value").alias("view_value"),
+    )
+
+
 def semi_anti_profile(tables: dict[str, DataFrame]) -> DataFrame:
     """Explicit LEFT SEMI / LEFT ANTI join surface: per nation, customers
     WITH at least one order (semi) and customers WITHOUT any (anti) — the
@@ -315,9 +354,25 @@ QUERIES = {
     "join_payment_wide": payment_wide,
     "join_order_wide": order_wide,
     "join_asof_events": asof_join_events,
+    "join_asof_forward": asof_join_events_forward,
 }
 
 ORACLES = {
+    # Forward mirror of join_asof_events's oracle: dedupe equal-ts views to
+    # MIN event_id, then DuckDB's native ASOF with p.ts <= vd.ts.
+    "join_asof_forward": """
+        WITH v AS (
+            SELECT user_id, ts, value, event_id,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id ASC) AS rn
+            FROM events WHERE event_type = 'view'
+        ),
+        vd AS (SELECT user_id, ts, value FROM v WHERE rn = 1),
+        p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, p.ts,
+               vd.ts AS view_ts, vd.value AS view_value
+        FROM p ASOF LEFT JOIN vd ON p.user_id = vd.user_id AND p.ts <= vd.ts
+    """,
     # The oracle is free to theta-join (DuckDB's IEJoin handles bands
     # natively) — an INDEPENDENT algorithm arriving at the same pair set.
     "join_range_bucketed": """

@@ -181,3 +181,28 @@ def test_range_join_bucketed_boundary_pairs(spark):
     rows = range_join_bucketed({"customer": c, "supplier": s}).collect()
     pairs = [(r.c_custkey, r.s_suppkey) for r in rows]
     assert sorted(pairs) == [(1, 10), (2, 11)]  # boundary pair matched once; nation 1 pair too far
+
+
+def test_asof_forward_inclusive_and_min_tie(spark):
+    """Forward as-of: equal-ts view matches its purchase (inclusive >=),
+    ties at the same ts resolve to MIN event_id, and a purchase with no
+    later view gets NULLs."""
+    from datetime import datetime
+
+    from flink_210225_spark.operators.joins import asof_join_events_forward
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime(2024, 1, 1, 12, 5, 0)
+    rows = [
+        (1, t0, 7, "purchase", 1.0, "{}"),
+        (2, t0, 7, "view", 2.0, "{}"),      # equal ts: must match, min id among (2,3)
+        (3, t0, 7, "view", 3.0, "{}"),
+        (4, t1, 7, "purchase", 4.0, "{}"),  # no later view -> NULL
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r.event_id: r for r in asof_join_events_forward({"events": ev}).collect()}
+    assert got[1].view_value == 2.0 and got[1].view_ts == t0
+    assert got[4].view_ts is None and got[4].view_value is None
