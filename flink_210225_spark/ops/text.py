@@ -1257,6 +1257,76 @@ def corpus_manifest(
     )
 
 
+def turn_mask_plan(tables: dict[str, DataFrame]) -> DataFrame:
+    """Chat-turn LOSS-MASK plan — the SFT-data sibling of ``pack_plan``:
+    documents are segmented into alternating user/assistant turns and each
+    turn emits (offset, length, role, loss_mask), the layout a supervised
+    fine-tune reads to train ONLY on assistant tokens (user turns masked
+    out of the loss). The fixtures are flat token streams, so turns are
+    SYNTHESIZED deterministically (the pii_redact/line_filter pattern):
+    turn i of doc d spans 5 + ((d + i) mod 7) tokens — variable lengths,
+    so offsets are a real prefix sum, not i·k — with the tail truncated at
+    the document end. Roles alternate user/assistant from i = 0; loss_mask
+    = (role == assistant). Each turn also carries its text digest so a
+    slicing bug (off-by-one offsets, overlapping turns) breaks the hash.
+
+    Scale: the prefix-sum fold, slicing and digests are per-row
+    array/lambda expressions — zero shuffle, same class as cdc_chunks."""
+    docs = tables["documents"]
+    base = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    n = F.size("t")
+    # fold: the turn being closed is index size(acc)−1 (the APPEND count,
+    # not the sequence counter — using the counter would re-time turn
+    # lengths after the first failed append); append the next start while
+    # it lands inside the document. L(j) = 5 + ((doc_id + j) mod 7).
+    tlen = lambda j: F.lit(5) + F.pmod(F.col("doc_id") + j, F.lit(7))  # noqa: E731
+    starts = F.aggregate(
+        F.sequence(F.lit(0), (n / 5).cast("int") + 1),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, _i: F.when(
+            F.element_at(acc, -1) + tlen(F.size(acc) - 1) < n,
+            F.concat(
+                acc, F.array(F.element_at(acc, -1) + tlen(F.size(acc) - 1))
+            ),
+        ).otherwise(acc),
+    )
+    with_starts = base.select("doc_id", "t", n.alias("n_tokens"), starts.alias("ss"))
+    turns = with_starts.select(
+        "doc_id",
+        "t",
+        "n_tokens",
+        F.posexplode(
+            F.zip_with(
+                "ss",
+                F.concat(
+                    F.slice("ss", 2, F.greatest(F.size("ss") - 1, F.lit(1))),
+                    F.array(F.col("n_tokens")),
+                ),
+                lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+            )
+        ).alias("turn_idx", "se"),
+    )
+    role = F.when(F.col("turn_idx") % 2 == 0, F.lit("user")).otherwise(
+        F.lit("assistant")
+    )
+    return turns.select(
+        "doc_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        role.alias("role"),
+        F.col("se.s").cast("long").alias("tok_start"),
+        (F.col("se.e") - F.col("se.s")).cast("long").alias("tok_len"),
+        (role == "assistant").alias("loss_mask"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "t", F.col("se.s") + 1, (F.col("se.e") - F.col("se.s")).cast("int")
+                ),
+            )
+        ).alias("turn_digest"),
+    )
+
+
 _BLOOM_M = 1 << 20  # bits
 _BLOOM_K = 4
 
@@ -1413,6 +1483,7 @@ QUERIES = {
     "text_line_filter": line_filter,
     "text_cdc_chunks": cdc_chunks,
     "text_corpus_manifest": corpus_manifest,
+    "text_turn_mask_plan": turn_mask_plan,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1623,6 +1694,38 @@ ORACLES = {
                floor(len(kept) * 10000.0 / len(ls2) + 0.5) / 10000 AS kept_frac,
                md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_digest
         FROM kf
+    """,
+    # Recursive-CTE walk mirroring the Spark fold: state (j, start), step
+    # appends start + L(j) while inside the doc; ends = next start (or n,
+    # truncated tail) via lead().
+    "text_turn_mask_plan": """
+        WITH RECURSIVE b AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n
+            FROM documents
+        ),
+        walk AS (
+            SELECT doc_id, 0 AS j, 0 AS s FROM b
+            UNION ALL
+            SELECT w.doc_id, w.j + 1, w.s + 5 + ((w.doc_id + w.j) % 7)
+            FROM walk w JOIN b ON b.doc_id = w.doc_id
+            WHERE w.s + 5 + ((w.doc_id + w.j) % 7) < b.n
+        ),
+        turns AS (
+            SELECT doc_id, j, s,
+                   coalesce(lead(s) OVER (PARTITION BY doc_id ORDER BY j), -1) AS nx
+            FROM walk
+        )
+        SELECT t.doc_id,
+               t.j::BIGINT AS turn_idx,
+               CASE WHEN t.j % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+               t.s::BIGINT AS tok_start,
+               (e.e - t.s)::BIGINT AS tok_len,
+               (t.j % 2 = 1) AS loss_mask,
+               md5(array_to_string(b.t[t.s + 1 : e.e], ' ')) AS turn_digest
+        FROM turns t
+        JOIN b ON b.doc_id = t.doc_id
+        CROSS JOIN LATERAL (SELECT CASE WHEN t.nx = -1 THEN b.n ELSE t.nx END AS e) e
     """,
     # Capstone: every fragment reused from its standalone oracle (quality /
     # repetition / split from text_curation_pipeline, survivor = min-over-

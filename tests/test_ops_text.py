@@ -601,3 +601,30 @@ def test_corpus_manifest_composes_verified_components(tables):
             assert man[d].is_survivor == (d == keep), d
     sel = sum(r.selected for r in man.values())
     assert 0 < sel < len(man)
+
+
+def test_turn_mask_plan_partitions_and_masks(tables):
+    """Turns must partition each doc exactly (contiguous offsets covering
+    all tokens), lengths follow 5 + ((doc_id + j) mod 7) except the
+    truncated tail, and loss_mask is exactly the assistant turns."""
+    rows = text.turn_mask_plan(tables).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_tok = {
+        r.doc_id: len(r.text.strip().split())
+        for r in tables["documents"].select("doc_id", "text").collect()
+    }
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r.turn_idx)
+        pos = 0
+        for j, r in enumerate(rs):
+            assert r.turn_idx == j and r.tok_start == pos
+            expect = 5 + (d + j) % 7
+            if j < len(rs) - 1:
+                assert r.tok_len == expect, (d, j)
+            else:
+                assert r.tok_len <= expect or len(rs) == 1
+            assert r.loss_mask == (r.role == "assistant") == (j % 2 == 1)
+            pos += r.tok_len
+        assert pos == n_tok[d], d
