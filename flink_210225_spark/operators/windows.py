@@ -399,7 +399,56 @@ def uv_approx_sketch(tables: dict[str, DataFrame], rsd: float = 0.02) -> DataFra
     )
 
 
+def ema_per_user(tables: dict[str, DataFrame], alpha: float = 0.25) -> DataFrame:
+    """Per-user exponential moving average of event values — the
+    RECURRENCE member of the moving-metric family (``window_moving_avg``
+    is the finite-frame member): ema_i = α·x_i + (1−α)·ema_{i−1}, the
+    smoothing every monitoring/trend layer runs. A closed-form rewrite
+    (Σ α(1−α)^{i−j}x_j) would let a plain window express it but is
+    numerically DIFFERENT (huge intermediate powers); the contract here is
+    the exact recurrence, so both engines replay the same fold: Spark
+    sorts each user's events in-row (collect_list → array_sort → one
+    aggregate fold emitting the running array), DuckDB walks a recursive
+    CTE — identical IEEE op sequence because α = 0.25 is an exact binary
+    fraction, so values match BITWISE and the 4dp rounding is pure
+    formality.
+
+    Scale: one shuffle (user key); per-user state is that user's events —
+    bounded by per-entity activity, the same envelope every keyed-state
+    op in this repo carries. Rounding: 4dp half-up."""
+    ev = tables["events"]
+    per_user = ev.select(
+        "user_id", F.struct("ts", "event_id", "value").alias("e")
+    ).groupBy("user_id").agg(F.array_sort(F.collect_list("e")).alias("es"))
+    emas = F.aggregate(
+        "es",
+        F.array().cast("array<double>"),
+        lambda acc, e: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) == 0, e.getField("value")
+                ).otherwise(
+                    F.lit(alpha) * e.getField("value")
+                    + F.lit(1.0 - alpha) * F.element_at(acc, -1)
+                )
+            ),
+        ),
+    )
+    rows = per_user.select(
+        "user_id", F.posexplode(F.arrays_zip("es", emas.alias("m"))).alias("i", "z")
+    )
+    return rows.select(
+        F.col("z.es.event_id").alias("event_id"),
+        "user_id",
+        F.col("z.es.ts").alias("ts"),
+        F.col("z.es.value").alias("value"),
+        (F.floor(F.col("z.m") * 10000 + 0.5) / 10000).alias("ema"),
+    )
+
+
 QUERIES = {
+    "window_ema": ema_per_user,
     "window_uv_sketch": uv_approx_sketch,
     "window_sliding_stats": sliding_visitor_stats,
     "window_rollup_stats": rollup_stats,
@@ -415,6 +464,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Exact-recurrence replay: same (ts, event_id) order, same seed
+    # (ema_1 = x_1), same 0.25/0.75 exact-binary coefficients — bitwise
+    # equality before the 4dp rounding.
+    "window_ema": """
+        WITH RECURSIVE e AS (
+            SELECT event_id, user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        walk AS (
+            SELECT event_id, user_id, ts, value, rn, value AS ema
+            FROM e WHERE rn = 1
+            UNION ALL
+            SELECT e.event_id, e.user_id, e.ts, e.value, e.rn,
+                   0.25 * e.value + 0.75 * w.ema
+            FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+        )
+        SELECT event_id, user_id, ts, value,
+               floor(ema * 10000 + 0.5) / 10000 AS ema
+        FROM walk
+    """,
     # exact count recomputed independently; uv_ok must be TRUE everywhere —
     # a sketch error past the 5·rsd band breaks the value hash.
     "window_uv_sketch": """

@@ -139,3 +139,25 @@ def test_rolling_active_semantics(spark):
     assert got["2021-01-05"] == 2      # u1 re-active; u2 within trailing 7d
     assert max(got) == "2021-01-05"    # clipped at last observed day
     assert all(v == 2 for v in got.values())
+
+
+def test_ema_recurrence_micro(spark):
+    """Hand-checked recurrence: seed = first value, then
+    0.25·x + 0.75·prev in (ts, event_id) order."""
+    from datetime import datetime
+
+    from flink_210225_spark.operators.windows import ema_per_user
+
+    t = lambda m: datetime(2024, 1, 1, 12, m, 0)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (1, t(0), 5, "view", 8.0, "{}"),
+            (2, t(1), 5, "view", 4.0, "{}"),
+            (3, t(2), 5, "view", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r.event_id: r.ema for r in ema_per_user({"events": ev}).collect()}
+    assert got[1] == 8.0
+    assert got[2] == 0.25 * 4.0 + 0.75 * 8.0   # 7.0
+    assert got[3] == 0.75 * 7.0                # 5.25
