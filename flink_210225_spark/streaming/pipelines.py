@@ -1168,6 +1168,59 @@ def stateful_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def enrich_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
+    """Sixth driver-checkable END-TO-END streaming query — STREAM-STATIC
+    DIM ENRICHMENT: the orders fixture replayed as a file stream and
+    broadcast-joined per micro-batch against the customer and nation dim
+    snapshots (``streaming/joins.enrich_with_dims``'s shape — the
+    reference's six async dim lookups, OrderWideApp.java:59-171, as
+    stream-static broadcast joins; static sides re-resolve each
+    micro-batch, which is the dim-freshness the reference buys with cache
+    invalidation). Materialized through the file sink and read back;
+    oracle = the same join in plain SQL: a dropped dim row, a stale
+    broadcast, or a join-key regression breaks the hash."""
+    o, c, n = tables["orders"], tables["customer"], tables["nation"]
+    spark = o.sparkSession
+    local = "/" + o.inputFiles()[0].split(":", 1)[1].lstrip("/")
+    out = tempfile.mkdtemp(prefix="enrich_stream_out_")
+    cp = tempfile.mkdtemp(prefix="enrich_stream_cp_")
+    srcdir = tempfile.mkdtemp(prefix="enrich_stream_src_")
+    os.symlink(local, os.path.join(srcdir, "orders.parquet"))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .parquet(srcdir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    enriched = (
+        stream.join(
+            F.broadcast(c.select("c_custkey", "c_name", "c_nationkey")),
+            stream.o_custkey == F.col("c_custkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left",
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.floor(F.col("o_totalprice") * 100 + 0.5) / 100).alias("total_price"),
+            F.col("c_name").alias("user_name"),
+            F.col("n_name").alias("province_name"),
+        )
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 def _visitor_stats_oracle() -> str:
     from flink_210225_spark.operators.windows import ORACLES as _WINDOW_ORACLES
 
@@ -1180,6 +1233,7 @@ QUERIES = {
     "stream_window_materialized": window_stream_materialized,
     "stream_join_materialized": join_stream_materialized,
     "stream_stateful_materialized": stateful_stream_materialized,
+    "stream_enrich_materialized": enrich_stream_materialized,
 }
 
 
@@ -1213,4 +1267,12 @@ ORACLES = {
     "stream_window_materialized": _visitor_stats_oracle(),
     "stream_join_materialized": _interval_join_oracle(),
     "stream_stateful_materialized": _jump_oracle(),
+    "stream_enrich_materialized": """
+        SELECT o_orderkey, o_custkey,
+               floor(o_totalprice * 100 + 0.5) / 100 AS total_price,
+               c_name AS user_name, n_name AS province_name
+        FROM orders
+        LEFT JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+    """,
 }

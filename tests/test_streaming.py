@@ -694,3 +694,15 @@ def test_stateful_stream_materialized_timers_fire_all(tables):
 
     df = sp.QUERIES["stream_stateful_materialized"](tables)
     assert_matches_oracle(df, sp.ORACLES["stream_stateful_materialized"], SF_DIR)
+
+
+def test_enrich_stream_materialized_stream_equals_batch(tables):
+    """Sixth driver-gated streaming query: per-micro-batch broadcast dim
+    joins (stream-static) must produce exactly the batch join."""
+    from flink_210225_spark.streaming import pipelines as sp
+
+    from .conftest import SF_DIR
+    from .oracle import assert_matches_oracle
+
+    df = sp.QUERIES["stream_enrich_materialized"](tables)
+    assert_matches_oracle(df, sp.ORACLES["stream_enrich_materialized"], SF_DIR)
