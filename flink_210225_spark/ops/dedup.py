@@ -286,6 +286,71 @@ def crossdoc_spans(tables: dict[str, DataFrame], n: int = 12) -> DataFrame:
     )
 
 
+def contamination_spans(
+    tables: dict[str, DataFrame], bench_source: str = "src1", n: int = 12
+) -> DataFrame:
+    """Span-precise benchmark decontamination — ``crossdoc_spans``'s
+    islands machinery pointed at the BENCHMARK: positions whose ``n``-gram
+    also occurs anywhere in the held-out benchmark split merge into
+    maximal contaminated runs per corpus document. Where
+    ``text_contamination`` counts overlapping 5-grams (flag-level) this
+    yields the exact excisable ranges (offset + length), the Lee et al.
+    form of decontamination — cut the span, keep the document.
+
+    Scale: the benchmark's distinct span hashes are a SMALL set (eval
+    suites vs a 100 TB corpus) — Catalyst broadcasts that side, so the
+    corpus streams through one scan + a broadcast semi-join probe; islands
+    are the same doc_id-keyed lag/running-sum windows as crossdoc_spans
+    (their groupBys reuse the partitioning). No corpus-sized shuffle on
+    the benchmark axis."""
+    docs = tables["documents"]
+    corpus = docs.filter(F.col("source") != bench_source)
+    bench = docs.filter(F.col("source") == bench_source)
+
+    def spans_of(df: DataFrame) -> DataFrame:
+        base = df.select("doc_id", tokens_col(F.col("text")).alias("toks")).filter(
+            F.size("toks") >= n
+        )
+        return base.select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i + 1, n))),
+                )
+            ).alias("pos", "span_hash"),
+        )
+
+    b_spans = spans_of(bench).select("span_hash").distinct()
+    flagged = spans_of(corpus).join(F.broadcast(b_spans), "span_hash")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    brk = flagged.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(wd) > n, 1).otherwise(0).alias("brk"),
+    )
+    isl = brk.select(
+        "doc_id", "n_tokens", "pos", F.sum("brk").over(wd).alias("island")
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + n).alias("span_len"),
+        )
+        .select(
+            "doc_id",
+            F.col("island").cast("long").alias("span_idx"),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_len").cast("long").alias("span_len"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def _pair_intersections(docs: DataFrame, n: int = 3) -> DataFrame:
     """Shared kernel of the exact set-overlap family (Jaccard, containment):
     for every ordered doc pair sharing ≥1 word-n-gram shingle, the pair's
@@ -1577,6 +1642,7 @@ QUERIES = {
     "dedup_embedding_cosine": embedding_near_dups_blocked,
     "dedup_paraphrase_mining": paraphrase_mining,
     "dedup_pagerank": pagerank_dup_graph,
+    "dedup_contamination_spans": contamination_spans,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_containment": containment_pairs,
     "dedup_incremental": incremental_dedup,
@@ -1756,6 +1822,47 @@ ORACLES = {
             LEFT JOIN inter i ON i.vec_a = p.vec_a AND i.vec_b = p.vec_b
         )
         SELECT * FROM scored WHERE jaccard < 0.30
+    """,
+    # Same xxhash64-vs-string equality argument as dedup_span_stats.
+    "dedup_contamination_spans": """
+        WITH toks AS (
+            SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, source, len(t) AS n_tokens,
+                   unnest(list_transform(
+                       range(len(t) - 12 + 1),
+                       i -> struct_pack(pos := i,
+                                        span := array_to_string(t[i + 1 : i + 12], ' ')))) AS s
+            FROM toks WHERE len(t) >= 12
+        ),
+        occ AS (
+            SELECT doc_id, source, n_tokens, s.pos AS pos, s.span AS span FROM spans
+        ),
+        bset AS (SELECT DISTINCT span FROM occ WHERE source = 'src1'),
+        flagged AS (
+            SELECT o.doc_id, o.n_tokens, o.pos
+            FROM occ o JOIN bset b USING (span)
+            WHERE o.source != 'src1'
+        ),
+        brk AS (
+            SELECT doc_id, n_tokens, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 12
+                        THEN 1 ELSE 0 END AS b
+            FROM flagged
+        ),
+        isl AS (
+            SELECT doc_id, n_tokens, pos,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM brk
+        )
+        SELECT doc_id,
+               island::BIGINT AS span_idx,
+               min(pos)::BIGINT AS span_start,
+               (max(pos) - min(pos) + 12)::BIGINT AS span_len,
+               max(n_tokens)::BIGINT AS n_tokens
+        FROM isl GROUP BY doc_id, island
     """,
     # Same xxhash64-vs-string equality argument as dedup_span_stats above.
     "dedup_crossdoc_spans": """

@@ -526,3 +526,24 @@ def test_pagerank_mass_and_hub_dominance(spark, tables):
     got = {r.doc_id: r for r in dedup.pagerank_dup_graph({"documents": docs}).collect()}
     assert got[0].degree == 3 and all(got[i].degree == 1 for i in (1, 2, 3))
     assert all(got[0].rank > got[i].rank for i in (1, 2, 3))
+
+
+def test_contamination_spans_exact_range(spark):
+    """A doc embedding a 20-token benchmark quote must report exactly one
+    span with the quote's offset and length; a clean doc reports none."""
+    quote = " ".join(f"q{i}" for i in range(20))
+    a = " ".join(f"a{i}" for i in range(15)) + " " + quote + " " + " ".join(
+        f"z{i}" for i in range(15)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, a, "en", "src0", 0),
+            (2, " ".join(f"c{i}" for i in range(40)), "en", "src0", 0),
+            (3, "bench prefix " + quote, "en", "src1", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = dedup.contamination_spans({"documents": docs}).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.doc_id, r.span_start, r.span_len) == (1, 15, 20)
