@@ -272,7 +272,43 @@ def shard_layout_documents(tables: dict[str, DataFrame]) -> DataFrame:
     return shard_layout(assets_from_documents(tables["documents"]))
 
 
+def caption_pairs(tables: dict[str, DataFrame]) -> DataFrame:
+    """Caption-pair curation — the LAION-style image-text filtering step:
+    each asset joins its caption document (asset_id == doc_id, the pair
+    contract) and the pair is kept only if the caption is substantial
+    (≥ 5 tokens) and clears the quality floor (0.55, the same cut curation_pipeline discriminates with). This is the multimodal
+    member of the selection family: the asset axis carries bytes/kind, the
+    text axis carries the quality signal, and the decision column is what
+    a pair-dataset writer consumes.
+
+    Scale: assets derive from the same scan here; in production this is a
+    key-partitioned join of an asset table to a caption table — equi-join
+    on the pair id, no special machinery. All columns are deterministic
+    functions of the text, so the whole pair table hash-gates."""
+    from flink_210225_spark.ops.text import _quality_expr, tokens_col
+
+    docs = tables["documents"]
+    assets = assets_from_documents(docs)
+    toks = tokens_col(F.col("text"))
+    caps = docs.select(
+        "doc_id",
+        F.size(toks).alias("caption_tokens"),
+        _quality_expr(toks).alias("caption_quality"),
+    )
+    joined = assets.join(caps, assets.asset_id == caps.doc_id)
+    keep = (F.col("caption_tokens") >= 5) & (F.col("caption_quality") >= 0.55)
+    return joined.select(
+        "asset_id",
+        "kind",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.col("caption_tokens").cast("long").alias("caption_tokens"),
+        "caption_quality",
+        keep.alias("keep_pair"),
+    )
+
+
 QUERIES = {
+    "multimodal_caption_pairs": caption_pairs,
     "multimodal_decode": decode_documents,
     "multimodal_frame_plan": frame_plan_documents,
     "multimodal_audio_segments": audio_segments_documents,
@@ -281,6 +317,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_caption_pairs": """
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+                   octet_length(encode(text)) AS nb
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, nb,
+                   len(toks)::BIGINT AS caption_tokens,
+                   floor((0.4 * least(len(toks) / 100.0, 1.0)
+                          + 0.3 * (len(list_distinct(toks)) * 1.0 / len(toks))
+                          + 0.3 * (1.0 - abs(len(list_filter(toks, tk -> tk IN ('the','a')))
+                                             * 1.0 / len(toks) - 0.1))) * 10000 + 0.5)
+                       / 10000 AS caption_quality
+            FROM t
+        )
+        SELECT doc_id AS asset_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               nb::BIGINT AS n_bytes,
+               caption_tokens,
+               caption_quality,
+               (caption_tokens >= 5 AND caption_quality >= 0.55) AS keep_pair
+        FROM q
+    """,
     # Recursive-CTE walk of the same next-fit kernel per kind: state tuple
     # (shard, fill) advances one asset per iteration; byte_offset is the
     # fill BEFORE placement. Any drift in ordering, the overflow rule, or

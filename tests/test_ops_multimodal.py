@@ -107,3 +107,15 @@ def test_shard_layout_invariants(spark):
     # oversized asset 5 sits alone
     alone = [r for r in out if r.asset_id == 5][0]
     assert len(by_shard[alone.shard]) == 1 and alone.byte_offset == 0
+
+
+def test_caption_pairs_filter_discriminates(tables):
+    """The pair filter must actually drop some captions (a keep-everything
+    filter is a no-op) and keep decisions must follow the stated rule."""
+    from flink_210225_spark.ops.multimodal import caption_pairs
+
+    rows = caption_pairs(tables).collect()
+    kept = sum(r.keep_pair for r in rows)
+    assert 0 < kept < len(rows)
+    for r in rows:
+        assert r.keep_pair == (r.caption_tokens >= 5 and r.caption_quality >= 0.55)
