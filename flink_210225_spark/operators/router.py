@@ -211,14 +211,30 @@ def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id") -> None:
     )
     tmp = target.with_name(f"{target.name}.__tmp_{uuid.uuid4().hex}")
     old = target.with_name(f"{target.name}.__old_{uuid.uuid4().hex}")
+    # Cleanup discipline: the backup (old) and staging (tmp) dirs are
+    # removed ONLY after the swap fully succeeds. If the second rename
+    # fails (concurrent re-create, transient OSError), the backup is
+    # restored — an unconditional finally-cleanup here would delete BOTH
+    # surviving copies of the dim on exactly the error path this swap
+    # exists to protect.
     try:
         latest.write.mode("overwrite").parquet(str(tmp))
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    moved = False
+    try:
         if target.exists():
             target.rename(old)
+            moved = True
         tmp.rename(target)
-    finally:
-        shutil.rmtree(old, ignore_errors=True)
+    except BaseException:
+        if moved and not target.exists():
+            old.rename(target)  # restore the previous dim
         shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def scd2_point_in_time(tables: dict[str, DataFrame]) -> DataFrame:

@@ -1181,7 +1181,17 @@ def ann_recall_audit(
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    return out
+    # Materialize the 4-row audit, then RELEASE both cached frames — the
+    # result is lazy over them, so unpersisting without collecting first
+    # would silently re-run the exact GEMM per branch at the caller's
+    # collect; returning the materialized rows keeps the contract and
+    # stops each audit invocation from pinning a corpus-sized assignment
+    # block for the session lifetime (the leak ivf_assign's own comment
+    # warns about).
+    res = out.collect()
+    exact.unpersist()
+    trained[0].unpersist()
+    return emb.sparkSession.createDataFrame(res, out.schema)
 
 
 def semantic_dedup_audit(

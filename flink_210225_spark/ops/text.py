@@ -790,8 +790,13 @@ def langid_trigram(
     head = docs.select(
         "doc_id", "lang", F.expr("substr(lower(text), 1, 400)").alias("t4")
     )
+    # Guarded for sub-3-char docs: sequence(1, 0) steps DOWNWARD in Spark
+    # ([1, 0], two phantom 'trigrams' the DuckDB range() oracle never
+    # emits) — the CASE matches range()'s empty-list semantics exactly.
     tri = F.expr(
-        "transform(sequence(1, greatest(length(t4) - 2, 0)), i -> substr(t4, i, 3))"
+        "CASE WHEN length(t4) >= 3"
+        " THEN transform(sequence(1, length(t4) - 2), i -> substr(t4, i, 3))"
+        " ELSE cast(array() as array<string>) END"
     )
     base = head.select("doc_id", "lang", F.array_distinct(tri).alias("tgs"))
     occs = head.select("lang", F.explode(tri).alias("tg"))
@@ -830,6 +835,28 @@ def langid_trigram(
     )
 
 
+def mg_candidates(toks: DataFrame, k: int) -> DataFrame:
+    """Stage 1 of ``frequent_tokens``, exposed as its own seam so the
+    candidate-volume bound (≤ partitions·k rows — the sketch's entire
+    scale argument) is directly testable: per-partition Misra-Gries
+    summaries with ≤ k counters each, state carried across Arrow batches
+    in ONE mapInPandas pass."""
+    import pandas as pd
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf["tok"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > k:
+                # prune to k: subtract the (k+1)-th largest count from all
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {t: c - cut for t, c in counters.items() if c > cut}
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    return toks.mapInPandas(mg_partition, schema="tok string").dropDuplicates(["tok"])
+
+
 def frequent_tokens(tables: dict[str, DataFrame], denom: int = 500) -> DataFrame:
     """Corpus-wide frequent tokens (count ≥ N/denom) via Misra-Gries
     sketch-propose + exact-verify — the heavy-hitters operator a mixture
@@ -853,26 +880,12 @@ def frequent_tokens(tables: dict[str, DataFrame], denom: int = 500) -> DataFrame
     arithmetic (ct·denom ≥ N) — so the emitted rows equal the exact SQL
     answer and the DuckDB oracle hash-gates the whole sketch path: a recall
     bug in the sketch drops a row and breaks the hash."""
-    import pandas as pd
-
     docs = tables["documents"]
     toks = docs.select(
         F.explode(tokens_col(F.col("text"))).alias("tok")
     ).where(F.col("tok") != "")
     k = 2 * denom + 64
-
-    def mg_partition(batches):
-        counters: dict[str, int] = {}
-        for pdf in batches:
-            for tok, c in pdf["tok"].value_counts().items():
-                counters[tok] = counters.get(tok, 0) + int(c)
-            if len(counters) > k:
-                # prune to k: subtract the (k+1)-th largest count from all
-                cut = sorted(counters.values(), reverse=True)[k]
-                counters = {t: c - cut for t, c in counters.items() if c > cut}
-        yield pd.DataFrame({"tok": list(counters.keys())})
-
-    cands = toks.mapInPandas(mg_partition, schema="tok string").dropDuplicates(["tok"])
+    cands = mg_candidates(toks, k)
     n_total = toks.agg(F.count("*").alias("n")).scalar()
     exact = (
         toks.join(F.broadcast(cands), "tok")

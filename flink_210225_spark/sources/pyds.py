@@ -42,15 +42,24 @@ class _RowGroupPartition(InputPartition):
         self.row_group = row_group
 
 
+def _paths(options: dict) -> list[str]:
+    """``path`` may be one file or a comma-separated list (multi-part
+    datasets) — every file participates in partition planning."""
+    return [p for p in options["path"].split(",") if p]
+
+
 class _FixtureBatchReader(DataSourceReader):
     def __init__(self, options: dict):
-        self.path = options["path"]
+        self.paths = _paths(options)
 
     def partitions(self):
         import pyarrow.parquet as pq
 
-        n = pq.ParquetFile(self.path).num_row_groups
-        return [_RowGroupPartition(self.path, g) for g in range(n)]
+        return [
+            _RowGroupPartition(path, g)
+            for path in self.paths
+            for g in range(pq.ParquetFile(path).num_row_groups)
+        ]
 
     def read(self, partition: _RowGroupPartition):
         import pyarrow.parquet as pq
@@ -63,7 +72,7 @@ class _FixtureBatchReader(DataSourceReader):
 
 class _FixtureStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
-        self.path = options["path"]
+        self.paths = _paths(options)
         self.batch_rows = int(options.get("batch_rows", "200"))
         self._rows = None
 
@@ -71,9 +80,14 @@ class _FixtureStreamReader(SimpleDataSourceStreamReader):
         if self._rows is None:
             import pyarrow.parquet as pq
 
-            table = pq.read_table(self.path)
-            cols = [table.column(i).to_pylist() for i in range(table.num_columns)]
-            self._rows = list(zip(*cols))
+            rows: list = []
+            for path in self.paths:
+                table = pq.read_table(path)
+                cols = [
+                    table.column(i).to_pylist() for i in range(table.num_columns)
+                ]
+                rows.extend(zip(*cols))
+            self._rows = rows
         return self._rows
 
     def initialOffset(self):
@@ -126,9 +140,12 @@ def replay_lang_counts(tables):
     docs = tables["documents"]
     spark = docs.sparkSession
     register(spark)
-    src = docs.inputFiles()[0]
-    local = "/" + src.split(":", 1)[1].lstrip("/")
-    replayed = spark.read.format("fixture_replay").option("path", local).load()
+    locals_ = sorted(
+        "/" + f.split(":", 1)[1].lstrip("/") for f in docs.inputFiles()
+    )
+    replayed = (
+        spark.read.format("fixture_replay").option("path", ",".join(locals_)).load()
+    )
     return replayed.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("char_total"),

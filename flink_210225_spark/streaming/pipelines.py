@@ -745,14 +745,27 @@ def merge_scd2_batch(
         all_changes = tagged
     tmp = raw_dir.with_name(f"changes.__tmp_{uuid.uuid4().hex}")
     old = raw_dir.with_name(f"changes.__old_{uuid.uuid4().hex}")
+    # Backup/staging removed only AFTER a successful swap; a failed second
+    # rename restores the backup (see operators/router.upsert_dim — an
+    # unconditional finally would delete both surviving copies).
     try:
         all_changes.write.parquet(str(tmp))
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    moved = False
+    try:
         if raw_dir.exists():
             raw_dir.rename(old)
+            moved = True
         tmp.rename(raw_dir)
-    finally:
-        shutil.rmtree(old, ignore_errors=True)
+    except BaseException:
+        if moved and not raw_dir.exists():
+            old.rename(raw_dir)
         shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
     hist = scd2_history(spark.read.parquet(str(raw_dir)).drop("__batch_id"), [key], "ts")
     hist.write.mode("overwrite").parquet(os.path.join(dim_dir, "table"))
     spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
@@ -873,6 +886,46 @@ def pattern_stream(
     )
 
 
+
+
+def _local_paths(df: DataFrame) -> list[str]:
+    """Every part-file of the DataFrame's source, as local paths (scheme
+    stripped), sorted for determinism."""
+    return sorted(
+        "/" + f.split(":", 1)[1].lstrip("/") for f in df.inputFiles()
+    )
+
+
+def _stage_fixture(df: DataFrame, srcdir: str, stem: str) -> None:
+    """Symlink EVERY part-file into the landing dir — a fixture written as
+    a directory of part-files replays completely (staging only
+    inputFiles()[0] silently drops all but the first part and fails the
+    stream==batch hash with a confusing row-count mismatch)."""
+    for i, local in enumerate(_local_paths(df)):
+        os.symlink(local, os.path.join(srcdir, f"{stem}_{i}.parquet"))
+
+
+_SCRATCH_ROOT = None
+
+
+def _scratch(prefix: str) -> str:
+    """Session-scoped scratch dir for the materialized streaming queries:
+    every output/checkpoint/landing dir lives under ONE root that is
+    removed at interpreter exit, so repeated bench/pytest runs cannot
+    accumulate fixture-sized parquet + state-store copies in /tmp.
+    Cleanup must be deferred to exit: the returned DataFrames read the
+    materialized parquet LAZILY, so deleting right after return would
+    break the caller's collect."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="stream_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 def curation_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     """Driver-checkable END-TO-END streaming query (VERDICT r1 #9): the
     documents fixture replayed as a file-source STREAM through
@@ -887,15 +940,13 @@ def curation_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
 
     docs = tables["documents"]
     spark = docs.sparkSession
-    src = docs.inputFiles()[0]
-    local = "/" + src.split(":", 1)[1].lstrip("/")  # strip file:// scheme
-    out = tempfile.mkdtemp(prefix="curation_stream_out_")
-    cp = tempfile.mkdtemp(prefix="curation_stream_cp_")
+    out = _scratch(prefix="curation_stream_out_")
+    cp = _scratch(prefix="curation_stream_cp_")
     # the file source wants a DIRECTORY (its basePath); stage the fixture
-    # file into a temp landing zone via symlink — exactly how a drop-dir
+    # files into a temp landing zone via symlink — exactly how a drop-dir
     # ingest looks in production, no data copied
-    srcdir = tempfile.mkdtemp(prefix="curation_stream_src_")
-    os.symlink(local, os.path.join(srcdir, os.path.basename(local)))
+    srcdir = _scratch(prefix="curation_stream_src_")
+    _stage_fixture(docs, srcdir, "docs")
     stream = spark.readStream.schema(docs.schema).parquet(srcdir)
     run_curation_stream(stream, out, cp).awaitTermination()
     return spark.read.parquet(out).select(
@@ -921,13 +972,11 @@ def dedup_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
 
     docs = tables["documents"]
     spark = docs.sparkSession
-    src = docs.inputFiles()[0]
-    local = "/" + src.split(":", 1)[1].lstrip("/")
-    out = tempfile.mkdtemp(prefix="dedup_stream_out_")
-    cp = tempfile.mkdtemp(prefix="dedup_stream_cp_")
-    srcdir = tempfile.mkdtemp(prefix="dedup_stream_src_")
-    os.symlink(local, os.path.join(srcdir, "replay_a.parquet"))
-    os.symlink(local, os.path.join(srcdir, "replay_b.parquet"))
+    out = _scratch(prefix="dedup_stream_out_")
+    cp = _scratch(prefix="dedup_stream_cp_")
+    srcdir = _scratch(prefix="dedup_stream_src_")
+    _stage_fixture(docs, srcdir, "replay_a")
+    _stage_fixture(docs, srcdir, "replay_b")
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -968,15 +1017,13 @@ def window_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     ev = tables["events"]
     spark = ev.sparkSession
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = ev.inputFiles()[0]
-    local = "/" + src.split(":", 1)[1].lstrip("/")
-    raw = spark.read.parquet(local)  # ts: bigint (epoch nanos) or timestamp
+    raw = spark.read.parquet(*_local_paths(ev))  # ts: epoch-nanos bigint or timestamp
     max_ts = raw.agg(F.max("ts")).collect()[0][0]
     ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
-    out = tempfile.mkdtemp(prefix="window_stream_out_")
-    cp = tempfile.mkdtemp(prefix="window_stream_cp_")
-    srcdir = tempfile.mkdtemp(prefix="window_stream_src_")
-    os.symlink(local, os.path.join(srcdir, "events.parquet"))
+    out = _scratch(prefix="window_stream_out_")
+    cp = _scratch(prefix="window_stream_cp_")
+    srcdir = _scratch(prefix="window_stream_src_")
+    _stage_fixture(ev, srcdir, "events")
     for i, hours in enumerate((2, 4)):
         if ts_is_long:
             sent_ts = max_ts + hours * 3_600_000_000_000
@@ -988,7 +1035,7 @@ def window_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
             [(-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}")],
             raw.schema,
         )
-        sdir = tempfile.mkdtemp(prefix=f"window_stream_sentinel{i}_")
+        sdir = _scratch(prefix=f"window_stream_sentinel{i}_")
         sent.coalesce(1).write.mode("overwrite").parquet(sdir)
         part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
         # copy (not symlink) so the file's mtime is NOW → the file source
@@ -1057,14 +1104,12 @@ def join_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     join state holds exactly what the output needs, not whole rows."""
     o, li = tables["orders"], tables["lineitem"]
     spark = o.sparkSession
-    o_local = "/" + o.inputFiles()[0].split(":", 1)[1].lstrip("/")
-    l_local = "/" + li.inputFiles()[0].split(":", 1)[1].lstrip("/")
-    out = tempfile.mkdtemp(prefix="join_stream_out_")
-    cp = tempfile.mkdtemp(prefix="join_stream_cp_")
-    odir = tempfile.mkdtemp(prefix="join_stream_osrc_")
-    ldir = tempfile.mkdtemp(prefix="join_stream_lsrc_")
-    os.symlink(o_local, os.path.join(odir, "orders.parquet"))
-    os.symlink(l_local, os.path.join(ldir, "lineitem.parquet"))
+    out = _scratch(prefix="join_stream_out_")
+    cp = _scratch(prefix="join_stream_cp_")
+    odir = _scratch(prefix="join_stream_osrc_")
+    ldir = _scratch(prefix="join_stream_lsrc_")
+    _stage_fixture(o, odir, "orders")
+    _stage_fixture(li, ldir, "lineitem")
     o_stream = (
         spark.readStream.schema(o.schema)
         .parquet(odir)
@@ -1121,15 +1166,13 @@ def stateful_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     ev = tables["events"]
     spark = ev.sparkSession
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = ev.inputFiles()[0]
-    local = "/" + src.split(":", 1)[1].lstrip("/")
-    raw = spark.read.parquet(local)
+    raw = spark.read.parquet(*_local_paths(ev))
     max_ts = raw.agg(F.max("ts")).collect()[0][0]
     ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
-    out = tempfile.mkdtemp(prefix="stateful_stream_out_")
-    cp = tempfile.mkdtemp(prefix="stateful_stream_cp_")
-    srcdir = tempfile.mkdtemp(prefix="stateful_stream_src_")
-    os.symlink(local, os.path.join(srcdir, "events.parquet"))
+    out = _scratch(prefix="stateful_stream_out_")
+    cp = _scratch(prefix="stateful_stream_cp_")
+    srcdir = _scratch(prefix="stateful_stream_src_")
+    _stage_fixture(ev, srcdir, "events")
     for i, hours in enumerate((2, 4)):
         if ts_is_long:
             sent_ts = max_ts + hours * 3_600_000_000_000
@@ -1141,7 +1184,7 @@ def stateful_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
             [(-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}")],
             raw.schema,
         )
-        sdir = tempfile.mkdtemp(prefix=f"stateful_stream_sentinel{i}_")
+        sdir = _scratch(prefix=f"stateful_stream_sentinel{i}_")
         sent.coalesce(1).write.mode("overwrite").parquet(sdir)
         part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
         os.link(os.path.join(sdir, part), os.path.join(srcdir, f"sentinel_{i}.parquet"))
@@ -1181,11 +1224,10 @@ def enrich_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     broadcast, or a join-key regression breaks the hash."""
     o, c, n = tables["orders"], tables["customer"], tables["nation"]
     spark = o.sparkSession
-    local = "/" + o.inputFiles()[0].split(":", 1)[1].lstrip("/")
-    out = tempfile.mkdtemp(prefix="enrich_stream_out_")
-    cp = tempfile.mkdtemp(prefix="enrich_stream_cp_")
-    srcdir = tempfile.mkdtemp(prefix="enrich_stream_src_")
-    os.symlink(local, os.path.join(srcdir, "orders.parquet"))
+    out = _scratch(prefix="enrich_stream_out_")
+    cp = _scratch(prefix="enrich_stream_cp_")
+    srcdir = _scratch(prefix="enrich_stream_src_")
+    _stage_fixture(o, srcdir, "orders")
     stream = (
         spark.readStream.schema(o.schema)
         .parquet(srcdir)

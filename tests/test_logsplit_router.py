@@ -208,3 +208,35 @@ def test_scd2_lookup_temporal_semantics(tables):
         if first_order[r.custkey] == r.o_orderkey:
             assert r.prev_status == "NEW", r
         assert h.status == r.prev_status
+
+
+def test_dim_upsert_swap_failure_restores_backup(spark, tmp_path, monkeypatch):
+    """A failure BETWEEN the two swap renames must restore the backup — the
+    old dim stays readable at the live path and nothing of the dim's data
+    is deleted (the unconditional finally-cleanup bug deleted both)."""
+    import pathlib
+
+    path = str(tmp_path / "dim_user")
+    b1 = spark.createDataFrame([("1", "alice")], "id string, name string")
+    router.upsert_dim(b1, path)
+
+    orig = pathlib.Path.rename
+    state = {"failed": False}
+
+    def failing(self, target):
+        # fail only the rename INTO the live path (the second swap rename)
+        if str(target).endswith("dim_user") and not state["failed"]:
+            state["failed"] = True
+            raise OSError("simulated swap interruption")
+        return orig(self, target)
+
+    monkeypatch.setattr(pathlib.Path, "rename", failing)
+    b2 = spark.createDataFrame([("2", "bob")], "id string, name string")
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        router.upsert_dim(b2, path)
+    monkeypatch.undo()
+
+    got = {r["id"]: r["name"] for r in spark.read.parquet(path).collect()}
+    assert got == {"1": "alice"}, "backup not restored after failed swap"
