@@ -1200,6 +1200,58 @@ def dedup_components(
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
+def cluster_summary(
+    tables: dict[str, DataFrame], threshold: float = 0.5
+) -> DataFrame:
+    """Per-duplicate-cluster curation report — the table a dedup run hands
+    back to its operator: for every connected component of the near-dup
+    graph with ≥ 2 members, the cluster size, the kept representative
+    (highest quality, ``keep_best``'s tie-break), and the token mass the
+    dedup saves (cluster total minus the survivor). Composes three
+    oracle-verified pieces — components (min-label propagation), the
+    quality expression, token counts — into the decision artifact, the
+    same single-source-of-truth discipline as ``corpus_manifest``.
+
+    Scale: components runs on the edge-touching sliver; the stats join is
+    doc-keyed; the summary is one component-keyed agg + a window rank over
+    cluster-sized groups."""
+    from .text import _quality_expr, tokens_col
+
+    comp = dedup_components(tables, threshold)
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    stats = docs.select(
+        "doc_id",
+        _quality_expr(toks).alias("quality"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    joined = comp.join(stats, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    ranked = joined.select(
+        "component",
+        "doc_id",
+        "quality",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("component")).alias("size"),
+    ).filter(F.col("size") >= 2)
+    per = ranked.groupBy("component").agg(
+        F.max("size").cast("long").alias("size"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("rep_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("quality"))).alias("rep_quality"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_tokens"))).alias("rep_tokens"),
+    )
+    return per.select(
+        "component",
+        "size",
+        "rep_id",
+        "rep_quality",
+        "tokens_total",
+        (F.col("tokens_total") - F.col("rep_tokens")).cast("long").alias("tokens_saved"),
+    )
+
+
 def components_from_edges(
     edges: DataFrame, universe: DataFrame, max_iters: int = 20
 ) -> DataFrame:
@@ -1651,6 +1703,7 @@ QUERIES = {
     "dedup_edit_distance": edit_distance_pairs,
     "dedup_savings": dedup_savings,
     "dedup_components": dedup_components,
+    "dedup_cluster_summary": cluster_summary,
     "dedup_components_star": dedup_components_star,
     # LSH/simhash results depend on xxhash64 — not SQL-expressible in DuckDB,
     # so these are rows-only checks for the driver (weaker gate, noted).
@@ -2050,6 +2103,45 @@ ORACLES = {
 # Star contraction computes the same (doc_id, component) labels as min-label
 # propagation — the propagation oracle gates both iteration engines.
 ORACLES["dedup_components_star"] = ORACLES["dedup_components"]
+# Cluster summary = the components oracle wrapped with the quality/token
+# stats and a per-component representative rank (same tie-break as
+# keep_best: quality DESC, doc_id ASC).
+ORACLES["dedup_cluster_summary"] = (
+    "WITH comp AS ("
+    + ORACLES["dedup_components"]
+    + """
+    ),
+    t2 AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    st AS (
+        SELECT doc_id,
+               floor((0.4 * least(len(toks) / 100.0, 1.0)
+                      + 0.3 * (len(list_distinct(toks)) * 1.0 / len(toks))
+                      + 0.3 * (1.0 - abs(len(list_filter(toks, tk -> tk IN ('the','a')))
+                                         * 1.0 / len(toks) - 0.1))) * 10000 + 0.5)
+                   / 10000 AS quality,
+               len(toks)::BIGINT AS n_tokens
+        FROM t2
+    ),
+    j AS (
+        SELECT c.component, c.doc_id, s.quality, s.n_tokens,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY s.quality DESC, c.doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY c.component) AS size
+        FROM comp c JOIN st s USING (doc_id)
+    )
+    SELECT component,
+           max(size)::BIGINT AS size,
+           max(CASE WHEN rn = 1 THEN doc_id END)::BIGINT AS rep_id,
+           max(CASE WHEN rn = 1 THEN quality END) AS rep_quality,
+           sum(n_tokens)::BIGINT AS tokens_total,
+           (sum(n_tokens) - max(CASE WHEN rn = 1 THEN n_tokens END))::BIGINT
+               AS tokens_saved
+    FROM j WHERE size >= 2 GROUP BY component
+    """
+)
 # Fixed-iteration PageRank: 8 power-method rounds UNROLLED as CTEs over the
 # same oracle-verified edge set as dedup_ngram_jaccard.
 ORACLES["dedup_pagerank"] = _pagerank_oracle()

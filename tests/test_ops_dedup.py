@@ -547,3 +547,24 @@ def test_contamination_spans_exact_range(spark):
     assert len(got) == 1
     r = got[0]
     assert (r.doc_id, r.span_start, r.span_len) == (1, 15, 20)
+
+
+def test_cluster_summary_consistency(tables):
+    """Summary must agree with its components: sizes match the component
+    census over size>=2 clusters, the representative is the keep_best
+    (quality desc, doc_id asc) member, and tokens_saved < tokens_total."""
+    comp = {r.doc_id: r.component for r in dedup.dedup_components(tables).collect()}
+    from collections import Counter
+
+    census = Counter(comp.values())
+    rows = {r.component: r for r in dedup.cluster_summary(tables).collect()}
+    assert set(rows) == {c for c, n in census.items() if n >= 2}
+    from flink_210225_spark.ops.text import quality_score
+
+    q = {r.doc_id: r.quality for r in quality_score(tables).collect()}
+    for c, r in rows.items():
+        assert r.size == census[c]
+        members = [d for d, cc in comp.items() if cc == c]
+        best = min(members, key=lambda d: (-q[d], d))
+        assert r.rep_id == best, (c, r.rep_id, best)
+        assert 0 <= r.tokens_saved < r.tokens_total
