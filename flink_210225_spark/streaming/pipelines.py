@@ -888,6 +888,29 @@ def pattern_stream(
 
 
 
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: str = "8"):
+    """Scoped shuffle-partition override for the STATE-STORE streaming
+    capstones: each micro-batch instantiates one state-store per shuffle
+    partition, so the 200-partition vanilla default is pure overhead at
+    fixture scale (measured 24 -> 16 s on the window capstone; larger
+    under the driver's unconfigured session). Restored on exit —
+    production sizes this to keyed-state volume, not to a constant."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _local_paths(df: DataFrame) -> list[str]:
     """Every part-file of the DataFrame's source, as local paths (scheme
     stripped), sorted for determinism."""
@@ -982,16 +1005,17 @@ def dedup_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(srcdir)
     )
-    q = (
-        dedup_stream(stream)
-        .select("text_hash")
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", cp)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            dedup_stream(stream)
+            .select("text_hash")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out)
 
 
@@ -1074,14 +1098,15 @@ def window_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
             (F.floor(F.col("sv") * 100 + F.lit(0.5)) / 100).alias("dur_sum"),
         )
     )
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", cp)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out).filter(F.col("ch") != "__sentinel__")
 
 
@@ -1136,14 +1161,15 @@ def join_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
             / 100
         ).alias("split_amount"),
     )
-    q = (
-        result.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", cp)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out)
 
 
@@ -1197,15 +1223,16 @@ def stateful_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
         stream = stream.withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp")
         )
-    q = (
-        jump_detection_stream(stream)
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", cp)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            jump_detection_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out).filter(F.col("user_id") >= 0).select(
         "event_id", "user_id"
     )
