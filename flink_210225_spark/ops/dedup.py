@@ -351,6 +351,68 @@ def contamination_spans(
     )
 
 
+def excise_contaminated(
+    tables: dict[str, DataFrame], bench_source: str = "src1", n: int = 12
+) -> DataFrame:
+    """The EXCISION step ``contamination_spans`` plans for: cut the
+    contaminated ranges out of each affected document and emit the cleaned
+    text's digest + token accounting — "cut the span, keep the document",
+    completing detect → excise. Only contaminated docs appear (clean docs
+    pass through a real pipeline untouched).
+
+    Plan: span ranges explode to (doc, pos) rows (Σ span_len — sliver
+    sized), the doc's tokens explode with positions, one LEFT ANTI join on
+    (doc, pos) drops the contaminated tokens, and the cleaned text
+    reassembles order-correctly via sort_array(collect_list(struct(pos,
+    tok))) per doc — the shuffle is contaminated-docs sized, not corpus
+    sized, because the token explode is semi-joined to affected docs
+    first."""
+    spans = contamination_spans(tables, bench_source, n)
+    docs = tables["documents"]
+    affected = spans.select("doc_id").distinct()
+    toks = (
+        docs.join(affected, "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok"),
+        )
+    )
+    bad = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("span_start"), F.col("span_start") + F.col("span_len") - 1
+            )
+        ).alias("pos"),
+    )
+    kept = toks.join(bad, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+            )
+        ).alias("cleaned_digest"),
+    )
+    totals = spans.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("span_len").cast("long").alias("removed_tokens"),
+    )
+    return totals.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "removed_tokens",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(
+            F.col("cleaned_digest"), F.md5(F.lit(""))
+        ).alias("cleaned_digest"),
+    )
+
+
 def _pair_intersections(docs: DataFrame, n: int = 3) -> DataFrame:
     """Shared kernel of the exact set-overlap family (Jaccard, containment):
     for every ordered doc pair sharing ≥1 word-n-gram shingle, the pair's
@@ -1695,6 +1757,7 @@ QUERIES = {
     "dedup_paraphrase_mining": paraphrase_mining,
     "dedup_pagerank": pagerank_dup_graph,
     "dedup_contamination_spans": contamination_spans,
+    "dedup_spans_excise": excise_contaminated,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_containment": containment_pairs,
     "dedup_incremental": incremental_dedup,
@@ -1875,6 +1938,78 @@ ORACLES = {
             LEFT JOIN inter i ON i.vec_a = p.vec_a AND i.vec_b = p.vec_b
         )
         SELECT * FROM scored WHERE jaccard < 0.30
+    """,
+    # Excision replay: contaminated ranges from the spans oracle, tokens
+    # minus bad positions, cleaned text via ORDER BY string_agg.
+    "dedup_spans_excise": """
+        WITH toks0 AS (
+            SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        spans0 AS (
+            SELECT doc_id, source, len(t) AS n_tokens,
+                   unnest(list_transform(
+                       range(len(t) - 12 + 1),
+                       i -> struct_pack(pos := i,
+                                        span := array_to_string(t[i + 1 : i + 12], ' ')))) AS s
+            FROM toks0 WHERE len(t) >= 12
+        ),
+        occ AS (
+            SELECT doc_id, source, n_tokens, s.pos AS pos, s.span AS span FROM spans0
+        ),
+        bset AS (SELECT DISTINCT span FROM occ WHERE source = 'src1'),
+        flagged AS (
+            SELECT o.doc_id, o.n_tokens, o.pos
+            FROM occ o JOIN bset b USING (span)
+            WHERE o.source != 'src1'
+        ),
+        brk AS (
+            SELECT doc_id, n_tokens, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 12
+                        THEN 1 ELSE 0 END AS b
+            FROM flagged
+        ),
+        isl AS (
+            SELECT doc_id, n_tokens, pos,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM brk
+        ),
+        spans AS (
+            SELECT doc_id, min(pos) AS span_start,
+                   (max(pos) - min(pos) + 12) AS span_len,
+                   max(n_tokens) AS n_tokens
+            FROM isl GROUP BY doc_id, island
+        ),
+        bad AS (
+            SELECT doc_id,
+                   unnest(range(span_start, span_start + span_len)) AS pos
+            FROM spans
+        ),
+        tokpos AS (
+            SELECT t.doc_id, unnest(range(len(t.t))) AS pos, t.t AS t
+            FROM toks0 t
+            JOIN (SELECT DISTINCT doc_id FROM spans) a USING (doc_id)
+        ),
+        kept AS (
+            SELECT tp.doc_id, tp.pos, tp.t[tp.pos + 1] AS tok
+            FROM tokpos tp LEFT JOIN bad b
+              ON b.doc_id = tp.doc_id AND b.pos = tp.pos
+            WHERE b.pos IS NULL
+        ),
+        cleaned AS (
+            SELECT doc_id, count(*)::BIGINT AS n_kept,
+                   md5(coalesce(string_agg(tok, ' ' ORDER BY pos), '')) AS cleaned_digest
+            FROM kept GROUP BY doc_id
+        ),
+        totals AS (
+            SELECT doc_id, max(n_tokens)::BIGINT AS n_tokens,
+                   sum(span_len)::BIGINT AS removed_tokens
+            FROM spans GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_tokens, t.removed_tokens,
+               coalesce(c.n_kept, 0)::BIGINT AS n_kept,
+               coalesce(c.cleaned_digest, md5('')) AS cleaned_digest
+        FROM totals t LEFT JOIN cleaned c USING (doc_id)
     """,
     # Same xxhash64-vs-string equality argument as dedup_span_stats.
     "dedup_contamination_spans": """

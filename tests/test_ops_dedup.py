@@ -568,3 +568,28 @@ def test_cluster_summary_consistency(tables):
         best = min(members, key=lambda d: (-q[d], d))
         assert r.rep_id == best, (c, r.rep_id, best)
         assert 0 <= r.tokens_saved < r.tokens_total
+
+
+def test_spans_excise_cuts_exact_quote(spark):
+    """The embedded 20-token benchmark quote must be cut precisely: kept
+    text = prefix + suffix with the quote gone, digest verified by hand."""
+    import hashlib
+
+    quote = " ".join(f"q{i}" for i in range(20))
+    prefix = " ".join(f"a{i}" for i in range(15))
+    suffix = " ".join(f"z{i}" for i in range(15))
+    a = prefix + " " + quote + " " + suffix
+    docs = spark.createDataFrame(
+        [
+            (1, a, "en", "src0", 0),
+            (2, " ".join(f"c{i}" for i in range(40)), "en", "src0", 0),
+            (3, "bench prefix " + quote, "en", "src1", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = dedup.excise_contaminated({"documents": docs}).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.doc_id, r.n_tokens, r.removed_tokens, r.n_kept) == (1, 50, 20, 30)
+    expect = prefix + " " + suffix
+    assert r.cleaned_digest == hashlib.md5(expect.encode()).hexdigest()
