@@ -399,6 +399,51 @@ def uv_approx_sketch(tables: dict[str, DataFrame], rsd: float = 0.02) -> DataFra
     )
 
 
+def daily_anomaly_mad(tables: dict[str, DataFrame], k: float = 3.0) -> DataFrame:
+    """Robust sibling of ``daily_anomaly``: median/MAD instead of mean/σ —
+    one genuinely anomalous day inflates σ and can mask itself (the
+    classic z-score failure); the median absolute deviation is
+    breakdown-resistant, so the robust score |x − med| / MAD still flags
+    it. Same plan shape: the (day, type) rollup map-side combines, then
+    TWO exact medians window over the days-sized series per type (same
+    partition key ⇒ one Exchange, two Window stages). Flag tests the
+    ROUNDED score (engines can't disagree at the threshold); MAD = 0
+    (≥ half the days identical) ⇒ null score, never flagged — same
+    degenerate-case contract as σ = 0."""
+    ev = tables["events"]
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count("*").alias("pv_ct"))
+    w = Window.partitionBy("event_type")
+
+    def r4(c: Column) -> Column:
+        return F.floor(c * 10000 + 0.5) / 10000
+
+    with_med = daily.select(
+        "day",
+        "event_type",
+        "pv_ct",
+        F.median(F.col("pv_ct").cast("double")).over(w).alias("med"),
+    )
+    scored = with_med.select(
+        "day",
+        "event_type",
+        "pv_ct",
+        "med",
+        F.median(F.abs(F.col("pv_ct") - F.col("med"))).over(w).alias("mad"),
+    )
+    rz = F.when(F.col("mad") > 0, r4((F.col("pv_ct") - F.col("med")) / F.col("mad")))
+    return scored.select(
+        "day",
+        "event_type",
+        "pv_ct",
+        r4(F.col("med")).alias("med_ct"),
+        r4(F.col("mad")).alias("mad_ct"),
+        rz.alias("rscore"),
+        F.coalesce(F.abs(rz) >= k, F.lit(False)).alias("is_anomaly"),
+    )
+
+
 def ema_per_user(tables: dict[str, DataFrame], alpha: float = 0.25) -> DataFrame:
     """Per-user exponential moving average of event values — the
     RECURRENCE member of the moving-metric family (``window_moving_avg``
@@ -449,6 +494,7 @@ def ema_per_user(tables: dict[str, DataFrame], alpha: float = 0.25) -> DataFrame
 
 QUERIES = {
     "window_ema": ema_per_user,
+    "window_anomaly_mad": daily_anomaly_mad,
     "window_uv_sketch": uv_approx_sketch,
     "window_sliding_stats": sliding_visitor_stats,
     "window_rollup_stats": rollup_stats,
@@ -464,6 +510,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same interpolated-median semantics both engines (Spark median ==
+    # DuckDB quantile_cont(0.5)); flag on the rounded score.
+    "window_anomaly_mad": """
+        WITH d AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   count(*)::BIGINT AS pv_ct
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT day, event_type, pv_ct,
+                   median(pv_ct::DOUBLE) OVER (PARTITION BY event_type) AS med
+            FROM d
+        ),
+        s AS (
+            SELECT day, event_type, pv_ct, med,
+                   median(abs(pv_ct - med)) OVER (PARTITION BY event_type) AS mad
+            FROM m
+        )
+        SELECT day, event_type, pv_ct,
+               floor(med * 10000 + 0.5) / 10000 AS med_ct,
+               floor(mad * 10000 + 0.5) / 10000 AS mad_ct,
+               CASE WHEN mad > 0
+                    THEN floor((pv_ct - med) / mad * 10000 + 0.5) / 10000
+               END AS rscore,
+               coalesce(abs(CASE WHEN mad > 0
+                    THEN floor((pv_ct - med) / mad * 10000 + 0.5) / 10000
+               END) >= 3, FALSE) AS is_anomaly
+        FROM s
+    """,
     # Exact-recurrence replay: same (ts, event_id) order, same seed
     # (ema_1 = x_1), same 0.25/0.75 exact-binary coefficients — bitwise
     # equality before the 4dp rounding.

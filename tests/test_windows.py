@@ -161,3 +161,30 @@ def test_ema_recurrence_micro(spark):
     assert got[1] == 8.0
     assert got[2] == 0.25 * 4.0 + 0.75 * 8.0   # 7.0
     assert got[3] == 0.75 * 7.0                # 5.25
+
+
+def test_anomaly_mad_resists_masking(spark):
+    """The robust score must flag an outlier day the z-score masks: with
+    counts [10×7 days, 100], sigma is inflated by the outlier itself
+    (z ≈ 2.6 < threshold shapes exist) while MAD = 0-safe median logic
+    flags it; here MAD of the 8 days is 0 → construct [8,9,10,10,10,11,12,100]:
+    med=10, MAD=1, rscore(100)=90 → flagged; all others |rscore| ≤ 2."""
+    from datetime import datetime
+
+    from flink_210225_spark.operators.windows import daily_anomaly_mad
+
+    counts = [8, 9, 10, 10, 10, 11, 12, 100]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append((eid, datetime(2024, 1, d, 12, 0, 0), 1, "view", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r.day: r for r in daily_anomaly_mad({"events": ev}).collect()}
+    assert got["2024-01-08"].is_anomaly
+    assert sum(r.is_anomaly for r in got.values()) == 1
+    assert got["2024-01-08"].med_ct == 10.0 and got["2024-01-08"].mad_ct == 1.0
