@@ -113,7 +113,62 @@ def skew_profile_demo(tables: dict[str, DataFrame]) -> DataFrame:
     return key_skew_profile(tables["events"], "user_id")
 
 
-QUERIES = {"join_skew_profile": skew_profile_demo}
+def zorder_keys_demo(tables: dict[str, DataFrame], bits: int = 16) -> DataFrame:
+    """Driver-visible Z-order surface: every order's Morton key over
+    (o_custkey, order epoch-day) — the exact interleave ``write_zordered``
+    range-partitions by, now under the hash gate (the layout writer itself
+    is pytest-gated: file-level min-max tightness is an artifact property,
+    but the KEY construction — scaling, clamping, 32 bit-interleave
+    terms — is pure arithmetic both engines replay bit-for-bit). Ranges
+    are data-derived via one tiny min/max collect (embedded as literals;
+    the oracle re-derives them as scalar subqueries over the same rows)."""
+    o = tables["orders"]
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    r = o.agg(
+        F.min("o_custkey").alias("la"),
+        F.max("o_custkey").alias("ha"),
+        F.min(days).alias("lb"),
+        F.max(days).alias("hb"),
+    ).collect()[0]
+    z = zorder_value(
+        F.col("o_custkey"), days, (r.la, r.ha), (r.lb, r.hb), bits
+    )
+    return o.select("o_orderkey", F.col("o_custkey"), z.alias("zkey"))
+
+
+def _zorder_oracle(bits: int = 16) -> str:
+    terms = " + ".join(
+        f"(((sa >> {i}) & 1) << {2 * i}) + (((sb >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    m = (1 << bits) - 1
+    return f"""
+        WITH r AS (
+            SELECT min(o_custkey) AS la, max(o_custkey) AS ha,
+                   min(o_orderdate::DATE - DATE '1970-01-01') AS lb,
+                   max(o_orderdate::DATE - DATE '1970-01-01') AS hb
+            FROM orders
+        ),
+        s AS (
+            SELECT o_orderkey, o_custkey,
+                   floor(least(greatest(
+                       (o_custkey::DOUBLE - (SELECT la FROM r))
+                           / ((SELECT ha FROM r) - (SELECT la FROM r)), 0.0), 1.0)
+                       * {m})::BIGINT AS sa,
+                   floor(least(greatest(
+                       ((o_orderdate::DATE - DATE '1970-01-01')::DOUBLE - (SELECT lb FROM r))
+                           / ((SELECT hb FROM r) - (SELECT lb FROM r)), 0.0), 1.0)
+                       * {m})::BIGINT AS sb
+            FROM orders
+        )
+        SELECT o_orderkey, o_custkey, ({terms})::BIGINT AS zkey FROM s
+    """
+
+
+QUERIES = {
+    "join_skew_profile": skew_profile_demo,
+    "colocate_zorder_keys": zorder_keys_demo,
+}
 
 ORACLES = {
     "join_skew_profile": """
@@ -179,3 +234,6 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+ORACLES["colocate_zorder_keys"] = _zorder_oracle()
