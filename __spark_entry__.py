@@ -67,61 +67,65 @@ def _registry():
 # (CORRECTNESS_r01 checked exactly the first 50 of 114). Rotation policy:
 # each round, the front of the registry holds the oracle-gated queries with
 # no green CORRECTNESS row from any prior round; already-verified and
-# rows-only queries sort behind them. Round 2 window = the 48 oracle-gated
-# LLM-pipeline queries the r01 window missed + the two queries whose
-# `err: no_oracle` rows this round's oracles fix (window_uv_sketch,
-# state_pattern_matches).
+# rows-only queries sort behind them. Round 3 window = the 46 oracle-gated
+# queries with no green row in CORRECTNESS_r01/r02 (all six streaming
+# capstones, the four ANN/PQ/coreset/SemDeDup audit gates, the span/
+# containment/pagerank dedup family, the second-wave text ops, zorder,
+# asof/range/semi joins, EMA/MAD windows, FMM segmentation, the custom
+# Python DataSource) + 4 r1-green re-gates (one per §2 family) so every
+# query gets a periodic re-check.
 _CHECK_WINDOW = [
-    "window_uv_sketch",
-    "state_pattern_matches",
-    "text_lang_id",
-    "text_langid_confusion",
-    "text_length_histogram",
-    "text_fingerprint",
-    "text_contamination",
-    "text_pack_plan",
-    "text_chunk_windows",
-    "text_repetition",
-    "text_corpus_stats",
-    "text_quality_topq",
-    "text_curation_pipeline",
-    "text_token_stats_bpe",
-    "text_pii_redact",
-    "text_tfidf_topk",
-    "text_unigram_logprob",
-    "text_bigram_lm",
-    "text_curation_report",
-    "dedup_exact",
-    "dedup_normalized",
-    "dedup_keep_best",
-    "dedup_shingle_hotspots",
-    "dedup_span_stats",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_prefix_filter",
-    "dedup_edit_distance",
-    "dedup_savings",
-    "dedup_components",
-    "dedup_components_star",
-    "sim_cosine_topk",
-    "sim_cluster_stats",
-    "sim_embed_dim_stats",
-    "sim_whiten_zscore",
-    "sim_centroid_pairs",
-    "sim_knn_label",
-    "sim_quantize_int8",
-    "multimodal_decode",
-    "multimodal_frame_plan",
-    "multimodal_audio_segments",
-    "multimodal_tile_plan",
-    "sample_hash_split",
-    "sample_quota_per_group",
-    "sample_mixture_rate",
-    "sample_stratified_exact",
-    "sample_temperature_weights",
-    "sample_temperature_apply",
-    "sample_temperature_repeats",
-    "sample_curriculum_deciles",
+    "text_segment_fmm",
+    "source_pyds_replay",
+    "stream_curation_materialized",
+    "stream_dedup_materialized",
+    "stream_window_materialized",
+    "stream_join_materialized",
+    "stream_stateful_materialized",
+    "stream_enrich_materialized",
+    "colocate_zorder_keys",
+    "window_ema",
+    "window_anomaly_mad",
+    "join_semi_anti",
+    "join_range_bucketed",
+    "join_asof_forward",
+    "text_corpus_stats_approx",
+    "text_pack_bins",
+    "text_pack_bins_bfd",
+    "text_frequent_tokens",
+    "text_langid_trigram",
+    "text_nb_quality",
+    "text_dsir_weights",
+    "text_bloom_contamination",
+    "text_line_filter",
+    "text_cdc_chunks",
+    "text_corpus_manifest",
+    "text_turn_mask_plan",
+    "dedup_crossdoc_spans",
+    "dedup_paraphrase_mining",
+    "dedup_pagerank",
+    "dedup_contamination_spans",
+    "dedup_spans_excise",
+    "dedup_containment",
+    "dedup_incremental",
+    "text_ngram_novelty",
+    "dedup_cluster_summary",
+    "dedup_minhash_verified",
+    "dedup_minhash_banded",
+    "dedup_simhash_banded",
+    "sim_ann_recall_audit",
+    "sim_semantic_audit",
+    "sim_pq_audit",
+    "sim_coreset_audit",
+    "multimodal_caption_pairs",
+    "multimodal_shard_layout",
+    "sample_shuffle_shards",
+    "sample_reservoir_weighted",
+    # r1-green rotation (periodic re-gate, one per family):
+    "join_order_wide",
+    "window_visitor_stats",
+    "cdc_route_config",
+    "state_jump_detection",
 ]
 
 
