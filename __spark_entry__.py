@@ -14,9 +14,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _registry():
-    """name -> (table_fn, oracle_sql_or_None); assembled from the operator
-    modules' QUERIES/ORACLES pairs."""
+def _registry_modules():
+    """The operator modules contributing QUERIES/ORACLES pairs, in registry
+    order (tests assert the concatenated QUERIES keys are globally unique)."""
     from flink_210225_spark.operators import (
         colocate,
         joins,
@@ -34,7 +34,7 @@ def _registry():
     from flink_210225_spark.streaming import pipelines as streaming_pipelines
     from flink_210225_spark.streaming import sql_jobs
 
-    modules = [
+    return [
         segmentation,
         pyds,
         streaming_pipelines,
@@ -54,8 +54,13 @@ def _registry():
         multimodal,
         sampling,
     ]
+
+
+def _registry():
+    """name -> (table_fn, oracle_sql_or_None); assembled from the operator
+    modules' QUERIES/ORACLES pairs."""
     reg: dict[str, tuple] = {}
-    for mod in modules:
+    for mod in _registry_modules():
         for name, fn in mod.QUERIES.items():
             reg[name] = (fn, mod.ORACLES.get(name))
     head = [n for n in _CHECK_WINDOW if n in reg]
@@ -121,11 +126,11 @@ _CHECK_WINDOW = [
     "multimodal_shard_layout",
     "sample_shuffle_shards",
     "sample_reservoir_weighted",
-    # r1-green rotation (periodic re-gate, one per family):
+    "dedup_lsh_audit",
+    # r1-green rotation (periodic re-gate):
     "join_order_wide",
     "window_visitor_stats",
     "cdc_route_config",
-    "state_jump_detection",
 ]
 
 

@@ -1227,6 +1227,94 @@ def minhash_verified_pairs(
     )
 
 
+def lsh_family_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Hash-gate for the two xxhash64 fast-path LSH families
+    (``minhash_lsh_candidates`` and ``simhash_near_dups``), which are
+    rows-only for the driver because xxhash64 is not expressible in DuckDB.
+    The uv_sketch/ann_recall_audit oracle pattern: one row per family with
+    independently-recomputable exact counts plus must-be-TRUE quality
+    booleans — the oracle re-derives the counts and emits literal TRUE, so
+    a silent recall or precision regression in either fast path flips a
+    boolean and breaks the driver hash.
+
+    Row 'minhash': ``n_true`` = exact word-3-gram Jaccard ≥ 0.8 pair count
+    (the LSH design point: 16 hashes / 4 bands ⇒ collision prob ≥ 0.97 at
+    J = 0.8). ``recall_ok`` = the fast path surfaces ≥ 90% of those pairs
+    (pytest keeps the tighter truth ⊆ candidates gate; the hash gate takes
+    0.9 so a single reseeded borderline pair cannot flip the driver row);
+    ``count_regime_ok`` bounds candidate volume (≤ 20·n_true + 50 —
+    measured ratio is ~1.0 at every SF, the slack absorbs band-collision
+    noise, and a Kirsch-Mitzenmacher-style correlation bug that inflates
+    candidates 6× on a real corpus blows straight through it);
+    ``dup_cover_ok`` = every identical-digest doc pair is a candidate with
+    estimator exactly 1.0 (signature determinism).
+
+    Row 'simhash': there is no SQL truth for hamming over xxhash64 bits, so
+    the exact anchor is the SQL-replayable md5-banded sibling at identical
+    geometry (63 voted bits, 4 bands): ``n_true`` = its pair count;
+    ``recall_ok``/``count_regime_ok`` = the two families' pair counts stay
+    within 3× + 10 of each other (same-geometry regime bound — the 32-bit
+    variant this family's tests rejected measured 38×); ``dup_cover_ok`` =
+    identical-digest pairs collide at hamming 0.
+
+    Scale: every input is one of the already-bounded LSH/banded plans; the
+    audit adds only count/semi-join reductions over their outputs plus a
+    digest self-join on exact-dup groups (group sizes, not corpus²). The
+    two fast-path frames are persisted across their three uses and released
+    before return (Pandas-free here, but lambda subtrees still defeat
+    ReuseExchange — same reasoning as ann_recall_audit)."""
+    docs = tables["documents"]
+    true_pairs = ngram_jaccard_pairs(tables, threshold=0.8).select("doc_a", "doc_b")
+    mh = minhash_lsh_candidates(tables).persist()
+    sh = simhash_near_dups(tables).persist()
+    n_true = true_pairs.count()
+    n_mh = mh.count()
+    n_sh = sh.count()
+    n_md5 = simhash_banded_md5(tables).count()
+    caught = true_pairs.join(mh, ["doc_a", "doc_b"], "left_semi").count()
+    dig = docs.select(F.md5("text").alias("d"), "doc_id")
+    dup_pairs = (
+        dig.alias("a")
+        .join(dig.alias("b"), "d")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .persist()
+    )
+    n_dup = dup_pairs.count()
+    mh_dup_hit = dup_pairs.join(
+        mh.filter(F.col("est_jaccard") == 1.0), ["doc_a", "doc_b"], "left_semi"
+    ).count()
+    sh_dup_hit = dup_pairs.join(
+        sh.filter(F.col("hamming") == 0), ["doc_a", "doc_b"], "left_semi"
+    ).count()
+    mh.unpersist()
+    sh.unpersist()
+    dup_pairs.unpersist()
+    rows = [
+        (
+            "minhash",
+            n_true,
+            n_dup,
+            n_true == 0 or caught >= 0.9 * n_true,
+            n_mh <= 20 * n_true + 50,
+            mh_dup_hit == n_dup,
+        ),
+        (
+            "simhash",
+            n_md5,
+            n_dup,
+            n_md5 <= 3 * n_sh + 10,
+            n_sh <= 3 * n_md5 + 10,
+            sh_dup_hit == n_dup,
+        ),
+    ]
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "family string, n_true long, n_dup_pairs long, "
+        "recall_ok boolean, count_regime_ok boolean, dup_cover_ok boolean",
+    )
+
+
 # --- connected components over near-dup edges (dedup group assignment) ---
 
 
@@ -1777,6 +1865,9 @@ QUERIES = {
     # the minhash/simhash pipelines' end-to-end hash gates.
     "dedup_minhash_banded": minhash_banded_md5,
     "dedup_simhash_banded": simhash_banded_md5,
+    # ...and the audit row that hash-gates the xxhash64 fast paths
+    # themselves (recall/count-regime/dup-cover booleans must be TRUE).
+    "dedup_lsh_audit": lsh_family_audit,
 }
 
 ORACLES = {
@@ -2384,6 +2475,84 @@ ORACLES["dedup_simhash_banded"] = """
     )
     SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
     FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+# The audit's exact anchors recomputed from scratch: exact-Jaccard ≥ 0.8
+# pair count (minhash row), the md5-banded simhash pair count (simhash
+# row — same CTE chain as dedup_simhash_banded, reduced to a count) and
+# the identical-digest pair count; every quality boolean is literal TRUE.
+ORACLES["dedup_lsh_audit"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    shn AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(greatest(len(t) - 3, 0) + 1),
+                   i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shn GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM shn a JOIN shn b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jt AS (
+        SELECT count(*) AS c FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000 + 0.5) / 10000 >= 0.8
+    ),
+    dupd AS (SELECT md5(text) AS d, doc_id FROM documents),
+    dp AS (
+        SELECT count(*) AS c
+        FROM dupd a JOIN dupd b ON a.d = b.d AND a.doc_id < b.doc_id
+    ),
+    stoks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    hx AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(tok), 1, 8))::UBIGINT)::BIGINT AS x1,
+               (('0x' || substr(md5(tok), 9, 8))::UBIGINT)::BIGINT AS x2
+        FROM stoks
+    ),
+    votes AS (
+        SELECT doc_id, b.b AS b,
+               sum(CASE WHEN ((CASE WHEN b.b < 32 THEN x1 >> b.b
+                                    ELSE x2 >> (b.b - 32) END) & 1) = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM hx, range(63) b(b)
+        GROUP BY doc_id, b.b
+    ),
+    sig AS (
+        SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                   AS simhash
+        FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, simhash, rb.b AS band,
+               (simhash >> (rb.b * 16)) & 65535 AS key
+        FROM sig, range(4) rb(b)
+    ),
+    scand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    smc AS (
+        SELECT count(*) AS c FROM scand WHERE bit_count(xor(sa, sb)) <= 3
+    )
+    SELECT 'minhash' AS family, (SELECT c FROM jt)::BIGINT AS n_true,
+           (SELECT c FROM dp)::BIGINT AS n_dup_pairs,
+           TRUE AS recall_ok, TRUE AS count_regime_ok, TRUE AS dup_cover_ok
+    UNION ALL
+    SELECT 'simhash', (SELECT c FROM smc)::BIGINT, (SELECT c FROM dp)::BIGINT,
+           TRUE, TRUE, TRUE
 """
 
 ORACLES["dedup_savings"] = """

@@ -593,3 +593,15 @@ def test_spans_excise_cuts_exact_quote(spark):
     assert (r.doc_id, r.n_tokens, r.removed_tokens, r.n_kept) == (1, 50, 20, 30)
     expect = prefix + " " + suffix
     assert r.cleaned_digest == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_lsh_family_audit_all_green(tables_med):
+    """The fast-path LSH hash gate: both family rows must report every
+    quality boolean TRUE at the driver's gated SF, and the exact anchors
+    must be internally consistent (n_true > 0 so the recall gate is not
+    vacuous on the minhash row)."""
+    rows = {r.family: r for r in dedup.lsh_family_audit(tables_med).collect()}
+    assert set(rows) == {"minhash", "simhash"}
+    assert rows["minhash"].n_true > 0
+    for r in rows.values():
+        assert r.recall_ok and r.count_regime_ok and r.dup_cover_ok, r

@@ -177,3 +177,20 @@ def test_broadcast_survives_sf01_scale(spark):
     t = load_tables(spark, "/root/testdata/sf0.1")
     for fn in (serving.trademark_topn, serving.province_stats, joins.order_wide):
         assert explain.has_broadcast_join(fn(t)), f"{fn.__name__} lost broadcast at sf0.1"
+
+
+def test_registry_names_unique_across_modules():
+    """Every module-level QUERIES key is globally unique — a duplicate
+    silently last-wins in the driver registry and drops a query from the
+    correctness surface."""
+    from collections import Counter
+
+    import __spark_entry__ as entry
+
+    reg = entry._registry()
+    counts = Counter()
+    for mod in entry._registry_modules():
+        counts.update(mod.QUERIES.keys())
+    dups = {k: v for k, v in counts.items() if v > 1}
+    assert not dups, dups
+    assert len(reg) == sum(counts.values())
