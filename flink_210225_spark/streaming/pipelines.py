@@ -124,22 +124,37 @@ JUMP_OUTPUT_SCHEMA = T.StructType(
         T.StructField("event_id", T.LongType()),
     ]
 )
-# state: the pending (undecided) last event per user
+# state: the pending (undecided) last event per user + the watermark buffer
+# of not-yet-processable events (same bounded-by-watermark-delay buffer as
+# PATTERN_STATE_SCHEMA)
 JUMP_STATE_SCHEMA = T.StructType(
     [
         T.StructField("pend_event_id", T.LongType()),
         T.StructField("pend_ts_us", T.LongType()),
+        T.StructField("buf_ids", T.ArrayType(T.LongType())),
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
     ]
 )
 
 
 def make_jump_func(timeout_sec: int = 600) -> Callable:
     """Stateful CEP replacement (UserJumpDetailApp.java:46-86). Per user:
-    sort batch events by time; each consecutive gap > timeout emits the
-    earlier event as a jump (CEP 'matched' + in-batch timeout); the final
-    event becomes pending state with an event-time timer at ts+timeout —
-    firing emits it (CEP timeout side output). Union of both = jumps,
-    exactly the reference's select+timeout-output union (:85)."""
+    each consecutive event-time gap > timeout emits the earlier event as a
+    jump (CEP 'matched' + in-batch timeout); the final event stays pending
+    until the watermark passes its ts+timeout, then emits (CEP timeout side
+    output). Union of both = jumps, exactly the reference's
+    select+timeout-output union (:85).
+
+    Cross-batch ORDER is watermark-correct, like Flink CEP's event-time
+    buffering: incoming events are buffered in keyed state and the gap
+    chain advances only over events at or below the current watermark,
+    sorted by (ts, event_id) — an event arriving a micro-batch late but
+    inside the watermark delay lands in its correct chain position, so a
+    disordered arrival cannot fabricate or hide a gap. The pending event
+    emits once the watermark passes ts+timeout: any successor that would
+    have closed the gap is then necessarily late-dropped, so the emission
+    is final."""
+    timeout_us = timeout_sec * 1_000_000
 
     def f(
         key: tuple[Any, ...],
@@ -147,28 +162,54 @@ def make_jump_func(timeout_sec: int = 600) -> Callable:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.hasTimedOut:
-            (pend_id, _pend_ts) = state.get
-            state.remove()
-            yield pd.DataFrame({"user_id": [user_id], "event_id": [pend_id]})
-            return
-        rows = pd.concat(list(pdfs))
-        rows = rows.sort_values(["ts", "event_id"])
-        ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns -> us
-        ids = rows["event_id"].tolist()
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
         if state.exists:
-            (pend_id, pend_ts) = state.get
-            ts_us.insert(0, pend_ts)
-            ids.insert(0, pend_id)
+            pend_id, pend_ts, bi, bts = state.get
+            buf = list(zip(bi or [], bts or []))
+        else:
+            pend_id, pend_ts, buf = None, None, []
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs))
+            buf = buf + list(
+                zip(rows["event_id"], rows["ts"].astype("int64") // 1000)
+            )
+        ready = sorted((e for e in buf if e[1] <= wm_us), key=lambda e: (e[1], e[0]))
+        pending = [e for e in buf if e[1] > wm_us]
+        chain = ([(pend_id, pend_ts)] if pend_id is not None else []) + ready
         jumps = [
-            ids[i]
-            for i in range(len(ids) - 1)
-            if ts_us[i + 1] - ts_us[i] > timeout_sec * 1_000_000
+            chain[i][0]
+            for i in range(len(chain) - 1)
+            if chain[i + 1][1] - chain[i][1] > timeout_us
         ]
-        state.update((ids[-1], ts_us[-1]))
-        state.setTimeoutTimestamp(ts_us[-1] // 1000 + timeout_sec * 1000)
+        pend_id, pend_ts = chain[-1] if chain else (None, None)
+        if pend_id is not None and wm_us > pend_ts + timeout_us:
+            # watermark passed the pending event's decision deadline with no
+            # successor inside the gap — the CEP timeout output
+            jumps.append(pend_id)
+            pend_id, pend_ts = None, None
+        if pend_id is None and not pending:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (
+                    None if pend_id is None else int(pend_id),
+                    None if pend_ts is None else int(pend_ts),
+                    [int(e[0]) for e in pending],
+                    [int(e[1]) for e in pending],
+                )
+            )
+            deadlines = []
+            if pending:
+                deadlines.append(min(e[1] for e in pending) // 1000)
+            if pend_id is not None:
+                deadlines.append(pend_ts // 1000 + timeout_sec * 1000)
+            state.setTimeoutTimestamp(max(min(deadlines), wm_ms + 1))
         if jumps:
-            yield pd.DataFrame({"user_id": [user_id] * len(jumps), "event_id": jumps})
+            yield pd.DataFrame(
+                {"user_id": [user_id] * len(jumps), "event_id": [int(j) for j in jumps]}
+            )
 
     return f
 
@@ -797,11 +838,18 @@ PATTERN_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 # state: (stage, start_event_id, start_ts_us) of the in-flight partial match
+# + the watermark buffer of not-yet-processable events (parallel arrays —
+# the pandas GroupState tuple codec round-trips flat arrays; buffer size is
+# bounded by events inside the watermark delay per key, the same bound every
+# event-time-ordered CEP engine carries).
 PATTERN_STATE_SCHEMA = T.StructType(
     [
         T.StructField("stage", T.IntegerType()),
         T.StructField("start_event_id", T.LongType()),
         T.StructField("start_ts_us", T.LongType()),
+        T.StructField("buf_ids", T.ArrayType(T.LongType())),
+        T.StructField("buf_types", T.ArrayType(T.StringType())),
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -812,9 +860,21 @@ def make_pattern_func(
     """Generalized CEP as keyed streaming state: the SAME greedy kernel the
     batch path runs (operators/stateful.match_pattern_kernel), with the
     in-flight partial match (stage, start id, start ts) carried across
-    micro-batches. Events are sorted within each batch; cross-batch order
-    is the stream's arrival order (watermark-bounded sources deliver
-    in-order per key in micro-batch mode)."""
+    micro-batches.
+
+    Cross-batch ORDER is watermark-correct, matching Flink CEP's event-time
+    buffering (UserJumpDetailApp.java:46-56 assigns watermarks before the
+    pattern): each invocation buffers incoming events in keyed state and
+    feeds the kernel only events at or below the current watermark, sorted
+    by (ts, event_id) — so an event arriving a micro-batch late but inside
+    the watermark delay lands in its correct position before the kernel
+    sees its successors. Events later than the watermark delay are dropped
+    by the stream's late-row filter, identical to the batch oracle only up
+    to that allowed-lateness contract (T8). An event-time timer fires when
+    the watermark passes the earliest buffered event (releasing it) or an
+    in-flight partial's completion deadline (evicting it — once the
+    watermark passes start + within, any still-arriving completer would be
+    late-dropped anyway, so the drop cannot change results)."""
     from flink_210225_spark.operators.stateful import match_pattern_kernel
 
     within_us = within_sec * 1_000_000
@@ -825,37 +885,63 @@ def make_pattern_func(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.hasTimedOut:
-            # partial match expired (watermark passed start + within): no
-            # completion is possible any more — clear, don't emit (unlike
-            # jump detection, an incomplete pattern is not a result)
-            state.remove()
-            return
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        ev = list(
-            zip(rows["event_id"], rows["event_type"], rows["ts"].astype("int64") // 1000)
-        )
-        init = tuple(state.get) if state.exists else (0, None, None)
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        if state.exists:
+            stage, start_id, start_ts, bi, bt, bts = state.get
+            buf = list(zip(bi or [], bt or [], bts or []))
+        else:
+            stage, start_id, start_ts, buf = 0, None, None, []
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs))
+            buf = buf + list(
+                zip(
+                    rows["event_id"],
+                    rows["event_type"],
+                    rows["ts"].astype("int64") // 1000,
+                )
+            )
+        ready = sorted((e for e in buf if e[2] <= wm_us), key=lambda e: (e[2], e[0]))
+        pending = [e for e in buf if e[2] > wm_us]
         out, (stage, start_id, start_ts) = match_pattern_kernel(
-            ev, steps, within_us, init
+            ready, steps, within_us, (stage, start_id, start_ts)
         )
-        if stage == 0:
-            # no in-flight partial: drop the state row entirely (ADVICE r1 —
-            # state.update here would pin a (0, None, None) row per user
-            # forever, unbounded keyed-state growth with no timer to evict)
+        if stage > 0 and wm_us > start_ts + within_us:
+            # expired in-flight partial: completers can no longer arrive
+            # (they would be behind the watermark = late-dropped), and any
+            # pending event is past the deadline so the kernel would reset
+            # on it anyway — drop now so quiet users don't pin state.
+            stage, start_id, start_ts = 0, None, None
+        if stage == 0 and not pending:
+            # nothing in flight, nothing buffered: drop the state row
+            # entirely (ADVICE r1 — an empty state.update here would pin a
+            # row per user forever, unbounded keyed-state growth).
             if state.exists:
                 state.remove()
         else:
-            state.update((int(stage), int(start_id), int(start_ts)))
-            # state TTL (T6): an in-flight match is only completable until
-            # start + within — register an event-time timer so stale
-            # partials evict instead of living forever for quiet users.
-            # Clamp to just past the current watermark: a replayed partial
-            # whose deadline is already behind the watermark would otherwise
-            # make setTimeoutTimestamp throw.
-            deadline_ms = start_ts // 1000 + within_us // 1000
-            wm_ms = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max(deadline_ms, wm_ms + 1))
+            bi2 = [int(e[0]) for e in pending]
+            bt2 = [str(e[1]) for e in pending]
+            bts2 = [int(e[2]) for e in pending]
+            state.update(
+                (
+                    int(stage),
+                    None if start_id is None else int(start_id),
+                    None if start_ts is None else int(start_ts),
+                    bi2,
+                    bt2,
+                    bts2,
+                )
+            )
+            # wake-up timer: earliest buffered event's release time and/or
+            # the partial's completion deadline, whichever comes first.
+            # Clamp just past the current watermark — a replayed deadline
+            # already behind it would make setTimeoutTimestamp throw.
+            deadlines = []
+            if pending:
+                deadlines.append(min(e[2] for e in pending) // 1000)
+            if stage > 0:
+                deadlines.append(start_ts // 1000 + within_us // 1000)
+            state.setTimeoutTimestamp(max(min(deadlines), wm_ms + 1))
         if out:
             yield pd.DataFrame(
                 {

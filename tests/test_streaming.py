@@ -706,3 +706,85 @@ def test_enrich_stream_materialized_stream_equals_batch(tables):
 
     df = sp.QUERIES["stream_enrich_materialized"](tables)
     assert_matches_oracle(df, sp.ORACLES["stream_enrich_materialized"], SF_DIR)
+
+
+def test_pattern_stream_cross_batch_disorder(spark, tmp_path):
+    """Watermark-ordered CEP: the click arrives one micro-batch AFTER the
+    purchase but within the 10 s watermark delay, so event-time order is
+    view->click->purchase and the stream must match exactly like the batch
+    kernel. The arrival-order implementation this replaces saw
+    view,purchase|click and matched nothing."""
+    import pandas as pd
+
+    src = tmp_path / "oev"
+    src.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    b1 = pd.DataFrame(
+        [
+            [1, pd.Timestamp("2021-01-01 10:00:00"), 1, "view", 0.0, "{}"],
+            [2, pd.Timestamp("2021-01-01 10:00:08"), 1, "purchase", 0.0, "{}"],
+        ],
+        columns=cols,
+    )
+    # the out-of-order click, plus a later event that pushes the watermark
+    # past all of user 1's events
+    b2 = pd.DataFrame(
+        [
+            [3, pd.Timestamp("2021-01-01 10:00:04"), 1, "click", 0.0, "{}"],
+            [4, pd.Timestamp("2021-01-01 10:00:30"), 2, "view", 0.0, "{}"],
+        ],
+        columns=cols,
+    )
+    b1.to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    b2.to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    got = sp.run_stream_to_memory(sp.pattern_stream(stream), "pattern_ooo").collect()
+    stream_set = {(r.user_id, r.start_event_id, r.end_event_id) for r in got}
+    assert stream_set == {(1, 1, 2)}
+
+    batch = stateful.pattern_matches({"events": spark.read.parquet(str(src))})
+    want = {(r.user_id, r.start_event_id, r.end_event_id) for r in batch.collect()}
+    assert stream_set == want
+
+
+def test_jump_stream_cross_batch_disorder(spark, tmp_path):
+    """Watermark-ordered jump detection: an arrival-order gap of 15 s >
+    timeout=10 s is FILLED by an event that arrives one micro-batch later
+    (but inside the 10 s watermark delay), so no jump exists at events 1/3;
+    only the chain's final event times out. The arrival-order
+    implementation this replaces emitted the false jump."""
+    import pandas as pd
+
+    src = tmp_path / "jev"
+    src.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    b1 = pd.DataFrame(
+        [
+            [1, pd.Timestamp("2021-01-01 10:00:00"), 1, "view", 0.0, "{}"],
+            [4, pd.Timestamp("2021-01-01 10:00:15"), 1, "view", 0.0, "{}"],
+        ],
+        columns=cols,
+    )
+    b2 = pd.DataFrame(
+        [
+            [3, pd.Timestamp("2021-01-01 10:00:08"), 1, "view", 0.0, "{}"],
+            [9, pd.Timestamp("2021-01-01 10:01:00"), 2, "view", 0.0, "{}"],
+        ],
+        columns=cols,
+    )
+    b1.to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    b2.to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    got = sp.run_stream_to_memory(
+        sp.jump_detection_stream(stream, timeout_sec=10), "jump_ooo"
+    ).collect()
+    # gaps in EVENT time: 1->3 is 8 s, 3->4 is 7 s (both <= 10 s, no jump);
+    # event 4 times out once the watermark passes 10:00:25. User 2's lone
+    # event stays pending (watermark never passes it) — not emitted.
+    assert {(r.user_id, r.event_id) for r in got} == {(1, 4)}
