@@ -127,10 +127,10 @@ _CHECK_WINDOW = [
     "sample_shuffle_shards",
     "sample_reservoir_weighted",
     "dedup_lsh_audit",
+    "multimodal_wav_decode",
+    "multimodal_png_decode",
     # r1-green rotation (periodic re-gate):
     "join_order_wide",
-    "window_visitor_stats",
-    "cdc_route_config",
 ]
 
 

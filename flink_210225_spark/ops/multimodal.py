@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads with
 typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-Container constraint: no image/audio codecs are installed, so the actual
-byte-decode is STUBBED — ``_decode_fake`` derives deterministic pseudo
-pixels/samples from the payload bytes (size-preserving, reproducible), and
-``decode_media`` documents the seam where Pillow/torchaudio/pyav would slot
-in. Everything around the stub is real Spark:
+Codec status: WAV and PNG payloads are decoded FOR REAL — ``_parse_wav``
+(stdlib ``wave``: container parse, PCM frame extraction) and ``_parse_png``
+(chunk walk, zlib inflate, all five scanline filters un-applied with
+numpy). ``decode_media`` sniffs the container magic and uses the real
+parser when one matches; only payloads in formats whose codecs are not
+installed in this container (JPEG, MP4, ...) fall back to the documented
+``_decode_fake`` sha256 stand-in. Everything around the decode is real
+Spark:
 
 - the asset schema (binary payload + struct metadata),
 - Arrow batch transfer via ``mapInPandas`` (the right shape for bulky binary
@@ -75,10 +78,147 @@ def _decode_fake(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return out[:dim]
 
 
+def _parse_wav(payload: bytes) -> dict:
+    """REAL WAV decode via the stdlib ``wave`` container parser: returns
+    sample_rate / channels / frame count plus the PCM samples as int16
+    numpy (8-bit PCM widened, >16-bit rejected — the fixture contract)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        nf = w.getnframes()
+        sw = w.getsampwidth()
+        raw = w.readframes(nf)
+    if sw == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    elif sw == 1:  # 8-bit WAV is unsigned
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    return {
+        "sample_rate": sr,
+        "n_channels": nch,
+        "n_frames": nf,
+        "samples": samples,
+    }
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# bytes per pixel by PNG color type at bit depth 8
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _parse_png(payload: bytes) -> dict:
+    """REAL PNG decode with the stdlib: chunk walk, IHDR parse, zlib
+    inflate of the concatenated IDAT stream, and numpy un-application of
+    all five scanline filters (None/Sub/Up/Average/Paeth) — 8-bit
+    non-interlaced images of any color type. Returns the pixel array
+    (height × width × channels, uint8)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = b""
+    meta = None
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                raise ValueError("unsupported PNG variant")
+            meta = (w, h, depth, color)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color = meta
+    bpp = _PNG_CHANNELS[color]
+    stride = w * bpp
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        line = raw[y, 1:].astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        f = filters[y]
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = (line + up) & 0xFF
+        else:  # Sub / Average / Paeth need the left neighbor: scan per pixel
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                ul = up[x - bpp] if x >= bpp else 0
+                if f == 1:  # Sub
+                    pred = left
+                elif f == 3:  # Average
+                    pred = (left + up[x]) // 2
+                elif f == 4:  # Paeth
+                    p = left + up[x] - ul
+                    pa, pb, pc = abs(p - left), abs(p - up[x]), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else up[x] if pb <= pc else ul
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                rec[x] = (line[x] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+    return {
+        "width": w,
+        "height": h,
+        "color_type": color,
+        "pixels": out.reshape(h, w, bpp),
+    }
+
+
+def _feature_from_samples(values, dim: int = FEATURE_DIM) -> list[float]:
+    """Real feature extraction: mean of each of ``dim`` equal slices of the
+    decoded sample/pixel stream, scaled to [-1, 1] — a deterministic,
+    decode-dependent embedding stand-in (a real encoder slots in here)."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.float64).ravel()
+    if v.size == 0:
+        return [0.0] * dim
+    scale = max(np.abs(v).max(), 1.0)
+    chunks = np.array_split(v / scale, dim)
+    return [float(c.mean()) if c.size else 0.0 for c in chunks]
+
+
 def decode_media(assets: DataFrame) -> DataFrame:
-    """Arrow-batched decode/feature-extract. Real decode would raise
-    NotImplementedError per unsupported content_type; the fake keeps the
-    pipeline runnable in this container."""
+    """Arrow-batched decode/feature-extract. Container magic dispatches to
+    the REAL parser (WAV via stdlib ``wave``, PNG via chunk-walk + zlib +
+    filter reconstruction); formats without an installed codec fall back to
+    the documented ``_decode_fake`` stand-in so the pipeline stays runnable
+    on any payload."""
+
+    def decode_one(b) -> list[float]:
+        b = bytes(b or b"")
+        try:
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                return _feature_from_samples(_parse_wav(b)["samples"])
+            if b[:8] == _PNG_MAGIC:
+                return _feature_from_samples(
+                    _parse_png(b)["pixels"].astype("int64") - 128
+                )
+        except ValueError:
+            pass  # malformed container: fall through to the stand-in
+        return _decode_fake(b)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -88,7 +228,7 @@ def decode_media(assets: DataFrame) -> DataFrame:
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
                     "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "feature": payloads.map(lambda b: _decode_fake(bytes(b or b""))),
+                    "feature": payloads.map(decode_one),
                     "checksum": payloads.map(
                         lambda b: hashlib.sha256(bytes(b or b"")).hexdigest()
                     ),
@@ -179,6 +319,143 @@ def image_tile_plan(assets: DataFrame, tile: int = 32) -> DataFrame:
         y0.cast("long").alias("y0"),
         F.least(F.lit(tile), F.col("w") - x0).alias("tile_w"),
         F.least(F.lit(tile), F.col("h") - y0).cast("long").alias("tile_h"),
+    )
+
+
+def _wav_bytes(doc_id: int, n: int) -> bytes:
+    """A REAL RIFF/WAVE container (stdlib ``wave`` writer): int16 mono
+    16 kHz, sample k = (((doc_id·31 + k·7) mod 256) − 128)·256 — a pure
+    integer formula both engines can evaluate exactly."""
+    import io
+    import wave
+
+    import numpy as np
+
+    k = np.arange(n, dtype=np.int64)
+    v = (((doc_id * 31 + k * 7) % 256) - 128) * 256
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(v.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _png_bytes(doc_id: int, w: int, h: int, filter_type: int = 0) -> bytes:
+    """A REAL PNG file (signature, IHDR/IDAT/IEND chunks with CRCs, zlib
+    stream): 8-bit greyscale, pixel (x, y) = (doc_id·7 + 3x + 11y) mod 256.
+    ``filter_type`` picks the scanline filter the encoder applies (0/1/2
+    supported here; the decoder reconstructs all five) so tests can
+    exercise the filter paths with byte-identical pixel output."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)[:, None]
+    px = ((doc_id * 7 + x * 3 + y * 11) % 256).astype(np.uint8)
+    rows = []
+    prev = np.zeros(w, dtype=np.int64)
+    for r in range(h):
+        line = px[r].astype(np.int64)
+        if filter_type == 0:
+            enc = line
+        elif filter_type == 1:  # Sub
+            enc = (line - np.concatenate(([0], line[:-1]))) & 0xFF
+        elif filter_type == 2:  # Up
+            enc = (line - prev) & 0xFF
+        else:
+            raise ValueError("encoder supports filters 0-2")
+        rows.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
+        prev = line
+    raw = b"".join(rows)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def wav_decode_documents(tables: dict[str, DataFrame]) -> DataFrame:
+    """REAL-codec round trip under the driver hash gate: deterministic PCM
+    derived from each document is written into a genuine WAV container and
+    decoded back through the stdlib parser inside one Arrow batch; the
+    emitted container fields (rate/channels/frames) and exact integer
+    signal stats (Σs², max|s|) are recomputed arithmetically by the DuckDB
+    oracle — any drift in the container writer, the parser, or the PCM
+    byte order breaks the hash. Scale: embarrassingly parallel mapInPandas,
+    zero shuffles; payloads never leave the task that made them."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id", (F.col("n_chars") % 200 + 50).cast("int").alias("n")
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("asset_id", "sample_rate", "n_channels", "n_frames", "sum_sq", "peak")}
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                dec = _parse_wav(_wav_bytes(int(doc_id), int(n)))
+                s = dec["samples"]
+                out["asset_id"].append(int(doc_id))
+                out["sample_rate"].append(dec["sample_rate"])
+                out["n_channels"].append(dec["n_channels"])
+                out["n_frames"].append(dec["n_frames"])
+                out["sum_sq"].append(int((s * s).sum()))
+                out["peak"].append(int(np.abs(s).max()))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, sample_rate long, n_channels long, n_frames long, "
+        "sum_sq long, peak long",
+    )
+
+
+def png_decode_documents(tables: dict[str, DataFrame]) -> DataFrame:
+    """REAL-codec round trip for images, same contract as
+    ``wav_decode_documents``: a genuine PNG (chunks, CRCs, zlib) is built
+    per document and decoded back through the chunk-walk/inflate/unfilter
+    parser; dimensions and exact pixel stats hash-gate against the oracle's
+    arithmetic replay."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 24 + 8).cast("int").alias("w"),
+        ((F.col("doc_id") * 3) % 16 + 8).cast("int").alias("h"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("asset_id", "width", "height", "color_type", "px_sum", "px_max")}
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                dec = _parse_png(_png_bytes(int(doc_id), int(w), int(h)))
+                px = dec["pixels"].astype(np.int64)
+                out["asset_id"].append(int(doc_id))
+                out["width"].append(dec["width"])
+                out["height"].append(dec["height"])
+                out["color_type"].append(dec["color_type"])
+                out["px_sum"].append(int(px.sum()))
+                out["px_max"].append(int(px.max()))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, width long, height long, color_type long, "
+        "px_sum long, px_max long",
     )
 
 
@@ -310,6 +587,8 @@ def caption_pairs(tables: dict[str, DataFrame]) -> DataFrame:
 QUERIES = {
     "multimodal_caption_pairs": caption_pairs,
     "multimodal_decode": decode_documents,
+    "multimodal_wav_decode": wav_decode_documents,
+    "multimodal_png_decode": png_decode_documents,
     "multimodal_frame_plan": frame_plan_documents,
     "multimodal_audio_segments": audio_segments_documents,
     "multimodal_tile_plan": tile_plan_documents,
@@ -377,6 +656,45 @@ ORACLES = {
         SELECT asset_id, kind, n_bytes, out_shard AS shard,
                out_offset AS byte_offset
         FROM walk WHERE asset_id IS NOT NULL
+    """,
+    # Arithmetic replay of the real-codec round trips: the oracle never
+    # touches container bytes — it recomputes the deterministic signal from
+    # the same integer formulas, so only a correct write-then-parse on the
+    # Spark side can reproduce these exact sums.
+    "multimodal_wav_decode": """
+        WITH a AS (
+            SELECT doc_id, (n_chars % 200 + 50)::BIGINT AS n FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n,
+                   list_transform(range(n),
+                       k -> (((doc_id * 31 + k * 7) % 256) - 128) * 256) AS v
+            FROM a
+        )
+        SELECT doc_id AS asset_id,
+               16000::BIGINT AS sample_rate,
+               1::BIGINT AS n_channels,
+               n AS n_frames,
+               list_sum(list_transform(v, x -> x * x))::BIGINT AS sum_sq,
+               list_max(list_transform(v, x -> abs(x)))::BIGINT AS peak
+        FROM s
+    """,
+    "multimodal_png_decode": """
+        WITH g AS (
+            SELECT doc_id,
+                   (doc_id % 24 + 8)::BIGINT AS w,
+                   ((doc_id * 3) % 16 + 8)::BIGINT AS h
+            FROM documents
+        )
+        SELECT doc_id AS asset_id, w AS width, h AS height,
+               0::BIGINT AS color_type,
+               list_sum(list_transform(range(w * h),
+                   i -> (doc_id * 7 + (i % w) * 3 + (i // w) * 11) % 256))::BIGINT
+                   AS px_sum,
+               list_max(list_transform(range(w * h),
+                   i -> (doc_id * 7 + (i % w) * 3 + (i // w) * 11) % 256))::BIGINT
+                   AS px_max
+        FROM g
     """,
     "multimodal_decode": """
         SELECT doc_id AS asset_id,

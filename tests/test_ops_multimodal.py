@@ -1,3 +1,5 @@
+import pytest
+
 from flink_210225_spark.ops import multimodal
 
 
@@ -119,3 +121,110 @@ def test_caption_pairs_filter_discriminates(tables):
     assert 0 < kept < len(rows)
     for r in rows:
         assert r.keep_pair == (r.caption_tokens >= 5 and r.caption_quality >= 0.55)
+
+
+def test_png_filter_round_trips():
+    """The PNG encoder's None/Sub/Up filters and the decoder's generic
+    reconstruction must round-trip byte-identical pixels."""
+    import numpy as np
+
+    from flink_210225_spark.ops import multimodal as mm
+
+    for f in (0, 1, 2):
+        dec = mm._parse_png(mm._png_bytes(7, 13, 9, filter_type=f))
+        assert (dec["width"], dec["height"], dec["color_type"]) == (13, 9, 0)
+        x = np.arange(13)
+        y = np.arange(9)[:, None]
+        want = ((7 * 7 + x * 3 + y * 11) % 256).astype(np.uint8)
+        assert (dec["pixels"][:, :, 0] == want).all(), f
+
+
+def test_png_average_and_paeth_filters_decode():
+    """Hand-encode scanlines with the Average (3) and Paeth (4) filters —
+    the decoder must reconstruct the same pixels the spec defines."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from flink_210225_spark.ops import multimodal as mm
+
+    rng = np.random.default_rng(42)
+    w, h = 11, 6
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else b if pb <= pc else c
+
+    rows = []
+    for y in range(h):
+        f = 3 if y % 2 == 0 else 4
+        enc = []
+        for x in range(w):
+            left = int(px[y, x - 1]) if x > 0 else 0
+            up = int(px[y - 1, x]) if y > 0 else 0
+            ul = int(px[y - 1, x - 1]) if x > 0 and y > 0 else 0
+            pred = (left + up) // 2 if f == 3 else paeth(left, up, ul)
+            enc.append((int(px[y, x]) - pred) & 0xFF)
+        rows.append(bytes([f]) + bytes(enc))
+    raw = b"".join(rows)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    payload = (
+        mm._PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    dec = mm._parse_png(payload)
+    assert (dec["pixels"][:, :, 0] == px).all()
+
+
+def test_wav_parse_real_container():
+    """_wav_bytes writes a genuine RIFF/WAVE file and _parse_wav recovers
+    rate, width, and the exact PCM samples."""
+    import numpy as np
+
+    from flink_210225_spark.ops import multimodal as mm
+
+    dec = mm._parse_wav(mm._wav_bytes(3, 75))
+    assert (dec["sample_rate"], dec["n_channels"], dec["n_frames"]) == (16000, 1, 75)
+    k = np.arange(75)
+    want = (((3 * 31 + k * 7) % 256) - 128) * 256
+    assert (dec["samples"] == want).all()
+
+
+def test_decode_media_dispatches_real_codecs(spark):
+    """decode_media must route WAV/PNG payloads through the real parsers
+    (feature == real-sample slice means), and arbitrary bytes through the
+    sha256 stand-in."""
+    import numpy as np
+
+    from flink_210225_spark.ops import multimodal as mm
+
+    wav = mm._wav_bytes(5, 120)
+    png = mm._png_bytes(5, 10, 10)
+    blob = b"\x00\x01\x02notacontainer"
+    df = spark.createDataFrame(
+        [
+            (1, "audio", wav, (0, 0, 16000, 120, "audio/wav")),
+            (2, "image", png, (10, 10, 0, 1, "image/png")),
+            (3, "video", blob, (0, 0, 0, 0, "x-demo")),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    got = {r.asset_id: r for r in mm.decode_media(df).collect()}
+    k = np.arange(120)
+    samples = (((5 * 31 + k * 7) % 256) - 128) * 256
+    want_wav = mm._feature_from_samples(samples)
+    assert np.allclose(got[1].feature, want_wav, atol=1e-6)
+    pix = mm._parse_png(png)["pixels"].astype("int64") - 128
+    assert np.allclose(got[2].feature, mm._feature_from_samples(pix), atol=1e-6)
+    assert got[3].feature == pytest.approx(mm._decode_fake(blob))
