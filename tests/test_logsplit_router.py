@@ -240,3 +240,118 @@ def test_dim_upsert_swap_failure_restores_backup(spark, tmp_path, monkeypatch):
 
     got = {r["id"]: r["name"] for r in spark.read.parquet(path).collect()}
     assert got == {"1": "alice"}, "backup not restored after failed swap"
+
+
+def test_dim_upsert_bucketed_parity_and_incrementality(spark, tmp_path):
+    """The bucketed upsert must produce the same logical table as the
+    whole-table swap AND touch only the bucket partitions a batch's keys
+    hash into — untouched bucket dirs keep their exact file sets."""
+    import os
+
+    path = str(tmp_path / "dim_big")
+    b1 = spark.createDataFrame(
+        [(str(i), f"v{i}") for i in range(40)], "id string, name string"
+    )
+    router.upsert_dim_bucketed(b1, path, n_buckets=8)
+    got = {
+        r["id"]: r["name"]
+        for r in spark.read.parquet(path).select("id", "name").collect()
+    }
+    assert got == {str(i): f"v{i}" for i in range(40)}
+
+    def bucket_files():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("bucket="):
+                full = os.path.join(path, d)
+                out[d] = {
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                }
+        return out
+
+    before = bucket_files()
+    b2 = spark.createDataFrame([("7", "SEVEN"), ("99", "new")], "id string, name string")
+    router.upsert_dim_bucketed(b2, path, n_buckets=8)
+    after = bucket_files()
+
+    from pyspark.sql import functions as F
+
+    touched = {
+        f"bucket={r.b}"
+        for r in b2.select(
+            F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(8))
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    for d in before:
+        if d not in touched:
+            assert before[d] == after[d], f"untouched {d} was rewritten"
+    for d in touched:
+        assert before.get(d) != after[d], f"touched {d} unchanged"
+
+    got = {
+        r["id"]: r["name"]
+        for r in spark.read.parquet(path).select("id", "name").collect()
+    }
+    want = {str(i): f"v{i}" for i in range(40)}
+    want.update({"7": "SEVEN", "99": "new"})
+    assert got == want
+
+
+def test_dim_upsert_bucketed_crash_leaves_table_readable(spark, tmp_path, monkeypatch):
+    """A write failure mid-merge must leave every live bucket intact and
+    clean up the staging dir."""
+    import os
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    path = str(tmp_path / "dim_big2")
+    b1 = spark.createDataFrame([("1", "alice"), ("2", "bob")], "id string, name string")
+    router.upsert_dim_bucketed(b1, path, n_buckets=4)
+
+    real_parquet = DataFrameWriter.parquet
+
+    def boom(self, p, **kw):
+        raise RuntimeError("simulated executor loss mid-write")
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    b2 = spark.createDataFrame([("2", "bobby")], "id string, name string")
+    try:
+        router.upsert_dim_bucketed(b2, path, n_buckets=4)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+
+    got = {
+        r["id"]: r["name"]
+        for r in spark.read.parquet(path).select("id", "name").collect()
+    }
+    assert got == {"1": "alice", "2": "bob"}
+    leftovers = [p for p in tmp_path.iterdir() if "__tmp_" in p.name]
+    assert not leftovers, f"staging dirs not cleaned: {leftovers}"
+
+
+def test_dim_upsert_bucketed_replay_idempotent(spark, tmp_path):
+    """Re-applying the identical batch (journal-loss replay after a crash
+    mid-bucket-loop) must be a no-op on the logical table."""
+    path = str(tmp_path / "dim_big3")
+    b1 = spark.createDataFrame(
+        [(str(i), f"v{i}") for i in range(20)], "id string, name string"
+    )
+    router.upsert_dim_bucketed(b1, path, n_buckets=4)
+    b2 = spark.createDataFrame([("3", "x"), ("21", "y")], "id string, name string")
+    router.upsert_dim_bucketed(b2, path, n_buckets=4)
+    once = {
+        (r["id"], r["name"])
+        for r in spark.read.parquet(path).select("id", "name").collect()
+    }
+    router.upsert_dim_bucketed(b2, path, n_buckets=4)  # replay
+    twice = {
+        (r["id"], r["name"])
+        for r in spark.read.parquet(path).select("id", "name").collect()
+    }
+    assert once == twice
