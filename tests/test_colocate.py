@@ -135,3 +135,106 @@ def test_zorder_layout_prunes_both_dims(spark, tmp_path):
     # linear sort: x tight but y spans nearly the full range per file
     assert avg_width(spath, "x") < 63 * 0.6
     assert avg_width(spath, "y") > 63 * 0.8
+
+
+def test_salted_join_spreads_hot_key_partitions(spark):
+    """VERDICT r2 #7 — exercise the SKEW BENEFIT, not just row parity: on a
+    90 %-hot-key fixture with broadcast and AQE off (forcing a shuffle
+    join), the plain join lands every hot-key row in ONE output partition;
+    the salted join spreads them across many (the (key, salt) shuffle
+    key), which is exactly the max-task-size win salting exists for."""
+    from pyspark.sql import functions as F
+
+    from flink_210225_spark.operators import colocate
+
+    big = spark.range(60_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0))
+        .otherwise(F.pmod("id", F.lit(50)))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        hot_parts_plain = (
+            big.join(small, "k")
+            .filter(F.col("k") == 0)
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        salted = colocate.salted_join(big, small, "k", n_salts=16)
+        hot_parts_salted = (
+            salted.filter(F.col("k") == 0)
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+        assert hot_parts_plain == 1, "plain join should funnel the hot key"
+        assert hot_parts_salted >= 8, (
+            f"salting spread the hot key over only {hot_parts_salted} partitions"
+        )
+        # parity on the same fixture (hot-key multiplicities included)
+        plain_counts = {
+            (r.k, r.ct): None
+            for r in big.join(small, "k").groupBy("k").agg(F.count("*").alias("ct")).collect()
+        }
+        salted_counts = {
+            (r.k, r.ct): None
+            for r in salted.groupBy("k").agg(F.count("*").alias("ct")).collect()
+        }
+        assert plain_counts == salted_counts
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_aqe_skew_split_triggers_on_hot_key(spark):
+    """The AQE half of the skew posture: with skew-join thresholds scaled
+    to fixture size, the UNsalted shuffle join over the hot-key fixture
+    must be rewritten by AQE with skew=true — proof the runtime path we
+    rely on for moderate skew actually engages on this shape."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(200_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0))
+        .otherwise(F.pmod("id", F.lit(50)))
+        .alias("k"),
+        F.concat(F.lit("payload_"), F.col("id")).alias("payload"),
+    )
+    small = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        joined = big.join(small, "k")
+        # materialize THIS DataFrame's QueryExecution (a .count() would
+        # execute a different one and leave this plan isFinalPlan=false)
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -788,3 +788,66 @@ def test_jump_stream_cross_batch_disorder(spark, tmp_path):
     # event 4 times out once the watermark passes 10:00:25. User 2's lone
     # event stays pending (watermark never passes it) — not emitted.
     assert {(r.user_id, r.event_id) for r in got} == {(1, 4)}
+
+
+def test_curation_filesink_chaos_kill_and_restart_exactly_once(spark, tables, tmp_path):
+    """VERDICT r2 #10 — chaos the FILE-SINK path (the journal tests cover
+    foreachBatch, not this): replay the documents fixture in 4 micro-batches
+    through run_curation_stream, KILL the query after the first batch
+    commits (the stop lands wherever it lands — possibly mid-write of a
+    later batch), restart against the same checkpoint, and assert the
+    materialized output equals a clean run exactly: the file sink's commit
+    log must hide any uncommitted files and the restart must neither skip
+    nor duplicate a batch."""
+    import time
+
+    docs = tables["documents"]
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    # clean reference run
+    out_ref, cp_ref = str(tmp_path / "out_ref"), str(tmp_path / "cp_ref")
+    sp.run_curation_stream(stream(), out_ref, cp_ref).awaitTermination()
+    ref = {
+        tuple(r)
+        for r in spark.read.parquet(out_ref)
+        .select("doc_id", "quality", "split", "selected")
+        .collect()
+    }
+    assert ref, "reference run produced nothing"
+
+    # chaos run: kill after the first committed batch
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = sp.run_curation_stream(stream(), out, cp)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p is not None and p["numInputRows"] > 0:
+            break
+        time.sleep(0.05)
+    q.stop()
+    q.awaitTermination()
+    n_partial = (
+        spark.read.parquet(out).count()
+        if any(tmp_path.joinpath("out").iterdir())
+        else 0
+    )
+    if n_partial >= len(ref):
+        pytest.skip("stop landed after all batches committed; no chaos this run")
+
+    # restart against the same checkpoint: must finish the remaining batches
+    sp.run_curation_stream(stream(), out, cp).awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("doc_id", "quality", "split", "selected")
+        .collect()
+    }
+    assert got == ref
