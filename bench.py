@@ -67,6 +67,33 @@ def main() -> None:
             times[name].append(time.perf_counter() - t0)
 
     per_query = {name: round(statistics.median(ts), 3) for name, ts in times.items()}
+
+    # Regression gate vs the pinned baseline medians (VERDICT r2 #8): the
+    # r2 run is the reference; every query present in both runs reports its
+    # ratio, and ratios > 1.5x are called out in their own key so a
+    # regression is visible in the bench line itself, not only by diffing
+    # files across rounds.
+    baseline_path = os.environ.get(
+        "SPARK_GRAFT_BASELINE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_r2.json"),
+    )
+    baseline_info = {}
+    try:
+        with open(baseline_path) as f:
+            base = json.load(f)["queries"]
+        common = [n for n in per_query if n in base and base[n] > 0]
+        ratios = {n: round(per_query[n] / base[n], 2) for n in common}
+        baseline_info = {
+            "baseline": os.path.basename(baseline_path),
+            "common_total": round(sum(per_query[n] for n in common), 3),
+            "baseline_total": round(sum(base[n] for n in common), 3),
+            "regressions": {
+                n: r for n, r in sorted(ratios.items(), key=lambda kv: -kv[1]) if r > 1.5
+            },
+        }
+    except (OSError, KeyError, ValueError):
+        pass  # no baseline available: emit the plain bench line
+
     print(
         json.dumps(
             {
@@ -80,6 +107,7 @@ def main() -> None:
                     round(sum(ts[i] for ts in times.values()), 3)
                     for i in range(reps)
                 ],
+                **baseline_info,
             }
         )
     )
