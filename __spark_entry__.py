@@ -30,13 +30,14 @@ def _registry_modules():
     )
     from flink_210225_spark.functions import segmentation
     from flink_210225_spark.ops import dedup, multimodal, sampling, similarity, text
-    from flink_210225_spark.sources import pyds
+    from flink_210225_spark.sources import filetopic, pyds
     from flink_210225_spark.streaming import pipelines as streaming_pipelines
     from flink_210225_spark.streaming import sql_jobs
 
     return [
         segmentation,
         pyds,
+        filetopic,
         streaming_pipelines,
         sql_jobs,
         colocate,
@@ -129,8 +130,10 @@ _CHECK_WINDOW = [
     "dedup_lsh_audit",
     "multimodal_wav_decode",
     "multimodal_png_decode",
-    # r1-green rotation (periodic re-gate):
-    "join_order_wide",
+    "stream_topic_roundtrip",
+    # position 51: past the driver's 50-query gate this round, front of the
+    # queue next round (salting is already pytest-gated for parity + skew)
+    "join_salted",
 ]
 
 

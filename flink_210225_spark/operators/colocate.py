@@ -113,6 +113,28 @@ def skew_profile_demo(tables: dict[str, DataFrame]) -> DataFrame:
     return key_skew_profile(tables["events"], "user_id")
 
 
+def salted_join_demo(tables: dict[str, DataFrame]) -> DataFrame:
+    """Driver-gated salted join: customer⋈nation is naturally skewed —
+    25 distinct nation keys over the whole customer table (~6 000 rows per
+    key at sf0.1), the classic hot-key shape. The big side salts on a
+    deterministic hash of its payload, the 25-row small side replicates 8×,
+    and the equi-join runs on (key, salt); aggregating per nation afterwards
+    makes the result independent of the salt fan-out, so the DuckDB oracle
+    is simply the UNSALTED join + group — identical output proves the
+    salting is semantics-preserving under the driver hash. Account balances
+    fold as exact cents (round→long) so the sum is order-independent."""
+    cust = tables["customer"]
+    nat = tables["nation"].select(F.col("n_nationkey").alias("nk"), "n_name")
+    big = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    out = salted_join(big, nat, "nk", n_salts=8)
+    return out.groupBy("n_name").agg(
+        F.count("*").alias("n_cust"), F.sum("cents").alias("acctbal_cents")
+    )
+
+
 def zorder_keys_demo(tables: dict[str, DataFrame], bits: int = 16) -> DataFrame:
     """Driver-visible Z-order surface: every order's Morton key over
     (o_custkey, order epoch-day) — the exact interleave ``write_zordered``
@@ -167,10 +189,18 @@ def _zorder_oracle(bits: int = 16) -> str:
 
 QUERIES = {
     "join_skew_profile": skew_profile_demo,
+    "join_salted": salted_join_demo,
     "colocate_zorder_keys": zorder_keys_demo,
 }
 
 ORACLES = {
+    "join_salted": """
+        SELECT n_name,
+               count(*)::BIGINT AS n_cust,
+               sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS acctbal_cents
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
     "join_skew_profile": """
         WITH counts AS (
             SELECT user_id, count(*)::BIGINT AS ct FROM events GROUP BY user_id

@@ -218,3 +218,75 @@ class FileTopicSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(FileTopicSource)
+
+
+def topic_roundtrip_lang_counts(tables):
+    """Driver-gated K1/K2 capstone: the documents fixture streams through
+    the FULL producer→broker→consumer loop — rows shaped to (topic, value)
+    with a PER-ROW DYNAMIC TOPIC (one topic per language, the reference's
+    sinkTable routing, BaseDbApp.java:83-89), stream-written into the
+    file_topic broker via staged-files + driver commit, then every topic
+    read back through the broker's log, JSON-parsed, and aggregated. The
+    oracle aggregates the fixture directly, so a row lost or duplicated
+    anywhere in the sink's commit protocol or the reader's log walk breaks
+    the count/hash gate.
+
+    Scale: the broker write is executor-parallel (one staged file per
+    task×topic); the read-back fans out one task per log file. The
+    per-language topic list is collected driver-side but is vocabulary-
+    sized (≤ tens), the same boundedness argument as run_router_stream's
+    table-name collect."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_210225_spark.streaming.pipelines import _scratch, _stage_fixture
+
+    docs = tables["documents"]
+    spark = docs.sparkSession
+    register(spark)
+    broker = _scratch(prefix="file_topic_broker_")
+    cp = _scratch(prefix="file_topic_wcp_")
+    srcdir = _scratch(prefix="file_topic_src_")
+    _stage_fixture(docs, srcdir, "docs")
+    stream = spark.readStream.schema(docs.schema).parquet(srcdir)
+    shaped = stream.select(
+        F.concat(F.lit("docs_"), F.col("lang")).alias("topic"),
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("value"),
+    )
+    q = (
+        shaped.writeStream.format("file_topic")
+        .option("path", broker)
+        .option("producer_id", "roundtrip")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    topics = sorted(
+        d for d in os.listdir(broker) if os.path.isdir(os.path.join(broker, d))
+    )
+    reads = None
+    for t in topics:
+        r = spark.read.format("file_topic").option("path", broker).option("topic", t).load()
+        reads = r if reads is None else reads.unionByName(r)
+    parsed = reads.select(
+        F.from_json("value", "doc_id bigint, lang string, n_chars bigint").alias("j")
+    ).select("j.*")
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("char_total"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+QUERIES = {"stream_topic_roundtrip": topic_roundtrip_lang_counts}
+
+ORACLES = {
+    "stream_topic_roundtrip": """
+        SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS char_total,
+               min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+        FROM documents GROUP BY lang
+    """,
+}
