@@ -131,9 +131,10 @@ _CHECK_WINDOW = [
     "multimodal_wav_decode",
     "multimodal_png_decode",
     "stream_topic_roundtrip",
-    # position 51: past the driver's 50-query gate this round, front of the
-    # queue next round (salting is already pytest-gated for parity + skew)
+    # positions 51+: past the driver's 50-query gate this round, front of
+    # the queue next round (both already pytest- and local-oracle-gated)
     "join_salted",
+    "multimodal_wav_segments",
 ]
 
 

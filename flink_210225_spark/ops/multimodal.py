@@ -423,6 +423,45 @@ def wav_decode_documents(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def wav_segment_features(
+    tables: dict[str, DataFrame], seg_samples: int = 64
+) -> DataFrame:
+    """The decode stage ``audio_segment_plan`` fans out to, run FOR REAL:
+    each document's deterministic PCM goes through the genuine WAV
+    write→parse round trip, then per fixed-size segment the exact integer
+    energy (Σs²) and peak are emitted — the ASR-prep feature pass (VAD /
+    loudness normalization both start from exactly these two numbers). The
+    oracle replays the segment slicing arithmetically, so segment
+    boundaries, the tail-segment length, and the decoded sample values are
+    all under the driver hash. Same scale posture as
+    ``wav_decode_documents``: one Arrow pass, zero shuffles."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id", (F.col("n_chars") % 200 + 50).cast("int").alias("n")
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("asset_id", "seg_idx", "seg_samples", "sum_sq", "peak")}
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                s = _parse_wav(_wav_bytes(int(doc_id), int(n)))["samples"]
+                for i in range(0, len(s), seg_samples):
+                    seg = s[i : i + seg_samples]
+                    out["asset_id"].append(int(doc_id))
+                    out["seg_idx"].append(i // seg_samples)
+                    out["seg_samples"].append(len(seg))
+                    out["sum_sq"].append(int((seg * seg).sum()))
+                    out["peak"].append(int(np.abs(seg).max()))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, seg_idx long, seg_samples long, sum_sq long, peak long",
+    )
+
+
 def png_decode_documents(tables: dict[str, DataFrame]) -> DataFrame:
     """REAL-codec round trip for images, same contract as
     ``wav_decode_documents``: a genuine PNG (chunks, CRCs, zlib) is built
@@ -588,6 +627,7 @@ QUERIES = {
     "multimodal_caption_pairs": caption_pairs,
     "multimodal_decode": decode_documents,
     "multimodal_wav_decode": wav_decode_documents,
+    "multimodal_wav_segments": wav_segment_features,
     "multimodal_png_decode": png_decode_documents,
     "multimodal_frame_plan": frame_plan_documents,
     "multimodal_audio_segments": audio_segments_documents,
@@ -678,6 +718,26 @@ ORACLES = {
                list_sum(list_transform(v, x -> x * x))::BIGINT AS sum_sq,
                list_max(list_transform(v, x -> abs(x)))::BIGINT AS peak
         FROM s
+    """,
+    "multimodal_wav_segments": """
+        WITH a AS (
+            SELECT doc_id, (n_chars % 200 + 50)::BIGINT AS n FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n, unnest(range(ceil(n / 64.0)::BIGINT)) AS seg_idx
+            FROM a
+        ),
+        g AS (
+            SELECT doc_id, n, seg_idx,
+                   list_transform(range(seg_idx * 64, least(n, (seg_idx + 1) * 64)),
+                       k -> (((doc_id * 31 + k * 7) % 256) - 128) * 256) AS v
+            FROM s
+        )
+        SELECT doc_id AS asset_id, seg_idx,
+               len(v)::BIGINT AS seg_samples,
+               list_sum(list_transform(v, x -> x * x))::BIGINT AS sum_sq,
+               list_max(list_transform(v, x -> abs(x)))::BIGINT AS peak
+        FROM g
     """,
     "multimodal_png_decode": """
         WITH g AS (
