@@ -135,6 +135,7 @@ _CHECK_WINDOW = [
     # the queue next round (both already pytest- and local-oracle-gated)
     "join_salted",
     "multimodal_wav_segments",
+    "stream_upsert_materialized",
 ]
 
 

@@ -242,7 +242,11 @@ def upsert_dim(batch: DataFrame, dim_path: str, pk: str = "id") -> None:
 
 
 def upsert_dim_bucketed(
-    batch: DataFrame, dim_path: str, pk: str = "id", n_buckets: int = 64
+    batch: DataFrame,
+    dim_path: str,
+    pk: str = "id",
+    n_buckets: int = 64,
+    order_col: str | None = None,
 ) -> None:
     """``upsert_dim`` with cost proportional to TOUCHED KEYS, not table
     size — the parquet answer to Delta MERGE for a LARGE mutable table
@@ -260,7 +264,12 @@ def upsert_dim_bucketed(
     re-applying the identical batch is idempotent per bucket (merge keeps
     the latest row per PK; already-merged buckets re-merge to themselves).
     Size n_buckets so one bucket ≈ one comfortable task (table_bytes /
-    n_buckets ≲ a few hundred MB); the fixture default 64 is for tests."""
+    n_buckets ≲ a few hundred MB); the fixture default 64 is for tests.
+
+    ``order_col``: when set, the merge keeps the MAX-``order_col`` row per
+    PK (event-time last-write-wins, the CDC merge rule) instead of arrival
+    order — then the final table is independent of micro-batch arrival
+    order entirely, and any replay (even of stale batches) converges."""
     import shutil
     import uuid
     from pathlib import Path
@@ -286,7 +295,10 @@ def upsert_dim_bucketed(
             .withColumn("__v", F.lit(-1).cast("long"))
         )
         merged = existing.unionByName(batch)
-    w = Window.partitionBy(pk).orderBy(F.desc("__v"))
+    order = (
+        [F.desc(order_col), F.desc("__v")] if order_col else [F.desc("__v")]
+    )
+    w = Window.partitionBy(pk).orderBy(*order)
     latest = (
         merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

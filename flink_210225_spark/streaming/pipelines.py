@@ -1063,6 +1063,80 @@ def curation_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def upsert_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
+    """Driver-gated end-to-end run of the BUCKETED upsert sink (VERDICT r2
+    #5): a CDC-shaped change stream derived from orders (custkey, event-ts,
+    status) is replayed in three date-sliced micro-batches through
+    ``foreachBatch`` → ``upsert_dim_bucketed(order_col='ts')``, then the
+    maintained dim is read back. Event-time last-write-wins makes the final
+    table independent of micro-batch arrival order AND of replays, so no
+    batch journal is needed and the DuckDB oracle is simply the
+    latest-change-per-key window over the same synthesized changes. The
+    sink only ever rewrites the bucket partitions each batch touches — the
+    cost-proportional-to-touched-keys contract, here under the driver
+    hash."""
+    orders = tables["orders"]
+    spark = orders.sparkSession
+    changes = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        (
+            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * 100000
+            + F.col("o_orderkey")
+        ).alias("ts"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    srcdir = _scratch(prefix="upsert_stream_src_")
+    for i, (lo, hi) in enumerate(
+        [(None, "1994-01-01"), ("1994-01-01", "1996-01-01"), ("1996-01-01", None)]
+    ):
+        sl = orders
+        if lo:
+            sl = sl.filter(F.col("o_orderdate") >= lo)
+        if hi:
+            sl = sl.filter(F.col("o_orderdate") < hi)
+        sl_changes = sl.select(
+            F.col("o_custkey").alias("custkey"),
+            (
+                F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * 100000
+                + F.col("o_orderkey")
+            ).alias("ts"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        sl_changes.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(srcdir, f"slice{i}")
+        )
+    landing = _scratch(prefix="upsert_stream_landing_")
+    for i in range(3):
+        sdir = os.path.join(srcdir, f"slice{i}")
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        os.link(os.path.join(sdir, part), os.path.join(landing, f"b{i}.parquet"))
+    dim_dir = _scratch(prefix="upsert_stream_dim_")
+    cp = _scratch(prefix="upsert_stream_cp_")
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        router_ops.upsert_dim_bucketed(
+            batch, os.path.join(dim_dir, "table"), pk="custkey",
+            n_buckets=16, order_col="ts",
+        )
+
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(dim_dir, "table")).select(
+        "custkey", "ts", "status"
+    )
+
+
 def dedup_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     """Second driver-checkable END-TO-END streaming query — this one
     STATEFUL: the documents fixture is staged TWICE in the landing zone and
@@ -1384,6 +1458,7 @@ def _visitor_stats_oracle() -> str:
 
 QUERIES = {
     "stream_curation_materialized": curation_stream_materialized,
+    "stream_upsert_materialized": upsert_stream_materialized,
     "stream_dedup_materialized": dedup_stream_materialized,
     "stream_window_materialized": window_stream_materialized,
     "stream_join_materialized": join_stream_materialized,
@@ -1415,6 +1490,21 @@ def _curation_selected_oracle() -> str:
 
 
 ORACLES = {
+    "stream_upsert_materialized": """
+        WITH c AS (
+            SELECT o_custkey AS custkey,
+                   (o_orderdate::DATE - DATE '1970-01-01')::BIGINT * 100000
+                       + o_orderkey AS ts,
+                   o_orderstatus AS status
+            FROM orders
+        ),
+        r AS (
+            SELECT custkey, ts, status,
+                   row_number() OVER (PARTITION BY custkey ORDER BY ts DESC) AS rn
+            FROM c
+        )
+        SELECT custkey, ts, status FROM r WHERE rn = 1
+    """,
     "stream_curation_materialized": _curation_selected_oracle(),
     "stream_dedup_materialized": (
         "SELECT DISTINCT md5(text) AS text_hash FROM documents"

@@ -89,14 +89,17 @@ def test_jump_batch_matches_model(spark_global, gaps, timeout):
 )
 @settings(max_examples=8, deadline=None)
 def test_jump_stateful_func_matches_model(gaps, timeout):
-    """The applyInPandasWithState kernel (in-batch path + final pending state)
-    agrees with the model: gap-jumps emitted, last event left pending with a
-    timer — which the model counts as a jump, so kernel ∪ {pending} = model."""
+    """The applyInPandasWithState kernel agrees with the model when the
+    watermark has passed every event's decision deadline: gap-jumps AND the
+    final event's timeout-jump all emit in one invocation, and no state
+    row survives (the buffered kernel releases events at/below the
+    watermark and resolves the pending event once wm > ts+timeout)."""
     from flink_210225_spark.streaming.pipelines import make_jump_func
 
     ts = [0]
     for g in gaps:
         ts.append(ts[-1] + g)
+    wm_ms = (ts[-1] + timeout + 10) * 1000  # past every deadline
 
     class FakeState:
         hasTimedOut = False
@@ -116,6 +119,9 @@ def test_jump_stateful_func_matches_model(gaps, timeout):
         def setTimeoutTimestamp(self, ts_ms):
             self.timeout_ms = ts_ms
 
+        def getCurrentWatermarkMs(self):
+            return wm_ms
+
         def remove(self):
             self.value = None
             self.exists = False
@@ -132,12 +138,80 @@ def test_jump_stateful_func_matches_model(gaps, timeout):
     got = set()
     for out in emitted:
         got.update(out["event_id"].tolist())
-    pending = {state.value[0]}
     want = _model_jumps(ts, timeout)
-    assert got | pending >= want
-    assert got <= want, "kernel emitted a non-jump"
-    # pending is exactly the last event, whose jump-ness the timer decides
-    assert pending == {len(ts) - 1}
+    assert got == want
+    assert not state.exists, "fully-resolved key must not pin a state row"
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=2000), min_size=1, max_size=12),
+    timeout=st.integers(min_value=1, max_value=1200),
+    wm_lag=st.integers(min_value=0, max_value=3000),
+)
+@settings(max_examples=8, deadline=None)
+def test_jump_stateful_func_partial_watermark(gaps, timeout, wm_lag):
+    """With the watermark mid-stream, the kernel must emit exactly the
+    model's jumps among FULLY-DECIDED events (both the event and its
+    successor at/below wm, or its timeout deadline passed) and buffer the
+    rest — never a wrong emission, never a lost event: emitted ∪ buffered
+    ∪ pending == all events."""
+    from flink_210225_spark.streaming.pipelines import make_jump_func
+
+    ts = [0]
+    for g in gaps:
+        ts.append(ts[-1] + g)
+    wm_s = max(ts[-1] - wm_lag, 0)
+    wm_ms = wm_s * 1000
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def __init__(self):
+            self.value = None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = v
+            self.exists = True
+
+        def setTimeoutTimestamp(self, ts_ms):
+            self.timeout_ms = ts_ms
+
+        def getCurrentWatermarkMs(self):
+            return wm_ms
+
+        def remove(self):
+            self.value = None
+            self.exists = False
+
+    f = make_jump_func(timeout)
+    state = FakeState()
+    pdf = pd.DataFrame(
+        {"event_id": range(len(ts)), "ts": pd.to_datetime(pd.Series(ts), unit="s")}
+    )
+    emitted = set()
+    for out in f((7,), iter([pdf]), state):
+        emitted.update(out["event_id"].tolist())
+    want_all = _model_jumps(ts, timeout)
+    assert emitted <= want_all, "kernel emitted a non-jump"
+    ready = [i for i, t in enumerate(ts) if t <= wm_s]
+    # every decided gap-jump among released events must have emitted
+    for i in range(len(ready) - 1):
+        a, b = ready[i], ready[i + 1]
+        if ts[b] - ts[a] > timeout:
+            assert a in emitted
+    # accounting: nothing lost
+    if state.exists:
+        stage_pend = {state.value[0]} if state.value[0] is not None else set()
+        buffered = set(state.value[2])
+    else:
+        stage_pend, buffered = set(), set()
+    decided_nonjump = set(range(len(ts))) - want_all
+    assert emitted | stage_pend | buffered | decided_nonjump == set(range(len(ts)))
 
 
 @pytest.fixture(scope="module")
