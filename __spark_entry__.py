@@ -136,6 +136,8 @@ _CHECK_WINDOW = [
     "join_salted",
     "multimodal_wav_segments",
     "stream_upsert_materialized",
+    "sim_mips_topk",
+    "sim_mips_audit",
 ]
 
 

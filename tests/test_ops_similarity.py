@@ -443,3 +443,44 @@ def test_ivfpq_residual_matches_numpy_reference(tables):
         for rank, (d, nid) in enumerate(rer[:k], 1):
             want[(qid, rank)] = nid
     assert got == want
+
+
+def test_mips_differs_from_cosine_when_norms_carry_signal(spark):
+    """The reason MIPS exists: a long vector with a worse angle must beat a
+    short well-aligned one on inner product while losing on cosine."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (0, [1.0] + [0.0] * 63, "q"),
+        (1, [0.95] + [0.05] * 63, "short_aligned"),   # |x| ~ 1, cos ~ high
+        (2, [5.0] + [2.0] * 63, "long_tilted"),       # big norm, worse angle
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    t = {"embeddings": emb}
+    mips_best = (
+        similarity.mips_topk(t, num_queries=1, k=1).collect()[0].neighbor_id
+    )
+    cos_best = (
+        similarity.cosine_topk(t, num_queries=1, k=1).collect()[0].neighbor_id
+    )
+    assert mips_best == 2
+    assert cos_best == 1
+
+
+def test_mips_ann_recall_and_audit(tables_med):
+    """The augmented-LSH MIPS path must clear its pinned recall floor, and
+    the audit row must report it green."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.mips_topk(tables_med).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.mips_ann_topk(tables_med).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= similarity.MIPS_RECALL_FLOOR, recall
+    (row,) = similarity.mips_recall_audit(tables_med).collect()
+    assert row.recall_ok and row.n_queries == 20

@@ -130,6 +130,11 @@ def test_codegen_present(tables):
 # bounded 20-row broadcast BNLJ.
 CARTESIAN_OK = {
     "sim_cosine_topk",
+    # exact MIPS twin of cosine_topk — same bounded 20-query broadcast BNLJ
+    # (the scale path is sim_mips_ann_topk's augmented-LSH bucket join)
+    "sim_mips_topk",
+    # composes mips_topk's bounded BNLJ as its exact side
+    "sim_mips_audit",
     "sim_knn_label",
     # composes cosine_topk's bounded 20-row broadcast BNLJ as its exact side
     "sim_ann_recall_audit",
