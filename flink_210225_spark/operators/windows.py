@@ -492,8 +492,87 @@ def ema_per_user(tables: dict[str, DataFrame], alpha: float = 0.25) -> DataFrame
     )
 
 
+def holt_per_user(
+    tables: dict[str, DataFrame], alpha: float = 0.5, beta: float = 0.25
+) -> DataFrame:
+    """Holt DOUBLE-exponential smoothing per user — the trend-aware member
+    of the recurrence family (``window_ema`` is the level-only member):
+    l_i = alpha*x_i + (1-alpha)*(l_{i-1} + b_{i-1}),
+    b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}, seeded l_1 = x_1,
+    b_1 = 0; the emitted one-step-ahead forecast l_i + b_i is what a
+    monitoring layer alarms against (an EMA lags every ramp by design —
+    Holt tracks it). Same exact-recurrence contract as window_ema: both
+    engines run the IDENTICAL op sequence with exact-binary 0.5/0.25
+    coefficients, so state matches bitwise and the 4dp rounding is
+    formality. Same scale envelope too: one user-keyed shuffle, per-user
+    in-row fold."""
+    ev = tables["events"]
+    per_user = ev.select(
+        "user_id", F.struct("ts", "event_id", "value").alias("e")
+    ).groupBy("user_id").agg(F.array_sort(F.collect_list("e")).alias("es"))
+    a, b1 = F.lit(alpha), F.lit(1.0 - alpha)
+    g, g1 = F.lit(beta), F.lit(1.0 - beta)
+    state = F.aggregate(
+        "es",
+        F.array().cast("array<struct<l:double,b:double>>"),
+        lambda acc, e: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) == 0,
+                    F.struct(
+                        e.getField("value").alias("l"),
+                        F.lit(0.0).alias("b"),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        (
+                            a * e.getField("value")
+                            + b1
+                            * (
+                                F.element_at(acc, -1).getField("l")
+                                + F.element_at(acc, -1).getField("b")
+                            )
+                        ).alias("l"),
+                        (
+                            g
+                            * (
+                                (
+                                    a * e.getField("value")
+                                    + b1
+                                    * (
+                                        F.element_at(acc, -1).getField("l")
+                                        + F.element_at(acc, -1).getField("b")
+                                    )
+                                )
+                                - F.element_at(acc, -1).getField("l")
+                            )
+                            + g1 * F.element_at(acc, -1).getField("b")
+                        ).alias("b"),
+                    )
+                )
+            ),
+        ),
+    )
+    rows = per_user.select(
+        "user_id", F.posexplode(F.arrays_zip("es", state.alias("s"))).alias("i", "z")
+    )
+    return rows.select(
+        F.col("z.es.event_id").alias("event_id"),
+        "user_id",
+        F.col("z.es.ts").alias("ts"),
+        F.col("z.es.value").alias("value"),
+        (F.floor(F.col("z.s.l") * 10000 + 0.5) / 10000).alias("level"),
+        (F.floor(F.col("z.s.b") * 10000 + 0.5) / 10000).alias("trend"),
+        (
+            F.floor((F.col("z.s.l") + F.col("z.s.b")) * 10000 + 0.5) / 10000
+        ).alias("forecast"),
+    )
+
+
 QUERIES = {
     "window_ema": ema_per_user,
+    "window_holt": holt_per_user,
     "window_anomaly_mad": daily_anomaly_mad,
     "window_uv_sketch": uv_approx_sketch,
     "window_sliding_stats": sliding_visitor_stats,
@@ -538,6 +617,32 @@ ORACLES = {
                     THEN floor((pv_ct - med) / mad * 10000 + 0.5) / 10000
                END) >= 3, FALSE) AS is_anomaly
         FROM s
+    """,
+    # Holt recurrence replay: identical op sequence and exact-binary
+    # 0.5/0.25 coefficients as the Spark fold -> bitwise state equality.
+    "window_holt": """
+        WITH RECURSIVE e AS (
+            SELECT event_id, user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        walk AS (
+            SELECT event_id, user_id, ts, value, rn,
+                   value::DOUBLE AS l, 0.0::DOUBLE AS b
+            FROM e WHERE rn = 1
+            UNION ALL
+            SELECT e.event_id, e.user_id, e.ts, e.value, e.rn,
+                   0.5 * e.value + 0.5 * (w.l + w.b),
+                   0.25 * ((0.5 * e.value + 0.5 * (w.l + w.b)) - w.l)
+                       + 0.75 * w.b
+            FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+        )
+        SELECT event_id, user_id, ts, value,
+               floor(l * 10000 + 0.5) / 10000 AS level,
+               floor(b * 10000 + 0.5) / 10000 AS trend,
+               floor((l + b) * 10000 + 0.5) / 10000 AS forecast
+        FROM walk
     """,
     # Exact-recurrence replay: same (ts, event_id) order, same seed
     # (ema_1 = x_1), same 0.25/0.75 exact-binary coefficients — bitwise
