@@ -159,7 +159,7 @@ def scd2_demo(tables: dict[str, DataFrame]) -> DataFrame:
         F.col("o_custkey").alias("custkey"),
         F.lit("update").alias("type"),
         (
-            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * 100000
+            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * 10000000000
             + F.col("o_orderkey")
         ).alias("ts"),
         F.col("o_orderstatus").alias("status"),
@@ -342,7 +342,7 @@ def scd2_point_in_time(tables: dict[str, DataFrame]) -> DataFrame:
     hist = scd2_demo(tables)
     orders = tables["orders"]
     ts = (
-        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * 100000
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * 10000000000
         + F.col("o_orderkey")
     )
     o = orders.select("o_orderkey", F.col("o_custkey").alias("custkey"), (ts - 1).alias("at_ts"))
@@ -383,7 +383,7 @@ ORACLES = {
             FROM customer
             UNION ALL
             SELECT o_custkey, 'update',
-                   datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT * 100000
+                   datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT * 10000000000
                        + o_orderkey,
                    o_orderstatus
             FROM orders
@@ -408,7 +408,7 @@ ORACLES = {
             FROM customer
             UNION ALL
             SELECT o_custkey, 'update',
-                   datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT * 100000
+                   datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT * 10000000000
                        + o_orderkey,
                    o_orderstatus
             FROM orders
@@ -428,7 +428,7 @@ ORACLES = {
         ),
         o AS (
             SELECT o_orderkey, o_custkey AS custkey,
-                   datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT * 100000
+                   datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT * 10000000000
                        + o_orderkey - 1 AS at_ts
             FROM orders
         )

@@ -216,8 +216,13 @@ def decode_media(assets: DataFrame) -> DataFrame:
                 return _feature_from_samples(
                     _parse_png(b)["pixels"].astype("int64") - 128
                 )
-        except ValueError:
-            pass  # malformed container: fall through to the stand-in
+        except Exception:
+            # Malformed container: fall through to the stand-in. Broad by
+            # design — a payload bearing RIFF/PNG magic but truncated or
+            # corrupt raises wave.Error/EOFError (wave.open), struct.error
+            # (chunk headers), or zlib.error (IDAT), and the contract is
+            # "runnable on any payload", never a crashed Spark task.
+            pass
         return _decode_fake(b)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

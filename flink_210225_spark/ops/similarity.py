@@ -120,7 +120,15 @@ def mips_ann_topk(
     Rows-only for the driver (hyperplanes are xxhash64-derived);
     ``sim_mips_audit`` hash-gates its recall against the exact baseline."""
     emb = with_norm(tables["embeddings"])
-    m_val = float(emb.agg(F.max("nrm")).collect()[0][0])
+    m_raw = emb.agg(F.max("nrm")).collect()[0][0]
+    m_val = float(m_raw) if m_raw else 1.0  # empty table / all-zero corpus
+    # Zero-norm guard on BOTH sides of the asymmetric transform: the corpus
+    # side already rides greatest(..., 0); the query side divides by |q|,
+    # and a zero-norm query would otherwise produce null buckets and
+    # silently vanish from the ANN output (skewing the recall audit's
+    # denominator). greatest(|q|, tiny) maps it to the zero vector instead,
+    # which probes a deterministic bucket and ranks by the exact dot.
+    safe_qn = F.greatest(F.col("nrm"), F.lit(1e-30))
     aug_corpus = F.concat(
         F.transform(F.col("v"), lambda x: x / F.lit(m_val)),
         F.array(
@@ -132,7 +140,7 @@ def mips_ann_topk(
         ),
     )
     aug_query = F.concat(
-        F.transform(F.col("v"), lambda x: x / F.col("nrm")),
+        F.transform(F.col("v"), lambda x: x / safe_qn),
         F.array(F.lit(0.0)),
     )
     masks = [0] + [1 << i for i in range(bits)]

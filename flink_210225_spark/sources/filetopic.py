@@ -89,15 +89,17 @@ class _TopicStreamWriter(DataSourceStreamWriter):
         staged = sorted(
             (t, p) for m in messages if m is not None for (t, p) in m.files
         )
-        # Publish = rename into log/ + append the file name to the topic's
-        # append-only _seq index (the reader's offset axis: indices only
-        # ever grow at the end, so a committed cursor stays valid however
-        # later producers' names sort). Idempotent republish: a replayed
-        # batch first clears its own prefix from both the log dir and the
-        # index. The index rewrite is a temp+atomic-replace; concurrent
-        # producers on ONE topic could interleave here — the embedded
-        # broker models single-writer-per-topic, the usual CDC layout
-        # (real Kafka's broker serializes this).
+        # Publish = rename into log/ + record ONE slot per (producer,
+        # batchId) in the topic's _seq index: each line is "<prefix>
+        # <n_files>". The reader's offset axis is (slot, ordinal-in-slot),
+        # so a REPLAYED batch replaces its own slot IN PLACE — every later
+        # slot keeps its position even if the replay stages a different
+        # number of files (task repartitioning after restart), which a flat
+        # per-file index could not guarantee. The index rewrite is a
+        # temp+atomic-replace; concurrent producers on ONE topic could
+        # interleave here — the embedded broker models
+        # single-writer-per-topic, the usual CDC layout (real Kafka's
+        # broker serializes this).
         per_topic: dict[str, list[str]] = {}
         for i, (topic, fpath) in enumerate(staged):
             per_topic.setdefault(topic, []).append(fpath)
@@ -107,21 +109,22 @@ class _TopicStreamWriter(DataSourceStreamWriter):
             for f in os.listdir(ldir):
                 if f.startswith(prefix):
                     os.remove(os.path.join(ldir, f))
+            for i, fpath in enumerate(files):
+                os.replace(fpath, os.path.join(ldir, f"{prefix}-{i:06d}.log"))
             seq_path = os.path.join(self.path, topic, "_seq")
-            kept = []
+            entries = []
             if os.path.exists(seq_path):
                 with open(seq_path) as f:
-                    kept = [
-                        ln for ln in f.read().splitlines() if not ln.startswith(prefix)
-                    ]
-            names = []
-            for i, fpath in enumerate(files):
-                name = f"{prefix}-{i:06d}.log"
-                os.replace(fpath, os.path.join(ldir, name))
-                names.append(name)
+                    entries = [ln.split() for ln in f.read().splitlines() if ln]
+            slot = next((i for i, e in enumerate(entries) if e[0] == prefix), None)
+            entry = [prefix, str(len(files))]
+            if slot is None:
+                entries.append(entry)
+            else:
+                entries[slot] = entry
             tmp_seq = seq_path + f".tmp_{uuid.uuid4().hex}"
             with open(tmp_seq, "w") as f:
-                f.write("\n".join(kept + names) + "\n")
+                f.write("\n".join(" ".join(e) for e in entries) + "\n")
             os.replace(tmp_seq, seq_path)
 
     def abort(self, messages, batchId: int) -> None:
@@ -140,15 +143,35 @@ class _LogFilePartition(InputPartition):
         self.path = path
 
 
-def _log_files(path: str, topic: str) -> list[str]:
-    """Committed log files in PUBLISH order (the _seq index), not name
-    order — offsets are indices into this list and must never shift."""
+def _log_slots(path: str, topic: str) -> list[tuple[str, int]]:
+    """Committed (batch-prefix, n_files) slots in PUBLISH order — the
+    reader's offset axis. Slot positions are replay-stable: a republished
+    batch updates its own slot in place, so a committed (slot, ordinal)
+    cursor never shifts under later commits or replays."""
     seq_path = os.path.join(path, topic, "_seq")
     if not os.path.exists(seq_path):
         return []
-    ldir = os.path.join(path, topic, "log")
     with open(seq_path) as f:
-        return [os.path.join(ldir, ln) for ln in f.read().splitlines() if ln]
+        return [
+            (parts[0], int(parts[1]))
+            for ln in f.read().splitlines()
+            if ln
+            for parts in [ln.split()]
+        ]
+
+
+def _slot_files(path: str, topic: str, prefix: str, nfiles: int) -> list[str]:
+    ldir = os.path.join(path, topic, "log")
+    return [os.path.join(ldir, f"{prefix}-{i:06d}.log") for i in range(nfiles)]
+
+
+def _log_files(path: str, topic: str) -> list[str]:
+    """All committed log files flattened in publish order (batch reads)."""
+    return [
+        p
+        for prefix, n in _log_slots(path, topic)
+        for p in _slot_files(path, topic, prefix, n)
+    ]
 
 
 def _read_lines(fpath: str):
@@ -176,20 +199,51 @@ class _TopicStreamReader(SimpleDataSourceStreamReader):
         self.max_files = int(options.get("max_files_per_batch", "1"))
 
     def initialOffset(self):
-        return {"files": 0}
+        return {"slot": 0, "ordinal": 0}
+
+    def _files_from(self, start: dict, limit: int) -> tuple[list, dict]:
+        """Walk up to ``limit`` files forward of the (slot, ordinal) cursor.
+        Ordinals past a slot's current file count are clamped forward (a
+        replayed batch may have re-partitioned into fewer files — the row
+        set is identical, only boundaries moved), so a committed cursor
+        always resolves."""
+        slots = _log_slots(self.path, self.topic)
+        slot, ordinal = start["slot"], start["ordinal"]
+        picked = []
+        while slot < len(slots) and len(picked) < limit:
+            prefix, n = slots[slot]
+            if ordinal >= n:
+                slot, ordinal = slot + 1, 0
+                continue
+            picked.append(_slot_files(self.path, self.topic, prefix, n)[ordinal])
+            ordinal += 1
+            if ordinal >= n:
+                slot, ordinal = slot + 1, 0
+        return picked, {"slot": slot, "ordinal": ordinal}
 
     def read(self, start: dict):
-        files = _log_files(self.path, self.topic)
-        lo = start["files"]
-        hi = min(lo + self.max_files, len(files))
-        rows = [r for f in files[lo:hi] for r in _read_lines(f)]
-        return iter(rows), {"files": hi}
+        files, end = self._files_from(start, self.max_files)
+        return iter([r for f in files for r in _read_lines(f)]), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files = _log_files(self.path, self.topic)
-        return iter(
-            [r for f in files[start["files"] : end["files"]] for r in _read_lines(f)]
-        )
+        # Walk from the start cursor, stopping at the end cursor — same
+        # clamp-forward rule as read(), so replay after a re-partitioned
+        # republish still resolves deterministically.
+        slots = _log_slots(self.path, self.topic)
+        out = []
+        slot, ordinal = start["slot"], start["ordinal"]
+        while slot < len(slots):
+            if (slot, ordinal) >= (end["slot"], end["ordinal"]):
+                break
+            prefix, n = slots[slot]
+            if ordinal >= n:
+                slot, ordinal = slot + 1, 0
+                continue
+            out.extend(_read_lines(_slot_files(self.path, self.topic, prefix, n)[ordinal]))
+            ordinal += 1
+            if ordinal >= n:
+                slot, ordinal = slot + 1, 0
+        return iter(out)
 
     def commit(self, end: dict):
         pass

@@ -1079,8 +1079,12 @@ def upsert_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     spark = orders.sparkSession
     changes = orders.select(
         F.col("o_custkey").alias("custkey"),
+        # Synthesized event time must be INJECTIVE per key so last-write-wins
+        # has no ambiguous tiebreak between the engines: the day multiplier
+        # (1e10) sits safely above any o_orderkey at any plausible SF, so
+        # (epoch_day, orderkey) -> ts is collision-free.
         (
-            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * 100000
+            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * 10000000000
             + F.col("o_orderkey")
         ).alias("ts"),
         F.col("o_orderstatus").alias("status"),
@@ -1097,7 +1101,7 @@ def upsert_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
         sl_changes = sl.select(
             F.col("o_custkey").alias("custkey"),
             (
-                F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * 100000
+                F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * 10000000000
                 + F.col("o_orderkey")
             ).alias("ts"),
             F.col("o_orderstatus").alias("status"),
@@ -1493,7 +1497,7 @@ ORACLES = {
     "stream_upsert_materialized": """
         WITH c AS (
             SELECT o_custkey AS custkey,
-                   (o_orderdate::DATE - DATE '1970-01-01')::BIGINT * 100000
+                   (o_orderdate::DATE - DATE '1970-01-01')::BIGINT * 10000000000
                        + o_orderkey AS ts,
                    o_orderstatus AS status
             FROM orders

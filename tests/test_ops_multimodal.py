@@ -228,3 +228,26 @@ def test_decode_media_dispatches_real_codecs(spark):
     pix = mm._parse_png(png)["pixels"].astype("int64") - 128
     assert np.allclose(got[2].feature, mm._feature_from_samples(pix), atol=1e-6)
     assert got[3].feature == pytest.approx(mm._decode_fake(blob))
+
+
+def test_decode_media_corrupt_containers_fall_back(spark):
+    """Payloads bearing RIFF/PNG magic but truncated or corrupt must fall
+    through to the sha256 stand-in instead of crashing the task: wave.open
+    raises wave.Error/EOFError and the PNG walk raises struct.error /
+    zlib.error on such bytes (ADVICE r3 medium)."""
+    from flink_210225_spark.ops import multimodal as mm
+
+    wav, png = mm._wav_bytes(5, 120), mm._png_bytes(5, 10, 10)
+    corrupt = [
+        (1, wav[:20]),                      # truncated mid-header -> EOFError/wave.Error
+        (2, wav[:12] + b"\xff" * 30),       # RIFF/WAVE magic, garbage chunks
+        (3, png[:16]),                      # truncated after IHDR length -> struct.error
+        (4, png[:33] + b"\x00\x00\x00\x08IDAT\xde\xad\xbe\xef" + png[-12:]),  # zlib.error
+        (5, b"RIFF"),                       # not even long enough for magic check
+    ]
+    df = spark.createDataFrame(
+        [(i, "audio", b, (0, 0, 0, 0, "x")) for i, b in corrupt], mm.MEDIA_SCHEMA
+    )
+    got = {r.asset_id: r for r in mm.decode_media(df).collect()}
+    for i, b in corrupt:
+        assert got[i].feature == pytest.approx(mm._decode_fake(b)), i

@@ -484,3 +484,26 @@ def test_mips_ann_recall_and_audit(tables_med):
     assert recall >= similarity.MIPS_RECALL_FLOOR, recall
     (row,) = similarity.mips_recall_audit(tables_med).collect()
     assert row.recall_ok and row.n_queries == 20
+
+
+def test_mips_ann_zero_norm_query_not_dropped(spark):
+    """ADVICE r3: a zero-norm query vector must not vanish from the ANN
+    output (null buckets would silently drop it and skew the recall audit
+    denominator); the guarded transform maps it to a deterministic bucket
+    and exact-dot reranking still applies."""
+    rows = [(0, [0.0] * 64), (1, [1.0] + [0.5] * 63), (2, [0.2] * 64),
+            (3, [-1.0] + [0.3] * 63)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.mips_ann_topk(
+        {"embeddings": emb}, num_queries=2, k=2
+    ).collect()
+    qids = {r.query_id for r in out}
+    assert 0 in qids  # the zero-norm query survives
+    assert all(r.dot == r.dot for r in out)  # no NaNs
+
+
+def test_mips_ann_empty_corpus_returns_empty(spark):
+    """ADVICE r3: max-norm aggregate over an empty table is None -> must
+    default, not TypeError."""
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.mips_ann_topk({"embeddings": emb}).count() == 0

@@ -364,3 +364,72 @@ def test_file_topic_commit_replay_idempotent(tmp_path):
     assert len(files) == 1
     rows = [v for f in files for (v,) in filetopic._read_lines(f)]
     assert rows == ["a", "b"]
+
+
+def test_file_topic_replay_stable_offsets_across_repartition(tmp_path):
+    """A replayed batch that stages a DIFFERENT number of files (task
+    repartitioning after restart) must not shift any later batch's offsets:
+    slots are keyed by (producer, batchId), so a consumer cursor committed
+    past the replayed batch still resolves to exactly the same rows."""
+    from flink_210225_spark.sources import filetopic
+
+    broker = str(tmp_path / "broker")
+    w = filetopic._TopicStreamWriter({"path": broker, "producer_id": "pR"})
+
+    class Row:
+        def __init__(self, topic, value):
+            self.topic, self.value = topic, value
+
+    # batch 0: TWO tasks -> two staged files; batch 1: one file
+    m0a = w.write(iter([Row("t1", "a")]))
+    m0b = w.write(iter([Row("t1", "b")]))
+    w.commit([m0a, m0b], 0)
+    m1 = w.write(iter([Row("t1", "c")]))
+    w.commit([m1], 1)
+
+    rd = filetopic._TopicStreamReader({"path": broker, "topic": "t1",
+                                       "max_files_per_batch": "10"})
+    it, end = rd.read(rd.initialOffset())
+    assert [v for (v,) in it] == ["a", "b", "c"]
+
+    # consumer committed through batch 0 only
+    it0, cur = rd.read({"slot": 0, "ordinal": 0})
+    # replay batch 0 with ONE file (repartitioned) — same rows, new layout
+    m0r = w.write(iter([Row("t1", "a"), Row("t1", "b")]))
+    w.commit([m0r], 0)
+
+    slots = filetopic._log_slots(broker, "t1")
+    assert [s[0] for s in slots] == ["pR-b000000000000", "pR-b000000000001"]
+    assert slots[0][1] == 1  # slot updated in place, position unchanged
+
+    # a cursor at batch 1 still delivers exactly batch 1's rows
+    it1, _ = rd.read({"slot": 1, "ordinal": 0})
+    assert [v for (v,) in it1] == ["c"]
+    # a mid-batch-0 cursor whose ordinal now exceeds the slot's file count
+    # clamps forward instead of crashing or skipping batch 1
+    it2, _ = rd.read({"slot": 0, "ordinal": 1})
+    assert [v for (v,) in it2] == ["c"]
+    # replayed rows remain intact for a from-scratch reader
+    itf, _ = rd.read(rd.initialOffset())
+    assert [v for (v,) in itf] == ["a", "b", "c"]
+
+
+def test_file_topic_read_between_offsets_deterministic(tmp_path):
+    from flink_210225_spark.sources import filetopic
+
+    broker = str(tmp_path / "broker")
+    w = filetopic._TopicStreamWriter({"path": broker, "producer_id": "pB"})
+
+    class Row:
+        def __init__(self, topic, value):
+            self.topic, self.value = topic, value
+
+    w.commit([w.write(iter([Row("t1", "a"), Row("t1", "b")]))], 0)
+    w.commit([w.write(iter([Row("t1", "c")]))], 1)
+    rd = filetopic._TopicStreamReader({"path": broker, "topic": "t1"})
+    rows = list(rd.readBetweenOffsets({"slot": 0, "ordinal": 0},
+                                      {"slot": 1, "ordinal": 0}))
+    assert [v for (v,) in rows] == ["a", "b"]
+    rows = list(rd.readBetweenOffsets({"slot": 1, "ordinal": 0},
+                                      {"slot": 2, "ordinal": 0}))
+    assert [v for (v,) in rows] == ["c"]
