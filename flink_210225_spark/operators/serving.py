@@ -225,6 +225,103 @@ def ship_latency(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def rfm_segments(tables: dict[str, DataFrame]) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary quintile
+    scores) — the marketing cube the serving layer of an e-commerce
+    warehouse feeds. Each metric is scored 1-5 by data-driven quintile cuts
+    (score ascends with the metric value; low recency-days = recently
+    active = score 1 by this convention).
+
+    Shape: per-customer metrics are ONE groupBy over orders; the three
+    metrics melt (``stack``) into (metric, value) rows so the quintile cuts
+    are a 3-row aggregate that BROADCAST-joins back on the metric key — the
+    whiten_zscore pattern for attaching per-group parameters without a
+    scalar-subquery replay per cut. Metrics are integers (days, counts,
+    cents) so the exact-``percentile`` cuts are reproducible cross-engine;
+    at 100 TB swap ``approx_percentile`` in for the cut computation (the
+    only all-rows aggregate here) and the rest of the plan is unchanged."""
+    o = tables["orders"]
+    ref = o.agg(F.max("o_orderdate").alias("d")).scalar()
+    per_cust = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("long").alias("f_val"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("m_cents"),
+        )
+        .withColumn("r_val", F.datediff(ref, F.col("last_order")).cast("long"))
+    )
+    melted = per_cust.selectExpr(
+        "custkey", "stack(3, 'r', r_val, 'f', f_val, 'm', m_cents) AS (metric, value)"
+    )
+    qs = F.array(*[F.lit(q) for q in (0.2, 0.4, 0.6, 0.8)])
+    cuts = melted.groupBy("metric").agg(F.percentile("value", qs).alias("cuts"))
+    score = F.aggregate(
+        F.col("cuts"),
+        F.lit(1),
+        lambda acc, c: acc + F.when(F.col("value") > c, 1).otherwise(F.lit(0)),
+    )
+    scored = melted.join(F.broadcast(cuts), "metric").withColumn("score", score)
+    wide = scored.groupBy("custkey").agg(
+        F.max(F.when(F.col("metric") == "r", F.col("score"))).alias("r_score"),
+        F.max(F.when(F.col("metric") == "f", F.col("score"))).alias("f_score"),
+        F.max(F.when(F.col("metric") == "m", F.col("score"))).alias("m_score"),
+        F.max(F.when(F.col("metric") == "f", F.col("value"))).alias("f_val"),
+        F.max(F.when(F.col("metric") == "m", F.col("value"))).alias("m_cents"),
+    )
+    return wide.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("f_val").alias("total_orders"),
+        round2(F.avg("m_cents") / 100).alias("avg_monetary"),
+    )
+
+
+def basket_brand_pairs(tables: dict[str, DataFrame], limit: int = 20) -> DataFrame:
+    """Market-basket affinity: which brand PAIRS co-occur in one order more
+    than their popularity predicts (support + lift) — the cross-sell
+    dashboard endpoint. Lift = P(a,b) / (P(a)·P(b)) over order baskets.
+
+    Shape: lineitem⋈part broadcasts the dim, distinct (order, brand) pairs
+    shuffle once on the order key, and the pair generation is a SELF
+    equi-join on that same key (in-basket expansion is bounded by
+    brand-per-order counts, ~tens — never a cartesian); brand totals are a
+    25-row broadcast. The order-key Exchange feeds both self-join sides, so
+    AQE/ReuseExchange dedupes the subplan. Scales as one fact shuffle."""
+    li, part = tables["lineitem"], tables["part"]
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_ord = ob.agg(F.countDistinct("ok").alias("n")).scalar()
+    brand_ct = ob.groupBy("brand").agg(F.count("*").alias("bc"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count("*").alias("pair_ct"))
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    out = (
+        pairs.join(F.broadcast(brand_ct).withColumnRenamed("brand", "brand_a"), "brand_a")
+        .withColumnRenamed("bc", "bc_a")
+        .join(F.broadcast(brand_ct).withColumnRenamed("brand", "brand_b"), "brand_b")
+        .withColumnRenamed("bc", "bc_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_ct",
+            r4(F.col("pair_ct") / n_ord).alias("support"),
+            r4(F.col("pair_ct") * n_ord / (F.col("bc_a") * F.col("bc_b"))).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("pair_ct"), "brand_a", "brand_b").limit(limit)
+
+
 QUERIES = {
     "serving_gmv": gmv,
     "serving_trademark_topn": trademark_topn,
@@ -235,9 +332,61 @@ QUERIES = {
     "serving_hourly": hourly_stats,
     "serving_keyword_topn": keyword_topn,
     "serving_ship_latency": ship_latency,
+    "serving_rfm": rfm_segments,
+    "serving_basket_pairs": basket_brand_pairs,
 }
 
 ORACLES = {
+    "serving_rfm": """
+        WITH ref AS (SELECT max(o_orderdate) AS d FROM orders),
+        pc AS (
+            SELECT o_custkey AS custkey,
+                   datediff('day', max(o_orderdate), (SELECT d FROM ref))::BIGINT AS r_val,
+                   count(*)::BIGINT AS f_val,
+                   sum(floor(o_totalprice * 100 + 0.5))::BIGINT AS m_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        cuts AS (
+            SELECT quantile_cont(r_val, [0.2, 0.4, 0.6, 0.8]) AS rc,
+                   quantile_cont(f_val, [0.2, 0.4, 0.6, 0.8]) AS fc,
+                   quantile_cont(m_cents, [0.2, 0.4, 0.6, 0.8]) AS mc
+            FROM pc
+        ),
+        scored AS (
+            SELECT custkey, f_val, m_cents,
+                   1 + len(list_filter(c.rc, x -> pc.r_val > x)) AS r_score,
+                   1 + len(list_filter(c.fc, x -> pc.f_val > x)) AS f_score,
+                   1 + len(list_filter(c.mc, x -> pc.m_cents > x)) AS m_score
+            FROM pc, cuts c
+        )
+        SELECT r_score, f_score, m_score,
+               count(*)::BIGINT AS n_customers,
+               sum(f_val)::BIGINT AS total_orders,
+               floor(avg(m_cents) / 100 * 100 + 0.5) / 100 AS avg_monetary
+        FROM scored GROUP BY r_score, f_score, m_score
+    """,
+    "serving_basket_pairs": """
+        WITH ob AS (
+            SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        n AS (SELECT count(DISTINCT ok) AS n_ord FROM ob),
+        bc AS (SELECT brand, count(*)::BIGINT AS bc FROM ob GROUP BY brand),
+        pairs AS (
+            SELECT a.brand AS brand_a, b.brand AS brand_b, count(*)::BIGINT AS pair_ct
+            FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+            GROUP BY a.brand, b.brand
+        )
+        SELECT brand_a, brand_b, pair_ct,
+               floor(pair_ct / (SELECT n_ord FROM n) * 10000 + 0.5) / 10000 AS support,
+               floor(pair_ct * (SELECT n_ord FROM n)
+                     / (ba.bc * bb.bc) * 10000 + 0.5) / 10000 AS lift
+        FROM pairs
+        JOIN bc ba ON pairs.brand_a = ba.brand
+        JOIN bc bb ON pairs.brand_b = bb.brand
+        ORDER BY pair_ct DESC, brand_a, brand_b
+        LIMIT 20
+    """,
     "serving_ship_latency": """
         SELECT o.o_orderpriority AS priority,
                count(*)::BIGINT AS n_items,

@@ -115,6 +115,87 @@ def funnel_conversion(
     )
 
 
+def funnel_windowed(
+    tables: dict[str, DataFrame],
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_sec: int = 21600,
+) -> DataFrame:
+    """Time-constrained funnel (ClickHouse ``windowFunnel`` semantics): a
+    user reaches depth k iff there exist events e1 < e2 < ... < ek of the
+    step types, ordered by (ts, event_id), whose total span ek.ts - e1.ts
+    fits inside ``window_sec``. Differs from ``funnel_conversion`` (the
+    unbounded min-time chain): here the WHOLE chain must fit in the window,
+    which is the form product funnels actually ask for ("purchased within
+    six hours of first view"; 6 h keeps all three
+    stages non-degenerate at every fixture SF).
+
+    Algorithm: greedy latest-start DP. Scanning a user's events in time
+    order, carry s_j = the LATEST chain-start among depth-(j+1) chains
+    ending at-or-before the current position (maximizing the start
+    minimizes the span, so it dominates every other chain — the standard
+    exchange argument). An event of type steps[j] extends s_{j-1} iff
+    ts - s_{j-1} <= window. Each s_j is a running ``max`` over a window
+    frame ending 1 ROW BEFORE current (chains need strictly-earlier
+    events), so the whole DP is k chained window aggregates over the SAME
+    (user_id) sort — Catalyst plans ONE Exchange + one sort, no joins, no
+    Python. Scales as a single keyed sort, the same posture as
+    ``funnel_conversion``."""
+    # events.ts loads as TIMESTAMP_NTZ (unix_micros wants TIMESTAMP) —
+    # epoch micros via timestamp_diff from the NTZ epoch, matching the
+    # oracle's epoch_us()
+    us = F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col("ts")
+    )
+    t_us = window_sec * 1_000_000
+    ev = (
+        tables["events"]
+        .filter(F.col("event_type").isin(*steps))
+        .select("user_id", "event_id", F.col("event_type").alias("et"), us.alias("us"))
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cur = ev
+    prev_start = None
+    reach_cols = []
+    for j, step in enumerate(steps):
+        if j == 0:
+            start = F.when(F.col("et") == step, F.col("us"))
+            reached = F.col("et") == step
+        else:
+            viable = (
+                (F.col("et") == step)
+                & F.col(prev_start).isNotNull()
+                & (F.col("us") - F.col(prev_start) <= t_us)
+            )
+            start = F.when(viable, F.col(prev_start))
+            reached = viable
+        sname, rname = f"s{j}", f"r{j}"
+        cur = cur.withColumn(sname, start).withColumn(rname, reached)
+        # next stage sees the running max of this stage's chain starts,
+        # over strictly-earlier rows only
+        cur = cur.withColumn(sname, F.max(sname).over(w_prev))
+        prev_start = sname
+        reach_cols.append(rname)
+    depth = F.greatest(
+        *[
+            F.when(F.col(r), F.lit(j + 1)).otherwise(F.lit(0))
+            for j, r in enumerate(reach_cols)
+        ]
+    )
+    per_user = cur.groupBy("user_id").agg(F.max(depth).alias("depth"))
+    counts = per_user.agg(
+        *[
+            F.count(F.when(F.col("depth") >= j + 1, 1)).alias(f"users_{j}")
+            for j in range(len(steps))
+        ]
+    )
+    stack = ", ".join(f"{j}, '{s}', users_{j}" for j, s in enumerate(steps))
+    return counts.selectExpr(f"stack({len(steps)}, {stack}) AS (stage, step, users)")
+
+
 def retention_cohorts(tables: dict[str, DataFrame]) -> DataFrame:
     """Cohort retention: for each first-seen day (cohort) and day-offset k,
     the distinct users active k days after their first event. First-seen day
@@ -189,11 +270,52 @@ QUERIES = {
     "session_gaps_islands": sessionize,
     "session_window_native": lambda tables: session_window_agg(tables["events"]),
     "session_funnel": funnel_conversion,
+    "session_funnel_windowed": funnel_windowed,
     "session_retention": retention_cohorts,
     "session_attribution": last_touch_attribution,
 }
 
 ORACLES = {
+    "session_funnel_windowed": """
+        WITH e AS (
+            SELECT user_id, event_id, event_type AS et, epoch_us(ts) AS us
+            FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        a AS (
+            SELECT *, max(CASE WHEN et = 'view' THEN us END) OVER wprev AS s0
+            FROM e
+            WINDOW wprev AS (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        b AS (
+            SELECT *,
+                   CASE WHEN et = 'click' AND s0 IS NOT NULL
+                             AND us - s0 <= 21600000000 THEN s0 END AS s1row,
+                   (et = 'click' AND s0 IS NOT NULL
+                        AND us - s0 <= 21600000000) AS r1
+            FROM a
+        ),
+        c AS (
+            SELECT *, max(s1row) OVER wprev AS s1
+            FROM b
+            WINDOW wprev AS (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        pu AS (
+            SELECT user_id,
+                   max(CASE WHEN et = 'purchase' AND s1 IS NOT NULL
+                                 AND us - s1 <= 21600000000 THEN 3
+                            WHEN r1 THEN 2
+                            WHEN et = 'view' THEN 1 ELSE 0 END) AS depth
+            FROM c GROUP BY user_id
+        )
+        SELECT 0 AS stage, 'view' AS step,
+               count(*) FILTER (WHERE depth >= 1)::BIGINT AS users FROM pu
+        UNION ALL
+        SELECT 1, 'click', count(*) FILTER (WHERE depth >= 2)::BIGINT FROM pu
+        UNION ALL
+        SELECT 2, 'purchase', count(*) FILTER (WHERE depth >= 3)::BIGINT FROM pu
+    """,
     "session_attribution": """
         WITH w AS (
             SELECT event_id, user_id, ts, event_type,

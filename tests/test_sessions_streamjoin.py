@@ -200,3 +200,61 @@ def test_attribution_semantics(spark):
     assert got[4].touch_event_id == 3 and got[4].lag_sec == 30
     assert got[5].touch_event_id is None and got[5].lag_sec is None
     assert got[7].touch_event_id == 6 and got[7].lag_sec == 0
+
+
+def test_funnel_windowed_span_constraint(spark):
+    """windowFunnel semantics: the WHOLE chain must fit in the window, and
+    the greedy latest-start DP must pick the later view when it rescues an
+    otherwise-too-wide chain."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # user 1: v@0 c@5 p@9, window 10 -> depth 3
+        (1, 1, t(0), "view"), (2, 1, t(5), "click"), (3, 1, t(9), "purchase"),
+        # user 2: v@0 c@5 p@11 -> span 11 > 10, but no later view: depth 2
+        (4, 2, t(0), "view"), (5, 2, t(5), "click"), (6, 2, t(11), "purchase"),
+        # user 3: v@0 c@9 p@12 AND v@4 -> chain v@4,c@9,p@12 fits: depth 3
+        (7, 3, t(0), "view"), (8, 3, t(4), "view"),
+        (9, 3, t(9), "click"), (10, 3, t(12), "purchase"),
+        # user 4: purchase before click -> depth 2 only
+        (11, 4, t(0), "view"), (12, 4, t(1), "purchase"), (13, 4, t(2), "click"),
+        # user 5: click only -> depth 0 (stage 1 is view)
+        (14, 5, t(0), "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, ts, et, 0.0) for i, u, ts, et in rows],
+        "event_id long, user_id long, ts timestamp_ntz, event_type string, value double",
+    )
+    got = {r.step: r.users for r in
+           sessions.funnel_windowed({"events": ev}, window_sec=10).collect()}
+    # depths: u1=3, u2=2, u3=3, u4=2, u5=0
+    assert got == {"view": 4, "click": 4, "purchase": 2}
+
+
+def test_funnel_windowed_matches_bruteforce_exists(tables):
+    """Cross-check the DP against the O(n^3) EXISTS-chain definition on the
+    small fixture — an independent algorithm for the same semantics."""
+    from tests.oracle import duck_connect
+
+    con = duck_connect("/root/testdata/sf0.001")
+    brute = con.sql("""
+        WITH e AS (SELECT user_id, event_id, event_type AS et, epoch_us(ts) AS us
+                   FROM events WHERE event_type IN ('view','click','purchase')),
+        d1 AS (SELECT DISTINCT user_id FROM e WHERE et = 'view'),
+        d2 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b USING (user_id)
+               WHERE a.et='view' AND b.et='click'
+                 AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
+                 AND b.us - a.us <= 21600000000),
+        d3 AS (SELECT DISTINCT a.user_id FROM e a JOIN e b USING (user_id)
+                                          JOIN e c USING (user_id)
+               WHERE a.et='view' AND b.et='click' AND c.et='purchase'
+                 AND (b.us > a.us OR (b.us = a.us AND b.event_id > a.event_id))
+                 AND (c.us > b.us OR (c.us = b.us AND c.event_id > b.event_id))
+                 AND c.us - a.us <= 21600000000)
+        SELECT (SELECT count(*) FROM d1), (SELECT count(*) FROM d2),
+               (SELECT count(*) FROM d3)
+    """).fetchone()
+    con.close()
+    got = {r.stage: r.users for r in sessions.funnel_windowed(tables).collect()}
+    assert (got[0], got[1], got[2]) == brute
