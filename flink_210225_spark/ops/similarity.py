@@ -1476,6 +1476,209 @@ def coreset_audit(tables: dict[str, DataFrame], k: int = 10) -> DataFrame:
     )
 
 
+def _prefix_topk(emb: DataFrame, num_queries: int, k: int, dims: int) -> DataFrame:
+    """Exact cosine top-k using only the FIRST ``dims`` components — the
+    truncation primitive behind Matryoshka evaluation."""
+    pv = F.slice(_as_double(F.col("embedding")), 1, dims)
+    base = emb.select("vec_id", pv.alias("v"), _norm(pv).alias("nrm"))
+    q = base.filter(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    n = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nn")
+    )
+    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.floor(cos * 1000000 + 0.5) / 1000000)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def matryoshka_audit(
+    tables: dict[str, DataFrame], num_queries: int = 20, k: int = 5, prefix: int = 16
+) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. 2022, MRL): how
+    much retrieval quality survives when vectors are cut to their first
+    ``prefix`` dims (the memory/latency knob MRL-trained encoders expose).
+    Emits per-query overlap between full-dim exact top-k and prefix-dim
+    exact top-k — fully deterministic (exact brute force both sides, 6dp
+    tie-broken ranking), so the driver HASH-gates it, unlike the
+    trained-index audits that can only gate recall floors.
+
+    Plan: two bounded-broadcast scans (queries broadcast, one corpus pass
+    each) + a groupBy on query_id; array_intersect on the two collected
+    k-lists. Scales exactly like ``cosine_topk``; the prefix pass reads the
+    same column and slices JVM-side (no second storage copy)."""
+    emb = tables["embeddings"]
+    full = (
+        _prefix_topk(emb, num_queries, k, DIM)
+        .groupBy("query_id")
+        .agg(F.sort_array(F.collect_list("neighbor_id")).alias("full_ids"))
+    )
+    pre = (
+        _prefix_topk(emb, num_queries, k, prefix)
+        .groupBy("query_id")
+        .agg(F.sort_array(F.collect_list("neighbor_id")).alias("prefix_ids"))
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    overlap = F.size(F.array_intersect("full_ids", "prefix_ids"))
+    return (
+        full.join(pre, "query_id")
+        .select(
+            "query_id",
+            F.size("full_ids").alias("k_full"),
+            overlap.alias("n_overlap"),
+            r4(overlap / F.size("full_ids")).alias("recall_at_k"),
+        )
+    )
+
+
+def _pack_sign_words(v: Column) -> tuple[Column, Column]:
+    """Sign-bit binarization packed into two 32-bit words (bits 0-31 /
+    32-63 of the 64-d sign pattern), kept as non-negative BIGINTs so xor +
+    bit_count stay overflow-free under ANSI arithmetic in both engines."""
+
+    def word(lo: int) -> Column:
+        part = F.slice(v, lo + 1, 32)
+        bits = F.transform(
+            part,
+            # column-valued shift distance needs the SQL function directly
+            # (the python shiftleft wrapper only takes a literal int)
+            lambda x, i: F.when(
+                x > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    return word(0), word(32)
+
+
+def binary_hamming_topk(
+    tables: dict[str, DataFrame],
+    num_queries: int = 20,
+    k: int = 5,
+    shortlist: int = 32,
+) -> DataFrame:
+    """Binary-sketch similarity search: 64-d float vectors compress 32× to
+    a 64-bit sign pattern; candidate ranking is Hamming distance (two
+    xor+bit_count ops), and only a per-query ``shortlist`` gets the exact
+    cosine re-rank (the sign-random-projection estimator — Charikar 2002 —
+    makes Hamming a monotone proxy for angle). Unlike the xxhash64 LSH
+    paths this is FULLY deterministic (signs come from the stored floats),
+    so the driver hash-gates the end-to-end result.
+
+    Plan: the packed words ride the same broadcast-queries × corpus-scan
+    shape as ``cosine_topk``, but the scan-side compare is integer ops on
+    16 bytes/row instead of 64 float muls — the bandwidth story AT SCALE
+    (the full vector is only touched for shortlist rows). Ties break on
+    (hamming, neighbor_id) then (cosine 6dp, neighbor_id)."""
+    emb = tables["embeddings"]
+    v = _as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id", v.alias("v"), _norm(v).alias("nrm"), *(
+            c.alias(n) for c, n in zip(_pack_sign_words(v), ("w0", "w1"))
+        )
+    )
+    q = base.filter(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    n = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
+        F.col("w0").alias("nw0"),
+        F.col("w1").alias("nw1"),
+    )
+    ham = F.bit_count(F.col("qw0").bitwiseXOR(F.col("nw0"))) + F.bit_count(
+        F.col("qw1").bitwiseXOR(F.col("nw1"))
+    )
+    cand = (
+        F.broadcast(q)
+        .join(n, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("hamming", ham)
+    )
+    w_h = Window.partitionBy("query_id").orderBy("hamming", F.asc("neighbor_id"))
+    short = cand.withColumn("hrn", F.row_number().over(w_h)).filter(
+        F.col("hrn") <= shortlist
+    )
+    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    rer = short.withColumn("cosine", F.floor(cos * 1000000 + 0.5) / 1000000)
+    w_c = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rn", F.row_number().over(w_c))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "hamming", "cosine", F.col("rn").alias("rank"))
+    )
+
+
+def outlier_zscore(tables: dict[str, DataFrame], z_cut: float = 2.5) -> DataFrame:
+    """Embedding-corpus QA: per-cluster distance z-scores flag vectors that
+    sit abnormally far from their own cluster's centroid (mislabeled /
+    corrupted / out-of-distribution rows — the screen a training-data
+    pipeline runs before trusting an embedding column). Clusters are the
+    fixture's ``label`` column, so the whole computation is deterministic
+    and the driver hash-gates every row.
+
+    Numeric contract (the whiten_zscore convention): centroid components,
+    per-cluster distance mean, and stddev are each rounded to 1e-6 BEFORE
+    downstream use, so both engines plug bit-identical parameters into the
+    distance and z formulas. Plan: centroids are a (labels × dims) partial
+    agg joined back as a ~10-row broadcast; distances are one scan; the
+    per-label moment table is another tiny broadcast. Zero wide shuffles on
+    the corpus."""
+    emb = tables["embeddings"]
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    v = _as_double(F.col("embedding"))
+    e = emb.select("vec_id", "label", v.alias("v"))
+    cent = (
+        e.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(r6(F.avg("x")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    with_d = e.join(F.broadcast(cent), "label").withColumn("dist", r6(dist))
+    mom = with_d.groupBy("label").agg(
+        r6(F.avg("dist")).alias("d_mean"), r6(F.stddev_pop("dist")).alias("d_std")
+    )
+    z = F.when(F.col("d_std") == 0.0, F.lit(0.0)).otherwise(
+        r4((F.col("dist") - F.col("d_mean")) / F.col("d_std"))
+    )
+    return (
+        with_d.join(F.broadcast(mom), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.col("dist").alias("dist"),
+            z.alias("z"),
+            (z > z_cut).alias("is_outlier"),
+        )
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
     "sim_mips_topk": mips_topk,
@@ -1513,6 +1716,9 @@ QUERIES = {
     "sim_ivfpq_ann_topk": ivf_pq_ann_topk,
     # rows-only; pytest gates residual-MSE < raw-MSE and recall parity.
     "sim_ivfpq_residual_topk": ivf_pq_residual_ann_topk,
+    "sim_matryoshka_audit": matryoshka_audit,
+    "sim_binary_hamming_topk": binary_hamming_topk,
+    "sim_outlier_zscore": outlier_zscore,
 }
 
 _COS = """
@@ -1715,5 +1921,140 @@ ORACLES = {
                floor(abs(floor(v[u.i + 1] / scale + 0.5) * scale - v[u.i + 1])
                      * 1000000 + 0.5) / 1000000 AS err
         FROM sc, unnest(range(len(v))) AS u(i)
+    """,
+    "sim_matryoshka_audit": """
+        WITH base AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ),
+        nf AS (
+            SELECT vec_id, v,
+                   sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM base
+        ),
+        np_ AS (
+            SELECT vec_id, v[1:16] AS v,
+                   sqrt(list_sum(list_transform(v[1:16], x -> x * x))) AS nrm
+            FROM base
+        ),
+        tf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY floor(list_sum(list_transform(range(64),
+                                         i -> q.v[i + 1] * n.v[i + 1]))
+                                     / (q.nrm * n.nrm) * 1000000 + 0.5) / 1000000
+                                    DESC, n.vec_id) AS rn
+                FROM nf q JOIN nf n ON q.vec_id < 20 AND q.vec_id != n.vec_id
+            ) WHERE rn <= 5
+        ),
+        tp AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY floor(list_sum(list_transform(range(16),
+                                         i -> q.v[i + 1] * n.v[i + 1]))
+                                     / (q.nrm * n.nrm) * 1000000 + 0.5) / 1000000
+                                    DESC, n.vec_id) AS rn
+                FROM np_ q JOIN np_ n ON q.vec_id < 20 AND q.vec_id != n.vec_id
+            ) WHERE rn <= 5
+        ),
+        gf AS (SELECT query_id, list_sort(list(neighbor_id)) AS full_ids FROM tf
+               GROUP BY query_id),
+        gp AS (SELECT query_id, list_sort(list(neighbor_id)) AS prefix_ids FROM tp
+               GROUP BY query_id)
+        SELECT gf.query_id,
+               len(full_ids) AS k_full,
+               len(list_filter(full_ids, x -> list_contains(prefix_ids, x)))
+                   AS n_overlap,
+               floor(len(list_filter(full_ids, x -> list_contains(prefix_ids, x)))
+                     / len(full_ids) * 10000 + 0.5) / 10000 AS recall_at_k
+        FROM gf JOIN gp ON gf.query_id = gp.query_id
+    """,
+    "sim_binary_hamming_topk": """
+        WITH base AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ),
+        packed AS (
+            SELECT vec_id, v,
+                   sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+                   list_sum(list_transform(v[1:32],
+                       (x, i) -> CASE WHEN x > 0
+                                      THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS w0,
+                   list_sum(list_transform(v[33:64],
+                       (x, i) -> CASE WHEN x > 0
+                                      THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS w1
+            FROM base
+        ),
+        short AS (
+            SELECT * FROM (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       bit_count(xor(q.w0, n.w0)) + bit_count(xor(q.w1, n.w1))
+                           AS hamming,
+                       q.v AS qv, q.nrm AS qn, n.v AS nv, n.nrm AS nn,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY bit_count(xor(q.w0, n.w0))
+                                    + bit_count(xor(q.w1, n.w1)), n.vec_id) AS hrn
+                FROM packed q JOIN packed n
+                    ON q.vec_id < 20 AND q.vec_id != n.vec_id
+            ) WHERE hrn <= 32
+        )
+        SELECT query_id, neighbor_id, hamming,
+               cosine, rn AS rank
+        FROM (
+            SELECT query_id, neighbor_id, hamming,
+                   floor(list_sum(list_transform(range(64),
+                             i -> qv[i + 1] * nv[i + 1]))
+                         / (qn * nn) * 1000000 + 0.5) / 1000000 AS cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY floor(list_sum(list_transform(range(64),
+                                    i -> qv[i + 1] * nv[i + 1]))
+                                / (qn * nn) * 1000000 + 0.5) / 1000000 DESC,
+                                neighbor_id) AS rn
+            FROM short
+        ) WHERE rn <= 5
+    """,
+    "sim_outlier_zscore": """
+        WITH base AS (
+            SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ),
+        ex AS (
+            SELECT label, vec_id, v, unnest(range(64)) AS dim FROM base
+        ),
+        cent AS (
+            SELECT label, dim,
+                   floor(avg(v[dim + 1]) * 1000000 + 0.5) / 1000000 AS c
+            FROM ex GROUP BY label, dim
+        ),
+        centa AS (
+            SELECT label, list(c ORDER BY dim) AS centroid FROM cent GROUP BY label
+        ),
+        d AS (
+            SELECT vec_id, b.label,
+                   floor(sqrt(list_sum(list_transform(range(64),
+                         i -> (b.v[i + 1] - centroid[i + 1])
+                              * (b.v[i + 1] - centroid[i + 1]))))
+                         * 1000000 + 0.5) / 1000000 AS dist
+            FROM base b JOIN centa USING (label)
+        ),
+        mom AS (
+            SELECT label,
+                   floor(avg(dist) * 1000000 + 0.5) / 1000000 AS m,
+                   floor(stddev_pop(dist) * 1000000 + 0.5) / 1000000 AS s
+            FROM d GROUP BY label
+        )
+        SELECT vec_id, d.label, dist,
+               CASE WHEN s = 0 THEN 0.0
+                    ELSE floor((dist - m) / s * 10000 + 0.5) / 10000 END AS z,
+               (CASE WHEN s = 0 THEN 0.0
+                     ELSE floor((dist - m) / s * 10000 + 0.5) / 10000 END) > 2.5
+                   AS is_outlier
+        FROM d JOIN mom ON d.label = mom.label
     """,
 }

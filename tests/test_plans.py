@@ -138,6 +138,13 @@ CARTESIAN_OK = {
     "sim_knn_label",
     # composes cosine_topk's bounded 20-row broadcast BNLJ as its exact side
     "sim_ann_recall_audit",
+    # bounded 20-query broadcast BNLJ twice (full-dim + prefix-dim exact
+    # baselines) — the Matryoshka comparison needs BOTH exact sides
+    "sim_matryoshka_audit",
+    # same bounded 20-query broadcast shape; the scan-side compare is two
+    # xor+bit_count ops per row (the point of the binary sketch), exact
+    # cosine only on the 32-deep shortlist
+    "sim_binary_hamming_topk",
     # composes the blocked GEMM below as its exact side — same block grid
     "sim_semantic_audit",
     "dedup_embedding_cosine",
