@@ -467,6 +467,68 @@ def wav_segment_features(
     )
 
 
+def wav_dft_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Real spectral analysis on the real WAV decode path: each document's
+    container round-trips through the stdlib parser, then a genuine
+    complex DFT (numpy fft) runs per clip — the first step of any
+    spectrogram/mel feature chain. The driver hash-gates it via exactly
+    recomputable anchors plus DFT-contract booleans (uv_sketch pattern):
+
+    - ``dc`` = X[0] = Σ s[k] — an exact integer the oracle recomputes from
+      the PCM formula (only a correct decode + transform reproduces it);
+    - ``sum_sq`` — exact signal energy, also recomputed arithmetically;
+    - ``parseval_ok``: Σ|X[f]|² == N·Σs² (Plancherel, relative 1e-9);
+    - ``symmetry_ok``: X[N−f] == conj(X[f]) — the real-input Hermitian
+      symmetry any correct complex DFT of a real signal must show.
+
+    Scale: embarrassingly parallel mapInPandas over ≤250-sample clips;
+    zero shuffles, payloads never leave the task."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id", (F.col("n_chars") % 200 + 50).cast("int").alias("n")
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "asset_id", "n_frames", "dc", "sum_sq",
+                    "parseval_ok", "symmetry_ok",
+                )
+            }
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                s = _parse_wav(_wav_bytes(int(doc_id), int(n)))["samples"].astype(
+                    np.float64
+                )
+                X = np.fft.fft(s)
+                nn = len(s)
+                energy_t = float((s * s).sum())
+                energy_f = float((np.abs(X) ** 2).sum())
+                parseval = abs(energy_f - nn * energy_t) <= 1e-9 * max(
+                    1.0, nn * energy_t
+                )
+                sym_err = float(
+                    np.abs(X[1:][::-1] - np.conj(X[1:])).max()
+                ) if nn > 1 else 0.0
+                scale = float(np.abs(X).max()) or 1.0
+                out["asset_id"].append(int(doc_id))
+                out["n_frames"].append(nn)
+                out["dc"].append(int(round(X[0].real)))
+                out["sum_sq"].append(int(energy_t))
+                out["parseval_ok"].append(bool(parseval))
+                out["symmetry_ok"].append(bool(sym_err <= 1e-6 * scale))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, n_frames long, dc long, sum_sq long, "
+        "parseval_ok boolean, symmetry_ok boolean",
+    )
+
+
 def png_decode_documents(tables: dict[str, DataFrame]) -> DataFrame:
     """REAL-codec round trip for images, same contract as
     ``wav_decode_documents``: a genuine PNG (chunks, CRCs, zlib) is built
@@ -633,6 +695,7 @@ QUERIES = {
     "multimodal_decode": decode_documents,
     "multimodal_wav_decode": wav_decode_documents,
     "multimodal_wav_segments": wav_segment_features,
+    "multimodal_wav_dft_audit": wav_dft_audit,
     "multimodal_png_decode": png_decode_documents,
     "multimodal_frame_plan": frame_plan_documents,
     "multimodal_audio_segments": audio_segments_documents,
@@ -706,6 +769,28 @@ ORACLES = {
     # touches container bytes — it recomputes the deterministic signal from
     # the same integer formulas, so only a correct write-then-parse on the
     # Spark side can reproduce these exact sums.
+    # Arithmetic replay of the exact anchors (dc = plain sum, sum_sq =
+    # energy); the two DFT-contract booleans must be TRUE (uv_sketch
+    # pattern — Parseval and Hermitian symmetry are recomputed and checked
+    # on the Spark side against the actual transform output).
+    "multimodal_wav_dft_audit": """
+        WITH a AS (
+            SELECT doc_id, (n_chars % 200 + 50)::BIGINT AS n FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n,
+                   list_transform(range(n),
+                       k -> (((doc_id * 31 + k * 7) % 256) - 128) * 256) AS v
+            FROM a
+        )
+        SELECT doc_id AS asset_id,
+               n AS n_frames,
+               list_sum(v)::BIGINT AS dc,
+               list_sum(list_transform(v, x -> x * x))::BIGINT AS sum_sq,
+               TRUE AS parseval_ok,
+               TRUE AS symmetry_ok
+        FROM s
+    """,
     "multimodal_wav_decode": """
         WITH a AS (
             SELECT doc_id, (n_chars % 200 + 50)::BIGINT AS n FROM documents

@@ -1679,6 +1679,107 @@ def outlier_zscore(tables: dict[str, DataFrame], z_cut: float = 2.5) -> DataFram
     )
 
 
+def pca_audit(tables: dict[str, DataFrame], k: int = 8) -> DataFrame:
+    """Distributed PCA with a hash-gated audit (uv_sketch pattern) — the
+    dimensionality-reduction sibling of the PQ family: project the corpus
+    onto its top-k principal directions, the preprocessing step before
+    cheap ANN or whitened retrieval at scale.
+
+    Distribution shape (the classic tall-skinny PCA split): each partition
+    folds its rows into (Σx·xᵀ, Σx, n) — ONE Arrow pass, 64×64 doubles per
+    partition — so the driver sees O(partitions·d²) bytes, never the
+    corpus. The 64×64 covariance eigendecomposition is driver-side NumPy
+    (d³ work, microseconds); a SECOND distributed pass validates the model
+    by computing the mean squared reconstruction error against the
+    Eckart-Young optimum Σ_{i>k} λ_i.
+
+    Audit row: ``n_vectors`` and ``total_var`` (= covariance trace =
+    Σ var_pop per dim) are recomputed independently by the DuckDB oracle;
+    the booleans pin eigh's contract — orthonormal basis, non-increasing
+    spectrum, explained ratio in [0,1], and reconstruction MSE equal to
+    the spectral tail (which only holds if the projection pass actually
+    used the right eigenvectors)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = tables["embeddings"]
+    spark = emb.sparkSession
+    d = DIM
+
+    def moments(batches):
+        xtx = np.zeros((d, d))
+        s = np.zeros(d)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            xtx += mat.T @ mat
+            s += mat.sum(axis=0)
+            n += len(mat)
+        yield pd.DataFrame(
+            {"xtx": [xtx.ravel().tolist()], "s": [s.tolist()], "n": [n]}
+        )
+
+    parts = (
+        emb.select("embedding")
+        .mapInPandas(moments, "xtx array<double>, s array<double>, n long")
+        .collect()
+    )
+    xtx = sum(np.array(r["xtx"]).reshape(d, d) for r in parts)
+    s = sum(np.array(r["s"]) for r in parts)
+    n = int(sum(r["n"] for r in parts))
+    mu = s / n
+    cov = xtx / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    evals, evecs = evals[::-1], evecs[:, ::-1]  # descending spectrum
+    vk = np.ascontiguousarray(evecs[:, :k])
+    orthonormal = bool(np.allclose(vk.T @ vk, np.eye(k), atol=1e-9))
+    non_increasing = bool(np.all(np.diff(evals) <= 1e-12))
+    total_var = float(np.trace(cov))
+    explained = float(evals[:k].sum() / total_var) if total_var > 0 else 0.0
+    tail = float(np.clip(evals[k:], 0, None).sum())
+
+    def recon_sse(batches):
+        sse = 0.0
+        m = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64) - mu
+            resid = mat - (mat @ vk) @ vk.T
+            sse += float((resid * resid).sum())
+            m += len(mat)
+        yield pd.DataFrame({"sse": [sse], "m": [m]})
+
+    rs = (
+        emb.select("embedding")
+        .mapInPandas(recon_sse, "sse double, m long")
+        .groupBy()
+        .agg(F.sum("sse").alias("sse"), F.sum("m").alias("m"))
+        .collect()[0]
+    )
+    mse = rs["sse"] / rs["m"]
+    recon_matches_tail = bool(abs(mse - tail) <= 1e-6 * max(1.0, abs(tail)))
+    r4v = float(np.floor(total_var * 10000 + 0.5) / 10000)
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                int(k),
+                r4v,
+                orthonormal,
+                non_increasing,
+                bool(0.0 <= explained <= 1.0),
+                recon_matches_tail,
+            )
+        ],
+        "n_vectors long, k int, total_var double, orthonormal boolean, "
+        "spectrum_sorted boolean, explained_in_range boolean, "
+        "recon_matches_tail boolean",
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
     "sim_mips_topk": mips_topk,
@@ -1719,6 +1820,7 @@ QUERIES = {
     "sim_matryoshka_audit": matryoshka_audit,
     "sim_binary_hamming_topk": binary_hamming_topk,
     "sim_outlier_zscore": outlier_zscore,
+    "sim_pca_audit": pca_audit,
 }
 
 _COS = """
@@ -2056,5 +2158,26 @@ ORACLES = {
                      ELSE floor((dist - m) / s * 10000 + 0.5) / 10000 END) > 2.5
                    AS is_outlier
         FROM d JOIN mom ON d.label = mom.label
+    """,
+    # n_vectors and total_var (= Σ per-dim population variance = covariance
+    # trace) recomputed independently; the eigendecomposition contract
+    # booleans must be TRUE (uv_sketch pattern).
+    "sim_pca_audit": """
+        WITH ex AS (
+            SELECT vec_id, unnest(range(64)) AS dim,
+                   list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ),
+        pv AS (
+            SELECT dim, var_pop(v[dim + 1]) AS vp FROM ex GROUP BY dim
+        )
+        SELECT (SELECT count(*)::BIGINT FROM embeddings) AS n_vectors,
+               8 AS k,
+               floor(sum(vp) * 10000 + 0.5) / 10000 AS total_var,
+               TRUE AS orthonormal,
+               TRUE AS spectrum_sorted,
+               TRUE AS explained_in_range,
+               TRUE AS recon_matches_tail
+        FROM pv
     """,
 }

@@ -1465,6 +1465,184 @@ def bloom_contamination(
     )
 
 
+def perplexity_filter(tables: dict[str, DataFrame]) -> DataFrame:
+    """Per-doc bigram cross-entropy under the corpus's own bigram LM, with
+    a data-driven flag — the n=2 composition of ``unigram_logprob`` and
+    ``bigram_condprob`` into the actual CCNet/KenLM-style FILTER: docs
+    whose token transitions are improbable under the reference LM (OCR
+    noise, boilerplate soup, wrong-language fragments) score low and get
+    flagged. Self-scored so every doc bigram exists in the LM (no OOV
+    smoothing needed); a production run freezes the LM from a snapshot and
+    the doc-side join turns into a broadcast of the top-K LM table.
+
+    avg_lp = Σ tf·ln P(w2|w1) / Σ tf over the doc's bigrams; ppl =
+    exp(−avg_lp). Flag threshold is mean − 1·stddev of doc scores, folded
+    ALGEBRAICALLY into ONE scalar subquery (the nb_quality lesson: a
+    struct-typed scalar replays its subplan per field).
+
+    Plan: doc-level pair counts are one partial agg; the LM is a re-agg of
+    that SAME result (vocab²-bounded); one pair-keyed join; one doc-keyed
+    agg. The threshold scalar replays the scoring subplan once — two
+    corpus-shaped passes total, both map-side-combined."""
+    docs = tables["documents"].select("doc_id", "text")
+    base = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).where(F.size("toks") >= 2)
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.get("toks", i).alias("w1"), F.get("toks", i + 1).alias("w2")
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    dtf = pairs.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    lm = dtf.groupBy("w1", "w2").agg(F.sum("tf").alias("pair_ct"))
+    w1_tot = lm.groupBy("w1").agg(F.sum("pair_ct").alias("w1_ct"))
+    lm_p = lm.join(w1_tot, "w1")
+    scored_raw = (
+        dtf.join(lm_p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            (
+                F.sum(F.col("tf") * F.log(F.col("pair_ct") / F.col("w1_ct")))
+                / F.sum("tf")
+            ).alias("raw_lp"),
+        )
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100  # noqa: E731
+    scored = scored_raw.select(
+        "doc_id",
+        "n_bigrams",
+        r4(F.col("raw_lp")).alias("avg_logprob"),
+        r2(F.exp(-F.col("raw_lp"))).alias("ppl"),
+    )
+    thr = scored.agg(
+        r4(F.avg("avg_logprob") - F.stddev_pop("avg_logprob")).alias("t")
+    ).scalar()
+    return scored.withColumn("is_flagged", F.col("avg_logprob") < thr)
+
+
+def zipf_profile(tables: dict[str, DataFrame], top_r: int = 100) -> DataFrame:
+    """Corpus-health Zipf fit: least-squares slope of ln(freq) vs ln(rank)
+    over the top ``top_r`` token ranks. Natural-language corpora sit near
+    slope −1 (Zipf's law); a corpus whose mixture drifted toward templated
+    or machine-generated text bends the curve, so (slope, r²) is a cheap
+    corpus-level QA gate alongside ``corpus_stats``.
+
+    Plan: the vocab count is corpus-wide but vocab-sized (map-side combine
+    collapses token repeats); the top-100 rank slice is a
+    TakeOrderedAndProject, and the regression aggregates run over 100 rows.
+    Nothing driver-sized; ties rank deterministically (count desc, token
+    asc)."""
+    docs = tables["documents"].select("text")
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("ct"))
+    n_vocab = vocab.agg(F.count("*").alias("n")).scalar()
+    n_tokens = vocab.agg(F.sum("ct").alias("n")).scalar()
+    top = vocab.orderBy(F.desc("ct"), F.asc("tok")).limit(top_r)
+    w = Window.orderBy(F.desc("ct"), F.asc("tok"))
+    ranked = top.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("ct").cast("double")).alias("y"),
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    n = F.count("*").cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, sxy, syy = (
+        F.sum(F.col("x") * F.col("x")),
+        F.sum(F.col("x") * F.col("y")),
+        F.sum(F.col("y") * F.col("y")),
+    )
+    cov, varx, vary = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    fit = ranked.agg(
+        n.cast("long").alias("n_ranks"),
+        r4(cov / varx).alias("slope"),
+        r4((sy - (cov / varx) * sx) / n).alias("intercept"),
+        r4(cov * cov / (varx * vary)).alias("r2"),
+    )
+    # scalar subqueries attach on the 1-row result (they are not aggregate
+    # expressions, so they can't sit inside agg())
+    return fit.select(
+        "n_ranks",
+        n_vocab.alias("n_vocab"),
+        n_tokens.alias("n_tokens"),
+        "slope",
+        "intercept",
+        "r2",
+    )
+
+
+def url_canonical_dedup(tables: dict[str, DataFrame]) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-frontier half of web-corpus
+    dedup (near-identical pages re-crawled under tracking-param / fragment
+    / case / trailing-slash variants of one URL). The fixture has no URL
+    column, so URLs are synthesized DETERMINISTICALLY from (source, lang,
+    doc_id) with injected variants (the pii_redact injection pattern:
+    oracle replays the same synthesis, so the gate checks the
+    canonicalizer, not the synthesis).
+
+    Canonical form: lowercase scheme+host, strip ``www.``, drop utm_*
+    query params (and the ``?`` if nothing survives), drop the fragment,
+    drop one trailing slash. All regexp_replace chains — identical patterns
+    both engines (DuckDB needs the explicit 'g' flag). Plan: pure
+    projection + one groupBy on the canonical key; scales as one shuffle of
+    short strings."""
+    docs = tables["documents"].select("doc_id")
+    # ~199 articles; several docs land on each, wearing DIFFERENT variant
+    # decorations of the SAME underlying page — so canonical groups are
+    # real multi-doc groups and is_dup_group exercises both branches
+    art = F.col("doc_id") % 199
+    site = F.element_at(
+        F.array(F.lit("News"), F.lit("Blog"), F.lit("Docs")), (art % 3 + 1).cast("int")
+    )
+    host = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        site,
+        F.lit(".Example.COM"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/en/article/"),
+        art.cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("?utm_source=feed&utm_campaign=x&ref=home"),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    with_url = docs.withColumn("url", url)
+    c = F.col("url")
+    c = F.regexp_replace(c, r"#.*$", "")  # fragment
+    c = F.regexp_replace(c, r"(\?|&)utm_[^&#]*", "$1")  # tracking params
+    c = F.regexp_replace(c, r"\?&+", "?")  # collapse leftover separators
+    c = F.regexp_replace(c, r"&+", "&")
+    c = F.regexp_replace(c, r"[?&]$", "")  # dangling ? or &
+    # lowercase scheme+host only (up to the first path slash), strip www.
+    c = F.concat(
+        F.lower(F.regexp_extract(c, r"^(https?://[^/]*)", 1)),
+        F.regexp_extract(c, r"^https?://[^/]*(.*)$", 1),
+    )
+    c = F.regexp_replace(c, r"^(https?://)www\.", "$1")
+    c = F.regexp_replace(c, r"/\?", "?")  # trailing slash before the query
+    c = F.regexp_replace(c, r"(/[^?#]*?)/$", "$1")  # one trailing slash
+    canon = with_url.withColumn("canonical_url", c)
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("keeper_doc"),
+        (F.count("*") > 1).alias("is_dup_group"),
+    )
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -1497,6 +1675,9 @@ QUERIES = {
     "text_cdc_chunks": cdc_chunks,
     "text_corpus_manifest": corpus_manifest,
     "text_turn_mask_plan": turn_mask_plan,
+    "text_perplexity_filter": perplexity_filter,
+    "text_zipf_profile": zipf_profile,
+    "dedup_url_canonical": url_canonical_dedup,
 }
 
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -2339,5 +2520,106 @@ ORACLES = {
         SELECT tok, ct,
                floor(ct * 1000000.0 / n.n + 0.5) / 1000000 AS frac
         FROM ct, n WHERE ct * 500 >= n.n
+    """,
+    "text_perplexity_filter": f"""
+        WITH base AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+            WHERE len({_DUCK_TOKS}) >= 2
+        ),
+        pairs AS (
+            SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+            FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i FROM base)
+        ),
+        dtf AS (
+            SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
+            FROM pairs GROUP BY doc_id, w1, w2
+        ),
+        lm AS (SELECT w1, w2, sum(tf)::BIGINT AS pair_ct FROM dtf GROUP BY w1, w2),
+        w1t AS (SELECT w1, sum(pair_ct)::BIGINT AS w1_ct FROM lm GROUP BY w1),
+        scored AS (
+            SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+                   floor(sum(tf * ln(pair_ct / w1_ct::DOUBLE)) / sum(tf)
+                         * 10000 + 0.5) / 10000 AS avg_logprob,
+                   floor(exp(-(sum(tf * ln(pair_ct / w1_ct::DOUBLE)) / sum(tf)))
+                         * 100 + 0.5) / 100 AS ppl
+            FROM dtf JOIN lm USING (w1, w2) JOIN w1t USING (w1)
+            GROUP BY doc_id
+        ),
+        thr AS (
+            SELECT floor((avg(avg_logprob) - stddev_pop(avg_logprob))
+                         * 10000 + 0.5) / 10000 AS t
+            FROM scored
+        )
+        SELECT doc_id, n_bigrams, avg_logprob, ppl,
+               avg_logprob < (SELECT t FROM thr) AS is_flagged
+        FROM scored
+    """,
+    "text_zipf_profile": f"""
+        WITH toks AS (
+            SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+        ),
+        vocab AS (
+            SELECT tok, count(*)::BIGINT AS ct FROM toks
+            WHERE tok != '' GROUP BY tok
+        ),
+        top AS (
+            SELECT ln(row_number() OVER (ORDER BY ct DESC, tok)::DOUBLE) AS x,
+                   ln(ct::DOUBLE) AS y
+            FROM vocab ORDER BY ct DESC, tok LIMIT 100
+        ),
+        s AS (
+            SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+            FROM top
+        )
+        SELECT n::BIGINT AS n_ranks,
+               (SELECT count(*)::BIGINT FROM vocab) AS n_vocab,
+               (SELECT sum(ct)::BIGINT FROM vocab) AS n_tokens,
+               floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000 + 0.5)
+                   / 10000 AS slope,
+               floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                     * 10000 + 0.5) / 10000 AS intercept,
+               floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                     * 10000 + 0.5) / 10000 AS r2
+        FROM s
+    """,
+    "dedup_url_canonical": """
+        WITH u AS (
+            SELECT doc_id,
+                   'https://'
+                   || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+                   || (['News', 'Blog', 'Docs'])[(doc_id % 199) % 3 + 1]
+                   || '.Example.COM/en/article/' || (doc_id % 199)::VARCHAR
+                   || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN '?utm_source=feed&utm_campaign=x&ref=home'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END
+                       AS url
+            FROM documents
+        ),
+        c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS c FROM u),
+        c2 AS (SELECT doc_id,
+                      regexp_replace(c, '(\\?|&)utm_[^&#]*', '\\1', 'g') AS c
+               FROM c1),
+        c3 AS (SELECT doc_id, regexp_replace(c, '\\?&+', '?', 'g') AS c FROM c2),
+        c4 AS (SELECT doc_id, regexp_replace(c, '&+', '&', 'g') AS c FROM c3),
+        c5 AS (SELECT doc_id, regexp_replace(c, '[?&]$', '', 'g') AS c FROM c4),
+        c6 AS (SELECT doc_id,
+                      lower(regexp_extract(c, '^(https?://[^/]*)', 1))
+                      || regexp_extract(c, '^https?://[^/]*(.*)$', 1) AS c
+               FROM c5),
+        c7 AS (SELECT doc_id,
+                      regexp_replace(c, '^(https?://)www\\.', '\\1', 'g') AS c
+               FROM c6),
+        c8 AS (SELECT doc_id, regexp_replace(c, '/\\?', '?', 'g') AS c FROM c7),
+        c9 AS (SELECT doc_id,
+                      regexp_replace(c, '(/[^?#]*?)/$', '\\1', 'g') AS c
+               FROM c8)
+        SELECT c AS canonical_url, count(*)::BIGINT AS n_docs,
+               min(doc_id)::BIGINT AS keeper_doc,
+               count(*) > 1 AS is_dup_group
+        FROM c9 GROUP BY c
     """,
 }

@@ -251,3 +251,21 @@ def test_decode_media_corrupt_containers_fall_back(spark):
     got = {r.asset_id: r for r in mm.decode_media(df).collect()}
     for i, b in corrupt:
         assert got[i].feature == pytest.approx(mm._decode_fake(b)), i
+
+
+def test_wav_dft_audit_matches_oracle_and_contract(tables):
+    """DFT anchors replayed by the oracle; contract booleans all TRUE; dc
+    equals the plain sample sum by construction."""
+    from .conftest import SF_DIR
+    from .oracle import assert_matches_oracle
+
+    from flink_210225_spark.ops import multimodal as mm
+
+    df = mm.wav_dft_audit(tables)
+    assert_matches_oracle(df, mm.ORACLES["multimodal_wav_dft_audit"], SF_DIR)
+    rows = df.collect()
+    assert all(r.parseval_ok and r.symmetry_ok for r in rows)
+    import numpy as np
+    for r in rows[:10]:
+        s = mm._parse_wav(mm._wav_bytes(int(r.asset_id), int(r.n_frames)))["samples"]
+        assert int(s.sum()) == r.dc

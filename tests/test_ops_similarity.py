@@ -547,3 +547,29 @@ def test_outlier_zscore_flags_planted_outlier(spark):
     out = similarity.outlier_zscore({"embeddings": emb}).collect()
     flagged = [r.vec_id for r in out if r.is_outlier]
     assert flagged == [40]
+
+
+def test_pca_audit_oracle_and_lowrank(spark, tables):
+    """Audit booleans hold on the fixture; on a crafted rank-2 corpus the
+    k=2 reconstruction must be (near) exact — mse == spectral tail == ~0."""
+    import numpy as np
+
+    from .conftest import SF_DIR
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        similarity.pca_audit(tables), similarity.ORACLES["sim_pca_audit"], SF_DIR
+    )
+    rng = np.random.default_rng(3)
+    basis = rng.normal(size=(2, 64))
+    rows = []
+    for vid in range(60):
+        coef = rng.normal(size=2)
+        v = coef @ basis
+        rows.append((vid, [float(x) for x in v], 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    (row,) = similarity.pca_audit({"embeddings": emb}, k=2).collect()
+    assert row.orthonormal and row.spectrum_sorted and row.recon_matches_tail
+    assert row.n_vectors == 60
+    # rank-2 data, k=2 projection: total variance captured, tail ~ 0
+    assert row.total_var > 0

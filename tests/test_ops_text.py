@@ -639,3 +639,61 @@ def test_turn_mask_plan_partitions_and_masks(tables):
             assert r.loss_mask == (r.role == "assistant") == (j % 2 == 1)
             pos += r.tok_len
         assert pos == n_tok[d], d
+
+
+def test_url_canonicalizer_unit_cases(spark):
+    """Spot-check the canonicalization rules on crafted URLs via the full
+    operator (doc_ids chosen to hit each variant branch)."""
+    rows = [(0,), (3,), (5,), (199,), (398,)]
+    docs = spark.createDataFrame(rows, "doc_id long")
+    out = {r.canonical_url: (r.n_docs, r.keeper_doc) for r in
+           text.url_canonical_dedup({"documents": docs}).collect()}
+    # doc 0: WWW + trailing slash + utm + ref + fragment -> article 0, ?ref survives
+    # doc 199, 398: article 0 as well (199 odd -> no params; 398 even -> ?ref)
+    assert "https://news.example.com/en/article/0?ref=home" in out
+    assert out["https://news.example.com/en/article/0?ref=home"] == (2, 0)  # docs 0, 398
+    assert out["https://news.example.com/en/article/0"] == (1, 199)
+    # doc 3: www stripped, odd -> bare canonical article 3
+    assert out["https://news.example.com/en/article/3"][1] == 3
+    # doc 5: fragment stripped, odd -> bare article 5
+    assert out["https://docs.example.com/en/article/5"][1] == 5
+    assert all("utm_" not in u and "#" not in u and "WWW" not in u for u in out)
+
+
+def test_perplexity_filter_flags_low_probability_docs(tables):
+    """Flagged docs must sit strictly below unflagged docs on avg_logprob
+    (threshold semantics), and flags must be a strict minority."""
+    rows = text.perplexity_filter(tables).collect()
+    flagged = [r.avg_logprob for r in rows if r.is_flagged]
+    clear = [r.avg_logprob for r in rows if not r.is_flagged]
+    assert flagged and clear
+    assert max(flagged) < min(clear)
+    assert len(flagged) < len(rows) / 2
+    for r in rows[:50]:
+        assert abs(r.ppl - round(__import__("math").exp(-r.avg_logprob), 2)) < 0.02
+
+
+def test_zipf_profile_shape(tables):
+    """The fixture corpus has a 31-word near-uniform vocabulary — the
+    profile must DETECT that (weak fit, shallow slope): that is the QA
+    signal the operator exists for."""
+    (row,) = text.zipf_profile(tables).collect()
+    assert row.n_ranks == 31 == row.n_vocab  # top-100 clamps to the vocab
+    assert -0.5 < row.slope < 0
+    assert row.r2 < 0.3  # near-uniform -> NOT Zipf, and the fit says so
+    assert row.n_tokens > row.n_vocab
+
+
+def test_zipf_profile_recovers_power_law(spark):
+    """On a crafted corpus where word k appears floor(2000/k) times the
+    fit must recover slope ~ -1 with a near-perfect r2."""
+    words = []
+    for k in range(1, 21):
+        words += [f"w{k:02d}"] * (2000 // k)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    (row,) = text.zipf_profile({"documents": docs}).collect()
+    assert row.n_ranks == 20
+    assert abs(row.slope + 1.0) < 0.02, row.slope
+    assert row.r2 > 0.999
