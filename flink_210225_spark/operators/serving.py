@@ -294,6 +294,12 @@ def basket_brand_pairs(tables: dict[str, DataFrame], limit: int = 20) -> DataFra
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
+        # ob feeds FIVE consumers (both self-join sides, brand totals
+        # twice, the n_ord scalar); without truncation each one rescans
+        # lineitem⋈part (measured 12 parquet scans). localCheckpoint
+        # materializes the distinct basket table once — it is
+        # orders×in-basket-brands sized, far smaller than the fact table.
+        .localCheckpoint(eager=True)
     )
     n_ord = ob.agg(F.countDistinct("ok").alias("n")).scalar()
     brand_ct = ob.groupBy("brand").agg(F.count("*").alias("bc"))

@@ -196,6 +196,36 @@ def funnel_windowed(
     return counts.selectExpr(f"stack({len(steps)}, {stack}) AS (stage, step, users)")
 
 
+def markov_transitions(tables: dict[str, DataFrame]) -> DataFrame:
+    """First-order Markov model of user behavior: for every (prev_type →
+    next_type) pair of consecutive events in a user's timeline, the
+    transition count and conditional probability. The behavioral fingerprint
+    dashboards build journey sankeys from — and drift in it is a cheap
+    bot/anomaly detector.
+
+    Plan: one lag() over the (user_id) sort (same single Exchange as the
+    sessionizer), then a groupBy on the 5×5-bounded pair space; the row
+    total rides a window over the GROUPED result (state-space-sized, not
+    corpus-sized). prob = floor(ct·10⁶/total + 0.5)/10⁶ — integer-ratio
+    division, bit-identical cross-engine."""
+    ev = tables["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("pair_ct"))
+    )
+    total = F.sum("pair_ct").over(Window.partitionBy("prev_type"))
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "pair_ct",
+        total.alias("from_total"),
+        (F.floor(F.col("pair_ct") * 1000000.0 / total + 0.5) / 1000000).alias("prob"),
+    )
+
+
 def retention_cohorts(tables: dict[str, DataFrame]) -> DataFrame:
     """Cohort retention: for each first-seen day (cohort) and day-offset k,
     the distinct users active k days after their first event. First-seen day
@@ -273,9 +303,29 @@ QUERIES = {
     "session_funnel_windowed": funnel_windowed,
     "session_retention": retention_cohorts,
     "session_attribution": last_touch_attribution,
+    "session_markov": markov_transitions,
 }
 
 ORACLES = {
+    "session_markov": """
+        WITH p AS (
+            SELECT lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type,
+                   event_type AS next_type
+            FROM events
+        ),
+        g AS (
+            SELECT prev_type, next_type, count(*)::BIGINT AS pair_ct
+            FROM p WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        )
+        SELECT prev_type, next_type, pair_ct,
+               sum(pair_ct) OVER (PARTITION BY prev_type)::BIGINT AS from_total,
+               floor(pair_ct * 1000000.0
+                     / sum(pair_ct) OVER (PARTITION BY prev_type) + 0.5)
+                   / 1000000 AS prob
+        FROM g
+    """,
     "session_funnel_windowed": """
         WITH e AS (
             SELECT user_id, event_id, event_type AS et, epoch_us(ts) AS us

@@ -565,6 +565,57 @@ def png_decode_documents(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def png_tile_features(tables: dict[str, DataFrame], tile: int = 8) -> DataFrame:
+    """The decode stage ``image_tile_plan`` fans out to, run FOR REAL: each
+    document's genuine PNG round-trips through the chunk-walk parser (the
+    encoder cycles scanline filters 0/1/2 by doc so all three filter paths
+    sit under the driver hash), then per ``tile``×``tile`` patch the exact
+    pixel sum and max are emitted — the patch-embedding prep of a ViT-style
+    image pipeline. The oracle replays the pixel formula per tile; a wrong
+    filter reconstruction, tile boundary, or edge-tile clamp breaks the
+    hash. One Arrow pass, zero shuffles."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 24 + 8).cast("int").alias("w"),
+        ((F.col("doc_id") * 3) % 16 + 8).cast("int").alias("h"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "asset_id", "tile_x", "tile_y", "tile_w", "tile_h",
+                    "px_sum", "px_max",
+                )
+            }
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                px = _parse_png(
+                    _png_bytes(doc_id, w, h, filter_type=doc_id % 3)
+                )["pixels"].astype(np.int64)[:, :, 0]
+                for ty in range(0, h, tile):
+                    for tx in range(0, w, tile):
+                        patch = px[ty : ty + tile, tx : tx + tile]
+                        out["asset_id"].append(doc_id)
+                        out["tile_x"].append(tx // tile)
+                        out["tile_y"].append(ty // tile)
+                        out["tile_w"].append(patch.shape[1])
+                        out["tile_h"].append(patch.shape[0])
+                        out["px_sum"].append(int(patch.sum()))
+                        out["px_max"].append(int(patch.max()))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, tile_x long, tile_y long, tile_w long, tile_h long, "
+        "px_sum long, px_max long",
+    )
+
+
 def assets_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media assets derived from the documents fixture:
     payload = UTF-8 bytes of the text, kind by doc_id mod 3, frame count from
@@ -697,6 +748,7 @@ QUERIES = {
     "multimodal_wav_segments": wav_segment_features,
     "multimodal_wav_dft_audit": wav_dft_audit,
     "multimodal_png_decode": png_decode_documents,
+    "multimodal_png_tiles": png_tile_features,
     "multimodal_frame_plan": frame_plan_documents,
     "multimodal_audio_segments": audio_segments_documents,
     "multimodal_tile_plan": tile_plan_documents,
@@ -845,6 +897,38 @@ ORACLES = {
                    i -> (doc_id * 7 + (i % w) * 3 + (i // w) * 11) % 256))::BIGINT
                    AS px_max
         FROM g
+    """,
+    "multimodal_png_tiles": """
+        WITH g AS (
+            SELECT doc_id,
+                   (doc_id % 24 + 8)::BIGINT AS w,
+                   ((doc_id * 3) % 16 + 8)::BIGINT AS h
+            FROM documents
+        ),
+        tx AS (
+            SELECT doc_id, w, h, unnest(range((w + 7) // 8)) AS tile_x FROM g
+        ),
+        t AS (
+            -- two unnests in ONE select would zip, not cross — chain them
+            SELECT doc_id, w, h, tile_x,
+                   unnest(range((h + 7) // 8)) AS tile_y
+            FROM tx
+        ),
+        b AS (
+            SELECT doc_id, tile_x, tile_y,
+                   least(w - tile_x * 8, 8) AS tw,
+                   least(h - tile_y * 8, 8) AS th
+            FROM t
+        )
+        SELECT doc_id AS asset_id, tile_x, tile_y,
+               tw AS tile_w, th AS tile_h,
+               list_sum(list_transform(range(tw * th),
+                   i -> (doc_id * 7 + (tile_x * 8 + i % tw) * 3
+                         + (tile_y * 8 + i // tw) * 11) % 256))::BIGINT AS px_sum,
+               list_max(list_transform(range(tw * th),
+                   i -> (doc_id * 7 + (tile_x * 8 + i % tw) * 3
+                         + (tile_y * 8 + i // tw) * 11) % 256))::BIGINT AS px_max
+        FROM b
     """,
     "multimodal_decode": """
         SELECT doc_id AS asset_id,

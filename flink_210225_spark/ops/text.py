@@ -1499,7 +1499,15 @@ def perplexity_filter(tables: dict[str, DataFrame]) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    dtf = pairs.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    dtf = (
+        pairs.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("tf"))
+        # dtf feeds the LM re-agg, the w1 totals, the doc-side join, AND
+        # (via the threshold scalar) a full replay — truncate lineage once
+        # so the tokenize+explode+agg runs a single time (measured 6 doc
+        # scans without it)
+        .localCheckpoint(eager=True)
+    )
     lm = dtf.groupBy("w1", "w2").agg(F.sum("tf").alias("pair_ct"))
     w1_tot = lm.groupBy("w1").agg(F.sum("pair_ct").alias("w1_ct"))
     lm_p = lm.join(w1_tot, "w1")

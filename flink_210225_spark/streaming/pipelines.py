@@ -954,6 +954,130 @@ def make_pattern_func(
     return f
 
 
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("depth", T.IntegerType()),
+    ]
+)
+# state: greedy latest-chain-starts (s0, s1) of the windowed-funnel DP, the
+# deepest stage already emitted, + the watermark buffer (parallel arrays)
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("s0", T.LongType()),
+        T.StructField("s1", T.LongType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("buf_ids", T.ArrayType(T.LongType())),
+        T.StructField("buf_types", T.ArrayType(T.StringType())),
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def make_funnel_func(
+    steps: tuple[str, ...] = ("view", "click", "purchase"), window_sec: int = 21600
+) -> Callable:
+    """Streaming twin of ``sessions.funnel_windowed``: the greedy
+    latest-start DP carried as keyed state, emitting (user_id, depth) each
+    time a user's reached funnel depth strictly increases. The DP state is
+    THREE scalars per user (two chain starts + emitted depth) — bounded
+    forever, no eviction needed: stale chain starts are self-guarding
+    because every extension re-checks ts − s_{j−1} ≤ window itself.
+
+    Cross-batch order is watermark-correct via the same buffering contract
+    as ``make_pattern_func``: events wait in keyed state until the
+    watermark passes them, then feed the fold sorted by (ts, event_id) —
+    bitwise the batch DP's strictly-earlier-rows semantics, which the
+    shared oracle hash then proves end-to-end."""
+    t_us = window_sec * 1_000_000
+
+    def f(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        if state.exists:
+            s0, s1, depth, bi, bt, bts = state.get
+            buf = list(zip(bi or [], bt or [], bts or []))
+        else:
+            s0, s1, depth, buf = None, None, 0, []
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs))
+            buf = buf + list(
+                zip(
+                    rows["event_id"],
+                    rows["event_type"],
+                    rows["ts"].astype("int64") // 1000,
+                )
+            )
+        ready = sorted((e for e in buf if e[2] <= wm_us), key=lambda e: (e[2], e[0]))
+        pending = [e for e in buf if e[2] > wm_us]
+        emitted = []
+        for _eid, et, ts in ready:
+            if et == steps[0]:
+                s0 = ts if s0 is None else max(s0, ts)
+                reached = 1
+            elif et == steps[1] and s0 is not None and ts - s0 <= t_us:
+                s1 = s0 if s1 is None else max(s1, s0)
+                reached = 2
+            elif et == steps[2] and s1 is not None and ts - s1 <= t_us:
+                reached = 3
+            else:
+                continue
+            if reached > depth:
+                depth = reached
+                emitted.append(depth)
+        if depth >= len(steps) and not pending:
+            # terminal: full depth reached and nothing buffered
+            if state.exists:
+                state.remove()
+        elif s0 is None and depth == 0 and not pending:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (
+                    None if s0 is None else int(s0),
+                    None if s1 is None else int(s1),
+                    int(depth),
+                    [int(e[0]) for e in pending],
+                    [str(e[1]) for e in pending],
+                    [int(e[2]) for e in pending],
+                )
+            )
+            if pending:
+                state.setTimeoutTimestamp(
+                    max(min(e[2] for e in pending) // 1000, wm_ms + 1)
+                )
+        if emitted:
+            yield pd.DataFrame(
+                {"user_id": [user_id] * len(emitted), "depth": emitted}
+            )
+
+    return f
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    window_sec: int = 21600,
+) -> DataFrame:
+    """Windowed-funnel progression over the live event stream."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", "10 seconds"
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        make_funnel_func(steps, window_sec),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def pattern_stream(
     events: DataFrame,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
@@ -1454,6 +1578,78 @@ def enrich_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def funnel_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
+    """Seventh driver-checkable END-TO-END streaming query — the windowed
+    FUNNEL as keyed streaming state: the events fixture replays
+    file-by-file through ``funnel_stream`` (watermark-ordered buffering +
+    the greedy latest-start DP per user, depth-increase rows appended).
+    Two far-future sentinels flush every user's buffer (first raises the
+    watermark, second fires the release timers against it). Read-back
+    folds max(depth) per user into the stage/step/users rollup, so the
+    stream shares ``session_funnel_windowed``'s batch oracle — state
+    carry-over, buffer release order, and the DP itself all sit under one
+    hash."""
+    ev = tables["events"]
+    spark = ev.sparkSession
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(*_local_paths(ev))
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+    ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
+    out = _scratch(prefix="funnel_stream_out_")
+    cp = _scratch(prefix="funnel_stream_cp_")
+    srcdir = _scratch(prefix="funnel_stream_src_")
+    _stage_fixture(ev, srcdir, "events")
+    for i, hours in enumerate((2, 4)):
+        if ts_is_long:
+            sent_ts = max_ts + hours * 3_600_000_000_000
+        else:
+            from datetime import timedelta
+
+            sent_ts = max_ts + timedelta(hours=hours)
+        sent = spark.createDataFrame(
+            [(-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}")],
+            raw.schema,
+        )
+        sdir = _scratch(prefix=f"funnel_stream_sentinel{i}_")
+        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        os.link(os.path.join(sdir, part), os.path.join(srcdir, f"sentinel_{i}.parquet"))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+    if ts_is_long:
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp")
+        )
+    with _stream_shuffle(spark):
+        q = (
+            funnel_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    per_user = (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(F.max("depth").alias("depth"))
+    )
+    steps = ("view", "click", "purchase")
+    counts = per_user.agg(
+        *[
+            F.count(F.when(F.col("depth") >= j + 1, 1)).alias(f"users_{j}")
+            for j in range(len(steps))
+        ]
+    )
+    stack = ", ".join(f"{j}, '{s}', users_{j}" for j, s in enumerate(steps))
+    return counts.selectExpr(f"stack({len(steps)}, {stack}) AS (stage, step, users)")
+
+
 def _visitor_stats_oracle() -> str:
     from flink_210225_spark.operators.windows import ORACLES as _WINDOW_ORACLES
 
@@ -1468,6 +1664,7 @@ QUERIES = {
     "stream_join_materialized": join_stream_materialized,
     "stream_stateful_materialized": stateful_stream_materialized,
     "stream_enrich_materialized": enrich_stream_materialized,
+    "stream_funnel_materialized": funnel_stream_materialized,
 }
 
 
@@ -1491,6 +1688,12 @@ def _curation_selected_oracle() -> str:
         + _TEXT_ORACLES["text_curation_pipeline"]
         + ") WHERE selected"
     )
+
+
+def _funnel_oracle() -> str:
+    from flink_210225_spark.operators.sessions import ORACLES as _S_ORACLES
+
+    return _S_ORACLES["session_funnel_windowed"]
 
 
 ORACLES = {
@@ -1524,4 +1727,5 @@ ORACLES = {
         LEFT JOIN customer ON o_custkey = c_custkey
         LEFT JOIN nation ON c_nationkey = n_nationkey
     """,
+    "stream_funnel_materialized": _funnel_oracle(),
 }

@@ -258,3 +258,14 @@ def test_funnel_windowed_matches_bruteforce_exists(tables):
     con.close()
     got = {r.stage: r.users for r in sessions.funnel_windowed(tables).collect()}
     assert (got[0], got[1], got[2]) == brute
+
+
+def test_markov_probs_sum_to_one(tables):
+    """Per-prev-type probabilities must sum to ~1 and counts to the total."""
+    rows = sessions.markov_transitions(tables).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, rs in by_prev.items():
+        assert abs(sum(r.prob for r in rs) - 1.0) < 1e-3, prev
+        assert sum(r.pair_ct for r in rs) == rs[0].from_total

@@ -851,3 +851,52 @@ def test_curation_filesink_chaos_kill_and_restart_exactly_once(spark, tables, tm
         .collect()
     }
     assert got == ref
+
+
+def test_funnel_stream_materialized_matches_batch(tables):
+    """Seventh streaming capstone: stream funnel == batch windowed funnel."""
+    from flink_210225_spark.operators import sessions
+
+    got = sorted(
+        map(tuple, sp.funnel_stream_materialized(tables).collect())
+    )
+    want = sorted(map(tuple, sessions.funnel_windowed(tables).collect()))
+    assert got == want
+
+
+def test_funnel_stream_cross_batch_disorder(spark, tmp_path):
+    """Watermark-ordered funnel: the click arrives one micro-batch AFTER
+    the purchase but earlier in EVENT time, so the true order is
+    view->click->purchase and depth 3 must be reached. An arrival-order
+    fold would see view,purchase|click and stop at depth 2."""
+    import pandas as pd
+
+    src = tmp_path / "fev"
+    src.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    b1 = pd.DataFrame(
+        [
+            [1, pd.Timestamp("2021-01-01 10:00:00"), 1, "view", 0.0, "{}"],
+            [2, pd.Timestamp("2021-01-01 10:00:08"), 1, "purchase", 0.0, "{}"],
+        ],
+        columns=cols,
+    )
+    b2 = pd.DataFrame(
+        [
+            [3, pd.Timestamp("2021-01-01 10:00:04"), 1, "click", 0.0, "{}"],
+            [4, pd.Timestamp("2021-01-01 11:00:30"), 2, "view", 0.0, "{}"],
+            [5, pd.Timestamp("2021-01-01 12:00:30"), 2, "view", 0.0, "{}"],
+        ],
+        columns=cols,
+    )
+    b1.to_parquet(src / "b1.parquet", coerce_timestamps="us")
+    b2.to_parquet(src / "b2.parquet", coerce_timestamps="us")
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    got = sp.run_stream_to_memory(sp.funnel_stream(stream), "funnel_ooo").collect()
+    depth = {}
+    for r in got:
+        depth[r.user_id] = max(depth.get(r.user_id, 0), r.depth)
+    assert depth[1] == 3
