@@ -73,71 +73,68 @@ def _registry():
 # (CORRECTNESS_r01 checked exactly the first 50 of 114). Rotation policy:
 # each round, the front of the registry holds the oracle-gated queries with
 # no green CORRECTNESS row from any prior round; already-verified and
-# rows-only queries sort behind them. Round 3 window = the 46 oracle-gated
-# queries with no green row in CORRECTNESS_r01/r02 (all six streaming
-# capstones, the four ANN/PQ/coreset/SemDeDup audit gates, the span/
-# containment/pagerank dedup family, the second-wave text ops, zorder,
-# asof/range/semi joins, EMA/MAD windows, FMM segmentation, the custom
-# Python DataSource) + 4 r1-green re-gates (one per §2 family) so every
-# query gets a periodic re-check.
+# rows-only queries sort behind them. Round 4 window = the 21 never-gated
+# queries (the 6 that queued past round 3's 50-slot gate + this round's 15
+# new operators: windowed funnel + streaming twin, RFM, basket lift,
+# Markov transitions, Matryoshka/binary-sketch/outlier/PCA similarity
+# family, perplexity filter, Zipf profile, URL dedup, WAV DFT audit, PNG
+# tiles, point-in-time feature snapshot) + 29 re-gates of r1-green queries
+# no round has rechecked since — led by the two SCD2 queries whose
+# synthesized-ts multiplier changed this round.
 _CHECK_WINDOW = [
-    "text_segment_fmm",
-    "source_pyds_replay",
-    "stream_curation_materialized",
-    "stream_dedup_materialized",
-    "stream_window_materialized",
-    "stream_join_materialized",
-    "stream_stateful_materialized",
-    "stream_enrich_materialized",
-    "colocate_zorder_keys",
-    "window_ema",
-    "window_anomaly_mad",
-    "join_semi_anti",
-    "join_range_bucketed",
-    "join_asof_forward",
-    "text_corpus_stats_approx",
-    "text_pack_bins",
-    "text_pack_bins_bfd",
-    "text_frequent_tokens",
-    "text_langid_trigram",
-    "text_nb_quality",
-    "text_dsir_weights",
-    "text_bloom_contamination",
-    "text_line_filter",
-    "text_cdc_chunks",
-    "text_corpus_manifest",
-    "text_turn_mask_plan",
-    "dedup_crossdoc_spans",
-    "dedup_paraphrase_mining",
-    "dedup_pagerank",
-    "dedup_contamination_spans",
-    "dedup_spans_excise",
-    "dedup_containment",
-    "dedup_incremental",
-    "text_ngram_novelty",
-    "dedup_cluster_summary",
-    "dedup_minhash_verified",
-    "dedup_minhash_banded",
-    "dedup_simhash_banded",
-    "sim_ann_recall_audit",
-    "sim_semantic_audit",
-    "sim_pq_audit",
-    "sim_coreset_audit",
-    "multimodal_caption_pairs",
-    "multimodal_shard_layout",
-    "sample_shuffle_shards",
-    "sample_reservoir_weighted",
-    "dedup_lsh_audit",
-    "multimodal_wav_decode",
-    "multimodal_png_decode",
-    "stream_topic_roundtrip",
-    # positions 51+: past the driver's 50-query gate this round, front of
-    # the queue next round (both already pytest- and local-oracle-gated)
+    # --- never driver-gated: queued from round 3 ---
     "join_salted",
     "multimodal_wav_segments",
     "stream_upsert_materialized",
     "sim_mips_topk",
     "sim_mips_audit",
+    "window_holt",
+    # --- never driver-gated: new in round 4 ---
+    "session_funnel_windowed",
+    "stream_funnel_materialized",
+    "serving_rfm",
+    "serving_basket_pairs",
+    "session_markov",
+    "sim_matryoshka_audit",
+    "sim_binary_hamming_topk",
+    "sim_outlier_zscore",
+    "sim_pca_audit",
+    "text_perplexity_filter",
+    "text_zipf_profile",
+    "dedup_url_canonical",
+    "multimodal_wav_dft_audit",
+    "multimodal_png_tiles",
+    "join_feature_snapshot",
+    # --- r1-green re-gates (oldest verification, code touched first) ---
+    "cdc_scd2_history",
+    "cdc_scd2_lookup",
+    "cdc_route_config",
+    "serving_gmv",
+    "serving_trademark_topn",
+    "serving_category_topn",
+    "serving_spu_topn",
+    "serving_province",
+    "serving_visitor",
+    "serving_hourly",
+    "serving_keyword_topn",
+    "serving_ship_latency",
+    "window_visitor_stats",
+    "window_product_stats",
+    "window_province_stats",
+    "window_keyword_stats",
+    "window_sliding_stats",
+    "window_rollup_stats",
+    "window_grouping_sets",
+    "window_cube_stats",
+    "join_interval_order_detail",
+    "join_interval_payment",
+    "join_interval_outer",
+    "join_payment_wide",
+    "join_order_wide",
+    "join_asof_events",
+    "state_new_visitor",
+    "state_uv_dedup",
+    "state_jump_detection",
 ]
 
 

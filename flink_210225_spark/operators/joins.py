@@ -256,6 +256,54 @@ def asof_join_events_forward(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def feature_point_in_time(tables: dict[str, DataFrame]) -> DataFrame:
+    """Point-in-time-correct feature snapshot — the feature-store join that
+    prevents label leakage in training data: for every ``purchase`` (the
+    label row), the user's behavioral features computed from events
+    STRICTLY BEFORE it (event count, view count, value sum, seconds since
+    the user's first prior event). Including the label instant or anything
+    after it would leak the future into training; the strictly-earlier
+    window frame IS the correctness contract.
+
+    Plan: one (user_id) sort shared by all four feature aggregates
+    (consecutive window functions over the same ordering reuse the
+    Exchange+Sort), label rows filter afterward — no join at all, the
+    union-timeline trick of the as-of family with cumulative aggregates
+    instead of LOCF. At 100 TB: one keyed shuffle of the event stream,
+    zero pair explosion."""
+    ev = tables["events"]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100  # noqa: E731
+    snap = (
+        ev.withColumn("n_events_before", F.count("*").over(w_prev))
+        .withColumn(
+            "n_views_before",
+            F.count(F.when(F.col("event_type") == "view", 1)).over(w_prev),
+        )
+        .withColumn(
+            "value_sum_before",
+            F.coalesce(r2(F.sum("value").over(w_prev)), F.lit(0.0)),
+        )
+        .withColumn("first_prior_ts", F.min("ts").over(w_prev))
+    )
+    sec_since_first = F.floor(
+        F.timestamp_diff("MICROSECOND", F.col("first_prior_ts"), F.col("ts"))
+        / 1_000_000
+    )
+    return snap.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_event_id"),
+        "user_id",
+        "n_events_before",
+        "n_views_before",
+        "value_sum_before",
+        sec_since_first.alias("sec_since_first"),
+    )
+
+
 def semi_anti_profile(tables: dict[str, DataFrame]) -> DataFrame:
     """Explicit LEFT SEMI / LEFT ANTI join surface: per nation, customers
     WITH at least one order (semi) and customers WITHOUT any (anti) — the
@@ -355,9 +403,31 @@ QUERIES = {
     "join_order_wide": order_wide,
     "join_asof_events": asof_join_events,
     "join_asof_forward": asof_join_events_forward,
+    "join_feature_snapshot": feature_point_in_time,
 }
 
 ORACLES = {
+    "join_feature_snapshot": """
+        WITH w AS (
+            SELECT event_id, user_id, event_type, ts,
+                   count(*) OVER wprev AS n_events_before,
+                   count(*) FILTER (event_type = 'view') OVER wprev
+                       AS n_views_before,
+                   coalesce(floor(sum(value) OVER wprev * 100 + 0.5) / 100, 0.0)
+                       AS value_sum_before,
+                   min(ts) OVER wprev AS first_prior_ts
+            FROM events
+            WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id AS label_event_id, user_id,
+               n_events_before::BIGINT AS n_events_before,
+               n_views_before::BIGINT AS n_views_before,
+               value_sum_before,
+               floor((epoch_us(ts) - epoch_us(first_prior_ts)) / 1000000.0)
+                   AS sec_since_first
+        FROM w WHERE event_type = 'purchase'
+    """,
     # Forward mirror of join_asof_events's oracle: dedupe equal-ts views to
     # MIN event_id, then DuckDB's native ASOF with p.ts <= vd.ts.
     "join_asof_forward": """

@@ -206,3 +206,31 @@ def test_asof_forward_inclusive_and_min_tie(spark):
     got = {r.event_id: r for r in asof_join_events_forward({"events": ev}).collect()}
     assert got[1].view_value == 2.0 and got[1].view_ts == t0
     assert got[4].view_ts is None and got[4].view_value is None
+
+
+def test_feature_snapshot_point_in_time_no_leakage(tables):
+    """Brute-force check on the small fixture: each purchase's features must
+    equal counts over that user's STRICTLY earlier events — any inclusion of
+    the label row or later events is leakage."""
+    ev = [(r.event_id, r.user_id, r.ts, r.event_type, r.value)
+          for r in tables["events"].collect()]
+    got = {r.label_event_id: r for r in
+           joins.feature_point_in_time(tables).collect()}
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e[1], []).append(e)
+    checked = 0
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda e: (e[2], e[0]))
+        for i, e in enumerate(rows):
+            if e[3] != "purchase":
+                continue
+            prior = rows[:i]
+            r = got[e[0]]
+            assert r.n_events_before == len(prior)
+            assert r.n_views_before == sum(1 for p in prior if p[3] == "view")
+            import math
+            want_sum = math.floor(sum(p[4] for p in prior) * 100 + 0.5) / 100 if prior else 0.0
+            assert abs(r.value_sum_before - want_sum) < 1e-6
+            checked += 1
+    assert checked > 100
