@@ -20,7 +20,7 @@ cannot flip the hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_210225_spark.functions.scalars import cond_sum, guarded_ratio, revenue, round2
@@ -328,6 +328,63 @@ def basket_brand_pairs(tables: dict[str, DataFrame], limit: int = 20) -> DataFra
     return out.orderBy(F.desc("pair_ct"), "brand_a", "brand_b").limit(limit)
 
 
+def pareto_abc(tables: dict[str, DataFrame]) -> DataFrame:
+    """ABC / Pareto classification of brands by revenue: cumulative revenue
+    share walks the brands best-first; class A covers the first 70% of
+    revenue, B to 95%, C the tail — the inventory-policy rollup every
+    merch dashboard ships. The cumulative window runs over the BRAND-level
+    aggregate (≤ tens of rows — p_brand is a bounded domain), so the
+    single-partition running sum is state-space-sized, never corpus-sized;
+    the fact side contributes one broadcast-dim join + one grouped agg.
+
+    Share boundaries compare 6dp-rounded cumulative fractions, identical
+    algebra both engines."""
+    li, part = tables["lineitem"], tables["part"]
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(round2(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount")))).alias("rev"))
+    )
+    total = rev.agg(F.sum("rev").alias("t")).scalar()
+    w = Window.orderBy(F.desc("rev"), F.asc("brand")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    cum = r6(F.sum("rev").over(w) / total)
+    ranked = rev.withColumn("cum_share", cum).withColumn(
+        "abc_class",
+        F.when(F.col("cum_share") <= 0.70, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C"),
+    )
+    return ranked.select("brand", "rev", "cum_share", "abc_class")
+
+
+def ttl_purge_plan(tables: dict[str, DataFrame], keep_years: int = 3) -> DataFrame:
+    """Retention-policy purge plan — the table-maintenance op a warehouse
+    runs before deletes: per order-year partition, how many rows and how
+    much revenue fall outside the keep window (cutoff = max order date
+    minus ``keep_years``), with the purge flag per partition. Plan-only
+    (no destructive write), the delete itself is `WHERE` + dynamic
+    partition overwrite / MERGE at the sink. One scan, year-keyed agg —
+    partition-pruning-shaped at scale."""
+    o = tables["orders"]
+    cutoff = o.agg(
+        F.date_format(
+            F.add_months(F.max("o_orderdate"), -12 * keep_years), "yyyy-MM-dd"
+        ).alias("c")
+    ).scalar()
+    return (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            round2(F.sum("o_totalprice")).alias("total_price"),
+            F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("latest"),
+        )
+        .withColumn("purge", F.col("latest") < cutoff)
+    )
+
+
 QUERIES = {
     "serving_gmv": gmv,
     "serving_trademark_topn": trademark_topn,
@@ -340,9 +397,47 @@ QUERIES = {
     "serving_ship_latency": ship_latency,
     "serving_rfm": rfm_segments,
     "serving_basket_pairs": basket_brand_pairs,
+    "serving_pareto_abc": pareto_abc,
+    "warehouse_ttl_purge": ttl_purge_plan,
 }
 
 ORACLES = {
+    "serving_pareto_abc": """
+        WITH rev AS (
+            SELECT p_brand AS brand,
+                   floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5)
+                       / 100 AS rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        ),
+        t AS (SELECT sum(rev) AS t FROM rev),
+        c AS (
+            SELECT brand, rev,
+                   floor(sum(rev) OVER (ORDER BY rev DESC, brand
+                                        ROWS UNBOUNDED PRECEDING)
+                         / (SELECT t FROM t) * 1000000 + 0.5) / 1000000
+                       AS cum_share
+            FROM rev
+        )
+        SELECT brand, rev, cum_share,
+               CASE WHEN cum_share <= 0.70 THEN 'A'
+                    WHEN cum_share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM c
+    """,
+    "warehouse_ttl_purge": """
+        WITH cutoff AS (
+            SELECT strftime(max(o_orderdate) - INTERVAL 36 MONTH, '%Y-%m-%d') AS c
+            FROM orders
+        )
+        SELECT year(o_orderdate) AS order_year,
+               count(*)::BIGINT AS n_rows,
+               floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total_price,
+               strftime(max(o_orderdate), '%Y-%m-%d') AS latest,
+               strftime(max(o_orderdate), '%Y-%m-%d') < (SELECT c FROM cutoff)
+                   AS purge
+        FROM orders GROUP BY year(o_orderdate)
+    """,
     "serving_rfm": """
         WITH ref AS (SELECT max(o_orderdate) AS d FROM orders),
         pc AS (

@@ -1651,6 +1651,27 @@ def url_canonical_dedup(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def inverted_index(tables: dict[str, DataFrame], head: int = 50) -> DataFrame:
+    """Inverted-index build — the IR structure behind every corpus search /
+    decontamination-lookup service: per token, document frequency,
+    collection frequency, and the head of the sorted posting list. One
+    (doc, token) partial agg collapses repeats map-side; the token-keyed
+    re-agg assembles postings. Posting heads are capped at ``head`` ids
+    (deterministic: lowest doc_ids) — full posting lists at 100 TB are
+    stored BLOCKED (token, block_no) exactly so no single reducer holds a
+    stopword's complete list; the cap models the first block."""
+    docs = tables["documents"].select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    return tf.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, head).alias("postings_head"),
+    )
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -1684,6 +1705,7 @@ QUERIES = {
     "text_corpus_manifest": corpus_manifest,
     "text_turn_mask_plan": turn_mask_plan,
     "text_perplexity_filter": perplexity_filter,
+    "text_inverted_index": inverted_index,
     "text_zipf_profile": zipf_profile,
     "dedup_url_canonical": url_canonical_dedup,
 }
@@ -2528,6 +2550,18 @@ ORACLES = {
         SELECT tok, ct,
                floor(ct * 1000000.0 / n.n + 0.5) / 1000000 AS frac
         FROM ct, n WHERE ct * 500 >= n.n
+    """,
+    "text_inverted_index": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+        ),
+        tf AS (
+            SELECT tok, doc_id, count(*)::BIGINT AS tf
+            FROM toks WHERE tok != '' GROUP BY tok, doc_id
+        )
+        SELECT tok, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+               (list(doc_id ORDER BY doc_id))[1:50] AS postings_head
+        FROM tf GROUP BY tok
     """,
     "text_perplexity_filter": f"""
         WITH base AS (
