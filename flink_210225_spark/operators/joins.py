@@ -256,6 +256,48 @@ def asof_join_events_forward(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def asof_join_tolerance(
+    tables: dict[str, DataFrame], tolerance_sec: int = 3600
+) -> DataFrame:
+    """As-of join with a STALENESS BOUND — the feature-store read contract
+    ("use the latest feature value, but never one older than an hour"):
+    each purchase takes the latest prior view ONLY if it falls within
+    ``tolerance_sec``; older matches are rejected to NULL exactly like a
+    missing one, and ``is_stale`` says which of the two happened. Same
+    zero-pair-explosion union+LOCF shape as ``asof_join_events``; the
+    tolerance is a post-carry projection, so the plan is identical."""
+    ev = tables["events"]
+    view = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id", F.lit(0).alias("side")
+    )
+    purchase = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id", F.lit(1).alias("side")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = purchase.unionByName(view).withColumn(
+        "asof",
+        F.last(
+            F.when(F.col("side") == 0, F.struct("ts", "value")), ignorenulls=True
+        ).over(w),
+    )
+    gap_sec = F.floor(
+        F.timestamp_diff("MICROSECOND", F.col("asof.ts"), F.col("ts")) / 1_000_000
+    )
+    fresh = F.col("asof").isNotNull() & (gap_sec <= tolerance_sec)
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("asof.ts")).alias("view_ts"),
+        F.when(fresh, F.col("asof.value")).alias("view_value"),
+        (F.col("asof").isNotNull() & ~fresh).alias("is_stale"),
+    )
+
+
 def feature_point_in_time(tables: dict[str, DataFrame]) -> DataFrame:
     """Point-in-time-correct feature snapshot — the feature-store join that
     prevents label leakage in training data: for every ``purchase`` (the
@@ -404,6 +446,7 @@ QUERIES = {
     "join_asof_events": asof_join_events,
     "join_asof_forward": asof_join_events_forward,
     "join_feature_snapshot": feature_point_in_time,
+    "join_asof_tolerance": asof_join_tolerance,
 }
 
 ORACLES = {
@@ -511,6 +554,29 @@ ORACLES = {
     # view side deduped per (user_id, ts) to max event_id — ASOF is otherwise
     # free to pick any tied row) checks our union+LOCF window against a
     # different algorithm entirely.
+    "join_asof_tolerance": """
+        WITH v AS (
+            SELECT user_id, ts, value, event_id,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view'
+        ),
+        vd AS (SELECT user_id, ts, value FROM v WHERE rn = 1),
+        p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        m AS (
+            SELECT p.event_id, p.user_id, p.ts,
+                   vd.ts AS m_ts, vd.value AS m_value,
+                   floor((epoch_us(p.ts) - epoch_us(vd.ts)) / 1000000.0) AS gap_sec
+            FROM p ASOF LEFT JOIN vd ON p.user_id = vd.user_id AND p.ts >= vd.ts
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN m_ts IS NOT NULL AND gap_sec <= 3600 THEN m_ts END
+                   AS view_ts,
+               CASE WHEN m_ts IS NOT NULL AND gap_sec <= 3600 THEN m_value END
+                   AS view_value,
+               (m_ts IS NOT NULL AND gap_sec > 3600) AS is_stale
+        FROM m
+    """,
     "join_asof_events": """
         WITH v AS (
             SELECT user_id, ts, value, event_id,

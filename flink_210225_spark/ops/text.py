@@ -1672,6 +1672,44 @@ def inverted_index(tables: dict[str, DataFrame], head: int = 50) -> DataFrame:
     )
 
 
+def bpe_pair_counts(tables: dict[str, DataFrame], top: int = 30) -> DataFrame:
+    """The inner loop of BPE tokenizer training at corpus scale: count
+    adjacent CHARACTER pairs inside whitespace words (Sennrich et al. 2016
+    — word-internal pairs only, the classic formulation) and surface the
+    merge candidates. Each training round picks the top pair, merges it,
+    and recounts; this op is that round's distributed count — the part
+    that must scale, while the merge table itself stays driver-sized
+    (vocab_size rounds × one argmax each).
+
+    Emits the ``top`` pairs by count with a deterministic rank (count
+    desc, pair asc) — rank 1 IS the next BPE merge. Plan: split+explode
+    JVM-side, pair generation per word via indexed transform, one
+    map-side-combined groupBy; shuffle carries (pair, partial count),
+    vocab²-bounded."""
+    docs = tables["documents"].select("text")
+    words = docs.select(
+        F.explode(tokens_col(F.col("text"))).alias("w")
+    ).where(F.length("w") >= 2)
+    chars = F.split(F.col("w"), "")
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.length("w") - 2),
+                lambda i: F.concat(
+                    F.get(chars, i), F.lit("+"), F.get(chars, i + 1)
+                ),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("ct"))
+    w = Window.orderBy(F.desc("ct"), F.asc("pair"))
+    return (
+        counted.orderBy(F.desc("ct"), F.asc("pair"))
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -1706,6 +1744,7 @@ QUERIES = {
     "text_turn_mask_plan": turn_mask_plan,
     "text_perplexity_filter": perplexity_filter,
     "text_inverted_index": inverted_index,
+    "text_bpe_pair_counts": bpe_pair_counts,
     "text_zipf_profile": zipf_profile,
     "dedup_url_canonical": url_canonical_dedup,
 }
@@ -2550,6 +2589,20 @@ ORACLES = {
         SELECT tok, ct,
                floor(ct * 1000000.0 / n.n + 0.5) / 1000000 AS frac
         FROM ct, n WHERE ct * 500 >= n.n
+    """,
+    "text_bpe_pair_counts": f"""
+        WITH words AS (
+            SELECT unnest({_DUCK_TOKS}) AS w FROM documents
+        ),
+        pairs AS (
+            SELECT w[i + 1] || '+' || w[i + 2] AS pair
+            FROM (SELECT w, unnest(range(len(w) - 1)) AS i
+                  FROM words WHERE len(w) >= 2)
+        ),
+        c AS (SELECT pair, count(*)::BIGINT AS ct FROM pairs GROUP BY pair)
+        SELECT pair, ct,
+               row_number() OVER (ORDER BY ct DESC, pair)::INT AS rank
+        FROM c ORDER BY ct DESC, pair LIMIT 30
     """,
     "text_inverted_index": f"""
         WITH toks AS (

@@ -234,3 +234,28 @@ def test_feature_snapshot_point_in_time_no_leakage(tables):
             assert abs(r.value_sum_before - want_sum) < 1e-6
             checked += 1
     assert checked > 100
+
+
+def test_asof_tolerance_rejects_stale_matches(spark):
+    """A prior view older than the tolerance must NULL out exactly like a
+    missing one, and is_stale distinguishes the two cases."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        (1, 1, t(0), "view", 1.0),       # fresh for purchase@100
+        (2, 1, t(100), "purchase", 0.0),
+        (3, 2, t(0), "view", 2.0),       # STALE for purchase@5000 (tol 3600? no - use small tol)
+        (4, 2, t(5000), "purchase", 0.0),
+        (5, 3, t(50), "purchase", 0.0),  # no view at all
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, ts, et, v, "{}") for i, u, ts, et, v in rows],
+        "event_id long, user_id long, ts timestamp_ntz, event_type string, "
+        "value double, props string",
+    )
+    got = {r.event_id: r for r in
+           joins.asof_join_tolerance({"events": ev}, tolerance_sec=1000).collect()}
+    assert got[2].view_value == 1.0 and not got[2].is_stale
+    assert got[4].view_value is None and got[4].is_stale
+    assert got[5].view_value is None and not got[5].is_stale

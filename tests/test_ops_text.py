@@ -697,3 +697,13 @@ def test_zipf_profile_recovers_power_law(spark):
     assert row.n_ranks == 20
     assert abs(row.slope + 1.0) < 0.02, row.slope
     assert row.r2 > 0.999
+
+
+def test_bpe_pair_counts_hand_corpus(spark):
+    """On 'aaab aab' the dominant word-internal pair is a+a (3 occurrences:
+    2 in aaab, 1 in aab); rank 1 is the BPE merge."""
+    docs = spark.createDataFrame([(0, "aaab aab")], "doc_id long, text string")
+    rows = text.bpe_pair_counts({"documents": docs}).collect()
+    by_pair = {r.pair: (r.ct, r.rank) for r in rows}
+    assert by_pair["a+a"] == (3, 1)
+    assert by_pair["a+b"][0] == 2

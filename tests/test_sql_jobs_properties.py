@@ -559,3 +559,57 @@ def test_pattern_kernel_matches_recursive_model(seq, gaps, within):
         return out
 
     assert got == model(rows)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),   # ts seconds
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    window=st.integers(min_value=1, max_value=400),
+)
+@settings(max_examples=25, deadline=None)
+def test_funnel_windowed_matches_bruteforce_model(spark_global, events, window):
+    """Property: the greedy latest-start DP equals the O(n^3) existence
+    definition — exists e1 < e2 < e3 (by (ts, event_id)) of the step types
+    with e3.ts - e1.ts <= window — on arbitrary event soups."""
+    from datetime import datetime, timezone
+
+    from flink_210225_spark.operators.sessions import funnel_windowed
+
+    rows = [
+        (i, 9, datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None),
+         et, 0.0, "{}")
+        for i, (t, et) in enumerate(events)
+    ]
+    ev = spark_global.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp_ntz, event_type string, "
+        "value double, props string",
+    )
+    got = {r.stage: r.users for r in
+           funnel_windowed({"events": ev}, window_sec=window).collect()}
+
+    # brute-force model over (ts, event_id)-ordered tuples
+    evs = sorted(
+        [(t, i, et) for i, (t, et) in enumerate(events)], key=lambda e: (e[0], e[1])
+    )
+    steps = ("view", "click", "purchase")
+    depth = 0
+    n = len(evs)
+    for a in range(n):
+        if evs[a][2] == steps[0]:
+            depth = max(depth, 1)
+            for b in range(a + 1, n):
+                if evs[b][2] == steps[1] and evs[b][0] - evs[a][0] <= window:
+                    depth = max(depth, 2)
+                    for c in range(b + 1, n):
+                        if (evs[c][2] == steps[2]
+                                and evs[c][0] - evs[a][0] <= window):
+                            depth = max(depth, 3)
+    want = {k: (1 if depth >= k + 1 else 0) for k in range(3)}
+    assert got == want, (events, window, depth)
