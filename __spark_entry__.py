@@ -105,6 +105,11 @@ _CHECK_WINDOW = [
     "multimodal_wav_dft_audit",
     "multimodal_png_tiles",
     "join_feature_snapshot",
+    "join_asof_tolerance",
+    "serving_pareto_abc",
+    "warehouse_ttl_purge",
+    "text_inverted_index",
+    "text_bpe_pair_counts",
     # --- r1-green re-gates (oldest verification, code touched first) ---
     "cdc_scd2_history",
     "cdc_scd2_lookup",
@@ -122,13 +127,8 @@ _CHECK_WINDOW = [
     "window_product_stats",
     "window_province_stats",
     "window_keyword_stats",
-    "window_sliding_stats",
-    "window_rollup_stats",
-    "window_grouping_sets",
-    "window_cube_stats",
     "join_interval_order_detail",
     "join_interval_payment",
-    "join_interval_outer",
     "join_payment_wide",
     "join_order_wide",
     "join_asof_events",

@@ -1780,6 +1780,77 @@ def pca_audit(tables: dict[str, DataFrame], k: int = 8) -> DataFrame:
     )
 
 
+def contrastive_pairs(
+    tables: dict[str, DataFrame],
+    num_anchors: int = 20,
+    hard_k: int = 3,
+) -> DataFrame:
+    """Contrastive-training pair mining over the embedding corpus: for each
+    anchor vector, its hardest in-batch negatives — the HIGHEST-cosine
+    vectors with a DIFFERENT label (the pairs that actually move a
+    contrastive loss; random negatives are trivially separated) — plus the
+    anchor's positive-class cohesion stats. The standard mining pass in
+    front of embedding-model fine-tuning (SimCLR/InfoNCE hard-negative
+    literature).
+
+    Deterministic end-to-end (exact cosine, 6dp tie-broken ranking), so
+    the driver hash-gates it. Plan: the bounded anchor set broadcasts
+    against one corpus scan (the cosine_topk shape); positives aggregate
+    per anchor from the same scored frame — one window, one agg, no extra
+    scans."""
+    emb = tables["embeddings"]
+    v = _as_double(F.col("embedding"))
+    base = emb.select("vec_id", "label", v.alias("v"), _norm(v).alias("nrm"))
+    q = base.filter(F.col("vec_id") < num_anchors).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    n = base.select(
+        F.col("vec_id").alias("other_id"),
+        F.col("label").alias("other_label"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
+    )
+    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("anchor_id") != F.col("other_id"))
+        .withColumn("cosine", F.floor(cos * 1000000 + 0.5) / 1000000)
+        # localCheckpoint: the scored frame feeds BOTH the negative window
+        # and the positive aggregate; without truncation each consumer
+        # rescans the corpus join
+        .localCheckpoint(eager=True)
+    )
+    neg = scored.filter(F.col("other_label") != F.col("anchor_label"))
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("other_id"))
+    hard = (
+        neg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= hard_k)
+        .select(
+            "anchor_id", "anchor_label",
+            F.col("other_id").alias("negative_id"),
+            F.col("other_label").alias("negative_label"),
+            F.col("cosine").alias("neg_cosine"),
+            F.col("rn").alias("rank"),
+        )
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    pos = (
+        scored.filter(F.col("other_label") == F.col("anchor_label"))
+        .groupBy("anchor_id")
+        .agg(
+            F.count("*").alias("n_pos"),
+            r6(F.avg("cosine")).alias("pos_cohesion"),
+        )
+    )
+    return hard.join(pos, "anchor_id").select(
+        "anchor_id", "anchor_label", "negative_id", "negative_label",
+        "neg_cosine", "rank", "n_pos", "pos_cohesion",
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
     "sim_mips_topk": mips_topk,
@@ -1821,6 +1892,7 @@ QUERIES = {
     "sim_binary_hamming_topk": binary_hamming_topk,
     "sim_outlier_zscore": outlier_zscore,
     "sim_pca_audit": pca_audit,
+    "sim_contrastive_pairs": contrastive_pairs,
 }
 
 _COS = """
@@ -2158,6 +2230,43 @@ ORACLES = {
                      ELSE floor((dist - m) / s * 10000 + 0.5) / 10000 END) > 2.5
                    AS is_outlier
         FROM d JOIN mom ON d.label = mom.label
+    """,
+    "sim_contrastive_pairs": """
+        WITH base AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> x::DOUBLE) AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> x::DOUBLE * x::DOUBLE))) AS nrm
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+                   n.vec_id AS other_id, n.label AS other_label,
+                   floor(list_sum(list_transform(range(64),
+                             i -> q.v[i + 1] * n.v[i + 1]))
+                         / (q.nrm * n.nrm) * 1000000 + 0.5) / 1000000 AS cosine
+            FROM base q JOIN base n
+                ON q.vec_id < 20 AND q.vec_id != n.vec_id
+        ),
+        hard AS (
+            SELECT anchor_id, anchor_label, other_id AS negative_id,
+                   other_label AS negative_label, cosine AS neg_cosine, rn AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY anchor_id
+                           ORDER BY cosine DESC, other_id) AS rn
+                FROM scored WHERE other_label != anchor_label
+            ) WHERE rn <= 3
+        ),
+        pos AS (
+            SELECT anchor_id, count(*)::BIGINT AS n_pos,
+                   floor(avg(cosine) * 1000000 + 0.5) / 1000000 AS pos_cohesion
+            FROM scored WHERE other_label = anchor_label
+            GROUP BY anchor_id
+        )
+        SELECT hard.anchor_id, anchor_label, negative_id, negative_label,
+               neg_cosine, rank, n_pos, pos_cohesion
+        FROM hard JOIN pos ON hard.anchor_id = pos.anchor_id
     """,
     # n_vectors and total_var (= Σ per-dim population variance = covariance
     # trace) recomputed independently; the eigendecomposition contract

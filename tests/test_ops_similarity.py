@@ -573,3 +573,23 @@ def test_pca_audit_oracle_and_lowrank(spark, tables):
     assert row.n_vectors == 60
     # rank-2 data, k=2 projection: total variance captured, tail ~ 0
     assert row.total_var > 0
+
+
+def test_contrastive_pairs_semantics(tables):
+    """Hard negatives must be cross-label by construction and ranked by
+    cosine; positives counted within-label."""
+    from .conftest import SF_DIR
+    from .oracle import assert_matches_oracle
+
+    df = similarity.contrastive_pairs(tables)
+    assert_matches_oracle(df, similarity.ORACLES["sim_contrastive_pairs"], SF_DIR)
+    rows = df.collect()
+    assert all(r.negative_label != r.anchor_label for r in rows)
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for a, rs in by_anchor.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3]
+        assert all(x.neg_cosine >= y.neg_cosine for x, y in zip(rs, rs[1:]))
+        assert rs[0].n_pos > 0

@@ -145,6 +145,9 @@ CARTESIAN_OK = {
     # xor+bit_count ops per row (the point of the binary sketch), exact
     # cosine only on the 32-deep shortlist
     "sim_binary_hamming_topk",
+    # same bounded 20-anchor broadcast BNLJ (hard-negative mining needs the
+    # exact cosine against the whole corpus per anchor)
+    "sim_contrastive_pairs",
     # composes the blocked GEMM below as its exact side — same block grid
     "sim_semantic_audit",
     "dedup_embedding_cosine",
