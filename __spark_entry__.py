@@ -110,6 +110,8 @@ _CHECK_WINDOW = [
     "warehouse_ttl_purge",
     "text_inverted_index",
     "text_bpe_pair_counts",
+    "sim_contrastive_pairs",
+    "text_quality_rrf",
     # --- r1-green re-gates (oldest verification, code touched first) ---
     "cdc_scd2_history",
     "cdc_scd2_lookup",
@@ -133,8 +135,6 @@ _CHECK_WINDOW = [
     "join_order_wide",
     "join_asof_events",
     "state_new_visitor",
-    "state_uv_dedup",
-    "state_jump_detection",
 ]
 
 

@@ -350,9 +350,9 @@ def _wav_bytes(doc_id: int, n: int) -> bytes:
 def _png_bytes(doc_id: int, w: int, h: int, filter_type: int = 0) -> bytes:
     """A REAL PNG file (signature, IHDR/IDAT/IEND chunks with CRCs, zlib
     stream): 8-bit greyscale, pixel (x, y) = (doc_id·7 + 3x + 11y) mod 256.
-    ``filter_type`` picks the scanline filter the encoder applies (0/1/2
-    supported here; the decoder reconstructs all five) so tests can
-    exercise the filter paths with byte-identical pixel output."""
+    ``filter_type`` picks the scanline filter the encoder applies (all five
+    — None/Sub/Up/Average/Paeth) so tests and the driver gate can exercise
+    every decoder filter path with byte-identical pixel output."""
     import struct
     import zlib
 
@@ -365,14 +365,25 @@ def _png_bytes(doc_id: int, w: int, h: int, filter_type: int = 0) -> bytes:
     prev = np.zeros(w, dtype=np.int64)
     for r in range(h):
         line = px[r].astype(np.int64)
+        left = np.concatenate(([0], line[:-1]))
+        ul = np.concatenate(([0], prev[:-1]))
         if filter_type == 0:
             enc = line
         elif filter_type == 1:  # Sub
-            enc = (line - np.concatenate(([0], line[:-1]))) & 0xFF
+            enc = (line - left) & 0xFF
         elif filter_type == 2:  # Up
             enc = (line - prev) & 0xFF
+        elif filter_type == 3:  # Average
+            enc = (line - (left + prev) // 2) & 0xFF
+        elif filter_type == 4:  # Paeth
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = (line - pred) & 0xFF
         else:
-            raise ValueError("encoder supports filters 0-2")
+            raise ValueError("bad PNG filter")
         rows.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
         prev = line
     raw = b"".join(rows)
@@ -568,7 +579,7 @@ def png_decode_documents(tables: dict[str, DataFrame]) -> DataFrame:
 def png_tile_features(tables: dict[str, DataFrame], tile: int = 8) -> DataFrame:
     """The decode stage ``image_tile_plan`` fans out to, run FOR REAL: each
     document's genuine PNG round-trips through the chunk-walk parser (the
-    encoder cycles scanline filters 0/1/2 by doc so all three filter paths
+    encoder cycles ALL FIVE scanline filters by doc so every filter path
     sit under the driver hash), then per ``tile``×``tile`` patch the exact
     pixel sum and max are emitted — the patch-embedding prep of a ViT-style
     image pipeline. The oracle replays the pixel formula per tile; a wrong
@@ -595,7 +606,7 @@ def png_tile_features(tables: dict[str, DataFrame], tile: int = 8) -> DataFrame:
             for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
                 doc_id, w, h = int(doc_id), int(w), int(h)
                 px = _parse_png(
-                    _png_bytes(doc_id, w, h, filter_type=doc_id % 3)
+                    _png_bytes(doc_id, w, h, filter_type=doc_id % 5)
                 )["pixels"].astype(np.int64)[:, :, 0]
                 for ty in range(0, h, tile):
                     for tx in range(0, w, tile):

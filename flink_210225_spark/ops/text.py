@@ -1710,6 +1710,45 @@ def bpe_pair_counts(tables: dict[str, DataFrame], top: int = 30) -> DataFrame:
     )
 
 
+def quality_rrf(tables: dict[str, DataFrame], k: int = 60) -> DataFrame:
+    """Curation-ensemble capstone: reciprocal-rank fusion of THREE
+    independent quality signals — the heuristic quality score, the DSIR
+    importance weight, and the bigram-LM fluency (avg log-prob) — into one
+    per-language ranking, the ensemble form production pipelines actually
+    ship (single-signal filters each have known blind spots; RRF is the
+    standard rank-level combiner, Cormack et al. 2009).
+
+    rrf(d) = Σ_s 1/(k + rank_s(d)) with ranks PER LANGUAGE (curation
+    decisions are per-language; it also keeps each rank window partitioned
+    — no global single-partition sort). Every component is an
+    already-oracle-verified operator; the fusion adds three rank windows
+    over the joined score table and one arithmetic projection, all
+    deterministic (6dp, doc_id tie-breaks), so the capstone hash-gates the
+    whole ensemble end-to-end."""
+    docs = tables["documents"].select("doc_id", "lang")
+    q = quality_score(tables)
+    d = dsir_weights(tables).select("doc_id", "logw")
+    p = perplexity_filter(tables).select("doc_id", "avg_logprob")
+    joined = docs.join(q, "doc_id").join(d, "doc_id").join(p, "doc_id")
+    wq = Window.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
+    wd = Window.partitionBy("lang").orderBy(F.desc("logw"), F.asc("doc_id"))
+    wp = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    ranked = (
+        joined.withColumn("rank_q", F.row_number().over(wq))
+        .withColumn("rank_d", F.row_number().over(wd))
+        .withColumn("rank_p", F.row_number().over(wp))
+    )
+    rrf = (
+        1.0 / (F.lit(k) + F.col("rank_q"))
+        + 1.0 / (F.lit(k) + F.col("rank_d"))
+        + 1.0 / (F.lit(k) + F.col("rank_p"))
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return ranked.select(
+        "doc_id", "lang", "rank_q", "rank_d", "rank_p", r6(rrf).alias("rrf")
+    )
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -1745,6 +1784,7 @@ QUERIES = {
     "text_perplexity_filter": perplexity_filter,
     "text_inverted_index": inverted_index,
     "text_bpe_pair_counts": bpe_pair_counts,
+    "text_quality_rrf": quality_rrf,
     "text_zipf_profile": zipf_profile,
     "dedup_url_canonical": url_canonical_dedup,
 }
@@ -2589,6 +2629,97 @@ ORACLES = {
         SELECT tok, ct,
                floor(ct * 1000000.0 / n.n + 0.5) / 1000000 AS frac
         FROM ct, n WHERE ct * 500 >= n.n
+    """,
+    # Composed from the three verified component oracles (quality, DSIR,
+    # bigram-LM fluency), CTE-renamed, plus the per-language rank fusion.
+    "text_quality_rrf": f"""
+        WITH qt AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        qm AS (
+            SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS uniq,
+                   len(list_filter(toks, t -> t IN ('the','a'))) AS stop_ct
+            FROM qt
+        ),
+        qs AS (
+            SELECT doc_id,
+                   floor((0.4 * least(n / 100.0, 1.0)
+                          + 0.3 * (uniq * 1.0 / n)
+                          + 0.3 * (1.0 - abs(stop_ct * 1.0 / n - 0.1)))
+                         * 10000 + 0.5) / 10000 AS quality
+            FROM qm
+        ),
+        dfeat AS (
+            SELECT doc_id, is_target,
+                   (('0x' || substr(md5(tok), 1, 15))::UBIGINT % 1024)::BIGINT
+                       AS bucket
+            FROM (
+                SELECT doc_id, source = 'src0' AS is_target,
+                       unnest({_DUCK_TOKS}) AS tok
+                FROM documents
+            )
+            WHERE tok <> ''
+        ),
+        dtf_ AS (
+            SELECT doc_id, is_target, bucket, count(*)::BIGINT AS tf
+            FROM dfeat GROUP BY 1, 2, 3
+        ),
+        dmodel AS (
+            SELECT bucket,
+                   sum(CASE WHEN is_target THEN tf ELSE 0 END)::BIGINT AS ct_t,
+                   sum(CASE WHEN NOT is_target THEN tf ELSE 0 END)::BIGINT AS ct_r
+            FROM dtf_ GROUP BY 1
+        ),
+        dtot AS (SELECT sum(ct_t)::BIGINT AS tt, sum(ct_r)::BIGINT AS tr FROM dmodel),
+        ds AS (
+            SELECT t.doc_id,
+                   floor((sum(t.tf * (ln(m.ct_t + 1) - ln(m.ct_r + 1)))
+                          + sum(t.tf)
+                            * (SELECT ln((tr + 1024) / (tt + 1024)) FROM dtot))
+                         * 10000 + 0.5) / 10000 AS logw
+            FROM dtf_ t JOIN dmodel m USING (bucket)
+            GROUP BY 1
+        ),
+        pbase AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+            WHERE len({_DUCK_TOKS}) >= 2
+        ),
+        ppairs AS (
+            SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+            FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+                  FROM pbase)
+        ),
+        pdtf AS (
+            SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
+            FROM ppairs GROUP BY doc_id, w1, w2
+        ),
+        plm AS (SELECT w1, w2, sum(tf)::BIGINT AS pair_ct FROM pdtf GROUP BY w1, w2),
+        pw1t AS (SELECT w1, sum(pair_ct)::BIGINT AS w1_ct FROM plm GROUP BY w1),
+        ps AS (
+            SELECT doc_id,
+                   floor(sum(tf * ln(pair_ct / w1_ct::DOUBLE)) / sum(tf)
+                         * 10000 + 0.5) / 10000 AS avg_logprob
+            FROM pdtf JOIN plm USING (w1, w2) JOIN pw1t USING (w1)
+            GROUP BY doc_id
+        ),
+        joined AS (
+            SELECT d.doc_id, d.lang, qs.quality, ds.logw, ps.avg_logprob
+            FROM documents d
+            JOIN qs USING (doc_id) JOIN ds USING (doc_id) JOIN ps USING (doc_id)
+        ),
+        ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY quality DESC, doc_id) AS rank_q,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY logw DESC, doc_id) AS rank_d,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY avg_logprob DESC, doc_id) AS rank_p
+            FROM joined
+        )
+        SELECT doc_id, lang, rank_q::INT AS rank_q, rank_d::INT AS rank_d,
+               rank_p::INT AS rank_p,
+               floor((1.0 / (60 + rank_q) + 1.0 / (60 + rank_d)
+                      + 1.0 / (60 + rank_p)) * 1000000 + 0.5) / 1000000 AS rrf
+        FROM ranked
     """,
     "text_bpe_pair_counts": f"""
         WITH words AS (

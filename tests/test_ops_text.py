@@ -707,3 +707,20 @@ def test_bpe_pair_counts_hand_corpus(spark):
     by_pair = {r.pair: (r.ct, r.rank) for r in rows}
     assert by_pair["a+a"] == (3, 1)
     assert by_pair["a+b"][0] == 2
+
+
+def test_quality_rrf_consistency(tables):
+    """Ranks must be permutations per language and rrf must decode back to
+    exactly the three rank reciprocals."""
+    rows = text.quality_rrf(tables).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        for col in ("rank_q", "rank_d", "rank_p"):
+            assert sorted(getattr(r, col) for r in rs) == list(range(1, n + 1)), (lang, col)
+    import math
+    for r in rows[:100]:
+        want = sum(1.0 / (60 + k) for k in (r.rank_q, r.rank_d, r.rank_p))
+        assert abs(r.rrf - math.floor(want * 1e6 + 0.5) / 1e6) < 1e-12
