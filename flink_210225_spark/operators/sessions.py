@@ -296,8 +296,54 @@ def last_touch_attribution(
     )
 
 
+def path_trigrams_topk(tables: dict[str, DataFrame], top: int = 20) -> DataFrame:
+    """Top-k three-step navigation paths — the order-2 sequence member of
+    the journey family (``session_markov`` is order-1: it can say
+    view→click is common, but not whether view→click→purchase beats
+    view→click→view; path mining needs the actual k-step sequences).
+    Every run of three consecutive events in a user's timeline contributes
+    one path; the top ``top`` paths by count are the sankey/funnel-design
+    input.
+
+    Plan: two lead() columns over the same (user_id) sort the sessionizer
+    uses — ONE Exchange, one Window stage (both leads share the frame),
+    then a groupBy on the ≤|types|³-bounded path space and a
+    TakeOrderedAndProject for the cut (no global sort). share =
+    floor(ct·10⁶/total + 0.5)/10⁶ — integer-ratio division, bit-identical
+    cross-engine; ordering fully tie-broken on the three steps."""
+    ev = tables["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("path_ct"))
+    )
+    total = tri.agg(F.sum("path_ct").alias("n")).scalar()
+    rank_w = Window.orderBy(F.desc("path_ct"), "e1", "e2", "e3")
+    return (
+        tri.orderBy(F.desc("path_ct"), "e1", "e2", "e3")
+        .limit(top)
+        .select(
+            "e1",
+            "e2",
+            "e3",
+            "path_ct",
+            (F.floor(F.col("path_ct") * 1000000.0 / total + 0.5) / 1000000).alias(
+                "share"
+            ),
+            F.row_number().over(rank_w).alias("rank"),
+        )
+    )
+
+
 QUERIES = {
     "session_gaps_islands": sessionize,
+    "session_path_topk": path_trigrams_topk,
     "session_window_native": lambda tables: session_window_agg(tables["events"]),
     "session_funnel": funnel_conversion,
     "session_funnel_windowed": funnel_windowed,
@@ -307,6 +353,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "session_path_topk": """
+        WITH t AS (
+            SELECT event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        g AS (
+            SELECT e1, e2, e3, count(*)::BIGINT AS path_ct
+            FROM t WHERE e3 IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        tot AS (SELECT sum(path_ct)::BIGINT AS n FROM g)
+        SELECT e1, e2, e3, path_ct,
+               floor(path_ct * 1000000.0 / (SELECT n FROM tot) + 0.5)
+                   / 1000000 AS share,
+               row_number() OVER (ORDER BY path_ct DESC, e1, e2, e3) AS rank
+        FROM g
+        ORDER BY path_ct DESC, e1, e2, e3
+        LIMIT 20
+    """,
     "session_markov": """
         WITH p AS (
             SELECT lag(event_type) OVER (PARTITION BY user_id

@@ -570,7 +570,68 @@ def holt_per_user(
     )
 
 
+def cusum_changepoint(tables: dict[str, DataFrame]) -> DataFrame:
+    """CUSUM changepoint detection over the daily per-type count series —
+    the drift-detecting member of the anomaly family (``window_daily_anomaly``
+    flags single outlier days; a slow level shift never trips a z-score but
+    accumulates in a CUSUM, Page 1954). The textbook recurrence is
+    s_t = max(0, s_{t-1} + (x_t − target)); this implementation uses the
+    closed form s_t = P_t − min(0, min_{j≤t} P_j) with P the running sum of
+    deviations — TWO plain window functions, no fold, no Python, fully
+    inside whole-stage codegen. The DuckDB oracle replays the literal
+    recurrence through a recursive CTE, so the algebraic rewrite is gated
+    against an independent algorithm.
+
+    Exactness: deviations are scaled by n_days (dev = x·N − total, a
+    BIGINT) so every state value is an exact integer — no float summation
+    order to disagree on. ``shift_up``/``shift_down`` flag when the
+    accumulated (scaled) drift exceeds one full mean day (cusum ≥ total).
+
+    Scale: one map-side-combined (day, type) rollup, then one Exchange on
+    event_type for the ordered windows; per-partition state is the
+    days-sized series per type — the same envelope as the anomaly/moving
+    siblings."""
+    ev = tables["events"]
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count("*").alias("pv_ct"))
+    wall = Window.partitionBy("event_type")
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = daily.select(
+        "day",
+        "event_type",
+        "pv_ct",
+        F.count("*").over(wall).alias("n_days"),
+        F.sum("pv_ct").over(wall).alias("total_ct"),
+    )
+    dev = F.col("pv_ct") * F.col("n_days") - F.col("total_ct")
+    p = base.select(
+        "day",
+        "event_type",
+        "pv_ct",
+        "total_ct",
+        F.sum(dev).over(wrun).alias("p"),
+    )
+    zero = F.lit(0).cast("long")
+    cpos = F.col("p") - F.least(F.min("p").over(wrun), zero)
+    cneg = F.greatest(F.max("p").over(wrun), zero) - F.col("p")
+    return p.select(
+        "day",
+        "event_type",
+        "pv_ct",
+        cpos.cast("long").alias("cusum_pos"),
+        cneg.cast("long").alias("cusum_neg"),
+        (cpos >= F.col("total_ct")).alias("shift_up"),
+        (cneg >= F.col("total_ct")).alias("shift_down"),
+    )
+
+
 QUERIES = {
+    "window_cusum": cusum_changepoint,
     "window_ema": ema_per_user,
     "window_holt": holt_per_user,
     "window_anomaly_mad": daily_anomaly_mad,
@@ -589,6 +650,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Independent-algorithm gate: Spark runs the closed form
+    # (running sum − running min); the oracle walks the LITERAL Page
+    # recurrence s_t = max(0, s_{t-1} + d_t) one day at a time. Integer
+    # state (deviations scaled by n_days) ⇒ exact equality, no rounding.
+    "window_cusum": """
+        WITH RECURSIVE d AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   count(*)::BIGINT AS pv_ct
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT day, event_type, pv_ct,
+                   count(*) OVER (PARTITION BY event_type) AS n_days,
+                   sum(pv_ct) OVER (PARTITION BY event_type) AS total_ct,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS rn
+            FROM d
+        ),
+        walk AS (
+            SELECT day, event_type, pv_ct, n_days, total_ct, rn,
+                   greatest(pv_ct * n_days - total_ct, 0)::BIGINT AS cpos,
+                   greatest(total_ct - pv_ct * n_days, 0)::BIGINT AS cneg
+            FROM s WHERE rn = 1
+            UNION ALL
+            SELECT s.day, s.event_type, s.pv_ct, s.n_days, s.total_ct, s.rn,
+                   greatest(w.cpos + s.pv_ct * s.n_days - s.total_ct, 0),
+                   greatest(w.cneg - (s.pv_ct * s.n_days - s.total_ct), 0)
+            FROM walk w
+            JOIN s ON s.event_type = w.event_type AND s.rn = w.rn + 1
+        )
+        SELECT day, event_type, pv_ct,
+               cpos AS cusum_pos, cneg AS cusum_neg,
+               (cpos >= total_ct) AS shift_up,
+               (cneg >= total_ct) AS shift_down
+        FROM walk
+    """,
     # Same interpolated-median semantics both engines (Spark median ==
     # DuckDB quantile_cont(0.5)); flag on the rounded score.
     "window_anomaly_mad": """

@@ -627,6 +627,124 @@ def png_tile_features(tables: dict[str, DataFrame], tile: int = 8) -> DataFrame:
     )
 
 
+def audio_vad_segments(
+    tables: dict[str, DataFrame], frame_samples: int = 25
+) -> DataFrame:
+    """Energy-threshold voice-activity detection on the REAL WAV decode
+    path — the speech-prep step between ``wav_segment_features`` (fixed
+    slicing) and an ASR pipeline (only active spans are worth
+    transcribing). Per clip: 25-sample frames, exact integer frame energy
+    Σs², a frame is ACTIVE iff its energy beats the clip mean
+    (E_f·n_frames > E_total — integer cross-multiply, no float mean), and
+    consecutive active frames merge into segments (the gaps-and-islands
+    step every VAD emits).
+
+    Plan split mirrors production: the decode + frame-energy pass is one
+    Arrow ``mapInPandas`` (per-clip cost, embarrassingly parallel); the
+    island merge is JVM-side window arithmetic over the frame rows
+    (frame_idx − row_number per clip = island key), one clip-keyed
+    Exchange. The oracle replays the PCM formula, framing, threshold, and
+    islands arithmetically — decoded sample values, frame boundaries, the
+    strict threshold, and island extents all sit under the driver hash."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id", (F.col("n_chars") % 200 + 50).cast("int").alias("n")
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("asset_id", "frame_idx", "energy", "active")}
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                s = _parse_wav(_wav_bytes(int(doc_id), int(n)))["samples"]
+                n_frames = -(-len(s) // frame_samples)
+                energies = [
+                    int((s[f * frame_samples : (f + 1) * frame_samples] ** 2).sum())
+                    for f in range(n_frames)
+                ]
+                total = sum(energies)
+                for f, e in enumerate(energies):
+                    out["asset_id"].append(int(doc_id))
+                    out["frame_idx"].append(f)
+                    out["energy"].append(e)
+                    out["active"].append(bool(e * n_frames > total))
+            yield pd.DataFrame(out)
+
+    frames = base.mapInPandas(
+        gen, "asset_id long, frame_idx long, energy long, active boolean"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    act = frames.filter("active").withColumn(
+        "island", F.col("frame_idx") - F.row_number().over(w)
+    )
+    return act.groupBy("asset_id", "island").agg(
+        F.min("frame_idx").alias("seg_start"),
+        F.count("*").alias("seg_frames"),
+        F.sum("energy").alias("energy_sum"),
+    ).drop("island")
+
+
+def image_ahash_groups(tables: dict[str, DataFrame]) -> DataFrame:
+    """Perceptual image dedup by average-hash — the multimodal member of
+    the near-dup family (aHash is the classic cheap perceptual hash:
+    mean-threshold each cell of a coarse grid, pack the bits; identical
+    content hashes identically REGARDLESS of how it was encoded). Each
+    document synthesizes its image from ``doc_id % 16`` — so the corpus
+    contains 16 distinct images, each one encoded many times with
+    ROTATING scanline filters (``doc_id % 5``) — and the real PNG
+    write→parse round trip plus a 4×4 tile aHash runs per doc. Docs whose
+    seeds match MUST land in one hash group even though their container
+    bytes differ byte-for-byte: the query hash-gates exactly the
+    "perceptually equal despite different encodings" contract that makes
+    aHash a dedup tool, across every decoder filter path.
+
+    Bits are integer-exact (cell bit = 16·tile_sum > total_sum, a cross
+    multiply — no float mean), hash = Σ bit<<i. The oracle replays the
+    pixel formula per tile arithmetically (never the bytes). Plan: one
+    Arrow decode pass, then one ahash-keyed window for group size +
+    canonical id — the same digest-groupBy shape as ``dedup_exact``."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).cast("int").alias("seed"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, seed, ft in zip(pdf["doc_id"], pdf["seed"], pdf["ft"]):
+                seed = int(seed)
+                w = 8 + 4 * (seed % 5)
+                h = 8 + 4 * ((seed * 3) % 4)
+                px = _parse_png(_png_bytes(seed, w, h, filter_type=int(ft)))[
+                    "pixels"
+                ].astype(np.int64)[:, :, 0]
+                th, tw = h // 4, w // 4
+                tsums = px.reshape(4, th, 4, tw).sum(axis=(1, 3)).ravel()
+                total = int(tsums.sum())
+                bits = (16 * tsums > total).astype(np.int64)
+                ids.append(int(doc_id))
+                hashes.append(int((bits << np.arange(16)).sum()))
+            yield pd.DataFrame({"asset_id": ids, "ahash": hashes})
+
+    hashed = base.mapInPandas(gen, "asset_id long, ahash long")
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("ahash")
+    return hashed.select(
+        "asset_id",
+        "ahash",
+        F.count("*").over(wg).alias("group_sz"),
+        F.min("asset_id").over(wg).alias("canonical_id"),
+    )
+
+
 def assets_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media assets derived from the documents fixture:
     payload = UTF-8 bytes of the text, kind by doc_id mod 3, frame count from
@@ -760,6 +878,8 @@ QUERIES = {
     "multimodal_wav_dft_audit": wav_dft_audit,
     "multimodal_png_decode": png_decode_documents,
     "multimodal_png_tiles": png_tile_features,
+    "multimodal_image_ahash": image_ahash_groups,
+    "multimodal_audio_vad": audio_vad_segments,
     "multimodal_frame_plan": frame_plan_documents,
     "multimodal_audio_segments": audio_segments_documents,
     "multimodal_tile_plan": tile_plan_documents,
@@ -940,6 +1060,85 @@ ORACLES = {
                    i -> (doc_id * 7 + (tile_x * 8 + i % tw) * 3
                          + (tile_y * 8 + i // tw) * 11) % 256))::BIGINT AS px_max
         FROM b
+    """,
+    # Frame energies, the strict integer threshold, and the island merge
+    # all replayed arithmetically from the PCM formula.
+    "multimodal_audio_vad": """
+        WITH a AS (
+            SELECT doc_id, (n_chars % 200 + 50)::BIGINT AS n FROM documents
+        ),
+        f AS (
+            SELECT doc_id, n,
+                   ((n + 24) // 25)::BIGINT AS n_frames,
+                   unnest(range((n + 24) // 25)) AS frame_idx
+            FROM a
+        ),
+        e AS (
+            SELECT doc_id, n_frames, frame_idx,
+                   list_sum(list_transform(
+                       range(frame_idx * 25, least(n, (frame_idx + 1) * 25)),
+                       k -> ((((doc_id * 31 + k * 7) % 256) - 128) * 256)
+                            * ((((doc_id * 31 + k * 7) % 256) - 128) * 256)
+                   ))::BIGINT AS energy
+            FROM f
+        ),
+        t AS (
+            SELECT doc_id, frame_idx, energy,
+                   energy * n_frames
+                       > sum(energy) OVER (PARTITION BY doc_id) AS active
+            FROM e
+        ),
+        isl AS (
+            SELECT doc_id, frame_idx, energy,
+                   frame_idx - row_number() OVER (PARTITION BY doc_id
+                                                  ORDER BY frame_idx) AS island
+            FROM t WHERE active
+        )
+        SELECT doc_id AS asset_id,
+               min(frame_idx) AS seg_start,
+               count(*)::BIGINT AS seg_frames,
+               sum(energy)::BIGINT AS energy_sum
+        FROM isl GROUP BY doc_id, island
+    """,
+    # Arithmetic replay of the aHash tile bits from the pixel formula; the
+    # Spark side must reach the same 16-bit hash THROUGH the container
+    # round trip (5 different scanline filters per seed) — an encoder or
+    # un-filter bug makes seed-equal docs hash apart and breaks group_sz.
+    "multimodal_image_ahash": """
+        WITH g AS (
+            SELECT doc_id, (doc_id % 16)::BIGINT AS seed,
+                   (8 + 4 * ((doc_id % 16) % 5))::BIGINT AS w,
+                   (8 + 4 * (((doc_id % 16) * 3) % 4))::BIGINT AS h
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, seed, w // 4 AS tw, h // 4 AS th,
+                   unnest(range(16)) AS ti
+            FROM g
+        ),
+        s AS (
+            SELECT doc_id, ti,
+                   list_sum(list_transform(range(tw * th),
+                       i -> (seed * 7 + 3 * ((ti % 4) * tw + i % tw)
+                             + 11 * ((ti // 4) * th + i // tw)) % 256))::BIGINT
+                       AS tsum
+            FROM t
+        ),
+        b AS (
+            SELECT doc_id, ti, tsum,
+                   sum(tsum) OVER (PARTITION BY doc_id) AS tot
+            FROM s
+        ),
+        hsh AS (
+            SELECT doc_id,
+                   sum(CASE WHEN 16 * tsum > tot THEN 1 << ti ELSE 0 END)::BIGINT
+                       AS ahash
+            FROM b GROUP BY doc_id
+        )
+        SELECT doc_id AS asset_id, ahash,
+               count(*) OVER (PARTITION BY ahash)::BIGINT AS group_sz,
+               min(doc_id) OVER (PARTITION BY ahash)::BIGINT AS canonical_id
+        FROM hsh
     """,
     "multimodal_decode": """
         SELECT doc_id AS asset_id,

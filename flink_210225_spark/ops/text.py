@@ -1749,8 +1749,294 @@ def quality_rrf(tables: dict[str, DataFrame], k: int = 60) -> DataFrame:
     )
 
 
+def bpe_merge_round(tables: dict[str, DataFrame]) -> DataFrame:
+    """One COMPLETE distributed BPE training round, end-to-end:
+    ``text_bpe_pair_counts`` is the count step; this op also picks the
+    argmax pair and APPLIES the merge to the whole corpus — the
+    count→select→merge cycle BPE training repeats vocab_size times
+    (Sennrich et al. 2016). Merge application is the classic greedy
+    left-to-right non-overlapping scan per word ("aaa" with pair (a,a)
+    yields ONE merge), run as a JVM-side aggregate fold carrying
+    (count, pending-symbol) state — no Python, no extra shuffle; the only
+    cross-cluster traffic is the pair-count aggregate and the TWO strings
+    of the winning pair collected to the driver (the merge table is
+    driver-sized by construction in BPE training).
+
+    Emits per doc the symbol count before, merges applied, and symbols
+    after (each merge removes exactly one symbol) — the corpus-size
+    trajectory a tokenizer-training budget is planned against. The oracle
+    re-derives the winning pair and replays the greedy scan as a
+    recursive-CTE walk over DISTINCT words (exploiting that merge count
+    is a pure function of the word), so pair selection, tie-breaks, and
+    the non-overlap rule all sit under the driver hash."""
+    docs = tables["documents"]
+    words = docs.select(F.explode(tokens_col(F.col("text"))).alias("w")).where(
+        F.length("w") >= 2
+    )
+    chars = F.split(F.col("w"), "")
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.length("w") - 2),
+                lambda i: F.struct(
+                    F.get(chars, i).alias("c1"), F.get(chars, i + 1).alias("c2")
+                ),
+            )
+        ).alias("p")
+    ).select("p.c1", "p.c2")
+    best = (
+        pairs.groupBy("c1", "c2")
+        .agg(F.count("*").alias("ct"))
+        .orderBy(F.desc("ct"), F.concat("c1", F.lit("+"), "c2"))
+        .limit(1)
+        .first()
+    )
+    a, b = best["c1"], best["c2"]
+
+    def word_merges(w):
+        return F.aggregate(
+            F.split(w, ""),
+            F.struct(
+                F.lit(0).cast("long").alias("m"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+            lambda acc, c: F.when(
+                acc.getField("pend").isNotNull()
+                & (acc.getField("pend") == F.lit(a))
+                & (c == F.lit(b)),
+                F.struct(
+                    (acc.getField("m") + 1).alias("m"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            ).otherwise(
+                F.struct(acc.getField("m").alias("m"), c.alias("pend"))
+            ),
+            lambda acc: acc.getField("m"),
+        )
+
+    base = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    n_sym = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_mrg = F.aggregate(
+        F.transform("toks", word_merges),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc + m,
+    )
+    return base.select(
+        "doc_id",
+        F.lit(f"{a}+{b}").alias("pair"),
+        n_sym.alias("n_symbols"),
+        n_mrg.alias("n_merges"),
+        (n_sym - n_mrg).alias("n_symbols_after"),
+    )
+
+
+def pmi_collocations(
+    tables: dict[str, DataFrame], min_count: int = 5, top: int = 30
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the
+    association-strength member of the n-gram family. ``text_bigram_lm``
+    ranks by P(w2|w1), which rewards any pair whose FIRST token is rare;
+    PMI = ln(p(w1,w2) / (p(w1)·p(w2))) normalizes by BOTH marginals, the
+    standard phrase/multi-word-expression detector (Church & Hanks 1990)
+    feeding tokenizer merge-lists and stop-phrase filters. A ``min_count``
+    floor suppresses the classic PMI failure mode (hapax pairs score
+    highest).
+
+    Determinism: the PMI argument is one exact integer ratio
+    (pair_ct·N_u²)/(N_b·c1·c2) computed identically on both engines before
+    the single ln, output rounded 6dp, ordering (pmi desc, w1, w2) fully
+    tie-broken. Plan: pair/unigram counts are map-side-combined groupBys;
+    marginal attachment joins on the vocab-sized count tables (AQE
+    broadcasts them); top-k is a TakeOrderedAndProject, never a global
+    sort."""
+    docs = tables["documents"].select("text")
+    base = docs.select(tokens_col(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    pairs = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.get("toks", i).alias("w1"), F.get("toks", i + 1).alias("w2")
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_ct"))
+    uni = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("ct"))
+    )
+    n_u = uni.agg(F.sum("ct").alias("n")).scalar()
+    n_b = bi.agg(F.sum("pair_ct").alias("n")).scalar()
+    joined = (
+        bi.where(F.col("pair_ct") >= min_count)
+        .join(uni.select(F.col("tok").alias("w1"), F.col("ct").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("ct").alias("c2")), "w2")
+    )
+    ratio = (F.col("pair_ct") * n_u * n_u) / (n_b * F.col("c1") * F.col("c2"))
+    scored = joined.select(
+        "w1",
+        "w2",
+        "pair_ct",
+        "c1",
+        "c2",
+        (F.floor(F.log(ratio) * 1000000 + 0.5) / 1000000).alias("pmi"),
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+_LR_DIM = 8
+_LR_RATE = 2.0  # exact binary literal, pinned on both engines
+_LR_ITERS = 3
+
+
+def _r6(v: float) -> float:
+    import math
+
+    return math.floor(v * 1000000 + 0.5) / 1000000
+
+
+def lr_quality_train(tables: dict[str, DataFrame]) -> DataFrame:
+    """Distributed quality-classifier TRAINING — full-batch logistic
+    regression by gradient descent, the learned sibling of the NB
+    classifier (``text_nb_quality`` fits by counting; this one fits by
+    iterative optimization, the fasttext/CCNet-style quality-filter
+    training loop at corpus scale). Features are 8 hashed token-class
+    shares per doc (bucket = (len·7 + first-codepoint) mod 8, both
+    engines), teacher label = heuristic quality ≥ 0.55.
+
+    Each GD iteration is ONE map-side-combined aggregate over the
+    persisted feature table — the canonical data-parallel training round:
+    executors hold the data, only the 9 gradient scalars cross the wire,
+    and the driver holds only the weight vector (collected per round —
+    the justified scalar round-trip every Lloyd/Pregel loop in this repo
+    makes). Weights are pinned to 6dp after every update, so cross-engine
+    float summation-order drift cannot compound; the oracle replays all
+    three unrolled iterations in chained CTEs. Output: the fitted weights
+    plus training accuracy — drift in any gradient, the update rule, or
+    the rounding breaks the driver hash."""
+    docs = tables["documents"]
+    base = docs.select(tokens_col(F.col("text")).alias("toks"))
+    n = F.size("toks")
+
+    def bucket(t):
+        return (F.length(t) * 7 + F.ascii(t)) % _LR_DIM
+
+    xs = F.transform(
+        F.sequence(F.lit(0), F.lit(_LR_DIM - 1)),
+        lambda b: F.size(
+            F.filter("toks", lambda t: (t != "") & (bucket(t) == b))
+        )
+        / n,
+    )
+    y = (_quality_expr(F.col("toks")) >= 0.55).cast("double")
+    feat = base.select(xs.alias("x"), y.alias("y")).persist()
+    try:
+        w = [0.0] * (_LR_DIM + 1)  # w[0..7], bias last
+        for _ in range(_LR_ITERS):
+            z = F.lit(w[_LR_DIM])
+            for b in range(_LR_DIM):
+                z = z + F.lit(w[b]) * F.element_at("x", b + 1)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            aggs = [
+                F.avg((p - F.col("y")) * F.element_at("x", b + 1)).alias(f"g{b}")
+                for b in range(_LR_DIM)
+            ] + [F.avg(p - F.col("y")).alias("gb")]
+            g = feat.agg(*aggs).first()
+            w = [_r6(w[b] - _LR_RATE * g[f"g{b}"]) for b in range(_LR_DIM)] + [
+                _r6(w[_LR_DIM] - _LR_RATE * g["gb"])
+            ]
+        z = F.lit(w[_LR_DIM])
+        for b in range(_LR_DIM):
+            z = z + F.lit(w[b]) * F.element_at("x", b + 1)
+        acc = feat.agg(
+            (
+                F.floor(
+                    F.avg(((z >= 0) == (F.col("y") == 1.0)).cast("double")) * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("a")
+        ).first()["a"]
+    finally:
+        feat.unpersist()
+    spark = docs.sparkSession
+    rows = [(f"w{b}", w[b]) for b in range(_LR_DIM)] + [
+        ("bias", w[_LR_DIM]),
+        ("train_acc", float(acc)),
+    ]
+    return spark.createDataFrame(rows, "param string, value double")
+
+
+def _lr_oracle_sql() -> str:
+    dim, lr, iters = _LR_DIM, _LR_RATE, _LR_ITERS
+    xcols = ",\n                   ".join(
+        f"len(list_filter(toks, t -> t <> '' AND (length(t) * 7 + ascii(t))"
+        f" % {dim} = {b})) * 1.0 / len(toks) AS x{b}"
+        for b in range(dim)
+    )
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and it3's
+    # nine scalar references to it2 (each referencing it1 nine times...)
+    # would re-evaluate the whole training chain exponentially.
+    ctes = [
+        f"""f AS MATERIALIZED (
+            SELECT {xcols},
+                   CASE WHEN {_DUCK_QUALITY} >= 0.55 THEN 1.0 ELSE 0.0 END AS y
+            FROM (SELECT {_DUCK_TOKS} AS toks FROM documents)
+        )""",
+        "it0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"0.0 AS w{b}" for b in range(dim))
+        + ", 0.0 AS wb)",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"it{k - 1}"
+        z = f"(SELECT wb FROM {prev})" + "".join(
+            f" + (SELECT w{b} FROM {prev}) * x{b}" for b in range(dim)
+        )
+        p = f"1.0 / (1.0 + exp(-({z})))"
+        upd = ", ".join(
+            f"floor(((SELECT w{b} FROM {prev}) - {lr} * avg(({p} - y) * x{b}))"
+            f" * 1000000 + 0.5) / 1000000 AS w{b}"
+            for b in range(dim)
+        )
+        ctes.append(
+            f"it{k} AS MATERIALIZED (SELECT {upd}, floor(((SELECT wb FROM {prev})"
+            f" - {lr} * avg({p} - y)) * 1000000 + 0.5) / 1000000 AS wb FROM f)"
+        )
+    zf = f"(SELECT wb FROM it{iters})" + "".join(
+        f" + (SELECT w{b} FROM it{iters}) * x{b}" for b in range(dim)
+    )
+    params = "\n        UNION ALL ".join(
+        f"SELECT 'w{b}' AS param, (SELECT w{b} FROM it{iters}) AS value"
+        for b in range(dim)
+    )
+    return f"""
+        WITH {", ".join(ctes)}
+        {params}
+        UNION ALL SELECT 'bias', (SELECT wb FROM it{iters})
+        UNION ALL SELECT 'train_acc',
+            (SELECT floor(avg(CASE WHEN (({zf}) >= 0) = (y = 1.0)
+                                   THEN 1.0 ELSE 0.0 END) * 1000000 + 0.5)
+                        / 1000000 FROM f)
+    """
+
+
 QUERIES = {
     "text_token_stats": token_stats,
+    "text_pmi_collocations": pmi_collocations,
+    "text_lr_quality_train": lr_quality_train,
+    "text_bpe_merge_round": bpe_merge_round,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
     "text_langid_confusion": langid_confusion,
@@ -1836,6 +2122,93 @@ _DUCK_SHINGLE5 = """unnest(list_distinct(list_transform(
                        i -> array_to_string(t[i + 1 : i + 5], ' '))))"""
 
 ORACLES = {
+    # Three unrolled GD iterations in chained CTEs — the literal replay of
+    # the distributed training loop, 6dp weight pinning at every step.
+    "text_lr_quality_train": _lr_oracle_sql(),
+    # Winning pair re-derived with the count-desc/pair-asc tie-break, then
+    # the greedy non-overlapping scan replayed one character per recursion
+    # over DISTINCT words (merge count is a pure function of the word) and
+    # joined back per doc.
+    "text_bpe_merge_round": f"""
+        WITH RECURSIVE words AS MATERIALIZED (
+            SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents
+        ),
+        best AS MATERIALIZED (
+            SELECT w[i + 1] AS c1, w[i + 2] AS c2
+            FROM (SELECT w, unnest(range(len(w) - 1)) AS i
+                  FROM words WHERE len(w) >= 2)
+            GROUP BY 1, 2
+            ORDER BY count(*) DESC, c1 || '+' || c2
+            LIMIT 1
+        ),
+        dw AS MATERIALIZED (SELECT DISTINCT w FROM words),
+        walk AS (
+            SELECT w, 0::BIGINT AS pos, 0::BIGINT AS m, NULL::VARCHAR AS pend
+            FROM dw
+            UNION ALL
+            SELECT wk.w, wk.pos + 1,
+                   CASE WHEN wk.pend IS NOT NULL AND wk.pend = b.c1
+                             AND wk.w[(wk.pos + 1)::INT] = b.c2
+                        THEN wk.m + 1 ELSE wk.m END,
+                   CASE WHEN wk.pend IS NOT NULL AND wk.pend = b.c1
+                             AND wk.w[(wk.pos + 1)::INT] = b.c2
+                        THEN NULL ELSE wk.w[(wk.pos + 1)::INT] END
+            FROM walk wk, best b
+            WHERE wk.pos < len(wk.w)
+        ),
+        wm AS MATERIALIZED (
+            SELECT w, m AS merges, len(w) AS syms
+            FROM walk WHERE pos = len(w)
+        )
+        SELECT d.doc_id,
+               (SELECT c1 || '+' || c2 FROM best) AS pair,
+               sum(wm.syms)::BIGINT AS n_symbols,
+               sum(wm.merges)::BIGINT AS n_merges,
+               (sum(wm.syms) - sum(wm.merges))::BIGINT AS n_symbols_after
+        FROM words d JOIN wm ON wm.w = d.w
+        GROUP BY d.doc_id
+    """,
+    # Same exact-integer PMI ratio under one ln; ordering fully tie-broken
+    # so the top-k cut is engine-independent.
+    "text_pmi_collocations": f"""
+        WITH t AS (SELECT {_DUCK_TOKS} AS toks FROM documents),
+        p AS (
+            SELECT unnest(list_transform(
+                       range(len(toks) - 1),
+                       i -> struct_pack(w1 := toks[i + 1], w2 := toks[i + 2]))) AS pr
+            FROM t WHERE len(toks) >= 2
+        ),
+        bi AS (
+            SELECT pr.w1 AS w1, pr.w2 AS w2, count(*)::BIGINT AS pair_ct
+            FROM p GROUP BY 1, 2
+        ),
+        uni AS (
+            SELECT unnest(toks) AS tok FROM t
+        ),
+        u AS (
+            SELECT tok, count(*)::BIGINT AS ct FROM uni
+            WHERE tok <> '' GROUP BY 1
+        ),
+        tot AS (
+            SELECT (SELECT sum(ct)::BIGINT FROM u) AS n_u,
+                   (SELECT sum(pair_ct)::BIGINT FROM bi) AS n_b
+        ),
+        scored AS (
+            SELECT bi.w1, bi.w2, bi.pair_ct, u1.ct AS c1, u2.ct AS c2,
+                   floor(ln((bi.pair_ct * tot.n_u * tot.n_u)
+                            / (tot.n_b * u1.ct * u2.ct)) * 1000000 + 0.5)
+                       / 1000000 AS pmi
+            FROM bi, tot
+            JOIN u u1 ON u1.tok = bi.w1
+            JOIN u u2 ON u2.tok = bi.w2
+            WHERE bi.pair_ct >= 5
+        )
+        SELECT w1, w2, pair_ct, c1, c2, pmi,
+               row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+        FROM scored
+        ORDER BY pmi DESC, w1, w2
+        LIMIT 30
+    """,
     "text_nb_quality": f"""
         WITH q AS (
             SELECT doc_id, toks, {_DUCK_QUALITY} AS quality

@@ -269,3 +269,43 @@ def test_wav_dft_audit_matches_oracle_and_contract(tables):
     for r in rows[:10]:
         s = mm._parse_wav(mm._wav_bytes(int(r.asset_id), int(r.n_frames)))["samples"]
         assert int(s.sum()) == r.dc
+
+
+def test_image_ahash_filter_invariance(tables):
+    """Docs sharing a seed synthesize identical pixel content but encode
+    with different scanline filters; the perceptual hash must collapse
+    them into one group — the encoding-invariance contract of aHash."""
+    from flink_210225_spark.ops import multimodal as mm
+
+    rows = mm.image_ahash_groups(tables).collect()
+    by_seed = {}
+    for r in rows:
+        by_seed.setdefault(r.asset_id % 16, set()).add(r.ahash)
+    assert all(len(hs) == 1 for hs in by_seed.values()), by_seed
+    filters_per_seed = {}
+    for r in rows:
+        filters_per_seed.setdefault(r.asset_id % 16, set()).add(r.asset_id % 5)
+    assert any(len(fs) >= 2 for fs in filters_per_seed.values())
+
+
+def test_audio_vad_segments_cover_active_frames(tables):
+    """Segments partition exactly the active frames: per clip, segment
+    frame totals equal the count of frames whose energy beats the clip
+    mean (strict integer threshold), and segments never touch."""
+    import numpy as np
+
+    from flink_210225_spark.ops import multimodal as mm
+
+    segs = {}
+    for r in mm.audio_vad_segments(tables).collect():
+        segs.setdefault(r.asset_id, []).append((r.seg_start, r.seg_frames))
+    docs = {r.doc_id: r.n_chars % 200 + 50 for r in tables["documents"].collect()}
+    for doc_id, n in list(docs.items())[:25]:
+        s = mm._parse_wav(mm._wav_bytes(doc_id, n))["samples"]
+        nf = -(-len(s) // 25)
+        e = np.array([int((s[f * 25 : (f + 1) * 25] ** 2).sum()) for f in range(nf)])
+        active = e * nf > e.sum()
+        got = sorted(segs.get(doc_id, []))
+        assert sum(c for _s, c in got) == int(active.sum()), doc_id
+        for (s1, c1), (s2, _c2) in zip(got, got[1:]):
+            assert s1 + c1 < s2  # a gap separates islands

@@ -724,3 +724,47 @@ def test_quality_rrf_consistency(tables):
     for r in rows[:100]:
         want = sum(1.0 / (60 + k) for k in (r.rank_q, r.rank_d, r.rank_p))
         assert abs(r.rrf - math.floor(want * 1e6 + 0.5) / 1e6) < 1e-12
+
+
+def test_bpe_merge_round_greedy_overlap(spark):
+    """Greedy left-to-right non-overlap on a self-overlapping pair: with
+    best pair (a,a), 'aaaa' yields 2 merges and 'aaa' yields 1 — the
+    run-length//2 rule the recursive oracle must also produce."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa xy"), (2, "aa zz")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.bpe_merge_round({"documents": docs}).collect()}
+    assert rows[1].pair == "a+a"
+    assert rows[1].n_symbols == 9 and rows[1].n_merges == 3
+    assert rows[1].n_symbols_after == 6
+    assert rows[2].n_merges == 1 and rows[2].n_symbols_after == 3
+
+
+def test_lr_quality_train_learns(tables):
+    """The fitted classifier must beat the majority-class baseline on its
+    own training set (the teacher labels are linearly separable enough in
+    the hashed-share features for GD to make real progress)."""
+    from pyspark.sql import functions as F
+
+    out = {r.param: r.value for r in text.lr_quality_train(tables).collect()}
+    toks = text.tokens_col(F.col("text"))
+    labels = tables["documents"].select(
+        (text._quality_expr(toks) >= 0.55).cast("int").alias("y")
+    )
+    pos = labels.agg(F.avg("y")).first()[0]
+    baseline = max(pos, 1.0 - pos)
+    assert out["train_acc"] >= baseline, (out["train_acc"], baseline)
+    assert any(abs(out[f"w{b}"]) > 1e-6 for b in range(8))
+
+
+def test_pmi_prefers_exclusive_pairs(spark):
+    """PMI must rank an always-together pair above a frequent-but-
+    promiscuous one, regardless of raw pair count."""
+    docs = spark.createDataFrame(
+        [(i, "new york " * 5 + "of the of a of x of y of z") for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = text.pmi_collocations({"documents": docs}, min_count=5, top=10).collect()
+    ranks = {(r.w1, r.w2): r.rank for r in rows}
+    assert ranks[("new", "york")] < ranks[("of", "the")]
