@@ -180,13 +180,86 @@ def delete_cascade(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def compaction_plan(
+    tables: dict[str, DataFrame], target_bytes: int = 4096
+) -> DataFrame:
+    """Small-file compaction PLANNING — the table-maintenance pass every
+    large parquet store runs (小文件问题): per partition, inventory the
+    files, decide whether rewriting is worth it, and size the rewrite.
+    The file inventory is synthesized deterministically from orders
+    (partition = order month, file = write-task bucket ``o_orderkey % 16``,
+    bytes = 120·rows — a row-size stand-in), standing in for the
+    filesystem listing a real planner reads; everything downstream is the
+    real planning arithmetic, all integer-exact:
+
+    - ``target_files`` = ceil(total/target) floored at 1 — what the
+      partition SHOULD hold at the target file size;
+    - ``needs_compaction`` iff the partition holds MORE files than that
+      (rewriting can only help when merging reduces file count);
+    - ``files_saved`` = the open-file-handle/scan-task reduction the
+      rewrite buys — the number a maintenance scheduler prioritizes by.
+
+    Plan: two map-side-combined groupBys ((month, bucket) then month);
+    output is months-sized. At 100 TB the inventory comes from the
+    catalog/manifest instead, same shape — the planner never touches data
+    bytes, which is what makes it schedulable as a cheap scan-free job."""
+    orders = tables["orders"]
+    files = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part_month"),
+        (F.col("o_orderkey") % 16).alias("bucket"),
+    ).agg((F.count("*") * 120).alias("file_bytes"))
+    parts = files.groupBy("part_month").agg(
+        F.count("*").alias("n_files"),
+        F.sum("file_bytes").alias("total_bytes"),
+    )
+    target_files = F.greatest(
+        F.ceil(F.col("total_bytes") / F.lit(target_bytes)), F.lit(1).cast("long")
+    )
+    needs = F.col("n_files") > target_files
+    return parts.select(
+        "part_month",
+        "n_files",
+        "total_bytes",
+        F.floor(F.col("total_bytes") / F.col("n_files")).alias("avg_file_bytes"),
+        target_files.alias("target_files"),
+        needs.alias("needs_compaction"),
+        F.when(needs, F.col("n_files") - target_files)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("files_saved"),
+    )
+
+
 QUERIES = {
+    "warehouse_compaction_plan": compaction_plan,
     "warehouse_dq_profile": dq_profile_events,
     "warehouse_snapshot_diff": snapshot_diff_demo,
     "warehouse_delete_cascade": delete_cascade,
 }
 
 ORACLES = {
+    "warehouse_compaction_plan": """
+        WITH files AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+                   o_orderkey % 16 AS bucket,
+                   (count(*) * 120)::BIGINT AS file_bytes
+            FROM orders GROUP BY 1, 2
+        ),
+        parts AS (
+            SELECT part_month, count(*)::BIGINT AS n_files,
+                   sum(file_bytes)::BIGINT AS total_bytes
+            FROM files GROUP BY 1
+        )
+        SELECT part_month, n_files, total_bytes,
+               (total_bytes // n_files)::BIGINT AS avg_file_bytes,
+               greatest(ceil(total_bytes / 4096.0)::BIGINT, 1) AS target_files,
+               n_files > greatest(ceil(total_bytes / 4096.0)::BIGINT, 1)
+                   AS needs_compaction,
+               CASE WHEN n_files > greatest(ceil(total_bytes / 4096.0)::BIGINT, 1)
+                    THEN n_files - greatest(ceil(total_bytes / 4096.0)::BIGINT, 1)
+                    ELSE 0 END AS files_saved
+        FROM parts
+    """,
     "warehouse_dq_profile": """
         SELECT c.col_name,
                (SELECT count(*) FROM events)::BIGINT AS n_rows,

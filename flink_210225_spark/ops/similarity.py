@@ -1851,8 +1851,97 @@ def contrastive_pairs(
     )
 
 
+def rp_audit(tables: dict[str, DataFrame], k: int = 16) -> DataFrame:
+    """Johnson–Lindenstrauss random-projection audit: project the 64-d
+    embeddings to ``k`` dims with a deterministic ±1 sign matrix
+    (Achlioptas 2003 — database-friendly projections; the JL lemma bounds
+    how much pairwise distance a sign projection distorts) and measure
+    the squared-distance distortion ‖Py‖²/(k·‖y‖²) over consecutive-id
+    vector pairs. RP is the cheap first stage of the dimensionality
+    ladder (RP → PCA → PQ all coexist in ``similarity``): data-oblivious,
+    no training pass, one linear map — and this audit is the go/no-go
+    gate before swapping a projected index in.
+
+    Everything is integer-exact by construction: vectors quantize to
+    int (floor(x·1000 + 0.5) — the int-quantize step a production RP
+    stage runs anyway), the sign matrix is an arithmetic formula, so
+    projections, squared distances, and each pair's distortion ratio are
+    identical integers/rationals on both engines — the oracle replays
+    the whole pipeline, not just anchors. Only the MEAN crosses a float
+    sum (4dp-rounded). Plan: projection is a per-row JVM fold (no
+    shuffle); the pair join is an equi-join on vec_id+1; the audit
+    reduces to one row."""
+    emb = tables["embeddings"]
+    d_seq = F.sequence(F.lit(0), F.lit(DIM - 1))
+
+    def quant(col, d):
+        return F.floor(F.element_at(col, d + 1).cast("double") * 1000 + 0.5)
+
+    def sign(b, d):
+        return 1 - 2 * (((b * 131 + d * 37) % 97) % 2)
+
+    ys = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda b: F.aggregate(
+            d_seq,
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + sign(b, d) * quant(F.col("x"), d),
+        ),
+    )
+    proj = emb.select(F.col("vec_id"), F.col("embedding").alias("x")).select(
+        "vec_id", "x", ys.alias("y")
+    )
+    a = proj.alias("a")
+    b = proj.alias("b")
+    joined = a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+    dx2 = F.aggregate(
+        d_seq,
+        F.lit(0).cast("long"),
+        lambda acc, d: acc
+        + F.pow(quant(F.col("a.x"), d) - quant(F.col("b.x"), d), 2).cast("long"),
+    )
+    dy2 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.pow(
+            F.element_at(F.col("a.y"), i + 1) - F.element_at(F.col("b.y"), i + 1),
+            2,
+        ).cast("long"),
+    )
+    pairs = joined.select(dx2.alias("dx2"), dy2.alias("dy2")).where(F.col("dx2") > 0)
+    ratio = F.col("dy2") / (F.lit(k) * F.col("dx2"))
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    agg = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        r4(F.avg(ratio)).alias("mean_ratio"),
+        r4(F.median(ratio)).alias("median_ratio"),
+        r4(F.min(ratio)).alias("min_ratio"),
+        r4(F.max(ratio)).alias("max_ratio"),
+    )
+    # jl_ok gates what JL actually promises at k=16: an unbiased, centered
+    # distortion BULK (mean and median near 1). Per-pair extremes are
+    # reported but not gated — sqrt(2/k) concentration leaves heavy single
+    # -pair tails at small k by design (measured min≈0.08/max≈7 on the
+    # fixtures), and a floor on them would test the fixture, not the lemma.
+    return agg.select(
+        "n_pairs",
+        "mean_ratio",
+        "median_ratio",
+        "min_ratio",
+        "max_ratio",
+        (
+            (F.col("mean_ratio") >= 0.85)
+            & (F.col("mean_ratio") <= 1.15)
+            & (F.col("median_ratio") >= 0.7)
+            & (F.col("median_ratio") <= 1.3)
+        ).alias("jl_ok"),
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
+    "sim_rp_audit": rp_audit,
     "sim_mips_topk": mips_topk,
     "sim_mips_audit": mips_recall_audit,
     # rows-only (xxhash64 hyperplanes); recall hash-gated by sim_mips_audit
@@ -1903,6 +1992,49 @@ _COS = """
 """
 
 ORACLES = {
+    # Full pipeline replay (quantize → sign-project → pair distances →
+    # distortion), all integer-exact; only the mean crosses a float sum.
+    "sim_rp_audit": """
+        WITH q AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(range(64),
+                       d -> floor(embedding[d + 1]::DOUBLE * 1000 + 0.5)::BIGINT)
+                       AS xq
+            FROM embeddings
+        ),
+        p AS MATERIALIZED (
+            SELECT vec_id, xq,
+                   list_transform(range(16), b ->
+                       list_sum(list_transform(range(64), d ->
+                           (1 - 2 * (((b * 131 + d * 37) % 97) % 2))
+                           * xq[d + 1]))::BIGINT) AS y
+            FROM q
+        ),
+        pr AS (
+            SELECT list_sum(list_transform(range(64),
+                       d -> (a.xq[d + 1] - b.xq[d + 1])
+                            * (a.xq[d + 1] - b.xq[d + 1])))::BIGINT AS dx2,
+                   list_sum(list_transform(range(16),
+                       i -> (a.y[i + 1] - b.y[i + 1])
+                            * (a.y[i + 1] - b.y[i + 1])))::BIGINT AS dy2
+            FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+        ),
+        r AS (
+            SELECT dy2 / (16 * dx2) AS ratio FROM pr WHERE dx2 > 0
+        ),
+        s AS (
+            SELECT count(*)::BIGINT AS n_pairs,
+                   floor(avg(ratio) * 10000 + 0.5) / 10000 AS mean_ratio,
+                   floor(median(ratio) * 10000 + 0.5) / 10000 AS median_ratio,
+                   floor(min(ratio) * 10000 + 0.5) / 10000 AS min_ratio,
+                   floor(max(ratio) * 10000 + 0.5) / 10000 AS max_ratio
+            FROM r
+        )
+        SELECT n_pairs, mean_ratio, median_ratio, min_ratio, max_ratio,
+               (mean_ratio >= 0.85 AND mean_ratio <= 1.15
+                AND median_ratio >= 0.7 AND median_ratio <= 1.3) AS jl_ok
+        FROM s
+    """,
     # n_exact_pairs recomputed via the quadratic self-join; recall_ok must
     # be 1 and extras must be 0 (uv_sketch pattern).
     "sim_semantic_audit": """

@@ -1832,6 +1832,71 @@ def bpe_merge_round(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def rake_keyphrases(tables: dict[str, DataFrame], top: int = 20) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the phrase-level
+    member of the keyword family (``text_tfidf_topk`` scores single terms
+    per doc; ``text_pmi_collocations`` scores bigram association; RAKE
+    scores whole stopword-delimited phrases corpus-wide). Candidates are
+    maximal runs of non-stopword tokens; word score = deg(w)/freq(w)
+    where deg sums the lengths of every candidate occurrence containing
+    w; phrase score = Σ word scores — the standard co-occurrence-graph
+    formulation.
+
+    Plan: candidate runs come from ONE gaps-and-islands window over the
+    (doc_id)-keyed token stream (idx − row_number), word stats are a
+    map-side-combined groupBy on the vocab-sized word table, the
+    phrase-score join is vocab-sized (AQE broadcasts it), and the final
+    cut is a TakeOrderedAndProject. Determinism: deg/freq are exact
+    integers, each word score one exact division, phrase score a sum of
+    identical doubles (4dp-rounded), ordering tie-broken by phrase."""
+    stop = list(LANG_STOPWORDS["en"])
+    docs = tables["documents"].select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col("text"))).alias("idx", "tok"),
+    ).where(F.col("tok") != "")
+    nonstop = toks.where(~F.col("tok").isin(stop))
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    runs = nonstop.withColumn("isl", F.col("idx") - F.row_number().over(w))
+    phrases = runs.groupBy("doc_id", "isl").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    ).select("phrase", "plen")
+    words = phrases.select(
+        F.explode(F.split("phrase", " ")).alias("w"), "plen"
+    ).groupBy("w").agg(
+        F.sum("plen").alias("deg"), F.count("*").alias("freq")
+    )
+    scored_words = words.select(
+        "w", (F.col("deg") / F.col("freq")).alias("wscore")
+    )
+    phrase_words = phrases.groupBy("phrase").agg(
+        F.count("*").alias("occurrences"),
+        F.max("plen").alias("n_words"),  # plen ≡ token count of the phrase
+    )
+    exploded = phrase_words.select(
+        "phrase",
+        "occurrences",
+        "n_words",
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    ps = exploded.join(scored_words, "w").groupBy(
+        "phrase", "occurrences", "n_words"
+    ).agg((F.floor(F.sum("wscore") * 10000 + 0.5) / 10000).alias("score"))
+    rank_w = Window.orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        ps.orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(top)
+        .withColumn("rank", F.row_number().over(rank_w))
+    )
+
+
 def pmi_collocations(
     tables: dict[str, DataFrame], min_count: int = 5, top: int = 30
 ) -> DataFrame:
@@ -2037,6 +2102,7 @@ QUERIES = {
     "text_pmi_collocations": pmi_collocations,
     "text_lr_quality_train": lr_quality_train,
     "text_bpe_merge_round": bpe_merge_round,
+    "text_rake_keyphrases": rake_keyphrases,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
     "text_langid_confusion": langid_confusion,
@@ -2167,6 +2233,52 @@ ORACLES = {
                (sum(wm.syms) - sum(wm.merges))::BIGINT AS n_symbols_after
         FROM words d JOIN wm ON wm.w = d.w
         GROUP BY d.doc_id
+    """,
+    # Full RAKE replay: same stopword delimiters, same islands, same
+    # deg/freq integer ratios; phrase score rounded 4dp, cut tie-broken.
+    "text_rake_keyphrases": f"""
+        WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        tk AS MATERIALIZED (
+            SELECT doc_id, i AS idx, toks[i + 1] AS tok
+            FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+                  FROM base)
+            WHERE toks[i + 1] <> ''
+        ),
+        runs AS (
+            SELECT doc_id, idx, tok,
+                   idx - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY idx) AS isl
+            FROM tk WHERE tok NOT IN ('the', 'a', 'of', 'and', 'to')
+        ),
+        ph AS MATERIALIZED (
+            SELECT string_agg(tok, ' ' ORDER BY idx) AS phrase,
+                   count(*)::BIGINT AS plen
+            FROM runs GROUP BY doc_id, isl
+        ),
+        wd AS MATERIALIZED (
+            SELECT w, sum(plen)::BIGINT AS deg, count(*)::BIGINT AS freq
+            FROM (SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM ph)
+            GROUP BY w
+        ),
+        pw AS (
+            SELECT phrase, count(*)::BIGINT AS occurrences,
+                   max(plen)::BIGINT AS n_words
+            FROM ph GROUP BY phrase
+        ),
+        ex AS (
+            SELECT pw.phrase, pw.occurrences, pw.n_words,
+                   unnest(string_split(pw.phrase, ' ')) AS w
+            FROM pw
+        ),
+        sc AS (
+            SELECT ex.phrase, ex.occurrences, ex.n_words,
+                   floor(sum(wd.deg / wd.freq) * 10000 + 0.5) / 10000 AS score
+            FROM ex JOIN wd ON wd.w = ex.w
+            GROUP BY 1, 2, 3
+        )
+        SELECT phrase, occurrences, n_words, score,
+               row_number() OVER (ORDER BY score DESC, phrase) AS rank
+        FROM sc ORDER BY score DESC, phrase LIMIT 20
     """,
     # Same exact-integer PMI ratio under one ln; ordering fully tie-broken
     # so the top-k cut is engine-independent.

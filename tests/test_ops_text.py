@@ -768,3 +768,18 @@ def test_pmi_prefers_exclusive_pairs(spark):
     rows = text.pmi_collocations({"documents": docs}, min_count=5, top=10).collect()
     ranks = {(r.w1, r.w2): r.rank for r in rows}
     assert ranks[("new", "york")] < ranks[("of", "the")]
+
+
+def test_rake_scores_phrases_above_parts(spark):
+    """A recurring multi-word phrase must outrank its constituent words:
+    phrase score sums member word scores, the RAKE property that makes it
+    a PHRASE extractor rather than a term counter."""
+    docs = spark.createDataFrame(
+        [(i, "neural scaling laws of the data and a neural scaling laws")
+         for i in range(3)],
+        "doc_id long, text string",
+    )
+    rows = text.rake_keyphrases({"documents": docs}, top=10).collect()
+    scores = {r.phrase: r.score for r in rows}
+    assert scores["neural scaling laws"] > scores["data"]
+    assert rows[0].phrase == "neural scaling laws" and rows[0].n_words == 3

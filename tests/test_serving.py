@@ -62,3 +62,18 @@ def test_basket_pairs_lift_discriminates(spark):
     row = got[0]
     assert (row.brand_a, row.brand_b) == ("A", "B")
     assert row.pair_ct == 10 and row.lift == pytest.approx(2.0)  # 10*20/(10*10)
+
+
+def test_compaction_plan_invariants(tables):
+    """Planning arithmetic: savings only when compaction is flagged, the
+    rewrite never plans more files than exist, and avg·n bounds total."""
+    from flink_210225_spark.operators.warehouse import compaction_plan
+
+    rows = compaction_plan(tables).collect()
+    assert rows
+    for r in rows:
+        assert r.needs_compaction == (r.n_files > r.target_files)
+        assert (r.files_saved > 0) == r.needs_compaction
+        if r.needs_compaction:
+            assert r.target_files + r.files_saved == r.n_files
+        assert r.avg_file_bytes * r.n_files <= r.total_bytes
