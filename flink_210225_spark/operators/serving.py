@@ -328,6 +328,74 @@ def basket_brand_pairs(tables: dict[str, DataFrame], limit: int = 20) -> DataFra
     return out.orderBy(F.desc("pair_ct"), "brand_a", "brand_b").limit(limit)
 
 
+def basket_triangles(tables: dict[str, DataFrame], min_support: int = 2) -> DataFrame:
+    """Triangle census of the co-purchase graph — the graph-analytics
+    capstone over the basket family (``serving_basket_pairs`` scores
+    EDGES; triangles + the global clustering coefficient say whether
+    those edges form cohesive product communities or hub-and-spoke
+    chains, the signal behind bundle mining and recommendation-graph
+    health checks). Nodes are parts, edges are part pairs co-ordered in
+    ≥ ``min_support`` baskets.
+
+    Algorithm is the standard distributed node-iterator++: canonicalize
+    edges u<v, build wedges only at each triangle's SMALLEST vertex
+    (e(a,b) ⋈ e(a,c), b<c — every triangle counted exactly once), close
+    them against the edge set — three equi-joins, no cartesian anywhere.
+    n_wedges comes from Σ C(deg,2) on the degree table (no wedge
+    materialization). Edges feed four consumers, so the support-filtered
+    edge table is localCheckpoint-ed once (the basket_pairs lesson).
+    Output is ONE row (counts exact integers; global_cc = 3T/W, an
+    integer ratio rounded 6dp), assembled via scalar subqueries — never a
+    1-row crossJoin (that plans BNLJ)."""
+    li = tables["lineitem"]
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b2 = b.select("o", F.col("p").alias("p2"))
+    e = (
+        b.join(b2, "o")
+        .where(F.col("p") < F.col("p2"))
+        .groupBy(F.col("p").alias("u"), F.col("p2").alias("v"))
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= min_support)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    nodes_wedges = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges"),
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+        )
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("t"))
+    )
+    one = li.sparkSession.range(1)
+    n_wedges = nodes_wedges.select("n_wedges").scalar()
+    n_tri = tri.select("t").scalar()
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return one.select(
+        nodes_wedges.select("n_nodes").scalar().alias("n_nodes"),
+        e.agg(F.count("*").alias("c")).scalar().alias("n_edges"),
+        n_wedges.alias("n_wedges"),
+        n_tri.alias("n_triangles"),
+        F.when(n_wedges > 0, r6(3 * n_tri / n_wedges)).alias("global_cc"),
+    )
+
+
 def pareto_abc(tables: dict[str, DataFrame]) -> DataFrame:
     """ABC / Pareto classification of brands by revenue: cumulative revenue
     share walks the brands best-first; class A covers the first 70% of
@@ -397,11 +465,49 @@ QUERIES = {
     "serving_ship_latency": ship_latency,
     "serving_rfm": rfm_segments,
     "serving_basket_pairs": basket_brand_pairs,
+    "serving_basket_triangles": basket_triangles,
     "serving_pareto_abc": pareto_abc,
     "warehouse_ttl_purge": ttl_purge_plan,
 }
 
 ORACLES = {
+    # Same node-iterator++ construction: canonical edges, wedges at the
+    # smallest vertex, closure join; all counts exact integers.
+    "serving_basket_triangles": """
+        WITH b AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        e AS MATERIALIZED (
+            SELECT b1.p AS u, b2.p AS v
+            FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        deg AS (
+            SELECT node, count(*)::BIGINT AS d
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY 1
+        ),
+        nw AS (
+            SELECT count(*)::BIGINT AS n_nodes,
+                   sum(d * (d - 1) // 2)::BIGINT AS n_wedges
+            FROM deg
+        ),
+        tri AS (
+            SELECT count(*)::BIGINT AS t
+            FROM (SELECT e1.v AS bb, e2.v AS c
+                  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v) w
+            JOIN e ON e.u = w.bb AND e.v = w.c
+        )
+        SELECT (SELECT n_nodes FROM nw) AS n_nodes,
+               (SELECT count(*) FROM e)::BIGINT AS n_edges,
+               (SELECT n_wedges FROM nw) AS n_wedges,
+               (SELECT t FROM tri) AS n_triangles,
+               CASE WHEN (SELECT n_wedges FROM nw) > 0
+                    THEN floor(3 * (SELECT t FROM tri)
+                               / (SELECT n_wedges FROM nw) * 1000000 + 0.5)
+                         / 1000000
+               END AS global_cc
+    """,
     "serving_pareto_abc": """
         WITH rev AS (
             SELECT p_brand AS brand,

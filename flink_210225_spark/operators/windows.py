@@ -630,8 +630,52 @@ def cusum_changepoint(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def seasonal_profile(tables: dict[str, DataFrame]) -> DataFrame:
+    """Day-of-week seasonal decomposition of the daily count series — the
+    seasonality-aware member of the anomaly family. ``window_daily_anomaly``
+    z-scores against the GLOBAL day distribution, so a perfectly normal
+    Saturday looks anomalous on a weekday-heavy metric; here each day is
+    compared to its own weekday's profile (season_ratio = count ÷ same-DOW
+    mean), the fold every weekly-seasonal alerting rule applies before
+    thresholding. Flags fire at ≥2× or ≤0.5× of the weekday norm.
+
+    Determinism: dow via ISO weekday (Spark weekday()+1 == DuckDB isodow),
+    season_ratio and dow_mean are integer-ratio divisions rounded 4dp, the
+    flag tests the ROUNDED ratio. Plan: the (day, type) rollup map-side
+    combines; the profile window partitions by (type, dow) over the
+    days-sized grid — same envelope as the anomaly siblings."""
+    ev = tables["events"]
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count("*").alias("pv_ct"))
+    base = daily.select(
+        "day",
+        "event_type",
+        "pv_ct",
+        (F.weekday(F.to_date("day")) + 1).cast("long").alias("dow"),
+    )
+    w = Window.partitionBy("event_type", "dow")
+    n = F.count("*").over(w)
+    tot = F.sum("pv_ct").over(w)
+
+    def r4(c: Column) -> Column:
+        return F.floor(c * 10000 + 0.5) / 10000
+
+    ratio = r4(F.col("pv_ct") * n / tot)
+    return base.select(
+        "day",
+        "event_type",
+        "dow",
+        "pv_ct",
+        r4(tot / n).alias("dow_mean"),
+        ratio.alias("season_ratio"),
+        ((ratio >= 2.0) | (ratio <= 0.5)).alias("is_seasonal_anomaly"),
+    )
+
+
 QUERIES = {
     "window_cusum": cusum_changepoint,
+    "window_seasonal": seasonal_profile,
     "window_ema": ema_per_user,
     "window_holt": holt_per_user,
     "window_anomaly_mad": daily_anomaly_mad,
@@ -685,6 +729,30 @@ ORACLES = {
                (cpos >= total_ct) AS shift_up,
                (cneg >= total_ct) AS shift_down
         FROM walk
+    """,
+    # Spark weekday()+1 == DuckDB isodow (Mon=1); integer-ratio divisions,
+    # flag on the rounded ratio.
+    "window_seasonal": """
+        WITH d AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   count(*)::BIGINT AS pv_ct
+            FROM events GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT day, event_type, isodow(day::DATE)::BIGINT AS dow, pv_ct,
+                   count(*) OVER (PARTITION BY event_type, isodow(day::DATE))
+                       AS n,
+                   sum(pv_ct) OVER (PARTITION BY event_type, isodow(day::DATE))
+                       AS tot
+            FROM d
+        )
+        SELECT day, event_type, dow, pv_ct,
+               floor(tot / n * 10000 + 0.5) / 10000 AS dow_mean,
+               floor(pv_ct * n / tot * 10000 + 0.5) / 10000 AS season_ratio,
+               (floor(pv_ct * n / tot * 10000 + 0.5) / 10000 >= 2.0
+                OR floor(pv_ct * n / tot * 10000 + 0.5) / 10000 <= 0.5)
+                   AS is_seasonal_anomaly
+        FROM g
     """,
     # Same interpolated-median semantics both engines (Spark median ==
     # DuckDB quantile_cont(0.5)); flag on the rounded score.

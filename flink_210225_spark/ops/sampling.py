@@ -301,8 +301,56 @@ def reservoir_weighted(tables: dict[str, DataFrame], k: int = 20) -> DataFrame:
     )
 
 
+def importance_resample(tables: dict[str, DataFrame]) -> DataFrame:
+    """REALIZE the DSIR policy — the resampling step the weights exist
+    for (Xie et al. 2023 §3: sample ∝ w to shift the corpus toward the
+    target domain). ``text_dsir_weights`` scores; this op turns scores
+    into per-doc copy counts with EXPECTED total = corpus size:
+    n_copies = ⌊N·w/W⌋ plus one more with probability frac(N·w/W), the
+    same systematic-resampling-with-stochastic-rounding every mixture
+    realizer here uses (``sample_temperature_repeats`` is the per-language
+    cousin; this one is per-document).
+
+    Exactness end-to-end: the 4dp-quantized logw makes exp(logw)
+    engine-identical, weights quantize to integer millionths, W and N are
+    exact integers, the base count is INTEGER division, and the Bernoulli
+    is an integer cross-multiply (u·W < rem·2¹⁶) against a seeded
+    16-bit md5 uniform — no float ever crosses an engine boundary.
+    Scale: one broadcast-model scoring pass (DSIR's own posture), one
+    2-scalar driver round-trip (W, N — the same justified scalar fetch
+    every global-constant op makes), then a stateless projection."""
+    from flink_210225_spark.ops.text import dsir_weights
+
+    docs = tables["documents"].select("doc_id", "lang")
+    d = dsir_weights(tables).select("doc_id", "logw")
+    base = docs.join(d, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.floor(F.exp("logw") * 1000000 + 0.5).cast("long").alias("wi"),
+    )
+    tot = base.agg(F.sum("wi").alias("w"), F.count("*").alias("n")).first()
+    W, N = int(tot["w"]), int(tot["n"])
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("resamp:"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    extra = F.when(
+        u * F.lit(W) < F.expr(f"(wi * {N}) % {W}") * F.lit(65536), F.lit(1)
+    ).otherwise(F.lit(0))
+    return base.select(
+        "doc_id",
+        "lang",
+        F.col("wi").alias("weight_u"),
+        (F.expr(f"(wi * {N}) div {W}") + extra).cast("long").alias("n_copies"),
+    )
+
+
 QUERIES = {
     "sample_hash_split": hash_split,
+    "sample_importance_resample": importance_resample,
     "sample_quota_per_group": quota_per_group,
     "sample_mixture_rate": mixture_downsample,
     "sample_stratified_exact": stratified_exact_split,
@@ -314,7 +362,33 @@ QUERIES = {
     "sample_reservoir_weighted": reservoir_weighted,
 }
 
+def _importance_resample_oracle() -> str:
+    # Reuses the dsir oracle verbatim as a CTE so weight scoring replays
+    # the exact gated pipeline; everything after it is integer arithmetic.
+    from flink_210225_spark.ops.text import ORACLES as _TEXT_ORACLES
+
+    return f"""
+        WITH dsir AS MATERIALIZED ({_TEXT_ORACLES["text_dsir_weights"]}),
+        b AS MATERIALIZED (
+            SELECT d.doc_id, doc.lang,
+                   floor(exp(d.logw) * 1000000 + 0.5)::BIGINT AS wi
+            FROM dsir d JOIN documents doc ON doc.doc_id = d.doc_id
+        ),
+        tot AS (SELECT sum(wi)::BIGINT AS w, count(*)::BIGINT AS n FROM b)
+        SELECT doc_id, lang, wi AS weight_u,
+               ((wi * (SELECT n FROM tot)) // (SELECT w FROM tot)
+                + CASE WHEN ('0x' || substr(md5('resamp:' || doc_id::VARCHAR),
+                                            1, 4))::UBIGINT::BIGINT
+                            * (SELECT w FROM tot)
+                         < ((wi * (SELECT n FROM tot)) % (SELECT w FROM tot))
+                            * 65536
+                       THEN 1 ELSE 0 END)::BIGINT AS n_copies
+        FROM b
+    """
+
+
 ORACLES = {
+    "sample_importance_resample": _importance_resample_oracle(),
     # Exact A-ES replay: same seeded md5 uniform, same ln(u)/w key, same
     # per-language top-k and tie-break.
     "sample_reservoir_weighted": """
