@@ -745,6 +745,79 @@ def image_ahash_groups(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def video_scene_cuts(tables: dict[str, DataFrame]) -> DataFrame:
+    """Scene-cut detection on a REAL per-frame codec path — the video
+    member of the real-decode family (image: ``image_ahash``, audio:
+    ``audio_vad``). Each document synthesizes a short clip as a sequence
+    of genuine 8×8 PNG frames (the MJPEG shape: every frame its own
+    container, scanline filter rotating per frame), the frame loop
+    decodes each one through the chunk-walk parser, and shot detection is
+    the classic luma-difference rule: a CUT where the frame-to-frame
+    pixel-sum delta beats 2× the clip's mean delta (strict integer
+    cross-multiply), shots = runs between cuts. The frame formula carries
+    a piecewise scene id, so real discontinuities exist for the detector
+    to find — and the oracle replays pixels, deltas, the threshold, and
+    the shot partition arithmetically, never touching container bytes.
+
+    Plan split mirrors production: decode + per-frame reduction in one
+    Arrow ``mapInPandas`` pass (per-clip cost, no shuffle); cut logic is
+    JVM window arithmetic over the frames rows — lag delta, clip-total
+    window, running cut count as the shot id, one clip-keyed Exchange."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 12 + 8).cast("int").alias("n_frames"),
+        (F.col("doc_id") % 4 + 3).cast("int").alias("scene_len"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("asset_id", "frame_idx", "framesum")}
+            for doc_id, nf, sl in zip(
+                pdf["doc_id"], pdf["n_frames"], pdf["scene_len"]
+            ):
+                doc_id, nf, sl = int(doc_id), int(nf), int(sl)
+                for f in range(nf):
+                    seed = doc_id * 13 + (f // sl) * 97 + f
+                    px = _parse_png(
+                        _png_bytes(seed, 8, 8, filter_type=f % 5)
+                    )["pixels"].astype(np.int64)
+                    out["asset_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["framesum"].append(int(px.sum()))
+            yield pd.DataFrame(out)
+
+    frames = base.mapInPandas(gen, "asset_id long, frame_idx long, framesum long")
+    from pyspark.sql import Window
+
+    worder = Window.partitionBy("asset_id").orderBy("frame_idx")
+    wall = Window.partitionBy("asset_id")
+    wrun = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = frames.withColumn(
+        "delta", F.abs(F.col("framesum") - F.lag("framesum").over(worder))
+    )
+    scored = d.select(
+        "asset_id",
+        "frame_idx",
+        "framesum",
+        "delta",
+        F.count("delta").over(wall).alias("n_deltas"),
+        F.sum("delta").over(wall).alias("total_delta"),
+    )
+    cut = (
+        F.col("delta").isNotNull()
+        & (F.col("delta") * F.col("n_deltas") > 2 * F.col("total_delta"))
+    ).cast("long")
+    shots = scored.withColumn("shot_id", F.sum(cut).over(wrun))
+    return shots.groupBy("asset_id", "shot_id").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.count("*").alias("n_frames"),
+        F.sum("framesum").alias("luma_sum"),
+    )
+
+
 def assets_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media assets derived from the documents fixture:
     payload = UTF-8 bytes of the text, kind by doc_id mod 3, frame count from
@@ -880,6 +953,7 @@ QUERIES = {
     "multimodal_png_tiles": png_tile_features,
     "multimodal_image_ahash": image_ahash_groups,
     "multimodal_audio_vad": audio_vad_segments,
+    "multimodal_video_cuts": video_scene_cuts,
     "multimodal_frame_plan": frame_plan_documents,
     "multimodal_audio_segments": audio_segments_documents,
     "multimodal_tile_plan": tile_plan_documents,
@@ -1060,6 +1134,51 @@ ORACLES = {
                    i -> (doc_id * 7 + (tile_x * 8 + i % tw) * 3
                          + (tile_y * 8 + i // tw) * 11) % 256))::BIGINT AS px_max
         FROM b
+    """,
+    # Per-frame pixel sums, luma deltas, the 2×-mean cut threshold, and
+    # the running-cut shot partition all replayed arithmetically; only a
+    # correct per-frame PNG decode reproduces the frame sums.
+    "multimodal_video_cuts": """
+        WITH a AS (
+            SELECT doc_id, (doc_id % 12 + 8)::BIGINT AS nf,
+                   (doc_id % 4 + 3)::BIGINT AS sl
+            FROM documents
+        ),
+        fr AS (
+            SELECT doc_id, sl, unnest(range(nf)) AS f FROM a
+        ),
+        s AS (
+            SELECT doc_id, f,
+                   list_sum(list_transform(range(64),
+                       i -> ((doc_id * 13 + (f // sl) * 97 + f) * 7
+                             + 3 * (i % 8) + 11 * (i // 8)) % 256))::BIGINT
+                       AS framesum
+            FROM fr
+        ),
+        d AS (
+            SELECT doc_id, f, framesum,
+                   abs(framesum - lag(framesum) OVER w) AS delta
+            FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+        ),
+        t AS (
+            SELECT doc_id, f, framesum, delta,
+                   count(delta) OVER (PARTITION BY doc_id) AS n_deltas,
+                   sum(delta) OVER (PARTITION BY doc_id) AS total_delta
+            FROM d
+        ),
+        sh AS (
+            SELECT doc_id, f, framesum,
+                   sum(CASE WHEN delta IS NOT NULL
+                                 AND delta * n_deltas > 2 * total_delta
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY f
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS shot_id
+            FROM t
+        )
+        SELECT doc_id AS asset_id, shot_id,
+               min(f) AS start_frame, count(*)::BIGINT AS n_frames,
+               sum(framesum)::BIGINT AS luma_sum
+        FROM sh GROUP BY doc_id, shot_id
     """,
     # Frame energies, the strict integer threshold, and the island merge
     # all replayed arithmetically from the PCM formula.

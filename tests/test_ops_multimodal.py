@@ -309,3 +309,23 @@ def test_audio_vad_segments_cover_active_frames(tables):
         assert sum(c for _s, c in got) == int(active.sum()), doc_id
         for (s1, c1), (s2, _c2) in zip(got, got[1:]):
             assert s1 + c1 < s2  # a gap separates islands
+
+
+def test_video_cuts_partition_frames(tables):
+    """Shots must partition each clip's frame range contiguously: starts
+    ordered by shot id, each shot's span ends where the next begins, and
+    the union covers all n_frames = doc_id % 12 + 8 frames."""
+    from flink_210225_spark.ops import multimodal as mm
+
+    shots = {}
+    for r in mm.video_scene_cuts(tables).collect():
+        shots.setdefault(r.asset_id, []).append((r.shot_id, r.start_frame, r.n_frames))
+    assert shots
+    for doc_id, ss in list(shots.items())[:50]:
+        ss.sort()
+        assert ss[0][1] == 0
+        pos = 0
+        for _sid, start, n in ss:
+            assert start == pos
+            pos += n
+        assert pos == doc_id % 12 + 8
