@@ -73,14 +73,17 @@ def _registry():
 # (CORRECTNESS_r01 checked exactly the first 50 of 114). Rotation policy:
 # each round, the front of the registry holds the oracle-gated queries with
 # no green CORRECTNESS row from any prior round; already-verified and
-# rows-only queries sort behind them. Round 4 window = the 21 never-gated
-# queries (the 6 that queued past round 3's 50-slot gate + this round's 15
-# new operators: windowed funnel + streaming twin, RFM, basket lift,
-# Markov transitions, Matryoshka/binary-sketch/outlier/PCA similarity
-# family, perplexity filter, Zipf profile, URL dedup, WAV DFT audit, PNG
-# tiles, point-in-time feature snapshot) + 29 re-gates of r1-green queries
-# no round has rechecked since — led by the two SCD2 queries whose
-# synthesized-ts multiplier changed this round.
+# rows-only queries sort behind them. Round 4 window = ALL 42 never-gated
+# queries (6 queued past round 3's gate + the 22 first-session operators +
+# the 14 second-session operators: CUSUM + seasonal anomaly, PMI / RAKE /
+# LR-trainer / BPE-merge text ops, path mining, image-aHash / audio-VAD /
+# video-cuts real-codec trio, compaction planner, JL audit, DSIR
+# resampler, triangle census) + 8 re-gates of r1-green queries no round
+# has rechecked — led by the two SCD2 queries whose synthesized-ts
+# multiplier changed in the first session. Round 5 queue: the remaining
+# r1-only greens (sql_* tumbles, join_skew_profile/interval_outer, the
+# window_* rollup family, log_*, session_gaps/window_native, …) plus the
+# 14 re-gates displaced this session.
 _CHECK_WINDOW = [
     # --- never driver-gated: queued from round 3 ---
     "join_salted",
@@ -112,26 +115,27 @@ _CHECK_WINDOW = [
     "text_bpe_pair_counts",
     "sim_contrastive_pairs",
     "text_quality_rrf",
+    # --- never driver-gated: new in round 4, second session ---
+    "window_cusum",
+    "window_seasonal",
+    "text_pmi_collocations",
+    "text_lr_quality_train",
+    "text_bpe_merge_round",
+    "text_rake_keyphrases",
+    "session_path_topk",
+    "multimodal_image_ahash",
+    "multimodal_audio_vad",
+    "multimodal_video_cuts",
+    "warehouse_compaction_plan",
+    "sim_rp_audit",
+    "sample_importance_resample",
+    "serving_basket_triangles",
     # --- r1-green re-gates (oldest verification, code touched first) ---
     "cdc_scd2_history",
     "cdc_scd2_lookup",
     "cdc_route_config",
     "serving_gmv",
-    "serving_trademark_topn",
-    "serving_category_topn",
-    "serving_spu_topn",
-    "serving_province",
-    "serving_visitor",
-    "serving_hourly",
-    "serving_keyword_topn",
-    "serving_ship_latency",
     "window_visitor_stats",
-    "window_product_stats",
-    "window_province_stats",
-    "window_keyword_stats",
-    "join_interval_order_detail",
-    "join_interval_payment",
-    "join_payment_wide",
     "join_order_wide",
     "join_asof_events",
     "state_new_visitor",
