@@ -161,22 +161,31 @@ def _parse_png(payload: bytes) -> dict:
             rec = line
         elif f == 2:  # Up
             rec = (line + up) & 0xFF
-        else:  # Sub / Average / Paeth need the left neighbor: scan per pixel
+        elif f == 1:  # Sub: per-byte-lane prefix sum mod 256 (vectorized)
             rec = np.zeros(stride, np.int32)
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(line[lane::bpp], dtype=np.int64) & 0xFF
+        else:  # Average / Paeth carry a true left-dependence: scan per
+            # pixel, but over plain python ints — numpy SCALAR indexing in
+            # this loop was the multimodal bench hot spot (≥3× slower).
+            line_l = line.tolist()
+            up_l = up.tolist()
+            rec_l = [0] * stride
             for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                ul = up[x - bpp] if x >= bpp else 0
-                if f == 1:  # Sub
-                    pred = left
-                elif f == 3:  # Average
-                    pred = (left + up[x]) // 2
+                left = rec_l[x - bpp] if x >= bpp else 0
+                if f == 3:  # Average
+                    pred = (left + up_l[x]) // 2
                 elif f == 4:  # Paeth
-                    p = left + up[x] - ul
-                    pa, pb, pc = abs(p - left), abs(p - up[x]), abs(p - ul)
-                    pred = left if pa <= pb and pa <= pc else up[x] if pb <= pc else ul
+                    ul = up_l[x - bpp] if x >= bpp else 0
+                    p = left + up_l[x] - ul
+                    pa, pb, pc = abs(p - left), abs(p - up_l[x]), abs(p - ul)
+                    pred = (
+                        left if pa <= pb and pa <= pc else up_l[x] if pb <= pc else ul
+                    )
                 else:
                     raise ValueError(f"bad PNG filter {f}")
-                rec[x] = (line[x] + pred) & 0xFF
+                rec_l[x] = (line_l[x] + pred) & 0xFF
+            rec = np.asarray(rec_l, dtype=np.int32)
         out[y] = rec.astype(np.uint8)
     return {
         "width": w,

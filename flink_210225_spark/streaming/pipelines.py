@@ -1650,6 +1650,262 @@ def funnel_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     return counts.selectExpr(f"stack({len(steps)}, {stack}) AS (stage, step, users)")
 
 
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("day", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("pv_ct", T.LongType()),
+        T.StructField("cusum_pos", T.LongType()),
+        T.StructField("cusum_neg", T.LongType()),
+        T.StructField("shift_up", T.BooleanType()),
+        T.StructField("shift_down", T.BooleanType()),
+    ]
+)
+# recurrence scalars + the reference-profile constants + watermark buffer
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cpos", T.LongType()),
+        T.StructField("cneg", T.LongType()),
+        T.StructField("n_days", T.LongType()),
+        T.StructField("total_ct", T.LongType()),
+        T.StructField("buf_days", T.ArrayType(T.StringType())),
+        T.StructField("buf_cts", T.ArrayType(T.LongType())),
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def make_cusum_func() -> Callable:
+    """Streaming twin of ``windows.cusum_changepoint``: the LITERAL Page
+    recurrence s_t = max(0, s_{t-1} + dev_t) carried as two integer
+    scalars of keyed state per metric — so the driver gate triangulates
+    three implementations of one contract (batch closed form, DuckDB
+    recursive CTE, streaming fold). Days wait in the watermark buffer and
+    feed the fold in day order (the make_pattern_func buffering
+    contract); the reference-profile constants (n_days, total_ct — a
+    prior batch job's output in production) arrive on each row via the
+    stream-static join and pin into state. Keys with no profile (the
+    sentinel group) buffer and emit nothing. State is bounded by the
+    event-type domain: two scalars + the not-yet-released buffer."""
+
+    def f(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        if state.exists:
+            cpos, cneg, nd, tot, bd, bc, bt = state.get
+            buf = list(zip(bd or [], bc or [], bt or []))
+        else:
+            cpos, cneg, nd, tot, buf = 0, 0, None, None, []
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs))
+            if len(rows) and nd is None and not pd.isna(rows["n_days"].iloc[0]):
+                nd = int(rows["n_days"].iloc[0])
+                tot = int(rows["total_ct"].iloc[0])
+            buf = buf + list(
+                zip(
+                    rows["day"],
+                    rows["pv_ct"],
+                    rows["ts"].astype("int64") // 1000,
+                )
+            )
+        ready = sorted((e for e in buf if e[2] <= wm_us), key=lambda e: e[0])
+        pending = [e for e in buf if e[2] > wm_us]
+        out = []
+        if nd is not None:
+            for day, ct, _ts in ready:
+                dev = int(ct) * nd - tot
+                cpos = max(0, cpos + dev)
+                cneg = max(0, cneg - dev)
+                out.append(
+                    (str(day), etype, int(ct), cpos, cneg, cpos >= tot, cneg >= tot)
+                )
+        state.update(
+            (
+                int(cpos),
+                int(cneg),
+                None if nd is None else int(nd),
+                None if tot is None else int(tot),
+                [str(e[0]) for e in pending],
+                [int(e[1]) for e in pending],
+                [int(e[2]) for e in pending],
+            )
+        )
+        if pending:
+            state.setTimeoutTimestamp(
+                max(min(e[2] for e in pending) // 1000, wm_ms + 1)
+            )
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "day", "event_type", "pv_ct", "cusum_pos", "cusum_neg",
+                    "shift_up", "shift_down",
+                ],
+            )
+
+    return f
+
+
+def cusum_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
+    """Eighth driver-checkable END-TO-END streaming query — and the first
+    CHAINED two-stage streaming pipeline under the gate (the bronze→
+    silver cascade every production lakehouse runs): stage 1 replays the
+    events fixture file-by-file through a watermark-flushed 1-day tumble
+    into an exactly-once parquet sink; stage 2 re-ingests THAT sink's
+    files as a second stream (maxFilesPerTrigger=1, so daily rows cross
+    micro-batch boundaries), stream-static joins the reference profile
+    (n_days/total per type, a prior batch job's output), and folds the
+    Page CUSUM recurrence as keyed state with watermark-ordered
+    buffering. Two far-future day sentinels staged after the stage-1
+    output flush the buffers (first raises the watermark, second fires
+    the timers against it). Output == batch ``window_cusum`` row-for-row,
+    so ONE oracle hash-gates: the window flush, the file-sink commit log,
+    the re-ingest, the stream-static join, the buffer release order, and
+    the recurrence itself."""
+    ev = tables["events"]
+    spark = ev.sparkSession
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(*_local_paths(ev))
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+    ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
+    if ts_is_long:
+        batch_ev = raw.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp")
+        )
+    else:
+        batch_ev = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    profile = (
+        batch_ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(F.count("*").alias("pv_ct"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"), F.sum("pv_ct").alias("total_ct")
+        )
+    )
+    # ---- stage 1 (bronze): watermark-flushed daily counts ----
+    bronze_out = _scratch(prefix="cusum_stream_bronze_")
+    bronze_cp = _scratch(prefix="cusum_stream_bronze_cp_")
+    srcdir = _scratch(prefix="cusum_stream_src_")
+    _stage_fixture(ev, srcdir, "events")
+    for i, hours in enumerate((2, 4)):
+        if ts_is_long:
+            sent_ts = max_ts + hours * 3_600_000_000_000
+        else:
+            from datetime import timedelta
+
+            sent_ts = max_ts + timedelta(hours=hours)
+        sent = spark.createDataFrame(
+            [(-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}")], raw.schema
+        )
+        sdir = _scratch(prefix=f"cusum_stream_sentinel{i}_")
+        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        os.link(os.path.join(sdir, part), os.path.join(srcdir, f"sentinel_{i}.parquet"))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+    if ts_is_long:
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp")
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    daily = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("pv_ct"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.col("pv_ct").cast("long").alias("pv_ct"),
+        )
+    )
+    with _stream_shuffle(spark):
+        q = (
+            daily.writeStream.format("parquet")
+            .option("path", bronze_out)
+            .option("checkpointLocation", bronze_cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # ---- stage 2 (silver): re-ingest the bronze sink + CUSUM state ----
+    landing = _scratch(prefix="cusum_stream_silver_src_")
+    parts = sorted(
+        f for f in os.listdir(bronze_out) if f.endswith(".parquet")
+    )
+    for i, f_ in enumerate(parts):
+        os.link(os.path.join(bronze_out, f_), os.path.join(landing, f"b{i}.parquet"))
+    import datetime as _dt
+
+    span = batch_ev.agg(
+        F.min(F.date_format("ts", "yyyy-MM-dd")).alias("lo"),
+        F.max(F.date_format("ts", "yyyy-MM-dd")).alias("hi"),
+    ).collect()[0]
+    max_day = _dt.date.fromisoformat(span["hi"])
+    # The bronze sink's part files carry NO cross-file time order (each
+    # flush batch hash-partitions (day, type) rows over the shuffle), so
+    # a file-by-file re-ingest sees days arbitrarily out of order. The
+    # silver watermark delay must cover that full disorder — the series
+    # span plus margin — or later-file rows behind the watermark are
+    # dropped as late data before they reach the stateful operator
+    # (measured: 50/150 rows survive with a 1-second delay).
+    delay_days = (max_day - _dt.date.fromisoformat(span["lo"])).days + 2
+    for i, extra in enumerate((2, 4)):
+        sent = spark.createDataFrame(
+            [
+                (
+                    str(max_day + _dt.timedelta(days=delay_days + extra)),
+                    "__sentinel__",
+                    0,
+                )
+            ],
+            "day string, event_type string, pv_ct long",
+        )
+        sdir = _scratch(prefix=f"cusum_stream_silver_sentinel{i}_")
+        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        os.link(
+            os.path.join(sdir, part), os.path.join(landing, f"sentinel_{i}.parquet")
+        )
+    silver = (
+        spark.readStream.schema("day string, event_type string, pv_ct long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withColumn("ts", F.to_timestamp("day"))
+        .join(F.broadcast(profile), "event_type", "left")
+        .withWatermark("ts", f"{delay_days} days")
+    )
+    out = _scratch(prefix="cusum_stream_out_")
+    cp = _scratch(prefix="cusum_stream_cp_")
+    result = silver.groupBy("event_type").applyInPandasWithState(
+        make_cusum_func(),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    with _stream_shuffle(spark):
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out).filter(F.col("event_type") != "__sentinel__")
+
+
 def _visitor_stats_oracle() -> str:
     from flink_210225_spark.operators.windows import ORACLES as _WINDOW_ORACLES
 
@@ -1665,7 +1921,14 @@ QUERIES = {
     "stream_stateful_materialized": stateful_stream_materialized,
     "stream_enrich_materialized": enrich_stream_materialized,
     "stream_funnel_materialized": funnel_stream_materialized,
+    "stream_cusum_materialized": cusum_stream_materialized,
 }
+
+
+def _cusum_oracle() -> str:
+    from flink_210225_spark.operators.windows import ORACLES as _WINDOW_ORACLES
+
+    return _WINDOW_ORACLES["window_cusum"]
 
 
 def _jump_oracle() -> str:
@@ -1728,4 +1991,7 @@ ORACLES = {
         LEFT JOIN nation ON c_nationkey = n_nationkey
     """,
     "stream_funnel_materialized": _funnel_oracle(),
+    # the two-stage streaming cascade must equal the batch closed form,
+    # which the recursive-CTE recurrence oracle already gates
+    "stream_cusum_materialized": _cusum_oracle(),
 }

@@ -900,3 +900,17 @@ def test_funnel_stream_cross_batch_disorder(spark, tmp_path):
     for r in got:
         depth[r.user_id] = max(depth.get(r.user_id, 0), r.depth)
     assert depth[1] == 3
+
+
+def test_cusum_stream_materialized_two_stage_cascade(tables):
+    """The bronze→silver chained pipeline must equal the batch closed form
+    exactly: the bronze sink's hash-scattered part files replay days
+    genuinely out of order into the silver stage, so a passing hash also
+    proves the watermark-buffered recurrence is disorder-correct."""
+    from flink_210225_spark.streaming import pipelines as sp
+
+    from .conftest import SF_DIR
+    from .oracle import assert_matches_oracle
+
+    df = sp.QUERIES["stream_cusum_materialized"](tables)
+    assert_matches_oracle(df, sp.ORACLES["stream_cusum_materialized"], SF_DIR)
