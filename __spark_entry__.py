@@ -73,17 +73,19 @@ def _registry():
 # (CORRECTNESS_r01 checked exactly the first 50 of 114). Rotation policy:
 # each round, the front of the registry holds the oracle-gated queries with
 # no green CORRECTNESS row from any prior round; already-verified and
-# rows-only queries sort behind them. Round 4 window = ALL 42 never-gated
+# rows-only queries sort behind them. Round 4 window = ALL 47 never-gated
 # queries (6 queued past round 3's gate + the 22 first-session operators +
-# the 14 second-session operators: CUSUM + seasonal anomaly, PMI / RAKE /
-# LR-trainer / BPE-merge text ops, path mining, image-aHash / audio-VAD /
-# video-cuts real-codec trio, compaction planner, JL audit, DSIR
-# resampler, triangle census) + 8 re-gates of r1-green queries no round
-# has rechecked — led by the two SCD2 queries whose synthesized-ts
-# multiplier changed in the first session. Round 5 queue: the remaining
-# r1-only greens (sql_* tumbles, join_skew_profile/interval_outer, the
-# window_* rollup family, log_*, session_gaps/window_native, …) plus the
-# 14 re-gates displaced this session.
+# the 19 second-session operators: CUSUM + streaming-CUSUM cascade +
+# seasonal anomaly, PMI / RAKE / LR-trainer / BPE-merge / chunk-dedup
+# text ops, path mining + bounce rate, image-aHash / audio-VAD /
+# video-cuts real-codec trio, compaction + vacuum planners, JL audit,
+# filtered top-k, DSIR resampler, triangle census) + 3 re-gates of
+# r1-green queries no round has rechecked — led by the two SCD2 queries
+# whose synthesized-ts multiplier changed in the first session. Round 5
+# queue: the remaining r1-only greens (sql_* tumbles,
+# join_skew_profile/interval_outer, the window_* rollup family, log_*,
+# session_gaps/window_native, serving_* endpoints, …) plus the 19
+# re-gates displaced this session.
 _CHECK_WINDOW = [
     # --- never driver-gated: queued from round 3 ---
     "join_salted",
@@ -130,15 +132,15 @@ _CHECK_WINDOW = [
     "sim_rp_audit",
     "sample_importance_resample",
     "serving_basket_triangles",
+    "stream_cusum_materialized",
+    "session_bounce_rate",
+    "text_chunk_dedup_stats",
+    "sim_filtered_topk",
+    "warehouse_vacuum_orphans",
     # --- r1-green re-gates (oldest verification, code touched first) ---
     "cdc_scd2_history",
     "cdc_scd2_lookup",
     "cdc_route_config",
-    "serving_gmv",
-    "window_visitor_stats",
-    "join_order_wide",
-    "join_asof_events",
-    "state_new_visitor",
 ]
 
 

@@ -341,9 +341,34 @@ def path_trigrams_topk(tables: dict[str, DataFrame], top: int = 20) -> DataFrame
     )
 
 
+def bounce_rate_daily(tables: dict[str, DataFrame]) -> DataFrame:
+    """Daily bounce rate — the engagement-quality rollup over the
+    sessionizer (a bounce = a session that ends after one event; the
+    canonical landing-page health metric). Composes ``sessionize``
+    directly, so the gaps-and-islands machinery sits under this hash too.
+    Plan: the session table rolls up per start-day — one extra
+    map-side-combined groupBy over session-sized (not event-sized) rows.
+    bounce_rate = floor(nb·10⁴/ns + 0.5)/10⁴ — integer-ratio division,
+    bit-identical cross-engine."""
+    s = sessionize(tables)
+    daily = s.groupBy(F.substring("session_start", 1, 10).alias("day")).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+    )
+    return daily.select(
+        "day",
+        "n_sessions",
+        "n_bounces",
+        (
+            F.floor(F.col("n_bounces") * 10000.0 / F.col("n_sessions") + 0.5) / 10000
+        ).alias("bounce_rate"),
+    )
+
+
 QUERIES = {
     "session_gaps_islands": sessionize,
     "session_path_topk": path_trigrams_topk,
+    "session_bounce_rate": bounce_rate_daily,
     "session_window_native": lambda tables: session_window_agg(tables["events"]),
     "session_funnel": funnel_conversion,
     "session_funnel_windowed": funnel_windowed,
@@ -353,6 +378,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    "session_bounce_rate": """
+        WITH gapped AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        seq AS (
+            SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                          AS session_seq
+            FROM gapped
+        ),
+        sess AS (
+            SELECT user_id, session_seq,
+                   strftime(min(ts), '%Y-%m-%d') AS day,
+                   count(*) AS n_events
+            FROM seq GROUP BY user_id, session_seq
+        )
+        SELECT day,
+               count(*)::BIGINT AS n_sessions,
+               sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+               floor(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000.0
+                     / count(*) + 0.5) / 10000 AS bounce_rate
+        FROM sess GROUP BY day
+    """,
     "session_path_topk": """
         WITH t AS (
             SELECT event_type AS e1,

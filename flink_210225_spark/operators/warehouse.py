@@ -180,6 +180,19 @@ def delete_cascade(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _file_inventory(orders: DataFrame) -> DataFrame:
+    """The synthesized per-partition file inventory BOTH maintenance
+    planners read (partition = order month, file = write-task bucket
+    ``o_orderkey % 16``, bytes = 120·rows — a row-size stand-in for the
+    filesystem listing / catalog manifest a real planner consumes). One
+    shared derivation so the compaction and vacuum plans can never
+    disagree about what is on disk."""
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part_month"),
+        (F.col("o_orderkey") % 16).alias("bucket"),
+    ).agg((F.count("*") * 120).alias("file_bytes"))
+
+
 def compaction_plan(
     tables: dict[str, DataFrame], target_bytes: int = 4096
 ) -> DataFrame:
@@ -204,10 +217,7 @@ def compaction_plan(
     catalog/manifest instead, same shape — the planner never touches data
     bytes, which is what makes it schedulable as a cheap scan-free job."""
     orders = tables["orders"]
-    files = orders.groupBy(
-        F.date_format("o_orderdate", "yyyy-MM").alias("part_month"),
-        (F.col("o_orderkey") % 16).alias("bucket"),
-    ).agg((F.count("*") * 120).alias("file_bytes"))
+    files = _file_inventory(orders)
     parts = files.groupBy("part_month").agg(
         F.count("*").alias("n_files"),
         F.sum("file_bytes").alias("total_bytes"),
@@ -230,14 +240,103 @@ def compaction_plan(
     )
 
 
+def vacuum_orphans(tables: dict[str, DataFrame]) -> DataFrame:
+    """Orphan-file reconciliation — the VACUUM planning pass of every
+    manifest-tracked table format (Delta/Iceberg/Hudi): list the data
+    directory, anti-join against the manifest, and report what a vacuum
+    would reclaim per partition. The inventory is synthesized
+    deterministically from orders (live manifest = current-generation
+    files; even-numbered months were compacted to gen 1, leaving their
+    gen-0 predecessors on disk; the gen-0 listing derives from the
+    'F'-status subset — the pre-rewrite state), standing in for the
+    filesystem listing + manifest read; the reconciliation itself is the
+    real algorithm: a (month, bucket, gen)-keyed LEFT ANTI join, then a
+    months-sized rollup. At 100 TB both inputs are metadata (catalog +
+    listing), never data bytes — the anti-join keys are file paths."""
+    orders = tables["orders"]
+    cur = _file_inventory(orders)
+    old = _file_inventory(orders.where(F.col("o_orderstatus") == "F"))
+    rewritten = F.pmod(F.substring("part_month", 6, 2).cast("int"), F.lit(2)) == 0
+    manifest = cur.where(rewritten).withColumn("gen", F.lit(1)).unionByName(
+        cur.where(~rewritten).withColumn("gen", F.lit(0))
+    )
+    on_disk_old = old.withColumn("gen", F.lit(0))
+    orphans = on_disk_old.join(
+        manifest.select("part_month", "bucket", "gen"),
+        ["part_month", "bucket", "gen"],
+        "left_anti",
+    )
+    live = manifest.groupBy("part_month").agg(
+        F.count("*").alias("n_live"), F.sum("file_bytes").alias("live_bytes")
+    )
+    orph = orphans.groupBy("part_month").agg(
+        F.count("*").alias("n_orphans"), F.sum("file_bytes").alias("orphan_bytes")
+    )
+    return (
+        live.join(orph, "part_month", "left")
+        .select(
+            "part_month",
+            "n_live",
+            "live_bytes",
+            F.coalesce("n_orphans", F.lit(0)).cast("long").alias("n_orphans"),
+            F.coalesce("orphan_bytes", F.lit(0)).cast("long").alias("orphan_bytes"),
+            (F.coalesce("n_orphans", F.lit(0)) > 0).alias("needs_vacuum"),
+        )
+    )
+
+
 QUERIES = {
     "warehouse_compaction_plan": compaction_plan,
+    "warehouse_vacuum_orphans": vacuum_orphans,
     "warehouse_dq_profile": dq_profile_events,
     "warehouse_snapshot_diff": snapshot_diff_demo,
     "warehouse_delete_cascade": delete_cascade,
 }
 
 ORACLES = {
+    "warehouse_vacuum_orphans": """
+        WITH cur AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+                   o_orderkey % 16 AS bucket,
+                   (count(*) * 120)::BIGINT AS file_bytes
+            FROM orders GROUP BY 1, 2
+        ),
+        old AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+                   o_orderkey % 16 AS bucket,
+                   (count(*) * 120)::BIGINT AS file_bytes
+            FROM orders WHERE o_orderstatus = 'F' GROUP BY 1, 2
+        ),
+        manifest AS (
+            SELECT part_month, bucket, file_bytes,
+                   CASE WHEN substr(part_month, 6, 2)::INT % 2 = 0
+                        THEN 1 ELSE 0 END AS gen
+            FROM cur
+        ),
+        orphans AS (
+            SELECT o.part_month, o.bucket, o.file_bytes
+            FROM old o
+            LEFT JOIN manifest m
+              ON m.part_month = o.part_month AND m.bucket = o.bucket
+                 AND m.gen = 0
+            WHERE m.part_month IS NULL
+        ),
+        live AS (
+            SELECT part_month, count(*)::BIGINT AS n_live,
+                   sum(file_bytes)::BIGINT AS live_bytes
+            FROM manifest GROUP BY 1
+        ),
+        orph AS (
+            SELECT part_month, count(*)::BIGINT AS n_orphans,
+                   sum(file_bytes)::BIGINT AS orphan_bytes
+            FROM orphans GROUP BY 1
+        )
+        SELECT l.part_month, l.n_live, l.live_bytes,
+               coalesce(o.n_orphans, 0)::BIGINT AS n_orphans,
+               coalesce(o.orphan_bytes, 0)::BIGINT AS orphan_bytes,
+               coalesce(o.n_orphans, 0) > 0 AS needs_vacuum
+        FROM live l LEFT JOIN orph o ON o.part_month = l.part_month
+    """,
     "warehouse_compaction_plan": """
         WITH files AS (
             SELECT strftime(o_orderdate, '%Y-%m') AS part_month,

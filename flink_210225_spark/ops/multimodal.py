@@ -655,8 +655,6 @@ def audio_vad_segments(
     Exchange. The oracle replays the PCM formula, framing, threshold, and
     islands arithmetically — decoded sample values, frame boundaries, the
     strict threshold, and island extents all sit under the driver hash."""
-    import numpy as np
-
     docs = tables["documents"]
     base = docs.select(
         "doc_id", (F.col("n_chars") % 200 + 50).cast("int").alias("n")

@@ -1851,6 +1851,61 @@ def contrastive_pairs(
     )
 
 
+def filtered_topk(
+    tables: dict[str, DataFrame], num_queries: int = 20, k: int = 5
+) -> DataFrame:
+    """Metadata-FILTERED exact search — the "filtered ANN" contract every
+    production vector store exposes (search only among vectors whose
+    metadata matches the query's predicate; here: same label). Done wrong,
+    filtering happens AFTER retrieval and starves strict predicates of
+    results; done right — as here — the predicate joins INTO candidate
+    generation, so every query returns k true in-filter neighbors.
+
+    The plan is strictly BETTER than the unfiltered baseline's: the label
+    predicate turns the candidate join into an EQUI-join (hash-join on
+    label, queries broadcast) instead of the whitelisted
+    brute-force-nested-loop baseline — at scale the label is the
+    partition/cell key and this is partition-pruned search. Deterministic
+    ranking: 6dp cosine desc, neighbor id asc."""
+    emb = tables["embeddings"]
+    v = _as_double(F.col("embedding"))
+    base = emb.select("vec_id", "label", v.alias("v"), _norm(v).alias("nrm"))
+    q = base.filter(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    n = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
+    )
+    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    scored = (
+        F.broadcast(q)
+        .join(
+            n,
+            (F.col("qlabel") == F.col("nlabel"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cosine", F.floor(cos * 1000000 + 0.5) / 1000000)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            "neighbor_id",
+            "cosine",
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
 def rp_audit(tables: dict[str, DataFrame], k: int = 16) -> DataFrame:
     """Johnson–Lindenstrauss random-projection audit: project the 64-d
     embeddings to ``k`` dims with a deterministic ±1 sign matrix
@@ -1942,6 +1997,7 @@ def rp_audit(tables: dict[str, DataFrame], k: int = 16) -> DataFrame:
 QUERIES = {
     "sim_cosine_topk": cosine_topk,
     "sim_rp_audit": rp_audit,
+    "sim_filtered_topk": filtered_topk,
     "sim_mips_topk": mips_topk,
     "sim_mips_audit": mips_recall_audit,
     # rows-only (xxhash64 hyperplanes); recall hash-gated by sim_mips_audit
@@ -2101,6 +2157,21 @@ ORACLES = {
         SELECT count(*)::BIGINT AS n_queries, 0.70::DOUBLE AS recall_floor,
                TRUE AS recall_ok
         FROM embeddings WHERE vec_id < 20
+    """,
+    "sim_filtered_topk": f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, q.label, n.vec_id AS neighbor_id,
+                   floor(({_COS}) * 1000000 + 0.5) / 1000000 AS cosine
+            FROM embeddings q
+            JOIN embeddings n ON q.label = n.label AND q.vec_id != n.vec_id
+            WHERE q.vec_id < 20
+        )
+        SELECT query_id, label, neighbor_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id ASC)
+                          AS rank
+            FROM scored
+        ) WHERE rank <= 5
     """,
     "sim_cosine_topk": f"""
         WITH scored AS (

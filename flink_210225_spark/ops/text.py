@@ -1182,6 +1182,43 @@ def cdc_chunks(
     )
 
 
+def chunk_dedup_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """Chunk-level storage-dedup accounting — WHY content-defined chunking
+    exists (backup/dedup systems measure exactly this): group the CDC
+    chunks by digest and report corpus totals — chunk instances vs unique
+    chunks, token mass before vs after chunk-level dedup, and the dedup
+    ratio. Doc-level dedup (``dedup_exact``) misses near-identical
+    documents; chunk granularity recovers the shared sub-document mass.
+    Composes ``cdc_chunks`` directly, so boundary determinism sits under
+    this hash too. Plan: one digest-keyed map-side-combined groupBy over
+    the chunk table, then a single global rollup row; all counts exact
+    integers, ratio = integer-ratio division 6dp."""
+    per = cdc_chunks(tables).groupBy("chunk_digest").agg(
+        F.count("*").alias("ct"),
+        # same digest ⇒ same token sequence ⇒ same length
+        F.max("chunk_len").alias("clen"),
+    )
+    agg = per.agg(
+        F.sum("ct").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_unique_chunks"),
+        F.sum(F.col("ct") * F.col("clen")).cast("long").alias("tokens_total"),
+        F.sum("clen").cast("long").alias("tokens_unique"),
+    )
+    return agg.select(
+        "n_chunks",
+        "n_unique_chunks",
+        "tokens_total",
+        "tokens_unique",
+        (F.col("tokens_total") - F.col("tokens_unique")).alias("tokens_saved"),
+        (
+            F.floor(
+                F.col("tokens_unique") * 1000000.0 / F.col("tokens_total") + 0.5
+            )
+            / 1000000
+        ).alias("dedup_ratio"),
+    )
+
+
 def corpus_manifest(
     tables: dict[str, DataFrame],
     min_quality: float = 0.55,
@@ -2131,6 +2168,7 @@ QUERIES = {
     "text_bloom_contamination": bloom_contamination,
     "text_line_filter": line_filter,
     "text_cdc_chunks": cdc_chunks,
+    "text_chunk_dedup_stats": chunk_dedup_stats,
     "text_corpus_manifest": corpus_manifest,
     "text_turn_mask_plan": turn_mask_plan,
     "text_perplexity_filter": perplexity_filter,
@@ -3334,3 +3372,27 @@ ORACLES = {
         FROM c9 GROUP BY c
     """,
 }
+
+# Composes the gated cdc_chunks oracle verbatim as a CTE, then the same
+# digest rollup — chunk boundaries, digests, AND the dedup accounting all
+# under one hash.
+ORACLES["text_chunk_dedup_stats"] = f"""
+    WITH ch AS MATERIALIZED ({ORACLES["text_cdc_chunks"]}),
+    per AS (
+        SELECT chunk_digest, count(*)::BIGINT AS ct,
+               max(chunk_len)::BIGINT AS clen
+        FROM ch GROUP BY chunk_digest
+    ),
+    agg AS (
+        SELECT sum(ct)::BIGINT AS n_chunks,
+               count(*)::BIGINT AS n_unique_chunks,
+               sum(ct * clen)::BIGINT AS tokens_total,
+               sum(clen)::BIGINT AS tokens_unique
+        FROM per
+    )
+    SELECT n_chunks, n_unique_chunks, tokens_total, tokens_unique,
+           (tokens_total - tokens_unique)::BIGINT AS tokens_saved,
+           floor(tokens_unique * 1000000.0 / tokens_total + 0.5) / 1000000
+               AS dedup_ratio
+    FROM agg
+"""

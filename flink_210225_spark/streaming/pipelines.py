@@ -1794,13 +1794,17 @@ def cusum_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     bronze_cp = _scratch(prefix="cusum_stream_bronze_cp_")
     srcdir = _scratch(prefix="cusum_stream_src_")
     _stage_fixture(ev, srcdir, "events")
-    for i, hours in enumerate((2, 4)):
+    # Sentinel offsets are DAY-granular here (+1d/+2d), not the sibling
+    # capstones' +2h/+4h: those tumble by hour, this stage tumbles by DAY,
+    # and an hour-scale sentinel only flushes the final day's window when
+    # the fixture's last event happens to fall late enough in the day.
+    for i, days_off in enumerate((1, 2)):
         if ts_is_long:
-            sent_ts = max_ts + hours * 3_600_000_000_000
+            sent_ts = max_ts + days_off * 24 * 3_600_000_000_000
         else:
             from datetime import timedelta
 
-            sent_ts = max_ts + timedelta(hours=hours)
+            sent_ts = max_ts + timedelta(days=days_off)
         sent = spark.createDataFrame(
             [(-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}")], raw.schema
         )
