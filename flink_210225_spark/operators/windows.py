@@ -673,9 +673,40 @@ def seasonal_profile(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def wow_growth(tables: dict[str, DataFrame]) -> DataFrame:
+    """Week-over-week growth per event type — the reporting-calendar
+    member of the trend family (``window_moving_avg`` smooths hours,
+    ``window_ema``/``holt`` track per-entity recurrences; WoW is the
+    number product reviews quote). Weeks are ISO date_trunc('week')
+    buckets (Monday start in BOTH engines); growth compares each week to
+    its predecessor BY POSITION over the per-type week series — a lag()
+    over the weeks-sized rollup, one Exchange. First week per type has
+    NULL prev/growth (nothing to compare — the same empty-frame contract
+    as the moving average). growth = floor((ct−prev)·10⁴/prev + 0.5)/10⁴,
+    integer-ratio exact."""
+    ev = tables["events"]
+    weekly = ev.groupBy(
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+        "event_type",
+    ).agg(F.count("*").alias("pv_ct"))
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    prev = F.lag("pv_ct").over(w)
+    growth = F.floor((F.col("pv_ct") - prev) * 10000.0 / prev + 0.5) / 10000
+    return weekly.select(
+        "week_start",
+        "event_type",
+        "pv_ct",
+        prev.alias("prev_ct"),
+        growth.alias("wow_growth"),
+    )
+
+
 QUERIES = {
     "window_cusum": cusum_changepoint,
     "window_seasonal": seasonal_profile,
+    "window_wow_growth": wow_growth,
     "window_ema": ema_per_user,
     "window_holt": holt_per_user,
     "window_anomaly_mad": daily_anomaly_mad,
@@ -729,6 +760,19 @@ ORACLES = {
                (cpos >= total_ct) AS shift_up,
                (cneg >= total_ct) AS shift_down
         FROM walk
+    """,
+    "window_wow_growth": """
+        WITH weekly AS (
+            SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+                   event_type, count(*)::BIGINT AS pv_ct
+            FROM events GROUP BY 1, 2
+        )
+        SELECT week_start, event_type, pv_ct,
+               lag(pv_ct) OVER w AS prev_ct,
+               floor((pv_ct - lag(pv_ct) OVER w) * 10000.0
+                     / lag(pv_ct) OVER w + 0.5) / 10000 AS wow_growth
+        FROM weekly
+        WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
     """,
     # Spark weekday()+1 == DuckDB isodow (Mon=1); integer-ratio divisions,
     # flag on the rounded ratio.

@@ -54,6 +54,24 @@ def normalized_dedup(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def token_sort_dedup(tables: dict[str, DataFrame]) -> DataFrame:
+    """Exact dedup under TOKEN-SORT canonicalization — the bag-of-words
+    member of the normalization ladder (``dedup_exact`` is byte-level,
+    ``dedup_normalized`` is case/whitespace-level; sorting the tokens
+    makes reorderings collide, the fuzzywuzzy token_sort_ratio idea at
+    exact-match cost). Catches shuffled boilerplate, reordered CSV-ish
+    listings, and template permutations that every weaker canonicalizer
+    misses, at the same one-digest-shuffle scale shape. Normalization
+    composes with the CCNet step (lowercase first), then sorts the token
+    multiset and digests it."""
+    docs = tables["documents"]
+    toks = tokens_col(F.lower(F.trim(F.col("text"))))
+    canon = F.concat_ws(" ", F.array_sort(toks))
+    return docs.groupBy(F.md5(canon).alias("ts_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_ct")
+    )
+
+
 # --- n-gram (shingle) machinery shared by jaccard + minhash ---
 
 
@@ -1833,6 +1851,7 @@ def _pagerank_oracle(iters: int = 8) -> str:
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_normalized": normalized_dedup,
+    "dedup_token_sort": token_sort_dedup,
     "dedup_keep_best": keep_best_dedup,
     "dedup_shingle_hotspots": shingle_hotspots,
     "dedup_span_stats": span_dedup,
@@ -1892,6 +1911,15 @@ ORACLES = {
     """,
     "dedup_normalized": """
         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_hash,
+               min(doc_id) AS keep_id, count(*) AS dup_ct
+        FROM documents
+        GROUP BY 1
+    """,
+    # Binary-collation list_sort == Spark array_sort on UTF8 tokens.
+    "dedup_token_sort": """
+        SELECT md5(array_to_string(
+                   list_sort(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                   ' ')) AS ts_hash,
                min(doc_id) AS keep_id, count(*) AS dup_ct
         FROM documents
         GROUP BY 1

@@ -301,6 +301,68 @@ def reservoir_weighted(tables: dict[str, DataFrame], k: int = 20) -> DataFrame:
     )
 
 
+def kfold_assign(tables: dict[str, DataFrame], k: int = 5) -> DataFrame:
+    """K-fold cross-validation assignment — the eval-protocol sibling of
+    ``hash_split`` (that one cuts train/val/test once; k-fold gives every
+    doc exactly one held-out fold for variance-aware evaluation). Keyed by
+    CONTENT hash, so byte-identical duplicates always share a fold and can
+    never sit on both sides of a CV boundary — the same leak guard the
+    split op carries. fold = first-32-md5-bits mod k (uniform, stable,
+    re-run-identical); fold_size rides a fold-keyed window so the
+    assignment table doubles as the balance report. Stateless projection +
+    one k-sized window — no shuffle of consequence at any scale."""
+    docs = tables["documents"]
+    fold = F.pmod(
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long"), F.lit(k)
+    )
+    base = docs.select("doc_id", fold.alias("fold"))
+    w = Window.partitionBy("fold")
+    return base.select(
+        "doc_id", "fold", F.count("*").over(w).alias("fold_size")
+    )
+
+
+def epoch_plan(
+    tables: dict[str, DataFrame], budget_mult: int = 4, max_epochs: int = 16
+) -> DataFrame:
+    """Data-constrained epoch-repetition plan (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models") — given a token budget,
+    how many epochs to repeat each source. The budget is ``budget_mult``×
+    the corpus (the regime where repeating data still pays), split
+    EVENLY across sources (the balance move: scarce domains repeat more,
+    abundant ones less — the whole point of a repetition plan; a
+    proportional split would give every source the same epoch count).
+    epochs = clamp(share // source_tokens, 1, ``max_epochs``) — pure
+    integer division, cross-engine exact; utilization = 4dp ratio of
+    realized to granted tokens. One source-keyed partial agg (map-side
+    combine), then a sources-sized frame — one Exchange of |sources|
+    rows at any corpus size."""
+    docs = tables["documents"]
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("src_tokens"),
+    )
+    n_src = F.count("*").over(Window.partitionBy())
+    total = F.sum("src_tokens").over(Window.partitionBy())
+    granted = F.floor((total * budget_mult) / n_src).cast("long")
+    epochs = F.least(
+        F.lit(max_epochs).cast("long"),
+        F.greatest(F.lit(1).cast("long"), F.floor(granted / F.col("src_tokens"))),
+    ).cast("long")
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return per_src.select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        granted.alias("granted_tokens"),
+        epochs.alias("epochs"),
+        (epochs * F.col("src_tokens")).alias("realized_tokens"),
+        r4(epochs * F.col("src_tokens") / granted).alias("utilization"),
+    )
+
+
 def importance_resample(tables: dict[str, DataFrame]) -> DataFrame:
     """REALIZE the DSIR policy — the resampling step the weights exist
     for (Xie et al. 2023 §3: sample ∝ w to shift the corpus toward the
@@ -351,6 +413,8 @@ def importance_resample(tables: dict[str, DataFrame]) -> DataFrame:
 QUERIES = {
     "sample_hash_split": hash_split,
     "sample_importance_resample": importance_resample,
+    "sample_kfold_assign": kfold_assign,
+    "sample_epoch_plan": epoch_plan,
     "sample_quota_per_group": quota_per_group,
     "sample_mixture_rate": mixture_downsample,
     "sample_stratified_exact": stratified_exact_split,
@@ -388,6 +452,43 @@ def _importance_resample_oracle() -> str:
 
 
 ORACLES = {
+    # Same even-share integer arithmetic: granted = floor(4·total/K),
+    # epochs clamped [1, 16], utilization on the long ratio, 4dp.
+    "sample_epoch_plan": """
+        WITH s AS (
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+                       AS src_tokens
+            FROM documents GROUP BY source
+        ),
+        g AS (
+            SELECT *,
+                   floor((sum(src_tokens) OVER () * 4)
+                         / count(*) OVER ())::BIGINT AS granted_tokens
+            FROM s
+        )
+        SELECT source, n_docs, src_tokens, granted_tokens,
+               least(16, greatest(1,
+                   floor(granted_tokens / src_tokens)))::BIGINT AS epochs,
+               (least(16, greatest(1, floor(granted_tokens / src_tokens)))
+                    ::BIGINT * src_tokens)::BIGINT AS realized_tokens,
+               floor(least(16, greatest(1,
+                         floor(granted_tokens / src_tokens)))::BIGINT
+                     * src_tokens / granted_tokens * 10000 + 0.5) / 10000
+                   AS utilization
+        FROM g
+    """,
+    "sample_kfold_assign": """
+        WITH f AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5(text), 1, 8))::UBIGINT % 5)::BIGINT
+                       AS fold
+            FROM documents
+        )
+        SELECT doc_id, fold,
+               count(*) OVER (PARTITION BY fold)::BIGINT AS fold_size
+        FROM f
+    """,
     "sample_importance_resample": _importance_resample_oracle(),
     # Exact A-ES replay: same seeded md5 uniform, same ln(u)/w key, same
     # per-language top-k and tie-break.

@@ -1869,6 +1869,162 @@ def bpe_merge_round(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def readability_score(tables: dict[str, DataFrame], sent_tokens: int = 12) -> DataFrame:
+    """Flesch reading-ease scoring — the readability member of the
+    quality-signal family (length/diversity heuristics say how WELL-FORMED
+    a doc is; Flesch says how HARD it reads — curation mixes want both
+    axes). Syllables are the standard vowel-group proxy (runs of
+    [aeiouy], floor 1 per word — the classic approximation when no
+    hyphenation dictionary ships with the engine); the punctuation-free
+    fixtures synthesize sentence boundaries every ``sent_tokens`` tokens,
+    the same synthesized-structure move ``text_line_filter`` makes.
+    Formula constants pinned identically on both engines; every ratio is
+    an exact-integer division, score rounded 4dp, level bucketed on the
+    ROUNDED score. Zero shuffles — pure per-row lambda arithmetic inside
+    codegen."""
+    docs = tables["documents"]
+    base = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    n = F.size("toks").cast("long")
+    syl = F.aggregate(
+        "toks",
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0))), F.lit(1)
+        ).cast("long"),
+    )
+    sents = F.ceil(n / F.lit(sent_tokens)).cast("long")
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    scored = base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        sents.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        r4(
+            F.lit(206.835)
+            - F.lit(1.015) * (n / sents)
+            - F.lit(84.6) * (syl / n)
+        ).alias("flesch"),
+    )
+    return scored.withColumn(
+        "reading_level",
+        F.when(F.col("flesch") >= 60, "easy")
+        .when(F.col("flesch") >= 30, "medium")
+        .otherwise("hard"),
+    )
+
+
+def stupid_backoff_score(tables: dict[str, DataFrame]) -> DataFrame:
+    """Trigram LM scoring with Stupid Backoff (Brants et al. 2007, "Large
+    Language Models in Machine Translation") — the web-scale scoring rule
+    built for exactly this setting: counts sharded across a cluster, no
+    normalization pass, back off with a fixed 0.4 penalty instead of
+    discounting. Extends the LM ladder (``text_unigram_logprob`` →
+    ``text_bigram_lm`` → ``text_perplexity_filter``) to n=3 with a REAL
+    backoff path: the LM trains on the even-doc_id half of the corpus and
+    scores every doc, so odd docs genuinely hit unseen trigrams/bigrams
+    and exercise every tier. S(w3|w1w2) = c3/c2(w1,w2), else
+    0.4·c2(w2,w3)/c1(w2), else 0.4·0.4·(c1(w3)+1)/(N+V) (add-one floor so
+    OOV words score finitely). Per-doc: tier usage counts (exact
+    integers) + tf-weighted mean ln S rounded 4dp.
+
+    Plan: doc trigram tf is one partial agg; the three count tables are
+    vocab-bounded re-aggs of the train half (≤V³ rows — AQE broadcasts
+    them, so the five lookups cost no fact shuffle); N+V folds into ONE
+    scalar (the nb_quality lesson: struct scalars replay per field)."""
+    docs = tables["documents"].select("doc_id", "text")
+    base = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).where(F.size("toks") >= 3)
+    tris = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.struct(
+                    F.get("toks", i).alias("w1"),
+                    F.get("toks", i + 1).alias("w2"),
+                    F.get("toks", i + 2).alias("w3"),
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.w1", "t.w2", "t.w3")
+    dtf = tris.groupBy("doc_id", "w1", "w2", "w3").agg(F.count("*").alias("tf"))
+    train = docs.where(F.col("doc_id") % 2 == 0).select(
+        tokens_col(F.col("text")).alias("toks")
+    )
+    c3 = (
+        tris.where(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("tri_ct"))
+    )
+    c2 = (
+        train.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.struct(
+                        F.get("toks", i).alias("b1"),
+                        F.get("toks", i + 1).alias("b2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .groupBy("b.b1", "b.b2")
+        .agg(F.count("*").alias("bi_ct"))
+    )
+    c1 = (
+        train.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("uni_ct"))
+    )
+    nv = c1.agg(
+        (F.sum("uni_ct") + F.countDistinct("w")).cast("long").alias("nv")
+    ).scalar()
+    a = F.lit(0.4)
+    low = c2.select(
+        F.col("b1").alias("l1"), F.col("b2").alias("l2"), F.col("bi_ct").alias("low_ct")
+    )
+    u2 = c1.select(F.col("w").alias("u2w"), F.col("uni_ct").alias("u2_ct"))
+    u3 = c1.select(F.col("w").alias("u3w"), F.col("uni_ct").alias("u3_ct"))
+    joined = (
+        dtf.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2, (F.col("b1") == F.col("w1")) & (F.col("b2") == F.col("w2")), "left")
+        .join(low, (F.col("l1") == F.col("w2")) & (F.col("l2") == F.col("w3")), "left")
+        .join(u2, F.col("u2w") == F.col("w2"), "left")
+        .join(u3, F.col("u3w") == F.col("w3"), "left")
+    )
+    tier = (
+        F.when(F.col("tri_ct").isNotNull(), 3)
+        .when(F.col("low_ct").isNotNull(), 2)
+        .otherwise(1)
+    )
+    score = (
+        F.when(F.col("tri_ct").isNotNull(), F.col("tri_ct") / F.col("bi_ct"))
+        .when(F.col("low_ct").isNotNull(), a * F.col("low_ct") / F.col("u2_ct"))
+        .otherwise(a * a * (F.coalesce(F.col("u3_ct"), F.lit(0)) + 1) / F.lit(nv))
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return (
+        joined.select("doc_id", "tf", tier.alias("tier"), score.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_trigrams"),
+            F.sum(F.when(F.col("tier") == 3, F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias("n_tri_hits"),
+            F.sum(F.when(F.col("tier") == 2, F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias("n_bi_backoffs"),
+            F.sum(F.when(F.col("tier") == 1, F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias("n_uni_backoffs"),
+            r4(F.sum(F.col("tf") * F.log("s")) / F.sum("tf")).alias("avg_logscore"),
+        )
+    )
+
+
 def rake_keyphrases(tables: dict[str, DataFrame], top: int = 20) -> DataFrame:
     """RAKE keyphrase extraction (Rose et al. 2010) — the phrase-level
     member of the keyword family (``text_tfidf_topk`` scores single terms
@@ -2140,6 +2296,7 @@ QUERIES = {
     "text_lr_quality_train": lr_quality_train,
     "text_bpe_merge_round": bpe_merge_round,
     "text_rake_keyphrases": rake_keyphrases,
+    "text_readability": readability_score,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
     "text_langid_confusion": langid_confusion,
@@ -2172,6 +2329,7 @@ QUERIES = {
     "text_corpus_manifest": corpus_manifest,
     "text_turn_mask_plan": turn_mask_plan,
     "text_perplexity_filter": perplexity_filter,
+    "text_stupid_backoff": stupid_backoff_score,
     "text_inverted_index": inverted_index,
     "text_bpe_pair_counts": bpe_pair_counts,
     "text_quality_rrf": quality_rrf,
@@ -2271,6 +2429,34 @@ ORACLES = {
                (sum(wm.syms) - sum(wm.merges))::BIGINT AS n_symbols_after
         FROM words d JOIN wm ON wm.w = d.w
         GROUP BY d.doc_id
+    """,
+    # Same vowel-group syllable proxy, same synthesized sentence grid,
+    # pinned constants, exact-integer ratios, level on the rounded score.
+    "text_readability": f"""
+        WITH b AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   ceil(len(toks) / 12.0)::BIGINT AS n_sentences,
+                   list_sum(list_transform(toks,
+                       t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')),
+                                     1)))::BIGINT AS n_syllables
+            FROM b
+        )
+        SELECT doc_id, n_tokens, n_sentences, n_syllables,
+               floor((206.835 - 1.015 * (n_tokens / n_sentences)
+                      - 84.6 * (n_syllables / n_tokens)) * 10000 + 0.5)
+                   / 10000 AS flesch,
+               CASE WHEN floor((206.835 - 1.015 * (n_tokens / n_sentences)
+                                - 84.6 * (n_syllables / n_tokens)) * 10000
+                               + 0.5) / 10000 >= 60 THEN 'easy'
+                    WHEN floor((206.835 - 1.015 * (n_tokens / n_sentences)
+                                - 84.6 * (n_syllables / n_tokens)) * 10000
+                               + 0.5) / 10000 >= 30 THEN 'medium'
+                    ELSE 'hard' END AS reading_level
+        FROM s
     """,
     # Full RAKE replay: same stopword delimiters, same islands, same
     # deg/freq integer ratios; phrase score rounded 4dp, cut tie-broken.
@@ -2720,6 +2906,76 @@ ORACLES = {
                floor(sum(quality) * 10000 + 0.5) / 10000 AS sum_quality,
                sum(n)::BIGINT AS token_total
         FROM q GROUP BY 1, 2
+    """,
+    # Same even-half training split, same three count tables, same tier
+    # rule and 0.4::DOUBLE penalties in the same operation order; N+V as
+    # one scalar, avg ln rounded 4dp.
+    "text_stupid_backoff": f"""
+        WITH t AS MATERIALIZED (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        tri AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(list_transform(range(len(toks) - 2),
+                       i -> struct_pack(w1 := toks[i + 1], w2 := toks[i + 2],
+                                        w3 := toks[i + 3]))) AS g
+            FROM t WHERE len(toks) >= 3
+        ),
+        dtf AS MATERIALIZED (
+            SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3,
+                   count(*)::BIGINT AS tf
+            FROM tri GROUP BY 1, 2, 3, 4
+        ),
+        c3 AS MATERIALIZED (
+            SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3,
+                   count(*)::BIGINT AS tri_ct
+            FROM tri WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3
+        ),
+        c2 AS MATERIALIZED (
+            SELECT b.b1 AS b1, b.b2 AS b2, count(*)::BIGINT AS bi_ct
+            FROM (SELECT unnest(list_transform(range(len(toks) - 1),
+                      i -> struct_pack(b1 := toks[i + 1],
+                                       b2 := toks[i + 2]))) AS b
+                  FROM t WHERE doc_id % 2 = 0 AND len(toks) >= 2)
+            GROUP BY 1, 2
+        ),
+        c1 AS MATERIALIZED (
+            SELECT w, count(*)::BIGINT AS uni_ct
+            FROM (SELECT unnest(toks) AS w FROM t WHERE doc_id % 2 = 0)
+            GROUP BY 1
+        ),
+        nv AS (SELECT (sum(uni_ct) + count(*))::BIGINT AS nv FROM c1),
+        sc AS (
+            SELECT d.doc_id, d.tf,
+                   CASE WHEN c3.tri_ct IS NOT NULL THEN 3
+                        WHEN lo.bi_ct IS NOT NULL THEN 2
+                        ELSE 1 END AS tier,
+                   CASE WHEN c3.tri_ct IS NOT NULL
+                            THEN c3.tri_ct / ctx.bi_ct
+                        WHEN lo.bi_ct IS NOT NULL
+                            THEN 0.4::DOUBLE * lo.bi_ct / u2.uni_ct
+                        ELSE 0.4::DOUBLE * 0.4::DOUBLE
+                             * (coalesce(u3.uni_ct, 0) + 1)
+                             / (SELECT nv FROM nv)
+                   END AS s
+            FROM dtf d
+            LEFT JOIN c3 ON c3.w1 = d.w1 AND c3.w2 = d.w2 AND c3.w3 = d.w3
+            LEFT JOIN c2 ctx ON ctx.b1 = d.w1 AND ctx.b2 = d.w2
+            LEFT JOIN c2 lo ON lo.b1 = d.w2 AND lo.b2 = d.w3
+            LEFT JOIN c1 u2 ON u2.w = d.w2
+            LEFT JOIN c1 u3 ON u3.w = d.w3
+        )
+        SELECT doc_id,
+               sum(tf)::BIGINT AS n_trigrams,
+               sum(CASE WHEN tier = 3 THEN tf ELSE 0 END)::BIGINT
+                   AS n_tri_hits,
+               sum(CASE WHEN tier = 2 THEN tf ELSE 0 END)::BIGINT
+                   AS n_bi_backoffs,
+               sum(CASE WHEN tier = 1 THEN tf ELSE 0 END)::BIGINT
+                   AS n_uni_backoffs,
+               floor(sum(tf * ln(s)) / sum(tf) * 10000 + 0.5) / 10000
+                   AS avg_logscore
+        FROM sc GROUP BY doc_id
     """,
     "text_bigram_lm": f"""
         WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
