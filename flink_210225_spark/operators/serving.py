@@ -453,6 +453,66 @@ def ttl_purge_plan(tables: dict[str, DataFrame], keep_years: int = 3) -> DataFra
     )
 
 
+def ab_lift(tables: dict[str, DataFrame]) -> DataFrame:
+    """Two-proportion A/B conversion test — the experimentation endpoint
+    every product dashboard grows next to its funnel (reference serves
+    visitor/conversion stats; an A/B readout is the same aggregate with a
+    variant split and a significance column). Variant assignment is the
+    standard hash-bucket split (first-32-md5-bits of user_id mod 2 —
+    stable, uniform, re-run-identical, the ``sample_kfold_assign``
+    construction); the measured proportion is purchase share of events
+    (user-level "ever purchased" saturates at 100% on every fixture SF —
+    a degenerate test; event-share keeps real variance. Randomize by
+    user, analyze by event — the classic unit-of-analysis caveat a real
+    readout would bootstrap, noted not solved). z is the pooled
+    two-proportion statistic z = (p_b−p_a)/√(p̂(1−p̂)(1/n_a+1/n_b))
+    computed from the four BIGINT totals with the formula written
+    identically on both engines, then rounded 4dp half-up; the
+    significance flag tests the ROUNDED z against 1.96 so the boolean
+    can never straddle an fp boundary the hash can't see. A saturated
+    pool (p̂ ∈ {0,1}) zeroes z explicitly rather than dividing by zero.
+
+    Plan: one 1-row full agg over events (map-side combined conditional
+    sums) — no shuffle of consequence, one output row at any scale."""
+    ev = tables["events"]
+    variant = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(2),
+    )
+    conv = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    tot = ev.select(variant.alias("v"), conv.alias("conv")).agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("v") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = F.when(
+        (pp > 0) & (pp < 1),
+        (pb - pa)
+        / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+    ).otherwise(F.lit(0.0))
+    return tot.select(
+        "n_a",
+        "conv_a",
+        r4(pa).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        r4(pb).alias("rate_b"),
+        r4(z).alias("z_score"),
+        (F.abs(r4(z)) >= 1.96).alias("significant"),
+    )
+
+
 QUERIES = {
     "serving_gmv": gmv,
     "serving_trademark_topn": trademark_topn,
@@ -467,10 +527,47 @@ QUERIES = {
     "serving_basket_pairs": basket_brand_pairs,
     "serving_basket_triangles": basket_triangles,
     "serving_pareto_abc": pareto_abc,
+    "serving_ab_lift": ab_lift,
     "warehouse_ttl_purge": ttl_purge_plan,
 }
 
 ORACLES = {
+    # Same md5 hash-bucket variant split, same pooled-z formula written in
+    # the same operation order (IEEE doubles agree), flag on the rounded z.
+    "serving_ab_lift": """
+        WITH u AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS conv,
+                   (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::UBIGINT
+                        % 2)::BIGINT AS v
+            FROM events
+        ),
+        t AS (
+            SELECT sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                   sum(CASE WHEN v = 0 THEN conv ELSE 0 END)::BIGINT AS conv_a,
+                   sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+                   sum(CASE WHEN v = 1 THEN conv ELSE 0 END)::BIGINT AS conv_b
+            FROM u
+        ),
+        z AS (
+            SELECT *,
+                   CASE WHEN (conv_a + conv_b) / (n_a + n_b) > 0
+                             AND (conv_a + conv_b) / (n_a + n_b) < 1
+                        THEN (conv_b / n_b - conv_a / n_a)
+                             / sqrt((conv_a + conv_b) / (n_a + n_b)
+                                    * (1 - (conv_a + conv_b) / (n_a + n_b))
+                                    * (1.0 / n_a + 1.0 / n_b))
+                        ELSE 0.0 END AS zr
+            FROM t
+        )
+        SELECT n_a, conv_a,
+               floor(conv_a / n_a * 10000 + 0.5) / 10000 AS rate_a,
+               n_b, conv_b,
+               floor(conv_b / n_b * 10000 + 0.5) / 10000 AS rate_b,
+               floor(zr * 10000 + 0.5) / 10000 AS z_score,
+               abs(floor(zr * 10000 + 0.5) / 10000) >= 1.96 AS significant
+        FROM z
+    """,
     # Same node-iterator++ construction: canonical edges, wedges at the
     # smallest vertex, closure join; all counts exact integers.
     "serving_basket_triangles": """

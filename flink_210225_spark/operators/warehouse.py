@@ -285,7 +285,79 @@ def vacuum_orphans(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def ivm_incremental_agg(tables: dict[str, DataFrame]) -> DataFrame:
+    """Incremental view maintenance of an aggregate — the delta-merge
+    that keeps a (month, status) revenue rollup current WITHOUT
+    re-scanning the base facts (the DBSP/Materialize move, and what a
+    MERGE-maintained gold table does under the hood). The CDC batch is
+    synthesized deterministically from orders: orderkey%4==0 rows are
+    the INSERTS, %7==0 survivors are UPDATES (+10.00 price), %11==0
+    survivors are DELETES — disjoint by construction. The maintainer
+    folds the batch into per-group deltas (Δcount, Δcents) and merges
+    them into the standing view; output = the touched groups with
+    old/new values (a group born entirely from inserts has old 0).
+
+    The oracle recomputes the post-change table FROM SCRATCH and
+    aggregates — a fully independent algorithm, so the hash gate proves
+    delta-merge == recompute. All money flows as integer cents (floor
+    half-up at ingest), so base+delta vs full-sum can't drift a 2dp
+    boundary apart.
+
+    Plan: one scan builds the base view (groupBy partial agg), one scan
+    builds the deltas; the merge joins two GROUP-sized frames — at
+    100 TB the base facts are never re-read, which is the entire point
+    vs the O(table) rename-swap sinks (``router.upsert_dim``)."""
+    o = tables["orders"]
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    status = F.col("o_orderstatus").alias("status")
+    base_view = (
+        o.where(F.col("o_orderkey") % 4 != 0)
+        .groupBy(month, status)
+        .agg(
+            F.count("*").alias("old_ct"),
+            F.sum(cents).cast("long").alias("old_cents"),
+        )
+    )
+    k = F.col("o_orderkey")
+    op = (
+        F.when(k % 4 == 0, F.lit("I"))
+        .when(k % 7 == 0, F.lit("U"))
+        .when(k % 11 == 0, F.lit("D"))
+    )
+    delta = (
+        o.select(
+            month,
+            status,
+            op.alias("op"),
+            F.when(op == "I", 1).when(op == "D", -1).otherwise(0).alias("dct"),
+            F.when(op == "I", cents)
+            .when(op == "U", F.lit(1000))
+            .when(op == "D", -cents)
+            .alias("dcents"),
+        )
+        .where(F.col("op").isNotNull())
+        .groupBy("month", "status")
+        .agg(
+            F.sum("dct").cast("long").alias("dct"),
+            F.sum("dcents").cast("long").alias("dcents"),
+        )
+    )
+    merged = delta.join(base_view, ["month", "status"], "left")
+    old_ct = F.coalesce(F.col("old_ct"), F.lit(0)).cast("long")
+    old_cents = F.coalesce(F.col("old_cents"), F.lit(0)).cast("long")
+    return merged.select(
+        "month",
+        "status",
+        old_ct.alias("old_ct"),
+        (old_ct + F.col("dct")).cast("long").alias("new_ct"),
+        (old_cents / 100.0).alias("old_rev"),
+        ((old_cents + F.col("dcents")) / 100.0).alias("new_rev"),
+    )
+
+
 QUERIES = {
+    "warehouse_ivm_agg": ivm_incremental_agg,
     "warehouse_compaction_plan": compaction_plan,
     "warehouse_vacuum_orphans": vacuum_orphans,
     "warehouse_dq_profile": dq_profile_events,
@@ -294,6 +366,48 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Independent algorithm: recompute the post-change table from scratch
+    # (inserts present, updates +1000 cents, deletes absent), aggregate,
+    # and report the groups the change batch touched; integer cents
+    # throughout, /100.0 only at the edge.
+    "warehouse_ivm_agg": """
+        WITH c AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   o_orderstatus AS status, o_orderkey AS k,
+                   floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+            FROM orders
+        ),
+        base AS (
+            SELECT month, status, count(*)::BIGINT AS old_ct,
+                   sum(cents)::BIGINT AS old_cents
+            FROM c WHERE k % 4 != 0 GROUP BY 1, 2
+        ),
+        final_rows AS (
+            SELECT month, status,
+                   CASE WHEN k % 4 != 0 AND k % 7 = 0 THEN cents + 1000
+                        ELSE cents END AS cents
+            FROM c
+            WHERE k % 4 = 0
+               OR NOT (k % 7 != 0 AND k % 11 = 0)
+        ),
+        final AS (
+            SELECT month, status, count(*)::BIGINT AS new_ct,
+                   sum(cents)::BIGINT AS new_cents
+            FROM final_rows GROUP BY 1, 2
+        ),
+        touched AS (
+            SELECT DISTINCT month, status FROM c
+            WHERE k % 4 = 0 OR k % 7 = 0 OR k % 11 = 0
+        )
+        SELECT t.month, t.status,
+               coalesce(b.old_ct, 0)::BIGINT AS old_ct,
+               coalesce(f.new_ct, 0)::BIGINT AS new_ct,
+               coalesce(b.old_cents, 0) / 100.0 AS old_rev,
+               coalesce(f.new_cents, 0) / 100.0 AS new_rev
+        FROM touched t
+        LEFT JOIN base b ON b.month = t.month AND b.status = t.status
+        LEFT JOIN final f ON f.month = t.month AND f.status = t.status
+    """,
     "warehouse_vacuum_orphans": """
         WITH cur AS (
             SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
