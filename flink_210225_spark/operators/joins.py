@@ -435,7 +435,92 @@ def range_join_bucketed(
     )
 
 
+def interval_overlap_join(tables: dict[str, DataFrame]) -> DataFrame:
+    """Interval-OVERLAP join — the two-sided generalization of the band
+    join (``join_range_bucketed`` matches points within ±δ; this matches
+    INTERVALS that intersect, the Allen-algebra workhorse behind
+    promotion-window × order-window analytics and validity-interval
+    reconciliation). Intervals are synthesized deterministically from
+    orders: open orders span [orderdate, orderdate + orderkey%5 + 1
+    days], finished orders [orderdate, orderdate + orderkey%7 + 1 days];
+    a ⋈ b iff a.start ≤ b.end ∧ b.start ≤ a.end.
+
+    Scale shape: the naive condition is a pure theta join → BNLJ,
+    O(|A|·|B|). With spans ≤ 8 days and an 8-day bucket grid, any
+    partner's START bucket lies within ±1 of a's start bucket (b.start ∈
+    [a.start − 7d, a.end] ⊆ a's bucket ± 1), so the B side keys by
+    bucket(start) ONCE and the A side explodes ×3 — an EQUI join with
+    the exact overlap predicate riding behind it, each pair produced
+    exactly once (B sits in one bucket; no dedup pass). LEFT join keeps
+    overlap-free A intervals (n_overlaps 0 — the count ignores the
+    unmatched offsets' nulls), and the per-A rollup returns |A| rows,
+    not the pair explosion. Overlap length in inclusive integer days —
+    cross-engine exact."""
+    o = tables["orders"]
+    day = F.lit(86400)
+    a_days = (F.col("o_orderkey") % 5 + 1).cast("long")
+    b_days = (F.col("o_orderkey") % 7 + 1).cast("long")
+    start_s = F.unix_timestamp("o_orderdate")
+    a = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("a_key"),
+        start_s.alias("a_start"),
+        (start_s + a_days * day).alias("a_end"),
+    )
+    b = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("b_key"),
+        start_s.alias("b_start"),
+        (start_s + b_days * day).alias("b_end"),
+        F.floor(start_s / (8 * day)).alias("bucket"),
+    )
+    a_x = a.select(
+        "a_key",
+        "a_start",
+        "a_end",
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(F.col("a_start") / (8 * day)) + off).alias("k")
+                    for off in (-1, 0, 1)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    joined = a_x.join(
+        b,
+        (a_x.bucket == b.bucket)
+        & (F.col("a_start") <= F.col("b_end"))
+        & (F.col("b_start") <= F.col("a_end")),
+        "left",
+    )
+    # Spark least/greatest SKIP nulls (unlike SQL), so an unmatched
+    # left-join row would fabricate a_end-a_start+1 phantom days — gate on
+    # the join key instead of relying on null propagation.
+    ov_days = F.when(
+        F.col("b_key").isNotNull(),
+        (
+            (F.least("a_end", "b_end") - F.greatest("a_start", "b_start")) / day + 1
+        ).cast("long"),
+    )
+    return (
+        joined.groupBy("a_key", "a_start", "a_end")
+        .agg(
+            F.count("b_key").alias("n_overlaps"),
+            F.coalesce(F.sum(ov_days), F.lit(0)).cast("long").alias("total_ov_days"),
+            F.coalesce(F.max(ov_days), F.lit(0)).cast("long").alias("max_ov_days"),
+        )
+        .select(
+            "a_key",
+            F.from_unixtime("a_start", "yyyy-MM-dd").alias("a_start_day"),
+            F.from_unixtime("a_end", "yyyy-MM-dd").alias("a_end_day"),
+            "n_overlaps",
+            "total_ov_days",
+            "max_ov_days",
+        )
+    )
+
+
 QUERIES = {
+    "join_interval_overlap": interval_overlap_join,
     "join_semi_anti": semi_anti_profile,
     "join_range_bucketed": range_join_bucketed,
     "join_interval_order_detail": interval_join_order_detail,
@@ -450,6 +535,41 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Direct theta overlap join (DuckDB plans IEJoin) — an independent
+    # algorithm from the bucketed equi-join; inclusive integer day math.
+    "join_interval_overlap": """
+        WITH a AS (
+            SELECT o_orderkey AS a_key,
+                   strftime(o_orderdate, '%Y-%m-%d') AS a_start_day,
+                   strftime(o_orderdate
+                            + (o_orderkey % 5 + 1) * INTERVAL '1 day',
+                            '%Y-%m-%d') AS a_end_day,
+                   epoch(o_orderdate)::BIGINT AS a_start,
+                   (epoch(o_orderdate)::BIGINT
+                        + (o_orderkey % 5 + 1) * 86400)::BIGINT AS a_end
+            FROM orders WHERE o_orderstatus = 'O'
+        ),
+        b AS (
+            SELECT o_orderkey AS b_key,
+                   epoch(o_orderdate)::BIGINT AS b_start,
+                   (epoch(o_orderdate)::BIGINT
+                        + (o_orderkey % 7 + 1) * 86400)::BIGINT AS b_end
+            FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT a_key, a_start_day, a_end_day,
+               count(b_key)::BIGINT AS n_overlaps,
+               -- DuckDB least/greatest skip NULLs just like Spark's:
+               -- gate on the join key or unmatched rows fabricate days
+               coalesce(sum(CASE WHEN b_key IS NOT NULL THEN
+                       (least(a_end, b_end) - greatest(a_start, b_start))
+                            // 86400 + 1 END), 0)::BIGINT AS total_ov_days,
+               coalesce(max(CASE WHEN b_key IS NOT NULL THEN
+                       (least(a_end, b_end) - greatest(a_start, b_start))
+                            // 86400 + 1 END), 0)::BIGINT AS max_ov_days
+        FROM a
+        LEFT JOIN b ON a_start <= b_end AND b_start <= a_end
+        GROUP BY 1, 2, 3
+    """,
     "join_feature_snapshot": """
         WITH w AS (
             SELECT event_id, user_id, event_type, ts,

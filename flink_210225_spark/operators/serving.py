@@ -453,6 +453,107 @@ def ttl_purge_plan(tables: dict[str, DataFrame], keep_years: int = 3) -> DataFra
     )
 
 
+def basket_kcore(tables: dict[str, DataFrame], rounds: int = 8) -> DataFrame:
+    """k-core decomposition of the co-purchase graph (Seidman 1983;
+    peeling as in Batagelj–Zaveršnik) — the cohesion census next to
+    ``serving_basket_pairs`` (edges) and ``serving_basket_triangles``
+    (closure): the k-core is what survives after repeatedly deleting
+    nodes of degree < k, the standard "dense commercial neighborhood"
+    extractor. Exactly ``rounds`` synchronous peel rounds run on BOTH
+    engines (after the fixpoint further rounds are no-ops, so a fixed
+    count is deterministic without an early-exit protocol — same move as
+    ``dedup_pagerank``'s fixed iterations); the oracle unrolls the same
+    rounds as chained materialized CTEs. Reported per k ∈ {2,3}: nodes
+    and edges of the surviving subgraph.
+
+    Plan: each round is one degree agg + two semi-shaped equi-joins over
+    the current edge set, localCheckpoint-ed so lineage stays flat; the
+    edge set only shrinks, so per-round cost is bounded by the first
+    round. At 100 TB the peel is the same O(rounds) shuffle schedule —
+    no driver data beyond the two summary scalars."""
+    li = tables["lineitem"]
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b2 = b.select("o", F.col("p").alias("p2"))
+    e0 = (
+        b.join(b2, "o")
+        .where(F.col("p") < F.col("p2"))
+        .groupBy("p", "p2")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+        .select(F.col("p").alias("u"), F.col("p2").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for k in (2, 3):
+        e = e0
+        for _ in range(rounds):
+            deg = (
+                e.select(F.col("u").alias("n"))
+                .unionAll(e.select(F.col("v").alias("n")))
+                .groupBy("n")
+                .agg(F.count("*").alias("d"))
+            )
+            alive = deg.where(F.col("d") >= k).select("n")
+            e = (
+                e.join(alive.withColumnRenamed("n", "u"), "u")
+                .join(alive.withColumnRenamed("n", "v"), "v")
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+        n_nodes = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .agg(F.countDistinct("n").cast("long"))
+            .scalar()
+        )
+        row = e.agg(F.count("*").cast("long").alias("n_edges")).select(
+            F.lit(k).cast("long").alias("k"),
+            n_nodes.alias("n_nodes"),
+            "n_edges",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _kcore_oracle(rounds: int = 8) -> str:
+    """Unrolled peel: same fixed round count, same degree rule, chained
+    MATERIALIZED CTEs (the LR-oracle lesson: DuckDB re-inlines plain CTE
+    chains exponentially)."""
+    parts = [
+        """b AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        e0 AS MATERIALIZED (
+            SELECT b1.p AS u, b2.p AS v
+            FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )"""
+    ]
+    selects = []
+    for k in (2, 3):
+        prev = "e0"
+        for r in range(1, rounds + 1):
+            parts.append(f"""a_k{k}_{r} AS MATERIALIZED (
+                SELECT n FROM (SELECT u AS n FROM {prev}
+                               UNION ALL SELECT v FROM {prev})
+                GROUP BY n HAVING count(*) >= {k}
+            ),
+            e_k{k}_{r} AS MATERIALIZED (
+                SELECT e.u, e.v FROM {prev} e
+                JOIN a_k{k}_{r} au ON au.n = e.u
+                JOIN a_k{k}_{r} av ON av.n = e.v
+            )""")
+            prev = f"e_k{k}_{r}"
+        selects.append(f"""SELECT {k}::BIGINT AS k,
+               (SELECT count(DISTINCT n) FROM
+                   (SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev})
+               )::BIGINT AS n_nodes,
+               (SELECT count(*) FROM {prev})::BIGINT AS n_edges""")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def ab_lift(tables: dict[str, DataFrame]) -> DataFrame:
     """Two-proportion A/B conversion test — the experimentation endpoint
     every product dashboard grows next to its funnel (reference serves
@@ -528,10 +629,12 @@ QUERIES = {
     "serving_basket_triangles": basket_triangles,
     "serving_pareto_abc": pareto_abc,
     "serving_ab_lift": ab_lift,
+    "serving_basket_kcore": basket_kcore,
     "warehouse_ttl_purge": ttl_purge_plan,
 }
 
 ORACLES = {
+    "serving_basket_kcore": _kcore_oracle(),
     # Same md5 hash-bucket variant split, same pooled-z formula written in
     # the same operation order (IEEE doubles agree), flag on the rounded z.
     "serving_ab_lift": """

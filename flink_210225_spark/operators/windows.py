@@ -673,6 +673,94 @@ def seasonal_profile(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def holt_winters_daily(tables: dict[str, DataFrame]) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) over the
+    per-type DAILY series, season length 7 — the seasonal member of the
+    recurrence family (``window_ema`` tracks level, ``window_holt`` adds
+    trend; HW adds the weekly shape ``window_seasonal`` measures
+    statically, folded into a live forecast). Same exact-recurrence
+    contract as its siblings: exact-binary coefficients (α=.5, β=.25,
+    γ=.25), both engines run the IDENTICAL op sequence — Spark folds per
+    type carrying (l, b, s, last-7 seasonal list) state; the oracle walks
+    the literal recurrence in a recursive CTE carrying the same LIST —
+    so state matches bitwise and the 4dp rounding is formality. Seeds:
+    l₁=x₁, b₁=0, seasonal history all-zero (s₁ then lands 0 by the γ
+    update). l_t = α(x_t−s_{t−7}) + (1−α)(l+b); b_t = β(l_t−l)+(1−β)b;
+    s_t = γ(x_t−l_t)+(1−γ)s_{t−7}; forecast = l_t + b_t + s_{t−6}.
+
+    Plan: one daily rollup (days×types rows), one type-keyed shuffle,
+    per-type in-row fold — series length is bounded by calendar days, so
+    the sequential part never grows with corpus size."""
+    ev = tables["events"]
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    per_type = daily.select(
+        "event_type", F.struct("day", "x").alias("e")
+    ).groupBy("event_type").agg(F.array_sort(F.collect_list("e")).alias("es"))
+
+    def _step(acc, e):
+        prev = F.element_at(acc, -1)
+        x = e.getField("x")
+        sprev = F.element_at(prev.getField("sl"), 1)
+        lnew = F.lit(0.5) * (x - sprev) + F.lit(0.5) * (
+            prev.getField("l") + prev.getField("b")
+        )
+        bnew = F.lit(0.25) * (lnew - prev.getField("l")) + F.lit(0.75) * prev.getField(
+            "b"
+        )
+        snew = F.lit(0.25) * (x - lnew) + F.lit(0.75) * sprev
+        return F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) == 0,
+                    F.struct(
+                        x.cast("double").alias("l"),
+                        F.lit(0.0).alias("b"),
+                        F.lit(0.0).alias("s"),
+                        F.array_repeat(F.lit(0.0), 7).alias("sl"),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        lnew.alias("l"),
+                        bnew.alias("b"),
+                        snew.alias("s"),
+                        F.concat(
+                            F.slice(prev.getField("sl"), 2, 6), F.array(snew)
+                        ).alias("sl"),
+                    )
+                )
+            ),
+        )
+
+    state = F.aggregate(
+        "es",
+        F.array().cast(
+            "array<struct<l:double,b:double,s:double,sl:array<double>>>"
+        ),
+        _step,
+    )
+    rows = per_type.select(
+        "event_type",
+        F.posexplode(F.arrays_zip("es", state.alias("st"))).alias("i", "z"),
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return rows.select(
+        "event_type",
+        F.col("z.es.day").alias("day"),
+        F.col("z.es.x").alias("pv_ct"),
+        r4(F.col("z.st.l")).alias("level"),
+        r4(F.col("z.st.b")).alias("trend"),
+        r4(F.col("z.st.s")).alias("seasonal"),
+        r4(
+            F.col("z.st.l")
+            + F.col("z.st.b")
+            + F.element_at(F.col("z.st.sl"), 1)
+        ).alias("forecast"),
+    )
+
+
 def wow_growth(tables: dict[str, DataFrame]) -> DataFrame:
     """Week-over-week growth per event type — the reporting-calendar
     member of the trend family (``window_moving_avg`` smooths hours,
@@ -707,6 +795,7 @@ QUERIES = {
     "window_cusum": cusum_changepoint,
     "window_seasonal": seasonal_profile,
     "window_wow_growth": wow_growth,
+    "window_holt_winters": holt_winters_daily,
     "window_ema": ema_per_user,
     "window_holt": holt_per_user,
     "window_anomaly_mad": daily_anomaly_mad,
@@ -759,6 +848,47 @@ ORACLES = {
                cpos AS cusum_pos, cneg AS cusum_neg,
                (cpos >= total_ct) AS shift_up,
                (cneg >= total_ct) AS shift_down
+        FROM walk
+    """,
+    # Literal recurrence walk carrying the 7-slot seasonal LIST; same
+    # seeds, same exact-binary coefficients, same op order — bitwise state
+    # parity with the Spark fold before the 4dp rounding.
+    "window_holt_winters": """
+        WITH RECURSIVE d AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   count(*)::BIGINT AS x,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY strftime(ts, '%Y-%m-%d'))
+                       AS rn
+            FROM events GROUP BY 1, 2
+        ),
+        walk AS (
+            SELECT event_type, day, x, rn,
+                   x::DOUBLE AS l, 0.0::DOUBLE AS b, 0.0::DOUBLE AS s,
+                   -- ::DOUBLE[] is load-bearing: a bare [0.0,...] anchor
+                   -- types the recursive column LIST(DECIMAL(2,1)) and
+                   -- silently rounds every seasonal to one decimal
+                   [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS sl
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.event_type, d.day, d.x, d.rn,
+                   0.5 * (d.x - w.sl[1]) + 0.5 * (w.l + w.b),
+                   0.25 * ((0.5 * (d.x - w.sl[1]) + 0.5 * (w.l + w.b)) - w.l)
+                       + 0.75 * w.b,
+                   0.25 * (d.x - (0.5 * (d.x - w.sl[1])
+                                  + 0.5 * (w.l + w.b))) + 0.75 * w.sl[1],
+                   list_concat(w.sl[2:7],
+                       [0.25 * (d.x - (0.5 * (d.x - w.sl[1])
+                                       + 0.5 * (w.l + w.b)))
+                        + 0.75 * w.sl[1]])
+            FROM walk w
+            JOIN d ON d.event_type = w.event_type AND d.rn = w.rn + 1
+        )
+        SELECT event_type, day, x AS pv_ct,
+               floor(l * 10000 + 0.5) / 10000 AS level,
+               floor(b * 10000 + 0.5) / 10000 AS trend,
+               floor(s * 10000 + 0.5) / 10000 AS seasonal,
+               floor((l + b + sl[1]) * 10000 + 0.5) / 10000 AS forecast
         FROM walk
     """,
     "window_wow_growth": """
