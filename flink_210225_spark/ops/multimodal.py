@@ -752,6 +752,80 @@ def image_ahash_groups(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def image_whash_groups(tables: dict[str, DataFrame]) -> DataFrame:
+    """Wavelet perceptual hash (wHash, the Haar-transform member of the
+    perceptual family — ``multimodal_image_ahash`` thresholds raw tile
+    means; wHash thresholds HAAR COEFFICIENTS against their median, so
+    it keys on the image's coarse STRUCTURE, the property that makes it
+    robust where aHash washes out). Deliberately built integer-exact:
+    the classic wHash runs a normalized DWT in floats; an UNNORMALIZED
+    Haar (plain sums/differences — same basis, different scaling) keeps
+    every coefficient an integer and the median threshold a cross
+    multiply, so both engines agree bitwise with no float protocol.
+
+    Same real-codec contract as aHash: each doc's image synthesizes from
+    doc_id%16, encodes with the doc's rotating scanline filter
+    (doc_id%5), round-trips the REAL PNG encoder/parser, downsamples to
+    the 4×4 tile-sum matrix M, then C = H·M·Hᵀ with the 2-level Haar
+    matrix H = [[1,1,1,1],[1,1,-1,-1],[1,-1,0,0],[0,0,1,-1]]; bit_i =
+    2·C_i > (mid8+mid9) (strict-median cross multiply), hash = Σ bit<<i.
+    C[0][0] doubles as the audit anchor: it equals the total pixel sum
+    by construction, which the oracle recomputes arithmetically. Seed
+    groups must collapse across all five filter paths — the dedup
+    contract, gated via group_sz/canonical like the aHash sibling.
+
+    Plan: one Arrow decode pass, one hash-keyed window — digest-groupBy
+    shape, embarrassingly parallel at any corpus size."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).cast("int").alias("seed"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+    )
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        haar = np.array(
+            [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, 0, 0], [0, 0, 1, -1]],
+            dtype=np.int64,
+        )
+        for pdf in it:
+            ids, hashes, dcs, npos = [], [], [], []
+            for doc_id, seed, ft in zip(pdf["doc_id"], pdf["seed"], pdf["ft"]):
+                seed = int(seed)
+                w = 8 + 4 * (seed % 5)
+                h = 8 + 4 * ((seed * 3) % 4)
+                px = _parse_png(_png_bytes(seed, w, h, filter_type=int(ft)))[
+                    "pixels"
+                ].astype(np.int64)[:, :, 0]
+                th, tw = h // 4, w // 4
+                m = px.reshape(4, th, 4, tw).sum(axis=(1, 3))
+                coefs = (haar @ m @ haar.T).ravel()
+                srt = np.sort(coefs)
+                med2 = int(srt[7] + srt[8])
+                bits = (2 * coefs > med2).astype(np.int64)
+                ids.append(int(doc_id))
+                hashes.append(int((bits << np.arange(16)).sum()))
+                dcs.append(int(coefs[0]))
+                npos.append(int(bits.sum()))
+            yield pd.DataFrame(
+                {"asset_id": ids, "whash": hashes, "dc": dcs, "n_pos": npos}
+            )
+
+    hashed = base.mapInPandas(gen, "asset_id long, whash long, dc long, n_pos long")
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("whash")
+    return hashed.select(
+        "asset_id",
+        "whash",
+        "dc",
+        "n_pos",
+        F.count("*").over(wg).alias("group_sz"),
+        F.min("asset_id").over(wg).alias("canonical_id"),
+    )
+
+
 def video_scene_cuts(tables: dict[str, DataFrame]) -> DataFrame:
     """Scene-cut detection on a REAL per-frame codec path — the video
     member of the real-decode family (image: ``image_ahash``, audio:
@@ -959,6 +1033,7 @@ QUERIES = {
     "multimodal_png_decode": png_decode_documents,
     "multimodal_png_tiles": png_tile_features,
     "multimodal_image_ahash": image_ahash_groups,
+    "multimodal_image_whash": image_whash_groups,
     "multimodal_audio_vad": audio_vad_segments,
     "multimodal_video_cuts": video_scene_cuts,
     "multimodal_frame_plan": frame_plan_documents,
@@ -1230,6 +1305,64 @@ ORACLES = {
     # Spark side must reach the same 16-bit hash THROUGH the container
     # round trip (5 different scanline filters per seed) — an encoder or
     # un-filter bug makes seed-equal docs hash apart and breaks group_sz.
+    # Pixel arithmetic replayed per tile (never the bytes), then the same
+    # integer Haar sandwich C = H·M·Hᵀ via nested list folds; median as a
+    # sum-of-two-middles cross multiply, hash bits shifted 1::BIGINT << i.
+    "multimodal_image_whash": """
+        WITH g AS (
+            SELECT doc_id, (doc_id % 16)::BIGINT AS seed,
+                   (8 + 4 * ((doc_id % 16) % 5))::BIGINT AS w,
+                   (8 + 4 * (((doc_id % 16) * 3) % 4))::BIGINT AS h
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, seed, w // 4 AS tw, h // 4 AS th,
+                   unnest(range(16)) AS ti
+            FROM g
+        ),
+        s AS (
+            SELECT doc_id, ti,
+                   list_sum(list_transform(range(tw * th),
+                       i -> (seed * 7 + 3 * ((ti % 4) * tw + i % tw)
+                             + 11 * ((ti // 4) * th + i // tw)) % 256))::BIGINT
+                       AS tsum
+            FROM t
+        ),
+        m AS (
+            SELECT doc_id, list(tsum ORDER BY ti) AS ms FROM s GROUP BY doc_id
+        ),
+        c AS (
+            SELECT doc_id,
+                   list_transform(range(16), k ->
+                       list_sum(list_transform(range(4), r ->
+                           hm[(k // 4) + 1][r + 1]
+                           * list_sum(list_transform(range(4), cc ->
+                               ms[r * 4 + cc + 1] * hm[(k % 4) + 1][cc + 1]))
+                       ))) AS coefs
+            FROM (SELECT doc_id, ms,
+                         [[1, 1, 1, 1], [1, 1, -1, -1],
+                          [1, -1, 0, 0], [0, 0, 1, -1]] AS hm
+                  FROM m)
+        ),
+        hsh AS (
+            SELECT doc_id,
+                   coefs[1]::BIGINT AS dc,
+                   list_sort(coefs)[8] + list_sort(coefs)[9] AS med2,
+                   list_sum(list_transform(range(16), i ->
+                       CASE WHEN 2 * coefs[i + 1]
+                                 > list_sort(coefs)[8] + list_sort(coefs)[9]
+                            THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS whash,
+                   list_sum(list_transform(range(16), i ->
+                       CASE WHEN 2 * coefs[i + 1]
+                                 > list_sort(coefs)[8] + list_sort(coefs)[9]
+                            THEN 1 ELSE 0 END))::BIGINT AS n_pos
+            FROM c
+        )
+        SELECT doc_id AS asset_id, whash, dc, n_pos,
+               count(*) OVER (PARTITION BY whash)::BIGINT AS group_sz,
+               min(doc_id) OVER (PARTITION BY whash)::BIGINT AS canonical_id
+        FROM hsh
+    """,
     "multimodal_image_ahash": """
         WITH g AS (
             SELECT doc_id, (doc_id % 16)::BIGINT AS seed,

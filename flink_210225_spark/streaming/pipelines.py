@@ -1675,6 +1675,78 @@ CUSUM_STATE_SCHEMA = T.StructType(
 )
 
 
+def session_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
+    """TENTH driver-checkable END-TO-END streaming query — SESSION-WINDOW
+    MERGE STATE: the events fixture replayed file-by-file through the
+    native ``session_window`` aggregation (the SAME code path the batch
+    ``session_window_native`` query runs) in APPEND mode. Session windows
+    are the one windowed aggregate whose state MERGES: an event landing
+    within the 30-minute gap of a session held in the state store extends
+    that session across micro-batch boundaries, and a session only emits
+    once the watermark passes its close — the exact semantics Flink
+    EventTimeSessionWindows carry and the reference's "session = visit"
+    seeding approximates per-event (VisitorStatsApp.java:72-75). Two
+    far-future sentinel files (+2h/+4h) drive the watermark past every
+    real session's close so the final sessions flush (sentinels session
+    under their own user_id −1, dropped on read-back — pre-agg filters
+    would push below the watermark operator, the window-capstone lesson).
+
+    stream == batch: shares ``session_window_native``'s gaps-and-islands
+    oracle, so the hash gate proves the session-merge state machinery
+    reproduces the batch closed form exactly."""
+    import tempfile  # noqa: F401  (parity with sibling capstones)
+
+    ev = tables["events"]
+    spark = ev.sparkSession
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(*_local_paths(ev))
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+    ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
+    out = _scratch(prefix="session_stream_out_")
+    cp = _scratch(prefix="session_stream_cp_")
+    srcdir = _scratch(prefix="session_stream_src_")
+    _stage_fixture(ev, srcdir, "events")
+    for i, hours in enumerate((2, 4)):
+        if ts_is_long:
+            sent_ts = max_ts + hours * 3_600_000_000_000
+        else:
+            from datetime import timedelta
+
+            sent_ts = max_ts + timedelta(hours=hours)
+        sent = spark.createDataFrame(
+            [(-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}")],
+            raw.schema,
+        )
+        sdir = _scratch(prefix=f"session_stream_sentinel{i}_")
+        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        os.link(os.path.join(sdir, part), os.path.join(srcdir, f"sentinel_{i}.parquet"))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+    if ts_is_long:
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp")
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    from flink_210225_spark.operators.sessions import session_window_agg
+
+    agg = session_window_agg(stream.withWatermark("ts", "10 seconds"))
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0)
+
+
 def make_cusum_func() -> Callable:
     """Streaming twin of ``windows.cusum_changepoint``: the LITERAL Page
     recurrence s_t = max(0, s_{t-1} + dev_t) carried as two integer
@@ -1916,6 +1988,12 @@ def _visitor_stats_oracle() -> str:
     return _WINDOW_ORACLES["window_visitor_stats"]
 
 
+def _session_native_oracle() -> str:
+    from flink_210225_spark.operators.sessions import ORACLES as _SESSION_ORACLES
+
+    return _SESSION_ORACLES["session_window_native"]
+
+
 QUERIES = {
     "stream_curation_materialized": curation_stream_materialized,
     "stream_upsert_materialized": upsert_stream_materialized,
@@ -1926,6 +2004,7 @@ QUERIES = {
     "stream_enrich_materialized": enrich_stream_materialized,
     "stream_funnel_materialized": funnel_stream_materialized,
     "stream_cusum_materialized": cusum_stream_materialized,
+    "stream_session_materialized": session_stream_materialized,
 }
 
 
@@ -1998,4 +2077,5 @@ ORACLES = {
     # the two-stage streaming cascade must equal the batch closed form,
     # which the recursive-CTE recurrence oracle already gates
     "stream_cusum_materialized": _cusum_oracle(),
+    "stream_session_materialized": _session_native_oracle(),
 }
