@@ -285,6 +285,71 @@ def vacuum_orphans(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def zonemap_prune_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """Zone-map (min/max statistics) skipping effectiveness report — the
+    read-side sibling of the layout planners (``warehouse_compaction_plan``
+    sizes files, ``colocate_zorder_keys`` orders them; this MEASURES what
+    the ordering buys): per candidate predicate ``o_totalprice > t``, how
+    many of the synthetic (month, orderkey%16-bucket) files a scan could
+    skip because the file's max never clears the threshold — exactly the
+    row-group pruning parquet/ORC zone maps and Delta/Iceberg file stats
+    perform. totalprice is UNCORRELATED with the bucket layout, so skip
+    ratios stay near zero until the threshold passes most of the value
+    mass — the negative result IS the report: it is the quantitative case
+    for re-clustering (z-order) a column before relying on its stats.
+
+    Plan: one (month, bucket)-keyed partial agg builds the stats manifest
+    (file-count-sized, ~thousands of rows at any table size), thresholds
+    explode from a literal array, and the evaluation joins manifest ×
+    5 thresholds — never the base table. At 100 TB the manifest is the
+    only thing read after the first pass, the same economics as a real
+    table-format stats file."""
+    o = tables["orders"]
+    stats = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part_month"),
+        (F.col("o_orderkey") % 16).alias("bucket"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_totalprice").alias("min_tp"),
+        F.max("o_totalprice").alias("max_tp"),
+    )
+    # thresholds ride an exploded literal array (a 5-row cross JOIN would
+    # plan BNLJ and trip the blanket no-cartesian gate for nothing)
+    ev = stats.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(t).cast("long")
+                    for t in (10000, 50000, 100000, 200000, 300000)
+                ]
+            )
+        ).alias("t"),
+    )
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return (
+        ev.groupBy("t")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(F.when(F.col("max_tp") <= F.col("t"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_skipped"),
+            F.sum(
+                F.when(F.col("max_tp") <= F.col("t"), F.col("n_rows")).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_skipped"),
+        )
+        .select(
+            "t",
+            "n_files",
+            "n_skipped",
+            "rows_skipped",
+            r4(F.col("n_skipped") / F.col("n_files")).alias("skip_ratio"),
+        )
+    )
+
+
 def ivm_incremental_agg(tables: dict[str, DataFrame]) -> DataFrame:
     """Incremental view maintenance of an aggregate — the delta-merge
     that keeps a (month, status) revenue rollup current WITHOUT
@@ -357,6 +422,7 @@ def ivm_incremental_agg(tables: dict[str, DataFrame]) -> DataFrame:
 
 
 QUERIES = {
+    "warehouse_zonemap_prune": zonemap_prune_stats,
     "warehouse_ivm_agg": ivm_incremental_agg,
     "warehouse_compaction_plan": compaction_plan,
     "warehouse_vacuum_orphans": vacuum_orphans,
@@ -366,6 +432,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same (month, bucket) manifest, same max<=t skip rule, ratio 4dp.
+    "warehouse_zonemap_prune": """
+        WITH stats AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+                   o_orderkey % 16 AS bucket,
+                   count(*)::BIGINT AS n_rows,
+                   max(o_totalprice) AS max_tp
+            FROM orders GROUP BY 1, 2
+        ),
+        ev AS (
+            SELECT s.*, t.t
+            FROM stats s,
+                 (SELECT unnest([10000, 50000, 100000, 200000, 300000]
+                         ::BIGINT[]) AS t) t
+        )
+        SELECT t,
+               count(*)::BIGINT AS n_files,
+               sum(CASE WHEN max_tp <= t THEN 1 ELSE 0 END)::BIGINT
+                   AS n_skipped,
+               sum(CASE WHEN max_tp <= t THEN n_rows ELSE 0 END)::BIGINT
+                   AS rows_skipped,
+               floor(sum(CASE WHEN max_tp <= t THEN 1 ELSE 0 END)
+                     / count(*) * 10000 + 0.5) / 10000 AS skip_ratio
+        FROM ev GROUP BY t
+    """,
     # Independent algorithm: recompute the post-change table from scratch
     # (inserts present, updates +1000 cents, deletes absent), aggregate,
     # and report the groups the change batch touched; integer cents

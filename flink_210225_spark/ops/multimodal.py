@@ -694,6 +694,56 @@ def audio_vad_segments(
     ).drop("island")
 
 
+def audio_fingerprint(tables: dict[str, DataFrame]) -> DataFrame:
+    """Haitsma–Kalker robust audio fingerprint (Philips, ISMIR 2002) —
+    the audio member of the perceptual-hash family (aHash/wHash key
+    images; this keys CLIPS): per frame, the sign of the band-energy
+    difference's TIME DERIVATIVE, bit(n,m) = [(E(n,m)−E(n,m+1)) −
+    (E(n−1,m)−E(n−1,m+1)) > 0] — robust to gain and coding because only
+    energy-ordering survives, which is why it shipped in production
+    music-ID. The classic runs 33 overlapped Bark bands on an FFT; this
+    engine keeps the derivative-sign construction but takes 4 contiguous
+    8-sample bands per 32-sample frame so every energy is an exact
+    integer Σs² on the REAL WAV decode path (same container round trip
+    as ``multimodal_audio_vad``) and both engines agree with no float
+    protocol. Incomplete tail frames drop (n // 32 full frames); frame 0
+    has no predecessor, so words start at frame 1.
+
+    Plan: one Arrow decode+energy pass (per-clip cost, embarrassingly
+    parallel), per-frame 3-bit words emitted as rows — the sub-fingerprint
+    stream a matcher would LSH-index downstream."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id", (F.col("n_chars") % 200 + 50).cast("int").alias("n")
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"asset_id": [], "frame_idx": [], "word": []}
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                doc_id, n = int(doc_id), int(n)
+                s = _parse_wav(_wav_bytes(doc_id, n))["samples"]
+                n_frames = len(s) // 32
+                if n_frames < 2:
+                    continue
+                eb = (
+                    s[: n_frames * 32].reshape(n_frames, 4, 8).astype(np.int64)
+                )
+                e = (eb * eb).sum(axis=2)  # (n_frames, 4) band energies
+                d = e[:, :3] - e[:, 1:]  # adjacent-band differences
+                bits = (d[1:] - d[:-1] > 0).astype(np.int64)
+                words = (bits << np.arange(3)).sum(axis=1)
+                for f, wd in enumerate(words, start=1):
+                    out["asset_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["word"].append(int(wd))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(gen, "asset_id long, frame_idx long, word long")
+
+
 def image_ahash_groups(tables: dict[str, DataFrame]) -> DataFrame:
     """Perceptual image dedup by average-hash — the multimodal member of
     the near-dup family (aHash is the classic cheap perceptual hash:
@@ -1034,6 +1084,7 @@ QUERIES = {
     "multimodal_png_tiles": png_tile_features,
     "multimodal_image_ahash": image_ahash_groups,
     "multimodal_image_whash": image_whash_groups,
+    "multimodal_audio_fingerprint": audio_fingerprint,
     "multimodal_audio_vad": audio_vad_segments,
     "multimodal_video_cuts": video_scene_cuts,
     "multimodal_frame_plan": frame_plan_documents,
@@ -1305,6 +1356,38 @@ ORACLES = {
     # Spark side must reach the same 16-bit hash THROUGH the container
     # round trip (5 different scanline filters per seed) — an encoder or
     # un-filter bug makes seed-equal docs hash apart and breaks group_sz.
+    # Sample arithmetic replayed per band (never the bytes): same 32-sample
+    # frames, 4×8 bands, derivative-sign words via lag() of the energy LIST.
+    "multimodal_audio_fingerprint": """
+        WITH a AS (
+            SELECT doc_id, (n_chars % 200 + 50)::BIGINT AS n FROM documents
+        ),
+        f AS (
+            SELECT doc_id, unnest(range(n // 32)) AS fi
+            FROM a WHERE n // 32 >= 2
+        ),
+        e AS (
+            SELECT doc_id, fi,
+                   list_transform(range(4), m -> list_sum(list_transform(
+                       range(8), j ->
+                       ((((doc_id * 31 + (fi * 32 + m * 8 + j) * 7) % 256)
+                         - 128) * 256)
+                       * ((((doc_id * 31 + (fi * 32 + m * 8 + j) * 7) % 256)
+                           - 128) * 256)))) AS eb
+            FROM f
+        ),
+        lg AS (
+            SELECT doc_id, fi, eb,
+                   lag(eb) OVER (PARTITION BY doc_id ORDER BY fi) AS pb
+            FROM e
+        )
+        SELECT doc_id AS asset_id, fi AS frame_idx,
+               list_sum(list_transform(range(3), m ->
+                   CASE WHEN (eb[m + 1] - eb[m + 2]) - (pb[m + 1] - pb[m + 2])
+                             > 0
+                        THEN (1::BIGINT << m) ELSE 0 END))::BIGINT AS word
+        FROM lg WHERE pb IS NOT NULL
+    """,
     # Pixel arithmetic replayed per tile (never the bytes), then the same
     # integer Haar sandwich C = H·M·Hᵀ via nested list folds; median as a
     # sum-of-two-middles cross multiply, hash bits shifted 1::BIGINT << i.
