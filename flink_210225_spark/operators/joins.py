@@ -519,7 +519,122 @@ def interval_overlap_join(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def bloom_prefilter_join(
+    tables: dict[str, DataFrame], nation: str = "NATION_7"
+) -> DataFrame:
+    """Bloom-prefiltered selective join — the join-side form of the
+    runtime row-level filtering Spark's own InjectRuntimeFilter performs
+    (and Flink 1.16+ ships as runtime filter pushdown): when a fact table
+    joins a SELECTIVE key set (here, orders of one nation's customers —
+    ~1/25 of keys), folding those keys into a broadcast Bloom bitset and
+    probing the fact rows BEFORE the shuffle drops ~96% of lineitem rows
+    from the exchange; the exact join then runs on the sliver and kills
+    the false positives, so the filter affects COST only, never the
+    result. Same m=2²⁰/k=4 double-hashed construction and distributed
+    word-fold as ``text_bloom_contamination`` (driver collects 16 K
+    words, not the key set), probe is a lambda-free codegen conjunction.
+
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling the matching ~4%: the bitset is O(m) regardless
+    of fact size, and the probe is scan-local. Output is the per-month
+    revenue rollup of the matched rows — byte-identical to the plain
+    3-way join the oracle runs."""
+    from flink_210225_spark.ops.text import _BLOOM_K, _BLOOM_M
+
+    li, o, c, n = (
+        tables["lineitem"],
+        tables["orders"],
+        tables["customer"],
+        tables["nation"],
+    )
+    m, k = _BLOOM_M, _BLOOM_K
+    sel_cust = c.join(
+        F.broadcast(n.filter(F.col("n_name") == nation)),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    keys = o.join(F.broadcast(sel_cust), o.o_custkey == F.col("c_custkey")).select(
+        F.col("o_orderkey").alias("okey")
+    )
+    kh = keys.select(F.md5(F.col("okey").cast("string")).alias("md"))
+    h1 = F.pmod(F.conv(F.substring("md", 1, 15), 16, 10).cast("long"), F.lit(m))
+    h2 = F.pmod(F.conv(F.substring("md", 16, 15), 16, 10).cast("long"), F.lit(m))
+    pos = kh.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.pmod(h1 + i * h2, F.lit(m)),
+            )
+        ).alias("p")
+    )
+    word_rows = (
+        pos.select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for row in word_rows:
+        words[row["w"]] = row["bits"]
+    spark = li.sparkSession
+    bitset = (
+        spark.createDataFrame([(words,)], "bs array<long>")
+        .agg(F.first("bs").alias("bs"))
+        .scalar()
+    )
+    probe = li.select(
+        "l_orderkey",
+        "l_shipdate",
+        "l_extendedprice",
+        "l_discount",
+        F.md5(F.col("l_orderkey").cast("string")).alias("md"),
+    ).select(
+        "l_orderkey",
+        "l_shipdate",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.conv(F.substring("md", 1, 15), 16, 10).cast("long"), F.lit(m)).alias(
+            "h1"
+        ),
+        F.pmod(F.conv(F.substring("md", 16, 15), 16, 10).cast("long"), F.lit(m)).alias(
+            "h2"
+        ),
+    )
+    pos_i = lambda i: F.pmod(F.col("h1") + i * F.col("h2"), F.lit(m))  # noqa: E731
+    bit_set = lambda p: (  # noqa: E731
+        F.call_function(
+            "shiftright",
+            F.element_at(bitset, (p / 64).cast("int") + 1),
+            p.cast("int") % 64,
+        ).bitwiseAND(F.lit(1))
+        == 1
+    )
+    hit = bit_set(F.col("h1"))
+    for i in range(1, k):
+        hit = hit & bit_set(pos_i(i))
+    matched = probe.filter(hit).join(keys, F.col("l_orderkey") == F.col("okey"))
+    # revenue in exact integers (price cents × (100 − discount pct)): the
+    # float sum landed within 1e-9 of a .005 boundary at sf0.01 and flipped
+    # the 2dp rounding against the oracle's different summation order
+    rev_e4 = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
+    )
+    return (
+        matched.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            (F.floor(F.sum(rev_e4) / 100 + F.lit(0.5)) / 100).alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
+    "join_bloom_prefilter": bloom_prefilter_join,
     "join_interval_overlap": interval_overlap_join,
     "join_semi_anti": semi_anti_profile,
     "join_range_bucketed": range_join_bucketed,
@@ -535,6 +650,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Plain 3-way join — the bloom sieve affects cost only, never rows.
+    # Revenue summed as exact integer cents×pct so no fp boundary flips.
+    "join_bloom_prefilter": """
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               count(*)::BIGINT AS n_items,
+               floor(sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                         * (100 - floor(l_discount * 100 + 0.5)::BIGINT))
+                     / 100 + 0.5) / 100 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY 1
+    """,
     # Direct theta overlap join (DuckDB plans IEJoin) — an independent
     # algorithm from the bucketed equi-join; inclusive integer day math.
     "join_interval_overlap": """

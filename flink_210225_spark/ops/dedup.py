@@ -1796,6 +1796,114 @@ def pagerank_dup_graph(
     )
 
 
+def label_prop_communities(
+    tables: dict[str, DataFrame], n: int = 3, threshold: float = 0.5, rounds: int = 4
+) -> DataFrame:
+    """Label-propagation community detection (Raghavan et al. 2007) over
+    the near-dup graph — the third member of the iterative-graph family
+    (``dedup_components`` answers reachability, ``dedup_pagerank``
+    centrality; LPA finds DENSE communities, splitting a chain of weak
+    bridges that connected-components would collapse into one blob).
+    Deterministic synchronous variant: every node simultaneously adopts
+    the most frequent label among its neighbors, ties broken by SMALLEST
+    label — no randomized visit order, so a FIXED ``rounds`` count
+    replays exactly on both engines (the pagerank/kcore protocol; async
+    LPA's convergence heuristics are the part that doesn't belong in a
+    determinism contract). Same exact-Jaccard edge set as pagerank.
+
+    Plan: per round one dst-keyed join + one (node, label) agg + one
+    WindowGroupLimit-shaped rank — all on 8-byte keys; labels
+    localCheckpoint-ed per round so lineage stays flat. At 100 TB this
+    is the canonical Pregel envelope, one shuffle per round."""
+    edges = ngram_jaccard_pairs(tables, n, threshold).select("doc_a", "doc_b")
+    sym = (
+        edges.union(
+            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    labels = deg.select("src", F.col("src").alias("lab")).select(
+        F.col("src").alias("node"), "lab"
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(rounds):
+        votes = sym.join(labels, sym.dst == labels.node).select("src", "lab")
+        cnt = votes.groupBy("src", "lab").agg(F.count("*").alias("c"))
+        labels = (
+            cnt.select("src", "lab", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "lab")
+            .localCheckpoint(eager=True)
+        )
+    wc = Window.partitionBy("lab")
+    return (
+        labels.join(deg, labels.node == deg.src)
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("d").cast("long").alias("degree"),
+            F.col("lab").cast("long").alias("community"),
+        )
+        .withColumn("comm_sz", F.count("*").over(Window.partitionBy("community")))
+    )
+
+
+def _label_prop_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous LPA: same edge set as the pagerank oracle, same
+    (count DESC, label ASC) adoption rule, MATERIALIZED per round."""
+    head = """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(greatest(len(t) - 3, 0) + 1),
+                       i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS shingle
+            FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        edges AS MATERIALIZED (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000 + 0.5) / 10000
+                  >= 0.5
+        ),
+        sym AS MATERIALIZED (
+            SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM edges
+        ),
+        deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+        l0 AS (SELECT src AS node, src AS lab FROM deg)"""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f"""
+        l{k} AS MATERIALIZED (
+            SELECT src AS node, lab FROM (
+                SELECT s.src, l.lab,
+                       row_number() OVER (PARTITION BY s.src
+                                          ORDER BY count(*) DESC, l.lab ASC)
+                           AS rn
+                FROM sym s JOIN l{k - 1} l ON l.node = s.dst
+                GROUP BY s.src, l.lab
+            ) WHERE rn = 1
+        )""")
+    tail = f"""
+        SELECT l.node AS doc_id, d.d::BIGINT AS degree, l.lab::BIGINT AS community,
+               count(*) OVER (PARTITION BY l.lab)::BIGINT AS comm_sz
+        FROM l{rounds} l JOIN deg d ON d.src = l.node"""
+    return head + "," + ",".join(steps) + tail
+
+
 def _pagerank_oracle(iters: int = 8) -> str:
     head = """
         WITH toks AS (
@@ -1863,6 +1971,7 @@ QUERIES = {
     "dedup_embedding_cosine": embedding_near_dups_blocked,
     "dedup_paraphrase_mining": paraphrase_mining,
     "dedup_pagerank": pagerank_dup_graph,
+    "dedup_label_prop": label_prop_communities,
     "dedup_contamination_spans": contamination_spans,
     "dedup_spans_excise": excise_contaminated,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
@@ -2399,6 +2508,8 @@ ORACLES["dedup_cluster_summary"] = (
 # Fixed-iteration PageRank: 8 power-method rounds UNROLLED as CTEs over the
 # same oracle-verified edge set as dedup_ngram_jaccard.
 ORACLES["dedup_pagerank"] = _pagerank_oracle()
+# Synchronous LPA, 4 unrolled rounds, (count DESC, label ASC) adoption.
+ORACLES["dedup_label_prop"] = _label_prop_oracle()
 
 # Prefix filtering is candidate pruning, not approximation: the emitted
 # (doc_a, doc_b, jaccard) rows are identical to the quadratic baseline's, so
