@@ -363,6 +363,35 @@ def epoch_plan(
     )
 
 
+def class_weights(tables: dict[str, DataFrame]) -> DataFrame:
+    """Inverse-frequency class-balance weights per language — the loss-
+    weighting companion to the resampling ops (``quota_per_group`` and
+    ``mixture_downsample`` change WHAT is sampled; class weights leave
+    the data alone and reweight the LOSS, sklearn's ``class_weight=
+    'balanced'`` rule w_c = N/(K·n_c)). Emitted raw and normalized to
+    sum 1 (both 6dp), with the doc share — the report a trainer reads
+    before picking either strategy. Weights are ratios of exact BIGINT
+    counts computed in one pass; the normalized form divides by the raw
+    weights' CLOSED-FORM total recomputed the same way on both engines.
+
+    Plan: one language-keyed partial agg, then a K-sized window — one
+    Exchange of |languages| rows at any corpus size."""
+    docs = tables["documents"]
+    per = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    n_tot = F.sum("n_docs").over(Window.partitionBy())
+    k_cls = F.count("*").over(Window.partitionBy())
+    w_raw = n_tot / (k_cls * F.col("n_docs"))
+    w_sum = F.sum(n_tot / (k_cls * F.col("n_docs"))).over(Window.partitionBy())
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return per.select(
+        "lang",
+        "n_docs",
+        r6(F.col("n_docs") / n_tot).alias("doc_share"),
+        r6(w_raw).alias("weight"),
+        r6(w_raw / w_sum).alias("weight_norm"),
+    )
+
+
 def importance_resample(tables: dict[str, DataFrame]) -> DataFrame:
     """REALIZE the DSIR policy — the resampling step the weights exist
     for (Xie et al. 2023 §3: sample ∝ w to shift the corpus toward the
@@ -415,6 +444,7 @@ QUERIES = {
     "sample_importance_resample": importance_resample,
     "sample_kfold_assign": kfold_assign,
     "sample_epoch_plan": epoch_plan,
+    "sample_class_weights": class_weights,
     "sample_quota_per_group": quota_per_group,
     "sample_mixture_rate": mixture_downsample,
     "sample_stratified_exact": stratified_exact_split,
@@ -452,6 +482,31 @@ def _importance_resample_oracle() -> str:
 
 
 ORACLES = {
+    # Same N/(K·n_c) ratio of exact counts, 6dp; normalization divides by
+    # the windowed sum of the same expression.
+    "sample_class_weights": """
+        WITH per AS (
+            SELECT lang, count(*)::BIGINT AS n_docs FROM documents
+            GROUP BY lang
+        ),
+        t AS (
+            SELECT lang, n_docs,
+                   sum(n_docs) OVER ()::BIGINT AS n_tot,
+                   count(*) OVER ()::BIGINT AS k_cls
+            FROM per
+        ),
+        w AS (
+            SELECT lang, n_docs, n_tot, k_cls,
+                   n_tot / (k_cls * n_docs) AS w_raw
+            FROM t
+        )
+        SELECT lang, n_docs,
+               floor(n_docs / n_tot * 1000000 + 0.5) / 1000000 AS doc_share,
+               floor(w_raw * 1000000 + 0.5) / 1000000 AS weight,
+               floor(w_raw / sum(w_raw) OVER () * 1000000 + 0.5) / 1000000
+                   AS weight_norm
+        FROM w
+    """,
     # Same even-share integer arithmetic: granted = floor(4·total/K),
     # epochs clamped [1, 16], utilization on the long ratio, 4dp.
     "sample_epoch_plan": """

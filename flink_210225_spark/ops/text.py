@@ -1914,6 +1914,71 @@ def readability_score(tables: dict[str, DataFrame], sent_tokens: int = 12) -> Da
     )
 
 
+WEAK_LFS = (
+    # (name, keywords, label) — each labeling function fires iff the doc
+    # contains any of its keywords; the label space is a 3-way topic split
+    # over the fixture vocabulary.
+    ("lf_window", ("window", "stream"), "streaming"),
+    ("lf_agg", ("agg", "group"), "analytics"),
+    ("lf_table", ("table", "scan"), "storage"),
+    ("lf_join", ("join", "sort"), "analytics"),
+    ("lf_batch", ("batch", "checkpoint"), "streaming"),
+)
+
+
+def weak_labels(tables: dict[str, DataFrame]) -> DataFrame:
+    """Programmatic weak supervision (the Snorkel/data-programming model,
+    Ratner et al. 2016) — the labeling step of a training-data pipeline
+    when hand labels don't exist: K labeling functions vote, the label
+    model resolves them, and the resolved labels train the downstream
+    model (``text_nb_quality``'s teacher is the 1-LF special case). The
+    deterministic core ships here: 5 keyword LFs over the fixture
+    vocabulary, per-doc vote counts per class, majority resolution with
+    smallest-label tie-break, ``abstain`` when nothing fires, and the
+    coverage/conflict columns every LF-quality report carries (conflict =
+    fired LFs spanning >1 class — the signal Snorkel's generative model
+    weighs; majority vote is its closed-form degenerate case).
+
+    Plan: pure per-row expressions inside codegen — zero shuffle, the
+    same embarrassingly-parallel envelope as ``text_quality_score``."""
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks"))
+    fired = {
+        name: F.greatest(
+            *[F.array_contains("toks", kw).cast("int") for kw in kws]
+        )
+        for name, kws, _label in WEAK_LFS
+    }
+    labels = sorted({label for _n, _k, label in WEAK_LFS})
+    votes = {
+        label: sum(
+            fired[name] for name, _k, lab in WEAK_LFS if lab == label
+        )
+        for label in labels
+    }
+    n_fired = sum(fired.values())
+    best = F.lit("abstain")
+    # iterate labels in REVERSE lexicographic order so the final
+    # when-chain prefers the smallest label on vote ties
+    for label in sorted(labels, reverse=True):
+        cond = F.lit(True)
+        for other in labels:
+            if other != label:
+                cond = cond & (votes[label] >= votes[other])
+        best = F.when((votes[label] > 0) & cond, F.lit(label)).otherwise(best)
+    n_classes = sum(
+        F.when(votes[label] > 0, 1).otherwise(0) for label in labels
+    )
+    return base.select(
+        "doc_id",
+        n_fired.cast("long").alias("n_fired"),
+        *[votes[label].cast("long").alias(f"v_{label}") for label in labels],
+        best.alias("label"),
+        (n_classes >= 2).alias("conflict"),
+    )
+
+
 def stupid_backoff_score(tables: dict[str, DataFrame]) -> DataFrame:
     """Trigram LM scoring with Stupid Backoff (Brants et al. 2007, "Large
     Language Models in Machine Translation") — the web-scale scoring rule
@@ -2330,6 +2395,7 @@ QUERIES = {
     "text_turn_mask_plan": turn_mask_plan,
     "text_perplexity_filter": perplexity_filter,
     "text_stupid_backoff": stupid_backoff_score,
+    "text_weak_labels": weak_labels,
     "text_inverted_index": inverted_index,
     "text_bpe_pair_counts": bpe_pair_counts,
     "text_quality_rrf": quality_rrf,
@@ -2906,6 +2972,54 @@ ORACLES = {
                floor(sum(quality) * 10000 + 0.5) / 10000 AS sum_quality,
                sum(n)::BIGINT AS token_total
         FROM q GROUP BY 1, 2
+    """,
+    # Same five keyword LFs, same vote sums, same ascending-label >= chain
+    # (smallest label wins ties), conflict = fired classes >= 2.
+    "text_weak_labels": f"""
+        WITH b AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+        ),
+        v AS (
+            SELECT doc_id,
+                   CASE WHEN list_contains(toks, 'window')
+                             OR list_contains(toks, 'stream')
+                        THEN 1 ELSE 0 END AS lf_window,
+                   CASE WHEN list_contains(toks, 'agg')
+                             OR list_contains(toks, 'group')
+                        THEN 1 ELSE 0 END AS lf_agg,
+                   CASE WHEN list_contains(toks, 'table')
+                             OR list_contains(toks, 'scan')
+                        THEN 1 ELSE 0 END AS lf_table,
+                   CASE WHEN list_contains(toks, 'join')
+                             OR list_contains(toks, 'sort')
+                        THEN 1 ELSE 0 END AS lf_join,
+                   CASE WHEN list_contains(toks, 'batch')
+                             OR list_contains(toks, 'checkpoint')
+                        THEN 1 ELSE 0 END AS lf_batch
+            FROM b
+        ),
+        s AS (
+            SELECT doc_id,
+                   (lf_window + lf_agg + lf_table + lf_join + lf_batch)
+                       ::BIGINT AS n_fired,
+                   (lf_agg + lf_join)::BIGINT AS v_analytics,
+                   (lf_table)::BIGINT AS v_storage,
+                   (lf_window + lf_batch)::BIGINT AS v_streaming
+            FROM v
+        )
+        SELECT doc_id, n_fired, v_analytics, v_storage, v_streaming,
+               CASE WHEN v_analytics > 0 AND v_analytics >= v_storage
+                         AND v_analytics >= v_streaming THEN 'analytics'
+                    WHEN v_storage > 0 AND v_storage >= v_analytics
+                         AND v_storage >= v_streaming THEN 'storage'
+                    WHEN v_streaming > 0 AND v_streaming >= v_analytics
+                         AND v_streaming >= v_storage THEN 'streaming'
+                    ELSE 'abstain' END AS label,
+               ((CASE WHEN v_analytics > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN v_storage > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN v_streaming > 0 THEN 1 ELSE 0 END)) >= 2
+                   AS conflict
+        FROM s
     """,
     # Same even-half training split, same three count tables, same tier
     # rule and 0.4::DOUBLE penalties in the same operation order; N+V as
