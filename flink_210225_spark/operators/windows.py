@@ -399,6 +399,47 @@ def uv_approx_sketch(tables: dict[str, DataFrame], rsd: float = 0.02) -> DataFra
     )
 
 
+def uv_sketch_weekly(tables: dict[str, DataFrame]) -> DataFrame:
+    """MERGEABLE-sketch rollup — the property ``window_uv_sketch`` only
+    names, exercised for real: per-(day, type) DataSketches HLL sketches
+    built once, then UNIONED per week and estimated — daily sketch bytes
+    roll up to weekly uniques with NO rescan of the raw events, the
+    mechanism that lets a serving store answer distinct-count queries at
+    any granularity from pre-aggregated kilobytes (re-aggregatability is
+    exactly what plain countDistinct lacks). Audit contract as the uv
+    family: output carries the independently-recomputable exact weekly
+    count plus ``uv_ok`` = |union-estimate/exact − 1| ≤ 8% (lgK=12 → rsd
+    ≈1.6%, 5σ band); the oracle recomputes exact and emits literal TRUE,
+    so a merge regression flips the boolean and breaks the hash.
+
+    Plan: one day-grain partial agg of fixed-size sketch buffers, one
+    weeks-sized union agg, one exact pass for the audit column (the
+    audit pass disappears in production — the sketch IS the answer)."""
+    ev = tables["events"]
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    daily = ev.groupBy(
+        week.alias("week_start"),
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+        "event_type",
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    weekly = daily.groupBy("week_start", "event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias("uv_merged"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    exact = ev.groupBy(week.alias("week_start"), "event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("uv_exact")
+    )
+    joined = exact.join(weekly, ["week_start", "event_type"])
+    rel_err = F.abs(F.col("uv_merged") / F.col("uv_exact") - 1.0)
+    return joined.select(
+        "week_start",
+        "event_type",
+        "n_days",
+        "uv_exact",
+        (rel_err <= 0.08).alias("uv_ok"),
+    )
+
+
 def daily_anomaly_mad(tables: dict[str, DataFrame], k: float = 3.0) -> DataFrame:
     """Robust sibling of ``daily_anomaly``: median/MAD instead of mean/σ —
     one genuinely anomalous day inflates σ and can mask itself (the
@@ -800,6 +841,7 @@ QUERIES = {
     "window_holt": holt_per_user,
     "window_anomaly_mad": daily_anomaly_mad,
     "window_uv_sketch": uv_approx_sketch,
+    "window_uv_sketch_weekly": uv_sketch_weekly,
     "window_sliding_stats": sliding_visitor_stats,
     "window_rollup_stats": rollup_stats,
     "window_grouping_sets": grouping_sets_stats,
@@ -890,6 +932,16 @@ ORACLES = {
                floor(s * 10000 + 0.5) / 10000 AS seasonal,
                floor((l + b + sl[1]) * 10000 + 0.5) / 10000 AS forecast
         FROM walk
+    """,
+    # exact weekly uniques recomputed; the sketch-merge estimate must sit
+    # inside the 8% band or uv_ok flips against the literal TRUE.
+    "window_uv_sketch_weekly": """
+        SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+               event_type,
+               count(DISTINCT strftime(ts, '%Y-%m-%d'))::BIGINT AS n_days,
+               count(DISTINCT user_id)::BIGINT AS uv_exact,
+               TRUE AS uv_ok
+        FROM events GROUP BY 1, 2
     """,
     "window_wow_growth": """
         WITH weekly AS (

@@ -949,6 +949,93 @@ def video_scene_cuts(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def video_keyframes(tables: dict[str, DataFrame]) -> DataFrame:
+    """Keyframe selection per shot — the step after ``video_scene_cuts``
+    in every video-curation pipeline (a caption/embedding model reads ONE
+    representative frame per shot, not the stream). Same real per-frame
+    PNG decode and the same luma-delta shot partition; the keyframe is
+    the shot's highest-CONTRAST frame (contrast = n·Σp² − (Σp)², the
+    integer variance cross-multiply — flat frames caption poorly, the
+    classic selection heuristic), ties to the earliest frame. The decode
+    pass additionally reduces Σp² per frame; everything downstream is
+    exact-integer window arithmetic, so the whole output hash-gates.
+
+    Plan: one Arrow decode pass (adds one int per frame over the cuts
+    query), the shot partition rides the same clip-keyed Exchange, and
+    the keyframe pick is a WindowGroupLimit-shaped rank — no extra
+    shuffle beyond the cuts sibling."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 12 + 8).cast("int").alias("n_frames"),
+        (F.col("doc_id") % 4 + 3).cast("int").alias("scene_len"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("asset_id", "frame_idx", "framesum", "framesq")}
+            for doc_id, nf, sl in zip(
+                pdf["doc_id"], pdf["n_frames"], pdf["scene_len"]
+            ):
+                doc_id, nf, sl = int(doc_id), int(nf), int(sl)
+                for f in range(nf):
+                    seed = doc_id * 13 + (f // sl) * 97 + f
+                    px = _parse_png(
+                        _png_bytes(seed, 8, 8, filter_type=f % 5)
+                    )["pixels"].astype(np.int64)
+                    out["asset_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["framesum"].append(int(px.sum()))
+                    out["framesq"].append(int((px.astype(np.int64) ** 2).sum()))
+            yield pd.DataFrame(out)
+
+    frames = base.mapInPandas(
+        gen, "asset_id long, frame_idx long, framesum long, framesq long"
+    )
+    from pyspark.sql import Window
+
+    worder = Window.partitionBy("asset_id").orderBy("frame_idx")
+    wall = Window.partitionBy("asset_id")
+    wrun = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = frames.withColumn(
+        "delta", F.abs(F.col("framesum") - F.lag("framesum").over(worder))
+    )
+    scored = d.select(
+        "asset_id",
+        "frame_idx",
+        "framesum",
+        "framesq",
+        "delta",
+        F.count("delta").over(wall).alias("n_deltas"),
+        F.sum("delta").over(wall).alias("total_delta"),
+    )
+    cut = (
+        F.col("delta").isNotNull()
+        & (F.col("delta") * F.col("n_deltas") > 2 * F.col("total_delta"))
+    ).cast("long")
+    contrast = 64 * F.col("framesq") - F.col("framesum") * F.col("framesum")
+    shots = scored.withColumn("shot_id", F.sum(cut).over(wrun)).withColumn(
+        "contrast", contrast
+    )
+    wpick = Window.partitionBy("asset_id", "shot_id").orderBy(
+        F.desc("contrast"), F.asc("frame_idx")
+    )
+    ranked = shots.withColumn("rn", F.row_number().over(wpick))
+    per_shot = shots.groupBy("asset_id", "shot_id").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.count("*").alias("n_frames"),
+    )
+    picks = ranked.where(F.col("rn") == 1).select(
+        "asset_id",
+        "shot_id",
+        F.col("frame_idx").alias("key_frame"),
+        F.col("contrast").alias("key_contrast"),
+    )
+    return per_shot.join(picks, ["asset_id", "shot_id"])
+
+
 def assets_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media assets derived from the documents fixture:
     payload = UTF-8 bytes of the text, kind by doc_id mod 3, frame count from
@@ -1087,6 +1174,7 @@ QUERIES = {
     "multimodal_audio_fingerprint": audio_fingerprint,
     "multimodal_audio_vad": audio_vad_segments,
     "multimodal_video_cuts": video_scene_cuts,
+    "multimodal_video_keyframes": video_keyframes,
     "multimodal_frame_plan": frame_plan_documents,
     "multimodal_audio_segments": audio_segments_documents,
     "multimodal_tile_plan": tile_plan_documents,
@@ -1271,6 +1359,69 @@ ORACLES = {
     # Per-frame pixel sums, luma deltas, the 2×-mean cut threshold, and
     # the running-cut shot partition all replayed arithmetically; only a
     # correct per-frame PNG decode reproduces the frame sums.
+    # Cuts-oracle pixel replay + Σp² per frame; contrast cross-multiply,
+    # keyframe = (contrast DESC, frame ASC) rank 1 per shot.
+    "multimodal_video_keyframes": """
+        WITH a AS (
+            SELECT doc_id, (doc_id % 12 + 8)::BIGINT AS nf,
+                   (doc_id % 4 + 3)::BIGINT AS sl
+            FROM documents
+        ),
+        fr AS (
+            SELECT doc_id, sl, unnest(range(nf)) AS f FROM a
+        ),
+        s AS (
+            SELECT doc_id, f,
+                   list_sum(list_transform(range(64),
+                       i -> ((doc_id * 13 + (f // sl) * 97 + f) * 7
+                             + 3 * (i % 8) + 11 * (i // 8)) % 256))::BIGINT
+                       AS framesum,
+                   list_sum(list_transform(range(64),
+                       i -> (((doc_id * 13 + (f // sl) * 97 + f) * 7
+                              + 3 * (i % 8) + 11 * (i // 8)) % 256)
+                            * (((doc_id * 13 + (f // sl) * 97 + f) * 7
+                                + 3 * (i % 8) + 11 * (i // 8)) % 256)))::BIGINT
+                       AS framesq
+            FROM fr
+        ),
+        d AS (
+            SELECT doc_id, f, framesum, framesq,
+                   abs(framesum - lag(framesum) OVER w) AS delta
+            FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+        ),
+        t AS (
+            SELECT doc_id, f, framesum, framesq, delta,
+                   count(delta) OVER (PARTITION BY doc_id) AS n_deltas,
+                   sum(delta) OVER (PARTITION BY doc_id) AS total_delta
+            FROM d
+        ),
+        sh AS (
+            SELECT doc_id, f, framesum,
+                   64 * framesq - framesum * framesum AS contrast,
+                   sum(CASE WHEN delta IS NOT NULL
+                                 AND delta * n_deltas > 2 * total_delta
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY f
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS shot_id
+            FROM t
+        ),
+        rk AS (
+            SELECT doc_id, f, shot_id, contrast,
+                   row_number() OVER (PARTITION BY doc_id, shot_id
+                                      ORDER BY contrast DESC, f ASC) AS rn
+            FROM sh
+        ),
+        per AS (
+            SELECT doc_id, shot_id, min(f) AS start_frame,
+                   count(*)::BIGINT AS n_frames
+            FROM sh GROUP BY 1, 2
+        )
+        SELECT p.doc_id AS asset_id, p.shot_id, p.start_frame, p.n_frames,
+               r.f AS key_frame, r.contrast::BIGINT AS key_contrast
+        FROM per p
+        JOIN rk r ON r.doc_id = p.doc_id AND r.shot_id = p.shot_id
+                     AND r.rn = 1
+    """,
     "multimodal_video_cuts": """
         WITH a AS (
             SELECT doc_id, (doc_id % 12 + 8)::BIGINT AS nf,
