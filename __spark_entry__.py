@@ -30,7 +30,7 @@ def _registry_modules():
     )
     from flink_210225_spark.functions import segmentation
     from flink_210225_spark.ops import dedup, multimodal, sampling, similarity, text
-    from flink_210225_spark.sources import filetopic, pyds
+    from flink_210225_spark.sources import filetopic, jsonl, pyds
     from flink_210225_spark.streaming import pipelines as streaming_pipelines
     from flink_210225_spark.streaming import sql_jobs
 
@@ -38,6 +38,7 @@ def _registry_modules():
         segmentation,
         pyds,
         filetopic,
+        jsonl,
         streaming_pipelines,
         sql_jobs,
         colocate,

@@ -285,6 +285,44 @@ def vacuum_orphans(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def deletion_vector_report(tables: dict[str, DataFrame]) -> DataFrame:
+    """Deletion-vector accounting — the merge-on-READ ledger (Iceberg v2
+    position deletes / Delta deletion vectors): row-level deletes land as
+    per-file bitmaps instead of rewrites, reads anti-join the bitmap, and
+    a maintenance job rewrites a file once its dead fraction makes the
+    read-side merge more expensive than the rewrite. This is the read
+    path the rename-swap critique in VERDICT r2 points toward: deletes
+    cost O(deleted), not O(table), until compaction. Synthetic DV:
+    orderkey%13 rows are deleted everywhere, and even months carry an
+    extra %3 purge wave (a GDPR-style cohort), so both sides of the
+    rewrite threshold occur. Per (month, bucket) file: rows, deleted,
+    live, dv_ratio (4dp), and the rewrite flag at ≥ 20% dead.
+
+    Plan: one file-keyed partial agg over the facts — manifest-sized
+    output; the report IS the compaction queue."""
+    o = tables["orders"]
+    k = F.col("o_orderkey")
+    deleted = (k % 13 == 0) | ((F.month("o_orderdate") % 2 == 0) & (k % 3 == 0))
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    per = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part_month"),
+        (k % 16).alias("bucket"),
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.when(deleted, 1).otherwise(0)).cast("long").alias("n_deleted"),
+    )
+    ratio = F.col("n_deleted") / F.col("n_rows")
+    return per.select(
+        "part_month",
+        "bucket",
+        "n_rows",
+        "n_deleted",
+        (F.col("n_rows") - F.col("n_deleted")).alias("n_live"),
+        r4(ratio).alias("dv_ratio"),
+        (r4(ratio) >= 0.2).alias("rewrite"),
+    )
+
+
 def zonemap_prune_stats(tables: dict[str, DataFrame]) -> DataFrame:
     """Zone-map (min/max statistics) skipping effectiveness report — the
     read-side sibling of the layout planners (``warehouse_compaction_plan``
@@ -422,6 +460,7 @@ def ivm_incremental_agg(tables: dict[str, DataFrame]) -> DataFrame:
 
 
 QUERIES = {
+    "warehouse_deletion_vectors": deletion_vector_report,
     "warehouse_zonemap_prune": zonemap_prune_stats,
     "warehouse_ivm_agg": ivm_incremental_agg,
     "warehouse_compaction_plan": compaction_plan,
@@ -432,6 +471,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same synthetic DV rule, ratio 4dp, flag on the rounded ratio.
+    "warehouse_deletion_vectors": """
+        WITH per AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+                   o_orderkey % 16 AS bucket,
+                   count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN o_orderkey % 13 = 0
+                                 OR (month(o_orderdate) % 2 = 0
+                                     AND o_orderkey % 3 = 0)
+                            THEN 1 ELSE 0 END)::BIGINT AS n_deleted
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT part_month, bucket, n_rows, n_deleted,
+               (n_rows - n_deleted)::BIGINT AS n_live,
+               floor(n_deleted / n_rows * 10000 + 0.5) / 10000 AS dv_ratio,
+               floor(n_deleted / n_rows * 10000 + 0.5) / 10000 >= 0.2
+                   AS rewrite
+        FROM per
+    """,
     # Same (month, bucket) manifest, same max<=t skip rule, ratio 4dp.
     "warehouse_zonemap_prune": """
         WITH stats AS (

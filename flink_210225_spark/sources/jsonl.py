@@ -1,0 +1,87 @@
+"""JSON-lines source with dirty-record side output — the FILE-reader form
+of P1's "parse JSON, route the unparseable to a side output"
+(BaseLogApp.java's dirty-tag OutputTag; ``operators/logsplit.py`` covers
+the per-column form over ``props``). Here the whole ROW is a JSON document
+and the engine's own JSON reader does the parsing: ``spark.read.json``
+in PERMISSIVE mode with an explicit ``columnNameOfCorruptRecord`` — the
+production contract for ingesting feeds where some lines are garbage
+(truncated flushes, mid-line rotations). Corrupt lines surface as rows
+whose data columns are NULL and whose ``_corrupt_record`` carries the raw
+line, so the dirty side output is a filter, not an exception handler.
+
+The driver query synthesizes the feed deterministically: events serialized
+with ``to_json``, every event_id % 7 == 0 line truncated by one character
+(always invalid — ``to_json`` output always ends in '}'). Numeric fidelity
+rides the shortest-roundtrip guarantee: the double printed by ``to_json``
+parses back bit-identical, so cent sums match the oracle that never left
+parquet.
+
+Scale: the reader is the built-in JSON scan (distributed, splittable by
+line); the single-pass CASE aggregation avoids the known restriction on
+querying ``_corrupt_record`` in isolation (Spark refuses a plan that
+prunes to only the corrupt column — fold the corrupt tag into the group
+key instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def jsonl_dirty_counts(tables: dict[str, DataFrame]) -> DataFrame:
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    ev = tables["events"]
+    spark = ev.sparkSession
+    js = ev.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias("j"),
+    )
+    dirty = js.select(
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.expr("substring(j, 1, length(j) - 1)"),
+        )
+        .otherwise(F.col("j"))
+        .alias("value")
+    )
+    out = _scratch(prefix="jsonl_src_")
+    dirty.write.mode("overwrite").text(out)
+    schema = (
+        "event_id bigint, user_id bigint, event_type string, value double,"
+        " _corrupt_record string"
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    tagged = parsed.select(
+        F.when(F.col("_corrupt_record").isNotNull(), F.lit("__corrupt__"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return tagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("value_cents"),
+    )
+
+
+QUERIES = {"source_jsonl_dirty": jsonl_dirty_counts}
+
+ORACLES = {
+    # Replay from parquet: the %7 lines are the corrupt group (their cents
+    # drop out — a corrupt row parses every data column NULL).
+    "source_jsonl_dirty": """
+        SELECT CASE WHEN event_id % 7 = 0 THEN '__corrupt__'
+                    ELSE event_type END AS event_type,
+               count(*)::BIGINT AS n_rows,
+               coalesce(sum(CASE WHEN event_id % 7 != 0
+                                 THEN floor(value * 100 + 0.5)::BIGINT END),
+                        0)::BIGINT AS value_cents
+        FROM events GROUP BY 1
+    """,
+}
