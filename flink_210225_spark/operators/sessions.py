@@ -196,6 +196,53 @@ def funnel_windowed(
     return counts.selectExpr(f"stack({len(steps)}, {stack}) AS (stage, step, users)")
 
 
+def time_to_convert(tables: dict[str, DataFrame]) -> DataFrame:
+    """Signup→purchase latency distribution — the TIME axis the funnel
+    family doesn't measure (``session_funnel`` counts who converts,
+    ``session_funnel_windowed`` whether steps fit a window; this reports
+    how LONG conversion takes, the activation metric growth teams chart).
+    Per user: first signup, first purchase AT OR AFTER it; delay carried
+    as exact integer microseconds (the NTZ-safe ``timestamp_diff`` both
+    engines share), summarized as conversion rate (4dp) and interpolated
+    p50/p90 in seconds (2dp — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the (n−1)·p rule, the ship_latency
+    precedent).
+
+    Plan: two event-type-pruned user aggs + one user equi-join, then a
+    1-row summary — the user-keyed shuffle carries two timestamps per
+    user, nothing else, at any event volume."""
+    ev = tables["events"]
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("ts") >= F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c"), F.first("s").alias("s"))
+    )
+    delays = pu.select(
+        "user_id", F.timestamp_diff("MICROSECOND", F.col("s"), F.col("c")).alias("d_us")
+    )
+    n_signup = su.agg(F.count("*").cast("long")).scalar()
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100  # noqa: E731
+    return delays.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        r2(F.percentile("d_us", F.lit(0.5)) / 1000000).alias("p50_sec"),
+        r2(F.percentile("d_us", F.lit(0.9)) / 1000000).alias("p90_sec"),
+    ).select(
+        n_signup.alias("n_signup"),
+        "n_converted",
+        r4(F.col("n_converted") / n_signup).alias("conv_rate"),
+        "p50_sec",
+        "p90_sec",
+    )
+
+
 def markov_transitions(tables: dict[str, DataFrame]) -> DataFrame:
     """First-order Markov model of user behavior: for every (prev_type →
     next_type) pair of consecutive events in a user's timeline, the
@@ -375,9 +422,36 @@ QUERIES = {
     "session_retention": retention_cohorts,
     "session_attribution": last_touch_attribution,
     "session_markov": markov_transitions,
+    "session_time_to_convert": time_to_convert,
 }
 
 ORACLES = {
+    # Same first-signup/first-purchase-after rule; microsecond-exact delay,
+    # quantile_cont == Spark percentile interpolation, 2dp/4dp rounding.
+    "session_time_to_convert": """
+        WITH su AS (
+            SELECT user_id, min(ts) AS s FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        pu AS (
+            SELECT e.user_id, min(e.ts) AS c, min(su.s) AS s
+            FROM events e JOIN su ON su.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= su.s
+            GROUP BY e.user_id
+        ),
+        d AS (
+            SELECT user_id, date_diff('microsecond', s, c) AS d_us FROM pu
+        )
+        SELECT (SELECT count(*) FROM su)::BIGINT AS n_signup,
+               count(*)::BIGINT AS n_converted,
+               floor(count(*) / (SELECT count(*) FROM su) * 10000 + 0.5)
+                   / 10000 AS conv_rate,
+               floor(quantile_cont(d_us, 0.5) / 1000000 * 100 + 0.5) / 100
+                   AS p50_sec,
+               floor(quantile_cont(d_us, 0.9) / 1000000 * 100 + 0.5) / 100
+                   AS p90_sec
+        FROM d
+    """,
     "session_bounce_rate": """
         WITH gapped AS (
             SELECT user_id, ts, event_id,

@@ -285,6 +285,50 @@ def vacuum_orphans(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+_ANALYZE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def analyze_column_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS — the CBO stats
+    collection every cost-based planner (Spark's own, Trino, Hive)
+    schedules as table maintenance: per column, null count and NDV. The
+    production path uses an HLL sketch for NDV (one pass, mergeable
+    across partitions); the audit contract mirrors the uv family — the
+    output carries the EXACT ndv (cross-engine hashable) plus ``ndv_ok``
+    = sketch-vs-exact within the 5σ band, so a sketch regression flips a
+    boolean the hash sees. All four columns' measures ride ONE full-table
+    aggregate row (single pass — the point of stats collection), melted
+    to per-column rows with ``stack``.
+
+    Plan: one scan, one 1-row agg, zero joins; at 100 TB this is the
+    one-pass stats job a nightly ANALYZE runs."""
+    o = tables["orders"]
+    aggs = []
+    for c in _ANALYZE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nulls_{c}"),
+            F.countDistinct(c).cast("long").alias(f"ndv_{c}"),
+            F.approx_count_distinct(c, 0.02).alias(f"apx_{c}"),
+        ]
+    row = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nulls_{c}, ndv_{c}, apx_{c}" for c in _ANALYZE_COLS
+    )
+    melted = row.selectExpr(
+        f"stack({len(_ANALYZE_COLS)}, {stack})"
+        " AS (column_name, n_nulls, ndv_exact, ndv_approx)"
+    )
+    rel_err = F.abs(F.col("ndv_approx") / F.col("ndv_exact") - 1.0)
+    return melted.select(
+        "column_name",
+        "n_nulls",
+        "ndv_exact",
+        (rel_err <= 0.10).alias("ndv_ok"),
+    )
+
+
 def deletion_vector_report(tables: dict[str, DataFrame]) -> DataFrame:
     """Deletion-vector accounting — the merge-on-READ ledger (Iceberg v2
     position deletes / Delta deletion vectors): row-level deletes land as
@@ -461,6 +505,7 @@ def ivm_incremental_agg(tables: dict[str, DataFrame]) -> DataFrame:
 
 QUERIES = {
     "warehouse_deletion_vectors": deletion_vector_report,
+    "warehouse_analyze_stats": analyze_column_stats,
     "warehouse_zonemap_prune": zonemap_prune_stats,
     "warehouse_ivm_agg": ivm_incremental_agg,
     "warehouse_compaction_plan": compaction_plan,
@@ -471,6 +516,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Exact ndv/null recomputed per column; TRUE audits the sketch band.
+    "warehouse_analyze_stats": """
+        SELECT 'o_orderkey' AS column_name,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_nulls,
+               count(DISTINCT o_orderkey)::BIGINT AS ndv_exact,
+               TRUE AS ndv_ok
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey',
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT o_custkey)::BIGINT, TRUE
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT o_orderstatus)::BIGINT, TRUE
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+               sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                   ::BIGINT,
+               count(DISTINCT o_orderpriority)::BIGINT, TRUE
+        FROM orders
+    """,
     # Same synthetic DV rule, ratio 4dp, flag on the rounded ratio.
     "warehouse_deletion_vectors": """
         WITH per AS (
