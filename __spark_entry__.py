@@ -80,13 +80,19 @@ def _registry():
 # seasonal anomaly, PMI / RAKE / LR-trainer / BPE-merge / chunk-dedup
 # text ops, path mining + bounce rate, image-aHash / audio-VAD /
 # video-cuts real-codec trio, compaction + vacuum planners, JL audit,
-# filtered top-k, DSIR resampler, triangle census) + 3 re-gates of
-# r1-green queries no round has rechecked — led by the two SCD2 queries
-# whose synthesized-ts multiplier changed in the first session. Round 5
-# queue: the remaining r1-only greens (sql_* tumbles,
-# join_skew_profile/interval_outer, the window_* rollup family, log_*,
-# session_gaps/window_native, serving_* endpoints, …) plus the 19
-# re-gates displaced this session.
+# filtered top-k, DSIR resampler, triangle census) + 3 of the 25
+# third-session operators (the session-window streaming capstone, IVM
+# delta-merge, bloom-prefiltered join — the three SCD2/CDC re-gate slots
+# gave way: never-gated beats re-gate). Round 5 queue, in order: the 22
+# remaining third-session ops (wow_growth, token_sort, kfold,
+# readability, ab_lift, epoch_plan, stupid_backoff, interval_overlap,
+# holt_winters, basket_kcore, image_whash, audio_fingerprint,
+# zonemap_prune, label_prop, weak_labels, class_weights,
+# uv_sketch_weekly, video_keyframes, jsonl_dirty, deletion_vectors,
+# time_to_convert, analyze_stats), then the SCD2/CDC re-gates, then the
+# r1-only greens (sql_* tumbles, join_skew_profile/interval_outer, the
+# window_* rollup family, log_*, session_gaps/window_native, serving_*
+# endpoints, …).
 _CHECK_WINDOW = [
     # --- never driver-gated: queued from round 3 ---
     "join_salted",
@@ -138,10 +144,10 @@ _CHECK_WINDOW = [
     "text_chunk_dedup_stats",
     "sim_filtered_topk",
     "warehouse_vacuum_orphans",
-    # --- r1-green re-gates (oldest verification, code touched first) ---
-    "cdc_scd2_history",
-    "cdc_scd2_lookup",
-    "cdc_route_config",
+    # --- never driver-gated: new in round 4, third session ---
+    "stream_session_materialized",
+    "warehouse_ivm_agg",
+    "join_bloom_prefilter",
 ]
 
 
