@@ -296,12 +296,18 @@ def analyze_column_stats(tables: dict[str, DataFrame]) -> DataFrame:
     across partitions); the audit contract mirrors the uv family — the
     output carries the EXACT ndv (cross-engine hashable) plus ``ndv_ok``
     = sketch-vs-exact within the 5σ band, so a sketch regression flips a
-    boolean the hash sees. All four columns' measures ride ONE full-table
-    aggregate row (single pass — the point of stats collection), melted
-    to per-column rows with ``stack``.
+    boolean the hash sees. All four columns' exact measures ride ONE
+    full-table aggregate row, melted to per-column rows with ``stack``.
 
-    Plan: one scan, one 1-row agg, zero joins; at 100 TB this is the
-    one-pass stats job a nightly ANALYZE runs."""
+    Plan note (measured, sf0.1): mixing countDistinct and
+    approx_count_distinct in the SAME aggregate makes the multi-distinct
+    Expand rewrite carry an HLL++ buffer PER (gid, value) GROUP — ~250 k
+    sketches through the exchange, 13 s for a 150 k-row table. The
+    sketches ride as four 1-row scalar subqueries instead (1.9 s
+    measured): the exact agg keeps its plain Expand, each sketch agg is
+    its own scan with a single accumulator — at 100 TB still the right
+    trade (sketch passes are scan-bound; sketch-per-group is
+    memory-bound)."""
     o = tables["orders"]
     aggs = []
     for c in _ANALYZE_COLS:
@@ -310,9 +316,14 @@ def analyze_column_stats(tables: dict[str, DataFrame]) -> DataFrame:
             .cast("long")
             .alias(f"nulls_{c}"),
             F.countDistinct(c).cast("long").alias(f"ndv_{c}"),
-            F.approx_count_distinct(c, 0.02).alias(f"apx_{c}"),
         ]
-    row = o.agg(*aggs)
+    apx = {
+        c: o.agg(F.approx_count_distinct(c, 0.02).alias("a")).scalar()
+        for c in _ANALYZE_COLS
+    }
+    row = o.agg(*aggs).select(
+        "*", *[apx[c].alias(f"apx_{c}") for c in _ANALYZE_COLS]
+    )
     stack = ", ".join(
         f"'{c}', nulls_{c}, ndv_{c}, apx_{c}" for c in _ANALYZE_COLS
     )
