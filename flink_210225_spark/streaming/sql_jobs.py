@@ -65,6 +65,75 @@ def keyword_stats_sql(spark: SparkSession, events: DataFrame) -> DataFrame:
     return register_and_run(spark, events, "events_view_keyword", KEYWORD_TUMBLE_SQL)
 
 
+SESSION_GAPS_SQL = """
+WITH gapped AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN timestampdiff(MICROSECOND,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM {view}
+),
+seq AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM gapped
+)
+SELECT user_id, session_seq,
+       date_format(min(ts), 'yyyy-MM-dd HH:mm:ss') AS session_start,
+       date_format(max(ts), 'yyyy-MM-dd HH:mm:ss') AS session_end,
+       count(*) AS n_events,
+       floor(sum(value) * 100 + 0.5) / 100 AS value_sum
+FROM seq GROUP BY user_id, session_seq
+"""
+
+BRAND_TOPN_SQL = """
+WITH rev AS (
+  SELECT p_type AS category, p_brand AS brand,
+         sum(cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - cast(floor(l_discount * 100 + 0.5) AS BIGINT)))
+             AS rev_e4
+  FROM {li} JOIN {part} ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY category
+                               ORDER BY rev_e4 DESC, brand) AS rn
+  FROM rev
+)
+SELECT category, brand, floor(rev_e4 / 100 + 0.5) / 100 AS revenue, rn
+FROM rk WHERE rn <= 3
+"""
+
+
+def _session_gaps_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """Gaps-and-islands sessionization as ONE spark.sql TEXT (CTEs + lag +
+    running sum + rollup) — the SQL-surface twin of
+    ``operators/sessions.sessionize``; shares its oracle, so the gate
+    proves the SQL entry path produces byte-identical sessions. The gap
+    compare stays in MICROSECONDS: a SECOND-granular timestampdiff
+    truncates 1800.5 s gaps to 1800 and mis-merges boundary sessions."""
+    ev = tables["events"]
+    ev.createOrReplaceTempView("events_view_sql_sessions")
+    return ev.sparkSession.sql(
+        SESSION_GAPS_SQL.format(view="events_view_sql_sessions")
+    )
+
+
+def _brand_topn_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """Per-category brand top-3 as ONE spark.sql TEXT — the SQL spelling of
+    the per-group top-N pattern (rank window + cut; Catalyst rewrites the
+    rn<=3 filter into a WindowGroupLimit below the Exchange, same as the
+    DataFrame quota op). Revenue flows as integer cents×pct so no fp
+    boundary can flip the 2dp hash."""
+    li, part = tables["lineitem"], tables["part"]
+    li.createOrReplaceTempView("li_view_sql_topn")
+    part.createOrReplaceTempView("part_view_sql_topn")
+    return li.sparkSession.sql(
+        BRAND_TOPN_SQL.format(li="li_view_sql_topn", part="part_view_sql_topn")
+    )
+
+
 def _province_q(tables: dict[str, DataFrame]) -> DataFrame:
     ev = tables["events"]
     return province_stats_sql(ev.sparkSession, ev)
@@ -78,11 +147,40 @@ def _keyword_q(tables: dict[str, DataFrame]) -> DataFrame:
 QUERIES = {
     "sql_province_tumble": _province_q,
     "sql_keyword_tumble": _keyword_q,
+    "sql_session_gaps": _session_gaps_sql_q,
+    "sql_brand_topn": _brand_topn_sql_q,
 }
+
+
+def _session_gaps_oracle() -> str:
+    from flink_210225_spark.operators.sessions import ORACLES as _S
+
+    return _S["session_gaps_islands"]
 
 # Epoch-aligned tumble bounds: Spark window() aligns to the epoch, so the
 # DuckDB oracle buckets with to_timestamp(floor(epoch/width)*width).
 ORACLES = {
+    # SQL-surface twin shares the DataFrame sessionizer's oracle.
+    "sql_session_gaps": _session_gaps_oracle(),
+    # Same integer cents×pct revenue, same rank cut.
+    "sql_brand_topn": """
+        WITH rev AS (
+            SELECT p_type AS category, p_brand AS brand,
+                   sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                       * (100 - floor(l_discount * 100 + 0.5)::BIGINT))
+                       ::BIGINT AS rev_e4
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2
+        ),
+        rk AS (
+            SELECT *, row_number() OVER (PARTITION BY category
+                                         ORDER BY rev_e4 DESC, brand) AS rn
+            FROM rev
+        )
+        SELECT category, brand,
+               floor(rev_e4 / 100 + 0.5) / 100 AS revenue, rn
+        FROM rk WHERE rn <= 3
+    """,
     "sql_province_tumble": """
         SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600), '%Y-%m-%d %H:%M:%S') AS stt,
                strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600 + 3600), '%Y-%m-%d %H:%M:%S') AS edt,
