@@ -554,6 +554,34 @@ def _kcore_oracle(rounds: int = 8) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def pivot_roundtrip(tables: dict[str, DataFrame]) -> DataFrame:
+    """PIVOT → UNPIVOT round trip — the wide-report API surface
+    (``df.groupBy().pivot()`` and ``DataFrame.unpivot``/``stack``) under
+    one gate: monthly revenue pivots to a month × status matrix (the
+    spreadsheet-shaped export every BI tool asks for) and melts straight
+    back to long form, so the hash proves BOTH reshapes are lossless
+    inverses. Pivot values are pinned explicitly (['F','O','P']) — with
+    an inferred value set Spark runs an extra distinct scan AND column
+    order becomes data-dependent. Empty cells (a month without a status)
+    come back as NULLs from the matrix and are dropped to restore the
+    inner-group long form. Revenue rides integer cents.
+
+    Plan: one month×status partial agg (the pivot is column routing on
+    top of it), then a width-3 generate — no extra shuffle beyond the
+    rollup's."""
+    o = tables["orders"]
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    agg = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.sum(cents).alias("cents"))
+    wide = agg.groupBy("month").pivot("status", ["F", "O", "P"]).sum("cents")
+    melted = wide.unpivot("month", ["F", "O", "P"], "status", "cents")
+    return melted.where(F.col("cents").isNotNull()).select(
+        "month", "status", (F.col("cents") / 100.0).alias("revenue")
+    )
+
+
 def ab_lift(tables: dict[str, DataFrame]) -> DataFrame:
     """Two-proportion A/B conversion test — the experimentation endpoint
     every product dashboard grows next to its funnel (reference serves
@@ -629,11 +657,20 @@ QUERIES = {
     "serving_basket_triangles": basket_triangles,
     "serving_pareto_abc": pareto_abc,
     "serving_ab_lift": ab_lift,
+    "serving_pivot_roundtrip": pivot_roundtrip,
     "serving_basket_kcore": basket_kcore,
     "warehouse_ttl_purge": ttl_purge_plan,
 }
 
 ORACLES = {
+    # The round trip is the identity on the long form: plain group-by.
+    "serving_pivot_roundtrip": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               o_orderstatus AS status,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT) / 100.0
+                   AS revenue
+        FROM orders GROUP BY 1, 2
+    """,
     "serving_basket_kcore": _kcore_oracle(),
     # Same md5 hash-bucket variant split, same pooled-z formula written in
     # the same operation order (IEEE doubles agree), flag on the rounded z.

@@ -399,6 +399,27 @@ def uv_approx_sketch(tables: dict[str, DataFrame], rsd: float = 0.02) -> DataFra
     )
 
 
+def value_bands_daily(tables: dict[str, DataFrame]) -> DataFrame:
+    """Daily p10/p50/p90 value corridor per event type — the monitoring
+    BANDS the anomaly family alarms against (``window_anomaly_mad`` flags
+    points; dashboards draw the corridor). Exact interpolated percentiles
+    per (day, type) group — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the (n−1)·p rule (the ship_latency
+    precedent), 2dp both sides. At 100 TB the slot-in is
+    ``approx_percentile`` with the same call shape; one day×type-keyed
+    shuffle either way."""
+    ev = tables["events"]
+    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100  # noqa: E731
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        r2(F.percentile("value", F.lit(0.1))).alias("p10"),
+        r2(F.percentile("value", F.lit(0.5))).alias("p50"),
+        r2(F.percentile("value", F.lit(0.9))).alias("p90"),
+    )
+
+
 def uv_sketch_weekly(tables: dict[str, DataFrame]) -> DataFrame:
     """MERGEABLE-sketch rollup — the property ``window_uv_sketch`` only
     names, exercised for real: per-(day, type) DataSketches HLL sketches
@@ -842,6 +863,7 @@ QUERIES = {
     "window_anomaly_mad": daily_anomaly_mad,
     "window_uv_sketch": uv_approx_sketch,
     "window_uv_sketch_weekly": uv_sketch_weekly,
+    "window_value_bands": value_bands_daily,
     "window_sliding_stats": sliding_visitor_stats,
     "window_rollup_stats": rollup_stats,
     "window_grouping_sets": grouping_sets_stats,
@@ -932,6 +954,15 @@ ORACLES = {
                floor(s * 10000 + 0.5) / 10000 AS seasonal,
                floor((l + b + sl[1]) * 10000 + 0.5) / 10000 AS forecast
         FROM walk
+    """,
+    # quantile_cont == Spark percentile ((n-1)*p interpolation), 2dp.
+    "window_value_bands": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+               count(*)::BIGINT AS n_events,
+               floor(quantile_cont(value, 0.1) * 100 + 0.5) / 100 AS p10,
+               floor(quantile_cont(value, 0.5) * 100 + 0.5) / 100 AS p50,
+               floor(quantile_cont(value, 0.9) * 100 + 0.5) / 100 AS p90
+        FROM events GROUP BY 1, 2
     """,
     # exact weekly uniques recomputed; the sketch-merge estimate must sit
     # inside the 8% band or uv_ok flips against the literal TRUE.
