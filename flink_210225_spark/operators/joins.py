@@ -256,6 +256,102 @@ def asof_join_events_forward(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def asof_join_nearest(tables: dict[str, DataFrame]) -> DataFrame:
+    """NEAREST as-of join — pandas ``merge_asof(direction='nearest')``
+    semantics, completing the as-of family (backward ``join_asof_events``,
+    forward ``join_asof_forward``, staleness-bounded
+    ``join_asof_tolerance``): each purchase pairs with whichever view is
+    CLOSEST in time, either side. Built as the composition it
+    mathematically is: the backward carry (latest prior, LOCF) and the
+    forward carry (earliest after, NOCB) — each with its sibling's exact
+    deterministic tie rules — then an event_id equi-join picks the
+    smaller |Δt| (µs-exact), ties to the PRIOR side (pandas' rule).
+    direction ∈ {prev, next, none} so absent-view users stay visible.
+
+    Plan: two user-keyed window carries (one Exchange each, zero pair
+    explosion — never a theta join) + one |purchases|-row equi-join."""
+    ev = tables["events"]
+    us = F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col("ts")
+    )
+    view = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", us.alias("us"), "event_id", F.lit(0).alias("side")
+    )
+    purchase = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", us.alias("us"), "event_id", F.lit(1).alias("side")
+    )
+    u = purchase.unionByName(view)
+    # backward: at equal ts the view (side 0) sorts BEFORE the purchase →
+    # included; among equal-ts views the LAST in (event_id) order wins —
+    # same rule as join_asof_events
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"), F.col("side"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev = (
+        u.withColumn(
+            "p",
+            F.last(
+                F.when(F.col("side") == 0, F.struct("us", "event_id")),
+                ignorenulls=True,
+            ).over(wb),
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("pe"),
+            "user_id",
+            "ts",
+            F.col("us").alias("pus"),
+            F.col("p.us").alias("prev_us"),
+            F.col("p.event_id").alias("prev_id"),
+        )
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"), F.desc("side"), F.col("event_id"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    nxt = (
+        u.withColumn(
+            "n",
+            F.first(
+                F.when(F.col("side") == 0, F.struct("us", "event_id")),
+                ignorenulls=True,
+            ).over(wf),
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("ne"),
+            F.col("n.us").alias("next_us"),
+            F.col("n.event_id").alias("next_id"),
+        )
+    )
+    j = prev.join(nxt, prev.pe == nxt.ne)
+    d_prev = F.col("pus") - F.col("prev_us")
+    d_next = F.col("next_us") - F.col("pus")
+    pick_prev = F.col("prev_us").isNotNull() & (
+        F.col("next_us").isNull() | (d_prev <= d_next)
+    )
+    direction = (
+        F.when(pick_prev, F.lit("prev"))
+        .when(F.col("next_us").isNotNull(), F.lit("next"))
+        .otherwise(F.lit("none"))
+    )
+    return j.select(
+        F.col("pe").alias("event_id"),
+        "user_id",
+        "ts",
+        direction.alias("direction"),
+        F.when(pick_prev, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .alias("view_id"),
+        F.when(pick_prev, d_prev)
+        .when(F.col("next_us").isNotNull(), d_next)
+        .alias("dt_us"),
+    )
+
+
 def asof_join_tolerance(
     tables: dict[str, DataFrame], tolerance_sec: int = 3600
 ) -> DataFrame:
@@ -645,11 +741,56 @@ QUERIES = {
     "join_order_wide": order_wide,
     "join_asof_events": asof_join_events,
     "join_asof_forward": asof_join_events_forward,
+    "join_asof_nearest": asof_join_nearest,
     "join_feature_snapshot": feature_point_in_time,
     "join_asof_tolerance": asof_join_tolerance,
 }
 
 ORACLES = {
+    # Two native ASOFs (backward + forward) over tie-deduped views (max
+    # event_id prior / min event_id after — the Spark carries' rules),
+    # CASE pick with the prior-on-tie rule.
+    "join_asof_nearest": """
+        WITH v AS (
+            SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+            WHERE event_type = 'view'
+        ),
+        vb AS (SELECT user_id, us, max(event_id) AS event_id
+               FROM v GROUP BY 1, 2),
+        vf AS (SELECT user_id, us, min(event_id) AS event_id
+               FROM v GROUP BY 1, 2),
+        p AS (
+            SELECT user_id, ts, epoch_us(ts) AS us, event_id FROM events
+            WHERE event_type = 'purchase'
+        ),
+        pb AS (
+            SELECT p.event_id AS pe, p.user_id, p.ts, p.us,
+                   b.us AS prev_us, b.event_id AS prev_id
+            FROM p ASOF LEFT JOIN vb b
+              ON p.user_id = b.user_id AND b.us <= p.us
+        ),
+        pf AS (
+            SELECT p.event_id AS pe, f.us AS next_us, f.event_id AS next_id
+            FROM p ASOF LEFT JOIN vf f
+              ON p.user_id = f.user_id AND f.us >= p.us
+        ),
+        j AS (SELECT * FROM pb JOIN pf USING (pe))
+        SELECT pe AS event_id, user_id, ts,
+               CASE WHEN prev_us IS NOT NULL
+                         AND (next_us IS NULL OR us - prev_us <= next_us - us)
+                    THEN 'prev'
+                    WHEN next_us IS NOT NULL THEN 'next'
+                    ELSE 'none' END AS direction,
+               CASE WHEN prev_us IS NOT NULL
+                         AND (next_us IS NULL OR us - prev_us <= next_us - us)
+                    THEN prev_id ELSE next_id END AS view_id,
+               CASE WHEN prev_us IS NOT NULL
+                         AND (next_us IS NULL OR us - prev_us <= next_us - us)
+                    THEN us - prev_us
+                    WHEN next_us IS NOT NULL THEN next_us - us
+               END AS dt_us
+        FROM j
+    """,
     # Plain 3-way join — the bloom sieve affects cost only, never rows.
     # Revenue summed as exact integer cents×pct so no fp boundary flips.
     "join_bloom_prefilter": """

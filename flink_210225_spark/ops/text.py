@@ -1979,6 +1979,41 @@ def weak_labels(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def hash_features(tables: dict[str, DataFrame], n_buckets: int = 256) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009, "Feature Hashing for
+    Large Scale Multitask Learning") — the vectorizer that makes
+    bag-of-words features VOCABULARY-FREE: bucket = h(token) mod m, with
+    a second independent hash choosing a ±1 sign so colliding tokens
+    cancel in expectation instead of biasing the bucket upward (the
+    property that separates the hashing trick from a plain count mod).
+    This is the featurizer a production ``text_lr_quality_train`` feeds
+    on (its 3 hand features stand in for these); sparse long-form output
+    (doc_id, bucket, feat≠0) — exactly what a distributed GD step joins
+    against its weight table.
+
+    Both hashes are md5 substrings (first/second 8 hex chars — the
+    kfold/bloom construction), so everything is integer-exact. Plan: one
+    token explode + one (doc, bucket) partial agg — map-side combined,
+    embarrassingly parallel."""
+    docs = tables["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    md = F.md5("tok")
+    bucket = F.pmod(
+        F.conv(F.substring(md, 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
+    )
+    sign = (
+        F.pmod(F.conv(F.substring(md, 9, 8), 16, 10).cast("long"), F.lit(2)) * 2 - 1
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").cast("long").alias("feat"))
+        .where(F.col("feat") != 0)
+    )
+
+
 def stupid_backoff_score(tables: dict[str, DataFrame]) -> DataFrame:
     """Trigram LM scoring with Stupid Backoff (Brants et al. 2007, "Large
     Language Models in Machine Translation") — the web-scale scoring rule
@@ -2396,6 +2431,7 @@ QUERIES = {
     "text_perplexity_filter": perplexity_filter,
     "text_stupid_backoff": stupid_backoff_score,
     "text_weak_labels": weak_labels,
+    "text_hash_features": hash_features,
     "text_inverted_index": inverted_index,
     "text_bpe_pair_counts": bpe_pair_counts,
     "text_quality_rrf": quality_rrf,
@@ -2972,6 +3008,22 @@ ORACLES = {
                floor(sum(quality) * 10000 + 0.5) / 10000 AS sum_quality,
                sum(n)::BIGINT AS token_total
         FROM q GROUP BY 1, 2
+    """,
+    # Same two md5-substring hashes, same signed sum, zero rows dropped.
+    "text_hash_features": f"""
+        WITH t AS (
+            SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5(tok), 1, 8))::UBIGINT % 256)::BIGINT
+                       AS bucket,
+                   ((('0x' || substr(md5(tok), 9, 8))::UBIGINT % 2)::BIGINT
+                        * 2 - 1) AS s
+            FROM t
+        )
+        SELECT doc_id, bucket, sum(s)::BIGINT AS feat
+        FROM h GROUP BY 1, 2 HAVING sum(s) != 0
     """,
     # Same five keyword LFs, same vote sums, same ascending-label >= chain
     # (smallest label wins ties), conflict = fired classes >= 2.

@@ -1694,8 +1694,6 @@ def session_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     stream == batch: shares ``session_window_native``'s gaps-and-islands
     oracle, so the hash gate proves the session-merge state machinery
     reproduces the batch closed form exactly."""
-    import tempfile  # noqa: F401  (parity with sibling capstones)
-
     ev = tables["events"]
     spark = ev.sparkSession
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
