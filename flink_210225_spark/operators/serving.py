@@ -328,6 +328,26 @@ def basket_brand_pairs(tables: dict[str, DataFrame], limit: int = 20) -> DataFra
     return out.orderBy(F.desc("pair_ct"), "brand_a", "brand_b").limit(limit)
 
 
+def _copurchase_edges(li: DataFrame, min_support: int = 2) -> DataFrame:
+    """The co-purchase graph both basket graph queries peel/census:
+    distinct (order, part) baskets, in-basket part pairs p<p2, support ≥
+    ``min_support`` — one (u, v) edge table, localCheckpoint-ed because
+    every consumer fans out over it multiple times."""
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b2 = b.select("o", F.col("p").alias("p2"))
+    return (
+        b.join(b2, "o")
+        .where(F.col("p") < F.col("p2"))
+        .groupBy(F.col("p").alias("u"), F.col("p2").alias("v"))
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= min_support)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+
+
 def basket_triangles(tables: dict[str, DataFrame], min_support: int = 2) -> DataFrame:
     """Triangle census of the co-purchase graph — the graph-analytics
     capstone over the basket family (``serving_basket_pairs`` scores
@@ -347,20 +367,7 @@ def basket_triangles(tables: dict[str, DataFrame], min_support: int = 2) -> Data
     Output is ONE row (counts exact integers; global_cc = 3T/W, an
     integer ratio rounded 6dp), assembled via scalar subqueries — never a
     1-row crossJoin (that plans BNLJ)."""
-    li = tables["lineitem"]
-    b = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    b2 = b.select("o", F.col("p").alias("p2"))
-    e = (
-        b.join(b2, "o")
-        .where(F.col("p") < F.col("p2"))
-        .groupBy(F.col("p").alias("u"), F.col("p2").alias("v"))
-        .agg(F.count("*").alias("sup"))
-        .where(F.col("sup") >= min_support)
-        .select("u", "v")
-        .localCheckpoint(eager=True)
-    )
+    e = _copurchase_edges(tables["lineitem"], min_support)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -383,7 +390,7 @@ def basket_triangles(tables: dict[str, DataFrame], min_support: int = 2) -> Data
         )
         .agg(F.count("*").alias("t"))
     )
-    one = li.sparkSession.range(1)
+    one = e.sparkSession.range(1)
     n_wedges = nodes_wedges.select("n_wedges").scalar()
     n_tri = tri.select("t").scalar()
     r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
@@ -469,25 +476,14 @@ def basket_kcore(tables: dict[str, DataFrame], rounds: int = 8) -> DataFrame:
     Plan: each round is one degree agg + two semi-shaped equi-joins over
     the current edge set, localCheckpoint-ed so lineage stays flat; the
     edge set only shrinks, so per-round cost is bounded by the first
-    round. At 100 TB the peel is the same O(rounds) shuffle schedule —
-    no driver data beyond the two summary scalars."""
-    li = tables["lineitem"]
-    b = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    b2 = b.select("o", F.col("p").alias("p2"))
-    e0 = (
-        b.join(b2, "o")
-        .where(F.col("p") < F.col("p2"))
-        .groupBy("p", "p2")
-        .agg(F.count("*").alias("w"))
-        .where(F.col("w") >= 2)
-        .select(F.col("p").alias("u"), F.col("p2").alias("v"))
-        .localCheckpoint(eager=True)
-    )
+    round. The k=3 peel SEEDS FROM the k=2 survivor (3-core ⊆ 2-core, so
+    the expensive first-round shrink runs once, not twice; the oracle
+    chains identically so the replay stays exact even short of the
+    fixpoint). At 100 TB the peel is the same O(rounds) shuffle schedule
+    — no driver data beyond the two summary scalars."""
+    e = _copurchase_edges(tables["lineitem"], min_support=2)
     out = None
     for k in (2, 3):
-        e = e0
         for _ in range(rounds):
             deg = (
                 e.select(F.col("u").alias("n"))
@@ -532,8 +528,9 @@ def _kcore_oracle(rounds: int = 8) -> str:
         )"""
     ]
     selects = []
+    prev = "e0"
     for k in (2, 3):
-        prev = "e0"
+        # k=3 chains off the k=2 survivor — mirrors the Spark peel exactly
         for r in range(1, rounds + 1):
             parts.append(f"""a_k{k}_{r} AS MATERIALIZED (
                 SELECT n FROM (SELECT u AS n FROM {prev}
@@ -625,18 +622,21 @@ def ab_lift(tables: dict[str, DataFrame]) -> DataFrame:
     pa = F.col("conv_a") / F.col("n_a")
     pb = F.col("conv_b") / F.col("n_b")
     pp = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    # an EMPTY arm is degenerate too (0/0 under ANSI) — rates fall back to
+    # 0.0 and z stays 0, same CASE on both engines
+    arms = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     z = F.when(
-        (pp > 0) & (pp < 1),
+        arms & (pp > 0) & (pp < 1),
         (pb - pa)
         / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
     ).otherwise(F.lit(0.0))
     return tot.select(
         "n_a",
         "conv_a",
-        r4(pa).alias("rate_a"),
+        F.when(F.col("n_a") > 0, r4(pa)).otherwise(F.lit(0.0)).alias("rate_a"),
         "n_b",
         "conv_b",
-        r4(pb).alias("rate_b"),
+        F.when(F.col("n_b") > 0, r4(pb)).otherwise(F.lit(0.0)).alias("rate_b"),
         r4(z).alias("z_score"),
         (F.abs(r4(z)) >= 1.96).alias("significant"),
     )
@@ -691,7 +691,8 @@ ORACLES = {
         ),
         z AS (
             SELECT *,
-                   CASE WHEN (conv_a + conv_b) / (n_a + n_b) > 0
+                   CASE WHEN n_a > 0 AND n_b > 0
+                             AND (conv_a + conv_b) / (n_a + n_b) > 0
                              AND (conv_a + conv_b) / (n_a + n_b) < 1
                         THEN (conv_b / n_b - conv_a / n_a)
                              / sqrt((conv_a + conv_b) / (n_a + n_b)
@@ -701,9 +702,13 @@ ORACLES = {
             FROM t
         )
         SELECT n_a, conv_a,
-               floor(conv_a / n_a * 10000 + 0.5) / 10000 AS rate_a,
+               CASE WHEN n_a > 0
+                    THEN floor(conv_a / n_a * 10000 + 0.5) / 10000
+                    ELSE 0.0 END AS rate_a,
                n_b, conv_b,
-               floor(conv_b / n_b * 10000 + 0.5) / 10000 AS rate_b,
+               CASE WHEN n_b > 0
+                    THEN floor(conv_b / n_b * 10000 + 0.5) / 10000
+                    ELSE 0.0 END AS rate_b,
                floor(zr * 10000 + 0.5) / 10000 AS z_score,
                abs(floor(zr * 10000 + 0.5) / 10000) >= 1.96 AS significant
         FROM z

@@ -403,7 +403,6 @@ def zonemap_prune_stats(tables: dict[str, DataFrame]) -> DataFrame:
         (F.col("o_orderkey") % 16).alias("bucket"),
     ).agg(
         F.count("*").alias("n_rows"),
-        F.min("o_totalprice").alias("min_tp"),
         F.max("o_totalprice").alias("max_tp"),
     )
     # thresholds ride an exploded literal array (a 5-row cross JOIN would

@@ -1837,7 +1837,6 @@ def label_prop_communities(
             .select(F.col("src").alias("node"), "lab")
             .localCheckpoint(eager=True)
         )
-    wc = Window.partitionBy("lab")
     return (
         labels.join(deg, labels.node == deg.src)
         .select(

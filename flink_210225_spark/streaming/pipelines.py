@@ -1159,6 +1159,67 @@ def _scratch(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 
+def _staged_sentinel_stream(
+    ev: DataFrame,
+    prefix: str,
+    hours: tuple[int, ...] = (2, 4),
+    normalize_ts: bool = True,
+):
+    """The sentinel/staging protocol every events-replay capstone shares
+    (extracted — it existed as four verbatim copies, and NOTES records a
+    sentinel-granularity bug that had to be chased through copies):
+    stage the events fixture into a scratch source dir, append one lone
+    far-future sentinel row per entry of ``hours`` (+Nh past the fixture
+    max; user_id −1 / event_type '__sentinel__'), and open the
+    one-file-per-trigger stream over it. Sentinels advance the watermark
+    so final windows/state flush across micro-batch boundaries; they are
+    dropped on READ-BACK, never pre-agg (Catalyst pushes filters below
+    the EventTimeWatermark operator). Returns (spark, stream, out, cp).
+
+    ``normalize_ts=False`` leaves a non-bigint ts column untouched
+    (TIMESTAMP_NTZ) for consumers whose kernels diff timestamps
+    themselves; True casts to session-zone timestamp for window() users.
+    """
+    spark = ev.sparkSession
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(*_local_paths(ev))
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+    ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
+    out = _scratch(prefix=f"{prefix}_out_")
+    cp = _scratch(prefix=f"{prefix}_cp_")
+    srcdir = _scratch(prefix=f"{prefix}_src_")
+    _stage_fixture(ev, srcdir, "events")
+    for i, hrs in enumerate(hours):
+        if ts_is_long:
+            sent_ts = max_ts + hrs * 3_600_000_000_000
+        else:
+            from datetime import timedelta
+
+            sent_ts = max_ts + timedelta(hours=hrs)
+        sent = spark.createDataFrame(
+            [(-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}")],
+            raw.schema,
+        )
+        sdir = _scratch(prefix=f"{prefix}_sentinel{i}_")
+        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+        # hard link (not symlink) so the file's mtime is NOW → the file
+        # source orders it after the fixture file
+        os.link(os.path.join(sdir, part), os.path.join(srcdir, f"sentinel_{i}.parquet"))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+    if ts_is_long:
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp")
+        )
+    elif normalize_ts:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return spark, stream, out, cp
+
+
 def curation_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     """Driver-checkable END-TO-END streaming query (VERDICT r1 #9): the
     documents fixture replayed as a file-source STREAM through
@@ -1324,46 +1385,9 @@ def window_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     Output = the batch ``window_visitor_stats`` shape (exact UV via
     collect_set — streaming forbids countDistinct; sum 2dp-floored), so the
     oracle is shared with the batch query: stream == batch, hash-gated."""
-    import tempfile
-
-    ev = tables["events"]
-    spark = ev.sparkSession
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(*_local_paths(ev))  # ts: epoch-nanos bigint or timestamp
-    max_ts = raw.agg(F.max("ts")).collect()[0][0]
-    ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
-    out = _scratch(prefix="window_stream_out_")
-    cp = _scratch(prefix="window_stream_cp_")
-    srcdir = _scratch(prefix="window_stream_src_")
-    _stage_fixture(ev, srcdir, "events")
-    for i, hours in enumerate((2, 4)):
-        if ts_is_long:
-            sent_ts = max_ts + hours * 3_600_000_000_000
-        else:
-            from datetime import timedelta
-
-            sent_ts = max_ts + timedelta(hours=hours)
-        sent = spark.createDataFrame(
-            [(-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}")],
-            raw.schema,
-        )
-        sdir = _scratch(prefix=f"window_stream_sentinel{i}_")
-        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        # copy (not symlink) so the file's mtime is NOW → the file source
-        # orders it after the fixture file
-        os.link(os.path.join(sdir, part), os.path.join(srcdir, f"sentinel_{i}.parquet"))
-    stream = (
-        spark.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(srcdir)
+    spark, stream, out, cp = _staged_sentinel_stream(
+        tables["events"], "window_stream"
     )
-    if ts_is_long:
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp")
-        )
-    else:
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     # NOTE: no pre-agg sentinel filter — Catalyst pushes filters BELOW the
     # EventTimeWatermark operator (down to the scan), so a filtered sentinel
     # would never advance the watermark and the final real windows would
@@ -1477,40 +1501,9 @@ def stateful_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     stream output == batch ``state_jump_detection`` exactly, so the batch
     oracle hash-gates the whole stateful machinery: state carry-over,
     timer registration, timeout emission, file-sink commit log."""
-    ev = tables["events"]
-    spark = ev.sparkSession
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(*_local_paths(ev))
-    max_ts = raw.agg(F.max("ts")).collect()[0][0]
-    ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
-    out = _scratch(prefix="stateful_stream_out_")
-    cp = _scratch(prefix="stateful_stream_cp_")
-    srcdir = _scratch(prefix="stateful_stream_src_")
-    _stage_fixture(ev, srcdir, "events")
-    for i, hours in enumerate((2, 4)):
-        if ts_is_long:
-            sent_ts = max_ts + hours * 3_600_000_000_000
-        else:
-            from datetime import timedelta
-
-            sent_ts = max_ts + timedelta(hours=hours)
-        sent = spark.createDataFrame(
-            [(-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}")],
-            raw.schema,
-        )
-        sdir = _scratch(prefix=f"stateful_stream_sentinel{i}_")
-        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        os.link(os.path.join(sdir, part), os.path.join(srcdir, f"sentinel_{i}.parquet"))
-    stream = (
-        spark.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(srcdir)
+    spark, stream, out, cp = _staged_sentinel_stream(
+        tables["events"], "stateful_stream", normalize_ts=False
     )
-    if ts_is_long:
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp")
-        )
     with _stream_shuffle(spark):
         q = (
             jump_detection_stream(stream)
@@ -1589,40 +1582,9 @@ def funnel_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     stream shares ``session_funnel_windowed``'s batch oracle — state
     carry-over, buffer release order, and the DP itself all sit under one
     hash."""
-    ev = tables["events"]
-    spark = ev.sparkSession
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(*_local_paths(ev))
-    max_ts = raw.agg(F.max("ts")).collect()[0][0]
-    ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
-    out = _scratch(prefix="funnel_stream_out_")
-    cp = _scratch(prefix="funnel_stream_cp_")
-    srcdir = _scratch(prefix="funnel_stream_src_")
-    _stage_fixture(ev, srcdir, "events")
-    for i, hours in enumerate((2, 4)):
-        if ts_is_long:
-            sent_ts = max_ts + hours * 3_600_000_000_000
-        else:
-            from datetime import timedelta
-
-            sent_ts = max_ts + timedelta(hours=hours)
-        sent = spark.createDataFrame(
-            [(-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}")],
-            raw.schema,
-        )
-        sdir = _scratch(prefix=f"funnel_stream_sentinel{i}_")
-        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        os.link(os.path.join(sdir, part), os.path.join(srcdir, f"sentinel_{i}.parquet"))
-    stream = (
-        spark.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(srcdir)
+    spark, stream, out, cp = _staged_sentinel_stream(
+        tables["events"], "funnel_stream", normalize_ts=False
     )
-    if ts_is_long:
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp")
-        )
     with _stream_shuffle(spark):
         q = (
             funnel_stream(stream)
@@ -1694,42 +1656,9 @@ def session_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     stream == batch: shares ``session_window_native``'s gaps-and-islands
     oracle, so the hash gate proves the session-merge state machinery
     reproduces the batch closed form exactly."""
-    ev = tables["events"]
-    spark = ev.sparkSession
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(*_local_paths(ev))
-    max_ts = raw.agg(F.max("ts")).collect()[0][0]
-    ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
-    out = _scratch(prefix="session_stream_out_")
-    cp = _scratch(prefix="session_stream_cp_")
-    srcdir = _scratch(prefix="session_stream_src_")
-    _stage_fixture(ev, srcdir, "events")
-    for i, hours in enumerate((2, 4)):
-        if ts_is_long:
-            sent_ts = max_ts + hours * 3_600_000_000_000
-        else:
-            from datetime import timedelta
-
-            sent_ts = max_ts + timedelta(hours=hours)
-        sent = spark.createDataFrame(
-            [(-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}")],
-            raw.schema,
-        )
-        sdir = _scratch(prefix=f"session_stream_sentinel{i}_")
-        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        os.link(os.path.join(sdir, part), os.path.join(srcdir, f"sentinel_{i}.parquet"))
-    stream = (
-        spark.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(srcdir)
+    spark, stream, out, cp = _staged_sentinel_stream(
+        tables["events"], "session_stream"
     )
-    if ts_is_long:
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp")
-        )
-    else:
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     from flink_210225_spark.operators.sessions import session_window_agg
 
     agg = session_window_agg(stream.withWatermark("ts", "10 seconds"))

@@ -2,21 +2,20 @@
 
 Usage: python tools/sweep.py [--sf 0.001,0.01,0.1] [name ...]
 No names = full registry sweep. Exits non-zero on any mismatch.
+Reuses tests/oracle.py's view registration + canonicalization so the
+fixture table list lives in exactly one place.
 """
 
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
-import duckdb
-
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __spark_entry__ as e  # noqa: E402
 from flink_210225_spark import get_spark  # noqa: E402
-from tests.oracle import canonical_rows  # noqa: E402
-
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+from tests.oracle import canonical_rows, duck_connect  # noqa: E402
 
 
 def main() -> int:
@@ -35,9 +34,7 @@ def main() -> int:
     bad = 0
     for sf in sfs:
         sf_dir = f"/root/testdata/sf{sf}"
-        con = duckdb.connect()
-        for t in TABLES:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con = duck_connect(sf_dir)
         for name in names:
             try:
                 got = qs[name](spark, sf_dir).toPandas()
