@@ -20,6 +20,10 @@ cannot flip the hash.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: postponed annotations stringify the
+# pandas UDAF's type hints, and infer_eval_type resolves them against
+# MODULE globals — a function-local import leaves 'pd.Series' unresolvable
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -579,6 +583,60 @@ def pivot_roundtrip(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def weighted_median_prices(tables: dict[str, DataFrame]) -> DataFrame:
+    """Quantity-weighted median price per order priority — and the
+    engine's GROUPED-AGG pandas UDAF surface (scalar pandas UDFs,
+    applyInPandas and mapInPandas are exercised elsewhere; this is the
+    remaining Arrow UDF shape, the one a user reaches for when an
+    aggregate has no built-in spelling). Weighted median = the smallest
+    value whose cumulative weight reaches half the total (the lower
+    weighted median — deterministic, no interpolation convention to
+    disagree on); everything flows as integer cents/quantities so the
+    pick is exact. The oracle computes the same statistic with a
+    completely different algorithm — a cumulative-weight window in SQL —
+    so the gate checks the UDAF contract, not a replay.
+
+    Plan: one orderkey equi-join, then one priority-keyed grouped-agg
+    UDAF (Arrow ships each group's two int columns to Python once);
+    groups = 5 priorities, so the Python stage is 5 bounded reductions
+    regardless of fact size."""
+    import numpy as np
+
+    li, o = tables["lineitem"], tables["orders"]
+
+    # (Series, Series) -> scalar type hints are what make this a
+    # GROUPED_AGG pandas UDF (inference is hint-driven in Spark 3+)
+    @F.pandas_udf("long")
+    def wmedian_cents(cents: pd.Series, qty: pd.Series) -> int:
+        v = cents.to_numpy()
+        w = qty.to_numpy()
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cw = np.cumsum(w)
+        return int(v[np.searchsorted(2 * cw, cw[-1], side="left")])
+
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    # Spark refuses built-in aggregates and a pandas UDAF in ONE .agg —
+    # two group-sized aggs join on the 5-value key instead
+    plain = j.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("qty").cast("long").alias("total_qty"),
+    )
+    med = j.groupBy("priority").agg(wmedian_cents("cents", "qty").alias("wm_cents"))
+    return plain.join(med, "priority").select(
+        "priority",
+        "n_items",
+        "total_qty",
+        (F.col("wm_cents") / 100.0).alias("wmedian_price"),
+    )
+
+
 def ab_lift(tables: dict[str, DataFrame]) -> DataFrame:
     """Two-proportion A/B conversion test — the experimentation endpoint
     every product dashboard grows next to its funnel (reference serves
@@ -657,12 +715,40 @@ QUERIES = {
     "serving_basket_triangles": basket_triangles,
     "serving_pareto_abc": pareto_abc,
     "serving_ab_lift": ab_lift,
+    "serving_weighted_median": weighted_median_prices,
     "serving_pivot_roundtrip": pivot_roundtrip,
     "serving_basket_kcore": basket_kcore,
     "warehouse_ttl_purge": ttl_purge_plan,
 }
 
 ORACLES = {
+    # Independent algorithm: cumulative-weight window crossing in SQL vs
+    # the UDAF's numpy scan — same lower-weighted-median definition.
+    "serving_weighted_median": """
+        WITH x AS (
+            SELECT o_orderpriority AS priority,
+                   floor(l_extendedprice * 100 + 0.5)::BIGINT AS cents,
+                   floor(l_quantity)::BIGINT AS qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        s AS (
+            SELECT priority, cents, qty,
+                   sum(qty) OVER (PARTITION BY priority ORDER BY cents
+                                  ROWS UNBOUNDED PRECEDING) AS cw,
+                   sum(qty) OVER (PARTITION BY priority) AS tw
+            FROM x
+        ),
+        t AS (
+            SELECT priority, count(*)::BIGINT AS n_items,
+                   sum(qty)::BIGINT AS total_qty
+            FROM x GROUP BY priority
+        )
+        SELECT t.priority, t.n_items, t.total_qty,
+               (SELECT min(cents) FROM s
+                WHERE s.priority = t.priority AND 2 * s.cw >= s.tw) / 100.0
+                   AS wmedian_price
+        FROM t
+    """,
     # The round trip is the identity on the long form: plain group-by.
     "serving_pivot_roundtrip": """
         SELECT strftime(o_orderdate, '%Y-%m') AS month,

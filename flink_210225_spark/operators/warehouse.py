@@ -285,6 +285,67 @@ def vacuum_orphans(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def dq_expectations(tables: dict[str, DataFrame]) -> DataFrame:
+    """Rule-based data-quality EXPECTATIONS (the Great-Expectations /
+    Deequ contract family — ``warehouse_dq_profile`` PROFILES a table;
+    this ASSERTS on it, the gate a load runs before publishing): per
+    rule, the violation count and a pass flag. Six production-shaped
+    rules over orders: key uniqueness, FK non-null, value domain,
+    positive amounts, date sanity, and referential integrity against
+    customer (the one rule that needs a second table — spelled as a
+    broadcast LEFT join null-probe, Deequ's isContainedIn-reference
+    shape).
+
+    Plan: five of the rules fold into ONE full-table aggregate
+    (stack-melted); the RI rule adds one broadcast-probe aggregate —
+    two scans total, no shuffle beyond the final 6-row union."""
+    o, c = tables["orders"], tables["customer"]
+    one_pass = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("v_unique"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("v_notnull"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0))
+        .cast("long")
+        .alias("v_domain"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_positive"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < "1990-01-01")
+                | (F.col("o_orderdate") >= "2010-01-01"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_daterange"),
+    )
+    melted = one_pass.selectExpr(
+        "stack(5, 'orderkey_unique', v_unique, 'custkey_not_null', v_notnull,"
+        " 'status_in_domain', v_domain, 'totalprice_positive', v_positive,"
+        " 'orderdate_in_range', v_daterange) AS (rule, n_violations)"
+    )
+    ri = (
+        o.join(
+            F.broadcast(c.select(F.col("c_custkey").alias("ck"))),
+            o.o_custkey == F.col("ck"),
+            "left",
+        )
+        .agg(
+            F.sum(F.when(F.col("ck").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations")
+        )
+        .select(F.lit("custkey_in_customer").alias("rule"), "n_violations")
+    )
+    return melted.unionByName(ri).withColumn(
+        "passed", F.col("n_violations") == 0
+    )
+
+
 _ANALYZE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
 
 
@@ -515,6 +576,7 @@ def ivm_incremental_agg(tables: dict[str, DataFrame]) -> DataFrame:
 
 QUERIES = {
     "warehouse_deletion_vectors": deletion_vector_report,
+    "warehouse_dq_expectations": dq_expectations,
     "warehouse_analyze_stats": analyze_column_stats,
     "warehouse_zonemap_prune": zonemap_prune_stats,
     "warehouse_ivm_agg": ivm_incremental_agg,
@@ -526,6 +588,45 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same six rules, violation counts recomputed independently.
+    "warehouse_dq_expectations": """
+        SELECT 'orderkey_unique' AS rule,
+               (count(*) - count(DISTINCT o_orderkey))::BIGINT
+                   AS n_violations,
+               (count(*) - count(DISTINCT o_orderkey)) = 0 AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'custkey_not_null',
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'status_in_domain',
+               sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                        THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                        THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'totalprice_positive',
+               sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'orderdate_in_range',
+               sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                             OR o_orderdate >= TIMESTAMP '2010-01-01'
+                        THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                             OR o_orderdate >= TIMESTAMP '2010-01-01'
+                        THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'custkey_in_customer',
+               sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
     # Exact ndv/null recomputed per column; TRUE audits the sketch band.
     "warehouse_analyze_stats": """
         SELECT 'o_orderkey' AS column_name,
