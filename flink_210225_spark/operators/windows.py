@@ -399,6 +399,59 @@ def uv_approx_sketch(tables: dict[str, DataFrame], rsd: float = 0.02) -> DataFra
     )
 
 
+def autocorr_daily(tables: dict[str, DataFrame], lags: tuple[int, ...] = (1, 7)) -> DataFrame:
+    """Lag-k autocorrelation of the per-type daily series — the
+    diagnostic BEHIND the seasonal ops (``window_seasonal`` assumes a
+    weekly cycle, ``window_holt_winters`` smooths one; r₇ ≫ r₁ is the
+    evidence). Pearson r over the (x_t, x_{t−k}) pairs, computed from
+    exact integer sums (n, Σx, Σy, Σxy, Σx², Σy² — one fold per lag) and
+    assembled with the same operation order on both engines, 4dp.
+    Undefined r (constant series) nulls out explicitly.
+
+    Plan: one daily rollup, one lag window per k over the same type-keyed
+    sort, then a types×lags-sized agg — series length is calendar-bounded
+    so everything after the rollup is tiny."""
+    ev = tables["events"]
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    out = None
+    for k in lags:
+        paired = daily.select(
+            "event_type",
+            "x",
+            F.lag("x", k).over(w).alias("y"),
+        ).where(F.col("y").isNotNull())
+        agg = paired.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+        # dx·dy as DOUBLE (mirrored ::DOUBLE in the oracle): the long
+        # product overflows past ~day-count·(daily-count)² ≈ 2⁶³ at
+        # extreme SFs; each factor alone stays comfortably integral
+        r = F.when(
+            (dx > 0) & (dy > 0),
+            num / F.sqrt(dx.cast("double") * dy.cast("double")),
+        )
+        row = agg.select(
+            "event_type",
+            F.lit(k).cast("long").alias("lag"),
+            "n",
+            r4(r).alias("autocorr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def value_bands_daily(tables: dict[str, DataFrame]) -> DataFrame:
     """Daily p10/p50/p90 value corridor per event type — the monitoring
     BANDS the anomaly family alarms against (``window_anomaly_mad`` flags
@@ -864,6 +917,7 @@ QUERIES = {
     "window_uv_sketch": uv_approx_sketch,
     "window_uv_sketch_weekly": uv_sketch_weekly,
     "window_value_bands": value_bands_daily,
+    "window_autocorr": autocorr_daily,
     "window_sliding_stats": sliding_visitor_stats,
     "window_rollup_stats": rollup_stats,
     "window_grouping_sets": grouping_sets_stats,
@@ -954,6 +1008,49 @@ ORACLES = {
                floor(s * 10000 + 0.5) / 10000 AS seasonal,
                floor((l + b + sl[1]) * 10000 + 0.5) / 10000 AS forecast
         FROM walk
+    """,
+    # Same integer moment sums, same op order; dx*dy multiplied as DOUBLE
+    # on both engines, undefined r (constant series) NULL.
+    "window_autocorr": """
+        WITH d AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   count(*)::BIGINT AS x
+            FROM events GROUP BY 1, 2
+        ),
+        p1 AS (
+            SELECT event_type, x,
+                   lag(x, 1) OVER (PARTITION BY event_type ORDER BY day)
+                       AS y
+            FROM d
+        ),
+        a1 AS (
+            SELECT event_type, 1::BIGINT AS lag, count(*)::BIGINT AS n,
+                   sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                   sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+                   sum(y * y)::BIGINT AS syy
+            FROM p1 WHERE y IS NOT NULL GROUP BY 1
+        ),
+        p7 AS (
+            SELECT event_type, x,
+                   lag(x, 7) OVER (PARTITION BY event_type ORDER BY day)
+                       AS y
+            FROM d
+        ),
+        a7 AS (
+            SELECT event_type, 7::BIGINT AS lag, count(*)::BIGINT AS n,
+                   sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                   sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+                   sum(y * y)::BIGINT AS syy
+            FROM p7 WHERE y IS NOT NULL GROUP BY 1
+        )
+        SELECT event_type, lag, n,
+               CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                    THEN floor((n * sxy - sx * sy)
+                               / sqrt((n * sxx - sx * sx)::DOUBLE
+                                      * (n * syy - sy * sy)::DOUBLE)
+                               * 10000 + 0.5) / 10000
+               END AS autocorr
+        FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a7)
     """,
     # quantile_cont == Spark percentile ((n-1)*p interpolation), 2dp.
     "window_value_bands": """

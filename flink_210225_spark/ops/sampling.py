@@ -363,6 +363,47 @@ def epoch_plan(
     )
 
 
+def winsorize_values(
+    tables: dict[str, DataFrame], lo_q: float = 0.01, hi_q: float = 0.99
+) -> DataFrame:
+    """Percentile winsorization of the event value — the outlier-clamp
+    preprocessing step robust training/statistics pipelines run before
+    means matter (clip, don't drop: the row survives, the tail can't
+    dominate the loss). Global p1/p99 thresholds attach as two scalar
+    subqueries (interpolated percentile — the quantile_cont-parity
+    contract); per event type: rows clipped each side and the raw vs
+    winsorized means, with every sum flowing as exact integer cents so
+    summation order can't flip the 4dp rounding.
+
+    Plan: one percentile pass + one type-keyed agg pass — two scans, no
+    joins; the thresholds are the only driver-visible values."""
+    ev = tables["events"]
+    lo = ev.agg(F.percentile("value", F.lit(lo_q))).scalar()
+    hi = ev.agg(F.percentile("value", F.lit(hi_q))).scalar()
+    clipped = F.least(F.greatest(F.col("value"), lo), hi)
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("value") < lo, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clip_lo"),
+        F.sum(F.when(F.col("value") > hi, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clip_hi"),
+        F.sum(cents(F.col("value"))).cast("long").alias("raw_cents"),
+        F.sum(cents(clipped)).cast("long").alias("win_cents"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_clip_lo",
+        "n_clip_hi",
+        r4(F.col("raw_cents") / F.col("n_events") / 100).alias("mean_raw"),
+        r4(F.col("win_cents") / F.col("n_events") / 100).alias("mean_winsorized"),
+    )
+
+
 def class_weights(tables: dict[str, DataFrame]) -> DataFrame:
     """Inverse-frequency class-balance weights per language — the loss-
     weighting companion to the resampling ops (``quota_per_group`` and
@@ -445,6 +486,7 @@ QUERIES = {
     "sample_kfold_assign": kfold_assign,
     "sample_epoch_plan": epoch_plan,
     "sample_class_weights": class_weights,
+    "sample_winsorize": winsorize_values,
     "sample_quota_per_group": quota_per_group,
     "sample_mixture_rate": mixture_downsample,
     "sample_stratified_exact": stratified_exact_split,
@@ -482,6 +524,29 @@ def _importance_resample_oracle() -> str:
 
 
 ORACLES = {
+    # Same interpolated thresholds (quantile_cont == percentile), same
+    # integer-cents sums, 4dp means.
+    "sample_winsorize": """
+        WITH t AS (
+            SELECT quantile_cont(value, 0.01) AS lo,
+                   quantile_cont(value, 0.99) AS hi
+            FROM events
+        )
+        SELECT event_type,
+               count(*)::BIGINT AS n_events,
+               sum(CASE WHEN value < (SELECT lo FROM t) THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_clip_lo,
+               sum(CASE WHEN value > (SELECT hi FROM t) THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_clip_hi,
+               floor(sum(floor(value * 100 + 0.5)::BIGINT)
+                     / count(*) / 100 * 10000 + 0.5) / 10000 AS mean_raw,
+               floor(sum(floor(least(greatest(value, (SELECT lo FROM t)),
+                                     (SELECT hi FROM t)) * 100 + 0.5)
+                         ::BIGINT)
+                     / count(*) / 100 * 10000 + 0.5) / 10000
+                   AS mean_winsorized
+        FROM events GROUP BY event_type
+    """,
     # Same N/(K·n_c) ratio of exact counts, 6dp; normalization divides by
     # the windowed sum of the same expression.
     "sample_class_weights": """

@@ -1979,6 +1979,54 @@ def weak_labels(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def js_divergence_by_source(tables: dict[str, DataFrame]) -> DataFrame:
+    """Jensen–Shannon divergence of each source's unigram distribution
+    from the corpus — the domain-shift meter data-mixture work leans on
+    (DoReMi/DSIR-adjacent: which domains are outliers, which are
+    redundant). Computed WITHOUT materializing zero-count (source, token)
+    pairs: absent tokens contribute exactly 0.5·ln2·q each (p=0 ⇒ the q
+    term against m=q/2), so JS = Σ_present 0.5(p·ln(p/m) + q·ln(q/m)) +
+    0.5·ln2·(1 − Σ_present q) — the inner join IS the whole computation,
+    no vocab × sources cross join to plan around. p, q are ratios of
+    exact BIGINT counts; ln ops run in the same order both engines; 4dp.
+
+    Plan: one (source, token) partial agg, one vocab-sized broadcast
+    join for the global counts, one source-keyed rollup — fact-scan
+    bound, vocab-bounded everywhere after."""
+    docs = tables["documents"]
+    st = (
+        docs.select("source", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("ct"))
+    )
+    g = st.groupBy("tok").agg(F.sum("ct").alias("gt"))
+    g_tot = g.agg(F.sum("gt").cast("long")).scalar()
+    s_tot = st.groupBy("source").agg(F.sum("ct").cast("long").alias("stot"))
+    j = st.join(F.broadcast(g), "tok").join(F.broadcast(s_tot), "source")
+    p = F.col("ct") / F.col("stot")
+    q = F.col("gt") / F.lit(g_tot)
+    m = (p + q) / 2
+    term = F.lit(0.5) * (p * F.log(p / m) + q * F.log(q / m))
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(term).alias("t_present"),
+            F.sum(q).alias("q_cov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            r4(F.col("q_cov")).alias("vocab_coverage"),
+            r4(
+                F.col("t_present")
+                + F.lit(0.5) * F.log(F.lit(2.0)) * (1 - F.col("q_cov"))
+            ).alias("js_div"),
+        )
+    )
+
+
 def hash_features(tables: dict[str, DataFrame], n_buckets: int = 256) -> DataFrame:
     """The hashing trick (Weinberger et al. 2009, "Feature Hashing for
     Large Scale Multitask Learning") — the vectorizer that makes
@@ -2432,6 +2480,7 @@ QUERIES = {
     "text_stupid_backoff": stupid_backoff_score,
     "text_weak_labels": weak_labels,
     "text_hash_features": hash_features,
+    "text_js_divergence": js_divergence_by_source,
     "text_inverted_index": inverted_index,
     "text_bpe_pair_counts": bpe_pair_counts,
     "text_quality_rrf": quality_rrf,
@@ -3008,6 +3057,41 @@ ORACLES = {
                floor(sum(quality) * 10000 + 0.5) / 10000 AS sum_quality,
                sum(n)::BIGINT AS token_total
         FROM q GROUP BY 1, 2
+    """,
+    # Same zero-free algebra: inner-join terms + 0.5*ln(2)*(1 - coverage).
+    "text_js_divergence": f"""
+        WITH st AS (
+            SELECT source, tok, count(*)::BIGINT AS ct
+            FROM (SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents)
+            GROUP BY 1, 2
+        ),
+        g AS (SELECT tok, sum(ct)::BIGINT AS gt FROM st GROUP BY tok),
+        tots AS (SELECT sum(gt)::BIGINT AS g_tot FROM g),
+        stot AS (SELECT source, sum(ct)::BIGINT AS stot FROM st GROUP BY 1),
+        j AS (
+            SELECT st.source, st.ct, g.gt, s2.stot,
+                   (SELECT g_tot FROM tots) AS g_tot
+            FROM st JOIN g ON g.tok = st.tok
+            JOIN stot s2 ON s2.source = st.source
+        ),
+        terms AS (
+            SELECT source,
+                   count(*)::BIGINT AS n_tokens,
+                   sum(0.5::DOUBLE * ((ct / stot)
+                           * ln((ct / stot)
+                                / (((ct / stot) + (gt / g_tot)) / 2))
+                       + (gt / g_tot)
+                           * ln((gt / g_tot)
+                                / (((ct / stot) + (gt / g_tot)) / 2))))
+                       AS t_present,
+                   sum(gt / g_tot) AS q_cov
+            FROM j GROUP BY source
+        )
+        SELECT source, n_tokens,
+               floor(q_cov * 10000 + 0.5) / 10000 AS vocab_coverage,
+               floor((t_present + 0.5::DOUBLE * ln(2.0::DOUBLE)
+                      * (1 - q_cov)) * 10000 + 0.5) / 10000 AS js_div
+        FROM terms
     """,
     # Same two md5-substring hashes, same signed sum, zero rows dropped.
     "text_hash_features": f"""
