@@ -281,3 +281,174 @@ def test_jsonl_dirty_counts(tables):
     assert rows["__corrupt__"]["n_rows"] == n_corrupt
     assert rows["__corrupt__"]["value_cents"] == 0
     assert sum(r["n_rows"] for r in rows.values()) == n_total
+
+
+# --- weighted median UDAF: numpy model parity ---
+
+
+def test_weighted_median_model(tables):
+    from flink_210225_spark.operators.serving import weighted_median_prices
+
+    got = {
+        r["priority"]: r["wmedian_price"]
+        for r in weighted_median_prices(tables).collect()
+    }
+    rows = (
+        tables["lineitem"]
+        .join(
+            tables["orders"],
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_orderpriority", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in rows:
+        c = int(np.floor(r["l_extendedprice"] * 100 + 0.5))
+        q = int(np.floor(r["l_quantity"]))
+        groups.setdefault(r["o_orderpriority"], []).append((c, q))
+    for pri, pairs in groups.items():
+        pairs.sort()
+        tot = sum(q for _, q in pairs)
+        cum = 0
+        for c, q in pairs:
+            cum += q
+            if 2 * cum >= tot:
+                assert got[pri] == c / 100.0, pri
+                break
+
+
+# --- autocorrelation: numpy corrcoef parity ---
+
+
+def test_autocorr_numpy_model(tables):
+    from flink_210225_spark.operators.windows import autocorr_daily
+
+    got = {
+        (r["event_type"], r["lag"]): r["autocorr"]
+        for r in autocorr_daily(tables).collect()
+    }
+    daily = (
+        tables["events"]
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("x"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in sorted(daily, key=lambda r: (r["event_type"], r["day"])):
+        series.setdefault(r["event_type"], []).append(r["x"])
+    for et, xs in series.items():
+        for k in (1, 7):
+            if len(xs) <= k:
+                continue
+            a = np.array(xs[k:], dtype=float)
+            b = np.array(xs[:-k], dtype=float)
+            if a.std() == 0 or b.std() == 0:
+                assert got[(et, k)] is None
+                continue
+            r = float(np.corrcoef(a, b)[0, 1])
+            assert abs(got[(et, k)] - r) < 2e-4, (et, k)
+
+
+# --- nearest as-of: brute-force parity ---
+
+
+def test_asof_nearest_brute_force(tables):
+    from flink_210225_spark.operators.joins import asof_join_nearest
+
+    got = {
+        r["event_id"]: (r["direction"], r["view_id"], r["dt_us"])
+        for r in asof_join_nearest(tables).collect()
+    }
+    ev = tables["events"].select("event_id", "user_id", "ts", "event_type").collect()
+    views: dict[int, list] = {}
+    for r in ev:
+        if r["event_type"] == "view":
+            views.setdefault(r["user_id"], []).append(r)
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        vs = views.get(r["user_id"], [])
+        prev = [v for v in vs if v["ts"] <= r["ts"]]
+        nxt = [v for v in vs if v["ts"] >= r["ts"]]
+        direction, _vid, dt = got[r["event_id"]]
+        if not prev and not nxt:
+            assert direction == "none" and dt is None
+            continue
+        dp = (
+            min((r["ts"] - v["ts"] for v in prev), default=None)
+            if prev
+            else None
+        )
+        dn = (
+            min((v["ts"] - r["ts"] for v in nxt), default=None)
+            if nxt
+            else None
+        )
+        us = lambda td: (  # noqa: E731  exact; total_seconds() floats drift
+            td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+        )
+        if dp is not None and (dn is None or dp <= dn):
+            assert direction == "prev"
+            assert dt == us(dp)
+        else:
+            assert direction == "next"
+            assert dt == us(dn)
+
+
+# --- pivot roundtrip: inverse property vs plain long-form agg ---
+
+
+def test_pivot_roundtrip_is_identity(tables):
+    from flink_210225_spark.operators.serving import pivot_roundtrip
+
+    got = {
+        (r["month"], r["status"]): r["revenue"]
+        for r in pivot_roundtrip(tables).collect()
+    }
+    plain = (
+        tables["orders"]
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+            F.col("o_orderstatus").alias("s"),
+        )
+        .agg(
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+                / 100.0
+            ).alias("rev")
+        )
+        .collect()
+    )
+    assert got == {(r["m"], r["s"]): r["rev"] for r in plain}
+
+
+# --- winsorize: clip accounting sanity ---
+
+
+def test_winsorize_bounds(tables):
+    from flink_210225_spark.ops.sampling import winsorize_values
+
+    rows = winsorize_values(tables).collect()
+    n_total = tables["events"].count()
+    assert sum(r["n_events"] for r in rows) == n_total
+    # ~1% clipped each side globally (interpolated thresholds, so ±1)
+    lo = sum(r["n_clip_lo"] for r in rows)
+    hi = sum(r["n_clip_hi"] for r in rows)
+    assert 0 < lo <= n_total * 0.011 + 1
+    assert 0 < hi <= n_total * 0.011 + 1
+    for r in rows:
+        assert r["mean_winsorized"] <= r["mean_raw"] or r["n_clip_hi"] == 0
+
+
+# --- JS divergence: bounds + self-consistency ---
+
+
+def test_js_divergence_bounds(tables):
+    from flink_210225_spark.ops.text import js_divergence_by_source
+
+    rows = js_divergence_by_source(tables).collect()
+    ln2 = float(np.log(2.0))
+    for r in rows:
+        assert -1e-9 <= r["js_div"] <= ln2 + 1e-9, r
+        assert 0 < r["vocab_coverage"] <= 1.0 + 1e-9
