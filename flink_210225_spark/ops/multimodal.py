@@ -585,6 +585,84 @@ def png_decode_documents(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def png_container_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Container-integrity audit — the media-ingest gate that runs BEFORE
+    any decode is attempted at scale (a corrupted object store read or a
+    truncated upload should fail here, cheaply, not inside a decoder):
+    per asset, the chunk inventory (count, IDAT payload bytes), IHDR
+    metadata (chunk count is read from the bytes; IDAT payload size is
+    zlib-output-dependent and deliberately NOT emitted — the oracle
+    replays arithmetic, never compression), and a REAL CRC-32
+    verification of every chunk —
+    ``_parse_png`` deliberately skips CRCs on the hot decode path, so
+    this is the one place the container's own checksums are enforced.
+    Same deterministic synthesis as ``multimodal_png_decode`` (doc_id %
+    24/16 dims, per-doc rotating scanline filter), so the oracle replays
+    the metadata arithmetically and emits literal TRUE for crc_ok — a
+    single flipped byte in the writer or walker breaks the hash.
+
+    Plan: one Arrow pass over container BYTES only (no inflate, no
+    unfilter) — strictly cheaper than the decode queries, which is the
+    point of a pre-gate."""
+    import struct
+    import zlib
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 24 + 8).cast("int").alias("w"),
+        ((F.col("doc_id") * 3) % 16 + 8).cast("int").alias("h"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "asset_id",
+                    "width",
+                    "height",
+                    "bit_depth",
+                    "n_chunks",
+                    "crc_ok",
+                )
+            }
+            for doc_id, w, h, ft in zip(
+                pdf["doc_id"], pdf["w"], pdf["h"], pdf["ft"]
+            ):
+                payload = _png_bytes(int(doc_id), int(w), int(h), int(ft))
+                pos, n_chunks, ok = 8, 0, True
+                width = height = depth = -1
+                while pos < len(payload):
+                    (length,) = struct.unpack(">I", payload[pos : pos + 4])
+                    ctype = payload[pos + 4 : pos + 8]
+                    data = payload[pos + 8 : pos + 8 + length]
+                    (crc,) = struct.unpack(
+                        ">I", payload[pos + 8 + length : pos + 12 + length]
+                    )
+                    ok = ok and crc == zlib.crc32(ctype + data)
+                    n_chunks += 1
+                    if ctype == b"IHDR":
+                        width, height, depth = struct.unpack(">IIB", data[:9])
+                    pos += 12 + length
+                    if ctype == b"IEND":
+                        break
+                out["asset_id"].append(int(doc_id))
+                out["width"].append(width)
+                out["height"].append(height)
+                out["bit_depth"].append(depth)
+                out["n_chunks"].append(n_chunks)
+                out["crc_ok"].append(bool(ok))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, width long, height long, bit_depth long,"
+        " n_chunks long, crc_ok boolean",
+    )
+
+
 def png_tile_features(tables: dict[str, DataFrame], tile: int = 8) -> DataFrame:
     """The decode stage ``image_tile_plan`` fans out to, run FOR REAL: each
     document's genuine PNG round-trips through the chunk-walk parser (the
@@ -1168,6 +1246,7 @@ QUERIES = {
     "multimodal_wav_segments": wav_segment_features,
     "multimodal_wav_dft_audit": wav_dft_audit,
     "multimodal_png_decode": png_decode_documents,
+    "multimodal_png_meta": png_container_audit,
     "multimodal_png_tiles": png_tile_features,
     "multimodal_image_ahash": image_ahash_groups,
     "multimodal_image_whash": image_whash_groups,
@@ -1507,6 +1586,18 @@ ORACLES = {
     # Spark side must reach the same 16-bit hash THROUGH the container
     # round trip (5 different scanline filters per seed) — an encoder or
     # un-filter bug makes seed-equal docs hash apart and breaks group_sz.
+    # Dims/depth replayed from the synthesis; chunk count is the writer's
+    # fixed IHDR/IDAT/IEND layout; crc_ok literal TRUE — one flipped byte
+    # in writer or walker breaks the hash.
+    "multimodal_png_meta": """
+        SELECT doc_id AS asset_id,
+               (doc_id % 24 + 8)::BIGINT AS width,
+               ((doc_id * 3) % 16 + 8)::BIGINT AS height,
+               8::BIGINT AS bit_depth,
+               3::BIGINT AS n_chunks,
+               TRUE AS crc_ok
+        FROM documents
+    """,
     # Sample arithmetic replayed per band (never the bytes): same 32-sample
     # frames, 4×8 bands, derivative-sign words via lag() of the energy LIST.
     "multimodal_audio_fingerprint": """

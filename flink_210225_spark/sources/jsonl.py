@@ -70,7 +70,60 @@ def jsonl_dirty_counts(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-QUERIES = {"source_jsonl_dirty": jsonl_dirty_counts}
+def csv_dirty_counts(tables: dict[str, DataFrame]) -> DataFrame:
+    """CSV sibling of the dirty-JSONL source — the OTHER ubiquitous feed
+    format: every event_id % 7 row ships a non-numeric ``value`` field
+    ('xx'). The corruption gate here is EXPLICIT (tokenize the line, test
+    the numeric field against its format, cast only what passes) rather
+    than the reader's ``_corrupt_record`` — deliberately. Measured on
+    this engine: CSV PERMISSIVE corrupt detection is PROJECTION-DEPENDENT
+    — a downstream plan that prunes the malformed column (``count()``
+    does) never parses it, the row is silently unmarked, and the corrupt
+    group vanishes; ``spark.sql.csv.parser.columnPruning.enabled=false``
+    does not restore it on Spark 4. JSON does not have this failure mode
+    (objects parse whole — the JSONL twin keeps the reader-level
+    machinery); for CSV, a pipeline that must ACCOUNT for its rejects
+    owns the corruption rule in an expression the optimizer cannot prune
+    away. Numeric round trip via the writer's shortest repr keeps cents
+    exact; one text scan, zero shuffle before the final rollup."""
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    ev = tables["events"]
+    spark = ev.sparkSession
+    line = F.concat_ws(
+        ",",
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("xx")).otherwise(
+            F.col("value").cast("string")
+        ),
+    )
+    out = _scratch(prefix="csv_src_")
+    ev.select(line.alias("value")).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    fields = F.split(F.col("value"), ",")
+    v_str = F.element_at(fields, 4)
+    numeric = v_str.rlike(r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$")
+    tagged = raw.select(
+        F.when(numeric, F.element_at(fields, 3))
+        .otherwise(F.lit("__corrupt__"))
+        .alias("event_type"),
+        F.when(
+            numeric,
+            F.floor(v_str.cast("double") * 100 + F.lit(0.5)).cast("long"),
+        ).alias("cents"),
+    )
+    return tagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("value_cents"),
+    )
+
+
+QUERIES = {
+    "source_jsonl_dirty": jsonl_dirty_counts,
+    "source_csv_dirty": csv_dirty_counts,
+}
 
 ORACLES = {
     # Replay from parquet: the %7 lines are the corrupt group (their cents
@@ -85,3 +138,7 @@ ORACLES = {
         FROM events GROUP BY 1
     """,
 }
+
+# The corruption rule and surviving aggregates are format-independent, so
+# the CSV twin shares the JSONL oracle verbatim.
+ORACLES["source_csv_dirty"] = ORACLES["source_jsonl_dirty"]

@@ -914,3 +914,85 @@ def test_cusum_stream_materialized_two_stage_cascade(tables):
 
     df = sp.QUERIES["stream_cusum_materialized"](tables)
     assert_matches_oracle(df, sp.ORACLES["stream_cusum_materialized"], SF_DIR)
+
+
+def test_session_stream_chaos_kill_and_restart_exactly_once(
+    spark, tables, tmp_path
+):
+    """Chaos the TENTH capstone's state path: session-window MERGE state
+    must survive a mid-run kill — sessions held open in the state store
+    when the query dies must resume from the checkpoint and flush
+    identically. Kill after the first committed batch, restart on the
+    same checkpoint, compare to a clean run (same staged source)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from flink_210225_spark.operators.sessions import session_window_agg
+
+    ev = tables["events"]
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    raw = spark.read.parquet(src)
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+    from datetime import timedelta
+
+    for i, hours in enumerate((2, 4)):
+        sent = spark.createDataFrame(
+            [(-(i + 1), max_ts + timedelta(hours=hours), -1, "__sentinel__", 0.0, "{}")],
+            raw.schema,
+        )
+        sent.coalesce(1).write.mode("append").parquet(src)
+
+    def run(out, cp):
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = session_window_agg(stream.withWatermark("ts", "10 seconds"))
+        return (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with sp._stream_shuffle(spark):
+        out_ref, cp_ref = str(tmp_path / "out_ref"), str(tmp_path / "cp_ref")
+        run(out_ref, cp_ref).awaitTermination()
+        ref = {
+            tuple(r)
+            for r in spark.read.parquet(out_ref)
+            .filter(F.col("user_id") >= 0)
+            .collect()
+        }
+        assert ref, "reference run produced nothing"
+
+        out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+        q = run(out, cp)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p is not None and p["numInputRows"] > 0:
+                break
+            time.sleep(0.05)
+        q.stop()
+        q.awaitTermination()
+        try:
+            n_partial = spark.read.parquet(out).count()
+        except Exception:
+            n_partial = 0
+        if n_partial >= len(ref):
+            pytest.skip("stop landed after everything committed; no chaos")
+
+        run(out, cp).awaitTermination()
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .filter(F.col("user_id") >= 0)
+            .collect()
+        }
+    assert got == ref
