@@ -83,7 +83,7 @@ def _registry():
 # filtered top-k, DSIR resampler, triangle census) + 3 of the 25
 # third-session operators (the session-window streaming capstone, IVM
 # delta-merge, bloom-prefiltered join — the three SCD2/CDC re-gate slots
-# gave way: never-gated beats re-gate). Round 5 queue, in order: the 33
+# gave way: never-gated beats re-gate). Round 5 queue, in order: the 35
 # remaining third-session ops (wow_growth, token_sort, kfold,
 # readability, ab_lift, epoch_plan, stupid_backoff, interval_overlap,
 # holt_winters, basket_kcore, image_whash, audio_fingerprint,
@@ -91,7 +91,8 @@ def _registry():
 # uv_sketch_weekly, video_keyframes, jsonl_dirty, deletion_vectors,
 # time_to_convert, analyze_stats, sql_session_gaps, sql_brand_topn,
 # value_bands, pivot_roundtrip, asof_nearest, hash_features,
-# weighted_median, dq_expectations, autocorr, js_divergence, winsorize),
+# weighted_median, dq_expectations, autocorr, js_divergence, winsorize,
+# png_meta, csv_dirty),
 # then the SCD2/CDC re-gates, then the r1-only greens (sql_* tumbles,
 # join_skew_profile/interval_outer, the window_* rollup family, log_*,
 # session_gaps/window_native, serving_* endpoints, …).
