@@ -700,7 +700,62 @@ def ab_lift(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def revenue_concentration(tables: dict[str, DataFrame]) -> DataFrame:
+    """Revenue-concentration report per part type: Gini coefficient, HHI
+    and top-brand share over brand revenue — the how-lopsided-is-this-market
+    numbers category managers (and antitrust reviewers) quote. Everything
+    rides exact integers: revenue is floor-cents; the Gini numerator
+    Σ(2i−n−1)·xᵢ over the ascending (revenue, brand) rank is a BIGINT;
+    HHI's Σxᵢ² is decimal(38,0) (cents² clears int64 at large SF); each
+    final ratio is one double division of exact values, 6dp-pinned.
+
+    Plan: the lineitem⋈part join broadcasts part's 2-column projection;
+    one partial agg to the (type, brand) grain (~150 rows, SF-invariant —
+    the bounded brand domain), then windows and rollups over that."""
+    li, part = tables["lineitem"], tables["part"]
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    brand_rev = (
+        li.join(F.broadcast(part.select("p_partkey", "p_type", "p_brand")),
+                li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(cents).alias("r"))
+    )
+    w = Window.partitionBy("p_type").orderBy("r", "p_brand")
+    ranked = brand_rev.withColumn("i", F.row_number().over(w))
+    n = F.col("n_brands")
+    agg = ranked.groupBy("p_type").agg(
+        F.count("*").alias("n_brands"),
+        F.sum("r").alias("total_cents"),
+        F.sum(
+            (2 * F.col("i") - 1).cast("decimal(38,0)")
+            * F.col("r").cast("decimal(38,0)")
+        ).alias("g_raw"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r").cast("decimal(38,0)"))
+        .alias("sumsq"),
+        F.max("r").alias("top_r"),
+    )
+    # Σ(2i−n−1)·x = Σ(2i−1)·x − n·Σx: fold the rank sum first, subtract once.
+    g_num = F.col("g_raw") - (n * F.col("total_cents")).cast("decimal(38,0)")
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    gini = g_num.cast("double") / (n * F.col("total_cents")).cast("double")
+    hhi = F.col("sumsq").cast("double") / (
+        F.col("total_cents").cast("double") * F.col("total_cents").cast("double")
+    )
+    top_share = F.col("top_r") / F.col("total_cents")
+    return agg.select(
+        "p_type",
+        "n_brands",
+        "total_cents",
+        r6(gini).alias("gini"),
+        r6(hhi).alias("hhi"),
+        r6(top_share).alias("top_share"),
+    )
+
+
 QUERIES = {
+    "serving_gini": revenue_concentration,
     "serving_gmv": gmv,
     "serving_trademark_topn": trademark_topn,
     "serving_category_topn": category_topn,
@@ -722,6 +777,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Rank algebra replayed over the same ascending (revenue, brand) order;
+    # HUGEINT carries what decimal(38,0) carries on the Spark side, each
+    # ratio is one double division of exact integers on both engines.
+    "serving_gini": """
+        WITH br AS (
+            SELECT p_type, p_brand,
+                   sum(floor(l_extendedprice * (1 - l_discount) * 100
+                             + 0.5)::BIGINT)::BIGINT AS r
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2
+        ),
+        rk AS (
+            SELECT p_type, p_brand, r,
+                   row_number() OVER (PARTITION BY p_type
+                                      ORDER BY r, p_brand) AS i
+            FROM br
+        ),
+        a AS (
+            SELECT p_type, count(*)::BIGINT AS n_brands,
+                   sum(r)::BIGINT AS total_cents,
+                   sum((2 * i - 1)::HUGEINT * r::HUGEINT) AS g_raw,
+                   sum(r::HUGEINT * r::HUGEINT) AS sumsq,
+                   max(r)::BIGINT AS top_r
+            FROM rk GROUP BY 1
+        )
+        SELECT p_type, n_brands, total_cents,
+               floor((g_raw - n_brands::HUGEINT * total_cents::HUGEINT)::DOUBLE
+                     / ((n_brands * total_cents)::DOUBLE) * 1000000 + 0.5)
+                   / 1000000 AS gini,
+               floor(sumsq::DOUBLE
+                     / (total_cents::DOUBLE * total_cents::DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS hhi,
+               floor(top_r / (total_cents::DOUBLE) * 1000000 + 0.5) / 1000000
+                   AS top_share
+        FROM a
+    """,
     # Independent algorithm: cumulative-weight window crossing in SQL vs
     # the UDAF's numpy scan — same lower-weighted-median definition.
     "serving_weighted_median": """

@@ -412,7 +412,46 @@ def bounce_rate_daily(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def stickiness_weekly(tables: dict[str, DataFrame]) -> DataFrame:
+    """DAU/WAU stickiness per (event type, ISO week) — the product-analytics
+    engagement ratio (how much of the weekly audience shows up on an average
+    day). Numerator = Σ daily-distinct users over the week's ACTIVE days,
+    denominator = active-day count × weekly-distinct users; both distinct
+    counts exact, the ratio is one integer division pinned at 6dp.
+
+    Plan: one (type, day) distinct agg feeding the weekly rollup, one
+    (type, week) distinct agg off the fact scan, joined on the
+    calendar-bounded (type, week) key — AQE broadcasts the smaller side.
+    At 100 TB swap the exact distincts for hll_sketch_agg and union daily
+    sketches into the weekly one (the ``window_uv_sketch_weekly`` path)."""
+    ev = tables["events"]
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+        "week_start"
+    )
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    daily = ev.groupBy("event_type", week, day).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    weekly_dau = daily.groupBy("event_type", "week_start").agg(
+        F.count("*").alias("n_days"), F.sum("dau").alias("sum_dau")
+    )
+    wau = ev.groupBy("event_type", week).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    joined = weekly_dau.join(wau, ["event_type", "week_start"])
+    ratio = F.col("sum_dau") / (F.col("n_days") * F.col("wau"))
+    return joined.select(
+        "event_type",
+        "week_start",
+        "n_days",
+        "sum_dau",
+        "wau",
+        (F.floor(ratio * 1000000 + F.lit(0.5)) / 1000000).alias("stickiness"),
+    )
+
+
 QUERIES = {
+    "session_stickiness": stickiness_weekly,
     "session_gaps_islands": sessionize,
     "session_path_topk": path_trigrams_topk,
     "session_bounce_rate": bounce_rate_daily,
@@ -426,6 +465,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Exact distinct counts on both engines; date_trunc('week') is
+    # Monday-start on both; one integer-ratio division, 6dp pin.
+    "session_stickiness": """
+        WITH daily AS (
+            SELECT event_type,
+                   strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(DISTINCT user_id)::BIGINT AS dau
+            FROM events GROUP BY 1, 2, 3
+        ),
+        wd AS (
+            SELECT event_type, week_start, count(*)::BIGINT AS n_days,
+                   sum(dau)::BIGINT AS sum_dau
+            FROM daily GROUP BY 1, 2
+        ),
+        wk AS (
+            SELECT event_type,
+                   strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+                   count(DISTINCT user_id)::BIGINT AS wau
+            FROM events GROUP BY 1, 2
+        )
+        SELECT wd.event_type, wd.week_start, n_days, sum_dau, wau,
+               floor(sum_dau / ((n_days * wau)::DOUBLE) * 1000000 + 0.5)
+                   / 1000000 AS stickiness
+        FROM wd JOIN wk ON wd.event_type = wk.event_type
+                       AND wd.week_start = wk.week_start
+    """,
     # Same first-signup/first-purchase-after rule; microsecond-exact delay,
     # quantile_cont == Spark percentile interpolation, 2dp/4dp rounding.
     "session_time_to_convert": """

@@ -12,7 +12,7 @@ regardless of total history size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -574,7 +574,187 @@ def ivm_incremental_agg(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+_BIDX_M = 1 << 14  # bits per partition filter
+_BIDX_K = 4
+
+
+def bloom_index_probe(tables: dict[str, DataFrame]) -> DataFrame:
+    """Per-partition Bloom-filter POINT-LOOKUP index — the file-skipping
+    structure parquet column bloom filters / Delta-Iceberg bloom indexes
+    implement for predicates zone maps can't serve (``o_custkey = ?`` is
+    invisible to min/max stats on an unclustered column — exactly the
+    ``warehouse_zonemap_prune`` negative result, fixed). Per order-month
+    partition: fold the DISTINCT custkeys into an m=2¹⁴-bit filter (k=4
+    double-hashed probes from two md5-prefix words), then probe a
+    deterministic key set (custkey ≡ 7 mod 199) and report per partition:
+    bloom positives, exact positives, false positives, and the
+    zero-false-negative guarantee measured, not assumed.
+
+    The index NEVER leaves the cluster: bitsets live as (month, word, bits)
+    rows and the probe is an equi-join on the word id — contrast with
+    ``text_bloom_contamination`` where ONE filter broadcasts. This is the
+    many-filters shape (one per partition; at 100 TB, one per file), so the
+    join-side layout is the scalable one: probe keys × k words each, joined
+    against the word table, no driver fold, no per-partition collect."""
+    orders, customer = tables["orders"], tables["customer"]
+    m, k = _BIDX_M, _BIDX_K
+    ins = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part_month"),
+        F.col("o_custkey").alias("key"),
+    ).distinct()
+
+    def h12(key_col):
+        md = F.md5(key_col.cast("string"))
+        h1 = F.pmod(F.conv(F.substring(md, 1, 15), 16, 10).cast("long"), F.lit(m))
+        h2 = F.pmod(F.conv(F.substring(md, 16, 15), 16, 10).cast("long"), F.lit(m))
+        return h1, h2
+
+    ih1, ih2 = h12(F.col("key"))
+    ipos = ins.select(
+        "part_month",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.pmod(ih1 + i * ih2, F.lit(m)),
+            )
+        ).alias("p"),
+    )
+    words = (
+        ipos.select(
+            "part_month",
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("part_month", "w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    probe = customer.select(F.col("c_custkey").alias("key")).where(
+        F.col("key") % 199 == 7
+    )
+    ph1, ph2 = h12(F.col("key"))
+    ppos = probe.select(
+        "key",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.pmod(ph1 + i * ph2, F.lit(m)),
+            )
+        ).alias("i", "p"),
+    ).select(
+        "key",
+        "i",
+        (F.col("p") / 64).cast("int").alias("w"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+        ).alias("bit"),
+    )
+    hits = (
+        ppos.join(words, "w")
+        .where(F.col("bits").bitwiseAND(F.col("bit")) != 0)
+        .groupBy("part_month", "key")
+        .agg(F.count("*").alias("n_set"))
+        .where(F.col("n_set") == k)
+        .select("part_month", "key", F.lit(True).alias("bloom_pos"))
+    )
+    true_pairs = ins.join(F.broadcast(probe), "key").select(
+        "part_month", "key", F.lit(True).alias("is_true")
+    )
+    flags = hits.join(true_pairs, ["part_month", "key"], "full").fillna(
+        False, ["bloom_pos", "is_true"]
+    )
+    months = ins.select("part_month").distinct()
+    n_keys = probe.agg(F.count("*")).scalar()
+    per_month = flags.groupBy("part_month").agg(
+        F.sum(F.col("bloom_pos").cast("long")).alias("n_bloom_pos"),
+        F.sum(F.col("is_true").cast("long")).alias("n_true"),
+        F.sum((F.col("bloom_pos") & ~F.col("is_true")).cast("long")).alias("n_fp"),
+        F.sum((F.col("is_true") & ~F.col("bloom_pos")).cast("long")).alias("n_fn"),
+    )
+    return (
+        months.join(per_month, "part_month", "left")
+        .fillna(0, ["n_bloom_pos", "n_true", "n_fp", "n_fn"])
+        .select(
+            "part_month",
+            F.lit(n_keys).alias("n_probe_keys"),
+            "n_bloom_pos",
+            "n_true",
+            "n_fp",
+            (F.col("n_fn") == 0).alias("fn_free"),
+        )
+    )
+
+
+def clustering_depth(tables: dict[str, DataFrame]) -> DataFrame:
+    """Iceberg-style clustering-depth metric: for each partition, the MAX
+    number of files whose [min,max] ranges of the sort column overlap at
+    one point — depth 1 means file-level range pruning answers a point
+    query with one file; depth = n_files means the stats are useless (scan
+    everything). Measured for TWO layouts of the same order-month data:
+    the write-task bucketing that exists (``o_orderkey % 16`` — custkey
+    ranges interleave, worst case) and the re-clustered layout a z-order /
+    sort-on-write pass would produce (16 custkey-rank slices). The paired
+    rows quantify exactly what re-clustering buys — the positive half of
+    ``warehouse_zonemap_prune``'s negative result.
+
+    Depth is a classic sweep: +1 at each file's min, −1 after its max,
+    starts before ends at ties (closed intervals), max running sum. The
+    sweep runs over file BOUNDARIES (2·files rows per partition, manifest
+    not data scale); intermediate running values at equal-key tie clusters
+    depend on tie order, but the cluster's peak — the only thing reported —
+    does not.
+
+    Plan: one pass builds both inventories (month-keyed aggs), sweep
+    windows run per (month, layout) over ~32 rows each. At 100 TB this
+    reads the stats manifest, never the table."""
+    orders = tables["orders"]
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("part_month")
+    bucketed = (
+        orders.groupBy(month, (F.col("o_orderkey") % 16).alias("file_id"))
+        .agg(F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi"))
+        .select("part_month", F.lit("bucketed").alias("layout"), "lo", "hi")
+    )
+    wrk = Window.partitionBy("part_month").orderBy("o_custkey", "o_orderkey")
+    ranked = orders.select(
+        month, "o_custkey", "o_orderkey"
+    ).withColumn("rn", F.row_number().over(wrk))
+    wn = Window.partitionBy("part_month")
+    clustered = (
+        ranked.withColumn("n", F.count("*").over(wn))
+        .withColumn(
+            "file_id", F.floor((F.col("rn") - 1) * 16 / F.col("n")).cast("int")
+        )
+        .groupBy("part_month", "file_id")
+        .agg(F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi"))
+        .select("part_month", F.lit("clustered").alias("layout"), "lo", "hi")
+    )
+    files = bucketed.unionByName(clustered)
+    events = files.select(
+        "part_month", "layout", F.col("lo").alias("pos"), F.lit(1).alias("ev")
+    ).unionByName(
+        files.select(
+            "part_month", "layout", F.col("hi").alias("pos"), F.lit(-1).alias("ev")
+        )
+    )
+    ws = (
+        Window.partitionBy("part_month", "layout")
+        .orderBy(F.col("pos"), F.col("ev").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = events.withColumn("depth", F.sum("ev").over(ws))
+    return (
+        swept.groupBy("part_month", "layout")
+        .agg(
+            (F.count("*") / 2).cast("long").alias("n_files"),
+            F.max("depth").alias("depth_max"),
+        )
+    )
+
+
 QUERIES = {
+    "warehouse_bloom_index": bloom_index_probe,
+    "warehouse_clustering_depth": clustering_depth,
     "warehouse_deletion_vectors": deletion_vector_report,
     "warehouse_dq_expectations": dq_expectations,
     "warehouse_analyze_stats": analyze_column_stats,
@@ -588,6 +768,124 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Membership replayed as a position-set join (the bloom oracle pattern):
+    # every inserted key's k probe positions per month vs every probe key's
+    # k positions; count(*) = k over the join IS the all-bits-set test.
+    "warehouse_bloom_index": f"""
+        WITH ins AS (
+            SELECT DISTINCT strftime(date_trunc('month', o_orderdate),
+                                     '%Y-%m') AS part_month,
+                   o_custkey AS key
+            FROM orders
+        ),
+        ipos AS (
+            SELECT DISTINCT part_month, (h1 + r.i * h2) % {_BIDX_M} AS p
+            FROM (
+                SELECT part_month,
+                       (('0x' || substr(md5(key::VARCHAR), 1, 15))::UBIGINT
+                            % {_BIDX_M})::BIGINT AS h1,
+                       (('0x' || substr(md5(key::VARCHAR), 16, 15))::UBIGINT
+                            % {_BIDX_M})::BIGINT AS h2
+                FROM ins
+            ), range({_BIDX_K}) r(i)
+        ),
+        probe AS (
+            SELECT c_custkey AS key FROM customer WHERE c_custkey % 199 = 7
+        ),
+        ppos AS (
+            SELECT key, r.i AS i, (h1 + r.i * h2) % {_BIDX_M} AS p
+            FROM (
+                SELECT key,
+                       (('0x' || substr(md5(key::VARCHAR), 1, 15))::UBIGINT
+                            % {_BIDX_M})::BIGINT AS h1,
+                       (('0x' || substr(md5(key::VARCHAR), 16, 15))::UBIGINT
+                            % {_BIDX_M})::BIGINT AS h2
+                FROM probe
+            ), range({_BIDX_K}) r(i)
+        ),
+        hits AS (
+            SELECT part_month, key
+            FROM ppos JOIN ipos USING (p)
+            GROUP BY 1, 2
+            HAVING count(*) = {_BIDX_K}
+        ),
+        tp AS (
+            SELECT part_month, key FROM ins JOIN probe USING (key)
+        ),
+        flags AS (
+            SELECT coalesce(h.part_month, t.part_month) AS part_month,
+                   (h.key IS NOT NULL) AS bloom_pos,
+                   (t.key IS NOT NULL) AS is_true
+            FROM hits h FULL JOIN tp t
+                 ON h.part_month = t.part_month AND h.key = t.key
+        ),
+        per AS (
+            SELECT part_month,
+                   sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END)::BIGINT
+                       AS n_bloom_pos,
+                   sum(CASE WHEN is_true THEN 1 ELSE 0 END)::BIGINT AS n_true,
+                   sum(CASE WHEN bloom_pos AND NOT is_true
+                            THEN 1 ELSE 0 END)::BIGINT AS n_fp,
+                   sum(CASE WHEN is_true AND NOT bloom_pos
+                            THEN 1 ELSE 0 END)::BIGINT AS n_fn
+            FROM flags GROUP BY 1
+        )
+        SELECT m.part_month,
+               (SELECT count(*) FROM probe)::BIGINT AS n_probe_keys,
+               coalesce(n_bloom_pos, 0)::BIGINT AS n_bloom_pos,
+               coalesce(n_true, 0)::BIGINT AS n_true,
+               coalesce(n_fp, 0)::BIGINT AS n_fp,
+               coalesce(n_fn, 0) = 0 AS fn_free
+        FROM (SELECT DISTINCT part_month FROM ins) m
+        LEFT JOIN per ON m.part_month = per.part_month
+    """,
+    # Same two layouts, same closed-interval sweep (starts before ends at
+    # ties via ORDER BY pos, ev DESC); only the tie-cluster PEAK is read.
+    "warehouse_clustering_depth": """
+        WITH b AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS part_month,
+                   'bucketed' AS layout, o_orderkey % 16 AS file_id,
+                   min(o_custkey) AS lo, max(o_custkey) AS hi
+            FROM orders GROUP BY 1, 2, 3
+        ),
+        rk AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS part_month,
+                   o_custkey,
+                   row_number() OVER (
+                       PARTITION BY strftime(date_trunc('month', o_orderdate),
+                                             '%Y-%m')
+                       ORDER BY o_custkey, o_orderkey) AS rn,
+                   count(*) OVER (
+                       PARTITION BY strftime(date_trunc('month', o_orderdate),
+                                             '%Y-%m')) AS n
+            FROM orders
+        ),
+        c AS (
+            SELECT part_month, 'clustered' AS layout,
+                   ((rn - 1) * 16 // n)::INT AS file_id,
+                   min(o_custkey) AS lo, max(o_custkey) AS hi
+            FROM rk GROUP BY 1, 2, 3
+        ),
+        files AS (SELECT * FROM b UNION ALL SELECT * FROM c),
+        ev AS (
+            SELECT part_month, layout, lo AS pos, 1 AS e FROM files
+            UNION ALL
+            SELECT part_month, layout, hi AS pos, -1 AS e FROM files
+        ),
+        sw AS (
+            SELECT part_month, layout,
+                   sum(e) OVER (PARTITION BY part_month, layout
+                                ORDER BY pos, e DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS depth
+            FROM ev
+        )
+        SELECT part_month, layout, (count(*) // 2)::BIGINT AS n_files,
+               max(depth)::BIGINT AS depth_max
+        FROM sw GROUP BY 1, 2
+    """,
     # Same six rules, violation counts recomputed independently.
     "warehouse_dq_expectations": """
         SELECT 'orderkey_unique' AS rule,

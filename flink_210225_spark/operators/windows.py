@@ -906,7 +906,200 @@ def wow_growth(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _monthly_priority_series(orders: DataFrame) -> DataFrame:
+    """Shared series builder for the robust-trend pair: monthly order counts
+    per o_orderpriority, with a per-key positional index. The series is
+    CALENDAR-granular (~80 months × 5 priorities at every SF), so anything
+    quadratic in it — Mann-Kendall's pair sums, Theil-Sen's pairwise slopes
+    — is SF-INVARIANT: the fact scan grows with data, the pair table does
+    not. That is the whole scale story for this family."""
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias(
+            "month"
+        ),
+    ).agg(F.count("*").alias("ct"))
+    w = Window.partitionBy("priority").orderBy("month")
+    return monthly.withColumn("rn", F.row_number().over(w))
+
+
+_MK_SERIES_SQL = """
+        m AS (
+            SELECT o_orderpriority AS priority,
+                   strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   count(*)::BIGINT AS ct
+            FROM orders GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT priority, month, ct,
+                   row_number() OVER (PARTITION BY priority ORDER BY month)
+                       AS rn
+            FROM m
+        )
+"""
+
+
+def _series_pairs(series: DataFrame) -> DataFrame:
+    """All i<j index pairs of the per-priority series (equi-join on the key,
+    positional filter after — never a cartesian: the join key is priority)."""
+    a = series.select(
+        "priority", F.col("rn").alias("i"), F.col("ct").alias("ci")
+    )
+    b = series.select(
+        "priority", F.col("rn").alias("j"), F.col("ct").alias("cj")
+    )
+    return a.join(b, "priority").where(F.col("i") < F.col("j"))
+
+
+def mann_kendall_trend(tables: dict[str, DataFrame]) -> DataFrame:
+    """Mann-Kendall non-parametric trend test per order priority — the
+    monotone-trend detector monitoring stacks run over KPI series (is this
+    metric drifting, without assuming linearity or normality). S = Σ_{i<j}
+    sign(x_j − x_i) and the tie-corrected variance numerator
+    18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) are EXACT INTEGERS; z applies
+    the standard continuity correction (S∓1)/sqrt(Var) — sqrt is
+    IEEE-exact-rounded on both engines, division of exact ints through
+    double is deterministic, 6dp pin. The trend CALL avoids the float
+    boundary entirely: |z| > 1.96 is decided as the integer comparison
+    (S∓1)²·180000 > 38416·var_num (1.96² = 38416/10⁴, 18·10⁴ = 180000).
+
+    Plan: one month-grain partial agg off the fact scan; the pair join and
+    tie rollup run over the ~400-row calendar-bounded series (AQE
+    broadcasts); everything after the first Exchange is SF-invariant."""
+    series = _monthly_priority_series(tables["orders"])
+    pairs = _series_pairs(series)
+    s_agg = pairs.groupBy("priority").agg(
+        F.sum(F.signum(F.col("cj") - F.col("ci")).cast("long")).alias("s_stat"),
+        F.count("*").alias("n_pairs"),
+    )
+    n_agg = series.groupBy("priority").agg(F.count("*").alias("n_months"))
+    t = F.col("t")
+    tie_agg = (
+        series.groupBy("priority", "ct")
+        .agg(F.count("*").alias("t"))
+        .groupBy("priority")
+        .agg(F.sum(t * (t - 1) * (2 * t + 5)).alias("tie_term"))
+    )
+    n = F.col("n_months")
+    joined = s_agg.join(n_agg, "priority").join(tie_agg, "priority")
+    var_num = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).alias("var_num")
+    s = F.col("s_stat")
+    shifted = F.when(s > 0, s - 1).when(s < 0, s + 1).otherwise(F.lit(0))
+    z = F.when(
+        F.col("var_num") > 0, shifted / F.sqrt(F.col("var_num") / F.lit(18.0))
+    ).otherwise(F.lit(0.0))
+    sig = (shifted * shifted * F.lit(180000)) > (F.lit(38416) * F.col("var_num"))
+    trend = (
+        F.when((s > 0) & sig, F.lit("increasing"))
+        .when((s < 0) & sig, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+    )
+    return (
+        joined.select("priority", "n_months", "n_pairs", "s_stat", var_num)
+        .select(
+            "priority",
+            "n_months",
+            "n_pairs",
+            "s_stat",
+            "var_num",
+            (F.floor(z * 1000000 + F.lit(0.5)) / 1000000).alias("z"),
+            trend.alias("trend"),
+        )
+    )
+
+
+def theil_sen_slope(tables: dict[str, DataFrame]) -> DataFrame:
+    """Theil-Sen robust trend slope per order priority — the median of all
+    pairwise slopes (x_j − x_i)/(j − i), the estimator that shrugs off the
+    outlier months OLS would chase (up to ~29% contamination). Slopes are
+    exact doubles of integer ratios; the median interpolates two exact
+    values identically on both engines (Spark percentile == DuckDB
+    quantile_cont). The intercept is the median of residuals against the
+    6dp-PINNED slope — pinning before reuse so float drift can't compound
+    across the two medians.
+
+    Plan: same calendar-bounded pair table as Mann-Kendall (shared
+    builder); two group-sized medians, zero additional fact scans."""
+    series = _monthly_priority_series(tables["orders"])
+    pairs = _series_pairs(series)
+    slope = (F.col("cj") - F.col("ci")) / (F.col("j") - F.col("i"))
+    med = pairs.groupBy("priority").agg(
+        F.count("*").alias("n_pairs"),
+        (
+            F.floor(F.percentile(slope, F.lit(0.5)) * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("slope"),
+    )
+    resid = series.join(F.broadcast(med), "priority").select(
+        "priority",
+        "n_pairs",
+        "slope",
+        (F.col("ct") - F.col("slope") * F.col("rn")).alias("r"),
+    )
+    return resid.groupBy("priority", "n_pairs", "slope").agg(
+        (
+            F.floor(F.percentile(F.col("r"), F.lit(0.5)) * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("intercept")
+    )
+
+
+def ks_two_sample(tables: dict[str, DataFrame]) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test per event type: did the value
+    distribution SHIFT between the first half of the month (days 1-15) and
+    the second — the drift gate batch-scoring pipelines run before trusting
+    a model trained on last month's data. D = max_v |F1(v) − F2(v)| is
+    computed entirely in integers: with cumulative counts c1, c2 over the
+    merged value axis, D_num = max |n2·c1 − n1·c2| and D = D_num/(n1·n2).
+    The α=0.05 rejection (c(α)=1.358) is the exact integer comparison
+    D_num²·10⁶ > 1844164·(n1+n2)·n1·n2 carried in decimal(38,0) — no
+    sqrt, no float boundary, safe past int64 at 100 TB sample sizes.
+
+    Plan: one (type, value) partial agg off the fact scan, one per-type
+    ordered window over the distinct-value axis (bounded by distinct
+    values, not rows), one max. Two Exchanges total."""
+    ev = tables["events"]
+    is_a = F.dayofmonth("ts") <= 15
+    per_val = ev.groupBy("event_type", "value").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("a_ct"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("b_ct"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    wall = Window.partitionBy("event_type")
+    cum = per_val.select(
+        "event_type",
+        F.sum("a_ct").over(w).alias("c1"),
+        F.sum("b_ct").over(w).alias("c2"),
+        F.sum("a_ct").over(wall).alias("n1"),
+        F.sum("b_ct").over(wall).alias("n2"),
+    )
+    d_gap = F.abs(F.col("n2") * F.col("c1") - F.col("n1") * F.col("c2"))
+    agg = cum.groupBy("event_type", "n1", "n2").agg(F.max(d_gap).alias("d_num"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    lhs = dec(F.col("d_num")) * dec(F.col("d_num")) * F.lit(1000000).cast(
+        "decimal(38,0)"
+    )
+    rhs = (
+        F.lit(1844164).cast("decimal(38,0)")
+        * dec(F.col("n1") + F.col("n2"))
+        * dec(F.col("n1"))
+        * dec(F.col("n2"))
+    )
+    d_dbl = F.col("d_num") / (F.col("n1") * F.col("n2"))
+    return agg.select(
+        "event_type",
+        "n1",
+        "n2",
+        "d_num",
+        (F.floor(d_dbl * 1000000 + F.lit(0.5)) / 1000000).alias("d"),
+        (lhs > rhs).alias("reject"),
+    )
+
+
 QUERIES = {
+    "window_mann_kendall": mann_kendall_trend,
+    "window_theil_sen": theil_sen_slope,
+    "window_ks_test": ks_two_sample,
     "window_cusum": cusum_changepoint,
     "window_seasonal": seasonal_profile,
     "window_wow_growth": wow_growth,
@@ -932,6 +1125,106 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Pair sums and the tie-corrected variance numerator are exact integers;
+    # z replays the same continuity-corrected expression; the trend call is
+    # the integer comparison (S∓1)²·180000 > 38416·var_num on both engines.
+    "window_mann_kendall": f"""
+        WITH {_MK_SERIES_SQL},
+        p AS (
+            SELECT a.priority,
+                   sum(CASE WHEN b.ct > a.ct THEN 1
+                            WHEN b.ct < a.ct THEN -1 ELSE 0 END)::BIGINT
+                       AS s_stat,
+                   count(*)::BIGINT AS n_pairs
+            FROM s a JOIN s b ON a.priority = b.priority AND a.rn < b.rn
+            GROUP BY 1
+        ),
+        n AS (SELECT priority, count(*)::BIGINT AS n_months FROM s GROUP BY 1),
+        tt AS (
+            SELECT priority,
+                   sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+            FROM (SELECT priority, ct, count(*)::BIGINT AS t
+                  FROM s GROUP BY 1, 2)
+            GROUP BY 1
+        ),
+        j AS (
+            SELECT p.priority, n_months, n_pairs, s_stat,
+                   (n_months * (n_months - 1) * (2 * n_months + 5)
+                    - tie_term)::BIGINT AS var_num,
+                   CASE WHEN s_stat > 0 THEN s_stat - 1
+                        WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS sh
+            FROM p JOIN n ON p.priority = n.priority
+                   JOIN tt ON p.priority = tt.priority
+        )
+        SELECT priority, n_months, n_pairs, s_stat, var_num,
+               CASE WHEN var_num > 0
+                    THEN floor(sh / sqrt(var_num / 18.0) * 1000000 + 0.5)
+                         / 1000000
+                    ELSE 0.0 END AS z,
+               CASE WHEN s_stat > 0 AND sh * sh * 180000 > 38416 * var_num
+                    THEN 'increasing'
+                    WHEN s_stat < 0 AND sh * sh * 180000 > 38416 * var_num
+                    THEN 'decreasing'
+                    ELSE 'no_trend' END AS trend
+        FROM j
+    """,
+    # Pairwise slopes are exact doubles of integer ratios; quantile_cont's
+    # two-point interpolation matches Spark percentile; the intercept median
+    # runs against the 6dp-pinned slope on both engines.
+    "window_theil_sen": f"""
+        WITH {_MK_SERIES_SQL},
+        pr AS (
+            SELECT a.priority,
+                   (b.ct - a.ct) * 1.0 / (b.rn - a.rn) AS slope
+            FROM s a JOIN s b ON a.priority = b.priority AND a.rn < b.rn
+        ),
+        med AS (
+            SELECT priority, count(*)::BIGINT AS n_pairs,
+                   floor(quantile_cont(slope, 0.5) * 1000000 + 0.5) / 1000000
+                       AS slope
+            FROM pr GROUP BY 1
+        )
+        SELECT s.priority, n_pairs, med.slope,
+               floor(quantile_cont(s.ct - med.slope * s.rn, 0.5) * 1000000
+                     + 0.5) / 1000000 AS intercept
+        FROM s JOIN med ON s.priority = med.priority
+        GROUP BY 1, 2, 3
+    """,
+    # D_num = max |n2·c1 − n1·c2| over the merged value axis is an exact
+    # integer; the rejection comparison runs in HUGEINT (decimal(38,0) on
+    # the Spark side) so it cannot saturate at large n.
+    "window_ks_test": """
+        WITH pv AS (
+            SELECT event_type, value,
+                   sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)::BIGINT
+                       AS a_ct,
+                   sum(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END)::BIGINT
+                       AS b_ct
+            FROM events GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT event_type,
+                   sum(a_ct) OVER (PARTITION BY event_type ORDER BY value)
+                       AS c1,
+                   sum(b_ct) OVER (PARTITION BY event_type ORDER BY value)
+                       AS c2,
+                   sum(a_ct) OVER (PARTITION BY event_type) AS n1,
+                   sum(b_ct) OVER (PARTITION BY event_type) AS n2
+            FROM pv
+        ),
+        agg AS (
+            SELECT event_type, n1::BIGINT AS n1, n2::BIGINT AS n2,
+                   max(abs(n2 * c1 - n1 * c2))::BIGINT AS d_num
+            FROM c GROUP BY 1, 2, 3
+        )
+        SELECT event_type, n1, n2, d_num,
+               floor(d_num / ((n1 * n2)::DOUBLE) * 1000000 + 0.5) / 1000000
+                   AS d,
+               (d_num::HUGEINT * d_num::HUGEINT * 1000000::HUGEINT
+                > 1844164::HUGEINT * (n1 + n2)::HUGEINT
+                  * n1::HUGEINT * n2::HUGEINT) AS reject
+        FROM agg
+    """,
     # Independent-algorithm gate: Spark runs the closed form
     # (running sum − running min); the oracle walks the LITERAL Page
     # recurrence s_t = max(0, s_{t-1} + d_t) one day at a time. Integer

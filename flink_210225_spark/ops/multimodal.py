@@ -1239,8 +1239,175 @@ def caption_pairs(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def image_histogram_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """Color/luma histogram profiling + histogram-nearest-image — the
+    cheap content descriptor image pipelines compute before anything
+    learned (near-dup blocking, exposure QA, dominant-color indexing).
+    Each doc's REAL PNG (same ``doc_id % 16`` seeds and rotating scanline
+    filters as ``multimodal_image_ahash``) is decoded and binned into a
+    16-bin luma histogram; the report carries the dominant bin and the
+    nearest OTHER image by normalized-L1 histogram distance.
+
+    Distances are exact: with counts ct and pixel totals n, the L1 term is
+    |ct_a·n_b − ct_b·n_a| (cross-multiplied integers), divided once per
+    pair at the end. All 16 bins are emitted per image (zero counts
+    included) so the bin equi-join never drops a one-sided term. The
+    oracle replays the pixel formula arithmetically — never the bytes.
+
+    Plan: one Arrow decode pass emits 16 rows per doc; seed profiles
+    collapse by distinct (the image DOMAIN is 16 — everything pairwise is
+    domain², not corpus²); the pair distance is a bin equi-join."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).cast("int").alias("seed"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "seed": [], "bin": [], "ct": [], "n_px": []}
+            for doc_id, seed, ft in zip(pdf["doc_id"], pdf["seed"], pdf["ft"]):
+                seed = int(seed)
+                w = 8 + 4 * (seed % 5)
+                h = 8 + 4 * ((seed * 3) % 4)
+                px = _parse_png(_png_bytes(seed, w, h, filter_type=int(ft)))[
+                    "pixels"
+                ].astype(np.int64)[:, :, 0]
+                hist = np.bincount((px // 16).ravel(), minlength=16)
+                for b in range(16):
+                    out["doc_id"].append(int(doc_id))
+                    out["seed"].append(seed)
+                    out["bin"].append(b)
+                    out["ct"].append(int(hist[b]))
+                    out["n_px"].append(w * h)
+            yield pd.DataFrame(out)
+
+    hist = base.mapInPandas(
+        gen, "doc_id long, seed int, bin int, ct long, n_px long"
+    )
+    prof = hist.select("seed", "bin", "ct", "n_px").distinct()
+    other = prof.select(
+        F.col("seed").alias("seed2"),
+        "bin",
+        F.col("ct").alias("ct2"),
+        F.col("n_px").alias("n2"),
+    )
+    pair = (
+        prof.join(other, "bin")
+        .where(F.col("seed") != F.col("seed2"))
+        .groupBy("seed", "seed2", "n_px", "n2")
+        .agg(
+            F.sum(
+                F.abs(F.col("ct") * F.col("n2") - F.col("ct2") * F.col("n_px"))
+            ).alias("l1_num")
+        )
+    )
+    wnear = Window.partitionBy("seed").orderBy(
+        (F.col("l1_num") / (F.col("n_px") * F.col("n2"))).asc(),
+        F.col("seed2").asc(),
+    )
+    nearest = (
+        pair.withColumn("rn", F.row_number().over(wnear))
+        .where(F.col("rn") == 1)
+        .select(
+            "seed",
+            F.col("seed2").alias("nearest_seed"),
+            (
+                F.floor(
+                    F.col("l1_num")
+                    / (F.col("n_px") * F.col("n2"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("l1_dist"),
+        )
+    )
+    wdom = Window.partitionBy("doc_id").orderBy(
+        F.col("ct").desc(), F.col("bin").asc()
+    )
+    dom = (
+        hist.withColumn("rn", F.row_number().over(wdom))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "seed", "n_px", F.col("bin").alias("dom_bin"))
+    )
+    return dom.join(F.broadcast(nearest), "seed").select(
+        "doc_id", "seed", "n_px", "dom_bin", "nearest_seed", "l1_dist"
+    )
+
+
 QUERIES = {
+    "multimodal_image_histogram": image_histogram_stats,
     "multimodal_caption_pairs": caption_pairs,
+}
+
+# Histogram oracle: replays the pixel FORMULA (seed·7+3x+11y mod 256),
+# never the container bytes — a decoder bug that shifts any pixel breaks
+# the per-doc dominant bin and every cross-multiplied L1 distance. The
+# seed-domain cross joins are 16×16 rows; chained CTEs keep the two
+# range() unnests from zipping.
+_IMG_HIST_ORACLE = """
+    WITH s AS (SELECT DISTINCT (doc_id % 16) AS seed FROM documents),
+    dims AS (
+        SELECT seed, 8 + 4 * (seed % 5) AS w, 8 + 4 * ((seed * 3) % 4) AS h
+        FROM s
+    ),
+    sx AS (SELECT seed, h, unnest(range(w)) AS x FROM dims),
+    sxy AS (
+        SELECT sx.seed, sx.x, sy.y
+        FROM sx JOIN (SELECT seed, unnest(range(h)) AS y FROM dims) sy
+             ON sx.seed = sy.seed
+    ),
+    rawh AS (
+        SELECT seed, ((seed * 7 + 3 * x + 11 * y) % 256) // 16 AS bin,
+               count(*)::BIGINT AS ct
+        FROM sxy GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.seed, (d.w * d.h)::BIGINT AS n_px, b.bin
+        FROM dims d CROSS JOIN (SELECT unnest(range(16)) AS bin) b
+    ),
+    hist AS (
+        SELECT g.seed, g.n_px, g.bin, coalesce(r.ct, 0)::BIGINT AS ct
+        FROM grid g LEFT JOIN rawh r ON r.seed = g.seed AND r.bin = g.bin
+    ),
+    pair AS (
+        SELECT a.seed, b.seed AS seed2, a.n_px AS n1, b.n_px AS n2,
+               sum(abs(a.ct * b.n_px - b.ct * a.n_px))::BIGINT AS l1_num
+        FROM hist a JOIN hist b ON a.bin = b.bin AND a.seed <> b.seed
+        GROUP BY 1, 2, 3, 4
+    ),
+    nearest AS (
+        SELECT seed, seed2 AS nearest_seed,
+               floor(l1_num / ((n1 * n2)::DOUBLE) * 1000000 + 0.5) / 1000000
+                   AS l1_dist
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY seed
+                  ORDER BY l1_num / ((n1 * n2)::DOUBLE), seed2) AS rn
+              FROM pair)
+        WHERE rn = 1
+    ),
+    dom AS (
+        SELECT seed, n_px, bin AS dom_bin
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY seed ORDER BY ct DESC, bin) AS rn
+              FROM hist)
+        WHERE rn = 1
+    )
+    SELECT doc.doc_id, dom.seed::INT AS seed, dom.n_px, dom.dom_bin::INT
+               AS dom_bin,
+           nearest.nearest_seed::INT AS nearest_seed, nearest.l1_dist
+    FROM (SELECT doc_id, (doc_id % 16) AS seed FROM documents) doc
+    JOIN dom ON dom.seed = doc.seed
+    JOIN nearest ON nearest.seed = doc.seed
+"""
+
+QUERIES.update({
     "multimodal_decode": decode_documents,
     "multimodal_wav_decode": wav_decode_documents,
     "multimodal_wav_segments": wav_segment_features,
@@ -1258,9 +1425,10 @@ QUERIES = {
     "multimodal_audio_segments": audio_segments_documents,
     "multimodal_tile_plan": tile_plan_documents,
     "multimodal_shard_layout": shard_layout_documents,
-}
+})
 
 ORACLES = {
+    "multimodal_image_histogram": _IMG_HIST_ORACLE,
     "multimodal_caption_pairs": """
         WITH t AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,

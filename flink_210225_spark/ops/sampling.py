@@ -480,7 +480,75 @@ def importance_resample(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+_NEYMAN_BUDGET = 1000
+
+
+def neyman_allocation(tables: dict[str, DataFrame]) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: split a fixed budget
+    across strata proportionally to N_h·S_h — the allocation that minimizes
+    estimator variance for a fixed total n (survey sampling's classic
+    result; ``sample_stratified_exact`` sizes by count alone, this weights
+    by per-stratum dispersion too). Strata = market segment, value =
+    account balance in integer cents.
+
+    Numerics: the population-variance numerator n·Σx² − (Σx)² is exact
+    decimal(38,0) (cents² clears int64); S_h enters through ONE IEEE-exact
+    sqrt, immediately rounded to an integer weight — after that the
+    allocation is pure integer arithmetic: base_h = ⌊B·w_h/Σw⌋ and the
+    leftover seats go by LARGEST REMAINDER (B·w_h mod Σw, tie-broken on
+    segment name), so Σ alloc == B exactly, both engines, no float
+    boundary.
+
+    Plan: one map-side-combined aggregate to the 5-row stratum grain;
+    windows over that. At 100 TB the fact scan is the whole cost."""
+    cust = tables["customer"]
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_h"),
+        F.sum(dec(cents)).alias("s"),
+        F.sum(dec(cents) * dec(cents)).alias("ss"),
+    )
+    var_num = dec(F.col("n_h")) * F.col("ss") - F.col("s") * F.col("s")
+    w_int = F.floor(F.sqrt(var_num.cast("double")) + F.lit(0.5)).cast("long")
+    sd = F.sqrt(var_num.cast("double")) / F.col("n_h")
+    base = agg.select(
+        "segment",
+        "n_h",
+        (F.floor(sd * 1000000 + F.lit(0.5)) / 1000000).alias("sd"),
+        w_int.alias("w_int"),
+    )
+    wall = Window.partitionBy()
+    b = F.lit(_NEYMAN_BUDGET)
+    tot_w = F.sum("w_int").over(wall)
+    bw = b * F.col("w_int")
+    # ⌊bw/tot⌋ via exact long mod — a double division could round an
+    # exactly-integral quotient to x−ε and floor it one seat short
+    rem = bw % tot_w
+    alloc_base = ((bw - rem) / tot_w).cast("long")
+    staged = base.select(
+        "segment",
+        "n_h",
+        "sd",
+        "w_int",
+        alloc_base.alias("alloc_base"),
+        rem.alias("rem"),
+    ).withColumn("leftover", b - F.sum("alloc_base").over(wall))
+    wrank = Window.partitionBy().orderBy(F.col("rem").desc(), F.col("segment"))
+    return staged.select(
+        "segment",
+        "n_h",
+        "sd",
+        "w_int",
+        (
+            F.col("alloc_base")
+            + (F.row_number().over(wrank) <= F.col("leftover")).cast("long")
+        ).alias("alloc"),
+    )
+
+
 QUERIES = {
+    "sample_neyman_allocation": neyman_allocation,
     "sample_hash_split": hash_split,
     "sample_importance_resample": importance_resample,
     "sample_kfold_assign": kfold_assign,
@@ -524,6 +592,42 @@ def _importance_resample_oracle() -> str:
 
 
 ORACLES = {
+    # Exact HUGEINT variance numerator, one IEEE sqrt → integer weight,
+    # then pure integer floor-div + largest-remainder seats (Σ alloc == B).
+    "sample_neyman_allocation": f"""
+        WITH a AS (
+            SELECT c_mktsegment AS segment, count(*)::BIGINT AS n_h,
+                   sum(floor(c_acctbal * 100 + 0.5)::BIGINT::HUGEINT) AS s,
+                   sum(floor(c_acctbal * 100 + 0.5)::BIGINT::HUGEINT
+                       * floor(c_acctbal * 100 + 0.5)::BIGINT) AS ss
+            FROM customer GROUP BY 1
+        ),
+        w AS (
+            SELECT segment, n_h,
+                   floor(sqrt((n_h::HUGEINT * ss - s * s)::DOUBLE) / n_h
+                         * 1000000 + 0.5) / 1000000 AS sd,
+                   floor(sqrt((n_h::HUGEINT * ss - s * s)::DOUBLE)
+                         + 0.5)::BIGINT AS w_int
+            FROM a
+        ),
+        st AS (
+            SELECT segment, n_h, sd, w_int,
+                   ({_NEYMAN_BUDGET} * w_int)
+                       // (sum(w_int) OVER ())::BIGINT AS alloc_base,
+                   ({_NEYMAN_BUDGET} * w_int)
+                       % (sum(w_int) OVER ())::BIGINT AS rem
+            FROM w
+        ),
+        lf AS (
+            SELECT *, {_NEYMAN_BUDGET} - sum(alloc_base) OVER () AS leftover
+            FROM st
+        )
+        SELECT segment, n_h, sd, w_int,
+               (alloc_base + CASE WHEN row_number() OVER (
+                    ORDER BY rem DESC, segment) <= leftover
+                    THEN 1 ELSE 0 END)::BIGINT AS alloc
+        FROM lf
+    """,
     # Same interpolated thresholds (quantile_cont == percentile), same
     # integer-cents sums, 4dp means.
     "sample_winsorize": """

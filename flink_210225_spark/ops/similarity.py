@@ -1994,7 +1994,94 @@ def rp_audit(tables: dict[str, DataFrame], k: int = 16) -> DataFrame:
     )
 
 
+_MAXSIM_M = 4  # sub-vectors per embedding (64 dims → 4 × 16)
+_MAXSIM_SUB = 16
+_MAXSIM_SHORTLIST = 50
+_MAXSIM_K = 5
+_MAXSIM_NQ = 4
+
+
+def maxsim_rerank(tables: dict[str, DataFrame]) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: retrieve with a cheap
+    single-vector score, then RE-RANK the shortlist with MaxSim — for each
+    query sub-vector, the max dot against any document sub-vector, summed.
+    This is the production shape of multi-vector search (late interaction
+    is quadratic in sub-vectors, so no system runs it against the corpus;
+    PLAID/ColBERTv2 prune with a coarse stage exactly like this). Here
+    each 64-dim embedding is treated as 4×16-dim "token" sub-vectors.
+
+    Everything is INTEGER-exact: vectors quantize to floor(x·1000) once,
+    the coarse score is the full-vector int dot, MaxSim sums int sub-dots
+    — no rounding anywhere, ranks can't flake. Plan: the coarse stage is
+    the whitelisted bounded-broadcast BNLJ (4 query rows against one
+    corpus scan — same contract as ``sim_cosine_topk``); the re-rank runs
+    only on the 50-deep shortlist via nested array folds in codegen, no
+    second corpus pass (sub-vectors are slices of the already-joined
+    arrays)."""
+    emb = tables["embeddings"]
+    quant = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(_MAXSIM_M - 1)),
+        lambda i: F.slice(F.col("xq"), i * _MAXSIM_SUB + 1, _MAXSIM_SUB),
+    )
+    base = emb.select("vec_id", quant.alias("xq")).select(
+        "vec_id", "xq", subs.alias("sv")
+    )
+    q = base.where(F.col("vec_id") < _MAXSIM_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("xq").alias("qv"),
+        F.col("sv").alias("q_subs"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("xq").alias("cv"),
+        F.col("sv").alias("c_subs"),
+    )
+
+    def int_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    coarse = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("coarse_dot", int_dot(F.col("qv"), F.col("cv")))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("coarse_dot"), F.asc("neighbor_id")
+    )
+    short = (
+        coarse.withColumn("srn", F.row_number().over(ws))
+        .where(F.col("srn") <= _MAXSIM_SHORTLIST)
+    )
+    maxsim = F.aggregate(
+        F.transform(
+            "q_subs",
+            lambda qs: F.array_max(
+                F.transform("c_subs", lambda ds: int_dot(qs, ds))
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("maxsim"), F.asc("neighbor_id")
+    )
+    return (
+        short.withColumn("maxsim", maxsim)
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= _MAXSIM_K)
+        .select("query_id", "rank", "neighbor_id", "maxsim", "coarse_dot")
+    )
+
+
 QUERIES = {
+    "sim_maxsim_rerank": maxsim_rerank,
     "sim_cosine_topk": cosine_topk,
     "sim_rp_audit": rp_audit,
     "sim_filtered_topk": filtered_topk,
@@ -2493,3 +2580,58 @@ ORACLES = {
         FROM pv
     """,
 }
+
+
+def _maxsim_oracle_sql() -> str:
+    """Coarse int-dot shortlist + unrolled 4×4 sub-dot MaxSim (greatest per
+    query sub-vector, summed) — pure integers on both engines."""
+    m, sub = _MAXSIM_M, _MAXSIM_SUB
+    dots = []
+    for i in range(m):
+        row = ", ".join(
+            f"list_sum(list_transform(range({sub}), "
+            f"t -> q.qv[{i * sub} + t + 1] * c.cv[{j * sub} + t + 1]))"
+            for j in range(m)
+        )
+        dots.append(f"greatest({row})")
+    maxsim = " + ".join(dots)
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> floor(x::DOUBLE * 1000)::BIGINT) AS xq
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, xq AS qv FROM e
+          WHERE vec_id < {_MAXSIM_NQ}),
+    c AS (SELECT vec_id AS neighbor_id, xq AS cv FROM e),
+    coarse AS (
+        SELECT query_id, neighbor_id,
+               list_sum(list_transform(range(64),
+                   i -> q.qv[i + 1] * c.cv[i + 1]))::BIGINT AS coarse_dot
+        FROM q JOIN c ON query_id <> neighbor_id
+    ),
+    sl AS (
+        SELECT query_id, neighbor_id, coarse_dot
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY coarse_dot DESC, neighbor_id) AS srn
+              FROM coarse)
+        WHERE srn <= {_MAXSIM_SHORTLIST}
+    ),
+    rr AS (
+        SELECT sl.query_id, sl.neighbor_id, sl.coarse_dot,
+               ({maxsim})::BIGINT AS maxsim
+        FROM sl JOIN q ON q.query_id = sl.query_id
+                JOIN c ON c.neighbor_id = sl.neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, maxsim, coarse_dot
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY maxsim DESC, neighbor_id)
+              AS rank
+          FROM rr)
+    WHERE rank <= {_MAXSIM_K}
+"""
+
+
+ORACLES["sim_maxsim_rerank"] = _maxsim_oracle_sql()

@@ -2438,7 +2438,294 @@ def _lr_oracle_sql() -> str:
     """
 
 
+def kneser_ney_bigrams(tables: dict[str, DataFrame]) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the smoothing that
+    actually ships in n-gram LMs (KenLM's default; ``text_stupid_backoff``
+    is the cheap sibling, this is the principled one). The trick: the
+    backoff mass goes to CONTINUATION counts (in how many distinct contexts
+    does w2 appear), not raw frequency. With discount D=3/4 everything is
+    integer-exact by 4-scaling: P = (c12−D)/c1 + (D·N1f(w1)/c1)·(N1b(w2)/T)
+    becomes kn_num/kn_den with kn_num = (4·c12−3)·T + 3·N1f·N1b and
+    kn_den = 4·c1·T — BIGINTs end to end, the probability is one division
+    pinned at 6dp (observed bigrams only, so the max(·,0) clamp never
+    binds).
+
+    Plan: one bigram explode + map-side-combined groupBy off the fact scan;
+    N1f/N1b/c1/T all ride windows over the GROUPED vocab²-bounded result —
+    no second corpus pass."""
+    docs = tables["documents"].select("doc_id", "text")
+    base = docs.select(tokens_col(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    pairs = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.struct(
+                    F.get("toks", i).alias("w1"), F.get("toks", i + 1).alias("w2")
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = F.sum("c12").over(Window.partitionBy("w1"))
+    n1f = F.count("*").over(Window.partitionBy("w1"))
+    n1b = F.count("*").over(Window.partitionBy("w2"))
+    t_types = F.count("*").over(
+        Window.partitionBy()
+    )
+    scored = bi.select(
+        "w1",
+        "w2",
+        "c12",
+        c1.alias("c1"),
+        n1f.alias("n1f"),
+        n1b.alias("n1b"),
+        t_types.alias("n_types"),
+    )
+    num = (4 * F.col("c12") - 3) * F.col("n_types") + 3 * F.col("n1f") * F.col(
+        "n1b"
+    )
+    den = 4 * F.col("c1") * F.col("n_types")
+    return scored.select(
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        "n1f",
+        "n1b",
+        num.alias("kn_num"),
+        den.alias("kn_den"),
+        (F.floor(num * 1000000.0 / den + F.lit(0.5)) / 1000000).alias("p_kn"),
+    )
+
+
+# Fixed retrieval workload for BM25 — literal term lists so per-term scores
+# unroll into FIXED-ORDER sums (a groupBy over exploded terms would add
+# per-term doubles in engine-arbitrary order and flake the hash).
+_BM25_QUERIES: dict[str, tuple[str, ...]] = {
+    "q_join": ("join", "merge"),
+    "q_scan": ("scan", "filter", "column"),
+    "q_vec": ("vector", "hash"),
+}
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 10
+# k1+1 spelled as the literal 2.2 on BOTH engines: Python 1.2+1 is NOT the
+# double the SQL literal 2.2 parses to (the IEEE constant-drift trap).
+_BM25_K1P1 = 2.2
+
+
+def bm25_topk(tables: dict[str, DataFrame]) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed query workload — the lexical
+    ranking baseline every hybrid-search stack keeps next to its ANN index
+    (``text_inverted_index`` builds the index; this is the scorer that
+    reads it). idf = ln(1 + (N−df+½)/(df+½)), tf saturation k1=1.2,
+    length norm b=0.75 with dl/avgdl as the exact ratio dl·N/Σdl.
+
+    Corpus stats (N, Σdl, per-term df — a handful of scalars) come back to
+    the driver from ONE aggregate and re-enter as literals: at 100 TB
+    that's still one row. Scoring is then a zero-shuffle projection over
+    the fact scan; only the rounded top-k ranking exchanges. Ranking sorts
+    by the 6dp-ROUNDED score with doc_id tie-break, so rank order is
+    deterministic on both engines."""
+    docs = tables["documents"].select("doc_id", "text")
+    base = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    terms = sorted({t for q in _BM25_QUERIES.values() for t in q})
+
+    def tf_of(term: str):
+        # factory, NOT a default arg: a two-parameter pyspark lambda is the
+        # (element, index) form and would bind `term` to the array index
+        return F.size(F.filter("toks", lambda x: x == F.lit(term)))
+
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("total"),
+        *[
+            F.sum((tf_of(t) > 0).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).first()
+    n, total = stats["n"], stats["total"]
+    df = {t: stats[f"df_{i}"] for i, t in enumerate(terms)}
+    norm = F.lit(_BM25_K1) * (
+        F.lit(1 - _BM25_B) + F.lit(_BM25_B) * (F.col("dl") * F.lit(n) / F.lit(total))
+    )
+    branches = []
+    for qid, qterms in _BM25_QUERIES.items():
+        score = F.lit(0.0)
+        for t in qterms:  # fixed order: sum unrolls left-to-right
+            tf = tf_of(t)
+            idf = F.log(
+                F.lit(1.0) + (F.lit(n) - F.lit(df[t]) + F.lit(0.5)) / (F.lit(df[t]) + F.lit(0.5))
+            )
+            score = score + F.when(
+                tf > 0, idf * (tf * F.lit(_BM25_K1P1)) / (tf + norm)
+            ).otherwise(F.lit(0.0))
+        branches.append(
+            base.select(
+                F.lit(qid).alias("query_id"),
+                "doc_id",
+                (F.floor(score * 1000000 + F.lit(0.5)) / 1000000).alias("score"),
+            ).where(F.col("score") > 0)
+        )
+    scored = branches[0]
+    for b in branches[1:]:
+        scored = scored.unionByName(b)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def glove_cooc(tables: dict[str, DataFrame]) -> DataFrame:
+    """GloVe-style windowed co-occurrence matrix: symmetric token pairs
+    within a ±4 window, weighted 1/distance — the preprocessing pass that
+    feeds embedding pretraining (GloVe, and the PMI-matrix lineage before
+    it). Weights are 12-scaled so 1/d ∈ {12,6,4,3} stays integer; the
+    matrix entry is an exact BIGINT.
+
+    Plan: pair generation is ONE scan — a nested array transform unrolls
+    the 4 offsets per document in codegen (no positions self-join, no
+    second scan); the only Exchange is the vocab²-bounded pair groupBy.
+    The sequence() guard matters: Spark sequences step DOWNWARD when
+    stop < start, so short docs must yield an empty array, not phantom
+    negative-offset pairs."""
+    docs = tables["documents"].select("text")
+    base = docs.select(tokens_col(F.col("text")).alias("toks"))
+    sz = F.size("toks")
+    pair_arrays = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(4)),
+            lambda d: F.when(
+                sz > d,
+                F.transform(
+                    F.sequence(F.lit(0), sz - 1 - d),
+                    lambda i: F.struct(
+                        F.get("toks", i).alias("a"),
+                        F.get("toks", i + d).alias("b"),
+                        d.alias("d"),
+                    ),
+                ),
+            ).otherwise(F.array()),
+        )
+    )
+    pairs = base.select(F.explode(pair_arrays).alias("p")).select(
+        F.least("p.a", "p.b").alias("t1"),
+        F.greatest("p.a", "p.b").alias("t2"),
+        (F.lit(12) / F.col("p.d")).cast("long").alias("w12"),
+    )
+    return pairs.groupBy("t1", "t2").agg(
+        F.sum("w12").alias("x12"), F.count("*").alias("n_cooc")
+    )
+
+
+def rouge_pairs(tables: dict[str, DataFrame]) -> DataFrame:
+    """ROUGE-1/2 F1 between consecutive same-language documents — the
+    n-gram-overlap metric summarization/dedup evaluation quotes, here as a
+    corpus-scale pairwise scorer (pair = each doc vs the next doc_id in its
+    language; the last doc per language has no partner and drops out).
+    Overlap is the MULTISET intersection Σ_g min(ct_a(g), ct_b(g)); with
+    P = ov/len_a and R = ov/len_b, F1 collapses to 2·ov/(len_a+len_b) —
+    integer-ratio exact, no separate P/R rounding to compound.
+
+    Plan: per-doc gram counts are one map-side-combined groupBy; the pair
+    frame is a lead() window over doc ids per language (calendar of docs,
+    tiny); overlaps join gram counts twice on (doc, gram) — both joins
+    shuffle on the gram-count table's own key, nothing quadratic."""
+    docs = tables["documents"].select("doc_id", "lang", "text")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    pairs = (
+        docs.select("lang", "doc_id", F.lead("doc_id").over(w).alias("b_id"))
+        .where(F.col("b_id").isNotNull())
+        .withColumnRenamed("doc_id", "a_id")
+    )
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    uni = toks.select("doc_id", F.explode("toks").alias("g")).groupBy(
+        "doc_id", "g"
+    ).agg(F.count("*").alias("ct"))
+    bi = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.get("toks", i), F.get("toks", i + 1)
+                    ),
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("ct"))
+    )
+    lens = toks.select(
+        "doc_id",
+        F.size("toks").alias("l1"),
+        F.greatest(F.size("toks") - 1, F.lit(0)).alias("l2"),
+    )
+
+    def overlap(grams: DataFrame, name: str) -> DataFrame:
+        a = grams.select(
+            F.col("doc_id").alias("a_id"), "g", F.col("ct").alias("ca")
+        )
+        b = grams.select(
+            F.col("doc_id").alias("b_id"), "g", F.col("ct").alias("cb")
+        )
+        return (
+            pairs.join(a, "a_id")
+            .join(b, ["b_id", "g"])
+            .groupBy("a_id", "b_id")
+            .agg(F.sum(F.least("ca", "cb")).alias(name))
+        )
+
+    la = lens.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("l1").alias("la1"),
+        F.col("l2").alias("la2"),
+    )
+    lb = lens.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("l1").alias("lb1"),
+        F.col("l2").alias("lb2"),
+    )
+    j = (
+        pairs.join(overlap(uni, "ov1"), ["a_id", "b_id"], "left")
+        .join(overlap(bi, "ov2"), ["a_id", "b_id"], "left")
+        .join(la, "a_id")
+        .join(lb, "b_id")
+        .fillna(0, ["ov1", "ov2"])
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    f1 = F.when(
+        F.col("la1") + F.col("lb1") > 0,
+        r6(2 * F.col("ov1") / (F.col("la1") + F.col("lb1"))),
+    ).otherwise(F.lit(0.0))
+    f2 = F.when(
+        F.col("la2") + F.col("lb2") > 0,
+        r6(2 * F.col("ov2") / (F.col("la2") + F.col("lb2"))),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "lang",
+        "a_id",
+        "b_id",
+        "ov1",
+        "ov2",
+        f1.alias("rouge1_f"),
+        f2.alias("rouge2_f"),
+    )
+
+
 QUERIES = {
+    "text_kneser_ney": kneser_ney_bigrams,
+    "text_bm25_topk": bm25_topk,
+    "text_glove_cooc": glove_cooc,
+    "text_rouge_pairs": rouge_pairs,
     "text_token_stats": token_stats,
     "text_pmi_collocations": pmi_collocations,
     "text_lr_quality_train": lr_quality_train,
@@ -3901,4 +4188,177 @@ ORACLES["text_chunk_dedup_stats"] = f"""
            floor(tokens_unique * 1000000.0 / tokens_total + 0.5) / 1000000
                AS dedup_ratio
     FROM agg
+"""
+
+
+# Kneser-Ney: the same window algebra over the grouped bigram table; DuckDB
+# window sums land in HUGEINT and are cast back so every count is BIGINT on
+# both engines; the 4-scaled integers make the probability division exact.
+ORACLES["text_kneser_ney"] = f"""
+    WITH t AS (SELECT {_DUCK_TOKS} AS toks FROM documents),
+    p AS (
+        SELECT unnest(list_transform(
+                   range(len(toks) - 1),
+                   i -> struct_pack(w1 := toks[i + 1], w2 := toks[i + 2]))) AS pr
+        FROM t WHERE len(toks) >= 2
+    ),
+    bi AS (
+        SELECT pr.w1 AS w1, pr.w2 AS w2, count(*)::BIGINT AS c12
+        FROM p GROUP BY 1, 2
+    ),
+    x AS (
+        SELECT w1, w2, c12,
+               sum(c12) OVER (PARTITION BY w1)::BIGINT AS c1,
+               count(*) OVER (PARTITION BY w1)::BIGINT AS n1f,
+               count(*) OVER (PARTITION BY w2)::BIGINT AS n1b,
+               count(*) OVER ()::BIGINT AS n_types
+        FROM bi
+    )
+    SELECT w1, w2, c12, c1, n1f, n1b,
+           ((4 * c12 - 3) * n_types + 3 * n1f * n1b)::BIGINT AS kn_num,
+           (4 * c1 * n_types)::BIGINT AS kn_den,
+           floor(((4 * c12 - 3) * n_types + 3 * n1f * n1b) * 1000000.0
+                 / (4 * c1 * n_types) + 0.5) / 1000000 AS p_kn
+    FROM x
+"""
+
+
+def _bm25_oracle_sql() -> str:
+    """Recomputes the corpus scalars (N, Σdl, per-term df) in SQL that the
+    Spark side collects to the driver, then unrolls each query's per-term
+    score sum in the SAME left-to-right order."""
+    terms = sorted({t for q in _BM25_QUERIES.values() for t in q})
+    dfs = ",\n               ".join(
+        f"sum(CASE WHEN len(list_filter(toks, x -> x = '{t}')) > 0"
+        f" THEN 1 ELSE 0 END)::BIGINT AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    idx = {t: i for i, t in enumerate(terms)}
+    norm = (
+        "1.2 * (0.25 + 0.75 * ((dl * (SELECT n FROM st))"
+        " / (SELECT total FROM st)))"
+    )
+    branches = []
+    for qid, qterms in _BM25_QUERIES.items():
+        parts = []
+        for t in qterms:
+            i = idx[t]
+            tf = f"len(list_filter(toks, x -> x = '{t}'))"
+            idf = (
+                f"ln(1.0 + ((SELECT n FROM st) - (SELECT df_{i} FROM st) + 0.5)"
+                f" / ((SELECT df_{i} FROM st) + 0.5))"
+            )
+            parts.append(
+                f"(CASE WHEN {tf} > 0 THEN {idf} * ({tf} * 2.2)"
+                f" / ({tf} + {norm}) ELSE 0.0 END)"
+            )
+        score = " + ".join(parts)
+        branches.append(
+            f"SELECT '{qid}' AS query_id, doc_id,"
+            f" floor(({score}) * 1000000 + 0.5) / 1000000 AS score FROM d"
+        )
+    union = "\n        UNION ALL ".join(branches)
+    return f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, {_DUCK_TOKS} AS toks,
+               len({_DUCK_TOKS})::BIGINT AS dl
+        FROM documents
+    ),
+    st AS MATERIALIZED (
+        SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS total,
+               {dfs}
+        FROM d
+    ),
+    scored AS ({union})
+    SELECT query_id, rank, doc_id, score
+    FROM (SELECT query_id, doc_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rank
+          FROM scored WHERE score > 0)
+    WHERE rank <= {_BM25_TOPK}
+"""
+
+
+ORACLES["text_bm25_topk"] = _bm25_oracle_sql()
+
+# GloVe co-occurrence: independent pair generation — a positions self-join
+# (the two unnests ZIP into (tok, pos) rows) instead of Spark's one-scan
+# nested array transform; 12//d keeps the 1/d weights integer.
+ORACLES["text_glove_cooc"] = f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    p AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM t
+    ),
+    pr AS (
+        SELECT least(a.tok, b.tok) AS t1, greatest(a.tok, b.tok) AS t2,
+               (b.pos - a.pos) AS d
+        FROM p a JOIN p b ON a.doc_id = b.doc_id
+                         AND b.pos - a.pos BETWEEN 1 AND 4
+    )
+    SELECT t1, t2, sum(12 // d)::BIGINT AS x12, count(*)::BIGINT AS n_cooc
+    FROM pr GROUP BY 1, 2
+"""
+
+# ROUGE: multiset-overlap joins replayed over the same consecutive-doc
+# pairing; F1 = 2·ov/(la+lb) is one integer-ratio division on both engines.
+ORACLES["text_rouge_pairs"] = f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    pp AS (
+        SELECT * FROM (
+            SELECT lang, doc_id AS a_id,
+                   lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id)
+                       AS b_id
+            FROM t
+        ) WHERE b_id IS NOT NULL
+    ),
+    uni AS (
+        SELECT doc_id, g, count(*)::BIGINT AS ct
+        FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY 1, 2
+    ),
+    big AS (
+        SELECT doc_id, g, count(*)::BIGINT AS ct
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         range(len(toks) - 1),
+                         i -> toks[i + 1] || ' ' || toks[i + 2])) AS g
+              FROM t WHERE len(toks) >= 2)
+        GROUP BY 1, 2
+    ),
+    lens AS (
+        SELECT doc_id, len(toks)::BIGINT AS l1,
+               greatest(len(toks) - 1, 0)::BIGINT AS l2
+        FROM t
+    ),
+    o1 AS (
+        SELECT pp.a_id, pp.b_id, sum(least(a.ct, b.ct))::BIGINT AS ov
+        FROM pp JOIN uni a ON a.doc_id = pp.a_id
+                JOIN uni b ON b.doc_id = pp.b_id AND b.g = a.g
+        GROUP BY 1, 2
+    ),
+    o2 AS (
+        SELECT pp.a_id, pp.b_id, sum(least(a.ct, b.ct))::BIGINT AS ov
+        FROM pp JOIN big a ON a.doc_id = pp.a_id
+                JOIN big b ON b.doc_id = pp.b_id AND b.g = a.g
+        GROUP BY 1, 2
+    )
+    SELECT pp.lang, pp.a_id, pp.b_id,
+           coalesce(o1.ov, 0)::BIGINT AS ov1,
+           coalesce(o2.ov, 0)::BIGINT AS ov2,
+           CASE WHEN la.l1 + lb.l1 > 0
+                THEN floor(2 * coalesce(o1.ov, 0) / (la.l1 + lb.l1)
+                           * 1000000 + 0.5) / 1000000
+                ELSE 0.0 END AS rouge1_f,
+           CASE WHEN la.l2 + lb.l2 > 0
+                THEN floor(2 * coalesce(o2.ov, 0) / (la.l2 + lb.l2)
+                           * 1000000 + 0.5) / 1000000
+                ELSE 0.0 END AS rouge2_f
+    FROM pp
+    LEFT JOIN o1 ON o1.a_id = pp.a_id AND o1.b_id = pp.b_id
+    LEFT JOIN o2 ON o2.a_id = pp.a_id AND o2.b_id = pp.b_id
+    JOIN lens la ON la.doc_id = pp.a_id
+    JOIN lens lb ON lb.doc_id = pp.b_id
 """

@@ -1921,7 +1921,60 @@ def _session_native_oracle() -> str:
     return _SESSION_ORACLES["session_window_native"]
 
 
+def topk_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
+    """ELEVENTH driver-checkable end-to-end streaming query — STREAMING
+    TOP-K / heavy hitters: per (day, event type), the top-3 users by event
+    count. Structured Streaming cannot rank inside an append stream (no
+    window functions over unbounded input), so this materializes the
+    production "speed + serving" split: the stream finalizes per-(day,
+    type, user) counts under the watermark (keyed agg state across
+    micro-batches, flushed by the sentinel protocol), the file sink
+    commits them exactly-once, and the top-N is a rank over the FINALIZED
+    sink — the same lambda-architecture seam the reference's
+    publisher-over-ClickHouse dashboards use (SURVEY §2.10: DWS streams
+    aggregate, the serving layer sorts/limits).
+
+    Deterministic rank: count desc, user_id asc — pure integers, no
+    rounding anywhere. Oracle = the batch daily-count + row_number SQL:
+    stream == batch, hash-gated. State is (days×types×users)-keyed counts
+    — bounded by the watermark horizon, the textbook streaming-top-k
+    state budget."""
+    spark, stream, out, cp = _staged_sentinel_stream(
+        tables["events"], "topk_stream"
+    )
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 day"), "event_type", "user_id")
+        .agg(F.count("*").alias("ct"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "user_id",
+            F.col("ct").cast("long").alias("ct"),
+        )
+    )
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    fin = spark.read.parquet(out).filter(F.col("event_type") != "__sentinel__")
+    w = Window.partitionBy("day", "event_type").orderBy(
+        F.desc("ct"), F.asc("user_id")
+    )
+    return (
+        fin.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("day", "event_type", "user_id", "ct", "rank")
+    )
+
+
 QUERIES = {
+    "stream_topk_materialized": topk_stream_materialized,
     "stream_curation_materialized": curation_stream_materialized,
     "stream_upsert_materialized": upsert_stream_materialized,
     "stream_dedup_materialized": dedup_stream_materialized,
@@ -1970,6 +2023,21 @@ def _funnel_oracle() -> str:
 
 
 ORACLES = {
+    # stream == batch: the watermark-flushed daily keyed counts must equal
+    # a plain batch rollup; the rank is the deterministic serving layer.
+    "stream_topk_materialized": """
+        WITH d AS (
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type, user_id, count(*)::BIGINT AS ct
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT day, event_type, user_id, ct, rank
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY day, event_type
+                  ORDER BY ct DESC, user_id) AS rank
+              FROM d)
+        WHERE rank <= 3
+    """,
     "stream_upsert_materialized": """
         WITH c AS (
             SELECT o_custkey AS custkey,

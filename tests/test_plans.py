@@ -148,6 +148,10 @@ CARTESIAN_OK = {
     # same bounded 20-anchor broadcast BNLJ (hard-negative mining needs the
     # exact cosine against the whole corpus per anchor)
     "sim_contrastive_pairs",
+    # 4-query bounded broadcast BNLJ as the COARSE stage only; the MaxSim
+    # re-rank runs on the 50-deep shortlist (the retrieve-then-rerank
+    # production shape — late interaction never touches the corpus)
+    "sim_maxsim_rerank",
     # composes the blocked GEMM below as its exact side — same block grid
     "sim_semantic_audit",
     "dedup_embedding_cosine",

