@@ -754,7 +754,115 @@ def revenue_concentration(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def chi2_independence(tables: dict[str, DataFrame]) -> DataFrame:
+    """Chi-square test of independence between event type and ISO weekday —
+    the does-behavior-depend-on-day-of-week contingency test product
+    analytics runs before trusting a weekday-agnostic model. Per cell:
+    contribution = (o·T − r·c)² / (T·r·c) with observed o, row/col totals
+    r, c and grand total T — the numerator is decimal(38,0) (o·T clears
+    int64 at large row counts). Each cell contribution crosses to double
+    ONCE, is pinned to integer micros, and the statistic is the exact
+    INTEGER sum of micros — no order-dependent float summation across the
+    35 cells. Rejection at α=0.05 compares integer micros against the
+    df=24 critical value 36.415 (the fixture grid is always 5×7; the df
+    guard keeps the literal honest if the domain ever changes).
+
+    Plan: one (type, weekday) partial agg off the fact scan; marginals
+    ride windows over the 35-row contingency table."""
+    ev = tables["events"]
+    obs = ev.groupBy(
+        "event_type", (F.weekday("ts") + 1).alias("isodow")
+    ).agg(F.count("*").alias("o"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("isodow")
+    wall = Window.partitionBy()
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cells = obs.select(
+        "event_type",
+        "isodow",
+        "o",
+        F.sum("o").over(wr).alias("r"),
+        F.sum("o").over(wc).alias("c"),
+        F.sum("o").over(wall).alias("t"),
+    )
+    num = dec(F.col("o")) * dec(F.col("t")) - dec(F.col("r")) * dec(F.col("c"))
+    contrib = (num * num).cast("double") / (
+        dec(F.col("t")) * dec(F.col("r")) * dec(F.col("c"))
+    ).cast("double")
+    micro = F.floor(contrib * 1000000 + F.lit(0.5)).cast("long")
+    agg = cells.select(
+        "event_type", "isodow", micro.alias("micro")
+    ).agg(
+        F.countDistinct("event_type").alias("n_rows"),
+        F.countDistinct("isodow").alias("n_cols"),
+        F.sum("micro").alias("chi2_micro"),
+    )
+    df_ = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    return agg.select(
+        "n_rows",
+        "n_cols",
+        df_.alias("df"),
+        (F.col("chi2_micro") / 1000000.0).alias("chi2"),
+        ((df_ == 24) & (F.col("chi2_micro") > 36415000)).alias("reject"),
+    )
+
+
+def cohort_ltv(tables: dict[str, DataFrame]) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    month, revenue accumulated by months-since-first-order — the LTV
+    table subscription/e-commerce finance reads per board deck (row =
+    acquisition cohort, column = age, cell = cumulative revenue per
+    cohort member). Month index is y·12+m integer arithmetic on both
+    engines; revenue is floor-cents; the only division is the final
+    per-customer cumulative, 6dp-pinned.
+
+    Plan: one custkey-grain agg finds cohorts (min month index), one
+    broadcast-friendly join stamps each order with its cohort, one
+    (cohort, age) agg + a cumulative window over the ~80×80
+    calendar-bounded triangle. Fact scans: two (cohort pass + revenue
+    pass); the triangle itself is SF-invariant."""
+    orders = tables["orders"]
+    midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+        "midx"
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = orders.select("o_custkey", midx, cents.alias("cents"))
+    cohorts = base.groupBy("o_custkey").agg(F.min("midx").alias("cidx"))
+    sizes = cohorts.groupBy("cidx").agg(F.count("*").alias("n_customers"))
+    stamped = base.join(cohorts, "o_custkey").groupBy(
+        "cidx", (F.col("midx") - F.col("cidx")).alias("age")
+    ).agg(F.sum("cents").alias("rev_cents"))
+    wcum = (
+        Window.partitionBy("cidx")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tri = stamped.withColumn("cum_cents", F.sum("rev_cents").over(wcum)).join(
+        F.broadcast(sizes), "cidx"
+    )
+    cohort_str = F.concat_ws(
+        "-",
+        F.floor(F.col("cidx") / 12).cast("int"),
+        F.lpad((F.col("cidx") % 12 + 1).cast("string"), 2, "0"),
+    )
+    return tri.select(
+        cohort_str.alias("cohort"),
+        "age",
+        "n_customers",
+        "rev_cents",
+        "cum_cents",
+        (
+            F.floor(
+                F.col("cum_cents") / F.col("n_customers") * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("cum_per_cust"),
+    )
+
+
 QUERIES = {
+    "serving_chi2_independence": chi2_independence,
+    "serving_cohort_ltv": cohort_ltv,
     "serving_gini": revenue_concentration,
     "serving_gmv": gmv,
     "serving_trademark_topn": trademark_topn,
@@ -777,6 +885,73 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Cell contributions cross to double once each, pinned to integer
+    # micros; the statistic is the exact integer micro sum on both engines.
+    "serving_chi2_independence": """
+        WITH obs AS (
+            SELECT event_type, isodow(ts) AS isodow, count(*)::BIGINT AS o
+            FROM events GROUP BY 1, 2
+        ),
+        cells AS (
+            SELECT event_type, isodow, o,
+                   sum(o) OVER (PARTITION BY event_type) AS r,
+                   sum(o) OVER (PARTITION BY isodow) AS c,
+                   sum(o) OVER () AS t
+            FROM obs
+        ),
+        mic AS (
+            SELECT floor(((o * t - r * c) * (o * t - r * c))::DOUBLE
+                         / ((t * r * c))::DOUBLE * 1000000 + 0.5)::BIGINT
+                       AS micro
+            FROM cells
+        ),
+        agg AS (
+            SELECT (SELECT count(DISTINCT event_type) FROM obs)::BIGINT
+                       AS n_rows,
+                   (SELECT count(DISTINCT isodow) FROM obs)::BIGINT AS n_cols,
+                   sum(micro)::BIGINT AS chi2_micro
+            FROM mic
+        )
+        SELECT n_rows, n_cols,
+               ((n_rows - 1) * (n_cols - 1))::BIGINT AS df,
+               chi2_micro / 1000000.0 AS chi2,
+               ((n_rows - 1) * (n_cols - 1) = 24
+                AND chi2_micro > 36415000) AS reject
+        FROM agg
+    """,
+    # Same y·12+m month index, floor-cents revenue, windowed cumulative;
+    # the only division is the final per-customer pin.
+    "serving_cohort_ltv": """
+        WITH base AS (
+            SELECT o_custkey,
+                   (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT
+                       AS midx,
+                   floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+            FROM orders
+        ),
+        coh AS (SELECT o_custkey, min(midx) AS cidx FROM base GROUP BY 1),
+        sz AS (SELECT cidx, count(*)::BIGINT AS n_customers FROM coh
+               GROUP BY 1),
+        tri AS (
+            SELECT c.cidx, (b.midx - c.cidx)::BIGINT AS age,
+                   sum(b.cents)::BIGINT AS rev_cents
+            FROM base b JOIN coh c USING (o_custkey)
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT cidx, age, rev_cents,
+                   sum(rev_cents) OVER (PARTITION BY cidx ORDER BY age
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       )::BIGINT AS cum_cents
+            FROM tri
+        )
+        SELECT (cidx // 12)::VARCHAR || '-'
+                   || lpad(((cidx % 12) + 1)::VARCHAR, 2, '0') AS cohort,
+               age, n_customers, rev_cents, cum_cents,
+               floor(cum_cents / n_customers * 1000000 + 0.5) / 1000000
+                   AS cum_per_cust
+        FROM cum JOIN sz USING (cidx)
+    """,
     # Rank algebra replayed over the same ascending (revenue, brand) order;
     # HUGEINT carries what decimal(38,0) carries on the Spark side, each
     # ratio is one double division of exact integers on both engines.

@@ -752,7 +752,45 @@ def clustering_depth(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def partition_skew_report(tables: dict[str, DataFrame]) -> DataFrame:
+    """Partition/file-size skew report over the shared ``_file_inventory``
+    manifest — the health check that catches the hot partition before it
+    melts a reducer (the write-side twin of AQE's runtime skew split):
+    per order-month partition, file count, total bytes, the max/median
+    file-size ratio, the largest file's share, and a file-size Gini
+    (``serving_gini``'s rank form reused on bytes). Medians interpolate
+    identically on both engines; every other number is an integer ratio
+    pinned at 6dp.
+
+    Plan: manifest-sized all the way — one partial agg builds the
+    inventory, windows and one rollup run over (months × 16) rows."""
+    files = _file_inventory(tables["orders"])
+    wr = Window.partitionBy("part_month").orderBy("file_bytes", "bucket")
+    ranked = files.withColumn("i", F.row_number().over(wr))
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    agg = ranked.groupBy("part_month").agg(
+        F.count("*").alias("n_files"),
+        F.sum("file_bytes").alias("total_bytes"),
+        F.max("file_bytes").alias("max_bytes"),
+        F.percentile("file_bytes", F.lit(0.5)).alias("med_bytes"),
+        F.sum((2 * F.col("i") - 1) * F.col("file_bytes")).alias("g_raw"),
+    )
+    n = F.col("n_files")
+    gini = (F.col("g_raw") - n * F.col("total_bytes")) / (
+        n * F.col("total_bytes")
+    )
+    return agg.select(
+        "part_month",
+        "n_files",
+        "total_bytes",
+        r6(F.col("max_bytes") / F.col("med_bytes")).alias("max_over_median"),
+        r6(F.col("max_bytes") / F.col("total_bytes")).alias("top_share"),
+        r6(gini).alias("gini_bytes"),
+    )
+
+
 QUERIES = {
+    "warehouse_partition_skew": partition_skew_report,
     "warehouse_bloom_index": bloom_index_probe,
     "warehouse_clustering_depth": clustering_depth,
     "warehouse_deletion_vectors": deletion_vector_report,
@@ -768,6 +806,40 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same inventory (120·rows bytes), same ascending (bytes, bucket) rank
+    # Gini, quantile_cont == percentile for the median.
+    "warehouse_partition_skew": """
+        WITH f AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS part_month,
+                   o_orderkey % 16 AS bucket,
+                   (count(*) * 120)::BIGINT AS file_bytes
+            FROM orders GROUP BY 1, 2
+        ),
+        rk AS (
+            SELECT part_month, file_bytes,
+                   row_number() OVER (PARTITION BY part_month
+                                      ORDER BY file_bytes, bucket) AS i
+            FROM f
+        ),
+        a AS (
+            SELECT part_month, count(*)::BIGINT AS n_files,
+                   sum(file_bytes)::BIGINT AS total_bytes,
+                   max(file_bytes)::BIGINT AS max_bytes,
+                   quantile_cont(file_bytes, 0.5) AS med_bytes,
+                   sum((2 * i - 1) * file_bytes)::BIGINT AS g_raw
+            FROM rk GROUP BY 1
+        )
+        SELECT part_month, n_files, total_bytes,
+               floor(max_bytes / med_bytes * 1000000 + 0.5) / 1000000
+                   AS max_over_median,
+               floor(max_bytes / total_bytes * 1000000 + 0.5) / 1000000
+                   AS top_share,
+               floor((g_raw - n_files * total_bytes)
+                     / ((n_files * total_bytes))::DOUBLE * 1000000 + 0.5)
+                   / 1000000 AS gini_bytes
+        FROM a
+    """,
     # Membership replayed as a position-set join (the bloom oracle pattern):
     # every inserted key's k probe positions per month vs every probe key's
     # k positions; count(*) = k over the join IS the all-bits-set test.

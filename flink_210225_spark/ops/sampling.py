@@ -547,7 +547,56 @@ def neyman_allocation(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+_PPS_N = 100
+
+
+def pps_systematic(tables: dict[str, DataFrame]) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: n=100 draws
+    over parts weighted by retail price — the weighted-sampling workhorse
+    of audit sampling (monetary-unit sampling) and weighted data mixing
+    (items can be drawn multiple times; E[picks_i] = n·w_i/W exactly).
+    Thresholds t_j = (j+½)·W/n walk the cumulative-weight axis once;
+    item i's pick count telescopes to g(cum_i) − g(cum_{i−1}) with
+    g(x) = ⌊(2n·x + W − 1) / (2W)⌋ — PURE INTEGER arithmetic end to end
+    (the half-offset is absorbed into the ceiling), so Σ picks == n by
+    telescoping, no float boundary anywhere.
+
+    Plan: one cumulative window over the part table in p_partkey order.
+    The running sum is the inherently sequential part of systematic
+    sampling; at 100 TB, range-partition by key, take per-partition
+    weight totals (one tiny pass), and seed each partition's cursor with
+    the prefix sum — the classic two-phase scan split."""
+    part = tables["part"]
+    w = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+    wc = (
+        Window.partitionBy()
+        .orderBy("p_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    cum = part.select("p_partkey", w.alias("w")).select(
+        "p_partkey",
+        "w",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wall).alias("tot"),
+    )
+    n = F.lit(_PPS_N)
+
+    def g(x):
+        num = 2 * n * x + F.col("tot") - 1
+        return ((num - num % (2 * F.col("tot"))) / (2 * F.col("tot"))).cast(
+            "long"
+        )
+
+    picks = g(F.col("cum")) - g(F.col("cum") - F.col("w"))
+    return (
+        cum.select("p_partkey", "w", "cum", picks.alias("n_picks"))
+        .where(F.col("n_picks") > 0)
+    )
+
+
 QUERIES = {
+    "sample_pps_systematic": pps_systematic,
     "sample_neyman_allocation": neyman_allocation,
     "sample_hash_split": hash_split,
     "sample_importance_resample": importance_resample,
@@ -592,6 +641,28 @@ def _importance_resample_oracle() -> str:
 
 
 ORACLES = {
+    # Same integer threshold-count telescope g(cum) − g(cum − w) with
+    # g(x) = (2n·x + W − 1) // (2W) — picks sum to n by construction.
+    "sample_pps_systematic": f"""
+        WITH c AS (
+            SELECT p_partkey,
+                   floor(p_retailprice * 100 + 0.5)::BIGINT AS w,
+                   sum(floor(p_retailprice * 100 + 0.5)::BIGINT)
+                       OVER (ORDER BY p_partkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)::BIGINT AS cum,
+                   sum(floor(p_retailprice * 100 + 0.5)::BIGINT)
+                       OVER ()::BIGINT AS tot
+            FROM part
+        )
+        SELECT p_partkey, w, cum,
+               ((2 * {_PPS_N} * cum + tot - 1) // (2 * tot)
+                - (2 * {_PPS_N} * (cum - w) + tot - 1) // (2 * tot))::BIGINT
+                   AS n_picks
+        FROM c
+        WHERE (2 * {_PPS_N} * cum + tot - 1) // (2 * tot)
+              - (2 * {_PPS_N} * (cum - w) + tot - 1) // (2 * tot) > 0
+    """,
     # Exact HUGEINT variance numerator, one IEEE sqrt → integer weight,
     # then pure integer floor-div + largest-remainder seats (Σ alloc == B).
     "sample_neyman_allocation": f"""

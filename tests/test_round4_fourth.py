@@ -220,3 +220,73 @@ def test_glove_offset_unroll_model(toks):
             k = (min(toks[i], toks[j]), max(toks[i], toks[j]))
             brute[k] = brute.get(k, 0) + 12 // (j - i)
     assert unrolled == brute
+
+
+# --- PPS systematic: threshold-count telescope == direct threshold walk ---
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(1, 50), min_size=1, max_size=30), st.integers(1, 40))
+def test_pps_telescope_model(ws, n):
+    """g(cum_i) − g(cum_{i−1}) with g(x) = (2n·x + W − 1)//(2W) counts
+    exactly the thresholds t_j = (j+½)·W/n landing in (cum_{i−1}, cum_i],
+    picks sum to n, and E[picks] tracks n·w/W within 1 (systematic PPS's
+    rounding bound)."""
+    tot = sum(ws)
+    cums = []
+    c = 0
+    for w in ws:
+        c += w
+        cums.append(c)
+
+    def g(x):
+        return (2 * n * x + tot - 1) // (2 * tot)
+
+    picks = [g(cums[i]) - g(cums[i] - ws[i]) for i in range(len(ws))]
+    assert sum(picks) == n
+    # direct walk: threshold j falls in item i iff cum_{i-1} <= t_j < cum_i
+    direct = [0] * len(ws)
+    for j in range(n):
+        # t_j = (j + 0.5)·tot/n — compare via 2n·cum vs (2j+1)·tot
+        for i in range(len(ws)):
+            lo = cums[i] - ws[i]
+            if 2 * n * lo <= (2 * j + 1) * tot < 2 * n * cums[i]:
+                direct[i] += 1
+                break
+    assert picks == direct
+    for i, w in enumerate(ws):
+        assert abs(picks[i] - n * w / tot) <= 1.0 + 1e-9
+
+
+# --- chi2: integer micro sum tracks the float statistic ---
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(1, 200), min_size=3, max_size=5),
+        min_size=3,
+        max_size=5,
+    )
+)
+def test_chi2_micro_sum_model(grid):
+    """Σ floor(contrib·10⁶ + ½) differs from the float chi² by at most
+    half a micro per cell (the shipped integer form is a faithful fixed-
+    point encoding), and the per-cell algebra (o·T − r·c)²/(T·r·c) equals
+    (o−e)²/e with e = r·c/T."""
+    cols = min(len(r) for r in grid)
+    grid = [r[:cols] for r in grid]  # rectangularize the generated lists
+    rs = [sum(r) for r in grid]
+    cs = [sum(grid[i][j] for i in range(len(grid))) for j in range(cols)]
+    t = sum(rs)
+    micro = 0
+    chi2 = 0.0
+    for i, row in enumerate(grid):
+        for j, o in enumerate(row):
+            e = rs[i] * cs[j] / t
+            term = (o - e) ** 2 / e
+            alg = (o * t - rs[i] * cs[j]) ** 2 / (t * rs[i] * cs[j])
+            assert abs(term - alg) < 1e-9 * max(1.0, term)
+            chi2 += term
+            micro += math.floor(alg * 1_000_000 + 0.5)
+    assert abs(micro / 1_000_000 - chi2) <= len(grid) * cols * 5e-7 + 1e-9
