@@ -450,7 +450,84 @@ def stickiness_weekly(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def survival_km(tables: dict[str, DataFrame]) -> DataFrame:
+    """Kaplan-Meier survival of user lifetime per event type — the
+    censoring-aware churn curve (users still active near the corpus end
+    are CENSORED, not churned; naive retention curves get exactly this
+    wrong). Lifetime = whole days between a user's first and last event;
+    a user whose last event is within 2 days of the corpus max is
+    censored. Per lifetime day d: n_risk = users surviving ≥ d, n_events
+    = churns at d, and S(d) folds Π(1 − dᵢ/nᵢ) with the product PINNED to
+    6dp after every step — the ``window_ema``/Holt-Winters recurrence
+    discipline, so the float product is bit-identical cross-engine.
+
+    Independent-algorithm gate: Spark computes risk sets with windows and
+    folds the product in an Arrow kernel per type (the day table is
+    calendar-bounded — ~30 rows — the canonical applyInPandas shape);
+    the oracle walks the literal KM recurrence one day at a time in a
+    recursive CTE."""
+    ev = tables["events"]
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.min("ts").alias("f"), F.max("ts").alias("l")
+    )
+    wall = Window.partitionBy()
+    gmax = F.max("l").over(wall)
+    diff = F.timestamp_diff("MICROSECOND", F.col("f"), F.col("l"))
+    day_us = F.lit(86_400_000_000)
+    dur = ((diff - diff % day_us) / day_us).cast("long")
+    churned = (
+        F.timestamp_diff("MICROSECOND", F.col("l"), gmax) >= 2 * day_us
+    ).cast("int")
+    du = per_user.select(
+        "event_type", dur.alias("dur_days"), churned.alias("ev")
+    )
+    day = du.groupBy("event_type", "dur_days").agg(
+        F.sum("ev").alias("n_events"),
+        F.sum(1 - F.col("ev")).alias("n_censored"),
+        F.count("*").alias("cnt"),
+    )
+    wt = Window.partitionBy("event_type")
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("dur_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = day.select(
+        "event_type",
+        "dur_days",
+        "n_events",
+        "n_censored",
+        (
+            F.sum("cnt").over(wt)
+            - F.coalesce(F.sum("cnt").over(wprev), F.lit(0))
+        ).alias("n_risk"),
+    )
+
+    import math
+
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dur_days").reset_index(drop=True)
+        s = 1.0
+        surv = []
+        for d_i, n_i in zip(pdf["n_events"], pdf["n_risk"]):
+            s = math.floor(s * (1 - int(d_i) / int(n_i)) * 1000000 + 0.5) / 1000000
+            surv.append(s)
+        pdf["survival"] = surv
+        return pdf[
+            ["event_type", "dur_days", "n_risk", "n_events", "n_censored", "survival"]
+        ]
+
+    return risk.groupBy("event_type").applyInPandas(
+        fold,
+        "event_type string, dur_days long, n_risk long, n_events long,"
+        " n_censored long, survival double",
+    )
+
+
 QUERIES = {
+    "session_survival_km": survival_km,
     "session_stickiness": stickiness_weekly,
     "session_gaps_islands": sessionize,
     "session_path_topk": path_trigrams_topk,
@@ -465,6 +542,53 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Literal KM recurrence walked one lifetime-day at a time, product
+    # pinned to 6dp each step (matches the Arrow fold bit-for-bit).
+    "session_survival_km": """
+        WITH RECURSIVE pu AS (
+            SELECT event_type, user_id, min(ts) AS f, max(ts) AS l
+            FROM events GROUP BY 1, 2
+        ),
+        du AS (
+            SELECT event_type,
+                   (epoch_us(l) - epoch_us(f)) // 86400000000 AS dur_days,
+                   CASE WHEN (SELECT max(epoch_us(ts)) FROM events)
+                             - epoch_us(l) >= 2 * 86400000000
+                        THEN 1 ELSE 0 END AS ev
+            FROM pu
+        ),
+        day AS (
+            SELECT event_type, dur_days, sum(ev)::BIGINT AS n_events,
+                   sum(1 - ev)::BIGINT AS n_censored, count(*)::BIGINT AS cnt
+            FROM du GROUP BY 1, 2
+        ),
+        rk AS (
+            SELECT event_type, dur_days, n_events, n_censored,
+                   (sum(cnt) OVER (PARTITION BY event_type)
+                    - coalesce(sum(cnt) OVER (
+                          PARTITION BY event_type ORDER BY dur_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0))::BIGINT AS n_risk,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY dur_days) AS rn
+            FROM day
+        ),
+        walk AS (
+            SELECT event_type, dur_days, n_events, n_censored, n_risk, rn,
+                   floor(1.0 * (1 - n_events / (n_risk::DOUBLE))
+                         * 1000000 + 0.5) / 1000000 AS survival
+            FROM rk WHERE rn = 1
+            UNION ALL
+            SELECT r.event_type, r.dur_days, r.n_events, r.n_censored,
+                   r.n_risk, r.rn,
+                   floor(w.survival * (1 - r.n_events / (r.n_risk::DOUBLE))
+                         * 1000000 + 0.5) / 1000000
+            FROM walk w JOIN rk r ON r.event_type = w.event_type
+                                 AND r.rn = w.rn + 1
+        )
+        SELECT event_type, dur_days, n_risk, n_events, n_censored, survival
+        FROM walk
+    """,
     # Exact distinct counts on both engines; date_trunc('week') is
     # Monday-start on both; one integer-ratio division, 6dp pin.
     "session_stickiness": """

@@ -1096,7 +1096,111 @@ def ks_two_sample(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def classical_decompose(tables: dict[str, DataFrame]) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily series per
+    event type: trend = centered 7-day moving average, seasonal = per-ISO-
+    weekday mean of the detrended series, residual = the rest — the
+    model-free decomposition (STL's ancestor) every observability stack
+    plots before fitting anything (``window_holt_winters`` is the
+    model-FITTING sibling; this one has zero parameters). Detrending
+    stays integer by 7-scaling (det7 = 7·x − Σ₇ — no division until the
+    weekday mean), each emitted component is 6dp-pinned, and the residual
+    subtracts the PINNED components so float drift can't compound.
+    Edge days (incomplete 7-day window) carry NULL trend/residual — the
+    honest contract, not a padded fake.
+
+    Plan: one daily partial agg off the fact scan; one ±3-row window;
+    one weekday-grain rollup broadcast back. Calendar-bounded after the
+    first Exchange."""
+    ev = tables["events"]
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        (F.weekday("ts") + 1).alias("isodow"),
+    ).agg(F.count("*").alias("pv"))
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    full = F.count("*").over(w7) == 7
+    sum7 = F.sum("pv").over(w7)
+    t = daily.select(
+        "event_type",
+        "day",
+        "isodow",
+        "pv",
+        F.when(full, r6(sum7 / 7.0)).alias("trend"),
+        F.when(full, 7 * F.col("pv") - sum7).alias("det7"),
+    )
+    si = (
+        t.where(F.col("det7").isNotNull())
+        .groupBy("event_type", "isodow")
+        .agg(
+            r6(
+                F.sum("det7") / (7 * F.count("det7")).cast("double")
+            ).alias("seasonal")
+        )
+    )
+    joined = t.join(F.broadcast(si), ["event_type", "isodow"], "left")
+    resid = F.when(
+        F.col("trend").isNotNull() & F.col("seasonal").isNotNull(),
+        r6(F.col("pv") - F.col("trend") - F.col("seasonal")),
+    )
+    return joined.select(
+        "event_type", "day", "isodow", "pv", "trend", "seasonal",
+        resid.alias("resid"),
+    )
+
+
+def forecast_backtest(tables: dict[str, DataFrame]) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecaster (ŷ_d =
+    y_{d−7}) over the last 14 days per event type — the baseline every
+    forecasting deployment must beat, and the eval harness shape (hold
+    out a horizon, score per series) regardless of the model. Errors are
+    exact integers; the summary emits MAE, WAPE (Σ|err|/Σactual — the
+    scale-free aggregate that, unlike MAPE, is one integer-ratio division
+    instead of an order-dependent float sum of per-day ratios) and mean
+    bias, each 6dp-pinned.
+
+    Plan: one daily partial agg, one lag window, one per-type rollup."""
+    ev = tables["events"]
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    ).agg(F.count("*").alias("pv"))
+    wd = Window.partitionBy("event_type").orderBy("day")
+    wn = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        "pv",
+        F.lag("pv", 7).over(wd).alias("fc"),
+        F.row_number().over(wd).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    ).where(F.col("fc").isNotNull() & (F.col("rn") > F.col("n") - 14))
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    agg = scored.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.abs(F.col("pv") - F.col("fc"))).alias("abs_err"),
+        F.sum(F.col("fc") - F.col("pv")).alias("sgn_err"),
+        F.sum("pv").alias("actual"),
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        r6(F.col("abs_err") / F.col("n_days")).alias("mae"),
+        r6(F.col("abs_err") / F.col("actual")).alias("wape"),
+        r6(F.col("sgn_err") / F.col("n_days")).alias("bias"),
+    )
+
+
 QUERIES = {
+    "window_decompose": classical_decompose,
+    "window_backtest": forecast_backtest,
     "window_mann_kendall": mann_kendall_trend,
     "window_theil_sen": theil_sen_slope,
     "window_ks_test": ks_two_sample,
@@ -1125,6 +1229,80 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same 7-scaled detrending (integer until the weekday mean), pinned
+    # components, residual against the pinned values.
+    "window_decompose": """
+        WITH daily AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   isodow(ts) AS isodow, count(*)::BIGINT AS pv
+            FROM events GROUP BY 1, 2, 3
+        ),
+        s7 AS (
+            SELECT *,
+                   sum(pv) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+                   count(*) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+            FROM daily
+        ),
+        t AS (
+            SELECT event_type, day, isodow, pv,
+                   CASE WHEN c7 = 7
+                        THEN floor(sum7 / 7.0 * 1000000 + 0.5) / 1000000
+                        END AS trend,
+                   CASE WHEN c7 = 7 THEN 7 * pv - sum7 END AS det7
+            FROM s7
+        ),
+        si AS (
+            SELECT event_type, isodow,
+                   floor(sum(det7) / ((7 * count(det7))::DOUBLE)
+                         * 1000000 + 0.5) / 1000000 AS seasonal
+            FROM t WHERE det7 IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT t.event_type, t.day, t.isodow, t.pv, t.trend, si.seasonal,
+               CASE WHEN t.trend IS NOT NULL AND si.seasonal IS NOT NULL
+                    THEN floor((t.pv - t.trend - si.seasonal)
+                               * 1000000 + 0.5) / 1000000
+                    END AS resid
+        FROM t LEFT JOIN si ON t.event_type = si.event_type
+                           AND t.isodow = si.isodow
+    """,
+    # Exact integer errors; WAPE = Σ|err|/Σactual is one division (MAPE's
+    # per-day ratio sum would be order-dependent float addition).
+    "window_backtest": """
+        WITH daily AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*)::BIGINT AS pv
+            FROM events GROUP BY 1, 2
+        ),
+        sc AS (
+            SELECT event_type, day, pv,
+                   lag(pv, 7) OVER (PARTITION BY event_type ORDER BY day)
+                       AS fc,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day)
+                       AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM daily
+        ),
+        e AS (
+            SELECT event_type, count(*)::BIGINT AS n_days,
+                   sum(abs(pv - fc))::BIGINT AS abs_err,
+                   sum(fc - pv)::BIGINT AS sgn_err,
+                   sum(pv)::BIGINT AS actual
+            FROM sc WHERE fc IS NOT NULL AND rn > n - 14
+            GROUP BY 1
+        )
+        SELECT event_type, n_days,
+               floor(abs_err / (n_days::DOUBLE) * 1000000 + 0.5) / 1000000
+                   AS mae,
+               floor(abs_err / (actual::DOUBLE) * 1000000 + 0.5) / 1000000
+                   AS wape,
+               floor(sgn_err / (n_days::DOUBLE) * 1000000 + 0.5) / 1000000
+                   AS bias
+        FROM e
+    """,
     # Pair sums and the tie-corrected variance numerator are exact integers;
     # z replays the same continuity-corrected expression; the trend call is
     # the integer comparison (S∓1)²·180000 > 38416·var_num on both engines.

@@ -120,9 +120,56 @@ def csv_dirty_counts(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def fixed_width_counts(tables: dict[str, DataFrame]) -> DataFrame:
+    """Fixed-width (mainframe/COBOL copybook) source with a short-record
+    gate — the third ubiquitous dirty-feed format after JSONL and CSV.
+    Orders serialize to 46-byte records (orderkey 12, custkey 10, status
+    2, cents 14, yyyyMMdd 8 — lpad/rpad column layout); every
+    ``o_orderkey % 11 == 0`` record is truncated mid-field (the classic
+    torn-write/partial-flush failure). Fixed-width has no delimiter to
+    resynchronize on, so the ONLY reject rule is the record-length
+    contract itself: length != 46 → corrupt side output; fields of
+    surviving records parse by position. Cents round-trip as padded
+    integers — bit-exact, no float printing involved.
+
+    One text scan, zero shuffle before the rollup (the same economics as
+    the CSV twin; like there, the reject rule lives in an expression the
+    optimizer cannot prune away)."""
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    o = tables["orders"]
+    spark = o.sparkSession
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rec = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, " "),
+        F.lpad(F.col("o_custkey").cast("string"), 10, " "),
+        F.rpad(F.col("o_orderstatus"), 2, " "),
+        F.lpad(cents.cast("string"), 14, " "),
+        F.date_format("o_orderdate", "yyyyMMdd"),
+    )
+    line = F.when(
+        F.col("o_orderkey") % 11 == 0, F.substring(rec, 1, 30)
+    ).otherwise(rec)
+    out = _scratch(prefix="fixedw_src_")
+    o.select(line.alias("value")).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    ok = F.length("value") == 46
+    status = F.trim(F.substring("value", 23, 2))
+    cents_f = F.trim(F.substring("value", 25, 14)).cast("long")
+    tagged = raw.select(
+        F.when(ok, status).otherwise(F.lit("__corrupt__")).alias("status"),
+        F.when(ok, cents_f).alias("cents"),
+    )
+    return tagged.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("value_cents"),
+    )
+
+
 QUERIES = {
     "source_jsonl_dirty": jsonl_dirty_counts,
     "source_csv_dirty": csv_dirty_counts,
+    "source_fixed_width": fixed_width_counts,
 }
 
 ORACLES = {
@@ -142,3 +189,15 @@ ORACLES = {
 # The corruption rule and surviving aggregates are format-independent, so
 # the CSV twin shares the JSONL oracle verbatim.
 ORACLES["source_csv_dirty"] = ORACLES["source_jsonl_dirty"]
+
+# Fixed-width twin: same replay-from-parquet shape over orders; the %11
+# records are the short-record corrupt group (their cents drop out).
+ORACLES["source_fixed_width"] = """
+    SELECT CASE WHEN o_orderkey % 11 = 0 THEN '__corrupt__'
+                ELSE o_orderstatus END AS status,
+           count(*)::BIGINT AS n_rows,
+           coalesce(sum(CASE WHEN o_orderkey % 11 != 0
+                             THEN floor(o_totalprice * 100 + 0.5)::BIGINT END),
+                    0)::BIGINT AS value_cents
+    FROM orders GROUP BY 1
+"""

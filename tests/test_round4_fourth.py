@@ -290,3 +290,70 @@ def test_chi2_micro_sum_model(grid):
             chi2 += term
             micro += math.floor(alg * 1_000_000 + 0.5)
     assert abs(micro / 1_000_000 - chi2) <= len(grid) * cols * 5e-7 + 1e-9
+
+
+# --- Kaplan-Meier: fold == brute-force product, censoring semantics ---
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.booleans()),  # (duration, churned)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_km_fold_model(users):
+    """The windowed risk-set construction + pinned product equals the
+    textbook KM estimator computed by brute force, survival is
+    non-increasing, and censored users deplete the risk set without
+    dropping the curve."""
+
+    durs = sorted({d for d, _ in users})
+    s = 1.0
+    prev = 1.0
+    for d in durs:
+        n_risk = sum(1 for dd, _ in users if dd >= d)
+        d_i = sum(1 for dd, ev in users if dd == d and ev)
+        s = math.floor(s * (1 - d_i / n_risk) * 1_000_000 + 0.5) / 1_000_000
+        # brute-force: product over all event days ≤ d, same pinning
+        bs = 1.0
+        for e in [x for x in durs if x <= d]:
+            nr = sum(1 for dd, _ in users if dd >= e)
+            de = sum(1 for dd, ev in users if dd == e and ev)
+            bs = math.floor(bs * (1 - de / nr) * 1_000_000 + 0.5) / 1_000_000
+        assert s == bs
+        assert s <= prev + 1e-12
+        prev = s
+    # all-censored corner: survival stays 1.0 at every day
+    if all(not ev for _, ev in users):
+        assert prev == 1.0
+
+
+# --- classical decomposition: components reassemble where defined ---
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 500), min_size=14, max_size=40))
+def test_decompose_identity_model(xs):
+    """7-scaled detrending keeps integers (det7 = 7x − Σ₇), and
+    trend + seasonal + residual reassembles the series within the 6dp
+    pin everywhere all three are defined."""
+    n = len(xs)
+    pin = lambda v: math.floor(v * 1_000_000 + 0.5) / 1_000_000  # noqa: E731
+    trend = [None] * n
+    det7 = [None] * n
+    for i in range(3, n - 3):
+        s7 = sum(xs[i - 3 : i + 4])
+        trend[i] = pin(s7 / 7.0)
+        det7[i] = 7 * xs[i] - s7
+        assert isinstance(det7[i], int)
+    seas = {}
+    for w in range(7):
+        vals = [det7[i] for i in range(n) if i % 7 == w and det7[i] is not None]
+        if vals:
+            seas[w] = pin(sum(vals) / (7 * len(vals)))
+    for i in range(n):
+        if trend[i] is not None and (i % 7) in seas:
+            resid = pin(xs[i] - trend[i] - seas[i % 7])
+            assert abs((trend[i] + seas[i % 7] + resid) - xs[i]) <= 1.5e-6
