@@ -860,7 +860,41 @@ def cohort_ltv(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def ab_srm_gate(tables: dict[str, DataFrame]) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) gate for the A/B assignment — the
+    pre-test every experimentation platform runs before reading a lift
+    number (``serving_ab_lift``'s z-test is meaningless if the 50/50
+    split itself is broken). One-df chi-square against equal allocation:
+    chi² = (n₀−n₁)²/(n₀+n₁); the α=0.001 rejection (crit 10.828 — SRM
+    gates use a strict alpha because imbalance means a BUG, not noise)
+    is the integer comparison (n₀−n₁)²·1000 > 10828·(n₀+n₁).
+
+    Plan: one distinct-user agg; the arm is user_id parity (the same
+    assignment rule ab_lift uses)."""
+    ev = tables["events"]
+    users = ev.select("user_id").distinct()
+    agg = users.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("user_id") % 2 != 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    d = F.col("n0") - F.col("n1")
+    chi2 = (d * d) / (F.col("n0") + F.col("n1"))
+    return agg.select(
+        "n0",
+        "n1",
+        (F.floor(chi2 * 1000000 + F.lit(0.5)) / 1000000).alias("chi2"),
+        ((d * d * 1000) > (10828 * (F.col("n0") + F.col("n1")))).alias(
+            "srm_detected"
+        ),
+    )
+
+
 QUERIES = {
+    "serving_ab_srm": ab_srm_gate,
     "serving_chi2_independence": chi2_independence,
     "serving_cohort_ltv": cohort_ltv,
     "serving_gini": revenue_concentration,
@@ -885,6 +919,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same parity assignment; the rejection is pure integer cross-multiply.
+    "serving_ab_srm": """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        a AS (
+            SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n0,
+                   sum(CASE WHEN user_id % 2 != 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n1
+            FROM u
+        )
+        SELECT n0, n1,
+               floor((n0 - n1) * (n0 - n1) / ((n0 + n1)::DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS chi2,
+               ((n0 - n1) * (n0 - n1) * 1000 > 10828 * (n0 + n1))
+                   AS srm_detected
+        FROM a
+    """,
     # Cell contributions cross to double once each, pinned to integer
     # micros; the statistic is the exact integer micro sum on both engines.
     "serving_chi2_independence": """

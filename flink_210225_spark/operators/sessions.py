@@ -526,7 +526,74 @@ def survival_km(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def bot_detection(tables: dict[str, DataFrame]) -> DataFrame:
+    """Heuristic bot/automation detection from inter-arrival timing — the
+    log-hygiene pass traffic pipelines run before any engagement metric
+    (a scripted client fires fast AND regularly; humans are slow and
+    bursty). Per user: event count, active span, events-per-minute, and
+    the squared coefficient of variation of inter-arrival gaps — cv² ≈ 0
+    is metronome-regular (bot), cv² ≈ 1 is Poisson (human). The flag
+    requires n ≥ 20 and cv² < 0.1; on this organic fixture that flags
+    nobody — like the zone-map report, the negative result IS the
+    measurement (and the hash gate pins every per-user statistic).
+
+    Numerics: gaps are exact microsecond integers; the variance numerator
+    n·Σd² − (Σd)² rides decimal(38,0) (µs² overflows int64 fast); cv² =
+    that over (Σd)²·n_d-normalized — two exact casts, one division, 6dp.
+
+    Plan: one lag window keyed by user, one user-grain agg."""
+    ev = tables["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+    base = ev.select(
+        "user_id", "ts", d.alias("d")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = base.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.timestamp_diff(
+            "MICROSECOND", F.min("ts"), F.max("ts")
+        ).alias("span_us"),
+        F.count("d").alias("n_d"),
+        F.coalesce(F.sum(dec(F.col("d"))), F.lit(0).cast("decimal(38,0)")).alias(
+            "sd"
+        ),
+        F.coalesce(
+            F.sum(dec(F.col("d")) * dec(F.col("d"))),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("sdd"),
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    epm = F.when(
+        F.col("span_us") > 0,
+        r6(F.col("n_events") * F.lit(60_000_000) / F.col("span_us")),
+    ).otherwise(F.lit(0.0))
+    cv2 = F.when(
+        F.col("sd") > 0,
+        r6(
+            (
+                dec(F.col("n_d")) * F.col("sdd") - F.col("sd") * F.col("sd")
+            ).cast("double")
+            / (F.col("sd") * F.col("sd")).cast("double")
+        ),
+    )
+    out = agg.select(
+        "user_id",
+        "n_events",
+        "span_us",
+        epm.alias("events_per_min"),
+        cv2.alias("cv2"),
+    )
+    return out.withColumn(
+        "is_bot",
+        (F.col("n_events") >= 20)
+        & F.col("cv2").isNotNull()
+        & (F.col("cv2") < 0.1),
+    )
+
+
 QUERIES = {
+    "session_bot_detection": bot_detection,
     "session_survival_km": survival_km,
     "session_stickiness": stickiness_weekly,
     "session_gaps_islands": sessionize,
@@ -542,6 +609,39 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same µs gaps, HUGEINT variance numerator, one double division.
+    "session_bot_detection": """
+        WITH b AS (
+            SELECT user_id, ts,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS d
+            FROM events
+        ),
+        a AS (
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT AS span_us,
+                   count(d)::BIGINT AS n_d,
+                   coalesce(sum(d::HUGEINT), 0) AS sd,
+                   coalesce(sum(d::HUGEINT * d::HUGEINT), 0) AS sdd
+            FROM b GROUP BY 1
+        ),
+        s AS (
+            SELECT user_id, n_events, span_us,
+                   CASE WHEN span_us > 0
+                        THEN floor(n_events * 60000000 / (span_us::DOUBLE)
+                                   * 1000000 + 0.5) / 1000000
+                        ELSE 0.0 END AS events_per_min,
+                   CASE WHEN sd > 0
+                        THEN floor((n_d::HUGEINT * sdd - sd * sd)::DOUBLE
+                                   / ((sd * sd))::DOUBLE * 1000000 + 0.5)
+                             / 1000000
+                        END AS cv2
+            FROM a
+        )
+        SELECT user_id, n_events, span_us, events_per_min, cv2,
+               (n_events >= 20 AND cv2 IS NOT NULL AND cv2 < 0.1) AS is_bot
+        FROM s
+    """,
     # Literal KM recurrence walked one lifetime-day at a time, product
     # pinned to 6dp each step (matches the Arrow fold bit-for-bit).
     "session_survival_km": """

@@ -595,7 +595,68 @@ def pps_systematic(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def split_leakage_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Train/test LEAKAGE audit for the content-hash split — the check
+    benchmark hygiene actually requires: after ``sample_hash_split``
+    assigns splits, do near-duplicate pairs straddle the split boundary?
+    (A near-dup of a test doc in train is memorization leakage no dedup
+    run inside a single split can catch.) Composes the exact n-gram
+    Jaccard pairs at ≥0.8 with the split table and reports: pair volume,
+    cross-split near-dups, digest-identical pairs, and the structural
+    guarantee MEASURED — byte-identical docs CANNOT cross splits because
+    the split is a function of the content digest (exact_leak_free must
+    be TRUE; a regression in the split rule breaks the hash).
+
+    Plan: inherits the single-scan bucket-pair kernel's posture; the
+    split join adds two digest-keyed broadcasts of a 2-column table."""
+    from flink_210225_spark.ops.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(tables, n=3, threshold=0.8)
+    docs = tables["documents"]
+    splits = hash_split(tables).join(
+        docs.select("doc_id", F.md5("text").alias("digest")), "doc_id"
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("split").alias("split_a"),
+        F.col("digest").alias("dig_a"),
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("split").alias("split_b"),
+        F.col("digest").alias("dig_b"),
+    )
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    cross = F.col("split_a") != F.col("split_b")
+    exact = F.col("dig_a") == F.col("dig_b")
+    agg = j.agg(
+        F.count("*").alias("n_near_pairs"),
+        F.coalesce(F.sum(cross.cast("long")), F.lit(0)).alias("n_cross_split"),
+        F.coalesce(F.sum(exact.cast("long")), F.lit(0)).alias("n_exact_pairs"),
+        F.coalesce(F.sum((exact & cross).cast("long")), F.lit(0)).alias(
+            "n_exact_cross"
+        ),
+    )
+    rate = F.when(
+        F.col("n_near_pairs") > 0,
+        F.floor(
+            F.col("n_cross_split") / F.col("n_near_pairs") * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000,
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_near_pairs",
+        "n_cross_split",
+        "n_exact_pairs",
+        "n_exact_cross",
+        (F.col("n_exact_cross") == 0).alias("exact_leak_free"),
+        rate.alias("near_leak_rate"),
+    )
+
+
 QUERIES = {
+    "sample_split_leakage_audit": split_leakage_audit,
     "sample_pps_systematic": pps_systematic,
     "sample_neyman_allocation": neyman_allocation,
     "sample_hash_split": hash_split,
@@ -641,6 +702,69 @@ def _importance_resample_oracle() -> str:
 
 
 ORACLES = {
+    # Composes the gated exact-Jaccard pair SQL (threshold 0.8) with the
+    # md5-first-hex split rule; digest-equal pairs share a split by
+    # construction, so n_exact_cross recomputes to 0 on both engines.
+    "sample_split_leakage_audit": """
+        WITH toks AS (
+            SELECT doc_id, md5(text) AS digest,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(greatest(len(t) - 3, 0) + 1),
+                       i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS shingle
+            FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000 + 0.5)
+                      / 10000 >= 0.8
+        ),
+        sp AS (
+            SELECT doc_id, digest,
+                   CASE WHEN substr(digest, 1, 1) IN ('c', 'd') THEN 'val'
+                        WHEN substr(digest, 1, 1) IN ('e', 'f') THEN 'test'
+                        ELSE 'train' END AS split
+            FROM toks
+        ),
+        j AS (
+            SELECT (a.split != b.split) AS cross_split,
+                   (a.digest = b.digest) AS exact_pair
+            FROM pairs p JOIN sp a ON a.doc_id = p.doc_a
+                         JOIN sp b ON b.doc_id = p.doc_b
+        ),
+        agg AS (
+            SELECT count(*)::BIGINT AS n_near_pairs,
+                   coalesce(sum(CASE WHEN cross_split THEN 1 ELSE 0 END),
+                            0)::BIGINT AS n_cross_split,
+                   coalesce(sum(CASE WHEN exact_pair THEN 1 ELSE 0 END),
+                            0)::BIGINT AS n_exact_pairs,
+                   coalesce(sum(CASE WHEN exact_pair AND cross_split
+                                     THEN 1 ELSE 0 END), 0)::BIGINT
+                       AS n_exact_cross
+            FROM j
+        )
+        SELECT n_near_pairs, n_cross_split, n_exact_pairs, n_exact_cross,
+               (n_exact_cross = 0) AS exact_leak_free,
+               CASE WHEN n_near_pairs > 0
+                    THEN floor(n_cross_split / (n_near_pairs::DOUBLE)
+                               * 1000000 + 0.5) / 1000000
+                    ELSE 0.0 END AS near_leak_rate
+        FROM agg
+    """,
     # Same integer threshold-count telescope g(cum) − g(cum − w) with
     # g(x) = (2n·x + W − 1) // (2W) — picks sum to n by construction.
     "sample_pps_systematic": f"""

@@ -106,6 +106,46 @@ FROM rk WHERE rn <= 3
 """
 
 
+RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE sparse AS (
+  SELECT event_type, to_date(ts) AS day, count(*) AS pv
+  FROM {view} WHERE user_id % 97 = 0
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(day) AS day, max(day) AS max_day
+  FROM sparse GROUP BY 1
+),
+spine AS (
+  SELECT event_type, day, max_day FROM bounds
+  UNION ALL
+  SELECT event_type, date_add(day, 1), max_day FROM spine
+  WHERE day < max_day
+)
+SELECT s.event_type, date_format(s.day, 'yyyy-MM-dd') AS day,
+       cast(coalesce(p.pv, 0) AS BIGINT) AS pv,
+       (p.pv IS NULL) AS gap_filled
+FROM spine s
+LEFT JOIN sparse p ON p.event_type = s.event_type AND p.day = s.day
+"""
+
+
+def _recursive_spine_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """Date-spine gap filling as ONE spark.sql TEXT using WITH RECURSIVE
+    (Spark 4's recursive CTE — the SQL-surface feature classic calendar
+    dimension tables were invented to work around): the recursion GROWS
+    the per-type day spine from min to max date, so the grid needs no
+    cross join and no prebuilt calendar table; the sparse series (a
+    deterministic user slice, so gaps genuinely exist) left-joins onto it
+    with zero-filled, flagged gap rows. The recursion depth is the
+    calendar span — bounded regardless of data volume."""
+    ev = tables["events"]
+    ev.createOrReplaceTempView("events_view_sql_spine")
+    return ev.sparkSession.sql(
+        RECURSIVE_SPINE_SQL.format(view="events_view_sql_spine")
+    )
+
+
 def _session_gaps_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
     """Gaps-and-islands sessionization as ONE spark.sql TEXT (CTEs + lag +
     running sum + rollup) — the SQL-surface twin of
@@ -145,6 +185,7 @@ def _keyword_q(tables: dict[str, DataFrame]) -> DataFrame:
 
 
 QUERIES = {
+    "sql_recursive_spine": _recursive_spine_sql_q,
     "sql_province_tumble": _province_q,
     "sql_keyword_tumble": _keyword_q,
     "sql_session_gaps": _session_gaps_sql_q,
@@ -160,6 +201,30 @@ def _session_gaps_oracle() -> str:
 # Epoch-aligned tumble bounds: Spark window() aligns to the epoch, so the
 # DuckDB oracle buckets with to_timestamp(floor(epoch/width)*width).
 ORACLES = {
+    # Same recursion: DuckDB grows the spine with DATE + 1 per type.
+    "sql_recursive_spine": """
+        WITH RECURSIVE sparse AS (
+            SELECT event_type, date_trunc('day', ts)::DATE AS day,
+                   count(*)::BIGINT AS pv
+            FROM events WHERE user_id % 97 = 0
+            GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, min(day) AS day, max(day) AS max_day
+            FROM sparse GROUP BY 1
+        ),
+        spine AS (
+            SELECT event_type, day, max_day FROM bounds
+            UNION ALL
+            SELECT event_type, day + 1, max_day FROM spine
+            WHERE day < max_day
+        )
+        SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+               coalesce(p.pv, 0)::BIGINT AS pv,
+               (p.pv IS NULL) AS gap_filled
+        FROM spine s
+        LEFT JOIN sparse p ON p.event_type = s.event_type AND p.day = s.day
+    """,
     # SQL-surface twin shares the DataFrame sessionizer's oracle.
     "sql_session_gaps": _session_gaps_oracle(),
     # Same integer cents×pct revenue, same rank cut.
