@@ -592,7 +592,41 @@ def bot_detection(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def new_vs_returning(tables: dict[str, DataFrame]) -> DataFrame:
+    """Daily new-vs-returning visitor split — the acquisition/retention
+    decomposition on every traffic dashboard (and the batch twin of the
+    reference's keyed new-visitor correction, SURVEY §2.5 T1: there the
+    stream fixes the is_new flag with state; here the whole history
+    decides it exactly). A user's first active day is NEW; every later
+    active day is RETURNING. Exact distinct semantics ride the (user, day)
+    grain; the share is one integer-ratio division.
+
+    Plan: one (user, day) distinct agg, one user-grain min, one
+    broadcast-friendly join back, one day rollup."""
+    ev = tables["events"]
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+        "day"
+    )
+    ud = ev.select("user_id", day).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    flagged = ud.join(first, "user_id").select(
+        "day", (F.col("day") == F.col("first_day")).alias("is_new")
+    )
+    agg = flagged.groupBy("day").agg(
+        F.sum(F.col("is_new").cast("long")).alias("n_new"),
+        F.sum((~F.col("is_new")).cast("long")).alias("n_returning"),
+    )
+    pct = F.col("n_new") / (F.col("n_new") + F.col("n_returning"))
+    return agg.select(
+        "day",
+        "n_new",
+        "n_returning",
+        (F.floor(pct * 1000000 + F.lit(0.5)) / 1000000).alias("pct_new"),
+    )
+
+
 QUERIES = {
+    "session_new_vs_returning": new_vs_returning,
     "session_bot_detection": bot_detection,
     "session_survival_km": survival_km,
     "session_stickiness": stickiness_weekly,
@@ -609,6 +643,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same (user, day) grain, first-day rule, one integer-ratio division.
+    "session_new_vs_returning": """
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+            FROM events
+        ),
+        fi AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+        SELECT ud.day,
+               sum(CASE WHEN ud.day = fi.first_day THEN 1 ELSE 0 END)::BIGINT
+                   AS n_new,
+               sum(CASE WHEN ud.day != fi.first_day THEN 1 ELSE 0 END)::BIGINT
+                   AS n_returning,
+               floor(sum(CASE WHEN ud.day = fi.first_day THEN 1 ELSE 0 END)
+                     / (count(*)::DOUBLE) * 1000000 + 0.5) / 1000000
+                   AS pct_new
+        FROM ud JOIN fi ON ud.user_id = fi.user_id
+        GROUP BY 1
+    """,
     # Same µs gaps, HUGEINT variance numerator, one double division.
     "session_bot_detection": """
         WITH b AS (

@@ -789,7 +789,55 @@ def partition_skew_report(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+# log10(1 + 1/d) in integer micros — pinned LITERALS on both engines (the
+# IEEE constant-drift rule: never let two engines each compute the constant).
+_BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    forensic-accounting / data-fabrication screen (organic multiplicative
+    amounts follow log10(1+1/d); fabricated or capped data doesn't).
+    Per digit: observed count, observed vs expected share, and the
+    deviation in integer micros with a 1.5-point suspicion flag. The
+    expected shares are pinned micro literals on BOTH engines; the
+    observed share is one exact integer division — the flag can't flake.
+
+    Plan: one first-digit partial agg off the fact scan; 9 rows after."""
+    o = tables["orders"]
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    wall = Window.partitionBy()
+    total = F.sum("n").over(wall)
+    obs_micro = F.floor(F.col("n") * 1000000 / total + F.lit(0.5)).cast("long")
+    exp_micro = F.lit(None).cast("long")
+    for d, m in _BENFORD_MICRO.items():
+        exp_micro = F.when(F.col("digit") == d, F.lit(m)).otherwise(exp_micro)
+    staged = counts.select(
+        "digit",
+        "n",
+        obs_micro.alias("obs_micro"),
+        exp_micro.alias("exp_micro"),
+    )
+    dev = F.abs(F.col("obs_micro") - F.col("exp_micro"))
+    return staged.select(
+        "digit",
+        "n",
+        (F.col("obs_micro") / 1000000.0).alias("obs_share"),
+        (F.col("exp_micro") / 1000000.0).alias("exp_share"),
+        dev.alias("dev_micro"),
+        (dev > 15000).alias("suspicious"),
+    )
+
+
 QUERIES = {
+    "warehouse_benford_audit": benford_audit,
     "warehouse_partition_skew": partition_skew_report,
     "warehouse_bloom_index": bloom_index_probe,
     "warehouse_clustering_depth": clustering_depth,
@@ -806,6 +854,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same pinned expected-share micros (a CASE literal table), same
+    # integer observed-share division and deviation flag.
+    "warehouse_benford_audit": """
+        WITH c AS (
+            SELECT substr(floor(o_totalprice * 100 + 0.5)::BIGINT::VARCHAR,
+                          1, 1)::INT AS digit,
+                   count(*)::BIGINT AS n
+            FROM orders GROUP BY 1
+        ),
+        s AS (
+            SELECT digit, n,
+                   floor(n * 1000000 / ((sum(n) OVER ())::DOUBLE)
+                         + 0.5)::BIGINT AS obs_micro,
+                   CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                        WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                        WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                        WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                        WHEN 9 THEN 45757 END::BIGINT AS exp_micro
+            FROM c
+        )
+        SELECT digit, n,
+               obs_micro / 1000000.0 AS obs_share,
+               exp_micro / 1000000.0 AS exp_share,
+               abs(obs_micro - exp_micro)::BIGINT AS dev_micro,
+               (abs(obs_micro - exp_micro) > 15000) AS suspicious
+        FROM s
+    """,
     # Same inventory (120·rows bytes), same ascending (bytes, bucket) rank
     # Gini, quantile_cont == percentile for the median.
     "warehouse_partition_skew": """

@@ -919,6 +919,82 @@ _MH_AB = [
 ]
 
 
+def _md5_banded(
+    docs: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """Shared md5-universal-hash signature + banding pipeline: ONE md5 per
+    shingle reduced to x ∈ [0, 2³¹−1), k affine families (aᵢ·x + bᵢ) mod
+    (2³¹−1), per-family minimum, band keys as literal '|'-joined hash
+    strings (SQL-replayable byte-for-byte). Returns (doc_id, mh, band,
+    bkey) rows — the candidate generator of ``minhash_banded_md5`` and the
+    measured surface of ``lsh_bucket_stats``; one shared derivation so the
+    pair generator and its skew audit can never disagree."""
+    r = num_hashes // bands
+    sh = doc_shingles(docs, n)
+    x = F.pmod(F.conv(F.substring("m", 1, 15), 16, 10).cast("long"), F.lit(_MH_P))
+    hashed = sh.select("doc_id", F.md5("shingle").alias("m")).select(
+        "doc_id", x.alias("x")
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(_MH_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_MH_AB[:num_hashes])
+    ]
+    sig = hashed.groupBy("doc_id").agg(*aggs).select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("mh")
+    )
+    return sig.select(
+        "doc_id",
+        "mh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.array_join(
+                            F.transform(
+                                F.slice("mh", bi * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                            "|",
+                        ).alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "mh", "bb.band", "bb.bkey")
+
+
+def lsh_bucket_stats(
+    tables: dict[str, DataFrame],
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """LSH bucket-SKEW audit over the md5-banded construction — the
+    diagnostic that decides whether an LSH dedup run is safe to launch at
+    scale: candidate volume is Σ s(s−1)/2 over bucket sizes, so ONE
+    boilerplate mega-bucket (every page sharing a template shingle
+    signature) turns a linear pass into a quadratic bomb. Per band:
+    bucket count, docs, singleton share, largest bucket, and the exact
+    candidate-pair count the in-bucket generator would emit. All integers
+    off the grouped bucket table — the audit costs one extra rollup over
+    the shuffle the pair generator already pays.
+
+    Shares ``_md5_banded`` with ``dedup_minhash_banded``, so the audit
+    measures exactly the construction the pair generator runs."""
+    banded = _md5_banded(tables["documents"], num_hashes, bands, n)
+    sizes = banded.groupBy("band", "bkey").agg(F.count("*").alias("s"))
+    s = F.col("s")
+    return sizes.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(s).alias("n_docs"),
+        F.sum((s == 1).cast("long")).alias("n_singletons"),
+        F.max(s).alias("max_bucket"),
+        F.sum((s * (s - 1) / 2).cast("long")).alias("cand_pairs"),
+    )
+
+
 def minhash_banded_md5(
     tables: dict[str, DataFrame],
     num_hashes: int = 16,
@@ -946,44 +1022,7 @@ def minhash_banded_md5(
     4×32-hex concat so the oracle can reproduce it byte-for-byte — the
     shuffle carries ~130 extra bytes/row, a constant factor, not a
     different asymptotic."""
-    docs = tables["documents"]
-    r = num_hashes // bands
-    sh = doc_shingles(docs, n)
-    # ONE md5 per shingle (16× fewer digests than hashing (i, shingle) per
-    # family); universal affine families over the Mersenne prime provide
-    # the per-family independent permutations the banding needs.
-    x = F.pmod(F.conv(F.substring("m", 1, 15), 16, 10).cast("long"), F.lit(_MH_P))
-    hashed = sh.select("doc_id", F.md5("shingle").alias("m")).select(
-        "doc_id", x.alias("x")
-    )
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(_MH_P))).alias(f"h{i}")
-        for i, (a, b) in enumerate(_MH_AB[:num_hashes])
-    ]
-    sig = hashed.groupBy("doc_id").agg(*aggs).select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("mh")
-    )
-    banded = sig.select(
-        "doc_id",
-        "mh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.array_join(
-                            F.transform(
-                                F.slice("mh", bi * r + 1, r),
-                                lambda x: x.cast("string"),
-                            ),
-                            "|",
-                        ).alias("bkey"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "mh", "bb.band", "bb.bkey")
+    banded = _md5_banded(tables["documents"], num_hashes, bands, n)
     buckets = (
         banded.groupBy("band", "bkey")
         .agg(F.collect_list(F.struct("doc_id", "mh")).alias("ms"))
@@ -1991,6 +2030,7 @@ QUERIES = {
     # md5-family siblings: same banded plans, DuckDB-replayable hashes —
     # the minhash/simhash pipelines' end-to-end hash gates.
     "dedup_minhash_banded": minhash_banded_md5,
+    "dedup_lsh_bucket_stats": lsh_bucket_stats,
     "dedup_simhash_banded": simhash_banded_md5,
     # ...and the audit row that hash-gates the xxhash64 fast paths
     # themselves (recall/count-regime/dup-cover booleans must be TRUE).
@@ -2763,4 +2803,48 @@ ORACLES["dedup_edit_distance"] = """
     WHERE floor((1.0 - levenshtein(da.text, db.text) * 1.0
                  / greatest(length(da.text), length(db.text))) * 10000 + 0.5)
               / 10000 >= 0.6
+"""
+
+# Bucket-skew audit over the SAME banded construction (CTE prefix repeated
+# from the minhash_banded oracle); candidate volume is Σ s(s−1)/2 — all
+# integers off the grouped bucket table.
+ORACLES["dedup_lsh_bucket_stats"] = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(greatest(len(t) - 3, 0) + 1),
+                   i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS shingle
+        FROM toks
+    ),
+    hv AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(shingle), 1, 15))::UBIGINT
+                   % {_MH_P})::BIGINT AS x
+        FROM sh
+    ),
+    ab(i, a, b) AS (VALUES {_MH_AB_SQL}),
+    hashes AS (
+        SELECT doc_id, ab.i AS i, min((ab.a * x + ab.b) % {_MH_P}) AS h
+        FROM hv, ab
+        GROUP BY doc_id, ab.i
+    ),
+    sig AS (
+        SELECT doc_id, list(h ORDER BY i) AS mh FROM hashes GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, rb.b AS band,
+               array_to_string(mh[rb.b * 4 + 1 : rb.b * 4 + 4], '|') AS bkey
+        FROM sig, range(4) rb(b)
+    ),
+    sizes AS (
+        SELECT band, bkey, count(*)::BIGINT AS s FROM banded GROUP BY 1, 2
+    )
+    SELECT band, count(*)::BIGINT AS n_buckets, sum(s)::BIGINT AS n_docs,
+           sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
+           max(s)::BIGINT AS max_bucket,
+           sum(s * (s - 1) // 2)::BIGINT AS cand_pairs
+    FROM sizes GROUP BY 1
 """

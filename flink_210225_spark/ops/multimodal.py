@@ -1341,7 +1341,61 @@ def image_histogram_stats(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def audio_onsets(
+    tables: dict[str, DataFrame], frame_samples: int = 25
+) -> DataFrame:
+    """Onset detection via energy-flux novelty on the real WAV decode —
+    the attack detector between ``multimodal_audio_vad`` (level threshold:
+    where is there SOUND) and beat/segment tooling (where does something
+    NEW start): flux = positive frame-energy delta, an onset is a frame
+    whose flux beats 2× the clip's mean flux. All integers: energies are
+    exact Σs², the delta is a long, the threshold is the cross-multiply
+    flux·n_flux > 2·Σflux (no float mean). Frame 0 has no predecessor —
+    NULL flux, excluded (not a phantom zero).
+
+    Plan: same Arrow decode/framing pass as VAD; flux and thresholds are
+    JVM window arithmetic over the frame rows, one clip-keyed Exchange."""
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id", (F.col("n_chars") % 200 + 50).cast("int").alias("n")
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("asset_id", "frame_idx", "energy")}
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                s = _parse_wav(_wav_bytes(int(doc_id), int(n)))["samples"]
+                n_frames = -(-len(s) // frame_samples)
+                for f in range(n_frames):
+                    e = int(
+                        (s[f * frame_samples : (f + 1) * frame_samples] ** 2).sum()
+                    )
+                    out["asset_id"].append(int(doc_id))
+                    out["frame_idx"].append(f)
+                    out["energy"].append(e)
+            yield pd.DataFrame(out)
+
+    frames = base.mapInPandas(gen, "asset_id long, frame_idx long, energy long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    lagged = F.lag("energy").over(w)
+    flux = F.when(
+        lagged.isNotNull(), F.greatest(F.col("energy") - lagged, F.lit(0))
+    )
+    fl = frames.withColumn("flux", flux)
+    wall = Window.partitionBy("asset_id")
+    stats = fl.withColumn("n_flux", F.count("flux").over(wall)).withColumn(
+        "tot_flux", F.sum("flux").over(wall)
+    )
+    return stats.where(
+        F.col("flux").isNotNull()
+        & (F.col("flux") * F.col("n_flux") > 2 * F.col("tot_flux"))
+    ).select("asset_id", "frame_idx", "flux", "n_flux", "tot_flux")
+
+
 QUERIES = {
+    "multimodal_audio_onsets": audio_onsets,
     "multimodal_image_histogram": image_histogram_stats,
     "multimodal_caption_pairs": caption_pairs,
 }
@@ -1428,6 +1482,46 @@ QUERIES.update({
 })
 
 ORACLES = {
+    # Same PCM/framing replay as the VAD oracle; flux and the 2×-mean
+    # cross-multiply threshold are pure integer window arithmetic.
+    "multimodal_audio_onsets": """
+        WITH a AS (
+            SELECT doc_id, (n_chars % 200 + 50)::BIGINT AS n FROM documents
+        ),
+        f AS (
+            SELECT doc_id, n, unnest(range((n + 24) // 25)) AS frame_idx
+            FROM a
+        ),
+        e AS (
+            SELECT doc_id, frame_idx,
+                   list_sum(list_transform(
+                       range(frame_idx * 25, least(n, (frame_idx + 1) * 25)),
+                       k -> ((((doc_id * 31 + k * 7) % 256) - 128) * 256)
+                            * ((((doc_id * 31 + k * 7) % 256) - 128) * 256)
+                   ))::BIGINT AS energy
+            FROM f
+        ),
+        fl AS (
+            SELECT doc_id, frame_idx, energy,
+                   CASE WHEN lag(energy) OVER (PARTITION BY doc_id
+                                               ORDER BY frame_idx)
+                             IS NOT NULL
+                        THEN greatest(energy - lag(energy) OVER (
+                                 PARTITION BY doc_id ORDER BY frame_idx), 0)
+                        END AS flux
+            FROM e
+        ),
+        st AS (
+            SELECT doc_id, frame_idx, flux,
+                   count(flux) OVER (PARTITION BY doc_id)::BIGINT AS n_flux,
+                   sum(flux) OVER (PARTITION BY doc_id)::BIGINT AS tot_flux
+            FROM fl
+        )
+        SELECT doc_id AS asset_id, frame_idx, flux::BIGINT AS flux,
+               n_flux, tot_flux
+        FROM st
+        WHERE flux IS NOT NULL AND flux * n_flux > 2 * tot_flux
+    """,
     "multimodal_image_histogram": _IMG_HIST_ORACLE,
     "multimodal_caption_pairs": """
         WITH t AS (

@@ -2721,7 +2721,58 @@ def rouge_pairs(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def span_corruption_plan(tables: dict[str, DataFrame]) -> DataFrame:
+    """T5/UL2-style span-corruption LAYOUT plan: deterministic ~14% of each
+    document masks in 3-token spans, and the plan reports exactly what the
+    pretraining collator needs to budget — input length (unmasked tokens +
+    one sentinel per span) and target length (masked tokens + one sentinel
+    per span) — the denoising-objective sibling of ``text_turn_mask_plan``
+    (SFT loss masks) and ``text_pack_plan`` (sequence packing). Span
+    starts are a pure function of (doc_id, block): block g of 3 tokens
+    masks iff (doc_id·31 + g·17) mod 7 == 0, so the whole plan is
+    replayable integer arithmetic; the final partial block masks short.
+
+    Plan: zero-shuffle — one projection of array expressions per doc."""
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    base = docs.select("doc_id", F.size(toks).alias("n"))
+    n = F.col("n")
+    n_blocks = F.floor((n + 2) / 3).cast("int")
+    masked = F.filter(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda g: (F.col("doc_id") * 31 + g * 17) % 7 == 0,
+    )
+    n_masked = F.aggregate(
+        masked,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc + F.least(F.lit(3), n - g * 3),
+    )
+    staged = base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        n_masked.alias("n_masked"),
+        F.size(masked).cast("long").alias("n_spans"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        "n_spans",
+        (F.col("n_tokens") - F.col("n_masked") + F.col("n_spans")).alias(
+            "input_len"
+        ),
+        (F.col("n_masked") + F.col("n_spans")).alias("target_len"),
+        (
+            F.floor(
+                F.col("n_masked") / F.col("n_tokens") * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mask_rate"),
+    )
+
+
 QUERIES = {
+    "text_span_corruption": span_corruption_plan,
     "text_kneser_ney": kneser_ney_bigrams,
     "text_bm25_topk": bm25_topk,
     "text_glove_cooc": glove_cooc,
@@ -4361,4 +4412,28 @@ ORACLES["text_rouge_pairs"] = f"""
     LEFT JOIN o2 ON o2.a_id = pp.a_id AND o2.b_id = pp.b_id
     JOIN lens la ON la.doc_id = pp.a_id
     JOIN lens lb ON lb.doc_id = pp.b_id
+"""
+
+# Span-corruption layout: same (doc_id·31 + g·17) mod 7 block rule, same
+# short final block — pure integer replay.
+ORACLES["text_span_corruption"] = f"""
+    WITH t AS (SELECT doc_id, len({_DUCK_TOKS})::BIGINT AS n FROM documents),
+    b AS (
+        SELECT doc_id, n,
+               list_filter(range((n + 2) // 3),
+                           g -> (doc_id * 31 + g * 17) % 7 = 0) AS mg
+        FROM t
+    ),
+    m AS (
+        SELECT doc_id, n, len(mg)::BIGINT AS n_spans,
+               coalesce(list_sum(list_transform(mg,
+                            g -> least(3, n - g * 3))), 0)::BIGINT AS n_masked
+        FROM b
+    )
+    SELECT doc_id, n AS n_tokens, n_masked, n_spans,
+           (n - n_masked + n_spans)::BIGINT AS input_len,
+           (n_masked + n_spans)::BIGINT AS target_len,
+           floor(n_masked / (n::DOUBLE) * 1000000 + 0.5) / 1000000
+               AS mask_rate
+    FROM m
 """

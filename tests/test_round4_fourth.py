@@ -357,3 +357,59 @@ def test_decompose_identity_model(xs):
         if trend[i] is not None and (i % 7) in seas:
             resid = pin(xs[i] - trend[i] - seas[i % 7])
             assert abs((trend[i] + seas[i % 7] + resid) - xs[i]) <= 1.5e-6
+
+
+# --- Benford: pinned micro literals == log10(1+1/d), shares sum to 1 ---
+
+
+def test_benford_micro_table():
+    """The expected-share micro literals both engines pin are the correctly
+    rounded log10(1+1/d) values and they account for (almost exactly) the
+    whole probability mass."""
+    from flink_210225_spark.operators.warehouse import _BENFORD_MICRO
+
+    for d, m in _BENFORD_MICRO.items():
+        assert m == math.floor(math.log10(1 + 1 / d) * 1_000_000 + 0.5)
+    assert abs(sum(_BENFORD_MICRO.values()) - 1_000_000) <= 5  # rounding dust
+
+
+# --- span corruption: sentinel accounting identity ---
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 200), st.integers(0, 1_000_000))
+def test_span_corruption_accounting(n, doc_id):
+    """input_len + target_len == n_tokens + 2·n_spans (each span adds one
+    sentinel to each side), the mask rate is bounded by the block rule, and
+    the short final block never over-counts."""
+    n_blocks = (n + 2) // 3
+    mg = [g for g in range(n_blocks) if (doc_id * 31 + g * 17) % 7 == 0]
+    n_spans = len(mg)
+    n_masked = sum(min(3, n - g * 3) for g in mg)
+    assert 0 <= n_masked <= n
+    input_len = n - n_masked + n_spans
+    target_len = n_masked + n_spans
+    assert input_len + target_len == n + 2 * n_spans
+    assert all(min(3, n - g * 3) >= 1 for g in mg)
+
+
+# --- onsets: cross-multiply threshold == float 2×-mean rule ---
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 10_000), min_size=2, max_size=50))
+def test_onset_threshold_model(energies):
+    """flux·n > 2·Σflux decides exactly flux > 2·mean(flux), fluxes exclude
+    frame 0, and a constant-energy clip has no onsets."""
+    fluxes = [
+        max(energies[i] - energies[i - 1], 0) for i in range(1, len(energies))
+    ]
+    n, tot = len(fluxes), sum(fluxes)
+    for f in fluxes:
+        int_rule = f * n > 2 * tot
+        float_rule = f > 2 * (tot / n)
+        if abs(f - 2 * tot / n) > 1e-9:
+            assert int_rule == float_rule
+    const = [5] * 10
+    cf = [max(const[i] - const[i - 1], 0) for i in range(1, 10)]
+    assert all(not (f * len(cf) > 2 * sum(cf)) for f in cf)
