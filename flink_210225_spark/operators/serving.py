@@ -951,9 +951,12 @@ ORACLES = {
             FROM obs
         ),
         mic AS (
-            SELECT floor(((o * t - r * c) * (o * t - r * c))::DOUBLE
-                         / ((t * r * c))::DOUBLE * 1000000 + 0.5)::BIGINT
-                       AS micro
+            -- HUGEINT casts before the square: (o·t − r·c)² clears int64
+            -- at ~1e5+ total events (the Spark side rides decimal(38,0))
+            SELECT floor(((o::HUGEINT * t - r::HUGEINT * c)
+                          * (o::HUGEINT * t - r::HUGEINT * c))::DOUBLE
+                         / ((t::HUGEINT * r * c))::DOUBLE * 1000000
+                         + 0.5)::BIGINT AS micro
             FROM cells
         ),
         agg AS (

@@ -576,7 +576,10 @@ def bot_detection(tables: dict[str, DataFrame]) -> DataFrame:
             ).cast("double")
             / (F.col("sd") * F.col("sd")).cast("double")
         ),
-    )
+        # all-zero gaps (≥2 events, every one at the same timestamp) is the
+        # LIMITING metronome case — cv² = 0, not NULL, or the most regular
+        # automation possible would dodge the flag
+    ).when(F.col("n_d") > 0, F.lit(0.0))
     out = agg.select(
         "user_id",
         "n_events",
@@ -688,6 +691,7 @@ ORACLES = {
                         THEN floor((n_d::HUGEINT * sdd - sd * sd)::DOUBLE
                                    / ((sd * sd))::DOUBLE * 1000000 + 0.5)
                              / 1000000
+                        WHEN n_d > 0 THEN 0.0
                         END AS cv2
             FROM a
         )

@@ -1124,7 +1124,13 @@ def classical_decompose(tables: dict[str, DataFrame]) -> DataFrame:
         Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
     )
     r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
-    full = F.count("*").over(w7) == 7
+    # full ⇔ 7 ROWS spanning exactly 6 CALENDAR days: a count alone can't
+    # see a zero-event gap day, and a gapped window would mix non-adjacent
+    # days into the trend (and poison the weekday seasonal means)
+    span = F.datediff(
+        F.to_date(F.max("day").over(w7)), F.to_date(F.min("day").over(w7))
+    )
+    full = (F.count("*").over(w7) == 7) & (span == 6)
     sum7 = F.sum("pv").over(w7)
     t = daily.select(
         "event_type",
@@ -1179,9 +1185,17 @@ def forecast_backtest(tables: dict[str, DataFrame]) -> DataFrame:
         "day",
         "pv",
         F.lag("pv", 7).over(wd).alias("fc"),
+        F.lag("day", 7).over(wd).alias("fc_day"),
         F.row_number().over(wd).alias("rn"),
         F.count("*").over(wn).alias("n"),
-    ).where(F.col("fc").isNotNull() & (F.col("rn") > F.col("n") - 14))
+    ).where(
+        F.col("fc").isNotNull()
+        & (F.col("rn") > F.col("n") - 14)
+        # the lagged ROW must be exactly 7 CALENDAR days back — one
+        # zero-event gap day would otherwise misalign every later
+        # forecast onto the wrong weekday
+        & (F.datediff(F.to_date("day"), F.to_date("fc_day")) == 7)
+    )
     r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
     agg = scored.groupBy("event_type").agg(
         F.count("*").alias("n_days"),
@@ -1247,12 +1261,21 @@ ORACLES = {
             FROM daily
         ),
         t AS (
+            -- 7 rows AND a 6-day calendar span: a zero-event gap day would
+            -- otherwise mix non-adjacent days into the trend
             SELECT event_type, day, isodow, pv,
-                   CASE WHEN c7 = 7
+                   CASE WHEN c7 = 7 AND dspan = 6
                         THEN floor(sum7 / 7.0 * 1000000 + 0.5) / 1000000
                         END AS trend,
-                   CASE WHEN c7 = 7 THEN 7 * pv - sum7 END AS det7
-            FROM s7
+                   CASE WHEN c7 = 7 AND dspan = 6 THEN 7 * pv - sum7
+                        END AS det7
+            FROM (SELECT *,
+                         (max(day) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::DATE
+                          - min(day) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::DATE)
+                             AS dspan
+                  FROM s7)
         ),
         si AS (
             SELECT event_type, isodow,
@@ -1281,17 +1304,22 @@ ORACLES = {
             SELECT event_type, day, pv,
                    lag(pv, 7) OVER (PARTITION BY event_type ORDER BY day)
                        AS fc,
+                   lag(day, 7) OVER (PARTITION BY event_type ORDER BY day)
+                       AS fc_day,
                    row_number() OVER (PARTITION BY event_type ORDER BY day)
                        AS rn,
                    count(*) OVER (PARTITION BY event_type) AS n
             FROM daily
         ),
         e AS (
+            -- the lagged row must be exactly 7 calendar days back (gap
+            -- days would misalign forecasts onto the wrong weekday)
             SELECT event_type, count(*)::BIGINT AS n_days,
                    sum(abs(pv - fc))::BIGINT AS abs_err,
                    sum(fc - pv)::BIGINT AS sgn_err,
                    sum(pv)::BIGINT AS actual
             FROM sc WHERE fc IS NOT NULL AND rn > n - 14
+                      AND (day::DATE - fc_day::DATE) = 7
             GROUP BY 1
         )
         SELECT event_type, n_days,

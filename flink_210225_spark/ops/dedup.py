@@ -986,12 +986,16 @@ def lsh_bucket_stats(
     banded = _md5_banded(tables["documents"], num_hashes, bands, n)
     sizes = banded.groupBy("band", "bkey").agg(F.count("*").alias("s"))
     s = F.col("s")
+    # s(s−1)/2 through decimal(38,0): the mega-bucket this audit exists to
+    # catch is exactly where s(s−1) clears 2^53 and a double half would
+    # truncate; the product is even, so the decimal halving is exact
+    sdec = s.cast("decimal(38,0)")
     return sizes.groupBy("band").agg(
         F.count("*").alias("n_buckets"),
         F.sum(s).alias("n_docs"),
         F.sum((s == 1).cast("long")).alias("n_singletons"),
         F.max(s).alias("max_bucket"),
-        F.sum((s * (s - 1) / 2).cast("long")).alias("cand_pairs"),
+        F.sum(sdec * (sdec - 1) / 2).cast("long").alias("cand_pairs"),
     )
 
 

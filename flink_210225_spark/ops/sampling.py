@@ -583,10 +583,11 @@ def pps_systematic(tables: dict[str, DataFrame]) -> DataFrame:
     n = F.lit(_PPS_N)
 
     def g(x):
-        num = 2 * n * x + F.col("tot") - 1
-        return ((num - num % (2 * F.col("tot"))) / (2 * F.col("tot"))).cast(
-            "long"
-        )
+        # floor-div through decimal(38,0): the double path is exact only
+        # while 2nW < 2^53 — a conversion round there truncates a pick
+        num = (2 * n * x + F.col("tot") - 1).cast("decimal(38,0)")
+        den = (2 * F.col("tot")).cast("decimal(38,0)")
+        return ((num - num % den) / den).cast("long")
 
     picks = g(F.col("cum")) - g(F.col("cum") - F.col("w"))
     return (
@@ -613,8 +614,18 @@ def split_leakage_audit(tables: dict[str, DataFrame]) -> DataFrame:
 
     pairs = ngram_jaccard_pairs(tables, n=3, threshold=0.8)
     docs = tables["documents"]
-    splits = hash_split(tables).join(
-        docs.select("doc_id", F.md5("text").alias("digest")), "doc_id"
+    # one md5 pass: derive split AND digest from the same projection
+    # (hash_split recomputes the digest internally; scanning documents
+    # twice and joining the two derivations back on doc_id would pay a
+    # second scan for nothing and let the two rules drift apart)
+    h1 = F.substring(F.col("digest"), 1, 1)
+    splits = docs.select("doc_id", F.md5("text").alias("digest")).select(
+        "doc_id",
+        "digest",
+        F.when(h1.isin(*_VAL), F.lit("val"))
+        .when(h1.isin(*_TEST), F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
     )
     sa = splits.select(
         F.col("doc_id").alias("doc_a"),
