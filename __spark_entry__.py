@@ -93,12 +93,14 @@ def _registry():
 # value_bands, pivot_roundtrip, asof_nearest, hash_features,
 # weighted_median, dq_expectations, autocorr, js_divergence, winsorize,
 # png_meta, csv_dirty),
-# then the 32 fourth-session ops (window_mann_kendall/theil_sen/ks_test/
+# then the 34 fourth-session ops (window_mann_kendall/theil_sen/ks_test/
 # decompose/backtest, serving_gini/chi2_independence/cohort_ltv/ab_srm,
 # session_stickiness/survival_km/bot_detection/new_vs_returning,
-# text_kneser_ney/bm25_topk/glove_cooc/rouge_pairs/span_corruption,
+# text_kneser_ney/bm25_topk/glove_cooc/rouge_pairs/span_corruption/
+# lexical_diversity,
 # warehouse_bloom_index/clustering_depth/partition_skew/benford_audit,
-# multimodal_image_histogram/audio_onsets, sim_maxsim_rerank,
+# multimodal_image_histogram/audio_onsets/image_sharpness,
+# sim_maxsim_rerank,
 # sample_neyman_allocation/pps_systematic/split_leakage_audit,
 # dedup_lsh_bucket_stats, stream_topk_materialized, source_fixed_width,
 # sql_recursive_spine),

@@ -1394,7 +1394,70 @@ def audio_onsets(
     ).select("asset_id", "frame_idx", "flux", "n_flux", "tot_flux")
 
 
+def image_sharpness(tables: dict[str, DataFrame]) -> DataFrame:
+    """Gradient-energy sharpness/edge statistics on the real PNG decode —
+    the image-quality filter multimodal curation runs before training
+    (flat/blurry assets score near zero gradient energy; the edge-density
+    threshold is the cheap Sobel stand-in). Per asset: Σ|∂x| + Σ|∂y| over
+    neighboring pixels, the count of strong edges (|∇| > 32), edge
+    density, and mean gradient — ALL integers until the two final
+    6dp-pinned ratios. The oracle replays the pixel formula's gradients
+    arithmetically (never the bytes), so a decoder fault that shifts any
+    pixel breaks every per-asset row.
+
+    Plan: one Arrow decode pass, numpy diff kernels per image, zero
+    shuffle (per-asset projection)."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).cast("int").alias("seed"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in ("doc_id", "seed", "n_grads", "grad_sum", "n_edges")
+            }
+            for doc_id, seed, ft in zip(pdf["doc_id"], pdf["seed"], pdf["ft"]):
+                seed = int(seed)
+                w = 8 + 4 * (seed % 5)
+                h = 8 + 4 * ((seed * 3) % 4)
+                px = _parse_png(_png_bytes(seed, w, h, filter_type=int(ft)))[
+                    "pixels"
+                ].astype(np.int64)[:, :, 0]
+                gx = np.abs(np.diff(px, axis=1))
+                gy = np.abs(np.diff(px, axis=0))
+                out["doc_id"].append(int(doc_id))
+                out["seed"].append(seed)
+                out["n_grads"].append(int(gx.size + gy.size))
+                out["grad_sum"].append(int(gx.sum() + gy.sum()))
+                out["n_edges"].append(
+                    int((gx > 32).sum() + (gy > 32).sum())
+                )
+            yield pd.DataFrame(out)
+
+    g = base.mapInPandas(
+        gen,
+        "doc_id long, seed int, n_grads long, grad_sum long, n_edges long",
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return g.select(
+        "doc_id",
+        "seed",
+        "n_grads",
+        "grad_sum",
+        "n_edges",
+        r6(F.col("grad_sum") / F.col("n_grads")).alias("mean_grad"),
+        r6(F.col("n_edges") / F.col("n_grads")).alias("edge_density"),
+    )
+
+
 QUERIES = {
+    "multimodal_image_sharpness": image_sharpness,
     "multimodal_audio_onsets": audio_onsets,
     "multimodal_image_histogram": image_histogram_stats,
     "multimodal_caption_pairs": caption_pairs,
@@ -1482,6 +1545,51 @@ QUERIES.update({
 })
 
 ORACLES = {
+    # Gradient replay from the pixel formula over per-seed x/y grids
+    # (chained CTEs keep the two range() unnests from zipping): horizontal
+    # neighbors differ by 3 mod 256, vertical by 11 mod 256 — the wrap
+    # points ARE the strong edges the threshold counts.
+    "multimodal_image_sharpness": """
+        WITH s AS (SELECT DISTINCT (doc_id % 16) AS seed FROM documents),
+        dims AS (
+            SELECT seed, 8 + 4 * (seed % 5) AS w, 8 + 4 * ((seed * 3) % 4)
+                       AS h
+            FROM s
+        ),
+        sx AS (SELECT seed, w, h, unnest(range(w)) AS x FROM dims),
+        sxy AS (
+            SELECT sx.seed, sx.w, sx.h, sx.x, sy.y
+            FROM sx JOIN (SELECT seed, unnest(range(h)) AS y FROM dims) sy
+                 ON sx.seed = sy.seed
+        ),
+        gx AS (
+            SELECT seed,
+                   abs(((seed * 7 + 3 * (x + 1) + 11 * y) % 256)
+                       - ((seed * 7 + 3 * x + 11 * y) % 256)) AS g
+            FROM sxy WHERE x < w - 1
+        ),
+        gy AS (
+            SELECT seed,
+                   abs(((seed * 7 + 3 * x + 11 * (y + 1)) % 256)
+                       - ((seed * 7 + 3 * x + 11 * y) % 256)) AS g
+            FROM sxy WHERE y < h - 1
+        ),
+        allg AS (SELECT * FROM gx UNION ALL SELECT * FROM gy),
+        a AS (
+            SELECT seed, count(*)::BIGINT AS n_grads,
+                   sum(g)::BIGINT AS grad_sum,
+                   sum(CASE WHEN g > 32 THEN 1 ELSE 0 END)::BIGINT AS n_edges
+            FROM allg GROUP BY 1
+        )
+        SELECT d.doc_id, a.seed::INT AS seed, a.n_grads, a.grad_sum,
+               a.n_edges,
+               floor(a.grad_sum / (a.n_grads::DOUBLE) * 1000000 + 0.5)
+                   / 1000000 AS mean_grad,
+               floor(a.n_edges / (a.n_grads::DOUBLE) * 1000000 + 0.5)
+                   / 1000000 AS edge_density
+        FROM (SELECT doc_id, (doc_id % 16) AS seed FROM documents) d
+        JOIN a ON a.seed = d.seed
+    """,
     # Same PCM/framing replay as the VAD oracle; flux and the 2×-mean
     # cross-multiply threshold are pure integer window arithmetic.
     "multimodal_audio_onsets": """

@@ -2771,7 +2771,54 @@ def span_corruption_plan(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+_MATTR_W = 25
+
+
+def lexical_diversity(tables: dict[str, DataFrame]) -> DataFrame:
+    """Lexical-diversity scoring: type-token ratio plus MATTR (moving-
+    average TTR over a 25-token window — McCarthy & Jarvis's length-
+    robust fix for raw TTR's text-length bias), the vocabulary-richness
+    quality signal corpus filters use alongside repetition ratios
+    (``text_repetition`` catches loops; THIS catches poverty — low MATTR
+    means templated/listy text even when nothing literally repeats).
+    Short docs (< 25 tokens) fall back to plain TTR — stated, not padded.
+
+    Numerics: distinct counts are exact integers; MATTR's numerator is an
+    integer sum of per-window distinct counts folded in ONE array
+    expression; one division, 6dp. Plan: zero-shuffle projection — the
+    O(n·W) window scan runs per row in codegen."""
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.size(F.array_distinct("toks")).alias("n_types"),
+    )
+    n, w = F.col("n"), _MATTR_W
+    win_distinct = F.transform(
+        F.sequence(F.lit(1), n - (w - 1)),
+        lambda i: F.size(F.array_distinct(F.slice("toks", i, w))),
+    )
+    mattr_sum = F.aggregate(
+        win_distinct, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    ttr = r6(F.col("n_types") / n)
+    mattr = F.when(
+        n >= w, r6(mattr_sum / (F.lit(w) * (n - (w - 1))))
+    ).otherwise(ttr)
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        ttr.alias("ttr"),
+        mattr.alias("mattr"),
+    )
+
+
 QUERIES = {
+    "text_lexical_diversity": lexical_diversity,
     "text_span_corruption": span_corruption_plan,
     "text_kneser_ney": kneser_ney_bigrams,
     "text_bm25_topk": bm25_topk,
@@ -4436,4 +4483,30 @@ ORACLES["text_span_corruption"] = f"""
            floor(n_masked / (n::DOUBLE) * 1000000 + 0.5) / 1000000
                AS mask_rate
     FROM m
+"""
+
+# Lexical diversity: same 25-token windows (duck list slices are 1-based
+# inclusive: t[i+1 : i+25] == Spark slice(toks, i+1, 25)), integer distinct
+# sums, one 6dp division; short docs fall back to TTR on both engines.
+ORACLES["text_lexical_diversity"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ),
+    b AS (
+        SELECT doc_id, len(tk)::BIGINT AS n,
+               len(list_distinct(tk))::BIGINT AS n_types,
+               CASE WHEN len(tk) >= 25
+                    THEN list_sum(list_transform(range(len(tk) - 24),
+                             i -> len(list_distinct(tk[i + 1 : i + 25]))))
+                    END AS msum
+        FROM t
+    )
+    SELECT doc_id, n AS n_tokens, n_types,
+           floor(n_types / (n::DOUBLE) * 1000000 + 0.5) / 1000000 AS ttr,
+           CASE WHEN n >= 25
+                THEN floor(msum / ((25 * (n - 24))::DOUBLE) * 1000000 + 0.5)
+                     / 1000000
+                ELSE floor(n_types / (n::DOUBLE) * 1000000 + 0.5) / 1000000
+                END AS mattr
+    FROM b
 """
