@@ -836,7 +836,49 @@ def benford_audit(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def kanon_audit(tables: dict[str, DataFrame], k: int = 5) -> DataFrame:
+    """k-anonymity / l-diversity audit — the privacy gate a table must
+    pass before leaving the warehouse as a "de-identified" extract: group
+    customers by the quasi-identifier (nation, market segment), and per
+    equivalence class report its size, whether it meets k=5 (a class
+    smaller than k re-identifies its members by QI alone), and the
+    l-diversity of the sensitive attribute (distinct account-balance
+    BANDS — a k-anonymous class where everyone shares one sensitive value
+    still leaks it). Plus the suppression plan: rows that must be dropped
+    or generalized to reach k. Exact integer counts end to end.
+
+    Plan: one QI-grain agg off the customer scan (the nation dim
+    broadcasts); the class table is domain-bounded (25 nations × 5
+    segments)."""
+    cust, nation = tables["customer"], tables["nation"]
+    band = F.floor(F.col("c_acctbal") / 2000).cast("long")
+    classes = (
+        cust.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("class_size"),
+            F.countDistinct(band).alias("l_diversity"),
+        )
+    )
+    return classes.select(
+        "nation",
+        "segment",
+        "class_size",
+        (F.col("class_size") >= k).alias("k_anonymous"),
+        "l_diversity",
+        (F.col("l_diversity") >= 3).alias("l_diverse"),
+        F.when(F.col("class_size") >= k, F.lit(0))
+        .otherwise(F.col("class_size"))
+        .cast("long")
+        .alias("rows_to_suppress"),
+    )
+
+
 QUERIES = {
+    "warehouse_kanon_audit": kanon_audit,
     "warehouse_benford_audit": benford_audit,
     "warehouse_partition_skew": partition_skew_report,
     "warehouse_bloom_index": bloom_index_probe,
@@ -854,6 +896,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same QI grain, same banded sensitive attribute, exact counts.
+    "warehouse_kanon_audit": """
+        WITH c AS (
+            SELECT n.n_name AS nation, c_mktsegment AS segment,
+                   count(*)::BIGINT AS class_size,
+                   count(DISTINCT floor(c_acctbal / 2000)::BIGINT)::BIGINT
+                       AS l_diversity
+            FROM customer JOIN nation n ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT nation, segment, class_size,
+               (class_size >= 5) AS k_anonymous,
+               l_diversity,
+               (l_diversity >= 3) AS l_diverse,
+               (CASE WHEN class_size >= 5 THEN 0
+                     ELSE class_size END)::BIGINT AS rows_to_suppress
+        FROM c
+    """,
     # Same pinned expected-share micros (a CASE literal table), same
     # integer observed-share division and deviation flag.
     "warehouse_benford_audit": """
