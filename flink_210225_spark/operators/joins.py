@@ -729,7 +729,72 @@ def bloom_prefilter_join(
     )
 
 
+def record_linkage(tables: dict[str, DataFrame], max_dist: int = 2) -> DataFrame:
+    """Blocked record linkage (entity resolution) between the customer
+    master and a synthesized dirty CRM feed — the master-data-matching
+    workload (``dedup_edit_distance`` dedups WITHIN one corpus; this
+    links ACROSS sources with the standard block → compare → decide
+    pipeline). The feed drops 20% of records and deterministically
+    corrupts names (drop or double one character by key); blocking is the
+    name's LAST 3 characters, so a typo inside the trailing digits breaks
+    the block key and makes the record unlinkable — real blocking recall
+    loss, reported as ``no_candidate`` rather than papered over. (The
+    first 3 tail digits would be a degenerate key here — all-zero for
+    every key < 1e6, ONE mega-block, the quadratic bomb
+    ``dedup_lsh_bucket_stats`` exists to catch; block-key cardinality
+    must scale with the table.) Per master record: best candidate by
+    (levenshtein, key), accepted at distance ≤ 2.
+
+    Levenshtein is O(len²) per pair and runs ONLY on in-block candidates
+    (the one cost rule of fuzzy matching); blocks are key-equi joins.
+    Both engines ship the same plain Levenshtein, so distances hash-gate
+    exactly."""
+    cust = tables["customer"]
+    name = F.col("c_name")
+    p = F.pmod(F.col("c_custkey"), F.length(name)) + 1
+    drop_char = F.concat(
+        F.substring(name, 1, p - 1),
+        F.substring(name, p + 1, F.length(name)),
+    )
+    dup_char = F.concat(
+        F.substring(name, 1, p), F.substring(name, p, F.length(name))
+    )
+    dirty_name = (
+        F.when(F.col("c_custkey") % 3 == 0, drop_char)
+        .when(F.col("c_custkey") % 3 == 1, dup_char)
+        .otherwise(name)
+    )
+    feed = cust.where(F.col("c_custkey") % 5 != 0).select(
+        F.col("c_custkey").alias("b_key"), dirty_name.alias("b_name")
+    )
+    master = cust.select(F.col("c_custkey").alias("a_key"), name.alias("a_name"))
+    block = lambda c: F.substring(c, -3, 3)  # noqa: E731
+    cand = master.withColumn("blk", block(F.col("a_name"))).join(
+        feed.withColumn("blk", block(F.col("b_name"))), "blk"
+    )
+    scored = cand.select(
+        "a_key",
+        "b_key",
+        F.levenshtein("a_name", "b_name").alias("dist"),
+    ).where(F.col("dist") <= max_dist)
+    w = Window.partitionBy("a_key").orderBy("dist", "b_key")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("a_key", "b_key", "dist")
+    )
+    return master.select("a_key").join(best, "a_key", "left").select(
+        "a_key",
+        "b_key",
+        "dist",
+        F.when(F.col("b_key").isNotNull(), F.lit("matched"))
+        .otherwise(F.lit("no_candidate"))
+        .alias("status"),
+    )
+
+
 QUERIES = {
+    "join_record_linkage": record_linkage,
     "join_bloom_prefilter": bloom_prefilter_join,
     "join_interval_overlap": interval_overlap_join,
     "join_semi_anti": semi_anti_profile,
@@ -747,6 +812,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same corruption surgery (1-based substring arithmetic matches), same
+    # 3-digit block, same plain Levenshtein, same (dist, key) best pick.
+    "join_record_linkage": """
+        WITH feed AS (
+            SELECT c_custkey AS b_key,
+                   CASE WHEN c_custkey % 3 = 0
+                        THEN substr(c_name, 1, p - 1) || substr(c_name, p + 1)
+                        WHEN c_custkey % 3 = 1
+                        THEN substr(c_name, 1, p) || substr(c_name, p)
+                        ELSE c_name END AS b_name
+            FROM (SELECT *, (c_custkey % length(c_name))::INT + 1 AS p
+                  FROM customer)
+            WHERE c_custkey % 5 != 0
+        ),
+        master AS (
+            SELECT c_custkey AS a_key, c_name AS a_name FROM customer
+        ),
+        cand AS (
+            SELECT a_key, b_key,
+                   levenshtein(a_name, b_name) AS dist
+            FROM master JOIN feed
+                 ON substr(a_name, -3, 3) = substr(b_name, -3, 3)
+            WHERE levenshtein(a_name, b_name) <= 2
+        ),
+        best AS (
+            SELECT a_key, b_key, dist
+            FROM (SELECT *, row_number() OVER (PARTITION BY a_key
+                                               ORDER BY dist, b_key) AS rn
+                  FROM cand)
+            WHERE rn = 1
+        )
+        SELECT m.a_key, best.b_key, best.dist,
+               CASE WHEN best.b_key IS NOT NULL THEN 'matched'
+                    ELSE 'no_candidate' END AS status
+        FROM master m LEFT JOIN best ON m.a_key = best.a_key
+    """,
     # Two native ASOFs (backward + forward) over tie-deduped views (max
     # event_id prior / min event_id after — the Spark carries' rules),
     # CASE pick with the prior-on-tie rule.

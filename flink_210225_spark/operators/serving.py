@@ -893,7 +893,70 @@ def ab_srm_gate(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def anova_segments(tables: dict[str, DataFrame]) -> DataFrame:
+    """One-way ANOVA across market segments (does mean account balance
+    differ by segment?) — completing the classical-test family (chi² for
+    counts, KS for distributions, Mann-Kendall for trend, SRM for
+    allocation; ANOVA is the k-group mean comparison). Sums, counts and
+    Σx² are exact integers/decimals; the ONLY multi-term float sum,
+    T = Σ_g S_g²/n_g, folds over the k=5 groups in FIXED segment order on
+    both engines (a groupBy sum would add in engine-arbitrary order and
+    flake the hash). F and η² are pinned at 6dp; df carried so the reader
+    applies their own critical value (a pinned F-crit would need a df₂
+    lookup — chi²/SRM pin theirs because df is constant there).
+
+    Plan: one segment-grain agg off the customer scan, one 5-row fold."""
+    cust = tables["customer"]
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = cust.select(F.col("c_mktsegment").alias("seg"), cents.alias("v")).groupBy(
+        "seg"
+    ).agg(
+        F.count("*").alias("ng"),
+        F.sum(dec(F.col("v"))).alias("sg"),
+        F.sum(dec(F.col("v")) * dec(F.col("v"))).alias("qq_g"),
+    )
+    glob = g.agg(
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qq_g").alias("qq"),
+        F.count("*").alias("k"),
+        F.sort_array(
+            F.collect_list(
+                F.struct("seg", F.col("sg").cast("double").alias("sgd"), "ng")
+            )
+        ).alias("arr"),
+    )
+    t_val = F.aggregate(
+        F.col("arr"),
+        F.lit(0.0),
+        lambda acc, x: acc + x["sgd"] * x["sgd"] / x["ng"],
+    )
+    sd = F.col("s").cast("double")
+    staged = glob.select(
+        "n",
+        "k",
+        F.col("qq").cast("double").alias("qqd"),
+        t_val.alias("t_val"),
+        sd.alias("sd"),
+    )
+    ssb = F.col("t_val") - F.col("sd") * F.col("sd") / F.col("n")
+    ssw = F.col("qqd") - F.col("t_val")
+    sst = F.col("qqd") - F.col("sd") * F.col("sd") / F.col("n")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return staged.select(
+        "n",
+        "k",
+        (F.col("k") - 1).alias("df1"),
+        (F.col("n") - F.col("k")).alias("df2"),
+        r6(f_stat).alias("f_stat"),
+        r6(ssb / sst).alias("eta_sq"),
+    )
+
+
 QUERIES = {
+    "serving_anova_segments": anova_segments,
     "serving_ab_srm": ab_srm_gate,
     "serving_chi2_independence": chi2_independence,
     "serving_cohort_ltv": cohort_ltv,
@@ -919,6 +982,39 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Exact HUGEINT moments; the one multi-term float sum T = Σ S_g²/n_g
+    # folds left-to-right in segment order (list_reduce == F.aggregate).
+    "serving_anova_segments": """
+        WITH x AS (
+            SELECT c_mktsegment AS seg,
+                   floor(c_acctbal * 100 + 0.5)::BIGINT AS v
+            FROM customer
+        ),
+        g AS (
+            SELECT seg, count(*)::BIGINT AS ng, sum(v)::HUGEINT AS sg
+            FROM x GROUP BY 1
+        ),
+        gl AS (
+            SELECT count(*)::BIGINT AS n, sum(v)::HUGEINT AS s,
+                   sum(v::HUGEINT * v)::HUGEINT AS qq
+            FROM x
+        ),
+        t AS (
+            SELECT list_reduce(
+                       list(sg::DOUBLE * sg::DOUBLE / ng ORDER BY seg),
+                       (a, b) -> a + b) AS t_val,
+                   count(*)::BIGINT AS k
+            FROM g
+        )
+        SELECT n, k, (k - 1)::BIGINT AS df1, (n - k)::BIGINT AS df2,
+               floor(((t_val - s::DOUBLE * s::DOUBLE / n) / (k - 1))
+                     / ((qq::DOUBLE - t_val) / (n - k))
+                     * 1000000 + 0.5) / 1000000 AS f_stat,
+               floor((t_val - s::DOUBLE * s::DOUBLE / n)
+                     / (qq::DOUBLE - s::DOUBLE * s::DOUBLE / n)
+                     * 1000000 + 0.5) / 1000000 AS eta_sq
+        FROM gl, t
+    """,
     # Same parity assignment; the rejection is pure integer cross-multiply.
     "serving_ab_srm": """
         WITH u AS (SELECT DISTINCT user_id FROM events),
