@@ -514,6 +514,90 @@ def uv_sketch_weekly(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def audience_overlap(tables: dict[str, DataFrame]) -> DataFrame:
+    """Audience-overlap matrix via sketch INCLUSION-EXCLUSION — the
+    audience-analytics query (how many users do segments A and B share?)
+    answered from pre-aggregated HLL sketches: |A∩B| ≈ |A| + |B| − |A∪B|,
+    where |A∪B| comes from UNIONING the two per-type sketches — the
+    operation plain countDistinct can never do from rollups
+    (``window_uv_sketch_weekly`` exercises union-over-time; this is
+    union-across-segments, the other half of mergeability). Audit
+    contract: the output carries independently-recomputable EXACT counts
+    and banded booleans (union ≤ 8%, overlap ≤ 15% — the overlap is a
+    DIFFERENCE of estimates, so its relative band is wider); the oracle
+    recomputes the exact side and emits literal TRUE.
+
+    The 5-type domain comes back to the driver once (a config-sized list,
+    the router precedent) so the pair frame is literal and every join
+    stays equi — a 5-row non-equi self-join would plan the BNLJ the
+    blanket cartesian gate forbids."""
+    ev = tables["events"]
+    spark = ev.sparkSession
+    types = sorted(
+        r[0] for r in ev.select("event_type").distinct().collect()
+    )
+    pair_rows = [
+        (a, b, f"{a}|{b}") for i, a in enumerate(types) for b in types[i + 1 :]
+    ]
+    pair_df = spark.createDataFrame(pair_rows, "ta string, tb string, pair string")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+    )
+    # two membership rows per pair → one union agg per pair
+    memb = pair_df.select(
+        "pair", F.col("ta").alias("event_type")
+    ).unionByName(pair_df.select("pair", F.col("tb").alias("event_type")))
+    union_est = (
+        memb.join(per_type, "event_type")
+        .groupBy("pair")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias(
+                "est_union"
+            )
+        )
+    )
+    a_side = per_type.select(
+        F.col("event_type").alias("ta"),
+        F.col("n_exact").alias("n_a"),
+    )
+    b_side = per_type.select(
+        F.col("event_type").alias("tb"),
+        F.col("n_exact").alias("n_b"),
+    )
+    ut = ev.select("user_id", "event_type").distinct()
+    ov = (
+        ut.alias("x")
+        .join(ut.alias("y"), "user_id")
+        .where(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("ta"), F.col("y.event_type").alias("tb")
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_overlap"))
+    )
+    exact_union = F.col("n_a") + F.col("n_b") - F.col("exact_overlap")
+    est_overlap = F.col("n_a") + F.col("n_b") - F.col("est_union")
+    joined = (
+        pair_df.join(F.broadcast(a_side), "ta")
+        .join(F.broadcast(b_side), "tb")
+        .join(ov, ["ta", "tb"])
+        .join(union_est, "pair")
+    )
+    return joined.select(
+        "ta",
+        "tb",
+        "n_a",
+        "n_b",
+        "exact_overlap",
+        (F.abs(F.col("est_union") / exact_union - 1.0) <= 0.08).alias(
+            "union_ok"
+        ),
+        (F.abs(est_overlap / F.col("exact_overlap") - 1.0) <= 0.15).alias(
+            "overlap_ok"
+        ),
+    )
+
+
 def daily_anomaly_mad(tables: dict[str, DataFrame], k: float = 3.0) -> DataFrame:
     """Robust sibling of ``daily_anomaly``: median/MAD instead of mean/σ —
     one genuinely anomalous day inflates σ and can mask itself (the
@@ -1213,6 +1297,7 @@ def forecast_backtest(tables: dict[str, DataFrame]) -> DataFrame:
 
 
 QUERIES = {
+    "window_audience_overlap": audience_overlap,
     "window_decompose": classical_decompose,
     "window_backtest": forecast_backtest,
     "window_mann_kendall": mann_kendall_trend,
@@ -1243,6 +1328,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    # uv_sketch audit pattern: exact counts recomputed, sketch-side bands
+    # emitted as literal TRUE (a union/inclusion-exclusion regression on
+    # the Spark side flips the boolean and breaks the hash).
+    "window_audience_overlap": """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        pt AS (
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n
+            FROM events GROUP BY 1
+        ),
+        ov AS (
+            SELECT x.event_type AS ta, y.event_type AS tb,
+                   count(DISTINCT x.user_id)::BIGINT AS exact_overlap
+            FROM ut x JOIN ut y ON x.user_id = y.user_id
+                              AND x.event_type < y.event_type
+            GROUP BY 1, 2
+        )
+        SELECT ov.ta, ov.tb, a.n AS n_a, b.n AS n_b, exact_overlap,
+               TRUE AS union_ok, TRUE AS overlap_ok
+        FROM ov JOIN pt a ON a.event_type = ov.ta
+                JOIN pt b ON b.event_type = ov.tb
+    """,
     # Same 7-scaled detrending (integer until the weekday mean), pinned
     # components, residual against the pinned values.
     "window_decompose": """
