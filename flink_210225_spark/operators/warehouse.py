@@ -877,7 +877,37 @@ def kanon_audit(tables: dict[str, DataFrame], k: int = 5) -> DataFrame:
     )
 
 
+def data_masking(tables: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic format-preserving data masking — the de-identified-
+    extract WRITER next to ``warehouse_kanon_audit``'s gate: customer
+    names become 'Customer#' + a 12-digit md5-derived token (same shape
+    as the original key format, stable across runs so joins on the masked
+    extract still work — the property tokenization exists for), balances
+    coarsen to 1000-unit bands, and direct identifiers drop. The output
+    IS the masked extract; hash-gating it end-to-end pins the whole
+    masking rule. Token collisions are birthday-bounded (~n²/2·10¹²) and
+    deterministic — a real collision would show in both engines alike.
+
+    Plan: one projection, zero shuffle."""
+    cust = tables["customer"]
+    tok = F.lpad(
+        F.pmod(
+            F.conv(F.substring(F.md5("c_name"), 1, 12), 16, 10).cast("long"),
+            F.lit(1_000_000_000_000),
+        ).cast("string"),
+        12,
+        "0",
+    )
+    band = (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long")
+    return cust.select(
+        F.concat(F.lit("Customer#"), tok).alias("masked_name"),
+        F.col("c_mktsegment").alias("segment"),
+        band.alias("acctbal_band"),
+    )
+
+
 QUERIES = {
+    "warehouse_data_masking": data_masking,
     "warehouse_kanon_audit": kanon_audit,
     "warehouse_benford_audit": benford_audit,
     "warehouse_partition_skew": partition_skew_report,
@@ -896,6 +926,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same md5-derived token surgery and band coarsening; the extract
+    # itself is the gated artifact.
+    "warehouse_data_masking": """
+        SELECT 'Customer#' || lpad(
+                   ((('0x' || substr(md5(c_name), 1, 12))::UBIGINT
+                     % 1000000000000)::BIGINT)::VARCHAR, 12, '0')
+                   AS masked_name,
+               c_mktsegment AS segment,
+               (floor(c_acctbal / 1000) * 1000)::BIGINT AS acctbal_band
+        FROM customer
+    """,
     # Same QI grain, same banded sensitive attribute, exact counts.
     "warehouse_kanon_audit": """
         WITH c AS (

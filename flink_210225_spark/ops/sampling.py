@@ -666,7 +666,73 @@ def split_leakage_audit(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+# Poisson(1) multiplicity thresholds on a 16-bit hash, cumulative·65536,
+# pinned as INTEGER literals on both engines (P(X≥6) ≈ 6e-4 caps at 5).
+_BOOT_THRESH = (24109, 48218, 60273, 64291, 65296)
+_BOOT_B = 32
+
+
+def poisson_bootstrap(tables: dict[str, DataFrame]) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order total —
+    THE distributed bootstrap (Chamandy et al. / Google's "Estimating
+    Uncertainty for Massive Data Streams"): classical resampling needs a
+    global sample-with-replacement per replicate (a shuffle per
+    replicate); the Poisson trick gives each row an independent
+    Poisson(1) multiplicity per replicate, so ALL B replicates compute in
+    ONE pass over the data with a B-way explode — no global resample, no
+    coordination. Multiplicities are derandomized through md5(key|b)
+    16-bit thresholds (the established hex-Bernoulli pattern), so the
+    whole CI is deterministic and hash-gates. Replicate means are exact
+    integer-cents ratios; the 2.5/97.5% quantiles interpolate identically
+    cross-engine (percentile == quantile_cont).
+
+    Plan: one fact scan × B=32 exploded rows, one replicate-grain agg,
+    one 32-row quantile. At 100 TB: same one pass — the entire point."""
+    orders = tables["orders"]
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = orders.select(F.col("o_orderkey").alias("k"), cents.alias("v"))
+    b_col = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    ex = base.select("k", "v", b_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("k"), F.col("b"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    t = _BOOT_THRESH
+    m = (
+        F.when(h < t[0], 0)
+        .when(h < t[1], 1)
+        .when(h < t[2], 2)
+        .when(h < t[3], 3)
+        .when(h < t[4], 4)
+        .otherwise(5)
+    )
+    reps = ex.select("b", "v", m.alias("m")).groupBy("b").agg(
+        F.sum(F.col("m") * F.col("v")).alias("sv"),
+        F.sum("m").alias("sm"),
+    )
+    rep_mean = (F.col("sv") / F.col("sm")).alias("rm")
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    booted = reps.select(rep_mean).agg(
+        F.count("*").alias("n_replicates"),
+        r6(F.percentile("rm", F.lit(0.025))).alias("boot_lo"),
+        r6(F.percentile("rm", F.lit(0.975))).alias("boot_hi"),
+    )
+    # full-data point estimate rides scalar subqueries (a 1-row × 1-row
+    # join would plan the BNLJ the blanket cartesian gate forbids)
+    mean_full = base.agg(r6(F.sum("v") / F.count("*"))).scalar()
+    n_rows = base.agg(F.count("*")).scalar()
+    return booted.select(
+        n_rows.alias("n_rows"),
+        mean_full.alias("mean_cents"),
+        "n_replicates",
+        "boot_lo",
+        "boot_hi",
+    )
+
+
 QUERIES = {
+    "sample_poisson_bootstrap": poisson_bootstrap,
     "sample_split_leakage_audit": split_leakage_audit,
     "sample_pps_systematic": pps_systematic,
     "sample_neyman_allocation": neyman_allocation,
@@ -713,6 +779,49 @@ def _importance_resample_oracle() -> str:
 
 
 ORACLES = {
+    # Same md5(key|b) 16-bit thresholds, same Poisson(1) multiplicity cap,
+    # exact integer replicate sums, quantile_cont == percentile.
+    "sample_poisson_bootstrap": f"""
+        WITH base AS (
+            SELECT o_orderkey AS k,
+                   floor(o_totalprice * 100 + 0.5)::BIGINT AS v
+            FROM orders
+        ),
+        ex AS (
+            SELECT k, v, rb.b AS b FROM base, range({_BOOT_B}) rb(b)
+        ),
+        mm AS (
+            SELECT b, v,
+                   CASE WHEN h < {_BOOT_THRESH[0]} THEN 0
+                        WHEN h < {_BOOT_THRESH[1]} THEN 1
+                        WHEN h < {_BOOT_THRESH[2]} THEN 2
+                        WHEN h < {_BOOT_THRESH[3]} THEN 3
+                        WHEN h < {_BOOT_THRESH[4]} THEN 4
+                        ELSE 5 END AS m
+            FROM (SELECT b, v,
+                         (('0x' || substr(md5(k::VARCHAR || '|'
+                                              || b::VARCHAR),
+                                          1, 4))::UBIGINT)::BIGINT AS h
+                  FROM ex)
+        ),
+        reps AS (
+            SELECT b, sum(m * v)::BIGINT AS sv, sum(m)::BIGINT AS sm
+            FROM mm GROUP BY 1
+        ),
+        booted AS (
+            SELECT count(*)::BIGINT AS n_replicates,
+                   floor(quantile_cont(sv / (sm::DOUBLE), 0.025) * 1000000
+                         + 0.5) / 1000000 AS boot_lo,
+                   floor(quantile_cont(sv / (sm::DOUBLE), 0.975) * 1000000
+                         + 0.5) / 1000000 AS boot_hi
+            FROM reps
+        )
+        SELECT (SELECT count(*) FROM base)::BIGINT AS n_rows,
+               (SELECT floor(sum(v) / (count(*)::DOUBLE) * 1000000 + 0.5)
+                           / 1000000 FROM base) AS mean_cents,
+               n_replicates, boot_lo, boot_hi
+        FROM booted
+    """,
     # Composes the gated exact-Jaccard pair SQL (threshold 0.8) with the
     # md5-first-hex split rule; digest-equal pairs share a split by
     # construction, so n_exact_cross recomputes to 0 on both engines.

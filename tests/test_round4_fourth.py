@@ -413,3 +413,31 @@ def test_onset_threshold_model(energies):
     const = [5] * 10
     cf = [max(const[i] - const[i - 1], 0) for i in range(1, 10)]
     assert all(not (f * len(cf) > 2 * sum(cf)) for f in cf)
+
+
+# --- Poisson bootstrap: pinned thresholds == Poisson(1) CDF ---
+
+
+def test_poisson_bootstrap_thresholds():
+    """The 16-bit multiplicity thresholds both engines pin are the
+    correctly rounded cumulative Poisson(1) probabilities ×65536, and the
+    induced multiplicity distribution has mean ≈ 1 (the property that
+    makes Poisson-bootstrap replicate sizes unbiased)."""
+    from flink_210225_spark.ops.sampling import _BOOT_THRESH
+
+    cum = 0.0
+    fact = 1
+    for i, t in enumerate(_BOOT_THRESH):
+        if i > 0:
+            fact *= i
+        cum += math.exp(-1) / fact
+        assert t == math.floor(cum * 65536)
+    # E[m] over the discretized distribution (cap at 5)
+    probs = []
+    prev = 0
+    for t in _BOOT_THRESH:
+        probs.append((t - prev) / 65536)
+        prev = t
+    probs.append((65536 - prev) / 65536)
+    mean = sum(i * p for i, p in enumerate(probs))
+    assert abs(mean - 1.0) < 0.01
