@@ -93,15 +93,18 @@ def _registry():
 # value_bands, pivot_roundtrip, asof_nearest, hash_features,
 # weighted_median, dq_expectations, autocorr, js_divergence, winsorize,
 # png_meta, csv_dirty),
-# then the 34 fourth-session ops (window_mann_kendall/theil_sen/ks_test/
-# decompose/backtest, serving_gini/chi2_independence/cohort_ltv/ab_srm,
+# then the 40 fourth-session ops (window_mann_kendall/theil_sen/ks_test/
+# decompose/backtest/audience_overlap,
+# serving_gini/chi2_independence/cohort_ltv/ab_srm/anova_segments,
 # session_stickiness/survival_km/bot_detection/new_vs_returning,
 # text_kneser_ney/bm25_topk/glove_cooc/rouge_pairs/span_corruption/
 # lexical_diversity,
-# warehouse_bloom_index/clustering_depth/partition_skew/benford_audit,
+# warehouse_bloom_index/clustering_depth/partition_skew/benford_audit/
+# kanon_audit/data_masking,
 # multimodal_image_histogram/audio_onsets/image_sharpness,
-# sim_maxsim_rerank,
-# sample_neyman_allocation/pps_systematic/split_leakage_audit,
+# sim_maxsim_rerank, join_record_linkage,
+# sample_neyman_allocation/pps_systematic/split_leakage_audit/
+# poisson_bootstrap,
 # dedup_lsh_bucket_stats, stream_topk_materialized, source_fixed_width,
 # sql_recursive_spine),
 # then the SCD2/CDC re-gates, then the r1-only greens (sql_* tumbles,
