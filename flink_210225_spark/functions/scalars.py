@@ -35,6 +35,17 @@ def oracle_round2(expr: str) -> str:
     return f"floor(({expr}) * 100 + 0.5) / 100"
 
 
+def round6(col: Column) -> Column:
+    """Scale-6 HALF_UP pin — the cross-engine float-determinism rule every
+    ratio/statistic query applies before hashing (same rationale as
+    ``round2``: floor(x·10⁶+0.5)/10⁶ is the identical pure double
+    expression on both engines, where F.round/ROUND diverge on shortest-
+    decimal vs binary-value rounding). Oracle spelling:
+    ``floor((expr) * 1000000 + 0.5) / 1000000``. The rule is load-bearing
+    for every hash gate — change it HERE, nowhere else."""
+    return F.floor(col * 1000000 + F.lit(0.5)) / 1000000
+
+
 def to_yyyymmdd(ts: Column) -> Column:
     """ClickHouse toYYYYMMDD analog (ProductStatsMapper.java:17)."""
     return F.date_format(ts, "yyyyMMdd").cast("int")

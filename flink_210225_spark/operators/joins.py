@@ -830,11 +830,14 @@ ORACLES = {
             SELECT c_custkey AS a_key, c_name AS a_name FROM customer
         ),
         cand AS (
-            SELECT a_key, b_key,
-                   levenshtein(a_name, b_name) AS dist
-            FROM master JOIN feed
-                 ON substr(a_name, -3, 3) = substr(b_name, -3, 3)
-            WHERE levenshtein(a_name, b_name) <= 2
+            -- distance computed ONCE (DuckDB does not CSE across the
+            -- filter and projection; Levenshtein dominates the oracle)
+            SELECT a_key, b_key, dist FROM (
+                SELECT a_key, b_key,
+                       levenshtein(a_name, b_name) AS dist
+                FROM master JOIN feed
+                     ON substr(a_name, -3, 3) = substr(b_name, -3, 3)
+            ) WHERE dist <= 2
         ),
         best AS (
             SELECT a_key, b_key, dist

@@ -27,7 +27,7 @@ import pandas as pd  # module-level: postponed annotations stringify the
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from flink_210225_spark.functions.scalars import cond_sum, guarded_ratio, revenue, round2
+from flink_210225_spark.functions.scalars import cond_sum, guarded_ratio, revenue, round2, round6
 
 # --- /gmv — total revenue for a period (ProductStatsMapper.java:17-18) ---
 
@@ -397,7 +397,7 @@ def basket_triangles(tables: dict[str, DataFrame], min_support: int = 2) -> Data
     one = e.sparkSession.range(1)
     n_wedges = nodes_wedges.select("n_wedges").scalar()
     n_tri = tri.select("t").scalar()
-    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    r6 = round6
     return one.select(
         nodes_wedges.select("n_nodes").scalar().alias("n_nodes"),
         e.agg(F.count("*").alias("c")).scalar().alias("n_edges"),
@@ -428,7 +428,7 @@ def pareto_abc(tables: dict[str, DataFrame]) -> DataFrame:
     w = Window.orderBy(F.desc("rev"), F.asc("brand")).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    r6 = round6
     cum = r6(F.sum("rev").over(w) / total)
     ranked = rev.withColumn("cum_share", cum).withColumn(
         "abc_class",
@@ -738,7 +738,7 @@ def revenue_concentration(tables: dict[str, DataFrame]) -> DataFrame:
     )
     # Σ(2i−n−1)·x = Σ(2i−1)·x − n·Σx: fold the rank sum first, subtract once.
     g_num = F.col("g_raw") - (n * F.col("total_cents")).cast("decimal(38,0)")
-    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    r6 = round6
     gini = g_num.cast("double") / (n * F.col("total_cents")).cast("double")
     hhi = F.col("sumsq").cast("double") / (
         F.col("total_cents").cast("double") * F.col("total_cents").cast("double")
@@ -944,7 +944,7 @@ def anova_segments(tables: dict[str, DataFrame]) -> DataFrame:
     ssw = F.col("qqd") - F.col("t_val")
     sst = F.col("qqd") - F.col("sd") * F.col("sd") / F.col("n")
     f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
-    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    r6 = round6
     return staged.select(
         "n",
         "k",

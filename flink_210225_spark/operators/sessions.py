@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from flink_210225_spark.functions.scalars import fmt_ymd_hms, round2
+from flink_210225_spark.functions.scalars import fmt_ymd_hms, round2, round6
 
 
 def sessionize(tables: dict[str, DataFrame], gap_sec: int = 1800) -> DataFrame:
@@ -563,7 +563,7 @@ def bot_detection(tables: dict[str, DataFrame]) -> DataFrame:
             F.lit(0).cast("decimal(38,0)"),
         ).alias("sdd"),
     )
-    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    r6 = round6
     epm = F.when(
         F.col("span_us") > 0,
         r6(F.col("n_events") * F.lit(60_000_000) / F.col("span_us")),

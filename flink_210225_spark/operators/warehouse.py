@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_210225_spark.functions.scalars import round6
+
 
 def write_stats(df: DataFrame, path: str, dt_col: str = "stt", mode: str = "append") -> None:
     """Land a stats table partitioned by calendar day of ``dt_col``.
@@ -767,7 +769,7 @@ def partition_skew_report(tables: dict[str, DataFrame]) -> DataFrame:
     files = _file_inventory(tables["orders"])
     wr = Window.partitionBy("part_month").orderBy("file_bytes", "bucket")
     ranked = files.withColumn("i", F.row_number().over(wr))
-    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    r6 = round6
     agg = ranked.groupBy("part_month").agg(
         F.count("*").alias("n_files"),
         F.sum("file_bytes").alias("total_bytes"),

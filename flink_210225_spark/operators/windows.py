@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from flink_210225_spark.functions.scalars import fmt_ymd_hms, round2
+from flink_210225_spark.functions.scalars import fmt_ymd_hms, round2, round6
 
 # Epoch-aligned origin handed to DuckDB's time_bucket so its buckets match
 # Spark's window() (which aligns to 1970-01-01 00:00:00 UTC).
@@ -1207,7 +1207,7 @@ def classical_decompose(tables: dict[str, DataFrame]) -> DataFrame:
     w7 = (
         Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
     )
-    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    r6 = round6
     # full ⇔ 7 ROWS spanning exactly 6 CALENDAR days: a count alone can't
     # see a zero-event gap day, and a gapped window would mix non-adjacent
     # days into the trend (and poison the weekday seasonal means)
@@ -1280,7 +1280,7 @@ def forecast_backtest(tables: dict[str, DataFrame]) -> DataFrame:
         # forecast onto the wrong weekday
         & (F.datediff(F.to_date("day"), F.to_date("fc_day")) == 7)
     )
-    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    r6 = round6
     agg = scored.groupBy("event_type").agg(
         F.count("*").alias("n_days"),
         F.sum(F.abs(F.col("pv") - F.col("fc"))).alias("abs_err"),

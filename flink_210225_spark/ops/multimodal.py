@@ -28,6 +28,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from flink_210225_spark.functions.scalars import round6
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -1444,7 +1446,7 @@ def image_sharpness(tables: dict[str, DataFrame]) -> DataFrame:
         gen,
         "doc_id long, seed int, n_grads long, grad_sum long, n_edges long",
     )
-    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    r6 = round6
     return g.select(
         "doc_id",
         "seed",

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_210225_spark.functions.scalars import round6
+
 # First hex char of md5(text) → 16 equiprobable buckets:
 # 0-9,a,b = train (75%), c,d = val (12.5%), e,f = test (12.5%).
 _VAL = ("c", "d")
@@ -423,7 +425,7 @@ def class_weights(tables: dict[str, DataFrame]) -> DataFrame:
     k_cls = F.count("*").over(Window.partitionBy())
     w_raw = n_tot / (k_cls * F.col("n_docs"))
     w_sum = F.sum(n_tot / (k_cls * F.col("n_docs"))).over(Window.partitionBy())
-    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    r6 = round6
     return per.select(
         "lang",
         "n_docs",
@@ -712,7 +714,7 @@ def poisson_bootstrap(tables: dict[str, DataFrame]) -> DataFrame:
         F.sum("m").alias("sm"),
     )
     rep_mean = (F.col("sv") / F.col("sm")).alias("rm")
-    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    r6 = round6
     booted = reps.select(rep_mean).agg(
         F.count("*").alias("n_replicates"),
         r6(F.percentile("rm", F.lit(0.025))).alias("boot_lo"),

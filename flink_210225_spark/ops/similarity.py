@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_210225_spark.functions.scalars import round6
+
 DIM = 64
 
 
@@ -1124,7 +1126,7 @@ def embed_dim_stats(tables: dict[str, DataFrame]) -> DataFrame:
     e = emb.select(
         F.posexplode(_as_double(F.col("embedding"))).alias("dim", "x")
     )
-    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    r6 = round6
     return e.groupBy("dim").agg(
         F.count("*").alias("n"),
         r6(F.avg("x")).alias("mean_x"),
@@ -1155,7 +1157,7 @@ def whiten_embeddings(tables: dict[str, DataFrame]) -> DataFrame:
     64-row broadcast."""
     emb = tables["embeddings"]
     v = _as_double(F.col("embedding"))
-    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    r6 = round6
     e = emb.select(F.posexplode(v).alias("dim", "x"))
     st = e.groupBy("dim").agg(
         r6(F.avg("x")).alias("m"), r6(F.stddev_pop("x")).alias("s")
@@ -1638,7 +1640,7 @@ def outlier_zscore(tables: dict[str, DataFrame], z_cut: float = 2.5) -> DataFram
     per-label moment table is another tiny broadcast. Zero wide shuffles on
     the corpus."""
     emb = tables["embeddings"]
-    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    r6 = round6
     r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
     v = _as_double(F.col("embedding"))
     e = emb.select("vec_id", "label", v.alias("v"))
@@ -1836,7 +1838,7 @@ def contrastive_pairs(
             F.col("rn").alias("rank"),
         )
     )
-    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    r6 = round6
     pos = (
         scored.filter(F.col("other_label") == F.col("anchor_label"))
         .groupBy("anchor_id")

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_210225_spark.functions.scalars import round6
+
 TOKEN_SPLIT_RE = r"\s+"
 
 # Tiny per-language stopword lists for the n-gram/stopword-vote language ID.
@@ -1780,7 +1782,7 @@ def quality_rrf(tables: dict[str, DataFrame], k: int = 60) -> DataFrame:
         + 1.0 / (F.lit(k) + F.col("rank_d"))
         + 1.0 / (F.lit(k) + F.col("rank_p"))
     )
-    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    r6 = round6
     return ranked.select(
         "doc_id", "lang", "rank_q", "rank_d", "rank_p", r6(rrf).alias("rrf")
     )
@@ -2701,7 +2703,7 @@ def rouge_pairs(tables: dict[str, DataFrame]) -> DataFrame:
         .join(lb, "b_id")
         .fillna(0, ["ov1", "ov2"])
     )
-    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    r6 = round6
     f1 = F.when(
         F.col("la1") + F.col("lb1") > 0,
         r6(2 * F.col("ov1") / (F.col("la1") + F.col("lb1"))),
@@ -2803,7 +2805,7 @@ def lexical_diversity(tables: dict[str, DataFrame]) -> DataFrame:
     mattr_sum = F.aggregate(
         win_distinct, F.lit(0).cast("long"), lambda acc, v: acc + v
     )
-    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    r6 = round6
     ttr = r6(F.col("n_types") / n)
     mattr = F.when(
         n >= w, r6(mattr_sum / (F.lit(w) * (n - (w - 1))))
