@@ -74,97 +74,72 @@ def _registry():
 # (CORRECTNESS_r01 checked exactly the first 50 of 114). Rotation policy:
 # each round, the front of the registry holds the oracle-gated queries with
 # no green CORRECTNESS row from any prior round; already-verified and
-# rows-only queries sort behind them. Round 4 window = ALL 47 never-gated
-# queries (6 queued past round 3's gate + the 22 first-session operators +
-# the 19 second-session operators: CUSUM + streaming-CUSUM cascade +
-# seasonal anomaly, PMI / RAKE / LR-trainer / BPE-merge / chunk-dedup
-# text ops, path mining + bounce rate, image-aHash / audio-VAD /
-# video-cuts real-codec trio, compaction + vacuum planners, JL audit,
-# filtered top-k, DSIR resampler, triangle census) + 3 of the 25
-# third-session operators (the session-window streaming capstone, IVM
-# delta-merge, bloom-prefiltered join — the three SCD2/CDC re-gate slots
-# gave way: never-gated beats re-gate). Round 5 queue, in order: the 35
-# remaining third-session ops (wow_growth, token_sort, kfold,
-# readability, ab_lift, epoch_plan, stupid_backoff, interval_overlap,
-# holt_winters, basket_kcore, image_whash, audio_fingerprint,
-# zonemap_prune, label_prop, weak_labels, class_weights,
-# uv_sketch_weekly, video_keyframes, jsonl_dirty, deletion_vectors,
-# time_to_convert, analyze_stats, sql_session_gaps, sql_brand_topn,
-# value_bands, pivot_roundtrip, asof_nearest, hash_features,
-# weighted_median, dq_expectations, autocorr, js_divergence, winsorize,
-# png_meta, csv_dirty),
-# then the 40 fourth-session ops (window_mann_kendall/theil_sen/ks_test/
-# decompose/backtest/audience_overlap,
-# serving_gini/chi2_independence/cohort_ltv/ab_srm/anova_segments,
-# session_stickiness/survival_km/bot_detection/new_vs_returning,
-# text_kneser_ney/bm25_topk/glove_cooc/rouge_pairs/span_corruption/
-# lexical_diversity,
-# warehouse_bloom_index/clustering_depth/partition_skew/benford_audit/
-# kanon_audit/data_masking,
-# multimodal_image_histogram/audio_onsets/image_sharpness,
-# sim_maxsim_rerank, join_record_linkage,
-# sample_neyman_allocation/pps_systematic/split_leakage_audit/
-# poisson_bootstrap,
-# dedup_lsh_bucket_stats, stream_topk_materialized, source_fixed_width,
-# sql_recursive_spine),
-# then the SCD2/CDC re-gates, then the r1-only greens (sql_* tumbles,
+# rows-only queries sort behind them. Round 5 window = the FIXED
+# text_inverted_index (r4's one red row: list-typed postings_head errs the
+# driver canonicalizer; now comma-joined on both engines) + 49 of the 75
+# remaining never-driver-gated oracle queries, in registry order. Round 6
+# queue, in order: the 26 deferred oracle queries (text_glove_cooc,
+# text_rouge_pairs, text_readability, text_stupid_backoff,
+# text_weak_labels, text_hash_features, text_js_divergence,
+# dedup_token_sort, dedup_label_prop, dedup_lsh_bucket_stats,
+# sim_maxsim_rerank, the 7 multimodal_* r4 ops, the 8 sample_* r4 ops),
+# then any round-5 additions, then the 12 rows-only entries for their
+# weaker rows check, then the SCD2/CDC re-gates (cdc_scd2_history,
+# cdc_scd2_lookup, cdc_route_config — untouched-code re-hash pending since
+# r1), then the r1-only greens (sql_* tumbles,
 # join_skew_profile/interval_outer, the window_* rollup family, log_*,
-# session_gaps/window_native, serving_* endpoints, …).
+# session_gaps/window_native, serving_* endpoints, ...).
 _CHECK_WINDOW = [
-    # --- never driver-gated: queued from round 3 ---
-    "join_salted",
-    "multimodal_wav_segments",
-    "stream_upsert_materialized",
-    "sim_mips_topk",
-    "sim_mips_audit",
-    "window_holt",
-    # --- never driver-gated: new in round 4 ---
-    "session_funnel_windowed",
-    "stream_funnel_materialized",
-    "serving_rfm",
-    "serving_basket_pairs",
-    "session_markov",
-    "sim_matryoshka_audit",
-    "sim_binary_hamming_topk",
-    "sim_outlier_zscore",
-    "sim_pca_audit",
-    "text_perplexity_filter",
-    "text_zipf_profile",
-    "dedup_url_canonical",
-    "multimodal_wav_dft_audit",
-    "multimodal_png_tiles",
-    "join_feature_snapshot",
-    "join_asof_tolerance",
-    "serving_pareto_abc",
-    "warehouse_ttl_purge",
     "text_inverted_index",
-    "text_bpe_pair_counts",
-    "sim_contrastive_pairs",
-    "text_quality_rrf",
-    # --- never driver-gated: new in round 4, second session ---
-    "window_cusum",
-    "window_seasonal",
-    "text_pmi_collocations",
-    "text_lr_quality_train",
-    "text_bpe_merge_round",
-    "text_rake_keyphrases",
-    "session_path_topk",
-    "multimodal_image_ahash",
-    "multimodal_audio_vad",
-    "multimodal_video_cuts",
-    "warehouse_compaction_plan",
-    "sim_rp_audit",
-    "sample_importance_resample",
-    "serving_basket_triangles",
-    "stream_cusum_materialized",
-    "session_bounce_rate",
-    "text_chunk_dedup_stats",
-    "sim_filtered_topk",
-    "warehouse_vacuum_orphans",
-    # --- never driver-gated: new in round 4, third session ---
-    "stream_session_materialized",
-    "warehouse_ivm_agg",
-    "join_bloom_prefilter",
+    "source_jsonl_dirty",
+    "source_csv_dirty",
+    "source_fixed_width",
+    "stream_topk_materialized",
+    "sql_recursive_spine",
+    "sql_session_gaps",
+    "sql_brand_topn",
+    "serving_anova_segments",
+    "serving_ab_srm",
+    "serving_chi2_independence",
+    "serving_cohort_ltv",
+    "serving_gini",
+    "serving_ab_lift",
+    "serving_weighted_median",
+    "serving_pivot_roundtrip",
+    "serving_basket_kcore",
+    "window_audience_overlap",
+    "window_decompose",
+    "window_backtest",
+    "window_mann_kendall",
+    "window_theil_sen",
+    "window_ks_test",
+    "window_wow_growth",
+    "window_holt_winters",
+    "window_uv_sketch_weekly",
+    "window_value_bands",
+    "window_autocorr",
+    "join_record_linkage",
+    "join_interval_overlap",
+    "join_asof_nearest",
+    "session_new_vs_returning",
+    "session_bot_detection",
+    "session_survival_km",
+    "session_stickiness",
+    "session_time_to_convert",
+    "warehouse_data_masking",
+    "warehouse_kanon_audit",
+    "warehouse_benford_audit",
+    "warehouse_partition_skew",
+    "warehouse_bloom_index",
+    "warehouse_clustering_depth",
+    "warehouse_deletion_vectors",
+    "warehouse_dq_expectations",
+    "warehouse_analyze_stats",
+    "warehouse_zonemap_prune",
+    "text_lexical_diversity",
+    "text_span_corruption",
+    "text_kneser_ney",
+    "text_bm25_topk",
 ]
 
 

@@ -36,6 +36,46 @@ def read_stats(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_stats_jdbc(
+    df: DataFrame, url: str, table: str, driver: str, mode: str = "append"
+) -> None:
+    """The literal K3 drop-in: land a stats table over JDBC exactly as the
+    reference's batch sink does (ClickHouseUtil.java:20-54 builds an INSERT
+    and addBatch/executeBatch per buffered window; Spark's JDBC writer is
+    the same batched-INSERT protocol, one batch per partition,
+    ``batchsize`` rows per executeBatch). The parquet serving store above
+    is the default because the sandbox has no warehouse service; this path
+    is exercised for real in tests against Spark's bundled embedded Derby
+    (tests/test_jdbc_sink.py) — swapping ``url``/``driver`` to a
+    ClickHouse/Postgres endpoint is a config change, not a code change.
+
+    Scale: each executor partition opens its own connection and streams its
+    rows in ``batchsize`` chunks — the write parallelism IS the partition
+    count; coalesce upstream if the warehouse throttles connections."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .option("batchsize", "1000")
+        .mode(mode)
+        .save()
+    )
+
+
+def read_stats_jdbc(
+    spark: SparkSession, url: str, table: str, driver: str
+) -> DataFrame:
+    """Read-back half of the JDBC drop-in (dashboard mapper side)."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .load()
+    )
+
+
 def stats_for_day(spark: SparkSession, path: str, day: str) -> DataFrame:
     """The toYYYYMMDD(stt)=? access path: dt predicate → partition pruning."""
     return read_stats(spark, path).filter(F.col("dt") == day)

@@ -1290,8 +1290,10 @@ def minhash_verified_pairs(
 
 def lsh_family_audit(tables: dict[str, DataFrame]) -> DataFrame:
     """Hash-gate for the two xxhash64 fast-path LSH families
-    (``minhash_lsh_candidates`` and ``simhash_near_dups``), which are
-    rows-only for the driver because xxhash64 is not expressible in DuckDB.
+    (``minhash_lsh_candidates`` and ``simhash_near_dups`` — the rows-only
+    registry entries ``dedup_minhash_lsh`` and ``dedup_simhash``), which
+    are rows-only for the driver because xxhash64 is not expressible in
+    DuckDB.
     The uv_sketch/ann_recall_audit oracle pattern: one row per family with
     independently-recomputable exact counts plus must-be-TRUE quality
     booleans — the oracle re-derives the counts and emits literal TRUE, so
@@ -1325,7 +1327,12 @@ def lsh_family_audit(tables: dict[str, DataFrame]) -> DataFrame:
     before return (Pandas-free here, but lambda subtrees still defeat
     ReuseExchange — same reasoning as ann_recall_audit)."""
     docs = tables["documents"]
-    true_pairs = ngram_jaccard_pairs(tables, threshold=0.8).select("doc_a", "doc_b")
+    # The exact-Jaccard truth is the audit's dominant cost (candidate-bounded
+    # but quadratic in bucket size); it feeds TWO consumers (the count and
+    # the recall semi-join) — persist it once like the fast-path frames.
+    true_pairs = (
+        ngram_jaccard_pairs(tables, threshold=0.8).select("doc_a", "doc_b").persist()
+    )
     mh = minhash_lsh_candidates(tables).persist()
     sh = simhash_near_dups(tables).persist()
     n_true = true_pairs.count()
@@ -1348,6 +1355,7 @@ def lsh_family_audit(tables: dict[str, DataFrame]) -> DataFrame:
     sh_dup_hit = dup_pairs.join(
         sh.filter(F.col("hamming") == 0), ["doc_a", "doc_b"], "left_semi"
     ).count()
+    true_pairs.unpersist()
     mh.unpersist()
     sh.unpersist()
     dup_pairs.unpersist()

@@ -195,7 +195,8 @@ def mips_recall_audit(
     """The ``ann_recall_audit`` pattern for the MIPS ANN path: one row with
     the oracle-recomputable query count, the literal floor, and a
     must-be-TRUE recall boolean — a regression in the augmentation or the
-    hyperplane tables flips it and breaks the driver hash."""
+    hyperplane tables flips it and breaks the driver hash. This is the
+    hash gate pinning the rows-only registry entry ``sim_mips_ann_topk``."""
     exact = mips_topk(tables, num_queries, k).select("query_id", "neighbor_id")
     ann = (
         mips_ann_topk(tables, num_queries, k)
@@ -1094,8 +1095,18 @@ def ivf_pq_residual_ann_topk(
 
 
 def quantize_pq(tables: dict[str, DataFrame]) -> DataFrame:
-    """Driver entry for PQ coding over the embeddings table."""
-    return pq_train(tables["embeddings"])[0]
+    """Driver entry for PQ coding over the embeddings table. Codes are
+    emitted comma-joined (a scalar string, not an array) — the driver's
+    canonicalizer sorts result frames in pandas and list-typed cells are
+    unhashable there (the text_inverted_index round-4 lesson)."""
+    codes = pq_train(tables["embeddings"])[0]
+    return codes.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("codes"),
+        "recon_mse",
+    )
 
 
 def embedding_cluster_stats(tables: dict[str, DataFrame]) -> DataFrame:
@@ -1264,7 +1275,10 @@ def ann_recall_audit(
     """Index-quality audit — the production job that watches an ANN index's
     recall against exact brute force on a query sample (the monitoring loop
     every deployed IVF/LSH/PQ index needs, since recall silently decays as
-    the corpus drifts from the trained codebooks/planes).
+    the corpus drifts from the trained codebooks/planes). This is the hash
+    gate pinning the rows-only registry entries ``sim_lsh_ann_topk``,
+    ``sim_ivf_ann_topk``, ``sim_ivfpq_ann_topk`` and
+    ``sim_ivfpq_residual_topk`` (per-method recall floors below).
 
     One row per ANN method: (method, n_queries, recall_floor, recall_ok)
     where recall = |ann top-k ∩ exact top-k| / |exact top-k| over the query
@@ -1348,7 +1362,9 @@ def semantic_dedup_audit(
     recall_floor: float = 0.95,
 ) -> DataFrame:
     """SemDeDup quality audit (uv_sketch oracle pattern): compares the
-    cell-blocked pair set against the exact blocked-GEMM near-dup pairs.
+    cell-blocked pair set against the exact blocked-GEMM near-dup pairs —
+    the hash gate pinning the rows-only registry entries
+    ``sim_semantic_dedup`` and ``sim_semantic_groups``.
     Long-form output: n_exact_pairs (independently recomputed by the DuckDB
     oracle's quadratic self-join), recall_ok (mean recall ≥ recall_floor —
     0.958 at sf0.1, 1.0 at sf0.01 measured, floor matches the pytest gate),
@@ -1390,7 +1406,9 @@ def semantic_dedup_audit(
 
 def pq_audit(tables: dict[str, DataFrame]) -> DataFrame:
     """PQ coding-quality audit (uv_sketch oracle pattern) — puts the whole
-    product-quantization family under the driver's hash gate: ``n_vectors``
+    product-quantization family under the driver's hash gate (pins the
+    rows-only registry entry ``sim_quantize_pq``; the IVFPQ top-k entries
+    are recall-pinned by ``ann_recall_audit``): ``n_vectors``
     is independently recomputable, and two booleans pin the family's load-
     bearing claims: (1) PQ reconstruction MSE beats the zero-information
     baseline (coding every vector as the corpus mean = mean per-dim
@@ -1428,8 +1446,10 @@ def pq_audit(tables: dict[str, DataFrame]) -> DataFrame:
 
 
 def coreset_audit(tables: dict[str, DataFrame], k: int = 10) -> DataFrame:
-    """Farthest-point-sampling audit (uv_sketch oracle pattern) — the last
-    rows-only family's driver hash gate. ``n_centers`` = least(k, corpus)
+    """Farthest-point-sampling audit (uv_sketch oracle pattern) — the hash
+    gate pinning the rows-only registry entry ``sim_diversity_coreset``
+    (and, via the pick-sequence parity pytest, its large-k twin
+    ``sim_diversity_coreset_cached``). ``n_centers`` = least(k, corpus)
     is independently recomputable; three booleans pin FPS's defining
     invariants: picks are distinct; pick distances are monotone
     non-increasing (each round takes the current farthest point); and the

@@ -1698,7 +1698,10 @@ def inverted_index(tables: dict[str, DataFrame], head: int = 50) -> DataFrame:
     re-agg assembles postings. Posting heads are capped at ``head`` ids
     (deterministic: lowest doc_ids) — full posting lists at 100 TB are
     stored BLOCKED (token, block_no) exactly so no single reducer holds a
-    stopword's complete list; the cap models the first block."""
+    stopword's complete list; the cap models the first block. The head is
+    emitted comma-joined (a scalar string, not an array) — the driver's
+    canonicalizer sorts result frames in pandas and list-typed cells are
+    unhashable there."""
     docs = tables["documents"].select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
@@ -1707,7 +1710,13 @@ def inverted_index(tables: dict[str, DataFrame], head: int = 50) -> DataFrame:
     return tf.groupBy("tok").agg(
         F.count("*").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, head).alias("postings_head"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, head),
+                lambda d: d.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
     )
 
 
@@ -4160,7 +4169,7 @@ ORACLES = {
             FROM toks WHERE tok != '' GROUP BY tok, doc_id
         )
         SELECT tok, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
-               (list(doc_id ORDER BY doc_id))[1:50] AS postings_head
+               array_to_string((list(doc_id ORDER BY doc_id))[1:50], ',') AS postings_head
         FROM tf GROUP BY tok
     """,
     "text_perplexity_filter": f"""
