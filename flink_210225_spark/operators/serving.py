@@ -955,7 +955,136 @@ def anova_segments(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def retention_matrix(tables: dict[str, DataFrame]) -> DataFrame:
+    """Weekly cohort retention triangle — the standard growth dashboard:
+    users are cohorted by the ISO week of their FIRST event, and each
+    (cohort_week, weeks_since) cell counts how many came back that week.
+
+    Plan: one (user, week) dedup shuffle, a user-keyed min() for the
+    cohort stamp, a broadcast-sized self-join back on user_id (users ≪
+    events), one final groupBy. At 100 TB the (user, week) dedup is the
+    only event-volume shuffle and it partial-aggregates map-side; the
+    cohort frame is |users| rows. ``retention_pct`` is one integer-ratio
+    division (active·1e6/cohort_size), half-up — identical IEEE op from
+    exact integers on both engines. Week truncation is Monday-based on
+    BOTH engines (Spark date_trunc('week') == DuckDB date_trunc('week'));
+    datediff of two week-truncated dates is an exact multiple of 7, so
+    the /7 is an exact small-integer double division."""
+    ev = tables["events"].select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    )
+    user_weeks = ev.distinct()
+    first = user_weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sized = first.groupBy("cohort_wk").agg(F.count("*").alias("cohort_size"))
+    act = user_weeks.join(first, "user_id").groupBy(
+        "cohort_wk",
+        (F.datediff("wk", "cohort_wk") / 7).cast("int").alias("weeks_since"),
+    ).agg(F.count("*").alias("active_users"))
+    return act.join(sized, "cohort_wk").select(
+        F.col("cohort_wk").cast("string").alias("cohort_wk"),
+        "weeks_since",
+        "active_users",
+        "cohort_size",
+        (
+            F.floor(F.col("active_users") * 1000000.0 / F.col("cohort_size") + 0.5)
+            / 1000000
+        ).alias("retention_pct"),
+    )
+
+
+def mann_whitney(tables: dict[str, DataFrame]) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two event segments (click vs
+    view ``value`` distributions) — the nonparametric A/B significance
+    test for skewed metrics where the t-test's normality assumption fails.
+
+    Exactness: average ranks with ties are half-integers, so the op
+    carries 2×-scaled ranks end-to-end — for a value with ``cl`` strictly
+    smaller observations and ``tie`` equals, 2·avg_rank = 2·cl + tie + 1,
+    an exact integer. 2·U₁ = Σ 2·rank − n₁(n₁+1) stays integer. The
+    normal approximation with the standard tie correction
+    σ² = n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1))) is assembled from integer
+    sums in ONE fixed-shape expression, then z is pinned at 1e-6 — both
+    engines run the identical IEEE tree over identical integers.
+
+    Plan: groupBy distinct value (bounded by the 2dp value domain), one
+    window prefix-sum for the strict-rank base, map-side-combined sums —
+    the shuffle carries distinct values, not events."""
+    ev = tables["events"].where(F.col("event_type").isin("click", "view"))
+    vals = ev.groupBy("value").agg(
+        F.count("*").alias("tie"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n1v"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "value",
+        "tie",
+        "n1v",
+        F.coalesce(F.sum("tie").over(w), F.lit(0)).alias("cl"),
+    )
+    agg = ranked.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum(F.col("tie") - F.col("n1v")).cast("long").alias("n2"),
+        F.sum(F.col("n1v") * (2 * F.col("cl") + F.col("tie") + 1))
+        .cast("long")
+        .alias("r1_x2"),
+        F.sum(F.col("tie") * F.col("tie") * F.col("tie") - F.col("tie"))
+        .cast("long")
+        .alias("tie_cube"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)
+    sigma2 = (
+        (n1 * n2).cast("double")
+        / 12.0
+        * ((n + 1).cast("double") - F.col("tie_cube").cast("double") / (n * (n - 1)))
+    )
+    z = (u1_x2.cast("double") / 2.0 - (n1 * n2).cast("double") / 2.0) / F.sqrt(sigma2)
+    r6 = round6
+    return agg.select(
+        "n1",
+        "n2",
+        u1_x2.alias("u1_x2"),
+        r6(z).alias("z"),
+        (F.abs(r6(z)) > 1.96).alias("significant"),
+    )
+
+
+def wilson_ci(tables: dict[str, DataFrame], z2: float = 3.8416) -> DataFrame:
+    """Wilson score interval for a per-segment conversion rate (share of
+    customers with acctbal > 5000) — the A/B-reporting confidence interval
+    that stays inside [0,1] and behaves at small n, unlike the Wald
+    interval. z² = 3.8416 (z = 1.96) is pinned as a LITERAL on both
+    engines — computing 1.96² at runtime yields a different double than
+    the parsed literal (the BASELINE.md constant-drift lesson).
+
+    Exactness: (n, k) are exact integers; lo/hi are one fixed-shape IEEE
+    expression over them, pinned at 1e-6. One segment-keyed partial agg —
+    the shuffle carries |segments| rows."""
+    cust = tables["customer"]
+    agg = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("c_acctbal") > 5000, 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    denom = 1.0 + F.lit(z2) / nd
+    center = (p + F.lit(z2) / (2.0 * nd)) / denom
+    half = (
+        F.sqrt(F.lit(z2)) * F.sqrt(p * (1.0 - p) / nd + F.lit(z2) / (4.0 * nd * nd))
+    ) / denom
+    r6 = round6
+    return agg.select(
+        "segment", "n", "k", r6(center - half).alias("lo"), r6(center + half).alias("hi")
+    )
+
+
 QUERIES = {
+    "serving_retention_matrix": retention_matrix,
+    "serving_mann_whitney": mann_whitney,
+    "serving_wilson_ci": wilson_ci,
     "serving_anova_segments": anova_segments,
     "serving_ab_srm": ab_srm_gate,
     "serving_chi2_independence": chi2_independence,
@@ -982,6 +1111,102 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Monday-truncated weeks on both engines; datediff of week-truncated
+    # dates is an exact multiple of 7; retention = one integer-ratio division.
+    "serving_retention_matrix": """
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('week', ts)::DATE AS wk
+            FROM events
+        ),
+        first AS (
+            SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id
+        ),
+        sized AS (
+            SELECT cohort_wk, count(*)::BIGINT AS cohort_size
+            FROM first GROUP BY cohort_wk
+        ),
+        act AS (
+            SELECT f.cohort_wk,
+                   (datediff('day', f.cohort_wk, uw.wk) // 7)::INT AS weeks_since,
+                   count(*)::BIGINT AS active_users
+            FROM uw JOIN first f USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT a.cohort_wk::VARCHAR AS cohort_wk, a.weeks_since,
+               a.active_users, s.cohort_size,
+               floor(a.active_users * 1000000.0 / s.cohort_size + 0.5)
+                 / 1000000 AS retention_pct
+        FROM act a JOIN sized s USING (cohort_wk)
+    """,
+    # 2x-scaled average ranks stay integer under ties; z assembled from the
+    # integer sums in one fixed-shape IEEE expression, pinned at 1e-6.
+    "serving_mann_whitney": """
+        WITH ev AS (
+            SELECT value, event_type FROM events
+            WHERE event_type IN ('click', 'view')
+        ),
+        vals AS (
+            SELECT value, count(*)::BIGINT AS tie,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n1v
+            FROM ev GROUP BY value
+        ),
+        ranked AS (
+            SELECT value, tie, n1v,
+                   coalesce(sum(tie) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cl
+            FROM vals
+        ),
+        agg AS (
+            SELECT sum(n1v)::BIGINT AS n1,
+                   sum(tie - n1v)::BIGINT AS n2,
+                   sum(n1v * (2 * cl + tie + 1))::BIGINT AS r1_x2,
+                   sum(tie * tie * tie - tie)::BIGINT AS tie_cube
+            FROM ranked
+        )
+        SELECT n1, n2,
+               (r1_x2 - n1 * (n1 + 1))::BIGINT AS u1_x2,
+               floor(((r1_x2 - n1 * (n1 + 1))::DOUBLE / 2.0
+                       - (n1 * n2)::DOUBLE / 2.0)
+                     / sqrt((n1 * n2)::DOUBLE / 12.0
+                            * ((n1 + n2 + 1)::DOUBLE
+                               - tie_cube::DOUBLE
+                                 / ((n1 + n2) * (n1 + n2 - 1))))
+                     * 1000000 + 0.5) / 1000000 AS z,
+               abs(floor(((r1_x2 - n1 * (n1 + 1))::DOUBLE / 2.0
+                       - (n1 * n2)::DOUBLE / 2.0)
+                     / sqrt((n1 * n2)::DOUBLE / 12.0
+                            * ((n1 + n2 + 1)::DOUBLE
+                               - tie_cube::DOUBLE
+                                 / ((n1 + n2) * (n1 + n2 - 1))))
+                     * 1000000 + 0.5) / 1000000) > 1.96 AS significant
+        FROM agg
+    """,
+    # z^2 = 3.8416 pinned as a literal on BOTH engines (never compute 1.96^2
+    # at runtime); lo/hi are one fixed-shape IEEE expression over (n, k).
+    "serving_wilson_ci": """
+        WITH agg AS (
+            SELECT c_mktsegment AS segment, count(*)::BIGINT AS n,
+                   sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END)::BIGINT AS k
+            FROM customer GROUP BY 1
+        )
+        SELECT segment, n, k,
+               floor(((k::DOUBLE / n::DOUBLE + 3.8416 / (2.0 * n::DOUBLE))
+                      / (1.0 + 3.8416 / n::DOUBLE)
+                      - (sqrt(3.8416) * sqrt(k::DOUBLE / n::DOUBLE
+                             * (1.0 - k::DOUBLE / n::DOUBLE) / n::DOUBLE
+                             + 3.8416 / (4.0 * n::DOUBLE * n::DOUBLE)))
+                        / (1.0 + 3.8416 / n::DOUBLE))
+                     * 1000000 + 0.5) / 1000000 AS lo,
+               floor(((k::DOUBLE / n::DOUBLE + 3.8416 / (2.0 * n::DOUBLE))
+                      / (1.0 + 3.8416 / n::DOUBLE)
+                      + (sqrt(3.8416) * sqrt(k::DOUBLE / n::DOUBLE
+                             * (1.0 - k::DOUBLE / n::DOUBLE) / n::DOUBLE
+                             + 3.8416 / (4.0 * n::DOUBLE * n::DOUBLE)))
+                        / (1.0 + 3.8416 / n::DOUBLE))
+                     * 1000000 + 0.5) / 1000000 AS hi
+        FROM agg
+    """,
     # Exact HUGEINT moments; the one multi-term float sum T = Σ S_g²/n_g
     # folds left-to-right in segment order (list_reduce == F.aggregate).
     "serving_anova_segments": """

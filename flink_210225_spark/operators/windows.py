@@ -1296,7 +1296,98 @@ def forecast_backtest(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def binary_changepoint(tables: dict[str, DataFrame]) -> DataFrame:
+    """Single-changepoint detection per event type via binary segmentation
+    (the first split of the CBS/PELT family): over the zero-filled daily
+    count series, pick the split k maximizing the between-segment SSE
+    reduction gain(k) = (S_l·n_r − S_r·n_l)² / (n_l·n_r·n) — exactly
+    n_l·n_r·(mean_l − mean_r)²/n. ``window_cusum`` localizes a mean shift
+    by the CUSUM excursion; this is the variance-reduction view (the one
+    that generalizes to recursive segmentation), so the two detectors
+    cross-check each other on the same series.
+
+    Exactness: the series is zero-filled over the full calendar (the
+    decompose/backtest gap lesson — a missing day must be a 0 sample, and
+    an engine-shared gap would be structurally invisible to the hash);
+    S_l, S_r, n_l, n_r are exact integers, the diff is an exact long, and
+    the score is diff·diff computed as DOUBLE (the autocorr overflow rule:
+    the long square overflows past ~3e9 events/split) over one integer
+    denominator, pinned at 1e-6. Argmax tie-breaks on earliest day over
+    the PINNED score, so float noise can't flip the winner.
+
+    Plan: one daily partial agg off the fact scan; the calendar spine
+    attaches as a scalar-subquery array (no join, no cartesian) and
+    explodes against the |types|-sized frame; prefix sums + argmax run
+    per-type over the calendar-bounded series."""
+    ev = tables["events"]
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("pv"))
+    spine = (
+        ev.agg(
+            F.sequence(
+                F.min(F.date_trunc("day", "ts").cast("date")),
+                F.max(F.date_trunc("day", "ts").cast("date")),
+            ).alias("days")
+        ).scalar()
+    )
+    types = daily.select("event_type").distinct()
+    # .scalar() is a scalar-subquery Column: attach + explode, no join
+    full = types.withColumn("days", spine).select(
+        "event_type", F.explode("days").alias("day")
+    )
+    series = full.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("pv", F.lit(0)).cast("long").alias("x")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    cum = series.select(
+        "event_type",
+        "day",
+        F.row_number().over(wo).cast("long").alias("k"),
+        F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("sl"),
+        F.count("*").over(wall).cast("long").alias("n"),
+        F.sum("x").over(wall).alias("s"),
+    ).where(F.col("k") < F.col("n"))
+    diff = F.col("sl") * (F.col("n") - F.col("k")) - (
+        F.col("s") - F.col("sl")
+    ) * F.col("k")
+    r6 = round6
+    scored = cum.select(
+        "event_type",
+        "day",
+        "k",
+        "n",
+        "sl",
+        "s",
+        r6(
+            diff.cast("double")
+            * diff.cast("double")
+            / (F.col("k") * (F.col("n") - F.col("k")) * F.col("n")).cast("double")
+        ).alias("score"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("change_day"),
+            F.col("n").alias("n_days"),
+            "score",
+            r6(F.col("sl") * F.lit(1.0) / F.col("k")).alias("mean_before"),
+            r6(
+                (F.col("s") - F.col("sl")).cast("double")
+                / (F.col("n") - F.col("k")).cast("double")
+            ).alias("mean_after"),
+        )
+    )
+
+
 QUERIES = {
+    "window_changepoint": binary_changepoint,
     "window_audience_overlap": audience_overlap,
     "window_decompose": classical_decompose,
     "window_backtest": forecast_backtest,
@@ -1328,6 +1419,59 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Zero-filled calendar spine; exact integer prefix sums; the square is
+    # computed as DOUBLE·DOUBLE over the exact long diff (autocorr rule);
+    # argmax over the PINNED score with earliest-day tie-break.
+    "window_changepoint": """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts)::DATE AS day,
+                   count(*)::BIGINT AS pv
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT min(date_trunc('day', ts)::DATE) AS lo,
+                   max(date_trunc('day', ts)::DATE) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+            FROM bounds
+        ),
+        series AS (
+            SELECT t.event_type, s.day,
+                   coalesce(d.pv, 0)::BIGINT AS x
+            FROM (SELECT DISTINCT event_type FROM daily) t
+            CROSS JOIN spine s
+            LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+        ),
+        cum AS (
+            SELECT event_type, day,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day)::BIGINT AS k,
+                   sum(x) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS sl,
+                   count(*) OVER (PARTITION BY event_type)::BIGINT AS n,
+                   sum(x) OVER (PARTITION BY event_type)::BIGINT AS s
+            FROM series
+        ),
+        scored AS (
+            SELECT event_type, day, k, n, sl, s,
+                   floor((sl * (n - k) - (s - sl) * k)::DOUBLE
+                         * (sl * (n - k) - (s - sl) * k)::DOUBLE
+                         / (k * (n - k) * n)::DOUBLE * 1000000 + 0.5)
+                     / 1000000 AS score
+            FROM cum WHERE k < n
+        ),
+        pick AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                          ORDER BY score DESC, day ASC) AS rn
+            FROM scored
+        )
+        SELECT event_type, day::VARCHAR AS change_day, n AS n_days, score,
+               floor(sl * 1.0 / k * 1000000 + 0.5) / 1000000 AS mean_before,
+               floor((s - sl)::DOUBLE / (n - k)::DOUBLE * 1000000 + 0.5)
+                 / 1000000 AS mean_after
+        FROM pick WHERE rn = 1
+    """,
     # uv_sketch audit pattern: exact counts recomputed, sketch-side bands
     # emitted as literal TRUE (a union/inclusion-exclusion regression on
     # the Spark side flips the boolean and breaks the hash).

@@ -1419,6 +1419,72 @@ def dedup_components(
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
+def graph_modularity(tables: dict[str, DataFrame], threshold: float = 0.5) -> DataFrame:
+    """Newman modularity of the near-dup graph w.r.t. the LANGUAGE
+    partition — the curation diagnostic for whether near-duplication stays
+    inside languages (machine-translated boilerplate and shared templates
+    show up as cross-language edges, which drive a language's modularity
+    term down). Uses the same undirected edge set as ``dedup_components``
+    (exact-dup star edges + Jaccard-verified pairs).
+
+    Per language c: Q_c = m_c/m − (d_c/2m)², emitted as the exact-integer
+    ratio (4·m·m_c − d_c²) / (4m²) in ONE division, pinned 1e-6 (Σ Q_c is
+    the graph's modularity; hashing the per-language terms gates the total
+    and the distribution). All counts are exact integers; cross-language
+    edges raise d_c without raising m_c by construction.
+
+    Plan: the edge set is the near-dup sliver (candidate-bounded, never
+    corpus²); degrees via one explode + lang-keyed agg; m attaches as a
+    scalar subquery. Everything after edge generation is |langs|-sized."""
+    docs = tables["documents"]
+    md5_star = docs.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("m"),
+    )
+    e1 = md5_star.filter(F.col("doc_id") != F.col("m")).select(
+        F.col("m").alias("lo"), F.col("doc_id").alias("hi")
+    )
+    e2 = ngram_jaccard_pairs(tables, threshold=threshold).select(
+        F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi")
+    )
+    edges = e1.unionByName(e2).distinct()
+    lang = docs.select("doc_id", "lang")
+    ed = (
+        edges.join(lang.withColumnRenamed("doc_id", "lo").withColumnRenamed("lang", "lang_lo"), "lo")
+        .join(lang.withColumnRenamed("doc_id", "hi").withColumnRenamed("lang", "lang_hi"), "hi")
+    )
+    m_col = edges.agg(F.count("*").cast("long").alias("m")).scalar()
+    intra = (
+        ed.where(F.col("lang_lo") == F.col("lang_hi"))
+        .groupBy(F.col("lang_lo").alias("lang"))
+        .agg(F.count("*").cast("long").alias("m_c"))
+    )
+    deg = (
+        ed.select(F.explode(F.array("lang_lo", "lang_hi")).alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("d_c"))
+    )
+    from flink_210225_spark.functions.scalars import round6
+
+    r6 = round6
+    joined = deg.join(intra, "lang", "left").select(
+        "lang",
+        F.coalesce("m_c", F.lit(0)).cast("long").alias("intra_edges"),
+        F.col("d_c").alias("degree_sum"),
+    )
+    return joined.select(
+        "lang",
+        "intra_edges",
+        "degree_sum",
+        r6(
+            (
+                4 * m_col * F.col("intra_edges") - F.col("degree_sum") * F.col("degree_sum")
+            ).cast("double")
+            / (4 * m_col * m_col).cast("double")
+        ).alias("q_term"),
+    )
+
+
 def cluster_summary(
     tables: dict[str, DataFrame], threshold: float = 0.5
 ) -> DataFrame:
@@ -2007,6 +2073,7 @@ def _pagerank_oracle(iters: int = 8) -> str:
 
 
 QUERIES = {
+    "dedup_graph_modularity": graph_modularity,
     "dedup_exact": exact_dedup,
     "dedup_normalized": normalized_dedup,
     "dedup_token_sort": token_sort_dedup,
@@ -2517,6 +2584,67 @@ ORACLES = {
 # Star contraction computes the same (doc_id, component) labels as min-label
 # propagation — the propagation oracle gates both iteration engines.
 ORACLES["dedup_components_star"] = ORACLES["dedup_components"]
+
+# Modularity over the same undirected edge set as the components oracle
+# (md5 star edges + Jaccard-verified pairs, lo<hi deduped); per-language
+# Q_c = (4·m·m_c − d_c²)/(4m²) — exact integers, ONE division, 1e-6 pin.
+ORACLES["dedup_graph_modularity"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(greatest(len(t) - 3, 0) + 1),
+                   i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac_edges AS (
+        SELECT doc_a AS lo, doc_b AS hi FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000 + 0.5) / 10000 >= 0.5
+    ),
+    md5_star AS (
+        SELECT doc_id AS hi, min(doc_id) OVER (PARTITION BY md5(text)) AS lo
+        FROM documents
+    ),
+    edges AS (
+        SELECT lo, hi FROM md5_star WHERE lo != hi
+        UNION
+        SELECT lo, hi FROM jac_edges
+    ),
+    m AS (SELECT count(*)::BIGINT AS m FROM edges),
+    ed AS (
+        SELECT e.lo, e.hi, dl.lang AS lang_lo, dh.lang AS lang_hi
+        FROM edges e
+        JOIN documents dl ON dl.doc_id = e.lo
+        JOIN documents dh ON dh.doc_id = e.hi
+    ),
+    intra AS (
+        SELECT lang_lo AS lang, count(*)::BIGINT AS m_c
+        FROM ed WHERE lang_lo = lang_hi GROUP BY 1
+    ),
+    deg AS (
+        SELECT lang, count(*)::BIGINT AS d_c FROM (
+            SELECT lang_lo AS lang FROM ed
+            UNION ALL SELECT lang_hi FROM ed
+        ) GROUP BY lang
+    )
+    SELECT d.lang,
+           coalesce(i.m_c, 0)::BIGINT AS intra_edges,
+           d.d_c AS degree_sum,
+           floor((4 * (SELECT m FROM m) * coalesce(i.m_c, 0) - d.d_c * d.d_c)::DOUBLE
+                 / (4 * (SELECT m FROM m) * (SELECT m FROM m))::DOUBLE
+                 * 1000000 + 0.5) / 1000000 AS q_term
+    FROM deg d LEFT JOIN intra i USING (lang)
+"""
 # Cluster summary = the components oracle wrapped with the quality/token
 # stats and a per-component representative rank (same tie-break as
 # keep_best: quality DESC, doc_id ASC).

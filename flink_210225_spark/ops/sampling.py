@@ -733,7 +733,66 @@ def poisson_bootstrap(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def negative_downsample(tables: dict[str, DataFrame], ratio: int = 2) -> DataFrame:
+    """Class-rebalancing negative downsampling — the classifier-training
+    prep every quality/contamination model here needs when positives are
+    rare: keep EVERY positive (purchase events) and thin negatives to
+    ~``ratio`` per positive with a deterministic per-row Bernoulli.
+
+    Exactness: the keep rule folds to ONE integer scalar — keep a negative
+    iff u16 ≤ T where u16 is the seeded 16-bit md5 uniform (the DSIR
+    hex-Bernoulli idiom) and T = (ratio·n_pos·65536 − 1) // n_neg, exact
+    integer division — so u16·n_neg < ratio·n_pos·65536 without shipping
+    two scalars (the nb_quality fold-to-one-constant lesson). No float
+    ever crosses an engine boundary; ``sum_kept_ids`` pins the EXACT kept
+    membership under the hash, not just the counts.
+
+    Plan: one label agg (scalar subquery) + one stateless projection +
+    one 2-row groupBy; at 100 TB the only corpus-shaped work is the scan."""
+    ev = tables["events"].select("event_id", "event_type")
+    lab = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("label"),
+    )
+    t_col = lab.agg(
+        F.when(
+            F.sum(F.when(F.col("label") == "neg", 1).otherwise(0)) == 0,
+            F.lit(65536).cast("long"),
+        )
+        .otherwise(
+            F.expr(
+                f"({ratio} * sum(CASE WHEN label = 'pos' THEN 1 ELSE 0 END) * 65536 - 1) "
+                "div sum(CASE WHEN label = 'neg' THEN 1 ELSE 0 END)"
+            )
+        )
+        .alias("t")
+    ).scalar()
+    u16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("negds:"), F.col("event_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = lab.select(
+        "event_id",
+        "label",
+        F.when(F.col("label") == "pos", F.lit(1))
+        .when(u16 <= t_col, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("keep"),
+    )
+    return kept.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.sum(F.col("event_id") * F.col("keep")).cast("long").alias("sum_kept_ids"),
+    )
+
+
 QUERIES = {
+    "sample_negative_downsample": negative_downsample,
     "sample_poisson_bootstrap": poisson_bootstrap,
     "sample_split_leakage_audit": split_leakage_audit,
     "sample_pps_systematic": pps_systematic,
@@ -781,6 +840,40 @@ def _importance_resample_oracle() -> str:
 
 
 ORACLES = {
+    # One integer threshold scalar T = (2·n_pos·65536 − 1) // n_neg; the
+    # same 16-bit md5 Bernoulli as DSIR; sum_kept_ids pins exact membership.
+    "sample_negative_downsample": """
+        WITH lab AS (
+            SELECT event_id,
+                   CASE WHEN event_type = 'purchase' THEN 'pos' ELSE 'neg' END AS label
+            FROM events
+        ),
+        t AS (
+            SELECT CASE
+                     WHEN sum(CASE WHEN label = 'neg' THEN 1 ELSE 0 END) = 0
+                       THEN 65536
+                     ELSE (2 * sum(CASE WHEN label = 'pos' THEN 1 ELSE 0 END)
+                           * 65536 - 1)
+                          // sum(CASE WHEN label = 'neg' THEN 1 ELSE 0 END)
+                   END::BIGINT AS t
+            FROM lab
+        ),
+        kept AS (
+            SELECT event_id, label,
+                   CASE
+                     WHEN label = 'pos' THEN 1
+                     WHEN ('0x' || substr(md5('negds:' || event_id::VARCHAR),
+                                          1, 4))::UBIGINT::BIGINT
+                          <= (SELECT t FROM t) THEN 1
+                     ELSE 0
+                   END AS keep
+            FROM lab
+        )
+        SELECT label, count(*)::BIGINT AS n_total,
+               sum(keep)::BIGINT AS n_kept,
+               sum(event_id * keep)::BIGINT AS sum_kept_ids
+        FROM kept GROUP BY label
+    """,
     # Same md5(key|b) 16-bit thresholds, same Poisson(1) multiplicity cap,
     # exact integer replicate sums, quantile_cont == percentile.
     "sample_poisson_bootstrap": f"""

@@ -1147,6 +1147,65 @@ def embed_dim_stats(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def embedding_drift(tables: dict[str, DataFrame]) -> DataFrame:
+    """Per-dimension distribution drift between two embedding snapshots —
+    the monitoring job every deployed embedding index runs (a model
+    re-deploy or data-mix shift moves component distributions, silently
+    degrading ANN recall long before anything errors). Snapshots here are
+    the even/odd vec_id halves (the fixture has no time axis; in
+    production the split is snapshot A vs snapshot B).
+
+    Metric: total variation distance over FIXED literal bin edges
+    (histogram TVD — the binned PSI without PSI's log, so the whole
+    pipeline stays EXACT-INTEGER): per dim,
+    l1 = Σ_bins |c_base·n_cur − c_cur·n_base| (cross-multiplied counts, no
+    per-bin division), tvd = l1 / (2·n_base·n_cur) in ONE pinned division.
+    Bin edges are literals on both engines; float32→double widening is
+    exact, so bin assignment can't straddle engines.
+
+    Plan: one posexplode + (dim, bin)-keyed partial agg — the shuffle
+    carries dims×bins pre-aggregated rows; the two corpus sizes are a
+    documented 2-int driver fetch (importance_resample's pattern)."""
+    emb = tables["embeddings"]
+    tot = emb.agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).alias("nc"),
+    ).first()
+    n_base, n_cur = int(tot["nb"]), int(tot["nc"])
+    x = F.col("x")
+    bin_col = (
+        F.when(x < -0.3, 0)
+        .when(x < -0.15, 1)
+        .when(x < -0.05, 2)
+        .when(x < 0.05, 3)
+        .when(x < 0.15, 4)
+        .when(x < 0.3, 5)
+        .otherwise(6)
+    )
+    e = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("is_base"),
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "x"),
+    )
+    binned = e.groupBy("dim", bin_col.alias("bin")).agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0)).cast("long").alias("cb"),
+        F.sum(F.when(F.col("is_base"), 0).otherwise(1)).cast("long").alias("cc"),
+    )
+    per_dim = binned.groupBy("dim").agg(
+        F.sum(F.abs(F.col("cb") * n_cur - F.col("cc") * n_base))
+        .cast("long")
+        .alias("l1")
+    )
+    from flink_210225_spark.functions.scalars import round6
+
+    return per_dim.select(
+        "dim",
+        "l1",
+        round6(
+            F.col("l1").cast("double") / F.lit(float(2 * n_base * n_cur))
+        ).alias("tvd"),
+    )
+
+
 def whiten_embeddings(tables: dict[str, DataFrame]) -> DataFrame:
     """Per-dimension z-score whitening of the embedding corpus (diagonal
     whitening: subtract the corpus mean, divide by the corpus stddev, per
@@ -2119,6 +2178,7 @@ QUERIES = {
     "sim_ivf_ann_topk": ivf_ann_topk,  # rows-only (k-means cells not in SQL); recall-tested vs exact
     "sim_cluster_stats": embedding_cluster_stats,
     "sim_embed_dim_stats": embed_dim_stats,
+    "sim_embedding_drift": embedding_drift,
     "sim_whiten_zscore": whiten_embeddings,
     "sim_centroid_pairs": centroid_pairs,
     "sim_knn_label": knn_label_predict,
@@ -2338,6 +2398,39 @@ ORACLES = {
                floor(stddev_pop(x) * 1000000 + 0.5) / 1000000 AS std_x,
                min(x) AS min_x, max(x) AS max_x
         FROM e GROUP BY dim
+    """,
+    # Fixed literal bin edges; exact-integer cross-multiplied L1; one
+    # pinned division for the TVD.
+    "sim_embedding_drift": """
+        WITH tot AS (
+            SELECT sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS nb,
+                   sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS nc
+            FROM embeddings
+        ),
+        e AS (
+            SELECT vec_id % 2 = 0 AS is_base, t.i AS dim,
+                   embedding[t.i + 1]::DOUBLE AS x
+            FROM embeddings, range(64) t(i)
+        ),
+        binned AS (
+            SELECT dim,
+                   CASE WHEN x < -0.3 THEN 0
+                        WHEN x < -0.15 THEN 1
+                        WHEN x < -0.05 THEN 2
+                        WHEN x < 0.05 THEN 3
+                        WHEN x < 0.15 THEN 4
+                        WHEN x < 0.3 THEN 5
+                        ELSE 6 END AS bin,
+                   sum(CASE WHEN is_base THEN 1 ELSE 0 END)::BIGINT AS cb,
+                   sum(CASE WHEN is_base THEN 0 ELSE 1 END)::BIGINT AS cc
+            FROM e GROUP BY 1, 2
+        )
+        SELECT dim,
+               sum(abs(cb * (SELECT nc FROM tot) - cc * (SELECT nb FROM tot)))::BIGINT AS l1,
+               floor(sum(abs(cb * (SELECT nc FROM tot) - cc * (SELECT nb FROM tot)))::DOUBLE
+                     / (2 * (SELECT nb FROM tot) * (SELECT nc FROM tot))::DOUBLE
+                     * 1000000 + 0.5) / 1000000 AS tvd
+        FROM binned GROUP BY dim
     """,
     "sim_centroid_pairs": """
         WITH e AS (

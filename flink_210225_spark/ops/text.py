@@ -1575,6 +1575,43 @@ def perplexity_filter(tables: dict[str, DataFrame]) -> DataFrame:
     return scored.withColumn("is_flagged", F.col("avg_logprob") < thr)
 
 
+def ppl_buckets(tables: dict[str, DataFrame]) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3): per language, rank docs by LM score and cut into terciles —
+    'head' (most fluent) is what CCNet keeps for pretraining, 'tail' is
+    what it drops, and the per-bucket token mass is the knob dataset
+    builders actually tune. Composes the gated ``text_perplexity_filter``
+    scorer (its 4dp-pinned avg_logprob makes tercile boundaries
+    engine-deterministic) with a per-lang ntile(3).
+
+    Determinism: ntile over (avg_logprob DESC, doc_id ASC) — both engines
+    assign the larger groups to the first buckets (standard SQL ntile), and
+    the tie-break on doc_id pins boundary docs. Plan: the scorer's two
+    corpus passes, then a |docs|-row window per language and a
+    langs×3-sized agg."""
+    scored = perplexity_filter(tables).select("doc_id", "n_bigrams", "avg_logprob")
+    docs = tables["documents"].select("doc_id", "lang")
+    j = scored.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    b = j.withColumn("tercile", F.ntile(3).over(w))
+    return (
+        b.groupBy(
+            "lang",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.col("tercile")
+            ).alias("bucket"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+            F.min("avg_logprob").alias("min_lp"),
+            F.max("avg_logprob").alias("max_lp"),
+        )
+    )
+
+
 def zipf_profile(tables: dict[str, DataFrame], top_r: int = 100) -> DataFrame:
     """Corpus-health Zipf fit: least-squares slope of ln(freq) vs ln(rank)
     over the top ``top_r`` token ranks. Natural-language corpora sit near
@@ -2873,6 +2910,7 @@ QUERIES = {
     "text_corpus_manifest": corpus_manifest,
     "text_turn_mask_plan": turn_mask_plan,
     "text_perplexity_filter": perplexity_filter,
+    "text_ppl_buckets": ppl_buckets,
     "text_stupid_backoff": stupid_backoff_score,
     "text_weak_labels": weak_labels,
     "text_hash_features": hash_features,
@@ -4171,6 +4209,44 @@ ORACLES = {
         SELECT tok, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
                array_to_string((list(doc_id ORDER BY doc_id))[1:50], ',') AS postings_head
         FROM tf GROUP BY tok
+    """,
+    # Embeds the gated perplexity scorer's CTEs (the chunk_dedup_stats
+    # pattern); ntile ties pinned by (4dp avg_logprob DESC, doc_id).
+    "text_ppl_buckets": f"""
+        WITH base AS (
+            SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+            WHERE len({_DUCK_TOKS}) >= 2
+        ),
+        pairs AS (
+            SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+            FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i FROM base)
+        ),
+        dtf AS (
+            SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
+            FROM pairs GROUP BY doc_id, w1, w2
+        ),
+        lm AS (SELECT w1, w2, sum(tf)::BIGINT AS pair_ct FROM dtf GROUP BY w1, w2),
+        w1t AS (SELECT w1, sum(pair_ct)::BIGINT AS w1_ct FROM lm GROUP BY w1),
+        scored AS (
+            SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+                   floor(sum(tf * ln(pair_ct / w1_ct::DOUBLE)) / sum(tf)
+                         * 10000 + 0.5) / 10000 AS avg_logprob
+            FROM dtf JOIN lm USING (w1, w2) JOIN w1t USING (w1)
+            GROUP BY doc_id
+        ),
+        t AS (
+            SELECT s.doc_id, s.n_bigrams, s.avg_logprob, d.lang,
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY s.avg_logprob DESC, s.doc_id ASC) AS tercile
+            FROM scored s JOIN documents d USING (doc_id)
+        )
+        SELECT lang,
+               ['head', 'middle', 'tail'][tercile] AS bucket,
+               count(*)::BIGINT AS n_docs,
+               sum(n_bigrams)::BIGINT AS total_bigrams,
+               min(avg_logprob) AS min_lp,
+               max(avg_logprob) AS max_lp
+        FROM t GROUP BY 1, 2
     """,
     "text_perplexity_filter": f"""
         WITH base AS (

@@ -166,10 +166,121 @@ def fixed_width_counts(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def multiline_stack_counts(tables: dict[str, DataFrame]) -> DataFrame:
+    """Multiline log reassembly — the Filebeat/Fluentd ``multiline`` codec
+    as a batch operator: stack traces span several physical lines (a
+    header plus whitespace-indented continuations), and ingest must stitch
+    each group back into ONE logical record before parsing. The feed is
+    synthesized deterministically from ``events`` (every event emits a
+    header line; error events add two indented frame lines), written
+    through a REAL text-file round trip, and reassembled by the
+    gaps-and-islands rule: a line is a record start iff it does not begin
+    with whitespace, record id = running count of starts in sequence
+    order.
+
+    Sequence contract: text files carry no cross-partition line order, so
+    each line embeds its own 10-digit sequence number — the
+    offset-in-file every real log shipper attaches. At 100 TB the window
+    partitions by source file (a trace never straddles files);
+    the single global ordering here is the one-stream case.
+
+    Exactness: the reassembled record text is digested (md5 head as int64)
+    and SUMMED per group — an order-independent checksum that pins the
+    exact reconstruction, newlines included, while the oracle builds the
+    same records directly from parquet (independent algorithms: islands
+    reassembly vs direct construction)."""
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    ev = tables["events"]
+    spark = ev.sparkSession
+    us = F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col("ts")
+    )
+    header = F.concat(
+        F.lit("H "),
+        us.cast("string"),
+        F.lit(" "),
+        F.col("event_type"),
+        F.lit(" u"),
+        F.col("user_id").cast("string"),
+        F.lit(" e"),
+        F.col("event_id").cast("string"),
+    )
+    is_err = F.col("event_type") == "error"
+    lines = ev.select(
+        F.explode(
+            F.when(
+                is_err,
+                F.array(
+                    F.struct((F.col("event_id") * 3).alias("seq"), header.alias("content")),
+                    F.struct(
+                        (F.col("event_id") * 3 + 1).alias("seq"),
+                        F.concat(
+                            F.lit(" at frame0 e"), F.col("event_id").cast("string")
+                        ).alias("content"),
+                    ),
+                    F.struct(
+                        (F.col("event_id") * 3 + 2).alias("seq"),
+                        F.concat(
+                            F.lit(" at frame1 e"), F.col("event_id").cast("string")
+                        ).alias("content"),
+                    ),
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct((F.col("event_id") * 3).alias("seq"), header.alias("content"))
+                )
+            )
+        ).alias("l")
+    ).select(
+        F.concat(
+            F.lpad(F.col("l.seq").cast("string"), 10, "0"), F.lit(" "), F.col("l.content")
+        ).alias("value")
+    )
+    out = _scratch(prefix="multiline_src_")
+    lines.write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    parsed = raw.select(
+        F.substring("value", 1, 10).cast("long").alias("seq"),
+        F.substring("value", 12, 1000000).alias("content"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("seq")
+    isl = parsed.select(
+        "seq",
+        "content",
+        F.sum(
+            F.when(F.substring("content", 1, 1) != " ", 1).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("rec"),
+    )
+    recs = isl.groupBy("rec").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "content"))),
+                lambda s: s["content"],
+            ),
+            "\n",
+        ).alias("full_text"),
+    )
+    etype = F.split(F.split(F.col("full_text"), "\n").getItem(0), " ").getItem(2)
+    digest = F.conv(F.substring(F.md5("full_text"), 1, 8), 16, 10).cast("long")
+    return recs.groupBy(
+        etype.alias("event_type"), F.col("n_lines")
+    ).agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.sum(digest).cast("long").alias("digest_sum"),
+    )
+
+
 QUERIES = {
     "source_jsonl_dirty": jsonl_dirty_counts,
     "source_csv_dirty": csv_dirty_counts,
     "source_fixed_width": fixed_width_counts,
+    "source_multiline_stack": multiline_stack_counts,
 }
 
 ORACLES = {
@@ -189,6 +300,28 @@ ORACLES = {
 # The corruption rule and surviving aggregates are format-independent, so
 # the CSV twin shares the JSONL oracle verbatim.
 ORACLES["source_csv_dirty"] = ORACLES["source_jsonl_dirty"]
+
+# Multiline reassembly oracle: constructs each logical record DIRECTLY
+# from parquet (header + error-only frames, '\n'-joined) — no islands
+# logic — and digests it with the same md5-head checksum; any stitching
+# defect (dropped line, wrong order, whitespace damage) breaks digest_sum.
+ORACLES["source_multiline_stack"] = """
+    WITH recs AS (
+        SELECT event_type,
+               CASE WHEN event_type = 'error' THEN 3 ELSE 1 END::BIGINT AS n_lines,
+               'H ' || epoch_us(ts)::VARCHAR || ' ' || event_type
+                    || ' u' || user_id::VARCHAR || ' e' || event_id::VARCHAR
+                    || CASE WHEN event_type = 'error'
+                            THEN chr(10) || ' at frame0 e' || event_id::VARCHAR
+                              || chr(10) || ' at frame1 e' || event_id::VARCHAR
+                            ELSE '' END AS full_text
+        FROM events
+    )
+    SELECT event_type, n_lines, count(*)::BIGINT AS n_records,
+           sum(('0x' || substr(md5(full_text), 1, 8))::UBIGINT::BIGINT)::BIGINT
+             AS digest_sum
+    FROM recs GROUP BY 1, 2
+"""
 
 # Fixed-width twin: same replay-from-parquet shape over orders; the %11
 # records are the short-record corrupt group (their cents drop out).

@@ -106,6 +106,25 @@ FROM rk WHERE rn <= 3
 """
 
 
+PIVOT_MATRIX_SQL = """
+SELECT event_type,
+       cast(coalesce(mon, 0) AS BIGINT) AS mon,
+       cast(coalesce(tue, 0) AS BIGINT) AS tue,
+       cast(coalesce(wed, 0) AS BIGINT) AS wed,
+       cast(coalesce(thu, 0) AS BIGINT) AS thu,
+       cast(coalesce(fri, 0) AS BIGINT) AS fri,
+       cast(coalesce(sat, 0) AS BIGINT) AS sat,
+       cast(coalesce(sun, 0) AS BIGINT) AS sun
+FROM (
+  SELECT event_type, weekday(ts) + 1 AS isodow FROM {view}
+)
+PIVOT (
+  count(*) FOR isodow IN (1 AS mon, 2 AS tue, 3 AS wed, 4 AS thu,
+                          5 AS fri, 6 AS sat, 7 AS sun)
+)
+"""
+
+
 RECURSIVE_SPINE_SQL = """
 WITH RECURSIVE sparse AS (
   SELECT event_type, to_date(ts) AS day, count(*) AS pv
@@ -184,7 +203,21 @@ def _keyword_q(tables: dict[str, DataFrame]) -> DataFrame:
     return keyword_stats_sql(ev.sparkSession, ev)
 
 
+def _pivot_matrix_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """Day-of-week × event-type count matrix as ONE spark.sql TEXT using
+    the SQL PIVOT clause — the SQL-surface spelling of the wide-report
+    shape (``serving_pivot_roundtrip`` covers the DataFrame pivot/unpivot
+    pair; this gates the PIVOT grammar itself). Pivot values are PINNED
+    literals (1..7 aliased mon..sun): value inference would add a distinct
+    scan and make column order data-dependent. Spark ``weekday()+1`` ==
+    DuckDB ``isodow`` (the one dow convention both engines share)."""
+    ev = tables["events"]
+    ev.createOrReplaceTempView("events_view_sql_pivot")
+    return ev.sparkSession.sql(PIVOT_MATRIX_SQL.format(view="events_view_sql_pivot"))
+
+
 QUERIES = {
+    "sql_pivot_matrix": _pivot_matrix_sql_q,
     "sql_recursive_spine": _recursive_spine_sql_q,
     "sql_province_tumble": _province_q,
     "sql_keyword_tumble": _keyword_q,
@@ -201,6 +234,18 @@ def _session_gaps_oracle() -> str:
 # Epoch-aligned tumble bounds: Spark window() aligns to the epoch, so the
 # DuckDB oracle buckets with to_timestamp(floor(epoch/width)*width).
 ORACLES = {
+    # Conditional aggregation replays the pivot; isodow == weekday()+1.
+    "sql_pivot_matrix": """
+        SELECT event_type,
+               sum(CASE WHEN isodow(ts) = 1 THEN 1 ELSE 0 END)::BIGINT AS mon,
+               sum(CASE WHEN isodow(ts) = 2 THEN 1 ELSE 0 END)::BIGINT AS tue,
+               sum(CASE WHEN isodow(ts) = 3 THEN 1 ELSE 0 END)::BIGINT AS wed,
+               sum(CASE WHEN isodow(ts) = 4 THEN 1 ELSE 0 END)::BIGINT AS thu,
+               sum(CASE WHEN isodow(ts) = 5 THEN 1 ELSE 0 END)::BIGINT AS fri,
+               sum(CASE WHEN isodow(ts) = 6 THEN 1 ELSE 0 END)::BIGINT AS sat,
+               sum(CASE WHEN isodow(ts) = 7 THEN 1 ELSE 0 END)::BIGINT AS sun
+        FROM events GROUP BY event_type
+    """,
     # Same recursion: DuckDB grows the spine with DATE + 1 per type.
     "sql_recursive_spine": """
         WITH RECURSIVE sparse AS (

@@ -1,0 +1,112 @@
+"""Semantic gates for the round-5 wave-A operators (the oracle sweep covers
+cross-engine equality; these pin the math against independent references)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_210225_spark.operators.serving import mann_whitney, retention_matrix, wilson_ci
+from flink_210225_spark.operators.windows import binary_changepoint
+from flink_210225_spark.ops.dedup import graph_modularity
+from flink_210225_spark.ops.sampling import negative_downsample
+from flink_210225_spark.ops.similarity import embedding_drift
+from flink_210225_spark.sources.jsonl import multiline_stack_counts
+
+
+def test_mann_whitney_matches_pure_python(spark, tables):
+    rows = (
+        tables["events"]
+        .where(F.col("event_type").isin("click", "view"))
+        .select("event_type", "value")
+        .collect()
+    )
+    vals = sorted(r["value"] for r in rows)
+    # 2x-scaled average ranks via bisect over the sorted list
+    import bisect
+
+    def rank2(v):
+        lo = bisect.bisect_left(vals, v)
+        hi = bisect.bisect_right(vals, v)
+        return 2 * lo + (hi - lo) + 1  # 2*cl + tie + 1
+
+    r1_x2 = sum(rank2(r["value"]) for r in rows if r["event_type"] == "click")
+    n1 = sum(1 for r in rows if r["event_type"] == "click")
+    got = mann_whitney(tables).first()
+    assert got["n1"] == n1
+    assert got["u1_x2"] == r1_x2 - n1 * (n1 + 1)
+
+
+def test_wilson_interval_brackets_point_estimate(tables):
+    for r in wilson_ci(tables).collect():
+        p = r["k"] / r["n"]
+        assert r["lo"] <= p <= r["hi"]
+        assert 0.0 <= r["lo"] <= r["hi"] <= 1.0
+
+
+def test_retention_week_zero_is_full_cohort(tables):
+    rows = retention_matrix(tables).collect()
+    w0 = {r["cohort_wk"]: r for r in rows if r["weeks_since"] == 0}
+    # Every user is active in their own cohort week by construction.
+    for r in w0.values():
+        assert r["active_users"] == r["cohort_size"]
+        assert r["retention_pct"] == 1.0
+
+
+def test_changepoint_is_argmax_of_brute_force(spark, tables):
+    ev = tables["events"].groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("pv"))
+    pdf = ev.toPandas()
+    lo, hi = pdf["day"].min(), pdf["day"].max()
+    import datetime as dt
+
+    days = [lo + dt.timedelta(days=i) for i in range((hi - lo).days + 1)]
+    got = {r["event_type"]: r for r in binary_changepoint(tables).collect()}
+    for etype, grp in pdf.groupby("event_type"):
+        cnt = dict(zip(grp["day"], grp["pv"]))
+        xs = [int(cnt.get(d, 0)) for d in days]
+        n, s = len(xs), sum(xs)
+        best = None
+        sl = 0
+        for k in range(1, n):
+            sl += xs[k - 1]
+            diff = sl * (n - k) - (s - sl) * k
+            score = float(diff) * float(diff) / float(k * (n - k) * n)
+            score = int(score * 1_000_000 + 0.5) / 1_000_000
+            if best is None or score > best[0]:
+                best = (score, days[k - 1])
+        assert str(got[etype]["change_day"]) == str(best[1])
+        assert abs(got[etype]["score"] - best[0]) < 1e-9
+
+
+def test_negative_downsample_keeps_all_positives(tables):
+    rows = {r["label"]: r for r in negative_downsample(tables).collect()}
+    assert rows["pos"]["n_kept"] == rows["pos"]["n_total"]
+    # thinned to ~2 negatives per positive (md5 Bernoulli: loose band)
+    target = 2 * rows["pos"]["n_total"]
+    assert rows["neg"]["n_kept"] <= rows["neg"]["n_total"]
+    assert abs(rows["neg"]["n_kept"] - target) < 0.2 * target + 50
+
+
+def test_multiline_reassembles_every_event(tables):
+    rows = multiline_stack_counts(tables).collect()
+    n_events = tables["events"].count()
+    assert sum(r["n_records"] for r in rows) == n_events
+    for r in rows:
+        assert r["n_lines"] == (3 if r["event_type"] == "error" else 1)
+
+
+def test_modularity_terms_are_bounded(tables):
+    rows = graph_modularity(tables).collect()
+    q = sum(r["q_term"] for r in rows)
+    assert -0.5 <= q <= 1.0
+    for r in rows:
+        # intra edges have both endpoints in the language: 2*m_c <= d_c
+        assert 2 * r["intra_edges"] <= r["degree_sum"]
+
+
+def test_embedding_drift_bounds(tables):
+    rows = embedding_drift(tables).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert 0.0 <= r["tvd"] <= 1.0
