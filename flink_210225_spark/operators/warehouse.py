@@ -327,6 +327,68 @@ def vacuum_orphans(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def late_arriving_facts(tables: dict[str, DataFrame]) -> DataFrame:
+    """Late-arriving-fact audit — the warehouse-side measurement behind
+    every watermark/TTL decision: how many facts arrive AFTER a
+    later-timestamped fact already landed (those are the rows an
+    event-time window would have to reopen, and the rows a naive
+    ingest-order incremental load files into the wrong partition). The
+    fixture's feed is perfectly ordered, so a deterministic delayed
+    subset is synthesized (every event_id % 13 == 0 delivered 600 s
+    late — the record_linkage synthesize-the-defect pattern); arrival
+    order is (arrival_us, event_id).
+
+    A fact is late iff its event time is behind the running maximum over
+    everything that arrived before it; delay = that maximum minus the
+    event time (how far the watermark would have to reach back). All
+    integers (epoch micros); the rate is one pinned division. One global
+    arrival-order window at fixture scale — production shards this by
+    ingest partition, where arrival order actually exists."""
+    ev = tables["events"]
+    us = F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), F.col("ts")
+    )
+    base = ev.select(
+        "event_id",
+        us.alias("us"),
+        (
+            us
+            + F.when(F.col("event_id") % 13 == 0, F.lit(600_000_000)).otherwise(
+                F.lit(0)
+            )
+        ).alias("arrival_us"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    )
+    w = Window.orderBy("arrival_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tagged = base.select(
+        "day",
+        "us",
+        F.max("us").over(w).alias("rm"),
+    ).select(
+        "day",
+        F.when(F.col("us") < F.col("rm"), 1).otherwise(0).alias("late"),
+        F.when(F.col("us") < F.col("rm"), F.col("rm") - F.col("us"))
+        .otherwise(F.lit(0))
+        .alias("delay_us"),
+    )
+    return tagged.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_facts"),
+        F.sum("late").cast("long").alias("n_late"),
+        F.max("delay_us").cast("long").alias("max_delay_us"),
+        (
+            F.floor(F.sum("late") * 1000000.0 / F.count("*") + 0.5) / 1000000
+        ).alias("late_rate"),
+    ).select(
+        F.col("day").cast("string").alias("day"),
+        "n_facts",
+        "n_late",
+        "max_delay_us",
+        "late_rate",
+    )
+
+
 def dq_expectations(tables: dict[str, DataFrame]) -> DataFrame:
     """Rule-based data-quality EXPECTATIONS (the Great-Expectations /
     Deequ contract family — ``warehouse_dq_profile`` PROFILES a table;
@@ -949,6 +1011,7 @@ def data_masking(tables: dict[str, DataFrame]) -> DataFrame:
 
 
 QUERIES = {
+    "warehouse_late_arriving": late_arriving_facts,
     "warehouse_data_masking": data_masking,
     "warehouse_kanon_audit": kanon_audit,
     "warehouse_benford_audit": benford_audit,
@@ -968,6 +1031,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same synthesized %13 delayed subset; running event-time max over
+    # (arrival_us, event_id) order; exact integer delays.
+    "warehouse_late_arriving": """
+        WITH base AS (
+            SELECT event_id, epoch_us(ts)::BIGINT AS us,
+                   (epoch_us(ts) + CASE WHEN event_id % 13 = 0
+                                        THEN 600000000 ELSE 0 END)::BIGINT AS arrival_us,
+                   date_trunc('day', ts)::DATE AS day
+            FROM events
+        ),
+        tagged AS (
+            SELECT day, us,
+                   max(us) OVER (ORDER BY arrival_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)::BIGINT AS rm
+            FROM base
+        )
+        SELECT day::VARCHAR AS day, count(*)::BIGINT AS n_facts,
+               sum(CASE WHEN us < rm THEN 1 ELSE 0 END)::BIGINT AS n_late,
+               max(CASE WHEN us < rm THEN rm - us ELSE 0 END)::BIGINT AS max_delay_us,
+               floor(sum(CASE WHEN us < rm THEN 1 ELSE 0 END) * 1000000.0
+                     / count(*) + 0.5) / 1000000 AS late_rate
+        FROM tagged GROUP BY day
+    """,
     # Same md5-derived token surgery and band coarsening; the extract
     # itself is the gated artifact.
     "warehouse_data_masking": """

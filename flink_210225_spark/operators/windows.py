@@ -1323,12 +1323,19 @@ def binary_changepoint(tables: dict[str, DataFrame]) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.count("*").alias("pv"))
+    return changepoint_from_daily(daily)
+
+
+def changepoint_from_daily(daily: DataFrame) -> DataFrame:
+    """Binary-segmentation kernel over a finalized (event_type, day, pv)
+    daily-count table — shared by the batch query above and the streaming
+    capstone (``stream_changepoint_materialized``), which feeds it the
+    watermark-flushed sink instead of a batch groupBy. The calendar spine
+    derives from the table's own global min/max day (identical to the
+    event min/max — the boundary days have events by definition)."""
     spine = (
-        ev.agg(
-            F.sequence(
-                F.min(F.date_trunc("day", "ts").cast("date")),
-                F.max(F.date_trunc("day", "ts").cast("date")),
-            ).alias("days")
+        daily.agg(
+            F.sequence(F.min("day"), F.max("day")).alias("days")
         ).scalar()
     )
     types = daily.select("event_type").distinct()

@@ -733,6 +733,41 @@ def poisson_bootstrap(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def temporal_split(tables: dict[str, DataFrame], train_pct: int = 80) -> DataFrame:
+    """Point-in-time train/test split — the leakage-proof alternative to
+    random splits for anything time-ordered (eval on the future, train on
+    the past; a random split lets the model see tomorrow). The boundary is
+    the event at EXACT rank r = (train_pct·n) div 100 in (ts, event_id)
+    order — integer arithmetic, no percentile interpolation — and the
+    split predicate is the rank itself, so ties at the boundary timestamp
+    cannot straddle engines.
+
+    Plan note: the exact-rank boundary needs one global sort (fine at
+    fixture scale; at 100 TB the production form samples an approximate
+    time boundary and filters on it — same output contract, no sort).
+    Emits per event_type train/test counts plus each side's exact
+    event_id checksum, so the gate pins the MEMBERSHIP, not just sizes."""
+    ev = tables["events"].select("event_id", "ts", "event_type")
+    w = Window.orderBy("ts", "event_id")
+    n_col = ev.agg(F.count("*").cast("long").alias("n")).scalar()
+    ranked = ev.select(
+        "event_id",
+        "event_type",
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+    is_train = F.col("rk") <= F.expr(f"({train_pct} * n_all) div 100")
+    ranked = ranked.withColumn("n_all", n_col)
+    split = ranked.select(
+        "event_id",
+        "event_type",
+        F.when(is_train, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+    return split.groupBy("event_type", "split").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+    )
+
+
 def negative_downsample(tables: dict[str, DataFrame], ratio: int = 2) -> DataFrame:
     """Class-rebalancing negative downsampling — the classifier-training
     prep every quality/contamination model here needs when positives are
@@ -792,6 +827,7 @@ def negative_downsample(tables: dict[str, DataFrame], ratio: int = 2) -> DataFra
 
 
 QUERIES = {
+    "sample_temporal_split": temporal_split,
     "sample_negative_downsample": negative_downsample,
     "sample_poisson_bootstrap": poisson_bootstrap,
     "sample_split_leakage_audit": split_leakage_audit,
@@ -840,6 +876,21 @@ def _importance_resample_oracle() -> str:
 
 
 ORACLES = {
+    # Exact-rank boundary at (80·n)//100 in (ts, event_id) order; id sums
+    # pin exact membership.
+    "sample_temporal_split": """
+        WITH ranked AS (
+            SELECT event_id, event_type,
+                   row_number() OVER (ORDER BY ts, event_id)::BIGINT AS rk,
+                   count(*) OVER ()::BIGINT AS n_all
+            FROM events
+        )
+        SELECT event_type,
+               CASE WHEN rk <= (80 * n_all) // 100 THEN 'train' ELSE 'test' END AS split,
+               count(*)::BIGINT AS n_rows,
+               sum(event_id)::BIGINT AS sum_ids
+        FROM ranked GROUP BY 1, 2
+    """,
     # One integer threshold scalar T = (2·n_pos·65536 − 1) // n_neg; the
     # same 16-bit md5 Bernoulli as DSIR; sum_kept_ids pins exact membership.
     "sample_negative_downsample": """

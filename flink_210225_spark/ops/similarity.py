@@ -1147,6 +1147,93 @@ def embed_dim_stats(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def knn_graph(tables: dict[str, DataFrame], k: int = 5, n_blocks: int = 8) -> DataFrame:
+    """Exact k-nearest-neighbor graph over the embedding corpus — the
+    structure mutual-kNN dedup clustering, label propagation, and graph
+    ANN indexes (HNSW's ground truth) are built on. Block-grid GEMM
+    (``embedding_near_dups_blocked``'s kernel shape): vectors hash into
+    ``n_blocks`` packed buckets, the (i ≤ j) block-pair grid fans out, and
+    each kernel emits a per-node PARTIAL top-k against its opposite block
+    (the map-side combine for top-k: n_blocks·k candidates per node reach
+    the final window, never the n² pair table).
+
+    Bit-exactness across engines (the sim_rp_audit integer-quantization
+    trick): components quantize to q = floor(x·10⁴ + 0.5) BEFORE any
+    arithmetic, so dots and norms are exact integers (dot ≤ 64·5300² ≈
+    1.8e9 — float64 GEMM over them is EXACT regardless of summation
+    order), cos = dot/(√na·√nb) is one identical IEEE expression, and the
+    6dp pin + neighbor-id tie-break make ranks engine-deterministic.
+
+    Scale: n_blocks² grid rows, one GEMM each; the shuffle to the final
+    top-k window carries nodes×n_blocks×k rows."""
+    import numpy as np
+    import pandas as pd
+
+    emb = tables["embeddings"]
+    packed = (
+        emb.select(
+            F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"),
+            F.struct("vec_id", "embedding").alias("ve"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list("ve").alias("vs"))
+    )
+    a, b = packed.alias("a"), packed.alias("b")
+    grid = a.join(b, F.col("a.blk") <= F.col("b.blk")).select(
+        F.col("a.blk").alias("blk_a"),
+        F.col("a.vs").alias("vs_a"),
+        F.col("b.blk").alias("blk_b"),
+        F.col("b.vs").alias("vs_b"),
+    )
+
+    def unpack(cell):
+        ids = np.array([r["vec_id"] for r in cell], dtype=np.int64)
+        mat = np.array([r["embedding"] for r in cell], dtype=np.float64)
+        q = np.floor(mat * 10_000 + 0.5)  # exact integers in float64
+        return ids, q
+
+    def topk_rows(src_ids, dst_ids, cos, out):
+        # per src row: partial top-k by (cos desc, dst asc)
+        for i in range(cos.shape[0]):
+            row = cos[i]
+            order = np.lexsort((dst_ids, -row))[:k]
+            for j in order:
+                out["src"].append(src_ids[i])
+                out["dst"].append(dst_ids[j])
+                out["cos6"].append(row[j])
+
+    def score(batches):
+        for pdf in batches:
+            for _, grow in pdf.iterrows():
+                a_ids, a_q = unpack(grow["vs_a"])
+                b_ids, b_q = unpack(grow["vs_b"])
+                na = (a_q * a_q).sum(axis=1)
+                nb = (b_q * b_q).sum(axis=1)
+                cos = (a_q @ b_q.T) / np.outer(np.sqrt(na), np.sqrt(nb))
+                cos = np.floor(cos * 1_000_000 + 0.5) / 1_000_000
+                if grow["blk_a"] == grow["blk_b"]:
+                    cos[a_ids[:, None] == b_ids[None, :]] = -2.0  # mask self
+                out = {"src": [], "dst": [], "cos6": []}
+                topk_rows(a_ids, b_ids, cos, out)
+                if grow["blk_a"] != grow["blk_b"]:
+                    topk_rows(b_ids, a_ids, cos.T, out)
+                if out["src"]:
+                    yield pd.DataFrame(out)
+
+    partials = grid.mapInPandas(score, "src long, dst long, cos6 double")
+    w = Window.partitionBy("src").orderBy(F.col("cos6").desc(), F.col("dst").asc())
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("dst").alias("neighbor_id"),
+            "cos6",
+        )
+    )
+
+
 def embedding_drift(tables: dict[str, DataFrame]) -> DataFrame:
     """Per-dimension distribution drift between two embedding snapshots —
     the monitoring job every deployed embedding index runs (a model
@@ -2179,6 +2266,7 @@ QUERIES = {
     "sim_cluster_stats": embedding_cluster_stats,
     "sim_embed_dim_stats": embed_dim_stats,
     "sim_embedding_drift": embedding_drift,
+    "sim_knn_graph": knn_graph,
     "sim_whiten_zscore": whiten_embeddings,
     "sim_centroid_pairs": centroid_pairs,
     "sim_knn_label": knn_label_predict,
@@ -2398,6 +2486,33 @@ ORACLES = {
                floor(stddev_pop(x) * 1000000 + 0.5) / 1000000 AS std_x,
                min(x) AS min_x, max(x) AS max_x
         FROM e GROUP BY dim
+    """,
+    # Quadratic replay on the SAME 1e4-quantized integers: list_dot_product
+    # over integral doubles is exact, cos/pin/tie-break identical.
+    "sim_knn_graph": """
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> floor(x::DOUBLE * 10000 + 0.5)) AS qv
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q
+        ),
+        pairs AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   floor(list_dot_product(a.qv, b.qv)
+                         / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000 + 0.5)
+                     / 1000000 AS cos6
+            FROM n a JOIN n b ON a.vec_id != b.vec_id
+        ),
+        rk AS (
+            SELECT src, dst, cos6,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY cos6 DESC, dst ASC) AS rank
+            FROM pairs
+        )
+        SELECT src AS vec_id, rank::INT AS rank, dst AS neighbor_id, cos6
+        FROM rk WHERE rank <= 5
     """,
     # Fixed literal bin edges; exact-integer cross-multiplied L1; one
     # pinned division for the TVD.

@@ -1612,6 +1612,55 @@ def ppl_buckets(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def vocab_coverage(tables: dict[str, DataFrame], k: int = 20) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit — before committing to a fixed
+    vocab, measure what fraction of a held-out corpus it covers per
+    language (OOV mass is lost signal for classic models and byte-fallback
+    bloat for BPE). Vocab = top-``k`` tokens by count over the EVEN
+    doc_ids (deterministic tie-break: count desc, token asc); coverage is
+    measured on the ODD docs, so the vocab is never scored on its own
+    training half.
+
+    Plan: vocab is a vocab-bounded agg + top-k (TakeOrderedAndProject),
+    then broadcasts into the held-out token stream (the decontamination
+    broadcast-probe shape); per-lang totals are exact integers, oov_rate
+    is one pinned integer-ratio division."""
+    docs = tables["documents"]
+    even = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    vocab = (
+        even.groupBy("tok")
+        .agg(F.count("*").alias("ct"))
+        .orderBy(F.col("ct").desc(), F.col("tok").asc())
+        .limit(k)
+        .select("tok", F.lit(1).alias("iv"))
+    )
+    odd = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select("lang", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    j = odd.join(F.broadcast(vocab), "tok", "left")
+    return j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
+                * 1000000.0
+                / F.count("*")
+                + 0.5
+            )
+            / 1000000
+        ).alias("oov_rate"),
+    )
+
+
 def zipf_profile(tables: dict[str, DataFrame], top_r: int = 100) -> DataFrame:
     """Corpus-health Zipf fit: least-squares slope of ln(freq) vs ln(rank)
     over the top ``top_r`` token ranks. Natural-language corpora sit near
@@ -2919,6 +2968,7 @@ QUERIES = {
     "text_bpe_pair_counts": bpe_pair_counts,
     "text_quality_rrf": quality_rrf,
     "text_zipf_profile": zipf_profile,
+    "text_vocab_coverage": vocab_coverage,
     "dedup_url_canonical": url_canonical_dedup,
 }
 
@@ -4209,6 +4259,27 @@ ORACLES = {
         SELECT tok, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
                array_to_string((list(doc_id ORDER BY doc_id))[1:50], ',') AS postings_head
         FROM tf GROUP BY tok
+    """,
+    # Top-k vocab from even docs (count desc, tok asc), probed on odd docs.
+    "text_vocab_coverage": f"""
+        WITH even AS (
+            SELECT unnest({_DUCK_TOKS}) AS tok FROM documents WHERE doc_id % 2 = 0
+        ),
+        vocab AS (
+            SELECT tok FROM even WHERE tok != ''
+            GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 20
+        ),
+        odd AS (
+            SELECT lang, unnest({_DUCK_TOKS}) AS tok FROM documents
+            WHERE doc_id % 2 = 1
+        )
+        SELECT lang, count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+               floor(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                     * 1000000.0 / count(*) + 0.5) / 1000000 AS oov_rate
+        FROM odd o LEFT JOIN vocab v USING (tok)
+        WHERE o.tok != ''
+        GROUP BY lang
     """,
     # Embeds the gated perplexity scorer's CTEs (the chunk_dedup_stats
     # pattern); ntile ties pinned by (4dp avg_logprob DESC, doc_id).

@@ -1973,7 +1973,48 @@ def topk_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def changepoint_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
+    """TWELFTH driver-checkable end-to-end streaming query — STREAMING
+    CHANGEPOINT DETECTION as the speed/serving split: the stream
+    finalizes per-(event type, day) counts under the watermark (keyed agg
+    state, sentinel-flushed), the file sink commits them exactly-once,
+    and binary segmentation runs over the FINALIZED sink through the SAME
+    kernel as the batch query (``changepoint_from_daily``) — detection
+    logic exists once, the stream only changes where the daily table
+    comes from. Shares ``window_changepoint``'s oracle: stream == batch,
+    hash-gated (the cusum capstone's triangulation discipline, minus its
+    second stream stage — ranking/argmax over finalized state belongs to
+    the serving layer, the topk capstone's lambda seam)."""
+    from flink_210225_spark.operators.windows import changepoint_from_daily
+
+    spark, stream, out, cp = _staged_sentinel_stream(
+        tables["events"], "chgpt_stream"
+    )
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("pv"))
+        .select(
+            "event_type",
+            F.col("window.start").cast("date").alias("day"),
+            F.col("pv").cast("long").alias("pv"),
+        )
+    )
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    daily = spark.read.parquet(out).filter(F.col("event_type") != "__sentinel__")
+    return changepoint_from_daily(daily)
+
+
 QUERIES = {
+    "stream_changepoint_materialized": changepoint_stream_materialized,
     "stream_topk_materialized": topk_stream_materialized,
     "stream_curation_materialized": curation_stream_materialized,
     "stream_upsert_materialized": upsert_stream_materialized,
@@ -2022,7 +2063,17 @@ def _funnel_oracle() -> str:
     return _S_ORACLES["session_funnel_windowed"]
 
 
+def _changepoint_oracle() -> str:
+    from flink_210225_spark.operators.windows import ORACLES as _WINDOW_ORACLES
+
+    return _WINDOW_ORACLES["window_changepoint"]
+
+
 ORACLES = {
+    # stream == batch over the shared changepoint kernel: watermark-flushed
+    # daily counts must reproduce the batch rollup exactly, or the argmax
+    # (and its pinned score) moves.
+    "stream_changepoint_materialized": _changepoint_oracle(),
     # stream == batch: the watermark-flushed daily keyed counts must equal
     # a plain batch rollup; the rank is the deterministic serving layer.
     "stream_topk_materialized": """

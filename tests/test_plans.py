@@ -155,6 +155,10 @@ CARTESIAN_OK = {
     # composes the blocked GEMM below as its exact side — same block grid
     "sim_semantic_audit",
     "dedup_embedding_cosine",
+    # same n_blocks² block-pair grid as the blocked GEMM (exact kNN graph
+    # needs all block pairs; per-node partial top-k keeps the shuffle at
+    # nodes×n_blocks×k, never n²)
+    "sim_knn_graph",
     # composes the blocked GEMM as its semantic-candidate source — same
     # n_blocks² block grid; the Jaccard verify side is equi-join shaped
     "dedup_paraphrase_mining",

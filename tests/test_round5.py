@@ -110,3 +110,52 @@ def test_embedding_drift_bounds(tables):
     assert len(rows) == 64
     for r in rows:
         assert 0.0 <= r["tvd"] <= 1.0
+
+
+def test_knn_graph_shape_and_self_exclusion(tables):
+    from flink_210225_spark.ops.similarity import knn_graph
+
+    rows = knn_graph(tables).collect()
+    n_nodes = tables["embeddings"].count()
+    assert len(rows) == 5 * n_nodes
+    by_node = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["vec_id"]
+        by_node.setdefault(r["vec_id"], []).append((r["rank"], r["cos6"]))
+    for picks in by_node.values():
+        picks.sort()
+        assert [p[0] for p in picks] == [1, 2, 3, 4, 5]
+        # cosine non-increasing down the ranks
+        cs = [p[1] for p in picks]
+        assert all(a >= b for a, b in zip(cs, cs[1:]))
+
+
+def test_temporal_split_is_80_20_and_disjoint(tables):
+    from flink_210225_spark.ops.sampling import temporal_split
+
+    rows = temporal_split(tables).collect()
+    n = tables["events"].count()
+    n_train = sum(r["n_rows"] for r in rows if r["split"] == "train")
+    assert n_train == (80 * n) // 100
+    assert sum(r["n_rows"] for r in rows) == n
+
+
+def test_late_arriving_counts_the_delayed_subset(tables):
+    from flink_210225_spark.operators.warehouse import late_arriving_facts
+
+    rows = late_arriving_facts(tables).collect()
+    n_late = sum(r["n_late"] for r in rows)
+    # every %13 event is delivered 10 min late; only those whose delay
+    # crosses a later event's ts land late (at sf0.001 inter-arrival gaps
+    # are ~2 h, so few do — density, not the rule, drives the count)
+    n13 = tables["events"].where(F.col("event_id") % 13 == 0).count()
+    assert 0 < n_late <= n13
+    assert max(r["max_delay_us"] for r in rows) <= 600_000_000
+
+
+def test_vocab_coverage_rates_bounded(tables):
+    from flink_210225_spark.ops.text import vocab_coverage
+
+    for r in vocab_coverage(tables).collect():
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0.0 <= r["oov_rate"] < 1.0
