@@ -955,6 +955,49 @@ def anova_segments(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def unit_value_index(tables: dict[str, DataFrame]) -> DataFrame:
+    """Monthly unit-value price index vs the base (first) month — the
+    trade-statistics form of a price index (UN IMTS 2010 §5; Laspeyres
+    needs matched baskets and per-part price ratios, the unit-value index
+    is the ratio of average unit values and stays EXACT): I_t =
+    (Σ sales_t · Σ qty_0) / (Σ qty_t · Σ sales_0), all four sums exact
+    integer cents/units, ONE pinned division — no per-part float sums to
+    order.
+
+    Plan: one month-keyed partial agg over lineitem⋈orders (broadcast-free
+    fact join on orderkey); the base-month scalars attach as one scalar
+    subquery each over the |months|-sized agg."""
+    li, o = tables["lineitem"], tables["orders"]
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    monthly = j.groupBy("month").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("qty").cast("long").alias("qty"),
+        F.sum("cents").cast("long").alias("sales_cents"),
+    )
+    base = monthly.orderBy("month").limit(1).select(
+        F.col("qty").alias("q0"), F.col("sales_cents").alias("s0")
+    )
+    q0 = base.agg(F.max("q0").alias("v")).scalar()
+    s0 = base.agg(F.max("s0").alias("v")).scalar()
+    r6 = round6
+    return monthly.select(
+        "month",
+        "n_lines",
+        "qty",
+        "sales_cents",
+        r6(
+            (F.col("sales_cents") * q0).cast("double")
+            / (F.col("qty") * s0).cast("double")
+        ).alias("uv_index"),
+    )
+
+
 def retention_matrix(tables: dict[str, DataFrame]) -> DataFrame:
     """Weekly cohort retention triangle — the standard growth dashboard:
     users are cohorted by the ISO week of their FIRST event, and each
@@ -1082,6 +1125,7 @@ def wilson_ci(tables: dict[str, DataFrame], z2: float = 3.8416) -> DataFrame:
 
 
 QUERIES = {
+    "serving_unit_value_index": unit_value_index,
     "serving_retention_matrix": retention_matrix,
     "serving_mann_whitney": mann_whitney,
     "serving_wilson_ci": wilson_ci,
@@ -1111,6 +1155,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Four exact integer sums, one pinned cross-multiplied division.
+    "serving_unit_value_index": """
+        WITH j AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   floor(l_extendedprice * 100 + 0.5)::BIGINT AS cents,
+                   l_quantity::BIGINT AS qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        monthly AS (
+            SELECT month, count(*)::BIGINT AS n_lines,
+                   sum(qty)::BIGINT AS qty, sum(cents)::BIGINT AS sales_cents
+            FROM j GROUP BY month
+        ),
+        base AS (
+            SELECT qty AS q0, sales_cents AS s0 FROM monthly
+            ORDER BY month LIMIT 1
+        )
+        SELECT month, n_lines, qty, sales_cents,
+               floor((sales_cents * (SELECT q0 FROM base))::DOUBLE
+                     / (qty * (SELECT s0 FROM base))::DOUBLE
+                     * 1000000 + 0.5) / 1000000 AS uv_index
+        FROM monthly
+    """,
     # Monday-truncated weeks on both engines; datediff of week-truncated
     # dates is an exact multiple of 7; retention = one integer-ratio division.
     "serving_retention_matrix": """

@@ -1296,6 +1296,72 @@ def forecast_backtest(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def seasonality_strength(tables: dict[str, DataFrame]) -> DataFrame:
+    """Seasonality-strength score per event type — Hyndman's F_s intuition
+    as a one-way ANOVA of the DETRENDED daily series across ISO weekdays:
+    η² = SSB/SST of det7 (``window_decompose``'s 7-scaled integer
+    detrending) grouped by isodow. η² → 1 means the weekday profile
+    explains the detrended variation (strong weekly seasonality); → 0
+    means the profile is noise. The decision input for \"do I fit a
+    seasonal model at all\" (``window_holt_winters``' prerequisite).
+
+    Exactness: det7 is an exact integer; Σx, Σx², group sums are exact
+    decimals; the one multi-term float sum T = Σ_g S_g²/n_g folds in
+    FIXED isodow order on both engines (the anova_segments discipline);
+    η² = (n·T − S²)/(n·Σx² − S²) is one pinned division whose numerator
+    mixes T only once. Same full-window calendar guards as decompose —
+    a gapped window would poison the detrending identically on both
+    engines, invisible to the hash."""
+    ev = tables["events"]
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        (F.weekday("ts") + 1).alias("isodow"),
+    ).agg(F.count("*").alias("pv"))
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    span = F.datediff(
+        F.to_date(F.max("day").over(w7)), F.to_date(F.min("day").over(w7))
+    )
+    full = (F.count("*").over(w7) == 7) & (span == 6)
+    det = daily.select(
+        "event_type",
+        "isodow",
+        F.when(full, 7 * F.col("pv") - F.sum("pv").over(w7)).alias("det7"),
+    ).where(F.col("det7").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = det.groupBy("event_type", "isodow").agg(
+        F.count("*").alias("ng"),
+        F.sum(dec(F.col("det7"))).alias("sg"),
+        F.sum(dec(F.col("det7")) * dec(F.col("det7"))).alias("qq_g"),
+    )
+    glob = g.groupBy("event_type").agg(
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qq_g").alias("qq"),
+        F.count("*").alias("k"),
+        F.sort_array(
+            F.collect_list(
+                F.struct("isodow", F.col("sg").cast("double").alias("sgd"), "ng")
+            )
+        ).alias("arr"),
+    )
+    t_val = F.aggregate(
+        F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["sgd"] * x["sgd"] / x["ng"]
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    qqd = F.col("qq").cast("double")
+    r6 = round6
+    return glob.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("k_groups"),
+        r6(
+            (nd * t_val - sd * sd) / (nd * qqd - sd * sd)
+        ).alias("eta_sq"),
+    )
+
+
 def binary_changepoint(tables: dict[str, DataFrame]) -> DataFrame:
     """Single-changepoint detection per event type via binary segmentation
     (the first split of the CBS/PELT family): over the zero-filled daily
@@ -1394,6 +1460,7 @@ def changepoint_from_daily(daily: DataFrame) -> DataFrame:
 
 
 QUERIES = {
+    "window_seasonality_strength": seasonality_strength,
     "window_changepoint": binary_changepoint,
     "window_audience_overlap": audience_overlap,
     "window_decompose": classical_decompose,
@@ -1426,6 +1493,45 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same det7 integer detrending + calendar guards as window_decompose;
+    # T = Σ S_g²/n_g folds in FIXED isodow order (list_reduce == F.aggregate).
+    "window_seasonality_strength": """
+        WITH daily AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   isodow(ts)::INT AS dow, count(*)::BIGINT AS pv
+            FROM events GROUP BY 1, 2, 3
+        ),
+        t AS (
+            SELECT event_type, dow,
+                   CASE WHEN count(*) OVER w = 7
+                         AND datediff('day', min(day::DATE) OVER w,
+                                      max(day::DATE) OVER w) = 6
+                        THEN 7 * pv - sum(pv) OVER w END AS det7
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        g AS (
+            SELECT event_type, dow, count(*)::BIGINT AS ng,
+                   sum(det7::HUGEINT)::HUGEINT AS sg,
+                   sum(det7::HUGEINT * det7::HUGEINT)::HUGEINT AS qq_g
+            FROM t WHERE det7 IS NOT NULL GROUP BY 1, 2
+        ),
+        gstat AS (
+            SELECT event_type, sum(ng)::BIGINT AS n, sum(sg)::HUGEINT AS s,
+                   sum(qq_g)::HUGEINT AS qq, count(*)::BIGINT AS k,
+                   list_reduce(
+                       list(sg::DOUBLE * sg::DOUBLE / ng ORDER BY dow),
+                       (a, b) -> a + b) AS t_val
+            FROM g GROUP BY event_type
+        )
+        SELECT event_type, n AS n_days, k AS k_groups,
+               floor((n::DOUBLE * t_val - s::DOUBLE * s::DOUBLE)
+                     / (n::DOUBLE * qq::DOUBLE - s::DOUBLE * s::DOUBLE)
+                     * 1000000 + 0.5) / 1000000 AS eta_sq
+        FROM gstat
+    """,
     # Zero-filled calendar spine; exact integer prefix sums; the square is
     # computed as DOUBLE·DOUBLE over the exact long diff (autocorr rule);
     # argmax over the PINNED score with earliest-day tie-break.

@@ -450,6 +450,45 @@ def wav_decode_documents(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def audio_gain_plan(tables: dict[str, DataFrame]) -> DataFrame:
+    """Loudness-normalization plan over the REAL WAV round trip — the
+    batch pass every audio-training pipeline runs before feature
+    extraction (normalize clips to a target RMS so model inputs share a
+    level; clips whose peak would clip at that gain get limited instead).
+    Composes the gated decoder (``wav_decode_documents``: genuine
+    container bytes → stdlib parse → exact Σs²/peak) with pure
+    arithmetic: gain_db = 10·ln(target²·n/Σs²)/ln(10) from exact
+    integers (target RMS 3277 ≈ −20 dBFS int16, pinned as the integer
+    literal target² = 10738729), and the clip test is an EXACT decimal
+    cross-multiply peak²·target²·n > 32767²·Σs² — no float ever decides
+    the boolean. Plan: the decoder's shuffle-free Arrow pass plus a
+    stateless projection."""
+    dec = wav_decode_documents(tables)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    target_sq = 10738729  # 3277², pinned on both engines
+    gain = F.when(
+        F.col("sum_sq") > 0,
+        10.0
+        * F.log(
+            (F.col("n_frames") * target_sq).cast("double")
+            / F.col("sum_sq").cast("double")
+        )
+        / F.log(F.lit(10.0)),
+    ).otherwise(F.lit(0.0))
+    would_clip = (
+        d38(F.col("peak")) * d38(F.col("peak")) * d38(F.lit(target_sq)) * d38(F.col("n_frames"))
+        > d38(F.lit(32767)) * d38(F.lit(32767)) * d38(F.col("sum_sq"))
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return dec.select(
+        "asset_id",
+        "n_frames",
+        "sum_sq",
+        r6(gain).alias("gain_db"),
+        would_clip.alias("would_clip"),
+    )
+
+
 def wav_segment_features(
     tables: dict[str, DataFrame], seg_samples: int = 64
 ) -> DataFrame:
@@ -1529,6 +1568,7 @@ _IMG_HIST_ORACLE = """
 QUERIES.update({
     "multimodal_decode": decode_documents,
     "multimodal_wav_decode": wav_decode_documents,
+    "multimodal_audio_gain": audio_gain_plan,
     "multimodal_wav_segments": wav_segment_features,
     "multimodal_wav_dft_audit": wav_dft_audit,
     "multimodal_png_decode": png_decode_documents,
@@ -1737,6 +1777,34 @@ ORACLES = {
                list_sum(list_transform(v, x -> x * x))::BIGINT AS sum_sq,
                list_max(list_transform(v, x -> abs(x)))::BIGINT AS peak
         FROM s
+    """,
+    # Decode replay + pure arithmetic: gain from one ln over an exact
+    # integer ratio; the clip boolean is a HUGEINT cross-multiply.
+    "multimodal_audio_gain": """
+        WITH a AS (
+            SELECT doc_id, (n_chars % 200 + 50)::BIGINT AS n FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n,
+                   list_transform(range(n),
+                       k -> (((doc_id * 31 + k * 7) % 256) - 128) * 256) AS v
+            FROM a
+        ),
+        d AS (
+            SELECT doc_id AS asset_id, n AS n_frames,
+                   list_sum(list_transform(v, x -> x * x))::BIGINT AS sum_sq,
+                   list_max(list_transform(v, x -> abs(x)))::BIGINT AS peak
+            FROM s
+        )
+        SELECT asset_id, n_frames, sum_sq,
+               CASE WHEN sum_sq > 0
+                    THEN floor(10.0 * ln((n_frames * 10738729)::DOUBLE
+                                         / sum_sq::DOUBLE) / ln(10.0)
+                               * 1000000 + 0.5) / 1000000
+                    ELSE 0.0 END AS gain_db,
+               (peak::HUGEINT * peak * 10738729 * n_frames
+                > 32767::HUGEINT * 32767 * sum_sq) AS would_clip
+        FROM d
     """,
     "multimodal_wav_segments": """
         WITH a AS (

@@ -1234,6 +1234,46 @@ def knn_graph(tables: dict[str, DataFrame], k: int = 5, n_blocks: int = 8) -> Da
     )
 
 
+def mutual_knn_clusters(tables: dict[str, DataFrame], k: int = 5) -> DataFrame:
+    """Mutual-kNN clustering — the embedding-space dedup/grouping that
+    SemDeDup-style pipelines use when a fixed cosine threshold is too
+    blunt: an edge exists iff a is in b's top-k AND b is in a's top-k
+    (mutuality kills the hub problem where one centroid-ish vector is
+    everyone's neighbor), and clusters are the connected components.
+    Composes two gated kernels: ``knn_graph`` (exact, integer-quantized)
+    and ``components_from_edges`` (min-label propagation).
+
+    Emits per cluster (≥ 2 members): component id (= min member),
+    size, and the exact member-id sum — membership pinned under the
+    hash, not just sizes. Plan: the kNN frame is localCheckpoint-ed once
+    (Pandas subtrees defeat ReuseExchange — it feeds both join sides);
+    the mutual filter is one self-semi-join on the nodes×k edge list;
+    propagation touches only mutual-edge nodes."""
+    knn = knn_graph(tables, k=k).select("vec_id", "neighbor_id").localCheckpoint(
+        eager=True
+    )
+    rev = knn.select(
+        F.col("neighbor_id").alias("vec_id"), F.col("vec_id").alias("neighbor_id")
+    )
+    mutual = (
+        knn.join(rev, ["vec_id", "neighbor_id"], "left_semi")
+        .where(F.col("vec_id") < F.col("neighbor_id"))
+        .select(F.col("vec_id").alias("a"), F.col("neighbor_id").alias("b"))
+    )
+    from flink_210225_spark.ops.dedup import components_from_edges
+
+    universe = tables["embeddings"].select(F.col("vec_id").alias("id"))
+    comp = components_from_edges(mutual, universe)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("id").cast("long").alias("sum_ids"),
+        )
+        .where(F.col("n_members") >= 2)
+    )
+
+
 def embedding_drift(tables: dict[str, DataFrame]) -> DataFrame:
     """Per-dimension distribution drift between two embedding snapshots —
     the monitoring job every deployed embedding index runs (a model
@@ -2267,6 +2307,7 @@ QUERIES = {
     "sim_embed_dim_stats": embed_dim_stats,
     "sim_embedding_drift": embedding_drift,
     "sim_knn_graph": knn_graph,
+    "sim_mutual_knn_clusters": mutual_knn_clusters,
     "sim_whiten_zscore": whiten_embeddings,
     "sim_centroid_pairs": centroid_pairs,
     "sim_knn_label": knn_label_predict,
@@ -2513,6 +2554,49 @@ ORACLES = {
         )
         SELECT src AS vec_id, rank::INT AS rank, dst AS neighbor_id, cos6
         FROM rk WHERE rank <= 5
+    """,
+    # Embeds the knn oracle's CTEs; mutuality via self-join; recursive
+    # min-label reach (the dedup_components oracle mechanism).
+    "sim_mutual_knn_clusters": """
+        WITH RECURSIVE q AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> floor(x::DOUBLE * 10000 + 0.5)) AS qv
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q
+        ),
+        pairs AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   floor(list_dot_product(a.qv, b.qv)
+                         / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000 + 0.5)
+                     / 1000000 AS cos6
+            FROM n a JOIN n b ON a.vec_id != b.vec_id
+        ),
+        rk AS (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY cos6 DESC, dst ASC) AS rank
+            FROM pairs
+        ),
+        knn AS (SELECT src, dst FROM rk WHERE rank <= 5),
+        mutual AS (
+            SELECT a.src AS a, a.dst AS b
+            FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+            WHERE a.src < a.dst
+        ),
+        edges AS (
+            SELECT a, b FROM mutual UNION SELECT b, a FROM mutual
+        ),
+        reach(id, comp) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+        ),
+        lab AS (SELECT id, min(comp)::BIGINT AS component FROM reach GROUP BY id)
+        SELECT component, count(*)::BIGINT AS n_members,
+               sum(id)::BIGINT AS sum_ids
+        FROM lab GROUP BY component HAVING count(*) >= 2
     """,
     # Fixed literal bin edges; exact-integer cross-multiplied L1; one
     # pinned division for the TVD.

@@ -1612,6 +1612,57 @@ def ppl_buckets(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def keyword_burst(tables: dict[str, DataFrame], trail: int = 7) -> DataFrame:
+    """Per-token burst detection (the Kleinberg burst intuition as a
+    cross-multiplied window rule): for each token's daily count series,
+    the burst ratio on day d is ct_d vs the trailing ``trail``-day mean;
+    the emitted row per token is its PEAK burst (max ratio, earliest day
+    on ties) — trend surfacing for query/keyword dashboards. Docs carry
+    no timestamp, so each doc maps onto a 30-day calendar by id (the
+    fixture-standard synthetic time axis).
+
+    Exactness: burst_ratio = ct·trail/trailing_sum is one pinned division
+    from exact integers; the peak argmax runs over the PINNED ratio with
+    day tie-break. Days with fewer than ``trail`` prior observed days are
+    skipped — the honest contract. Plan: token×day partial agg
+    (vocab-bounded), one per-token window pass, one argmax window."""
+    docs = tables["documents"]
+    toks = docs.select(
+        (F.col("doc_id") % 30).cast("int").alias("day"),
+        F.explode(tokens_col(F.col("text"))).alias("tok"),
+    ).where(F.col("tok") != "")
+    daily = toks.groupBy("tok", "day").agg(F.count("*").cast("long").alias("ct"))
+    w = Window.partitionBy("tok").orderBy("day").rowsBetween(-trail, -1)
+    scored = daily.select(
+        "tok",
+        "day",
+        "ct",
+        F.sum("ct").over(w).alias("tsum"),
+        F.count("ct").over(w).alias("tn"),
+    ).where(F.col("tn") == trail)
+    from flink_210225_spark.functions.scalars import round6 as _r6
+
+    rated = scored.select(
+        "tok",
+        "day",
+        "ct",
+        F.col("tsum").cast("long").alias("trailing_sum"),
+        _r6(
+            (F.col("ct") * trail).cast("double") / F.col("tsum").cast("double")
+        ).alias("burst_ratio"),
+    )
+    pick = Window.partitionBy("tok").orderBy(
+        F.col("burst_ratio").desc(), F.col("day").asc()
+    )
+    return (
+        rated.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "tok", F.col("day").alias("peak_day"), "ct", "trailing_sum", "burst_ratio"
+        )
+    )
+
+
 def vocab_coverage(tables: dict[str, DataFrame], k: int = 20) -> DataFrame:
     """Tokenizer-vocabulary coverage audit — before committing to a fixed
     vocab, measure what fraction of a held-out corpus it covers per
@@ -2969,6 +3020,7 @@ QUERIES = {
     "text_quality_rrf": quality_rrf,
     "text_zipf_profile": zipf_profile,
     "text_vocab_coverage": vocab_coverage,
+    "text_keyword_burst": keyword_burst,
     "dedup_url_canonical": url_canonical_dedup,
 }
 
@@ -4259,6 +4311,39 @@ ORACLES = {
         SELECT tok, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
                array_to_string((list(doc_id ORDER BY doc_id))[1:50], ',') AS postings_head
         FROM tf GROUP BY tok
+    """,
+    # Same %30 synthetic calendar; burst_ratio = one pinned division from
+    # exact window integers; argmax over the pinned ratio, day tie-break.
+    "text_keyword_burst": f"""
+        WITH toks AS (
+            SELECT (doc_id % 30)::INT AS day, unnest({_DUCK_TOKS}) AS tok
+            FROM documents
+        ),
+        daily AS (
+            SELECT tok, day, count(*)::BIGINT AS ct FROM toks
+            WHERE tok != '' GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT tok, day, ct,
+                   sum(ct) OVER (PARTITION BY tok ORDER BY day
+                                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)::BIGINT AS tsum,
+                   count(ct) OVER (PARTITION BY tok ORDER BY day
+                                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)::BIGINT AS tn
+            FROM daily
+        ),
+        rated AS (
+            SELECT tok, day, ct, tsum AS trailing_sum,
+                   floor((ct * 7)::DOUBLE / tsum::DOUBLE * 1000000 + 0.5)
+                     / 1000000 AS burst_ratio
+            FROM scored WHERE tn = 7
+        ),
+        pick AS (
+            SELECT *, row_number() OVER (PARTITION BY tok
+                         ORDER BY burst_ratio DESC, day ASC) AS rn
+            FROM rated
+        )
+        SELECT tok, day AS peak_day, ct, trailing_sum, burst_ratio
+        FROM pick WHERE rn = 1
     """,
     # Top-k vocab from even docs (count desc, tok asc), probed on odd docs.
     "text_vocab_coverage": f"""

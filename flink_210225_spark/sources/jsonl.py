@@ -276,11 +276,48 @@ def multiline_stack_counts(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def schema_evolution_counts(tables: dict[str, DataFrame]) -> DataFrame:
+    """Schema-evolution read — the lake reality that a long-lived dataset's
+    early files lack columns added later, and the reader must widen rather
+    than reject. Two genuine parquet snapshots are written (v1: even
+    orderkeys, two columns; v2: odd orderkeys, plus ``o_orderpriority``)
+    and read back through ``mergeSchema=true`` — Spark's footer-merging
+    path, the real mechanism (schema inference from ONE footer would
+    either drop the new column or fail on the old files). v1 rows surface
+    the added column as NULL; the rollup folds that into the group key
+    (the dirty-source discipline: the absence is data, not an error).
+
+    Scale: footer merging is a driver-side metadata pass over file
+    schemas, not data; the scan itself stays columnar and pruned."""
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    o = tables["orders"]
+    spark = o.sparkSession
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    out = _scratch(prefix="schema_evo_src_")
+    o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", cents.alias("cents")
+    ).write.mode("overwrite").parquet(f"{out}/v1")
+    o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", cents.alias("cents"), "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{out}/v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/v1", f"{out}/v2"
+    )
+    return merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("__pre_schema__")).alias("priority")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+
+
 QUERIES = {
     "source_jsonl_dirty": jsonl_dirty_counts,
     "source_csv_dirty": csv_dirty_counts,
     "source_fixed_width": fixed_width_counts,
     "source_multiline_stack": multiline_stack_counts,
+    "source_schema_evolution": schema_evolution_counts,
 }
 
 ORACLES = {
@@ -321,6 +358,16 @@ ORACLES["source_multiline_stack"] = """
            sum(('0x' || substr(md5(full_text), 1, 8))::UBIGINT::BIGINT)::BIGINT
              AS digest_sum
     FROM recs GROUP BY 1, 2
+"""
+
+# Schema-evolution replay: even orderkeys are the pre-schema snapshot
+# (priority folds to the sentinel group), odd carry the evolved column.
+ORACLES["source_schema_evolution"] = """
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN '__pre_schema__'
+                ELSE o_orderpriority END AS priority,
+           count(*)::BIGINT AS n_rows,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+    FROM orders GROUP BY 1
 """
 
 # Fixed-width twin: same replay-from-parquet shape over orders; the %11

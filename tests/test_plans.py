@@ -159,6 +159,9 @@ CARTESIAN_OK = {
     # needs all block pairs; per-node partial top-k keeps the shuffle at
     # nodes×n_blocks×k, never n²)
     "sim_knn_graph",
+    # composes sim_knn_graph's block grid as its edge source (the kNN frame
+    # is checkpointed; everything after is equi-join shaped)
+    "sim_mutual_knn_clusters",
     # composes the blocked GEMM as its semantic-candidate source — same
     # n_blocks² block grid; the Jaccard verify side is equi-join shaped
     "dedup_paraphrase_mining",
