@@ -998,6 +998,83 @@ def unit_value_index(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def abc_xyz_classes(tables: dict[str, DataFrame]) -> DataFrame:
+    """ABC/XYZ inventory segmentation — the planning matrix every demand
+    team keeps: ABC = cumulative revenue share (``serving_pareto_abc``'s
+    axis), XYZ = demand VARIABILITY across months (X steady, Y variable,
+    Z erratic). Both axes here, per brand, in one pass over monthly
+    quantity series.
+
+    Exactness: the XYZ cut is the coefficient of variation compared to
+    pinned thresholds WITHOUT computing cv — cv² = (n·Σq² − S²)/S²
+    against 0.5²/1.0² turns into the exact integer cross-multiplies
+    4·(n·Σq² − S²) ≤ S² and (n·Σq² − S²) ≤ S² (HUGEINT/decimal —
+    squares overflow int64 past ~3e9 total units). ABC shares are
+    integer-cents window sums with one pinned division. No float ever
+    decides a class."""
+    li, part = tables["lineitem"], tables["part"]
+    j = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_orderkey"),
+    )
+    # month axis comes from orders (lineitem has no date column here)
+    o = tables["orders"].select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    )
+    jm = j.join(o, j["l_orderkey"] == o["o_orderkey"]).select(
+        "brand", "month", "cents", "qty"
+    )
+    monthly = jm.groupBy("brand", "month").agg(
+        F.sum("qty").alias("q"), F.sum("cents").alias("c")
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    per_brand = monthly.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n_months"),
+        F.sum("q").cast("long").alias("total_qty"),
+        F.sum(dec(F.col("q")) * dec(F.col("q"))).alias("qq"),
+        F.sum("c").cast("long").alias("revenue_cents"),
+    )
+    n, s = F.col("n_months"), F.col("total_qty")
+    varn = dec(n) * F.col("qq") - dec(s) * dec(s)  # n·Σq² − S² (≥ 0)
+    xyz = (
+        F.when(4 * varn <= dec(s) * dec(s), "X")
+        .when(varn <= dec(s) * dec(s), "Y")
+        .otherwise("Z")
+    )
+    wtot = Window.partitionBy()
+    wcum = Window.orderBy(F.col("revenue_cents").desc(), F.col("brand")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r6 = round6
+    ranked = per_brand.select(
+        "brand",
+        "n_months",
+        "total_qty",
+        "revenue_cents",
+        xyz.alias("xyz"),
+        F.sum("revenue_cents").over(wcum).alias("cum_cents"),
+        F.sum("revenue_cents").over(wtot).alias("all_cents"),
+    )
+    abc = (
+        F.when(F.col("cum_cents") * 10 <= F.col("all_cents") * 8, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("all_cents") * 95, "B")
+        .otherwise("C")
+    )
+    return ranked.select(
+        "brand",
+        "n_months",
+        "total_qty",
+        "revenue_cents",
+        abc.alias("abc"),
+        "xyz",
+        r6(
+            F.col("cum_cents").cast("double") / F.col("all_cents").cast("double")
+        ).alias("cum_share"),
+    )
+
+
 def retention_matrix(tables: dict[str, DataFrame]) -> DataFrame:
     """Weekly cohort retention triangle — the standard growth dashboard:
     users are cohorted by the ISO week of their FIRST event, and each
@@ -1125,6 +1202,7 @@ def wilson_ci(tables: dict[str, DataFrame], z2: float = 3.8416) -> DataFrame:
 
 
 QUERIES = {
+    "serving_abc_xyz": abc_xyz_classes,
     "serving_unit_value_index": unit_value_index,
     "serving_retention_matrix": retention_matrix,
     "serving_mann_whitney": mann_whitney,
@@ -1155,6 +1233,49 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Integer cross-multiplied cv² and revenue-share class cuts; HUGEINT
+    # squares; one pinned division for the emitted share.
+    "serving_abc_xyz": """
+        WITH jm AS (
+            SELECT p_brand AS brand, strftime(o_orderdate, '%Y-%m') AS month,
+                   floor(l_extendedprice * 100 + 0.5)::BIGINT AS cents,
+                   l_quantity::BIGINT AS qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+        ),
+        monthly AS (
+            SELECT brand, month, sum(qty)::BIGINT AS q, sum(cents)::BIGINT AS c
+            FROM jm GROUP BY 1, 2
+        ),
+        pb AS (
+            SELECT brand, count(*)::BIGINT AS n_months,
+                   sum(q)::BIGINT AS total_qty,
+                   sum(q::HUGEINT * q)::HUGEINT AS qq,
+                   sum(c)::BIGINT AS revenue_cents
+            FROM monthly GROUP BY brand
+        ),
+        ranked AS (
+            SELECT *,
+                   (n_months::HUGEINT * qq
+                    - total_qty::HUGEINT * total_qty) AS varn,
+                   sum(revenue_cents) OVER (ORDER BY revenue_cents DESC, brand
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                     AS cum_cents,
+                   sum(revenue_cents) OVER ()::BIGINT AS all_cents
+            FROM pb
+        )
+        SELECT brand, n_months, total_qty, revenue_cents,
+               CASE WHEN cum_cents * 10 <= all_cents * 8 THEN 'A'
+                    WHEN cum_cents * 100 <= all_cents * 95 THEN 'B'
+                    ELSE 'C' END AS abc,
+               CASE WHEN 4 * varn <= total_qty::HUGEINT * total_qty THEN 'X'
+                    WHEN varn <= total_qty::HUGEINT * total_qty THEN 'Y'
+                    ELSE 'Z' END AS xyz,
+               floor(cum_cents::DOUBLE / all_cents::DOUBLE * 1000000 + 0.5)
+                 / 1000000 AS cum_share
+        FROM ranked
+    """,
     # Four exact integer sums, one pinned cross-multiplied division.
     "serving_unit_value_index": """
         WITH j AS (

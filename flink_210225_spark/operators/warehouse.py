@@ -327,6 +327,46 @@ def vacuum_orphans(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def dp_noisy_counts(tables: dict[str, DataFrame], epsilon: float = 1.0) -> DataFrame:
+    """Differential-privacy release mechanism for count queries — the
+    third member of the privacy family (``warehouse_kanon_audit`` gates
+    re-identification risk, ``warehouse_data_masking`` tokenizes columns;
+    this one perturbs AGGREGATES): per event type, the true count plus
+    Laplace(1/ε) noise, the classic ε-DP counting mechanism (sensitivity
+    1 — one user-event moves a count by one).
+
+    The uniform draw is DERANDOMIZED for the hash gate (16-bit md5 of the
+    group key → u = (h + 0.5)/65536, then the inverse-CDF transform
+    −b·sign(u−½)·ln(1−2|u−½|)); a production release swaps u for a secure
+    RNG — the mechanism, clipping, and rounding are exactly what ships.
+    Exactness: h is an exact integer, the transform is one fixed-shape
+    IEEE tree, and the released value floors to an integer (DP releases
+    round anyway); max(0, ·) clips the negative tail. One group-keyed
+    partial agg, |types|-sized everything after."""
+    ev = tables["events"]
+    agg = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 4), 16, 10
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / 65536.0
+    b = 1.0 / epsilon
+    noise = (
+        -F.lit(b)
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    released = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor(F.col("n") + noise + F.lit(0.5)).cast("long"),
+    )
+    return agg.select(
+        "event_type",
+        released.alias("released_count"),
+        F.lit(1.0).alias("epsilon"),
+        F.lit(1).cast("long").alias("sensitivity"),
+    )
+
+
 def late_arriving_facts(tables: dict[str, DataFrame]) -> DataFrame:
     """Late-arriving-fact audit — the warehouse-side measurement behind
     every watermark/TTL decision: how many facts arrive AFTER a
@@ -1011,6 +1051,7 @@ def data_masking(tables: dict[str, DataFrame]) -> DataFrame:
 
 
 QUERIES = {
+    "warehouse_dp_counts": dp_noisy_counts,
     "warehouse_late_arriving": late_arriving_facts,
     "warehouse_data_masking": data_masking,
     "warehouse_kanon_audit": kanon_audit,
@@ -1031,6 +1072,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same derandomized inverse-CDF Laplace draw from the 16-bit md5 of
+    # the group key; released value floors to an integer and clips at 0.
+    "warehouse_dp_counts": """
+        WITH agg AS (
+            SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY 1
+        ),
+        drawn AS (
+            SELECT event_type, n,
+                   (('0x' || substr(md5('dp:' || event_type), 1, 4))
+                      ::UBIGINT::BIGINT::DOUBLE + 0.5) / 65536.0 AS u
+            FROM agg
+        )
+        SELECT event_type,
+               greatest(0, floor(n + (-1.0 * sign(u - 0.5)
+                                      * ln(1.0 - 2.0 * abs(u - 0.5)))
+                                 + 0.5))::BIGINT AS released_count,
+               1.0 AS epsilon, 1::BIGINT AS sensitivity
+        FROM drawn
+    """,
     # Same synthesized %13 delayed subset; running event-time max over
     # (arrival_us, event_id) order; exact integer delays.
     "warehouse_late_arriving": """

@@ -1296,6 +1296,61 @@ def forecast_backtest(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def intervention_lift(tables: dict[str, DataFrame]) -> DataFrame:
+    """Difference-in-differences lift — the quasi-experimental readout for
+    a launch without random assignment: treat vs control (even/odd
+    user_id — the fixture's assignment axis), pre vs post the intervention
+    date (the calendar midpoint, derived as an exact integer:
+    min_day + span div 2), metric = purchase share of events. DiD =
+    (post_t − pre_t) − (post_c − pre_c) over the four rates.
+
+    Exactness: the 8 cell counts are exact integers; each rate is one
+    division; the DiD combination is ONE fixed-shape expression tree over
+    those four doubles, pinned 1e-6 — no sum whose order an engine could
+    choose. Plan: one (group, period) agg off the fact scan; the midpoint
+    attaches as a scalar subquery."""
+    ev = tables["events"]
+    d = F.date_trunc("day", "ts").cast("date")
+    mid = ev.agg(
+        F.date_add(
+            F.min(d), ((F.datediff(F.max(d), F.min(d)) - F.datediff(F.max(d), F.min(d)) % 2) / 2).cast("int")
+        ).alias("m")
+    ).scalar()
+    cells = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "treat").otherwise("control").alias("grp"),
+        F.when(d > mid, "post").otherwise("pre").alias("period"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    ).groupBy("grp", "period").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("k"),
+    )
+    wide = cells.groupBy().pivot("grp", ["treat", "control"]).agg(
+        F.sum(F.when(F.col("period") == "pre", F.col("n"))).alias("pre_n"),
+        F.sum(F.when(F.col("period") == "pre", F.col("k"))).alias("pre_k"),
+        F.sum(F.when(F.col("period") == "post", F.col("n"))).alias("post_n"),
+        F.sum(F.when(F.col("period") == "post", F.col("k"))).alias("post_k"),
+    )
+    rate = lambda k, n: F.col(k).cast("double") / F.col(n).cast("double")  # noqa: E731
+    did = (
+        rate("treat_post_k", "treat_post_n") - rate("treat_pre_k", "treat_pre_n")
+    ) - (
+        rate("control_post_k", "control_post_n")
+        - rate("control_pre_k", "control_pre_n")
+    )
+    r6 = round6
+    return wide.select(
+        F.col("treat_pre_n").cast("long").alias("treat_pre_n"),
+        F.col("treat_pre_k").cast("long").alias("treat_pre_k"),
+        F.col("treat_post_n").cast("long").alias("treat_post_n"),
+        F.col("treat_post_k").cast("long").alias("treat_post_k"),
+        F.col("control_pre_n").cast("long").alias("control_pre_n"),
+        F.col("control_pre_k").cast("long").alias("control_pre_k"),
+        F.col("control_post_n").cast("long").alias("control_post_n"),
+        F.col("control_post_k").cast("long").alias("control_post_k"),
+        r6(did).alias("did"),
+    )
+
+
 def seasonality_strength(tables: dict[str, DataFrame]) -> DataFrame:
     """Seasonality-strength score per event type — Hyndman's F_s intuition
     as a one-way ANOVA of the DETRENDED daily series across ISO weekdays:
@@ -1460,6 +1515,7 @@ def changepoint_from_daily(daily: DataFrame) -> DataFrame:
 
 
 QUERIES = {
+    "window_intervention_lift": intervention_lift,
     "window_seasonality_strength": seasonality_strength,
     "window_changepoint": binary_changepoint,
     "window_audience_overlap": audience_overlap,
@@ -1493,6 +1549,45 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Same exact-integer midpoint; the DiD combination is one fixed-shape
+    # expression over four integer-ratio doubles, pinned 1e-6.
+    "window_intervention_lift": """
+        WITH b AS (
+            SELECT date_trunc('day', ts)::DATE AS d,
+                   CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END AS grp,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+            FROM events
+        ),
+        mid AS (
+            SELECT min(d) + (datediff('day', min(d), max(d)) // 2)::INT AS m
+            FROM b
+        ),
+        cells AS (
+            SELECT grp,
+                   CASE WHEN d > (SELECT m FROM mid) THEN 'post' ELSE 'pre' END AS period,
+                   count(*)::BIGINT AS n, sum(conv)::BIGINT AS k
+            FROM b GROUP BY 1, 2
+        ),
+        wide AS (
+            SELECT
+              max(CASE WHEN grp='treat' AND period='pre' THEN n END)::BIGINT AS treat_pre_n,
+              max(CASE WHEN grp='treat' AND period='pre' THEN k END)::BIGINT AS treat_pre_k,
+              max(CASE WHEN grp='treat' AND period='post' THEN n END)::BIGINT AS treat_post_n,
+              max(CASE WHEN grp='treat' AND period='post' THEN k END)::BIGINT AS treat_post_k,
+              max(CASE WHEN grp='control' AND period='pre' THEN n END)::BIGINT AS control_pre_n,
+              max(CASE WHEN grp='control' AND period='pre' THEN k END)::BIGINT AS control_pre_k,
+              max(CASE WHEN grp='control' AND period='post' THEN n END)::BIGINT AS control_post_n,
+              max(CASE WHEN grp='control' AND period='post' THEN k END)::BIGINT AS control_post_k
+            FROM cells
+        )
+        SELECT *,
+               floor(((treat_post_k::DOUBLE / treat_post_n::DOUBLE
+                       - treat_pre_k::DOUBLE / treat_pre_n::DOUBLE)
+                      - (control_post_k::DOUBLE / control_post_n::DOUBLE
+                         - control_pre_k::DOUBLE / control_pre_n::DOUBLE))
+                     * 1000000 + 0.5) / 1000000 AS did
+        FROM wide
+    """,
     # Same det7 integer detrending + calendar guards as window_decompose;
     # T = Σ S_g²/n_g folds in FIXED isodow order (list_reduce == F.aggregate).
     "window_seasonality_strength": """

@@ -125,6 +125,22 @@ PIVOT (
 """
 
 
+RANGE_FRAME_SQL = """
+WITH c AS (
+  SELECT event_type,
+         count(*) OVER (PARTITION BY event_type ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                        AND CURRENT ROW) AS cnt
+  FROM {view}
+)
+SELECT event_type,
+       cast(max(cnt) AS BIGINT) AS max_trailing_1h,
+       cast(count(*) AS BIGINT) AS n_events,
+       floor(avg(cnt) * 1000000 + 0.5) / 1000000 AS avg_trailing_1h
+FROM c GROUP BY event_type
+"""
+
+
 RECURSIVE_SPINE_SQL = """
 WITH RECURSIVE sparse AS (
   SELECT event_type, to_date(ts) AS day, count(*) AS pv
@@ -216,7 +232,20 @@ def _pivot_matrix_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
     return ev.sparkSession.sql(PIVOT_MATRIX_SQL.format(view="events_view_sql_pivot"))
 
 
+def _range_frame_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """Time-RANGE window frames as ONE spark.sql TEXT — the SQL-surface
+    grammar for \"count of same-type events in the trailing hour\" (a RANGE
+    frame over the ORDER BY timestamp, not a ROWS frame: simultaneous
+    bursts must all see the same window regardless of row order). The avg
+    over per-row counts is an exact-integer sum divided once (ints < 2⁵³
+    sum exactly in double in any order), pinned anyway by discipline."""
+    ev = tables["events"]
+    ev.createOrReplaceTempView("events_view_sql_range")
+    return ev.sparkSession.sql(RANGE_FRAME_SQL.format(view="events_view_sql_range"))
+
+
 QUERIES = {
+    "sql_range_frame": _range_frame_sql_q,
     "sql_pivot_matrix": _pivot_matrix_sql_q,
     "sql_recursive_spine": _recursive_spine_sql_q,
     "sql_province_tumble": _province_q,
@@ -234,6 +263,20 @@ def _session_gaps_oracle() -> str:
 # Epoch-aligned tumble bounds: Spark window() aligns to the epoch, so the
 # DuckDB oracle buckets with to_timestamp(floor(epoch/width)*width).
 ORACLES = {
+    # Same RANGE INTERVAL frame; avg is an exact integer sum / n.
+    "sql_range_frame": """
+        WITH c AS (
+            SELECT event_type,
+                   count(*) OVER (PARTITION BY event_type ORDER BY ts
+                                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                  AND CURRENT ROW)::BIGINT AS cnt
+            FROM events
+        )
+        SELECT event_type, max(cnt)::BIGINT AS max_trailing_1h,
+               count(*)::BIGINT AS n_events,
+               floor(avg(cnt) * 1000000 + 0.5) / 1000000 AS avg_trailing_1h
+        FROM c GROUP BY event_type
+    """,
     # Conditional aggregation replays the pivot; isodow == weekday()+1.
     "sql_pivot_matrix": """
         SELECT event_type,
