@@ -1296,6 +1296,59 @@ def forecast_backtest(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def max_drawdown(tables: dict[str, DataFrame]) -> DataFrame:
+    """Maximum drawdown of the daily-GMV series per order priority — the
+    slump metric revenue dashboards carry (how far below its
+    best-day-so-far the daily series fell, and when; a cumulative-revenue
+    series is monotone, so the drawdown runs on the DAILY values).
+    Everything is EXACT integer cents: peak = running max of daily cents,
+    drawdown_d = peak_d − cents_d; the answer row per priority is the
+    argmax drawdown (earliest day on ties) plus the pinned relative depth
+    (one division). Plan: one day-grain partial agg off the orders scan,
+    one prefix window over the calendar-bounded series, one argmax
+    window."""
+    o = tables["orders"]
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        )
+    )
+    wcum = Window.partitionBy("priority").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dd = daily.select(
+        "priority",
+        "day",
+        "cents",
+        F.max("cents").over(wcum).alias("peak"),
+    ).select(
+        "priority",
+        "day",
+        (F.col("peak") - F.col("cents")).alias("drawdown_cents"),
+        "peak",
+    )
+    pick = Window.partitionBy("priority").orderBy(
+        F.col("drawdown_cents").desc(), F.col("day").asc()
+    )
+    r6 = round6
+    return (
+        dd.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "priority",
+            F.col("day").cast("string").alias("trough_day"),
+            F.col("drawdown_cents").cast("long").alias("drawdown_cents"),
+            F.col("peak").cast("long").alias("peak_cents"),
+            r6(
+                F.col("drawdown_cents").cast("double") / F.col("peak").cast("double")
+            ).alias("depth"),
+        )
+    )
+
+
 def intervention_lift(tables: dict[str, DataFrame]) -> DataFrame:
     """Difference-in-differences lift — the quasi-experimental readout for
     a launch without random assignment: treat vs control (even/odd
@@ -1515,6 +1568,7 @@ def changepoint_from_daily(daily: DataFrame) -> DataFrame:
 
 
 QUERIES = {
+    "window_drawdown": max_drawdown,
     "window_intervention_lift": intervention_lift,
     "window_seasonality_strength": seasonality_strength,
     "window_changepoint": binary_changepoint,
@@ -1549,6 +1603,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Exact integer cents; running max; argmax over (drawdown desc, day).
+    "window_drawdown": """
+        WITH daily AS (
+            SELECT o_orderpriority AS priority,
+                   o_orderdate::DATE AS day,
+                   sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+            FROM orders GROUP BY 1, 2
+        ),
+        dd AS (
+            SELECT priority, day,
+                   (max(cents) OVER w - cents)::BIGINT AS drawdown_cents,
+                   max(cents) OVER w::BIGINT AS peak
+            FROM daily
+            WINDOW w AS (PARTITION BY priority ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        pick AS (
+            SELECT *, row_number() OVER (PARTITION BY priority
+                         ORDER BY drawdown_cents DESC, day ASC) AS rn
+            FROM dd
+        )
+        SELECT priority, day::VARCHAR AS trough_day, drawdown_cents,
+               peak AS peak_cents,
+               floor(drawdown_cents::DOUBLE / peak::DOUBLE * 1000000 + 0.5)
+                 / 1000000 AS depth
+        FROM pick WHERE rn = 1
+    """,
     # Same exact-integer midpoint; the DiD combination is one fixed-shape
     # expression over four integer-ratio doubles, pinned 1e-6.
     "window_intervention_lift": """

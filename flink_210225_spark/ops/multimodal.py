@@ -755,6 +755,60 @@ def png_tile_features(tables: dict[str, DataFrame], tile: int = 8) -> DataFrame:
     )
 
 
+def image_quantize_palette(tables: dict[str, DataFrame]) -> DataFrame:
+    """Palette quantization on the REAL PNG decode — the image analog of
+    PQ coding: map 8-bit pixels onto a 4-level palette (fixed 64-wide
+    luma bands; each band's palette entry is its exact integer mean) and
+    account the quantization error exactly. The training-data use is
+    storage triage: images whose 4-level error is tiny are flat
+    graphics/screenshots, photographic content scores high — a cheap
+    modality-mix signal before any model runs.
+
+    Exactness end-to-end: the decode is the genuine chunk-walk parser
+    (all five scanline filters cycle by doc), palette = Σp div n (exact
+    integer division), and sq_err = Σp² − 2·pal·Σp + n·pal² — the algebra
+    avoids a second pass and keeps every term an exact integer. One Arrow
+    pass, zero shuffles; the oracle replays the pixel formula and the
+    same algebra."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 24 + 8).cast("int").alias("w"),
+        ((F.col("doc_id") * 3) % 16 + 8).cast("int").alias("h"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in ("asset_id", "band", "n_px", "palette", "sq_err")
+            }
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                px = _parse_png(
+                    _png_bytes(doc_id, w, h, filter_type=doc_id % 5)
+                )["pixels"].astype(np.int64)[:, :, 0].ravel()
+                bands = px // 64
+                for b in range(4):
+                    sel = px[bands == b]
+                    if len(sel) == 0:
+                        continue
+                    n, s, qq = len(sel), int(sel.sum()), int((sel * sel).sum())
+                    pal = s // n
+                    out["asset_id"].append(doc_id)
+                    out["band"].append(b)
+                    out["n_px"].append(n)
+                    out["palette"].append(pal)
+                    out["sq_err"].append(qq - 2 * pal * s + n * pal * pal)
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen, "asset_id long, band long, n_px long, palette long, sq_err long"
+    )
+
+
 def audio_vad_segments(
     tables: dict[str, DataFrame], frame_samples: int = 25
 ) -> DataFrame:
@@ -1574,6 +1628,7 @@ QUERIES.update({
     "multimodal_png_decode": png_decode_documents,
     "multimodal_png_meta": png_container_audit,
     "multimodal_png_tiles": png_tile_features,
+    "multimodal_image_quantize": image_quantize_palette,
     "multimodal_image_ahash": image_ahash_groups,
     "multimodal_image_whash": image_whash_groups,
     "multimodal_audio_fingerprint": audio_fingerprint,
@@ -1842,6 +1897,33 @@ ORACLES = {
                    i -> (doc_id * 7 + (i % w) * 3 + (i // w) * 11) % 256))::BIGINT
                    AS px_max
         FROM g
+    """,
+    # Pixel-formula replay + the same exact-integer palette/error algebra
+    # (palette = Σp // n; sq_err = Σp² − 2·pal·Σp + n·pal²).
+    "multimodal_image_quantize": """
+        WITH g AS (
+            SELECT doc_id,
+                   (doc_id % 24 + 8)::BIGINT AS w,
+                   ((doc_id * 3) % 16 + 8)::BIGINT AS h
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(w * h),
+                       i -> (doc_id * 7 + (i % w) * 3 + (i // w) * 11) % 256)) AS px
+            FROM g
+        ),
+        a AS (
+            SELECT doc_id AS asset_id, (px // 64)::BIGINT AS band,
+                   count(*)::BIGINT AS n_px,
+                   sum(px)::BIGINT AS s, sum(px * px)::BIGINT AS qq
+            FROM p GROUP BY 1, 2
+        )
+        SELECT asset_id, band, n_px,
+               (s // n_px)::BIGINT AS palette,
+               (qq - 2 * (s // n_px) * s + n_px * (s // n_px) * (s // n_px))::BIGINT
+                 AS sq_err
+        FROM a
     """,
     "multimodal_png_tiles": """
         WITH g AS (

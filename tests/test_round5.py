@@ -159,3 +159,48 @@ def test_vocab_coverage_rates_bounded(tables):
     for r in vocab_coverage(tables).collect():
         assert 0 <= r["n_oov"] <= r["n_tokens"]
         assert 0.0 <= r["oov_rate"] < 1.0
+
+
+def test_knn_graph_matches_numpy_brute_force(tables):
+    """Exact top-5 per node vs a NumPy brute force on the SAME quantized
+    integers — pick-for-pick, including tie-breaks."""
+    import numpy as np
+
+    from flink_210225_spark.ops.similarity import knn_graph
+
+    pdf = tables["embeddings"].select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    q = np.floor(np.array(pdf["embedding"].tolist(), dtype=np.float64) * 10_000 + 0.5)
+    nrm = np.sqrt((q * q).sum(axis=1))
+    cos = (q @ q.T) / np.outer(nrm, nrm)
+    cos = np.floor(cos * 1_000_000 + 0.5) / 1_000_000
+    want = {}
+    for i in range(len(ids)):
+        row = cos[i].copy()
+        row[i] = -2.0
+        order = np.lexsort((ids, -row))[:5]
+        want[int(ids[i])] = [(r + 1, int(ids[j])) for r, j in enumerate(order)]
+    got = {}
+    for r in knn_graph(tables).collect():
+        got.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"]))
+    for k in want:
+        assert sorted(got[k]) == want[k], f"node {k}"
+
+
+def test_drawdown_zero_only_if_monotone_rising(tables):
+    from flink_210225_spark.operators.windows import max_drawdown
+
+    for r in max_drawdown(tables).collect():
+        assert r["drawdown_cents"] >= 0
+        assert 0.0 <= r["depth"] < 1.0
+        assert r["peak_cents"] > 0
+
+
+def test_image_quantize_error_is_consistent(tables):
+    """Per band: palette is the floor-mean, so |p − palette| < 64 and the
+    per-pixel mean squared error is bounded by the band width squared."""
+    from flink_210225_spark.ops.multimodal import image_quantize_palette
+
+    for r in image_quantize_palette(tables).limit(200).collect():
+        assert 64 * r["band"] <= r["palette"] < 64 * (r["band"] + 1)
+        assert 0 <= r["sq_err"] <= r["n_px"] * 64 * 64
