@@ -793,7 +793,59 @@ def record_linkage(tables: dict[str, DataFrame], max_dist: int = 2) -> DataFrame
     )
 
 
+def fk_integrity_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Referential-integrity audit across the whole star schema — the
+    warehouse load gate run after every ingest: for each FK edge, orphan
+    children (anti-join) and parent coverage (what share of parents are
+    actually referenced — dead dimension members are a pruning/cleanup
+    signal). One row per edge; ``warehouse_dq_expectations`` probes one
+    RI rule, this audits the full constellation.
+
+    Plan: each edge is one LEFT ANTI join (orphans) + one LEFT SEMI join
+    (referenced parents), both equi-joins — the dim side broadcasts, the
+    fact side streams; counts are exact, coverage is one pinned
+    division."""
+    edges = [
+        ("lineitem->orders", tables["lineitem"], "l_orderkey", tables["orders"], "o_orderkey"),
+        ("lineitem->part", tables["lineitem"], "l_partkey", tables["part"], "p_partkey"),
+        ("orders->customer", tables["orders"], "o_custkey", tables["customer"], "c_custkey"),
+        ("customer->nation", tables["customer"], "c_nationkey", tables["nation"], "n_nationkey"),
+        ("supplier->nation", tables["supplier"], "s_nationkey", tables["nation"], "n_nationkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in edges:
+        c = child.select(F.col(ck).alias("k"))
+        p = parent.select(F.col(pk).alias("k"))
+        orphans = c.join(p, "k", "left_anti").agg(
+            F.count("*").cast("long").alias("n_orphans")
+        )
+        stats = c.agg(F.count("*").cast("long").alias("n_child"))
+        ref = p.join(c, "k", "left_semi").agg(
+            F.count("*").cast("long").alias("n_referenced")
+        )
+        ptot = p.agg(F.count("*").cast("long").alias("n_parents"))
+        row = (
+            stats.withColumn("edge", F.lit(name))
+            .withColumn("n_orphans", orphans.scalar())
+            .withColumn("n_parents", ptot.scalar())
+            .withColumn("n_referenced", ref.scalar())
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "edge",
+        "n_child",
+        "n_orphans",
+        "n_parents",
+        "n_referenced",
+        (
+            F.floor(F.col("n_referenced") * 1000000.0 / F.col("n_parents") + 0.5)
+            / 1000000
+        ).alias("parent_coverage"),
+    )
+
+
 QUERIES = {
+    "join_fk_orphans": fk_integrity_audit,
     "join_record_linkage": record_linkage,
     "join_bloom_prefilter": bloom_prefilter_join,
     "join_interval_overlap": interval_overlap_join,
@@ -812,6 +864,64 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Anti/semi-join replays per FK edge; coverage is one pinned division.
+    "join_fk_orphans": """
+        WITH e AS (
+            SELECT 'lineitem->orders' AS edge,
+                   (SELECT count(*) FROM lineitem)::BIGINT AS n_child,
+                   (SELECT count(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))::BIGINT AS n_orphans,
+                   (SELECT count(*) FROM orders)::BIGINT AS n_parents,
+                   (SELECT count(*) FROM orders o
+                    WHERE EXISTS (SELECT 1 FROM lineitem l
+                                  WHERE l.l_orderkey = o.o_orderkey))::BIGINT AS n_referenced
+            UNION ALL
+            SELECT 'lineitem->part',
+                   (SELECT count(*) FROM lineitem),
+                   (SELECT count(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM part p
+                                      WHERE p.p_partkey = l.l_partkey)),
+                   (SELECT count(*) FROM part),
+                   (SELECT count(*) FROM part p
+                    WHERE EXISTS (SELECT 1 FROM lineitem l
+                                  WHERE l.l_partkey = p.p_partkey))
+            UNION ALL
+            SELECT 'orders->customer',
+                   (SELECT count(*) FROM orders),
+                   (SELECT count(*) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey)),
+                   (SELECT count(*) FROM customer),
+                   (SELECT count(*) FROM customer c
+                    WHERE EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_custkey = c.c_custkey))
+            UNION ALL
+            SELECT 'customer->nation',
+                   (SELECT count(*) FROM customer),
+                   (SELECT count(*) FROM customer c
+                    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = c.c_nationkey)),
+                   (SELECT count(*) FROM nation),
+                   (SELECT count(*) FROM nation n
+                    WHERE EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_nationkey = n.n_nationkey))
+            UNION ALL
+            SELECT 'supplier->nation',
+                   (SELECT count(*) FROM supplier),
+                   (SELECT count(*) FROM supplier s
+                    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = s.s_nationkey)),
+                   (SELECT count(*) FROM nation),
+                   (SELECT count(*) FROM nation n
+                    WHERE EXISTS (SELECT 1 FROM supplier s
+                                  WHERE s.s_nationkey = n.n_nationkey))
+        )
+        SELECT edge, n_child, n_orphans, n_parents, n_referenced,
+               floor(n_referenced * 1000000.0 / n_parents + 0.5) / 1000000
+                 AS parent_coverage
+        FROM e
+    """,
     # Same corruption surgery (1-based substring arithmetic matches), same
     # 3-digit block, same plain Levenshtein, same (dist, key) best pick.
     "join_record_linkage": """

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_210225_spark.functions.scalars import cond_sum, round2
+from flink_210225_spark.functions.scalars import cond_sum, round2, round6
 from flink_210225_spark.schemas import LOG_EVENT_SCHEMA
 
 
@@ -125,13 +125,65 @@ def page_flatmap_metrics(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def error_burn_rate(tables: dict[str, DataFrame]) -> DataFrame:
+    """SLO burn-rate accounting over the event stream — the SRE rollup on
+    top of the log family: with a 2% error-rate objective (pinned), an
+    hour is IN BURN iff errors·50 > total (the exact-integer spelling of
+    rate > 2%), and each day reports its burning hours, worst hour, and
+    the day-level burn multiple (observed rate / objective = one pinned
+    division of exact integers ×50). Multi-window burn alerting composes
+    by running the same rule at other grains.
+
+    Plan: one (day, hour) partial agg off the fact scan; everything after
+    is calendar-bounded."""
+    ev = tables["events"]
+    hourly = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.hour("ts").alias("hr"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    r6 = round6
+    return hourly.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum(F.when(F.col("errs") * 50 > F.col("n"), 1).otherwise(0))
+        .cast("long")
+        .alias("burn_hours"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("errs").cast("long").alias("n_errors"),
+        r6(
+            (F.sum("errs") * 50).cast("double") / F.sum("n").cast("double")
+        ).alias("burn_multiple"),
+    )
+
+
 QUERIES = {
     "log_props_extract": props_extract,
     "log_padzero_union": padzero_union_metrics,
     "log_flag_rows": page_flatmap_metrics,
+    "log_error_burn_rate": error_burn_rate,
 }
 
 ORACLES = {
+    # errors·50 > total is the exact spelling of rate > 2%; the burn
+    # multiple is one pinned division of exact integers.
+    "log_error_burn_rate": """
+        WITH hourly AS (
+            SELECT date_trunc('day', ts)::DATE AS day, hour(ts) AS hr,
+                   count(*)::BIGINT AS n,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS errs
+            FROM events GROUP BY 1, 2
+        )
+        SELECT day::VARCHAR AS day, count(*)::BIGINT AS n_hours,
+               sum(CASE WHEN errs * 50 > n THEN 1 ELSE 0 END)::BIGINT AS burn_hours,
+               sum(n)::BIGINT AS n_events, sum(errs)::BIGINT AS n_errors,
+               floor((sum(errs) * 50)::DOUBLE / sum(n)::DOUBLE * 1000000 + 0.5)
+                 / 1000000 AS burn_multiple
+        FROM hourly GROUP BY day
+    """,
     "log_props_extract": """
         SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events
     """,

@@ -1419,6 +1419,41 @@ def dedup_components(
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
+def head_boilerplate_groups(
+    tables: dict[str, DataFrame], head_tokens: int = 8
+) -> DataFrame:
+    """Shared-prefix boilerplate detection — the dedup family member that
+    catches templated HEADERS (licence banners, scraper preambles, forum
+    signatures) that full-document dedup misses because the bodies
+    differ: docs are keyed by the digest of their first ``head_tokens``
+    tokens, and any key with ≥ 2 docs is a boilerplate-prefix group whose
+    head is a cut candidate for the excision pipeline
+    (``dedup_contamination_spans``' surgery applies directly).
+
+    Plan: one digest projection (JVM split/slice, no Python), one
+    digest-keyed partial agg — the exact_dedup economics; the shuffle
+    carries digests, never text. Emits per group: size, keeper (min
+    doc_id), exact member-id sum, and the head's token count."""
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    head = F.array_join(F.slice(toks, 1, head_tokens), " ")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(head).alias("head_digest"),
+        F.least(F.size(toks), F.lit(head_tokens)).alias("head_len"),
+    )
+    return (
+        keyed.groupBy("head_digest")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+            F.max("head_len").cast("long").alias("head_len"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 def graph_modularity(tables: dict[str, DataFrame], threshold: float = 0.5) -> DataFrame:
     """Newman modularity of the near-dup graph w.r.t. the LANGUAGE
     partition — the curation diagnostic for whether near-duplication stays
@@ -2073,6 +2108,7 @@ def _pagerank_oracle(iters: int = 8) -> str:
 
 
 QUERIES = {
+    "dedup_head_boilerplate": head_boilerplate_groups,
     "dedup_graph_modularity": graph_modularity,
     "dedup_exact": exact_dedup,
     "dedup_normalized": normalized_dedup,
@@ -2584,6 +2620,24 @@ ORACLES = {
 # Star contraction computes the same (doc_id, component) labels as min-label
 # propagation — the propagation oracle gates both iteration engines.
 ORACLES["dedup_components_star"] = ORACLES["dedup_components"]
+
+# Head-prefix digest replay: md5 of the space-joined first 8 tokens;
+# groups with >= 2 docs; member-id sums pin exact membership.
+ORACLES["dedup_head_boilerplate"] = """
+    WITH keyed AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   (regexp_split_to_array(trim(text), '\\s+'))[1:8], ' '))
+                 AS head_digest,
+               least(len(regexp_split_to_array(trim(text), '\\s+')), 8)::BIGINT
+                 AS head_len
+        FROM documents
+    )
+    SELECT head_digest, count(*)::BIGINT AS n_docs,
+           min(doc_id)::BIGINT AS keeper_doc, sum(doc_id)::BIGINT AS sum_ids,
+           max(head_len)::BIGINT AS head_len
+    FROM keyed GROUP BY head_digest HAVING count(*) >= 2
+"""
 
 # Modularity over the same undirected edge set as the components oracle
 # (md5 star edges + Jaccard-verified pairs, lo<hi deduped); per-language

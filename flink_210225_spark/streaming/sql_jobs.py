@@ -125,6 +125,19 @@ PIVOT (
 """
 
 
+LATERAL_TOKENS_SQL = """
+SELECT lang, tok, ct, rn FROM (
+  SELECT lang, tok, cast(count(*) AS BIGINT) AS ct,
+         cast(row_number() OVER (PARTITION BY lang
+                                 ORDER BY count(*) DESC, tok) AS INT) AS rn
+  FROM {view}
+  LATERAL VIEW explode(split(trim(text), '\\\\s+')) t AS tok
+  WHERE tok != ''
+  GROUP BY lang, tok
+) WHERE rn <= 5
+"""
+
+
 RANGE_FRAME_SQL = """
 WITH c AS (
   SELECT event_type,
@@ -244,7 +257,21 @@ def _range_frame_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
     return ev.sparkSession.sql(RANGE_FRAME_SQL.format(view="events_view_sql_range"))
 
 
+def _lateral_tokens_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """HiveQL LATERAL VIEW explode as ONE spark.sql TEXT — the table-
+    generating-function grammar (UDTF surface D1 exposes via DataFrame
+    explode; this gates the SQL spelling): per-language top-5 tokens via
+    the exploded token stream + rank-and-cut. All counts exact; rank ties
+    break on token."""
+    docs = tables["documents"]
+    docs.createOrReplaceTempView("docs_view_sql_lateral")
+    return docs.sparkSession.sql(
+        LATERAL_TOKENS_SQL.format(view="docs_view_sql_lateral")
+    )
+
+
 QUERIES = {
+    "sql_lateral_tokens": _lateral_tokens_sql_q,
     "sql_range_frame": _range_frame_sql_q,
     "sql_pivot_matrix": _pivot_matrix_sql_q,
     "sql_recursive_spine": _recursive_spine_sql_q,
@@ -263,6 +290,20 @@ def _session_gaps_oracle() -> str:
 # Epoch-aligned tumble bounds: Spark window() aligns to the epoch, so the
 # DuckDB oracle buckets with to_timestamp(floor(epoch/width)*width).
 ORACLES = {
+    # unnest replays LATERAL VIEW explode; same rank-and-cut.
+    "sql_lateral_tokens": """
+        SELECT lang, tok, ct, rn FROM (
+            SELECT lang, tok, count(*)::BIGINT AS ct,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY count(*) DESC, tok)::INT AS rn
+            FROM (
+                SELECT lang,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents
+            ) WHERE tok != ''
+            GROUP BY lang, tok
+        ) WHERE rn <= 5
+    """,
     # Same RANGE INTERVAL frame; avg is an exact integer sum / n.
     "sql_range_frame": """
         WITH c AS (
