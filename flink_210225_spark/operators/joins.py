@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from flink_210225_spark.functions.scalars import age_years, round2
+from flink_210225_spark.functions.scalars import age_years, round2, round6
 
 # --- J1: interval join orders ⋈ lineitem, [0, +5 days) ---
 
@@ -801,9 +801,12 @@ def fk_integrity_audit(tables: dict[str, DataFrame]) -> DataFrame:
     signal). One row per edge; ``warehouse_dq_expectations`` probes one
     RI rule, this audits the full constellation.
 
-    Plan: each edge is one LEFT ANTI join (orphans) + one LEFT SEMI join
-    (referenced parents), both equi-joins — the dim side broadcasts, the
-    fact side streams; counts are exact, coverage is one pinned
+    Plan: each edge is TWO outer-join aggregates — child LEFT JOIN parent
+    yields n_child and n_orphans in one pass (parent keys are unique, so
+    no fan-out), parent LEFT JOIN distinct(child) yields n_parents and
+    n_referenced — instead of four separate jobs; the two 1-row results
+    merge through a tagged union (a 1-row crossJoin would plan BNLJ).
+    Dim sides broadcast; counts are exact, coverage is one pinned
     division."""
     edges = [
         ("lineitem->orders", tables["lineitem"], "l_orderkey", tables["orders"], "o_orderkey"),
@@ -816,19 +819,42 @@ def fk_integrity_audit(tables: dict[str, DataFrame]) -> DataFrame:
     for name, child, ck, parent, pk in edges:
         c = child.select(F.col(ck).alias("k"))
         p = parent.select(F.col(pk).alias("k"))
-        orphans = c.join(p, "k", "left_anti").agg(
-            F.count("*").cast("long").alias("n_orphans")
+        co = c.join(p.withColumn("_hit", F.lit(1)), "k", "left").agg(
+            F.count("*").cast("long").alias("n_child"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
         )
-        stats = c.agg(F.count("*").cast("long").alias("n_child"))
-        ref = p.join(c, "k", "left_semi").agg(
-            F.count("*").cast("long").alias("n_referenced")
+        po = p.join(c.distinct().withColumn("_ref", F.lit(1)), "k", "left").agg(
+            F.count("*").cast("long").alias("n_parents"),
+            F.sum(F.when(F.col("_ref").isNull(), 0).otherwise(1))
+            .cast("long")
+            .alias("n_referenced"),
         )
-        ptot = p.agg(F.count("*").cast("long").alias("n_parents"))
         row = (
-            stats.withColumn("edge", F.lit(name))
-            .withColumn("n_orphans", orphans.scalar())
-            .withColumn("n_parents", ptot.scalar())
-            .withColumn("n_referenced", ref.scalar())
+            co.select(
+                F.lit(name).alias("edge"),
+                "n_child",
+                "n_orphans",
+                F.lit(None).cast("long").alias("n_parents"),
+                F.lit(None).cast("long").alias("n_referenced"),
+            )
+            .unionByName(
+                po.select(
+                    F.lit(name).alias("edge"),
+                    F.lit(None).cast("long").alias("n_child"),
+                    F.lit(None).cast("long").alias("n_orphans"),
+                    "n_parents",
+                    "n_referenced",
+                )
+            )
+            .groupBy("edge")
+            .agg(
+                F.max("n_child").alias("n_child"),
+                F.max("n_orphans").alias("n_orphans"),
+                F.max("n_parents").alias("n_parents"),
+                F.max("n_referenced").alias("n_referenced"),
+            )
         )
         out = row if out is None else out.unionByName(row)
     return out.select(
@@ -837,9 +863,8 @@ def fk_integrity_audit(tables: dict[str, DataFrame]) -> DataFrame:
         "n_orphans",
         "n_parents",
         "n_referenced",
-        (
-            F.floor(F.col("n_referenced") * 1000000.0 / F.col("n_parents") + 0.5)
-            / 1000000
+        round6(
+            F.col("n_referenced").cast("double") / F.col("n_parents").cast("double")
         ).alias("parent_coverage"),
     )
 
@@ -918,8 +943,8 @@ ORACLES = {
                                   WHERE s.s_nationkey = n.n_nationkey))
         )
         SELECT edge, n_child, n_orphans, n_parents, n_referenced,
-               floor(n_referenced * 1000000.0 / n_parents + 0.5) / 1000000
-                 AS parent_coverage
+               floor(n_referenced::DOUBLE / n_parents::DOUBLE * 1000000 + 0.5)
+                 / 1000000 AS parent_coverage
         FROM e
     """,
     # Same corruption surgery (1-based substring arithmetic matches), same

@@ -985,15 +985,18 @@ def unit_value_index(tables: dict[str, DataFrame]) -> DataFrame:
     )
     q0 = base.agg(F.max("q0").alias("v")).scalar()
     s0 = base.agg(F.max("s0").alias("v")).scalar()
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     r6 = round6
+    # cross-multiplies overflow int64 past sf≈35 — widen to decimal first
+    # (the abc_xyz/autocorr overflow rule), THEN one double division
     return monthly.select(
         "month",
         "n_lines",
         "qty",
         "sales_cents",
         r6(
-            (F.col("sales_cents") * q0).cast("double")
-            / (F.col("qty") * s0).cast("double")
+            (dec(F.col("sales_cents")) * dec(q0)).cast("double")
+            / (dec(F.col("qty")) * dec(s0)).cast("double")
         ).alias("uv_index"),
     )
 
@@ -1105,9 +1108,8 @@ def retention_matrix(tables: dict[str, DataFrame]) -> DataFrame:
         "weeks_since",
         "active_users",
         "cohort_size",
-        (
-            F.floor(F.col("active_users") * 1000000.0 / F.col("cohort_size") + 0.5)
-            / 1000000
+        round6(
+            F.col("active_users").cast("double") / F.col("cohort_size").cast("double")
         ).alias("retention_pct"),
     )
 
@@ -1294,8 +1296,8 @@ ORACLES = {
             ORDER BY month LIMIT 1
         )
         SELECT month, n_lines, qty, sales_cents,
-               floor((sales_cents * (SELECT q0 FROM base))::DOUBLE
-                     / (qty * (SELECT s0 FROM base))::DOUBLE
+               floor((sales_cents::HUGEINT * (SELECT q0 FROM base))::DOUBLE
+                     / (qty::HUGEINT * (SELECT s0 FROM base))::DOUBLE
                      * 1000000 + 0.5) / 1000000 AS uv_index
         FROM monthly
     """,
@@ -1323,8 +1325,8 @@ ORACLES = {
         )
         SELECT a.cohort_wk::VARCHAR AS cohort_wk, a.weeks_since,
                a.active_users, s.cohort_size,
-               floor(a.active_users * 1000000.0 / s.cohort_size + 0.5)
-                 / 1000000 AS retention_pct
+               floor(a.active_users::DOUBLE / s.cohort_size::DOUBLE
+                     * 1000000 + 0.5) / 1000000 AS retention_pct
         FROM act a JOIN sized s USING (cohort_wk)
     """,
     # 2x-scaled average ranks stay integer under ties; z assembled from the

@@ -333,7 +333,9 @@ def dp_noisy_counts(tables: dict[str, DataFrame], epsilon: float = 1.0) -> DataF
     re-identification risk, ``warehouse_data_masking`` tokenizes columns;
     this one perturbs AGGREGATES): per event type, the true count plus
     Laplace(1/ε) noise, the classic ε-DP counting mechanism (sensitivity
-    1 — one user-event moves a count by one).
+    1 — one user-event moves a count by one). The registered driver query
+    runs the ε=1 default; the static oracle pins b=1, so a non-default ε
+    is test-able only through this function directly.
 
     The uniform draw is DERANDOMIZED for the hash gate (16-bit md5 of the
     group key → u = (h + 0.5)/65536, then the inverse-CDF transform
@@ -362,7 +364,7 @@ def dp_noisy_counts(tables: dict[str, DataFrame], epsilon: float = 1.0) -> DataF
     return agg.select(
         "event_type",
         released.alias("released_count"),
-        F.lit(1.0).alias("epsilon"),
+        F.lit(float(epsilon)).alias("epsilon"),
         F.lit(1).cast("long").alias("sensitivity"),
     )
 
@@ -417,8 +419,8 @@ def late_arriving_facts(tables: dict[str, DataFrame]) -> DataFrame:
         F.count("*").cast("long").alias("n_facts"),
         F.sum("late").cast("long").alias("n_late"),
         F.max("delay_us").cast("long").alias("max_delay_us"),
-        (
-            F.floor(F.sum("late") * 1000000.0 / F.count("*") + 0.5) / 1000000
+        round6(
+            F.sum("late").cast("double") / F.count("*").cast("double")
         ).alias("late_rate"),
     ).select(
         F.col("day").cast("string").alias("day"),
@@ -1111,8 +1113,8 @@ ORACLES = {
         SELECT day::VARCHAR AS day, count(*)::BIGINT AS n_facts,
                sum(CASE WHEN us < rm THEN 1 ELSE 0 END)::BIGINT AS n_late,
                max(CASE WHEN us < rm THEN rm - us ELSE 0 END)::BIGINT AS max_delay_us,
-               floor(sum(CASE WHEN us < rm THEN 1 ELSE 0 END) * 1000000.0
-                     / count(*) + 0.5) / 1000000 AS late_rate
+               floor(sum(CASE WHEN us < rm THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*)::DOUBLE * 1000000 + 0.5) / 1000000 AS late_rate
         FROM tagged GROUP BY day
     """,
     # Same md5-derived token surgery and band coarsening; the extract

@@ -26,6 +26,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_210225_spark.functions.scalars import round6
 from flink_210225_spark.ops.text import tokens_col
 
 # --- exact dedup ---
@@ -1499,8 +1500,6 @@ def graph_modularity(tables: dict[str, DataFrame], threshold: float = 0.5) -> Da
         .groupBy("lang")
         .agg(F.count("*").cast("long").alias("d_c"))
     )
-    from flink_210225_spark.functions.scalars import round6
-
     r6 = round6
     joined = deg.join(intra, "lang", "left").select(
         "lang",

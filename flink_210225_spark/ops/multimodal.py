@@ -479,12 +479,11 @@ def audio_gain_plan(tables: dict[str, DataFrame]) -> DataFrame:
         d38(F.col("peak")) * d38(F.col("peak")) * d38(F.lit(target_sq)) * d38(F.col("n_frames"))
         > d38(F.lit(32767)) * d38(F.lit(32767)) * d38(F.col("sum_sq"))
     )
-    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
     return dec.select(
         "asset_id",
         "n_frames",
         "sum_sq",
-        r6(gain).alias("gain_db"),
+        round6(gain).alias("gain_db"),
         would_clip.alias("would_clip"),
     )
 

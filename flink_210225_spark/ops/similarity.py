@@ -1193,10 +1193,15 @@ def knn_graph(tables: dict[str, DataFrame], k: int = 5, n_blocks: int = 8) -> Da
         return ids, q
 
     def topk_rows(src_ids, dst_ids, cos, out):
-        # per src row: partial top-k by (cos desc, dst asc)
+        # per src row: partial top-k by (cos desc, dst asc); masked self
+        # pairs (-2.0) and zero-norm NaNs are dropped as CANDIDATES, not
+        # just out-ranked — with fewer than k real neighbors they would
+        # otherwise surface in the final window (oracle excludes them)
         for i in range(cos.shape[0]):
             row = cos[i]
-            order = np.lexsort((dst_ids, -row))[:k]
+            valid = np.isfinite(row) & (row > -1.5)
+            order = np.lexsort((dst_ids, -row))
+            order = order[valid[order]][:k]
             for j in order:
                 out["src"].append(src_ids[i])
                 out["dst"].append(dst_ids[j])
@@ -1322,8 +1327,6 @@ def embedding_drift(tables: dict[str, DataFrame]) -> DataFrame:
         .cast("long")
         .alias("l1")
     )
-    from flink_210225_spark.functions.scalars import round6
-
     return per_dim.select(
         "dim",
         "l1",

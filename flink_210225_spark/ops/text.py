@@ -1640,14 +1640,12 @@ def keyword_burst(tables: dict[str, DataFrame], trail: int = 7) -> DataFrame:
         F.sum("ct").over(w).alias("tsum"),
         F.count("ct").over(w).alias("tn"),
     ).where(F.col("tn") == trail)
-    from flink_210225_spark.functions.scalars import round6 as _r6
-
     rated = scored.select(
         "tok",
         "day",
         "ct",
         F.col("tsum").cast("long").alias("trailing_sum"),
-        _r6(
+        round6(
             (F.col("ct") * trail).cast("double") / F.col("tsum").cast("double")
         ).alias("burst_ratio"),
     )
@@ -1700,14 +1698,9 @@ def vocab_coverage(tables: dict[str, DataFrame], k: int = 20) -> DataFrame:
         F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_oov"),
-        (
-            F.floor(
-                F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0))
-                * 1000000.0
-                / F.count("*")
-                + 0.5
-            )
-            / 1000000
+        round6(
+            F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
         ).alias("oov_rate"),
     )
 
@@ -4360,8 +4353,8 @@ ORACLES = {
         )
         SELECT lang, count(*)::BIGINT AS n_tokens,
                sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
-               floor(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
-                     * 1000000.0 / count(*) + 0.5) / 1000000 AS oov_rate
+               floor(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*)::DOUBLE * 1000000 + 0.5) / 1000000 AS oov_rate
         FROM odd o LEFT JOIN vocab v USING (tok)
         WHERE o.tok != ''
         GROUP BY lang
