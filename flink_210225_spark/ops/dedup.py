@@ -499,6 +499,36 @@ def ngram_jaccard_pairs(
     )
 
 
+def threshold_curve(tables: dict[str, DataFrame], n: int = 3) -> DataFrame:
+    """Near-dup threshold sensitivity curve — the calibration artifact a
+    dedup operator reads BEFORE picking the production Jaccard cutoff:
+    pair counts per similarity decile plus the cumulative count at each
+    candidate threshold (how many pairs a 0.7 cutoff keeps vs 0.8). Runs
+    on the exact verifier's pair frame at a low floor (0.3) so the curve
+    covers the whole decision range.
+
+    Exactness: the 4dp-pinned jaccard is recovered to its exact integer
+    ten-thousandths (floor(j·10⁴+0.5)) before bucketing — bucketing the
+    DOUBLE directly (floor(j·10)) mis-buckets exact boundaries like 0.6,
+    whose nearest double is below 0.6. Decile id and cumulative counts
+    are pure integers. Plan: the verifier's candidate-bounded kernel + a
+    10-row rollup."""
+    pairs = ngram_jaccard_pairs(tables, n=n, threshold=0.3)
+    j4 = F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("long")
+    b = (j4 - j4 % 1000) / 1000
+    counts = pairs.groupBy(b.cast("int").alias("decile")).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    w = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return counts.select(
+        "decile",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("pairs_at_or_above"),
+    )
+
+
 def containment_pairs(
     tables: dict[str, DataFrame], n: int = 3, threshold: float = 0.8
 ) -> DataFrame:
@@ -2108,6 +2138,7 @@ def _pagerank_oracle(iters: int = 8) -> str:
 
 QUERIES = {
     "dedup_head_boilerplate": head_boilerplate_groups,
+    "dedup_threshold_curve": threshold_curve,
     "dedup_graph_modularity": graph_modularity,
     "dedup_exact": exact_dedup,
     "dedup_normalized": normalized_dedup,
@@ -2619,6 +2650,44 @@ ORACLES = {
 # Star contraction computes the same (doc_id, component) labels as min-label
 # propagation — the propagation oracle gates both iteration engines.
 ORACLES["dedup_components_star"] = ORACLES["dedup_components"]
+
+# Threshold-sensitivity curve: same shingle/intersection CTEs as the
+# components oracle at a 0.3 floor; exact 4dp recovery before bucketing
+# (floor(j·10) on the raw double mis-buckets 0.6 boundaries).
+ORACLES["dedup_threshold_curve"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(greatest(len(t) - 3, 0) + 1),
+                   i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000 + 0.5)::BIGINT AS j4
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000 + 0.5) / 10000 >= 0.3
+    ),
+    counts AS (
+        SELECT (j4 // 1000)::INT AS decile, count(*)::BIGINT AS n_pairs
+        FROM jac GROUP BY 1
+    )
+    SELECT decile, n_pairs,
+           sum(n_pairs) OVER (ORDER BY decile DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS pairs_at_or_above
+    FROM counts
+"""
 
 # Head-prefix digest replay: md5 of the space-joined first 8 tokens;
 # groups with >= 2 docs; member-id sums pin exact membership.

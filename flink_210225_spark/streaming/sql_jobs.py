@@ -125,6 +125,22 @@ PIVOT (
 """
 
 
+SET_OPS_SQL = """
+WITH buyers AS (SELECT DISTINCT user_id FROM {view} WHERE event_type = 'purchase'),
+clickers AS (SELECT DISTINCT user_id FROM {view} WHERE event_type = 'click'),
+viewers AS (SELECT DISTINCT user_id FROM {view} WHERE event_type = 'view')
+SELECT 'buy_and_click' AS cohort, cast(count(*) AS BIGINT) AS n_users,
+       cast(sum(user_id) AS BIGINT) AS sum_ids
+FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM clickers)
+UNION ALL
+SELECT 'buy_not_view', cast(count(*) AS BIGINT), cast(sum(user_id) AS BIGINT)
+FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM viewers)
+UNION ALL
+SELECT 'click_or_view', cast(count(*) AS BIGINT), cast(sum(user_id) AS BIGINT)
+FROM (SELECT user_id FROM clickers UNION SELECT user_id FROM viewers)
+"""
+
+
 LATERAL_TOKENS_SQL = """
 SELECT lang, tok, ct, rn FROM (
   SELECT lang, tok, cast(count(*) AS BIGINT) AS ct,
@@ -270,7 +286,20 @@ def _lateral_tokens_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _set_ops_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """ANSI set operators as ONE spark.sql TEXT — INTERSECT / EXCEPT /
+    UNION cohort algebra (buyers∩clickers, buyers∖viewers,
+    clickers∪viewers), the audience-overlap grammar every SQL user
+    reaches for before window tricks. Exact membership pinned by id sums,
+    not just counts. U1–U3 cover UNION of conformed streams; this gates
+    the distinct-set forms."""
+    ev = tables["events"]
+    ev.createOrReplaceTempView("events_view_sql_setops")
+    return ev.sparkSession.sql(SET_OPS_SQL.format(view="events_view_sql_setops"))
+
+
 QUERIES = {
+    "sql_set_ops": _set_ops_sql_q,
     "sql_lateral_tokens": _lateral_tokens_sql_q,
     "sql_range_frame": _range_frame_sql_q,
     "sql_pivot_matrix": _pivot_matrix_sql_q,
@@ -290,6 +319,21 @@ def _session_gaps_oracle() -> str:
 # Epoch-aligned tumble bounds: Spark window() aligns to the epoch, so the
 # DuckDB oracle buckets with to_timestamp(floor(epoch/width)*width).
 ORACLES = {
+    # Same set algebra; id sums pin exact membership.
+    "sql_set_ops": """
+        WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        viewers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+        SELECT 'buy_and_click' AS cohort, count(*)::BIGINT AS n_users,
+               sum(user_id)::BIGINT AS sum_ids
+        FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM clickers)
+        UNION ALL
+        SELECT 'buy_not_view', count(*)::BIGINT, sum(user_id)::BIGINT
+        FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM viewers)
+        UNION ALL
+        SELECT 'click_or_view', count(*)::BIGINT, sum(user_id)::BIGINT
+        FROM (SELECT user_id FROM clickers UNION SELECT user_id FROM viewers)
+    """,
     # unnest replays LATERAL VIEW explode; same rank-and-cut.
     "sql_lateral_tokens": """
         SELECT lang, tok, ct, rn FROM (
