@@ -74,72 +74,79 @@ def _registry():
 # (CORRECTNESS_r01 checked exactly the first 50 of 114). Rotation policy:
 # each round, the front of the registry holds the oracle-gated queries with
 # no green CORRECTNESS row from any prior round; already-verified and
-# rows-only queries sort behind them. Round 5 window = the FIXED
-# text_inverted_index (r4's one red row: list-typed postings_head errs the
-# driver canonicalizer; now comma-joined on both engines) + 49 of the 75
-# remaining never-driver-gated oracle queries, in registry order. Round 6
-# queue, in order: the 26 deferred oracle queries (text_glove_cooc,
-# text_rouge_pairs, text_readability, text_stupid_backoff,
-# text_weak_labels, text_hash_features, text_js_divergence,
-# dedup_token_sort, dedup_label_prop, dedup_lsh_bucket_stats,
-# sim_maxsim_rerank, the 7 multimodal_* r4 ops, the 8 sample_* r4 ops),
-# then any round-5 additions, then the 12 rows-only entries for their
-# weaker rows check, then the SCD2/CDC re-gates (cdc_scd2_history,
-# cdc_scd2_lookup, cdc_route_config — untouched-code re-hash pending since
-# r1), then the r1-only greens (sql_* tumbles,
-# join_skew_profile/interval_outer, the window_* rollup family, log_*,
-# session_gaps/window_native, serving_* endpoints, ...).
+# rows-only queries sort behind them. Round 6 window = 50 of the 59
+# never-driver-gated oracle queries: the three highest-risk new kernels
+# first (per ADVICE r5), then the 26 r4-deferred, then 20 round-5
+# additions. Remaining burn-down schedule, in order, nothing orphaned:
+#   round 7 head: the 9 deferred round-5 additions (serving_wilson_ci,
+#     window_drawdown, sql_range_frame, text_ppl_buckets,
+#     text_vocab_coverage, text_keyword_burst, dedup_head_boilerplate,
+#     sim_embedding_drift, sample_temporal_split — each individually
+#     3-SF gated at authoring time; lowest-risk pure-integer/SQL shapes),
+#   then the 12 rows-only entries for their weaker rows check
+#     (dedup_minhash_lsh, dedup_simhash, sim_mips/lsh/ivf/ivfpq*_ann_topk,
+#     sim_diversity_coreset(+cached), sim_semantic_dedup,
+#     sim_semantic_groups, sim_quantize_pq — hash coverage stays via their
+#     named audit siblings),
+#   then the SCD2/CDC re-gates (cdc_scd2_history, cdc_scd2_lookup,
+#     cdc_route_config — r1-stamped, locally re-verified green in r5),
+#   then the oldest r1-only greens by family (sql_* tumbles, log_*,
+#     serving_* endpoints, join_*, window_* rollups) so no green row ages
+#     past 3 rounds for touched modules.
 _CHECK_WINDOW = [
-    "text_inverted_index",
-    "source_jsonl_dirty",
-    "source_csv_dirty",
-    "source_fixed_width",
-    "stream_topk_materialized",
-    "sql_recursive_spine",
-    "sql_session_gaps",
-    "sql_brand_topn",
-    "serving_anova_segments",
-    "serving_ab_srm",
-    "serving_chi2_independence",
-    "serving_cohort_ltv",
-    "serving_gini",
-    "serving_ab_lift",
-    "serving_weighted_median",
-    "serving_pivot_roundtrip",
-    "serving_basket_kcore",
-    "window_audience_overlap",
-    "window_decompose",
-    "window_backtest",
-    "window_mann_kendall",
-    "window_theil_sen",
-    "window_ks_test",
-    "window_wow_growth",
-    "window_holt_winters",
-    "window_uv_sketch_weekly",
-    "window_value_bands",
-    "window_autocorr",
-    "join_record_linkage",
-    "join_interval_overlap",
-    "join_asof_nearest",
-    "session_new_vs_returning",
-    "session_bot_detection",
-    "session_survival_km",
-    "session_stickiness",
-    "session_time_to_convert",
-    "warehouse_data_masking",
-    "warehouse_kanon_audit",
-    "warehouse_benford_audit",
-    "warehouse_partition_skew",
-    "warehouse_bloom_index",
-    "warehouse_clustering_depth",
-    "warehouse_deletion_vectors",
-    "warehouse_dq_expectations",
-    "warehouse_analyze_stats",
-    "warehouse_zonemap_prune",
-    "text_lexical_diversity",
-    "text_span_corruption",
-    "text_kneser_ney",
-    "text_bm25_topk",
+    # highest-risk new kernels (ADVICE r5: gate these first)
+    "sim_knn_graph",
+    "stream_changepoint_materialized",
+    "source_multiline_stack",
+    # the 26 r4-deferred oracle queries
+    "text_glove_cooc",
+    "text_rouge_pairs",
+    "text_readability",
+    "text_stupid_backoff",
+    "text_weak_labels",
+    "text_hash_features",
+    "text_js_divergence",
+    "dedup_token_sort",
+    "dedup_label_prop",
+    "dedup_lsh_bucket_stats",
+    "sim_maxsim_rerank",
+    "multimodal_image_sharpness",
+    "multimodal_audio_onsets",
+    "multimodal_image_histogram",
+    "multimodal_png_meta",
+    "multimodal_image_whash",
+    "multimodal_audio_fingerprint",
+    "multimodal_video_keyframes",
+    "sample_negative_downsample",
+    "sample_poisson_bootstrap",
+    "sample_split_leakage_audit",
+    "sample_pps_systematic",
+    "sample_neyman_allocation",
+    "sample_kfold_assign",
+    "sample_epoch_plan",
+    "sample_class_weights",
+    "sample_winsorize",
+    # 20 round-5 additions
+    "source_schema_evolution",
+    "sql_set_ops",
+    "sql_lateral_tokens",
+    "sql_pivot_matrix",
+    "serving_abc_xyz",
+    "serving_unit_value_index",
+    "serving_retention_matrix",
+    "serving_mann_whitney",
+    "window_intervention_lift",
+    "window_seasonality_strength",
+    "window_changepoint",
+    "join_fk_orphans",
+    "log_error_burn_rate",
+    "warehouse_dp_counts",
+    "warehouse_late_arriving",
+    "dedup_threshold_curve",
+    "dedup_graph_modularity",
+    "sim_mutual_knn_clusters",
+    "multimodal_audio_gain",
+    "multimodal_image_quantize",
 ]
 
 

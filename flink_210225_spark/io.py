@@ -57,3 +57,19 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register each table as a temp view for spark.sql() querying."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def one_row_df(spark: SparkSession, cols: list[tuple]) -> DataFrame:
+    """One-row DataFrame built entirely JVM-side (``range(1)`` + literal
+    projections). The python-list ``createDataFrame([(...)])`` alternative
+    is RDD-backed with defaultParallelism partitions, so EVERY action on it
+    fans out one Python-worker task per core — measured ~5 s per 1-row
+    sentinel/journal parquet write on the 32-core bench box vs 0.2 s for
+    the literal build. Inside a foreachBatch journal that tax repeats per
+    micro-batch, so it dominated the streaming capstones' wall clock.
+
+    ``cols``: list of ``(name, spark_ddl_type, python_value)``.
+    """
+    return spark.range(1).select(
+        *[F.lit(v).cast(t).alias(n) for n, t, v in cols]
+    )

@@ -676,9 +676,14 @@ def bloom_prefilter_join(
     words = [0] * (m // 64)
     for row in word_rows:
         words[row["w"]] = row["bits"]
+    # pandas/Arrow one-hop, not a python-list frame: the list path is
+    # RDD-backed (defaultParallelism partitions), so every action embedding
+    # this scalar subquery fans out 32 Python-worker tasks (~5 s overhead).
+    import pandas as pd
+
     spark = li.sparkSession
     bitset = (
-        spark.createDataFrame([(words,)], "bs array<long>")
+        spark.createDataFrame(pd.DataFrame({"bs": [words]}), schema="bs array<long>")
         .agg(F.first("bs").alias("bs"))
         .scalar()
     )

@@ -1536,15 +1536,21 @@ def graph_modularity(tables: dict[str, DataFrame], threshold: float = 0.5) -> Da
         F.coalesce("m_c", F.lit(0)).cast("long").alias("intra_edges"),
         F.col("d_c").alias("degree_sum"),
     )
+    # decimal(38,0) widening BEFORE the double cast: 4·m·m_c and d_c² wrap
+    # int64 past m≈1.5e9 edges (the unit_value_index/abc_xyz overflow rule;
+    # oracle side mirrors with ::HUGEINT).
+    m_dec = m_col.cast("decimal(38,0)")
     return joined.select(
         "lang",
         "intra_edges",
         "degree_sum",
         r6(
             (
-                4 * m_col * F.col("intra_edges") - F.col("degree_sum") * F.col("degree_sum")
+                4 * m_dec * F.col("intra_edges").cast("decimal(38,0)")
+                - F.col("degree_sum").cast("decimal(38,0)")
+                * F.col("degree_sum").cast("decimal(38,0)")
             ).cast("double")
-            / (4 * m_col * m_col).cast("double")
+            / (4 * m_dec * m_dec).cast("double")
         ).alias("q_term"),
     )
 
@@ -1958,7 +1964,13 @@ def pagerank_dup_graph(
     n_nodes = deg.count()
     if n_nodes == 0:
         spark = tables["documents"].sparkSession
-        return spark.createDataFrame([], "doc_id long, degree long, rank double")
+        # range(0) keeps the empty frame JVM-side (a python-list
+        # createDataFrame is RDD-backed and fans out Python workers)
+        return spark.range(0).select(
+            F.col("id").alias("doc_id"),
+            F.col("id").alias("degree"),
+            F.col("id").cast("double").alias("rank"),
+        )
     # NB: 0.15 literal, NOT (1.0 - damping) — IEEE 1.0-0.85 is
     # 0.15000000000000002, a different constant than the oracle's 0.15
     base = F.lit(0.15 / n_nodes)
@@ -2762,8 +2774,9 @@ ORACLES["dedup_graph_modularity"] = """
     SELECT d.lang,
            coalesce(i.m_c, 0)::BIGINT AS intra_edges,
            d.d_c AS degree_sum,
-           floor((4 * (SELECT m FROM m) * coalesce(i.m_c, 0) - d.d_c * d.d_c)::DOUBLE
-                 / (4 * (SELECT m FROM m) * (SELECT m FROM m))::DOUBLE
+           floor((4 * (SELECT m FROM m)::HUGEINT * coalesce(i.m_c, 0)
+                  - d.d_c::HUGEINT * d.d_c)::DOUBLE
+                 / (4 * (SELECT m FROM m)::HUGEINT * (SELECT m FROM m))::DOUBLE
                  * 1000000 + 0.5) / 1000000 AS q_term
     FROM deg d LEFT JOIN intra i USING (lang)
 """

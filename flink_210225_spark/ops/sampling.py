@@ -796,6 +796,14 @@ def negative_downsample(tables: dict[str, DataFrame], ratio: int = 2) -> DataFra
             F.sum(F.when(F.col("label") == "neg", 1).otherwise(0)) == 0,
             F.lit(65536).cast("long"),
         )
+        # n_pos = 0: keep NO negatives. Without this branch the numerator is
+        # -1 and Spark's `div` truncates toward zero (T=0, keeps md5-prefix
+        # 0000 rows) while DuckDB `//` floors (T=-1, keeps none) — a
+        # cross-engine divergence on a corpus with zero purchase events.
+        .when(
+            F.sum(F.when(F.col("label") == "pos", 1).otherwise(0)) == 0,
+            F.lit(-1).cast("long"),
+        )
         .otherwise(
             F.expr(
                 f"({ratio} * sum(CASE WHEN label = 'pos' THEN 1 ELSE 0 END) * 65536 - 1) "
@@ -903,6 +911,8 @@ ORACLES = {
             SELECT CASE
                      WHEN sum(CASE WHEN label = 'neg' THEN 1 ELSE 0 END) = 0
                        THEN 65536
+                     WHEN sum(CASE WHEN label = 'pos' THEN 1 ELSE 0 END) = 0
+                       THEN -1
                      ELSE (2 * sum(CASE WHEN label = 'pos' THEN 1 ELSE 0 END)
                            * 65536 - 1)
                           // sum(CASE WHEN label = 'neg' THEN 1 ELSE 0 END)

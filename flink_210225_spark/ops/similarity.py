@@ -1169,7 +1169,17 @@ def knn_graph(tables: dict[str, DataFrame], k: int = 5, n_blocks: int = 8) -> Da
     import numpy as np
     import pandas as pd
 
-    emb = tables["embeddings"]
+    # Zero-norm guard ENFORCED, not assumed from fixture shape: a vector
+    # whose every component quantizes to 0 has nrm=0 (NaN cosine) — the
+    # kernel would silently drop it while an unguarded oracle emits
+    # NULL/NaN rows. `exists(q != 0)` ⟺ sum(q²) > 0, and the oracle's
+    # `n` CTE carries the matching `WHERE nrm > 0`.
+    emb = tables["embeddings"].where(
+        F.exists(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 10_000 + 0.5) != 0,
+        )
+    )
     packed = (
         emb.select(
             F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"),
@@ -2541,6 +2551,7 @@ ORACLES = {
         ),
         n AS (
             SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q
+            WHERE list_dot_product(qv, qv) > 0
         ),
         pairs AS (
             SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -2568,6 +2579,7 @@ ORACLES = {
         ),
         n AS (
             SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q
+            WHERE list_dot_product(qv, qv) > 0
         ),
         pairs AS (
             SELECT a.vec_id AS src, b.vec_id AS dst,

@@ -1446,14 +1446,19 @@ def bloom_contamination(
     words = [0] * (m // 64)
     for row in word_rows:
         words[row["w"]] = row["bits"]
-    # ONE scalar subquery carries the bitset (a 1-row createDataFrame ships
-    # the 16 K words over Arrow in one hop; F.lit(words) marshals 16 K
-    # literals through py4j individually — measured ~10 s of pure driver
-    # overhead). Legal because the probe below is lambda-free (scalar
-    # subqueries cannot appear inside higher-order functions).
+    # ONE scalar subquery carries the bitset. The 1-row frame must come in
+    # via pandas/ARROW: F.lit(words) marshals 16 K literals through py4j
+    # individually (~10 s of driver overhead), and a python-LIST
+    # createDataFrame is RDD-backed with defaultParallelism partitions, so
+    # every action fans out 32 Python-worker tasks (~5 s per run of any
+    # query embedding this subquery). Legal because the probe below is
+    # lambda-free (scalar subqueries cannot appear inside higher-order
+    # functions).
+    import pandas as pd
+
     spark = docs.sparkSession
     bitset = (
-        spark.createDataFrame([(words,)], "bs array<long>")
+        spark.createDataFrame(pd.DataFrame({"bs": [words]}), schema="bs array<long>")
         .agg(F.first("bs").alias("bs"))
         .scalar()
     )

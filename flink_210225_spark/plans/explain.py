@@ -71,6 +71,44 @@ def codegen_stage_count(df: DataFrame, execute: bool = True) -> int:
     )
 
 
+def _walk_physical(node):
+    """Depth-first walk of an executed physical plan via py4j, descending
+    through AQE wrappers (AdaptiveSparkPlan → executedPlan, *QueryStage →
+    plan, ReusedExchange → child) whose children() are empty."""
+    yield node
+    name = node.nodeName()
+    if name.startswith("AdaptiveSparkPlan"):
+        yield from _walk_physical(node.executedPlan())
+        return
+    if "QueryStage" in name:
+        yield from _walk_physical(node.plan())
+        return
+    if name.startswith("ReusedExchange"):
+        yield from _walk_physical(node.child())
+        return
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk_physical(it.next())
+
+
+def bnlj_broadcast_rows(df: DataFrame) -> list[int]:
+    """RUNTIME row counts of every BroadcastExchange that feeds a
+    BroadcastNestedLoopJoin — executes the query (metrics only exist after
+    execution) and reads each exchange's numOutputRows. This is the
+    mechanical check behind the CARTESIAN_OK allowlist: a bounded BNLJ is
+    only bounded if the broadcast side's ACTUAL cardinality stays at the
+    documented handful of rows (query sets, block grids), never the corpus."""
+    df.collect()
+    out: list[int] = []
+    for n in _walk_physical(df._jdf.queryExecution().executedPlan()):
+        if "BroadcastNestedLoopJoin" in n.nodeName():
+            for sub in _walk_physical(n):
+                if sub.nodeName().startswith("BroadcastExchange"):
+                    out.append(int(sub.metrics().apply("numOutputRows").value()))
+                    break
+    return out
+
+
 def audit(df: DataFrame) -> dict:
     plan = formatted_plan(df)
     return {

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from flink_210225_spark.io import one_row_df
 from flink_210225_spark.operators import router as router_ops
 
 
@@ -449,7 +450,7 @@ def near_dedup_batch(
         pass
     admitted = sig.join(dropped, "doc_id", "left_anti")
     admitted.write.mode("append").parquet(sdir)
-    spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+    one_row_df(spark, [("batch_id", "long", int(batch_id))]).write.mode(
         "append"
     ).parquet(jdir)
     return True
@@ -546,9 +547,15 @@ def merge_cell_counts_batch(
     obs.count()
     obs.write.mode("overwrite").parquet(counts_dir)
 
-    train = spark.createDataFrame(
-        [(int(c), int(n)) for c, n in sorted(train_sizes.items())],
-        "cell int, train_ct long",
+    # JVM-side construction (array literals + range unroll): this runs once
+    # PER MICRO-BATCH, where a python-list createDataFrame costs a full
+    # 32-task Python-worker fan-out per action (see io.one_row_df).
+    _pairs = sorted(train_sizes.items())
+    _cells = F.array(*[F.lit(int(c)) for c, _ in _pairs])
+    _cts = F.array(*[F.lit(int(n)) for _, n in _pairs])
+    train = spark.range(len(_pairs)).select(
+        F.element_at(_cells, (F.col("id") + 1).cast("int")).cast("int").alias("cell"),
+        F.element_at(_cts, (F.col("id") + 1).cast("int")).cast("long").alias("train_ct"),
     )
     joined = train.join(obs, "cell", "full").select(
         "cell",
@@ -568,11 +575,15 @@ def merge_cell_counts_batch(
         F.max(F.col("q") * F.col("n_cells")).alias("max_load_ratio"),
     ).collect()[0]
     obs.unpersist()
-    spark.createDataFrame(
-        [(int(batch_id), float(row["tvd"]), float(row["max_load_ratio"]))],
-        "batch_id long, tvd double, max_load_ratio double",
+    one_row_df(
+        spark,
+        [
+            ("batch_id", "long", int(batch_id)),
+            ("tvd", "double", float(row["tvd"])),
+            ("max_load_ratio", "double", float(row["max_load_ratio"])),
+        ],
     ).write.mode("append").parquet(os.path.join(monitor_dir, "drift"))
-    spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+    one_row_df(spark, [("batch_id", "long", int(batch_id))]).write.mode(
         "append"
     ).parquet(jdir)
     return True
@@ -644,7 +655,7 @@ def merge_stats_batch(batch: DataFrame, batch_id: int, stats_dir: str) -> bool:
     out.count()
     out.write.mode("overwrite").parquet(data_dir)
     out.unpersist()
-    spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+    one_row_df(spark, [("batch_id", "long", int(batch_id))]).write.mode(
         "append"
     ).parquet(jdir)
     return True
@@ -809,7 +820,7 @@ def merge_scd2_batch(
     shutil.rmtree(tmp, ignore_errors=True)
     hist = scd2_history(spark.read.parquet(str(raw_dir)).drop("__batch_id"), [key], "ts")
     hist.write.mode("overwrite").parquet(os.path.join(dim_dir, "table"))
-    spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+    one_row_df(spark, [("batch_id", "long", int(batch_id))]).write.mode(
         "append"
     ).parquet(jdir)
     return True
@@ -1196,9 +1207,14 @@ def _staged_sentinel_stream(
             from datetime import timedelta
 
             sent_ts = max_ts + timedelta(hours=hrs)
-        sent = spark.createDataFrame(
-            [(-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}")],
-            raw.schema,
+        sent = one_row_df(
+            spark,
+            [
+                (n, dt, v)
+                for (n, dt), v in zip(
+                    raw.dtypes, [-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}"]
+                )
+            ],
         )
         sdir = _scratch(prefix=f"{prefix}_sentinel{i}_")
         sent.coalesce(1).write.mode("overwrite").parquet(sdir)
@@ -1804,8 +1820,14 @@ def cusum_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
             from datetime import timedelta
 
             sent_ts = max_ts + timedelta(days=days_off)
-        sent = spark.createDataFrame(
-            [(-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}")], raw.schema
+        sent = one_row_df(
+            spark,
+            [
+                (n, dt, v)
+                for (n, dt), v in zip(
+                    raw.dtypes, [-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}"]
+                )
+            ],
         )
         sdir = _scratch(prefix=f"cusum_stream_sentinel{i}_")
         sent.coalesce(1).write.mode("overwrite").parquet(sdir)
@@ -1832,9 +1854,23 @@ def cusum_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
             F.col("pv_ct").cast("long").alias("pv_ct"),
         )
     )
-    with _stream_shuffle(spark):
+    # 2 shuffle partitions, not the capstone-default 8: each bronze flush
+    # batch writes one part file per shuffle partition, and stage 2 replays
+    # the sink ONE FILE PER TRIGGER — at 8 partitions the silver stream pays
+    # ~18 micro-batch state-store commits for the same 150 rows (measured
+    # 33.9 s median; the whole trim is commit-log overhead, not data). The
+    # day-tumble state needs 2 partitions at any fixture scale; production
+    # sizes this to keyed-state volume.
+    # repartition(1) sits BELOW the sink and ABOVE the stateful tumble: each
+    # flush batch lands as ONE part file instead of one per shuffle
+    # partition, and stage 2 replays the sink one file per trigger — so this
+    # directly halves the silver stream's micro-batch (state-store commit)
+    # count. repartition, never coalesce: coalesce would narrow the tumble
+    # operator's own partitioning and change its state-store layout.
+    with _stream_shuffle(spark, "2"):
         q = (
-            daily.writeStream.format("parquet")
+            daily.repartition(1)
+            .writeStream.format("parquet")
             .option("path", bronze_out)
             .option("checkpointLocation", bronze_cp)
             .trigger(availableNow=True)
@@ -1864,15 +1900,13 @@ def cusum_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     # (measured: 50/150 rows survive with a 1-second delay).
     delay_days = (max_day - _dt.date.fromisoformat(span["lo"])).days + 2
     for i, extra in enumerate((2, 4)):
-        sent = spark.createDataFrame(
+        sent = one_row_df(
+            spark,
             [
-                (
-                    str(max_day + _dt.timedelta(days=delay_days + extra)),
-                    "__sentinel__",
-                    0,
-                )
+                ("day", "string", str(max_day + _dt.timedelta(days=delay_days + extra))),
+                ("event_type", "string", "__sentinel__"),
+                ("pv_ct", "long", 0),
             ],
-            "day string, event_type string, pv_ct long",
         )
         sdir = _scratch(prefix=f"cusum_stream_silver_sentinel{i}_")
         sent.coalesce(1).write.mode("overwrite").parquet(sdir)
@@ -1897,7 +1931,10 @@ def cusum_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    with _stream_shuffle(spark):
+    # The CUSUM state is keyed by event_type (a handful of keys): 2 state
+    # stores per micro-batch, not 8 — the per-batch commit overhead is the
+    # entire cost of this two-stage pipeline at fixture scale.
+    with _stream_shuffle(spark, "2"):
         q = (
             result.writeStream.format("parquet")
             .option("path", out)

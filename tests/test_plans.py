@@ -175,6 +175,30 @@ def test_no_cartesian_anywhere(name, spark):
     df = entry_mod.queries()[name](spark, SF_DIR)
     assert not explain.has_cartesian(df), f"{name} plans a cartesian/nested-loop join"
 
+
+# The documented row bound behind every CARTESIAN_OK justification comment:
+# bounded query sets (≤ 20 rows), coarse-stage query sets (4), block-pair
+# grids (n_blocks = 8 packed rows). 64 is comfortably above every documented
+# shape and far below any corpus (2 000+ embedding rows at the SMALLEST sf),
+# so a leak of corpus rows into the broadcast side trips it immediately.
+BNLJ_BROADCAST_ROW_BOUND = 64
+
+
+@pytest.mark.parametrize("name", sorted(CARTESIAN_OK))
+def test_cartesian_ok_broadcast_side_bounded(name, spark):
+    """The allowlist's 'bounded' claim, checked mechanically: execute each
+    allowlisted query and assert the RUNTIME cardinality of every
+    BroadcastExchange feeding its BroadcastNestedLoopJoin stays within the
+    documented handful of rows. (Queries that compose a checkpointed BNLJ
+    kernel may show no live BNLJ in the final plan — nothing to bound.)"""
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    rows = explain.bnlj_broadcast_rows(df)
+    assert all(r <= BNLJ_BROADCAST_ROW_BOUND for r in rows), (
+        f"{name} broadcasts {rows} rows into a nested-loop join"
+    )
+
 def test_quota_group_limit_pushed_below_shuffle(tables):
     """quota_per_group's skew safety lives in Catalyst's WindowGroupLimit
     rewrite: the `row_number() <= quota` filter must become a Partial

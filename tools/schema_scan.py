@@ -53,12 +53,16 @@ def main() -> int:
             sql = sqls.get(name)
             if sql is not None:
                 want = con.sql(sql).df()
-                bad = [
-                    c
-                    for c in want.columns
-                    if len(want) > 0
-                    and isinstance(want[c].iloc[0], (list, tuple, dict, np.ndarray))
-                ]
+                # Check the first NON-NULL cell per column (iloc[0] alone
+                # misses a column whose head row is NULL but holds list
+                # cells further down).
+                bad = []
+                for c in want.columns:
+                    nn = want[c].dropna()
+                    if len(nn) and isinstance(
+                        nn.iloc[0], (list, tuple, dict, np.ndarray)
+                    ):
+                        bad.append(c)
                 if bad:
                     print(f"ORACLE-COMPLEX {name}: {bad}", flush=True)
                     flagged += 1
