@@ -1852,3 +1852,91 @@ ORACLES = {
         LIMIT 20
     """,
 }
+
+
+def price_elasticity(tables: dict[str, DataFrame]) -> DataFrame:
+    """Arc price elasticity of demand per brand — the pricing-analytics
+    endpoint a commerce serving layer runs over the order book: for each
+    brand and consecutive month pair, the midpoint-formula elasticity
+    e = (ΔQ/Q̄)/(ΔP/P̄). With P = revenue/quantity the whole expression
+    collapses to the integer cross-multiply
+    ((q2−q1)·(r2·q1 + r1·q2)) / ((q2+q1)·(r2·q1 − r1·q2)) over exact
+    revenue cents and unit counts — no intermediate unit-price float ever
+    exists, so the hash gate holds bit-for-bit. Cross-multiplies widen to
+    decimal(38,0) (the unit_value_index overflow rule: cents × quantity ×
+    quantity wraps int64 near sf≈100). Pairs with a zero denominator
+    (identical unit price) are filtered on BOTH engines.
+
+    Plan: one (brand, month)-keyed agg off the lineitem scan (broadcast
+    part dim), one brand-keyed lag window over |brands×months| rows, then
+    a stateless projection."""
+    li = tables["lineitem"]
+    p = tables["part"]
+    bm = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            "p_brand", F.date_format("l_shipdate", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_quantity"))).cast("long").alias("q"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5))
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy("month")
+    pair = bm.select(
+        F.col("p_brand").alias("brand"),
+        "month",
+        F.lag("q").over(w).alias("q1"),
+        F.col("q").alias("q2"),
+        F.lag("r").over(w).alias("r1"),
+        F.col("r").alias("r2"),
+    ).where(F.col("q1").isNotNull())
+    d = F.col
+    num = (d("q2") - d("q1")).cast("decimal(38,0)") * (
+        d("r2").cast("decimal(38,0)") * d("q1") + d("r1").cast("decimal(38,0)") * d("q2")
+    )
+    den = (d("q2") + d("q1")).cast("decimal(38,0)") * (
+        d("r2").cast("decimal(38,0)") * d("q1") - d("r1").cast("decimal(38,0)") * d("q2")
+    )
+    return (
+        pair.where(den != 0)
+        .select(
+            "brand",
+            "month",
+            "q1",
+            "q2",
+            (
+                F.floor(num.cast("double") / den.cast("double") * 1000000 + 0.5)
+                / 1000000
+            ).alias("e6"),
+        )
+    )
+
+
+QUERIES["serving_price_elasticity"] = price_elasticity
+# Identical integer cross-multiply spelled with HUGEINT widening; month
+# keys via strftime; lag window per brand.
+ORACLES["serving_price_elasticity"] = """
+    WITH bm AS (
+        SELECT p.p_brand AS brand, strftime(l.l_shipdate, '%Y-%m') AS month,
+               sum(floor(l.l_quantity))::BIGINT AS q,
+               sum(floor(l.l_extendedprice * 100 + 0.5))::BIGINT AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    pr AS (
+        SELECT brand, month,
+               lag(q) OVER (PARTITION BY brand ORDER BY month) AS q1, q AS q2,
+               lag(r) OVER (PARTITION BY brand ORDER BY month) AS r1, r AS r2
+        FROM bm
+    )
+    SELECT brand, month, q1, q2,
+           floor(((q2 - q1)::HUGEINT * (r2::HUGEINT * q1 + r1::HUGEINT * q2))::DOUBLE
+                 / ((q2 + q1)::HUGEINT * (r2::HUGEINT * q1 - r1::HUGEINT * q2))::DOUBLE
+                 * 1000000 + 0.5) / 1000000 AS e6
+    FROM pr
+    WHERE q1 IS NOT NULL
+      AND (q2 + q1)::HUGEINT * (r2::HUGEINT * q1 - r1::HUGEINT * q2) != 0
+"""

@@ -1607,3 +1607,78 @@ ORACLES = {
                 - (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders)))::BIGINT
     """,
 }
+
+
+def row_policy_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Row-level-security policy audit — the governance sibling of
+    ``warehouse_data_masking`` (that one masks COLUMNS; this scopes ROWS):
+    each region name acts as a role whose policy filter is "customers in
+    my region's nations" (the textbook multi-tenant RLS predicate over a
+    dim chain), and the audit reports what each role can actually see —
+    visible row count, nation spread, exact key + balance-cents checksums
+    — plus a measured ``__unassigned__`` row counting customers whose
+    nation maps to NO region (must be 0; an actual anti-join, not an
+    assumption, so a broken policy chain trips the gate).
+
+    Plan: customer scan ⋈ broadcast(nation) ⋈ broadcast(region) — the
+    constant-size dims broadcast, the fact table never shuffles; the audit
+    agg is region-keyed (5 rows)."""
+    c = tables["customer"]
+    n = tables["nation"]
+    r = tables["region"]
+    vis = c.join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    ).join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    per_role = vis.groupBy(F.col("r_name").alias("role")).agg(
+        F.count("*").cast("long").alias("n_visible"),
+        F.countDistinct("n_nationkey").cast("long").alias("n_nations"),
+        F.sum("c_custkey").cast("long").alias("sum_custkey"),
+        F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5)).cast("long").alias("bal_cents"),
+    )
+    orphan = (
+        c.join(
+            F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])),
+            c["c_nationkey"] == n["n_nationkey"],
+            "left_anti",
+        )
+        .agg(
+            F.lit("__unassigned__").alias("role"),
+            F.count("*").cast("long").alias("n_visible"),
+            F.lit(0).cast("long").alias("n_nations"),
+            F.coalesce(F.sum("c_custkey"), F.lit(0)).cast("long").alias("sum_custkey"),
+            F.coalesce(
+                F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5)), F.lit(0)
+            ).cast("long").alias("bal_cents"),
+        )
+    )
+    return per_role.unionByName(orphan)
+
+
+QUERIES["warehouse_row_policy_audit"] = row_policy_audit
+ORACLES["warehouse_row_policy_audit"] = """
+    WITH vis AS (
+        SELECT r.r_name AS role, c.c_custkey, c.c_acctbal, n.n_nationkey
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    roles AS (
+        SELECT role, count(*)::BIGINT AS n_visible,
+               count(DISTINCT n_nationkey)::BIGINT AS n_nations,
+               sum(c_custkey)::BIGINT AS sum_custkey,
+               sum(floor(c_acctbal * 100 + 0.5))::BIGINT AS bal_cents
+        FROM vis GROUP BY role
+    ),
+    orphan AS (
+        SELECT '__unassigned__' AS role, count(*)::BIGINT AS n_visible,
+               0::BIGINT AS n_nations,
+               coalesce(sum(c_custkey), 0)::BIGINT AS sum_custkey,
+               coalesce(sum(floor(c_acctbal * 100 + 0.5)), 0)::BIGINT AS bal_cents
+        FROM customer c
+        WHERE c.c_nationkey NOT IN (
+            SELECT n.n_nationkey FROM nation n
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        )
+    )
+    SELECT * FROM roles UNION ALL SELECT * FROM orphan
+"""

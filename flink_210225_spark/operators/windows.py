@@ -2387,3 +2387,104 @@ ORACLES = {
         GROUP BY 1, 2, 3
     """,
 }
+
+
+def page_hinkley(tables: dict[str, DataFrame]) -> DataFrame:
+    """Page–Hinkley drift test per event type — the third changepoint lens
+    next to ``window_cusum`` (reference-profile CUSUM) and
+    ``window_changepoint`` (binary segmentation): PH tracks the cumulative
+    deviation of the daily count from the SERIES mean and alarms when it
+    climbs more than a margin above its running minimum — the standard
+    streaming-drift detector (Page 1954, public). Two-pass and FULLY
+    integer: with S = Σx and n days, the mean-centered cumulative sum
+    scaled by n is Mₜ = n·prefixₜ − t·S (exact int64), PHₜ = Mₜ − min_{i≤t} Mᵢ,
+    and the alarm rule PH_max > 5·S (drift exceeding five mean-days) is an
+    integer comparison — nothing to pin anywhere.
+
+    Emits per event type: n_days, total events, the scaled PH maximum,
+    the day it peaks (earliest on ties), and the alarm flag. Plan: one
+    (type, day) agg with map-side partials, two type-keyed running
+    windows over |types × days| rows, one argmax window."""
+    ev = tables["events"]
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    wall = Window.partitionBy("event_type")
+    worder = wall.orderBy("day")
+    wrun = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count("*").over(wall).alias("n"),
+        F.sum("x").over(wall).alias("s"),
+        F.sum("x").over(wrun).alias("prefix"),
+        F.row_number().over(worder).alias("t"),
+    ).select(
+        "event_type",
+        "day",
+        "n",
+        "s",
+        (F.col("n") * F.col("prefix") - F.col("t") * F.col("s")).alias("m"),
+    )
+    ph = scored.select(
+        "event_type",
+        "day",
+        "n",
+        "s",
+        (F.col("m") - F.min("m").over(wrun)).alias("ph"),
+    )
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.desc("ph"), F.asc("day")
+    )
+    return (
+        ph.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("s").cast("long").alias("total_events"),
+            F.col("ph").cast("long").alias("max_ph_scaled"),
+            F.col("day").alias("peak_day"),
+            F.when(F.col("ph") > 5 * F.col("s"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("drift_flag"),
+        )
+    )
+
+
+QUERIES["window_page_hinkley"] = page_hinkley
+ORACLES["window_page_hinkley"] = """
+    WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               count(*)::BIGINT AS x
+        FROM events GROUP BY 1, 2
+    ),
+    sc AS (
+        SELECT event_type, day,
+               count(*) OVER (PARTITION BY event_type)::BIGINT AS n,
+               sum(x) OVER (PARTITION BY event_type)::BIGINT AS s,
+               sum(x) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS prefix,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)::BIGINT AS t
+        FROM daily
+    ),
+    m AS (
+        SELECT event_type, day, n, s, n * prefix - t * s AS m FROM sc
+    ),
+    ph AS (
+        SELECT event_type, day, n, s,
+               m - min(m) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS ph
+        FROM m
+    )
+    SELECT event_type, n AS n_days, s AS total_events,
+           ph::BIGINT AS max_ph_scaled, day AS peak_day,
+           (CASE WHEN ph > 5 * s THEN 1 ELSE 0 END)::INT AS drift_flag
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY ph DESC, day) AS rn
+        FROM ph
+    ) WHERE rn = 1
+"""

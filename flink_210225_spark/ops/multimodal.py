@@ -2311,3 +2311,311 @@ def make_demo_assets(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def image_contrast(tables: dict[str, DataFrame]) -> DataFrame:
+    """Exposure/contrast QA on the real PNG decode — the third image-
+    quality axis next to ``multimodal_image_sharpness`` (edges) and
+    ``multimodal_image_histogram`` (distribution shape): per asset the
+    mean luma, RMS contrast (population stddev), and Michelson contrast
+    ((max−min)/(max+min)) that flag washed-out or near-constant images
+    before they waste training tokens. The decode pass emits only EXACT
+    integer moments (Σp, Σp², min, max); all three scores derive JVM-side
+    as one sqrt + one division in fixed order, pinned 6dp, and the oracle
+    replays the pixel formula arithmetically — never the bytes.
+
+    Plan: one Arrow decode pass (per-asset cost, zero shuffle), then a
+    stateless projection."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).cast("int").alias("seed"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "seed", "n_px", "sum_p", "sum_p2", "min_p", "max_p"
+                )
+            }
+            for doc_id, seed, ft in zip(pdf["doc_id"], pdf["seed"], pdf["ft"]):
+                seed = int(seed)
+                w = 8 + 4 * (seed % 5)
+                h = 8 + 4 * ((seed * 3) % 4)
+                px = _parse_png(_png_bytes(seed, w, h, filter_type=int(ft)))[
+                    "pixels"
+                ].astype(np.int64)[:, :, 0]
+                out["doc_id"].append(int(doc_id))
+                out["seed"].append(seed)
+                out["n_px"].append(w * h)
+                out["sum_p"].append(int(px.sum()))
+                out["sum_p2"].append(int((px * px).sum()))
+                out["min_p"].append(int(px.min()))
+                out["max_p"].append(int(px.max()))
+            yield pd.DataFrame(out)
+
+    stats = base.mapInPandas(
+        gen,
+        "doc_id long, seed int, n_px long, sum_p long, sum_p2 long, "
+        "min_p long, max_p long",
+    )
+    n, sp, sp2 = F.col("n_px"), F.col("sum_p"), F.col("sum_p2")
+    # population variance numerator n·Σp² − (Σp)² stays exact in int64
+    # (≤ 560·560·65025² ≈ 1.3e15 < 2⁵³ — also exact in the double sqrt)
+    d = (n * sp2 - sp * sp).cast("double")
+    return stats.select(
+        "doc_id",
+        "seed",
+        "n_px",
+        (F.floor(sp.cast("double") / n.cast("double") * 1000000 + 0.5) / 1000000)
+        .alias("mean6"),
+        (F.floor(F.sqrt(d) / n.cast("double") * 1000000 + 0.5) / 1000000)
+        .alias("rms6"),
+        F.when(
+            (F.col("max_p") + F.col("min_p")) > 0,
+            F.floor(
+                (F.col("max_p") - F.col("min_p")).cast("double")
+                / (F.col("max_p") + F.col("min_p")).cast("double")
+                * 1000000
+                + 0.5
+            )
+            / 1000000,
+        ).alias("michelson6"),
+    )
+
+
+def audio_clipping(tables: dict[str, DataFrame]) -> DataFrame:
+    """Clipping audit on the real WAV round trip — the audio-quality gate
+    that catches hard-limited/distorted source material before feature
+    extraction: per asset the clipped-sample count (|s| ≥ 30000 of int16
+    full scale), the clipped ratio, and the LONGEST CONSECUTIVE clipped
+    run (sustained limiting sounds far worse than isolated peaks — run
+    length is the standard severity measure). Counts and run lengths are
+    exact integers off the decoded samples; the oracle replays the PCM
+    formula and the gaps-and-islands run computation arithmetically.
+
+    Plan: one Arrow decode pass, per-asset numpy run-length scan, zero
+    shuffle; the ratio is one pinned division JVM-side."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id", (F.col("n_chars") % 200 + 50).cast("int").alias("n")
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: [] for k in ("asset_id", "n_samples", "n_clipped", "max_run")
+            }
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                dec = _parse_wav(_wav_bytes(int(doc_id), int(n)))
+                s = dec["samples"].astype(np.int64)
+                clipped = np.abs(s) >= 30000
+                max_run = run = 0
+                for c in clipped:
+                    run = run + 1 if c else 0
+                    if run > max_run:
+                        max_run = run
+                out["asset_id"].append(int(doc_id))
+                out["n_samples"].append(int(s.size))
+                out["n_clipped"].append(int(clipped.sum()))
+                out["max_run"].append(int(max_run))
+            yield pd.DataFrame(out)
+
+    stats = base.mapInPandas(
+        gen, "asset_id long, n_samples long, n_clipped long, max_run long"
+    )
+    return stats.select(
+        "asset_id",
+        "n_samples",
+        "n_clipped",
+        (
+            F.floor(
+                F.col("n_clipped").cast("double")
+                / F.col("n_samples").cast("double")
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("clip_ratio6"),
+        "max_run",
+    )
+
+
+def video_fingerprint_groups(tables: dict[str, DataFrame]) -> DataFrame:
+    """Duplicate-CLIP detection on the real per-frame codec path — the
+    video member of the dedup family (image: ``image_ahash`` groups,
+    audio: ``audio_fingerprint``): each clip's ordered per-frame luma-sum
+    sequence becomes a temporal fingerprint (comma-joined, md5), and
+    clips sharing a fingerprint are duplicate groups. Frames key off
+    ``doc_id % 24`` profiles (so true duplicates EXIST, the image-seed
+    domain trick) but every clip still decodes its own genuine PNG frames
+    — a decoder fault on any frame changes that clip's fingerprint and
+    breaks the group row.
+
+    Plan: one Arrow decode pass emits one (clip, sig) row; one
+    profile-keyed agg; result is |profiles|-sized. At 100 TB the
+    fingerprint is the shuffle key — never frame pixels."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 24).cast("int").alias("profile"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "profile": [], "sig": []}
+            for doc_id, profile in zip(pdf["doc_id"], pdf["profile"]):
+                profile = int(profile)
+                nf = profile % 12 + 8
+                sl = profile % 4 + 3
+                sums = []
+                for f in range(nf):
+                    seed = profile * 13 + (f // sl) * 97 + f
+                    px = _parse_png(
+                        _png_bytes(seed, 8, 8, filter_type=f % 5)
+                    )["pixels"].astype(np.int64)
+                    sums.append(str(int(px.sum())))
+                out["doc_id"].append(int(doc_id))
+                out["profile"].append(profile)
+                out["sig"].append(",".join(sums))
+            yield pd.DataFrame(out)
+
+    sigs = base.mapInPandas(gen, "doc_id long, profile int, sig string")
+    return (
+        sigs.groupBy("profile", F.md5("sig").alias("fingerprint"))
+        .agg(
+            F.count("*").cast("long").alias("n_clips"),
+            F.sum("doc_id").cast("long").alias("sum_doc_ids"),
+        )
+        .where(F.col("n_clips") >= 2)
+    )
+
+
+QUERIES.update(
+    {
+        "multimodal_image_contrast": image_contrast,
+        "multimodal_audio_clipping": audio_clipping,
+        "multimodal_video_fingerprint": video_fingerprint_groups,
+    }
+)
+
+# Pixel-formula replay (never bytes): same dims/filter domain as the
+# histogram oracle; variance numerator and sqrt/division order match the
+# Spark side exactly.
+ORACLES["multimodal_image_contrast"] = """
+    WITH s AS (SELECT DISTINCT (doc_id % 16) AS seed FROM documents),
+    dims AS (
+        SELECT seed, 8 + 4 * (seed % 5) AS w, 8 + 4 * ((seed * 3) % 4) AS h
+        FROM s
+    ),
+    sx AS (SELECT seed, h, unnest(range(w)) AS x FROM dims),
+    sxy AS (
+        SELECT sx.seed, sx.x, sy.y
+        FROM sx JOIN (SELECT seed, unnest(range(h)) AS y FROM dims) sy
+             ON sx.seed = sy.seed
+    ),
+    agg AS (
+        SELECT seed, count(*)::BIGINT AS n_px,
+               sum((seed * 7 + 3 * x + 11 * y) % 256)::BIGINT AS sum_p,
+               sum(((seed * 7 + 3 * x + 11 * y) % 256)
+                   * ((seed * 7 + 3 * x + 11 * y) % 256))::BIGINT AS sum_p2,
+               min((seed * 7 + 3 * x + 11 * y) % 256)::BIGINT AS min_p,
+               max((seed * 7 + 3 * x + 11 * y) % 256)::BIGINT AS max_p
+        FROM sxy GROUP BY 1
+    )
+    SELECT d.doc_id, a.seed::INT AS seed, a.n_px,
+           floor(a.sum_p::DOUBLE / a.n_px::DOUBLE * 1000000 + 0.5) / 1000000
+               AS mean6,
+           floor(sqrt((a.n_px * a.sum_p2 - a.sum_p * a.sum_p)::DOUBLE)
+                 / a.n_px::DOUBLE * 1000000 + 0.5) / 1000000 AS rms6,
+           CASE WHEN a.max_p + a.min_p > 0
+                THEN floor((a.max_p - a.min_p)::DOUBLE
+                           / (a.max_p + a.min_p)::DOUBLE * 1000000 + 0.5)
+                     / 1000000
+                END AS michelson6
+    FROM documents d JOIN agg a ON a.seed = d.doc_id % 16
+"""
+
+# PCM formula replay + gaps-and-islands max clipped run (k − row_number()
+# island key); |s| ≥ 30000 ⟺ the byte term m ≥ 246 or m ≤ 10, but the
+# oracle states it on the reconstructed sample exactly like the kernel.
+ORACLES["multimodal_audio_clipping"] = """
+    WITH base AS (
+        SELECT doc_id, (n_chars % 200 + 50)::BIGINT AS n FROM documents
+    ),
+    ks AS (
+        SELECT doc_id, n, unnest(range(n)) AS k FROM base
+    ),
+    sm AS (
+        SELECT doc_id, n, k,
+               (((doc_id * 31 + k * 7) % 256) - 128) * 256 AS s
+        FROM ks
+    ),
+    cl AS (
+        SELECT doc_id, k,
+               row_number() OVER (PARTITION BY doc_id ORDER BY k) AS rn
+        FROM sm WHERE abs(s) >= 30000
+    ),
+    runs AS (
+        SELECT doc_id, count(*)::BIGINT AS run_len
+        FROM cl GROUP BY doc_id, k - rn
+    ),
+    agg AS (
+        SELECT doc_id, max(run_len)::BIGINT AS max_run,
+               sum(run_len)::BIGINT AS n_clipped
+        FROM runs GROUP BY doc_id
+    )
+    SELECT b.doc_id AS asset_id, b.n AS n_samples,
+           coalesce(a.n_clipped, 0)::BIGINT AS n_clipped,
+           floor(coalesce(a.n_clipped, 0)::DOUBLE / b.n::DOUBLE * 1000000 + 0.5)
+               / 1000000 AS clip_ratio6,
+           coalesce(a.max_run, 0)::BIGINT AS max_run
+    FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+# Frame-formula replay: per profile the ordered framesum sequence
+# (string_agg ORDER BY f), md5'd the same way; clip membership re-joins
+# documents on the profile key.
+ORACLES["multimodal_video_fingerprint"] = """
+    WITH p AS (SELECT DISTINCT (doc_id % 24) AS profile FROM documents),
+    cfg AS (
+        SELECT profile, profile % 12 + 8 AS nf, profile % 4 + 3 AS sl FROM p
+    ),
+    fr AS (
+        SELECT profile, sl, unnest(range(nf)) AS f FROM cfg
+    ),
+    fx AS (
+        SELECT profile, f, profile * 13 + (f // sl) * 97 + f AS seed,
+               unnest(range(8)) AS x
+        FROM fr
+    ),
+    fxy AS (
+        SELECT fx.profile, fx.f, fx.seed, fx.x, yy.y
+        FROM fx CROSS JOIN (SELECT unnest(range(8)) AS y) yy
+    ),
+    fs AS (
+        SELECT profile, f,
+               sum((seed * 7 + 3 * x + 11 * y) % 256)::BIGINT AS framesum
+        FROM fxy GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT profile,
+               md5(string_agg(framesum::VARCHAR, ',' ORDER BY f)) AS fingerprint
+        FROM fs GROUP BY profile
+    )
+    SELECT s.profile::INT AS profile, s.fingerprint,
+           count(*)::BIGINT AS n_clips,
+           sum(d.doc_id)::BIGINT AS sum_doc_ids
+    FROM documents d JOIN sig s ON s.profile = d.doc_id % 24
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+"""

@@ -1337,3 +1337,143 @@ ORACLES = {
         FROM documents d JOIN w ON w.lang = d.lang
     """,
 }
+
+
+def grouped_split(tables: dict[str, DataFrame], train_pct: int = 80) -> DataFrame:
+    """GROUP-aware train/test split — the leakage guard ``hash_split``
+    cannot give: that one keys on CONTENT (byte-dup docs share a side);
+    this keys on the GROUP (user), so every event of a user lands on ONE
+    side and per-user features can never leak across the boundary (the
+    GroupKFold / grouped-split protocol every behavioral-model eval
+    needs). Split = seeded 16-bit md5 of the user id mod 100 < pct — the
+    DSIR hex-Bernoulli idiom, uniform and re-run-stable.
+
+    The zero-leakage claim is MEASURED, not assumed: n_leaked_groups
+    counts users observed with >1 distinct split (an actual aggregate —
+    0 by construction, but the gate pins the measurement). Id sums pin
+    exact membership. Plan: one user-keyed agg with map-side partials,
+    then a 2-row agg; the leak scalar is a subquery over the same frame."""
+    ev = tables["events"].select("event_id", "user_id")
+    u16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("gsplit:"), F.col("user_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    lab = ev.select(
+        "event_id",
+        "user_id",
+        F.when(u16 % 100 < train_pct, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    per_user = lab.groupBy("user_id").agg(
+        F.min("split").alias("split"),
+        F.countDistinct("split").alias("n_splits"),
+        F.count("*").cast("long").alias("n_ev"),
+        F.sum("event_id").cast("long").alias("s_ids"),
+    )
+    leak = per_user.agg(
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0)).cast("long").alias("l")
+    ).scalar()
+    return per_user.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.sum("s_ids").cast("long").alias("sum_event_ids"),
+    ).withColumn("n_leaked_groups", leak)
+
+
+QUERIES["sample_grouped_split"] = grouped_split
+# Same seeded Bernoulli; the leak counter replays the same measured
+# aggregate (count of users with >1 distinct split).
+ORACLES["sample_grouped_split"] = """
+    WITH lab AS (
+        SELECT event_id, user_id,
+               CASE WHEN ('0x' || substr(md5('gsplit:' || user_id::VARCHAR),
+                                         1, 4))::UBIGINT::BIGINT % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split
+        FROM events
+    ),
+    pu AS (
+        SELECT user_id, min(split) AS split,
+               count(DISTINCT split) AS n_splits,
+               count(*)::BIGINT AS n_ev, sum(event_id)::BIGINT AS s_ids
+        FROM lab GROUP BY user_id
+    ),
+    lk AS (
+        SELECT sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)::BIGINT AS l FROM pu
+    )
+    SELECT split, count(*)::BIGINT AS n_users,
+           sum(n_ev)::BIGINT AS n_events,
+           sum(s_ids)::BIGINT AS sum_event_ids,
+           (SELECT l FROM lk) AS n_leaked_groups
+    FROM pu GROUP BY split
+"""
+
+
+def chronological_cv(tables: dict[str, DataFrame], k: int = 4) -> DataFrame:
+    """Expanding-window chronological cross-validation — the time-series
+    eval protocol (forecasting / drift-robust model selection) that
+    neither ``sample_kfold_assign`` (content folds, order-blind) nor
+    ``sample_temporal_split`` (one cut) provides: k folds, fold i trains
+    on everything up to boundary bᵢ and tests on (bᵢ, bᵢ₊₁] — train data
+    always strictly precedes its test window, never the reverse.
+
+    Boundaries are EXACT ranks bᵢ = (i·n) div (k+1) in (ts, event_id)
+    order — integer arithmetic, ties cannot straddle engines (the
+    temporal_split discipline). Emits per (fold, role) the row count and
+    exact id-sum membership pin. Plan note: the exact-rank assignment
+    needs one global sort (fine at fixture scale; production samples
+    approximate time boundaries — same output contract, no sort)."""
+    ev = tables["events"].select("event_id", "ts")
+    w = Window.orderBy("ts", "event_id")
+    n_col = ev.agg(F.count("*").cast("long").alias("n")).scalar()
+    ranked = ev.select(
+        "event_id", F.row_number().over(w).cast("long").alias("rk")
+    ).withColumn("n_all", n_col)
+    # ONE pass over the ranked frame: the fold fan-out explodes a k-array
+    # per row (a per-fold union would re-run the global sort k times)
+    folds = ranked.select(
+        "event_id",
+        "rk",
+        "n_all",
+        F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)])).alias("fold"),
+    ).select(
+        "event_id",
+        F.col("fold").cast("int").alias("fold"),
+        F.when(F.col("rk") <= F.expr(f"(fold * n_all) div {k + 1}"), F.lit("train"))
+        .when(
+            F.col("rk") <= F.expr(f"((fold + 1) * n_all) div {k + 1}"), F.lit("test")
+        )
+        .alias("role"),
+    ).where(F.col("role").isNotNull())
+    return folds.groupBy("fold", "role").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+    )
+
+
+QUERIES["sample_chronological_cv"] = chronological_cv
+# Same exact-rank boundaries; the fold fan-out is a 4-row range join in
+# SQL form (rank BETWEEN per-fold bounds).
+ORACLES["sample_chronological_cv"] = """
+    WITH ranked AS (
+        SELECT event_id,
+               row_number() OVER (ORDER BY ts, event_id)::BIGINT AS rk,
+               count(*) OVER ()::BIGINT AS n_all
+        FROM events
+    ),
+    fanned AS (
+        SELECT r.event_id, f.i AS fold,
+               CASE WHEN r.rk <= (f.i * r.n_all) // 5 THEN 'train'
+                    WHEN r.rk <= ((f.i + 1) * r.n_all) // 5 THEN 'test'
+                    END AS role
+        FROM ranked r
+        CROSS JOIN (SELECT unnest(range(1, 5)) AS i) f
+    )
+    SELECT fold::INT AS fold, role, count(*)::BIGINT AS n_rows,
+           sum(event_id)::BIGINT AS sum_ids
+    FROM fanned WHERE role IS NOT NULL
+    GROUP BY 1, 2
+"""

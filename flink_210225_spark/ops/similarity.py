@@ -2301,7 +2301,152 @@ def maxsim_rerank(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def triplet_mining(tables: dict[str, DataFrame], num_anchors: int = 20) -> DataFrame:
+    """Triplet selection for metric-learning fine-tuning (FaceNet semi-hard
+    rule, Schroff et al. 2015, public): per anchor, the HARDEST POSITIVE
+    (lowest-cosine same-label vector — the pair the model must pull
+    together) and the SEMI-HARD NEGATIVE (highest-cosine different-label
+    vector still BELOW the positive's cosine — inside the margin but not
+    already violating it; falls back to the globally hardest negative when
+    none qualifies). Distinct from ``sim_contrastive_pairs``: that mines
+    top-k negatives per anchor; this selects the one (a,p,n) TRIPLET with
+    its margin, the unit a triplet-loss batch builder consumes.
+
+    Exactness: pinned 6dp cosine, (cos desc/asc, id asc) tie-breaks;
+    margin is a difference of two pinned doubles — identical on both
+    engines. Plan: the bounded anchor set broadcasts against one corpus
+    scan (CARTESIAN_OK's documented 20-row BNLJ shape); the scored frame
+    is checkpointed once and feeds both the positive and negative
+    windows."""
+    emb = tables["embeddings"]
+    v = _as_double(F.col("embedding"))
+    base = emb.select("vec_id", "label", v.alias("v"), _norm(v).alias("nrm"))
+    q = base.filter(F.col("vec_id") < num_anchors).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    n = base.select(
+        F.col("vec_id").alias("other_id"),
+        F.col("label").alias("other_label"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
+    )
+    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("anchor_id") != F.col("other_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "other_id",
+            "other_label",
+            (F.floor(cos * 1000000 + 0.5) / 1000000).alias("cos6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(F.asc("cos6"), F.asc("other_id"))
+    pos = (
+        scored.filter(F.col("other_label") == F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("pos_id"),
+            F.col("cos6").alias("pos_cos6"),
+        )
+    )
+    neg = scored.filter(F.col("other_label") != F.col("anchor_label")).join(
+        pos, "anchor_id"
+    )
+    wn = Window.partitionBy("anchor_id").orderBy(F.desc("cos6"), F.asc("other_id"))
+    semi = (
+        neg.filter(F.col("cos6") < F.col("pos_cos6"))
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("semi_id"),
+            F.col("cos6").alias("semi_cos6"),
+        )
+    )
+    hardest = (
+        neg.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("hard_id"),
+            F.col("cos6").alias("hard_cos6"),
+        )
+    )
+    out = (
+        pos.join(semi, "anchor_id", "left")
+        .join(hardest, "anchor_id")
+        .select(
+            "anchor_id",
+            "pos_id",
+            "pos_cos6",
+            F.coalesce("semi_id", "hard_id").alias("neg_id"),
+            F.coalesce("semi_cos6", "hard_cos6").alias("neg_cos6"),
+            F.when(F.col("semi_id").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("semi_hard"),
+        )
+    )
+    return out.select(
+        "anchor_id",
+        "pos_id",
+        "pos_cos6",
+        "neg_id",
+        "neg_cos6",
+        (F.col("pos_cos6") - F.col("neg_cos6")).alias("margin6"),
+        "semi_hard",
+    )
+
+
+def hubness_audit(tables: dict[str, DataFrame], k: int = 5) -> DataFrame:
+    """Hubness diagnostic over the exact kNN graph (Radovanović et al.
+    2010, public): the k-occurrence distribution — how many other nodes
+    list each node among their top-k. High-dimensional embedding spaces
+    grow HUBS (nodes in everyone's neighbor list) and anti-hubs (in
+    no-one's); a skewed k-occurrence histogram predicts retrieval bias and
+    is the standing argument for the mutual-kNN filter
+    (``sim_mutual_knn_clusters``). Composes the hash-gated ``knn_graph``
+    kernel; everything after edge generation is an equi-keyed count.
+
+    Emits the HISTOGRAM (in-degree value → node count + exact node-id
+    checksum), zero-occurrence nodes included via a left join from the
+    norm-guarded node set — all exact integers, nothing to pin.
+    Plan: nodes×k edges → neighbor-keyed count with map-side partials →
+    |distinct in-degree|-sized result."""
+    knn = knn_graph(tables, k=k).select("vec_id", "neighbor_id")
+    indeg = knn.groupBy(F.col("neighbor_id").alias("node")).agg(
+        F.count("*").cast("long").alias("in_deg")
+    )
+    nodes = (
+        tables["embeddings"]
+        .where(
+            F.exists(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 10_000 + 0.5) != 0,
+            )
+        )
+        .select(F.col("vec_id").alias("node"))
+    )
+    full = nodes.join(indeg, "node", "left").select(
+        "node", F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg")
+    )
+    return full.groupBy("in_deg").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("node").cast("long").alias("sum_node_ids"),
+    )
+
+
 QUERIES = {
+    "sim_triplet_mining": triplet_mining,
+    "sim_hubness_audit": hubness_audit,
     "sim_maxsim_rerank": maxsim_rerank,
     "sim_cosine_topk": cosine_topk,
     "sim_rp_audit": rp_audit,
@@ -2964,3 +3109,99 @@ def _maxsim_oracle_sql() -> str:
 
 
 ORACLES["sim_maxsim_rerank"] = _maxsim_oracle_sql()
+
+# FaceNet semi-hard selection replayed quadratically: same 64-dim left-fold
+# dot/norm idiom as the contrastive oracle, same (cos, id) tie-breaks;
+# anchors without a same-label positive or without any negative drop out of
+# the inner joins on BOTH engines.
+ORACLES["sim_triplet_mining"] = """
+    WITH base AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> x::DOUBLE) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+               n.vec_id AS other_id, n.label AS other_label,
+               floor(list_sum(list_transform(range(64),
+                         i -> q.v[i + 1] * n.v[i + 1]))
+                     / (q.nrm * n.nrm) * 1000000 + 0.5) / 1000000 AS cos6
+        FROM base q JOIN base n
+            ON q.vec_id < 20 AND q.vec_id != n.vec_id
+    ),
+    pos AS (
+        SELECT anchor_id, other_id AS pos_id, cos6 AS pos_cos6
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY cos6 ASC, other_id) AS rn
+            FROM scored WHERE other_label = anchor_label
+        ) WHERE rn = 1
+    ),
+    neg AS (
+        SELECT s.anchor_id, s.other_id, s.cos6, p.pos_cos6
+        FROM scored s JOIN pos p USING (anchor_id)
+        WHERE s.other_label != s.anchor_label
+    ),
+    shn AS (
+        SELECT anchor_id, other_id AS semi_id, cos6 AS semi_cos6
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY cos6 DESC, other_id) AS rn
+            FROM neg WHERE cos6 < pos_cos6
+        ) WHERE rn = 1
+    ),
+    hardest AS (
+        SELECT anchor_id, other_id AS hard_id, cos6 AS hard_cos6
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY cos6 DESC, other_id) AS rn
+            FROM neg
+        ) WHERE rn = 1
+    )
+    SELECT p.anchor_id, p.pos_id, p.pos_cos6,
+           coalesce(s.semi_id, h.hard_id) AS neg_id,
+           coalesce(s.semi_cos6, h.hard_cos6) AS neg_cos6,
+           p.pos_cos6 - coalesce(s.semi_cos6, h.hard_cos6) AS margin6,
+           (CASE WHEN s.semi_id IS NOT NULL THEN 1 ELSE 0 END)::INT AS semi_hard
+    FROM pos p
+    LEFT JOIN shn s USING (anchor_id)
+    JOIN hardest h ON h.anchor_id = p.anchor_id
+"""
+
+# k-occurrence histogram over the SAME integer-quantized exact-kNN replay
+# as sim_knn_graph (nrm > 0 guard included); zero-occurrence nodes enter
+# via the left join from the guarded node set.
+ORACLES["sim_hubness_audit"] = """
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> floor(x::DOUBLE * 10000 + 0.5)) AS qv
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q
+        WHERE list_dot_product(qv, qv) > 0
+    ),
+    pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               floor(list_dot_product(a.qv, b.qv)
+                     / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000 + 0.5)
+                 / 1000000 AS cos6
+        FROM n a JOIN n b ON a.vec_id != b.vec_id
+    ),
+    rk AS (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cos6 DESC, dst ASC) AS rank
+        FROM pairs
+    ),
+    knn AS (SELECT src, dst FROM rk WHERE rank <= 5),
+    ind AS (SELECT dst AS node, count(*)::BIGINT AS in_deg FROM knn GROUP BY 1)
+    SELECT coalesce(i.in_deg, 0)::BIGINT AS in_deg,
+           count(*)::BIGINT AS n_nodes,
+           sum(nd.node)::BIGINT AS sum_node_ids
+    FROM (SELECT vec_id AS node FROM n) nd
+    LEFT JOIN ind i USING (node)
+    GROUP BY 1
+"""

@@ -2963,7 +2963,176 @@ def lexical_diversity(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def watermark_detect(tables: dict[str, DataFrame]) -> DataFrame:
+    """LLM-watermark detection (Kirchenbauer et al. 2023, public): with a
+    green-list of half the vocabulary re-seeded per preceding token, a
+    watermarked generator picks green tokens far above the γ=0.5 base
+    rate; the detector z-scores the observed green count. The curation
+    use: flag synthetic (model-generated) documents before they poison a
+    training corpus. Green rule here = first 16 md5 bits of
+    ``prev|token`` < 32768 — the same seeded-hash Bernoulli idiom as DSIR,
+    so EXACT green counts on both engines; natural text scores z≈0 by
+    construction.
+
+    Numerics: for γ=1/2 the z statistic collapses to (2g − T)/√T — integer
+    numerator, ONE sqrt + ONE division in fixed order, pinned 1e-6.
+    Plan: zero-shuffle projection — the bigram fold runs inside the array
+    (aggregate over sequence(2,n)), never exploding tokens to rows, so at
+    100 TB it rides the scan."""
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    base = docs.select("doc_id", toks.alias("tk"), F.size(toks).alias("n"))
+    green = lambda prev, cur: F.when(  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat(prev, F.lit("|"), cur)), 1, 4), 16, 10
+        ).cast("long")
+        < 32768,
+        F.lit(1).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    # sequence(2, n) steps DOWNWARD when n < 2 — guard short docs.
+    g = F.when(
+        F.col("n") >= 2,
+        F.aggregate(
+            F.sequence(F.lit(2), F.col("n")),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + green(F.element_at(F.col("tk"), i - 1), F.element_at(F.col("tk"), i)),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    t_col = F.when(F.col("n") >= 2, F.col("n") - 1).otherwise(F.lit(0)).cast("long")
+    scored = base.select(
+        "doc_id",
+        t_col.alias("n_bigrams"),
+        g.alias("n_green"),
+    )
+    z6 = F.when(
+        F.col("n_bigrams") > 0,
+        F.floor(
+            (2 * F.col("n_green") - F.col("n_bigrams")).cast("double")
+            / F.sqrt(F.col("n_bigrams").cast("double"))
+            * 1000000
+            + 0.5
+        )
+        / 1000000,
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_green",
+        z6.alias("z6"),
+        F.when(z6 >= 2.0, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("flagged"),
+    )
+
+
+def simpson_diversity(tables: dict[str, DataFrame]) -> DataFrame:
+    """Token-level Simpson (collision) diversity — the EXACT-arithmetic
+    gibberish/burst detector that complements ``text_lexical_diversity``
+    (TTR/MATTR measure vocabulary richness; the collision index measures
+    CONCENTRATION, catching docs dominated by one token even when the
+    type count looks healthy). D = Σ cᵢ(cᵢ−1) / (T(T−1)) — the unbiased
+    repeat-probability — plus the top-token share; both are pure integer
+    ratios, ONE pinned division each, no logs anywhere (a Shannon-entropy
+    spelling would hostage the hash gate to libm log rounding).
+
+    Plan: explode → (doc, token)-keyed count with map-side partials →
+    doc-keyed agg. Both shuffles carry pre-aggregated counts; at 100 TB
+    the reduce side is vocab-bounded per doc, the classic word-count
+    shape."""
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    per_tok = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agg = per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("coll"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    simpson6 = F.when(
+        F.col("n_tokens") >= 2,
+        F.floor(
+            F.col("coll").cast("double")
+            / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double")
+            * 1000000
+            + 0.5
+        )
+        / 1000000,
+    )
+    top6 = F.floor(
+        F.col("top_c").cast("double") / F.col("n_tokens").cast("double") * 1000000
+        + 0.5
+    ) / 1000000
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        simpson6.alias("simpson6"),
+        top6.alias("top_share6"),
+        F.when((simpson6 >= 0.1) | (top6 >= 0.3), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("flag_low_diversity"),
+    )
+
+
+def encoding_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Byte/encoding hygiene audit — the pre-tokenizer gate every web-scale
+    corpus needs: counts of control characters, U+FFFD replacement
+    characters (the mojibake fingerprint left by a wrong-charset decode),
+    and non-ASCII characters, plus the pinned ASCII ratio. The synthetic
+    corpus is clean 7-bit text, so (exactly like ``text_pii_redact``) the
+    query deterministically INJECTS artifacts first — doc_id % 7 == 0 gets
+    a leading BEL control char, doc_id % 11 == 0 a trailing U+FFFD — and
+    the injection is part of BOTH engines' queries, making every counter
+    provably exercised rather than vacuously zero.
+
+    Counters are exact integers from identical regex char classes
+    (explicit code-point ranges — portable across Java regex and RE2);
+    one pinned division for the ratio. Pure projection: rides the scan."""
+    docs = tables["documents"]
+    # U+FFFD spelled via UTF-8 bytes: Spark's char() truncates code points
+    # to one byte, so decode(unhex('EFBFBD')) is the portable construction.
+    repl_char = F.decode(F.unhex(F.lit("EFBFBD")), "UTF-8")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.expr("char(7)"), F.col("text"))
+    ).when(
+        F.col("doc_id") % 11 == 0, F.concat(F.col("text"), repl_char)
+    ).otherwise(F.col("text"))
+    base = docs.select("doc_id", injected.alias("t2"))
+    n_ctrl = F.regexp_count(
+        F.col("t2"), F.lit(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+    ).cast("long")
+    n_repl = F.regexp_count(F.col("t2"), F.lit("�")).cast("long")
+    n_nonascii = F.regexp_count(F.col("t2"), F.lit(r"[^\x00-\x7f]")).cast("long")
+    n_chars = F.length("t2").cast("long")
+    return base.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_ctrl.alias("n_ctrl"),
+        n_repl.alias("n_repl"),
+        n_nonascii.alias("n_nonascii"),
+        F.when(
+            n_chars > 0,
+            F.floor(
+                (n_chars - n_nonascii).cast("double") / n_chars.cast("double") * 1000000
+                + 0.5
+            )
+            / 1000000,
+        ).alias("ascii_ratio6"),
+        F.when((n_ctrl > 0) | (n_repl > 0), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("flag_encoding"),
+    )
+
+
 QUERIES = {
+    "text_watermark_detect": watermark_detect,
+    "text_simpson_diversity": simpson_diversity,
+    "text_encoding_audit": encoding_audit,
     "text_lexical_diversity": lexical_diversity,
     "text_span_corruption": span_corruption_plan,
     "text_kneser_ney": kneser_ney_bigrams,
@@ -4750,4 +4919,95 @@ ORACLES["text_lexical_diversity"] = f"""
                 ELSE floor(n_types / (n::DOUBLE) * 1000000 + 0.5) / 1000000
                 END AS mattr
     FROM b
+"""
+
+# Watermark z for γ=1/2 collapses to (2g − T)/√T: integer numerator, one
+# sqrt + one division in the SAME order as Spark, pinned 1e-6. The green
+# rule is the seeded 16-bit md5 Bernoulli (DSIR idiom) over `prev|token`.
+ORACLES["text_watermark_detect"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ),
+    b AS (
+        SELECT doc_id, len(tk)::BIGINT AS n,
+               CASE WHEN len(tk) >= 2 THEN coalesce(list_sum(list_transform(
+                        range(2, len(tk) + 1),
+                        i -> CASE WHEN ('0x' || substr(md5(tk[i - 1] || '|' || tk[i]),
+                                                       1, 4))::UBIGINT::BIGINT < 32768
+                                  THEN 1 ELSE 0 END)), 0)
+                    ELSE 0 END::BIGINT AS g
+        FROM t
+    )
+    SELECT doc_id,
+           (CASE WHEN n >= 2 THEN n - 1 ELSE 0 END)::BIGINT AS n_bigrams,
+           g AS n_green,
+           CASE WHEN n >= 2
+                THEN floor((2 * g - (n - 1))::DOUBLE / sqrt((n - 1)::DOUBLE)
+                           * 1000000 + 0.5) / 1000000
+                END AS z6,
+           (CASE WHEN n >= 2
+                  AND floor((2 * g - (n - 1))::DOUBLE / sqrt((n - 1)::DOUBLE)
+                            * 1000000 + 0.5) / 1000000 >= 2.0
+                 THEN 1 ELSE 0 END)::INT AS flagged
+    FROM b
+"""
+
+# Simpson collision index: pure integer ratios (no logs — libm-rounding-
+# proof), one pinned division each; flags compare PINNED values to shared
+# literals so the cut is identical on both engines.
+ORACLES["text_simpson_diversity"] = f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    c AS (
+        SELECT doc_id, tok, count(*)::BIGINT AS c FROM t GROUP BY 1, 2
+    ),
+    a AS (
+        SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+               sum(c * (c - 1))::BIGINT AS coll, max(c)::BIGINT AS top_c
+        FROM c GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_types,
+           CASE WHEN n_tokens >= 2
+                THEN floor(coll::DOUBLE / (n_tokens * (n_tokens - 1))::DOUBLE
+                           * 1000000 + 0.5) / 1000000
+                END AS simpson6,
+           floor(top_c::DOUBLE / n_tokens::DOUBLE * 1000000 + 0.5) / 1000000
+               AS top_share6,
+           (CASE WHEN (n_tokens >= 2
+                       AND floor(coll::DOUBLE / (n_tokens * (n_tokens - 1))::DOUBLE
+                                 * 1000000 + 0.5) / 1000000 >= 0.1)
+                      OR floor(top_c::DOUBLE / n_tokens::DOUBLE * 1000000 + 0.5)
+                         / 1000000 >= 0.3
+                 THEN 1 ELSE 0 END)::INT AS flag_low_diversity
+    FROM a
+"""
+
+# Injection (doc_id % 7 → leading BEL, % 11 → trailing U+FFFD) is part of
+# the oracle too; identical CASE order resolves the %77 overlap the same
+# way. Char classes are explicit code-point ranges (portable Java-regex /
+# RE2 subset); DuckDB single-quote strings pass backslashes through to RE2
+# uninterpreted, exactly as F.lit does for Spark.
+ORACLES["text_encoding_audit"] = """
+    WITH inj AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN chr(7) || text
+                    WHEN doc_id % 11 = 0 THEN text || chr(65533)
+                    ELSE text END AS t2
+        FROM documents
+    )
+    SELECT doc_id,
+           length(t2)::BIGINT AS n_chars,
+           len(regexp_extract_all(t2, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))::BIGINT
+               AS n_ctrl,
+           len(regexp_extract_all(t2, chr(65533)))::BIGINT AS n_repl,
+           len(regexp_extract_all(t2, '[^\\x00-\\x7f]'))::BIGINT AS n_nonascii,
+           CASE WHEN length(t2) > 0
+                THEN floor((length(t2) - len(regexp_extract_all(t2, '[^\\x00-\\x7f]')))::DOUBLE
+                           / length(t2)::DOUBLE * 1000000 + 0.5) / 1000000
+                END AS ascii_ratio6,
+           (CASE WHEN len(regexp_extract_all(t2, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) > 0
+                      OR len(regexp_extract_all(t2, chr(65533))) > 0
+                 THEN 1 ELSE 0 END)::INT AS flag_encoding
+    FROM inj
 """

@@ -162,6 +162,13 @@ CARTESIAN_OK = {
     # composes sim_knn_graph's block grid as its edge source (the kNN frame
     # is checkpointed; everything after is equi-join shaped)
     "sim_mutual_knn_clusters",
+    # same bounded 20-anchor broadcast BNLJ as contrastive_pairs (triplet
+    # selection needs each anchor's exact cosine against the corpus); the
+    # runtime bound test pins the broadcast side at 20 rows
+    "sim_triplet_mining",
+    # composes sim_knn_graph's n_blocks² block-pair grid as its edge
+    # source; the in-degree histogram after it is equi-keyed
+    "sim_hubness_audit",
     # composes the blocked GEMM as its semantic-candidate source — same
     # n_blocks² block grid; the Jaccard verify side is equi-join shaped
     "dedup_paraphrase_mining",
