@@ -3123,3 +3123,88 @@ ORACLES["dedup_lsh_bucket_stats"] = f"""
            sum(s * (s - 1) // 2)::BIGINT AS cand_pairs
     FROM sizes GROUP BY 1
 """
+
+
+def tail_head_stitch(tables: dict[str, DataFrame], w: int = 8) -> DataFrame:
+    """Crawl-stitch (tail↔head overlap) detection — the contiguous-page
+    failure mode none of the other dedup lenses catch: when a crawler
+    splits one source document across two records, doc A's LAST tokens
+    equal doc B's FIRST tokens, yet whole-doc hashes, shingle Jaccard on
+    short overlaps, and prefix grouping (``dedup_head_boilerplate``) all
+    stay quiet. Detector: md5 of the last-``w``-token window equi-joined
+    against md5 of the first-``w``-token window across distinct docs.
+
+    The fixture has no natural stitches, so (the injection discipline)
+    every doc_id % 10 == 0 doc gets its SUCCESSOR's first ``w`` tokens
+    appended on BOTH engines — the detector must then recover exactly
+    those (i, i+1) pairs, plus any genuine hash-equal windows, identically
+    on both sides. Docs shorter than ``w`` tokens sit out (stated guard).
+
+    Plan: one successor self-join on doc_id+1 to build the modified
+    corpus (key-shifted equi-join, no skew), one md5-keyed equi-join for
+    detection — window hashes are the shuffle key, never text."""
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    head_str = F.array_join(F.slice(toks, 1, w), " ")
+    base = docs.select("doc_id", "text", head_str.alias("head_w"))
+    nxt = base.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("head_w").alias("next_head")
+    )
+    mod = (
+        base.join(nxt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 10 == 0) & F.col("next_head").isNotNull(),
+                F.concat(F.col("text"), F.lit(" "), F.col("next_head")),
+            )
+            .otherwise(F.col("text"))
+            .alias("t2"),
+        )
+    )
+    tk2 = F.split(F.trim(F.col("t2")), r"\s+")
+    sized = mod.select("doc_id", tk2.alias("tk"), F.size(tk2).alias("n")).where(
+        F.col("n") >= w
+    )
+    hh = F.md5(F.array_join(F.slice(F.col("tk"), 1, w), " "))
+    th = F.md5(F.array_join(F.slice(F.col("tk"), -w, w), " "))
+    hashes = sized.select("doc_id", hh.alias("head_h"), th.alias("tail_h"))
+    a = hashes.select(F.col("doc_id").alias("doc_a"), F.col("tail_h"))
+    b = hashes.select(F.col("doc_id").alias("doc_b"), F.col("head_h"))
+    return (
+        a.join(b, a["tail_h"] == b["head_h"])
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", F.col("tail_h").alias("overlap_hash"))
+    )
+
+
+QUERIES["dedup_tail_head_stitch"] = tail_head_stitch
+# Same successor injection + window-hash equi-join; DuckDB list slices are
+# 1-based inclusive (tk[n-7 : n] == Spark slice(tk, -8, 8)).
+ORACLES["dedup_tail_head_stitch"] = """
+    WITH t AS (
+        SELECT doc_id, text,
+               array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:8], ' ')
+                   AS head_w
+        FROM documents
+    ),
+    mod AS (
+        SELECT a.doc_id,
+               CASE WHEN a.doc_id % 10 = 0 AND b.head_w IS NOT NULL
+                    THEN a.text || ' ' || b.head_w
+                    ELSE a.text END AS t2
+        FROM t a LEFT JOIN t b ON b.doc_id = a.doc_id + 1
+    ),
+    tk AS (
+        SELECT doc_id, regexp_split_to_array(trim(t2), '\\s+') AS tk
+        FROM mod
+    ),
+    h AS (
+        SELECT doc_id,
+               md5(array_to_string(tk[1:8], ' ')) AS head_h,
+               md5(array_to_string(tk[len(tk) - 7 : len(tk)], ' ')) AS tail_h
+        FROM tk WHERE len(tk) >= 8
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tail_h AS overlap_hash
+    FROM h a JOIN h b ON a.tail_h = b.head_h AND a.doc_id != b.doc_id
+"""

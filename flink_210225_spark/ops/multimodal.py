@@ -364,14 +364,24 @@ def _png_bytes(doc_id: int, w: int, h: int, filter_type: int = 0) -> bytes:
     ``filter_type`` picks the scanline filter the encoder applies (all five
     — None/Sub/Up/Average/Paeth) so tests and the driver gate can exercise
     every decoder filter path with byte-identical pixel output."""
-    import struct
-    import zlib
-
     import numpy as np
 
     x = np.arange(w, dtype=np.int64)
     y = np.arange(h, dtype=np.int64)[:, None]
     px = ((doc_id * 7 + x * 3 + y * 11) % 256).astype(np.uint8)
+    return _png_encode(px, filter_type)
+
+
+def _png_encode(px, filter_type: int = 0) -> bytes:
+    """Encode an arbitrary uint8 greyscale array as a real PNG (the
+    chunk/CRC/zlib writer behind ``_png_bytes``, split out so ops can
+    synthesize non-formula images — e.g. letterboxed frames)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape
     rows = []
     prev = np.zeros(w, dtype=np.int64)
     for r in range(h):
@@ -2618,4 +2628,146 @@ ORACLES["multimodal_video_fingerprint"] = """
     FROM documents d JOIN sig s ON s.profile = d.doc_id % 24
     GROUP BY 1, 2
     HAVING count(*) >= 2
+"""
+
+
+def image_border_detect(tables: dict[str, DataFrame]) -> DataFrame:
+    """Letterbox/pillarbox border detection on the real PNG decode — the
+    crop-planning op video-still and screenshot pipelines run before
+    training (constant black borders waste patch tokens and skew
+    normalization stats). Each asset synthesizes a frame whose border pads
+    derive from its seed (top seed%3, bottom (2·seed)%3, left seed%2,
+    right (seed+1)%2 — zeroed rows/cols around the usual pixel formula),
+    encodes it through the REAL chunk/CRC/zlib writer, decodes it back,
+    and the detector measures leading/trailing all-zero rows and columns.
+    The interior formula can never produce an all-zero row or column
+    (3·x and 11·y step through distinct residues mod 256), so detected
+    pads provably equal constructed pads — and the oracle REPLAYS THE
+    DETECTION over the pixel grid (min/max nonzero row/col), not the
+    construction.
+
+    Plan: one Arrow decode pass, per-asset numpy argmax scans, zero
+    shuffle; content ratio is one pinned division JVM-side."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).cast("int").alias("seed"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "seed", "w", "h",
+                    "pad_top", "pad_bottom", "pad_left", "pad_right",
+                )
+            }
+            for doc_id, seed, ft in zip(pdf["doc_id"], pdf["seed"], pdf["ft"]):
+                seed = int(seed)
+                w = 8 + 4 * (seed % 5)
+                h = 8 + 4 * ((seed * 3) % 4)
+                t, b = seed % 3, (seed * 2) % 3
+                l, r = seed % 2, (seed + 1) % 2
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = ((seed * 7 + 3 * x + 11 * y) % 256).astype(np.uint8)
+                px[:t, :] = 0
+                if b:
+                    px[h - b:, :] = 0
+                px[:, :l] = 0
+                if r:
+                    px[:, w - r:] = 0
+                dec = _parse_png(_png_encode(px, int(ft)))["pixels"].astype(
+                    np.int64
+                )[:, :, 0]
+                nzr = np.nonzero(dec.any(axis=1))[0]
+                nzc = np.nonzero(dec.any(axis=0))[0]
+                out["doc_id"].append(int(doc_id))
+                out["seed"].append(seed)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["pad_top"].append(int(nzr[0]) if nzr.size else h)
+                out["pad_bottom"].append(int(h - 1 - nzr[-1]) if nzr.size else 0)
+                out["pad_left"].append(int(nzc[0]) if nzc.size else w)
+                out["pad_right"].append(int(w - 1 - nzc[-1]) if nzc.size else 0)
+            yield pd.DataFrame(out)
+
+    stats = base.mapInPandas(
+        gen,
+        "doc_id long, seed int, w long, h long, pad_top long, "
+        "pad_bottom long, pad_left long, pad_right long",
+    )
+    content = (F.col("w") - F.col("pad_left") - F.col("pad_right")) * (
+        F.col("h") - F.col("pad_top") - F.col("pad_bottom")
+    )
+    return stats.select(
+        "doc_id",
+        "seed",
+        "w",
+        "h",
+        "pad_top",
+        "pad_bottom",
+        "pad_left",
+        "pad_right",
+        (
+            F.floor(
+                content.cast("double")
+                / (F.col("w") * F.col("h")).cast("double")
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("content_ratio6"),
+    )
+
+
+QUERIES["multimodal_image_border"] = image_border_detect
+# Detection REPLAY (not construction): the padded pixel grid in SQL, then
+# min/max nonzero row/col — the same leading/trailing zero scan as numpy.
+ORACLES["multimodal_image_border"] = """
+    WITH s AS (SELECT DISTINCT (doc_id % 16) AS seed FROM documents),
+    dims AS (
+        SELECT seed, 8 + 4 * (seed % 5) AS w, 8 + 4 * ((seed * 3) % 4) AS h,
+               seed % 3 AS t, (seed * 2) % 3 AS b,
+               seed % 2 AS l, (seed + 1) % 2 AS r
+        FROM s
+    ),
+    sx AS (SELECT seed, h, t, b, l, r, w, unnest(range(w)) AS x FROM dims),
+    sxy AS (
+        SELECT sx.seed, sx.w, sx.h, sx.t, sx.b, sx.l, sx.r, sx.x, sy.y,
+               CASE WHEN sy.y < sx.t OR sy.y >= sx.h - sx.b
+                         OR sx.x < sx.l OR sx.x >= sx.w - sx.r
+                    THEN 0
+                    ELSE (sx.seed * 7 + 3 * sx.x + 11 * sy.y) % 256 END AS px
+        FROM sx JOIN (SELECT seed, unnest(range(h)) AS y FROM dims) sy
+             ON sx.seed = sy.seed
+    ),
+    det AS (
+        SELECT seed, max(w) AS w, max(h) AS h,
+               min(CASE WHEN px != 0 THEN y END) AS top_nz,
+               max(CASE WHEN px != 0 THEN y END) AS bot_nz,
+               min(CASE WHEN px != 0 THEN x END) AS left_nz,
+               max(CASE WHEN px != 0 THEN x END) AS right_nz
+        FROM sxy GROUP BY seed
+    )
+    SELECT d.doc_id, dt.seed::INT AS seed, dt.w::BIGINT AS w, dt.h::BIGINT AS h,
+           coalesce(dt.top_nz, dt.h)::BIGINT AS pad_top,
+           (CASE WHEN dt.bot_nz IS NULL THEN 0
+                 ELSE dt.h - 1 - dt.bot_nz END)::BIGINT AS pad_bottom,
+           coalesce(dt.left_nz, dt.w)::BIGINT AS pad_left,
+           (CASE WHEN dt.right_nz IS NULL THEN 0
+                 ELSE dt.w - 1 - dt.right_nz END)::BIGINT AS pad_right,
+           floor(((dt.w - coalesce(dt.left_nz, dt.w)
+                   - CASE WHEN dt.right_nz IS NULL THEN 0
+                          ELSE dt.w - 1 - dt.right_nz END)
+                  * (dt.h - coalesce(dt.top_nz, dt.h)
+                     - CASE WHEN dt.bot_nz IS NULL THEN 0
+                            ELSE dt.h - 1 - dt.bot_nz END))::DOUBLE
+                 / (dt.w * dt.h)::DOUBLE * 1000000 + 0.5) / 1000000
+               AS content_ratio6
+    FROM documents d JOIN det dt ON dt.seed = d.doc_id % 16
 """

@@ -5011,3 +5011,77 @@ ORACLES["text_encoding_audit"] = """
                  THEN 1 ELSE 0 END)::INT AS flag_encoding
     FROM inj
 """
+
+
+def code_detect(tables: dict[str, DataFrame]) -> DataFrame:
+    """Code-vs-prose detection — the mixture-routing gate every LLM corpus
+    needs (code gets its own tokenizer budget, quality rules, and
+    dedup config; misrouted code poisons prose perplexity filters and
+    vice versa). Detectors: symbol density ('(){};=+:' class) and
+    code-keyword hits (def/return/import/for/while/class, word-bounded).
+    The word-bag fixture contains neither, so (the pii_redact /
+    encoding_audit injection discipline) every doc_id % 5 == 0 doc gets a
+    deterministic one-line function appended ON BOTH ENGINES — the
+    detectors are provably exercised, and the flag fires exactly on the
+    injected class.
+
+    Counters are exact regexp_count integers over the same explicit
+    pattern on both engines (word-boundary \\b is common Java-regex/RE2
+    syntax); one pinned division for density. Pure projection."""
+    docs = tables["documents"]
+    snippet = F.concat(
+        F.lit(" def f_"),
+        F.col("doc_id").cast("string"),
+        F.lit("(x): return x + "),
+        F.col("doc_id").cast("string"),
+        F.lit(" ;"),
+    )
+    t2 = F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), snippet)).otherwise(
+        F.col("text")
+    )
+    base = docs.select("doc_id", t2.alias("t2"))
+    n_sym = F.regexp_count(F.col("t2"), F.lit(r"[(){};=+:]")).cast("long")
+    n_kw = F.regexp_count(
+        F.col("t2"), F.lit(r"\b(def|return|import|for|while|class)\b")
+    ).cast("long")
+    n_chars = F.length("t2").cast("long")
+    return base.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_sym.alias("n_sym"),
+        n_kw.alias("n_kw"),
+        (
+            F.floor(n_sym.cast("double") / n_chars.cast("double") * 1000000 + 0.5)
+            / 1000000
+        ).alias("sym_density6"),
+        F.when((n_kw >= 2) & (n_sym >= 4), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("flag_code"),
+    )
+
+
+QUERIES["text_code_detect"] = code_detect
+ORACLES["text_code_detect"] = """
+    WITH inj AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN text || ' def f_' || doc_id::VARCHAR
+                         || '(x): return x + ' || doc_id::VARCHAR || ' ;'
+                    ELSE text END AS t2
+        FROM documents
+    )
+    SELECT doc_id,
+           length(t2)::BIGINT AS n_chars,
+           len(regexp_extract_all(t2, '[(){};=+:]'))::BIGINT AS n_sym,
+           len(regexp_extract_all(t2,
+               '\\b(def|return|import|for|while|class)\\b'))::BIGINT AS n_kw,
+           floor(len(regexp_extract_all(t2, '[(){};=+:]'))::DOUBLE
+                 / length(t2)::DOUBLE * 1000000 + 0.5) / 1000000
+               AS sym_density6,
+           (CASE WHEN len(regexp_extract_all(t2,
+                     '\\b(def|return|import|for|while|class)\\b')) >= 2
+                  AND len(regexp_extract_all(t2, '[(){};=+:]')) >= 4
+                 THEN 1 ELSE 0 END)::INT AS flag_code
+    FROM inj
+"""

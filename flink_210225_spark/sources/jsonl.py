@@ -381,3 +381,68 @@ ORACLES["source_fixed_width"] = """
                     0)::BIGINT AS value_cents
     FROM orders GROUP BY 1
 """
+
+
+def xml_records_counts(tables: dict[str, DataFrame]) -> DataFrame:
+    """XML-record source with a dirty side output — the fourth dirty-feed
+    format (JSONL, CSV, fixed-width, now single-line XML records, the
+    shape legacy B2B/ERP exports actually ship). Orders serialize to
+    ``<order id=.. status=..><total>..</total></order>`` lines through a
+    REAL text round trip; every ``o_orderkey % 13 == 0`` record's closing
+    tag is torn (the truncated-flush failure). Spark has no built-in XML
+    reader, so the parse is an explicit full-record regex — like the CSV
+    twin, the reject rule lives in an expression the optimizer cannot
+    prune away, and the corrupt group is a filter, not an exception.
+    Cents survive the round trip exactly (printed as an integer string,
+    never a float repr).
+
+    Scale: one splittable text scan, regex projection in codegen, one
+    rollup — zero shuffles before the final group."""
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    o = tables["orders"]
+    spark = o.sparkSession
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rec = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('" status="'),
+        F.col("o_orderstatus"),
+        F.lit('"><total>'),
+        cents.cast("string"),
+        F.lit("</total></order>"),
+    )
+    torn = F.when(
+        F.col("o_orderkey") % 13 == 0,
+        F.expr("substring(rec, 1, length(rec) - 3)"),
+    ).otherwise(F.col("rec"))
+    out = _scratch(prefix="xml_src_")
+    o.select("o_orderkey", rec.alias("rec")).select(torn.alias("value")).write.mode(
+        "overwrite"
+    ).text(out)
+    raw = spark.read.text(out)
+    pat = r'^<order id="([0-9]+)" status="([A-Z])"><total>(-?[0-9]+)</total></order>$'
+    ok = F.col("value").rlike(pat)
+    tagged = raw.select(
+        F.when(ok, F.regexp_extract("value", pat, 2))
+        .otherwise(F.lit("__corrupt__"))
+        .alias("status"),
+        F.when(ok, F.regexp_extract("value", pat, 3).cast("long")).alias("cents"),
+    )
+    return tagged.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("total_cents"),
+    )
+
+
+QUERIES["source_xml_records"] = xml_records_counts
+# Replay from parquet: %13 orders form the corrupt group (cents drop out).
+ORACLES["source_xml_records"] = """
+    SELECT CASE WHEN o_orderkey % 13 = 0 THEN '__corrupt__'
+                ELSE o_orderstatus END AS status,
+           count(*)::BIGINT AS n_rows,
+           coalesce(sum(CASE WHEN o_orderkey % 13 != 0
+                             THEN floor(o_totalprice * 100 + 0.5)::BIGINT END),
+                    0)::BIGINT AS total_cents
+    FROM orders GROUP BY 1
+"""
