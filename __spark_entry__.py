@@ -76,8 +76,9 @@ def _registry():
 # no green CORRECTNESS row from any prior round; already-verified and
 # rows-only queries sort behind them. Round 6 window = 50 of the 59
 # never-driver-gated oracle queries: the three highest-risk new kernels
-# first (per ADVICE r5), then the 26 r4-deferred, then 20 round-5
-# additions. Remaining burn-down schedule, in order, nothing orphaned:
+# first (per ADVICE r5), then the 27 r4-deferred (the sample_* block is 9
+# entries), then 20 round-5 additions — 3 + 27 + 20 = 50. Remaining
+# burn-down schedule, in order, nothing orphaned:
 #   round 7 head: the 9 deferred round-5 additions (serving_wilson_ci,
 #     window_drawdown, sql_range_frame, text_ppl_buckets,
 #     text_vocab_coverage, text_keyword_burst, dedup_head_boilerplate,
@@ -107,7 +108,7 @@ _CHECK_WINDOW = [
     "sim_knn_graph",
     "stream_changepoint_materialized",
     "source_multiline_stack",
-    # the 26 r4-deferred oracle queries
+    # the 27 r4-deferred oracle queries
     "text_glove_cooc",
     "text_rouge_pairs",
     "text_readability",

@@ -3162,7 +3162,7 @@ def tail_head_stitch(tables: dict[str, DataFrame], w: int = 8) -> DataFrame:
             .alias("t2"),
         )
     )
-    tk2 = F.split(F.trim(F.col("t2")), r"\s+")
+    tk2 = tokens_col(F.col("t2"))
     sized = mod.select("doc_id", tk2.alias("tk"), F.size(tk2).alias("n")).where(
         F.col("n") >= w
     )

@@ -2301,7 +2301,9 @@ def maxsim_rerank(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def triplet_mining(tables: dict[str, DataFrame], num_anchors: int = 20) -> DataFrame:
+def triplet_mining(
+    tables: dict[str, DataFrame], num_anchors: int = 20, checkpoint: bool = True
+) -> DataFrame:
     """Triplet selection for metric-learning fine-tuning (FaceNet semi-hard
     rule, Schroff et al. 2015, public): per anchor, the HARDEST POSITIVE
     (lowest-cosine same-label vector — the pair the model must pull
@@ -2344,8 +2346,12 @@ def triplet_mining(tables: dict[str, DataFrame], num_anchors: int = 20) -> DataF
             "other_label",
             (F.floor(cos * 1000000 + 0.5) / 1000000).alias("cos6"),
         )
-        .localCheckpoint(eager=True)
     )
+    if checkpoint:
+        # eager checkpoint: the scored frame feeds both windows (pos + neg)
+        # — but it also swallows the BNLJ from the final plan, so the
+        # runtime bound test calls with checkpoint=False to SEE the join.
+        scored = scored.localCheckpoint(eager=True)
     wp = Window.partitionBy("anchor_id").orderBy(F.asc("cos6"), F.asc("other_id"))
     pos = (
         scored.filter(F.col("other_label") == F.col("anchor_label"))

@@ -5050,9 +5050,10 @@ def code_detect(tables: dict[str, DataFrame]) -> DataFrame:
         n_chars.alias("n_chars"),
         n_sym.alias("n_sym"),
         n_kw.alias("n_kw"),
-        (
+        F.when(
+            n_chars > 0,
             F.floor(n_sym.cast("double") / n_chars.cast("double") * 1000000 + 0.5)
-            / 1000000
+            / 1000000,
         ).alias("sym_density6"),
         F.when((n_kw >= 2) & (n_sym >= 4), F.lit(1))
         .otherwise(F.lit(0))
@@ -5076,9 +5077,10 @@ ORACLES["text_code_detect"] = """
            len(regexp_extract_all(t2, '[(){};=+:]'))::BIGINT AS n_sym,
            len(regexp_extract_all(t2,
                '\\b(def|return|import|for|while|class)\\b'))::BIGINT AS n_kw,
-           floor(len(regexp_extract_all(t2, '[(){};=+:]'))::DOUBLE
-                 / length(t2)::DOUBLE * 1000000 + 0.5) / 1000000
-               AS sym_density6,
+           CASE WHEN length(t2) > 0
+                THEN floor(len(regexp_extract_all(t2, '[(){};=+:]'))::DOUBLE
+                           / length(t2)::DOUBLE * 1000000 + 0.5) / 1000000
+                END AS sym_density6,
            (CASE WHEN len(regexp_extract_all(t2,
                      '\\b(def|return|import|for|while|class)\\b')) >= 2
                   AND len(regexp_extract_all(t2, '[(){};=+:]')) >= 4

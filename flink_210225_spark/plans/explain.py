@@ -91,21 +91,44 @@ def _walk_physical(node):
         yield from _walk_physical(it.next())
 
 
+def _unwrap_exchange(node):
+    """Descend through transparent single-child wrappers (AQE QueryStage,
+    ReusedExchange, codegen InputAdapter/WholeStageCodegen) to the
+    underlying node, without entering the plan subtree below an exchange."""
+    name = node.nodeName()
+    if "QueryStage" in name:
+        return _unwrap_exchange(node.plan())
+    if name.startswith("ReusedExchange"):
+        return _unwrap_exchange(node.child())
+    if name.startswith(("InputAdapter", "WholeStageCodegen")):
+        return _unwrap_exchange(node.children().iterator().next())
+    return node
+
+
 def bnlj_broadcast_rows(df: DataFrame) -> list[int]:
     """RUNTIME row counts of every BroadcastExchange that feeds a
     BroadcastNestedLoopJoin — executes the query (metrics only exist after
     execution) and reads each exchange's numOutputRows. This is the
     mechanical check behind the CARTESIAN_OK allowlist: a bounded BNLJ is
     only bounded if the broadcast side's ACTUAL cardinality stays at the
-    documented handful of rows (query sets, block grids), never the corpus."""
+    documented handful of rows (query sets, block grids), never the corpus.
+
+    Only the BNLJ's DIRECT children are inspected (unwrapping AQE stage
+    wrappers): a depth-first scan of the whole subtree would find the
+    streamed side's own broadcast joins first and report the wrong
+    exchange — a corpus-sized build side could then hide behind a 25-row
+    dim broadcast deeper in the plan. Returns [] when the query holds no
+    live BNLJ (e.g. it was consumed by an eager localCheckpoint) — the
+    caller must decide whether vacuous is acceptable."""
     df.collect()
     out: list[int] = []
     for n in _walk_physical(df._jdf.queryExecution().executedPlan()):
         if "BroadcastNestedLoopJoin" in n.nodeName():
-            for sub in _walk_physical(n):
-                if sub.nodeName().startswith("BroadcastExchange"):
-                    out.append(int(sub.metrics().apply("numOutputRows").value()))
-                    break
+            it = n.children().iterator()
+            while it.hasNext():
+                child = _unwrap_exchange(it.next())
+                if child.nodeName().startswith("BroadcastExchange"):
+                    out.append(int(child.metrics().apply("numOutputRows").value()))
     return out
 
 

@@ -1207,14 +1207,16 @@ def _staged_sentinel_stream(
             from datetime import timedelta
 
             sent_ts = max_ts + timedelta(hours=hrs)
+        sent_vals = [-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}"]
+        # loud arity check — zip would silently truncate if the events
+        # fixture ever grows a column, writing a narrower sentinel parquet
+        # (the old createDataFrame(..., raw.schema) raised here)
+        if len(raw.dtypes) != len(sent_vals):
+            raise ValueError(
+                f"sentinel arity {len(sent_vals)} != events schema {raw.dtypes}"
+            )
         sent = one_row_df(
-            spark,
-            [
-                (n, dt, v)
-                for (n, dt), v in zip(
-                    raw.dtypes, [-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}"]
-                )
-            ],
+            spark, [(n, dt, v) for (n, dt), v in zip(raw.dtypes, sent_vals)]
         )
         sdir = _scratch(prefix=f"{prefix}_sentinel{i}_")
         sent.coalesce(1).write.mode("overwrite").parquet(sdir)
@@ -1820,14 +1822,13 @@ def cusum_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
             from datetime import timedelta
 
             sent_ts = max_ts + timedelta(days=days_off)
+        sent_vals = [-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}"]
+        if len(raw.dtypes) != len(sent_vals):
+            raise ValueError(
+                f"sentinel arity {len(sent_vals)} != events schema {raw.dtypes}"
+            )
         sent = one_row_df(
-            spark,
-            [
-                (n, dt, v)
-                for (n, dt), v in zip(
-                    raw.dtypes, [-(i + 1), sent_ts, -1, "__sentinel__", 0.0, "{}"]
-                )
-            ],
+            spark, [(n, dt, v) for (n, dt), v in zip(raw.dtypes, sent_vals)]
         )
         sdir = _scratch(prefix=f"cusum_stream_sentinel{i}_")
         sent.coalesce(1).write.mode("overwrite").parquet(sdir)

@@ -163,8 +163,9 @@ CARTESIAN_OK = {
     # is checkpointed; everything after is equi-join shaped)
     "sim_mutual_knn_clusters",
     # same bounded 20-anchor broadcast BNLJ as contrastive_pairs (triplet
-    # selection needs each anchor's exact cosine against the corpus); the
-    # runtime bound test pins the broadcast side at 20 rows
+    # selection needs each anchor's exact cosine against the corpus); its
+    # eager checkpoint hides the BNLJ from the final plan, so the runtime
+    # bound is pinned by the dedicated checkpoint=False test below
     "sim_triplet_mining",
     # composes sim_knn_graph's n_blocks² block-pair grid as its edge
     # source; the in-degree histogram after it is equi-keyed
@@ -191,20 +192,49 @@ def test_no_cartesian_anywhere(name, spark):
 BNLJ_BROADCAST_ROW_BOUND = 64
 
 
+# Allowlisted queries whose final plan MUST expose a live BNLJ — for these
+# the bound check cannot be vacuous (an empty result means the walker or
+# the plan changed shape and the test must be revisited). Queries absent
+# from this set may legitimately return [] (eager localCheckpoint consumes
+# the BNLJ before the returned frame's plan is built).
+BNLJ_MUST_BE_VISIBLE = {
+    "sim_cosine_topk",
+    "sim_mips_topk",
+    "dedup_embedding_cosine",
+    "sim_knn_graph",
+    "sim_hubness_audit",
+    "sim_maxsim_rerank",
+}
+
+
 @pytest.mark.parametrize("name", sorted(CARTESIAN_OK))
 def test_cartesian_ok_broadcast_side_bounded(name, spark):
     """The allowlist's 'bounded' claim, checked mechanically: execute each
     allowlisted query and assert the RUNTIME cardinality of every
     BroadcastExchange feeding its BroadcastNestedLoopJoin stays within the
-    documented handful of rows. (Queries that compose a checkpointed BNLJ
-    kernel may show no live BNLJ in the final plan — nothing to bound.)"""
+    documented handful of rows."""
     from .conftest import SF_DIR
 
     df = entry_mod.queries()[name](spark, SF_DIR)
     rows = explain.bnlj_broadcast_rows(df)
+    if name in BNLJ_MUST_BE_VISIBLE:
+        assert rows, f"{name}: expected a live BNLJ to bound, found none"
     assert all(r <= BNLJ_BROADCAST_ROW_BOUND for r in rows), (
         f"{name} broadcasts {rows} rows into a nested-loop join"
     )
+
+
+def test_triplet_mining_broadcast_bounded_unchunked(tables):
+    """sim_triplet_mining's eager checkpoint swallows its BNLJ from the
+    returned frame's plan, making the generic bound test vacuous for
+    exactly this kernel — so pin the bound on the checkpoint=False form,
+    where the 20-anchor broadcast must be visible and ≤ the documented
+    size."""
+    from flink_210225_spark.ops.similarity import triplet_mining
+
+    rows = explain.bnlj_broadcast_rows(triplet_mining(tables, checkpoint=False))
+    assert rows, "expected a live BNLJ with checkpoint=False"
+    assert all(r <= 20 for r in rows), rows
 
 def test_quota_group_limit_pushed_below_shuffle(tables):
     """quota_per_group's skew safety lives in Catalyst's WindowGroupLimit
