@@ -84,12 +84,13 @@ def _registry():
 #     text_vocab_coverage, text_keyword_burst, dedup_head_boilerplate,
 #     sim_embedding_drift, sample_temporal_split — each individually
 #     3-SF gated at authoring time; lowest-risk pure-integer/SQL shapes),
-#   then the 17 round-6 additions (text_watermark_detect,
+#   then the 19 round-6 additions (text_watermark_detect,
 #     text_simpson_diversity, text_encoding_audit, text_code_detect,
-#     sim_triplet_mining, sim_hubness_audit, multimodal_image_contrast,
-#     multimodal_audio_clipping, multimodal_video_fingerprint,
-#     multimodal_image_border, dedup_tail_head_stitch,
-#     sample_grouped_split, sample_chronological_cv,
+#     text_preference_pairs, sim_triplet_mining, sim_hubness_audit,
+#     multimodal_image_contrast, multimodal_audio_clipping,
+#     multimodal_video_fingerprint, multimodal_image_border,
+#     dedup_tail_head_stitch, sample_grouped_split,
+#     sample_chronological_cv, sample_matched_pairs,
 #     warehouse_row_policy_audit, serving_price_elasticity,
 #     window_page_hinkley, source_xml_records — each individually
 #     3-SF + vanilla gated at authoring time),

@@ -1477,3 +1477,96 @@ ORACLES["sample_chronological_cv"] = """
     FROM fanned WHERE role IS NOT NULL
     GROUP BY 1, 2
 """
+
+
+def matched_pairs(tables: dict[str, DataFrame]) -> DataFrame:
+    """Case–control matching — the causal-analysis prep op (propensity-
+    style 1:1 matching on coarse strata) that turns observational event
+    data into a balanced comparison set: CASES are users with ≥ 1
+    purchase, CONTROLS users with none, stratified by activity decile
+    (ntile over total event count) so each pair compares users of similar
+    engagement. Within a (stratum) the i-th most active case matches the
+    i-th most active control (rank join — deterministic, exactly
+    min(cases, controls) pairs per stratum; the unmatched tail drops on
+    both engines).
+
+    Everything is integers: event counts, ntile deciles (standard SQL
+    distribution rule, identical across engines under the total
+    (n_events, user_id) tie-broken order), ranks, id checksums. Plan: one
+    user-keyed agg, one global ntile window (|users| rows, not events),
+    two stratum-keyed rank windows, one (stratum, rank) equi-join."""
+    ev = tables["events"].select("event_id", "user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+    # Exposure = purchase count ABOVE the global median (the fixture is
+    # uniform — every user has every event type, so any has-event split
+    # would be vacuously one-sided). percentile == quantile_cont, and the
+    # > comparison against the (possibly .5) median is the same double on
+    # both engines.
+    med = per_user.agg(
+        F.expr("percentile(n_purchases, 0.5)").alias("m")
+    ).scalar()
+    deciled = per_user.select(
+        "user_id",
+        "n_events",
+        (F.col("n_purchases") > med).alias("is_case"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("n_events"), F.asc("user_id")))
+        .cast("int")
+        .alias("stratum"),
+    )
+    wr = Window.partitionBy("stratum", "is_case").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    ranked = deciled.withColumn("rk", F.row_number().over(wr))
+    cases = ranked.where(F.col("is_case")).select(
+        "stratum",
+        "rk",
+        F.col("user_id").alias("case_user"),
+        F.col("n_events").alias("case_events"),
+    )
+    controls = ranked.where(~F.col("is_case")).select(
+        "stratum",
+        "rk",
+        F.col("user_id").alias("control_user"),
+        F.col("n_events").alias("control_events"),
+    )
+    return cases.join(controls, ["stratum", "rk"]).select(
+        "stratum",
+        F.col("rk").cast("long").alias("rk"),
+        "case_user",
+        "case_events",
+        "control_user",
+        "control_events",
+    )
+
+
+QUERIES["sample_matched_pairs"] = matched_pairs
+ORACLES["sample_matched_pairs"] = """
+    WITH pu AS (
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_p
+        FROM events GROUP BY user_id
+    ),
+    med AS (SELECT quantile_cont(n_p, 0.5) AS m FROM pu),
+    d AS (
+        SELECT user_id, n_events, n_p > (SELECT m FROM med) AS is_case,
+               ntile(5) OVER (ORDER BY n_events ASC, user_id ASC)::INT AS stratum
+        FROM pu
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY stratum, is_case
+                                     ORDER BY n_events DESC, user_id ASC) AS rk
+        FROM d
+    )
+    SELECT c.stratum, c.rk::BIGINT AS rk,
+           c.user_id AS case_user, c.n_events AS case_events,
+           k.user_id AS control_user, k.n_events AS control_events
+    FROM (SELECT * FROM r WHERE is_case) c
+    JOIN (SELECT * FROM r WHERE NOT is_case) k
+      ON c.stratum = k.stratum AND c.rk = k.rk
+"""

@@ -5087,3 +5087,102 @@ ORACLES["text_code_detect"] = """
                  THEN 1 ELSE 0 END)::INT AS flag_code
     FROM inj
 """
+
+
+def preference_pairs(tables: dict[str, DataFrame]) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style training — the data
+    op that turns a scored corpus into (chosen, rejected) pairs: within
+    each stratum (lang × length bucket, so pairs compare like with like
+    and the margin reflects QUALITY, not length or language), the
+    top-quality document is chosen, the bottom-quality one rejected,
+    margin = Δquality. Composes the hash-gated quality scorer
+    (``text_quality_score``); rank tie-breaks are (quality, doc_id) on
+    both engines; strata with fewer than 2 docs produce no pair. The
+    margin is a difference of two already-pinned 4dp doubles — identical
+    cross-engine.
+
+    Plan: one stateless scoring projection, two rank windows over the
+    same stratum key (one Exchange, both windows reuse its partitioning),
+    one stratum-keyed self-join of two 1-row-per-stratum frames."""
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") - F.col("n_chars") % 200).alias("len_bucket"),
+        _quality_expr(toks).alias("q"),
+    )
+    w_best = Window.partitionBy("lang", "len_bucket").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    w_worst = Window.partitionBy("lang", "len_bucket").orderBy(
+        F.asc("q"), F.asc("doc_id")
+    )
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "len_bucket",
+        "q",
+        F.row_number().over(w_best).alias("rb"),
+        F.row_number().over(w_worst).alias("rw"),
+        F.count("*").over(Window.partitionBy("lang", "len_bucket")).alias("n_stratum"),
+    )
+    chosen = ranked.where(F.col("rb") == 1).select(
+        "lang",
+        "len_bucket",
+        "n_stratum",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("q").alias("chosen_q"),
+    )
+    rejected = ranked.where(F.col("rw") == 1).select(
+        "lang",
+        "len_bucket",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("q").alias("rejected_q"),
+    )
+    return (
+        chosen.join(rejected, ["lang", "len_bucket"])
+        .where(F.col("n_stratum") >= 2)
+        .select(
+            "lang",
+            "len_bucket",
+            F.col("n_stratum").cast("long").alias("n_stratum"),
+            "chosen_id",
+            "chosen_q",
+            "rejected_id",
+            "rejected_q",
+            (F.col("chosen_q") - F.col("rejected_q")).alias("margin"),
+        )
+    )
+
+
+QUERIES["text_preference_pairs"] = preference_pairs
+ORACLES["text_preference_pairs"] = f"""
+    WITH t AS (SELECT doc_id, lang, n_chars, {_DUCK_TOKS} AS toks FROM documents),
+    m AS (
+        SELECT doc_id, lang, (n_chars - n_chars % 200)::BIGINT AS len_bucket,
+               floor((0.4 * least(len(toks) / 100.0, 1.0)
+                      + 0.3 * (len(list_distinct(toks)) * 1.0 / len(toks))
+                      + 0.3 * (1.0 - abs(len(list_filter(toks, tk -> tk IN ('the','a')))
+                                         * 1.0 / len(toks) - 0.1))) * 10000 + 0.5)
+                   / 10000 AS q
+        FROM t
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY lang, len_bucket
+                                  ORDER BY q DESC, doc_id) AS rb,
+               row_number() OVER (PARTITION BY lang, len_bucket
+                                  ORDER BY q ASC, doc_id) AS rw,
+               count(*) OVER (PARTITION BY lang, len_bucket)::BIGINT AS n_stratum
+        FROM m
+    )
+    SELECT c.lang, c.len_bucket, c.n_stratum,
+           c.doc_id AS chosen_id, c.q AS chosen_q,
+           j.doc_id AS rejected_id, j.q AS rejected_q,
+           c.q - j.q AS margin
+    FROM (SELECT * FROM r WHERE rb = 1) c
+    JOIN (SELECT * FROM r WHERE rw = 1) j
+      ON c.lang = j.lang AND c.len_bucket = j.len_bucket
+    WHERE c.n_stratum >= 2
+"""
