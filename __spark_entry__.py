@@ -84,16 +84,17 @@ def _registry():
 #     text_vocab_coverage, text_keyword_burst, dedup_head_boilerplate,
 #     sim_embedding_drift, sample_temporal_split — each individually
 #     3-SF gated at authoring time; lowest-risk pure-integer/SQL shapes),
-#   then the 19 round-6 additions (text_watermark_detect,
+#   then the 22 round-6 additions (text_watermark_detect,
 #     text_simpson_diversity, text_encoding_audit, text_code_detect,
 #     text_preference_pairs, sim_triplet_mining, sim_hubness_audit,
 #     multimodal_image_contrast, multimodal_audio_clipping,
 #     multimodal_video_fingerprint, multimodal_image_border,
-#     dedup_tail_head_stitch, sample_grouped_split,
+#     dedup_tail_head_stitch, dedup_stop_shingles, sample_grouped_split,
 #     sample_chronological_cv, sample_matched_pairs,
 #     warehouse_row_policy_audit, serving_price_elasticity,
-#     window_page_hinkley, source_xml_records — each individually
-#     3-SF + vanilla gated at authoring time),
+#     serving_gmv_bridge, window_page_hinkley, source_xml_records,
+#     sql_unpivot — each individually 3-SF + vanilla gated at authoring
+#     time),
 #   then the 12 rows-only entries for their weaker rows check
 #     (dedup_minhash_lsh, dedup_simhash, sim_mips/lsh/ivf/ivfpq*_ann_topk,
 #     sim_diversity_coreset(+cached), sim_semantic_dedup,

@@ -1940,3 +1940,123 @@ ORACLES["serving_price_elasticity"] = """
     WHERE q1 IS NOT NULL
       AND (q2 + q1)::HUGEINT * (r2::HUGEINT * q1 - r1::HUGEINT * q2) != 0
 """
+
+
+def gmv_bridge(tables: dict[str, DataFrame]) -> DataFrame:
+    """Month-over-month GMV bridge (waterfall decomposition) — the revenue
+    dashboard's "what moved the number" endpoint: for each consecutive
+    month pair, the per-brand delta and its share of the total absolute
+    movement, so Σ delta over brands reconciles exactly to the headline
+    MoM change. All cents are exact integers (a missing brand-month
+    contributes 0 via the full-outer month join); the share is ONE pinned
+    division against Σ|delta|, and month pairs with zero total movement
+    drop on both engines.
+
+    Plan: one (brand, month) agg off the lineitem scan (broadcast part
+    dim), a key-shifted full-outer self-join on the month spine (equi,
+    no skew), one month-keyed window for the Σ|delta| denominator."""
+    li = tables["lineitem"]
+    p = tables["part"]
+    bm = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5))
+            .cast("long")
+            .alias("gmv_cents")
+        )
+    )
+    months = bm.select("month").distinct()
+    w = Window.orderBy("month")
+    spine = months.select(
+        "month", F.lag("month").over(w).alias("prev_month")
+    ).where(F.col("prev_month").isNotNull())
+    # brand universe per month PAIR = brands present in either side — a
+    # brand that disappears (prev-only) must still bridge to 0, or the
+    # per-month deltas no longer reconcile to the headline MoM change
+    in_cur = spine.join(bm, "month").select("month", "prev_month", "p_brand")
+    in_prv = spine.join(
+        bm.withColumnRenamed("month", "prev_month"), "prev_month"
+    ).select("month", "prev_month", "p_brand")
+    universe = in_cur.unionByName(in_prv).distinct()
+    cur = bm.select("p_brand", "month", F.col("gmv_cents").alias("cur_cents"))
+    prv = bm.select(
+        "p_brand",
+        F.col("month").alias("prev_month"),
+        F.col("gmv_cents").alias("prev_cents"),
+    )
+    joined = (
+        universe.join(cur, ["month", "p_brand"], "left")
+        .join(prv, ["prev_month", "p_brand"], "left")
+        .select(
+            "month",
+            F.col("p_brand").alias("brand"),
+            F.coalesce("prev_cents", F.lit(0)).cast("long").alias("gmv_prev_cents"),
+            F.coalesce("cur_cents", F.lit(0)).cast("long").alias("gmv_cents"),
+        )
+    )
+    delta = joined.withColumn(
+        "delta_cents", (F.col("gmv_cents") - F.col("gmv_prev_cents")).cast("long")
+    )
+    wm = Window.partitionBy("month")
+    return (
+        delta.withColumn("abs_total", F.sum(F.abs("delta_cents")).over(wm))
+        .where(F.col("abs_total") > 0)
+        .select(
+            "month",
+            "brand",
+            "gmv_prev_cents",
+            "gmv_cents",
+            "delta_cents",
+            (
+                F.floor(
+                    F.abs("delta_cents").cast("double")
+                    / F.col("abs_total").cast("double")
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("move_share6"),
+        )
+    )
+
+
+QUERIES["serving_gmv_bridge"] = gmv_bridge
+ORACLES["serving_gmv_bridge"] = """
+    WITH bm AS (
+        SELECT p.p_brand AS brand, strftime(l.l_shipdate, '%Y-%m') AS month,
+               sum(floor(l.l_extendedprice * 100 + 0.5))::BIGINT AS gmv_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT month, lag(month) OVER (ORDER BY month) AS prev_month
+        FROM (SELECT DISTINCT month FROM bm)
+        QUALIFY prev_month IS NOT NULL
+    ),
+    universe AS (
+        SELECT s.month, s.prev_month, b.brand
+        FROM spine s JOIN bm b ON b.month = s.month
+        UNION
+        SELECT s.month, s.prev_month, b.brand
+        FROM spine s JOIN bm b ON b.month = s.prev_month
+    ),
+    joined AS (
+        SELECT u.month, u.brand,
+               coalesce(pv.gmv_cents, 0)::BIGINT AS gmv_prev_cents,
+               coalesce(c.gmv_cents, 0)::BIGINT AS gmv_cents
+        FROM universe u
+        LEFT JOIN bm c ON c.month = u.month AND c.brand = u.brand
+        LEFT JOIN bm pv ON pv.month = u.prev_month AND pv.brand = u.brand
+    ),
+    d AS (
+        SELECT *, (gmv_cents - gmv_prev_cents)::BIGINT AS delta_cents,
+               sum(abs(gmv_cents - gmv_prev_cents))
+                   OVER (PARTITION BY month)::BIGINT AS abs_total
+        FROM joined
+    )
+    SELECT month, brand, gmv_prev_cents, gmv_cents, delta_cents,
+           floor(abs(delta_cents)::DOUBLE / abs_total::DOUBLE * 1000000 + 0.5)
+               / 1000000 AS move_share6
+    FROM d WHERE abs_total > 0
+"""

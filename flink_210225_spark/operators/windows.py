@@ -2427,12 +2427,16 @@ def page_hinkley(tables: dict[str, DataFrame]) -> DataFrame:
         "s",
         (F.col("n") * F.col("prefix") - F.col("t") * F.col("s")).alias("m"),
     )
+    # the running min includes the m₀ = 0 anchor (PH starts at zero): a
+    # series whose every prefix deviation is positive must measure against
+    # 0, not against its own smallest positive prefix — caught by the
+    # brute-force parity test
     ph = scored.select(
         "event_type",
         "day",
         "n",
         "s",
-        (F.col("m") - F.min("m").over(wrun)).alias("ph"),
+        (F.col("m") - F.least(F.lit(0), F.min("m").over(wrun))).alias("ph"),
     )
     wpick = Window.partitionBy("event_type").orderBy(
         F.desc("ph"), F.asc("day")
@@ -2475,8 +2479,8 @@ ORACLES["window_page_hinkley"] = """
     ),
     ph AS (
         SELECT event_type, day, n, s,
-               m - min(m) OVER (PARTITION BY event_type ORDER BY day
-                                ROWS UNBOUNDED PRECEDING) AS ph
+               m - least(0, min(m) OVER (PARTITION BY event_type ORDER BY day
+                                         ROWS UNBOUNDED PRECEDING)) AS ph
         FROM m
     )
     SELECT event_type, n AS n_days, s AS total_events,

@@ -3208,3 +3208,75 @@ ORACLES["dedup_tail_head_stitch"] = """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tail_h AS overlap_hash
     FROM h a JOIN h b ON a.tail_h = b.head_h AND a.doc_id != b.doc_id
 """
+
+
+def stop_shingles(tables: dict[str, DataFrame], max_df_pct: int = 10) -> DataFrame:
+    """Stop-shingle pruning audit — the LSH-scale technique that keeps the
+    quadratic bomb defused: shingles appearing in more than
+    ``max_df_pct``% of documents (boilerplate, headers, license blurbs)
+    generate candidate-pair mass O(df²) while carrying no dedup signal,
+    so production MinHash pipelines DROP them before banding (the
+    stop-word idea lifted to shingles; ``dedup_lsh_audit`` detects the
+    hotspots, THIS measures what pruning them buys). One summary row:
+    shingle/stop counts and the exact candidate-pair mass Σ C(df,2)
+    before and after pruning, plus the pinned reduction ratio — the
+    number that justifies the cutoff in an index-tuning review.
+
+    Exactness: everything is integer counts; C(df,2) cross-multiplies
+    widen to decimal(38,0)/HUGEINT (df² wraps int64 near df≈4.3e9). Plan:
+    one shingle-keyed count with map-side partials (distinct-per-doc at
+    the source), then a 1-row agg — no pair is ever materialized."""
+    docs = tables["documents"]
+    n_docs = docs.count()
+    cutoff = (n_docs * max_df_pct) // 100
+    sh = docs.select(F.explode(shingles_col(F.col("text"), 3)).alias("shingle"))
+    df_counts = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
+    pair_mass = (
+        F.col("df").cast("decimal(38,0)") * (F.col("df") - 1).cast("decimal(38,0)")
+    ) / 2
+    kept_mass = F.when(F.col("df") <= cutoff, pair_mass).otherwise(
+        F.lit(0).cast("decimal(38,0)")
+    )
+    return df_counts.agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("df") > cutoff, 1).otherwise(0))
+        .cast("long")
+        .alias("n_stop"),
+        F.sum(pair_mass).cast("long").alias("pairs_before"),
+        F.sum(kept_mass).cast("long").alias("pairs_after"),
+        F.floor(
+            F.sum(kept_mass).cast("double") / F.sum(pair_mass).cast("double") * 1000000
+            + 0.5
+        ).cast("double").alias("kept_ratio_micro"),
+    )
+
+
+QUERIES["dedup_stop_shingles"] = stop_shingles
+# Same distinct-per-doc shingle stream as the other dedup oracles; HUGEINT
+# widening on the C(df,2) mass; the cutoff is integer floor of n_docs·pct/100.
+ORACLES["dedup_stop_shingles"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(greatest(len(t) - 3, 0) + 1),
+                   i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS shingle
+        FROM toks
+    ),
+    dfs AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle),
+    cut AS (SELECT (count(*) * 10) // 100 AS c FROM documents)
+    SELECT count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN df > (SELECT c FROM cut) THEN 1 ELSE 0 END)::BIGINT
+               AS n_stop,
+           (sum(df::HUGEINT * (df - 1)) / 2)::BIGINT AS pairs_before,
+           (sum(CASE WHEN df <= (SELECT c FROM cut)
+                     THEN df::HUGEINT * (df - 1) ELSE 0 END) / 2)::BIGINT
+               AS pairs_after,
+           floor(sum(CASE WHEN df <= (SELECT c FROM cut)
+                          THEN df::HUGEINT * (df - 1) ELSE 0 END)::DOUBLE
+                 / sum(df::HUGEINT * (df - 1))::DOUBLE * 1000000 + 0.5)
+               AS kept_ratio_micro
+    FROM dfs
+"""

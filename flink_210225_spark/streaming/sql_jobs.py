@@ -438,3 +438,44 @@ ORACLES = {
         GROUP BY 1, 2
     """,
 }
+
+
+UNPIVOT_SQL = """
+    WITH wide AS (
+        SELECT o_orderstatus AS status,
+               sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS p1,
+               sum(CASE WHEN o_orderpriority LIKE '2%' THEN 1 ELSE 0 END) AS p2,
+               sum(CASE WHEN o_orderpriority LIKE '3%' THEN 1 ELSE 0 END) AS p3
+        FROM {view} GROUP BY o_orderstatus
+    )
+    SELECT status, priority, CAST(n AS BIGINT) AS n
+    FROM wide UNPIVOT (n FOR priority IN (p1, p2, p3))
+"""
+
+
+def _unpivot_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """SQL UNPIVOT grammar as ONE spark.sql TEXT — the inverse surface of
+    ``sql_pivot_matrix`` (wide report back to long; Spark 3.4+ UNPIVOT
+    clause). DuckDB spells UNPIVOT differently, so the oracle replays the
+    SEMANTICS with a 3-arm UNION ALL over the same wide CTE — grammar is
+    what this op gates on the Spark side, values are what the hash gates.
+    Exact integer counts end-to-end; UNPIVOT drops NULL cells by default
+    on both spellings, and every cell here is a COUNT (never NULL)."""
+    o = tables["orders"]
+    o.createOrReplaceTempView("orders_view_sql_unpivot")
+    return o.sparkSession.sql(UNPIVOT_SQL.format(view="orders_view_sql_unpivot"))
+
+
+QUERIES["sql_unpivot"] = _unpivot_sql_q
+ORACLES["sql_unpivot"] = """
+    WITH wide AS (
+        SELECT o_orderstatus AS status,
+               sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END)::BIGINT AS p1,
+               sum(CASE WHEN o_orderpriority LIKE '2%' THEN 1 ELSE 0 END)::BIGINT AS p2,
+               sum(CASE WHEN o_orderpriority LIKE '3%' THEN 1 ELSE 0 END)::BIGINT AS p3
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT status, 'p1' AS priority, p1 AS n FROM wide
+    UNION ALL SELECT status, 'p2', p2 FROM wide
+    UNION ALL SELECT status, 'p3', p3 FROM wide
+"""
