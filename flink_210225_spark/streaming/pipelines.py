@@ -2051,7 +2051,79 @@ def changepoint_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     return changepoint_from_daily(daily)
 
 
+def dedup_wm_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
+    """FOURTEENTH driver-checkable end-to-end streaming query — the NATIVE
+    Spark 3.5+ streaming dedup operator ``dropDuplicatesWithinWatermark``,
+    the engine's own answer to the reference's T2 daily-UV TTL dedup
+    (``stream_dedup_materialized`` gates the foreachBatch digest-store
+    form; THIS gates the built-in operator's state path). The events
+    fixture is staged TWICE and replayed one file per trigger, so the
+    second replay's every (user, day) key must be dropped against the
+    operator's state carried across micro-batches. The watermark delay
+    covers the full fixture span (the cusum lesson: a short delay would
+    make batch 2 LATE-dropped — vacuously correct without ever touching
+    dedup state); output is projected to the KEY set (which physical row
+    wins per key follows arrival order — nondeterministic under
+    parallelism — so only key columns pass the sink), then rolled up per
+    day. Oracle = batch COUNT(DISTINCT user) per day: any state leak
+    doubles the counts, any over-eviction halves them."""
+    import datetime as _dt
+
+    ev = tables["events"]
+    spark = ev.sparkSession
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(*_local_paths(ev))
+    ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
+    if ts_is_long:
+        batch_ts = F.expr("timestamp_micros(ts div 1000)").cast("timestamp")
+    else:
+        batch_ts = F.col("ts").cast("timestamp")
+    span = raw.select(batch_ts.alias("t")).agg(
+        F.min("t").alias("lo"), F.max("t").alias("hi")
+    ).collect()[0]
+    delay_days = (span["hi"].date() - span["lo"].date()).days + 2
+    out = _scratch(prefix="dedup_wm_out_")
+    cp = _scratch(prefix="dedup_wm_cp_")
+    srcdir = _scratch(prefix="dedup_wm_src_")
+    _stage_fixture(ev, srcdir, "replay_a")
+    _stage_fixture(ev, srcdir, "replay_b")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcdir)
+    )
+    if ts_is_long:
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp")
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    keyed = (
+        stream.select(
+            "ts", "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .withWatermark("ts", f"{delay_days} days")
+        .dropDuplicatesWithinWatermark(["user_id", "day"])
+        .select("day", "user_id")
+    )
+    with _stream_shuffle(spark):
+        q = (
+            keyed.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
 QUERIES = {
+    "stream_dedup_wm_materialized": dedup_wm_stream_materialized,
     "stream_changepoint_materialized": changepoint_stream_materialized,
     "stream_topk_materialized": topk_stream_materialized,
     "stream_curation_materialized": curation_stream_materialized,
@@ -2146,6 +2218,13 @@ ORACLES = {
     "stream_dedup_materialized": (
         "SELECT DISTINCT md5(text) AS text_hash FROM documents"
     ),
+    # native dropDuplicatesWithinWatermark over a DOUBLE replay == batch
+    # per-day distinct users; a state leak doubles, over-eviction halves
+    "stream_dedup_wm_materialized": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               count(DISTINCT user_id)::BIGINT AS n_users
+        FROM events GROUP BY 1
+    """,
     "stream_window_materialized": _visitor_stats_oracle(),
     "stream_join_materialized": _interval_join_oracle(),
     "stream_stateful_materialized": _jump_oracle(),
