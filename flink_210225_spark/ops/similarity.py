@@ -2005,6 +2005,7 @@ def contrastive_pairs(
     tables: dict[str, DataFrame],
     num_anchors: int = 20,
     hard_k: int = 3,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Contrastive-training pair mining over the embedding corpus: for each
     anchor vector, its hardest in-batch negatives — the HIGHEST-cosine
@@ -2039,11 +2040,13 @@ def contrastive_pairs(
         F.broadcast(q)
         .join(n, F.col("anchor_id") != F.col("other_id"))
         .withColumn("cosine", F.floor(cos * 1000000 + 0.5) / 1000000)
+    )
+    if checkpoint:
         # localCheckpoint: the scored frame feeds BOTH the negative window
         # and the positive aggregate; without truncation each consumer
-        # rescans the corpus join
-        .localCheckpoint(eager=True)
-    )
+        # rescans the corpus join. It also swallows the BNLJ from the
+        # final plan — the runtime bound test uses checkpoint=False.
+        scored = scored.localCheckpoint(eager=True)
     neg = scored.filter(F.col("other_label") != F.col("anchor_label"))
     w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("other_id"))
     hard = (

@@ -194,13 +194,22 @@ BNLJ_BROADCAST_ROW_BOUND = 64
 
 # Allowlisted queries whose final plan MUST expose a live BNLJ — for these
 # the bound check cannot be vacuous (an empty result means the walker or
-# the plan changed shape and the test must be revisited). Queries absent
-# from this set may legitimately return [] (eager localCheckpoint consumes
-# the BNLJ before the returned frame's plan is built).
+# the plan changed shape and the test must be revisited). The four absent
+# entries legitimately return [] — an eager localCheckpoint consumes their
+# BNLJ before the returned frame's plan is built: sim_triplet_mining and
+# sim_contrastive_pairs get dedicated checkpoint=False tests below;
+# sim_ann_recall_audit composes sim_cosine_topk and sim_mutual_knn_clusters
+# composes sim_knn_graph, both of which ARE visible-checked here.
 BNLJ_MUST_BE_VISIBLE = {
     "sim_cosine_topk",
     "sim_mips_topk",
+    "sim_mips_audit",
+    "sim_knn_label",
+    "sim_binary_hamming_topk",
+    "sim_matryoshka_audit",
+    "sim_semantic_audit",
     "dedup_embedding_cosine",
+    "dedup_paraphrase_mining",
     "sim_knn_graph",
     "sim_hubness_audit",
     "sim_maxsim_rerank",
@@ -233,6 +242,16 @@ def test_triplet_mining_broadcast_bounded_unchunked(tables):
     from flink_210225_spark.ops.similarity import triplet_mining
 
     rows = explain.bnlj_broadcast_rows(triplet_mining(tables, checkpoint=False))
+    assert rows, "expected a live BNLJ with checkpoint=False"
+    assert all(r <= 20 for r in rows), rows
+
+
+def test_contrastive_pairs_broadcast_bounded_unchunked(tables):
+    """Same checkpoint-vacuousness as triplet_mining: pin contrastive
+    mining's 20-anchor broadcast on the checkpoint=False form."""
+    from flink_210225_spark.ops.similarity import contrastive_pairs
+
+    rows = explain.bnlj_broadcast_rows(contrastive_pairs(tables, checkpoint=False))
     assert rows, "expected a live BNLJ with checkpoint=False"
     assert all(r <= 20 for r in rows), rows
 
