@@ -1682,3 +1682,99 @@ ORACLES["warehouse_row_policy_audit"] = """
     )
     SELECT * FROM roles UNION ALL SELECT * FROM orphan
 """
+
+
+def merge_upsert(tables: dict[str, DataFrame]) -> DataFrame:
+    """SQL MERGE semantics (upsert-in-place) emulated on plain parquet —
+    the third warehouse write primitive next to SCD2 history
+    (``cdc_scd2_history``: versioned) and IVM (``warehouse_ivm_agg``:
+    aggregate maintenance): one change batch applied to a snapshot with
+    WHEN MATCHED AND deleted → DELETE / WHEN MATCHED → UPDATE / WHEN NOT
+    MATCHED → INSERT, spelled as ONE full-outer join + CASE — exactly how
+    an engine without a transactional table format executes MERGE
+    (copy-on-write). The change batch derives deterministically from the
+    snapshot itself: every custkey % 17 == 0 is a delete, % 3 == 0 (and
+    not deleted) an update (segment → 'UPDATED', balance +10.00), and 50
+    synthetic keys above the max are inserts — all three MERGE arms are
+    provably exercised, and the post-merge summary (per-segment counts,
+    key checksum, balance cents) pins the entire result state.
+
+    Plan: one key-keyed full-outer join (equi, no skew) + a segment-keyed
+    agg; at scale this is the standard copy-on-write MERGE shape — the
+    snapshot scan is the only corpus-sized work."""
+    c = tables["customer"]
+    max_key = c.agg(F.max("c_custkey").cast("long").alias("m")).scalar()
+    base = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal_cents"),
+    )
+    upd = base.where(
+        (F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") % 17 != 0)
+    ).select(
+        "c_custkey",
+        F.lit("UPDATED").alias("n_seg"),
+        (F.col("bal_cents") + 1000).alias("n_bal"),
+        F.lit("U").alias("op"),
+    )
+    dele = base.where(F.col("c_custkey") % 17 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("n_seg"),
+        F.lit(None).cast("long").alias("n_bal"),
+        F.lit("D").alias("op"),
+    )
+    ins = (
+        c.sparkSession.range(1, 51)
+        .select(
+            (F.col("id") + max_key).alias("c_custkey"),
+            F.lit("INSERTED").alias("n_seg"),
+            (F.col("id") * 100).cast("long").alias("n_bal"),
+            F.lit("I").alias("op"),
+        )
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    merged = (
+        base.join(changes, "c_custkey", "full")
+        .where((F.col("op").isNull()) | (F.col("op") != "D"))
+        .select(
+            "c_custkey",
+            F.coalesce("n_seg", "c_mktsegment").alias("segment"),
+            F.coalesce("n_bal", "bal_cents").cast("long").alias("bal_cents"),
+        )
+    )
+    return merged.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("sum_keys"),
+        F.sum("bal_cents").cast("long").alias("sum_bal_cents"),
+    )
+
+
+QUERIES["warehouse_merge_upsert"] = merge_upsert
+ORACLES["warehouse_merge_upsert"] = """
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment,
+               floor(c_acctbal * 100 + 0.5)::BIGINT AS bal_cents
+        FROM customer
+    ),
+    mx AS (SELECT max(c_custkey) AS m FROM base),
+    changes AS (
+        SELECT c_custkey, 'UPDATED' AS n_seg, bal_cents + 1000 AS n_bal, 'U' AS op
+        FROM base WHERE c_custkey % 3 = 0 AND c_custkey % 17 != 0
+        UNION ALL
+        SELECT c_custkey, NULL, NULL, 'D' FROM base WHERE c_custkey % 17 = 0
+        UNION ALL
+        SELECT (SELECT m FROM mx) + i, 'INSERTED', i * 100, 'I'
+        FROM (SELECT unnest(range(1, 51)) AS i)
+    ),
+    merged AS (
+        SELECT coalesce(b.c_custkey, ch.c_custkey) AS c_custkey,
+               coalesce(ch.n_seg, b.c_mktsegment) AS segment,
+               coalesce(ch.n_bal, b.bal_cents)::BIGINT AS bal_cents
+        FROM base b FULL JOIN changes ch ON b.c_custkey = ch.c_custkey
+        WHERE ch.op IS NULL OR ch.op != 'D'
+    )
+    SELECT segment, count(*)::BIGINT AS n_rows,
+           sum(c_custkey)::BIGINT AS sum_keys,
+           sum(bal_cents)::BIGINT AS sum_bal_cents
+    FROM merged GROUP BY segment
+"""

@@ -3270,9 +3270,9 @@ ORACLES["dedup_stop_shingles"] = """
     SELECT count(*)::BIGINT AS n_shingles,
            sum(CASE WHEN df > (SELECT c FROM cut) THEN 1 ELSE 0 END)::BIGINT
                AS n_stop,
-           (sum(df::HUGEINT * (df - 1)) / 2)::BIGINT AS pairs_before,
+           (sum(df::HUGEINT * (df - 1)) // 2)::BIGINT AS pairs_before,
            (sum(CASE WHEN df <= (SELECT c FROM cut)
-                     THEN df::HUGEINT * (df - 1) ELSE 0 END) / 2)::BIGINT
+                     THEN df::HUGEINT * (df - 1) ELSE 0 END) // 2)::BIGINT
                AS pairs_after,
            floor(sum(CASE WHEN df <= (SELECT c FROM cut)
                           THEN df::HUGEINT * (df - 1) ELSE 0 END)::DOUBLE

@@ -1482,9 +1482,11 @@ ORACLES["sample_chronological_cv"] = """
 def matched_pairs(tables: dict[str, DataFrame]) -> DataFrame:
     """Case–control matching — the causal-analysis prep op (propensity-
     style 1:1 matching on coarse strata) that turns observational event
-    data into a balanced comparison set: CASES are users with ≥ 1
-    purchase, CONTROLS users with none, stratified by activity decile
-    (ntile over total event count) so each pair compares users of similar
+    data into a balanced comparison set: CASES are users whose purchase
+    count sits ABOVE the global median, CONTROLS the rest (the uniform
+    fixture gives every user every event type, so a has-event split would
+    be vacuously one-sided), stratified into activity QUINTILES (ntile(5)
+    over total event count) so each pair compares users of similar
     engagement. Within a (stratum) the i-th most active case matches the
     i-th most active control (rank join — deterministic, exactly
     min(cases, controls) pairs per stratum; the unmatched tail drops on

@@ -5115,8 +5115,11 @@ def preference_pairs(tables: dict[str, DataFrame]) -> DataFrame:
     w_best = Window.partitionBy("lang", "len_bucket").orderBy(
         F.desc("q"), F.asc("doc_id")
     )
+    # worst tie-break doc_id DESC: in a fully-tied stratum the two windows
+    # must not both land on the minimum doc_id (a degenerate self-pair the
+    # oracle would replicate and the hash gate could never catch)
     w_worst = Window.partitionBy("lang", "len_bucket").orderBy(
-        F.asc("q"), F.asc("doc_id")
+        F.asc("q"), F.desc("doc_id")
     )
     ranked = scored.select(
         "doc_id",
@@ -5173,7 +5176,7 @@ ORACLES["text_preference_pairs"] = f"""
                row_number() OVER (PARTITION BY lang, len_bucket
                                   ORDER BY q DESC, doc_id) AS rb,
                row_number() OVER (PARTITION BY lang, len_bucket
-                                  ORDER BY q ASC, doc_id) AS rw,
+                                  ORDER BY q ASC, doc_id DESC) AS rw,
                count(*) OVER (PARTITION BY lang, len_bucket)::BIGINT AS n_stratum
         FROM m
     )

@@ -2067,8 +2067,6 @@ def dedup_wm_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     parallelism — so only key columns pass the sink), then rolled up per
     day. Oracle = batch COUNT(DISTINCT user) per day: any state leak
     doubles the counts, any over-eviction halves them."""
-    import datetime as _dt
-
     ev = tables["events"]
     spark = ev.sparkSession
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

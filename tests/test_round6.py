@@ -316,3 +316,23 @@ def test_stop_shingles_mass_identity(tables):
     assert row["pairs_before"] == before
     assert row["pairs_after"] == after
     assert row["n_stop"] == sum(1 for r in dfs if r["df"] > cutoff)
+
+
+def test_preference_pairs_fully_tied_stratum_not_degenerate(spark):
+    """A stratum where every doc scores identically must still pair two
+    DISTINCT documents (the worst-rank window tie-breaks doc_id DESC for
+    exactly this reason — with ASC both windows land on the min doc_id
+    and emit a chosen==rejected self-pair the oracle would replicate)."""
+    from flink_210225_spark.ops.text import preference_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text here okay", "en", "s", 19),
+            (2, "same text here okay", "en", "s", 19),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = preference_pairs({"documents": df}).collect()
+    assert len(rows) == 1
+    assert rows[0]["chosen_id"] != rows[0]["rejected_id"]
+    assert rows[0]["margin"] == 0.0
