@@ -84,7 +84,7 @@ def _registry():
 #     text_vocab_coverage, text_keyword_burst, dedup_head_boilerplate,
 #     sim_embedding_drift, sample_temporal_split — each individually
 #     3-SF gated at authoring time; lowest-risk pure-integer/SQL shapes),
-#   then the 24 round-6 additions (text_watermark_detect,
+#   then the 26 round-6 additions (text_watermark_detect,
 #     text_simpson_diversity, text_encoding_audit, text_code_detect,
 #     text_preference_pairs, sim_triplet_mining, sim_hubness_audit,
 #     multimodal_image_contrast, multimodal_audio_clipping,
@@ -93,8 +93,8 @@ def _registry():
 #     sample_chronological_cv, sample_matched_pairs,
 #     warehouse_row_policy_audit, serving_price_elasticity,
 #     serving_gmv_bridge, window_page_hinkley, source_xml_records,
-#     sql_unpivot, stream_dedup_wm_materialized,
-#     warehouse_merge_upsert — each individually
+#     sql_unpivot, stream_dedup_wm_materialized, warehouse_merge_upsert,
+#     dedup_homoglyph, text_source_overlap — each individually
 #     3-SF + vanilla gated at authoring time),
 #   then the 12 rows-only entries for their weaker rows check
 #     (dedup_minhash_lsh, dedup_simhash, sim_mips/lsh/ivf/ivfpq*_ann_topk,

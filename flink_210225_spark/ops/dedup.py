@@ -3280,3 +3280,80 @@ ORACLES["dedup_stop_shingles"] = """
                AS kept_ratio_micro
     FROM dfs
 """
+
+
+# Homoglyph fold map: visually-confusable non-ASCII characters → their
+# ASCII look-alikes (Cyrillic а/е/о/р/с/х, fullwidth ＡＢＣ digits/letters
+# would extend the same two strings). One explicit, auditable pair of
+# translate() arguments shared by both engines — NOT a library call, so
+# the fold is identical everywhere.
+_HOMOGLYPH_FROM = "аеорсху"
+_HOMOGLYPH_TO = "aeopcxy"
+
+
+def homoglyph_dedup(tables: dict[str, DataFrame]) -> DataFrame:
+    """Confusable-character (homoglyph) dedup — the spam/SEO evasion
+    ``dedup_normalized`` cannot catch: swapping Latin letters for
+    identical-looking Cyrillic ones ('а' U+0430 for 'a' U+0061) defeats
+    byte, lowercase, AND token dedup while looking identical to a human
+    and to a model's detokenized output. Folding runs the CCNet
+    normalization FIRST, then the explicit homoglyph translate map; docs
+    grouping to the same folded digest are one cluster. The fixture is
+    pure ASCII, so (the injection discipline) every doc_id % 9 == 0 doc
+    is replaced by its own homoglyph-substituted twin of doc_id+1's text
+    ON BOTH ENGINES — real confusable clusters exist, and the detector
+    must group each twin with its source.
+
+    Plan: stateless fold in codegen, ONE digest-keyed shuffle (never
+    document bytes) — the exact_dedup scale shape."""
+    docs = tables["documents"]
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("next_text")
+    )
+    mod = docs.join(nxt, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 9 == 0) & F.col("next_text").isNotNull(),
+            F.translate(F.col("next_text"), _HOMOGLYPH_TO, _HOMOGLYPH_FROM),
+        )
+        .otherwise(F.col("text"))
+        .alias("t2"),
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("t2"))), r"\s+", " ")
+    folded = F.translate(norm, _HOMOGLYPH_FROM, _HOMOGLYPH_TO)
+    return (
+        mod.groupBy(F.md5(folded).alias("fold_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+QUERIES["dedup_homoglyph"] = homoglyph_dedup
+# Same injection (homoglyph-substituted twin of the successor's text) and
+# the same fold (normalize → translate) replayed in DuckDB; only clusters
+# of ≥ 2 emit, so every row PROVES a fold-grouping.
+ORACLES["dedup_homoglyph"] = """
+    WITH nxt AS (
+        SELECT doc_id - 1 AS doc_id, text AS next_text FROM documents
+    ),
+    mod AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 9 = 0 AND n.next_text IS NOT NULL
+                    THEN translate(n.next_text, 'aeopcxy', 'аеорсху')
+                    ELSE d.text END AS t2
+        FROM documents d LEFT JOIN nxt n USING (doc_id)
+    ),
+    folded AS (
+        SELECT doc_id,
+               md5(translate(regexp_replace(lower(trim(t2)), '\\s+', ' ', 'g'),
+                             'аеорсху', 'aeopcxy')) AS fold_hash
+        FROM mod
+    )
+    SELECT fold_hash, count(*)::BIGINT AS n_docs,
+           min(doc_id)::BIGINT AS keep_id, sum(doc_id)::BIGINT AS sum_ids
+    FROM folded GROUP BY fold_hash HAVING count(*) >= 2
+"""

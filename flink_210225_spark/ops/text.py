@@ -5189,3 +5189,76 @@ ORACLES["text_preference_pairs"] = f"""
       ON c.lang = j.lang AND c.len_bucket = j.len_bucket
     WHERE c.n_stratum >= 2
 """
+
+
+def source_overlap(tables: dict[str, DataFrame]) -> DataFrame:
+    """Source-level vocabulary overlap matrix — the mixture diagnostic
+    next to ``text_js_divergence`` (that one scores distribution distance
+    between two corpora; THIS maps SET overlap across every source pair):
+    for each ordered source pair, the exact Jaccard of their token
+    vocabularies, the number the mixture planner reads to spot redundant
+    sources before assigning quotas (two sources sharing 90% vocabulary
+    rarely deserve independent budgets). Exact integers: per-source
+    distinct vocab via one (source, token) dedup agg; intersections via a
+    token-keyed self-join of the |sources × vocab| frame; the Jaccard is
+    ONE pinned division.
+
+    Plan: token-keyed shuffles over the DISTINCT (source, token) frame —
+    vocab-bounded, never corpus-bounded; the matrix is |sources|² rows."""
+    docs = tables["documents"]
+    st = (
+        docs.select("source", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").cast("long").alias("vocab"))
+    a = st.select(F.col("source").alias("src_a"), "tok")
+    b = st.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("vocab").alias("v_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("vocab").alias("v_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "v_a",
+            "v_b",
+            "n_inter",
+            (
+                F.floor(
+                    F.col("n_inter").cast("double")
+                    / (F.col("v_a") + F.col("v_b") - F.col("n_inter")).cast("double")
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("jaccard6"),
+        )
+    )
+
+
+QUERIES["text_source_overlap"] = source_overlap
+ORACLES["text_source_overlap"] = f"""
+    WITH st AS (
+        SELECT DISTINCT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    sizes AS (SELECT source, count(*)::BIGINT AS vocab FROM st GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_inter
+        FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b,
+           sa.vocab AS v_a, sb.vocab AS v_b, i.n_inter,
+           floor(i.n_inter::DOUBLE / (sa.vocab + sb.vocab - i.n_inter)::DOUBLE
+                 * 1000000 + 0.5) / 1000000 AS jaccard6
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+"""
