@@ -74,92 +74,80 @@ def _registry():
 # (CORRECTNESS_r01 checked exactly the first 50 of 114). Rotation policy:
 # each round, the front of the registry holds the oracle-gated queries with
 # no green CORRECTNESS row from any prior round; already-verified and
-# rows-only queries sort behind them. Round 6 window = 50 of the 59
-# never-driver-gated oracle queries: the three highest-risk new kernels
-# first (per ADVICE r5), then the 27 r4-deferred (the sample_* block is 9
-# entries), then 20 round-5 additions — 3 + 27 + 20 = 50. Remaining
-# burn-down schedule, in order, nothing orphaned:
-#   round 7 head: the 9 deferred round-5 additions (serving_wilson_ci,
-#     window_drawdown, sql_range_frame, text_ppl_buckets,
-#     text_vocab_coverage, text_keyword_burst, dedup_head_boilerplate,
-#     sim_embedding_drift, sample_temporal_split — each individually
-#     3-SF gated at authoring time; lowest-risk pure-integer/SQL shapes),
-#   then the 26 round-6 additions (text_watermark_detect,
-#     text_simpson_diversity, text_encoding_audit, text_code_detect,
-#     text_preference_pairs, sim_triplet_mining, sim_hubness_audit,
-#     multimodal_image_contrast, multimodal_audio_clipping,
-#     multimodal_video_fingerprint, multimodal_image_border,
-#     dedup_tail_head_stitch, dedup_stop_shingles, sample_grouped_split,
-#     sample_chronological_cv, sample_matched_pairs,
-#     warehouse_row_policy_audit, serving_price_elasticity,
-#     serving_gmv_bridge, window_page_hinkley, source_xml_records,
-#     sql_unpivot, stream_dedup_wm_materialized, warehouse_merge_upsert,
-#     dedup_homoglyph, text_source_overlap — each individually
-#     3-SF + vanilla gated at authoring time),
-#   then the 12 rows-only entries for their weaker rows check
-#     (dedup_minhash_lsh, dedup_simhash, sim_mips/lsh/ivf/ivfpq*_ann_topk,
-#     sim_diversity_coreset(+cached), sim_semantic_dedup,
-#     sim_semantic_groups, sim_quantize_pq — hash coverage stays via their
-#     named audit siblings),
-#   then the SCD2/CDC re-gates (cdc_scd2_history, cdc_scd2_lookup,
-#     cdc_route_config — r1-stamped, locally re-verified green in r5),
-#   then the oldest r1-only greens by family (sql_* tumbles, log_*,
-#     serving_* endpoints, join_*, window_* rollups) so no green row ages
-#     past 3 rounds for touched modules.
+# rows-only queries sort behind them. Round 7 window = ALL 47 remaining
+# never-driver-gated queries (35 oracled + 12 rows-only) + the 3 SCD2/CDC
+# re-gates (r1-stamped, locally re-verified green in r5) = exactly 50.
+# This zeroes the never-driver-gated debt. Remaining burn-down schedule
+# after round 7, in order, nothing orphaned:
+#   round 8 head: the oldest r1-only greens by family — sql_* tumbles
+#     (sql_province_tumble, sql_keyword_tumble), the log_* family
+#     (log_props_extract, log_flag_rows, log_padzero_union), the
+#     serving_* dashboard endpoints (serving_gmv, serving_trademark_topn,
+#     serving_category3_topn, serving_spu_topn, serving_province,
+#     serving_visitor, serving_hourly, serving_keyword_topn), the join_*
+#     family (join_order_wide, join_interval_payment, join_payment_wide,
+#     join_order_detail), the window_* rollups (window_visitor_stats,
+#     window_product_stats, window_keyword_stats), and state_new_visitor /
+#     state_uv_dedup — so no green row ages past 3 rounds for touched
+#     modules; then round-7 additions (if any slip past r7's window),
+#     then the next-oldest greens (r2/r3 stamps) by the same rule.
 _CHECK_WINDOW = [
-    # highest-risk new kernels (ADVICE r5: gate these first)
-    "sim_knn_graph",
-    "stream_changepoint_materialized",
-    "source_multiline_stack",
-    # the 27 r4-deferred oracle queries
-    "text_glove_cooc",
-    "text_rouge_pairs",
-    "text_readability",
-    "text_stupid_backoff",
-    "text_weak_labels",
-    "text_hash_features",
-    "text_js_divergence",
-    "dedup_token_sort",
-    "dedup_label_prop",
-    "dedup_lsh_bucket_stats",
-    "sim_maxsim_rerank",
-    "multimodal_image_sharpness",
-    "multimodal_audio_onsets",
-    "multimodal_image_histogram",
-    "multimodal_png_meta",
-    "multimodal_image_whash",
-    "multimodal_audio_fingerprint",
-    "multimodal_video_keyframes",
-    "sample_negative_downsample",
-    "sample_poisson_bootstrap",
-    "sample_split_leakage_audit",
-    "sample_pps_systematic",
-    "sample_neyman_allocation",
-    "sample_kfold_assign",
-    "sample_epoch_plan",
-    "sample_class_weights",
-    "sample_winsorize",
-    # 20 round-5 additions
-    "source_schema_evolution",
-    "sql_set_ops",
-    "sql_lateral_tokens",
-    "sql_pivot_matrix",
-    "serving_abc_xyz",
-    "serving_unit_value_index",
-    "serving_retention_matrix",
-    "serving_mann_whitney",
-    "window_intervention_lift",
-    "window_seasonality_strength",
-    "window_changepoint",
-    "join_fk_orphans",
-    "log_error_burn_rate",
-    "warehouse_dp_counts",
-    "warehouse_late_arriving",
-    "dedup_threshold_curve",
-    "dedup_graph_modularity",
-    "sim_mutual_knn_clusters",
-    "multimodal_audio_gain",
-    "multimodal_image_quantize",
+    # the 9 r5-deferred oracled queries (lowest-risk pure-integer/SQL
+    # shapes; each 3-SF gated at authoring time)
+    "serving_wilson_ci",
+    "window_drawdown",
+    "sql_range_frame",
+    "text_ppl_buckets",
+    "text_vocab_coverage",
+    "text_keyword_burst",
+    "dedup_head_boilerplate",
+    "sim_embedding_drift",
+    "sample_temporal_split",
+    # the 26 round-6 additions (each 3-SF + vanilla gated at authoring time)
+    "text_watermark_detect",
+    "text_simpson_diversity",
+    "text_encoding_audit",
+    "text_code_detect",
+    "text_preference_pairs",
+    "text_source_overlap",
+    "sim_triplet_mining",
+    "sim_hubness_audit",
+    "multimodal_image_contrast",
+    "multimodal_audio_clipping",
+    "multimodal_video_fingerprint",
+    "multimodal_image_border",
+    "dedup_tail_head_stitch",
+    "dedup_stop_shingles",
+    "dedup_homoglyph",
+    "sample_grouped_split",
+    "sample_chronological_cv",
+    "sample_matched_pairs",
+    "warehouse_row_policy_audit",
+    "warehouse_merge_upsert",
+    "serving_price_elasticity",
+    "serving_gmv_bridge",
+    "window_page_hinkley",
+    "source_xml_records",
+    "sql_unpivot",
+    "stream_dedup_wm_materialized",
+    # the 12 rows-only entries (weaker rows check; hash coverage stays via
+    # their named audit siblings)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_mips_ann_topk",
+    "sim_lsh_ann_topk",
+    "sim_ivf_ann_topk",
+    "sim_ivfpq_ann_topk",
+    "sim_ivfpq_residual_topk",
+    "sim_diversity_coreset",
+    "sim_diversity_coreset_cached",
+    "sim_semantic_dedup",
+    "sim_semantic_groups",
+    "sim_quantize_pq",
+    # SCD2/CDC re-gates (r1-stamped; churned module, rotate per policy)
+    "cdc_scd2_history",
+    "cdc_scd2_lookup",
+    "cdc_route_config",
 ]
 
 

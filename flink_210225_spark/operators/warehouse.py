@@ -1778,3 +1778,125 @@ ORACLES["warehouse_merge_upsert"] = """
            sum(bal_cents)::BIGINT AS sum_bal_cents
     FROM merged GROUP BY segment
 """
+
+
+def histogram_equiheight(tables: dict[str, DataFrame], n_buckets: int = 8) -> DataFrame:
+    """Equi-height (equi-depth) column histogram — the CBO statistic behind
+    range-selectivity estimates (Spark's own ``ANALYZE TABLE ... FOR
+    COLUMNS`` builds exactly this shape; reference warehouses ship it as
+    table stats). Over ``o_totalprice`` cents: ``n_buckets`` buckets of
+    (near-)equal row count with per-bucket lower/upper endpoints, exact
+    row count, and exact NDV.
+
+    Built WITHOUT a global per-row sort: counts collapse to the DISTINCT
+    value domain first (value-keyed agg), a value-domain running sum
+    assigns each distinct value its global rank span [lo, hi], and rank
+    arithmetic maps spans onto buckets — bucket(r) = ceil((B·r − B + 1)/n)
+    with pure integer ceil-division on both engines. A value straddling a
+    boundary contributes its exact rank overlap to each side. Row counts
+    per bucket therefore reproduce the textbook ceil(i·n/B) boundaries
+    bit-for-bit while the only window runs over the value DOMAIN (price
+    cents), never the row count — the 100 TB shape (a row-ranked
+    row_number would be one global single-partition sort).
+
+    Reference parity: CBO stats collection (ANALYZE), gmall's ADS-layer
+    profiling; sibling of ``warehouse_analyze_stats`` (NDV sketches)."""
+    o = tables["orders"]
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    vals = o.select(cents.alias("v")).groupBy("v").agg(
+        F.count("*").cast("long").alias("ct")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    spans = vals.select(
+        "v",
+        "ct",
+        F.sum("ct").over(w).cast("long").alias("hi"),
+    ).select(
+        "v", "ct", (F.col("hi") - F.col("ct") + 1).alias("lo"), "hi"
+    )
+    n_total = F.sum("ct").over(Window.partitionBy())
+    b = F.lit(int(n_buckets)).cast("long")
+    # bucket(r) = ceil((B*r - B + 1) / n) via the (a + n - 1 - mod) integer
+    # ceil idiom (all terms positive; exact on both engines)
+    def _ceil_div(a, n):
+        num = a + n - F.lit(1)
+        return ((num - num % n) / n).cast("long")
+
+    spanned = spans.withColumn("n", n_total.cast("long")).select(
+        "v",
+        "ct",
+        "lo",
+        "hi",
+        "n",
+        _ceil_div(b * F.col("lo") - b + 1, F.col("n")).alias("b_lo"),
+        _ceil_div(b * F.col("hi") - b + 1, F.col("n")).alias("b_hi"),
+    )
+    per_bucket = (
+        spanned.select(
+            "v", "ct", "lo", "hi", "n",
+            F.explode(F.sequence("b_lo", "b_hi")).alias("bucket"),
+        )
+        .select(
+            "bucket",
+            "v",
+            "n",
+            # bucket i covers ranks (ceil((i-1)n/B), ceil(in/B)]
+            (
+                F.least(F.col("hi"), _ceil_div(F.col("bucket") * F.col("n"), b))
+                - F.greatest(
+                    F.col("lo"),
+                    _ceil_div((F.col("bucket") - 1) * F.col("n"), b) + 1,
+                )
+                + 1
+            ).alias("rows_in"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("ndv"),
+            F.sum("rows_in").cast("long").alias("n_rows"),
+            F.min("v").alias("lo_cents"),
+            F.max("v").alias("hi_cents"),
+        )
+    )
+    return per_bucket.select(
+        F.col("bucket").cast("long"), "n_rows", "ndv", "lo_cents", "hi_cents"
+    )
+
+
+QUERIES["warehouse_histogram_equiheight"] = histogram_equiheight
+# Replays the same value-domain rank-span algebra; the boundary law is the
+# textbook ceil(i*n/B) so per-bucket n_rows is fully determined (ties
+# straddling a boundary contribute identical values to both sides — the
+# bucket's value multiset is tie-order invariant).
+ORACLES["warehouse_histogram_equiheight"] = """
+    WITH vals AS (
+        SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS v,
+               count(*)::BIGINT AS ct
+        FROM orders GROUP BY 1
+    ),
+    spans AS (
+        SELECT v, ct,
+               sum(ct) OVER (ORDER BY v)::BIGINT AS hi,
+               (sum(ct) OVER (ORDER BY v) - ct + 1)::BIGINT AS lo,
+               (sum(ct) OVER ())::BIGINT AS n
+        FROM vals
+    ),
+    spanned AS (
+        SELECT v, ct, lo, hi, n,
+               (8 * lo - 7 + n - 1) // n AS b_lo,
+               (8 * hi - 7 + n - 1) // n AS b_hi
+        FROM spans
+    ),
+    pb AS (
+        SELECT unnest(range(b_lo, b_hi + 1)) AS bucket, v, lo, hi, n
+        FROM spanned
+    )
+    SELECT bucket::BIGINT AS bucket,
+           sum(least(hi, (bucket * n + 7) // 8)
+               - greatest(lo, ((bucket - 1) * n + 7) // 8 + 1) + 1)::BIGINT
+               AS n_rows,
+           count(*)::BIGINT AS ndv,
+           min(v) AS lo_cents,
+           max(v) AS hi_cents
+    FROM pb GROUP BY 1
+"""

@@ -3244,9 +3244,16 @@ def stop_shingles(tables: dict[str, DataFrame], max_df_pct: int = 10) -> DataFra
         .alias("n_stop"),
         F.sum(pair_mass).cast("long").alias("pairs_before"),
         F.sum(kept_mass).cast("long").alias("pairs_after"),
-        F.floor(
-            F.sum(kept_mass).cast("double") / F.sum(pair_mass).cast("double") * 1000000
-            + 0.5
+        # guarded: an all-df=1 corpus has zero pair mass — NULL, not NaN
+        # (DuckDB 0.0/0.0 behavior is settings-dependent; NULL matches)
+        F.when(
+            F.sum(pair_mass) > F.lit(0).cast("decimal(38,0)"),
+            F.floor(
+                F.sum(kept_mass).cast("double")
+                / F.sum(pair_mass).cast("double")
+                * 1000000
+                + 0.5
+            ),
         ).cast("double").alias("kept_ratio_micro"),
     )
 
@@ -3274,10 +3281,11 @@ ORACLES["dedup_stop_shingles"] = """
            (sum(CASE WHEN df <= (SELECT c FROM cut)
                      THEN df::HUGEINT * (df - 1) ELSE 0 END) // 2)::BIGINT
                AS pairs_after,
-           floor(sum(CASE WHEN df <= (SELECT c FROM cut)
-                          THEN df::HUGEINT * (df - 1) ELSE 0 END)::DOUBLE
-                 / sum(df::HUGEINT * (df - 1))::DOUBLE * 1000000 + 0.5)
-               AS kept_ratio_micro
+           CASE WHEN sum(df::HUGEINT * (df - 1)) > 0 THEN
+               floor(sum(CASE WHEN df <= (SELECT c FROM cut)
+                              THEN df::HUGEINT * (df - 1) ELSE 0 END)::DOUBLE
+                     / sum(df::HUGEINT * (df - 1))::DOUBLE * 1000000 + 0.5)
+           END AS kept_ratio_micro
     FROM dfs
 """
 

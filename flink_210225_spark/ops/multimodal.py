@@ -2463,7 +2463,10 @@ def video_fingerprint_groups(tables: dict[str, DataFrame]) -> DataFrame:
     video member of the dedup family (image: ``image_ahash`` groups,
     audio: ``audio_fingerprint``): each clip's ordered per-frame luma-sum
     sequence becomes a temporal fingerprint (comma-joined, md5), and
-    clips sharing a fingerprint are duplicate groups. Frames key off
+    clips sharing a profile's fingerprint form a duplicate group —
+    groups are PROFILE-keyed (grouped on (profile, fingerprint), same as
+    the oracle), so two distinct profiles that happened to produce
+    identical frame-sum signatures would stay separate rows. Frames key off
     ``doc_id % 24`` profiles (so true duplicates EXIST, the image-seed
     domain trick), and the decode pass runs per DISTINCT profile — the
     same distinct-collapse ``image_histogram`` uses: the clip DOMAIN is
@@ -2775,4 +2778,111 @@ ORACLES["multimodal_image_border"] = """
                  / (dt.w * dt.h)::DOUBLE * 1000000 + 0.5) / 1000000
                AS content_ratio6
     FROM documents d JOIN det dt ON dt.seed = d.doc_id % 16
+"""
+
+
+def image_entropy_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """Tonal-flatness QA via Rényi-2 (collision) statistics of the full
+    256-level luma histogram — the exposure/compression screen next to
+    ``multimodal_image_contrast`` (RMS spread) and
+    ``multimodal_image_histogram`` (16-bin shape): a near-constant image
+    (screenshot letterbox, synthetic fill) has collision probability near
+    1, a dithered/natural one near 1/256. Collision probability Σp² stays
+    EXACT as Σc² over count integers; no logs anywhere (the Shannon form
+    would drag libm cross-engine drift in — Rényi-2 and its inverse
+    'effective color count' carry the same ordering). Per doc: pixel
+    count, distinct luma values, collision micro Σc²·10⁶/n², and the
+    inverse-Simpson effective-support micro n²·10⁶/Σc².
+
+    Decode runs per DISTINCT seed profile (domain 16, the
+    ``video_fingerprint`` collapse — pixels depend only on the seed; the
+    per-doc filter type changes PNG bytes, not decoded values) and joins
+    back by seed; both divisions happen once, JVM-side, in the identical
+    operation order as the oracle.
+
+    Scale: |seeds| Arrow decodes, one broadcast join back, zero shuffles
+    over pixels."""
+    import numpy as np
+
+    docs = tables["documents"]
+    seeds = docs.select((F.col("doc_id") % 16).cast("int").alias("seed")).distinct()
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"seed": [], "n_px": [], "distinct_vals": [], "coll2": []}
+            for seed in pdf["seed"]:
+                seed = int(seed)
+                w = 8 + 4 * (seed % 5)
+                h = 8 + 4 * ((seed * 3) % 4)
+                px = _parse_png(_png_bytes(seed, w, h, filter_type=seed % 5))[
+                    "pixels"
+                ].astype(np.int64)[:, :, 0]
+                hist = np.bincount(px.ravel(), minlength=256)
+                out["seed"].append(seed)
+                out["n_px"].append(w * h)
+                out["distinct_vals"].append(int((hist > 0).sum()))
+                out["coll2"].append(int((hist.astype(np.int64) ** 2).sum()))
+            yield pd.DataFrame(out)
+
+    prof = seeds.mapInPandas(
+        gen, "seed int, n_px long, distinct_vals long, coll2 long"
+    )
+    n2 = F.col("n_px") * F.col("n_px")
+    return (
+        docs.select("doc_id", (F.col("doc_id") % 16).cast("int").alias("seed"))
+        .join(F.broadcast(prof), "seed")
+        .select(
+            "doc_id",
+            "seed",
+            "n_px",
+            "distinct_vals",
+            F.floor(
+                (F.col("coll2") * 1000000).cast("double") / n2.cast("double")
+                + 0.5
+            ).cast("long").alias("collision_micro"),
+            F.floor(
+                (n2 * 1000000).cast("double") / F.col("coll2").cast("double")
+                + 0.5
+            ).cast("long").alias("inv_simpson_micro"),
+        )
+    )
+
+
+QUERIES["multimodal_image_entropy"] = image_entropy_stats
+# Replays the generator's luma formula (seed*7 + 3x + 11y) % 256
+# arithmetically — the same replay _IMG_HIST_ORACLE uses, at full 256-level
+# resolution; a decoder fault shifts Σc² and breaks every doc row.
+ORACLES["multimodal_image_entropy"] = """
+    WITH s AS (SELECT DISTINCT (doc_id % 16) AS seed FROM documents),
+    dims AS (
+        SELECT seed, 8 + 4 * (seed % 5) AS w, 8 + 4 * ((seed * 3) % 4) AS h
+        FROM s
+    ),
+    sx AS (SELECT seed, h, unnest(range(w)) AS x FROM dims),
+    sxy AS (
+        SELECT sx.seed, sx.x, sy.y
+        FROM sx JOIN (SELECT seed, unnest(range(h)) AS y FROM dims) sy
+             ON sx.seed = sy.seed
+    ),
+    vals AS (
+        SELECT seed, (seed * 7 + 3 * x + 11 * y) % 256 AS v,
+               count(*)::BIGINT AS ct
+        FROM sxy GROUP BY 1, 2
+    ),
+    prof AS (
+        SELECT v.seed, d.w * d.h AS n_px,
+               count(*)::BIGINT AS distinct_vals,
+               sum(v.ct * v.ct)::BIGINT AS coll2
+        FROM vals v JOIN dims d ON d.seed = v.seed
+        GROUP BY 1, 2
+    )
+    SELECT doc.doc_id, prof.seed::INT AS seed, prof.n_px::BIGINT AS n_px,
+           prof.distinct_vals,
+           floor((prof.coll2 * 1000000)::DOUBLE
+                 / (prof.n_px * prof.n_px)::DOUBLE + 0.5)::BIGINT
+               AS collision_micro,
+           floor((prof.n_px * prof.n_px * 1000000)::DOUBLE
+                 / prof.coll2::DOUBLE + 0.5)::BIGINT AS inv_simpson_micro
+    FROM (SELECT doc_id, doc_id % 16 AS seed FROM documents) doc
+    JOIN prof ON prof.seed = doc.seed
 """

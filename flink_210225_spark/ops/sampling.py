@@ -1572,3 +1572,48 @@ ORACLES["sample_matched_pairs"] = """
     JOIN (SELECT * FROM r WHERE NOT is_case) k
       ON c.stratum = k.stratum AND c.rk = k.rk
 """
+
+
+def stratified_kfold(tables: dict[str, DataFrame], k: int = 5) -> DataFrame:
+    """Stratified k-fold assignment — the protocol sklearn's
+    StratifiedKFold implements, and what ``sample_kfold_assign`` (content
+    hash mod k; ±√n fold balance) deliberately is NOT: within each
+    language stratum, documents ordered by stable md5 priority take folds
+    round-robin, so every (stratum, fold) cell is balanced to ±1 document
+    — the requirement when a small language must appear in EVERY fold's
+    eval slice (hash-mod can starve a 30-doc stratum's fold entirely).
+    The trade mirrors ``stratified_exact_split`` vs ``hash_split``:
+    adding documents reshuffles ranks, so this is for frozen snapshots.
+    Output is the per-(lang, fold) audit the protocol reviewer reads:
+    exact cell count and the assignment-fingerprint doc_id sum (any rank
+    or fold drift moves it).
+
+    Plan: ONE per-stratum window sort on the digest (lang-keyed shuffle),
+    one map-side-combined rollup — no global sort, no joins; stratum
+    cardinality bounds the window key domain at any corpus size."""
+    docs = tables["documents"]
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        ((F.row_number().over(w) - 1) % F.lit(k)).cast("long").alias("fold"),
+    )
+    return base.groupBy("lang", "fold").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_doc_ids"),
+    )
+
+
+QUERIES["sample_stratified_kfold"] = stratified_kfold
+ORACLES["sample_stratified_kfold"] = """
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               (row_number() OVER (PARTITION BY lang
+                                   ORDER BY md5(text), doc_id) - 1) % 5
+                   AS fold
+        FROM documents
+    )
+    SELECT lang, fold::BIGINT AS fold, count(*)::BIGINT AS n_docs,
+           sum(doc_id)::BIGINT AS sum_doc_ids
+    FROM ranked GROUP BY 1, 2
+"""

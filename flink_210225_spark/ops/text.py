@@ -5195,16 +5195,17 @@ def source_overlap(tables: dict[str, DataFrame]) -> DataFrame:
     """Source-level vocabulary overlap matrix — the mixture diagnostic
     next to ``text_js_divergence`` (that one scores distribution distance
     between two corpora; THIS maps SET overlap across every source pair):
-    for each ordered source pair, the exact Jaccard of their token
-    vocabularies, the number the mixture planner reads to spot redundant
-    sources before assigning quotas (two sources sharing 90% vocabulary
-    rarely deserve independent budgets). Exact integers: per-source
-    distinct vocab via one (source, token) dedup agg; intersections via a
-    token-keyed self-join of the |sources × vocab| frame; the Jaccard is
-    ONE pinned division.
+    for each UNORDERED source pair (upper triangle, src_a < src_b), the
+    exact Jaccard of their token vocabularies, the number the mixture
+    planner reads to spot redundant sources before assigning quotas (two
+    sources sharing 90% vocabulary rarely deserve independent budgets).
+    Exact integers: per-source distinct vocab via one (source, token)
+    dedup agg; intersections via a token-keyed self-join of the
+    |sources × vocab| frame; the Jaccard is ONE pinned division.
 
     Plan: token-keyed shuffles over the DISTINCT (source, token) frame —
-    vocab-bounded, never corpus-bounded; the matrix is |sources|² rows."""
+    vocab-bounded, never corpus-bounded; the matrix is the
+    |s|·(|s|−1)/2-row upper triangle."""
     docs = tables["documents"]
     st = (
         docs.select("source", F.explode(tokens_col(F.col("text"))).alias("tok"))
@@ -5261,4 +5262,110 @@ ORACLES["text_source_overlap"] = f"""
     FROM inter i
     JOIN sizes sa ON sa.source = i.src_a
     JOIN sizes sb ON sb.source = i.src_b
+"""
+
+
+def ngram_coverage(tables: dict[str, DataFrame]) -> DataFrame:
+    """Train→eval bigram coverage — the LM generalization diagnostic that
+    sits between ``text_vocab_coverage`` (top-k UNIGRAM vocab OOV) and
+    ``dedup.ngram_novelty`` (first-occurrence novelty inside ONE corpus):
+    split the corpus into a train shard (doc_id % 10 < 8) and an eval
+    shard, build the per-language DISTINCT train bigram vocabulary, and
+    measure what fraction of each eval doc's distinct bigrams the train
+    shard has seen (micro-averaged over eval docs, per language). An
+    unseen-bigram rate spike per language is the classic under-sampled-
+    language smell in mixture planning. All counts exact integers; the
+    coverage ratio is ONE pinned micro division.
+
+    Plan: bigram-keyed left-semi-shaped join of the eval bigram stream
+    against the train vocab on (lang, bigram) — vocab-bounded shuffles,
+    map-side-combined counts, never a doc×doc shape."""
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.array_distinct(
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        "doc_id", "lang", (F.col("doc_id") % 10 < 8).alias("is_train"), bigrams.alias("bgs")
+    )
+    train_vocab = (
+        base.where("is_train")
+        .select("lang", F.explode("bgs").alias("bg"))
+        .distinct()
+    )
+    eval_bg = (
+        base.where(~F.col("is_train"))
+        .select("doc_id", "lang", F.explode("bgs").alias("bg"))
+    )
+    hits = eval_bg.join(
+        train_vocab.withColumn("seen", F.lit(1)), ["lang", "bg"], "left"
+    )
+    per_lang = hits.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_eval_docs"),
+        F.count("*").cast("long").alias("eval_bigrams"),
+        F.sum(F.coalesce(F.col("seen"), F.lit(0))).cast("long").alias("covered"),
+    )
+    vocab_sizes = train_vocab.groupBy("lang").agg(
+        F.count("*").cast("long").alias("train_vocab")
+    )
+    return per_lang.join(vocab_sizes, "lang").select(
+        "lang",
+        "train_vocab",
+        "n_eval_docs",
+        "eval_bigrams",
+        "covered",
+        F.floor(
+            F.col("covered").cast("double") / F.col("eval_bigrams").cast("double")
+            * 1000000
+            + 0.5
+        ).cast("long").alias("coverage_micro"),
+    )
+
+
+QUERIES["text_ngram_coverage"] = ngram_coverage
+# Same whitespace tokens; DuckDB range(len-1) is empty for <2-token docs,
+# matching the Spark guard; every eval doc has ≥2 tokens in the fixtures so
+# eval_bigrams > 0 per lang (the division never sees a zero).
+ORACLES["text_ngram_coverage"] = """
+    WITH base AS (
+        SELECT doc_id, lang, (doc_id % 10 < 8) AS is_train,
+               list_distinct(list_transform(
+                   range(len(regexp_split_to_array(trim(text), '\\s+')) - 1),
+                   i -> regexp_split_to_array(trim(text), '\\s+')[i + 1]
+                        || ' ' ||
+                        regexp_split_to_array(trim(text), '\\s+')[i + 2]
+               )) AS bgs
+        FROM documents
+    ),
+    tv AS (
+        SELECT DISTINCT lang, unnest(bgs) AS bg FROM base WHERE is_train
+    ),
+    ev AS (
+        SELECT doc_id, lang, unnest(bgs) AS bg FROM base WHERE NOT is_train
+    ),
+    hits AS (
+        SELECT ev.lang, ev.doc_id,
+               CASE WHEN tv.bg IS NULL THEN 0 ELSE 1 END AS seen
+        FROM ev LEFT JOIN tv ON tv.lang = ev.lang AND tv.bg = ev.bg
+    ),
+    pl AS (
+        SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_eval_docs,
+               count(*)::BIGINT AS eval_bigrams,
+               sum(seen)::BIGINT AS covered
+        FROM hits GROUP BY 1
+    ),
+    vs AS (SELECT lang, count(*)::BIGINT AS train_vocab FROM tv GROUP BY 1)
+    SELECT pl.lang, vs.train_vocab, pl.n_eval_docs, pl.eval_bigrams,
+           pl.covered,
+           floor(pl.covered::DOUBLE / pl.eval_bigrams::DOUBLE * 1000000
+                 + 0.5)::BIGINT AS coverage_micro
+    FROM pl JOIN vs ON vs.lang = pl.lang
 """

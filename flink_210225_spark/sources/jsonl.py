@@ -446,3 +446,97 @@ ORACLES["source_xml_records"] = """
                     0)::BIGINT AS total_cents
     FROM orders GROUP BY 1
 """
+
+
+def orc_roundtrip_counts(tables: dict[str, DataFrame]) -> DataFrame:
+    """ORC round trip — Spark's OTHER native columnar format (reference
+    scope: lake sources beyond parquet; gmall lands ODS in both). A real
+    ``.write.orc`` / ``.read.orc`` cycle over long / string / timestamp
+    columns, then a per-status rollup — any type-fidelity defect in the
+    ORC writer/reader (timestamp epoch shift, string truncation, long
+    narrowing) changes the aggregate and breaks the parquet-replay oracle.
+
+    Scale: ORC is splittable and predicate-pushdown-capable like parquet;
+    the scan stays columnar — this gates the FORMAT, the plan is one
+    map-side-combined groupBy."""
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    o = tables["orders"]
+    spark = o.sparkSession
+    out = _scratch(prefix="orc_src_")
+    o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "o_orderdate",
+    ).write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    day = F.date_format("o_orderdate", "yyyyMMdd").cast("long")
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.min(day).alias("first_day"),
+        F.max(day).alias("last_day"),
+    )
+
+
+QUERIES["source_orc_roundtrip"] = orc_roundtrip_counts
+# Replay from parquet: the ORC cycle must be value-neutral for every column.
+ORACLES["source_orc_roundtrip"] = """
+    SELECT o_orderstatus AS status,
+           count(*)::BIGINT AS n_rows,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents,
+           min(strftime(o_orderdate, '%Y%m%d')::BIGINT) AS first_day,
+           max(strftime(o_orderdate, '%Y%m%d')::BIGINT) AS last_day
+    FROM orders GROUP BY 1
+"""
+
+
+def partition_prune_counts(tables: dict[str, DataFrame]) -> DataFrame:
+    """Hive-style partition discovery + static partition pruning — the
+    single biggest scan-cost lever at 100 TB (a day/type-partitioned lake
+    table answers a two-type query by LISTING two directories, no data
+    touched elsewhere). Events land partitioned by (event_type, day);
+    the read filters two types — Spark resolves the filter against the
+    DISCOVERED partition columns so only matching directories are ever
+    scanned (tests/test_plans.py pins PartitionFilters on this exact
+    query). day survives the directory round trip as an int partition
+    value; the rollup folds both partition columns back in.
+
+    Scale: pruning is metadata-only (driver directory listing); the result
+    is one map-side-combined groupBy over the surviving partitions."""
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    ev = tables["events"]
+    spark = ev.sparkSession
+    out = _scratch(prefix="partsrc_")
+    ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "event_type",
+        F.date_format("ts", "yyyyMMdd").cast("int").alias("day"),
+    ).write.mode("overwrite").partitionBy("event_type", "day").parquet(out)
+    back = spark.read.parquet(out)
+    pruned = back.where(F.col("event_type").isin("click", "purchase"))
+    return pruned.groupBy("event_type", F.col("day").cast("long").alias("day")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+QUERIES["source_partition_prune"] = partition_prune_counts
+# Replay from parquet: only the two surviving partitions' rows count.
+ORACLES["source_partition_prune"] = """
+    SELECT event_type,
+           strftime(ts, '%Y%m%d')::BIGINT AS day,
+           count(*)::BIGINT AS n_rows,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1, 2
+"""

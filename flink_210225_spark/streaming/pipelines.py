@@ -551,12 +551,24 @@ def merge_cell_counts_batch(
     # PER MICRO-BATCH, where a python-list createDataFrame costs a full
     # 32-task Python-worker fan-out per action (see io.one_row_df).
     _pairs = sorted(train_sizes.items())
-    _cells = F.array(*[F.lit(int(c)) for c, _ in _pairs])
-    _cts = F.array(*[F.lit(int(n)) for _, n in _pairs])
-    train = spark.range(len(_pairs)).select(
-        F.element_at(_cells, (F.col("id") + 1).cast("int")).cast("int").alias("cell"),
-        F.element_at(_cts, (F.col("id") + 1).cast("int")).cast("long").alias("train_ct"),
-    )
+    if _pairs:
+        _cells = F.array(*[F.lit(int(c)) for c, _ in _pairs])
+        _cts = F.array(*[F.lit(int(n)) for _, n in _pairs])
+        train = spark.range(len(_pairs)).select(
+            F.element_at(_cells, (F.col("id") + 1).cast("int"))
+            .cast("int")
+            .alias("cell"),
+            F.element_at(_cts, (F.col("id") + 1).cast("int"))
+            .cast("long")
+            .alias("train_ct"),
+        )
+    else:
+        # zero-arg F.array() would be array<void> — build a TYPED empty
+        # frame instead of relying on NullType->int cast analysis
+        train = spark.range(0).select(
+            F.lit(0).cast("int").alias("cell"),
+            F.lit(0).cast("long").alias("train_ct"),
+        )
     joined = train.join(obs, "cell", "full").select(
         "cell",
         F.coalesce("train_ct", F.lit(0)).alias("train_ct"),

@@ -216,6 +216,33 @@ BNLJ_MUST_BE_VISIBLE = {
 }
 
 
+# The four CARTESIAN_OK members whose BNLJ is legitimately invisible in the
+# returned frame's executed plan — each with its dedicated pin named in the
+# BNLJ_MUST_BE_VISIBLE comment above. A NEW CARTESIAN_OK entry must be
+# classified into exactly one of the two sets or the consistency test fails.
+BNLJ_CHECKPOINT_HIDDEN = {
+    "sim_triplet_mining",  # checkpoint=False test below
+    "sim_contrastive_pairs",  # checkpoint=False test below
+    "sim_ann_recall_audit",  # composes visible-checked sim_cosine_topk
+    "sim_mutual_knn_clusters",  # composes visible-checked sim_knn_graph
+}
+
+
+def test_bnlj_allowlists_mutually_consistent():
+    """The three BNLJ lists stay consistent mechanically (VERDICT r6 §6):
+    every CARTESIAN_OK member is either must-be-visible or documented as
+    checkpoint-hidden, never both, never neither — so a new allowlist
+    entry cannot silently skip the runtime bound discipline."""
+    assert BNLJ_MUST_BE_VISIBLE <= CARTESIAN_OK
+    assert BNLJ_CHECKPOINT_HIDDEN <= CARTESIAN_OK
+    assert not (BNLJ_MUST_BE_VISIBLE & BNLJ_CHECKPOINT_HIDDEN)
+    unclassified = CARTESIAN_OK - BNLJ_MUST_BE_VISIBLE - BNLJ_CHECKPOINT_HIDDEN
+    assert not unclassified, (
+        f"CARTESIAN_OK entries missing a visibility classification: "
+        f"{sorted(unclassified)}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(CARTESIAN_OK))
 def test_cartesian_ok_broadcast_side_bounded(name, spark):
     """The allowlist's 'bounded' claim, checked mechanically: execute each
@@ -300,3 +327,22 @@ def test_registry_names_unique_across_modules():
     dups = {k: v for k, v in counts.items() if v > 1}
     assert not dups, dups
     assert len(reg) == sum(counts.values())
+
+
+def test_partition_prune_static_partition_filters(tables):
+    """source_partition_prune's whole point: the event_type IN (...) filter
+    must resolve against the DISCOVERED hive partition columns and appear
+    as a scan PartitionFilter (metadata-only directory pruning), never as
+    a post-scan data filter over all partitions."""
+    from flink_210225_spark.sources.jsonl import partition_prune_counts
+
+    plan = (
+        partition_prune_counts(tables)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = plan[plan.index("PartitionFilters: [") :]
+    head = scan[: scan.index("]")]
+    assert "event_type" in head, head
+    assert "PartitionCount" in plan or "partition" in plan.lower(), plan[:500]
