@@ -2492,3 +2492,126 @@ ORACLES["window_page_hinkley"] = """
         FROM ph
     ) WHERE rn = 1
 """
+
+
+def runs_test(tables: dict[str, DataFrame]) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily-GMV delta signs, per order
+    priority — the randomness screen that belongs next to
+    ``window_mann_kendall`` (monotone trend) and ``window_autocorr``
+    (linear memory): too FEW runs of consecutive up/down days means
+    momentum/regimes, too MANY means oscillation; either breaks the
+    i.i.d. assumption every naive daily-KPI control chart makes. Signs
+    come from exact integer cent deltas (zero deltas dropped, the
+    textbook treatment); n_plus/n_minus/n_runs are exact integers, and
+    the z-score z = (R − μ)/σ with μ = 2ab/(a+b) + 1,
+    σ² = 2ab(2ab−a−b)/((a+b)²(a+b−1)) is evaluated in ONE identical
+    floating expression on both engines, pinned to micro.
+
+    Plan: one day-grain partial agg off the orders scan, one
+    calendar-bounded lag window for deltas, one more for run starts, one
+    per-priority rollup — all windows run on the |days| series, never on
+    order rows."""
+    o = tables["orders"]
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        )
+    )
+    wd = Window.partitionBy("priority").orderBy("day")
+    signed = (
+        daily.select(
+            "priority",
+            "day",
+            (F.col("cents") - F.lag("cents").over(wd)).alias("delta"),
+        )
+        .where(F.col("delta").isNotNull() & (F.col("delta") != 0))
+        .select("priority", "day", (F.col("delta") > 0).cast("int").alias("sgn"))
+    )
+    ws = Window.partitionBy("priority").orderBy("day")
+    runs = signed.select(
+        "priority",
+        "sgn",
+        F.when(
+            F.lag("sgn").over(ws).isNull()
+            | (F.col("sgn") != F.lag("sgn").over(ws)),
+            1,
+        )
+        .otherwise(0)
+        .alias("run_start"),
+    )
+    agg = runs.groupBy("priority").agg(
+        F.sum("sgn").cast("long").alias("n_plus"),
+        F.sum(1 - F.col("sgn")).cast("long").alias("n_minus"),
+        F.sum("run_start").cast("long").alias("n_runs"),
+    )
+    a = F.col("n_plus").cast("double")
+    b = F.col("n_minus").cast("double")
+    r = F.col("n_runs").cast("double")
+    mu = 2.0 * a * b / (a + b) + 1.0
+    var = (
+        2.0 * a * b * (2.0 * a * b - a - b)
+        / ((a + b) * (a + b) * (a + b - 1.0))
+    )
+    return agg.select(
+        "priority",
+        "n_plus",
+        "n_minus",
+        "n_runs",
+        F.when(
+            (F.col("n_plus") > 0) & (F.col("n_minus") > 0),
+            F.floor((r - mu) / F.sqrt(var) * 1000000 + 0.5),
+        ).cast("long").alias("z_micro"),
+    )
+
+
+QUERIES["window_runs_test"] = runs_test
+# Same exact-cent daily series; the float z expression is written in the
+# identical operation order (2ab products, one sqrt, one division).
+ORACLES["window_runs_test"] = """
+    WITH daily AS (
+        SELECT o_orderpriority AS priority, o_orderdate::DATE AS day,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    signed AS (
+        SELECT priority, day,
+               CASE WHEN delta > 0 THEN 1 ELSE 0 END AS sgn
+        FROM (
+            SELECT priority, day,
+                   cents - lag(cents) OVER (PARTITION BY priority ORDER BY day)
+                       AS delta
+            FROM daily
+        )
+        WHERE delta IS NOT NULL AND delta != 0
+    ),
+    runs AS (
+        SELECT priority, sgn,
+               CASE WHEN lag(sgn) OVER (PARTITION BY priority ORDER BY day)
+                         IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS run_start
+        FROM (SELECT *, day FROM signed)
+    ),
+    agg AS (
+        SELECT priority,
+               sum(sgn)::BIGINT AS n_plus,
+               sum(1 - sgn)::BIGINT AS n_minus,
+               sum(run_start)::BIGINT AS n_runs
+        FROM runs GROUP BY 1
+    )
+    SELECT priority, n_plus, n_minus, n_runs,
+           CASE WHEN n_plus > 0 AND n_minus > 0 THEN
+               floor((n_runs::DOUBLE
+                      - (2.0 * n_plus::DOUBLE * n_minus::DOUBLE
+                         / (n_plus::DOUBLE + n_minus::DOUBLE) + 1.0))
+                     / sqrt(2.0 * n_plus::DOUBLE * n_minus::DOUBLE
+                            * (2.0 * n_plus::DOUBLE * n_minus::DOUBLE
+                               - n_plus::DOUBLE - n_minus::DOUBLE)
+                            / ((n_plus::DOUBLE + n_minus::DOUBLE)
+                               * (n_plus::DOUBLE + n_minus::DOUBLE)
+                               * (n_plus::DOUBLE + n_minus::DOUBLE - 1.0)))
+                     * 1000000 + 0.5)::BIGINT
+           END AS z_micro
+    FROM agg
+"""

@@ -2886,3 +2886,86 @@ ORACLES["multimodal_image_entropy"] = """
     FROM (SELECT doc_id, doc_id % 16 AS seed FROM documents) doc
     JOIN prof ON prof.seed = doc.seed
 """
+
+
+def audio_snr_estimate(tables: dict[str, DataFrame], frame: int = 32) -> DataFrame:
+    """Frame-energy SNR estimate — the speech-curation screen that ranks
+    clips by how far their loudest activity sits above their quietest
+    frame (a proxy noise floor; Silero/VAD-style pipelines gate on
+    exactly this before spending ASR compute). The REAL WAV container
+    round-trips through the stdlib parser; per clip the 32-sample FULL
+    frames (tails dropped — unequal-length energies don't compare) carry
+    exact integer energies Σs², and the report is the exact max/min
+    frame energy plus snr_db = 10·log₁₀(e_max/e_min) evaluated in the
+    identical op order both engines (the ``audio_gain_plan`` float
+    contract), zero-floor-guarded.
+
+    Plan: one shuffle-free Arrow decode pass (≤250-sample clips), energy
+    extrema fold inside the task; JVM-side scalar math after."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id", (F.col("n_chars") % 200 + 50).cast("int").alias("n")
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"asset_id": [], "n_frames": [], "e_max": [], "e_min": []}
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                s = _parse_wav(_wav_bytes(int(doc_id), int(n)))["samples"]
+                nf = len(s) // frame
+                e = (
+                    (s[: nf * frame].astype(np.int64).reshape(nf, frame) ** 2)
+                    .sum(axis=1)
+                )
+                out["asset_id"].append(int(doc_id))
+                out["n_frames"].append(nf)
+                out["e_max"].append(int(e.max()))
+                out["e_min"].append(int(e.min()))
+            yield pd.DataFrame(out)
+
+    dec = base.mapInPandas(
+        gen, "asset_id long, n_frames long, e_max long, e_min long"
+    )
+    snr = F.when(
+        F.col("e_min") > 0,
+        10.0
+        * F.log(F.col("e_max").cast("double") / F.col("e_min").cast("double"))
+        / F.log(F.lit(10.0)),
+    )
+    return dec.select(
+        "asset_id", "n_frames", "e_max", "e_min", round6(snr).alias("snr_db")
+    )
+
+
+QUERIES["multimodal_audio_snr"] = audio_snr_estimate
+# Replays the PCM formula per 32-sample full frame; the log ratio is the
+# same single-division-single-log float expression as the Spark side.
+ORACLES["multimodal_audio_snr"] = """
+    WITH a AS (
+        SELECT doc_id, (n_chars % 200 + 50)::BIGINT AS n FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, n, unnest(range(n // 32)) AS f FROM a
+    ),
+    fe AS (
+        SELECT doc_id, n, f,
+               list_sum(list_transform(range(f * 32, (f + 1) * 32),
+                   k -> ((((doc_id * 31 + k * 7) % 256) - 128) * 256)
+                        * ((((doc_id * 31 + k * 7) % 256) - 128) * 256)))::BIGINT
+                   AS e
+        FROM fr
+    ),
+    agg AS (
+        SELECT doc_id AS asset_id, (max(n) // 32)::BIGINT AS n_frames,
+               max(e)::BIGINT AS e_max, min(e)::BIGINT AS e_min
+        FROM fe GROUP BY 1
+    )
+    SELECT asset_id, n_frames, e_max, e_min,
+           CASE WHEN e_min > 0 THEN
+               floor(10.0 * ln(e_max::DOUBLE / e_min::DOUBLE) / ln(10.0)
+                     * 1000000 + 0.5) / 1000000
+           END AS snr_db
+    FROM agg
+"""

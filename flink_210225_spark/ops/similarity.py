@@ -3214,3 +3214,202 @@ ORACLES["sim_hubness_audit"] = """
     LEFT JOIN ind i USING (node)
     GROUP BY 1
 """
+
+
+def kmeans_exact(tables: dict[str, DataFrame], k: int = 8, dim: int = 64) -> DataFrame:
+    """Deterministic exact-integer Lloyd k-means — the HASH-GATED twin of
+    the rows-only IVF family's coarse quantizer (``ivf_assign`` trains the
+    same loop in float64; this one is bit-exactly replayable cross-engine,
+    so the driver's value hash finally covers the clustering kernel
+    itself, not just its invariant audits). Everything lives on the
+    integer grid: components quantize to floor(x·10⁴ + 0.5) BEFORE any
+    arithmetic (the ``sim_knn_graph`` trick — squared L2 ≤ 64·(1.2e4)²
+    ≈ 9e9, exact in int64 AND float64), init is the k smallest vec_ids
+    (MLlib's deterministic-seed analog), assignment ties break to the
+    smallest cluster index, and the centroid update ROUNDS to the grid:
+    c ← floor((2S + n)/(2n)) per coordinate (true floor division — exact
+    half-up mean rounding, no float mean ever exists). Two assignment
+    rounds, one update between them; the report is the final clustering's
+    per-cluster size, EXACT integer inertia, and the centroid's L1 mass +
+    md5-head fingerprint (any coordinate drift anywhere breaks it).
+
+    Scale shape (MLlib parity): centroids are the only driver state
+    (k × dim ints, a broadcast dim table); each round is ONE Arrow pass
+    emitting k×dim partial (sum, count) rows per batch — map-side
+    combined, no corpus shuffle; the final stats are one cell-keyed agg
+    plus an 8-row broadcast join.
+
+    Reference: datastream keyed-agg parity (gmall DAU-style rollups are
+    the same broadcast-state + partial-agg shape); Lloyd 1982."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark import StorageLevel
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _q(mat: "np.ndarray") -> "np.ndarray":
+        return np.floor(mat * 10_000 + 0.5).astype(np.int64)
+
+    c0 = _q(
+        np.array(
+            emb.where(F.col("vec_id") < k)
+            .orderBy("vec_id")
+            .select("embedding")
+            .toPandas()["embedding"]
+            .tolist(),
+            dtype=np.float64,
+        )
+    )
+
+    def partials_pass(cent):
+        def gen(it: "pd.DataFrame"):
+            for pdf in it:
+                mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                q = _q(mat)
+                d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                cell = d.argmin(axis=1)
+                rows = {"j": [], "i": [], "s": [], "n": []}
+                for j in range(cent.shape[0]):
+                    m = cell == j
+                    if m.any():
+                        s = q[m].sum(axis=0)
+                        nm = int(m.sum())
+                        for i in range(cent.shape[1]):
+                            rows["j"].append(j)
+                            rows["i"].append(i)
+                            rows["s"].append(int(s[i]))
+                            rows["n"].append(nm)
+                yield pd.DataFrame(rows)
+
+        return gen
+
+    parts = (
+        emb.mapInPandas(partials_pass(c0), "j int, i int, s long, n long")
+        .groupBy("j", "i")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .toPandas()
+    )
+    c1 = c0.copy()
+    for j in range(k):
+        pj = parts[parts["j"] == j].sort_values("i")
+        if len(pj):
+            s = pj["s"].to_numpy(dtype=np.int64)
+            n = int(pj["n"].iloc[0])
+            c1[j] = (2 * s + n) // (2 * n)  # numpy // is true floor
+
+    def final_pass(cent):
+        def gen(it: "pd.DataFrame"):
+            for pdf in it:
+                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                q = _q(mat)
+                d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                cell = d.argmin(axis=1)
+                dist = d[np.arange(len(ids)), cell]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "cell": cell.astype(np.int64),
+                        "dist": dist.astype(np.int64),
+                    }
+                )
+
+        return gen
+
+    assigned = emb.mapInPandas(final_pass(c1), "vec_id long, cell long, dist long")
+    spark = emb.sparkSession
+    cstats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cell": list(range(k)),
+                "c_l1": [int(np.abs(c1[j]).sum()) for j in range(k)],
+                "cstr": [",".join(str(int(v)) for v in c1[j]) for j in range(k)],
+            }
+        ),
+        "cell long, c_l1 long, cstr string",
+    )
+    agg = assigned.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("dist").cast("long").alias("inertia"),
+    )
+    return agg.join(F.broadcast(cstats), "cell").select(
+        F.col("cell").alias("cluster"),
+        "n_vecs",
+        "inertia",
+        "c_l1",
+        F.conv(F.substring(F.md5("cstr"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("c_hash"),
+    )
+
+
+QUERIES["sim_kmeans_exact"] = kmeans_exact
+# Full quadratic replay: 2 assignment rounds over the (vec × centroid)
+# table, the SAME grid-rounded centroid update ((2S+n) // (2n) floors on
+# both engines), smallest-j tie-break, exact integer inertia. DuckDB ^ is
+# float pow — squared deltas are spelled (a-b)*(a-b).
+ORACLES["sim_kmeans_exact"] = """
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   v -> floor(v::DOUBLE * 10000 + 0.5)::BIGINT) AS x
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS j, x AS c FROM q WHERE vec_id < 8),
+    d1 AS (
+        SELECT q.vec_id, q.x, c0.j,
+               list_sum(list_transform(range(64),
+                   i -> (q.x[i + 1] - c0.c[i + 1])
+                        * (q.x[i + 1] - c0.c[i + 1])))::BIGINT AS d
+        FROM q CROSS JOIN c0
+    ),
+    a1 AS (
+        SELECT vec_id, x, j FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j)
+                       AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ),
+    sums AS (
+        SELECT a1.j, ix.i, sum(a1.x[ix.i + 1])::BIGINT AS s,
+               count(*)::BIGINT AS n
+        FROM a1 CROSS JOIN (SELECT unnest(range(64)) AS i) ix
+        GROUP BY 1, 2
+    ),
+    news AS (
+        -- TRUE floor of (2s+n)/(2n): DuckDB // truncates toward zero on
+        -- negative numerators (numpy // floors) — the double division is
+        -- exact enough (|2s+n| ≤ 2.6e7, quotient ≥ 1/(2n) from any
+        -- integer), so floor() is safe
+        SELECT j, list(floor((2 * s + n)::DOUBLE / (2 * n)::DOUBLE)::BIGINT
+                       ORDER BY i) AS c
+        FROM sums GROUP BY j
+    ),
+    c1 AS (
+        SELECT c0.j, coalesce(news.c, c0.c) AS c
+        FROM c0 LEFT JOIN news USING (j)
+    ),
+    d2 AS (
+        SELECT q.vec_id, c1.j,
+               list_sum(list_transform(range(64),
+                   i -> (q.x[i + 1] - c1.c[i + 1])
+                        * (q.x[i + 1] - c1.c[i + 1])))::BIGINT AS d
+        FROM q CROSS JOIN c1
+    ),
+    a2 AS (
+        SELECT vec_id, j, d FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j)
+                       AS rn
+            FROM d2
+        ) WHERE rn = 1
+    )
+    SELECT a2.j AS cluster, count(*)::BIGINT AS n_vecs,
+           sum(a2.d)::BIGINT AS inertia,
+           list_sum(list_transform(c1.c, v -> abs(v)))::BIGINT AS c_l1,
+           ('0x' || substr(md5(array_to_string(c1.c, ',')), 1, 8))
+               ::UBIGINT::BIGINT AS c_hash
+    FROM a2 JOIN c1 ON c1.j = a2.j
+    GROUP BY a2.j, c_l1, c_hash
+"""

@@ -5369,3 +5369,84 @@ ORACLES["text_ngram_coverage"] = """
                  + 0.5)::BIGINT AS coverage_micro
     FROM pl JOIN vs ON vs.lang = pl.lang
 """
+
+
+def langid_calibration(tables: dict[str, DataFrame]) -> DataFrame:
+    """Confidence calibration of the stopword-vote language classifier —
+    the reliability diagram every production router needs next to its
+    confusion matrix (``text_langid_confusion`` says WHERE it errs; this
+    says whether its CONFIDENCE can gate anything): vote margin (winner
+    hits − runner-up hits, the classifier's only native confidence
+    signal) buckets documents, and each bucket reports exact accuracy
+    against the fixture's true ``lang``. A well-calibrated margin shows
+    monotone accuracy; a flat curve means the margin is noise and the
+    'route low-confidence docs to the expensive model' pattern is
+    unfounded. Everything integer; accuracy is ONE pinned micro division.
+
+    Plan: per-row vote expressions inside codegen (same envelope as
+    ``text_lang_id``), one map-side-combined rollup over ≤6 buckets."""
+    docs = tables["documents"]
+    toks = tokens_col(F.col("text"))
+    base = docs.select("doc_id", "lang", toks.alias("toks"))
+
+    def hits(sw):
+        return F.size(F.filter(F.col("toks"), lambda t: t.isin(*sw)))
+
+    scored = base.select(
+        "doc_id",
+        "lang",
+        _pred_lang_expr(F.col("toks")).alias("pred"),
+        F.sort_array(
+            F.array(*[hits(sw) for sw in LANG_STOPWORDS.values()]),
+            asc=False,
+        ).alias("votes"),
+    ).select(
+        "lang",
+        "pred",
+        F.least(
+            (F.col("votes")[0] - F.col("votes")[1]).cast("long"), F.lit(5)
+        ).alias("margin_bucket"),
+    )
+    return scored.groupBy("margin_bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("pred") == F.col("lang")).cast("long"))
+        .cast("long")
+        .alias("n_correct"),
+        F.floor(
+            F.sum((F.col("pred") == F.col("lang")).cast("long")).cast("double")
+            / F.count("*").cast("double")
+            * 1000000
+            + 0.5
+        ).cast("long").alias("accuracy_micro"),
+    )
+
+
+QUERIES["text_langid_calibration"] = langid_calibration
+ORACLES["text_langid_calibration"] = f"""
+    WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS en,
+               len(list_filter(toks, t -> t IN ('el','la','de','y','que'))) AS es,
+               len(list_filter(toks, t -> t IN ('der','die','das','und','zu'))) AS de,
+               len(list_filter(toks, t -> t IN ('le','la','les','et','de'))) AS fr
+        FROM t
+    ),
+    scored AS (
+        SELECT lang,
+               CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                    WHEN en = greatest(en, es, de, fr) THEN 'en'
+                    WHEN es = greatest(en, es, de, fr) THEN 'es'
+                    WHEN de = greatest(en, es, de, fr) THEN 'de'
+                    ELSE 'fr' END AS pred,
+               least(list_sort([en, es, de, fr], 'DESC')[1]
+                     - list_sort([en, es, de, fr], 'DESC')[2], 5)::BIGINT
+                   AS margin_bucket
+        FROM s
+    )
+    SELECT margin_bucket, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+           floor(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE * 1000000 + 0.5)::BIGINT AS accuracy_micro
+    FROM scored GROUP BY 1
+"""

@@ -479,3 +479,57 @@ ORACLES["sql_unpivot"] = """
     UNION ALL SELECT status, 'p2', p2 FROM wide
     UNION ALL SELECT status, 'p3', p3 FROM wide
 """
+
+
+HOF_SQL = """
+    WITH t AS (
+        SELECT doc_id, split(trim(text), '\\\\s+') AS toks
+        FROM {view}
+    )
+    SELECT doc_id,
+           size(filter(toks, t -> length(t) > 4)) AS n_long,
+           aggregate(toks, 0L, (acc, t) -> acc + length(t)) AS n_chars,
+           CAST(exists(toks, t -> t = 'the') AS BOOLEAN) AS has_the,
+           size(array_distinct(transform(toks, t -> substring(t, 1, 1))))
+               AS n_initials,
+           reduce(toks, 0L,
+                  (acc, t) -> acc + CASE WHEN length(t) % 2 = 0 THEN 1 ELSE 0 END,
+                  acc -> acc * 10) AS even_len_x10
+    FROM t
+"""
+
+
+def _hof_arrays_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """Spark SQL higher-order-function grammar as ONE spark.sql TEXT —
+    lambda expressions inside SQL (filter/aggregate/exists/transform and
+    reduce WITH a finish lambda), the surface a SQL-first user hits long
+    before the DataFrame API. The DuckDB oracle replays each lambda with
+    its list_* twins (list_filter/list_sum/list_transform — reduce's
+    finish step is plain arithmetic there), so the hash gates lambda
+    SEMANTICS (per-element eval order, empty-array identity, integer
+    accumulation) while the Spark side gates the GRAMMAR. All counts
+    exact integers; zero shuffles — the whole thing rides the scan
+    projection."""
+    docs = tables["documents"]
+    docs.createOrReplaceTempView("documents_view_sql_hof")
+    return docs.sparkSession.sql(HOF_SQL.format(view="documents_view_sql_hof"))
+
+
+QUERIES["sql_hof_arrays"] = _hof_arrays_sql_q
+ORACLES["sql_hof_arrays"] = """
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(toks, t -> length(t) > 4))::INT AS n_long,
+           coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::BIGINT
+               AS n_chars,
+           (len(list_filter(toks, t -> t = 'the')) > 0) AS has_the,
+           len(list_distinct(list_transform(toks, t -> t[1:1])))::INT
+               AS n_initials,
+           (coalesce(list_sum(list_transform(toks,
+                t -> CASE WHEN length(t) % 2 = 0 THEN 1 ELSE 0 END)), 0)
+            * 10)::BIGINT AS even_len_x10
+    FROM t
+"""
