@@ -440,3 +440,108 @@ ORACLES = {
          AND (h.valid_to IS NULL OR o.at_ts < h.valid_to)
     """,
 }
+
+
+def log_compaction_demo(tables: dict[str, DataFrame]) -> DataFrame:
+    """CDC log compaction — Kafka compacted-topic / Debezium-materialization
+    semantics (reference: the dim upsert path, MyKafkaUtils.java:24-56 +
+    DimSinkFunction's latest-row-wins table): an ORDERED change log holds
+    several operations PER KEY (insert, then update, then delete, then a
+    re-insert of the same key), and materialization keeps only each key's
+    latest operation, dropping keys whose latest op is a delete. Where
+    ``warehouse_merge_upsert`` gates ONE merge of a change batch and
+    ``cdc_scd2_history`` keeps every version, THIS gates the fold order —
+    a compactor that applies ops out of sequence resurrects deleted rows
+    or loses re-inserts (custkey % 51 keys here die in seq 2 and return
+    in seq 3, so both failure modes flip the aggregate).
+
+    Plan: one union of the log arms (all projections off the same scan),
+    ONE key-partitioned window to rank seq descending, one rollup — the
+    latest-wins shuffle keys on the dim key exactly like the reference's
+    upsert sink; at 100 TB the log is partition-pruned by ingest date
+    before compaction ever shuffles."""
+    c = tables["customer"]
+    bal = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    base = c.select("c_custkey", "c_mktsegment", bal.alias("bal_cents"))
+    ins = base.select(
+        "c_custkey",
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("c_mktsegment").alias("segment"),
+        "bal_cents",
+    )
+    upd = (
+        base.where(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            F.lit(2).alias("seq"),
+            F.lit("U").alias("op"),
+            F.lit("UPDATED").alias("segment"),
+            (F.col("bal_cents") + 1000).alias("bal_cents"),
+        )
+    )
+    dele = (
+        base.where(F.col("c_custkey") % 17 == 0)
+        .select(
+            "c_custkey",
+            F.lit(3).alias("seq"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("string").alias("segment"),
+            F.lit(None).cast("long").alias("bal_cents"),
+        )
+    )
+    reins = (
+        base.where(F.col("c_custkey") % 51 == 0)
+        .select(
+            "c_custkey",
+            F.lit(4).alias("seq"),
+            F.lit("I").alias("op"),
+            F.lit("REBORN").alias("segment"),
+            (F.col("c_custkey") * 10).cast("long").alias("bal_cents"),
+        )
+    )
+    log = ins.unionByName(upd).unionByName(dele).unionByName(reins)
+    w = Window.partitionBy("c_custkey").orderBy(F.col("seq").desc())
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    return latest.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("sum_keys"),
+        F.sum("bal_cents").cast("long").alias("sum_bal_cents"),
+    )
+
+
+QUERIES["cdc_log_compaction"] = log_compaction_demo
+ORACLES["cdc_log_compaction"] = """
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment,
+               floor(c_acctbal * 100 + 0.5)::BIGINT AS bal_cents
+        FROM customer
+    ),
+    log AS (
+        SELECT c_custkey, 1 AS seq, 'I' AS op, c_mktsegment AS segment,
+               bal_cents FROM base
+        UNION ALL
+        SELECT c_custkey, 2, 'U', 'UPDATED', bal_cents + 1000
+        FROM base WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, 3, 'D', NULL, NULL
+        FROM base WHERE c_custkey % 17 = 0
+        UNION ALL
+        SELECT c_custkey, 4, 'I', 'REBORN', c_custkey * 10
+        FROM base WHERE c_custkey % 51 = 0
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                         ORDER BY seq DESC) AS rn
+            FROM log
+        ) WHERE rn = 1 AND op != 'D'
+    )
+    SELECT segment, count(*)::BIGINT AS n_rows,
+           sum(c_custkey)::BIGINT AS sum_keys,
+           sum(bal_cents)::BIGINT AS sum_bal_cents
+    FROM latest GROUP BY segment
+"""

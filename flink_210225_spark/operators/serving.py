@@ -2060,3 +2060,92 @@ ORACLES["serving_gmv_bridge"] = """
                / 1000000 AS move_share6
     FROM d WHERE abs_total > 0
 """
+
+
+def repeat_gmv(tables: dict[str, DataFrame]) -> DataFrame:
+    """New-vs-returning GMV split per month — the acquisition/retention
+    revenue decomposition every commerce dashboard shows next to the raw
+    GMV line (``serving_gmv``) and that ``serving_cohort_ltv`` only gives
+    in cohort-matrix form: an order is NEW business iff its calendar
+    month equals its customer's first-ever order month, everything later
+    is RETURNING. Exact integer cents; the repeat share is ONE pinned
+    micro division.
+
+    Plan: one customer-keyed window assigns each customer's first month,
+    then a (customer, month)-grain agg REUSES that partitioning (no
+    exchange — HashPartitioning(custkey) satisfies the (custkey, month)
+    clustering), and at that grain each customer appears once per month,
+    so the customer counts are plain counts — the two countDistinct
+    aggregates that would otherwise trigger the multi-distinct Expand
+    rewrite (the analyze_stats lesson: Expand is the expensive path)
+    never exist. Exactly two Exchanges at any scale."""
+    o = tables["orders"]
+    month = F.date_format("o_orderdate", "yyyyMM")
+    w = Window.partitionBy("o_custkey")
+    base = o.select(
+        "o_custkey",
+        month.alias("month"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    ).withColumn("first_month", F.min("month").over(w))
+    cust_month = base.groupBy("o_custkey", "month").agg(
+        F.sum("cents").cast("long").alias("cents"),
+        F.max((F.col("month") == F.col("first_month")).cast("int")).alias("is_new"),
+    )
+    new = F.col("is_new") == 1
+    per_month = cust_month.groupBy("month").agg(
+        F.sum(F.when(new, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("new_cents"),
+        F.sum(F.when(~new, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("repeat_cents"),
+        F.sum(F.when(new, 1).otherwise(0)).cast("long").alias("new_customers"),
+        F.sum(F.when(~new, 1).otherwise(0)).cast("long").alias("repeat_customers"),
+    )
+    total = F.col("new_cents") + F.col("repeat_cents")
+    return per_month.select(
+        "month",
+        "new_cents",
+        "repeat_cents",
+        "new_customers",
+        "repeat_customers",
+        F.when(
+            total > 0,
+            F.floor(
+                F.col("repeat_cents").cast("double") / total.cast("double")
+                * 1000000
+                + 0.5
+            ),
+        ).cast("long").alias("repeat_share_micro"),
+    )
+
+
+QUERIES["serving_repeat_gmv"] = repeat_gmv
+ORACLES["serving_repeat_gmv"] = """
+    WITH base AS (
+        SELECT o_custkey, strftime(o_orderdate, '%Y%m') AS month,
+               floor(o_totalprice * 100 + 0.5)::BIGINT AS cents,
+               min(strftime(o_orderdate, '%Y%m'))
+                   OVER (PARTITION BY o_custkey) AS first_month
+        FROM orders
+    ),
+    pm AS (
+        SELECT month,
+               sum(CASE WHEN month = first_month THEN cents ELSE 0 END)::BIGINT
+                   AS new_cents,
+               sum(CASE WHEN month != first_month THEN cents ELSE 0 END)::BIGINT
+                   AS repeat_cents,
+               count(DISTINCT CASE WHEN month = first_month
+                                   THEN o_custkey END)::BIGINT AS new_customers,
+               count(DISTINCT CASE WHEN month != first_month
+                                   THEN o_custkey END)::BIGINT AS repeat_customers
+        FROM base GROUP BY 1
+    )
+    SELECT month, new_cents, repeat_cents, new_customers, repeat_customers,
+           CASE WHEN new_cents + repeat_cents > 0 THEN
+               floor(repeat_cents::DOUBLE
+                     / (new_cents + repeat_cents)::DOUBLE * 1000000
+                     + 0.5)::BIGINT
+           END AS repeat_share_micro
+    FROM pm
+"""

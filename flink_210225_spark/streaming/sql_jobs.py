@@ -533,3 +533,55 @@ ORACLES["sql_hof_arrays"] = """
             * 10)::BIGINT AS even_len_x10
     FROM t
 """
+
+
+WINDOW_CLAUSE_SQL = """
+    SELECT o_custkey,
+           o_orderkey,
+           cents,
+           CAST(sum(cents) OVER w_cum AS BIGINT) AS cum_cents,
+           row_number() OVER w_seq AS order_seq,
+           max(cents)   OVER w_all AS cust_max_cents
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM {view}
+        WHERE o_custkey % 100 = 0
+    )
+    WINDOW w_cum AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_seq AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+           w_all AS (PARTITION BY o_custkey)
+"""
+
+
+def _window_clause_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """Named-WINDOW-clause grammar as ONE spark.sql TEXT — the
+    define-once-reference-thrice SQL surface (three OVER references to
+    WINDOW definitions sharing a partition key), which also pins the
+    PLAN property that matters: all three windows share ONE o_custkey
+    Exchange (Catalyst groups same-keyed window specs), so adding a
+    metric never adds a shuffle. DuckDB supports the same clause — the
+    oracle replays it verbatim-shaped. Exact integer cents throughout."""
+    o = tables["orders"]
+    o.createOrReplaceTempView("orders_view_sql_window")
+    return o.sparkSession.sql(WINDOW_CLAUSE_SQL.format(view="orders_view_sql_window"))
+
+
+QUERIES["sql_window_clause"] = _window_clause_sql_q
+ORACLES["sql_window_clause"] = """
+    SELECT o_custkey, o_orderkey, cents,
+           (sum(cents) OVER w_cum)::BIGINT AS cum_cents,
+           row_number() OVER w_seq AS order_seq,
+           max(cents)   OVER w_all AS cust_max_cents
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+        FROM orders
+        WHERE o_custkey % 100 = 0
+    )
+    WINDOW w_cum AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_seq AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+           w_all AS (PARTITION BY o_custkey)
+"""

@@ -346,3 +346,27 @@ def test_partition_prune_static_partition_filters(tables):
     head = scan[: scan.index("]")]
     assert "event_type" in head, head
     assert "PartitionCount" in plan or "partition" in plan.lower(), plan[:500]
+
+
+def test_window_clause_single_key_exchange(tables):
+    """sql_window_clause's plan claim: three named windows over the same
+    partition key must share ONE o_custkey Exchange (Catalyst window-spec
+    grouping) — adding a metric must not add a shuffle."""
+    from flink_210225_spark.streaming.sql_jobs import _window_clause_sql_q
+
+    plan = (
+        _window_clause_sql_q(tables)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_repeat_gmv_two_shuffles(tables):
+    """serving_repeat_gmv: the customer first-month window and the month
+    rollup are one Exchange each; no join-shaped third shuffle."""
+    from flink_210225_spark.operators.serving import repeat_gmv
+
+    plan = repeat_gmv(tables)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
