@@ -1,0 +1,286 @@
+"""Round-7 brute-force semantic battery — third-implementation replays and
+constructed-positive invariants for the new kernels, per the round-6
+lesson: both engines can share a wrong definition, so every new family
+gets a check the cross-engine hash gate cannot provide."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+
+def _orders_pd():
+    import duckdb
+
+    return duckdb.sql(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,"
+        " o_totalprice, o_orderdate"
+        " FROM '/root/testdata/sf0.001/orders.parquet'"
+    ).df()
+
+
+def _docs_pd():
+    import duckdb
+
+    return duckdb.sql(
+        "SELECT doc_id, text, lang FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).df()
+
+
+def test_histogram_equiheight_pure_python_replay(tables):
+    """Full third implementation: sort the cent values, cut at the
+    textbook ceil(i*n/B) rank boundaries, count rows/NDV per bucket."""
+    from flink_210225_spark.operators.warehouse import histogram_equiheight
+
+    got = {
+        r["bucket"]: r
+        for r in histogram_equiheight(tables).collect()
+    }
+    o = _orders_pd()
+    cents = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    cents.sort()
+    n, B = len(cents), 8
+    bounds = [int(np.ceil(i * n / B)) for i in range(B + 1)]
+    for b in range(1, B + 1):
+        seg = cents[bounds[b - 1] : bounds[b]]
+        row = got[b]
+        assert row["n_rows"] == len(seg)
+        assert row["ndv"] == len(set(seg.tolist()))
+        assert row["lo_cents"] == int(seg.min())
+        assert row["hi_cents"] == int(seg.max())
+
+
+def test_histogram_equiheight_counts_cover_table(tables):
+    from flink_210225_spark.operators.warehouse import histogram_equiheight
+
+    rows = histogram_equiheight(tables).collect()
+    assert sum(r["n_rows"] for r in rows) == len(_orders_pd())
+
+
+def test_kmeans_exact_pure_numpy_replay(tables):
+    """Third implementation of the whole Lloyd loop (quantize, assign,
+    grid-rounded update, assign) in flat numpy, no Spark, no SQL."""
+    import duckdb
+
+    from flink_210225_spark.ops.similarity import kmeans_exact
+
+    emb = duckdb.sql(
+        "SELECT vec_id, embedding FROM"
+        " '/root/testdata/sf0.001/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    x = np.floor(
+        np.array(emb["embedding"].tolist(), dtype=np.float64) * 10_000 + 0.5
+    ).astype(np.int64)
+    ids = emb["vec_id"].to_numpy()
+    k = 8
+    c = x[np.argsort(ids)[:k]]  # vec_id 0..7 in order
+    d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    cell = d.argmin(axis=1)
+    c1 = c.copy()
+    for j in range(k):
+        m = cell == j
+        if m.any():
+            s = x[m].sum(axis=0)
+            c1[j] = (2 * s + int(m.sum())) // (2 * int(m.sum()))
+    d2 = ((x[:, None, :] - c1[None, :, :]) ** 2).sum(axis=2)
+    cell2 = d2.argmin(axis=1)
+    inertia = d2[np.arange(len(ids)), cell2]
+    want = {
+        j: (int((cell2 == j).sum()), int(inertia[cell2 == j].sum()))
+        for j in range(k)
+        if (cell2 == j).any()
+    }
+    got = {
+        r["cluster"]: (r["n_vecs"], r["inertia"])
+        for r in kmeans_exact(tables).collect()
+    }
+    assert got == want
+
+
+def test_runs_test_constructed_tiny_case():
+    """Hand-checked textbook case: signs + - + - + - (a=3, b=3, R=6):
+    mu = 2*9/6 + 1 = 4, var = 18*(18-6)/(36*5) = 1.2, z = 2/sqrt(1.2)."""
+    import math
+
+    a, b, r = 3, 3, 6
+    mu = 2.0 * a * b / (a + b) + 1.0
+    var = 2.0 * a * b * (2.0 * a * b - a - b) / ((a + b) ** 2 * (a + b - 1))
+    assert mu == 4.0 and abs(var - 1.2) < 1e-12
+    z = (r - mu) / math.sqrt(var)
+    assert abs(z - 2.0 / math.sqrt(1.2)) < 1e-12
+
+
+def test_runs_test_pure_python_replay(tables):
+    from flink_210225_spark.operators.windows import runs_test
+
+    got = {r["priority"]: r for r in runs_test(tables).collect()}
+    o = _orders_pd()
+    o["cents"] = np.floor(o["o_totalprice"] * 100 + 0.5).astype(np.int64)
+    o["day"] = pd.to_datetime(o["o_orderdate"]).dt.date
+    for prio, grp in o.groupby("o_orderpriority"):
+        daily = grp.groupby("day")["cents"].sum().sort_index()
+        deltas = np.diff(daily.to_numpy())
+        signs = [1 if d > 0 else 0 for d in deltas if d != 0]
+        n_plus = sum(signs)
+        n_minus = len(signs) - n_plus
+        n_runs = sum(
+            1 for i, s in enumerate(signs) if i == 0 or s != signs[i - 1]
+        )
+        row = got[prio]
+        assert (row["n_plus"], row["n_minus"], row["n_runs"]) == (
+            n_plus,
+            n_minus,
+            n_runs,
+        )
+
+
+def test_ngram_coverage_pure_python_replay(tables):
+    from flink_210225_spark.ops.text import ngram_coverage
+
+    got = {r["lang"]: r for r in ngram_coverage(tables).collect()}
+    docs = _docs_pd()
+    vocab: dict[str, set] = {}
+    stats: dict[str, list] = {}
+    for _, row in docs.iterrows():
+        toks = row["text"].strip().split()
+        bgs = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        if row["doc_id"] % 10 < 8:
+            vocab.setdefault(row["lang"], set()).update(bgs)
+    for _, row in docs.iterrows():
+        if row["doc_id"] % 10 >= 8:
+            toks = row["text"].strip().split()
+            bgs = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+            s = stats.setdefault(row["lang"], [0, 0, 0])
+            s[0] += 1
+            s[1] += len(bgs)
+            s[2] += len(bgs & vocab.get(row["lang"], set()))
+    for lang, (n_docs, total, covered) in stats.items():
+        row = got[lang]
+        assert (
+            row["n_eval_docs"],
+            row["eval_bigrams"],
+            row["covered"],
+            row["train_vocab"],
+        ) == (n_docs, total, covered, len(vocab[lang]))
+
+
+def test_stratified_kfold_balance_invariant(tables):
+    """THE defining property hash-matching cannot certify by itself:
+    every (lang, fold) cell within a language differs by at most 1."""
+    from flink_210225_spark.ops.sampling import stratified_kfold
+
+    rows = stratified_kfold(tables).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["n_docs"])
+    for lang, counts in by_lang.items():
+        assert len(counts) == 5, (lang, counts)
+        assert max(counts) - min(counts) <= 1, (lang, counts)
+
+
+def test_repeat_gmv_reconciles(tables):
+    """Sum of split cents equals total GMV; the globally first month has
+    zero repeat business; new-customer month counts sum to the customer
+    universe that ordered."""
+    from flink_210225_spark.operators.serving import repeat_gmv
+
+    rows = sorted(repeat_gmv(tables).collect(), key=lambda r: r["month"])
+    o = _orders_pd()
+    total = int(np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).sum())
+    assert sum(r["new_cents"] + r["repeat_cents"] for r in rows) == total
+    assert rows[0]["repeat_cents"] == 0 and rows[0]["repeat_customers"] == 0
+    assert sum(r["new_customers"] for r in rows) == o["o_custkey"].nunique()
+
+
+def test_cdc_log_compaction_pure_python_replay(tables):
+    import duckdb
+
+    from flink_210225_spark.operators.router import log_compaction_demo
+
+    cust = duckdb.sql(
+        "SELECT c_custkey, c_mktsegment, c_acctbal FROM"
+        " '/root/testdata/sf0.001/customer.parquet'"
+    ).df()
+    state: dict[int, tuple] = {}
+    for _, r in cust.iterrows():
+        k = int(r["c_custkey"])
+        bal = int(np.floor(r["c_acctbal"] * 100 + 0.5))
+        state[k] = (r["c_mktsegment"], bal)  # seq 1 insert
+        if k % 3 == 0:
+            state[k] = ("UPDATED", bal + 1000)  # seq 2 update
+        if k % 17 == 0:
+            state.pop(k, None)  # seq 3 delete
+        if k % 51 == 0:
+            state[k] = ("REBORN", k * 10)  # seq 4 re-insert
+    want: dict[str, list] = {}
+    for k, (seg, bal) in state.items():
+        w = want.setdefault(seg, [0, 0, 0])
+        w[0] += 1
+        w[1] += k
+        w[2] += bal
+    got = {
+        r["segment"]: [r["n_rows"], r["sum_keys"], r["sum_bal_cents"]]
+        for r in log_compaction_demo(tables).collect()
+    }
+    assert got == {k: v for k, v in want.items()}
+
+
+def test_image_entropy_formula_replay(tables):
+    """Independent per-seed recompute straight from the generator formula
+    (no PNG codec, no SQL) for every seed."""
+    from flink_210225_spark.ops.multimodal import image_entropy_stats
+
+    rows = image_entropy_stats(tables).collect()
+    by_seed = {}
+    for r in rows:
+        by_seed.setdefault(r["seed"], r)
+    for seed, r in by_seed.items():
+        w = 8 + 4 * (seed % 5)
+        h = 8 + 4 * ((seed * 3) % 4)
+        xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+        vals = (seed * 7 + 3 * xs + 11 * ys) % 256
+        hist = np.bincount(vals.ravel(), minlength=256)
+        n = w * h
+        coll2 = int((hist.astype(np.int64) ** 2).sum())
+        assert r["n_px"] == n
+        assert r["distinct_vals"] == int((hist > 0).sum())
+        assert r["collision_micro"] == int(
+            np.floor(coll2 * 1000000 / (n * n) + 0.5)
+        )
+
+
+def test_audio_snr_formula_replay(tables):
+    """Frame-energy extrema recomputed from the PCM formula for a sample
+    of clips; e_max >= e_min always."""
+    from flink_210225_spark.ops.multimodal import audio_snr_estimate
+
+    rows = audio_snr_estimate(tables).collect()
+    assert all(r["e_max"] >= r["e_min"] for r in rows)
+    import duckdb
+
+    nchars = duckdb.sql(
+        "SELECT doc_id, n_chars FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).df()
+    nmap = dict(zip(nchars["doc_id"], nchars["n_chars"]))
+    for r in rows[:25]:
+        doc_id = r["asset_id"]
+        n = int(nmap[doc_id]) % 200 + 50
+        k = np.arange(n, dtype=np.int64)
+        v = (((doc_id * 31 + k * 7) % 256) - 128) * 256
+        nf = n // 32
+        e = (v[: nf * 32].reshape(nf, 32) ** 2).sum(axis=1)
+        assert (r["n_frames"], r["e_max"], r["e_min"]) == (
+            nf,
+            int(e.max()),
+            int(e.min()),
+        )
+
+
+def test_langid_calibration_totals(tables):
+    from flink_210225_spark.ops.text import langid_calibration
+
+    rows = langid_calibration(tables).collect()
+    assert sum(r["n_docs"] for r in rows) == len(_docs_pd())
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_docs"]
