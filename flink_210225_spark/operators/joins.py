@@ -1249,3 +1249,77 @@ ORACLES = {
         WHERE l_quantity >= 49
     """,
 }
+
+
+def null_safe_join(tables: dict[str, DataFrame]) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM) — the
+    semantics seam every SQL engine treats differently from ``=``: under
+    plain equality NULL keys never match (NULL = NULL is NULL), under
+    null-safe equality the NULL group joins to the NULL group. Both
+    sides derive a NULLABLE bucket (nullif(key % 7, 0)) from orders and
+    customers, join with ``<=>``, and the rollup carries a dedicated
+    null-bucket row — an engine that silently drops the NULL matches (or
+    plans an equality join and loses them) zeroes that row. Spark plans
+    null-safe equi-joins as a HASH join on coalesced key tuples, not a
+    nested loop — which this query also pins via the no-cartesian sweep.
+
+    Scale: an ordinary shuffled hash join; the NULL bucket is one key
+    group (skew-salt it if NULLs dominate a real dataset)."""
+    o = tables["orders"]
+    c = tables["customer"]
+    ob = o.select(
+        F.nullif((F.col("o_custkey") % 7).cast("long"), F.lit(0)).alias("bucket"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    cb = (
+        c.select(
+            F.nullif((F.col("c_custkey") % 7).cast("long"), F.lit(0)).alias(
+                "bucket"
+            ),
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("bal_cents").cast("long").alias("bal_cents"),
+        )
+    )
+    joined = ob.join(cb, ob["bucket"].eqNullSafe(cb["bucket"])).select(
+        F.coalesce(ob["bucket"], F.lit(-1)).alias("bucket_key"),
+        "cents",
+        "n_cust",
+        "bal_cents",
+    )
+    return joined.groupBy("bucket_key").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("order_cents"),
+        F.max("n_cust").alias("n_cust"),
+        F.max("bal_cents").alias("cust_bal_cents"),
+    )
+
+
+QUERIES["join_null_safe"] = null_safe_join
+ORACLES["join_null_safe"] = """
+    WITH ob AS (
+        SELECT nullif(o_custkey % 7, 0) AS bucket,
+               floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+        FROM orders
+    ),
+    cb AS (
+        SELECT nullif(c_custkey % 7, 0) AS bucket,
+               count(*)::BIGINT AS n_cust,
+               sum(floor(c_acctbal * 100 + 0.5)::BIGINT)::BIGINT AS bal_cents
+        FROM customer GROUP BY 1
+    )
+    SELECT coalesce(ob.bucket, -1)::BIGINT AS bucket_key,
+           count(*)::BIGINT AS n_orders,
+           sum(ob.cents)::BIGINT AS order_cents,
+           max(cb.n_cust)::BIGINT AS n_cust,
+           max(cb.bal_cents)::BIGINT AS cust_bal_cents
+    FROM ob JOIN cb ON ob.bucket IS NOT DISTINCT FROM cb.bucket
+    GROUP BY 1
+"""

@@ -208,3 +208,112 @@ ORACLES = {
         GROUP BY event_type
     """,
 }
+
+
+def grok_router(tables: dict[str, DataFrame]) -> DataFrame:
+    """Multi-pattern log routing — the grok-pipeline generalization of the
+    reference's P1 single-format parse + dirty side output
+    (BaseLogApp.java's JSON-or-dirty fork): REAL text lines arrive in
+    three formats (access, error, metric — synthesized deterministically
+    from events and round-tripped through a genuine text write/read), a
+    pattern ladder tries each regex in order, the first match tags the
+    line's route and extracts its fields, and lines matching nothing land
+    in the ``__unparsed__`` side output (every 11th line is torn
+    mid-field to guarantee that route exists). Per route: line count and
+    an extracted-value checksum, so a router that misroutes one format or
+    swallows the dirty line moves an aggregate.
+
+    Scale: stateless regex ladder inside codegen over a splittable text
+    scan; one map-side-combined rollup — the same envelope as the other
+    dirty sources."""
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    ev = tables["events"]
+    spark = ev.sparkSession
+    line = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit("ACCESS u"),
+                F.col("user_id"),
+                F.lit(" GET /p/"),
+                F.col("event_id"),
+                F.lit(" 200"),
+            ),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.lit("ERROR code="),
+                (F.col("event_id") % 7).cast("long"),
+                F.lit(" u"),
+                F.col("user_id"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("METRIC v="),
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                F.lit(" e"),
+                F.col("event_id"),
+            )
+        )
+    )
+    torn = F.when(
+        F.col("event_id") % 11 == 0, F.substring(line, 1, 9)
+    ).otherwise(line)
+    out = _scratch(prefix="grok_src_")
+    ev.select(torn.alias("value")).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    pats = {
+        "access": r"^ACCESS u([0-9]+) GET /p/([0-9]+) ([0-9]{3})$",
+        "error": r"^ERROR code=([0-9]+) u([0-9]+)$",
+        "metric": r"^METRIC v=(-?[0-9]+) e([0-9]+)$",
+    }
+    route = (
+        F.when(F.col("value").rlike(pats["access"]), F.lit("access"))
+        .when(F.col("value").rlike(pats["error"]), F.lit("error"))
+        .when(F.col("value").rlike(pats["metric"]), F.lit("metric"))
+        .otherwise(F.lit("__unparsed__"))
+    )
+    extracted = (
+        F.when(
+            F.col("value").rlike(pats["access"]),
+            F.regexp_extract("value", pats["access"], 1).cast("long"),
+        )
+        .when(
+            F.col("value").rlike(pats["error"]),
+            F.regexp_extract("value", pats["error"], 1).cast("long"),
+        )
+        .when(
+            F.col("value").rlike(pats["metric"]),
+            F.regexp_extract("value", pats["metric"], 1).cast("long"),
+        )
+        .otherwise(F.lit(0))
+    )
+    return raw.select(route.alias("route"), extracted.alias("x")).groupBy(
+        "route"
+    ).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("x").cast("long").alias("checksum"),
+    )
+
+
+QUERIES["log_grok_router"] = grok_router
+# Replay from parquet: the %11 torn lines can never match a full pattern
+# (every pattern is end-anchored past 9 chars), so they form the
+# __unparsed__ route; each surviving route's checksum replays its first
+# capture group.
+ORACLES["log_grok_router"] = """
+    SELECT CASE WHEN event_id % 11 = 0 THEN '__unparsed__'
+                WHEN event_id % 3 = 0 THEN 'access'
+                WHEN event_id % 3 = 1 THEN 'error'
+                ELSE 'metric' END AS route,
+           count(*)::BIGINT AS n_lines,
+           sum(CASE WHEN event_id % 11 = 0 THEN 0
+                    WHEN event_id % 3 = 0 THEN user_id
+                    WHEN event_id % 3 = 1 THEN event_id % 7
+                    ELSE floor(value * 100 + 0.5)::BIGINT END)::BIGINT
+               AS checksum
+    FROM events GROUP BY 1
+"""

@@ -1900,3 +1900,117 @@ ORACLES["warehouse_histogram_equiheight"] = """
            max(v) AS hi_cents
     FROM pb GROUP BY 1
 """
+
+
+def _tt_resolve(spark, manifest_dir: str, asof: int) -> str:
+    """Manifest resolution: latest committed snapshot with version ≤ asof
+    (the Iceberg/Delta time-travel contract). The manifest is a tiny
+    commit log — reading it is a driver-side metadata lookup, exactly
+    like a table format's snapshot list."""
+    rows = (
+        spark.read.parquet(manifest_dir)
+        .where(F.col("version") <= asof)
+        .orderBy(F.col("version").desc())
+        .limit(1)
+        .collect()
+    )
+    return rows[0]["path"]
+
+
+def time_travel(tables: dict[str, DataFrame]) -> DataFrame:
+    """Snapshot time travel — VERSION AS OF over a copy-on-write table:
+    three committed snapshots (base, an update batch, a delete batch)
+    land as immutable directories behind a manifest commit log, and the
+    SAME query runs against each historical version through the manifest
+    resolver. This is the read-side contract ``warehouse_snapshot_diff``
+    (which diffs two versions) and ``warehouse_merge_upsert`` (which
+    builds one) both assume: old versions stay byte-identical after new
+    commits. Any resolver defect (wrong max-version-≤ pick, a v3 write
+    disturbing v1 files) moves a historical aggregate the oracle computes
+    independently per version.
+
+    Scale: snapshots are full columnar tables (copy-on-write); the
+    manifest read is metadata-only; the three as-of scans are ordinary
+    pruned parquet scans — time travel costs nothing at read time beyond
+    the snapshot's own size."""
+    c = tables["customer"]
+    spark = c.sparkSession
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    root = _scratch(prefix="tt_tbl_")
+    base = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    v1 = base
+    v2 = v1.select(
+        "c_custkey",
+        "segment",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("bal_cents") + 1000)
+        .otherwise(F.col("bal_cents"))
+        .alias("bal_cents"),
+    )
+    v3 = v2.where(F.col("c_custkey") % 17 != 0)
+    paths = {}
+    for ver, df in ((1, v1), (2, v2), (3, v3)):
+        p = f"{root}/v{ver}"
+        df.write.mode("overwrite").parquet(p)
+        paths[ver] = p
+    manifest_dir = f"{root}/_manifest"
+    import pandas as pd
+
+    # pandas/Arrow input, NOT a python-list createDataFrame — the latter is
+    # RDD-backed with defaultParallelism partitions (32-task fan-out per
+    # action for a 3-row manifest; the io.one_row_df lesson)
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"version": list(paths), "path": [paths[v] for v in paths]}
+        ),
+        "version int, path string",
+    ).coalesce(1).write.mode("overwrite").parquet(manifest_dir)
+
+    reads = []
+    for asof in (1, 2, 3):
+        snap = spark.read.parquet(_tt_resolve(spark, manifest_dir, asof))
+        reads.append(
+            snap.groupBy(F.lit(asof).cast("long").alias("version")).agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("bal_cents").cast("long").alias("sum_bal_cents"),
+                F.countDistinct("segment").cast("long").alias("n_segments"),
+            )
+        )
+    out = reads[0]
+    for r in reads[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+QUERIES["warehouse_time_travel"] = time_travel
+# Independent per-version replay of the three snapshot definitions.
+ORACLES["warehouse_time_travel"] = """
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               floor(c_acctbal * 100 + 0.5)::BIGINT AS bal_cents
+        FROM customer
+    ),
+    v2 AS (
+        SELECT c_custkey, segment,
+               CASE WHEN c_custkey % 3 = 0 THEN bal_cents + 1000
+                    ELSE bal_cents END AS bal_cents
+        FROM base
+    ),
+    v3 AS (SELECT * FROM v2 WHERE c_custkey % 17 != 0)
+    SELECT 1::BIGINT AS version, count(*)::BIGINT AS n_rows,
+           sum(bal_cents)::BIGINT AS sum_bal_cents,
+           count(DISTINCT segment)::BIGINT AS n_segments
+    FROM base
+    UNION ALL
+    SELECT 2, count(*)::BIGINT, sum(bal_cents)::BIGINT,
+           count(DISTINCT segment)::BIGINT FROM v2
+    UNION ALL
+    SELECT 3, count(*)::BIGINT, sum(bal_cents)::BIGINT,
+           count(DISTINCT segment)::BIGINT FROM v3
+"""

@@ -540,3 +540,89 @@ ORACLES["source_partition_prune"] = """
     WHERE event_type IN ('click', 'purchase')
     GROUP BY 1, 2
 """
+
+
+def jsonl_nested_counts(tables: dict[str, DataFrame]) -> DataFrame:
+    """Nested-JSON ingestion round trip — the order-with-items document
+    shape every event bus and REST dump lands in (one JSON object per
+    order carrying an ARRAY of line-item structs), which the flat
+    ``source_jsonl_dirty`` deliberately does not cover. Orders and their
+    lineitems are serialized into genuine JSONL text (array-of-struct via
+    to_json, deterministically sorted by linenumber), read back through
+    an EXPLICIT nested schema, exploded with ``explode_outer`` (an order
+    with no items must survive as an order — the left-join reality), and
+    rolled up per status. Any defect in nested serialization, nested
+    schema parsing, array ordering, or outer-explode null handling moves
+    an aggregate; the oracle replays from the relational parquet with the
+    equivalent LEFT JOIN.
+
+    Scale: JSONL is splittable per line; the explode multiplies rows by
+    items-per-order (bounded fan-out), and the rollup map-side combines."""
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    o = tables["orders"]
+    li = tables["lineitem"]
+    spark = o.sparkSession
+    items = li.select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").alias("ln"),
+            F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("qty_c"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_c"),
+        ).alias("item"),
+    ).groupBy("l_orderkey").agg(F.sort_array(F.collect_list("item")).alias("items"))
+    docs = (
+        o.join(items, o["o_orderkey"] == items["l_orderkey"], "left")
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("order_id"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.coalesce(
+                        "items",
+                        F.array().cast(
+                            "array<struct<ln:int,qty_c:long,price_c:long>>"
+                        ),
+                    ).alias("items"),
+                )
+            ).alias("value")
+        )
+    )
+    out = _scratch(prefix="jsonl_nested_src_")
+    docs.write.mode("overwrite").text(out)
+    schema = (
+        "order_id long, status string,"
+        " items array<struct<ln:int,qty_c:long,price_c:long>>"
+    )
+    back = spark.read.schema(schema).json(out)
+    exploded = back.select(
+        "order_id", "status", F.explode_outer("items").alias("item")
+    )
+    return exploded.groupBy("status").agg(
+        F.countDistinct("order_id").cast("long").alias("n_orders"),
+        F.count("item").cast("long").alias("n_items"),
+        F.coalesce(F.sum("item.qty_c"), F.lit(0)).cast("long").alias("qty_cents"),
+        F.coalesce(F.sum("item.price_c"), F.lit(0))
+        .cast("long")
+        .alias("price_cents"),
+    )
+
+
+QUERIES["source_jsonl_nested"] = jsonl_nested_counts
+# Relational replay: LEFT JOIN keeps itemless orders in n_orders exactly
+# like explode_outer keeps them through the nested round trip.
+ORACLES["source_jsonl_nested"] = """
+    SELECT o.o_orderstatus AS status,
+           count(DISTINCT o.o_orderkey)::BIGINT AS n_orders,
+           count(l.l_orderkey)::BIGINT AS n_items,
+           coalesce(sum(floor(l.l_quantity * 100 + 0.5)::BIGINT), 0)::BIGINT
+               AS qty_cents,
+           coalesce(sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT),
+                    0)::BIGINT AS price_cents
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+"""
