@@ -83,10 +83,10 @@ def _registry():
 #     (sql_province_tumble, sql_keyword_tumble), the log_* family
 #     (log_props_extract, log_flag_rows, log_padzero_union), the
 #     serving_* dashboard endpoints (serving_gmv, serving_trademark_topn,
-#     serving_category3_topn, serving_spu_topn, serving_province,
+#     serving_category_topn, serving_spu_topn, serving_province,
 #     serving_visitor, serving_hourly, serving_keyword_topn), the join_*
 #     family (join_order_wide, join_interval_payment, join_payment_wide,
-#     join_order_detail), the window_* rollups (window_visitor_stats,
+#     join_interval_order_detail), the window_* rollups (window_visitor_stats,
 #     window_product_stats, window_keyword_stats), and state_new_visitor /
 #     state_uv_dedup — so no green row ages past 3 rounds for touched
 #     modules; then round-7 additions (if any slip past r7's window),

@@ -1819,8 +1819,13 @@ def histogram_equiheight(tables: dict[str, DataFrame], n_buckets: int = 8) -> Da
     # bucket(r) = ceil((B*r - B + 1) / n) via the (a + n - 1 - mod) integer
     # ceil idiom (all terms positive; exact on both engines)
     def _ceil_div(a, n):
+        # decimal(38,0) division, not `/` (double): the mod-subtracted
+        # numerator is exactly divisible, and decimal keeps it exact past
+        # 2^53 rows — the docstring's integer-ceil claim, kept honest
         num = a + n - F.lit(1)
-        return ((num - num % n) / n).cast("long")
+        return (
+            (num - num % n).cast("decimal(38,0)") / n.cast("decimal(38,0)")
+        ).cast("long")
 
     spanned = spans.withColumn("n", n_total.cast("long")).select(
         "v",

@@ -2560,8 +2560,12 @@ def runs_test(tables: dict[str, DataFrame]) -> DataFrame:
         "n_plus",
         "n_minus",
         "n_runs",
+        # n_plus+n_minus > 2 also excludes the var=0 case (a=b=1 makes
+        # 2ab-a-b = 0 -> 0/0 NaN, the stop_shingles 0/0 lesson)
         F.when(
-            (F.col("n_plus") > 0) & (F.col("n_minus") > 0),
+            (F.col("n_plus") > 0)
+            & (F.col("n_minus") > 0)
+            & (F.col("n_plus") + F.col("n_minus") > 2),
             F.floor((r - mu) / F.sqrt(var) * 1000000 + 0.5),
         ).cast("long").alias("z_micro"),
     )
@@ -2601,7 +2605,8 @@ ORACLES["window_runs_test"] = """
         FROM runs GROUP BY 1
     )
     SELECT priority, n_plus, n_minus, n_runs,
-           CASE WHEN n_plus > 0 AND n_minus > 0 THEN
+           CASE WHEN n_plus > 0 AND n_minus > 0
+                     AND n_plus + n_minus > 2 THEN
                floor((n_runs::DOUBLE
                       - (2.0 * n_plus::DOUBLE * n_minus::DOUBLE
                          / (n_plus::DOUBLE + n_minus::DOUBLE) + 1.0))

@@ -345,7 +345,6 @@ def test_partition_prune_static_partition_filters(tables):
     scan = plan[plan.index("PartitionFilters: [") :]
     head = scan[: scan.index("]")]
     assert "event_type" in head, head
-    assert "PartitionCount" in plan or "partition" in plan.lower(), plan[:500]
 
 
 def test_window_clause_single_key_exchange(tables):
@@ -370,3 +369,18 @@ def test_repeat_gmv_two_shuffles(tables):
 
     plan = repeat_gmv(tables)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_check_window_fully_resolves():
+    """_registry() silently drops _CHECK_WINDOW names it can't find, which
+    would shrink the driver's 50-query gate without any visible failure —
+    every window name must exist, exactly once, and the window must be
+    exactly the registry head."""
+    import __spark_entry__ as entry
+
+    reg = entry._registry()
+    w = entry._CHECK_WINDOW
+    missing = [n for n in w if n not in reg]
+    assert not missing, f"_CHECK_WINDOW names not in registry: {missing}"
+    assert len(w) == len(set(w)), "duplicate names in _CHECK_WINDOW"
+    assert list(reg)[: len(w)] == w
