@@ -1006,3 +1006,118 @@ ORACLES = {
         GROUP BY user_id, session_seq
     """,
 }
+
+
+def growth_accounting(tables: dict[str, DataFrame]) -> DataFrame:
+    """Daily growth accounting — the new / retained / resurrected /
+    churned decomposition (the Social-Capital "growth accounting"
+    identity) that ``session_new_vs_returning`` only begins: RETAINED
+    users were also active the previous calendar day, RESURRECTED were
+    seen before but not yesterday, CHURNED (attributed to today) were
+    active yesterday and absent today. The identity
+    active_today = new + retained + resurrected is emitted per day and
+    any violation is a kernel bug — the oracle recomputes every class
+    independently so a drifting lag/first-day rule breaks the hash.
+
+    Plan: one (user, day) distinct agg, ONE user-keyed window computing
+    first_day and prev_active_day (lag over the user's own day series),
+    one day rollup; churn re-keys the same frame by next-day attribution
+    — all shuffles on (user) or (day), never a day×user grid."""
+    ev = tables["events"]
+    ud = ev.select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    flagged = ud.select(
+        "user_id",
+        "day",
+        F.min("day").over(Window.partitionBy("user_id")).alias("first_day"),
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    one_day = lambda d: F.date_format(F.date_add(F.to_date(d), 1), "yyyy-MM-dd")  # noqa: E731
+    classes = flagged.select(
+        "day",
+        F.when(F.col("day") == F.col("first_day"), 1).otherwise(0).alias("is_new"),
+        F.when(
+            F.col("prev_day").isNotNull()
+            & (F.col("prev_day") == F.date_format(
+                F.date_sub(F.to_date("day"), 1), "yyyy-MM-dd"
+            )),
+            1,
+        ).otherwise(0).alias("is_retained"),
+    ).withColumn(
+        "is_resurrected",
+        F.when((F.col("is_new") == 0) & (F.col("is_retained") == 0), 1).otherwise(0),
+    )
+    active = classes.groupBy("day").agg(
+        F.count("*").cast("long").alias("active"),
+        F.sum("is_new").cast("long").alias("new_users"),
+        F.sum("is_retained").cast("long").alias("retained"),
+        F.sum("is_resurrected").cast("long").alias("resurrected"),
+    )
+    churn = (
+        flagged.where(
+            F.col("next_day").isNull()
+            | (F.col("next_day") != one_day(F.col("day")))
+        )
+        .select(one_day(F.col("day")).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("churned"))
+    )
+    return (
+        active.join(churn, "day", "left")
+        .select(
+            "day",
+            "active",
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce("churned", F.lit(0)).cast("long").alias("churned"),
+        )
+    )
+
+
+QUERIES["session_growth_accounting"] = growth_accounting
+# Churn attributes to the day AFTER the last consecutive active day; days
+# with zero activity but nonzero churn are absent on BOTH engines (the
+# join is from the active-day spine), keeping the frames congruent.
+ORACLES["session_growth_accounting"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+    ),
+    flagged AS (
+        SELECT user_id, day,
+               min(day) OVER (PARTITION BY user_id) AS first_day,
+               lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+               lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+        FROM ud
+    ),
+    classes AS (
+        SELECT day,
+               CASE WHEN day = first_day THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN prev_day IS NOT NULL AND prev_day =
+                         strftime(day::DATE - INTERVAL 1 DAY, '%Y-%m-%d')
+                    THEN 1 ELSE 0 END AS is_retained
+        FROM flagged
+    ),
+    active AS (
+        SELECT day, count(*)::BIGINT AS active,
+               sum(is_new)::BIGINT AS new_users,
+               sum(is_retained)::BIGINT AS retained,
+               sum(CASE WHEN is_new = 0 AND is_retained = 0 THEN 1
+                        ELSE 0 END)::BIGINT AS resurrected
+        FROM classes GROUP BY 1
+    ),
+    churn AS (
+        SELECT strftime(day::DATE + INTERVAL 1 DAY, '%Y-%m-%d') AS day,
+               count(*)::BIGINT AS churned
+        FROM flagged
+        WHERE next_day IS NULL
+           OR next_day != strftime(day::DATE + INTERVAL 1 DAY, '%Y-%m-%d')
+        GROUP BY 1
+    )
+    SELECT a.day, a.active, a.new_users, a.retained, a.resurrected,
+           coalesce(c.churned, 0)::BIGINT AS churned
+    FROM active a LEFT JOIN churn c ON c.day = a.day
+"""

@@ -2969,3 +2969,90 @@ ORACLES["multimodal_audio_snr"] = """
            END AS snr_db
     FROM agg
 """
+
+
+def image_resize_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """2× box-filter downsample — the RESIZE stage of every image-training
+    pipeline (thumbnail levels, fixed-res model inputs, pyramid tiles for
+    ``multimodal_png_tiles``), run on the REAL decode path with exact
+    integer arithmetic: each output pixel is the floor-mean of its 2×2
+    source block ((p00+p01+p10+p11) // 4 — non-negative, so truncation IS
+    floor on both engines), and the report carries the downsampled
+    image's dimensions, pixel sum, and max. Any resampling defect
+    (off-by-one block origin, wrong rounding, row-major/column-major
+    swap) moves the sum; all fixture dims are even so no edge-padding
+    policy is silently exercised.
+
+    Decode runs per DISTINCT seed profile (domain 16) and joins back —
+    the established collapse; the downsample itself is one numpy
+    reshape-fold inside the Arrow pass, zero shuffles over pixels."""
+    import numpy as np
+
+    docs = tables["documents"]
+    seeds = docs.select((F.col("doc_id") % 16).cast("int").alias("seed")).distinct()
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"seed": [], "out_w": [], "out_h": [], "ds_sum": [], "ds_max": []}
+            for seed in pdf["seed"]:
+                seed = int(seed)
+                w = 8 + 4 * (seed % 5)
+                h = 8 + 4 * ((seed * 3) % 4)
+                px = _parse_png(_png_bytes(seed, w, h, filter_type=seed % 5))[
+                    "pixels"
+                ].astype(np.int64)[:, :, 0]
+                ds = (
+                    px.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3)) // 4
+                )
+                out["seed"].append(seed)
+                out["out_w"].append(w // 2)
+                out["out_h"].append(h // 2)
+                out["ds_sum"].append(int(ds.sum()))
+                out["ds_max"].append(int(ds.max()))
+            yield pd.DataFrame(out)
+
+    prof = seeds.mapInPandas(
+        gen, "seed int, out_w int, out_h int, ds_sum long, ds_max long"
+    )
+    return (
+        docs.select("doc_id", (F.col("doc_id") % 16).cast("int").alias("seed"))
+        .join(F.broadcast(prof), "seed")
+        .select("doc_id", "seed", "out_w", "out_h", "ds_sum", "ds_max")
+    )
+
+
+QUERIES["multimodal_image_resize"] = image_resize_stats
+# Replays the luma formula over every 2x2 block; // on non-negative sums
+# is the same floor both engines.
+ORACLES["multimodal_image_resize"] = """
+    WITH s AS (SELECT DISTINCT (doc_id % 16) AS seed FROM documents),
+    dims AS (
+        SELECT seed, 8 + 4 * (seed % 5) AS w, 8 + 4 * ((seed * 3) % 4) AS h
+        FROM s
+    ),
+    ox AS (SELECT seed, w, h, unnest(range(w // 2)) AS x FROM dims),
+    oxy AS (
+        SELECT ox.seed, ox.w, ox.x, oy.y
+        FROM ox JOIN (SELECT seed, unnest(range(h // 2)) AS y FROM dims) oy
+             ON ox.seed = oy.seed
+    ),
+    ds AS (
+        SELECT seed,
+               (((seed * 7 + 3 * (2 * x) + 11 * (2 * y)) % 256)
+                + ((seed * 7 + 3 * (2 * x + 1) + 11 * (2 * y)) % 256)
+                + ((seed * 7 + 3 * (2 * x) + 11 * (2 * y + 1)) % 256)
+                + ((seed * 7 + 3 * (2 * x + 1) + 11 * (2 * y + 1)) % 256))
+               // 4 AS v
+        FROM oxy
+    ),
+    prof AS (
+        SELECT d.seed, (dm.w // 2)::INT AS out_w, (dm.h // 2)::INT AS out_h,
+               sum(d.v)::BIGINT AS ds_sum, max(d.v)::BIGINT AS ds_max
+        FROM ds d JOIN dims dm ON dm.seed = d.seed
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc.doc_id, prof.seed::INT AS seed, prof.out_w, prof.out_h,
+           prof.ds_sum, prof.ds_max
+    FROM (SELECT doc_id, doc_id % 16 AS seed FROM documents) doc
+    JOIN prof ON prof.seed = doc.seed
+"""

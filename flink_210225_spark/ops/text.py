@@ -5450,3 +5450,104 @@ ORACLES["text_langid_calibration"] = f"""
                  / count(*)::DOUBLE * 1000000 + 0.5)::BIGINT AS accuracy_micro
     FROM scored GROUP BY 1
 """
+
+
+def count_min_sketch_audit(
+    tables: dict[str, DataFrame], depth: int = 4, width: int = 64, k: int = 20
+) -> DataFrame:
+    """Count-Min sketch heavy-hitter audit — the frequency-sketch member
+    of the sketch family (``window_uv_sketch`` gates HLL distinct; CMS is
+    the mergeable bounded-memory answer to 'how often', the structure
+    stream frequency caps and heavy-hitter routers actually deploy at
+    100 TB where an exact vocab agg is a luxury). depth×width = 4×64
+    counters; row hashes are md5(row:token) — explicit and identical on
+    both engines. The audit reports, for the exact top-k tokens, the
+    exact count next to the CMS estimate (min over rows of the token's
+    bucket counts) and the ONE-SIDED invariant every CMS must satisfy:
+    estimate ≥ exact, always (a sketch that ever underestimates is
+    broken; collisions only inflate).
+
+    Plan: counts collapse to the Zipf-bounded vocab FIRST, the sketch
+    builds from (row, bucket) sums over that vocab (256 cells), and the
+    top-k probe is a 4-row-per-token equi-join — nothing corpus-sized
+    shuffles twice."""
+    docs = tables["documents"]
+    vocab = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("r")
+    hashed = vocab.select("tok", "ct", rows).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("r").cast("string"), F.lit(":"), F.col("tok"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(width),
+        ),
+    )
+    cells = hashed.groupBy("r", "bucket").agg(
+        F.sum("ct").cast("long").alias("cell_ct")
+    )
+    topk = (
+        vocab.orderBy(F.col("ct").desc(), F.col("tok").asc())
+        .limit(k)
+        .select("tok", F.col("ct").alias("exact_ct"))
+    )
+    probes = (
+        topk.join(hashed.select("tok", "r", "bucket"), "tok")
+        .join(cells, ["r", "bucket"])
+        .groupBy("tok", "exact_ct")
+        .agg(F.min("cell_ct").cast("long").alias("cms_est"))
+    )
+    return probes.select(
+        "tok",
+        "exact_ct",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_ct")).alias("never_underestimates"),
+        (F.col("cms_est") - F.col("exact_ct")).cast("long").alias("overcount"),
+    )
+
+
+QUERIES["text_count_min_sketch"] = count_min_sketch_audit
+ORACLES["text_count_min_sketch"] = f"""
+    WITH vocab AS (
+        SELECT tok, count(*)::BIGINT AS ct FROM (
+            SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+        ) GROUP BY tok
+    ),
+    hashed AS (
+        SELECT tok, ct, r,
+               ('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 8))
+                   ::UBIGINT::BIGINT % 64 AS bucket
+        FROM vocab CROSS JOIN (SELECT unnest(range(4)) AS r) rr
+    ),
+    cells AS (
+        SELECT r, bucket, sum(ct)::BIGINT AS cell_ct
+        FROM hashed GROUP BY 1, 2
+    ),
+    topk AS (
+        SELECT tok, ct AS exact_ct FROM vocab
+        ORDER BY ct DESC, tok ASC LIMIT 20
+    ),
+    probes AS (
+        SELECT t.tok, t.exact_ct, min(c.cell_ct)::BIGINT AS cms_est
+        FROM topk t
+        JOIN hashed h ON h.tok = t.tok
+        JOIN cells c ON c.r = h.r AND c.bucket = h.bucket
+        GROUP BY 1, 2
+    )
+    SELECT tok, exact_ct, cms_est,
+           cms_est >= exact_ct AS never_underestimates,
+           (cms_est - exact_ct)::BIGINT AS overcount
+    FROM probes
+"""
