@@ -2019,3 +2019,110 @@ ORACLES["warehouse_time_travel"] = """
     SELECT 3, count(*)::BIGINT, sum(bal_cents)::BIGINT,
            count(DISTINCT segment)::BIGINT FROM v3
 """
+
+
+def fk_inference(tables: dict[str, DataFrame]) -> DataFrame:
+    """Foreign-key discovery by containment profiling — the cross-table
+    half of data profiling (``dq_profile`` audits one table; THIS scores
+    candidate child→parent column pairs the way schema-inference tools
+    (Metanome/HoPF-style) rank FK candidates): per candidate, the child's
+    distinct-value count, how many of those values exist in the parent
+    column, the containment ratio, and whether the parent side is unique
+    (a real FK target must be a key). Four true TPC-H FKs must score
+    containment 10⁶; a deliberately wrong candidate
+    (orders.o_orderkey → customer.c_custkey) documents what failure
+    looks like.
+
+    Plan: each candidate is ONE distinct-projected left join (child
+    distinct values vs parent distinct values — key-domain sized, never
+    row-domain), unioned; parent uniqueness rides the same parent scan."""
+    cands = [
+        ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_orderkey->customer.c_custkey", "orders", "o_orderkey", "customer", "c_custkey"),
+    ]
+    outs = []
+    for name, ct, cc, pt, pc in cands:
+        child = tables[ct].select(F.col(cc).alias("v")).distinct()
+        parent_all = tables[pt].select(F.col(pc).alias("v"))
+        parent = parent_all.distinct()
+        # parent-key stats ride as scalar subqueries (the analyze_stats
+        # shape), never a 1-row cross join (which would plan a BNLJ)
+        p_rows = parent_all.agg(F.count("*").cast("long").alias("a")).scalar()
+        p_distinct = parent_all.agg(
+            F.countDistinct("v").cast("long").alias("a")
+        ).scalar()
+        joined = child.join(
+            parent.withColumn("hit", F.lit(1)), "v", "left"
+        ).agg(
+            F.count("*").cast("long").alias("child_distinct"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("contained"),
+        )
+        outs.append(
+            joined.select(
+                F.lit(name).alias("candidate"),
+                "child_distinct",
+                "contained",
+                F.floor(
+                    F.col("contained").cast("double")
+                    / F.col("child_distinct").cast("double")
+                    * 1000000
+                    + 0.5
+                ).cast("long").alias("containment_micro"),
+                (p_rows == p_distinct).alias("parent_unique"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+QUERIES["warehouse_fk_inference"] = fk_inference
+ORACLES["warehouse_fk_inference"] = """
+    WITH pairs AS (
+        SELECT 'orders.o_custkey->customer.c_custkey' AS candidate,
+               (SELECT count(DISTINCT o_custkey) FROM orders) AS child_distinct,
+               (SELECT count(DISTINCT o.o_custkey) FROM orders o
+                WHERE EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS contained,
+               (SELECT count(*) = count(DISTINCT c_custkey) FROM customer)
+                   AS parent_unique
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+               (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+               (SELECT count(DISTINCT l.l_orderkey) FROM lineitem l
+                WHERE EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)),
+               (SELECT count(*) = count(DISTINCT o_orderkey) FROM orders)
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part.p_partkey',
+               (SELECT count(DISTINCT l_partkey) FROM lineitem),
+               (SELECT count(DISTINCT l.l_partkey) FROM lineitem l
+                WHERE EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey)),
+               (SELECT count(*) = count(DISTINCT p_partkey) FROM part)
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+               (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+               (SELECT count(DISTINCT l.l_suppkey) FROM lineitem l
+                WHERE EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey)),
+               (SELECT count(*) = count(DISTINCT s_suppkey) FROM supplier)
+        UNION ALL
+        SELECT 'orders.o_orderkey->customer.c_custkey',
+               (SELECT count(DISTINCT o_orderkey) FROM orders),
+               (SELECT count(DISTINCT o.o_orderkey) FROM orders o
+                WHERE EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_orderkey)),
+               (SELECT count(*) = count(DISTINCT c_custkey) FROM customer)
+    )
+    SELECT candidate, child_distinct::BIGINT AS child_distinct,
+           contained::BIGINT AS contained,
+           floor(contained::DOUBLE / child_distinct::DOUBLE * 1000000
+                 + 0.5)::BIGINT AS containment_micro,
+           parent_unique
+    FROM pairs
+"""

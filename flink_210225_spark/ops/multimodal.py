@@ -3056,3 +3056,67 @@ ORACLES["multimodal_image_resize"] = """
     FROM (SELECT doc_id, doc_id % 16 AS seed FROM documents) doc
     JOIN prof ON prof.seed = doc.seed
 """
+
+
+def audio_downsample_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """2× audio decimation with a boxcar pre-average — the sample-rate
+    reduction stage (16 kHz → 8 kHz) of the audio-prep family and the
+    WAV twin of ``multimodal_image_resize``: each output sample is the
+    TRUE floor of its input pair's mean (samples are signed — numpy //
+    floors while DuckDB // truncates toward zero, so the oracle floors
+    through an exact double division; the ``sim_kmeans_exact`` lesson
+    made explicit). Tail samples past the last full pair are dropped.
+    Per clip: output length, exact sum/min/max of the decimated signal.
+
+    Plan: one shuffle-free Arrow pass over the real WAV round trip; the
+    decimation is a reshape-fold inside the task."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id", (F.col("n_chars") % 200 + 50).cast("int").alias("n")
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"asset_id": [], "n_out": [], "s_sum": [], "s_min": [], "s_max": []}
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                s = _parse_wav(_wav_bytes(int(doc_id), int(n)))["samples"].astype(
+                    np.int64
+                )
+                half = len(s) // 2
+                ds = s[: half * 2].reshape(half, 2).sum(axis=1) // 2
+                out["asset_id"].append(int(doc_id))
+                out["n_out"].append(half)
+                out["s_sum"].append(int(ds.sum()))
+                out["s_min"].append(int(ds.min()))
+                out["s_max"].append(int(ds.max()))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen, "asset_id long, n_out long, s_sum long, s_min long, s_max long"
+    )
+
+
+QUERIES["multimodal_audio_downsample"] = audio_downsample_stats
+# PCM-formula replay; floor((a+b)/2) via exact double division because
+# DuckDB's // truncates toward zero on negative sums.
+ORACLES["multimodal_audio_downsample"] = """
+    WITH a AS (
+        SELECT doc_id, (n_chars % 200 + 50)::BIGINT AS n FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, n, unnest(range(n // 2)) AS k FROM a
+    ),
+    ds AS (
+        SELECT doc_id, n,
+               floor((((((doc_id * 31 + (2 * k) * 7) % 256) - 128) * 256)
+                      + ((((doc_id * 31 + (2 * k + 1) * 7) % 256) - 128) * 256))
+                     ::DOUBLE / 2.0)::BIGINT AS v
+        FROM pairs
+    )
+    SELECT doc_id AS asset_id, (max(n) // 2)::BIGINT AS n_out,
+           sum(v)::BIGINT AS s_sum, min(v)::BIGINT AS s_min,
+           max(v)::BIGINT AS s_max
+    FROM ds GROUP BY 1
+"""

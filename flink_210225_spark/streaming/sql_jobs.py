@@ -585,3 +585,78 @@ ORACLES["sql_window_clause"] = """
            w_seq AS (PARTITION BY o_custkey ORDER BY o_orderkey),
            w_all AS (PARTITION BY o_custkey)
 """
+
+
+TRY_CAST_SQL = """
+    WITH raw AS (
+        SELECT event_id,
+               CASE CAST(event_id % 4 AS INT)
+                    WHEN 0 THEN CAST(event_id AS STRING)
+                    WHEN 1 THEN CONCAT(CAST(event_id AS STRING), '.25')
+                    WHEN 2 THEN 'N/A'
+                    ELSE '99999999999999999999999999'
+               END AS s
+        FROM {view}
+    )
+    SELECT CAST(event_id % 4 AS BIGINT) AS class,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN TRY_CAST(s AS BIGINT) IS NULL THEN 1 ELSE 0 END)
+               AS null_bigint,
+           SUM(CASE WHEN TRY_CAST(s AS DOUBLE) IS NULL THEN 1 ELSE 0 END)
+               AS null_double,
+           COALESCE(SUM(TRY_CAST(s AS BIGINT)), 0) AS sum_bigint,
+           CAST(COALESCE(SUM(CASE WHEN event_id % 4 = 1
+                                  THEN TRY_CAST(s AS DOUBLE) * 100 END), 0)
+                AS BIGINT) AS frac_cents
+    FROM raw GROUP BY 1
+"""
+
+
+def _try_cast_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """TRY_CAST dirty-data grammar as ONE spark.sql TEXT — the ANSI-mode
+    survival kit (under ANSI SQL a bad CAST kills the job; TRY_CAST turns
+    it into a NULL the pipeline can route, the SQL-text twin of the
+    PERMISSIVE-parse sources). Four deterministic string classes: clean
+    integers, decimal strings (a BIGINT try fails, a DOUBLE try
+    succeeds — ×100 stays exact, .25 cents are representable), garbage,
+    and a 26-digit overflow that must NULL out of BIGINT rather than
+    wrap. DuckDB replays with its own TRY_CAST except for ONE measured
+    dialect divergence this op exists to document: DuckDB TRY_CAST
+    ROUNDS a decimal string into BIGINT ('123.25' -> 123) where Spark's
+    ANSI rule rejects it to NULL — the oracle pins Spark's stricter
+    behavior by rule (CASE on the decimal class), so the gate still
+    breaks if Spark ever starts silently rounding."""
+    ev = tables["events"]
+    ev.createOrReplaceTempView("events_view_sql_trycast")
+    return ev.sparkSession.sql(TRY_CAST_SQL.format(view="events_view_sql_trycast"))
+
+
+QUERIES["sql_try_cast_dirty"] = _try_cast_sql_q
+ORACLES["sql_try_cast_dirty"] = """
+    WITH raw AS (
+        SELECT event_id,
+               CASE (event_id % 4)::INT
+                    WHEN 0 THEN event_id::VARCHAR
+                    WHEN 1 THEN event_id::VARCHAR || '.25'
+                    WHEN 2 THEN 'N/A'
+                    ELSE '99999999999999999999999999'
+               END AS s
+        FROM events
+    )
+    SELECT (event_id % 4)::BIGINT AS class,
+           count(*)::BIGINT AS n_rows,
+           -- Spark's ANSI rule: a decimal string does NOT cast to BIGINT
+           -- (DuckDB's TRY_CAST would round it — measured divergence)
+           sum(CASE WHEN event_id % 4 = 1 THEN 1
+                    WHEN TRY_CAST(s AS BIGINT) IS NULL THEN 1 ELSE 0 END)
+               ::BIGINT AS null_bigint,
+           sum(CASE WHEN TRY_CAST(s AS DOUBLE) IS NULL THEN 1 ELSE 0 END)
+               ::BIGINT AS null_double,
+           coalesce(sum(CASE WHEN event_id % 4 != 1
+                             THEN TRY_CAST(s AS BIGINT) END), 0)::BIGINT
+               AS sum_bigint,
+           coalesce(sum(CASE WHEN event_id % 4 = 1
+                             THEN TRY_CAST(s AS DOUBLE) * 100 END),
+                    0)::BIGINT AS frac_cents
+    FROM raw GROUP BY 1
+"""
