@@ -2620,3 +2620,60 @@ ORACLES["window_runs_test"] = """
            END AS z_micro
     FROM agg
 """
+
+
+def yoy_growth(tables: dict[str, DataFrame]) -> DataFrame:
+    """Year-over-year monthly GMV growth — the calendar-aligned companion
+    to ``window_wow_growth`` (weeks are position-aligned; YoY must align
+    the CALENDAR month, so the comparison is an explicit month-key join
+    on yyyyMM − 100, never a lag(12) row offset that silently misaligns
+    the moment one month is missing from the series). Exact integer
+    cents; growth is ONE pinned micro division against the prior-year
+    month, NULL when that month is absent or zero.
+
+    Plan: one month-grain partial agg off the orders scan, one
+    month-key self-join of the |months|-sized series — both bounded by
+    the calendar, never by rows."""
+    o = tables["orders"]
+    month_int = F.date_format("o_orderdate", "yyyyMM").cast("long")
+    monthly = o.groupBy(month_int.alias("month")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "cents"
+        )
+    )
+    prev = monthly.select(
+        (F.col("month") + 100).alias("month"), F.col("cents").alias("prev_cents")
+    )
+    return (
+        monthly.join(prev, "month", "left")
+        .select(
+            "month",
+            "cents",
+            "prev_cents",
+            F.when(
+                F.col("prev_cents") > 0,
+                F.floor(
+                    (F.col("cents") - F.col("prev_cents")).cast("double")
+                    / F.col("prev_cents").cast("double")
+                    * 1000000
+                    + 0.5
+                ),
+            ).cast("long").alias("yoy_growth_micro"),
+        )
+    )
+
+
+QUERIES["window_yoy_growth"] = yoy_growth
+ORACLES["window_yoy_growth"] = """
+    WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y%m')::BIGINT AS month,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT m.month, m.cents, p.cents AS prev_cents,
+           CASE WHEN p.cents > 0 THEN
+               floor((m.cents - p.cents)::DOUBLE / p.cents::DOUBLE * 1000000
+                     + 0.5)::BIGINT
+           END AS yoy_growth_micro
+    FROM monthly m LEFT JOIN monthly p ON p.month = m.month - 100
+"""
