@@ -94,23 +94,39 @@ def main() -> None:
     except (OSError, KeyError, ValueError):
         pass  # no baseline available: emit the plain bench line
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": round(sum(per_query.values()), 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": _sf_from_dir(sf_dir),
-                "reps": reps,
-                "rep_totals": [
-                    round(sum(ts[i] for ts in times.values()), 3)
-                    for i in range(reps)
-                ],
-                **baseline_info,
-            }
-        )
-    )
+    # The driver records only the last ~2 KB of stdout ("tail") — a full
+    # 369-query map is ~11 KB and can never parse there (every BENCH_rN.json
+    # landed "parsed": null). So: the FULL per-query map goes to a sidecar
+    # file next to this script, and the printed line carries the aggregates,
+    # the regression gate, and the slowest-25 map — compact separators,
+    # sized to fit the tail cap.
+    full = {
+        "metric": "total_query_seconds",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": _sf_from_dir(sf_dir),
+        "reps": reps,
+        "rep_totals": [
+            round(sum(ts[i] for ts in times.values()), 3) for i in range(reps)
+        ],
+        **baseline_info,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "BENCH_FULL_last_run.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        full_path = None
+    slowest = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:25])
+    compact = {
+        **{k: v for k, v in full.items() if k != "queries"},
+        "n_queries": len(per_query),
+        "queries": {k: round(v, 1) for k, v in slowest.items()},
+        "queries_file": full_path,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -3120,3 +3120,230 @@ ORACLES["multimodal_audio_downsample"] = """
            max(v)::BIGINT AS s_max
     FROM ds GROUP BY 1
 """
+
+
+def image_near_dup_groups(tables: dict[str, DataFrame]) -> DataFrame:
+    """Perceptual NEAR-duplicate image detection — the Hamming-LSH member
+    of the multimodal dedup family. ``image_ahash_groups`` gates the
+    exact-hash case (same content, different encodings); here the corpus
+    additionally contains PERTURBED variants (each doc brightens one
+    scanline of its base image by ``doc_id % 4`` pre-mod), so near-dups
+    differ in a FEW aHash bits and exact grouping misses them. The classic
+    banded-LSH-on-Hamming-space answer: split the 64-bit hash into four
+    16-bit bands — any pair within Hamming distance 3 must agree on at
+    least one band (pigeonhole), so band-equality buckets have guaranteed
+    recall at t=3 — then verify candidates with an exact popcount.
+
+    Every hash is computed from a REAL PNG encode→decode round trip
+    (rotating scanline filters, like the whole image family). The 64-bit
+    hash is carried as two int32 halves (h_lo, h_hi) on BOTH engines —
+    bit 63 in a signed BIGINT would wrap.
+
+    Scale: the pair generation runs over DISTINCT hash profiles (the
+    ``video_fingerprint_groups`` collapse — group sizes re-expand pair
+    counts arithmetically), so the quadratic lives on |distinct hashes|,
+    never |docs|; the decode pass is one Arrow scan and the only
+    data-sized shuffle keys on the 8-byte hash. The oracle replays the
+    pixel formula arithmetically and the same collapse."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("seed"),
+        (F.col("doc_id") % 4).cast("int").alias("pert"),
+        ((F.col("doc_id") * 5) % 16).cast("int").alias("prow"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(16, dtype=np.int64)
+        ys = np.arange(16, dtype=np.int64)[:, None]
+        for pdf in it:
+            los, his = [], []
+            for seed, pert, prow, ft in zip(
+                pdf["seed"], pdf["pert"], pdf["prow"], pdf["ft"]
+            ):
+                raw = int(seed) * 7 + xs * 3 + ys * 11
+                raw = raw + np.where(
+                    np.arange(16)[:, None] == int(prow), int(pert), 0
+                )
+                px_in = (raw % 256).astype(np.uint8)
+                px = _parse_png(_png_encode(px_in, filter_type=int(ft)))[
+                    "pixels"
+                ].astype(np.int64)[:, :, 0]
+                tsums = px.reshape(8, 2, 8, 2).sum(axis=(1, 3))
+                total = int(px.sum())
+                bits = (64 * tsums > total).ravel()
+                lo = sum(int(b) << i for i, b in enumerate(bits[:32]))
+                hi = sum(int(b) << i for i, b in enumerate(bits[32:]))
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "h_lo": los, "h_hi": his}
+            )
+
+    hashed = base.mapInPandas(gen, "doc_id long, h_lo long, h_hi long")
+    prof = hashed.groupBy("h_lo", "h_hi").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    # pid is an internal ordering/grouping key: h_hi can use bit 31, so the
+    # packed value needs 33+32 bits — decimal(20,0), never a signed long
+    prof = prof.withColumn(
+        "pid",
+        F.col("h_hi").cast("decimal(20,0)") * F.lit(4294967296)
+        + F.col("h_lo"),
+    )
+    # band i key = value + i * 65536 so equal values in DIFFERENT bands
+    # never produce a candidate (each raw band value is < 65536)
+    bands = prof.select(
+        "pid",
+        "h_lo",
+        "h_hi",
+        "cnt",
+        F.explode(
+            F.array(
+                F.col("h_lo") % 65536,
+                F.floor(F.col("h_lo") / 65536).cast("long") + F.lit(65536),
+                F.col("h_hi") % 65536 + F.lit(131072),
+                F.floor(F.col("h_hi") / 65536).cast("long") + F.lit(196608),
+            )
+        ).alias("bv"),
+    )
+    # candidate profile pairs: share >= 1 of the 4 bands (pigeonhole
+    # guarantees every Hamming<=3 pair appears; distinct dedups multi-band
+    # agreements)
+    a = bands.select(
+        F.col("pid").alias("pid_a"),
+        F.col("h_lo").alias("lo_a"),
+        F.col("h_hi").alias("hi_a"),
+        F.col("cnt").alias("cnt_a"),
+        "bv",
+    )
+    b = bands.select(
+        F.col("pid").alias("pid_b"),
+        F.col("h_lo").alias("lo_b"),
+        F.col("h_hi").alias("hi_b"),
+        F.col("cnt").alias("cnt_b"),
+        "bv",
+    )
+    cand = (
+        a.join(b, "bv")
+        .where(F.col("pid_a") < F.col("pid_b"))
+        .select("pid_a", "pid_b", "lo_a", "hi_a", "lo_b", "hi_b", "cnt_a", "cnt_b")
+        .distinct()
+    )
+    cross = cand.select(
+        (
+            F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        ).cast("int").alias("hamming"),
+        (F.col("cnt_a") * F.col("cnt_b")).alias("n_pairs"),
+        F.col("cnt_a").alias("d_a"),
+        F.col("cnt_b").alias("d_b"),
+        "pid_a",
+        "pid_b",
+    ).where(F.col("hamming") <= 3)
+    selfp = prof.where(F.col("cnt") >= 2).select(
+        F.lit(0).cast("int").alias("hamming"),
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long").alias("n_pairs"),
+        F.col("cnt").alias("d_a"),
+        F.lit(0).cast("long").alias("d_b"),
+        F.col("pid").alias("pid_a"),
+        F.col("pid").alias("pid_b"),
+    )
+    allp = cross.unionByName(selfp)
+    # docs involved at distance h: distinct profiles participating, sizes
+    # summed once per (h, profile)
+    docs_at_h = (
+        allp.select("hamming", F.col("pid_a").alias("pid"), F.col("d_a").alias("d"))
+        .unionByName(
+            allp.where(F.col("d_b") > 0).select(
+                "hamming", F.col("pid_b").alias("pid"), F.col("d_b").alias("d")
+            )
+        )
+        .groupBy("hamming", "pid")
+        .agg(F.max("d").alias("d"))
+        .groupBy("hamming")
+        .agg(F.sum("d").cast("long").alias("n_docs"))
+    )
+    pairs_at_h = allp.groupBy("hamming").agg(
+        F.sum("n_pairs").cast("long").alias("n_pairs")
+    )
+    return pairs_at_h.join(docs_at_h, "hamming").select(
+        "hamming", "n_pairs", "n_docs"
+    )
+
+
+QUERIES["multimodal_image_near_dup"] = image_near_dup_groups
+# Pixel-formula replay + the same distinct-profile collapse; quadratic only
+# over distinct hashes. bit 63 never packs into a signed 64-bit value on
+# either engine (two int halves).
+ORACLES["multimodal_image_near_dup"] = """
+    WITH d AS (
+        SELECT doc_id, doc_id % 8 AS seed, doc_id % 4 AS pert,
+               (doc_id * 5) % 16 AS prow
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id,
+               x.range AS x, y.range AS y,
+               (seed * 7 + 3 * x.range + 11 * y.range
+                + CASE WHEN y.range = prow THEN pert ELSE 0 END) % 256 AS v
+        FROM d, range(16) x, range(16) y
+    ),
+    tiles AS (
+        SELECT doc_id, (y // 2) * 8 + (x // 2) AS ti, sum(v) AS ts
+        FROM px GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, sum(ts) AS tot FROM tiles GROUP BY 1),
+    bits AS (
+        SELECT t.doc_id, ti, CASE WHEN 64 * ts > tot THEN 1 ELSE 0 END AS b
+        FROM tiles t JOIN tot USING (doc_id)
+    ),
+    hashes AS (
+        SELECT doc_id,
+               sum(CASE WHEN ti < 32 THEN b * (1::BIGINT << ti)
+                        ELSE 0 END)::BIGINT AS h_lo,
+               sum(CASE WHEN ti >= 32 THEN b * (1::BIGINT << (ti - 32))
+                        ELSE 0 END)::BIGINT AS h_hi
+        FROM bits GROUP BY 1
+    ),
+    prof AS (
+        SELECT h_lo, h_hi, h_hi::HUGEINT * 4294967296 + h_lo AS pid,
+               count(*)::BIGINT AS cnt
+        FROM hashes GROUP BY 1, 2, 3
+    ),
+    cross_pairs AS (
+        SELECT (bit_count(xor(a.h_lo, b.h_lo))
+                + bit_count(xor(a.h_hi, b.h_hi)))::INT AS hamming,
+               a.cnt * b.cnt AS n_pairs,
+               a.cnt AS d_a, b.cnt AS d_b, a.pid AS pid_a, b.pid AS pid_b
+        FROM prof a JOIN prof b ON a.pid < b.pid
+        WHERE bit_count(xor(a.h_lo, b.h_lo))
+              + bit_count(xor(a.h_hi, b.h_hi)) <= 3
+    ),
+    self_pairs AS (
+        SELECT 0::INT AS hamming, cnt * (cnt - 1) // 2 AS n_pairs,
+               cnt AS d_a, 0::BIGINT AS d_b, pid AS pid_a, pid AS pid_b
+        FROM prof WHERE cnt >= 2
+    ),
+    allp AS (
+        SELECT * FROM cross_pairs UNION ALL SELECT * FROM self_pairs
+    ),
+    docs_at_h AS (
+        SELECT hamming, sum(d)::BIGINT AS n_docs FROM (
+            SELECT hamming, pid, max(d) AS d FROM (
+                SELECT hamming, pid_a AS pid, d_a AS d FROM allp
+                UNION ALL
+                SELECT hamming, pid_b AS pid, d_b AS d FROM allp
+                WHERE d_b > 0
+            ) GROUP BY 1, 2
+        ) GROUP BY 1
+    )
+    SELECT p.hamming, p.n_pairs, docs_at_h.n_docs
+    FROM (
+        SELECT hamming, sum(n_pairs)::BIGINT AS n_pairs
+        FROM allp GROUP BY 1
+    ) p JOIN docs_at_h USING (hamming)
+"""

@@ -632,3 +632,139 @@ ORACLES["source_jsonl_nested"] = """
     FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY 1
 """
+
+
+def jsonl_gzip_counts(tables: dict[str, DataFrame]) -> DataFrame:
+    """Gzip-compressed JSON-lines round trip — the compression-codec member
+    of the source family (``source_jsonl_dirty`` gates PERMISSIVE parsing;
+    here the bytes on disk are .json.gz and the reader must sniff and
+    inflate them). Real-world corpus drops (CommonCrawl WET, web-scrape
+    dumps) land as gzip JSONL, so this is the first mile of an LLM data
+    pipeline.
+
+    Scale note, and the reason for the explicit repartition(8): gzip is
+    NOT a splittable codec — each .gz file is exactly one input task, so
+    shard count at write time IS the read parallelism. A single 100 GB
+    .json.gz would serialize the whole scan onto one core; the write side
+    must shard (here 8 files, proving the multi-file read path). The
+    rollup itself is one map-side-combined groupBy."""
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    ev = tables["events"]
+    spark = ev.sparkSession
+    out = _scratch(prefix="jsonl_gz_")
+    ev.select(
+        F.to_json(
+            F.struct("event_id", "user_id", "event_type", "value")
+        ).alias("value")
+    ).repartition(8).write.mode("overwrite").option(
+        "compression", "gzip"
+    ).text(out)
+    back = spark.read.json(out)
+    return back.groupBy(F.col("event_type").alias("etype")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents"),
+        F.min("event_id").cast("long").alias("first_id"),
+        F.max("event_id").cast("long").alias("last_id"),
+    )
+
+
+QUERIES["source_jsonl_gzip"] = jsonl_gzip_counts
+# Replay from parquet: the gzip JSONL cycle must be value-neutral (double
+# fidelity rides to_json's shortest-roundtrip printing, as in jsonl_dirty).
+ORACLES["source_jsonl_gzip"] = """
+    SELECT event_type AS etype,
+           count(*)::BIGINT AS n_rows,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents,
+           min(event_id)::BIGINT AS first_id,
+           max(event_id)::BIGINT AS last_id
+    FROM events GROUP BY 1
+"""
+
+
+def binary_files_counts(tables: dict[str, DataFrame]) -> DataFrame:
+    """``binaryFile`` datasource ingestion — Spark's native reader for
+    opaque media blobs (path, modificationTime, length, content), the
+    first mile of every multimodal pipeline: files land on object storage,
+    the engine lists + reads them as binary rows, decode happens
+    executor-side. Here a bounded sample of documents (doc_id % 50 == 0 —
+    a fixed 2% manifest, SF-proportional) is materialized as REAL .png
+    FILES (one per doc, rotating scanline filters), read back through
+    ``format("binaryFile")``, decoded from the CONTENT BYTES the reader
+    returned (never re-synthesized), and rolled up per seed.
+
+    Scale: binaryFile is distributed and list-parallel (one task per file
+    group); content rides the scan as a binary column into an Arrow
+    ``mapInPandas`` decode — the same shape as the multimodal family. The
+    write loop is driver-side by necessity (synthesizing the fixture) and
+    bounded by the 2% manifest; production files pre-exist."""
+    import os
+
+    from flink_210225_spark.ops.multimodal import _parse_png, _png_bytes
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    docs = tables["documents"]
+    spark = docs.sparkSession
+    ids = [
+        r[0]
+        for r in docs.where(F.col("doc_id") % 50 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    out = _scratch(prefix="binfiles_")
+    for d in ids:
+        with open(os.path.join(out, f"img_{d}.png"), "wb") as f:
+            f.write(_png_bytes(d % 16, 16, 16, filter_type=d % 5))
+
+    back = spark.read.format("binaryFile").load(out)
+
+    import pandas as pd
+
+    def dec(it):
+        import re
+
+        for pdf in it:
+            seeds, sums, oks = [], [], []
+            for path, length, content in zip(
+                pdf["path"], pdf["length"], pdf["content"]
+            ):
+                m = re.search(r"img_(\d+)\.png$", path)
+                d = int(m.group(1))
+                px = _parse_png(bytes(content))["pixels"]
+                seeds.append(d % 16)
+                sums.append(int(px[:, :, 0].astype("int64").sum()))
+                oks.append(1 if int(length) == len(bytes(content)) else 0)
+            yield pd.DataFrame(
+                {"seed": seeds, "px_sum": sums, "len_ok": oks}
+            )
+
+    decoded = back.mapInPandas(dec, "seed int, px_sum long, len_ok int")
+    return decoded.groupBy("seed").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("px_sum").cast("long").alias("px_sum"),
+        F.sum("len_ok").cast("long").alias("len_ok"),
+    )
+
+
+QUERIES["source_binary_files"] = binary_files_counts
+# Pixel-formula replay over the same 2% manifest: file count, decoded pixel
+# mass, and the length-metadata==content invariant (len_ok == n_files).
+ORACLES["source_binary_files"] = """
+    WITH d AS (
+        SELECT doc_id, doc_id % 16 AS seed FROM documents
+        WHERE doc_id % 50 = 0
+    ),
+    px AS (
+        SELECT doc_id, seed,
+               (seed * 7 + 3 * x.range + 11 * y.range) % 256 AS v
+        FROM d, range(16) x, range(16) y
+    )
+    SELECT seed::INT AS seed, count(DISTINCT doc_id)::BIGINT AS n_files,
+           sum(v)::BIGINT AS px_sum,
+           count(DISTINCT doc_id)::BIGINT AS len_ok
+    FROM px GROUP BY 1
+"""

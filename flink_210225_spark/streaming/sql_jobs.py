@@ -660,3 +660,64 @@ ORACLES["sql_try_cast_dirty"] = """
                     0)::BIGINT AS frac_cents
     FROM raw GROUP BY 1
 """
+
+
+CORRELATED_SQL = """
+    SELECT c.c_nationkey AS nation,
+           CAST(count(*) AS BIGINT) AS n_above,
+           CAST(sum(CASE WHEN EXISTS (
+                    SELECT 1 FROM {orders} o
+                    WHERE o.o_custkey = c.c_custkey
+               ) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+           CAST(sum(
+               CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+               * (SELECT count(*) FROM {customer} c3
+                  WHERE c3.c_nationkey = c.c_nationkey)
+               - (SELECT CAST(sum(floor(c2.c_acctbal * 100 + 0.5))
+                         AS BIGINT)
+                  FROM {customer} c2
+                  WHERE c2.c_nationkey = c.c_nationkey)
+           ) AS BIGINT) AS excess_x_n
+    FROM {customer} c
+    WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+          * (SELECT count(*) FROM {customer} c3
+             WHERE c3.c_nationkey = c.c_nationkey)
+          > (SELECT CAST(sum(floor(c2.c_acctbal * 100 + 0.5)) AS BIGINT)
+             FROM {customer} c2
+             WHERE c2.c_nationkey = c.c_nationkey)
+    GROUP BY c.c_nationkey
+"""
+
+
+def _correlated_scalar_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """Correlated-subquery SQL grammar as ONE spark.sql text — two
+    correlated SCALAR subqueries (per-nation count and per-nation balance
+    sum, referenced in both WHERE and SELECT) plus a correlated EXISTS.
+    This is the surface Catalyst must DECORRELATE
+    (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery turn each
+    into an aggregate-then-join); a SQL-first analyst writes exactly this
+    shape for "customers above their nation's average balance".
+
+    The above-average predicate is the exact integer cross-multiply
+    (cents · nation_count > nation_cents_sum) — no float average ever
+    exists, so the boundary rows can't flip between engines. The oracle
+    runs the IDENTICAL text through DuckDB's own decorrelation.
+
+    Scale: decorrelation rewrites the O(n²) nested form into two
+    nation-keyed aggregates joined back — nation is the shuffle key, the
+    EXISTS becomes a left-semi join on custkey."""
+    cust = tables["customer"]
+    ords = tables["orders"]
+    cust.createOrReplaceTempView("customer_view_sql_corr")
+    ords.createOrReplaceTempView("orders_view_sql_corr")
+    return cust.sparkSession.sql(
+        CORRELATED_SQL.format(
+            customer="customer_view_sql_corr", orders="orders_view_sql_corr"
+        )
+    )
+
+
+QUERIES["sql_correlated_scalar"] = _correlated_scalar_sql_q
+ORACLES["sql_correlated_scalar"] = CORRELATED_SQL.format(
+    customer="customer", orders="orders"
+)

@@ -284,3 +284,137 @@ def test_langid_calibration_totals(tables):
     assert sum(r["n_docs"] for r in rows) == len(_docs_pd())
     for r in rows:
         assert 0 <= r["n_correct"] <= r["n_docs"]
+
+
+# ---------------------------------------------------------------- wave: new
+
+
+def test_image_near_dup_pure_python_replay(tables):
+    """Third implementation: per-doc aHash in pure numpy (pixel formula,
+    NO png round trip), quadratic pair scan, pigeonhole recall check —
+    every Hamming<=3 pair must share at least one 16-bit band, and the
+    collapsed (hamming -> n_pairs, n_docs) rollup must equal the kernel's."""
+    from collections import defaultdict
+
+    from flink_210225_spark.ops.multimodal import image_near_dup_groups
+
+    got = {r["hamming"]: r for r in image_near_dup_groups(tables).collect()}
+
+    docs = _docs_pd()
+    hashes = {}
+    for d in docs["doc_id"].astype(int):
+        seed, pert, prow = d % 8, d % 4, (d * 5) % 16
+        px = np.fromfunction(
+            lambda y, x: (seed * 7 + 3 * x + 11 * y) % 256, (16, 16)
+        ).astype(np.int64)
+        px[prow] = (px[prow] + pert) % 256
+        ts = px.reshape(8, 2, 8, 2).sum(axis=(1, 3)).ravel()
+        bits = (64 * ts > px.sum()).astype(int)
+        hashes[d] = int(sum(b << i for i, b in enumerate(bits)))
+    pairs = defaultdict(int)
+    docs_at = defaultdict(set)
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(hashes[a] ^ hashes[b]).count("1")
+            if h <= 3:
+                pairs[h] += 1
+                docs_at[h].update((a, b))
+                bands_a = [(hashes[a] >> (16 * k)) & 0xFFFF for k in range(4)]
+                bands_b = [(hashes[b] >> (16 * k)) & 0xFFFF for k in range(4)]
+                assert any(x == y for x, y in zip(bands_a, bands_b))
+    assert set(got) == set(pairs)
+    for h in pairs:
+        assert got[h]["n_pairs"] == pairs[h]
+        assert got[h]["n_docs"] == len(docs_at[h])
+
+
+def test_image_near_dup_has_nonexact_matches(tables):
+    """The construction must exercise the NEAR path (1<=h<=3), not just
+    exact-hash collapse — otherwise the banded join is vacuous."""
+    from flink_210225_spark.ops.multimodal import image_near_dup_groups
+
+    got = {r["hamming"]: r["n_pairs"] for r in image_near_dup_groups(tables).collect()}
+    assert got.get(0, 0) > 0
+    assert sum(v for h, v in got.items() if 1 <= h <= 3) > 0
+
+
+def test_jsonl_gzip_files_actually_gzip(tables):
+    """The codec must be applied on disk: every data file ends .gz and
+    starts with the gzip magic — and there are 8 of them (the splittability
+    shard contract the docstring promises)."""
+    import glob
+    import os
+
+    from flink_210225_spark.sources.jsonl import jsonl_gzip_counts
+    from flink_210225_spark.streaming import pipelines as sp
+
+    jsonl_gzip_counts(tables).collect()
+    root = sp._SCRATCH_ROOT
+    dirs = sorted(glob.glob(os.path.join(root, "jsonl_gz_*")))
+    assert dirs
+    files = glob.glob(os.path.join(dirs[-1], "part-*"))
+    assert len(files) == 8
+    for f in files:
+        assert f.endswith(".gz")
+        with open(f, "rb") as fh:
+            assert fh.read(2) == b"\x1f\x8b"
+
+
+def test_binary_files_length_metadata_matches_content(tables):
+    """binaryFile's length column must equal the content byte count for
+    every file (len_ok == n_files per seed), and the file count must be
+    the 2% manifest size."""
+    from flink_210225_spark.sources.jsonl import binary_files_counts
+
+    rows = binary_files_counts(tables).collect()
+    assert all(r["len_ok"] == r["n_files"] for r in rows)
+    n_docs = len(_docs_pd())
+    assert sum(r["n_files"] for r in rows) == sum(
+        1 for d in _docs_pd()["doc_id"].astype(int) if d % 50 == 0
+    )
+    assert n_docs >= sum(r["n_files"] for r in rows)
+
+
+def test_correlated_scalar_matches_dataframe_form(tables):
+    """Third implementation: the same query in DataFrame algebra (window
+    per nation, integer cross-multiply, left-semi join for EXISTS) —
+    decorrelation must not change the answer."""
+    from pyspark.sql import Window
+
+    from flink_210225_spark.streaming.sql_jobs import _correlated_scalar_sql_q
+
+    got = {r["nation"]: r for r in _correlated_scalar_sql_q(tables).collect()}
+
+    c = tables["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("c_nationkey")
+    c = c.withColumn("n_nation", F.count("*").over(w)).withColumn(
+        "sum_nation", F.sum("cents").over(w)
+    )
+    above = c.where(F.col("cents") * F.col("n_nation") > F.col("sum_nation"))
+    with_orders = above.join(
+        tables["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    ).groupBy("c_nationkey").agg(F.count("*").alias("n_with_orders"))
+    agg = above.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_above"),
+        F.sum(
+            F.col("cents") * F.col("n_nation") - F.col("sum_nation")
+        ).alias("excess_x_n"),
+    )
+    want = {
+        r["c_nationkey"]: r
+        for r in agg.join(with_orders, "c_nationkey", "left").collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n_above"] == want[k]["n_above"]
+        assert got[k]["excess_x_n"] == want[k]["excess_x_n"]
+        assert got[k]["n_with_orders"] == (want[k]["n_with_orders"] or 0)
