@@ -2126,3 +2126,123 @@ ORACLES["warehouse_fk_inference"] = """
            parent_unique
     FROM pairs
 """
+
+
+def mcv_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """Most-common-values statistics + selectivity audit — the MCV side of
+    the CBO stats surface (``analyze_column_stats`` gates NDV/nulls,
+    ``histogram_equiheight`` gates range stats; MCV lists are the third
+    leg every optimizer keeps: Postgres pg_stats.most_common_vals, Spark
+    CBO's histogram+NDV hybrid). Per profiled column: the top-5 values by
+    exact frequency (ties broken by value — deterministic), and the
+    audit the MCV list exists FOR — the uniform-remainder estimate
+    est_other = (n − Σ mcv_freq) / (ndv − 5) that a CBO assigns to any
+    non-MCV equality predicate, scored against the held-out 6th value:
+    abs_err_x_den = |probe_freq·(ndv−5) − (n − Σ mcv)| stays a pure
+    integer (the ×denominator form avoids the division), est_other
+    itself is round6-pinned.
+
+    Scale: each column contributes one value-keyed pre-agg (map-side
+    combined); the rank window partitions on col_name over the ALREADY
+    collapsed value domain — rows per partition = NDV, never table rows."""
+    parts = tables["part"]
+    cust = tables["customer"]
+    cols = [
+        parts.select(F.lit("p_brand").alias("col_name"), F.col("p_brand").cast("string").alias("val")),
+        parts.select(F.lit("p_type").alias("col_name"), F.col("p_type").cast("string").alias("val")),
+        cust.select(F.lit("c_nationkey").alias("col_name"), F.col("c_nationkey").cast("string").alias("val")),
+    ]
+    melted = cols[0]
+    for c in cols[1:]:
+        melted = melted.unionByName(c)
+    counts = melted.groupBy("col_name", "val").agg(
+        F.count("*").cast("long").alias("freq")
+    )
+    wp = Window.partitionBy("col_name")
+    ranked = counts.select(
+        "col_name",
+        "val",
+        "freq",
+        F.row_number()
+        .over(wp.orderBy(F.col("freq").desc(), F.col("val")))
+        .alias("rnk"),
+    ).select(
+        "*",
+        F.count("*").over(wp).cast("long").alias("ndv"),
+        F.sum("freq").over(wp).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("rnk") <= 5, F.col("freq")).otherwise(0))
+        .over(wp)
+        .cast("long")
+        .alias("mcv_mass"),
+        F.coalesce(
+            F.max(F.when(F.col("rnk") == 6, F.col("freq"))).over(wp), F.lit(0)
+        )
+        .cast("long")
+        .alias("probe_freq"),
+    )
+    return ranked.where(F.col("rnk") <= 5).select(
+        "col_name",
+        "rnk",
+        "val",
+        "freq",
+        "ndv",
+        "n_rows",
+        "probe_freq",
+        F.when(
+            F.col("ndv") > 5,
+            round6(
+                (F.col("n_rows") - F.col("mcv_mass")).cast("double")
+                / (F.col("ndv") - 5).cast("double")
+            ),
+        ).alias("est_other"),
+        F.when(
+            F.col("ndv") > 5,
+            F.abs(
+                F.col("probe_freq") * (F.col("ndv") - 5)
+                - (F.col("n_rows") - F.col("mcv_mass"))
+            ),
+        ).cast("long").alias("abs_err_x_den"),
+    )
+
+
+QUERIES["warehouse_mcv_stats"] = mcv_stats
+ORACLES["warehouse_mcv_stats"] = """
+    WITH melted AS (
+        SELECT 'p_brand' AS col_name, p_brand::VARCHAR AS val FROM part
+        UNION ALL
+        SELECT 'p_type', p_type::VARCHAR FROM part
+        UNION ALL
+        SELECT 'c_nationkey', c_nationkey::VARCHAR FROM customer
+    ),
+    counts AS (
+        SELECT col_name, val, count(*)::BIGINT AS freq
+        FROM melted GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT col_name, val, freq,
+               row_number() OVER (PARTITION BY col_name
+                                  ORDER BY freq DESC, val) AS rnk,
+               count(*) OVER (PARTITION BY col_name)::BIGINT AS ndv,
+               sum(freq) OVER (PARTITION BY col_name)::BIGINT AS n_rows
+        FROM counts
+    ),
+    audit AS (
+        SELECT col_name,
+               sum(CASE WHEN rnk <= 5 THEN freq ELSE 0 END)::BIGINT AS mcv_mass,
+               coalesce(max(CASE WHEN rnk = 6 THEN freq END), 0)::BIGINT
+                   AS probe_freq
+        FROM ranked GROUP BY 1
+    )
+    SELECT r.col_name, r.rnk::INT AS rnk, r.val, r.freq, r.ndv, r.n_rows,
+           a.probe_freq,
+           CASE WHEN r.ndv > 5
+                THEN floor((r.n_rows - a.mcv_mass)::DOUBLE
+                           / (r.ndv - 5)::DOUBLE * 1000000 + 0.5) / 1000000
+           END AS est_other,
+           CASE WHEN r.ndv > 5
+                THEN abs(a.probe_freq * (r.ndv - 5)
+                         - (r.n_rows - a.mcv_mass))
+           END::BIGINT AS abs_err_x_den
+    FROM ranked r JOIN audit a USING (col_name)
+    WHERE r.rnk <= 5
+"""

@@ -2677,3 +2677,101 @@ ORACLES["window_yoy_growth"] = """
            END AS yoy_growth_micro
     FROM monthly m LEFT JOIN monthly p ON p.month = m.month - 100
 """
+
+
+def spearman_daily(tables: dict[str, DataFrame]) -> DataFrame:
+    """Spearman rank correlation between the daily GMV and the daily order
+    count, per order priority — the monotone-association twin of the
+    Pearson family above (rank correlation is the robust default for
+    skewed revenue series; ties are REAL here because small dailies repeat
+    counts). Ranks use the textbook average-rank tie rule carried as
+    DOUBLED integers (2·avg_rank = 2·rank() + ties − 1 — min-rank plus
+    max-rank of the tie group), so every rank statistic up to the final
+    rho stays exact int64; rho is Pearson over the doubled ranks (the
+    ×2 cancels), one sqrt·sqrt + one division, round6-pinned. Degenerate
+    series (a constant side) pin rho to NULL via the variance guard.
+
+    Scale: one (priority, day) pre-agg shuffle, one priority-keyed window
+    for ranks, one priority rollup — day count per group bounds the
+    window, never raw orders."""
+    o = tables["orders"]
+    daily = o.groupBy(
+        "o_orderpriority", F.date_format("o_orderdate", "yyyyMMdd").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .alias("cents"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    wp = Window.partitionBy("o_orderpriority")
+
+    def dranks(col: str) -> Column:
+        w = wp.orderBy(col)
+        ties = F.count("*").over(Window.partitionBy("o_orderpriority", col))
+        return (2 * F.rank().over(w) + ties - 1).cast("long")
+
+    r = daily.select(
+        "o_orderpriority",
+        dranks("cents").alias("rx"),
+        dranks("n_orders").alias("ry"),
+    )
+    agg = r.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n = F.col("n_days")
+    a = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    bx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    by = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "priority",
+        "n_days",
+        F.when(
+            (bx > 0) & (by > 0), round6(a / (F.sqrt(bx) * F.sqrt(by)))
+        ).alias("rho"),
+    )
+
+
+QUERIES["window_spearman"] = spearman_daily
+# Same doubled-average-rank algebra; identical operation order in the final
+# expression (sqrt(bx) * sqrt(by), never sqrt(bx*by)).
+ORACLES["window_spearman"] = """
+    WITH daily AS (
+        SELECT o_orderpriority,
+               strftime(o_orderdate, '%Y%m%d') AS day,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents,
+               count(*)::BIGINT AS n_orders
+        FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT o_orderpriority,
+               (2 * rank() OVER (PARTITION BY o_orderpriority ORDER BY cents)
+                + count(*) OVER (PARTITION BY o_orderpriority, cents)
+                - 1)::BIGINT AS rx,
+               (2 * rank() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY n_orders)
+                + count(*) OVER (PARTITION BY o_orderpriority, n_orders)
+                - 1)::BIGINT AS ry
+        FROM daily
+    ),
+    agg AS (
+        SELECT o_orderpriority AS priority,
+               count(*)::BIGINT AS n_days,
+               sum(rx)::BIGINT AS sx, sum(ry)::BIGINT AS sy,
+               sum(rx * rx)::BIGINT AS sxx, sum(ry * ry)::BIGINT AS syy,
+               sum(rx * ry)::BIGINT AS sxy
+        FROM r GROUP BY 1
+    )
+    SELECT priority, n_days,
+           CASE WHEN (n_days * sxx - sx * sx) > 0
+                 AND (n_days * syy - sy * sy) > 0
+                THEN floor((n_days * sxy - sx * sy)::DOUBLE
+                           / (sqrt((n_days * sxx - sx * sx)::DOUBLE)
+                              * sqrt((n_days * syy - sy * sy)::DOUBLE))
+                           * 1000000 + 0.5) / 1000000
+           END AS rho
+    FROM agg
+"""

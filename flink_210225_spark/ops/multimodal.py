@@ -3347,3 +3347,119 @@ ORACLES["multimodal_image_near_dup"] = """
         FROM allp GROUP BY 1
     ) p JOIN docs_at_h USING (hamming)
 """
+
+
+def video_motion_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """Motion-energy grading for video curation — the static-clip gate a
+    training-data pipeline runs before paying for frame extraction
+    (``video_cuts`` finds scene BOUNDARIES; this scores how much motion a
+    clip has at all: near-zero total |Δ| between consecutive frame
+    luma-sums means a slideshow/freeze-frame clip that contributes nothing
+    per frame stored). Per profile: total motion mass Σ|Δ|, peak |Δ|,
+    the count of zero-motion transitions, and the static flag
+    (every transition zero), re-expanded to clip counts.
+
+    Plan: the decode pass runs per DISTINCT profile (the
+    ``video_fingerprint_groups`` collapse — real per-frame PNG codec on
+    the 24-profile domain, broadcast join back to clips); deltas fold
+    inside the Arrow pass, so the only shuffle is the final profile agg.
+    The oracle replays the pixel formula per frame and lags in SQL."""
+    import numpy as np
+
+    docs = tables["documents"]
+    profiles = docs.select(
+        (F.col("doc_id") % 24).cast("int").alias("profile")
+    ).distinct()
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "profile": [],
+                "n_frames": [],
+                "motion": [],
+                "max_delta": [],
+                "n_zero": [],
+            }
+            for profile in pdf["profile"]:
+                profile = int(profile)
+                nf = profile % 12 + 8
+                sl = profile % 4 + 3
+                sums = []
+                for f in range(nf):
+                    seed = profile * 13 + (f // sl) * 97 + f
+                    px = _parse_png(
+                        _png_bytes(seed, 8, 8, filter_type=f % 5)
+                    )["pixels"].astype(np.int64)
+                    sums.append(int(px.sum()))
+                deltas = [abs(b - a) for a, b in zip(sums, sums[1:])]
+                out["profile"].append(profile)
+                out["n_frames"].append(nf)
+                out["motion"].append(sum(deltas))
+                out["max_delta"].append(max(deltas))
+                out["n_zero"].append(sum(1 for d in deltas if d == 0))
+            yield pd.DataFrame(out)
+
+    stats = profiles.mapInPandas(
+        gen,
+        "profile int, n_frames int, motion long, max_delta long, n_zero long",
+    )
+    clips = docs.select(
+        "doc_id", (F.col("doc_id") % 24).cast("int").alias("profile")
+    )
+    return (
+        clips.join(F.broadcast(stats), "profile")
+        .groupBy(
+            "profile", "n_frames", "motion", "max_delta", "n_zero"
+        )
+        .agg(F.count("*").cast("long").alias("n_clips"))
+        .select(
+            "profile",
+            "n_frames",
+            "motion",
+            "max_delta",
+            "n_zero",
+            (F.col("n_zero") == F.col("n_frames") - 1).alias("is_static"),
+            "n_clips",
+        )
+    )
+
+
+QUERIES["multimodal_video_motion"] = video_motion_stats
+# Frame-sum formula replay + SQL lag; every frame of every profile.
+ORACLES["multimodal_video_motion"] = """
+    WITH profiles AS (
+        SELECT DISTINCT (doc_id % 24)::INT AS profile FROM documents
+    ),
+    frames AS (
+        SELECT profile, profile % 12 + 8 AS nf, f.range AS f,
+               profile * 13 + (f.range // (profile % 4 + 3)) * 97 + f.range
+                   AS seed
+        FROM profiles, range(20) f
+        WHERE f.range < profile % 12 + 8
+    ),
+    fsums AS (
+        SELECT profile, nf, f,
+               sum((seed * 7 + 3 * x.range + 11 * y.range) % 256)::BIGINT
+                   AS s
+        FROM frames, range(8) x, range(8) y
+        GROUP BY 1, 2, 3
+    ),
+    deltas AS (
+        SELECT profile, nf,
+               abs(s - lag(s) OVER (PARTITION BY profile ORDER BY f)) AS d
+        FROM fsums
+    ),
+    stats AS (
+        SELECT profile, nf::INT AS n_frames,
+               sum(d)::BIGINT AS motion,
+               max(d)::BIGINT AS max_delta,
+               sum(CASE WHEN d = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
+        FROM deltas WHERE d IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT s.profile, s.n_frames, s.motion, s.max_delta, s.n_zero,
+           s.n_zero = s.n_frames - 1 AS is_static,
+           count(*)::BIGINT AS n_clips
+    FROM stats s JOIN documents d ON (d.doc_id % 24) = s.profile
+    GROUP BY 1, 2, 3, 4, 5, 6
+"""

@@ -418,3 +418,94 @@ def test_correlated_scalar_matches_dataframe_form(tables):
         assert got[k]["n_above"] == want[k]["n_above"]
         assert got[k]["excess_x_n"] == want[k]["excess_x_n"]
         assert got[k]["n_with_orders"] == (want[k]["n_with_orders"] or 0)
+
+
+def test_spearman_pure_pandas_replay(tables):
+    """Third implementation: pandas rank(method='average') + numpy Pearson
+    over the ranks — the doubled-integer-rank kernel must agree with the
+    float average-rank textbook form to 1e-9 before its round6 pin."""
+    from flink_210225_spark.operators.windows import spearman_daily
+
+    got = {r["priority"]: r for r in spearman_daily(tables).collect()}
+    o = _orders_pd()
+    cents = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "prio": o["o_orderpriority"],
+            "day": pd.to_datetime(o["o_orderdate"]).dt.strftime("%Y%m%d"),
+            "cents": cents,
+        }
+    )
+    daily = df.groupby(["prio", "day"]).agg(
+        cents=("cents", "sum"), n=("cents", "size")
+    )
+    for prio, g in daily.groupby(level=0):
+        rx = g["cents"].rank(method="average").to_numpy()
+        ry = g["n"].rank(method="average").to_numpy()
+        n = len(g)
+        assert got[prio]["n_days"] == n
+        if np.ptp(rx) == 0 or np.ptp(ry) == 0:
+            assert got[prio]["rho"] is None
+            continue
+        rho = np.corrcoef(rx, ry)[0, 1]
+        assert abs(got[prio]["rho"] - np.floor(rho * 1e6 + 0.5) / 1e6) < 2e-6
+
+
+def test_mcv_stats_pure_pandas_replay(tables):
+    from flink_210225_spark.operators.warehouse import mcv_stats
+
+    rows = mcv_stats(tables).collect()
+    import duckdb
+
+    for col, table in [
+        ("p_brand", "part"),
+        ("p_type", "part"),
+        ("c_nationkey", "customer"),
+    ]:
+        vals = duckdb.sql(
+            f"SELECT {col}::VARCHAR v FROM"
+            f" '/root/testdata/sf0.001/{table}.parquet'"
+        ).df()["v"]
+        vc = vals.value_counts()
+        freq_val = sorted(
+            ((int(f), v) for v, f in vc.items()), key=lambda t: (-t[0], t[1])
+        )
+        mine = [r for r in rows if r["col_name"] == col]
+        assert len(mine) == 5
+        for r in mine:
+            f, v = freq_val[r["rnk"] - 1]
+            assert (r["val"], r["freq"]) == (v, f)
+            assert r["ndv"] == len(vc)
+            assert r["n_rows"] == len(vals)
+        n, ndv = len(vals), len(vc)
+        mcv_mass = sum(f for f, _ in freq_val[:5])
+        probe = freq_val[5][0] if ndv > 5 else 0
+        r0 = mine[0]
+        assert r0["probe_freq"] == probe
+        if ndv > 5:
+            est = (n - mcv_mass) / (ndv - 5)
+            assert abs(r0["est_other"] - np.floor(est * 1e6 + 0.5) / 1e6) < 1e-9
+            assert r0["abs_err_x_den"] == abs(probe * (ndv - 5) - (n - mcv_mass))
+
+
+def test_video_motion_formula_replay(tables):
+    """Replay the frame-sum deltas in pure numpy from the fixture formula
+    (no codec) and check motion identity + static flag semantics."""
+    from flink_210225_spark.ops.multimodal import video_motion_stats
+
+    got = {r["profile"]: r for r in video_motion_stats(tables).collect()}
+    for profile, r in got.items():
+        nf = profile % 12 + 8
+        sl = profile % 4 + 3
+        sums = []
+        for f in range(nf):
+            seed = profile * 13 + (f // sl) * 97 + f
+            x = np.arange(8)
+            y = np.arange(8)[:, None]
+            sums.append(int(((seed * 7 + 3 * x + 11 * y) % 256).sum()))
+        deltas = [abs(b - a) for a, b in zip(sums, sums[1:])]
+        assert r["n_frames"] == nf
+        assert r["motion"] == sum(deltas)
+        assert r["max_delta"] == max(deltas)
+        assert r["n_zero"] == sum(1 for d in deltas if d == 0)
+        assert r["is_static"] == (r["n_zero"] == nf - 1)
