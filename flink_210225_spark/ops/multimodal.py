@@ -3463,3 +3463,123 @@ ORACLES["multimodal_video_motion"] = """
     FROM stats s JOIN documents d ON (d.doc_id % 24) = s.profile
     GROUP BY 1, 2, 3, 4, 5, 6
 """
+
+
+def audio_tempo_estimate(tables: dict[str, DataFrame]) -> DataFrame:
+    """Tempo (BPM) estimation from inter-onset intervals — the beat层 on
+    top of ``audio_onsets``: onsets (energy-flux attacks, same exact
+    integer rule) become inter-onset gaps in frames; the clip's tempo is
+    60 / (median_gap · frame_seconds). The median is the exact LOWER
+    median by rank (no averaging — stays an integer frame count), and at
+    16 kHz with 25-sample frames bpm = 38400 / median_gap: ONE pinned
+    division per clip, everything before it int64. Clips with fewer than
+    two onsets have no gap — NULL tempo, kept (coverage matters for a
+    curation gate: untempo-able audio is a signal, not a dropout).
+
+    Plan: reuses the onsets Arrow decode/frame pass verbatim; gaps and
+    the rank-median are clip-keyed window arithmetic — one Exchange."""
+    onsets = audio_onsets(tables).select("asset_id", "frame_idx")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    gaps = onsets.withColumn(
+        "gap", F.col("frame_idx") - F.lag("frame_idx").over(w)
+    )
+    base = tables["documents"].select(F.col("doc_id").alias("asset_id"))
+    counted = gaps.groupBy("asset_id").agg(
+        F.count("*").cast("long").alias("n_onsets"),
+        F.count("gap").cast("long").alias("n_gaps"),
+    )
+    wg = Window.partitionBy("asset_id").orderBy("gap", "frame_idx")
+    med = (
+        gaps.where(F.col("gap").isNotNull())
+        .withColumn("rn", F.row_number().over(wg))
+        .join(counted, "asset_id")
+        .where(F.col("rn") == F.expr("(n_gaps + 1) div 2"))
+        .select("asset_id", F.col("gap").alias("median_gap"))
+    )
+    return (
+        base.join(counted, "asset_id", "left")
+        .join(med, "asset_id", "left")
+        .select(
+            "asset_id",
+            F.coalesce("n_onsets", F.lit(0)).cast("long").alias("n_onsets"),
+            "median_gap",
+            F.when(
+                F.col("median_gap").isNotNull(),
+                round6(F.lit(38400.0) / F.col("median_gap")),
+            ).alias("bpm"),
+        )
+    )
+
+
+QUERIES["multimodal_audio_tempo"] = audio_tempo_estimate
+# Same onset CTE chain as the onsets oracle, then lag-gaps + exact lower
+# median by rank; 38400/gap is the one pinned division.
+ORACLES["multimodal_audio_tempo"] = """
+    WITH a AS (
+        SELECT doc_id, (n_chars % 200 + 50)::BIGINT AS n FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n, unnest(range((n + 24) // 25)) AS frame_idx
+        FROM a
+    ),
+    e AS (
+        SELECT doc_id, frame_idx,
+               list_sum(list_transform(
+                   range(frame_idx * 25, least(n, (frame_idx + 1) * 25)),
+                   k -> ((((doc_id * 31 + k * 7) % 256) - 128) * 256)
+                        * ((((doc_id * 31 + k * 7) % 256) - 128) * 256)
+               ))::BIGINT AS energy
+        FROM f
+    ),
+    fl AS (
+        SELECT doc_id, frame_idx, energy,
+               CASE WHEN lag(energy) OVER (PARTITION BY doc_id
+                                           ORDER BY frame_idx)
+                         IS NOT NULL
+                    THEN greatest(energy - lag(energy) OVER (
+                             PARTITION BY doc_id ORDER BY frame_idx), 0)
+                    END AS flux
+        FROM e
+    ),
+    st AS (
+        SELECT doc_id, frame_idx, flux,
+               count(flux) OVER (PARTITION BY doc_id)::BIGINT AS n_flux,
+               sum(flux) OVER (PARTITION BY doc_id)::BIGINT AS tot_flux
+        FROM fl
+    ),
+    onsets AS (
+        SELECT doc_id AS asset_id, frame_idx FROM st
+        WHERE flux IS NOT NULL AND flux * n_flux > 2 * tot_flux
+    ),
+    gaps AS (
+        SELECT asset_id, frame_idx,
+               frame_idx - lag(frame_idx) OVER (PARTITION BY asset_id
+                                                ORDER BY frame_idx) AS gap
+        FROM onsets
+    ),
+    counted AS (
+        SELECT asset_id, count(*)::BIGINT AS n_onsets,
+               count(gap)::BIGINT AS n_gaps
+        FROM gaps GROUP BY 1
+    ),
+    med AS (
+        SELECT asset_id, gap AS median_gap FROM (
+            SELECT asset_id, gap, frame_idx,
+                   row_number() OVER (PARTITION BY asset_id
+                                      ORDER BY gap, frame_idx) AS rn,
+                   count(*) OVER (PARTITION BY asset_id)::BIGINT AS ng
+            FROM gaps WHERE gap IS NOT NULL
+        ) WHERE rn = (ng + 1) // 2
+    )
+    SELECT d.doc_id AS asset_id,
+           coalesce(c.n_onsets, 0)::BIGINT AS n_onsets,
+           m.median_gap::BIGINT AS median_gap,
+           CASE WHEN m.median_gap IS NOT NULL
+                THEN floor(38400.0 / m.median_gap * 1000000 + 0.5) / 1000000
+           END AS bpm
+    FROM documents d
+    LEFT JOIN counted c ON c.asset_id = d.doc_id
+    LEFT JOIN med m ON m.asset_id = d.doc_id
+"""

@@ -1617,3 +1617,96 @@ ORACLES["sample_stratified_kfold"] = """
            sum(doc_id)::BIGINT AS sum_doc_ids
     FROM ranked GROUP BY 1, 2
 """
+
+
+def pass_at_k(tables: dict[str, DataFrame]) -> DataFrame:
+    """The unbiased pass@k estimator (Chen et al., "Evaluating Large
+    Language Models Trained on Code", 2021: pass@k = E[1 − C(n−c,k)/C(n,k)])
+    — the model-eval rollup every code/reasoning benchmark pipeline runs
+    over (task, n samples, c correct) grids. Tasks are documents; each
+    task draws n=10 deterministic samples, sample j correct iff
+    (doc_id·31 + j·7) mod 17 < 3 + (doc_id + n_chars) mod 13 (c spans the
+    full 1..10 range at sf0.001, so the c > n−k zero branch is live). The binomial ratio uses the falling-factorial form
+    C(n−c,k)/C(n,k) = Π_{i<k}(n−c−i)/Π_{i<k}(n−i) — and because n and k
+    are fixed, the denominator D_k is a CONSTANT, so the per-language
+    average folds to 1 − Σ N_k / (T·D_k): every sum is exact int64 and
+    ONE pinned division closes each k. Tasks with c > n−k contribute
+    N_k = 0 (pass certain ≥ ... the ratio is zero: you cannot pick k
+    all-wrong samples). Per lang: task count, total correct, pass@1,
+    pass@5.
+
+    Plan: the sample grid folds inside ONE scan via F.aggregate over a
+    literal sequence (no explode — 10× row inflation never exists); one
+    lang-keyed agg ends it."""
+    docs = tables["documents"]
+    n, k5 = 10, 5
+    c = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            (F.col("doc_id") * 31 + j * 7) % 17
+            < 3 + (F.col("doc_id") + F.col("n_chars")) % 13,
+            1,
+        ).otherwise(0),
+    )
+    t = docs.select("lang", c.alias("c"))
+    # N_k = prod_{i<k}(n - c - i), zero when c > n - k
+    nc = F.col("c")
+    n1 = F.when(nc > n - 1, F.lit(0)).otherwise(F.lit(n) - nc).cast("long")
+    n5_terms = [F.lit(n) - nc - F.lit(i) for i in range(k5)]
+    n5 = F.when(nc > n - k5, F.lit(0)).otherwise(
+        n5_terms[0] * n5_terms[1] * n5_terms[2] * n5_terms[3] * n5_terms[4]
+    ).cast("long")
+    d1 = float(n)
+    d5 = 1.0
+    for i in range(k5):
+        d5 *= n - i
+    agg = t.select("lang", "c", n1.alias("n1"), n5.alias("n5")).groupBy(
+        "lang"
+    ).agg(
+        F.count("*").cast("long").alias("n_tasks"),
+        F.sum("c").cast("long").alias("total_correct"),
+        F.sum("n1").alias("s1"),
+        F.sum("n5").alias("s5"),
+    )
+    return agg.select(
+        "lang",
+        "n_tasks",
+        "total_correct",
+        round6(
+            F.lit(1.0) - F.col("s1").cast("double") / (F.col("n_tasks") * F.lit(d1))
+        ).alias("pass_at_1"),
+        round6(
+            F.lit(1.0) - F.col("s5").cast("double") / (F.col("n_tasks") * F.lit(d5))
+        ).alias("pass_at_5"),
+    )
+
+
+QUERIES["sample_pass_at_k"] = pass_at_k
+# Identical falling-factorial algebra; the sums are exact integers and the
+# two divisions are pinned in the same order (1 - s/(T*D)).
+ORACLES["sample_pass_at_k"] = """
+    WITH t AS (
+        SELECT lang,
+               list_sum(list_transform(range(10),
+                   j -> CASE WHEN (doc_id * 31 + j * 7) % 17
+                                  < 3 + (doc_id + n_chars) % 13
+                        THEN 1 ELSE 0 END))::BIGINT AS c
+        FROM documents
+    ),
+    scored AS (
+        SELECT lang, c,
+               CASE WHEN c > 9 THEN 0 ELSE 10 - c END::BIGINT AS n1,
+               CASE WHEN c > 5 THEN 0
+                    ELSE (10-c)*(9-c)*(8-c)*(7-c)*(6-c) END::BIGINT AS n5
+        FROM t
+    )
+    SELECT lang, count(*)::BIGINT AS n_tasks,
+           sum(c)::BIGINT AS total_correct,
+           floor((1.0 - sum(n1)::DOUBLE / (count(*) * 10.0)) * 1000000 + 0.5)
+               / 1000000 AS pass_at_1,
+           floor((1.0 - sum(n5)::DOUBLE / (count(*) * 30240.0)) * 1000000
+                 + 0.5) / 1000000 AS pass_at_5
+    FROM scored GROUP BY 1
+"""

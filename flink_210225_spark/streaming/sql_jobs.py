@@ -721,3 +721,63 @@ QUERIES["sql_correlated_scalar"] = _correlated_scalar_sql_q
 ORACLES["sql_correlated_scalar"] = CORRELATED_SQL.format(
     customer="customer", orders="orders"
 )
+
+
+STAR_EXCEPT_SQL = """
+    SELECT * EXCEPT (o_comment_free, day)
+    FROM (
+        SELECT o_orderstatus,
+               o_orderpriority,
+               strftime(o_orderdate, '%Y') AS yr,
+               strftime(o_orderdate, '%Y%m%d') AS day,
+               'x' AS o_comment_free,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM {orders}
+        GROUP BY ALL
+    )
+    WHERE yr = '1997'
+"""
+
+
+def _star_except_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """Modern SQL sugar grammar as ONE spark.sql text — ``SELECT * EXCEPT
+    (cols)`` (the wide-table projection idiom BigQuery popularized; Spark
+    4 grammar) composed with ``GROUP BY ALL`` (group on every non-aggregate
+    select item — the de-facto analyst default DuckDB popularized). The
+    inner aggregate groups by ALL four dimension columns, the outer
+    star-except drops two of them — so the result is a (status, priority,
+    yr) grain that still carries per-DAY aggregates, i.e. the EXCEPT must
+    prune columns WITHOUT re-aggregating. The DuckDB oracle replays the
+    semantics with explicit column lists + GROUP BY (its own EXCLUDE
+    spelling differs), so the hash gates what the sugar MEANS.
+
+    The shared text carries DuckDB's strftime spelling; the Spark run
+    rewrites it to date_format (the one dialect seam, same yyyyMMdd
+    rendering on both).
+
+    Scale: sugar only — the plan is the same pre-agg + filter Catalyst
+    builds for the explicit projection; the WHERE on yr prunes at the
+    aggregate, not the scan (documented: yr is derived)."""
+    o = tables["orders"]
+    o.createOrReplaceTempView("orders_view_sql_sx")
+    sql = STAR_EXCEPT_SQL.format(orders="orders_view_sql_sx").replace(
+        "strftime(o_orderdate, '%Y%m%d')", "date_format(o_orderdate, 'yyyyMMdd')"
+    ).replace(
+        "strftime(o_orderdate, '%Y')", "date_format(o_orderdate, 'yyyy')"
+    )
+    return o.sparkSession.sql(sql)
+
+
+QUERIES["sql_star_except_all"] = _star_except_sql_q
+ORACLES["sql_star_except_all"] = """
+    SELECT o_orderstatus, o_orderpriority,
+           strftime(o_orderdate, '%Y') AS yr,
+           count(*)::BIGINT AS n_orders,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority, yr,
+             strftime(o_orderdate, '%Y%m%d')
+    HAVING yr = '1997'
+"""

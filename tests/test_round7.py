@@ -509,3 +509,96 @@ def test_video_motion_formula_replay(tables):
         assert r["max_delta"] == max(deltas)
         assert r["n_zero"] == sum(1 for d in deltas if d == 0)
         assert r["is_static"] == (r["n_zero"] == nf - 1)
+
+
+def test_audio_tempo_pure_python_replay(tables):
+    """Third implementation: decode-free PCM formula, textbook onset rule,
+    statistics.median_low for the exact lower median."""
+    import statistics
+
+    from flink_210225_spark.ops.multimodal import audio_tempo_estimate
+
+    got = {r["asset_id"]: r for r in audio_tempo_estimate(tables).collect()}
+    docs = _docs_pd()
+    import duckdb
+
+    nchars = duckdb.sql(
+        "SELECT doc_id, n_chars FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).df()
+    checked_bpm = 0
+    for d, nch in zip(nchars["doc_id"].astype(int), nchars["n_chars"].astype(int)):
+        n = nch % 200 + 50
+        samples = [(((d * 31 + k * 7) % 256) - 128) * 256 for k in range(n)]
+        energies = [
+            sum(v * v for v in samples[f * 25 : (f + 1) * 25])
+            for f in range(-(-n // 25))
+        ]
+        flux = [max(b - a, 0) for a, b in zip(energies, energies[1:])]
+        nf, tot = len(flux), sum(flux)
+        onsets = [i + 1 for i, fl in enumerate(flux) if fl * nf > 2 * tot]
+        gaps = [b - a for a, b in zip(onsets, onsets[1:])]
+        r = got[d]
+        assert r["n_onsets"] == len(onsets)
+        if len(gaps) == 0:
+            assert r["median_gap"] is None and r["bpm"] is None
+        else:
+            mg = statistics.median_low(gaps)
+            assert r["median_gap"] == mg
+            assert abs(r["bpm"] - np.floor(38400.0 / mg * 1e6 + 0.5) / 1e6) < 1e-9
+            checked_bpm += 1
+    assert checked_bpm > 0
+
+
+def test_pass_at_k_pure_python_replay(tables):
+    """Third implementation: math.comb on the exact (n, c) grid — the
+    falling-factorial kernel must equal the textbook binomial estimator."""
+    import math
+
+    from flink_210225_spark.ops.sampling import pass_at_k
+
+    got = {r["lang"]: r for r in pass_at_k(tables).collect()}
+    import duckdb
+
+    df = duckdb.sql(
+        "SELECT doc_id, lang, n_chars FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).df()
+    n = 10
+    by_lang = {}
+    for d, lang, nch in zip(
+        df["doc_id"].astype(int), df["lang"], df["n_chars"].astype(int)
+    ):
+        c = sum(1 for j in range(n) if (d * 31 + j * 7) % 17 < 3 + (d + nch) % 13)
+        by_lang.setdefault(lang, []).append(c)
+    for lang, cs in by_lang.items():
+        r = got[lang]
+        assert r["n_tasks"] == len(cs)
+        assert r["total_correct"] == sum(cs)
+        for k, col in [(1, "pass_at_1"), (5, "pass_at_5")]:
+            vals = [
+                1.0 - math.comb(n - c, k) / math.comb(n, k)
+                if n - c >= k
+                else 1.0
+                for c in cs
+            ]
+            want = sum(vals) / len(vals)
+            assert abs(r[col] - np.floor(want * 1e6 + 0.5) / 1e6) < 2e-6
+    # the correctness rule must exercise a non-trivial c range
+    allc = [c for cs in by_lang.values() for c in cs]
+    assert min(allc) <= 2 and max(allc) >= 8  # zero-branch live: some n-c < 5
+
+
+def test_star_except_grain_preserved(tables):
+    """* EXCEPT must prune columns WITHOUT re-aggregating: the result keeps
+    one row per (status, priority, yr, day) — so (status, priority, yr)
+    groups repeat, and n_orders sums to the 1997 order count."""
+    from flink_210225_spark.streaming.sql_jobs import _star_except_sql_q
+
+    df = _star_except_sql_q(tables).toPandas()
+    assert set(df.columns) == {
+        "o_orderstatus", "o_orderpriority", "yr", "n_orders", "cents"
+    }
+    o = _orders_pd()
+    yr = pd.to_datetime(o["o_orderdate"]).dt.year
+    assert df["n_orders"].sum() == int((yr == 1997).sum())
+    assert len(df) > df.groupby(["o_orderstatus", "o_orderpriority"]).ngroups
