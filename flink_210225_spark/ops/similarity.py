@@ -3413,3 +3413,157 @@ ORACLES["sim_kmeans_exact"] = """
     FROM a2 JOIN c1 ON c1.j = a2.j
     GROUP BY a2.j, c_l1, c_hash
 """
+
+
+def lexical_semantic_gap(tables: dict[str, DataFrame]) -> DataFrame:
+    """Lexical-vs-semantic divergence audit — the measurement that motivates
+    SemDeDup (Abbas et al. 2023): pairs that are SEMANTIC duplicates
+    (high embedding cosine) but LEXICAL strangers (low token Jaccard) are
+    exactly what MinHash-style dedup misses and embedding dedup catches;
+    the reverse corner (high Jaccard, low cosine) flags a broken embedding
+    space. Over successor pairs within each language (doc_id order — the
+    same spine the dedup_edit_distance family uses): exact distinct-token
+    Jaccard (|∩| and |A|+|B|−|∩| stay integers; one round6 division) vs
+    cosine over per-vector int8-quantized embeddings (the quantize_int8
+    grid: q = floor(x/scale+0.5), scale = maxabs/127) — so the dot and
+    both norms are EXACT int64 and the cosine is one pinned
+    sqrt·sqrt division. The 2×2 gate matrix (cos ≥ 0.5 × jac ≥ 0.2 on
+    identically-pinned values) rolls up per language.
+
+    Plan: one docs⋈embeddings join on the id spine, one lang-keyed window
+    carrying (tokens, qvec) to the successor — no self-join; the rollup
+    is a 5-group agg. At scale the window partitions by lang and the
+    arrays ride the shuffle once."""
+    docs = tables["documents"]
+    emb = tables["embeddings"]
+    v = _as_double(F.col("embedding"))
+
+    def qvec(vv: Column) -> Column:
+        maxabs = F.aggregate(vv, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+
+        def with_m(m: Column) -> Column:
+            scale = F.when(m == 0.0, F.lit(1.0)).otherwise(m / 127.0)
+            return F.transform(
+                vv, lambda x: F.floor(x / scale + 0.5).cast("long")
+            )
+
+        return F.get(F.transform(F.array(maxabs), with_m), 0)
+
+    joined = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), qvec(v).alias("q")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks"),
+        "q",
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    pairs = joined.select(
+        "lang",
+        "toks",
+        "q",
+        F.lead("toks").over(w).alias("toks_b"),
+        F.lead("q").over(w).alias("q_b"),
+    ).where(F.col("toks_b").isNotNull())
+    inter = F.size(F.array_intersect("toks", "toks_b")).cast("long")
+    uni = (
+        F.size("toks") + F.size("toks_b")
+    ).cast("long") - inter
+    dot = F.aggregate(
+        F.zip_with("q", "q_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    nrm = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    scored = pairs.select(
+        "lang",
+        round6(inter.cast("double") / uni.cast("double")).alias("jac"),
+        F.when(
+            (nrm(F.col("q")) > 0) & (nrm(F.col("q_b")) > 0),
+            round6(
+                dot.cast("double")
+                / (
+                    F.sqrt(nrm(F.col("q")).cast("double"))
+                    * F.sqrt(nrm(F.col("q_b")).cast("double"))
+                ),
+            ),
+        ).alias("cos"),
+        inter.alias("inter"),
+        uni.alias("uni"),
+    )
+    sem = F.col("cos").isNotNull() & (F.col("cos") >= 0.5)
+    lex = F.col("jac") >= 0.2
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        one(sem & lex).alias("n_both"),
+        one(sem & ~lex).alias("n_semantic_only"),
+        one(~sem & lex).alias("n_lexical_only"),
+        one(~sem & ~lex).alias("n_neither"),
+        F.sum("inter").cast("long").alias("inter_mass"),
+        F.sum("uni").cast("long").alias("union_mass"),
+    )
+
+
+QUERIES["sim_lexical_semantic_gap"] = lexical_semantic_gap
+# Same spine, same int8 grid, same pinned divisions; set sizes via
+# |A|+|B|-|∩| of DISTINCT token lists on both engines.
+ORACLES["sim_lexical_semantic_gap"] = """
+    WITH j AS (
+        SELECT d.doc_id, d.lang,
+               list_distinct(regexp_split_to_array(trim(d.text), '\\s+'))
+                   AS toks,
+               list_transform(e.embedding, x -> CASE
+                   WHEN list_max(list_transform(e.embedding,
+                                                y -> abs(y::DOUBLE))) = 0
+                   THEN floor(x::DOUBLE / 1.0 + 0.5)::BIGINT
+                   ELSE floor(x::DOUBLE
+                              / (list_max(list_transform(e.embedding,
+                                          y -> abs(y::DOUBLE))) / 127.0)
+                              + 0.5)::BIGINT END) AS q
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    pairs AS (
+        SELECT lang, toks, q,
+               lead(toks) OVER w AS toks_b,
+               lead(q) OVER w AS q_b
+        FROM j WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+    ),
+    scored AS (
+        SELECT lang,
+               len(list_intersect(toks, toks_b))::BIGINT AS inter,
+               (len(toks) + len(toks_b)
+                - len(list_intersect(toks, toks_b)))::BIGINT AS uni,
+               list_sum(list_transform(range(len(q)),
+                        i -> q[i + 1] * q_b[i + 1]))::BIGINT AS dot,
+               list_sum(list_transform(q, x -> x * x))::BIGINT AS na,
+               list_sum(list_transform(q_b, x -> x * x))::BIGINT AS nb
+        FROM pairs WHERE toks_b IS NOT NULL
+    ),
+    pinned AS (
+        SELECT lang, inter, uni,
+               floor(inter::DOUBLE / uni::DOUBLE * 1000000 + 0.5)
+                   / 1000000 AS jac,
+               CASE WHEN na > 0 AND nb > 0
+                    THEN floor(dot::DOUBLE
+                               / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE))
+                               * 1000000 + 0.5) / 1000000
+               END AS cos
+        FROM scored
+    )
+    SELECT lang, count(*)::BIGINT AS n_pairs,
+           sum(CASE WHEN cos IS NOT NULL AND cos >= 0.5 AND jac >= 0.2
+                    THEN 1 ELSE 0 END)::BIGINT AS n_both,
+           sum(CASE WHEN cos IS NOT NULL AND cos >= 0.5 AND jac < 0.2
+                    THEN 1 ELSE 0 END)::BIGINT AS n_semantic_only,
+           sum(CASE WHEN (cos IS NULL OR cos < 0.5) AND jac >= 0.2
+                    THEN 1 ELSE 0 END)::BIGINT AS n_lexical_only,
+           sum(CASE WHEN (cos IS NULL OR cos < 0.5) AND jac < 0.2
+                    THEN 1 ELSE 0 END)::BIGINT AS n_neither,
+           sum(inter)::BIGINT AS inter_mass,
+           sum(uni)::BIGINT AS union_mass
+    FROM pinned GROUP BY 1
+"""

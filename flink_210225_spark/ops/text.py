@@ -5551,3 +5551,156 @@ ORACLES["text_count_min_sketch"] = f"""
            (cms_est - exact_ct)::BIGINT AS overcount
     FROM probes
 """
+
+
+def bleu_pairs(tables: dict[str, DataFrame]) -> DataFrame:
+    """BLEU-2 between successor documents — the precision-side sibling of
+    ``rouge_pairs`` (ROUGE recalls the reference; BLEU clips candidate
+    n-gram counts against it: p_k = Σ_g min(cnt_cand(g), cnt_ref(g)) / #
+    candidate k-grams, Papineni et al. 2002). Clipped counts fold with
+    nested higher-order functions over the token arrays (for each DISTINCT
+    candidate gram: min of the two occurrence counts) — exact integers,
+    zero shuffles, no explode. BLEU-2 = BP · √(p1·p2) where the geometric
+    mean of TWO orders needs only a sqrt (no exp/log); the brevity penalty
+    e^(1−r/c) is the one transcendental, round6-pinned before composing,
+    and BLEU pins again after (both stages spelled identically in the
+    oracle). Bigrams join on a single space — tokens come from a \\s+
+    split, so the separator cannot occur inside a token. Pairs with a
+    sub-2-token candidate have no p2 — NULL bleu.
+
+    Plan: one lang-keyed window carries the successor's tokens; everything
+    else is per-row lambda arithmetic inside the scan projection."""
+    docs = tables["documents"]
+    toks = F.split(F.trim("text"), r"\s+")
+    base = docs.select("doc_id", "lang", toks.alias("toks"))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    pairs = base.select(
+        "lang",
+        F.col("doc_id").alias("ref_id"),
+        F.col("toks").alias("ref"),
+        F.lead("doc_id").over(w).alias("cand_id"),
+        F.lead("toks").over(w).alias("cand"),
+    ).where(F.col("cand").isNotNull())
+
+    def grams2(c: Column) -> Column:
+        return F.when(
+            F.size(c) >= 2,
+            F.transform(
+                F.slice(c, 1, F.size(c) - 1),
+                lambda x, i: F.concat_ws(" ", x, F.get(c, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def clipped(cand: Column, ref: Column) -> Column:
+        return F.aggregate(
+            F.array_distinct(cand),
+            F.lit(0).cast("long"),
+            lambda acc, g: acc
+            + F.least(
+                F.size(F.filter(cand, lambda x: x == g)),
+                F.size(F.filter(ref, lambda x: x == g)),
+            ),
+        )
+
+    c2 = grams2(F.col("cand"))
+    r2 = grams2(F.col("ref"))
+    scored = pairs.select(
+        "lang",
+        "ref_id",
+        "cand_id",
+        F.size("cand").cast("long").alias("cand_len"),
+        F.size("ref").cast("long").alias("ref_len"),
+        clipped(F.col("cand"), F.col("ref")).alias("p1_num"),
+        F.size("cand").cast("long").alias("p1_den"),
+        clipped(c2, r2).alias("p2_num"),
+        F.greatest(F.size("cand") - 1, F.lit(0)).cast("long").alias("p2_den"),
+    )
+    bp = F.when(F.col("cand_len") >= F.col("ref_len"), F.lit(1.0)).otherwise(
+        round6(
+            F.exp(
+                F.lit(1.0)
+                - F.col("ref_len").cast("double")
+                / F.col("cand_len").cast("double")
+            )
+        )
+    )
+    bleu = F.when(
+        F.col("p2_den") > 0,
+        round6(
+            bp
+            * F.sqrt(
+                (F.col("p1_num").cast("double") / F.col("p1_den"))
+                * (F.col("p2_num").cast("double") / F.col("p2_den"))
+            )
+        ),
+    )
+    return scored.select(
+        "lang",
+        "ref_id",
+        "cand_id",
+        "cand_len",
+        "ref_len",
+        "p1_num",
+        "p1_den",
+        "p2_num",
+        "p2_den",
+        bleu.alias("bleu2"),
+    )
+
+
+QUERIES["text_bleu_pairs"] = bleu_pairs
+# Same clipped-count lambdas with DuckDB list_* twins; BP pinned before the
+# sqrt compose, bleu pinned after — identical two-stage spelling.
+ORACLES["text_bleu_pairs"] = """
+    WITH base AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    pairs AS (
+        SELECT lang, doc_id AS ref_id, toks AS ref,
+               lead(doc_id) OVER w AS cand_id,
+               lead(toks) OVER w AS cand
+        FROM base WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+    ),
+    grams AS (
+        SELECT lang, ref_id, cand_id, cand, ref,
+               CASE WHEN len(cand) >= 2
+                    THEN list_transform(range(len(cand) - 1),
+                         i -> cand[i + 1] || ' ' || cand[i + 2])
+                    ELSE [] END AS c2,
+               CASE WHEN len(ref) >= 2
+                    THEN list_transform(range(len(ref) - 1),
+                         i -> ref[i + 1] || ' ' || ref[i + 2])
+                    ELSE [] END AS r2
+        FROM pairs WHERE cand IS NOT NULL
+    ),
+    scored AS (
+        SELECT lang, ref_id, cand_id,
+               len(cand)::BIGINT AS cand_len,
+               len(ref)::BIGINT AS ref_len,
+               coalesce(list_sum(list_transform(list_distinct(cand),
+                   g -> least(len(list_filter(cand, x -> x = g)),
+                              len(list_filter(ref, x -> x = g))))),
+                   0)::BIGINT AS p1_num,
+               len(cand)::BIGINT AS p1_den,
+               coalesce(list_sum(list_transform(list_distinct(c2),
+                   g -> least(len(list_filter(c2, x -> x = g)),
+                              len(list_filter(r2, x -> x = g))))),
+                   0)::BIGINT AS p2_num,
+               greatest(len(cand) - 1, 0)::BIGINT AS p2_den
+        FROM grams
+    )
+    SELECT lang, ref_id, cand_id, cand_len, ref_len,
+           p1_num, p1_den, p2_num, p2_den,
+           CASE WHEN p2_den > 0 THEN
+               floor((CASE WHEN cand_len >= ref_len THEN 1.0
+                           ELSE floor(exp(1.0 - ref_len::DOUBLE
+                                          / cand_len::DOUBLE)
+                                      * 1000000 + 0.5) / 1000000 END)
+                     * sqrt((p1_num::DOUBLE / p1_den)
+                            * (p2_num::DOUBLE / p2_den))
+                     * 1000000 + 0.5) / 1000000
+           END AS bleu2
+    FROM scored
+"""

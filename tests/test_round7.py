@@ -602,3 +602,74 @@ def test_star_except_grain_preserved(tables):
     yr = pd.to_datetime(o["o_orderdate"]).dt.year
     assert df["n_orders"].sum() == int((yr == 1997).sum())
     assert len(df) > df.groupby(["o_orderstatus", "o_orderpriority"]).ngroups
+
+
+def test_bleu_pairs_pure_python_replay(tables):
+    """Third implementation: collections.Counter clipping — the textbook
+    modified-precision definition — plus math.exp/sqrt for BLEU-2."""
+    import math
+    from collections import Counter
+
+    from flink_210225_spark.ops.text import bleu_pairs
+
+    got = {
+        (r["ref_id"], r["cand_id"]): r for r in bleu_pairs(tables).collect()
+    }
+    import duckdb
+
+    df = duckdb.sql(
+        "SELECT doc_id, lang, text FROM"
+        " '/root/testdata/sf0.001/documents.parquet' ORDER BY lang, doc_id"
+    ).df()
+    by_lang = {}
+    for _, r in df.iterrows():
+        by_lang.setdefault(r["lang"], []).append(
+            (int(r["doc_id"]), r["text"].strip().split())
+        )
+    n_checked = 0
+    for lang, rows in by_lang.items():
+        for (rid, ref), (cid, cand) in zip(rows, rows[1:]):
+            r = got[(rid, cid)]
+            c1, r1 = Counter(cand), Counter(ref)
+            p1n = sum(min(c, r1[g]) for g, c in c1.items())
+            cand2 = [" ".join(p) for p in zip(cand, cand[1:])]
+            ref2 = [" ".join(p) for p in zip(ref, ref[1:])]
+            c2, r2c = Counter(cand2), Counter(ref2)
+            p2n = sum(min(c, r2c[g]) for g, c in c2.items())
+            assert (r["p1_num"], r["p1_den"]) == (p1n, len(cand))
+            assert (r["p2_num"], r["p2_den"]) == (p2n, max(len(cand) - 1, 0))
+            if len(cand2) == 0:
+                assert r["bleu2"] is None
+                continue
+            bp = (
+                1.0
+                if len(cand) >= len(ref)
+                else math.floor(
+                    math.exp(1.0 - len(ref) / len(cand)) * 1e6 + 0.5
+                )
+                / 1e6
+            )
+            want = bp * math.sqrt(
+                (p1n / len(cand)) * (p2n / len(cand2))
+            )
+            assert abs(r["bleu2"] - math.floor(want * 1e6 + 0.5) / 1e6) < 2e-6
+            n_checked += 1
+    assert n_checked > 400
+
+
+def test_lexical_semantic_gap_identities(tables):
+    """The 2x2 matrix must partition the pairs, and the pair spine must be
+    |docs| - |langs| (one lead chain per language)."""
+    from flink_210225_spark.ops.similarity import lexical_semantic_gap
+
+    rows = lexical_semantic_gap(tables).collect()
+    docs = _docs_pd()
+    n_langs = docs["lang"].nunique()
+    total = sum(r["n_pairs"] for r in rows)
+    assert total == len(docs) - n_langs
+    for r in rows:
+        assert (
+            r["n_both"] + r["n_semantic_only"] + r["n_lexical_only"]
+            + r["n_neither"] == r["n_pairs"]
+        )
+        assert 0 < r["inter_mass"] <= r["union_mass"]
