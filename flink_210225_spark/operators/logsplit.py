@@ -317,3 +317,73 @@ ORACLES["log_grok_router"] = """
                AS checksum
     FROM events GROUP BY 1
 """
+
+
+def template_mining(tables: dict[str, DataFrame]) -> DataFrame:
+    """Log-template mining (Drain-lite): DISCOVER message templates by
+    masking the variable fields, then profile each template — the
+    log-analytics primitive ``grok_router`` presupposes (grok routes by
+    KNOWN patterns; mining is how you learn what patterns exist in a feed
+    you don't control). Raw lines are synthesized printf-style from events
+    (user/value/timestamp variables, an optional retry suffix every third
+    line, an error-code field on error events), masked with ONE regex pass
+    (digit runs → <N>), and rolled up per discovered template: volume,
+    distinct users, value mass.
+
+    Scale: masking is a stateless codegen projection riding the scan; the
+    rollup keys on the template string (low cardinality by construction of
+    any real log feed — that is WHY template mining works), one Exchange."""
+    ev = tables["events"]
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    line = F.concat(
+        F.lit("user "),
+        F.col("user_id").cast("string"),
+        F.lit(" did "),
+        F.col("event_type"),
+        F.lit(" value="),
+        cents.cast("string"),
+        F.lit(" at "),
+        F.date_format("ts", "yyyyMMddHHmmss"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit(" retry="), (F.col("event_id") % 5).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("event_type") == "error",
+            F.concat(F.lit(" code="), (F.col("event_id") % 7).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    masked = ev.select(
+        "user_id",
+        cents.alias("cents"),
+        F.regexp_replace(line, "[0-9]+", "<N>").alias("template"),
+    )
+    return masked.groupBy("template").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+QUERIES["log_template_mining"] = template_mining
+ORACLES["log_template_mining"] = """
+    WITH lines AS (
+        SELECT user_id, floor(value * 100 + 0.5)::BIGINT AS cents,
+               regexp_replace(
+                   'user ' || user_id::VARCHAR || ' did ' || event_type
+                   || ' value=' || floor(value * 100 + 0.5)::BIGINT::VARCHAR
+                   || ' at ' || strftime(ts, '%Y%m%d%H%M%S')
+                   || CASE WHEN event_id % 3 = 0
+                           THEN ' retry=' || (event_id % 5)::VARCHAR
+                           ELSE '' END
+                   || CASE WHEN event_type = 'error'
+                           THEN ' code=' || (event_id % 7)::VARCHAR
+                           ELSE '' END,
+                   '[0-9]+', '<N>', 'g') AS template
+        FROM events
+    )
+    SELECT template, count(*)::BIGINT AS n_lines,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           sum(cents)::BIGINT AS cents
+    FROM lines GROUP BY 1
+"""

@@ -3583,3 +3583,140 @@ ORACLES["multimodal_audio_tempo"] = """
     LEFT JOIN counted c ON c.asset_id = d.doc_id
     LEFT JOIN med m ON m.asset_id = d.doc_id
 """
+
+
+def image_ssim_pairs(tables: dict[str, DataFrame]) -> DataFrame:
+    """Global SSIM (Wang et al. 2004) between each perturbed image and its
+    un-perturbed base — the perceptual-quality metric an image-curation
+    pipeline uses to decide whether a near-duplicate is a re-encode
+    (SSIM≈1) or a real edit. Uses the ``image_near_dup`` construction
+    (seed base + one brightened scanline) and REAL PNG decode for BOTH
+    sides of every pair. The five sufficient statistics (Σa, Σb, Σa²,
+    Σb², Σab) leave the Arrow pass as exact int64; the single-window
+    SSIM (population moments over all 256 px, C1=6.5025, C2=58.5225 —
+    the standard 255-range constants, pinned as literals) is computed
+    from them in ONE fixed double-op order and round6-pinned, identically
+    spelled in the oracle.
+
+    Plan: the decode pass runs per DISTINCT (seed, pert, prow, ft)
+    profile — 80 classes regardless of corpus size (the
+    video_fingerprint collapse) — then broadcasts back for per-class doc
+    counts. At 100 TB the pixels never shuffle."""
+    import numpy as np
+
+    docs = tables["documents"]
+    cls = docs.select(
+        (F.col("doc_id") % 8).cast("int").alias("seed"),
+        (F.col("doc_id") % 4).cast("int").alias("pert"),
+        ((F.col("doc_id") * 5) % 16).cast("int").alias("prow"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+    ).distinct()
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(16, dtype=np.int64)
+        ys = np.arange(16, dtype=np.int64)[:, None]
+        for pdf in it:
+            out = {k: [] for k in ("seed", "pert", "prow", "ft",
+                                   "sa", "sb", "saa", "sbb", "sab")}
+            for seed, pert, prow, ft in zip(
+                pdf["seed"], pdf["pert"], pdf["prow"], pdf["ft"]
+            ):
+                raw = int(seed) * 7 + xs * 3 + ys * 11
+                base_px = (raw % 256).astype(np.uint8)
+                pert_px = (
+                    (raw + np.where(np.arange(16)[:, None] == int(prow),
+                                    int(pert), 0)) % 256
+                ).astype(np.uint8)
+                a = _parse_png(_png_encode(base_px, filter_type=int(ft)))[
+                    "pixels"
+                ].astype(np.int64)[:, :, 0]
+                b = _parse_png(_png_encode(pert_px, filter_type=int(ft)))[
+                    "pixels"
+                ].astype(np.int64)[:, :, 0]
+                out["seed"].append(int(seed))
+                out["pert"].append(int(pert))
+                out["prow"].append(int(prow))
+                out["ft"].append(int(ft))
+                out["sa"].append(int(a.sum()))
+                out["sb"].append(int(b.sum()))
+                out["saa"].append(int((a * a).sum()))
+                out["sbb"].append(int((b * b).sum()))
+                out["sab"].append(int((a * b).sum()))
+            yield pd.DataFrame(out)
+
+    stats = cls.mapInPandas(
+        gen,
+        "seed int, pert int, prow int, ft int,"
+        " sa long, sb long, saa long, sbb long, sab long",
+    )
+    clips = docs.select(
+        (F.col("doc_id") % 8).cast("int").alias("seed"),
+        (F.col("doc_id") % 4).cast("int").alias("pert"),
+        ((F.col("doc_id") * 5) % 16).cast("int").alias("prow"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+    )
+    n = F.lit(256.0)
+    mu_a = F.col("sa") / n
+    mu_b = F.col("sb") / n
+    va = F.col("saa") / n - mu_a * mu_a
+    vb = F.col("sbb") / n - mu_b * mu_b
+    cov = F.col("sab") / n - mu_a * mu_b
+    c1 = F.lit(6.5025)
+    c2 = F.lit(58.5225)
+    ssim = round6(
+        ((2.0 * mu_a * mu_b + c1) * (2.0 * cov + c2))
+        / ((mu_a * mu_a + mu_b * mu_b + c1) * (va + vb + c2))
+    )
+    return (
+        clips.join(F.broadcast(stats), ["seed", "pert", "prow", "ft"])
+        .groupBy("seed", "pert", "prow", "ft", "sa", "sb", "saa", "sbb", "sab")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            "seed", "pert", "prow", "ft", "n_docs",
+            "sa", "sb", "sab",
+            ssim.alias("ssim"),
+        )
+    )
+
+
+QUERIES["multimodal_image_ssim"] = image_ssim_pairs
+# Pixel-formula replay for BOTH images; identical fixed-order double chain
+# from the same five exact integer sums.
+ORACLES["multimodal_image_ssim"] = """
+    WITH cls AS (
+        SELECT DISTINCT (doc_id % 8)::INT AS seed, (doc_id % 4)::INT AS pert,
+               ((doc_id * 5) % 16)::INT AS prow, (doc_id % 5)::INT AS ft
+        FROM documents
+    ),
+    px AS (
+        SELECT seed, pert, prow, ft,
+               (seed * 7 + 3 * x.range + 11 * y.range) % 256 AS a,
+               (seed * 7 + 3 * x.range + 11 * y.range
+                + CASE WHEN y.range = prow THEN pert ELSE 0 END) % 256 AS b
+        FROM cls, range(16) x, range(16) y
+    ),
+    stats AS (
+        SELECT seed, pert, prow, ft,
+               sum(a)::BIGINT AS sa, sum(b)::BIGINT AS sb,
+               sum(a * a)::BIGINT AS saa, sum(b * b)::BIGINT AS sbb,
+               sum(a * b)::BIGINT AS sab
+        FROM px GROUP BY 1, 2, 3, 4
+    ),
+    counted AS (
+        SELECT s.*, count(*)::BIGINT AS n_docs
+        FROM stats s JOIN documents d
+          ON (d.doc_id % 8) = s.seed AND (d.doc_id % 4) = s.pert
+         AND ((d.doc_id * 5) % 16) = s.prow AND (d.doc_id % 5) = s.ft
+        GROUP BY ALL
+    )
+    SELECT seed, pert, prow, ft, n_docs, sa, sb, sab,
+           floor(
+             ((2.0 * (sa / 256.0) * (sb / 256.0) + 6.5025)
+              * (2.0 * (sab / 256.0 - (sa / 256.0) * (sb / 256.0)) + 58.5225))
+             / (((sa / 256.0) * (sa / 256.0) + (sb / 256.0) * (sb / 256.0)
+                 + 6.5025)
+                * ((saa / 256.0 - (sa / 256.0) * (sa / 256.0))
+                   + (sbb / 256.0 - (sb / 256.0) * (sb / 256.0)) + 58.5225))
+             * 1000000 + 0.5) / 1000000 AS ssim
+    FROM counted
+"""

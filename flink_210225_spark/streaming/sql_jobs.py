@@ -781,3 +781,46 @@ ORACLES["sql_star_except_all"] = """
              strftime(o_orderdate, '%Y%m%d')
     HAVING yr = '1997'
 """
+
+
+IDENTIFIER_SQL = """
+    SELECT IDENTIFIER({gcol}) AS segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(IDENTIFIER({vcol}) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(count(DISTINCT IDENTIFIER({kcol})) AS BIGINT) AS n_keys
+    FROM IDENTIFIER({table})
+    GROUP BY IDENTIFIER({gcol})
+"""
+
+
+def _identifier_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """The Spark 4 ``IDENTIFIER()`` clause — SQL-injection-safe templating
+    of table AND column names (the parameterized-DDL/DML surface that
+    replaces string concatenation when a config drives which table or
+    column a job reads; the config-driven-routing theme of the reference's
+    T3, at the SQL grammar layer). The template binds one table and three
+    column identifiers through string literals; the planner resolves them
+    as identifiers, never as expressions — a pytest proves the injection
+    ('customer; DROP ...') dies at parse/analysis instead of executing.
+
+    The oracle replays the resolved query in plain SQL, so the hash gates
+    that IDENTIFIER binding is a pure name indirection."""
+    cust = tables["customer"]
+    cust.createOrReplaceTempView("customer_view_sql_ident")
+    binds = {
+        "table": "'customer_view_sql_ident'",
+        "gcol": "'c_mktsegment'",
+        "vcol": "'c_acctbal'",
+        "kcol": "'c_nationkey'",
+    }
+    return cust.sparkSession.sql(IDENTIFIER_SQL.format(**binds))
+
+
+QUERIES["sql_identifier_clause"] = _identifier_sql_q
+ORACLES["sql_identifier_clause"] = """
+    SELECT c_mktsegment AS segment, count(*)::BIGINT AS n_rows,
+           sum(floor(c_acctbal * 100 + 0.5)::BIGINT)::BIGINT AS cents,
+           count(DISTINCT c_nationkey)::BIGINT AS n_keys
+    FROM customer GROUP BY 1
+"""

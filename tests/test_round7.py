@@ -673,3 +673,84 @@ def test_lexical_semantic_gap_identities(tables):
             + r["n_neither"] == r["n_pairs"]
         )
         assert 0 < r["inter_mass"] <= r["union_mass"]
+
+
+def test_image_ssim_identical_pair_is_one(tables):
+    """pert=0 classes compare an image against itself — SSIM must be
+    exactly 1.0; perturbed classes must stay below 1 but high (re-encode
+    vs edit separation)."""
+    from flink_210225_spark.ops.multimodal import image_ssim_pairs
+
+    rows = image_ssim_pairs(tables).collect()
+    same = [r for r in rows if r["pert"] == 0]
+    diff = [r for r in rows if r["pert"] > 0]
+    assert same and diff
+    for r in same:
+        assert r["ssim"] == 1.0
+        assert r["sa"] == r["sb"]
+    assert all(r["ssim"] < 1.0 for r in diff)
+    assert all(r["ssim"] > 0.9 for r in diff)  # one scanline edit stays high
+
+
+def test_image_ssim_pure_python_replay(tables):
+    """Third implementation: numpy moments + the textbook single-window
+    SSIM formula, straight from the pixel formulas (no codec)."""
+    from flink_210225_spark.ops.multimodal import image_ssim_pairs
+
+    rows = image_ssim_pairs(tables).collect()
+    for r in rows[:20]:
+        seed, pert, prow = r["seed"], r["pert"], r["prow"]
+        x = np.arange(16)
+        y = np.arange(16)[:, None]
+        a = ((seed * 7 + 3 * x + 11 * y) % 256).astype(np.float64)
+        b = ((seed * 7 + 3 * x + 11 * y
+              + np.where(np.arange(16)[:, None] == prow, pert, 0)) % 256
+             ).astype(np.float64)
+        mu_a, mu_b = a.mean(), b.mean()
+        va, vb = a.var(), b.var()
+        cov = (a * b).mean() - mu_a * mu_b
+        c1, c2 = 6.5025, 58.5225
+        ssim = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+            (mu_a**2 + mu_b**2 + c1) * (va + vb + c2)
+        )
+        assert abs(r["ssim"] - np.floor(ssim * 1e6 + 0.5) / 1e6) < 2e-6
+
+
+def test_template_mining_discovers_expected_templates(tables):
+    """The masked-template space must be exactly {type} x {retry suffix}
+    (+ code field on errors) and volumes must reconcile to the event count."""
+    from flink_210225_spark.operators.logsplit import template_mining
+
+    rows = template_mining(tables).collect()
+    ev = len(
+        pd.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["event_id"])
+    )
+    assert sum(r["n_lines"] for r in rows) == ev
+    types = {"signup", "error", "click", "view", "purchase"}
+    seen = {r["template"] for r in rows}
+    for t in types:
+        base = f"user <N> did {t} value=<N> at <N>"
+        suffix = " code=<N>" if t == "error" else ""
+        assert base + suffix in seen
+        assert base + " retry=<N>" + suffix in seen
+    assert len(seen) == 10
+
+
+def test_identifier_clause_rejects_injection(tables):
+    """IDENTIFIER must bind NAMES, not SQL: a crafted identifier dies at
+    parse/analysis instead of executing."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException, ParseException
+
+    from flink_210225_spark.streaming.sql_jobs import IDENTIFIER_SQL
+
+    spark = tables["customer"].sparkSession
+    tables["customer"].createOrReplaceTempView("customer_view_sql_ident")
+    bad = {
+        "table": "'customer_view_sql_ident WHERE 1=0; DROP VIEW x'",
+        "gcol": "'c_mktsegment'",
+        "vcol": "'c_acctbal'",
+        "kcol": "'c_nationkey'",
+    }
+    with pytest.raises((AnalysisException, ParseException)):
+        spark.sql(IDENTIFIER_SQL.format(**bad)).collect()
