@@ -2246,3 +2246,86 @@ ORACLES["warehouse_mcv_stats"] = """
     FROM ranked r JOIN audit a USING (col_name)
     WHERE r.rnk <= 5
 """
+
+
+def dynamic_overwrite(tables: dict[str, DataFrame]) -> DataFrame:
+    """Dynamic partition overwrite — the INSERT OVERWRITE semantics every
+    day-partitioned lake table depends on (``source_partition_prune``
+    gates the partitioned READ; this gates the WRITER): a restatement
+    batch touching a subset of partitions must replace ONLY those
+    partitions, leaving the rest byte-identical. Spark's static mode
+    (the default) would DROP every untouched day — the oracle's expected
+    state breaks loudly if the dynamic option regresses.
+
+    Day-partitioned write of all events, then a restatement of the last 3
+    days only (purchase rows re-priced ×2), written with
+    ``partitionOverwriteMode=dynamic``; the read-back rolls up per day
+    class. Scale: both writes are day-partitioned (partition count =
+    calendar days); the restatement shuffles only its own days."""
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    ev = tables["events"]
+    spark = ev.sparkSession
+    out = _scratch(prefix="dynover_")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        cents.alias("cents"),
+        F.date_format("ts", "yyyyMMdd").alias("day"),
+    )
+    base.write.mode("overwrite").partitionBy("day").parquet(out)
+    days = [r[0] for r in base.select("day").distinct().collect()]
+    hot = sorted(days)[-3:]
+    restated = (
+        base.where(F.col("day").isin(hot))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("cents") * 2).alias("cents"),
+            "day",
+        )
+    )
+    restated.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("day").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.when(F.col("day").isin(hot), F.lit("restated"))
+        .otherwise(F.lit("untouched"))
+        .alias("day_class")
+    ).agg(
+        F.count_distinct("day").cast("long").alias("n_days"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+QUERIES["warehouse_dynamic_overwrite"] = dynamic_overwrite
+# Expected post-restatement state replayed from events: the last 3 days
+# hold ONLY doubled purchases; every other day is the full original batch.
+ORACLES["warehouse_dynamic_overwrite"] = """
+    WITH base AS (
+        SELECT event_id, event_type,
+               floor(value * 100 + 0.5)::BIGINT AS cents,
+               strftime(ts, '%Y%m%d') AS day
+        FROM events
+    ),
+    hot AS (
+        SELECT DISTINCT day FROM base ORDER BY day DESC LIMIT 3
+    ),
+    state AS (
+        SELECT day, event_type, cents FROM base
+        WHERE day NOT IN (SELECT day FROM hot)
+        UNION ALL
+        SELECT day, event_type, cents * 2 FROM base
+        WHERE day IN (SELECT day FROM hot) AND event_type = 'purchase'
+    )
+    SELECT CASE WHEN day IN (SELECT day FROM hot) THEN 'restated'
+                ELSE 'untouched' END AS day_class,
+           count(DISTINCT day)::BIGINT AS n_days,
+           count(*)::BIGINT AS n_rows,
+           sum(cents)::BIGINT AS cents
+    FROM state GROUP BY 1
+"""

@@ -3567,3 +3567,110 @@ ORACLES["sim_lexical_semantic_gap"] = """
            sum(uni)::BIGINT AS union_mass
     FROM pinned GROUP BY 1
 """
+
+
+def inbatch_retrieval_acc(tables: dict[str, DataFrame]) -> DataFrame:
+    """In-batch retrieval accuracy under quantization distortion — the
+    two-tower / contrastive-training eval (each query must rank its OWN
+    positive above the other B−1 in-batch candidates; van den Oord's
+    InfoNCE accuracy, here with the candidate tower degraded to int4 to
+    measure how much scalar quantization costs retrieval). Queries are
+    the int8-quantized embeddings (``quantize_int8`` grid), candidates
+    the SAME vectors re-quantized to int4 (q = floor(x/scale4 + 0.5),
+    scale4 = maxabs/7): every dot is exact int64, the in-batch argmax
+    breaks ties by smallest candidate id (deterministic), and a query
+    scores when its argmax IS itself. Batches are vec_id // 16.
+
+    Plan: one batch-keyed self-join (16× fan-out — B·B dots per batch,
+    the literal in-batch-negatives matrix), one window argmax, one label
+    rollup. At scale batch size is fixed, so cost is linear in corpus."""
+    emb = tables["embeddings"]
+    v = _as_double(F.col("embedding"))
+
+    def quant(vv: Column, levels: int) -> Column:
+        maxabs = F.aggregate(vv, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+
+        def with_m(m: Column) -> Column:
+            scale = F.when(m == 0.0, F.lit(1.0)).otherwise(m / float(levels))
+            return F.transform(
+                vv, lambda x: F.floor(x / scale + 0.5).cast("long")
+            )
+
+        return F.get(F.transform(F.array(maxabs), with_m), 0)
+
+    base = emb.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") / 16).cast("long").alias("batch"),
+        quant(v, 127).alias("q8"),
+        quant(v, 7).alias("q4"),
+    )
+    queries = base.select(
+        "batch", F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"), "q8"
+    )
+    cands = base.select("batch", F.col("vec_id").alias("cid"), "q4")
+    dots = queries.join(cands, "batch").select(
+        "batch",
+        "qid",
+        "qlabel",
+        "cid",
+        F.aggregate(
+            F.zip_with("q8", "q4", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("dot"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("cid"))
+    top = dots.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return top.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("cid") == F.col("qid"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.sum("dot").cast("long").alias("top_dot_mass"),
+    )
+
+
+QUERIES["sim_inbatch_retrieval_acc"] = inbatch_retrieval_acc
+# Same two quantization grids, quadratic-in-batch replay, same argmax
+# tiebreak; everything integer.
+ORACLES["sim_inbatch_retrieval_acc"] = """
+    WITH base AS (
+        SELECT vec_id, label, vec_id // 16 AS batch,
+               list_transform(embedding, x -> CASE
+                   WHEN list_max(list_transform(embedding,
+                                                y -> abs(y::DOUBLE))) = 0
+                   THEN floor(x::DOUBLE / 1.0 + 0.5)::BIGINT
+                   ELSE floor(x::DOUBLE
+                              / (list_max(list_transform(embedding,
+                                          y -> abs(y::DOUBLE))) / 127.0)
+                              + 0.5)::BIGINT END) AS q8,
+               list_transform(embedding, x -> CASE
+                   WHEN list_max(list_transform(embedding,
+                                                y -> abs(y::DOUBLE))) = 0
+                   THEN floor(x::DOUBLE / 1.0 + 0.5)::BIGINT
+                   ELSE floor(x::DOUBLE
+                              / (list_max(list_transform(embedding,
+                                          y -> abs(y::DOUBLE))) / 7.0)
+                              + 0.5)::BIGINT END) AS q4
+        FROM embeddings
+    ),
+    dots AS (
+        SELECT q.batch, q.vec_id AS qid, q.label AS qlabel,
+               c.vec_id AS cid,
+               list_sum(list_transform(range(len(q.q8)),
+                        i -> q.q8[i + 1] * c.q4[i + 1]))::BIGINT AS dot
+        FROM base q JOIN base c ON q.batch = c.batch
+    ),
+    top AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                                         ORDER BY dot DESC, cid) AS rn
+            FROM dots
+        ) WHERE rn = 1
+    )
+    SELECT qlabel AS label, count(*)::BIGINT AS n_queries,
+           sum(CASE WHEN cid = qid THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+           sum(dot)::BIGINT AS top_dot_mass
+    FROM top GROUP BY 1
+"""

@@ -754,3 +754,42 @@ def test_identifier_clause_rejects_injection(tables):
     }
     with pytest.raises((AnalysisException, ParseException)):
         spark.sql(IDENTIFIER_SQL.format(**bad)).collect()
+
+
+def test_dynamic_overwrite_preserves_untouched_partitions(tables):
+    """Semantic gate for the dynamic mode itself: untouched days must hold
+    the FULL original batch (static overwrite would leave only 3 days),
+    and restated days hold only the doubled purchases."""
+    from flink_210225_spark.operators.warehouse import dynamic_overwrite
+
+    rows = {r["day_class"]: r for r in dynamic_overwrite(tables).collect()}
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.strftime("%Y%m%d")
+    ev["cents"] = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    hot = sorted(ev["day"].unique())[-3:]
+    cold = ev[~ev["day"].isin(hot)]
+    hot_purch = ev[ev["day"].isin(hot) & (ev["event_type"] == "purchase")]
+    assert rows["untouched"]["n_rows"] == len(cold)
+    assert rows["untouched"]["cents"] == int(cold["cents"].sum())
+    assert rows["untouched"]["n_days"] == cold["day"].nunique()
+    assert rows["restated"]["n_rows"] == len(hot_purch)
+    assert rows["restated"]["cents"] == 2 * int(hot_purch["cents"].sum())
+
+
+def test_inbatch_retrieval_acc_bounds_and_nontrivial(tables):
+    """Accuracy must be high (int4 distortion is mild) but the eval must
+    not be vacuous: every query answered, n_correct <= n_queries, and the
+    full spine is covered."""
+    from flink_210225_spark.ops.similarity import inbatch_retrieval_acc
+
+    rows = inbatch_retrieval_acc(tables).collect()
+    n_total = sum(r["n_queries"] for r in rows)
+    n_correct = sum(r["n_correct"] for r in rows)
+    import duckdb
+
+    n_vecs = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/embeddings.parquet'"
+    ).fetchone()[0]
+    assert n_total == n_vecs
+    assert all(0 <= r["n_correct"] <= r["n_queries"] for r in rows)
+    assert 0.5 * n_total <= n_correct  # int4 candidates still mostly retrievable
