@@ -2149,3 +2149,62 @@ ORACLES["serving_repeat_gmv"] = """
            END AS repeat_share_micro
     FROM pm
 """
+
+
+def local_supplier_revenue(tables: dict[str, DataFrame]) -> DataFrame:
+    """Local-supplier volume — the TPC-H Q5 join TOPOLOGY (the classic
+    6-table star traversal customer⋈orders⋈lineitem⋈supplier⋈nation⋈region
+    with the signature c_nationkey = s_nationkey equi-condition: revenue
+    counts only when the customer bought from a supplier in her own
+    nation), per (region, year), exact cents (extendedprice·(100−disc)
+    stays in e4 integer units until one final floor). This also closes
+    table coverage: every fixture table that carries revenue now appears
+    in a gated join.
+
+    Plan: nation/region broadcast (25/5 rows at any SF); supplier joins
+    on s_suppkey as a shuffle hash join (suppliers scale with the corpus
+    — never assume broadcast); the c=s nationkey condition folds into
+    the final join predicate, so no post-join filter row explosion."""
+    li, o, c = tables["lineitem"], tables["orders"], tables["customer"]
+    s, n, r = tables["supplier"], tables["nation"], tables["region"]
+    rev_e4 = F.sum(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region"),
+        F.date_format("o_orderdate", "yyyy").alias("yr"),
+    ).agg(
+        F.count("*").cast("long").alias("n_items"),
+        (F.floor(rev_e4 / 100 + F.lit(0.5)) / 100).alias("revenue"),
+    )
+
+
+QUERIES["serving_local_supplier_revenue"] = local_supplier_revenue
+ORACLES["serving_local_supplier_revenue"] = """
+    SELECT r.r_name AS region,
+           strftime(o.o_orderdate, '%Y') AS yr,
+           count(*)::BIGINT AS n_items,
+           floor(sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                     * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))
+                 / 100 + 0.5) / 100 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+"""

@@ -824,3 +824,47 @@ ORACLES["sql_identifier_clause"] = """
            count(DISTINCT c_nationkey)::BIGINT AS n_keys
     FROM customer GROUP BY 1
 """
+
+
+PIPE_SQL = """
+FROM {view}
+ |> EXTEND CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+ |> EXTEND date_format(o_orderdate, 'yyyy') AS yr
+ |> WHERE o_orderstatus <> 'F'
+ |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(cents) AS BIGINT) AS cents,
+              CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    GROUP BY o_orderpriority, yr
+ |> WHERE n_orders > 2
+ |> SELECT o_orderpriority AS priority, yr, n_orders, cents, n_custs
+"""
+
+
+def _pipe_syntax_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """SQL pipe syntax (SIGMOD '24 "Pipe Syntax in SQL", shipped in Spark
+    4.0) as ONE spark.sql text — the linear `FROM |> EXTEND |> WHERE |>
+    AGGREGATE |> WHERE |> SELECT` dataflow spelling of a filtered rollup
+    with a post-aggregation filter (the stage order IS the evaluation
+    order, so the second WHERE needs no HAVING keyword and the EXTENDed
+    columns are plainly in scope downstream). The oracle replays the same
+    pipeline as classic nested SQL in DuckDB — the hash gates that the
+    sugar evaluates stage-by-stage with standard semantics.
+
+    Scale: sugar only — Catalyst plans the identical pre-agg + filter."""
+    o = tables["orders"]
+    o.createOrReplaceTempView("orders_view_sql_pipe")
+    return o.sparkSession.sql(PIPE_SQL.format(view="orders_view_sql_pipe"))
+
+
+QUERIES["sql_pipe_syntax"] = _pipe_syntax_sql_q
+ORACLES["sql_pipe_syntax"] = """
+    SELECT o_orderpriority AS priority,
+           strftime(o_orderdate, '%Y') AS yr,
+           count(*)::BIGINT AS n_orders,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents,
+           count(DISTINCT o_custkey)::BIGINT AS n_custs
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY 1, 2
+    HAVING count(*) > 2
+"""

@@ -793,3 +793,71 @@ def test_inbatch_retrieval_acc_bounds_and_nontrivial(tables):
     assert n_total == n_vecs
     assert all(0 <= r["n_correct"] <= r["n_queries"] for r in rows)
     assert 0.5 * n_total <= n_correct  # int4 candidates still mostly retrievable
+
+
+def test_pipe_syntax_matches_classic_spelling(tables):
+    """Third implementation: the same pipeline as classic Spark SQL
+    (WHERE/GROUP BY/HAVING) — the sugar must be pure syntax."""
+    from flink_210225_spark.streaming.sql_jobs import _pipe_syntax_sql_q
+
+    got = {
+        (r["priority"], r["yr"]): (r["n_orders"], r["cents"], r["n_custs"])
+        for r in _pipe_syntax_sql_q(tables).collect()
+    }
+    spark = tables["orders"].sparkSession
+    tables["orders"].createOrReplaceTempView("orders_view_pipe_test")
+    want = {
+        (r["priority"], r["yr"]): (r["n_orders"], r["cents"], r["n_custs"])
+        for r in spark.sql(
+            """
+            SELECT o_orderpriority AS priority,
+                   date_format(o_orderdate, 'yyyy') AS yr,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+            FROM orders_view_pipe_test WHERE o_orderstatus <> 'F'
+            GROUP BY 1, 2 HAVING count(*) > 2
+            """
+        ).collect()
+    }
+    assert got == want
+
+
+def test_local_supplier_revenue_pure_pandas_replay(tables):
+    """Third implementation: pandas merges with the c=s nationkey
+    condition — the Q5 signature must actually restrict rows."""
+    import duckdb
+
+    from flink_210225_spark.operators.serving import local_supplier_revenue
+
+    got = {
+        (r["region"], r["yr"]): (r["n_items"], r["revenue"])
+        for r in local_supplier_revenue(tables).collect()
+    }
+    sf = "/root/testdata/sf0.001"
+    li = duckdb.sql(f"SELECT l_orderkey, l_suppkey, l_extendedprice, l_discount FROM '{sf}/lineitem.parquet'").df()
+    o = duckdb.sql(f"SELECT o_orderkey, o_custkey, o_orderdate FROM '{sf}/orders.parquet'").df()
+    c = duckdb.sql(f"SELECT c_custkey, c_nationkey FROM '{sf}/customer.parquet'").df()
+    s = duckdb.sql(f"SELECT s_suppkey, s_nationkey FROM '{sf}/supplier.parquet'").df()
+    n = duckdb.sql(f"SELECT n_nationkey, n_regionkey FROM '{sf}/nation.parquet'").df()
+    r = duckdb.sql(f"SELECT r_regionkey, r_name FROM '{sf}/region.parquet'").df()
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    m = m.merge(c, left_on="o_custkey", right_on="c_custkey")
+    full = m.merge(s, left_on="l_suppkey", right_on="s_suppkey")
+    local = full[full["c_nationkey"] == full["s_nationkey"]].copy()
+    assert len(local) < len(full)  # the Q5 condition restricts
+    local = local.merge(n, left_on="s_nationkey", right_on="n_nationkey")
+    local = local.merge(r, left_on="n_regionkey", right_on="r_regionkey")
+    local["yr"] = pd.to_datetime(local["o_orderdate"]).dt.strftime("%Y")
+    local["e4"] = np.floor(local["l_extendedprice"] * 100 + 0.5).astype(
+        np.int64
+    ) * (100 - np.floor(local["l_discount"] * 100 + 0.5).astype(np.int64))
+    grp = local.groupby(["r_name", "yr"]).agg(
+        n_items=("e4", "size"), e4=("e4", "sum")
+    )
+    assert len(got) == len(grp)
+    for (reg, yr), row in grp.iterrows():
+        ni, rev = got[(reg, yr)]
+        assert ni == row["n_items"]
+        assert rev == np.floor(row["e4"] / 100 + 0.5) / 100
