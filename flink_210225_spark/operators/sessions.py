@@ -1121,3 +1121,105 @@ ORACLES["session_growth_accounting"] = """
            coalesce(c.churned, 0)::BIGINT AS churned
     FROM active a LEFT JOIN churn c ON c.day = a.day
 """
+
+
+def peak_concurrency(tables: dict[str, DataFrame]) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line interval problem
+    (capacity planning's first question: how many users are on AT ONCE,
+    not per day). Sessions come from the same 30-min gaps-and-islands rule
+    as ``sessionize``; each contributes a +1 tick at its start and a −1
+    tick just after its end (inclusive intervals: at an exact start==end
+    collision the +1 sorts first, so touching sessions DO overlap). The
+    global running sum over (ts, −delta)-ordered ticks is the concurrency
+    curve; a day's peak is the max of the curve over its ticks — including
+    the level carried INTO each tick (max of cum and cum−delta), so a day
+    that only loses sessions still reports the inherited level.
+
+    Scale: one user-keyed window builds sessions, one GLOBAL ordered
+    running sum builds the curve — the one genuinely serial axis of the
+    problem (the curve is a prefix sum; at 100 TB you'd segment it per
+    day-partition with carry-in aggregation, the same two-pass trick as
+    any distributed prefix sum). Tick volume is 2·|sessions|, tiny next
+    to events."""
+    ev = tables["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.select("user_id", "ts", "event_id").withColumn(
+        "new_session",
+        F.when(
+            F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+            > 1800 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = gapped.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    ticks = sessions.select(
+        F.col("s").alias("t"), F.lit(1).cast("long").alias("delta")
+    ).unionByName(
+        sessions.select(
+            F.col("e").alias("t"), F.lit(-1).cast("long").alias("delta")
+        )
+    )
+    wcum = Window.orderBy("t", F.col("delta").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = ticks.withColumn("cum", F.sum("delta").over(wcum))
+    return curve.groupBy(
+        F.date_format("t", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.greatest(
+            F.max("cum"), F.max(F.col("cum") - F.col("delta"))
+        ).cast("long").alias("peak_concurrency"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sessions_started"),
+    )
+
+
+QUERIES["session_peak_concurrency"] = peak_concurrency
+# Same session rule, same tick ordering (+1 before -1 at equal ts), same
+# carried-level max.
+ORACLES["session_peak_concurrency"] = """
+    WITH gapped AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    seq AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                      AS session_seq
+        FROM gapped
+    ),
+    sessions AS (
+        SELECT user_id, session_seq, min(ts) AS s, max(ts) AS e
+        FROM seq GROUP BY 1, 2
+    ),
+    ticks AS (
+        SELECT s AS t, 1::BIGINT AS delta FROM sessions
+        UNION ALL
+        SELECT e AS t, -1::BIGINT AS delta FROM sessions
+    ),
+    curve AS (
+        SELECT t, delta,
+               sum(delta) OVER (ORDER BY t, delta DESC
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM ticks
+    )
+    SELECT strftime(t, '%Y-%m-%d') AS day,
+           greatest(max(cum), max(cum - delta))::BIGINT AS peak_concurrency,
+           sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_sessions_started
+    FROM curve GROUP BY 1
+"""

@@ -1710,3 +1710,162 @@ ORACLES["sample_pass_at_k"] = """
                  + 0.5) / 1000000 AS pass_at_5
     FROM scored GROUP BY 1
 """
+
+
+def token_waterfill(tables: dict[str, DataFrame]) -> DataFrame:
+    """Water-filling token-budget allocation across corpus sources — the
+    data-mixing planner's core primitive (given per-source token supplies
+    n_i and a total training budget B, the max-min-fair allocation is
+    alloc_i = min(n_i, L) with the water level L chosen so Σ alloc = B;
+    small sources are taken whole, large sources are capped at the level —
+    the allocation behind 'cap any single source's share' mixing rules).
+    The level has a CLOSED FORM over the sorted supplies: with S(v) =
+    Σ min(n_i, v) piecewise linear, pick the largest distinct value v with
+    S(v) ≤ B, then L = v + (B − S(v)) div |{n_i > v}| and the remainder r
+    gives +1 to the r largest-supply uncapped sources (ties by source key)
+    — every quantity integer-exact, Σ alloc ≡ B by construction (tested).
+
+    Plan: supplies are one (lang, source)-keyed agg; the level search runs
+    on the DISTINCT supply values (≤ |sources| rows — driver-free, window
+    arithmetic); one join back prices the allocation. At 100 TB the
+    source-grain frame is config-sized — only the token count touches
+    data."""
+    docs = tables["documents"]
+    supplies = docs.groupBy("lang", "source").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    total = supplies.agg(
+        F.sum("n_tokens").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("k"),
+    )
+    # B = 60% of total supply, floor
+    budget = total.select(
+        (F.col("tot") * 6 / 10).cast("long").alias("b"), "tot", "k"
+    )
+    levels = (
+        supplies.select(F.col("n_tokens").alias("v"))
+        .distinct()
+        .unionByName(supplies.sparkSession.range(1).select(F.lit(0).cast("long").alias("v")))
+        .distinct()
+    )
+    # S(v) = sum(min(n_i, v)) and cnt_above(v) = |{n_i > v}|
+    # constant-key equi-joins, not crossJoin: the grids are tiny
+    # (|levels| x |sources|) but a BNLJ would trip the blanket
+    # no-cartesian plan gate — a lit(1) key plans as BroadcastHashJoin
+    one = F.lit(1).alias("one")
+    sv = levels.select("*", one).join(
+        F.broadcast(budget.select("*", one)), "one"
+    ).join(
+        supplies.select(F.col("n_tokens"), one), "one"
+    ).groupBy("v", "b", "k").agg(
+        F.sum(F.least(F.col("n_tokens"), F.col("v"))).cast("long").alias("s"),
+        F.sum(F.when(F.col("n_tokens") > F.col("v"), 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_above"),
+    )
+    best = (
+        sv.where(F.col("s") <= F.col("b"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("v").desc())),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "b",
+            F.when(
+                F.col("cnt_above") > 0,
+                F.col("v") + F.expr("(b - s) div cnt_above"),
+            )
+            .otherwise(F.col("v"))
+            .alias("level"),
+            F.when(
+                F.col("cnt_above") > 0, F.expr("(b - s) % cnt_above")
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rem"),
+        )
+    )
+    ranked = supplies.select("*", one).join(
+        F.broadcast(best.select("*", one)), "one"
+    ).withColumn(
+        "uncapped_rank",
+        F.row_number().over(
+            Window.partitionBy("b").orderBy(
+                F.when(F.col("n_tokens") > F.col("level"), 0).otherwise(1),
+                F.col("n_tokens").desc(),
+                F.col("lang"),
+                F.col("source"),
+            )
+        ),
+    )
+    return ranked.select(
+        "lang",
+        "source",
+        "n_tokens",
+        F.when(F.col("n_tokens") <= F.col("level"), F.col("n_tokens"))
+        .otherwise(
+            F.col("level")
+            + F.when(F.col("uncapped_rank") <= F.col("rem"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+        (F.col("n_tokens") > F.col("level")).alias("capped"),
+    )
+
+
+QUERIES["sample_token_waterfill"] = token_waterfill
+# Same closed-form level search over distinct supply values; Σ alloc = B
+# is the reconciliation the pytest also asserts.
+ORACLES["sample_token_waterfill"] = """
+    WITH supplies AS (
+        SELECT lang, source,
+               sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+                   AS n_tokens
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT sum(n_tokens)::BIGINT AS t, count(*)::BIGINT AS k,
+               (sum(n_tokens) * 6 // 10)::BIGINT AS b
+        FROM supplies
+    ),
+    levels AS (
+        SELECT DISTINCT n_tokens AS v FROM supplies
+        UNION SELECT 0::BIGINT
+    ),
+    sv AS (
+        SELECT l.v, tot.b,
+               sum(least(s.n_tokens, l.v))::BIGINT AS s,
+               sum(CASE WHEN s.n_tokens > l.v THEN 1 ELSE 0 END)::BIGINT
+                   AS cnt_above
+        FROM levels l, tot, supplies s
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT b,
+               CASE WHEN cnt_above > 0 THEN v + (b - s) // cnt_above
+                    ELSE v END AS level,
+               CASE WHEN cnt_above > 0 THEN (b - s) % cnt_above
+                    ELSE 0 END::BIGINT AS rem
+        FROM (SELECT *, row_number() OVER (ORDER BY v DESC) AS rn
+              FROM sv WHERE s <= b)
+        WHERE rn = 1
+    ),
+    ranked AS (
+        SELECT s.lang, s.source, s.n_tokens, best.level, best.rem,
+               row_number() OVER (
+                   ORDER BY CASE WHEN s.n_tokens > best.level THEN 0
+                                 ELSE 1 END,
+                            s.n_tokens DESC, s.lang, s.source
+               ) AS uncapped_rank
+        FROM supplies s, best
+    )
+    SELECT lang, source, n_tokens,
+           CASE WHEN n_tokens <= level THEN n_tokens
+                ELSE level + CASE WHEN uncapped_rank <= rem THEN 1
+                                  ELSE 0 END END::BIGINT AS alloc,
+           n_tokens > level AS capped
+    FROM ranked
+"""

@@ -861,3 +861,99 @@ def test_local_supplier_revenue_pure_pandas_replay(tables):
         ni, rev = got[(reg, yr)]
         assert ni == row["n_items"]
         assert rev == np.floor(row["e4"] / 100 + 0.5) / 100
+
+
+def test_token_waterfill_invariants(tables):
+    """The defining water-filling identities: Σ alloc == B exactly,
+    alloc <= supply, capped sources all sit at level or level+1, and at
+    least one source is capped (the budget is 60% of supply)."""
+    from flink_210225_spark.ops.sampling import token_waterfill
+
+    rows = token_waterfill(tables).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    b = total * 6 // 10
+    assert sum(r["alloc"] for r in rows) == b
+    assert all(r["alloc"] <= r["n_tokens"] for r in rows)
+    capped = [r["alloc"] for r in rows if r["capped"]]
+    uncapped = [r for r in rows if not r["capped"]]
+    assert capped, "budget at 60% must cap someone"
+    assert max(capped) - min(capped) <= 1  # level or level+1
+    assert all(r["alloc"] == r["n_tokens"] for r in uncapped)
+    if uncapped:
+        assert max(r["n_tokens"] for r in uncapped) <= min(capped)
+
+
+def test_token_waterfill_pure_python_replay(tables):
+    """Third implementation: brute-force the level by scanning integers
+    (binary search over S(L)) — the closed form must agree."""
+    from flink_210225_spark.ops.sampling import token_waterfill
+
+    rows = token_waterfill(tables).collect()
+    n = sorted((r["n_tokens"], r["lang"], r["source"]) for r in rows)
+    supplies = [x[0] for x in n]
+    b = sum(supplies) * 6 // 10
+    lo, hi = 0, max(supplies)
+    while lo < hi:  # largest L with S(L) <= b
+        mid = (lo + hi + 1) // 2
+        if sum(min(x, mid) for x in supplies) <= b:
+            lo = mid
+        else:
+            hi = mid - 1
+    s_l = sum(min(x, lo) for x in supplies)
+    rem = b - s_l
+    got_allocs = sorted(r["alloc"] for r in rows)
+    want = [min(x, lo) for x in supplies]
+    # +1 to the `rem` largest-supply uncapped sources
+    order = sorted(
+        range(len(supplies)),
+        key=lambda i: (-supplies[i], n[i][1], n[i][2]),
+    )
+    given = 0
+    for i in order:
+        if given < rem and supplies[i] > lo:
+            want[i] += 1
+            given += 1
+    assert given == rem
+    assert got_allocs == sorted(want)
+
+
+def test_peak_concurrency_pure_python_replay(tables):
+    """Third implementation: build sessions in pandas, sweep the tick list
+    with a plain loop, track per-day maxima including carried levels."""
+    from flink_210225_spark.operators.sessions import peak_concurrency
+
+    got = {r["day"]: r for r in peak_concurrency(tables).collect()}
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["user_id", "ts", "event_id"],
+    ).sort_values(["user_id", "ts", "event_id"])
+    sessions = []
+    for _, g in ev.groupby("user_id"):
+        start = prev = None
+        for t in g["ts"]:
+            if prev is None or (t - prev).total_seconds() > 1800:
+                if start is not None:
+                    sessions.append((start, prev))
+                start = t
+            prev = t
+        sessions.append((start, prev))
+    ticks = sorted(
+        [(s, -1) for s, _ in sessions] + [(e, 1) for _, e in sessions],
+        key=lambda x: (x[0], x[1]),
+    )  # delta stored negated so +1 sorts first at ties
+    cum = 0
+    peaks: dict[str, int] = {}
+    starts: dict[str, int] = {}
+    for t, nd in ticks:
+        d = -nd
+        day = t.strftime("%Y-%m-%d")
+        peaks[day] = max(peaks.get(day, 0), cum)  # carried level
+        cum += d
+        peaks[day] = max(peaks[day], cum)
+        if d == 1:
+            starts[day] = starts.get(day, 0) + 1
+    assert set(got) == set(peaks)
+    for day in peaks:
+        assert got[day]["peak_concurrency"] == peaks[day]
+        assert got[day]["n_sessions_started"] == starts.get(day, 0)
+    assert max(peaks.values()) > 1  # concurrency actually happens
