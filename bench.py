@@ -80,7 +80,18 @@ def main() -> None:
     baseline_info = {}
     try:
         with open(baseline_path) as f:
-            base = json.load(f)["queries"]
+            base_doc = json.load(f)
+        base = base_doc["queries"]
+        # Refuse a COMPACT bench line as baseline (the printed line carries
+        # only the slowest-25, rounded — using it would silently narrow the
+        # regression gate): follow its queries_file sidecar if present,
+        # else flag and skip the gate.
+        if "queries_file" in base_doc:
+            try:
+                with open(base_doc["queries_file"]) as f:
+                    base = json.load(f)["queries"]
+            except (OSError, KeyError, ValueError, TypeError):
+                raise ValueError("baseline is a truncated compact line")
         common = [n for n in per_query if n in base and base[n] > 0]
         ratios = {n: round(per_query[n] / base[n], 2) for n in common}
         baseline_info = {

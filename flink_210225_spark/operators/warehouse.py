@@ -2258,9 +2258,11 @@ def dynamic_overwrite(tables: dict[str, DataFrame]) -> DataFrame:
     state breaks loudly if the dynamic option regresses.
 
     Day-partitioned write of all events, then a restatement of the last 3
-    days only (purchase rows re-priced ×2), written with
-    ``partitionOverwriteMode=dynamic``; the read-back rolls up per day
-    class. Scale: both writes are day-partitioned (partition count =
+    days (ALL their rows, with purchase rows re-priced ×2 — restating the
+    full day keeps every hot partition present in the written frame, so
+    the dynamic writer's semantics stay decidable even on a day with no
+    purchases), written with ``partitionOverwriteMode=dynamic``; the
+    read-back rolls up per day class. Scale: both writes are day-partitioned (partition count =
     calendar days); the restatement shuffles only its own days."""
     from flink_210225_spark.streaming.pipelines import _scratch
 
@@ -2277,15 +2279,13 @@ def dynamic_overwrite(tables: dict[str, DataFrame]) -> DataFrame:
     base.write.mode("overwrite").partitionBy("day").parquet(out)
     days = [r[0] for r in base.select("day").distinct().collect()]
     hot = sorted(days)[-3:]
-    restated = (
-        base.where(F.col("day").isin(hot))
-        .where(F.col("event_type") == "purchase")
-        .select(
-            "event_id",
-            "event_type",
-            (F.col("cents") * 2).alias("cents"),
-            "day",
-        )
+    restated = base.where(F.col("day").isin(hot)).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("cents") * 2)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        "day",
     )
     restated.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
@@ -2304,7 +2304,8 @@ def dynamic_overwrite(tables: dict[str, DataFrame]) -> DataFrame:
 
 QUERIES["warehouse_dynamic_overwrite"] = dynamic_overwrite
 # Expected post-restatement state replayed from events: the last 3 days
-# hold ONLY doubled purchases; every other day is the full original batch.
+# hold all their rows with purchases doubled; every other day is the
+# original batch.
 ORACLES["warehouse_dynamic_overwrite"] = """
     WITH base AS (
         SELECT event_id, event_type,
@@ -2319,8 +2320,10 @@ ORACLES["warehouse_dynamic_overwrite"] = """
         SELECT day, event_type, cents FROM base
         WHERE day NOT IN (SELECT day FROM hot)
         UNION ALL
-        SELECT day, event_type, cents * 2 FROM base
-        WHERE day IN (SELECT day FROM hot) AND event_type = 'purchase'
+        SELECT day, event_type,
+               CASE WHEN event_type = 'purchase' THEN cents * 2
+                    ELSE cents END
+        FROM base WHERE day IN (SELECT day FROM hot)
     )
     SELECT CASE WHEN day IN (SELECT day FROM hot) THEN 'restated'
                 ELSE 'untouched' END AS day_class,

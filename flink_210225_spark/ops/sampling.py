@@ -1736,14 +1736,9 @@ def token_waterfill(tables: dict[str, DataFrame]) -> DataFrame:
         .cast("long")
         .alias("n_tokens")
     )
-    total = supplies.agg(
-        F.sum("n_tokens").cast("long").alias("tot"),
-        F.count("*").cast("long").alias("k"),
-    )
+    total = supplies.agg(F.sum("n_tokens").cast("long").alias("tot"))
     # B = 60% of total supply, floor
-    budget = total.select(
-        (F.col("tot") * 6 / 10).cast("long").alias("b"), "tot", "k"
-    )
+    budget = total.select((F.col("tot") * 6 / 10).cast("long").alias("b"))
     levels = (
         supplies.select(F.col("n_tokens").alias("v"))
         .distinct()
@@ -1759,7 +1754,7 @@ def token_waterfill(tables: dict[str, DataFrame]) -> DataFrame:
         F.broadcast(budget.select("*", one)), "one"
     ).join(
         supplies.select(F.col("n_tokens"), one), "one"
-    ).groupBy("v", "b", "k").agg(
+    ).groupBy("v", "b").agg(
         F.sum(F.least(F.col("n_tokens"), F.col("v"))).cast("long").alias("s"),
         F.sum(F.when(F.col("n_tokens") > F.col("v"), 1).otherwise(0))
         .cast("long")

@@ -30,6 +30,22 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+
+def _quantize_longs(vv: Column, levels: int) -> Column:
+    """Per-vector symmetric scalar quantization to exact longs — the
+    ``quantize_int8`` grid (q = floor(x/scale + 0.5), scale = maxabs/levels,
+    zero-vector scale pinned to 1) shared by every kernel that needs exact
+    integer dot products. maxabs is let-bound through a single-element
+    transform so the per-element lambda never re-folds it (the O(dim²)
+    CSE pitfall documented on quantize_int8)."""
+    maxabs = F.aggregate(vv, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+
+    def with_m(m: Column) -> Column:
+        scale = F.when(m == 0.0, F.lit(1.0)).otherwise(m / float(levels))
+        return F.transform(vv, lambda x: F.floor(x / scale + 0.5).cast("long"))
+
+    return F.get(F.transform(F.array(maxabs), with_m), 0)
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -3437,20 +3453,11 @@ def lexical_semantic_gap(tables: dict[str, DataFrame]) -> DataFrame:
     docs = tables["documents"]
     emb = tables["embeddings"]
     v = _as_double(F.col("embedding"))
-
-    def qvec(vv: Column) -> Column:
-        maxabs = F.aggregate(vv, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
-
-        def with_m(m: Column) -> Column:
-            scale = F.when(m == 0.0, F.lit(1.0)).otherwise(m / 127.0)
-            return F.transform(
-                vv, lambda x: F.floor(x / scale + 0.5).cast("long")
-            )
-
-        return F.get(F.transform(F.array(maxabs), with_m), 0)
-
     joined = docs.join(
-        emb.select(F.col("vec_id").alias("doc_id"), qvec(v).alias("q")),
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            _quantize_longs(v, 127).alias("q"),
+        ),
         "doc_id",
     ).select(
         "doc_id",
@@ -3586,24 +3593,12 @@ def inbatch_retrieval_acc(tables: dict[str, DataFrame]) -> DataFrame:
     rollup. At scale batch size is fixed, so cost is linear in corpus."""
     emb = tables["embeddings"]
     v = _as_double(F.col("embedding"))
-
-    def quant(vv: Column, levels: int) -> Column:
-        maxabs = F.aggregate(vv, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
-
-        def with_m(m: Column) -> Column:
-            scale = F.when(m == 0.0, F.lit(1.0)).otherwise(m / float(levels))
-            return F.transform(
-                vv, lambda x: F.floor(x / scale + 0.5).cast("long")
-            )
-
-        return F.get(F.transform(F.array(maxabs), with_m), 0)
-
     base = emb.select(
         "vec_id",
         "label",
         (F.col("vec_id") / 16).cast("long").alias("batch"),
-        quant(v, 127).alias("q8"),
-        quant(v, 7).alias("q4"),
+        _quantize_longs(v, 127).alias("q8"),
+        _quantize_longs(v, 7).alias("q4"),
     )
     queries = base.select(
         "batch", F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"), "q8"

@@ -759,7 +759,7 @@ def test_identifier_clause_rejects_injection(tables):
 def test_dynamic_overwrite_preserves_untouched_partitions(tables):
     """Semantic gate for the dynamic mode itself: untouched days must hold
     the FULL original batch (static overwrite would leave only 3 days),
-    and restated days hold only the doubled purchases."""
+    and restated days hold every row with purchases doubled."""
     from flink_210225_spark.operators.warehouse import dynamic_overwrite
 
     rows = {r["day_class"]: r for r in dynamic_overwrite(tables).collect()}
@@ -768,12 +768,15 @@ def test_dynamic_overwrite_preserves_untouched_partitions(tables):
     ev["cents"] = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(np.int64)
     hot = sorted(ev["day"].unique())[-3:]
     cold = ev[~ev["day"].isin(hot)]
-    hot_purch = ev[ev["day"].isin(hot) & (ev["event_type"] == "purchase")]
+    hot_rows = ev[ev["day"].isin(hot)]
+    hot_purch = hot_rows[hot_rows["event_type"] == "purchase"]
     assert rows["untouched"]["n_rows"] == len(cold)
     assert rows["untouched"]["cents"] == int(cold["cents"].sum())
     assert rows["untouched"]["n_days"] == cold["day"].nunique()
-    assert rows["restated"]["n_rows"] == len(hot_purch)
-    assert rows["restated"]["cents"] == 2 * int(hot_purch["cents"].sum())
+    assert rows["restated"]["n_rows"] == len(hot_rows)
+    assert rows["restated"]["cents"] == int(hot_rows["cents"].sum()) + int(
+        hot_purch["cents"].sum()
+    )
 
 
 def test_inbatch_retrieval_acc_bounds_and_nontrivial(tables):
