@@ -2332,3 +2332,118 @@ ORACLES["warehouse_dynamic_overwrite"] = """
            sum(cents)::BIGINT AS cents
     FROM state GROUP BY 1
 """
+
+
+def wap_publish(tables: dict[str, DataFrame]) -> DataFrame:
+    """Write-Audit-Publish — the lakehouse promotion flow Iceberg/Netflix
+    popularized (``warehouse_dq_expectations`` ASSERTS rules; this gates
+    the FLOW those rules guard): a batch lands in a STAGING dir, the audit
+    splits it against the expectation suite, clean rows get PUBLISHED and
+    violations land in a QUARANTINE dir with a reason column — and the
+    returned report reads every number back FROM THE PUBLISHED/QUARANTINE
+    FILES, so a broken split, a dropped row, or a write that leaked dirty
+    rows into the published table breaks the oracle hash.
+
+    The staged batch is events with deterministic injected corruption
+    (event_id % 37 == 0 → negated amount; % 41 == 0 → unknown type;
+    % 43 == 0 → nulled user) — the same artifact-injection discipline as
+    ``pii_redact``. Rows failing several rules quarantine under the FIRST
+    failing reason (checked in a fixed order — deterministic).
+
+    Plan: one staging write, one audit scan splitting via a single CASE
+    reason column, two filtered writes, two read-back rollups. All
+    day-partitionable at scale; the audit is a stateless projection."""
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    ev = tables["events"]
+    spark = ev.sparkSession
+    root = _scratch(prefix="wap_")
+    staging, published, quarantine = (
+        f"{root}/staging",
+        f"{root}/published",
+        f"{root}/quarantine",
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    staged = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 43 == 0, F.lit(None)).otherwise(
+            F.col("user_id")
+        ).alias("user_id"),
+        F.when(F.col("event_id") % 41 == 0, F.lit("mystery")).otherwise(
+            F.col("event_type")
+        ).alias("event_type"),
+        F.when(F.col("event_id") % 37 == 0, -cents).otherwise(cents).alias(
+            "cents"
+        ),
+    )
+    staged.write.mode("overwrite").parquet(staging)
+    back = spark.read.parquet(staging)
+    reason = (
+        F.when(F.col("cents") < 0, F.lit("negative_amount"))
+        .when(
+            ~F.col("event_type").isin(
+                "signup", "error", "click", "view", "purchase"
+            ),
+            F.lit("unknown_type"),
+        )
+        .when(F.col("user_id").isNull(), F.lit("null_user"))
+    )
+    audited = back.withColumn("reason", reason)
+    audited.where(F.col("reason").isNull()).drop("reason").write.mode(
+        "overwrite"
+    ).parquet(published)
+    audited.where(F.col("reason").isNotNull()).write.mode(
+        "overwrite"
+    ).parquet(quarantine)
+    pub = (
+        spark.read.parquet(published)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(F.lit("published").alias("bucket"), "n_rows", "cents")
+    )
+    quar = (
+        spark.read.parquet(quarantine)
+        .groupBy(F.concat(F.lit("quarantine:"), F.col("reason")).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    return pub.unionByName(quar)
+
+
+QUERIES["warehouse_wap_publish"] = wap_publish
+# Expected split replayed from events with the same injection + the same
+# first-failing-reason order.
+ORACLES["warehouse_wap_publish"] = """
+    WITH staged AS (
+        SELECT event_id,
+               CASE WHEN event_id % 43 = 0 THEN NULL
+                    ELSE user_id END AS user_id,
+               CASE WHEN event_id % 41 = 0 THEN 'mystery'
+                    ELSE event_type END AS event_type,
+               CASE WHEN event_id % 37 = 0
+                    THEN -floor(value * 100 + 0.5)::BIGINT
+                    ELSE floor(value * 100 + 0.5)::BIGINT END AS cents
+        FROM events
+    ),
+    audited AS (
+        SELECT *,
+               CASE WHEN cents < 0 THEN 'negative_amount'
+                    WHEN event_type NOT IN ('signup', 'error', 'click',
+                                            'view', 'purchase')
+                         THEN 'unknown_type'
+                    WHEN user_id IS NULL THEN 'null_user'
+               END AS reason
+        FROM staged
+    )
+    SELECT 'published' AS bucket, count(*)::BIGINT AS n_rows,
+           sum(cents)::BIGINT AS cents
+    FROM audited WHERE reason IS NULL
+    UNION ALL
+    SELECT 'quarantine:' || reason, count(*)::BIGINT, sum(cents)::BIGINT
+    FROM audited WHERE reason IS NOT NULL
+    GROUP BY 1
+"""

@@ -868,3 +868,43 @@ ORACLES["sql_pipe_syntax"] = """
     GROUP BY 1, 2
     HAVING count(*) > 2
 """
+
+
+HINTS_SQL = """
+    SELECT /*+ BROADCAST(c), REPARTITION(8) */
+           c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+def _hints_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """SQL join/partitioning HINT grammar as ONE spark.sql text —
+    ``/*+ BROADCAST(alias) */`` (forces the build side regardless of
+    autoBroadcastJoinThreshold — the production escape hatch when stats
+    mislead the planner) plus ``REPARTITION(n)``. Hints must be
+    semantics-neutral: the oracle replays the same join with no hints and
+    the hash must not move. The PLAN effect is gated separately in pytest:
+    with the broadcast threshold disabled (-1), the un-hinted join
+    degrades to SortMerge while the hinted text still plans a
+    BroadcastHashJoin."""
+    o, c = tables["orders"], tables["customer"]
+    o.createOrReplaceTempView("orders_view_sql_hints")
+    c.createOrReplaceTempView("customer_view_sql_hints")
+    return o.sparkSession.sql(
+        HINTS_SQL.format(
+            orders="orders_view_sql_hints", customer="customer_view_sql_hints"
+        )
+    )
+
+
+QUERIES["sql_hints_grammar"] = _hints_sql_q
+ORACLES["sql_hints_grammar"] = """
+    SELECT c.c_mktsegment AS segment, count(*)::BIGINT AS n_orders,
+           sum(floor(o.o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+"""

@@ -960,3 +960,53 @@ def test_peak_concurrency_pure_python_replay(tables):
         assert got[day]["peak_concurrency"] == peaks[day]
         assert got[day]["n_sessions_started"] == starts.get(day, 0)
     assert max(peaks.values()) > 1  # concurrency actually happens
+
+
+def test_wap_publish_quarantine_disjoint_and_complete(tables):
+    """WAP invariants: published + quarantined == staged row count; the
+    published bucket holds no negative cents; every injected class is
+    quarantined under its FIRST failing reason (negated amounts whose id
+    also hits %41/%43 must report negative_amount)."""
+    from flink_210225_spark.operators.warehouse import wap_publish
+
+    rows = {r["bucket"]: r for r in wap_publish(tables).collect()}
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ids = ev["event_id"].astype(int)
+    n_neg = int((ids % 37 == 0).sum())
+    n_type = int(((ids % 41 == 0) & (ids % 37 != 0)).sum())
+    n_null = int(
+        ((ids % 43 == 0) & (ids % 41 != 0) & (ids % 37 != 0)).sum()
+    )
+    assert rows["quarantine:negative_amount"]["n_rows"] == n_neg
+    assert rows["quarantine:unknown_type"]["n_rows"] == n_type
+    assert rows["quarantine:null_user"]["n_rows"] == n_null
+    assert (
+        sum(r["n_rows"] for r in rows.values()) == len(ev)
+    )
+    assert rows["published"]["cents"] >= 0
+    assert rows["quarantine:negative_amount"]["cents"] < 0
+
+
+def test_hints_force_broadcast_under_disabled_threshold(tables):
+    """The plan effect the grammar exists for: with the broadcast
+    threshold disabled, the hinted text still plans BroadcastHashJoin
+    while the un-hinted twin falls back to a non-broadcast join."""
+    from flink_210225_spark.streaming.sql_jobs import HINTS_SQL, _hints_sql_q
+
+    spark = tables["orders"].sparkSession
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        hinted = _hints_sql_q(tables)
+        plan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        plain = spark.sql(
+            HINTS_SQL.replace("/*+ BROADCAST(c), REPARTITION(8) */", "").format(
+                orders="orders_view_sql_hints",
+                customer="customer_view_sql_hints",
+            )
+        )
+        plan2 = plain._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
