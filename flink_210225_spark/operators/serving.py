@@ -2208,3 +2208,141 @@ ORACLES["serving_local_supplier_revenue"] = """
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY 1, 2
 """
+
+
+def ab_cuped(tables: dict[str, DataFrame]) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013) — the adjustment
+    every mature experimentation platform applies before reading a lift:
+    using each user's PRE-period spend as the covariate, the adjusted
+    post-period metric Y − θ(X − X̄) removes the between-user variance the
+    experiment didn't cause, with θ = cov(X,Y)/var(X) pooled across arms.
+    Pre = the first 15 calendar days of the fixture month, post = the
+    rest; arms split on user_id parity (the ``ab_lift`` assignment rule).
+    Every moment (Sx, Sy, Sxx, Sxy, per-arm sums) is an exact int64 —
+    n·Sxy and Sx·Sy stay far under the long range at gated SFs — so θ is
+    ONE pinned division, the adjusted means compose the PINNED θ (spelled
+    identically in the oracle), and the variance-reduction ratio ρ² uses
+    the division-before-multiplication order to dodge the cov² overflow.
+
+    Plan: one user-grain agg (the covariate build), one 1-row pooled
+    moment agg broadcast back, one 2-row arm rollup."""
+    ev = tables["events"]
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, cents).otherwise(0)).cast("long").alias("x"),
+        F.sum(F.when(~pre, cents).otherwise(0)).cast("long").alias("y"),
+    )
+    one = F.lit(1).alias("one")
+    pooled = users.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).select(
+        "*",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_n"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("var_n"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("vary_n"),
+    )
+    pooled = pooled.select(
+        "*",
+        F.when(
+            F.col("var_n") > 0,
+            round6(F.col("cov_n").cast("double") / F.col("var_n").cast("double")),
+        ).alias("theta"),
+        F.when(
+            (F.col("var_n") > 0) & (F.col("vary_n") > 0),
+            round6(
+                (F.col("cov_n").cast("double") / F.col("var_n").cast("double"))
+                * (
+                    F.col("cov_n").cast("double")
+                    / F.col("vary_n").cast("double")
+                )
+            ),
+        ).alias("var_reduction"),
+    )
+    arms = users.groupBy((F.col("user_id") % 2).cast("int").alias("arm")).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sum_pre_cents"),
+        F.sum("y").cast("long").alias("sum_post_cents"),
+    )
+    j = arms.select("*", one).join(
+        F.broadcast(pooled.select("n", "sx", "theta", "var_reduction", one)),
+        "one",
+    )
+    adj = round6(
+        F.col("sum_post_cents").cast("double") / F.col("n_users")
+        - F.col("theta")
+        * (
+            F.col("sum_pre_cents").cast("double") / F.col("n_users")
+            - F.col("sx").cast("double") / F.col("n")
+        )
+    )
+    return j.select(
+        "arm",
+        "n_users",
+        "sum_pre_cents",
+        "sum_post_cents",
+        "theta",
+        "var_reduction",
+        adj.alias("adj_mean_cents"),
+    )
+
+
+QUERIES["serving_ab_cuped"] = ab_cuped
+# Same integer moments, same pinned-θ composition, same
+# division-before-multiplication ρ² order.
+ORACLES["serving_ab_cuped"] = """
+    WITH users AS (
+        SELECT user_id,
+               sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN floor(value * 100 + 0.5)::BIGINT
+                        ELSE 0 END)::BIGINT AS x,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                        THEN floor(value * 100 + 0.5)::BIGINT
+                        ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY 1
+    ),
+    pooled AS (
+        SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+               sum(y)::BIGINT AS sy,
+               sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+               sum(x * y)::BIGINT AS sxy
+        FROM users
+    ),
+    moments AS (
+        SELECT *,
+               n * sxy - sx * sy AS cov_n,
+               n * sxx - sx * sx AS var_n,
+               n * syy - sy * sy AS vary_n
+        FROM pooled
+    ),
+    pinned AS (
+        SELECT *,
+               CASE WHEN var_n > 0
+                    THEN floor(cov_n::DOUBLE / var_n::DOUBLE * 1000000 + 0.5)
+                         / 1000000 END AS theta,
+               CASE WHEN var_n > 0 AND vary_n > 0
+                    THEN floor((cov_n::DOUBLE / var_n::DOUBLE)
+                               * (cov_n::DOUBLE / vary_n::DOUBLE)
+                               * 1000000 + 0.5) / 1000000
+               END AS var_reduction
+        FROM moments
+    ),
+    arms AS (
+        SELECT (user_id % 2)::INT AS arm, count(*)::BIGINT AS n_users,
+               sum(x)::BIGINT AS sum_pre_cents,
+               sum(y)::BIGINT AS sum_post_cents
+        FROM users GROUP BY 1
+    )
+    SELECT a.arm, a.n_users, a.sum_pre_cents, a.sum_post_cents,
+           p.theta, p.var_reduction,
+           floor((a.sum_post_cents::DOUBLE / a.n_users
+                  - p.theta * (a.sum_pre_cents::DOUBLE / a.n_users
+                               - p.sx::DOUBLE / p.n))
+                 * 1000000 + 0.5) / 1000000 AS adj_mean_cents
+    FROM arms a, pinned p
+"""

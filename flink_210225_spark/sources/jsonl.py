@@ -768,3 +768,95 @@ ORACLES["source_binary_files"] = """
            count(DISTINCT doc_id)::BIGINT AS len_ok
     FROM px GROUP BY 1
 """
+
+
+def incremental_listing(tables: dict[str, DataFrame]) -> DataFrame:
+    """Incremental file-listing ingestion — the Auto-Loader / file-notify
+    pattern (a landing directory accumulates files; each ingest cycle must
+    process exactly the files not seen before, tracked in a manifest):
+    batch 1 lands the first half of the feed as text shards and ingests;
+    batch 2 lands the second half and ingests again — the second cycle
+    must read ONLY the new files (``input_file_name()`` joined anti
+    against the persisted manifest), and the returned report proves it by
+    rolling up (cycle, rows, files) read back from the manifest and both
+    ingests.
+
+    Scale: listing is object-store metadata (cheap); the anti-join keys on
+    file name — manifest-sized, broadcastable; data files are read once
+    each across all cycles, which is the entire point."""
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    ev = tables["events"]
+    spark = ev.sparkSession
+    root = _scratch(prefix="incr_listing_")
+    land, manifest = f"{root}/landing", f"{root}/manifest"
+    js = ev.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type", "value")).alias("value"),
+    )
+    js.where(F.col("event_id") % 2 == 0).select("value").repartition(
+        4
+    ).write.mode("overwrite").text(land)
+
+    def ingest(cycle: int):
+        raw = spark.read.option("recursiveFileLookup", "true").text(
+            land
+        ).select(
+            F.input_file_name().alias("fname"), "value"
+        )
+        try:
+            seen = spark.read.parquet(manifest).select("fname").distinct()
+            fresh = raw.join(F.broadcast(seen), "fname", "left_anti")
+        except Exception:  # first cycle: no manifest yet
+            fresh = raw
+        parsed = fresh.select(
+            "fname",
+            F.from_json(
+                "value", "event_id long, event_type string, value double"
+            ).alias("j"),
+        )
+        stats = parsed.groupBy().agg(
+            F.count_distinct("fname").cast("long").alias("n_files"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("j.value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents"),
+        ).collect()[0]
+        fresh.select("fname").distinct().withColumn(
+            "cycle", F.lit(cycle)
+        ).write.mode("append").parquet(manifest)
+        return stats
+
+    s1 = ingest(1)
+    # batch 2 lands in a subdir so batch-1 shards stay byte-identical
+    js.where(F.col("event_id") % 2 == 1).select("value").repartition(
+        3
+    ).write.mode("overwrite").text(f"{land}/late")
+    s2 = ingest(2)
+    rows = [(1, s1["n_files"], s1["n_rows"], s1["cents"]),
+            (2, s2["n_files"], s2["n_rows"], s2["cents"])]
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cycle", "n_files", "n_rows", "cents"])
+    ).select(
+        F.col("cycle").cast("int").alias("cycle"),
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("cents").cast("long").alias("cents"),
+    )
+
+
+QUERIES["source_incremental_listing"] = incremental_listing
+# Expected per-cycle split replayed from events: cycle 1 = even ids over 4
+# shards, cycle 2 = odd ids over 3 shards, NO re-reads.
+ORACLES["source_incremental_listing"] = """
+    SELECT 1 AS cycle, 4::BIGINT AS n_files,
+           count(*)::BIGINT AS n_rows,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 2, 3::BIGINT, count(*)::BIGINT,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT
+    FROM events WHERE event_id % 2 = 1
+"""

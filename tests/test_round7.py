@@ -1010,3 +1010,57 @@ def test_hints_force_broadcast_under_disabled_threshold(tables):
         assert "BroadcastHashJoin" not in plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ab_cuped_pure_numpy_replay(tables):
+    """Third implementation: numpy cov/var over the user grid; CUPED must
+    reduce (or preserve) the pooled adjusted variance, never increase it."""
+    from flink_210225_spark.operators.serving import ab_cuped
+
+    got = {r["arm"]: r for r in ab_cuped(tables).collect()}
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["user_id", "ts", "value"],
+    )
+    ev["cents"] = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    pre = ev["ts"] < pd.Timestamp("2024-01-16")
+    x = ev[pre].groupby("user_id")["cents"].sum()
+    y = ev[~pre].groupby("user_id")["cents"].sum()
+    users = pd.DataFrame({"x": x, "y": y}).fillna(0).astype(np.int64)
+    users = users.reindex(sorted(ev["user_id"].unique()), fill_value=0)
+    n = len(users)
+    sx, sy = users["x"].sum(), users["y"].sum()
+    sxy = (users["x"] * users["y"]).sum()
+    sxx = (users["x"] ** 2).sum()
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    theta_pinned = np.floor(theta * 1e6 + 0.5) / 1e6
+    for arm in (0, 1):
+        grp = users[users.index % 2 == arm]
+        adj = grp["y"].mean() - theta_pinned * (
+            grp["x"].mean() - sx / n
+        )
+        r = got[arm]
+        assert r["n_users"] == len(grp)
+        assert abs(r["theta"] - theta_pinned) < 1e-9
+        assert abs(r["adj_mean_cents"] - np.floor(adj * 1e6 + 0.5) / 1e6) < 2e-6
+    # variance reduction is a squared correlation: in [0, 1]
+    vr = got[0]["var_reduction"]
+    assert 0.0 <= vr <= 1.0
+
+
+def test_incremental_listing_no_rereads(tables):
+    """Cycle-2 must read exactly the late files: rows split by id parity
+    and the union covers the feed with no overlap."""
+    from flink_210225_spark.sources.jsonl import incremental_listing
+
+    rows = {r["cycle"]: r for r in incremental_listing(tables).collect()}
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["event_id", "value"]
+    )
+    even = ev[ev["event_id"] % 2 == 0]
+    odd = ev[ev["event_id"] % 2 == 1]
+    assert rows[1]["n_rows"] == len(even) and rows[1]["n_files"] == 4
+    assert rows[2]["n_rows"] == len(odd) and rows[2]["n_files"] == 3
+    cents = lambda df: int(np.floor(df["value"].to_numpy() * 100 + 0.5).sum())  # noqa: E731
+    assert rows[1]["cents"] == cents(even)
+    assert rows[2]["cents"] == cents(odd)
