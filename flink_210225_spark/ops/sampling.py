@@ -1725,71 +1725,59 @@ def token_waterfill(tables: dict[str, DataFrame]) -> DataFrame:
     gives +1 to the r largest-supply uncapped sources (ties by source key)
     — every quantity integer-exact, Σ alloc ≡ B by construction (tested).
 
-    Plan: supplies are one (lang, source)-keyed agg; the level search runs
-    on the DISTINCT supply values (≤ |sources| rows — driver-free, window
-    arithmetic); one join back prices the allocation. At 100 TB the
-    source-grain frame is config-sized — only the token count touches
-    data."""
+    Plan: supplies are one (lang, source)-keyed agg; S(v) and the
+    above-count come from RANGE-frame windows directly ON the supply rows
+    (no |levels|×|sources| grid — a constant-key join there constant-folds
+    into a BNLJ, measured), and the two 1-row scalars (budget; chosen
+    level+remainder) are bounded collects embedded as literals — the
+    repo's config-sized-collect pattern. At 100 TB the source-grain frame
+    is config-sized — only the token count touches data."""
     docs = tables["documents"]
     supplies = docs.groupBy("lang", "source").agg(
         F.sum(F.size(F.split(F.trim("text"), r"\s+")))
         .cast("long")
         .alias("n_tokens")
     )
-    total = supplies.agg(F.sum("n_tokens").cast("long").alias("tot"))
-    # B = 60% of total supply, floor
-    budget = total.select((F.col("tot") * 6 / 10).cast("long").alias("b"))
-    levels = (
-        supplies.select(F.col("n_tokens").alias("v"))
-        .distinct()
-        .unionByName(supplies.sparkSession.range(1).select(F.lit(0).cast("long").alias("v")))
-        .distinct()
+    tot_row = supplies.agg(
+        F.sum("n_tokens").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("k"),
+    ).collect()[0]
+    tot, k = int(tot_row["tot"]), int(tot_row["k"])
+    b = tot * 6 // 10  # 60% training budget
+    # S(v) = Σ min(n_i, v) at v = each supply value, via RANGE frames
+    # (value-based, so ties fold correctly); plus the v=0 base row so a
+    # budget below the smallest supply still resolves.
+    wr = Window.orderBy("n_tokens").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    # S(v) = sum(min(n_i, v)) and cnt_above(v) = |{n_i > v}|
-    # constant-key equi-joins, not crossJoin: the grids are tiny
-    # (|levels| x |sources|) but a BNLJ would trip the blanket
-    # no-cartesian plan gate — a lit(1) key plans as BroadcastHashJoin
-    one = F.lit(1).alias("one")
-    sv = levels.select("*", one).join(
-        F.broadcast(budget.select("*", one)), "one"
-    ).join(
-        supplies.select(F.col("n_tokens"), one), "one"
-    ).groupBy("v", "b").agg(
-        F.sum(F.least(F.col("n_tokens"), F.col("v"))).cast("long").alias("s"),
-        F.sum(F.when(F.col("n_tokens") > F.col("v"), 1).otherwise(0))
-        .cast("long")
-        .alias("cnt_above"),
-    )
+    sv = supplies.select(
+        F.col("n_tokens").alias("v"),
+        (
+            F.sum("n_tokens").over(wr)
+            + (F.lit(k) - F.count("*").over(wr)) * F.col("n_tokens")
+        ).alias("s"),
+        (F.lit(k) - F.count("*").over(wr)).cast("long").alias("cnt_above"),
+    ).unionByName(
+        supplies.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("v"),
+            F.lit(0).cast("long").alias("s"),
+            F.lit(k).cast("long").alias("cnt_above"),
+        )
+    ).distinct()
     best = (
-        sv.where(F.col("s") <= F.col("b"))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy(F.col("v").desc())),
-        )
-        .where(F.col("rn") == 1)
-        .select(
-            "b",
-            F.when(
-                F.col("cnt_above") > 0,
-                F.col("v") + F.expr("(b - s) div cnt_above"),
-            )
-            .otherwise(F.col("v"))
-            .alias("level"),
-            F.when(
-                F.col("cnt_above") > 0, F.expr("(b - s) % cnt_above")
-            )
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("rem"),
-        )
+        sv.where(F.col("s") <= F.lit(b))
+        .orderBy(F.col("v").desc())
+        .limit(1)
+        .collect()[0]
     )
-    ranked = supplies.select("*", one).join(
-        F.broadcast(best.select("*", one)), "one"
-    ).withColumn(
+    v0, s0, above = int(best["v"]), int(best["s"]), int(best["cnt_above"])
+    level = v0 + (b - s0) // above if above > 0 else v0
+    rem = (b - s0) % above if above > 0 else 0
+    ranked = supplies.withColumn(
         "uncapped_rank",
         F.row_number().over(
-            Window.partitionBy("b").orderBy(
-                F.when(F.col("n_tokens") > F.col("level"), 0).otherwise(1),
+            Window.orderBy(
+                F.when(F.col("n_tokens") > F.lit(level), 0).otherwise(1),
                 F.col("n_tokens").desc(),
                 F.col("lang"),
                 F.col("source"),
@@ -1800,14 +1788,14 @@ def token_waterfill(tables: dict[str, DataFrame]) -> DataFrame:
         "lang",
         "source",
         "n_tokens",
-        F.when(F.col("n_tokens") <= F.col("level"), F.col("n_tokens"))
+        F.when(F.col("n_tokens") <= F.lit(level), F.col("n_tokens"))
         .otherwise(
-            F.col("level")
-            + F.when(F.col("uncapped_rank") <= F.col("rem"), 1).otherwise(0)
+            F.lit(level)
+            + F.when(F.col("uncapped_rank") <= F.lit(rem), 1).otherwise(0)
         )
         .cast("long")
         .alias("alloc"),
-        (F.col("n_tokens") > F.col("level")).alias("capped"),
+        (F.col("n_tokens") > F.lit(level)).alias("capped"),
     )
 
 
