@@ -77,9 +77,27 @@ def _registry():
 # rows-only queries sort behind them. Round 7 window = ALL 47 remaining
 # never-driver-gated queries (35 oracled + 12 rows-only) + the 3 SCD2/CDC
 # re-gates (r1-stamped, locally re-verified green in r5) = exactly 50.
-# This zeroes the never-driver-gated debt. Remaining burn-down schedule
-# after round 7, in order, nothing orphaned:
-#   round 8 head: the oldest r1-only greens by family — sql_* tumbles
+# This zeroes the never-driver-gated debt (for queries that existed at
+# rotation time). Remaining burn-down schedule after round 7, in order,
+# nothing orphaned:
+#   round 8 head: the EXACTLY 50 round-7 additions registered after this
+#     window was committed (never driver-gated; each 3-SF + vanilla gated
+#     at authoring time): source_{orc_roundtrip, partition_prune,
+#     jsonl_nested, jsonl_gzip, binary_files, incremental_listing},
+#     sql_{hof_arrays, window_clause, try_cast_dirty, correlated_scalar,
+#     star_except_all, identifier_clause, pipe_syntax, hints_grammar},
+#     serving_{repeat_gmv, local_supplier_revenue, ab_cuped},
+#     window_{runs_test, yoy_growth, spearman}, join_null_safe,
+#     log_{grok_router, template_mining}, cdc_log_compaction,
+#     session_{growth_accounting, peak_concurrency},
+#     warehouse_{histogram_equiheight, time_travel, fk_inference,
+#     mcv_stats, dynamic_overwrite, wap_publish}, text_{ngram_coverage,
+#     langid_calibration, count_min_sketch, bleu_pairs},
+#     sim_{kmeans_exact, lexical_semantic_gap, inbatch_retrieval_acc},
+#     multimodal_{image_entropy, audio_snr, image_resize,
+#     audio_downsample, image_near_dup, video_motion, audio_tempo,
+#     image_ssim}, sample_{stratified_kfold, pass_at_k, token_waterfill}.
+#   round 9 head: the oldest r1-only greens by family — sql_* tumbles
 #     (sql_province_tumble, sql_keyword_tumble), the log_* family
 #     (log_props_extract, log_flag_rows, log_padzero_union), the
 #     serving_* dashboard endpoints (serving_gmv, serving_trademark_topn,
@@ -89,8 +107,7 @@ def _registry():
 #     join_interval_order_detail), the window_* rollups (window_visitor_stats,
 #     window_product_stats, window_keyword_stats), and state_new_visitor /
 #     state_uv_dedup — so no green row ages past 3 rounds for touched
-#     modules; then round-7 additions (if any slip past r7's window),
-#     then the next-oldest greens (r2/r3 stamps) by the same rule.
+#     modules; then the next-oldest greens (r2/r3 stamps) by the same rule.
 _CHECK_WINDOW = [
     # the 9 r5-deferred oracled queries (lowest-risk pure-integer/SQL
     # shapes; each 3-SF gated at authoring time)
