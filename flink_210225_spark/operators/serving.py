@@ -2224,8 +2224,10 @@ def ab_cuped(tables: dict[str, DataFrame]) -> DataFrame:
     identically in the oracle), and the variance-reduction ratio ρ² uses
     the division-before-multiplication order to dodge the cov² overflow.
 
-    Plan: one user-grain agg (the covariate build), one 1-row pooled
-    moment agg broadcast back, one 2-row arm rollup."""
+    Plan: one user-grain agg (the covariate build), the 1-row pooled
+    moment agg collected as literals (a constant-key join of the 1-row
+    frame constant-folds into a BNLJ — measured; the bounded-collect
+    pattern is the repo rule for 1-row scalars), one 2-row arm rollup."""
     ev = tables["events"]
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
@@ -2233,7 +2235,6 @@ def ab_cuped(tables: dict[str, DataFrame]) -> DataFrame:
         F.sum(F.when(pre, cents).otherwise(0)).cast("long").alias("x"),
         F.sum(F.when(~pre, cents).otherwise(0)).cast("long").alias("y"),
     )
-    one = F.lit(1).alias("one")
     pooled = users.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("x").alias("sx"),
@@ -2248,7 +2249,8 @@ def ab_cuped(tables: dict[str, DataFrame]) -> DataFrame:
         (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("vary_n"),
     )
     pooled = pooled.select(
-        "*",
+        "n",
+        "sx",
         F.when(
             F.col("var_n") > 0,
             round6(F.col("cov_n").cast("double") / F.col("var_n").cast("double")),
@@ -2263,31 +2265,29 @@ def ab_cuped(tables: dict[str, DataFrame]) -> DataFrame:
                 )
             ),
         ).alias("var_reduction"),
-    )
+    ).collect()[0]
+    n, sx = int(pooled["n"]), int(pooled["sx"])
+    theta, var_red = pooled["theta"], pooled["var_reduction"]
     arms = users.groupBy((F.col("user_id") % 2).cast("int").alias("arm")).agg(
         F.count("*").cast("long").alias("n_users"),
         F.sum("x").cast("long").alias("sum_pre_cents"),
         F.sum("y").cast("long").alias("sum_post_cents"),
     )
-    j = arms.select("*", one).join(
-        F.broadcast(pooled.select("n", "sx", "theta", "var_reduction", one)),
-        "one",
-    )
     adj = round6(
         F.col("sum_post_cents").cast("double") / F.col("n_users")
-        - F.col("theta")
+        - F.lit(theta)
         * (
             F.col("sum_pre_cents").cast("double") / F.col("n_users")
-            - F.col("sx").cast("double") / F.col("n")
+            - F.lit(sx).cast("double") / F.lit(n)
         )
     )
-    return j.select(
+    return arms.select(
         "arm",
         "n_users",
         "sum_pre_cents",
         "sum_post_cents",
-        "theta",
-        "var_reduction",
+        F.lit(theta).alias("theta"),
+        F.lit(var_red).alias("var_reduction"),
         adj.alias("adj_mean_cents"),
     )
 
