@@ -80,7 +80,7 @@ def _registry():
 # This zeroes the never-driver-gated debt (for queries that existed at
 # rotation time). Remaining burn-down schedule after round 7, in order,
 # nothing orphaned:
-#   round 8 head: the EXACTLY 50 round-7 additions registered after this
+#   round 8 head: the 52 round-7 additions registered after this
 #     window was committed (never driver-gated; each 3-SF + vanilla gated
 #     at authoring time): source_{orc_roundtrip, partition_prune,
 #     jsonl_nested, jsonl_gzip, binary_files, incremental_listing},
@@ -96,7 +96,10 @@ def _registry():
 #     sim_{kmeans_exact, lexical_semantic_gap, inbatch_retrieval_acc},
 #     multimodal_{image_entropy, audio_snr, image_resize,
 #     audio_downsample, image_near_dup, video_motion, audio_tempo,
-#     image_ssim}, sample_{stratified_kfold, pass_at_k, token_waterfill}.
+#     image_ssim, decode_errors}, sql_values_inline,
+#     sample_{stratified_kfold, pass_at_k, token_waterfill} — the first
+#     50 by registry order form the r8 window; the remainder roll to r9's
+#     head ahead of the r1-stamp rotation.
 #   round 9 head: the oldest r1-only greens by family — sql_* tumbles
 #     (sql_province_tumble, sql_keyword_tumble), the log_* family
 #     (log_props_extract, log_flag_rows, log_padzero_union), the

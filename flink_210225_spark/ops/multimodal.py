@@ -3720,3 +3720,88 @@ ORACLES["multimodal_image_ssim"] = """
              * 1000000 + 0.5) / 1000000 AS ssim
     FROM counted
 """
+
+
+def decode_error_sideoutput(tables: dict[str, DataFrame]) -> DataFrame:
+    """Corrupt-media side output — the dirty-source discipline (JSONL /
+    CSV / fixed-width / XML all have gated reject paths) applied to
+    BINARY payloads: a media scan must classify undecodable blobs and
+    route them out instead of throwing, because at corpus scale some
+    blobs are ALWAYS torn (truncated uploads, transcoding faults, wrong
+    extensions). Three deterministic corruption classes ride the real
+    codec: doc_id % 13 == 0 → payload truncated mid-IDAT (zlib error),
+    % 17 == 0 → magic bytes overwritten (not a PNG), everything else
+    decodes. The Arrow pass tries the REAL parser per blob and emits
+    (status, px_sum) — successes must still produce exact pixel sums, so
+    a decoder that 'recovers' by guessing breaks the hash.
+
+    Plan: one Arrow decode pass (failure handling inside the batch loop —
+    no task retries, no job failure), one status rollup."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).cast("int").alias("seed"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+        (F.col("doc_id") % 13 == 0).alias("truncate"),
+        ((F.col("doc_id") % 13 != 0) & (F.col("doc_id") % 17 == 0)).alias(
+            "bad_magic"
+        ),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "status": [], "px_sum": []}
+            for doc_id, seed, ft, trunc, badm in zip(
+                pdf["doc_id"], pdf["seed"], pdf["ft"],
+                pdf["truncate"], pdf["bad_magic"],
+            ):
+                payload = _png_bytes(int(seed), 16, 16, filter_type=int(ft))
+                if trunc:
+                    payload = payload[: len(payload) - 20]
+                elif badm:
+                    payload = b"XXXXXXXX" + payload[8:]
+                try:
+                    px = _parse_png(payload)["pixels"]
+                    status = "ok"
+                    s = int(px[:, :, 0].astype(np.int64).sum())
+                except Exception:
+                    status = "torn" if trunc else "not_png"
+                    s = 0
+                out["doc_id"].append(int(doc_id))
+                out["status"].append(status)
+                out["px_sum"].append(s)
+            yield pd.DataFrame(out)
+
+    decoded = base.mapInPandas(gen, "doc_id long, status string, px_sum long")
+    return decoded.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_blobs"),
+        F.sum("px_sum").cast("long").alias("px_sum"),
+    )
+
+
+QUERIES["multimodal_decode_errors"] = decode_error_sideoutput
+# Class membership + surviving pixel mass replayed arithmetically; the
+# corrupt classes contribute zero pixel mass by contract.
+ORACLES["multimodal_decode_errors"] = """
+    WITH d AS (
+        SELECT doc_id, doc_id % 16 AS seed,
+               CASE WHEN doc_id % 13 = 0 THEN 'torn'
+                    WHEN doc_id % 17 = 0 THEN 'not_png'
+                    ELSE 'ok' END AS status
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, status,
+               CASE WHEN status = 'ok'
+                    THEN (SELECT sum((d.seed * 7 + 3 * x.range
+                                      + 11 * y.range) % 256)
+                          FROM range(16) x, range(16) y)
+                    ELSE 0 END AS px_sum
+        FROM d
+    )
+    SELECT status, count(*)::BIGINT AS n_blobs,
+           sum(px_sum)::BIGINT AS px_sum
+    FROM px GROUP BY 1
+"""

@@ -908,3 +908,39 @@ ORACLES["sql_hints_grammar"] = """
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
 """
+
+
+VALUES_SQL = """
+    WITH tier(status, tier_name, priority_weight) AS (
+        VALUES ('O', 'open', 3),
+               ('P', 'pending', 2),
+               ('F', 'filled', 1)
+    )
+    SELECT t.tier_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                    * t.priority_weight) AS BIGINT) AS weighted_cents
+    FROM {orders} o JOIN tier t ON o.o_orderstatus = t.status
+    GROUP BY t.tier_name
+"""
+
+
+def _values_inline_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """Inline VALUES table constructor grammar — config-as-code dims
+    (tier maps, weight tables, routing rules) written directly in the
+    query text instead of a side file, the SQL-first spelling of the
+    broadcast-config pattern (reference T3's routing config, at the
+    grammar layer). A named 3-row CTE with column aliases joins the fact
+    table and weights an exact-cents aggregate; the oracle runs the
+    IDENTICAL text through DuckDB, so the hash gates VALUES binding,
+    CTE column aliasing, and the join semantics together.
+
+    Scale: Catalyst folds the VALUES into a LocalRelation and broadcasts
+    it — the production shape for any hand-sized dim."""
+    o = tables["orders"]
+    o.createOrReplaceTempView("orders_view_sql_values")
+    return o.sparkSession.sql(VALUES_SQL.format(orders="orders_view_sql_values"))
+
+
+QUERIES["sql_values_inline"] = _values_inline_sql_q
+ORACLES["sql_values_inline"] = VALUES_SQL.format(orders="orders")

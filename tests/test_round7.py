@@ -1064,3 +1064,37 @@ def test_incremental_listing_no_rereads(tables):
     cents = lambda df: int(np.floor(df["value"].to_numpy() * 100 + 0.5).sum())  # noqa: E731
     assert rows[1]["cents"] == cents(even)
     assert rows[2]["cents"] == cents(odd)
+
+
+def test_decode_errors_classes_and_mass(tables):
+    """Reject-class counts must match the injection rule; ok blobs carry
+    ALL the pixel mass; corrupt classes carry none."""
+    from flink_210225_spark.ops.multimodal import decode_error_sideoutput
+
+    rows = {r["status"]: r for r in decode_error_sideoutput(tables).collect()}
+    docs = _docs_pd()
+    ids = docs["doc_id"].astype(int)
+    n_torn = int((ids % 13 == 0).sum())
+    n_bad = int(((ids % 13 != 0) & (ids % 17 == 0)).sum())
+    assert rows["torn"]["n_blobs"] == n_torn
+    assert rows["not_png"]["n_blobs"] == n_bad
+    assert rows["ok"]["n_blobs"] == len(ids) - n_torn - n_bad
+    assert rows["torn"]["px_sum"] == 0 and rows["not_png"]["px_sum"] == 0
+    assert rows["ok"]["px_sum"] > 0
+
+
+def test_values_inline_matches_manual_weighting(tables):
+    from flink_210225_spark.streaming.sql_jobs import _values_inline_sql_q
+
+    got = {
+        r["tier_name"]: (r["n_orders"], r["weighted_cents"])
+        for r in _values_inline_sql_q(tables).collect()
+    }
+    o = _orders_pd()
+    o["cents"] = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        np.int64
+    )
+    weights = {"O": ("open", 3), "P": ("pending", 2), "F": ("filled", 1)}
+    for status, (name, w) in weights.items():
+        grp = o[o["o_orderstatus"] == status]
+        assert got[name] == (len(grp), int(grp["cents"].sum()) * w)
