@@ -2346,3 +2346,111 @@ ORACLES["serving_ab_cuped"] = """
                  * 1000000 + 0.5) / 1000000 AS adj_mean_cents
     FROM arms a, pinned p
 """
+
+
+def kruskal_wallis(tables: dict[str, DataFrame]) -> DataFrame:
+    """Kruskal–Wallis H test across order-priority groups on order value —
+    the k-sample rank test that generalizes ``mann_whitney`` (2 samples)
+    and complements ``serving_anova_segments`` (its parametric twin) when
+    price distributions are heavy-tailed.
+
+    Exactness: values are exact cents; average ranks are computed tie-aware
+    on the DOUBLED scale (2·avg_rank = 2·cum_before + t + 1 is always an
+    integer), so every rank sum is an exact BIGINT and only the final H
+    expression drops to one fixed-shape IEEE double, pinned at 1e-6.
+    Tie correction 1 − Σ(t³−t)/(N³−N) uses exact integer numerators.
+
+    Scale: ranks come from a prefix sum over DISTINCT values (domain-sized,
+    not row-sized) — the same two-phase range-partitioned prefix-sum
+    posture as ``revenue_concentration``; everything else is two
+    domain-keyed partial aggs. No row-sized window, no collect."""
+    o = tables["orders"]
+    vals = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("v"),
+    )
+    per_v = vals.groupBy("v").agg(F.count("*").cast("long").alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # 2·avg_rank for a tie block starting after cum−t rows: 2(cum−t) + t + 1
+    ranked = per_v.withColumn("cum", F.sum("t").over(w)).select(
+        "v",
+        "t",
+        (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1).alias("r2"),
+    )
+    gv = vals.groupBy("grp", "v").agg(F.count("*").cast("long").alias("c"))
+    gr = gv.join(ranked.select("v", "r2"), "v").groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n_g"),
+        F.sum(F.col("c") * F.col("r2")).cast("long").alias("s2_g"),
+    )
+    # Tie aggregates ride in as scalar subqueries (no 1-row cross join —
+    # the NOTES r6 lesson: lit==lit constant-keys plan BNLJ anyway).
+    tie_term = per_v.agg(
+        F.coalesce(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), F.lit(0)
+        ).cast("long")
+    ).scalar()
+    tie_values = per_v.agg(
+        F.sum(F.when(F.col("t") > 1, 1).otherwise(0)).cast("long")
+    ).scalar()
+    tot = gr.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(
+            (F.col("s2_g").cast("double") / 2)
+            * (F.col("s2_g").cast("double") / 2)
+            / F.col("n_g").cast("double")
+        ).alias("srr"),
+    )
+    nd = F.col("n").cast("double")
+    h = F.lit(12.0) / (nd * (nd + 1.0)) * F.col("srr") - 3.0 * (nd + 1.0)
+    c_corr = 1.0 - tie_term.cast("double") / (nd * nd * nd - nd)
+    return tot.select(
+        "n",
+        "n_groups",
+        tie_values.alias("tie_values"),
+        round6(h).alias("h"),
+        round6(h / c_corr).alias("h_adj"),
+    )
+
+
+QUERIES["serving_kruskal_wallis"] = kruskal_wallis
+# Same doubled-rank integer basis; the 1-row × 1-row join is the bounded
+# cross join both engines constant-fold.
+ORACLES["serving_kruskal_wallis"] = """
+    WITH vals AS (
+        SELECT o_orderpriority AS grp,
+               floor(o_totalprice * 100 + 0.5)::BIGINT AS v
+        FROM orders
+    ),
+    per_v AS (SELECT v, count(*)::BIGINT AS t FROM vals GROUP BY v),
+    ranked AS (
+        SELECT v, t,
+               2 * (sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - t) + t + 1 AS r2
+        FROM per_v
+    ),
+    gv AS (SELECT grp, v, count(*)::BIGINT AS c FROM vals GROUP BY 1, 2),
+    gr AS (
+        SELECT grp, sum(c)::BIGINT AS n_g, sum(c * r2)::BIGINT AS s2_g
+        FROM gv JOIN ranked USING (v) GROUP BY grp
+    ),
+    ties AS (
+        SELECT coalesce(sum(t * t * t - t), 0)::BIGINT AS tie_term,
+               sum(CASE WHEN t > 1 THEN 1 ELSE 0 END)::BIGINT AS tie_values
+        FROM per_v
+    ),
+    tot AS (
+        SELECT sum(n_g)::BIGINT AS n, count(*)::BIGINT AS n_groups,
+               sum((s2_g::DOUBLE / 2) * (s2_g::DOUBLE / 2) / n_g::DOUBLE) AS srr
+        FROM gr
+    )
+    SELECT n, n_groups, tie_values,
+           floor((12.0 / (n::DOUBLE * (n::DOUBLE + 1.0)) * srr
+                  - 3.0 * (n::DOUBLE + 1.0)) * 1000000 + 0.5) / 1000000 AS h,
+           floor(((12.0 / (n::DOUBLE * (n::DOUBLE + 1.0)) * srr
+                   - 3.0 * (n::DOUBLE + 1.0))
+                  / (1.0 - tie_term::DOUBLE
+                     / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS h_adj
+    FROM tot, ties
+"""

@@ -3365,3 +3365,145 @@ ORACLES["dedup_homoglyph"] = """
            min(doc_id)::BIGINT AS keep_id, sum(doc_id)::BIGINT AS sum_ids
     FROM folded GROUP BY fold_hash HAVING count(*) >= 2
 """
+
+
+def winnowing_fingerprints(tables: dict[str, DataFrame]) -> DataFrame:
+    """Robust winnowing (Schleimer/Wilkerson/Aiken, the MOSS fingerprint
+    selector): per document, hash every token 3-gram, slide a window of
+    w=4 consecutive hashes, and select the MINIMUM hash per window with the
+    RIGHTMOST occurrence breaking ties — the selection rule that guarantees
+    at least one shared fingerprint for any match of length ≥ w+k−1 while
+    keeping the stored set ~2/(w+1) of all grams. Documents shorter than
+    one full window still get one fingerprint (single window over all
+    grams), matching the paper's every-document-covered contract.
+
+    Emits per doc: gram/window/selection counts, the selection density
+    (micro-pinned), and how many of its distinct fingerprints also appear
+    in ANOTHER doc — the cross-doc sharing signal MOSS ranks on.
+
+    Scale: the whole selection is per-doc array math inside one scan
+    (O(n·w) per doc, w=4, no data shuffle of text); only FINGERPRINT HASH
+    rows shuffle (8-byte keys, ~2/(w+1) of gram count) — once for the
+    fp-partitioned sharing window, once for the doc_id re-group.
+
+    Plan note (the 100×-slowdown lesson of this kernel): hs/wl/pos are
+    let-bound as LAMBDA VARIABLES (``transform(array(e), x -> ...)[0]``)
+    and the per-doc struct crosses an ``explode_outer`` Generate barrier.
+    Plain column aliases get INLINED by ProjectCollapsing/filter pushdown
+    — the hs transform lands inside every per-window lambda (O(n²) md5
+    per doc) and ``explode``'s implicit size>0 filter re-evaluates the
+    whole pipeline at the scan. Lambda vars are opaque to alias
+    substitution and outer-explode inserts no filter, so the heavy
+    expression runs exactly once per document."""
+    docs = tables["documents"]
+    d = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    ).where(F.size("t") >= 3)
+    # gram hashes: conv(md5-prefix) — the exact UBIGINT-parity basis the
+    # minhash_banded oracle already pins (dedup.py oracle, r2). The whole
+    # per-doc computation is ONE expression with hs/wl/pos let-bound:
+    # rightmost-min per window = position of first match on the REVERSED
+    # window slice.
+    sel_struct = F.expr(
+        """
+        transform(array(
+            transform(sequence(1, size(t) - 2), i ->
+                CAST(conv(substring(md5(concat_ws(' ', slice(t, i, 3))), 1, 15),
+                          16, 10) AS BIGINT))
+        ), hs ->
+          transform(array(least(4, size(hs))), wl ->
+            transform(array(
+                array_distinct(transform(sequence(1, size(hs) - wl + 1), i ->
+                    i + wl - array_position(reverse(slice(hs, i, wl)),
+                                            array_min(slice(hs, i, wl)))))
+            ), pos ->
+              named_struct(
+                'ng', size(hs),
+                'n_windows', size(hs) - wl + 1,
+                'n_selected', size(pos),
+                'fps', array_distinct(transform(pos, p ->
+                           element_at(hs, CAST(p AS INT))))
+              )
+            )[0]
+          )[0]
+        )[0]
+        """
+    )
+    per_doc = d.select("doc_id", F.explode_outer(F.array(sel_struct)).alias("s"))
+    rows = per_doc.select(
+        "doc_id",
+        F.col("s.ng").alias("ng"),
+        F.col("s.n_windows").alias("n_windows"),
+        F.col("s.n_selected").alias("n_selected"),
+        F.explode_outer("s.fps").alias("fp"),
+    )
+    # fps are distinct per doc, so count(*) per fp == docs sharing it
+    n_docs_fp = F.count("*").over(Window.partitionBy("fp"))
+    ann = rows.withColumn("n_docs_fp", n_docs_fp)
+    return ann.groupBy("doc_id").agg(
+        F.first("ng").cast("long").alias("n_grams"),
+        F.first("n_windows").cast("long").alias("n_windows"),
+        F.first("n_selected").cast("long").alias("n_selected"),
+        F.count("*").cast("long").alias("n_fps"),
+        F.sum(F.when(F.col("n_docs_fp") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared_fps"),
+        F.floor(
+            F.first("n_selected").cast("double")
+            / F.first("n_windows").cast("double")
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("density_micro"),
+    )
+
+
+QUERIES["dedup_winnowing"] = winnowing_fingerprints
+# Same k=3/w=4 selection with DuckDB's 1-based inclusive list slices;
+# list_position-on-reverse is the identical rightmost-tie-break spelling.
+ORACLES["dedup_winnowing"] = """
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> (('0x' || substr(md5(array_to_string(t[i : i + 2], ' ')),
+                          1, 15))::UBIGINT)::BIGINT) AS hs
+        FROM t WHERE len(t) >= 3
+    ),
+    w AS (
+        SELECT doc_id, hs, len(hs)::BIGINT AS ng,
+               least(4, len(hs))::BIGINT AS wl
+        FROM g
+    ),
+    sel AS (
+        SELECT doc_id, hs, ng, (ng - wl + 1)::BIGINT AS n_windows,
+               list_distinct(list_transform(range(1, (ng - wl + 1)::INT + 1),
+                   i -> i + wl - list_position(
+                            list_reverse(hs[i : i + wl::INT - 1]),
+                            list_min(hs[i : i + wl::INT - 1])))) AS pos
+        FROM w
+    ),
+    per_doc AS (
+        SELECT doc_id, ng, n_windows, len(pos)::BIGINT AS n_selected,
+               list_distinct(list_transform(pos, p -> hs[p])) AS fps
+        FROM sel
+    ),
+    fp_long AS (SELECT doc_id, unnest(fps) AS fp FROM per_doc),
+    shared AS (
+        SELECT fp FROM fp_long GROUP BY fp HAVING count(*) >= 2
+    ),
+    n_shared AS (
+        SELECT doc_id, count(*)::BIGINT AS n_shared_fps
+        FROM fp_long JOIN shared USING (fp) GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.ng AS n_grams, p.n_windows, p.n_selected,
+           len(p.fps)::BIGINT AS n_fps,
+           coalesce(s.n_shared_fps, 0)::BIGINT AS n_shared_fps,
+           floor(p.n_selected::DOUBLE / p.n_windows::DOUBLE * 1000000 + 0.5)::BIGINT
+               AS density_micro
+    FROM per_doc p LEFT JOIN n_shared s USING (doc_id)
+"""

@@ -944,3 +944,60 @@ def _values_inline_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
 
 QUERIES["sql_values_inline"] = _values_inline_sql_q
 ORACLES["sql_values_inline"] = VALUES_SQL.format(orders="orders")
+
+
+VARIANT_SQL = """
+    WITH v AS (
+        SELECT event_type, parse_json(props) AS pv
+        FROM {events}
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(variant_get(pv, '$.k', 'long')) AS BIGINT) AS k_sum,
+           CAST(min(variant_get(pv, '$.k', 'long')) AS BIGINT) AS k_min,
+           CAST(max(variant_get(pv, '$.k', 'long')) AS BIGINT) AS k_max,
+           CAST(sum(CASE WHEN variant_get(pv, '$.k', 'long') < 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS k_low,
+           CAST(sum(CASE WHEN try_variant_get(pv, '$.missing', 'string')
+                              IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM v
+    GROUP BY event_type
+"""
+
+
+def _variant_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """Spark 4 VARIANT grammar as ONE spark.sql TEXT — ``parse_json`` into
+    the open-schema VARIANT type, typed path extraction with
+    ``variant_get`` and null-safe ``try_variant_get`` on an absent path —
+    the semi-structured surface that replaces string-JSON re-parsing per
+    field (the reference's P1 JSON shaping, at the engine-type layer;
+    gmall `BaseLogApp.java` parses the same envelope per access). The
+    DuckDB oracle extracts the same paths with native JSON operators, so
+    the hash gates typed extraction + missing-path semantics cross-engine.
+
+    Scale: parse_json runs once per row in the scan projection (binary
+    variant, no per-field string re-parse); the agg shuffles
+    |event_type| rows. At 100 TB the variant column would be materialized
+    once at ingest (shredded parquet), not re-parsed per query."""
+    ev = tables["events"]
+    ev.createOrReplaceTempView("events_view_sql_variant")
+    return ev.sparkSession.sql(VARIANT_SQL.format(events="events_view_sql_variant"))
+
+
+QUERIES["sql_variant_extract"] = _variant_sql_q
+# json_extract returns JSON; ::BIGINT on the extracted scalar is DuckDB's
+# typed-get twin. The '$.missing' probe is NULL on every row in both
+# engines (try_variant_get vs json_extract_string on an absent path).
+ORACLES["sql_variant_extract"] = """
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+           min(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_min,
+           max(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_max,
+           sum(CASE WHEN json_extract(props, '$.k')::BIGINT < 50
+                    THEN 1 ELSE 0 END)::BIGINT AS k_low,
+           sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END)::BIGINT AS n_missing
+    FROM events
+    GROUP BY event_type
+"""

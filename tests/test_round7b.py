@@ -1,0 +1,198 @@
+"""Round-7 second-session semantic battery — third-implementation replays
+for the new kernels (Kruskal–Wallis, winnowing fingerprints, VARIANT
+extraction), per the round-6 lesson: both engines can share a wrong
+definition, so every new family gets a check the cross-engine hash gate
+cannot provide."""
+
+import hashlib
+import json
+
+import numpy as np
+import pandas as pd
+
+
+def _orders_pd():
+    import duckdb
+
+    return duckdb.sql(
+        "SELECT o_orderpriority, o_totalprice"
+        " FROM '/root/testdata/sf0.001/orders.parquet'"
+    ).df()
+
+
+def _docs_pd():
+    import duckdb
+
+    return duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).df()
+
+
+def _events_pd():
+    import duckdb
+
+    return duckdb.sql(
+        "SELECT event_type, props FROM '/root/testdata/sf0.001/events.parquet'"
+    ).df()
+
+
+# ---------------------------------------------------------------- kruskal
+
+
+def _kw_replay():
+    """Textbook scipy-style Kruskal–Wallis on exact cents: rank with
+    average ties over the pooled sample, H from group rank sums, tie
+    correction from the tie spectrum."""
+    o = _orders_pd()
+    cents = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    grp = o["o_orderpriority"].to_numpy()
+    order = np.argsort(cents, kind="stable")
+    ranks = np.empty(len(cents), dtype=np.float64)
+    sc = cents[order]
+    i = 0
+    while i < len(sc):
+        j = i
+        while j < len(sc) and sc[j] == sc[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # average of ranks i+1..j
+        i = j
+    n = len(cents)
+    h = 0.0
+    for g in np.unique(grp):
+        m = grp == g
+        h += ranks[m].sum() ** 2 / m.sum()
+    h = 12.0 / (n * (n + 1)) * h - 3.0 * (n + 1)
+    _, t = np.unique(cents, return_counts=True)
+    corr = 1.0 - (t**3 - t).sum() / (n**3 - n)
+    return n, len(np.unique(grp)), int((t > 1).sum()), h, h / corr
+
+
+def test_kruskal_wallis_pure_numpy_replay(tables):
+    from flink_210225_spark.operators.serving import kruskal_wallis
+
+    row = kruskal_wallis(tables).collect()[0]
+    n, n_groups, tie_values, h, h_adj = _kw_replay()
+    assert row["n"] == n
+    assert row["n_groups"] == n_groups
+    assert row["tie_values"] == tie_values
+    assert abs(row["h"] - h) < 1e-6
+    assert abs(row["h_adj"] - h_adj) < 1e-6
+
+
+def test_kruskal_wallis_adjusted_not_smaller(tables):
+    """Tie correction divides by C ≤ 1, so H_adj ≥ H always."""
+    from flink_210225_spark.operators.serving import kruskal_wallis
+
+    row = kruskal_wallis(tables).collect()[0]
+    assert row["h_adj"] >= row["h"]
+
+
+# -------------------------------------------------------------- winnowing
+
+
+def _gram_hash(gram: str) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+
+
+def _winnow_doc(text: str, k: int = 3, w: int = 4):
+    toks = text.strip().split()
+    if len(toks) < k:
+        return None
+    hs = [_gram_hash(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+    wl = min(w, len(hs))
+    pos = set()
+    for i in range(len(hs) - wl + 1):
+        win = hs[i : i + wl]
+        mn = min(win)
+        # rightmost occurrence of the min
+        j = max(idx for idx, v in enumerate(win) if v == mn)
+        pos.add(i + j)
+    fps = {hs[p] for p in pos}
+    return {
+        "n_grams": len(hs),
+        "n_windows": len(hs) - wl + 1,
+        "n_selected": len(pos),
+        "fps": fps,
+    }
+
+
+def test_winnowing_pure_python_replay(tables):
+    """Full third implementation over every fixture doc: hashlib md5
+    grams, explicit rightmost-min loop, set-based sharing counts."""
+    from flink_210225_spark.ops.dedup import winnowing_fingerprints
+
+    got = {r["doc_id"]: r for r in winnowing_fingerprints(tables).collect()}
+    docs = _docs_pd()
+    expect = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        r = _winnow_doc(text)
+        if r is not None:
+            expect[doc_id] = r
+    assert set(got) == set(expect)
+    fp_docs = {}
+    for doc_id, r in expect.items():
+        for f in r["fps"]:
+            fp_docs.setdefault(f, set()).add(doc_id)
+    for doc_id, r in expect.items():
+        row = got[doc_id]
+        assert row["n_grams"] == r["n_grams"]
+        assert row["n_windows"] == r["n_windows"]
+        assert row["n_selected"] == r["n_selected"]
+        assert row["n_fps"] == len(r["fps"])
+        shared = sum(1 for f in r["fps"] if len(fp_docs[f]) >= 2)
+        assert row["n_shared_fps"] == shared
+
+
+def test_winnowing_density_bound(tables):
+    """The paper's selection bound: at most one NEW fingerprint per
+    window, at least one fingerprint per document."""
+    from flink_210225_spark.ops.dedup import winnowing_fingerprints
+
+    for r in winnowing_fingerprints(tables).collect():
+        assert 1 <= r["n_selected"] <= r["n_windows"]
+        assert r["n_fps"] <= r["n_selected"]
+
+
+def test_winnowing_guarantee_constructed_positive(spark):
+    """Two docs sharing a run of w+k-1 = 6 tokens MUST share at least one
+    fingerprint (the winnowing guarantee); two docs with disjoint token
+    sets share none."""
+    from flink_210225_spark.ops.dedup import winnowing_fingerprints
+
+    shared_run = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared_run} four five six"),
+            (2, f"seven eight {shared_run} nine ten eleven twelve"),
+            (3, "completely different words in this document here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in winnowing_fingerprints({"documents": docs}).collect()
+    }
+    assert out[1]["n_shared_fps"] >= 1
+    assert out[2]["n_shared_fps"] >= 1
+    assert out[3]["n_shared_fps"] == 0
+
+
+# ---------------------------------------------------------------- variant
+
+
+def test_variant_extract_json_replay(tables):
+    """Replay the VARIANT path extraction with python json.loads."""
+    from flink_210225_spark.streaming.sql_jobs import _variant_sql_q
+
+    got = {r["event_type"]: r for r in _variant_sql_q(tables).collect()}
+    ev = _events_pd()
+    ks = ev["props"].map(lambda p: json.loads(p)["k"])
+    by = pd.DataFrame({"et": ev["event_type"], "k": ks}).groupby("et")
+    for et, g in by:
+        row = got[et]
+        assert row["n"] == len(g)
+        assert row["k_sum"] == g["k"].sum()
+        assert row["k_min"] == g["k"].min()
+        assert row["k_max"] == g["k"].max()
+        assert row["k_low"] == int((g["k"] < 50).sum())
+        assert row["n_missing"] == len(g)  # '$.missing' absent on every row
