@@ -2775,3 +2775,96 @@ ORACLES["window_spearman"] = """
            END AS rho
     FROM agg
 """
+
+
+def cross_correlation(tables: dict[str, DataFrame]) -> DataFrame:
+    """Lagged cross-correlation between two daily series — does click
+    activity LEAD purchase value (lag > 0) or follow it? Pearson r at each
+    lag in [-3, +3] between x = daily click count and y = daily purchase
+    cents, aligned on day(x) + lag = day(y). The lead-lag scan behind
+    "which metric moves first" dashboards and intervention analyses
+    (companion to ``window_intervention_lift``'s single-cut view).
+
+    Exactness: x is an exact count, y exact cents; the Pearson numerator
+    and variance terms are exact BIGINT cross-products (30-day series —
+    no overflow), only the final ratio drops to one pinned double.
+
+    Scale: two day-keyed partial aggs (|days| rows each), a 7× explode of
+    the DAILY frame (not raw events), one day-keyed equi join (lag folded
+    into the join key), and a |lags|-row final agg. Raw events are
+    touched once per series."""
+    ev = tables["events"]
+    day = F.to_date("ts")
+    x = ev.where(F.col("event_type") == "click").groupBy(day.alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    y = ev.where(F.col("event_type") == "purchase").groupBy(day.alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("y")
+    )
+    lagged = x.select(
+        "day", "x", F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("lag")
+    )
+    j = lagged.join(
+        y.select(F.col("day").alias("yday"), "y"),
+        F.date_add("day", F.col("lag")) == F.col("yday"),
+    )
+    agg = j.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n = F.col("n_days")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_days",
+        F.when(
+            (varx > 0) & (vary > 0),
+            round6(
+                num.cast("double")
+                / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double")))
+            ),
+        ).alias("r"),
+    )
+
+
+QUERIES["window_cross_correlation"] = cross_correlation
+# Same exact-integer moment basis per lag; generate_series is DuckDB's
+# explode(sequence) twin; y-cents summed as BIGINT before any double.
+ORACLES["window_cross_correlation"] = """
+    WITH x AS (
+        SELECT ts::DATE AS day, count(*)::BIGINT AS x
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    y AS (
+        SELECT ts::DATE AS day, sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+    j AS (
+        SELECT l.lag, x.x, y.y
+        FROM x CROSS JOIN lags l
+        JOIN y ON x.day + to_days(l.lag::INT) = y.day
+    ),
+    agg AS (
+        SELECT lag, count(*)::BIGINT AS n_days,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+               sum(x * y)::BIGINT AS sxy
+        FROM j GROUP BY lag
+    )
+    SELECT lag::BIGINT AS lag, n_days,
+           CASE WHEN (n_days * sxx - sx * sx) > 0
+                 AND (n_days * syy - sy * sy) > 0
+                THEN floor((n_days * sxy - sx * sy)::DOUBLE
+                           / (sqrt((n_days * sxx - sx * sx)::DOUBLE)
+                              * sqrt((n_days * syy - sy * sy)::DOUBLE))
+                           * 1000000 + 0.5) / 1000000
+           END AS r
+    FROM agg
+"""

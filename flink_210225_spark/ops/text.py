@@ -5704,3 +5704,124 @@ ORACLES["text_bleu_pairs"] = """
            END AS bleu2
     FROM scored
 """
+
+
+def good_turing(tables: dict[str, DataFrame]) -> DataFrame:
+    """Good–Turing frequency spectrum over corpus BIGRAM types: for each
+    raw count r ≤ 10, the number of types N_r seen exactly r times, the
+    Turing-smoothed adjusted count r* = (r+1)·N_{r+1}/N_r, and the
+    probability mass r·N_r/N the band holds. Row r=0 carries the
+    headline: P(unseen) = N_1/N — the leave-one-out estimate of how much
+    of the bigram stream the NEXT shard will cover with new types, the
+    corpus-growth planning twin of ``text_vocab_coverage`` /
+    ``text_ngram_novelty`` (Good 1953; the smoothing inside Katz backoff,
+    complementing ``text_kneser_ney``'s absolute discounting). Bigrams,
+    not unigrams, because the fixture vocabulary is dense (min unigram
+    count 29 — an empty low-r band gates nothing); bigram N_1/N_2 bands
+    are populated at every SF.
+
+    Exactness: r, N_r, N are exact BIGINTs; r* and the mass ratios are
+    single pinned divisions.
+
+    Scale: one bigram-keyed count (the shuffle carries the type
+    inventory, not the stream), then a TYPE-keyed re-count to the
+    spectrum (|spectrum| ≈ max count bands) and a spectrum self-join on
+    r+1 — domain-sized everywhere after the first agg; N rides in as a
+    scalar subquery."""
+    docs = tables["documents"]
+    toks = docs.select(F.split(F.trim("text"), r"\s+").alias("t")).where(
+        F.size("t") >= 2
+    )
+    toks = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat_ws(' ', slice(t, i, 2)))"
+            )
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").cast("long").alias("r"))
+    spectrum = counts.groupBy("r").agg(F.count("*").cast("long").alias("n_types"))
+    n_total = toks.agg(F.count("*").cast("long")).scalar()
+    nxt = spectrum.select(
+        (F.col("r") - 1).alias("r"), F.col("n_types").alias("n_types_next")
+    )
+    band = (
+        spectrum.join(nxt, "r", "left")
+        .where(F.col("r") <= 10)
+        .select(
+            "r",
+            "n_types",
+            F.when(
+                F.col("n_types_next").isNotNull(),
+                F.floor(
+                    (F.col("r") + 1).cast("double")
+                    * F.col("n_types_next").cast("double")
+                    / F.col("n_types").cast("double")
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000,
+            ).alias("r_star"),
+            F.floor(
+                F.col("r").cast("double")
+                * F.col("n_types").cast("double")
+                / n_total.cast("double")
+                * 1000000
+                + 0.5
+            ).cast("double").alias("mass_micro"),
+        )
+    )
+    n1 = (
+        spectrum.where(F.col("r") == 1)
+        .agg(F.coalesce(F.sum("n_types"), F.lit(0)).cast("long"))
+        .scalar()
+    )
+    unseen = docs.sparkSession.range(1).select(
+        F.lit(0).cast("long").alias("r"),
+        n1.alias("n_types"),
+        F.lit(None).cast("double").alias("r_star"),
+        (
+            F.floor(n1.cast("double") / n_total.cast("double") * 1000000 + 0.5)
+        ).cast("double").alias("mass_micro"),
+    )
+    return band.unionByName(unseen)
+
+
+QUERIES["text_good_turing"] = good_turing
+# Same spectrum + r+1 self-join; the r=0 row replays N_1/N as the unseen
+# mass (one row via a LIMIT 1 anchor on both engines).
+ORACLES["text_good_turing"] = """
+    WITH t AS (
+        SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    nz AS (
+        SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                   i -> array_to_string(t[i : i + 1], ' '))) AS tok
+        FROM t WHERE len(t) >= 2
+    ),
+    counts AS (SELECT tok, count(*)::BIGINT AS r FROM nz GROUP BY tok),
+    spectrum AS (SELECT r, count(*)::BIGINT AS n_types FROM counts GROUP BY r),
+    tot AS (SELECT count(*)::BIGINT AS n FROM nz),
+    band AS (
+        SELECT s.r, s.n_types,
+               CASE WHEN nx.n_types IS NOT NULL THEN
+                   floor((s.r + 1)::DOUBLE * nx.n_types::DOUBLE
+                         / s.n_types::DOUBLE * 1000000 + 0.5) / 1000000
+               END AS r_star,
+               floor(s.r::DOUBLE * s.n_types::DOUBLE / (SELECT n FROM tot)
+                     * 1000000 + 0.5) AS mass_micro
+        FROM spectrum s LEFT JOIN spectrum nx ON nx.r = s.r + 1
+        WHERE s.r <= 10
+    ),
+    unseen AS (
+        SELECT 0::BIGINT AS r,
+               coalesce((SELECT n_types FROM spectrum WHERE r = 1), 0) AS n_types,
+               NULL::DOUBLE AS r_star,
+               floor(coalesce((SELECT n_types FROM spectrum WHERE r = 1), 0)::DOUBLE
+                     / (SELECT n FROM tot) * 1000000 + 0.5) AS mass_micro
+    )
+    SELECT r, n_types, r_star, mass_micro::DOUBLE AS mass_micro FROM band
+    UNION ALL
+    SELECT r, n_types, r_star, mass_micro::DOUBLE FROM unseen
+"""

@@ -1001,3 +1001,44 @@ ORACLES["sql_variant_extract"] = """
     FROM events
     GROUP BY event_type
 """
+
+
+LATERAL_JOIN_SQL = """
+    SELECT n.n_name AS nation, t.c_name, t.acctbal_cents
+    FROM {nation} n,
+    LATERAL (
+        SELECT c_name,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+        FROM {customer} c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY acctbal_cents DESC, c_name
+        LIMIT 3
+    ) t
+"""
+
+
+def _lateral_join_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """Correlated LATERAL subquery grammar as ONE spark.sql TEXT — the
+    top-N-per-group join spelled as a dependent subquery with ORDER BY +
+    LIMIT (SQL:1999 lateral derived table; Spark 3.2+), the SQL-first
+    twin of the ``serving_*_topn`` window-function kernels. Catalyst
+    DECORRELATES the per-row subquery into a ranked window join — the
+    plan a hand-written rank()<=3 would produce, so the grammar costs
+    nothing at scale (no per-outer-row re-execution, unlike a naive
+    nested-loop reading). Tie-break on (cents, name) makes top-3
+    deterministic; cents are exact BIGINT before the sort.
+
+    DuckDB executes the IDENTICAL text (its LATERAL spelling matches),
+    so the hash gates decorrelation semantics — per-group LIMIT, ORDER
+    stability, correlation predicate — not just the row set."""
+    tables["nation"].createOrReplaceTempView("nation_view_sql_lat")
+    tables["customer"].createOrReplaceTempView("customer_view_sql_lat")
+    return tables["nation"].sparkSession.sql(
+        LATERAL_JOIN_SQL.format(nation="nation_view_sql_lat", customer="customer_view_sql_lat")
+    )
+
+
+QUERIES["sql_lateral_join"] = _lateral_join_sql_q
+ORACLES["sql_lateral_join"] = LATERAL_JOIN_SQL.format(
+    nation="nation", customer="customer"
+)

@@ -196,3 +196,105 @@ def test_variant_extract_json_replay(tables):
         assert row["k_max"] == g["k"].max()
         assert row["k_low"] == int((g["k"] < 50).sum())
         assert row["n_missing"] == len(g)  # '$.missing' absent on every row
+
+
+# ----------------------------------------------------- cross-correlation
+
+
+def test_cross_correlation_pandas_replay(tables):
+    """Replay each lag's Pearson r with pandas/numpy over exact ints."""
+    import duckdb
+
+    from flink_210225_spark.operators.windows import cross_correlation
+
+    got = {r["lag"]: r for r in cross_correlation(tables).collect()}
+    ev = duckdb.sql(
+        "SELECT ts::DATE AS day, event_type, value"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+    ).df()
+    x = ev[ev.event_type == "click"].groupby("day").size()
+    y = (
+        ev[ev.event_type == "purchase"]
+        .assign(c=lambda d: np.floor(d.value * 100 + 0.5).astype(np.int64))
+        .groupby("day")["c"]
+        .sum()
+    )
+    for lag in range(-3, 4):
+        ys = y.copy()
+        ys.index = ys.index - pd.Timedelta(days=lag)
+        j = pd.concat([x, ys], axis=1, join="inner").dropna()
+        row = got[lag]
+        assert row["n_days"] == len(j)
+        r = np.corrcoef(j.iloc[:, 0], j.iloc[:, 1])[0, 1]
+        assert abs(row["r"] - r) < 1e-5
+        assert -1.0 <= row["r"] <= 1.0
+
+
+# ----------------------------------------------------------- lateral join
+
+
+def test_lateral_join_topn_replay(tables):
+    """The decorrelated LATERAL must equal a pandas nlargest-per-group."""
+    import duckdb
+
+    from flink_210225_spark.streaming.sql_jobs import _lateral_join_sql_q
+
+    out = _lateral_join_sql_q(tables).collect()
+    cust = duckdb.sql(
+        "SELECT c_nationkey, c_name, floor(c_acctbal*100+0.5)::BIGINT AS cents"
+        " FROM '/root/testdata/sf0.001/customer.parquet'"
+    ).df()
+    nat = duckdb.sql(
+        "SELECT n_nationkey, n_name FROM '/root/testdata/sf0.001/nation.parquet'"
+    ).df()
+    expect = set()
+    for nk, g in cust.groupby("c_nationkey"):
+        top = g.sort_values(["cents", "c_name"], ascending=[False, True]).head(3)
+        nname = nat[nat.n_nationkey == nk]["n_name"].iloc[0]
+        for _, r in top.iterrows():
+            expect.add((nname, r["c_name"], int(r["cents"])))
+    got = {(r["nation"], r["c_name"], r["acctbal_cents"]) for r in out}
+    assert got == expect
+    assert len(out) == len(got)  # no duplicate rows from decorrelation
+
+
+# ------------------------------------------------------------ good-turing
+
+
+def test_good_turing_counter_replay(tables):
+    """collections.Counter third implementation of the bigram spectrum."""
+    from collections import Counter
+
+    from flink_210225_spark.ops.text import good_turing
+
+    got = {r["r"]: r for r in good_turing(tables).collect()}
+    docs = _docs_pd()
+    bigrams = Counter()
+    for text in docs["text"]:
+        toks = text.strip().split()
+        bigrams.update(
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        )
+    n = sum(bigrams.values())
+    spectrum = Counter(bigrams.values())
+    for r, row in got.items():
+        if r == 0:
+            assert row["n_types"] == spectrum.get(1, 0)
+            assert row["mass_micro"] == np.floor(
+                spectrum.get(1, 0) / n * 1e6 + 0.5
+            )
+            assert row["r_star"] is None
+            continue
+        assert r <= 10
+        assert row["n_types"] == spectrum[r]
+        assert row["mass_micro"] == np.floor(r * spectrum[r] / n * 1e6 + 0.5)
+        if spectrum.get(r + 1):
+            assert (
+                abs(row["r_star"] - (r + 1) * spectrum[r + 1] / spectrum[r])
+                < 1e-6
+            )
+        else:
+            assert row["r_star"] is None
+    # every populated band <= 10 must be present
+    for r in [r for r in spectrum if r <= 10]:
+        assert r in got
