@@ -1323,3 +1323,91 @@ ORACLES["join_null_safe"] = """
     FROM ob JOIN cb ON ob.bucket IS NOT DISTINCT FROM cb.bucket
     GROUP BY 1
 """
+
+
+def anti_followup_join(tables: dict[str, DataFrame], window_min: int = 30) -> DataFrame:
+    """Interval ANTI join — abandoned views: view events with NO purchase
+    by the same user within the following 30 minutes. The negative-space
+    twin of J1/J2's interval joins (reference order⋈detail ±5 s,
+    gmall `OrderWideApp.java` intervalJoin): matchmaking finds pairs,
+    abandonment analysis needs the rows that DON'T pair, and naive
+    "join then filter null" re-materializes the matches first.
+
+    Spark spelling: ``left_anti`` with the user_id equi key plus the time
+    range as a residual condition — plans a shuffled hash anti join
+    keyed on user_id (the range is evaluated on in-bucket candidates,
+    never cross-user), the same posture as the positive interval joins.
+    Emits a per-day rollup: views, abandoned views, micro-pinned rate.
+
+    Exactness: pure counts + one pinned ratio; the ±window arithmetic is
+    exact microsecond integer comparison on both engines."""
+    ev = tables["events"]
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    followed = views.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("ts"))
+        & (
+            F.col("b_ts")
+            <= F.col("ts") + F.make_dt_interval(mins=F.lit(window_min))
+        ),
+        "left_anti",
+    )
+    day = F.to_date("ts")
+    all_days = views.groupBy(day.alias("day")).agg(
+        F.count("*").cast("long").alias("n_views")
+    )
+    ab_days = followed.groupBy(day.alias("day")).agg(
+        F.count("*").cast("long").alias("n_abandoned")
+    )
+    return (
+        all_days.join(ab_days, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_views",
+            F.coalesce("n_abandoned", F.lit(0)).cast("long").alias("n_abandoned"),
+            F.floor(
+                F.coalesce("n_abandoned", F.lit(0)).cast("double")
+                / F.col("n_views").cast("double")
+                * 1000000
+                + 0.5
+            ).cast("long").alias("abandon_micro"),
+        )
+    )
+
+
+QUERIES["join_anti_followup"] = anti_followup_join
+# NOT EXISTS with the same equi+range predicate; INTERVAL 30 MINUTE is the
+# exact integer-microsecond bound on both engines.
+ORACLES["join_anti_followup"] = """
+    WITH v AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    b AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    ab AS (
+        SELECT v.* FROM v
+        WHERE NOT EXISTS (
+            SELECT 1 FROM b
+            WHERE b.user_id = v.user_id
+              AND b.ts > v.ts AND b.ts <= v.ts + INTERVAL 30 MINUTE
+        )
+    ),
+    ad AS (
+        SELECT ts::DATE AS day, count(*)::BIGINT AS n_views
+        FROM v GROUP BY 1
+    ),
+    abd AS (
+        SELECT ts::DATE AS day, count(*)::BIGINT AS n_abandoned
+        FROM ab GROUP BY 1
+    )
+    SELECT strftime(ad.day, '%Y-%m-%d') AS day, ad.n_views,
+           coalesce(abd.n_abandoned, 0)::BIGINT AS n_abandoned,
+           floor(coalesce(abd.n_abandoned, 0)::DOUBLE / ad.n_views::DOUBLE
+                 * 1000000 + 0.5)::BIGINT AS abandon_micro
+    FROM ad LEFT JOIN abd USING (day)
+"""

@@ -2454,3 +2454,117 @@ ORACLES["serving_kruskal_wallis"] = """
                  * 1000000 + 0.5) / 1000000 AS h_adj
     FROM tot, ties
 """
+
+
+def benjamini_hochberg(tables: dict[str, DataFrame], q_micro: int = 100000) -> DataFrame:
+    """Benjamini–Hochberg FDR step-up over per-brand return-rate tests —
+    the multiple-comparison correction every metric-scan dashboard needs
+    once it tests 25 brands at once (companion to the single-test
+    ``serving_ab_srm`` / ``serving_ab_lift``). Per brand: two-sided z
+    test of the brand's lineitem return share against the global share;
+    p-values via the logistic approximation Φ(x) ≈ 1/(1+e^(−1.702x))
+    (Haley 1952 constant, PINNED literal — both engines evaluate the
+    identical closed form, so no erf dependency); then the step-up rule
+    — rank p ascending, discover every rank ≤ argmax{i : p_i ≤ i·q/m},
+    q = 0.10.
+
+    Exactness: counts exact; p and thresholds are fixed-shape doubles
+    compared on MICRO-PINNED integers (floor(x·10⁶+0.5)) so the
+    discovery frontier is rounding-stable cross-engine.
+
+    Scale: one brand-keyed partial agg (|brands| rows), global share via
+    scalar subquery, then windows over the m-row test table —
+    domain-sized end-to-end."""
+    li = tables["lineitem"].join(
+        tables["part"].select("p_partkey", "p_brand"),
+        tables["lineitem"].l_partkey == F.col("p_partkey"),
+    )
+    per = li.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    tot_n = li.agg(F.count("*").cast("long")).scalar()
+    tot_k = li.agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).cast("long")
+    ).scalar()
+    p0 = tot_k.cast("double") / tot_n.cast("double")
+    nd = F.col("n").cast("double")
+    z = (F.col("k").cast("double") / nd - p0) / F.sqrt(p0 * (1.0 - p0) / nd)
+    p_two = F.lit(2.0) / (1.0 + F.exp(F.lit(1.702) * F.abs(z)))
+    scored = per.select(
+        "brand",
+        "n",
+        "k",
+        F.floor(p_two * 1000000 + 0.5).cast("long").alias("p_micro"),
+    )
+    m = F.count("*").over(Window.partitionBy())
+    rk = F.row_number().over(Window.orderBy("p_micro", "brand"))
+    ranked = scored.select(
+        "brand",
+        "n",
+        "k",
+        "p_micro",
+        rk.cast("long").alias("rank"),
+        F.floor(
+            rk.cast("double") * q_micro / m.cast("double") + 0.5
+        ).cast("long").alias("thresh_micro"),
+    )
+    k_max = F.max(
+        F.when(F.col("p_micro") <= F.col("thresh_micro"), F.col("rank"))
+    ).over(Window.partitionBy())
+    return ranked.select(
+        "brand",
+        "n",
+        "k",
+        "p_micro",
+        "rank",
+        "thresh_micro",
+        (F.col("rank") <= F.coalesce(k_max, F.lit(0))).alias("discovered"),
+    )
+
+
+QUERIES["serving_benjamini_hochberg"] = benjamini_hochberg
+# Identical logistic-Φ closed form and micro-int step-up; the whole-table
+# windows are over the m≈25-row test frame.
+ORACLES["serving_benjamini_hochberg"] = """
+    WITH li AS (
+        SELECT p_brand AS brand, l_returnflag
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    per AS (
+        SELECT brand, count(*)::BIGINT AS n,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS k
+        FROM li GROUP BY brand
+    ),
+    tot AS (
+        SELECT count(*)::BIGINT AS tn,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS tk
+        FROM li
+    ),
+    scored AS (
+        SELECT brand, n, k,
+               floor(2.0 / (1.0 + exp(1.702 * abs(
+                   (k::DOUBLE / n::DOUBLE
+                    - (SELECT tk FROM tot)::DOUBLE / (SELECT tn FROM tot)::DOUBLE)
+                   / sqrt((SELECT tk FROM tot)::DOUBLE / (SELECT tn FROM tot)::DOUBLE
+                          * (1.0 - (SELECT tk FROM tot)::DOUBLE
+                                   / (SELECT tn FROM tot)::DOUBLE)
+                          / n::DOUBLE))))
+                   * 1000000 + 0.5)::BIGINT AS p_micro
+        FROM per
+    ),
+    ranked AS (
+        SELECT brand, n, k, p_micro,
+               row_number() OVER (ORDER BY p_micro, brand)::BIGINT AS rank,
+               floor(row_number() OVER (ORDER BY p_micro, brand)::DOUBLE
+                     * 100000 / count(*) OVER ()::DOUBLE + 0.5)::BIGINT
+                   AS thresh_micro
+        FROM scored
+    )
+    SELECT brand, n, k, p_micro, rank, thresh_micro,
+           rank <= coalesce(max(CASE WHEN p_micro <= thresh_micro
+                                     THEN rank END) OVER (), 0) AS discovered
+    FROM ranked
+"""

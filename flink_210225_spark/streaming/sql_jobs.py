@@ -1042,3 +1042,42 @@ QUERIES["sql_lateral_join"] = _lateral_join_sql_q
 ORACLES["sql_lateral_join"] = LATERAL_JOIN_SQL.format(
     nation="nation", customer="customer"
 )
+
+
+EXEC_IMMEDIATE_INNER = (
+    "SELECT o_orderstatus AS status, o_orderpriority AS priority, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS cents "
+    "FROM {orders} WHERE o_totalprice > :minp "
+    "GROUP BY o_orderstatus, o_orderpriority"
+)
+
+
+def _execute_immediate_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """EXECUTE IMMEDIATE + named parameter markers (Spark 4 / SQL:2016
+    dynamic SQL) — the templated-query surface a SQL-first orchestration
+    layer hits: the query TEXT is a runtime value and ``:minp`` binds via
+    USING, so the engine (not string interpolation) handles typing and
+    injection safety — the grammar twin of ``sql_identifier_clause``
+    (which templates IDENTIFIERS, while this templates the whole
+    statement + scalar parameters). The oracle runs the inner SELECT with
+    the literal inlined, so the hash gates that parameter binding is
+    value-identical to literal substitution.
+
+    Scale: the bound plan is the same Catalyst plan as the literal form —
+    parameter markers constant-fold before optimization, so pushdown/
+    pruning are unaffected."""
+    o = tables["orders"]
+    o.createOrReplaceTempView("orders_view_sql_execimm")
+    inner = EXEC_IMMEDIATE_INNER.format(orders="orders_view_sql_execimm")
+    quoted = inner.replace("'", "''")
+    return o.sparkSession.sql(
+        f"EXECUTE IMMEDIATE '{quoted}' USING 150000.0 AS minp"
+    )
+
+
+QUERIES["sql_execute_immediate"] = _execute_immediate_sql_q
+ORACLES["sql_execute_immediate"] = (
+    EXEC_IMMEDIATE_INNER.format(orders="orders").replace(":minp", "150000.0")
+)

@@ -298,3 +298,116 @@ def test_good_turing_counter_replay(tables):
     # every populated band <= 10 must be present
     for r in [r for r in spectrum if r <= 10]:
         assert r in got
+
+
+# --------------------------------------------------- benjamini-hochberg
+
+
+def test_benjamini_hochberg_pure_python_replay(tables):
+    """Third implementation: exact counts from pandas, logistic-Phi
+    p-values, textbook step-up loop."""
+    import math
+
+    import duckdb
+
+    from flink_210225_spark.operators.serving import benjamini_hochberg
+
+    got = {r["brand"]: r for r in benjamini_hochberg(tables).collect()}
+    li = duckdb.sql(
+        "SELECT p_brand AS brand, l_returnflag FROM"
+        " '/root/testdata/sf0.001/lineitem.parquet' l JOIN"
+        " '/root/testdata/sf0.001/part.parquet' p ON l_partkey = p_partkey"
+    ).df()
+    p0 = (li.l_returnflag == "R").mean()
+    rows = []
+    for brand, g in li.groupby("brand"):
+        n, k = len(g), int((g.l_returnflag == "R").sum())
+        z = (k / n - p0) / math.sqrt(p0 * (1 - p0) / n)
+        p = 2.0 / (1.0 + math.exp(1.702 * abs(z)))
+        rows.append((brand, n, k, int(math.floor(p * 1e6 + 0.5))))
+    rows.sort(key=lambda r: (r[3], r[0]))
+    m = len(rows)
+    k_star = 0
+    for i, (_, _, _, pm) in enumerate(rows, 1):
+        if pm <= math.floor(i * 100000 / m + 0.5):
+            k_star = i
+    for i, (brand, n, k, pm) in enumerate(rows, 1):
+        row = got[brand]
+        assert (row["n"], row["k"], row["p_micro"], row["rank"]) == (n, k, pm, i)
+        assert row["discovered"] == (i <= k_star)
+
+
+def test_benjamini_hochberg_stepup_shape(tables):
+    """Discoveries are a PREFIX of the p-sorted ranks (step-up), and any
+    rank past the frontier with p above threshold is not discovered."""
+    from flink_210225_spark.operators.serving import benjamini_hochberg
+
+    rows = sorted(
+        benjamini_hochberg(tables).collect(), key=lambda r: r["rank"]
+    )
+    flags = [r["discovered"] for r in rows]
+    assert flags == sorted(flags, reverse=True)
+
+
+# ------------------------------------------------------ anti interval join
+
+
+def test_anti_followup_pandas_replay(tables):
+    """Replay the NOT-EXISTS interval anti join with a pandas loop."""
+    import duckdb
+
+    from flink_210225_spark.operators.joins import anti_followup_join
+
+    got = {r["day"]: r for r in anti_followup_join(tables).collect()}
+    ev = duckdb.sql(
+        "SELECT event_id, user_id, ts, event_type"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+    ).df()
+    v = ev[ev.event_type == "view"]
+    b = ev[ev.event_type == "purchase"]
+    by_user = {u: g["ts"].to_numpy() for u, g in b.groupby("user_id")}
+    lim = np.timedelta64(30 * 60 * 1_000_000, "us")
+    n_views, n_ab = {}, {}
+    for _, r in v.iterrows():
+        day = str(r["ts"].date())
+        n_views[day] = n_views.get(day, 0) + 1
+        bs = by_user.get(r["user_id"])
+        ts = np.datetime64(r["ts"])
+        followed = bs is not None and bool(
+            ((bs > ts) & (bs <= ts + lim)).any()
+        )
+        if not followed:
+            n_ab[day] = n_ab.get(day, 0) + 1
+    assert set(got) == set(n_views)
+    for day in n_views:
+        assert got[day]["n_views"] == n_views[day]
+        assert got[day]["n_abandoned"] == n_ab.get(day, 0)
+
+
+# ------------------------------------------------------- execute immediate
+
+
+def test_execute_immediate_binds_like_literal(tables):
+    """Parameter binding must be value-identical to literal text."""
+    from flink_210225_spark.streaming.sql_jobs import _execute_immediate_sql_q
+
+    got = {
+        (r["status"], r["priority"]): (r["n"], r["cents"])
+        for r in _execute_immediate_sql_q(tables).collect()
+    }
+    o = _orders_pd_full()
+    sel = o[o.o_totalprice > 150000.0]
+    cents = np.floor(sel.o_totalprice * 100 + 0.5).astype(np.int64)
+    g = sel.assign(cents=cents).groupby(["o_orderstatus", "o_orderpriority"])
+    assert len(got) == len(g)
+    for (st, pr), gg in g:
+        assert got[(st, pr)] == (len(gg), gg["cents"].sum())
+
+
+def _orders_pd_full():
+    import duckdb
+
+    return duckdb.sql(
+        "SELECT o_orderstatus, o_orderpriority, o_totalprice"
+        " FROM '/root/testdata/sf0.001/orders.parquet'"
+    ).df()
