@@ -3805,3 +3805,143 @@ ORACLES["multimodal_decode_errors"] = """
            sum(px_sum)::BIGINT AS px_sum
     FROM px GROUP BY 1
 """
+
+
+# H.264 4x4 core transform (the integer DCT-II approximation every AVC
+# encoder ships): exact integer arithmetic, so both engines agree bitwise
+# with no float protocol — the same determinism move as wHash's
+# unnormalized Haar.
+_H264_CF = ((1, 1, 1, 1), (2, 1, -1, -2), (1, -1, -1, 1), (1, -2, 2, -1))
+
+
+def image_phash_groups(tables: dict[str, DataFrame]) -> DataFrame:
+    """DCT perceptual hash (pHash) with the H.264 4×4 INTEGER core
+    transform — the frequency-domain member of the perceptual family:
+    aHash thresholds raw tile means, wHash Haar coefficients, pHash DCT
+    coefficients, keying on the image's dominant spatial frequencies
+    (the property that survives blur/re-encode). The classic pHash runs
+    a float DCT; the H.264 core transform C = Cf·M·Cfᵀ
+    (Cf = [[1,1,1,1],[2,1,-1,-2],[1,-1,-1,1],[1,-2,2,-1]]) is the
+    industry-standard integer approximation of the same basis, keeping
+    every coefficient an exact BIGINT — cross-engine bitwise agreement
+    with no float protocol.
+
+    Same real-codec contract as the siblings: image synthesized from
+    doc_id%16, encoded with the rotating scanline filter (doc_id%5),
+    REAL PNG write→parse round trip, 4×4 tile-sum matrix M, integer
+    transform, then bit_i = (AC_i > median of the 15 AC coefficients)
+    (15 odd → the median is the exact 8th order statistic, integer
+    compare). Seed groups must collapse across all five filter paths —
+    the dedup contract, gated via group_sz/canonical id.
+
+    Plan: one Arrow decode pass, one hash-keyed window — digest-groupBy
+    shape, embarrassingly parallel; pixels never shuffle."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).cast("int").alias("seed"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+    )
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cf = np.array(_H264_CF, dtype=np.int64)
+        for pdf in it:
+            ids, hashes, dcs = [], [], []
+            for doc_id, seed, ft in zip(pdf["doc_id"], pdf["seed"], pdf["ft"]):
+                seed = int(seed)
+                w = 8 + 4 * (seed % 5)
+                h = 8 + 4 * ((seed * 3) % 4)
+                px = _parse_png(_png_bytes(seed, w, h, filter_type=int(ft)))[
+                    "pixels"
+                ].astype(np.int64)[:, :, 0]
+                th, tw = h // 4, w // 4
+                m = px.reshape(4, th, 4, tw).sum(axis=(1, 3))
+                c = cf @ m @ cf.T
+                flat = c.ravel()
+                ac = np.sort(flat[1:])
+                med = int(ac[7])
+                bits = (flat[1:] > med).astype(np.int64)
+                ids.append(int(doc_id))
+                hashes.append(int((bits << np.arange(15)).sum()))
+                dcs.append(int(flat[0]))
+            yield pd.DataFrame(
+                {"asset_id": ids, "phash": hashes, "dc_sum": dcs}
+            )
+
+    hashed = base.mapInPandas(gen, "asset_id long, phash long, dc_sum long")
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("phash")
+    return hashed.select(
+        "asset_id",
+        "phash",
+        "dc_sum",
+        F.count("*").over(wg).alias("group_sz"),
+        F.min("asset_id").over(wg).alias("canonical_id"),
+    )
+
+
+QUERIES["multimodal_image_phash"] = image_phash_groups
+
+# The oracle replays the pixel formula arithmetically (never the bytes),
+# then the SAME integer transform with the Cf weights interpolated as
+# literals: C(u,v) = Σ_{x,y} Cf[u][x]·M[x][y]·Cf[v][y].
+_PHASH_COEFS_SQL = ", ".join(
+    "("
+    + " + ".join(
+        f"({_H264_CF[u][x] * _H264_CF[v][y]}) * m[{4 * x + y + 1}]"
+        for x in range(4)
+        for y in range(4)
+        if _H264_CF[u][x] * _H264_CF[v][y] != 0
+    )
+    + f") AS c{4 * u + v}"
+    for u in range(4)
+    for v in range(4)
+)
+
+ORACLES["multimodal_image_phash"] = f"""
+    WITH g AS (
+        SELECT doc_id, (doc_id % 16)::BIGINT AS seed,
+               (8 + 4 * ((doc_id % 16) % 5))::BIGINT AS w,
+               (8 + 4 * (((doc_id % 16) * 3) % 4))::BIGINT AS h
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, seed, w // 4 AS tw, h // 4 AS th,
+               unnest(range(16)) AS ti
+        FROM g
+    ),
+    s AS (
+        SELECT doc_id, ti,
+               list_sum(list_transform(range(tw * th),
+                   i -> (seed * 7 + 3 * ((ti % 4) * tw + i % tw)
+                         + 11 * ((ti // 4) * th + i // tw)) % 256))::BIGINT
+                   AS tsum
+        FROM t
+    ),
+    m AS (
+        SELECT doc_id, list(tsum ORDER BY ti) AS m
+        FROM s GROUP BY doc_id
+    ),
+    c AS (SELECT doc_id, {_PHASH_COEFS_SQL} FROM m),
+    b AS (
+        SELECT doc_id,
+               [c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12, c13,
+                c14, c15] AS ac, c0 AS dc_sum
+        FROM c
+    ),
+    hsh AS (
+        SELECT doc_id, dc_sum,
+               list_sum(list_transform(range(15),
+                   i -> CASE WHEN ac[i + 1] > list_sort(ac)[8]
+                             THEN 1 << i ELSE 0 END))::BIGINT AS phash
+        FROM b
+    )
+    SELECT doc_id AS asset_id, phash, dc_sum,
+           count(*) OVER (PARTITION BY phash)::BIGINT AS group_sz,
+           min(doc_id) OVER (PARTITION BY phash)::BIGINT AS canonical_id
+    FROM hsh
+"""

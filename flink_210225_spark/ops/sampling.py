@@ -1852,3 +1852,101 @@ ORACLES["sample_token_waterfill"] = """
            n_tokens > level AS capped
     FROM ranked
 """
+
+
+def pps_estimator(tables: dict[str, DataFrame]) -> DataFrame:
+    """Hansen–Hurwitz estimation on top of the systematic PPS design —
+    the estimator that makes ``sample_pps_systematic`` useful: draw parts
+    with probability proportional to retail price (the design), then
+    estimate the corpus total of an INDEPENDENT attribute (p_size) from
+    the 100 draws as T̂ = (1/n)·Σ picks_i · y_i/p_i, p_i = w_i/W. PPS
+    earns its keep exactly when the size measure correlates with the
+    target; the emitted exact error against the true total (computable
+    here because the fixture is small — in production it's the quantity
+    you DON'T have) is the design-effect evidence.
+
+    Exactness: picks from the pure-integer systematic walk; y_i, w_i, W
+    exact BIGINTs; the estimate is one fixed-shape double, micro-pinned.
+
+    Scale: reuses the two-phase prefix-sum posture of the design kernel;
+    the estimator itself is a single agg over the ~n sampled rows with W
+    and the true total attached as scalar subqueries."""
+    part = tables["part"]
+    sampled = pps_systematic(tables)
+    joined = sampled.join(
+        part.select("p_partkey", "p_size"), "p_partkey"
+    )
+    w_tot = part.agg(
+        F.sum(F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+    ).scalar()
+    y_true = part.agg(F.sum("p_size").cast("long")).scalar()
+    est = (
+        F.sum(
+            F.col("n_picks").cast("double")
+            * F.col("p_size").cast("double")
+            * w_tot.cast("double")
+            / F.col("w").cast("double")
+        )
+        / _PPS_N
+    )
+    return joined.agg(
+        F.count("*").cast("long").alias("n_sampled_items"),
+        F.sum("n_picks").cast("long").alias("n_draws"),
+        F.sum(F.when(F.col("n_picks") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_picked"),
+        y_true.alias("true_total"),
+        F.floor(est * 1000000 + 0.5).cast("long").alias("estimate_micro"),
+        F.floor(
+            F.abs(est - y_true.cast("double"))
+            / y_true.cast("double")
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("rel_err_micro"),
+    )
+
+
+QUERIES["sample_pps_estimator"] = pps_estimator
+# Replays the integer systematic walk (same decimal-exact floor-div), then
+# the Hansen-Hurwitz sum with W and the true total as scalar subqueries.
+ORACLES["sample_pps_estimator"] = f"""
+    WITH w AS (
+        SELECT p_partkey, p_size,
+               floor(p_retailprice * 100 + 0.5)::BIGINT AS w
+        FROM part
+    ),
+    c AS (
+        SELECT p_partkey, p_size, w,
+               sum(w) OVER (ORDER BY p_partkey ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+               sum(w) OVER ()::BIGINT AS tot
+        FROM w
+    ),
+    picks AS (
+        SELECT p_partkey, p_size, w,
+               ((2 * {_PPS_N} * cum + tot - 1) // (2 * tot)
+                - (2 * {_PPS_N} * (cum - w) + tot - 1) // (2 * tot))::BIGINT
+                   AS n_picks,
+               tot
+        FROM c
+    ),
+    s AS (SELECT * FROM picks WHERE n_picks > 0),
+    tv AS (SELECT sum(p_size)::BIGINT AS y_true FROM part)
+    SELECT count(*)::BIGINT AS n_sampled_items,
+           sum(n_picks)::BIGINT AS n_draws,
+           sum(CASE WHEN n_picks > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_multi_picked,
+           (SELECT y_true FROM tv) AS true_total,
+           floor(sum(n_picks::DOUBLE * p_size::DOUBLE * tot::DOUBLE
+                     / w::DOUBLE) / {_PPS_N} * 1000000 + 0.5)::BIGINT
+               AS estimate_micro,
+           floor(abs(sum(n_picks::DOUBLE * p_size::DOUBLE * tot::DOUBLE
+                         / w::DOUBLE) / {_PPS_N}
+                     - (SELECT y_true FROM tv)::DOUBLE)
+                 / (SELECT y_true FROM tv)::DOUBLE * 1000000 + 0.5)::BIGINT
+               AS rel_err_micro
+    FROM s
+"""

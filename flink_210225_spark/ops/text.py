@@ -5825,3 +5825,127 @@ ORACLES["text_good_turing"] = """
     UNION ALL
     SELECT r, n_types, r_star, mass_micro::DOUBLE FROM unseen
 """
+
+
+def burrows_delta(tables: dict[str, DataFrame], top_k: int = 20) -> DataFrame:
+    """Burrows' Delta — the classic stylometric distance between SOURCES:
+    z-score each source's relative frequency of the corpus's top-K most
+    frequent tokens (function words carry authorial signal), then
+    Delta(a,b) = mean_t |z_a(t) − z_b(t)| over the K marker tokens
+    (Burrows 2002). The provenance-forensics sibling of
+    ``text_source_overlap`` (which compares content n-grams; Delta
+    compares STYLE and works even when content differs) — the tool for
+    "are these two crawls actually the same underlying feed?".
+
+    Exactness: token counts and per-source totals are exact BIGINTs; μ_t
+    and population σ_t come from exact integer moments over the 20
+    sources; z and Delta are fixed-shape doubles, micro-pinned at emit.
+
+    Scale: one (source, token)-keyed count pruned to the broadcastable
+    top-K marker set, a K-row moment agg, and a K×|sources|² pair join
+    where BOTH sides are domain-sized (20 sources → 190 pairs); raw text
+    is scanned once."""
+    docs = tables["documents"]
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("ct"))
+        .orderBy(F.desc("ct"), "tok")
+        .limit(top_k)
+        .select("tok")
+    )
+    per_src_tot = toks.groupBy("source").agg(
+        F.count("*").cast("long").alias("src_toks")
+    )
+    per = (
+        toks.join(F.broadcast(top), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("ct"))
+        .join(per_src_tot, "source")
+        .select(
+            "source",
+            "tok",
+            (F.col("ct").cast("double") / F.col("src_toks").cast("double")).alias(
+                "f"
+            ),
+        )
+    )
+    # marker tokens can miss in a source: complete the (source, token) grid
+    # with f=0 rows before the moments (population stats over ALL sources)
+    grid = per_src_tot.select("source").crossJoin(F.broadcast(top))
+    full = grid.join(per, ["source", "tok"], "left").select(
+        "source", "tok", F.coalesce("f", F.lit(0.0)).alias("f")
+    )
+    wt = Window.partitionBy("tok")
+    n_src = F.count("*").over(wt)
+    mu = F.avg("f").over(wt)
+    sigma = F.sqrt(
+        F.avg(F.col("f") * F.col("f")).over(wt) - mu * mu
+    )
+    z = full.select(
+        "source",
+        "tok",
+        F.when(sigma > 0, (F.col("f") - mu) / sigma).otherwise(F.lit(0.0)).alias(
+            "z"
+        ),
+        n_src.alias("n_src"),
+    )
+    a = z.select(
+        F.col("source").alias("src_a"), "tok", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("src_b"), "tok", F.col("z").alias("zb")
+    )
+    pairs = a.join(b, "tok").where(F.col("src_a") < F.col("src_b"))
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("n_markers"),
+        F.floor(F.avg(F.abs(F.col("za") - F.col("zb"))) * 1000000 + 0.5)
+        .cast("long")
+        .alias("delta_micro"),
+    )
+
+
+QUERIES["text_burrows_delta"] = burrows_delta
+# Same top-K selection (count desc, token asc), zero-completed grid,
+# population-σ z-scores, unordered upper-triangle pairs.
+ORACLES["text_burrows_delta"] = """
+    WITH toks AS (
+        SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    nz AS (SELECT source, tok FROM toks WHERE tok <> ''),
+    top AS (
+        SELECT tok FROM nz GROUP BY tok
+        ORDER BY count(*) DESC, tok LIMIT 20
+    ),
+    st AS (SELECT source, count(*)::BIGINT AS src_toks FROM nz GROUP BY source),
+    per AS (
+        SELECT n.source, n.tok, count(*)::BIGINT AS ct
+        FROM nz n JOIN top USING (tok) GROUP BY n.source, n.tok
+    ),
+    grid AS (SELECT s.source, t.tok, s.src_toks FROM st s CROSS JOIN top t),
+    full_g AS (
+        SELECT g.source, g.tok,
+               coalesce(p.ct, 0)::DOUBLE / g.src_toks::DOUBLE AS f
+        FROM grid g LEFT JOIN per p ON g.source = p.source AND g.tok = p.tok
+    ),
+    z AS (
+        SELECT source, tok,
+               CASE WHEN sqrt(avg(f * f) OVER (PARTITION BY tok)
+                              - avg(f) OVER (PARTITION BY tok)
+                                * avg(f) OVER (PARTITION BY tok)) > 0
+                    THEN (f - avg(f) OVER (PARTITION BY tok))
+                         / sqrt(avg(f * f) OVER (PARTITION BY tok)
+                                - avg(f) OVER (PARTITION BY tok)
+                                  * avg(f) OVER (PARTITION BY tok))
+                    ELSE 0.0 END AS z
+        FROM full_g
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           count(*)::BIGINT AS n_markers,
+           floor(avg(abs(a.z - b.z)) * 1000000 + 0.5)::BIGINT AS delta_micro
+    FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY a.source, b.source
+"""

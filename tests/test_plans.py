@@ -173,6 +173,10 @@ CARTESIAN_OK = {
     # composes the blocked GEMM as its semantic-candidate source — same
     # n_blocks² block grid; the Jaccard verify side is equi-join shaped
     "dedup_paraphrase_mining",
+    # sources × top-20-marker grid completion (zero-fill before population
+    # moments): the broadcast side is the LIMIT-20 marker list, the stream
+    # side the |sources| dimension — both domain-sized, never corpus rows
+    "text_burrows_delta",
 }
 
 
@@ -213,6 +217,7 @@ BNLJ_MUST_BE_VISIBLE = {
     "sim_knn_graph",
     "sim_hubness_audit",
     "sim_maxsim_rerank",
+    "text_burrows_delta",
 }
 
 

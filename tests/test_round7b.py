@@ -411,3 +411,157 @@ def _orders_pd_full():
         "SELECT o_orderstatus, o_orderpriority, o_totalprice"
         " FROM '/root/testdata/sf0.001/orders.parquet'"
     ).df()
+
+
+# ---------------------------------------------------------- burrows delta
+
+
+def test_burrows_delta_numpy_replay(tables):
+    """Full third implementation: Counter-based counts, numpy moments,
+    explicit z-score / delta loops."""
+    from collections import Counter
+
+    from flink_210225_spark.ops.text import burrows_delta
+
+    got = {
+        (r["src_a"], r["src_b"]): r for r in burrows_delta(tables).collect()
+    }
+    import duckdb
+
+    docs = duckdb.sql(
+        "SELECT source, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).df()
+    per_src = {}
+    overall = Counter()
+    for src, text in zip(docs["source"], docs["text"]):
+        toks = [t for t in text.strip().split() if t]
+        c = per_src.setdefault(src, Counter())
+        c.update(toks)
+        overall.update(toks)
+    top = [
+        t for t, _ in sorted(overall.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    ]
+    srcs = sorted(per_src)
+    f = np.array(
+        [
+            [per_src[s][t] / sum(per_src[s].values()) for t in top]
+            for s in srcs
+        ]
+    )
+    mu = f.mean(axis=0)
+    sigma = np.sqrt((f * f).mean(axis=0) - mu * mu)
+    z = np.where(sigma > 0, (f - mu) / sigma, 0.0)
+    for i, a in enumerate(srcs):
+        for j, b in enumerate(srcs):
+            if a >= b:
+                continue
+            delta = np.abs(z[i] - z[j]).mean()
+            row = got[(a, b)]
+            assert row["n_markers"] == 20
+            assert abs(row["delta_micro"] - np.floor(delta * 1e6 + 0.5)) <= 1
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+
+
+# ----------------------------------------------------------- pps estimator
+
+
+def test_pps_estimator_threshold_walk_replay(tables):
+    """Replay the systematic PPS design with the LITERAL threshold walk
+    (Fraction-exact t_j = (j+1/2)W/n, not the telescoped floor-div) and
+    the Hansen-Hurwitz sum."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from flink_210225_spark.ops.sampling import pps_estimator
+
+    row = pps_estimator(tables).collect()[0]
+    part = duckdb.sql(
+        "SELECT p_partkey, p_size, floor(p_retailprice*100+0.5)::BIGINT AS w"
+        " FROM '/root/testdata/sf0.001/part.parquet' ORDER BY p_partkey"
+    ).df()
+    ws = part["w"].to_numpy()
+    cum = np.cumsum(ws)
+    W, n = int(cum[-1]), 100
+    picks = np.zeros(len(ws), dtype=np.int64)
+    idx = 0
+    for j in range(n):
+        t = Fraction(2 * j + 1, 2) * Fraction(W, n)
+        while Fraction(int(cum[idx])) < t:
+            idx += 1
+        picks[idx] += 1
+    assert picks.sum() == n
+    sampled = picks > 0
+    assert row["n_sampled_items"] == int(sampled.sum())
+    assert row["n_draws"] == n
+    assert row["n_multi_picked"] == int((picks > 1).sum())
+    y = part["p_size"].to_numpy()
+    est = float((picks[sampled] * y[sampled] * W / ws[sampled]).sum()) / n
+    assert row["true_total"] == int(y.sum())
+    assert abs(row["estimate_micro"] - np.floor(est * 1e6 + 0.5)) <= 1
+
+
+# ------------------------------------------------------------------ phash
+
+
+def _phash_replay(seed: int):
+    cf = np.array(
+        [[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
+        dtype=np.int64,
+    )
+    w = 8 + 4 * (seed % 5)
+    h = 8 + 4 * ((seed * 3) % 4)
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)[:, None]
+    px = (seed * 7 + 3 * x + 11 * y) % 256
+    m = px.reshape(4, h // 4, 4, w // 4).sum(axis=(1, 3))
+    c = np.zeros((4, 4), dtype=np.int64)
+    for u in range(4):
+        for v in range(4):
+            for a in range(4):
+                for b in range(4):
+                    c[u, v] += cf[u, a] * m[a, b] * cf[v, b]
+    flat = c.ravel()
+    med = int(np.sort(flat[1:])[7])
+    bits = (flat[1:] > med).astype(np.int64)
+    return int((bits << np.arange(15)).sum()), int(flat[0])
+
+
+def test_phash_formula_replay(tables):
+    """Pixel-formula third implementation (no PNG codec): explicit
+    triple-loop H.264 transform must reproduce every hash through the
+    real encode->decode path."""
+    from flink_210225_spark.ops.multimodal import image_phash_groups
+
+    got = {r["asset_id"]: r for r in image_phash_groups(tables).collect()}
+    for asset_id, row in got.items():
+        ph, dc = _phash_replay(asset_id % 16)
+        assert row["phash"] == ph
+        assert row["dc_sum"] == dc
+
+
+def test_phash_groups_collapse_by_seed(tables):
+    """Docs with equal doc_id%16 MUST share a hash across all five PNG
+    filter paths (perceptually-equal-despite-encoding contract)."""
+    from flink_210225_spark.ops.multimodal import image_phash_groups
+
+    rows = image_phash_groups(tables).collect()
+    by_seed = {}
+    for r in rows:
+        by_seed.setdefault(r["asset_id"] % 16, set()).add(r["phash"])
+    for seed, hashes in by_seed.items():
+        assert len(hashes) == 1, f"seed {seed} split into {hashes}"
+    # Cross-seed collisions are CORRECT pHash semantics here — the
+    # synthetic ramps differ mostly in brightness (DC), which DCT-AC
+    # hashing deliberately ignores — so gate the exact collision
+    # structure against the formula replay instead of demanding 16
+    # distinct values.
+    expect_distinct = len({_phash_replay(s)[0] for s in by_seed})
+    assert (
+        len({next(iter(h)) for h in by_seed.values()}) == expect_distinct
+    )
+    # brightness DOES differ: dc_sum separates seeds the AC hash merges
+    dc_by_seed = {r["asset_id"] % 16: r["dc_sum"] for r in rows}
+    assert len(set(dc_by_seed.values())) > len(
+        {next(iter(h)) for h in by_seed.values()}
+    )
