@@ -2568,3 +2568,115 @@ ORACLES["serving_benjamini_hochberg"] = """
                                      THEN rank END) OVER (), 0) AS discovered
     FROM ranked
 """
+
+
+def theil_index(tables: dict[str, DataFrame]) -> DataFrame:
+    """Theil T inequality index of customer revenue with the
+    within/between market-segment decomposition — the property Gini
+    famously LACKS (``serving_gini`` ranks concentration; Theil answers
+    "is the inequality inside segments or between them?", the additive
+    decomposition T = T_between + Σ share_g·T_within_g, Theil 1967).
+    Customer revenue = lifetime order cents; zero-revenue customers are
+    excluded by construction (x·ln x needs x>0; customers without orders
+    never enter the join).
+
+    Exactness: revenue cents, group sums and N are exact BIGINTs; the
+    x·ln x accumulations are fixed-shape doubles over exact-integer
+    ratios (the ``audio_gain`` one-ln precedent), micro-pinned at emit.
+
+    Scale: one custkey-keyed agg (the shuffle carries customers), one
+    segment-keyed partial agg (|segments| rows), scalar-subquery grand
+    totals. The per-customer ln never leaves the segment partial."""
+    o = tables["orders"]
+    c = tables["customer"]
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5))
+            .cast("long")
+            .alias("x")
+        )
+        .join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    n_all = rev.agg(F.count("*").cast("long")).scalar()
+    t_all = rev.agg(F.sum("x").cast("long")).scalar()
+    # per-customer term of N·T: (x/μ)·ln(x/μ) summed — spelled over exact
+    # integer ratios: ln(x·N/T) with N, T scalar-subquery BIGINTs
+    mu_ratio = F.col("x").cast("double") * n_all.cast("double") / t_all.cast(
+        "double"
+    )
+    seg = rev.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("t_g"),
+        F.sum(mu_ratio * F.log(mu_ratio)).alias("nt_g"),
+    )
+    # within-group Theil per segment: (1/n_g)·Σ (x/μ_g)ln(x/μ_g)
+    #   = (N·t_all-scale identity) — recompute from the same partials:
+    #   Σ (x/μ)ln(x/μ) over the segment re-based to μ_g needs Σ x·ln x,
+    #   so carry Σ (x·N/T)·ln(x·N/T) AND the segment's share algebra.
+    share_g = F.col("t_g").cast("double") / t_all.cast("double")
+    nshare_g = F.col("n_g").cast("double") / n_all.cast("double")
+    # T_between = Σ_g share_g · ln(share_g / nshare_g)
+    between_term = share_g * F.log(share_g / nshare_g)
+    # total T = (1/N)·Σ_all (x/μ)ln(x/μ); the nt_g partials sum to N·T
+    agg = seg.agg(
+        F.sum("nt_g").alias("nt_sum"),
+        F.sum(between_term).alias("t_between"),
+        F.count("*").cast("long").alias("n_segments"),
+    )
+    t_total = F.col("nt_sum") / n_all.cast("double")
+    return agg.select(
+        n_all.alias("n_customers"),
+        "n_segments",
+        F.floor(t_total * 1000000 + 0.5).cast("long").alias("theil_micro"),
+        F.floor(F.col("t_between") * 1000000 + 0.5)
+        .cast("long")
+        .alias("between_micro"),
+        F.floor((t_total - F.col("t_between")) * 1000000 + 0.5)
+        .cast("long")
+        .alias("within_micro"),
+    )
+
+
+QUERIES["serving_theil_index"] = theil_index
+# Same exact-integer ratios under the same single-ln shapes; the grand
+# totals ride as scalar subqueries on both engines.
+ORACLES["serving_theil_index"] = """
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+        SELECT r.x, c.c_mktsegment AS segment
+        FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS t FROM j),
+    seg AS (
+        SELECT segment, count(*)::BIGINT AS n_g, sum(x)::BIGINT AS t_g,
+               sum((x::DOUBLE * (SELECT n FROM tot)::DOUBLE
+                    / (SELECT t FROM tot)::DOUBLE)
+                   * ln(x::DOUBLE * (SELECT n FROM tot)::DOUBLE
+                        / (SELECT t FROM tot)::DOUBLE)) AS nt_g
+        FROM j GROUP BY segment
+    ),
+    agg AS (
+        SELECT sum(nt_g) AS nt_sum,
+               sum((t_g::DOUBLE / (SELECT t FROM tot)::DOUBLE)
+                   * ln((t_g::DOUBLE / (SELECT t FROM tot)::DOUBLE)
+                        / (n_g::DOUBLE / (SELECT n FROM tot)::DOUBLE)))
+                   AS t_between,
+               count(*)::BIGINT AS n_segments
+        FROM seg
+    )
+    SELECT (SELECT n FROM tot) AS n_customers, n_segments,
+           floor(nt_sum / (SELECT n FROM tot)::DOUBLE * 1000000 + 0.5)::BIGINT
+               AS theil_micro,
+           floor(t_between * 1000000 + 0.5)::BIGINT AS between_micro,
+           floor((nt_sum / (SELECT n FROM tot)::DOUBLE - t_between)
+                 * 1000000 + 0.5)::BIGINT AS within_micro
+    FROM agg
+"""

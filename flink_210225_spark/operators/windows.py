@@ -2868,3 +2868,133 @@ ORACLES["window_cross_correlation"] = """
            END AS r
     FROM agg
 """
+
+
+# Integer DFT basis for the 30-day periodogram: cos/sin(2πkt/30) scaled by
+# 2^10 and rounded — generated ONCE here in Python and interpolated into
+# BOTH engines as literals, so every correlation sum is an exact integer
+# (the H.264-integer-transform determinism move, applied to spectral
+# analysis; no cross-engine libm cos protocol). 2^10, not 2^20: the
+# squared sums must fit decimal(38,0)/HUGEINT through sf≥1 — S ≤
+# 30·|xc|·2¹⁰ ≈ 7e16 at sf0.1, S² ≈ 5e33 ≪ 1e38; a 2^20 basis overflows
+# the square at sf0.1. The ~1e-3 basis quantization is part of the
+# metric's definition (both engines share the identical integer basis).
+_PGRAM_N = 30
+_PGRAM_SCALE = 1 << 10
+_PGRAM_KS = tuple(range(1, 16))
+
+
+def _pgram_basis() -> list[tuple[int, int, int, int]]:
+    import math
+
+    rows = []
+    for k in _PGRAM_KS:
+        for t in range(_PGRAM_N):
+            ang = 2.0 * math.pi * k * t / _PGRAM_N
+            rows.append(
+                (
+                    k,
+                    t,
+                    int(math.floor(math.cos(ang) * _PGRAM_SCALE + 0.5)),
+                    int(math.floor(math.sin(ang) * _PGRAM_SCALE + 0.5)),
+                )
+            )
+    return rows
+
+
+def periodogram(tables: dict[str, DataFrame]) -> DataFrame:
+    """Integer periodogram of the daily event-value series (the events
+    table's 30 contiguous days — orders dates are sparse/multi-year) —
+    which cycle length dominates? Power at harmonics k=1..15 of the
+    30-day window via exact integer correlation sums against the scaled
+    cos/sin basis above: P_k = S_c² + S_s², S_c = Σ_t x'_t·c_{k,t}, with
+    x'_t = 30·x_t − T (the ×30-scaled mean-centering that stays in
+    integers). The spectral sibling of ``window_seasonality_strength``/
+    ``window_autocorr`` — autocorrelation answers "is there a weekly
+    cycle?", the periodogram ranks ALL cycle lengths at once
+    (Schuster 1898).
+
+    Exactness: x cents exact; basis integers by construction; S_c/S_s
+    exact integers summed in decimal(38,0)/HUGEINT; the emitted relative
+    power is one pinned division of two decimals. ZERO float protocol
+    before the final ratio.
+
+    Scale: one day-keyed agg (30 rows), a 15×30 basis-literal broadcast
+    join, a k-keyed agg. At 100 TB the S sums are already decimal
+    partials — map-side combine keeps the shuffle at |days|×|k| rows."""
+    ev = tables["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("x")
+    )
+    wd = Window.orderBy("day")
+    idx = daily.select(
+        (F.row_number().over(wd) - 1).alias("t"), "x"
+    ).where(F.col("t") < _PGRAM_N)
+    tot = idx.agg(F.sum("x").cast("long")).scalar()
+    centered = idx.select(
+        "t", (F.lit(_PGRAM_N) * F.col("x") - tot).cast("long").alias("xc")
+    )
+    basis = idx.sparkSession.createDataFrame(
+        _pgram_basis(), "k int, t int, c long, s long"
+    )
+    corr = (
+        centered.join(F.broadcast(basis), "t")
+        .groupBy("k")
+        .agg(
+            # per-term decimal BEFORE the sum: a single xc·c product fits
+            # a long at sf0.1 but the 30-term sum does not
+            F.sum(F.col("xc").cast("decimal(38,0)") * F.col("c")).alias("sc"),
+            F.sum(F.col("xc").cast("decimal(38,0)") * F.col("s")).alias("ss"),
+        )
+    )
+    power = corr.select(
+        F.col("k").cast("long").alias("k"),
+        (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")).alias("p"),
+    )
+    wall = Window.partitionBy()
+    tot_p = F.sum("p").over(wall)
+    max_p = F.max("p").over(wall)
+    return power.select(
+        "k",
+        F.floor(
+            F.col("p").cast("double") / tot_p.cast("double") * 1000000 + 0.5
+        )
+        .cast("long")
+        .alias("power_rel_micro"),
+        (F.col("p") == max_p).alias("is_peak"),
+    )
+
+
+QUERIES["window_periodogram"] = periodogram
+_PGRAM_BASIS_SQL = ", ".join(
+    f"({k}, {t}, {c}, {s})" for k, t, c, s in _pgram_basis()
+)
+# Same basis literals, same ×30 integer centering, HUGEINT squares.
+ORACLES["window_periodogram"] = f"""
+    WITH daily AS (
+        SELECT ts::DATE AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS x
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT (row_number() OVER (ORDER BY day) - 1)::BIGINT AS t, x
+        FROM daily QUALIFY t < {_PGRAM_N}
+    ),
+    centered AS (
+        SELECT t, ({_PGRAM_N} * x - (SELECT sum(x) FROM idx))::BIGINT AS xc
+        FROM idx
+    ),
+    basis(k, t, c, s) AS (VALUES {_PGRAM_BASIS_SQL}),
+    corr AS (
+        SELECT k, sum(xc::HUGEINT * c)::HUGEINT AS sc,
+               sum(xc::HUGEINT * s)::HUGEINT AS ss
+        FROM centered JOIN basis USING (t)
+        GROUP BY k
+    ),
+    power AS (SELECT k, sc * sc + ss * ss AS p FROM corr)
+    SELECT k::BIGINT AS k,
+           floor(p::DOUBLE / sum(p) OVER ()::DOUBLE * 1000000 + 0.5)::BIGINT
+               AS power_rel_micro,
+           p = max(p) OVER () AS is_peak
+    FROM power
+"""

@@ -3945,3 +3945,110 @@ ORACLES["multimodal_image_phash"] = f"""
            min(doc_id) OVER (PARTITION BY phash)::BIGINT AS canonical_id
     FROM hsh
 """
+
+
+def audio_zcr_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """Zero-crossing statistics on the real WAV decode path — ZCR is the
+    classic integer-exact frequency proxy (speech/music/noise
+    discrimination, VAD features) that needs no spectral transform:
+    crossings = #{k : sign(s_k) ≠ sign(s_{k−1})} with sign(0) counted as
+    non-negative, plus the sign-RUN structure (run count = crossings+1,
+    longest same-sign run) that distinguishes a periodic buzz from
+    bursty noise at equal ZCR. Every emitted value is an exact integer
+    from the PCM formula, so the oracle replays the decode arithmetically
+    — the ``wav_dft_audit`` contract without the float anchors.
+
+    Scale: embarrassingly parallel mapInPandas over ≤250-sample clips;
+    zero shuffles, payloads never leave the task."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id", (F.col("n_chars") % 200 + 50).cast("int").alias("n")
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "asset_id",
+                    "n_frames",
+                    "n_crossings",
+                    "n_runs",
+                    "longest_run",
+                    "zcr_micro",
+                )
+            }
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                s = _parse_wav(_wav_bytes(int(doc_id), int(n)))["samples"].astype(
+                    np.int64
+                )
+                neg = (s < 0).astype(np.int64)
+                flips = np.nonzero(neg[1:] != neg[:-1])[0]
+                crossings = int(len(flips))
+                bounds = np.concatenate(([-1], flips, [len(s) - 1]))
+                longest = int(np.diff(bounds).max())
+                out["asset_id"].append(int(doc_id))
+                out["n_frames"].append(int(n))
+                out["n_crossings"].append(crossings)
+                out["n_runs"].append(crossings + 1)
+                out["longest_run"].append(longest)
+                out["zcr_micro"].append(
+                    int(np.floor(crossings / (int(n) - 1) * 1e6 + 0.5))
+                )
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, n_frames long, n_crossings long, n_runs long, "
+        "longest_run long, zcr_micro long",
+    )
+
+
+QUERIES["multimodal_audio_zcr"] = audio_zcr_stats
+# Arithmetic replay of the PCM formula: sign from the mod-256 expression,
+# crossings/runs via a lag over the unnested sample index.
+ORACLES["multimodal_audio_zcr"] = """
+    WITH a AS (
+        SELECT doc_id, (n_chars % 200 + 50)::BIGINT AS n FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n, unnest(range(n)) AS k
+    FROM a
+    ),
+    sgn AS (
+        SELECT doc_id, n, k,
+               CASE WHEN ((doc_id * 31 + k * 7) % 256) - 128 < 0
+                    THEN 1 ELSE 0 END AS neg
+        FROM s
+    ),
+    flips AS (
+        SELECT doc_id, n, k, neg,
+               CASE WHEN lag(neg) OVER (PARTITION BY doc_id ORDER BY k)
+                         IS DISTINCT FROM neg
+                         AND k > 0 THEN 1 ELSE 0 END AS flip
+        FROM sgn
+    ),
+    runs AS (
+        SELECT doc_id, n, k,
+               sum(flip) OVER (PARTITION BY doc_id ORDER BY k
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND
+                               CURRENT ROW) AS run_id
+        FROM flips
+    ),
+    run_len AS (
+        SELECT doc_id, max(n) AS n, run_id, count(*)::BIGINT AS len
+        FROM runs GROUP BY doc_id, run_id
+    )
+    SELECT doc_id AS asset_id,
+           max(n)::BIGINT AS n_frames,
+           (count(*) - 1)::BIGINT AS n_crossings,
+           count(*)::BIGINT AS n_runs,
+           max(len)::BIGINT AS longest_run,
+           floor((count(*) - 1)::DOUBLE / (max(n) - 1)::DOUBLE * 1000000
+                 + 0.5)::BIGINT AS zcr_micro
+    FROM run_len GROUP BY doc_id
+"""

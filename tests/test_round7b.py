@@ -565,3 +565,116 @@ def test_phash_groups_collapse_by_seed(tables):
     assert len(set(dc_by_seed.values())) > len(
         {next(iter(h)) for h in by_seed.values()}
     )
+
+
+# -------------------------------------------------------------------- zcr
+
+
+def test_audio_zcr_pure_numpy_replay(tables):
+    """Replay sign runs from the PCM formula directly (no WAV codec)."""
+    from flink_210225_spark.ops.multimodal import audio_zcr_stats
+
+    got = {r["asset_id"]: r for r in audio_zcr_stats(tables).collect()}
+    import duckdb
+
+    docs = duckdb.sql(
+        "SELECT doc_id, n_chars FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).df()
+    for doc_id, n_chars in zip(docs["doc_id"], docs["n_chars"]):
+        n = int(n_chars) % 200 + 50
+        k = np.arange(n)
+        s = ((doc_id * 31 + k * 7) % 256) - 128
+        neg = (s < 0).astype(int)
+        crossings = int((neg[1:] != neg[:-1]).sum())
+        runs = []
+        cur = 1
+        for i in range(1, n):
+            if neg[i] == neg[i - 1]:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        row = got[doc_id]
+        assert row["n_frames"] == n
+        assert row["n_crossings"] == crossings
+        assert row["n_runs"] == crossings + 1 == len(runs)
+        assert row["longest_run"] == max(runs)
+        assert row["zcr_micro"] == np.floor(crossings / (n - 1) * 1e6 + 0.5)
+
+
+# ------------------------------------------------------------- periodogram
+
+
+def test_periodogram_integer_basis_replay(tables):
+    """numpy third implementation with the SAME integer basis, plus the
+    float-DFT sanity check: the integer periodogram's relative powers
+    must track numpy's float periodogram to the basis quantization."""
+    import duckdb
+
+    from flink_210225_spark.operators.windows import (
+        _PGRAM_N,
+        _pgram_basis,
+        periodogram,
+    )
+
+    got = {r["k"]: r for r in periodogram(tables).collect()}
+    daily = duckdb.sql(
+        "SELECT ts::DATE AS day, sum(floor(value*100+0.5)::BIGINT)::BIGINT x"
+        " FROM '/root/testdata/sf0.001/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).df()
+    x = daily["x"].to_numpy()[:_PGRAM_N].astype(object)  # python ints, exact
+    xc = _PGRAM_N * x - x.sum()
+    basis = {}
+    for k, t, c, s in _pgram_basis():
+        basis.setdefault(k, [[0] * _PGRAM_N, [0] * _PGRAM_N])
+        basis[k][0][t] = c
+        basis[k][1][t] = s
+    powers = {}
+    for k, (cs, ss) in basis.items():
+        sc = sum(int(a) * b for a, b in zip(xc, cs))
+        si = sum(int(a) * b for a, b in zip(xc, ss))
+        powers[k] = sc * sc + si * si
+    tot = sum(powers.values())
+    peak = max(powers.values())
+    for k, p in powers.items():
+        row = got[k]
+        assert row["power_rel_micro"] == int(np.floor(p / tot * 1e6 + 0.5))
+        assert row["is_peak"] == (p == peak)
+    # float-DFT agreement: same peak harmonic as numpy's rfft
+    xf = np.abs(np.fft.rfft(xc.astype(np.float64)))[1:16] ** 2
+    assert int(np.argmax(xf)) + 1 == max(powers, key=powers.get)
+
+
+# -------------------------------------------------------------------- theil
+
+
+def test_theil_decomposition_replay(tables):
+    """numpy replay of T, T_between, T_within; additivity is exact by
+    construction, so also check T >= T_between >= 0."""
+    import duckdb
+
+    from flink_210225_spark.operators.serving import theil_index
+
+    row = theil_index(tables).collect()[0]
+    j = duckdb.sql(
+        "SELECT sum(floor(o_totalprice*100+0.5)::BIGINT)::BIGINT x,"
+        " max(c_mktsegment) seg FROM"
+        " '/root/testdata/sf0.001/orders.parquet' o JOIN"
+        " '/root/testdata/sf0.001/customer.parquet' c"
+        " ON o_custkey = c_custkey GROUP BY o_custkey"
+    ).df()
+    x = j["x"].to_numpy().astype(np.float64)
+    n, t = len(x), x.sum()
+    r = x * n / t
+    T = float((r * np.log(r)).sum() / n)
+    tb = 0.0
+    for _, g in j.groupby("seg"):
+        sg = g["x"].sum() / t
+        ng = len(g) / n
+        tb += sg * np.log(sg / ng)
+    assert row["n_customers"] == n
+    assert abs(row["theil_micro"] - np.floor(T * 1e6 + 0.5)) <= 1
+    assert abs(row["between_micro"] - np.floor(tb * 1e6 + 0.5)) <= 1
+    assert abs(row["within_micro"] - np.floor((T - tb) * 1e6 + 0.5)) <= 1
+    assert row["theil_micro"] >= row["between_micro"] >= 0
