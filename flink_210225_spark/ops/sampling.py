@@ -1950,3 +1950,90 @@ ORACLES["sample_pps_estimator"] = f"""
                AS rel_err_micro
     FROM s
 """
+
+
+def snake_shards(tables: dict[str, DataFrame], n_shards: int = 8) -> DataFrame:
+    """Boustrophedon (snake-draft) balanced sharding — assign docs to B=8
+    shards so per-shard TOKEN loads stay even: sort docs by token count
+    descending, deal rank r to shard r%B on even rounds and B−1−(r%B) on
+    odd rounds. The window-expressible cousin of LPT multiway
+    partitioning (which needs a sequential min-load cursor): for sorted
+    inputs the snake's worst-case imbalance is one document's tokens per
+    round pair, which is what makes it the standard recipe for balanced
+    training microbatches / length-bucketed shards (companions:
+    ``sample_shuffle_shards`` balances COUNTS by hash;
+    ``text_pack_bins`` packs to a CAPACITY; this balances LOADS to a
+    fixed shard count).
+
+    Exactness: token counts and loads are exact BIGINTs; imbalance
+    ratios are single pinned divisions.
+
+    Scale: one global sort-rank over (n_tokens, doc_id) — the same
+    two-phase range-partitioned ranking posture as the quantile kernels;
+    everything after is a B-row agg."""
+    docs = tables["documents"]
+    d = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy(F.desc("n_tokens"), "doc_id")
+    r = F.row_number().over(w) - 1
+    pos = r % n_shards
+    rnd = F.floor(r / n_shards)
+    shard = F.when(rnd % 2 == 0, pos).otherwise(n_shards - 1 - pos)
+    assigned = d.select(
+        "doc_id", "n_tokens", shard.cast("long").alias("shard")
+    )
+    per = assigned.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("token_load"),
+        F.sum(F.col("doc_id")).cast("long").alias("doc_id_checksum"),
+    )
+    wall = Window.partitionBy()
+    mn = F.min("token_load").over(wall)
+    mx = F.max("token_load").over(wall)
+    return per.select(
+        "shard",
+        "n_docs",
+        "token_load",
+        "doc_id_checksum",
+        (F.col("token_load") - mn).cast("long").alias("over_min"),
+        F.floor(
+            mx.cast("double") / mn.cast("double") * 1000000 + 0.5
+        ).cast("long").alias("skew_micro"),
+    )
+
+
+QUERIES["sample_snake_shards"] = snake_shards
+# Same (tokens desc, doc_id) rank, same snake fold; the doc_id checksum
+# pins MEMBERSHIP per shard, not just the load totals.
+ORACLES["sample_snake_shards"] = """
+    WITH d AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                   AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r
+        FROM d
+    ),
+    assigned AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+                    ELSE 7 - (r % 8) END::BIGINT AS shard
+        FROM ranked
+    ),
+    per AS (
+        SELECT shard, count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS token_load,
+               sum(doc_id)::BIGINT AS doc_id_checksum
+        FROM assigned GROUP BY shard
+    )
+    SELECT shard, n_docs, token_load, doc_id_checksum,
+           (token_load - min(token_load) OVER ())::BIGINT AS over_min,
+           floor(max(token_load) OVER ()::DOUBLE
+                 / min(token_load) OVER ()::DOUBLE * 1000000 + 0.5)::BIGINT
+               AS skew_micro
+    FROM per
+"""

@@ -3669,3 +3669,107 @@ ORACLES["sim_inbatch_retrieval_acc"] = """
            sum(dot)::BIGINT AS top_dot_mass
     FROM top GROUP BY 1
 """
+
+
+# Conservative per-n_probe recall floors for the IVF tuning curve below —
+# measured then pinned with margin under the worst SF, same convention as
+# ANN_RECALL_FLOORS (values printed by the authoring sweep; see tests).
+RECALL_CURVE_FLOORS = {1: 0.60, 2: 0.65, 4: 0.75, 8: 0.85, 16: 1.0}
+# measured: sf0.001 [0.74 0.78 0.82 0.92 1.0], sf0.01 [0.72 0.74 0.84
+# 0.93 1.0], sf0.1 [0.81 0.85 0.92 0.96 1.0] — floors sit ~0.1 under
+# the worst observed point; n_probe=16 is exact by construction.
+
+
+def ivf_recall_curve(
+    tables: dict[str, DataFrame], num_queries: int = 20, k: int = 5
+) -> DataFrame:
+    """IVF n_probe TUNING CURVE — recall@k vs probe count over the same
+    16-cell index: the capacity-planning sweep an ANN deployment runs
+    before picking its latency/recall operating point (each doubling of
+    n_probe roughly doubles candidate cost; the curve says what recall it
+    buys). ``sim_ann_recall_audit`` watches ONE operating point per
+    method; this sweeps the knob — and its n_probe=16 row probes every
+    cell, where IVF-Flat degenerates to exact search, so recall MUST hit
+    1.0 exactly (the structural self-check that the probe machinery, not
+    luck, drives the curve).
+
+    uv_sketch oracle pattern: n_queries is independently recomputable,
+    floors are pinned literals, the booleans must all be TRUE; recall is
+    engine-specific (k-means cells), so it gates via the floor/monotone/
+    exact-at-full contract. The coarse quantizer trains ONCE and every
+    sweep point shares it (the r5 shared-trained lesson); the exact
+    baseline persists once.
+
+    Scale: each sweep point is the IVF equi-join (corpus × n_probe /
+    n_cells candidates); the audit cost scales with the query sample,
+    never the index size."""
+    from pyspark import StorageLevel
+
+    exact = (
+        cosine_topk(tables, num_queries, k)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    emb = tables["embeddings"]
+    assigned, cent = ivf_assign(emb, 16)
+    trained = (assigned.persist(StorageLevel.MEMORY_AND_DISK), cent)
+    rows = []
+    for n_probe in sorted(RECALL_CURVE_FLOORS):
+        floor = RECALL_CURVE_FLOORS[n_probe]
+        ann = (
+            ivf_ann_topk(tables, num_queries, k, n_probe=n_probe, trained=trained)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+        )
+        j = exact.join(ann, ["query_id", "neighbor_id"], "left")
+        rows.append(
+            j.agg(
+                F.countDistinct("query_id").cast("long").alias("n_queries"),
+                (F.sum(F.coalesce("hit", F.lit(0))) / F.count("*")).alias("r"),
+            ).select(
+                F.lit(n_probe).cast("long").alias("n_probe"),
+                "n_queries",
+                F.lit(floor).alias("recall_floor"),
+                (F.col("r") >= floor).alias("recall_ok"),
+                F.col("r").alias("_r"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    # materialize, then release (the ann_recall_audit unpersist contract)
+    res = out.collect()
+    exact.unpersist()
+    trained[0].unpersist()
+    by_probe = sorted(res, key=lambda row: row["n_probe"])
+    final = []
+    prev = None
+    for row in by_probe:
+        monotone = prev is None or row["_r"] >= prev - 1e-12
+        final.append(
+            (
+                row["n_probe"],
+                row["n_queries"],
+                row["recall_floor"],
+                bool(row["recall_ok"]),
+                bool(monotone),
+                bool(row["n_probe"] != 16 or abs(row["_r"] - 1.0) < 1e-12),
+            )
+        )
+        prev = row["_r"]
+    return emb.sparkSession.createDataFrame(
+        final,
+        "n_probe long, n_queries long, recall_floor double, recall_ok boolean,"
+        " monotone_ok boolean, exact_at_full boolean",
+    )
+
+
+QUERIES["sim_recall_curve"] = ivf_recall_curve
+ORACLES["sim_recall_curve"] = """
+    SELECT m.n_probe::BIGINT AS n_probe, nq.n AS n_queries, m.recall_floor,
+           TRUE AS recall_ok, TRUE AS monotone_ok, TRUE AS exact_at_full
+    FROM (VALUES (1, 0.60::DOUBLE), (2, 0.65::DOUBLE), (4, 0.75::DOUBLE),
+                 (8, 0.85::DOUBLE), (16, 1.0::DOUBLE))
+         m(n_probe, recall_floor),
+         (SELECT count(*)::BIGINT AS n FROM embeddings WHERE vec_id < 20) nq
+"""

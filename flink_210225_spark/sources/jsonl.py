@@ -860,3 +860,92 @@ ORACLES["source_incremental_listing"] = """
            sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT
     FROM events WHERE event_id % 2 = 1
 """
+
+
+def parquet_metadata_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Parquet FOOTER statistics audit — the metadata-trust check every
+    lakehouse needs: file-skipping (``warehouse_zonemap_prune``,
+    ``source_partition_prune``) is only sound if the footer's
+    num_values/null_count/min/max actually agree with the data, so this
+    op reads the REAL parquet footers (pyarrow, executor-side) for the
+    orders table's numeric columns, aggregates row-group stats to
+    table-level, and the oracle recomputes the same numbers from the DATA
+    — any writer/footer corruption breaks the hash.
+
+    Scale: the file list (from the scan's own ``inputFiles``) distributes
+    over executors via mapInPandas; each task reads FOOTERS only (KBs per
+    file, never data pages) — the shape of a million-file lake audit. The
+    per-(file, row_group, column) rows aggregate on a |columns|-sized
+    key."""
+    import pandas as pd
+
+    o = tables["orders"]
+    spark = o.sparkSession
+    files = [f.replace("file://", "") for f in o.inputFiles()]
+    cols = ("o_orderkey", "o_custkey", "o_totalprice")
+    fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        min(len(files), 32)
+    )
+
+    def footers(it):
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            rows = {
+                "col": [],
+                "num_values": [],
+                "null_count": [],
+                "min_val": [],
+                "max_val": [],
+            }
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                idx = {
+                    md.row_group(0).column(i).path_in_schema: i
+                    for i in range(md.row_group(0).num_columns)
+                }
+                for rg_i in range(md.num_row_groups):
+                    rg = md.row_group(rg_i)
+                    for col in cols:
+                        c = rg.column(idx[col])
+                        st = c.statistics
+                        rows["col"].append(col)
+                        rows["num_values"].append(int(c.num_values))
+                        rows["null_count"].append(int(st.null_count))
+                        rows["min_val"].append(float(st.min))
+                        rows["max_val"].append(float(st.max))
+            yield pd.DataFrame(rows)
+
+    per_rg = fdf.mapInPandas(
+        footers,
+        "col string, num_values long, null_count long, min_val double,"
+        " max_val double",
+    )
+    return per_rg.groupBy("col").agg(
+        F.sum("num_values").cast("long").alias("num_values"),
+        F.sum("null_count").cast("long").alias("null_count"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+    )
+
+
+QUERIES["source_parquet_metadata"] = parquet_metadata_audit
+# The data-side recomputation of the footer claims (doubles: BIGINT
+# min/max are < 2^53, exact in double).
+ORACLES["source_parquet_metadata"] = """
+    SELECT 'o_orderkey' AS col, count(o_orderkey)::BIGINT AS num_values,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS null_count,
+           min(o_orderkey)::DOUBLE AS min_val, max(o_orderkey)::DOUBLE AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(o_custkey)::BIGINT,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           min(o_custkey)::DOUBLE, max(o_custkey)::DOUBLE
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(o_totalprice)::BIGINT,
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           min(o_totalprice)::DOUBLE, max(o_totalprice)::DOUBLE
+    FROM orders
+"""

@@ -678,3 +678,83 @@ def test_theil_decomposition_replay(tables):
     assert abs(row["between_micro"] - np.floor(tb * 1e6 + 0.5)) <= 1
     assert abs(row["within_micro"] - np.floor((T - tb) * 1e6 + 0.5)) <= 1
     assert row["theil_micro"] >= row["between_micro"] >= 0
+
+
+# --------------------------------------------------------- parquet footer
+
+
+def test_parquet_metadata_vs_pyarrow_direct(tables):
+    """Footer aggregation must equal a direct driver-side pyarrow read."""
+    import pyarrow.parquet as pq
+
+    from flink_210225_spark.sources.jsonl import parquet_metadata_audit
+
+    got = {r["col"]: r for r in parquet_metadata_audit(tables).collect()}
+    md = pq.ParquetFile("/root/testdata/sf0.001/orders.parquet").metadata
+    idx = {
+        md.row_group(0).column(i).path_in_schema: i
+        for i in range(md.row_group(0).num_columns)
+    }
+    for col in ("o_orderkey", "o_custkey", "o_totalprice"):
+        nv = nc = 0
+        mns, mxs = [], []
+        for g in range(md.num_row_groups):
+            c = md.row_group(g).column(idx[col])
+            nv += c.num_values
+            nc += c.statistics.null_count
+            mns.append(float(c.statistics.min))
+            mxs.append(float(c.statistics.max))
+        row = got[col]
+        assert row["num_values"] == nv
+        assert row["null_count"] == nc
+        assert row["min_val"] == min(mns)
+        assert row["max_val"] == max(mxs)
+
+
+# ------------------------------------------------------------ snake shards
+
+
+def test_snake_shards_pure_python_replay(tables):
+    """Replay the boustrophedon deal; loads must cover all docs and the
+    snake bound must hold: max-min load <= max doc tokens."""
+    from flink_210225_spark.ops.sampling import snake_shards
+
+    got = {r["shard"]: r for r in snake_shards(tables).collect()}
+    docs = _docs_pd()
+    toks = [
+        (len(t.strip().split()), did)
+        for did, t in zip(docs["doc_id"], docs["text"])
+    ]
+    toks.sort(key=lambda p: (-p[0], p[1]))
+    loads = [0] * 8
+    counts = [0] * 8
+    checks = [0] * 8
+    for r, (n, did) in enumerate(toks):
+        pos = r % 8
+        shard = pos if (r // 8) % 2 == 0 else 7 - pos
+        loads[shard] += n
+        counts[shard] += 1
+        checks[shard] += did
+    for s in range(8):
+        assert got[s]["n_docs"] == counts[s]
+        assert got[s]["token_load"] == loads[s]
+        assert got[s]["doc_id_checksum"] == checks[s]
+    assert max(loads) - min(loads) <= max(n for n, _ in toks)
+
+
+# ------------------------------------------------------------ recall curve
+
+
+def test_recall_curve_contract(tables):
+    """All contract booleans true; floors match the module constants."""
+    from flink_210225_spark.ops.similarity import (
+        RECALL_CURVE_FLOORS,
+        ivf_recall_curve,
+    )
+
+    rows = {r["n_probe"]: r for r in ivf_recall_curve(tables).collect()}
+    assert set(rows) == set(RECALL_CURVE_FLOORS)
+    for np_, r in rows.items():
+        assert r["recall_floor"] == RECALL_CURVE_FLOORS[np_]
+        assert r["recall_ok"] and r["monotone_ok"] and r["exact_at_full"]
+        assert r["n_queries"] == 20
