@@ -1411,3 +1411,101 @@ ORACLES["join_anti_followup"] = """
                  * 1000000 + 0.5)::BIGINT AS abandon_micro
     FROM ad LEFT JOIN abd USING (day)
 """
+
+
+def waiting_supplier_join(tables: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q21 join TOPOLOGY — the lineitem triple-self-reference: for
+    multi-supplier orders, find (supplier, order) pairs where THIS
+    supplier shipped strictly last. Q21's shape is EXISTS(another
+    supplier in the same order) AND NOT EXISTS(another supplier shipping
+    later-or-equal) over the same fact table — the semi-join + anti-join
+    stack on one scan source that separates real optimizers from
+    naive executors (adapted to this fixture's columns: shipdate stands
+    in for the receipt/commit lateness test; the TOPOLOGY — one fact,
+    one semi, one anti, all on l_orderkey — is the point).
+
+    Spark spelling: per-(order, supplier) latest shipdate once, then a
+    leftsemi against other-supplier rows and a left_anti against
+    later-shipping other-supplier rows, both l_orderkey-keyed equi joins
+    (never BNLJ). Emits the per-supplier blame count + exact cents of
+    blamed lines, supplier-keyed.
+
+    Exactness: counts and cents exact; dates compared as dates."""
+    li = tables["lineitem"]
+    sup = tables["supplier"]
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("last_ship"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+            )
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    others = per.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.col("l_suppkey").alias("other_supp"),
+        F.col("last_ship").alias("other_ship"),
+    )
+    multi = per.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("other_supp")),
+        "left_semi",
+    )
+    blamed = multi.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("other_supp"))
+        & (F.col("other_ship") >= F.col("last_ship")),
+        "left_anti",
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n_blamed_orders"),
+            F.sum("cents").cast("long").alias("blamed_cents"),
+        )
+        .join(
+            F.broadcast(tables["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_name").alias("supplier"),
+            "n_blamed_orders",
+            "blamed_cents",
+        )
+    )
+
+
+QUERIES["join_waiting_supplier"] = waiting_supplier_join
+# Same EXISTS / NOT EXISTS stack over the per-(order, supplier) rollup.
+ORACLES["join_waiting_supplier"] = """
+    WITH per AS (
+        SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last_ship,
+               count(*)::BIGINT AS n_lines,
+               sum(floor(l_extendedprice * (1 - l_discount) * 100
+                         + 0.5)::BIGINT)::BIGINT AS cents
+        FROM lineitem GROUP BY 1, 2
+    ),
+    blamed AS (
+        SELECT p.* FROM per p
+        WHERE EXISTS (
+            SELECT 1 FROM per o
+            WHERE o.l_orderkey = p.l_orderkey
+              AND o.l_suppkey != p.l_suppkey
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM per o
+            WHERE o.l_orderkey = p.l_orderkey
+              AND o.l_suppkey != p.l_suppkey
+              AND o.last_ship >= p.last_ship
+        )
+    )
+    SELECT s.s_name AS supplier, count(*)::BIGINT AS n_blamed_orders,
+           sum(b.cents)::BIGINT AS blamed_cents
+    FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+"""

@@ -2680,3 +2680,104 @@ ORACLES["serving_theil_index"] = """
                  * 1000000 + 0.5)::BIGINT AS within_micro
     FROM agg
 """
+
+
+def market_share(tables: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q8 topology — national market share: of all 'ECONOMY'-type
+    part revenue sold into ASIA (customer side), what fraction was
+    SUPPLIED by each supplier nation, per order year? The widest join
+    star in the classic suite — lineitem at the center, part + supplier
+    + orders hanging off it, customer→nation→region on the demand side
+    and supplier→nation on the supply side (nation joined TWICE under
+    different roles — the alias-disambiguation topology Q8 exists to
+    exercise; reference gmall's dashboards never go past 2 dims).
+
+    Catalyst shape: every dim is broadcast (region 5 / nation 25 / part
+    and supplier SF-proportional but filter-pruned), so the star
+    resolves to a chain of BroadcastHashJoins over ONE lineitem scan —
+    no dim-to-dim shuffle; the year×nation agg shuffles |years·nations|
+    rows. Revenue cents are exact BIGINTs via the canonical
+    floor(price·(1−disc)·100+0.5) pin; shares are one pinned division
+    per row.
+
+    Exactness: integer cents end-to-end; share = nation_cents /
+    year_total via window, micro-pinned."""
+    li, o, p, s, c, n, r = (
+        tables["lineitem"],
+        tables["orders"],
+        tables["part"],
+        tables["supplier"],
+        tables["customer"],
+        tables["nation"],
+        tables["region"],
+    )
+    cents = F.floor(revenue(F.col("l_extendedprice"), F.col("l_discount")) * 100 + 0.5).cast(
+        "long"
+    )
+    cust_nation = c.join(
+        F.broadcast(n.select("n_nationkey", "n_regionkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).join(
+        F.broadcast(r.where(F.col("r_name") == "ASIA").select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("c_custkey")
+    supp_nation = s.join(
+        F.broadcast(
+            n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    j = (
+        li.join(F.broadcast(p.where(F.col("p_type") == "ECONOMY").select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.year("o_orderdate").alias("o_year"), "supp_nation", cents.alias("cents"))
+    )
+    per = j.groupBy("o_year", "supp_nation").agg(
+        F.sum("cents").cast("long").alias("nation_cents")
+    )
+    wy = Window.partitionBy("o_year")
+    return per.select(
+        F.col("o_year").cast("long").alias("o_year"),
+        "supp_nation",
+        "nation_cents",
+        F.sum("nation_cents").over(wy).cast("long").alias("year_cents"),
+        F.floor(
+            F.col("nation_cents").cast("double")
+            / F.sum("nation_cents").over(wy).cast("double")
+            * 1000000
+            + 0.5
+        ).cast("long").alias("share_micro"),
+    )
+
+
+QUERIES["serving_market_share"] = market_share
+ORACLES["serving_market_share"] = """
+    WITH j AS (
+        SELECT year(o.o_orderdate)::BIGINT AS o_year,
+               sn.n_name AS supp_nation,
+               floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)::BIGINT
+                   AS cents
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    ),
+    per AS (
+        SELECT o_year, supp_nation, sum(cents)::BIGINT AS nation_cents
+        FROM j GROUP BY 1, 2
+    )
+    SELECT o_year, supp_nation, nation_cents,
+           sum(nation_cents) OVER (PARTITION BY o_year)::BIGINT AS year_cents,
+           floor(nation_cents::DOUBLE
+                 / sum(nation_cents) OVER (PARTITION BY o_year)::DOUBLE
+                 * 1000000 + 0.5)::BIGINT AS share_micro
+    FROM per
+"""

@@ -758,3 +758,129 @@ def test_recall_curve_contract(tables):
         assert r["recall_floor"] == RECALL_CURVE_FLOORS[np_]
         assert r["recall_ok"] and r["monotone_ok"] and r["exact_at_full"]
         assert r["n_queries"] == 20
+
+
+# ------------------------------------------------------------ market share
+
+
+def test_market_share_pandas_replay(tables):
+    """pandas merge-chain third implementation of the Q8 star."""
+    import duckdb
+
+    from flink_210225_spark.operators.serving import market_share
+
+    got = {
+        (r["o_year"], r["supp_nation"]): r
+        for r in market_share(tables).collect()
+    }
+    sf = "/root/testdata/sf0.001"
+    li = duckdb.sql(f"SELECT * FROM '{sf}/lineitem.parquet'").df()
+    o = duckdb.sql(f"SELECT * FROM '{sf}/orders.parquet'").df()
+    p = duckdb.sql(f"SELECT * FROM '{sf}/part.parquet'").df()
+    s = duckdb.sql(f"SELECT * FROM '{sf}/supplier.parquet'").df()
+    c = duckdb.sql(f"SELECT * FROM '{sf}/customer.parquet'").df()
+    n = duckdb.sql(f"SELECT * FROM '{sf}/nation.parquet'").df()
+    r = duckdb.sql(f"SELECT * FROM '{sf}/region.parquet'").df()
+    asia = r[r.r_name == "ASIA"].r_regionkey.iloc[0]
+    cn = c.merge(n, left_on="c_nationkey", right_on="n_nationkey")
+    cust = set(cn[cn.n_regionkey == asia].c_custkey)
+    econ = set(p[p.p_type == "ECONOMY"].p_partkey)
+    sn = s.merge(n, left_on="s_nationkey", right_on="n_nationkey")
+    supp_nat = dict(zip(sn.s_suppkey, sn.n_name))
+    j = li[li.l_partkey.isin(econ)].merge(
+        o[["o_orderkey", "o_custkey", "o_orderdate"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    j = j[j.o_custkey.isin(cust)]
+    cents = np.floor(
+        j.l_extendedprice * (1 - j.l_discount) * 100 + 0.5
+    ).astype(np.int64)
+    agg = (
+        pd.DataFrame(
+            {
+                "y": j.o_orderdate.dt.year,
+                "nat": j.l_suppkey.map(supp_nat),
+                "c": cents,
+            }
+        )
+        .groupby(["y", "nat"])["c"]
+        .sum()
+    )
+    assert len(got) == len(agg)
+    ytot = agg.groupby(level=0).sum()
+    for (y, nat), cval in agg.items():
+        row = got[(y, nat)]
+        assert row["nation_cents"] == cval
+        assert row["year_cents"] == ytot[y]
+        assert row["share_micro"] == np.floor(cval / ytot[y] * 1e6 + 0.5)
+
+
+def test_market_share_shares_sum_to_one(tables):
+    """Within each year the shares must account for the whole market
+    (micro-rounded: sum within 15 micro of 1e6 per year)."""
+    from flink_210225_spark.operators.serving import market_share
+
+    rows = market_share(tables).collect()
+    by_year = {}
+    for r in rows:
+        by_year.setdefault(r["o_year"], []).append(r["share_micro"])
+    for y, shares in by_year.items():
+        assert abs(sum(shares) - 1_000_000) <= len(shares)
+
+
+# ------------------------------------------------------- waiting supplier
+
+
+def test_waiting_supplier_pure_python_replay(tables):
+    """Dict-based replay of the EXISTS / NOT EXISTS stack."""
+    import duckdb
+
+    from flink_210225_spark.operators.joins import waiting_supplier_join
+
+    got = {r["supplier"]: r for r in waiting_supplier_join(tables).collect()}
+    sf = "/root/testdata/sf0.001"
+    per = duckdb.sql(
+        f"""SELECT l_orderkey, l_suppkey, max(l_shipdate) ls,
+            sum(floor(l_extendedprice*(1-l_discount)*100+0.5)::BIGINT)::BIGINT c
+            FROM '{sf}/lineitem.parquet' GROUP BY 1,2"""
+    ).df()
+    sup = duckdb.sql(
+        f"SELECT s_suppkey, s_name FROM '{sf}/supplier.parquet'"
+    ).df()
+    names = dict(zip(sup.s_suppkey, sup.s_name))
+    by_order = {}
+    for t in per.itertuples():
+        by_order.setdefault(t.l_orderkey, []).append(t)
+    blame = {}
+    for rows_in_order in by_order.values():
+        if len(rows_in_order) < 2:
+            continue  # EXISTS(other supplier) fails
+        for t in rows_in_order:
+            others = [o for o in rows_in_order if o.l_suppkey != t.l_suppkey]
+            if all(o.ls < t.ls for o in others):  # NOT EXISTS(o.ls >= t.ls)
+                b = blame.setdefault(names[t.l_suppkey], [0, 0])
+                b[0] += 1
+                b[1] += int(t.c)
+    assert set(got) == set(blame)
+    for name, (cnt, cents) in blame.items():
+        assert got[name]["n_blamed_orders"] == cnt
+        assert got[name]["blamed_cents"] == cents
+
+
+def test_waiting_supplier_unique_blame_per_order(tables):
+    """At most one strictly-last supplier can exist per order, so total
+    blamed orders <= number of multi-supplier orders."""
+    import duckdb
+
+    from flink_210225_spark.operators.joins import waiting_supplier_join
+
+    total_blamed = sum(
+        r["n_blamed_orders"] for r in waiting_supplier_join(tables).collect()
+    )
+    multi = duckdb.sql(
+        "SELECT count(*) FROM (SELECT l_orderkey FROM"
+        " '/root/testdata/sf0.001/lineitem.parquet'"
+        " GROUP BY 1 HAVING count(DISTINCT l_suppkey) > 1)"
+    ).fetchone()[0]
+    assert 0 < total_blamed <= multi
