@@ -2781,3 +2781,188 @@ ORACLES["serving_market_share"] = """
                  * 1000000 + 0.5)::BIGINT AS share_micro
     FROM per
 """
+
+
+def important_stock(tables: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q11 topology — important stock: parts whose traded value
+    exceeds 1.25× THE MEAN part value (value·4n > 5·total — the fixture's
+    max/mean ratio is ~1.8, so a 2× cut selects nothing; 1.25× keeps a
+    stable ~11% of parts at every SF), the agg-HAVING-against-scalar-
+    subquery shape (the classic suite's only query whose filter depends
+    on a second full aggregation of the same fact data; adapted from
+    partsupp to lineitem value — this fixture ships no partsupp — and
+    from Q11's fixed fraction to a scale-free mean multiple: a fixed
+    basis-point cut empties as the part count grows with SF, which would
+    make the sf0.1 gate vacuous).
+
+    Catalyst shape: ONE part-keyed partial agg; the global total rides in
+    as a scalar subquery over the SAME pre-agg (Catalyst reuses the
+    exchange), so the fact table is scanned once, aggregated once, and
+    the HAVING is a per-group predicate against a broadcast scalar — not
+    a second scan. Exact cents; the share is one pinned division.
+
+    Exactness: the threshold compare is an integer cross-multiply
+    (value·4·n_parts > 5·total — value·n is decimal-widened: BIGINT cents
+    × a 100 TB part count would overflow long), no float in the filter."""
+    li = tables["lineitem"]
+    cents = F.floor(
+        revenue(F.col("l_extendedprice"), F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    per = li.groupBy("l_partkey").agg(F.sum(cents).cast("long").alias("value_cents"))
+    total = per.agg(F.sum("value_cents").cast("long")).scalar()
+    n_parts = per.agg(F.count("*").cast("long")).scalar()
+    return (
+        per.where(
+            F.col("value_cents").cast("decimal(38,0)") * n_parts * 4
+            > F.lit(5).cast("decimal(38,0)") * total
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "value_cents",
+            F.floor(
+                F.col("value_cents").cast("double")
+                / total.cast("double")
+                * 1000000
+                + 0.5
+            ).cast("long").alias("share_micro"),
+        )
+    )
+
+
+QUERIES["serving_important_stock"] = important_stock
+ORACLES["serving_important_stock"] = """
+    WITH per AS (
+        SELECT l_partkey AS partkey,
+               sum(floor(l_extendedprice * (1 - l_discount) * 100
+                         + 0.5)::BIGINT)::BIGINT AS value_cents
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(value_cents)::BIGINT AS t,
+                   count(*)::BIGINT AS n FROM per)
+    SELECT partkey, value_cents,
+           floor(value_cents::DOUBLE / (SELECT t FROM tot)::DOUBLE
+                 * 1000000 + 0.5)::BIGINT AS share_micro
+    FROM per
+    WHERE value_cents::HUGEINT * (SELECT n FROM tot) * 4
+          > 5::HUGEINT * (SELECT t FROM tot)
+"""
+
+
+def ipw_ate(tables: dict[str, DataFrame]) -> DataFrame:
+    """Stratified inverse-propensity-weighted ATE — the observational
+    twin of ``serving_ab_lift``/``serving_ab_cuped``: when assignment
+    isn't a fair coin WITHIN every stratum, the naive treat−control mean
+    difference confounds with stratum mix; IPW reweights each user by
+    1/p̂(T|stratum) using the EMPIRICAL per-stratum propensity
+    (Horvitz–Thompson applied to causal contrast — the same
+    design-based idea as ``sample_pps_estimator``, pointed at
+    treatment effects). Treatment = user_id parity, stratum = the
+    user's first-seen day-of-week (a pre-treatment covariate), outcome
+    = the user's purchase cents.
+
+    Exactness: counts/cents exact BIGINTs; propensities are exact
+    integer ratios evaluated in one fixed double shape; the two
+    estimator sums are micro-pinned. Strata with a degenerate arm
+    (p̂ ∈ {0,1}) are excluded from BOTH estimators on both engines —
+    the positivity assumption, enforced identically.
+
+    Scale: one user-keyed rollup (shuffle carries users), one
+    stratum-keyed partial agg (7 rows), scalar grand totals."""
+    ev = tables["events"]
+    users = ev.groupBy("user_id").agg(
+        # min(ts) alone fixes the stratum: equal timestamps share a date,
+        # so no tie-break column is needed for a day-of-week bucket
+        F.min("ts").alias("first_ts"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    users = users.select(
+        "user_id",
+        "y",
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.weekday(F.to_date(F.col("first_ts"))) + 1).cast("long").alias(
+            "stratum"
+        ),
+    )
+    strata = users.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n_s"),
+        F.sum(F.when(F.col("treated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_treat"),
+    )
+    j = users.join(F.broadcast(strata), "stratum").where(
+        (F.col("n_treat") > 0) & (F.col("n_treat") < F.col("n_s"))
+    )
+    p = F.col("n_treat").cast("double") / F.col("n_s").cast("double")
+    term = F.when(
+        F.col("treated"), F.col("y").cast("double") / p
+    ).otherwise(-F.col("y").cast("double") / (1.0 - p))
+    agg = j.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.countDistinct("stratum").cast("long").alias("n_strata"),
+        (F.sum(term) / F.count("*")).alias("ate"),
+        (
+            F.sum(F.when(F.col("treated"), F.col("y")).otherwise(0)).cast("double")
+            / F.sum(F.when(F.col("treated"), 1).otherwise(0)).cast("double")
+            - F.sum(F.when(~F.col("treated"), F.col("y")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum(F.when(~F.col("treated"), 1).otherwise(0)).cast("double")
+        ).alias("naive"),
+    )
+    return agg.select(
+        "n_users",
+        "n_strata",
+        F.floor(F.col("naive") * 1000000 + 0.5).cast("long").alias(
+            "naive_diff_micro"
+        ),
+        F.floor(F.col("ate") * 1000000 + 0.5).cast("long").alias(
+            "ipw_ate_micro"
+        ),
+    )
+
+
+QUERIES["serving_ipw_ate"] = ipw_ate
+# Same user rollup (stratum from min(ts)'s day-of-week), same positivity
+# filter, same fixed-shape estimator sums.
+ORACLES["serving_ipw_ate"] = """
+    WITH users AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN floor(value * 100 + 0.5)::BIGINT
+                        ELSE 0 END)::BIGINT AS y,
+               (user_id % 2 = 0) AS treated,
+               isodow(min(ts)::DATE) AS stratum
+        FROM events GROUP BY user_id
+    ),
+    strata AS (
+        SELECT stratum, count(*)::BIGINT AS n_s,
+               sum(CASE WHEN treated THEN 1 ELSE 0 END)::BIGINT AS n_treat
+        FROM users GROUP BY stratum
+    ),
+    j AS (
+        SELECT u.*, s.n_s, s.n_treat
+        FROM users u JOIN strata s USING (stratum)
+        WHERE s.n_treat > 0 AND s.n_treat < s.n_s
+    )
+    SELECT count(*)::BIGINT AS n_users,
+           count(DISTINCT stratum)::BIGINT AS n_strata,
+           floor((sum(CASE WHEN treated THEN y ELSE 0 END)::DOUBLE
+                  / sum(CASE WHEN treated THEN 1 ELSE 0 END)::DOUBLE
+                  - sum(CASE WHEN NOT treated THEN y ELSE 0 END)::DOUBLE
+                    / sum(CASE WHEN NOT treated THEN 1 ELSE 0 END)::DOUBLE)
+                 * 1000000 + 0.5)::BIGINT AS naive_diff_micro,
+           floor(sum(CASE WHEN treated
+                          THEN y::DOUBLE / (n_treat::DOUBLE / n_s::DOUBLE)
+                          ELSE -(y::DOUBLE
+                                 / (1.0 - n_treat::DOUBLE / n_s::DOUBLE))
+                     END) / count(*) * 1000000 + 0.5)::BIGINT
+               AS ipw_ate_micro
+    FROM j
+"""

@@ -1081,3 +1081,53 @@ QUERIES["sql_execute_immediate"] = _execute_immediate_sql_q
 ORACLES["sql_execute_immediate"] = (
     EXEC_IMMEDIATE_INNER.format(orders="orders").replace(":minp", "150000.0")
 )
+
+
+COLLATION_SQL = """
+    WITH v AS (
+        SELECT CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+                    WHEN c_custkey % 3 = 1 THEN c_mktsegment
+                    ELSE substr(c_mktsegment, 1, 1)
+                         || lower(substr(c_mktsegment, 2)) END AS seg,
+               c_custkey
+        FROM {customer}
+    )
+    SELECT min(lower(seg)) AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT seg) AS BIGINT) AS n_case_variants,
+           CAST(count(DISTINCT {ci_expr}) AS BIGINT) AS n_ci
+    FROM v
+    GROUP BY {group_expr}
+"""
+
+
+def _collation_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """Spark 4 COLLATION grammar as ONE spark.sql TEXT — GROUP BY and
+    COUNT(DISTINCT) under ``COLLATE UTF8_LCASE``, the engine-level
+    case-insensitive comparison that replaces ad-hoc ``lower()`` wrapping
+    (and, unlike lower(), composes with indexes/stats on collated
+    columns). The fixture's segments are case-exploded three ways by
+    custkey; the collated GROUP BY must collapse them back: per group,
+    ``n_case_variants`` (binary-distinct spellings) is 2-3 and ``n_ci``
+    (collated-distinct) must be exactly 1 — the semantic contract of the
+    collation. DuckDB replays with lower() equivalence, so the hash
+    gates that UTF8_LCASE equality == lowercase equality on this
+    alphabet.
+
+    Scale: the collated group key hashes its collation key — same
+    shuffle shape as any groupBy; no row explosion."""
+    c = tables["customer"]
+    c.createOrReplaceTempView("customer_view_sql_collation")
+    return c.sparkSession.sql(
+        COLLATION_SQL.format(
+            customer="customer_view_sql_collation",
+            ci_expr="seg COLLATE UTF8_LCASE",
+            group_expr="seg COLLATE UTF8_LCASE",
+        )
+    )
+
+
+QUERIES["sql_collation_groupby"] = _collation_sql_q
+ORACLES["sql_collation_groupby"] = COLLATION_SQL.format(
+    customer="customer", ci_expr="lower(seg)", group_expr="lower(seg)"
+)

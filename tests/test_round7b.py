@@ -884,3 +884,90 @@ def test_waiting_supplier_unique_blame_per_order(tables):
         " GROUP BY 1 HAVING count(DISTINCT l_suppkey) > 1)"
     ).fetchone()[0]
     assert 0 < total_blamed <= multi
+
+
+# --------------------------------------------------------------- collation
+
+
+def test_collation_groups_collapse(tables):
+    """Every collated group must hold >1 binary spelling but exactly 1
+    collated-distinct value; lowercase keys must match the base segs."""
+    import duckdb
+
+    from flink_210225_spark.streaming.sql_jobs import _collation_sql_q
+
+    rows = _collation_sql_q(tables).collect()
+    segs = duckdb.sql(
+        "SELECT DISTINCT lower(c_mktsegment) s FROM"
+        " '/root/testdata/sf0.001/customer.parquet'"
+    ).df()["s"]
+    assert {r["segment"] for r in rows} == set(segs)
+    for r in rows:
+        assert r["n_ci"] == 1
+        assert 2 <= r["n_case_variants"] <= 3
+
+
+# --------------------------------------------------------- important stock
+
+
+def test_important_stock_threshold_replay(tables):
+    """pandas replay of the 1.25x-mean HAVING, exact cross-multiply."""
+    import duckdb
+
+    from flink_210225_spark.operators.serving import important_stock
+
+    got = {r["partkey"]: r for r in important_stock(tables).collect()}
+    per = duckdb.sql(
+        "SELECT l_partkey, sum(floor(l_extendedprice*(1-l_discount)*100+0.5)"
+        "::BIGINT)::BIGINT v FROM '/root/testdata/sf0.001/lineitem.parquet'"
+        " GROUP BY 1"
+    ).df()
+    n, tot = len(per), int(per.v.sum())
+    keep = per[per.v * n * 4 > 5 * tot]
+    assert set(got) == set(keep.l_partkey)
+    for _, r in keep.iterrows():
+        assert got[r.l_partkey]["value_cents"] == r.v
+        assert got[r.l_partkey]["share_micro"] == np.floor(
+            r.v / tot * 1e6 + 0.5
+        )
+
+
+# --------------------------------------------------------------------- ipw
+
+
+def test_ipw_ate_pure_python_replay(tables):
+    """Textbook stratified IPW with dicts; also checks the positivity
+    filter and the estimator's structure (naive != ipw only via
+    stratum-mix reweighting; both are finite)."""
+    import duckdb
+
+    from flink_210225_spark.operators.serving import ipw_ate
+
+    row = ipw_ate(tables).collect()[0]
+    u = duckdb.sql(
+        "SELECT user_id,"
+        " sum(CASE WHEN event_type='purchase' THEN floor(value*100+0.5)::BIGINT"
+        " ELSE 0 END)::BIGINT y,"
+        " isodow(min(ts)::DATE) s"
+        " FROM '/root/testdata/sf0.001/events.parquet' GROUP BY user_id"
+    ).df()
+    u["t"] = (u.user_id % 2 == 0).to_numpy()
+    strata = {}
+    for _, r in u.iterrows():
+        d = strata.setdefault(r.s, [0, 0])
+        d[0] += 1
+        d[1] += int(r.t)
+    ok = {s for s, (n, nt) in strata.items() if 0 < nt < n}
+    j = u[u.s.isin(ok)]
+    terms = []
+    for _, r in j.iterrows():
+        n, nt = strata[r.s]
+        p = nt / n
+        terms.append(r.y / p if r.t else -r.y / (1 - p))
+    ate = sum(terms) / len(j)
+    tr, ct = j[j.t], j[~j.t]
+    naive = tr.y.mean() - ct.y.mean()
+    assert row["n_users"] == len(j)
+    assert row["n_strata"] == len(ok)
+    assert abs(row["ipw_ate_micro"] - np.floor(ate * 1e6 + 0.5)) <= 1
+    assert abs(row["naive_diff_micro"] - np.floor(naive * 1e6 + 0.5)) <= 1
