@@ -2966,3 +2966,98 @@ ORACLES["serving_ipw_ate"] = """
                AS ipw_ate_micro
     FROM j
 """
+
+
+def segment_migration(tables: dict[str, DataFrame]) -> DataFrame:
+    """Value-segment MIGRATION matrix — how customers move between spend
+    tiers from the first half of the order history to the second: the
+    transition counts behind every retention/upsell dashboard (the
+    dynamic twin of ``serving_rfm``'s single-snapshot tiers, and of
+    ``serving_retention_matrix`` which tracks presence, not tier).
+    Periods split at the literal midpoint of the fixture's 1995-2001
+    order-date span (a pinned constant on both engines — a data-derived
+    median would hinge on cross-engine discrete-quantile tie rules);
+    tiers are spend terciles WITHIN each period (rank cuts), so
+    the matrix is margin-stable by construction; customers absent from a
+    period land in tier 0 ('none').
+
+    Exactness: cents exact; tercile cuts compare percent_rank (an exact
+    integer ratio) against literal thirds via cross-multiplied integers
+    (3·rank vs k·(n−1)) — no float boundary.
+
+    Scale: two custkey-keyed rollups (one per period — a single scan,
+    period folded into the group key), two domain-sized rank windows,
+    one 16-cell agg."""
+    o = tables["orders"]
+    spend = (
+        o.select(
+            "o_custkey",
+            F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("period"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias(
+                "cents"
+            ),
+        )
+        .groupBy("o_custkey", "period")
+        .agg(F.sum("cents").cast("long").alias("spend"))
+    )
+    wp = Window.partitionBy("period").orderBy("spend", "o_custkey")
+    rk = F.row_number().over(wp) - 1
+    n_p = F.count("*").over(Window.partitionBy("period"))
+    tier = (
+        F.when(rk * 3 <= (n_p - 1) * 1, F.lit(1))
+        .when(rk * 3 <= (n_p - 1) * 2, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    tiers = spend.select("o_custkey", "period", tier.cast("long").alias("tier"))
+    t1 = tiers.where(F.col("period") == 1).select(
+        "o_custkey", F.col("tier").alias("tier_from")
+    )
+    t2 = tiers.where(F.col("period") == 2).select(
+        "o_custkey", F.col("tier").alias("tier_to")
+    )
+    m = t1.join(t2, "o_custkey", "full").select(
+        F.coalesce("tier_from", F.lit(0)).alias("tier_from"),
+        F.coalesce("tier_to", F.lit(0)).alias("tier_to"),
+    )
+    return m.groupBy("tier_from", "tier_to").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+
+
+QUERIES["serving_segment_migration"] = segment_migration
+# Same literal period split, same cross-multiplied tercile cuts, same
+# full-outer none-tier completion.
+ORACLES["serving_segment_migration"] = """
+    WITH spend AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 2 END
+                   AS period,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS spend
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT o_custkey, period,
+               row_number() OVER (PARTITION BY period
+                                  ORDER BY spend, o_custkey) - 1 AS rk,
+               count(*) OVER (PARTITION BY period) AS n_p
+        FROM spend
+    ),
+    tiers AS (
+        SELECT o_custkey, period,
+               CASE WHEN rk * 3 <= (n_p - 1) * 1 THEN 1
+                    WHEN rk * 3 <= (n_p - 1) * 2 THEN 2
+                    ELSE 3 END::BIGINT AS tier
+        FROM ranked
+    ),
+    m AS (
+        SELECT coalesce(a.tier, 0)::BIGINT AS tier_from,
+               coalesce(b.tier, 0)::BIGINT AS tier_to
+        FROM (SELECT o_custkey, tier FROM tiers WHERE period = 1) a
+        FULL JOIN (SELECT o_custkey, tier FROM tiers WHERE period = 2) b
+        USING (o_custkey)
+    )
+    SELECT tier_from, tier_to, count(*)::BIGINT AS n_customers
+    FROM m GROUP BY 1, 2
+"""

@@ -5949,3 +5949,83 @@ ORACLES["text_burrows_delta"] = """
     FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
     GROUP BY a.source, b.source
 """
+
+
+def sentence_stats(tables: dict[str, DataFrame]) -> DataFrame:
+    """Sentence segmentation statistics — the preprocessing profile RAG
+    chunkers and readability scorers sit on: split each document on
+    terminal punctuation runs ([.!?]+ followed by whitespace or EOS),
+    then per LANGUAGE report document/sentence volumes, tokens per
+    sentence (micro-pinned mean), the longest sentence, and the share of
+    one-sentence documents (the boilerplate/fragment smell). The
+    sentence-level sibling of ``text_chunk_windows`` (token windows) and
+    ``text_readability`` (whose ASL term this decomposes into auditable
+    parts).
+
+    Exactness: sentence and token counts are exact integers from the
+    same regex on both engines (POSIX class spellings verified
+    equivalent); ratios are single pinned divisions.
+
+    Scale: one scan, per-row array ops, one lang-keyed partial agg —
+    the shuffle carries |langs| rows."""
+    docs = tables["documents"]
+    sent = F.expr(
+        r"filter(split(trim(text), '[.!?]+(\\s+|$)'), s -> s != '')"
+    )
+    per_doc = docs.select(
+        "lang",
+        F.size(sent).alias("n_sents"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+        F.expr(
+            r"array_max(transform(filter(split(trim(text), '[.!?]+(\\s+|$)'),"
+            r" s -> s != ''), s -> size(split(trim(s), '\\s+'))))"
+        ).alias("max_sent_toks"),
+    ).where(F.col("n_sents") > 0)
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_sents").cast("long").alias("n_sentences"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.max("max_sent_toks").cast("long").alias("longest_sentence_toks"),
+        F.floor(
+            F.sum("n_toks").cast("double")
+            / F.sum("n_sents").cast("double")
+            * 1000000
+            + 0.5
+        ).cast("long").alias("toks_per_sentence_micro"),
+        F.floor(
+            F.sum(F.when(F.col("n_sents") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+            * 1000000
+            + 0.5
+        ).cast("long").alias("single_sentence_share_micro"),
+    )
+
+
+QUERIES["text_sentence_stats"] = sentence_stats
+# Same terminal-punctuation split ('[.!?]+(\s+|$)' — regexp_split_to_array
+# is DuckDB's split-by-regex twin), same empty-string filter.
+ORACLES["text_sentence_stats"] = """
+    WITH per AS (
+        SELECT lang,
+               len(list_filter(regexp_split_to_array(trim(text),
+                   '[.!?]+(\\s+|$)'), s -> s <> ''))::BIGINT AS n_sents,
+               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                   AS n_toks,
+               list_max(list_transform(
+                   list_filter(regexp_split_to_array(trim(text),
+                       '[.!?]+(\\s+|$)'), s -> s <> ''),
+                   s -> len(regexp_split_to_array(trim(s), '\\s+'))))::BIGINT
+                   AS max_sent_toks
+        FROM documents
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_sents)::BIGINT AS n_sentences,
+           sum(n_toks)::BIGINT AS n_tokens,
+           max(max_sent_toks)::BIGINT AS longest_sentence_toks,
+           floor(sum(n_toks)::DOUBLE / sum(n_sents)::DOUBLE * 1000000
+                 + 0.5)::BIGINT AS toks_per_sentence_micro,
+           floor(sum(CASE WHEN n_sents = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE * 1000000 + 0.5)::BIGINT
+               AS single_sentence_share_micro
+    FROM per WHERE n_sents > 0 GROUP BY lang
+"""

@@ -1131,3 +1131,58 @@ QUERIES["sql_collation_groupby"] = _collation_sql_q
 ORACLES["sql_collation_groupby"] = COLLATION_SQL.format(
     customer="customer", ci_expr="lower(seg)", group_expr="lower(seg)"
 )
+
+
+SQL_UDF_BODY = (
+    "SELECT o_orderstatus AS status, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum({cents_call}) AS BIGINT) AS cents, "
+    "CAST(sum({tier_call}) AS BIGINT) AS tier_sum "
+    "FROM {orders} GROUP BY o_orderstatus"
+)
+
+
+def _sql_udf_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """SQL-defined scalar functions (CREATE TEMPORARY FUNCTION … RETURN
+    expr, Spark 3.5+/SQL-standard SQL-body UDF) — the engine-native way
+    to centralize expression logic WITHOUT leaving codegen: unlike a
+    Python UDF the body INLINES into the caller's plan (the optimizer
+    sees floor/CASE, not an opaque call), so the canonical-cents rule
+    can live in one named function at zero runtime cost. Two functions:
+    the repo's canonical cents pin and a CASE tier, one calling context
+    each; the oracle inlines the identical bodies, gating that function
+    inlining is semantics-preserving.
+
+    Scale: zero — the inlined plan is byte-identical to the hand-written
+    expression (no serialization boundary, full WholeStageCodegen)."""
+    o = tables["orders"]
+    spark = o.sparkSession
+    o.createOrReplaceTempView("orders_view_sql_udf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sg_cents(x DOUBLE) RETURNS"
+        " BIGINT RETURN CAST(floor(x * 100 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sg_tier(x DOUBLE) RETURNS INT"
+        " RETURN CASE WHEN x > 200000 THEN 3 WHEN x > 100000 THEN 2"
+        " ELSE 1 END"
+    )
+    return spark.sql(
+        SQL_UDF_BODY.format(
+            orders="orders_view_sql_udf",
+            cents_call="sg_cents(o_totalprice)",
+            tier_call="sg_tier(o_totalprice)",
+        )
+    )
+
+
+QUERIES["sql_udf_scalar"] = _sql_udf_q
+# The oracle inlines the two function bodies verbatim.
+ORACLES["sql_udf_scalar"] = SQL_UDF_BODY.format(
+    orders="orders",
+    cents_call="floor(o_totalprice * 100 + 0.5)::BIGINT",
+    tier_call=(
+        "CASE WHEN o_totalprice > 200000 THEN 3"
+        " WHEN o_totalprice > 100000 THEN 2 ELSE 1 END"
+    ),
+)

@@ -971,3 +971,127 @@ def test_ipw_ate_pure_python_replay(tables):
     assert row["n_strata"] == len(ok)
     assert abs(row["ipw_ate_micro"] - np.floor(ate * 1e6 + 0.5)) <= 1
     assert abs(row["naive_diff_micro"] - np.floor(naive * 1e6 + 0.5)) <= 1
+
+
+# ----------------------------------------------------------------- sql udf
+
+
+def test_sql_udf_inlines_like_literal(tables):
+    """The SQL-body functions must compute exactly the inlined exprs."""
+    from flink_210225_spark.streaming.sql_jobs import _sql_udf_q
+
+    got = {r["status"]: r for r in _sql_udf_q(tables).collect()}
+    o = _orders_pd_full()
+    cents = np.floor(o.o_totalprice * 100 + 0.5).astype(np.int64)
+    tier = np.where(
+        o.o_totalprice > 200000, 3, np.where(o.o_totalprice > 100000, 2, 1)
+    )
+    g = pd.DataFrame(
+        {"st": o.o_orderstatus, "c": cents, "t": tier}
+    ).groupby("st")
+    for st, gg in g:
+        row = got[st]
+        assert row["n"] == len(gg)
+        assert row["cents"] == gg.c.sum()
+        assert row["tier_sum"] == gg.t.sum()
+
+
+# ------------------------------------------------------- segment migration
+
+
+def test_segment_migration_matrix_properties(tables):
+    """Margins must equal the per-period tier populations; terciles must
+    be near-equal within a period; matrix covers every customer."""
+    import duckdb
+
+    from flink_210225_spark.operators.serving import segment_migration
+
+    rows = segment_migration(tables).collect()
+    total = sum(r["n_customers"] for r in rows)
+    n_cust = duckdb.sql(
+        "SELECT count(DISTINCT o_custkey) FROM"
+        " '/root/testdata/sf0.001/orders.parquet'"
+    ).fetchone()[0]
+    assert total == n_cust
+    from_m = {}
+    to_m = {}
+    for r in rows:
+        from_m[r["tier_from"]] = from_m.get(r["tier_from"], 0) + r["n_customers"]
+        to_m[r["tier_to"]] = to_m.get(r["tier_to"], 0) + r["n_customers"]
+    # terciles within each period differ by at most 1 (plus the 0-tier)
+    p1 = [v for k, v in from_m.items() if k > 0]
+    p2 = [v for k, v in to_m.items() if k > 0]
+    assert max(p1) - min(p1) <= 1
+    assert max(p2) - min(p2) <= 1
+
+
+def test_segment_migration_pandas_replay(tables):
+    """Full replay: literal 1998 split, rank terciles, outer matrix."""
+    import duckdb
+
+    from flink_210225_spark.operators.serving import segment_migration
+
+    got = {
+        (r["tier_from"], r["tier_to"]): r["n_customers"]
+        for r in segment_migration(tables).collect()
+    }
+    o = duckdb.sql(
+        "SELECT o_custkey, o_orderdate,"
+        " floor(o_totalprice*100+0.5)::BIGINT c"
+        " FROM '/root/testdata/sf0.001/orders.parquet'"
+    ).df()
+    o["period"] = np.where(o.o_orderdate < pd.Timestamp("1998-01-01"), 1, 2)
+    tiers = {}
+    for p, g in o.groupby("period"):
+        s = g.groupby("o_custkey")["c"].sum().reset_index()
+        s = s.sort_values(["c", "o_custkey"]).reset_index(drop=True)
+        n = len(s)
+        for rk, r in s.iterrows():
+            t = 1 if rk * 3 <= (n - 1) else (2 if rk * 3 <= (n - 1) * 2 else 3)
+            tiers.setdefault(r.o_custkey, {})[p] = t
+    expect = {}
+    for cust, d in tiers.items():
+        key = (d.get(1, 0), d.get(2, 0))
+        expect[key] = expect.get(key, 0) + 1
+    assert got == expect
+
+
+# ----------------------------------------------------------- sentence stats
+
+
+def test_sentence_stats_pure_python_replay(tables):
+    """re.split third implementation of the sentence segmentation."""
+    import re
+
+    import duckdb
+
+    from flink_210225_spark.ops.text import sentence_stats
+
+    got = {r["lang"]: r for r in sentence_stats(tables).collect()}
+    docs = duckdb.sql(
+        "SELECT lang, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).df()
+    agg = {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        sents = [s for s in re.split(r"[.!?]+(?:\s+|$)", text.strip()) if s]
+        if not sents:
+            continue
+        toks = len(text.strip().split())
+        mx = max(len(s.strip().split()) for s in sents)
+        a = agg.setdefault(lang, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(sents)
+        a[2] += toks
+        a[3] = max(a[3], mx)
+        a[4] += 1 if len(sents) == 1 else 0
+    assert set(got) == set(agg)
+    for lang, (nd, ns, nt, mx, single) in agg.items():
+        row = got[lang]
+        assert row["n_docs"] == nd
+        assert row["n_sentences"] == ns
+        assert row["n_tokens"] == nt
+        assert row["longest_sentence_toks"] == mx
+        assert row["toks_per_sentence_micro"] == np.floor(nt / ns * 1e6 + 0.5)
+        assert row["single_sentence_share_micro"] == np.floor(
+            single / nd * 1e6 + 0.5
+        )
