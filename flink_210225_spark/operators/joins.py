@@ -1509,3 +1509,71 @@ ORACLES["join_waiting_supplier"] = """
     FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
     GROUP BY s.s_name
 """
+
+
+def dpp_prune_join(tables: dict[str, DataFrame]) -> DataFrame:
+    """DYNAMIC partition pruning — the join-time sibling of
+    ``source_partition_prune``'s static pruning and the second biggest
+    scan lever at 100 TB: when the filter lives on a DIM (not on the
+    fact's own columns), Spark inserts a runtime subquery that executes
+    the dim side FIRST and prunes the fact's partition listing to the
+    surviving join keys — a 2-day dim filter scans 2 of 30 day
+    directories even though no literal day predicate exists on the fact.
+    The fact lands day-partitioned in scratch parquet; the dim is a
+    derived day→weekday table filtered to weekends; the plan must carry
+    ``dynamicpruning`` on the fact scan (pinned in tests).
+
+    Exactness: pure counts/cents; the weekday rule is the same
+    ISO-weekday arithmetic on both engines.
+
+    Scale: the fact scan reads only surviving partitions; the dim
+    broadcast doubles as the pruning subquery (reused, not re-executed)."""
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    ev = tables["events"]
+    spark = ev.sparkSession
+    out = _scratch(prefix="dppsrc_")
+    ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "event_type",
+        F.date_format("ts", "yyyyMMdd").cast("int").alias("day"),
+    ).repartition("day").write.mode("overwrite").partitionBy("day").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        ev.select(F.date_format("ts", "yyyyMMdd").cast("int").alias("day"))
+        .distinct()
+        .select(
+            "day",
+            (F.weekday(F.to_date(F.col("day").cast("string"), "yyyyMMdd")) + 1)
+            .cast("long")
+            .alias("dow"),
+        )
+        .where(F.col("dow") >= 6)  # weekend days only — the dim-side filter
+    )
+    j = fact.join(F.broadcast(dim), "day")
+    return j.groupBy(F.col("dow").cast("long").alias("dow")).agg(
+        F.countDistinct("day").cast("long").alias("n_days"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+QUERIES["join_dpp_prune"] = dpp_prune_join
+ORACLES["join_dpp_prune"] = """
+    WITH e AS (
+        SELECT strftime(ts, '%Y%m%d')::INT AS day,
+               floor(value * 100 + 0.5)::BIGINT AS cents
+        FROM events
+    ),
+    dim AS (
+        SELECT DISTINCT day, isodow(strptime(day::VARCHAR, '%Y%m%d')) AS dow
+        FROM e
+    )
+    SELECT d.dow::BIGINT AS dow, count(DISTINCT e.day)::BIGINT AS n_days,
+           count(*)::BIGINT AS n_rows, sum(e.cents)::BIGINT AS cents
+    FROM e JOIN dim d USING (day)
+    WHERE d.dow >= 6
+    GROUP BY 1
+"""

@@ -3061,3 +3061,104 @@ ORACLES["serving_segment_migration"] = """
     SELECT tier_from, tier_to, count(*)::BIGINT AS n_customers
     FROM m GROUP BY 1, 2
 """
+
+
+def price_endings(tables: dict[str, DataFrame]) -> DataFrame:
+    """Psychological-pricing audit — the ``warehouse_benford_audit``
+    cousin on the LOW-order digits: distribution of the cents ending
+    (00, 99, 95, 50, other) and of the last integer-dollar digit across
+    the part catalog, with an exact χ² against the uniform last-digit
+    law. Real catalogs cluster on charm endings; a synthetic or
+    machine-generated price book is near-uniform — this is the
+    provenance smell test for acquired pricing data.
+
+    Exactness: digit buckets are exact integer arithmetic; χ² is one
+    fixed-shape double over exact counts, micro-pinned.
+
+    Scale: one scan, one 5-row agg + one 10-row agg (unioned) —
+    domain-sized shuffles only."""
+    p = tables["part"]
+    cents = F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long")
+    ending = cents % 100
+    bucket = (
+        F.when(ending == 0, "00")
+        .when(ending == 99, "99")
+        .when(ending == 95, "95")
+        .when(ending == 50, "50")
+        .otherwise("other")
+    )
+    n_all = p.agg(F.count("*").cast("long")).scalar()
+    by_end = p.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n")
+    ).select(
+        F.lit("cents_ending").alias("dim"),
+        "bucket",
+        "n",
+        F.floor(F.col("n").cast("double") / n_all.cast("double") * 1000000 + 0.5)
+        .cast("long")
+        .alias("share_micro"),
+    )
+    digit = (cents % 1000) / 100
+    by_digit = p.groupBy(
+        F.floor(digit).cast("long").cast("string").alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n"))
+    exp = n_all.cast("double") / 10.0
+    chi2 = F.sum(
+        (F.col("n").cast("double") - exp) * (F.col("n").cast("double") - exp) / exp
+    )
+    digit_rows = by_digit.select(
+        F.lit("dollar_digit").alias("dim"),
+        "bucket",
+        "n",
+        F.floor(F.col("n").cast("double") / n_all.cast("double") * 1000000 + 0.5)
+        .cast("long")
+        .alias("share_micro"),
+    )
+    chi_row = by_digit.agg(chi2.alias("c")).select(
+        F.lit("chi2_dollar_digit").alias("dim"),
+        F.lit("all").alias("bucket"),
+        n_all.alias("n"),
+        F.floor(F.col("c") * 1000000 + 0.5).cast("long").alias("share_micro"),
+    )
+    return by_end.unionByName(digit_rows).unionByName(chi_row)
+
+
+QUERIES["serving_price_endings"] = price_endings
+# share_micro doubles as the chi2 carrier on the summary row (same
+# long-form trick as the similarity audits).
+ORACLES["serving_price_endings"] = """
+    WITH c AS (
+        SELECT floor(p_retailprice * 100 + 0.5)::BIGINT AS cents FROM part
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n FROM c),
+    by_end AS (
+        SELECT 'cents_ending' AS dim,
+               CASE WHEN cents % 100 = 0 THEN '00'
+                    WHEN cents % 100 = 99 THEN '99'
+                    WHEN cents % 100 = 95 THEN '95'
+                    WHEN cents % 100 = 50 THEN '50'
+                    ELSE 'other' END AS bucket,
+               count(*)::BIGINT AS n
+        FROM c GROUP BY 2
+    ),
+    by_digit AS (
+        SELECT ((cents % 1000) // 100)::BIGINT AS d, count(*)::BIGINT AS n
+        FROM c GROUP BY 1
+    )
+    SELECT dim, bucket, n,
+           floor(n::DOUBLE / (SELECT n FROM tot)::DOUBLE * 1000000
+                 + 0.5)::BIGINT AS share_micro
+    FROM by_end
+    UNION ALL
+    SELECT 'dollar_digit', d::VARCHAR, n,
+           floor(n::DOUBLE / (SELECT n FROM tot)::DOUBLE * 1000000
+                 + 0.5)::BIGINT
+    FROM by_digit
+    UNION ALL
+    SELECT 'chi2_dollar_digit', 'all', (SELECT n FROM tot),
+           floor(sum((n::DOUBLE - (SELECT n FROM tot)::DOUBLE / 10.0)
+                     * (n::DOUBLE - (SELECT n FROM tot)::DOUBLE / 10.0)
+                     / ((SELECT n FROM tot)::DOUBLE / 10.0))
+                 * 1000000 + 0.5)::BIGINT
+    FROM by_digit
+"""

@@ -2998,3 +2998,78 @@ ORACLES["window_periodogram"] = f"""
            p = max(p) OVER () AS is_peak
     FROM power
 """
+
+
+def record_breaks(tables: dict[str, DataFrame]) -> DataFrame:
+    """Running-record analytics — "record hot day" counting: per event
+    type, walk the daily value series in time order and flag days that
+    set a NEW RUNNING MAXIMUM; report record counts, the current record,
+    when it was set, and the longest drought between records. For an
+    i.i.d. series ~ln(n) records are expected, so an excess says trend —
+    the classic sequential-analysis cousin of ``window_mann_kendall``
+    (which sums pairwise signs; records need only the running max).
+
+    Exactness: cents exact; record flags are integer comparisons; the
+    drought is exact day arithmetic.
+
+    Scale: one day-keyed rollup then a per-type ordered window (the
+    running max) — partition-parallel across types; days per type are
+    calendar-bounded."""
+    ev = tables["events"]
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev_max = F.max("x").over(
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = daily.select(
+        "event_type",
+        "day",
+        "x",
+        (prev_max.isNull() | (F.col("x") > prev_max)).alias("is_record"),
+    )
+    recs = flagged.where("is_record").select(
+        "event_type", "day", "x",
+        F.lag("day").over(
+            Window.partitionBy("event_type").orderBy("day")
+        ).alias("prev_rec_day"),
+    )
+    return recs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.max("x").cast("long").alias("record_cents"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_record_day"),
+        F.max(F.datediff(F.col("day"), F.col("prev_rec_day")))
+        .cast("long")
+        .alias("longest_drought_days"),
+    )
+
+
+QUERIES["window_record_breaks"] = record_breaks
+ORACLES["window_record_breaks"] = """
+    WITH daily AS (
+        SELECT event_type, ts::DATE AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS x
+        FROM events GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT event_type, day, x,
+               coalesce(x > max(x) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        TRUE) AS is_record
+        FROM daily
+    ),
+    recs AS (
+        SELECT event_type, day, x,
+               lag(day) OVER (PARTITION BY event_type ORDER BY day)
+                   AS prev_rec_day
+        FROM flagged WHERE is_record
+    )
+    SELECT event_type, count(*)::BIGINT AS n_records,
+           max(x)::BIGINT AS record_cents,
+           strftime(max(day), '%Y-%m-%d') AS last_record_day,
+           max(day - prev_rec_day)::BIGINT AS longest_drought_days
+    FROM recs GROUP BY event_type
+"""

@@ -389,3 +389,15 @@ def test_check_window_fully_resolves():
     assert not missing, f"_CHECK_WINDOW names not in registry: {missing}"
     assert len(w) == len(set(w)), "duplicate names in _CHECK_WINDOW"
     assert list(reg)[: len(w)] == w
+
+
+def test_dpp_prune_join_carries_dynamic_pruning(spark):
+    """join_dpp_prune exists to exercise DYNAMIC partition pruning: the
+    fact scan must carry a dynamicpruning subquery in PartitionFilters
+    (a plain broadcast join without the runtime prune would still hash-
+    match, so the optimization is pinned HERE, not by the oracle)."""
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["join_dpp_prune"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP subquery missing from plan"

@@ -1095,3 +1095,110 @@ def test_sentence_stats_pure_python_replay(tables):
         assert row["single_sentence_share_micro"] == np.floor(
             single / nd * 1e6 + 0.5
         )
+
+
+# --------------------------------------------------------------------- dpp
+
+
+def test_dpp_join_weekend_replay(tables):
+    """pandas replay of the dim-filtered join (weekend days only)."""
+    import duckdb
+
+    from flink_210225_spark.operators.joins import dpp_prune_join
+
+    got = {r["dow"]: r for r in dpp_prune_join(tables).collect()}
+    ev = duckdb.sql(
+        "SELECT ts, floor(value*100+0.5)::BIGINT c"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+    ).df()
+    dows = ev.ts.dt.dayofweek + 1  # Monday=1..Sunday=7 (ISO)
+    weekend = ev[dows >= 6]
+    wdow = dows[dows >= 6]
+    for dow in (6, 7):
+        sel = weekend[wdow == dow]
+        row = got.get(dow)
+        assert row is not None
+        assert row["n_rows"] == len(sel)
+        assert row["cents"] == sel.c.sum()
+        assert row["n_days"] == sel.ts.dt.date.nunique()
+
+
+# ---------------------------------------------------------- price endings
+
+
+def test_price_endings_replay(tables):
+    """Digit-bucket replay plus chi2 over exact counts."""
+    import duckdb
+
+    from flink_210225_spark.operators.serving import price_endings
+
+    rows = price_endings(tables).collect()
+    p = duckdb.sql(
+        "SELECT floor(p_retailprice*100+0.5)::BIGINT c"
+        " FROM '/root/testdata/sf0.001/part.parquet'"
+    ).df()["c"]
+    n = len(p)
+    got = {(r["dim"], r["bucket"]): r for r in rows}
+    end = p % 100
+    buckets = {
+        "00": (end == 0).sum(),
+        "99": (end == 99).sum(),
+        "95": (end == 95).sum(),
+        "50": (end == 50).sum(),
+    }
+    buckets["other"] = n - sum(buckets.values())
+    for b, cnt in buckets.items():
+        if cnt == 0:
+            assert ("cents_ending", b) not in got
+            continue
+        r = got[("cents_ending", b)]
+        assert r["n"] == cnt
+        assert r["share_micro"] == np.floor(cnt / n * 1e6 + 0.5)
+    digits = ((p % 1000) // 100).value_counts()
+    chi2 = sum(
+        (digits.get(d, 0) - n / 10) ** 2 / (n / 10) for d in range(10)
+        if digits.get(d, 0) > 0
+    )
+    # zero-count digits contribute (0-e)^2/e = e each; add those
+    chi2 += sum(n / 10 for d in range(10) if digits.get(d, 0) == 0)
+    r = got[("chi2_dollar_digit", "all")]
+    # kernel sums over PRESENT digit rows only — replicate that contract
+    chi2_present = sum(
+        (c - n / 10) ** 2 / (n / 10) for c in digits.values
+    )
+    assert r["share_micro"] == np.floor(chi2_present * 1e6 + 0.5)
+
+
+# ---------------------------------------------------------- record breaks
+
+
+def test_record_breaks_pure_python_replay(tables):
+    """Sequential running-max walk per event type."""
+    import duckdb
+
+    from flink_210225_spark.operators.windows import record_breaks
+
+    got = {r["event_type"]: r for r in record_breaks(tables).collect()}
+    daily = duckdb.sql(
+        "SELECT event_type et, ts::DATE d,"
+        " sum(floor(value*100+0.5)::BIGINT)::BIGINT x"
+        " FROM '/root/testdata/sf0.001/events.parquet' GROUP BY 1,2 ORDER BY 1,2"
+    ).df()
+    for et, g in daily.groupby("et"):
+        best = None
+        recs = []
+        for _, r in g.iterrows():
+            if best is None or r.x > best:
+                best = int(r.x)
+                recs.append(r.d)
+        droughts = [
+            (b - a).days for a, b in zip(recs, recs[1:])
+        ]
+        row = got[et]
+        assert row["n_records"] == len(recs)
+        assert row["record_cents"] == best
+        assert row["last_record_day"] == str(pd.Timestamp(recs[-1]).date())
+        if droughts:
+            assert row["longest_drought_days"] == max(droughts)
+        else:
+            assert row["longest_drought_days"] is None
