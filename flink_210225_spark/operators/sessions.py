@@ -1223,3 +1223,131 @@ ORACLES["session_peak_concurrency"] = """
                AS n_sessions_started
     FROM curve GROUP BY 1
 """
+
+
+def return_gaps(tables: dict[str, DataFrame]) -> DataFrame:
+    """Return-time distribution — the gap BETWEEN a user's consecutive
+    sessions (``sessionize``'s complement: gaps-and-islands finds the
+    session boundaries; retention planning needs what happens ACROSS
+    them). Per returning user, gap = this session's start − previous
+    session's END, in exact minutes; emits one distribution row: user /
+    gap volumes and the exact p25/p50/p75/p90 return times (rank order
+    statistics over the pooled gaps — the "when do users come back"
+    curve behind re-engagement scheduling; ``session_retention`` tracks
+    day-grain cohorts, this the intra-month fine grain).
+
+    Exactness: session bounds are exact microsecond min/max; gap minutes
+    are integer floor division; percentiles are EXACT order statistics
+    (rank = ceil(q·n), the lower-of-the-two discrete convention) — no
+    interpolation, no float.
+
+    Scale: the sessionize rollup (user-keyed shuffle), one user-ordered
+    window for the lag, one global rank over the gap pool (two-phase
+    range-partitioned at 100 TB, same posture as the quantile kernels).
+
+    Session bounds are recomputed here on RAW microsecond timestamps —
+    ``sessionize``'s formatted second-grain strings would shift a gap
+    across a minute boundary when sub-second parts straddle one."""
+    ev = tables["events"]
+    we = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.sum(
+            F.when(
+                F.timestamp_diff("MICROSECOND", F.lag("ts").over(we), F.col("ts"))
+                > 1800 * 1_000_000,
+                1,
+            ).otherwise(0)
+        )
+        .over(we.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    sess = seq.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    w = Window.partitionBy("user_id").orderBy("session_seq")
+    gaps = sess.select(
+        "user_id",
+        F.floor(
+            F.timestamp_diff(
+                "MICROSECOND", F.lag("s_end").over(w), F.col("s_start")
+            )
+            / 60_000_000
+        )
+        .cast("long")
+        .alias("gap_min"),
+    ).where(F.col("gap_min").isNotNull())
+    n = gaps.agg(F.count("*").cast("long")).scalar()
+    wr = Window.orderBy("gap_min")
+    ranked = gaps.select("user_id", "gap_min", F.row_number().over(wr).alias("rk"))
+
+    def pct(q_num: int, q_den: int):
+        # exact discrete percentile: value at rank ceil(q·n)
+        target = ((n * q_num) + q_den - 1) / q_den  # ceil via int arithmetic
+        return F.max(
+            F.when(F.col("rk") == target.cast("long"), F.col("gap_min"))
+        )
+
+    return ranked.agg(
+        n.alias("n_gaps"),
+        F.countDistinct("user_id").cast("long").alias("n_returning_users"),
+        F.min("gap_min").cast("long").alias("min_gap_min"),
+        F.max("gap_min").cast("long").alias("max_gap_min"),
+        pct(1, 4).cast("long").alias("p25_min"),
+        pct(1, 2).cast("long").alias("p50_min"),
+        pct(3, 4).cast("long").alias("p75_min"),
+        pct(9, 10).cast("long").alias("p90_min"),
+    )
+
+
+QUERIES["session_return_gaps"] = return_gaps
+# Same 30-min sessionization, same exact ceil-rank order statistics.
+ORACLES["session_return_gaps"] = """
+    WITH gapped AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id))
+                        > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts,
+                   event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM gapped
+    ),
+    sess AS (
+        SELECT user_id, session_seq, min(ts) AS s_start, max(ts) AS s_end
+        FROM seq GROUP BY 1, 2
+    ),
+    gaps AS (
+        SELECT user_id,
+               (epoch_us(s_start)
+                - epoch_us(lag(s_end) OVER (PARTITION BY user_id
+                                            ORDER BY session_seq)))
+               // 60000000 AS gap_min
+        FROM sess
+    ),
+    nn AS (SELECT gap_min, user_id FROM gaps WHERE gap_min IS NOT NULL),
+    ranked AS (
+        SELECT user_id, gap_min,
+               row_number() OVER (ORDER BY gap_min) AS rk,
+               count(*) OVER () AS n
+        FROM nn
+    )
+    SELECT max(n)::BIGINT AS n_gaps,
+           count(DISTINCT user_id)::BIGINT AS n_returning_users,
+           min(gap_min)::BIGINT AS min_gap_min,
+           max(gap_min)::BIGINT AS max_gap_min,
+           max(CASE WHEN rk = (n + 3) // 4 THEN gap_min END)::BIGINT
+               AS p25_min,
+           max(CASE WHEN rk = (n + 1) // 2 THEN gap_min END)::BIGINT
+               AS p50_min,
+           max(CASE WHEN rk = (3 * n + 3) // 4 THEN gap_min END)::BIGINT
+               AS p75_min,
+           max(CASE WHEN rk = (9 * n + 9) // 10 THEN gap_min END)::BIGINT
+               AS p90_min
+    FROM ranked
+"""

@@ -4052,3 +4052,104 @@ ORACLES["multimodal_audio_zcr"] = """
                  + 0.5)::BIGINT AS zcr_micro
     FROM run_len GROUP BY doc_id
 """
+
+
+# Deterministic probe boxes for the integral-image audit: (x0, y0) as
+# eighths of (w, h), box extent as quarters — every image size in the
+# fixture family divides by 8/4, so the boxes are exact integer rects.
+_SAT_BOXES = ((0, 0, 2, 1), (1, 1, 2, 1), (3, 2, 1, 1))
+
+
+def image_integral_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Summed-area table (integral image, Crow 1984 / the Viola–Jones
+    workhorse) through the REAL PNG path: decode, build SAT with numpy
+    cumsum, then answer three deterministic probe-box sums via the
+    4-corner O(1) lookup — emitted alongside the SAT corner (which must
+    equal the total pixel sum, the structural identity) so the oracle's
+    arithmetic pixel replay gates both the decode and the SAT algebra.
+    Box sums are THE primitive behind Haar features, blur tables, and
+    adaptive thresholding; all exact integers.
+
+    Scale: embarrassingly parallel mapInPandas (per-image SAT is local
+    math); one row per (asset, box) — pixels never shuffle."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).cast("int").alias("seed"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "asset_id": [],
+                "box_id": [],
+                "box_sum": [],
+                "total_sum": [],
+            }
+            for doc_id, seed, ft in zip(pdf["doc_id"], pdf["seed"], pdf["ft"]):
+                seed = int(seed)
+                w = 8 + 4 * (seed % 5)
+                h = 8 + 4 * ((seed * 3) % 4)
+                px = _parse_png(_png_bytes(seed, w, h, filter_type=int(ft)))[
+                    "pixels"
+                ].astype(np.int64)[:, :, 0]
+                sat = px.cumsum(axis=0).cumsum(axis=1)
+                total = int(sat[-1, -1])
+                for bid, (ex, ey, num, den) in enumerate(_SAT_BOXES):
+                    x0 = w * ex // 8
+                    y0 = h * ey // 8
+                    # exact quarter-extent boxes: width = num·(w/4)/den
+                    bw = (w // 4) * num // den
+                    bh = (h // 4) * num // den
+                    x1, y1 = x0 + bw - 1, y0 + bh - 1
+                    s = int(sat[y1, x1])
+                    if x0 > 0:
+                        s -= int(sat[y1, x0 - 1])
+                    if y0 > 0:
+                        s -= int(sat[y0 - 1, x1])
+                    if x0 > 0 and y0 > 0:
+                        s += int(sat[y0 - 1, x0 - 1])
+                    out["asset_id"].append(int(doc_id))
+                    out["box_id"].append(bid)
+                    out["box_sum"].append(s)
+                    out["total_sum"].append(total)
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen, "asset_id long, box_id long, box_sum long, total_sum long"
+    )
+
+
+QUERIES["multimodal_image_integral"] = image_integral_audit
+# Pixel-formula replay: the same probe rectangles summed directly (no
+# SAT) — agreement gates decode + cumsum algebra + corner lookups.
+ORACLES["multimodal_image_integral"] = """
+    WITH g AS (
+        SELECT doc_id, (doc_id % 16)::BIGINT AS seed,
+               (8 + 4 * ((doc_id % 16) % 5))::BIGINT AS w,
+               (8 + 4 * (((doc_id % 16) * 3) % 4))::BIGINT AS h
+        FROM documents
+    ),
+    boxes(box_id, ex, ey, num, den) AS (
+        VALUES (0, 0, 0, 2, 1), (1, 1, 1, 2, 1), (2, 3, 2, 1, 1)
+    ),
+    b AS (
+        SELECT doc_id, seed, w, h, box_id,
+               w * ex // 8 AS x0, h * ey // 8 AS y0,
+               (w // 4) * num // den AS bw, (h // 4) * num // den AS bh
+        FROM g CROSS JOIN boxes
+    )
+    SELECT doc_id AS asset_id, box_id::BIGINT AS box_id,
+           list_sum(list_transform(range(bw * bh),
+               i -> (seed * 7 + 3 * (x0 + i % bw)
+                     + 11 * (y0 + i // bw)) % 256))::BIGINT AS box_sum,
+           (SELECT list_sum(list_transform(range(g2.w * g2.h),
+               i -> (g2.seed * 7 + 3 * (i % g2.w) + 11 * (i // g2.w)) % 256))
+            FROM g g2 WHERE g2.doc_id = b.doc_id)::BIGINT AS total_sum
+    FROM b
+"""

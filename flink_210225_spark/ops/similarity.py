@@ -3773,3 +3773,71 @@ ORACLES["sim_recall_curve"] = """
          m(n_probe, recall_floor),
          (SELECT count(*)::BIGINT AS n FROM embeddings WHERE vec_id < 20) nq
 """
+
+
+def pq_distortion_curve(tables: dict[str, DataFrame]) -> DataFrame:
+    """PQ capacity curve — reconstruction distortion vs subspace count
+    m ∈ {2, 4, 8} at fixed per-subspace codebook size (k=16): the
+    storage-planning sweep that says what each doubling of code bytes
+    (bits/vector = m·log₂k = 4m) buys in fidelity, the quantization twin
+    of ``sim_recall_curve``'s n_probe sweep (``sim_pq_audit`` watches
+    one operating point; this ranks the knob). More subspaces partition
+    the space finer at equal k, so MSE must fall MONOTONICALLY in m and
+    every point must beat the zero-information baseline (coding every
+    vector as the corpus mean) — the two booleans under the hash; MSE
+    itself is engine-specific (Lloyd codebooks), uv_sketch pattern.
+
+    Scale: one Arrow coding pass per sweep point over shared input;
+    audit output is |m-values| rows regardless of corpus size."""
+    emb = tables["embeddings"]
+    var_mean = (
+        emb.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.var_pop(F.col("val").cast("double")).alias("v"))
+        .agg(F.avg("v").alias("v"))
+        .scalar()
+    )
+    n_vec = emb.agg(F.count("*").cast("long")).scalar()
+    rows = []
+    for m in (2, 4, 8):
+        codes, _cb = pq_train(emb, m=m)
+        rows.append(
+            codes.agg(F.avg("recon_mse").alias("mse")).select(
+                F.lit(m).cast("long").alias("m_subspaces"),
+                F.lit(4 * m).cast("long").alias("bits_per_vector"),
+                n_vec.alias("n_vectors"),
+                (F.col("mse") < var_mean).alias("beats_mean"),
+                F.col("mse").alias("_mse"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    res = sorted(out.collect(), key=lambda r: r["m_subspaces"])
+    final = []
+    prev = None
+    for r in res:
+        final.append(
+            (
+                r["m_subspaces"],
+                r["bits_per_vector"],
+                r["n_vectors"],
+                bool(r["beats_mean"]),
+                bool(prev is None or r["_mse"] <= prev),
+            )
+        )
+        prev = r["_mse"]
+    return emb.sparkSession.createDataFrame(
+        final,
+        "m_subspaces long, bits_per_vector long, n_vectors long,"
+        " beats_mean boolean, monotone_ok boolean",
+    )
+
+
+QUERIES["sim_pq_distortion_curve"] = pq_distortion_curve
+ORACLES["sim_pq_distortion_curve"] = """
+    SELECT m.m::BIGINT AS m_subspaces, (4 * m.m)::BIGINT AS bits_per_vector,
+           nv.n AS n_vectors, TRUE AS beats_mean, TRUE AS monotone_ok
+    FROM (VALUES (2), (4), (8)) m(m),
+         (SELECT count(*)::BIGINT AS n FROM embeddings) nv
+"""

@@ -1202,3 +1202,91 @@ def test_record_breaks_pure_python_replay(tables):
             assert row["longest_drought_days"] == max(droughts)
         else:
             assert row["longest_drought_days"] is None
+
+
+# ---------------------------------------------------------------- pq curve
+
+
+def test_pq_distortion_curve_contract(tables):
+    """All booleans true; m/bits columns are the documented sweep."""
+    from flink_210225_spark.ops.similarity import pq_distortion_curve
+
+    rows = {r["m_subspaces"]: r for r in pq_distortion_curve(tables).collect()}
+    assert set(rows) == {2, 4, 8}
+    for m, r in rows.items():
+        assert r["bits_per_vector"] == 4 * m
+        assert r["beats_mean"] and r["monotone_ok"]
+
+
+# -------------------------------------------------------------- return gaps
+
+
+def test_return_gaps_pure_python_replay(tables):
+    """Sequential sessionize + gap walk with exact ceil-rank percentiles."""
+    import duckdb
+
+    from flink_210225_spark.operators.sessions import return_gaps
+
+    row = return_gaps(tables).collect()[0]
+    ev = duckdb.sql(
+        "SELECT user_id, ts, event_id FROM"
+        " '/root/testdata/sf0.001/events.parquet' ORDER BY user_id, ts, event_id"
+    ).df()
+    gaps = []
+    users = set()
+    for uid, g in ev.groupby("user_id"):
+        sessions = []
+        cur_start = cur_end = None
+        for t in g["ts"]:
+            if cur_end is None or (t - cur_end).total_seconds() > 1800:
+                if cur_end is not None:
+                    sessions.append((cur_start, cur_end))
+                cur_start = t
+            cur_end = t
+        sessions.append((cur_start, cur_end))
+        for (s1, e1), (s2, _) in zip(sessions, sessions[1:]):
+            us = int((s2 - e1).value // 1000)  # ns -> us
+            gaps.append(us // 60_000_000)
+            users.add(uid)
+    gaps.sort()
+    n = len(gaps)
+    assert row["n_gaps"] == n
+    assert row["n_returning_users"] == len(users)
+    assert row["min_gap_min"] == gaps[0]
+    assert row["max_gap_min"] == gaps[-1]
+    import math
+
+    assert row["p25_min"] == gaps[math.ceil(n / 4) - 1]
+    assert row["p50_min"] == gaps[math.ceil(n / 2) - 1]
+    assert row["p75_min"] == gaps[math.ceil(3 * n / 4) - 1]
+    assert row["p90_min"] == gaps[math.ceil(9 * n / 10) - 1]
+
+
+# ---------------------------------------------------------- integral image
+
+
+def test_integral_image_sat_identity(tables):
+    """total_sum equals the direct pixel-formula sum; box sums fit
+    within it; the SAT corner identity holds per asset."""
+    from flink_210225_spark.ops.multimodal import image_integral_audit
+
+    rows = image_integral_audit(tables).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    for aid, rs in by_asset.items():
+        seed = aid % 16
+        w = 8 + 4 * (seed % 5)
+        h = 8 + 4 * ((seed * 3) % 4)
+        x = np.arange(w)
+        y = np.arange(h)[:, None]
+        px = (seed * 7 + 3 * x + 11 * y) % 256
+        total = int(px.sum())
+        assert len(rs) == 3
+        for r in rs:
+            assert r["total_sum"] == total
+            assert 0 < r["box_sum"] <= total
+        # box 0 replay: top-left half x half? spec: (0,0) extent 2*(w//4)
+        r0 = next(r for r in rs if r["box_id"] == 0)
+        bw, bh = (w // 4) * 2, (h // 4) * 2
+        assert r0["box_sum"] == int(px[:bh, :bw].sum())
