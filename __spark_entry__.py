@@ -99,7 +99,18 @@ def _registry():
 #     image_ssim, decode_errors}, sql_values_inline,
 #     sample_{stratified_kfold, pass_at_k, token_waterfill} — the first
 #     50 by registry order form the r8 window; the remainder roll to r9's
-#     head ahead of the r1-stamp rotation.
+#     head ahead of the r1-stamp rotation, TOGETHER WITH the 32
+#     second-session round-7 additions (each 3-SF + vanilla gated at
+#     authoring time): serving_{kruskal_wallis, benjamini_hochberg,
+#     theil_index, market_share, important_stock, ipw_ate,
+#     segment_migration, price_endings}, dedup_winnowing,
+#     sql_{variant_extract, lateral_join, execute_immediate,
+#     collation_groupby, udf_scalar}, window_{cross_correlation,
+#     periodogram, record_breaks}, text_{good_turing, burrows_delta,
+#     sentence_stats}, join_{anti_followup, waiting_supplier, dpp_prune},
+#     sample_{pps_estimator, snake_shards}, multimodal_{image_phash,
+#     audio_zcr, image_integral}, sim_{recall_curve, pq_distortion_curve},
+#     source_parquet_metadata, session_return_gaps.
 #   round 9 head: the oldest r1-only greens by family — sql_* tumbles
 #     (sql_province_tumble, sql_keyword_tumble), the log_* family
 #     (log_props_extract, log_flag_rows, log_padzero_union), the
