@@ -3162,3 +3162,98 @@ ORACLES["serving_price_endings"] = """
                  * 1000000 + 0.5)::BIGINT
     FROM by_digit
 """
+
+
+def basket_poissonness(tables: dict[str, DataFrame]) -> DataFrame:
+    """Ord's plot — the count-model diagnostic on basket sizes: from the
+    lines-per-order spectrum N_k, the ratio u_k = k·N_k/N_{k−1} is flat
+    in k for Poisson counts, rising for negative-binomial (clumping),
+    falling for binomial (capped baskets) — one query says WHICH count
+    model the basket process follows before anyone fits one (Ord 1967;
+    the distribution-shape sibling of ``serving_basket_pairs``'s
+    content view). Emits the spectrum with per-k Ord ratios plus a
+    summary row (k = −1) carrying the OLS slope/intercept of u_k on k —
+    the decision number (|slope|≈0 ⇒ Poisson).
+
+    Exactness: the spectrum is exact integers; u_k and the OLS moments
+    are fixed-shape doubles over exact integer counts, micro-pinned.
+
+    Scale: orderkey rollup → |k| spectrum rows; everything after is
+    domain-sized (spectrum + one window lag + one agg)."""
+    li = tables["lineitem"]
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("k"))
+    spec = sizes.groupBy("k").agg(F.count("*").cast("long").alias("n_k"))
+    w = Window.orderBy("k")
+    rat = spec.select(
+        F.col("k").cast("long").alias("k"),
+        "n_k",
+        F.when(
+            (F.lag("k").over(w) == F.col("k") - 1) & (F.lag("n_k").over(w) > 0),
+            F.floor(
+                F.col("k").cast("double")
+                * F.col("n_k").cast("double")
+                / F.lag("n_k").over(w).cast("double")
+                * 1000000
+                + 0.5
+            ),
+        ).cast("long").alias("ord_ratio_micro"),
+    )
+    pts = rat.where(F.col("ord_ratio_micro").isNotNull()).select(
+        F.col("k").cast("double").alias("x"),
+        (F.col("ord_ratio_micro").cast("double") / 1000000).alias("y"),
+    )
+    mom = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / nd
+    summary = mom.select(
+        F.lit(-1).cast("long").alias("k"),
+        F.col("n").alias("n_k"),
+        F.floor(slope * 1000000 + 0.5).cast("long").alias("ord_ratio_micro"),
+    )
+    return rat.unionByName(summary)
+
+
+QUERIES["serving_basket_poissonness"] = basket_poissonness
+# Summary row k=-1 carries the OLS slope in the ratio column (long-form
+# union, the price_endings pattern); u_k only where N_{k-1} is the true
+# predecessor count (k-1 present in the spectrum).
+ORACLES["serving_basket_poissonness"] = """
+    WITH sizes AS (
+        SELECT l_orderkey, count(*)::BIGINT AS k FROM lineitem GROUP BY 1
+    ),
+    spec AS (SELECT k, count(*)::BIGINT AS n_k FROM sizes GROUP BY k),
+    rat AS (
+        SELECT k, n_k,
+               CASE WHEN lag(k) OVER (ORDER BY k) = k - 1
+                         AND lag(n_k) OVER (ORDER BY k) > 0
+                    THEN floor(k::DOUBLE * n_k::DOUBLE
+                               / lag(n_k) OVER (ORDER BY k)::DOUBLE
+                               * 1000000 + 0.5)::BIGINT
+               END AS ord_ratio_micro
+        FROM spec
+    ),
+    pts AS (
+        SELECT k::DOUBLE AS x, ord_ratio_micro::DOUBLE / 1000000 AS y
+        FROM rat WHERE ord_ratio_micro IS NOT NULL
+    ),
+    mom AS (
+        SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM pts
+    )
+    SELECT k, n_k, ord_ratio_micro FROM rat
+    UNION ALL
+    SELECT -1::BIGINT, n,
+           floor((n::DOUBLE * sxy - sx * sy)
+                 / (n::DOUBLE * sxx - sx * sx) * 1000000 + 0.5)::BIGINT
+    FROM mom
+"""

@@ -2447,3 +2447,86 @@ ORACLES["warehouse_wap_publish"] = """
     FROM audited WHERE reason IS NOT NULL
     GROUP BY 1
 """
+
+
+def accumulating_snapshot(tables: dict[str, DataFrame]) -> DataFrame:
+    """Kimball ACCUMULATING-SNAPSHOT fact — the order lifecycle widened to
+    one row per order with its milestone dates (placed → first ship →
+    last ship) and lag columns, then rolled to a per-priority fulfilment
+    profile: order volumes, mean days-to-first-ship and ship-window span
+    (micro-pinned), the max span, and the share fully shipped within 30
+    days — the warehouse modeling pattern for pipeline/fulfilment
+    processes (vs the transaction grain every other fact query uses;
+    reference gmall only ships transaction + periodic-snapshot shapes).
+
+    Exactness: milestone dates are exact min/max; day lags are exact
+    date arithmetic; only the mean/share emit through pinned divisions.
+
+    Scale: one orderkey-keyed rollup of lineitem (the natural shuffle),
+    one broadcast-joined orders probe, one |priorities|-row agg."""
+    li = tables["lineitem"]
+    o = tables["orders"]
+    ms = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+    wide = ms.join(
+        o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        "n_lines",
+        F.datediff("first_ship", "o_orderdate").cast("long").alias("d_first"),
+        F.datediff("last_ship", "first_ship").cast("long").alias("d_span"),
+    )
+    return wide.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.floor(
+            F.sum("d_first").cast("double") / F.count("*").cast("double") * 1000000
+            + 0.5
+        ).cast("long").alias("mean_days_to_first_ship_micro"),
+        F.floor(
+            F.sum("d_span").cast("double") / F.count("*").cast("double") * 1000000
+            + 0.5
+        ).cast("long").alias("mean_ship_span_micro"),
+        F.max("d_span").cast("long").alias("max_ship_span_days"),
+        F.floor(
+            F.sum(
+                F.when(F.col("d_first") + F.col("d_span") <= 30, 1).otherwise(0)
+            ).cast("double")
+            / F.count("*").cast("double")
+            * 1000000
+            + 0.5
+        ).cast("long").alias("within_30d_share_micro"),
+    )
+
+
+QUERIES["warehouse_accumulating_snapshot"] = accumulating_snapshot
+ORACLES["warehouse_accumulating_snapshot"] = """
+    WITH ms AS (
+        SELECT l_orderkey, min(l_shipdate) AS first_ship,
+               max(l_shipdate) AS last_ship, count(*)::BIGINT AS n_lines
+        FROM lineitem GROUP BY 1
+    ),
+    wide AS (
+        SELECT o.o_orderpriority AS priority, ms.n_lines,
+               date_diff('day', o.o_orderdate::DATE, ms.first_ship::DATE)
+                   ::BIGINT AS d_first,
+               date_diff('day', ms.first_ship::DATE, ms.last_ship::DATE)
+                   ::BIGINT AS d_span
+        FROM ms JOIN orders o ON ms.l_orderkey = o.o_orderkey
+    )
+    SELECT priority, count(*)::BIGINT AS n_orders,
+           sum(n_lines)::BIGINT AS n_lines,
+           floor(sum(d_first)::DOUBLE / count(*)::DOUBLE * 1000000
+                 + 0.5)::BIGINT AS mean_days_to_first_ship_micro,
+           floor(sum(d_span)::DOUBLE / count(*)::DOUBLE * 1000000
+                 + 0.5)::BIGINT AS mean_ship_span_micro,
+           max(d_span)::BIGINT AS max_ship_span_days,
+           floor(sum(CASE WHEN d_first + d_span <= 30 THEN 1 ELSE 0 END)
+                 ::DOUBLE / count(*)::DOUBLE * 1000000 + 0.5)::BIGINT
+               AS within_30d_share_micro
+    FROM wide GROUP BY priority
+"""

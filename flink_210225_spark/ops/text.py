@@ -6029,3 +6029,119 @@ ORACLES["text_sentence_stats"] = """
                AS single_sentence_share_micro
     FROM per WHERE n_sents > 0 GROUP BY lang
 """
+
+
+def _textrank_oracle(iters: int = 6) -> str:
+    head = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    adj AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                   i -> {'a': t[i], 'b': t[i + 1]})) AS p
+        FROM toks
+    ),
+    pairs AS (
+        SELECT CASE WHEN p.a < p.b THEN p.a ELSE p.b END AS u,
+               CASE WHEN p.a < p.b THEN p.b ELSE p.a END AS v,
+               count(*)::BIGINT AS w
+        FROM adj
+        WHERE length(p.a) >= 4 AND length(p.b) >= 4 AND p.a <> p.b
+        GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT u AS src, v AS dst, w FROM pairs
+        UNION ALL
+        SELECT v, u, w FROM pairs
+    ),
+    strength AS (SELECT src, sum(w)::BIGINT AS s FROM sym GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM strength),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank
+           FROM strength)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    r{k} AS (
+        SELECT e.dst AS node,
+               0.15 / (SELECT n FROM nn)
+               + 0.85 * sum(r.rank * e.w / st.s) AS rank
+        FROM sym e
+        JOIN r{k - 1} r ON r.node = e.src
+        JOIN strength st ON st.src = e.src
+        GROUP BY e.dst
+    )""")
+    tail = f"""
+    SELECT st.src AS token, st.s AS strength,
+           floor(r.rank * 1000000000 + 0.5)::BIGINT AS rank_nano
+    FROM strength st JOIN r{iters} r ON r.node = st.src"""
+    return head + "," + ",".join(steps) + tail
+
+
+def textrank_keywords(
+    tables: dict[str, DataFrame], iters: int = 6, damping: float = 0.85
+) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau 2004) — weighted
+    PageRank over the token CO-OCCURRENCE graph: adjacent content tokens
+    (both ≥ 4 chars) form undirected count-weighted edges pooled across
+    the corpus; 6 synchronous damped rounds rank each token by how
+    centrally it sits in the corpus's phrase structure — the
+    graph-centrality keyword extractor next to ``text_rake_keyphrases``
+    (degree heuristics) and ``text_tfidf_topk`` (frequency weighting),
+    reusing ``dedup_pagerank``'s fixed-iteration contract so an
+    ITERATIVE NLP algorithm sits under the exact hash gate (unrolled-CTE
+    oracle, no convergence heuristics).
+
+    Scale: the edge list is |unique bigram| sized (vocab-bounded, never
+    corpus-row); one dst-keyed shuffle per round on string keys; the
+    edge+strength frame is localCheckpoint-ed ONCE (the pagerank
+    discipline — round k must not replay the tokenize pipeline)."""
+    docs = tables["documents"]
+    t = docs.select(F.split(F.trim("text"), r"\s+").alias("t"))
+    adj = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 1, 0)),"
+                " i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pairs = (
+        adj.where(
+            (F.length("a") >= 4) & (F.length("b") >= 4) & (F.col("a") != F.col("b"))
+        )
+        .select(
+            F.least("a", "b").alias("u"),
+            F.greatest("a", "b").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    sym = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).union(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w"))
+    strength = sym.groupBy("src").agg(F.sum("w").cast("long").alias("s"))
+    ews = sym.join(strength, "src").localCheckpoint()
+    n_nodes = strength.count()
+    base = F.lit(0.15 / n_nodes)
+    ranks = strength.select(
+        F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = ews.join(ranks, ews.src == ranks.node).select(
+            "dst",
+            (F.col("rank") * F.col("w") / F.col("s")).alias("c"),
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (base + damping * F.sum("c")).alias("rank")
+        ).select(F.col("dst").alias("node"), "rank")
+    return strength.join(ranks, strength.src == ranks.node).select(
+        F.col("src").alias("token"),
+        F.col("s").alias("strength"),
+        F.floor(F.col("rank") * 1000000000 + 0.5).cast("long").alias("rank_nano"),
+    )
+
+
+QUERIES["text_textrank"] = textrank_keywords
+ORACLES["text_textrank"] = _textrank_oracle()

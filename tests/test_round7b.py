@@ -1290,3 +1290,113 @@ def test_integral_image_sat_identity(tables):
         r0 = next(r for r in rs if r["box_id"] == 0)
         bw, bh = (w // 4) * 2, (h // 4) * 2
         assert r0["box_sum"] == int(px[:bh, :bw].sum())
+
+
+# ---------------------------------------------------------------- textrank
+
+
+def test_textrank_pure_python_replay(tables):
+    """networkx-free third implementation: dict-based weighted damped
+    power iteration, 6 rounds, exact same edge construction."""
+    from collections import Counter
+
+    from flink_210225_spark.ops.text import textrank_keywords
+
+    got = {r["token"]: r for r in textrank_keywords(tables).collect()}
+    docs = _docs_pd()
+    edges = Counter()
+    for text in docs["text"]:
+        toks = text.strip().split()
+        for a, b in zip(toks, toks[1:]):
+            if len(a) >= 4 and len(b) >= 4 and a != b:
+                edges[(min(a, b), max(a, b))] += 1
+    adj = {}
+    strength = Counter()
+    for (u, v), w in edges.items():
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+        strength[u] += w
+        strength[v] += w
+    nodes = sorted(adj)
+    n = len(nodes)
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(6):
+        nxt = {}
+        for u in nodes:
+            s = sum(rank[v] * w / strength[v] for v, w in adj[u])
+            nxt[u] = 0.15 / n + 0.85 * s
+        rank = nxt
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert got[u]["strength"] == strength[u]
+        assert abs(got[u]["rank_nano"] - np.floor(rank[u] * 1e9 + 0.5)) <= 2
+    # ranks form a probability-ish mass: sum near 1 (damped leakage only
+    # through dangling-free graph => exactly 1 in the limit; 6 rounds close)
+    total = sum(r["rank_nano"] for r in got.values()) / 1e9
+    assert 0.9 < total < 1.1
+
+
+# ------------------------------------------------- accumulating snapshot
+
+
+def test_accumulating_snapshot_replay(tables):
+    import duckdb
+
+    from flink_210225_spark.operators.warehouse import accumulating_snapshot
+
+    got = {r["priority"]: r for r in accumulating_snapshot(tables).collect()}
+    sf = "/root/testdata/sf0.001"
+    ms = duckdb.sql(
+        f"""SELECT o.o_orderpriority p, count(*) n_lines,
+            min(l.l_shipdate) f, max(l.l_shipdate) l,
+            o.o_orderdate d
+            FROM '{sf}/lineitem.parquet' l JOIN '{sf}/orders.parquet' o
+            ON l_orderkey = o_orderkey GROUP BY l_orderkey, p, d"""
+    ).df()
+    ms["d_first"] = (ms.f.dt.normalize() - ms.d.dt.normalize()).dt.days
+    ms["d_span"] = (ms.l.dt.normalize() - ms.f.dt.normalize()).dt.days
+    for p, g in ms.groupby("p"):
+        row = got[p]
+        assert row["n_orders"] == len(g)
+        assert row["n_lines"] == g.n_lines.sum()
+        assert row["mean_days_to_first_ship_micro"] == np.floor(
+            g.d_first.sum() / len(g) * 1e6 + 0.5
+        )
+        assert row["max_ship_span_days"] == g.d_span.max()
+        assert row["within_30d_share_micro"] == np.floor(
+            ((g.d_first + g.d_span) <= 30).sum() / len(g) * 1e6 + 0.5
+        )
+
+
+# ------------------------------------------------------------ ord plot
+
+
+def test_basket_poissonness_replay(tables):
+    import duckdb
+
+    from flink_210225_spark.operators.serving import basket_poissonness
+
+    rows = {r["k"]: r for r in basket_poissonness(tables).collect()}
+    sizes = duckdb.sql(
+        "SELECT count(*)::BIGINT k FROM"
+        " '/root/testdata/sf0.001/lineitem.parquet' GROUP BY l_orderkey"
+    ).df()["k"]
+    spec = sizes.value_counts().sort_index()
+    pts = []
+    for k in spec.index:
+        row = rows[k]
+        assert row["n_k"] == spec[k]
+        if k - 1 in spec.index:
+            u = np.floor(k * spec[k] / spec[k - 1] * 1e6 + 0.5)
+            assert row["ord_ratio_micro"] == u
+            pts.append((float(k), u / 1e6))
+        else:
+            assert row["ord_ratio_micro"] is None
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    n = len(pts)
+    slope = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    assert abs(rows[-1]["ord_ratio_micro"] - np.floor(slope * 1e6 + 0.5)) <= 1
+    assert rows[-1]["n_k"] == n
