@@ -3507,3 +3507,112 @@ ORACLES["dedup_winnowing"] = """
                AS density_micro
     FROM per_doc p LEFT JOIN n_shared s USING (doc_id)
 """
+
+
+def cascade_funnel(tables: dict[str, DataFrame]) -> DataFrame:
+    """Staged dedup FUNNEL — the production pipeline shape: cheap exact
+    passes first, expensive fuzzy passes only on survivors. Stage 1
+    byte-exact digest (keep min doc_id per group), stage 2 normalized +
+    token-sort digest on stage-1 survivors, stage 3 n-gram Jaccard ≥ 0.5
+    near-dup pairs among stage-2 survivors under the KEEP-FIRST rule
+    (every pair (a < b) removes b — the standard greedy without
+    transitive closure, documented; ``dedup_components`` is the
+    closure-correct sibling). Emits one row per stage: docs in, removed,
+    docs out — the marginal-savings report that justifies (or kills)
+    each stage's cost in a real curation run.
+
+    Exactness: pure set algebra on exact digests/pairs; counts exact.
+
+    Scale: each stage is the proven kernel's shape (digest shuffles,
+    bucketed pair generation); survivors pass stage-to-stage as doc_id
+    semi-joins — the funnel never re-touches text after its stage."""
+    docs = tables["documents"]
+    # stage 1: byte-exact
+    keep1 = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    n0 = docs.count()
+    n1 = keep1.count()
+    # stage 2: normalized token-sort digest on survivors
+    s1 = docs.join(keep1, "doc_id", "left_semi")
+    toks = tokens_col(F.lower(F.trim(F.col("text"))))
+    canon = F.concat_ws(" ", F.array_sort(toks))
+    keep2 = (
+        s1.groupBy(F.md5(canon).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    n2 = keep2.count()
+    # stage 3: jaccard >= 0.5 pairs among survivors, keep-first
+    s2 = docs.join(keep2, "doc_id", "left_semi")
+    pairs = ngram_jaccard_pairs({"documents": s2}, 3, 0.5)
+    removed3 = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    n3 = n2 - removed3.count()
+    spark = docs.sparkSession
+    rows = [
+        ("1_exact", n0, n0 - n1, n1),
+        ("2_token_sort", n1, n1 - n2, n2),
+        ("3_jaccard_keep_first", n2, n2 - n3, n3),
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, docs_in long, removed long, docs_out long"
+    )
+
+
+QUERIES["dedup_cascade_funnel"] = cascade_funnel
+# Sequential replay: each stage's CTE filters on the previous stage's
+# keep set; stage 3 replays the bucketed kernel's EXACT jaccard contract
+# (distinct shingles, 1e-4 pinned ratio) quadratically on survivors.
+ORACLES["dedup_cascade_funnel"] = """
+    WITH keep1 AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    s1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+    keep2 AS (
+        SELECT min(doc_id) AS doc_id FROM (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(regexp_split_to_array(
+                       lower(trim(text)), '\\s+')), ' ')) AS h
+            FROM s1
+        ) GROUP BY h
+    ),
+    s2 AS (SELECT d.* FROM documents d JOIN keep2 USING (doc_id)),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM s2
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(greatest(len(t) - 3, 0) + 1),
+                   i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000 + 0.5) / 10000
+              >= 0.5
+    ),
+    counts AS (
+        SELECT (SELECT count(*) FROM documents)::BIGINT AS n0,
+               (SELECT count(*) FROM keep1)::BIGINT AS n1,
+               (SELECT count(*) FROM keep2)::BIGINT AS n2,
+               (SELECT count(*) FROM keep2)::BIGINT
+               - (SELECT count(DISTINCT doc_b) FROM pairs)::BIGINT AS n3
+    )
+    SELECT '1_exact' AS stage, n0 AS docs_in, n0 - n1 AS removed,
+           n1 AS docs_out FROM counts
+    UNION ALL
+    SELECT '2_token_sort', n1, n1 - n2, n2 FROM counts
+    UNION ALL
+    SELECT '3_jaccard_keep_first', n2, n2 - n3, n3 FROM counts
+"""

@@ -2037,3 +2037,94 @@ ORACLES["sample_snake_shards"] = """
                AS skew_micro
     FROM per
 """
+
+
+def padding_waste(tables: dict[str, DataFrame], batch: int = 16) -> DataFrame:
+    """Padding-waste audit for fixed-shape batching — the training-
+    efficiency number length-bucketed batching exists to fix: batch docs
+    16 at a time and every sequence pads to its batch's max length, so
+    waste = Σ(batch_max·B − Σlen)/Σ(batch_max·B). Three policies
+    compared on identical data: RANDOM-ish order (doc_id — the naive
+    loader), SORTED by length (the bucketing ideal), and SORTED WITHIN
+    LENGTH BUCKETS of 32 tokens (the practical shuffle-friendly
+    compromise). One row per policy with exact token/pad volumes — the
+    report that justifies a bucketing stage in the input pipeline
+    (``text_pack_bins`` solves the cousin problem of packing VARIABLE
+    batches; this audits FIXED-shape batches).
+
+    Exactness: lengths, batch maxima and pad volumes are exact BIGINTs;
+    the waste share is one pinned division per row.
+
+    Scale: three rank windows over the doc-length table (two-phase
+    range-partitioned ranking posture) and a batch-keyed agg each —
+    lengths shuffle, text does not."""
+    docs = tables["documents"]
+    lens = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("len"),
+    )
+    spark = docs.sparkSession
+
+    def policy(order_cols, name):
+        w = Window.orderBy(*order_cols)
+        b = lens.select(
+            "len", F.floor((F.row_number().over(w) - 1) / batch).alias("bid")
+        )
+        per = b.groupBy("bid").agg(
+            F.max("len").alias("mx"),
+            F.sum("len").alias("tok"),
+            F.count("*").alias("n"),
+        )
+        return per.agg(
+            F.lit(name).alias("policy"),
+            F.sum(F.col("mx") * F.col("n")).cast("long").alias("padded_tokens"),
+            F.sum("tok").cast("long").alias("real_tokens"),
+            F.floor(
+                (
+                    F.sum(F.col("mx") * F.col("n")) - F.sum("tok")
+                ).cast("double")
+                / F.sum(F.col("mx") * F.col("n")).cast("double")
+                * 1000000
+                + 0.5
+            ).cast("long").alias("waste_micro"),
+        )
+
+    a = policy([F.col("doc_id")], "1_arrival")
+    b = policy([F.col("len"), F.col("doc_id")], "2_sorted")
+    c = policy(
+        [F.floor(F.col("len") / 32), F.col("doc_id")], "3_bucketed_32"
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+QUERIES["sample_padding_waste"] = padding_waste
+ORACLES["sample_padding_waste"] = """
+    WITH lens AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS l
+        FROM documents
+    ),
+    pol AS (
+        SELECT '1_arrival' AS policy, l,
+               (row_number() OVER (ORDER BY doc_id) - 1) // 16 AS bid
+        FROM lens
+        UNION ALL
+        SELECT '2_sorted', l,
+               (row_number() OVER (ORDER BY l, doc_id) - 1) // 16
+        FROM lens
+        UNION ALL
+        SELECT '3_bucketed_32', l,
+               (row_number() OVER (ORDER BY l // 32, doc_id) - 1) // 16
+        FROM lens
+    ),
+    per AS (
+        SELECT policy, bid, max(l) AS mx, sum(l) AS tok, count(*) AS n
+        FROM pol GROUP BY 1, 2
+    )
+    SELECT policy,
+           sum(mx * n)::BIGINT AS padded_tokens,
+           sum(tok)::BIGINT AS real_tokens,
+           floor((sum(mx * n) - sum(tok))::DOUBLE / sum(mx * n)::DOUBLE
+                 * 1000000 + 0.5)::BIGINT AS waste_micro
+    FROM per GROUP BY policy
+"""

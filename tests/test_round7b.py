@@ -1400,3 +1400,99 @@ def test_basket_poissonness_replay(tables):
     )
     assert abs(rows[-1]["ord_ratio_micro"] - np.floor(slope * 1e6 + 0.5)) <= 1
     assert rows[-1]["n_k"] == n
+
+
+# ---------------------------------------------------------- cascade funnel
+
+
+def test_cascade_funnel_set_replay(tables):
+    """Set-algebra third implementation of the three stages."""
+    import hashlib as hl
+
+    from flink_210225_spark.ops.dedup import cascade_funnel
+
+    rows = {r["stage"]: r for r in cascade_funnel(tables).collect()}
+    docs = _docs_pd()
+    by_exact = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        by_exact.setdefault(hl.md5(text.encode()).hexdigest(), []).append(did)
+    keep1 = {min(v) for v in by_exact.values()}
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    by_ts = {}
+    for did in keep1:
+        h = hl.md5(
+            " ".join(sorted(texts[did].strip().lower().split())).encode()
+        ).hexdigest()
+        by_ts.setdefault(h, []).append(did)
+    keep2 = {min(v) for v in by_ts.values()}
+    sh = {
+        did: {
+            " ".join(texts[did].strip().split()[i : i + 3])
+            for i in range(max(len(texts[did].strip().split()) - 2, 1))
+        }
+        for did in keep2
+    }
+    removed = set()
+    ks = sorted(keep2)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = np.floor(inter / len(sh[a] | sh[b]) * 10000 + 0.5) / 10000
+            if j >= 0.5:
+                removed.add(b)
+    n0, n1, n2 = len(docs), len(keep1), len(keep2)
+    n3 = n2 - len(removed)
+    assert (rows["1_exact"]["docs_in"], rows["1_exact"]["docs_out"]) == (n0, n1)
+    assert (rows["2_token_sort"]["docs_in"], rows["2_token_sort"]["docs_out"]) == (n1, n2)
+    assert (
+        rows["3_jaccard_keep_first"]["docs_in"],
+        rows["3_jaccard_keep_first"]["docs_out"],
+    ) == (n2, n3)
+    for r in rows.values():
+        assert r["docs_in"] - r["removed"] == r["docs_out"]
+
+
+# ---------------------------------------------------------- padding waste
+
+
+def test_padding_waste_policies_ordered(tables):
+    """Loop replay of all three policies; sorting must dominate arrival
+    order and bucketing must sit between (or equal)."""
+    from flink_210225_spark.ops.sampling import padding_waste
+
+    rows = {r["policy"]: r for r in padding_waste(tables).collect()}
+    docs = _docs_pd()
+    lens = [
+        (len(t.strip().split()), did)
+        for did, t in zip(docs["doc_id"], docs["text"])
+    ]
+
+    def waste(order):
+        padded = real = 0
+        for i in range(0, len(order), 16):
+            chunk = order[i : i + 16]
+            padded += max(chunk) * len(chunk)
+            real += sum(chunk)
+        return padded, real
+
+    arrival = [l for l, d in sorted(lens, key=lambda p: p[1])]
+    sorted_ = [l for l, d in sorted(lens)]
+    bucketed = [l for l, d in sorted(lens, key=lambda p: (p[0] // 32, p[1]))]
+    for name, order in (
+        ("1_arrival", arrival),
+        ("2_sorted", sorted_),
+        ("3_bucketed_32", bucketed),
+    ):
+        p, r = waste(order)
+        row = rows[name]
+        assert row["padded_tokens"] == p
+        assert row["real_tokens"] == r
+        assert row["waste_micro"] == np.floor((p - r) / p * 1e6 + 0.5)
+    assert rows["2_sorted"]["waste_micro"] <= rows["1_arrival"]["waste_micro"]
+    assert (
+        rows["2_sorted"]["waste_micro"]
+        <= rows["3_bucketed_32"]["waste_micro"]
+        <= rows["1_arrival"]["waste_micro"]
+    )
