@@ -3257,3 +3257,106 @@ ORACLES["serving_basket_poissonness"] = """
                  / (n::DOUBLE * sxx - sx * sx) * 1000000 + 0.5)::BIGINT
     FROM mom
 """
+
+
+def did_estimator(tables: dict[str, DataFrame]) -> DataFrame:
+    """Difference-in-differences — the third leg of the causal family
+    (``serving_ab_cuped`` reduces variance under randomization,
+    ``serving_ipw_ate`` reweights observational strata; DiD removes
+    time-invariant group confounding when treatment switches ON at a
+    known date): treat = even user_id, post = the second half of the
+    30-day event window (literal cut, both engines), outcome = per-user
+    daily purchase cents. DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post −
+    ȳ_C,pre) over user-day cells, with the four cell means and the two
+    simple differences emitted so the parallel-trends reader can see
+    WHICH difference moved.
+
+    Exactness: cell sums/counts exact BIGINTs; the five emitted stats
+    are pinned divisions over them — no double accumulation at all.
+
+    Scale: one (user, day)-keyed rollup, one 4-cell agg."""
+    ev = tables["events"]
+    cells = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.col("user_id") % 2 == 0).alias("treated"),
+            (F.to_date("ts") >= F.lit("2024-01-16").cast("date")).alias("post"),
+            F.col("user_id"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("y"))
+    )
+    agg = cells.groupBy("treated", "post").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("y").cast("long").alias("y_sum"),
+    )
+    p = agg.select(
+        F.concat(
+            F.when(F.col("treated"), F.lit("t")).otherwise(F.lit("c")),
+            F.when(F.col("post"), F.lit("_post")).otherwise(F.lit("_pre")),
+        ).alias("cell"),
+        "n_cells",
+        "y_sum",
+    )
+    wide = p.groupBy().pivot(
+        "cell", ["t_pre", "t_post", "c_pre", "c_post"]
+    ).agg(F.first("y_sum").alias("s"), F.first("n_cells").alias("n"))
+    mean = lambda c: F.col(f"{c}_s").cast("double") / F.col(f"{c}_n").cast("double")  # noqa: E731
+    return wide.select(
+        (F.col("t_pre_n") + F.col("t_post_n") + F.col("c_pre_n") + F.col("c_post_n"))
+        .cast("long")
+        .alias("n_user_days"),
+        F.floor(mean("t_pre") * 1000000 + 0.5).cast("long").alias("t_pre_micro"),
+        F.floor(mean("t_post") * 1000000 + 0.5).cast("long").alias("t_post_micro"),
+        F.floor(mean("c_pre") * 1000000 + 0.5).cast("long").alias("c_pre_micro"),
+        F.floor(mean("c_post") * 1000000 + 0.5).cast("long").alias("c_post_micro"),
+        F.floor(
+            ((mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre")))
+            * 1000000
+            + 0.5
+        ).cast("long").alias("did_micro"),
+    )
+
+
+QUERIES["serving_did_estimator"] = did_estimator
+ORACLES["serving_did_estimator"] = """
+    WITH cells AS (
+        SELECT (user_id % 2 = 0) AS treated,
+               (ts::DATE >= DATE '2024-01-16') AS post,
+               user_id, ts::DATE AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2, 3, 4
+    ),
+    agg AS (
+        SELECT treated, post, count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+        FROM cells GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN treated AND NOT post THEN s END) AS t_pre_s,
+            max(CASE WHEN treated AND NOT post THEN n END) AS t_pre_n,
+            max(CASE WHEN treated AND post THEN s END) AS t_post_s,
+            max(CASE WHEN treated AND post THEN n END) AS t_post_n,
+            max(CASE WHEN NOT treated AND NOT post THEN s END) AS c_pre_s,
+            max(CASE WHEN NOT treated AND NOT post THEN n END) AS c_pre_n,
+            max(CASE WHEN NOT treated AND post THEN s END) AS c_post_s,
+            max(CASE WHEN NOT treated AND post THEN n END) AS c_post_n
+        FROM agg
+    )
+    SELECT (t_pre_n + t_post_n + c_pre_n + c_post_n)::BIGINT AS n_user_days,
+           floor(t_pre_s::DOUBLE / t_pre_n::DOUBLE * 1000000 + 0.5)::BIGINT
+               AS t_pre_micro,
+           floor(t_post_s::DOUBLE / t_post_n::DOUBLE * 1000000 + 0.5)::BIGINT
+               AS t_post_micro,
+           floor(c_pre_s::DOUBLE / c_pre_n::DOUBLE * 1000000 + 0.5)::BIGINT
+               AS c_pre_micro,
+           floor(c_post_s::DOUBLE / c_post_n::DOUBLE * 1000000 + 0.5)::BIGINT
+               AS c_post_micro,
+           floor(((t_post_s::DOUBLE / t_post_n::DOUBLE
+                   - t_pre_s::DOUBLE / t_pre_n::DOUBLE)
+                  - (c_post_s::DOUBLE / c_post_n::DOUBLE
+                     - c_pre_s::DOUBLE / c_pre_n::DOUBLE))
+                 * 1000000 + 0.5)::BIGINT AS did_micro
+    FROM wide
+"""

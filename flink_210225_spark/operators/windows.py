@@ -3073,3 +3073,84 @@ ORACLES["window_record_breaks"] = """
            max(day - prev_rec_day)::BIGINT AS longest_drought_days
     FROM recs GROUP BY event_type
 """
+
+
+def rolling_beta(tables: dict[str, DataFrame], window_days: int = 14) -> DataFrame:
+    """Rolling OLS beta — how strongly does purchase value track click
+    volume day by day? Per day, regress the TRAILING 14 days of daily
+    purchase cents (y) on daily click counts (x): β = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²), the windowed coupling monitor (static Pearson lives
+    in ``window_cross_correlation``; this tracks the RELATIONSHIP
+    drifting over time, the metric behind "did the promo decouple
+    traffic from revenue?").
+
+    Exactness: x, y exact integers; all five moments are exact BIGINT
+    window sums (ROWS frame over the daily series); β is one pinned
+    division per row, NULL until the frame holds ≥ 7 days or x is
+    constant within it.
+
+    Scale: ONE day-keyed rollup of two series (a single scan, conditional
+    aggregation) then a calendar-bounded frame window — no row-sized
+    state anywhere."""
+    ev = tables["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    n = F.count("*").over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        "y",
+        n.cast("long").alias("n_days_in_frame"),
+        F.when(
+            (n >= 7) & (den > 0),
+            F.floor(num.cast("double") / den.cast("double") * 1000000 + 0.5),
+        ).cast("long").alias("beta_micro"),
+    )
+
+
+QUERIES["window_rolling_beta"] = rolling_beta
+ORACLES["window_rolling_beta"] = """
+    WITH daily AS (
+        SELECT ts::DATE AS day,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+                   AS x,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN floor(value * 100 + 0.5)::BIGINT
+                        ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT day, x, y,
+               count(*) OVER w AS n,
+               sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+               sum(x * x) OVER w AS sxx, sum(x * y) OVER w AS sxy
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, x, y,
+           n::BIGINT AS n_days_in_frame,
+           CASE WHEN n >= 7 AND (n * sxx - sx * sx) > 0
+                THEN floor((n * sxy - sx * sy)::DOUBLE
+                           / (n * sxx - sx * sx)::DOUBLE * 1000000
+                           + 0.5)::BIGINT
+           END AS beta_micro
+    FROM m
+"""

@@ -1496,3 +1496,68 @@ def test_padding_waste_policies_ordered(tables):
         <= rows["3_bucketed_32"]["waste_micro"]
         <= rows["1_arrival"]["waste_micro"]
     )
+
+
+# --------------------------------------------------------------------- did
+
+
+def test_did_estimator_replay(tables):
+    import duckdb
+
+    from flink_210225_spark.operators.serving import did_estimator
+
+    row = did_estimator(tables).collect()[0]
+    c = duckdb.sql(
+        "SELECT user_id % 2 = 0 t, ts::DATE >= DATE '2024-01-16' p,"
+        " user_id, ts::DATE d, sum(floor(value*100+0.5)::BIGINT)::BIGINT y"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+        " WHERE event_type = 'purchase' GROUP BY 1,2,3,4"
+    ).df()
+    means = {}
+    n_tot = 0
+    for (t, p), g in c.groupby(["t", "p"]):
+        means[(bool(t), bool(p))] = g.y.sum() / len(g)
+        n_tot += len(g)
+    did = (means[(True, True)] - means[(True, False)]) - (
+        means[(False, True)] - means[(False, False)]
+    )
+    assert row["n_user_days"] == n_tot
+    assert row["t_post_micro"] == np.floor(means[(True, True)] * 1e6 + 0.5)
+    assert row["c_pre_micro"] == np.floor(means[(False, False)] * 1e6 + 0.5)
+    assert abs(row["did_micro"] - np.floor(did * 1e6 + 0.5)) <= 1
+    # DiD identity over the emitted micro cells (rounding-tolerant)
+    recomposed = (row["t_post_micro"] - row["t_pre_micro"]) - (
+        row["c_post_micro"] - row["c_pre_micro"]
+    )
+    assert abs(recomposed - row["did_micro"]) <= 2
+
+
+# ------------------------------------------------------------ rolling beta
+
+
+def test_rolling_beta_pandas_replay(tables):
+    import duckdb
+
+    from flink_210225_spark.operators.windows import rolling_beta
+
+    got = {r["day"]: r for r in rolling_beta(tables).collect()}
+    daily = duckdb.sql(
+        "SELECT ts::DATE d,"
+        " sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)::BIGINT x,"
+        " sum(CASE WHEN event_type='purchase' THEN floor(value*100+0.5)::BIGINT"
+        " ELSE 0 END)::BIGINT y"
+        " FROM '/root/testdata/sf0.001/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).df()
+    xs, ys = daily.x.to_list(), daily.y.to_list()
+    for i, d in enumerate(daily.d):
+        lo = max(0, i - 13)
+        fx, fy = xs[lo : i + 1], ys[lo : i + 1]
+        n = len(fx)
+        den = n * sum(v * v for v in fx) - sum(fx) ** 2
+        row = got[str(pd.Timestamp(d).date())]
+        assert row["n_days_in_frame"] == n
+        if n >= 7 and den > 0:
+            num = n * sum(a * b for a, b in zip(fx, fy)) - sum(fx) * sum(fy)
+            assert row["beta_micro"] == np.floor(num / den * 1e6 + 0.5)
+        else:
+            assert row["beta_micro"] is None
