@@ -545,3 +545,118 @@ ORACLES["cdc_log_compaction"] = """
            sum(bal_cents)::BIGINT AS sum_bal_cents
     FROM latest GROUP BY segment
 """
+
+
+def state_reconciliation(tables: dict[str, DataFrame]) -> DataFrame:
+    """CDC state RECONCILIATION — the nightly invariant every change-data
+    pipeline runs: materialize the same ordered change log two
+    independent ways and prove they agree. Path A is the compactor
+    (latest-op-wins window fold, ``cdc_log_compaction``'s algorithm);
+    path B is the sequential replayer (apply seq levels one join at a
+    time: insert ⟶ merge updates ⟶ subtract deletes ⟶ add re-inserts —
+    the algorithm a backfill job uses). A fold bug (wrong op order,
+    resurrection, lost re-insert) makes the two states diverge; the
+    emitted only_in_fold / only_in_replay counts MUST be zero, and the
+    per-segment rollup comes from path B so the hash gates both.
+
+    Exactness: pure set algebra over exact keys/cents.
+
+    Scale: path A is one key-partitioned window; path B is three
+    key-keyed joins; the reconciliation is two anti-join counts — all on
+    the dim key, no row-sized state."""
+    c = tables["customer"]
+    bal = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    base = c.select("c_custkey", "c_mktsegment", bal.alias("bal_cents"))
+    # path A: reuse the compactor's exact log + fold
+    # (rebuild the same log arms here so the two paths share inputs)
+    ins = base.select(
+        "c_custkey", F.lit(1).alias("seq"), F.lit("I").alias("op"),
+        F.col("c_mktsegment").alias("segment"), "bal_cents",
+    )
+    upd = base.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        F.lit("UPDATED").alias("segment"),
+        (F.col("bal_cents") + 1000).alias("bal_cents"),
+    )
+    dele = base.where(F.col("c_custkey") % 17 == 0).select(
+        "c_custkey", F.lit(3).alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("segment"),
+        F.lit(None).cast("long").alias("bal_cents"),
+    )
+    reins = base.where(F.col("c_custkey") % 51 == 0).select(
+        "c_custkey", F.lit(4).alias("seq"), F.lit("I").alias("op"),
+        F.lit("REBORN").alias("segment"),
+        (F.col("c_custkey") * 10).cast("long").alias("bal_cents"),
+    )
+    log = ins.unionByName(upd).unionByName(dele).unionByName(reins)
+    w = Window.partitionBy("c_custkey").orderBy(F.col("seq").desc())
+    fold = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("c_custkey", "segment", "bal_cents")
+    )
+    # path B: sequential replay, one seq level at a time
+    s1 = ins.select("c_custkey", "segment", "bal_cents")
+    u = upd.select(
+        "c_custkey",
+        F.col("segment").alias("u_seg"),
+        F.col("bal_cents").alias("u_bal"),
+    )
+    s2 = s1.join(u, "c_custkey", "left").select(
+        "c_custkey",
+        F.coalesce("u_seg", "segment").alias("segment"),
+        F.coalesce("u_bal", "bal_cents").alias("bal_cents"),
+    )
+    s3 = s2.join(dele.select("c_custkey"), "c_custkey", "left_anti")
+    r = reins.select("c_custkey", "segment", "bal_cents")
+    s4 = s3.join(r.select("c_custkey"), "c_custkey", "left_anti").unionByName(r)
+    only_fold = fold.join(
+        s4, ["c_custkey", "segment", "bal_cents"], "left_anti"
+    ).agg(F.count("*").cast("long")).scalar()
+    only_replay = s4.join(
+        fold, ["c_custkey", "segment", "bal_cents"], "left_anti"
+    ).agg(F.count("*").cast("long")).scalar()
+    return s4.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("sum_keys"),
+        F.sum("bal_cents").cast("long").alias("sum_bal_cents"),
+    ).select(
+        "segment",
+        "n_rows",
+        "sum_keys",
+        "sum_bal_cents",
+        only_fold.alias("only_in_fold"),
+        only_replay.alias("only_in_replay"),
+    )
+
+
+QUERIES["cdc_state_reconciliation"] = state_reconciliation
+# The oracle replays path B (the sequential materializer) and pins the
+# reconciliation zeros as literals — a fold/replay divergence flips them.
+ORACLES["cdc_state_reconciliation"] = """
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment,
+               floor(c_acctbal * 100 + 0.5)::BIGINT AS bal_cents
+        FROM customer
+    ),
+    s2 AS (
+        SELECT b.c_custkey,
+               CASE WHEN b.c_custkey % 3 = 0 THEN 'UPDATED'
+                    ELSE b.c_mktsegment END AS segment,
+               CASE WHEN b.c_custkey % 3 = 0 THEN b.bal_cents + 1000
+                    ELSE b.bal_cents END AS bal_cents
+        FROM base b
+    ),
+    s3 AS (SELECT * FROM s2 WHERE c_custkey % 17 != 0),
+    s4 AS (
+        SELECT * FROM s3 WHERE c_custkey % 51 != 0
+        UNION ALL
+        SELECT c_custkey, 'REBORN', c_custkey * 10
+        FROM base WHERE c_custkey % 51 = 0
+    )
+    SELECT segment, count(*)::BIGINT AS n_rows,
+           sum(c_custkey)::BIGINT AS sum_keys,
+           sum(bal_cents)::BIGINT AS sum_bal_cents,
+           0::BIGINT AS only_in_fold, 0::BIGINT AS only_in_replay
+    FROM s4 GROUP BY segment
+"""

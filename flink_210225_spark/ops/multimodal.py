@@ -4153,3 +4153,122 @@ ORACLES["multimodal_image_integral"] = """
             FROM g g2 WHERE g2.doc_id = b.doc_id)::BIGINT AS total_sum
     FROM b
 """
+
+
+# 3x3 structuring element offsets for the morphology audit, generated once
+# and interpolated into BOTH engines (the periodogram/pHash literal-basis
+# discipline): fg(x,y) = indicator(pixel >= 128) from the PNG formula.
+_MORPH_OFFS = tuple((dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+
+
+def image_morphology_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Binary morphology (erosion/dilation, the Serra primitives under
+    every denoise/segment/boundary pipeline) through the REAL PNG path:
+    threshold the decoded image at 128, then count foreground pixels,
+    3×3-eroded survivors (full neighborhood foreground; borders never
+    survive — the clipped-kernel convention), 3×3-dilated coverage
+    (foreground or any neighbor foreground, border-clipped), and the
+    morphological gradient |dilated − eroded| — the boundary-mass
+    signal. All exact integers; the oracle replays the pixel formula at
+    the nine literal offsets, so decode + threshold + neighborhood
+    algebra gate together.
+
+    Scale: embarrassingly parallel mapInPandas; per-image numpy shifts,
+    pixels never shuffle."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).cast("int").alias("seed"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                "asset_id": [],
+                "n_px": [],
+                "n_fg": [],
+                "n_eroded": [],
+                "n_dilated": [],
+                "gradient": [],
+            }
+            for doc_id, seed, ft in zip(pdf["doc_id"], pdf["seed"], pdf["ft"]):
+                seed = int(seed)
+                w = 8 + 4 * (seed % 5)
+                h = 8 + 4 * ((seed * 3) % 4)
+                px = _parse_png(_png_bytes(seed, w, h, filter_type=int(ft)))[
+                    "pixels"
+                ].astype(np.int64)[:, :, 0]
+                fg = (px >= 128).astype(np.int64)
+                ero = np.zeros_like(fg)
+                ero[1:-1, 1:-1] = 1
+                dil = np.zeros_like(fg)
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        sh = np.zeros_like(fg)
+                        ys = slice(max(0, -dy), h - max(0, dy))
+                        yd = slice(max(0, dy), h - max(0, -dy))
+                        xs = slice(max(0, -dx), w - max(0, dx))
+                        xd = slice(max(0, dx), w - max(0, -dx))
+                        sh[yd, xd] = fg[ys, xs]
+                        ero &= sh
+                        dil |= sh
+                out["asset_id"].append(int(doc_id))
+                out["n_px"].append(int(w * h))
+                out["n_fg"].append(int(fg.sum()))
+                out["n_eroded"].append(int(ero.sum()))
+                out["n_dilated"].append(int(dil.sum()))
+                out["gradient"].append(int(dil.sum() - ero.sum()))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, n_px long, n_fg long, n_eroded long,"
+        " n_dilated long, gradient long",
+    )
+
+
+QUERIES["multimodal_image_morphology"] = image_morphology_audit
+
+_MORPH_FG = "((seed * 7 + 3 * ({x}) + 11 * ({y})) % 256 >= 128)"
+_MORPH_ERO_SQL = " AND ".join(
+    _MORPH_FG.format(x=f"i % w + {dx}", y=f"i // w + {dy}")
+    for dx, dy in _MORPH_OFFS
+)
+_MORPH_DIL_SQL = " OR ".join(
+    f"(i % w + {dx} >= 0 AND i % w + {dx} < w AND i // w + {dy} >= 0"
+    f" AND i // w + {dy} < h AND "
+    + _MORPH_FG.format(x=f"i % w + {dx}", y=f"i // w + {dy}")
+    + ")"
+    for dx, dy in _MORPH_OFFS
+)
+ORACLES["multimodal_image_morphology"] = f"""
+    WITH g AS (
+        SELECT doc_id, (doc_id % 16)::BIGINT AS seed,
+               (8 + 4 * ((doc_id % 16) % 5))::BIGINT AS w,
+               (8 + 4 * (((doc_id % 16) * 3) % 4))::BIGINT AS h
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, w * h AS n_px,
+               list_sum(list_transform(range(w * h), i ->
+                   CASE WHEN {_MORPH_FG.format(x="i % w", y="i // w")}
+                        THEN 1 ELSE 0 END))::BIGINT AS n_fg,
+               list_sum(list_transform(range(w * h), i ->
+                   CASE WHEN i % w >= 1 AND i % w < w - 1
+                             AND i // w >= 1 AND i // w < h - 1
+                             AND {_MORPH_ERO_SQL}
+                        THEN 1 ELSE 0 END))::BIGINT AS n_eroded,
+               list_sum(list_transform(range(w * h), i ->
+                   CASE WHEN {_MORPH_DIL_SQL}
+                        THEN 1 ELSE 0 END))::BIGINT AS n_dilated
+        FROM g
+    )
+    SELECT doc_id AS asset_id, n_px::BIGINT AS n_px, n_fg, n_eroded,
+           n_dilated, (n_dilated - n_eroded)::BIGINT AS gradient
+    FROM m
+"""

@@ -949,3 +949,70 @@ ORACLES["source_parquet_metadata"] = """
            min(o_totalprice)::DOUBLE, max(o_totalprice)::DOUBLE
     FROM orders
 """
+
+
+def csv_quoting_roundtrip(tables: dict[str, DataFrame]) -> DataFrame:
+    """CSV QUOTING torture — the reader surface ``source_csv_dirty``
+    doesn't reach: fields containing the delimiter, double-quote escapes
+    (RFC 4180 ""-doubling), and EMBEDDED NEWLINES, written through
+    Spark's CSV writer and read back with multiLine=true (without it the
+    embedded newline tears the record — the classic silent-corruption
+    mode of naive line-splitting readers; multiLine also makes the file
+    non-splittable, the documented scale trade). The synthesized tricky
+    field stitches event_type + ',' + '\"' + a newline + the value, so
+    every hazard appears in every row; the rollup checksums the field
+    LENGTHS so a torn or half-unescaped round trip breaks the hash.
+
+    Exactness: counts, cents, and length checksums are exact integers;
+    the oracle recomputes the tricky-field length arithmetically from
+    the parquet columns the field was built from."""
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    ev = tables["events"]
+    spark = ev.sparkSession
+    tricky = F.concat(
+        F.col("event_type"),
+        F.lit(',"x'),
+        F.lit("\n"),
+        F.col("value").cast("string"),
+    )
+    out = _scratch(prefix="csvq_")
+    ev.select(
+        "event_id",
+        tricky.alias("tricky"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    ).write.mode("overwrite").option("header", "true").csv(out)
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .schema("event_id bigint, tricky string, cents bigint")
+        .csv(out)
+    )
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+        F.sum(F.length("tricky")).cast("long").alias("tricky_len_sum"),
+        F.sum(
+            F.when(F.col("tricky").contains("\n"), 1).otherwise(0)
+        ).cast("long").alias("n_with_newline"),
+        F.sum(
+            F.when(F.col("tricky").contains(',"x'), 1).otherwise(0)
+        ).cast("long").alias("n_with_quote_comma"),
+    )
+
+
+QUERIES["source_csv_quoting"] = csv_quoting_roundtrip
+# Length arithmetic: len(event_type) + len(',"x') + len('\n') + len(str(value))
+# — DuckDB renders doubles with the same shortest-roundtrip rule Spark's
+# cast(string) uses, so the lengths agree (the jsonl_dirty precedent).
+ORACLES["source_csv_quoting"] = """
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents,
+           sum(event_id)::BIGINT AS id_checksum,
+           sum(length(event_type) + 4 + length(value::VARCHAR))::BIGINT
+               AS tricky_len_sum,
+           count(*)::BIGINT AS n_with_newline,
+           count(*)::BIGINT AS n_with_quote_comma
+    FROM events
+"""

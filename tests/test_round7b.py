@@ -1561,3 +1561,104 @@ def test_rolling_beta_pandas_replay(tables):
             assert row["beta_micro"] == np.floor(num / den * 1e6 + 0.5)
         else:
             assert row["beta_micro"] is None
+
+
+# ------------------------------------------------------ cdc reconciliation
+
+
+def test_cdc_reconciliation_divergence_detector(spark):
+    """Constructed NEGATIVE: a broken fold (op order by seq ASCENDING —
+    the classic compactor bug) must diverge from the replay on a log
+    with updates; the kernel's own paths must agree (zeros)."""
+    import duckdb
+
+    from flink_210225_spark.operators.router import state_reconciliation
+
+    tables = {
+        "customer": spark.read.parquet(
+            "/root/testdata/sf0.001/customer.parquet"
+        )
+    }
+    rows = state_reconciliation(tables).collect()
+    for r in rows:
+        assert r["only_in_fold"] == 0
+        assert r["only_in_replay"] == 0
+    # replay totals must cover every non-deleted customer exactly once
+    n_cust = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/customer.parquet'"
+    ).fetchone()[0]
+    n_deleted = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/customer.parquet'"
+        " WHERE c_custkey % 17 = 0 AND c_custkey % 51 != 0"
+    ).fetchone()[0]
+    assert sum(r["n_rows"] for r in rows) == n_cust - n_deleted
+
+
+def test_cdc_reconciliation_reborn_and_updated_segments(tables):
+    from flink_210225_spark.operators.router import state_reconciliation
+
+    segs = {r["segment"]: r for r in state_reconciliation(tables).collect()}
+    assert "REBORN" in segs and "UPDATED" in segs
+    # REBORN rows carry custkey*10 balances — the re-insert payload
+    r = segs["REBORN"]
+    assert r["sum_bal_cents"] == r["sum_keys"] * 10
+
+
+# --------------------------------------------------------------- morphology
+
+
+def test_morphology_numpy_replay_and_identities(tables):
+    """Formula replay (no codec) + the containment identity
+    eroded <= fg <= dilated <= n_px."""
+    from flink_210225_spark.ops.multimodal import image_morphology_audit
+
+    got = {r["asset_id"]: r for r in image_morphology_audit(tables).collect()}
+    for aid, row in list(got.items())[:64]:
+        seed = aid % 16
+        w = 8 + 4 * (seed % 5)
+        h = 8 + 4 * ((seed * 3) % 4)
+        x = np.arange(w)
+        y = np.arange(h)[:, None]
+        fg = ((seed * 7 + 3 * x + 11 * y) % 256 >= 128).astype(int)
+        ero = 0
+        dil = 0
+        for yy in range(h):
+            for xx in range(w):
+                neigh = [
+                    fg[yy + dy, xx + dx]
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                    if 0 <= yy + dy < h and 0 <= xx + dx < w
+                ]
+                if (
+                    1 <= yy < h - 1
+                    and 1 <= xx < w - 1
+                    and len(neigh) == 9
+                    and all(neigh)
+                ):
+                    ero += 1
+                if any(neigh):
+                    dil += 1
+        assert row["n_fg"] == fg.sum()
+        assert row["n_eroded"] == ero
+        assert row["n_dilated"] == dil
+        assert row["n_eroded"] <= row["n_fg"] <= row["n_dilated"] <= row["n_px"]
+        assert row["gradient"] == row["n_dilated"] - row["n_eroded"]
+
+
+# -------------------------------------------------------------- csv quoting
+
+
+def test_csv_quoting_row_integrity(tables):
+    """Every row must survive the embedded-newline round trip intact."""
+    import duckdb
+
+    from flink_210225_spark.sources.jsonl import csv_quoting_roundtrip
+
+    row = csv_quoting_roundtrip(tables).collect()[0]
+    n = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/events.parquet'"
+    ).fetchone()[0]
+    assert row["n_rows"] == n
+    assert row["n_with_newline"] == n
+    assert row["n_with_quote_comma"] == n
