@@ -2530,3 +2530,117 @@ ORACLES["warehouse_accumulating_snapshot"] = """
                AS within_30d_share_micro
     FROM wide GROUP BY priority
 """
+
+
+def scd2_integrity(tables: dict[str, DataFrame]) -> DataFrame:
+    """SCD2 interval-INTEGRITY audit — the dbt-style quality contract on
+    the versioned dim `cdc_scd2_history` builds: per key, validity
+    intervals must be (1) non-overlapping, (2) gap-free (each version's
+    valid_to equals the next valid_from), (3) carry AT MOST one open
+    (is_current) row, and keys whose history ends in a delete carry
+    exactly zero. A broken SCD2 builder (out-of-order closes, duplicate
+    opens) flips the violation counts, which the hash pins at their
+    structural values (all zeros on a correct builder, plus the exact
+    deleted-key census).
+
+    Exactness: pure interval/set algebra over exact BIGINT ts.
+
+    Scale: the history build's own key-partitioned window; the audit
+    adds a lag comparison on the same partitioning (one Exchange total)
+    and a key-keyed rollup."""
+    from flink_210225_spark.operators.router import scd2_demo
+
+    hist = scd2_demo(tables)
+    w = Window.partitionBy("custkey").orderBy("valid_from")
+    ann = hist.select(
+        "custkey",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("cur"),
+        F.lag("valid_to").over(w).alias("prev_to"),
+    )
+    per_key = ann.groupBy("custkey").agg(
+        F.count("*").cast("long").alias("n_versions"),
+        F.sum("cur").cast("long").alias("n_open"),
+        F.sum(
+            F.when(
+                F.col("prev_to").isNotNull()
+                & (F.col("valid_from") < F.col("prev_to")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_overlaps"),
+        F.sum(
+            F.when(
+                F.col("prev_to").isNotNull()
+                & (F.col("valid_from") > F.col("prev_to")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_gaps"),
+    )
+    return per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n_versions").cast("long").alias("n_versions"),
+        F.sum("n_overlaps").cast("long").alias("overlap_violations"),
+        F.sum("n_gaps").cast("long").alias("gap_violations"),
+        F.sum(F.when(F.col("n_open") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("multi_open_keys"),
+        F.sum(F.when(F.col("n_open") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("closed_out_keys"),
+    )
+
+
+QUERIES["warehouse_scd2_integrity"] = scd2_integrity
+# Replays the same change stream + SCD2 build, then the same interval
+# audit; closed_out_keys must equal the %1000 delete census (keys with
+# at least one surviving version — every such key got an insert at ts 0).
+ORACLES["warehouse_scd2_integrity"] = """
+    WITH changes AS (
+        SELECT c_custkey AS custkey, 'insert' AS type, 0::BIGINT AS ts
+        FROM customer
+        UNION ALL
+        SELECT o_custkey, 'update',
+               date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT
+               * 10000000000 + o_orderkey
+        FROM orders
+        UNION ALL
+        SELECT c_custkey, 'delete', 1000000000000000::BIGINT
+        FROM customer WHERE c_custkey % 1000 = 0
+    ),
+    closed AS (
+        SELECT custkey, type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY custkey ORDER BY ts) AS valid_to
+        FROM changes
+    ),
+    hist AS (SELECT * FROM closed WHERE type != 'delete'),
+    ann AS (
+        SELECT custkey, valid_from, valid_to,
+               CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS cur,
+               lag(valid_to) OVER (PARTITION BY custkey ORDER BY valid_from)
+                   AS prev_to
+        FROM hist
+    ),
+    per_key AS (
+        SELECT custkey, count(*)::BIGINT AS n_versions,
+               sum(cur)::BIGINT AS n_open,
+               sum(CASE WHEN prev_to IS NOT NULL AND valid_from < prev_to
+                        THEN 1 ELSE 0 END)::BIGINT AS n_overlaps,
+               sum(CASE WHEN prev_to IS NOT NULL AND valid_from > prev_to
+                        THEN 1 ELSE 0 END)::BIGINT AS n_gaps
+        FROM ann GROUP BY custkey
+    )
+    SELECT count(*)::BIGINT AS n_keys,
+           sum(n_versions)::BIGINT AS n_versions,
+           sum(n_overlaps)::BIGINT AS overlap_violations,
+           sum(n_gaps)::BIGINT AS gap_violations,
+           sum(CASE WHEN n_open > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS multi_open_keys,
+           sum(CASE WHEN n_open = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS closed_out_keys
+    FROM per_key
+"""

@@ -3154,3 +3154,108 @@ ORACLES["window_rolling_beta"] = """
            END AS beta_micro
     FROM m
 """
+
+
+def gumbel_maxima(tables: dict[str, DataFrame]) -> DataFrame:
+    """Extreme-value return levels — block-maxima + Gumbel fit by the
+    method of moments: weekly maxima of daily event value, then
+    σ̂ = s·√6/π and μ̂ = x̄ − γ·σ̂ (Euler–Mascheroni γ), and the T-period
+    return level μ̂ − σ̂·ln(−ln(1 − 1/T)) for T ∈ {30, 100, 365} — the
+    capacity-planning question ("what daily load do we provision for?")
+    that mean+3σ systematically understates for heavy upper tails
+    (Fisher–Tippett–Gnedenko; MoM, not MLE, so the fit is CLOSED-FORM
+    and the whole op sits under the exact hash gate). Constants are
+    pinned literals on both engines: γ = 0.5772156649015329,
+    √6/π = 0.7796968012336761.
+
+    Exactness: block maxima exact cents; mean/s² from exact integer
+    moments; the fit and return levels are fixed-shape doubles,
+    micro-pinned.
+
+    Scale: one day agg, one week agg (both map-side combined), one
+    4-row emit."""
+    ev = tables["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("x")
+    )
+    weekly = daily.groupBy(
+        F.date_format(F.date_trunc("week", F.col("day")), "yyyy-MM-dd").alias(
+            "week"
+        )
+    ).agg(F.max("x").cast("long").alias("mx"))
+    mom = weekly.agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("mx").cast("long").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).cast("decimal(38,0)").alias("s2"),
+    )
+    nd = F.col("n_blocks").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    var = F.col("s2").cast("double") / nd - mean * mean
+    sigma = F.sqrt(var) * F.lit(0.7796968012336761)
+    mu = mean - F.lit(0.5772156649015329) * sigma
+    base = mom.select("n_blocks", mu.alias("mu"), sigma.alias("sigma"))
+    rows = []
+    for t in (30, 100, 365):
+        rows.append(
+            base.select(
+                F.lit(t).cast("long").alias("t_days"),
+                "n_blocks",
+                F.floor(F.col("mu") * 1000000 + 0.5).cast("long").alias(
+                    "mu_micro"
+                ),
+                F.floor(F.col("sigma") * 1000000 + 0.5).cast("long").alias(
+                    "sigma_micro"
+                ),
+                F.floor(
+                    (
+                        F.col("mu")
+                        - F.col("sigma")
+                        * F.log(-F.log(1.0 - F.lit(1.0) / F.lit(float(t))))
+                    )
+                    * 1000000
+                    + 0.5
+                ).cast("long").alias("return_level_micro"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+QUERIES["window_gumbel_maxima"] = gumbel_maxima
+ORACLES["window_gumbel_maxima"] = """
+    WITH daily AS (
+        SELECT ts::DATE AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS x
+        FROM events GROUP BY 1
+    ),
+    weekly AS (
+        SELECT date_trunc('week', day) AS week, max(x)::BIGINT AS mx
+        FROM daily GROUP BY 1
+    ),
+    mom AS (
+        SELECT count(*)::BIGINT AS n_blocks, sum(mx)::BIGINT AS s1,
+               sum(mx::HUGEINT * mx)::HUGEINT AS s2
+        FROM weekly
+    ),
+    fit AS (
+        SELECT n_blocks,
+               s1::DOUBLE / n_blocks::DOUBLE AS mean,
+               sqrt(s2::DOUBLE / n_blocks::DOUBLE
+                    - (s1::DOUBLE / n_blocks::DOUBLE)
+                      * (s1::DOUBLE / n_blocks::DOUBLE))
+               * 0.7796968012336761 AS sigma
+        FROM mom
+    ),
+    p AS (
+        SELECT n_blocks, mean - 0.5772156649015329 * sigma AS mu, sigma
+        FROM fit
+    )
+    SELECT t.t::BIGINT AS t_days, n_blocks,
+           floor(mu * 1000000 + 0.5)::BIGINT AS mu_micro,
+           floor(sigma * 1000000 + 0.5)::BIGINT AS sigma_micro,
+           floor((mu - sigma * ln(-ln(1.0 - 1.0 / t.t))) * 1000000
+                 + 0.5)::BIGINT AS return_level_micro
+    FROM p, (VALUES (30.0), (100.0), (365.0)) t(t)
+"""

@@ -2128,3 +2128,139 @@ ORACLES["sample_padding_waste"] = """
                  * 1000000 + 0.5)::BIGINT AS waste_micro
     FROM per GROUP BY policy
 """
+
+
+def cluster_design(tables: dict[str, DataFrame], n_clusters: int = 40) -> DataFrame:
+    """Two-stage CLUSTER sampling + design effect — the survey-sampling
+    fact of life ``sample_stratified_exact`` ignores: when units arrive
+    in clusters (users, sessions, crawl hosts) and you sample CLUSTERS,
+    within-cluster correlation inflates variance by DEFF ≈ 1 + (m̄−1)·ρ
+    (Kish). Stage 1 picks every ⌈U/n⌉-th user by md5 order
+    (deterministic systematic draw); stage 2 keeps all their events.
+    Emits the exact one-way-ANOVA intraclass correlation ρ of event
+    value over ALL users, the sampled/total censuses, and DEFF — the
+    number that says how many EXTRA clusters this design must buy to
+    match simple random sampling.
+
+    Exactness: cents and cluster moments are exact BIGINTs; ρ's
+    between/within mean squares and DEFF are fixed-shape doubles over
+    them, micro-pinned.
+
+    Scale: one user-keyed rollup (moments per cluster), one global agg;
+    the systematic draw is a rank window over user ids (two-phase
+    range-partitioned at 100 TB, the PPS posture)."""
+    ev = tables["events"]
+    per_u = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("s"),
+        F.sum(
+            F.floor(F.col("value") * 100 + 0.5)
+            * F.floor(F.col("value") * 100 + 0.5)
+        )
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    n_users = per_u.agg(F.count("*").cast("long")).scalar()
+    w = Window.orderBy(F.md5(F.col("user_id").cast("string")), "user_id")
+    ranked = per_u.withColumn("rk", F.row_number().over(w) - 1)
+    sampled = ranked.where(
+        F.col("rk") % F.ceil(n_users.cast("double") / n_clusters).cast("long")
+        == 0
+    )
+    # one-way ANOVA over ALL clusters: MSB/MSW -> ICC (ANOVA estimator)
+    g = per_u.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("m").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("t"),
+        F.sum(F.col("ss")).alias("ss_all"),
+        # per-cluster s²/m in ONE double shape on both engines (decimal/
+        # HUGEINT division rules diverge: DuckDB truncates, Spark scales)
+        F.sum(
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("m").cast("double")
+        ).alias("between_raw"),
+        F.sum(F.col("m").cast("double") * F.col("m")).alias("m2"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    cf = F.col("t").cast("double") * F.col("t").cast("double") / nd
+    ssb = F.col("between_raw").cast("double") - cf
+    ssw = F.col("ss_all").cast("double") - F.col("between_raw").cast("double")
+    msb = ssb / (kd - 1.0)
+    msw = ssw / (nd - kd)
+    m0 = (nd - F.col("m2") / nd) / (kd - 1.0)
+    icc = (msb - msw) / (msb + (m0 - 1.0) * msw)
+    stats = g.select(
+        "k", "n", icc.alias("icc"), (nd / kd).alias("mbar")
+    )
+    n_sampled_users = sampled.agg(F.count("*").cast("long")).scalar()
+    n_sampled_events = sampled.agg(
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long")
+    ).scalar()
+    return stats.select(
+        F.col("k").alias("n_users_total"),
+        F.col("n").alias("n_events_total"),
+        n_sampled_users.alias("n_users_sampled"),
+        n_sampled_events.alias("n_events_sampled"),
+        F.floor(F.col("icc") * 1000000 + 0.5).cast("long").alias("icc_micro"),
+        F.floor(
+            (1.0 + (F.col("mbar") - 1.0) * F.col("icc")) * 1000000 + 0.5
+        ).cast("long").alias("deff_micro"),
+    )
+
+
+QUERIES["sample_cluster_design"] = cluster_design
+ORACLES["sample_cluster_design"] = """
+    WITH per_u AS (
+        SELECT user_id, count(*)::BIGINT AS m,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS s,
+               sum(floor(value * 100 + 0.5)::HUGEINT
+                   * floor(value * 100 + 0.5)::HUGEINT)::HUGEINT AS ss
+        FROM events GROUP BY user_id
+    ),
+    nn AS (SELECT count(*)::BIGINT AS u FROM per_u),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY md5(user_id::VARCHAR),
+                                     user_id) - 1 AS rk
+        FROM per_u
+    ),
+    sampled AS (
+        SELECT * FROM ranked
+        WHERE rk % ceil((SELECT u FROM nn)::DOUBLE / 40)::BIGINT = 0
+    ),
+    g AS (
+        SELECT count(*)::BIGINT AS k, sum(m)::BIGINT AS n,
+               sum(s)::BIGINT AS t, sum(ss)::HUGEINT AS ss_all,
+               sum(s::DOUBLE * s::DOUBLE / m::DOUBLE) AS between_raw,
+               sum(m::DOUBLE * m::DOUBLE) AS m2
+        FROM per_u
+    )
+    SELECT k AS n_users_total, n AS n_events_total,
+           (SELECT count(*) FROM sampled)::BIGINT AS n_users_sampled,
+           (SELECT coalesce(sum(m), 0) FROM sampled)::BIGINT
+               AS n_events_sampled,
+           floor(((between_raw::DOUBLE - t::DOUBLE * t::DOUBLE / n::DOUBLE)
+                  / (k::DOUBLE - 1.0)
+                  - (ss_all::DOUBLE - between_raw::DOUBLE)
+                    / (n::DOUBLE - k::DOUBLE))
+                 / ((between_raw::DOUBLE - t::DOUBLE * t::DOUBLE / n::DOUBLE)
+                    / (k::DOUBLE - 1.0)
+                    + (((n::DOUBLE - m2 / n::DOUBLE) / (k::DOUBLE - 1.0))
+                       - 1.0)
+                      * (ss_all::DOUBLE - between_raw::DOUBLE)
+                      / (n::DOUBLE - k::DOUBLE))
+                 * 1000000 + 0.5)::BIGINT AS icc_micro,
+           floor((1.0 + (n::DOUBLE / k::DOUBLE - 1.0)
+                  * ((between_raw::DOUBLE - t::DOUBLE * t::DOUBLE / n::DOUBLE)
+                     / (k::DOUBLE - 1.0)
+                     - (ss_all::DOUBLE - between_raw::DOUBLE)
+                       / (n::DOUBLE - k::DOUBLE))
+                  / ((between_raw::DOUBLE - t::DOUBLE * t::DOUBLE / n::DOUBLE)
+                     / (k::DOUBLE - 1.0)
+                     + (((n::DOUBLE - m2 / n::DOUBLE) / (k::DOUBLE - 1.0))
+                        - 1.0)
+                       * (ss_all::DOUBLE - between_raw::DOUBLE)
+                       / (n::DOUBLE - k::DOUBLE)))
+                 * 1000000 + 0.5)::BIGINT AS deff_micro
+    FROM g
+"""

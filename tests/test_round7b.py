@@ -1662,3 +1662,120 @@ def test_csv_quoting_row_integrity(tables):
     assert row["n_rows"] == n
     assert row["n_with_newline"] == n
     assert row["n_with_quote_comma"] == n
+
+
+# ------------------------------------------------------------ scd2 integrity
+
+
+def test_scd2_integrity_all_clean_and_census(tables):
+    import duckdb
+
+    from flink_210225_spark.operators.warehouse import scd2_integrity
+
+    row = scd2_integrity(tables).collect()[0]
+    assert row["overlap_violations"] == 0
+    assert row["gap_violations"] == 0
+    assert row["multi_open_keys"] == 0
+    deleted = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/customer.parquet'"
+        " WHERE c_custkey % 1000 = 0"
+    ).fetchone()[0]
+    assert row["closed_out_keys"] == deleted
+    n_cust = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/customer.parquet'"
+    ).fetchone()[0]
+    assert row["n_keys"] == n_cust
+
+
+def test_scd2_integrity_detects_overlap(spark):
+    """Constructed NEGATIVE: hand-built overlapping intervals must count."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    hist = spark.createDataFrame(
+        [(1, 0, 10, False), (1, 5, None, True), (2, 0, None, True)],
+        "custkey long, valid_from long, valid_to long, is_current boolean",
+    )
+    w = Window.partitionBy("custkey").orderBy("valid_from")
+    ann = hist.select(
+        "custkey", "valid_from",
+        F.lag("valid_to").over(w).alias("prev_to"),
+    )
+    overlaps = ann.where(
+        F.col("prev_to").isNotNull() & (F.col("valid_from") < F.col("prev_to"))
+    ).count()
+    assert overlaps == 1
+
+
+# ------------------------------------------------------------------ gumbel
+
+
+def test_gumbel_mom_replay(tables):
+    import duckdb
+    import math
+
+    from flink_210225_spark.operators.windows import gumbel_maxima
+
+    rows = {r["t_days"]: r for r in gumbel_maxima(tables).collect()}
+    weekly = duckdb.sql(
+        "SELECT date_trunc('week', ts::DATE) w, max(s) mx FROM ("
+        " SELECT ts, sum(floor(value*100+0.5)::BIGINT) OVER () dummy,"
+        " ts::DATE d, 0 s FROM '/root/testdata/sf0.001/events.parquet')"
+        " GROUP BY 1"
+    )
+    daily = duckdb.sql(
+        "SELECT ts::DATE d, sum(floor(value*100+0.5)::BIGINT)::BIGINT x"
+        " FROM '/root/testdata/sf0.001/events.parquet' GROUP BY 1"
+    ).df()
+    daily["w"] = daily.d.map(
+        lambda d: pd.Timestamp(d) - pd.Timedelta(days=pd.Timestamp(d).weekday())
+    )
+    mx = daily.groupby("w")["x"].max()
+    n = len(mx)
+    mean = mx.sum() / n
+    var = float((mx.astype(float) ** 2).sum()) / n - mean * mean
+    sigma = math.sqrt(var) * 0.7796968012336761
+    mu = mean - 0.5772156649015329 * sigma
+    for t in (30, 100, 365):
+        rl = mu - sigma * math.log(-math.log(1.0 - 1.0 / t))
+        row = rows[t]
+        assert row["n_blocks"] == n
+        assert abs(row["mu_micro"] - np.floor(mu * 1e6 + 0.5)) <= 1
+        assert abs(row["return_level_micro"] - np.floor(rl * 1e6 + 0.5)) <= 1
+    # return levels must increase with horizon
+    assert (
+        rows[30]["return_level_micro"]
+        < rows[100]["return_level_micro"]
+        < rows[365]["return_level_micro"]
+    )
+
+
+# ------------------------------------------------------------ cluster design
+
+
+def test_cluster_design_icc_replay(tables):
+    import duckdb
+
+    from flink_210225_spark.ops.sampling import cluster_design
+
+    row = cluster_design(tables).collect()[0]
+    u = duckdb.sql(
+        "SELECT user_id, count(*)::BIGINT m,"
+        " sum(floor(value*100+0.5)::BIGINT)::BIGINT s,"
+        " sum(floor(value*100+0.5)::BIGINT ** 2)::BIGINT ss"
+        " FROM '/root/testdata/sf0.001/events.parquet' GROUP BY 1"
+    ).df()
+    k, n, t = len(u), int(u.m.sum()), int(u.s.sum())
+    between = float((u.s.astype(float) ** 2 / u.m.astype(float)).sum())
+    ss_all = float(u.ss.sum())
+    cf = t * t / n
+    msb = (between - cf) / (k - 1)
+    msw = (ss_all - between) / (n - k)
+    m0 = (n - float((u.m.astype(float) ** 2).sum()) / n) / (k - 1)
+    icc = (msb - msw) / (msb + (m0 - 1) * msw)
+    deff = 1.0 + (n / k - 1.0) * icc
+    assert row["n_users_total"] == k
+    assert row["n_events_total"] == n
+    assert abs(row["icc_micro"] - np.floor(icc * 1e6 + 0.5)) <= 1
+    assert abs(row["deff_micro"] - np.floor(deff * 1e6 + 0.5)) <= 1
+    assert 0 < row["n_users_sampled"] <= 41
