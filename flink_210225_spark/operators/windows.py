@@ -3259,3 +3259,226 @@ ORACLES["window_gumbel_maxima"] = """
                  + 0.5)::BIGINT AS return_level_micro
     FROM p, (VALUES (30.0), (100.0), (365.0)) t(t)
 """
+
+
+def xmr_chart(tables: dict[str, DataFrame]) -> DataFrame:
+    """Shewhart individuals chart (XmR) — the SPC control chart for
+    one-observation-per-period series: daily event value as individuals
+    X, moving range mR = |X_t − X_{t−1}|, limits X̄ ± 2.66·m̄R (the
+    d2=1.128 constant folded into 2.66 — PINNED literal) and the mR
+    chart's own UCL 3.267·m̄R. Flags each day outside the limits — the
+    judgment-free "is the process stable?" monitor that predates and
+    complements ``window_cusum`` (drift accumulator) and
+    ``window_anomaly_mad`` (robust z): XmR catches single excursions
+    with NO tuning parameter.
+
+    Exactness: X exact cents; mR exact integer |diff|; X̄/m̄R and limits
+    are fixed-shape doubles over exact sums, micro-pinned; violation
+    flags compare exact cents against the micro-pinned limits
+    (identical rounded boundary on both engines).
+
+    Scale: one day agg, one lag window, one global-stats scalar pass,
+    one flag projection — calendar-bounded."""
+    ev = tables["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("x")
+    )
+    w = Window.orderBy("day")
+    mr = daily.select(
+        "day", "x", F.abs(F.col("x") - F.lag("x").over(w)).alias("mr")
+    )
+    xbar = mr.agg(F.sum("x").cast("double") / F.count("*")).scalar()
+    mrbar = mr.agg(
+        F.sum("mr").cast("double") / F.count("mr")
+    ).scalar()
+    ucl = F.floor((xbar + F.lit(2.66) * mrbar) * 1000000 + 0.5) / 1000000
+    lcl = F.floor((xbar - F.lit(2.66) * mrbar) * 1000000 + 0.5) / 1000000
+    mr_ucl = F.floor(F.lit(3.267) * mrbar * 1000000 + 0.5) / 1000000
+    return mr.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        F.col("mr").cast("long").alias("mr"),
+        F.floor(ucl * 1000000 + 0.5).cast("long").alias("ucl_micro"),
+        F.floor(lcl * 1000000 + 0.5).cast("long").alias("lcl_micro"),
+        (F.col("x") > ucl).alias("above_ucl"),
+        (F.col("x") < lcl).alias("below_lcl"),
+        F.coalesce(F.col("mr") > mr_ucl, F.lit(False)).alias("mr_violation"),
+    )
+
+
+QUERIES["window_xmr_chart"] = xmr_chart
+ORACLES["window_xmr_chart"] = """
+    WITH daily AS (
+        SELECT ts::DATE AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS x
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT day, x,
+               abs(x - lag(x) OVER (ORDER BY day))::BIGINT AS mr
+        FROM daily
+    ),
+    st AS (
+        SELECT sum(x)::DOUBLE / count(*) AS xbar,
+               sum(mr)::DOUBLE / count(mr) AS mrbar
+        FROM m
+    ),
+    lim AS (
+        SELECT floor((xbar + 2.66 * mrbar) * 1000000 + 0.5) / 1000000 AS ucl,
+               floor((xbar - 2.66 * mrbar) * 1000000 + 0.5) / 1000000 AS lcl,
+               floor(3.267 * mrbar * 1000000 + 0.5) / 1000000 AS mr_ucl
+        FROM st
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, x, mr,
+           floor(ucl * 1000000 + 0.5)::BIGINT AS ucl_micro,
+           floor(lcl * 1000000 + 0.5)::BIGINT AS lcl_micro,
+           x > ucl AS above_ucl,
+           x < lcl AS below_lcl,
+           coalesce(mr > mr_ucl, FALSE) AS mr_violation
+    FROM m, lim
+"""
+
+
+def hurst_rs(tables: dict[str, DataFrame]) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis — long-range
+    dependence of the daily value series: for block sizes n ∈
+    {5, 10, 15, 30}, split the 30-day series into consecutive blocks,
+    compute each block's rescaled range R/S (range of mean-adjusted
+    cumulative deviations over population std), average per size, and
+    fit H as the OLS slope of ln(R̄/S̄) on ln(n). H≈0.5 says random walk,
+    H>0.5 persistent trends, H<0.5 mean reversion (Hurst 1951 / Mandelbrot)
+    — the memory diagnostic behind ``window_autocorr``'s single-lag
+    view. Emits one row per block size (n, n_blocks, mean R/S micro)
+    plus the summary row n = −1 carrying H (the basket_poissonness
+    long-form pattern).
+
+    Exactness: block sums/ranges are exact integers until the S
+    division; ln/OLS are fixed-shape doubles over ≤ 4 points,
+    micro-pinned. Zero-variance blocks are excluded identically on both
+    engines.
+
+    Scale: the series is calendar-bounded; the 4× size explosion and
+    (size, block) windows are domain-sized."""
+    ev = tables["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("x")
+    )
+    wd = Window.orderBy("day")
+    idx = daily.select((F.row_number().over(wd) - 1).alias("t"), "x").where(
+        F.col("t") < 30
+    )
+    sized = idx.select(
+        "t", "x", F.explode(F.array(*[F.lit(s) for s in (5, 10, 15, 30)])).alias("n")
+    ).select("n", (F.col("t") % F.col("n")).alias("pos"),
+             F.floor(F.col("t") / F.col("n")).alias("blk"), "x")
+    wb = Window.partitionBy("n", "blk")
+    wo = Window.partitionBy("n", "blk").orderBy("pos")
+    stats = sized.select(
+        "n", "blk", "pos", "x",
+        F.avg(F.col("x").cast("double")).over(wb).alias("mean"),
+        F.sum("x").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    z = stats.select(
+        "n", "blk", "x", "mean",
+        (F.col("cum").cast("double") - (F.col("pos") + 1) * F.col("mean")).alias(
+            "z"
+        ),
+    )
+    per_blk = z.groupBy("n", "blk").agg(
+        (F.max("z") - F.min("z")).alias("r"),
+        F.sqrt(
+            F.avg(F.col("x").cast("double") * F.col("x").cast("double"))
+            - F.avg(F.col("x").cast("double")) * F.avg(F.col("x").cast("double"))
+        ).alias("s"),
+    )
+    rs = per_blk.where(F.col("s") > 0).groupBy("n").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.avg(F.col("r") / F.col("s")).alias("rs"),
+    )
+    pts = rs.select(
+        "n", "n_blocks", "rs",
+        F.log(F.col("n").cast("double")).alias("lx"),
+        F.log("rs").alias("ly"),
+    )
+    mom = pts.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    kd = F.col("k").cast("double")
+    h = (kd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        kd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    main = pts.select(
+        F.col("n").cast("long").alias("n"),
+        "n_blocks",
+        F.floor(F.col("rs") * 1000000 + 0.5).cast("long").alias("rs_micro"),
+    )
+    summary = mom.select(
+        F.lit(-1).cast("long").alias("n"),
+        F.col("k").alias("n_blocks"),
+        F.floor(h * 1000000 + 0.5).cast("long").alias("rs_micro"),
+    )
+    return main.unionByName(summary)
+
+
+QUERIES["window_hurst"] = hurst_rs
+# Summary row n=-1 carries H in the rs column (long-form union).
+ORACLES["window_hurst"] = """
+    WITH daily AS (
+        SELECT ts::DATE AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS x
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT (row_number() OVER (ORDER BY day) - 1)::BIGINT AS t, x
+        FROM daily QUALIFY t < 30
+    ),
+    sized AS (
+        SELECT s.n, t % s.n AS pos, t // s.n AS blk, x
+        FROM idx CROSS JOIN (VALUES (5), (10), (15), (30)) s(n)
+    ),
+    stats AS (
+        SELECT n, blk, pos, x,
+               avg(x::DOUBLE) OVER (PARTITION BY n, blk) AS mean,
+               sum(x) OVER (PARTITION BY n, blk ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM sized
+    ),
+    z AS (
+        SELECT n, blk, x, mean,
+               cum::DOUBLE - (pos + 1) * mean AS z
+        FROM stats
+    ),
+    per_blk AS (
+        SELECT n, blk, max(z) - min(z) AS r,
+               sqrt(avg(x::DOUBLE * x::DOUBLE)
+                    - avg(x::DOUBLE) * avg(x::DOUBLE)) AS s
+        FROM z GROUP BY n, blk
+    ),
+    rs AS (
+        SELECT n, count(*)::BIGINT AS n_blocks, avg(r / s) AS rs
+        FROM per_blk WHERE s > 0 GROUP BY n
+    ),
+    pts AS (
+        SELECT n, n_blocks, rs, ln(n::DOUBLE) AS lx, ln(rs) AS ly FROM rs
+    ),
+    mom AS (
+        SELECT count(*)::BIGINT AS k, sum(lx) AS sx, sum(ly) AS sy,
+               sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+        FROM pts
+    )
+    SELECT n::BIGINT AS n, n_blocks,
+           floor(rs * 1000000 + 0.5)::BIGINT AS rs_micro
+    FROM pts
+    UNION ALL
+    SELECT -1::BIGINT, k,
+           floor((k::DOUBLE * sxy - sx * sy)
+                 / (k::DOUBLE * sxx - sx * sx) * 1000000 + 0.5)::BIGINT
+    FROM mom
+"""

@@ -1186,3 +1186,53 @@ ORACLES["sql_udf_scalar"] = SQL_UDF_BODY.format(
         " WHEN o_totalprice > 100000 THEN 2 ELSE 1 END"
     ),
 )
+
+
+MULTISET_SQL = """
+    WITH views AS (
+        SELECT user_id FROM {events} WHERE event_type = 'view'
+    ),
+    clicks AS (
+        SELECT user_id FROM {events} WHERE event_type = 'click'
+    )
+    SELECT 'views_minus_clicks_all' AS op,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(user_id) AS BIGINT) AS id_mass
+    FROM (SELECT user_id FROM views EXCEPT ALL SELECT user_id FROM clicks)
+    UNION ALL
+    SELECT 'views_intersect_clicks_all',
+           CAST(count(*) AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(sum(user_id) AS BIGINT)
+    FROM (SELECT user_id FROM views INTERSECT ALL
+          SELECT user_id FROM clicks)
+    UNION ALL
+    SELECT 'except_distinct',
+           CAST(count(*) AS BIGINT), CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(sum(user_id) AS BIGINT)
+    FROM (SELECT user_id FROM views EXCEPT SELECT user_id FROM clicks)
+"""
+
+
+def _multiset_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """MULTISET set operations (EXCEPT ALL / INTERSECT ALL, SQL:1999 —
+    Spark 3.0+) as ONE spark.sql TEXT — bag semantics where
+    ``sql_set_ops``' distinct variants collapse duplicates: EXCEPT ALL
+    subtracts per-OCCURRENCE (a user with 5 views and 2 clicks keeps 3
+    rows — the "excess exposure" count distinct-EXCEPT can't express),
+    INTERSECT ALL keeps min(multiplicity). The distinct-EXCEPT arm rides
+    along so the hash gates the bag-vs-set divergence itself (n_rows
+    differs, n_users agrees). DuckDB runs the identical text.
+
+    Scale: Catalyst plans ALL-variants as count-aggregating joins on the
+    compare key — same shuffle shape as the distinct forms, no row
+    explosion."""
+    ev = tables["events"]
+    ev.createOrReplaceTempView("events_view_sql_multiset")
+    return ev.sparkSession.sql(
+        MULTISET_SQL.format(events="events_view_sql_multiset")
+    )
+
+
+QUERIES["sql_multiset_ops"] = _multiset_sql_q
+ORACLES["sql_multiset_ops"] = MULTISET_SQL.format(events="events")

@@ -1779,3 +1779,104 @@ def test_cluster_design_icc_replay(tables):
     assert abs(row["icc_micro"] - np.floor(icc * 1e6 + 0.5)) <= 1
     assert abs(row["deff_micro"] - np.floor(deff * 1e6 + 0.5)) <= 1
     assert 0 < row["n_users_sampled"] <= 41
+
+
+# ---------------------------------------------------------------- multiset
+
+
+def test_multiset_ops_counter_replay(tables):
+    """Bag-semantics third implementation with collections.Counter."""
+    from collections import Counter
+
+    import duckdb
+
+    from flink_210225_spark.streaming.sql_jobs import _multiset_sql_q
+
+    got = {r["op"]: r for r in _multiset_sql_q(tables).collect()}
+    ev = duckdb.sql(
+        "SELECT user_id, event_type FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+    ).df()
+    v = Counter(ev[ev.event_type == "view"].user_id)
+    c = Counter(ev[ev.event_type == "click"].user_id)
+    exc_all = v - c  # Counter subtraction = per-occurrence EXCEPT ALL
+    int_all = v & c  # min multiplicity = INTERSECT ALL
+    exc_d = set(v) - set(c)
+    r = got["views_minus_clicks_all"]
+    assert r["n_rows"] == sum(exc_all.values())
+    assert r["n_users"] == len(exc_all)
+    assert r["id_mass"] == sum(u * m for u, m in exc_all.items())
+    r = got["views_intersect_clicks_all"]
+    assert r["n_rows"] == sum(int_all.values())
+    assert r["id_mass"] == sum(u * m for u, m in int_all.items())
+    r = got["except_distinct"]
+    assert r["n_rows"] == r["n_users"] == len(exc_d)
+    # bag vs set divergence must be visible
+    assert (
+        got["views_minus_clicks_all"]["n_rows"]
+        > got["except_distinct"]["n_rows"]
+    )
+
+
+# ---------------------------------------------------------------------- xmr
+
+
+def test_xmr_chart_replay(tables):
+    import duckdb
+
+    from flink_210225_spark.operators.windows import xmr_chart
+
+    rows = sorted(xmr_chart(tables).collect(), key=lambda r: r["day"])
+    daily = duckdb.sql(
+        "SELECT ts::DATE d, sum(floor(value*100+0.5)::BIGINT)::BIGINT x"
+        " FROM '/root/testdata/sf0.001/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).df()
+    xs = daily.x.to_list()
+    mrs = [abs(b - a) for a, b in zip(xs, xs[1:])]
+    xbar = sum(xs) / len(xs)
+    mrbar = sum(mrs) / len(mrs)
+    ucl = np.floor((xbar + 2.66 * mrbar) * 1e6 + 0.5) / 1e6
+    lcl = np.floor((xbar - 2.66 * mrbar) * 1e6 + 0.5) / 1e6
+    for i, r in enumerate(rows):
+        assert r["x"] == xs[i]
+        assert r["mr"] == (None if i == 0 else mrs[i - 1])
+        assert r["above_ucl"] == (xs[i] > ucl)
+        assert r["below_lcl"] == (xs[i] < lcl)
+
+
+# -------------------------------------------------------------------- hurst
+
+
+def test_hurst_rs_numpy_replay(tables):
+    import duckdb
+
+    from flink_210225_spark.operators.windows import hurst_rs
+
+    rows = {r["n"]: r for r in hurst_rs(tables).collect()}
+    daily = duckdb.sql(
+        "SELECT ts::DATE d, sum(floor(value*100+0.5)::BIGINT)::BIGINT x"
+        " FROM '/root/testdata/sf0.001/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).df()
+    xs = daily.x.to_numpy()[:30].astype(np.float64)
+    pts = []
+    for nn in (5, 10, 15, 30):
+        rss = []
+        for b in range(30 // nn):
+            blk = xs[b * nn : (b + 1) * nn]
+            z = np.cumsum(blk - blk.mean())
+            r = z.max() - z.min()
+            s = np.sqrt((blk**2).mean() - blk.mean() ** 2)
+            if s > 0:
+                rss.append(r / s)
+        mean_rs = float(np.mean(rss))
+        assert rows[nn]["n_blocks"] == len(rss)
+        assert abs(rows[nn]["rs_micro"] - np.floor(mean_rs * 1e6 + 0.5)) <= 1
+        pts.append((np.log(nn), np.log(mean_rs)))
+    lx = np.array([p[0] for p in pts])
+    ly = np.array([p[1] for p in pts])
+    k = len(pts)
+    h = (k * (lx * ly).sum() - lx.sum() * ly.sum()) / (
+        k * (lx * lx).sum() - lx.sum() ** 2
+    )
+    assert abs(rows[-1]["rs_micro"] - np.floor(h * 1e6 + 0.5)) <= 1
+    assert 0 < h < 1  # a valid Hurst exponent
