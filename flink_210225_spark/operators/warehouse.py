@@ -2644,3 +2644,121 @@ ORACLES["warehouse_scd2_integrity"] = """
                AS closed_out_keys
     FROM per_key
 """
+
+
+def medallion_recon(tables: dict[str, DataFrame]) -> DataFrame:
+    """Medallion row-count RECONCILIATION — the bronze→silver→gold
+    accounting every lakehouse runbook demands: bronze = raw events;
+    silver = typed rows that survive quality gates (parseable props,
+    non-negative value, event_type in the known domain) MINUS
+    within-day duplicates on (user, type, value); gold = the daily
+    rollup. Every bronze row must be accounted for: silver + each
+    rejection-reason census must telescope back to bronze, and gold's
+    row mass must equal silver's (sum of n = silver count) — the
+    emitted ledger makes silent row loss arithmetically impossible
+    (the cross-LAYER sibling of ``cdc_state_reconciliation``'s
+    cross-ALGORITHM check; reference gmall's ods→dwd→dws layering had
+    no such ledger).
+
+    Exactness: pure counts; the dedup census is exact (count −
+    distinct).
+
+    Scale: one scan with conditional aggregation for the censuses, one
+    (user, type, value, day)-keyed dedup, one day-keyed gold agg."""
+    ev = tables["events"]
+    known = ("click", "view", "purchase", "signup", "error")
+    parsed = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("day"),
+        F.get_json_object("props", "$.k").isNotNull().alias("props_ok"),
+        (F.col("value") >= 0).alias("value_ok"),
+        F.col("event_type").isin(*known).alias("type_ok"),
+    )
+    n_bronze = parsed.agg(F.count("*").cast("long")).scalar()
+    n_bad_props = parsed.agg(
+        F.sum(F.when(~F.col("props_ok"), 1).otherwise(0)).cast("long")
+    ).scalar()
+    n_bad_value = parsed.agg(
+        F.sum(F.when(F.col("props_ok") & ~F.col("value_ok"), 1).otherwise(0)).cast(
+            "long"
+        )
+    ).scalar()
+    n_bad_type = parsed.agg(
+        F.sum(
+            F.when(
+                F.col("props_ok") & F.col("value_ok") & ~F.col("type_ok"), 1
+            ).otherwise(0)
+        ).cast("long")
+    ).scalar()
+    clean = parsed.where("props_ok AND value_ok AND type_ok")
+    silver = clean.groupBy("user_id", "event_type", "value", "day").agg(
+        F.count("*").cast("long").alias("dup_ct")
+    )
+    n_clean = clean.agg(F.count("*").cast("long")).scalar()
+    n_silver = silver.agg(F.count("*").cast("long")).scalar()
+    gold = silver.groupBy("day").agg(F.count("*").cast("long").alias("n"))
+    n_gold_rows = gold.agg(F.count("*").cast("long")).scalar()
+    n_gold_mass = gold.agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long")).scalar()
+    return tables["events"].sparkSession.range(1).select(
+        n_bronze.alias("bronze_rows"),
+        n_bad_props.alias("rejected_props"),
+        n_bad_value.alias("rejected_value"),
+        n_bad_type.alias("rejected_type"),
+        (n_clean - n_silver).alias("deduped_rows"),
+        n_silver.alias("silver_rows"),
+        n_gold_rows.alias("gold_rows"),
+        (
+            n_bad_props
+            + n_bad_value
+            + n_bad_type
+            + (n_clean - n_silver)
+            + n_silver
+            == n_bronze
+        ).alias("ledger_balances"),
+        (n_gold_mass == n_silver).alias("gold_covers_silver"),
+    )
+
+
+QUERIES["warehouse_medallion_recon"] = medallion_recon
+ORACLES["warehouse_medallion_recon"] = """
+    WITH parsed AS (
+        SELECT user_id, event_type, value, ts::DATE AS day,
+               (json_extract(props, '$.k') IS NOT NULL) AS props_ok,
+               (value >= 0) AS value_ok,
+               event_type IN ('click', 'view', 'purchase', 'signup',
+                              'error') AS type_ok
+        FROM events
+    ),
+    clean AS (
+        SELECT * FROM parsed WHERE props_ok AND value_ok AND type_ok
+    ),
+    silver AS (
+        SELECT user_id, event_type, value, day, count(*)::BIGINT AS dup_ct
+        FROM clean GROUP BY 1, 2, 3, 4
+    ),
+    c AS (
+        SELECT
+            (SELECT count(*) FROM parsed)::BIGINT AS bronze_rows,
+            (SELECT sum(CASE WHEN NOT props_ok THEN 1 ELSE 0 END)
+             FROM parsed)::BIGINT AS rejected_props,
+            (SELECT sum(CASE WHEN props_ok AND NOT value_ok THEN 1 ELSE 0 END)
+             FROM parsed)::BIGINT AS rejected_value,
+            (SELECT sum(CASE WHEN props_ok AND value_ok AND NOT type_ok
+                             THEN 1 ELSE 0 END)
+             FROM parsed)::BIGINT AS rejected_type,
+            (SELECT count(*) FROM clean)::BIGINT AS n_clean,
+            (SELECT count(*) FROM silver)::BIGINT AS silver_rows,
+            (SELECT count(DISTINCT day) FROM silver)::BIGINT AS gold_rows
+    )
+    SELECT bronze_rows, rejected_props, rejected_value, rejected_type,
+           (n_clean - silver_rows)::BIGINT AS deduped_rows, silver_rows,
+           gold_rows,
+           rejected_props + rejected_value + rejected_type
+           + (n_clean - silver_rows) + silver_rows = bronze_rows
+               AS ledger_balances,
+           TRUE AS gold_covers_silver
+    FROM c
+"""

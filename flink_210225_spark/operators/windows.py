@@ -3482,3 +3482,121 @@ ORACLES["window_hurst"] = """
                  / (k::DOUBLE * sxx - sx * sx) * 1000000 + 0.5)::BIGINT
     FROM mom
 """
+
+
+def ljung_box(tables: dict[str, DataFrame], max_lag: int = 7) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test — ``window_autocorr`` reads
+    one lag at a time; Q = n(n+2)·Σ_{k≤7} ρ̂²_k/(n−k) aggregates the
+    first 7 into ONE is-this-noise number (χ²₇ under H₀ — Q ≫ 14 says
+    the daily series carries structure worth a seasonal model; the
+    pre-flight check before trusting ``window_holt_winters``'s
+    residuals). Per-lag rows carry ρ̂_k (micro) with the summary row
+    k = −1 carrying Q (long-form union).
+
+    Exactness: the series is exact cents; mean-adjusted autocovariances
+    are fixed-shape double sums over the 30-point series (the classic
+    biased-denominator estimator, n in every lag), micro-pinned.
+
+    Scale: one day agg; lags via 7 window lags over the daily frame —
+    calendar-bounded."""
+    ev = tables["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("x")
+    )
+    n_col = daily.agg(F.count("*").cast("long")).scalar()
+    mean = daily.agg(F.sum("x").cast("double") / F.count("*")).scalar()
+    w = Window.orderBy("day")
+    dev = daily.select(
+        "day", (F.col("x").cast("double") - mean).alias("d")
+    )
+    lag_cols = [
+        (F.col("d") * F.lag("d", k).over(w)).alias(f"p{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    prods = dev.select("d", *lag_cols)
+    agg = prods.agg(
+        F.sum(F.col("d") * F.col("d")).alias("c0"),
+        *[F.sum(f"p{k}").alias(f"c{k}") for k in range(1, max_lag + 1)],
+    )
+    rows = []
+    q_terms = []
+    for k in range(1, max_lag + 1):
+        rho = F.col(f"c{k}") / F.col("c0")
+        q_terms.append(rho * rho / (n_col.cast("double") - k))
+        rows.append(
+            agg.select(
+                F.lit(k).cast("long").alias("lag"),
+                n_col.alias("n_days"),
+                F.floor(rho * 1000000 + 0.5).cast("long").alias("stat_micro"),
+            )
+        )
+    q = (
+        n_col.cast("double")
+        * (n_col.cast("double") + 2.0)
+        * sum(q_terms[1:], q_terms[0])
+    )
+    rows.append(
+        agg.select(
+            F.lit(-1).cast("long").alias("lag"),
+            n_col.alias("n_days"),
+            F.floor(q * 1000000 + 0.5).cast("long").alias("stat_micro"),
+        )
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+QUERIES["window_ljung_box"] = ljung_box
+# Summary row lag=-1 carries Q; autocovariances use the biased
+# n-denominator convention (both engines divide identical sums).
+ORACLES["window_ljung_box"] = """
+    WITH daily AS (
+        SELECT ts::DATE AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS x
+        FROM events GROUP BY 1
+    ),
+    st AS (SELECT count(*)::BIGINT AS n,
+                  sum(x)::DOUBLE / count(*) AS mean FROM daily),
+    dev AS (
+        SELECT day, x::DOUBLE - (SELECT mean FROM st) AS d FROM daily
+    ),
+    pr AS (
+        SELECT d,
+               d * lag(d, 1) OVER (ORDER BY day) AS p1,
+               d * lag(d, 2) OVER (ORDER BY day) AS p2,
+               d * lag(d, 3) OVER (ORDER BY day) AS p3,
+               d * lag(d, 4) OVER (ORDER BY day) AS p4,
+               d * lag(d, 5) OVER (ORDER BY day) AS p5,
+               d * lag(d, 6) OVER (ORDER BY day) AS p6,
+               d * lag(d, 7) OVER (ORDER BY day) AS p7
+        FROM dev
+    ),
+    agg AS (
+        SELECT sum(d * d) AS c0, sum(p1) AS c1, sum(p2) AS c2,
+               sum(p3) AS c3, sum(p4) AS c4, sum(p5) AS c5,
+               sum(p6) AS c6, sum(p7) AS c7
+        FROM pr
+    )
+    SELECT k.k::BIGINT AS lag, (SELECT n FROM st) AS n_days,
+           floor(CASE k.k
+                 WHEN 1 THEN c1 / c0 WHEN 2 THEN c2 / c0
+                 WHEN 3 THEN c3 / c0 WHEN 4 THEN c4 / c0
+                 WHEN 5 THEN c5 / c0 WHEN 6 THEN c6 / c0
+                 ELSE c7 / c0 END * 1000000 + 0.5)::BIGINT AS stat_micro
+    FROM agg, (VALUES (1), (2), (3), (4), (5), (6), (7)) k(k)
+    UNION ALL
+    SELECT -1::BIGINT, (SELECT n FROM st),
+           floor((SELECT n FROM st)::DOUBLE
+                 * ((SELECT n FROM st)::DOUBLE + 2.0)
+                 * ((c1/c0)*(c1/c0) / ((SELECT n FROM st)::DOUBLE - 1)
+                    + (c2/c0)*(c2/c0) / ((SELECT n FROM st)::DOUBLE - 2)
+                    + (c3/c0)*(c3/c0) / ((SELECT n FROM st)::DOUBLE - 3)
+                    + (c4/c0)*(c4/c0) / ((SELECT n FROM st)::DOUBLE - 4)
+                    + (c5/c0)*(c5/c0) / ((SELECT n FROM st)::DOUBLE - 5)
+                    + (c6/c0)*(c6/c0) / ((SELECT n FROM st)::DOUBLE - 6)
+                    + (c7/c0)*(c7/c0) / ((SELECT n FROM st)::DOUBLE - 7))
+                 * 1000000 + 0.5)::BIGINT
+    FROM agg
+"""

@@ -6145,3 +6145,123 @@ def textrank_keywords(
 
 QUERIES["text_textrank"] = textrank_keywords
 ORACLES["text_textrank"] = _textrank_oracle()
+
+
+def char_entropy(tables: dict[str, DataFrame]) -> DataFrame:
+    """Character-level entropy rate per language — H1 (unigram character
+    entropy), H2 (character-bigram joint entropy) and the conditional
+    entropy rate H(X₂|X₁) = H2 − H1, in bits: the information-theoretic
+    fingerprint that separates natural language (~1-2 bits/char
+    conditional) from base64/hex blobs (high, flat) and from
+    template spam (near zero) — the first-principles cousin of
+    ``text_encoding_audit``'s heuristics and the quantity
+    ``text_zipf_profile`` approximates from word ranks (Shannon 1951).
+
+    Exactness: character and bigram counts are exact BIGINTs; entropies
+    are Σ(c/N)·log2(c/N) in one fixed shape over exact integer ratios,
+    micro-pinned.
+
+    Scale: per-row split to characters rides the scan; the shuffles
+    carry (lang, char) and (lang, bigram) — alphabet-bounded domains,
+    never corpus rows."""
+    docs = tables["documents"]
+    chars = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+            )
+        ).alias("c"),
+    )
+    bigrams = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("b"),
+    ).where(F.length("text") >= 2)
+    def entropy(counts, grp):
+        n = Window.partitionBy(grp)
+        p = F.col("ct").cast("double") / F.sum("ct").over(n).cast("double")
+        return counts.select(
+            grp,
+            (p * F.log2(p)).alias("term"),
+        ).groupBy(grp).agg((-F.sum("term")).alias("h"))
+
+    h1 = entropy(
+        chars.groupBy("lang", "c").agg(F.count("*").cast("long").alias("ct")),
+        "lang",
+    ).select("lang", F.col("h").alias("h1"))
+    h2 = entropy(
+        bigrams.groupBy("lang", "b").agg(F.count("*").cast("long").alias("ct")),
+        "lang",
+    ).select(F.col("lang").alias("l2"), F.col("h").alias("h2"))
+    sizes = chars.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_chars"),
+        F.countDistinct("c").cast("long").alias("alphabet"),
+    )
+    return (
+        sizes.join(h1, "lang")
+        .join(h2, sizes.lang == F.col("l2"))
+        .select(
+            "lang",
+            "n_chars",
+            "alphabet",
+            F.floor(F.col("h1") * 1000000 + 0.5).cast("long").alias("h1_micro"),
+            F.floor(F.col("h2") * 1000000 + 0.5).cast("long").alias("h2_micro"),
+            F.floor((F.col("h2") - F.col("h1")) * 1000000 + 0.5)
+            .cast("long")
+            .alias("cond_rate_micro"),
+        )
+    )
+
+
+QUERIES["text_char_entropy"] = char_entropy
+# Same Σ p·log2 p shapes over exact (lang, gram) counts; DuckDB's log2
+# and Spark's log2 agree through the micro pin (sums are over identical
+# alphabet-bounded term sets).
+ORACLES["text_char_entropy"] = """
+    WITH chars AS (
+        SELECT lang,
+               unnest(list_transform(range(1, length(text) + 1),
+                   i -> text[i : i])) AS c
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT lang,
+               unnest(list_transform(range(1, greatest(length(text) - 1, 0)
+                                             + 1),
+                   i -> text[i : i + 1])) AS b
+        FROM documents WHERE length(text) >= 2
+    ),
+    c1 AS (SELECT lang, c, count(*)::BIGINT AS ct FROM chars GROUP BY 1, 2),
+    h1 AS (
+        SELECT lang,
+               -sum((ct::DOUBLE / tot) * log2(ct::DOUBLE / tot)) AS h1
+        FROM (SELECT lang, ct,
+                     sum(ct) OVER (PARTITION BY lang)::DOUBLE AS tot
+              FROM c1)
+        GROUP BY lang
+    ),
+    c2 AS (SELECT lang, b, count(*)::BIGINT AS ct FROM bigrams GROUP BY 1, 2),
+    h2 AS (
+        SELECT lang,
+               -sum((ct::DOUBLE / tot) * log2(ct::DOUBLE / tot)) AS h2
+        FROM (SELECT lang, ct,
+                     sum(ct) OVER (PARTITION BY lang)::DOUBLE AS tot
+              FROM c2)
+        GROUP BY lang
+    ),
+    sizes AS (
+        SELECT lang, count(*)::BIGINT AS n_chars,
+               count(DISTINCT c)::BIGINT AS alphabet
+        FROM chars GROUP BY lang
+    )
+    SELECT s.lang, s.n_chars, s.alphabet,
+           floor(h1.h1 * 1000000 + 0.5)::BIGINT AS h1_micro,
+           floor(h2.h2 * 1000000 + 0.5)::BIGINT AS h2_micro,
+           floor((h2.h2 - h1.h1) * 1000000 + 0.5)::BIGINT AS cond_rate_micro
+    FROM sizes s JOIN h1 USING (lang) JOIN h2 USING (lang)
+"""

@@ -1880,3 +1880,98 @@ def test_hurst_rs_numpy_replay(tables):
     )
     assert abs(rows[-1]["rs_micro"] - np.floor(h * 1e6 + 0.5)) <= 1
     assert 0 < h < 1  # a valid Hurst exponent
+
+
+# --------------------------------------------------------------- medallion
+
+
+def test_medallion_ledger_replay(tables):
+    import json as _json
+
+    import duckdb
+
+    from flink_210225_spark.operators.warehouse import medallion_recon
+
+    row = medallion_recon(tables).collect()[0]
+    ev = duckdb.sql(
+        "SELECT user_id, event_type, value, ts::DATE d, props"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+    ).df()
+    def props_ok(p):
+        try:
+            return "k" in _json.loads(p)
+        except Exception:
+            return False
+    ok_p = ev.props.map(props_ok)
+    ok_v = ev.value >= 0
+    known = {"click", "view", "purchase", "signup", "error"}
+    ok_t = ev.event_type.isin(known)
+    clean = ev[ok_p & ok_v & ok_t]
+    silver = clean.groupby(["user_id", "event_type", "value", "d"]).size()
+    assert row["bronze_rows"] == len(ev)
+    assert row["rejected_props"] == int((~ok_p).sum())
+    assert row["rejected_value"] == int((ok_p & ~ok_v).sum())
+    assert row["rejected_type"] == int((ok_p & ok_v & ~ok_t).sum())
+    assert row["silver_rows"] == len(silver)
+    assert row["deduped_rows"] == len(clean) - len(silver)
+    assert row["ledger_balances"] and row["gold_covers_silver"]
+
+
+# ------------------------------------------------------------- char entropy
+
+
+def test_char_entropy_counter_replay(tables):
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from flink_210225_spark.ops.text import char_entropy
+
+    got = {r["lang"]: r for r in char_entropy(tables).collect()}
+    docs = duckdb.sql(
+        "SELECT lang, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).df()
+    by_lang = {}
+    for lang, text in zip(docs["lang"], docs["text"]):
+        c1, c2 = by_lang.setdefault(lang, (Counter(), Counter()))
+        c1.update(text)
+        c2.update(text[i : i + 2] for i in range(len(text) - 1))
+    for lang, (c1, c2) in by_lang.items():
+        n1, n2 = sum(c1.values()), sum(c2.values())
+        h1 = -sum(c / n1 * math.log2(c / n1) for c in c1.values())
+        h2 = -sum(c / n2 * math.log2(c / n2) for c in c2.values())
+        row = got[lang]
+        assert row["n_chars"] == n1
+        assert row["alphabet"] == len(c1)
+        assert abs(row["h1_micro"] - np.floor(h1 * 1e6 + 0.5)) <= 1
+        assert abs(row["h2_micro"] - np.floor(h2 * 1e6 + 0.5)) <= 1
+        # conditional rate within [0, h1] and h2 <= 2*h1 (subadditivity)
+        assert 0 < row["cond_rate_micro"] <= row["h1_micro"] + 1
+        assert row["h2_micro"] <= 2 * row["h1_micro"] + 1
+
+
+# ---------------------------------------------------------------- ljung box
+
+
+def test_ljung_box_numpy_replay(tables):
+    import duckdb
+
+    from flink_210225_spark.operators.windows import ljung_box
+
+    rows = {r["lag"]: r for r in ljung_box(tables).collect()}
+    daily = duckdb.sql(
+        "SELECT ts::DATE d, sum(floor(value*100+0.5)::BIGINT)::BIGINT x"
+        " FROM '/root/testdata/sf0.001/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).df()
+    x = daily.x.to_numpy().astype(np.float64)
+    n = len(x)
+    d = x - x.mean()
+    c0 = (d * d).sum()
+    q = 0.0
+    for k in range(1, 8):
+        rho = (d[k:] * d[:-k]).sum() / c0
+        assert abs(rows[k]["stat_micro"] - np.floor(rho * 1e6 + 0.5)) <= 1
+        q += rho * rho / (n - k)
+    q *= n * (n + 2)
+    assert abs(rows[-1]["stat_micro"] - np.floor(q * 1e6 + 0.5)) <= 1
