@@ -3360,3 +3360,53 @@ ORACLES["serving_did_estimator"] = """
                  * 1000000 + 0.5)::BIGINT AS did_micro
     FROM wide
 """
+
+
+def skyline_parts(tables: dict[str, DataFrame]) -> DataFrame:
+    """SKYLINE (Pareto frontier) — the classic non-dominance operator
+    (Börzsönyi 2001): parts where no other part is simultaneously
+    cheaper-or-equal AND larger-or-equal (one strict) on
+    (p_retailprice minimized, p_size maximized). The naive spelling is
+    the quadratic NOT EXISTS self-join; for a 2-D skyline the
+    sort-scan identity collapses it to ONE running-max window — a part
+    is on the frontier iff its size strictly exceeds every
+    cheaper-or-tied-earlier part's size — which is the form that
+    scales (two-phase range-partitioned prefix max at 100 TB, never a
+    self-join). Ties resolved deterministically by (cents, size desc,
+    partkey): among equal (cents, size) the lowest partkey represents.
+
+    Exactness: cents exact; dominance is pure integer comparison. The
+    DuckDB oracle runs the QUADRATIC NOT-EXISTS definition — two
+    independent algorithms must produce the same frontier."""
+    p = tables["part"]
+    cents = F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long")
+    base = p.select("p_partkey", cents.alias("cents"), F.col("p_size").cast("long").alias("size"))
+    w = Window.orderBy("cents", F.desc("size"), "p_partkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ann = base.withColumn("best_before", F.max("size").over(w))
+    return ann.where(
+        F.col("best_before").isNull() | (F.col("size") > F.col("best_before"))
+    ).select("p_partkey", "cents", "size")
+
+
+QUERIES["serving_skyline"] = skyline_parts
+# Independent algorithm: the textbook quadratic NOT-EXISTS dominance
+# test, with the same deterministic tie rule (a strictly-better-or-equal
+# dominator with ANY strict edge, or an equal point with a lower key).
+ORACLES["serving_skyline"] = """
+    WITH base AS (
+        SELECT p_partkey, floor(p_retailprice * 100 + 0.5)::BIGINT AS cents,
+               p_size::BIGINT AS size
+        FROM part
+    )
+    SELECT b.p_partkey, b.cents, b.size
+    FROM base b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM base o
+        WHERE o.cents <= b.cents AND o.size >= b.size
+          AND (o.cents < b.cents OR o.size > b.size
+               OR (o.cents = b.cents AND o.size = b.size
+                   AND o.p_partkey < b.p_partkey))
+    )
+"""

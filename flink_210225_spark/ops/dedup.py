@@ -3616,3 +3616,93 @@ ORACLES["dedup_cascade_funnel"] = """
     UNION ALL
     SELECT '3_jaccard_keep_first', n2, n2 - n3, n3 FROM counts
 """
+
+
+def tf_shift(tables: dict[str, DataFrame], top_k: int = 20) -> DataFrame:
+    """What dedup does to the LM statistics — term frequencies measured
+    on the RAW corpus vs the exact-deduped corpus (min-doc_id survivor
+    per byte-identical group), for the raw corpus's top-20 tokens: raw
+    and deduped counts, per-million rates, and the rate shift. Tokens
+    whose rate COLLAPSES after dedup were riding duplicated boilerplate
+    — the evidence row behind "dedup changed my token distribution"
+    (Lee et al. 2022's observation, as an operator); a near-zero shift
+    column certifies the corpus clean.
+
+    Exactness: counts exact; per-million rates and the shift are pinned
+    divisions.
+
+    Scale: one digest-keyed survivor semi-join (the dedup_exact shape),
+    two token-keyed counts over raw/survivor scans, a broadcast top-K
+    probe — vocab-bounded shuffles."""
+    docs = tables["documents"]
+    keep = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toks_raw = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    survivors = docs.join(keep, "doc_id", "left_semi")
+    toks_dd = survivors.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    n_raw = toks_raw.agg(F.count("*").cast("long")).scalar()
+    n_dd = toks_dd.agg(F.count("*").cast("long")).scalar()
+    top = (
+        toks_raw.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("raw_ct"))
+        .orderBy(F.desc("raw_ct"), "tok")
+        .limit(top_k)
+    )
+    dd = toks_dd.groupBy("tok").agg(F.count("*").cast("long").alias("dd_ct"))
+    j = top.join(dd, "tok", "left").select(
+        "tok",
+        "raw_ct",
+        F.coalesce("dd_ct", F.lit(0)).alias("dd_ct"),
+    )
+    raw_ppm = F.col("raw_ct").cast("double") / n_raw.cast("double") * 1000000
+    dd_ppm = F.col("dd_ct").cast("double") / n_dd.cast("double") * 1000000
+    return j.select(
+        "tok",
+        "raw_ct",
+        "dd_ct",
+        F.floor(raw_ppm + 0.5).cast("long").alias("raw_ppm"),
+        F.floor(dd_ppm + 0.5).cast("long").alias("dd_ppm"),
+        F.floor(dd_ppm - raw_ppm + 0.5).cast("long").alias("shift_ppm"),
+    )
+
+
+QUERIES["dedup_tf_shift"] = tf_shift
+ORACLES["dedup_tf_shift"] = """
+    WITH keep AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    raw_t AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    raw_nz AS (SELECT tok FROM raw_t WHERE tok <> ''),
+    dd_t AS (
+        SELECT unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS tok
+        FROM documents d JOIN keep USING (doc_id)
+    ),
+    dd_nz AS (SELECT tok FROM dd_t WHERE tok <> ''),
+    nr AS (SELECT count(*)::BIGINT AS n FROM raw_nz),
+    nd AS (SELECT count(*)::BIGINT AS n FROM dd_nz),
+    top AS (
+        SELECT tok, count(*)::BIGINT AS raw_ct FROM raw_nz
+        GROUP BY tok ORDER BY raw_ct DESC, tok LIMIT 20
+    ),
+    dd AS (SELECT tok, count(*)::BIGINT AS dd_ct FROM dd_nz GROUP BY tok)
+    SELECT t.tok, t.raw_ct, coalesce(dd.dd_ct, 0)::BIGINT AS dd_ct,
+           floor(t.raw_ct::DOUBLE / (SELECT n FROM nr)::DOUBLE * 1000000
+                 + 0.5)::BIGINT AS raw_ppm,
+           floor(coalesce(dd.dd_ct, 0)::DOUBLE / (SELECT n FROM nd)::DOUBLE
+                 * 1000000 + 0.5)::BIGINT AS dd_ppm,
+           floor(coalesce(dd.dd_ct, 0)::DOUBLE / (SELECT n FROM nd)::DOUBLE
+                 * 1000000
+                 - t.raw_ct::DOUBLE / (SELECT n FROM nr)::DOUBLE * 1000000
+                 + 0.5)::BIGINT AS shift_ppm
+    FROM top t LEFT JOIN dd USING (tok)
+"""

@@ -1975,3 +1975,70 @@ def test_ljung_box_numpy_replay(tables):
         q += rho * rho / (n - k)
     q *= n * (n + 2)
     assert abs(rows[-1]["stat_micro"] - np.floor(q * 1e6 + 0.5)) <= 1
+
+
+# ----------------------------------------------------------------- skyline
+
+
+def test_skyline_quadratic_replay_and_properties(tables):
+    """Brute-force dominance third implementation + frontier staircase
+    property (sorted by cents asc, sizes strictly decrease... increase)."""
+    import duckdb
+
+    from flink_210225_spark.operators.serving import skyline_parts
+
+    got = {r["p_partkey"]: (r["cents"], r["size"]) for r in skyline_parts(tables).collect()}
+    p = duckdb.sql(
+        "SELECT p_partkey, floor(p_retailprice*100+0.5)::BIGINT c,"
+        " p_size::BIGINT s FROM '/root/testdata/sf0.001/part.parquet'"
+    ).df()
+    pts = list(zip(p.p_partkey, p.c, p.s))
+    expect = {}
+    for k, c, s in pts:
+        dominated = any(
+            (oc <= c and os >= s and (oc < c or os > s or (oc == c and os == s and ok < k)))
+            for ok, oc, os in pts
+            if ok != k
+        )
+        if not dominated:
+            expect[k] = (c, s)
+    assert got == expect
+    # staircase: sorted by cents asc, sizes strictly DECREASE? No —
+    # cheaper frontier points have SMALLER size; as cents rise, size rises
+    fr = sorted(got.values())
+    for (c1, s1), (c2, s2) in zip(fr, fr[1:]):
+        assert c1 < c2 and s1 < s2
+
+
+# ---------------------------------------------------------------- tf shift
+
+
+def test_tf_shift_counter_replay(tables):
+    import hashlib as hl
+    from collections import Counter
+
+    from flink_210225_spark.ops.dedup import tf_shift
+
+    got = {r["tok"]: r for r in tf_shift(tables).collect()}
+    docs = _docs_pd()
+    raw = Counter()
+    groups = {}
+    texts = dict(zip(docs.doc_id, docs.text))
+    for did, t in texts.items():
+        raw.update(w for w in t.strip().split() if w)
+        groups.setdefault(hl.md5(t.encode()).hexdigest(), []).append(did)
+    keep = {min(v) for v in groups.values()}
+    dd = Counter()
+    for did in keep:
+        dd.update(w for w in texts[did].strip().split() if w)
+    n_raw, n_dd = sum(raw.values()), sum(dd.values())
+    top = sorted(raw.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert set(got) == {t for t, _ in top}
+    for tok, ct in top:
+        r = got[tok]
+        assert r["raw_ct"] == ct
+        assert r["dd_ct"] == dd.get(tok, 0)
+        assert r["raw_ppm"] == np.floor(ct / n_raw * 1e6 + 0.5)
+        assert r["shift_ppm"] == np.floor(
+            dd.get(tok, 0) / n_dd * 1e6 - ct / n_raw * 1e6 + 0.5
+        )
