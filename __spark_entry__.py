@@ -110,7 +110,14 @@ def _registry():
 #     sentence_stats}, join_{anti_followup, waiting_supplier, dpp_prune},
 #     sample_{pps_estimator, snake_shards}, multimodal_{image_phash,
 #     audio_zcr, image_integral}, sim_{recall_curve, pq_distortion_curve},
-#     source_parquet_metadata, session_return_gaps.
+#     source_parquet_metadata, session_return_gaps; and the 21 late
+#     second-session additions: text_{textrank, char_entropy},
+#     warehouse_{accumulating_snapshot, scd2_integrity, medallion_recon},
+#     serving_{basket_poissonness, did_estimator, skyline},
+#     dedup_{cascade_funnel, tf_shift}, sample_{padding_waste,
+#     cluster_design}, window_{rolling_beta, gumbel_maxima, xmr_chart,
+#     hurst, ljung_box}, cdc_state_reconciliation,
+#     multimodal_image_morphology, source_csv_quoting, sql_multiset_ops.
 #   round 9 head: the oldest r1-only greens by family — sql_* tumbles
 #     (sql_province_tumble, sql_keyword_tumble), the log_* family
 #     (log_props_extract, log_flag_rows, log_padzero_union), the
