@@ -3103,9 +3103,12 @@ def price_endings(tables: dict[str, DataFrame]) -> DataFrame:
         F.floor(digit).cast("long").cast("string").alias("bucket")
     ).agg(F.count("*").cast("long").alias("n"))
     exp = n_all.cast("double") / 10.0
+    # complete the 10-digit grid: a digit with ZERO occurrences still
+    # contributes (0-E)^2/E = E — omitting it understates chi2 exactly
+    # when the skew is most extreme (review finding)
     chi2 = F.sum(
         (F.col("n").cast("double") - exp) * (F.col("n").cast("double") - exp) / exp
-    )
+    ) + (F.lit(10.0) - F.count("*").cast("double")) * exp
     digit_rows = by_digit.select(
         F.lit("dollar_digit").alias("dim"),
         "bucket",
@@ -3156,9 +3159,10 @@ ORACLES["serving_price_endings"] = """
     FROM by_digit
     UNION ALL
     SELECT 'chi2_dollar_digit', 'all', (SELECT n FROM tot),
-           floor(sum((n::DOUBLE - (SELECT n FROM tot)::DOUBLE / 10.0)
-                     * (n::DOUBLE - (SELECT n FROM tot)::DOUBLE / 10.0)
-                     / ((SELECT n FROM tot)::DOUBLE / 10.0))
+           floor((sum((n::DOUBLE - (SELECT n FROM tot)::DOUBLE / 10.0)
+                      * (n::DOUBLE - (SELECT n FROM tot)::DOUBLE / 10.0)
+                      / ((SELECT n FROM tot)::DOUBLE / 10.0))
+                  + (10.0 - count(*)) * (SELECT n FROM tot)::DOUBLE / 10.0)
                  * 1000000 + 0.5)::BIGINT
     FROM by_digit
 """

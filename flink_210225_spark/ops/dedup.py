@@ -32,6 +32,17 @@ from flink_210225_spark.ops.text import tokens_col
 # --- exact dedup ---
 
 
+def exact_keep_ids(docs: DataFrame) -> DataFrame:
+    """The canonical byte-exact survivor set (min doc_id per md5(text)
+    group) — THE keep rule; exact_dedup/cascade_funnel/tf_shift all
+    derive from here so a tie-break or digest change lands once."""
+    return (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
 def exact_dedup(tables: dict[str, DataFrame]) -> DataFrame:
     """Groups of byte-identical texts: digest, surviving doc (min id), and
     duplicate count. Downstream "keep one" = semi-join on keep_id."""
@@ -3527,12 +3538,8 @@ def cascade_funnel(tables: dict[str, DataFrame]) -> DataFrame:
     bucketed pair generation); survivors pass stage-to-stage as doc_id
     semi-joins — the funnel never re-touches text after its stage."""
     docs = tables["documents"]
-    # stage 1: byte-exact
-    keep1 = (
-        docs.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
+    # stage 1: byte-exact (the canonical keep rule)
+    keep1 = exact_keep_ids(docs)
     n0 = docs.count()
     n1 = keep1.count()
     # stage 2: normalized token-sort digest on survivors
@@ -3635,11 +3642,7 @@ def tf_shift(tables: dict[str, DataFrame], top_k: int = 20) -> DataFrame:
     two token-keyed counts over raw/survivor scans, a broadcast top-K
     probe — vocab-bounded shuffles."""
     docs = tables["documents"]
-    keep = (
-        docs.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
+    keep = exact_keep_ids(docs)
     toks_raw = docs.select(
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
     ).where(F.col("tok") != "")

@@ -2063,7 +2063,6 @@ def padding_waste(tables: dict[str, DataFrame], batch: int = 16) -> DataFrame:
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("len"),
     )
-    spark = docs.sparkSession
 
     def policy(order_cols, name):
         w = Window.orderBy(*order_cols)
@@ -2153,12 +2152,12 @@ def cluster_design(tables: dict[str, DataFrame], n_clusters: int = 40) -> DataFr
     per_u = ev.groupBy("user_id").agg(
         F.count("*").cast("long").alias("m"),
         F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("s"),
+        # per-term decimal BEFORE the sum (the periodogram discipline):
+        # casting the already-long sum protects nothing against overflow
         F.sum(
-            F.floor(F.col("value") * 100 + 0.5)
+            F.floor(F.col("value") * 100 + 0.5).cast("decimal(38,0)")
             * F.floor(F.col("value") * 100 + 0.5)
-        )
-        .cast("decimal(38,0)")
-        .alias("ss"),
+        ).alias("ss"),
     )
     n_users = per_u.agg(F.count("*").cast("long")).scalar()
     w = Window.orderBy(F.md5(F.col("user_id").cast("string")), "user_id")

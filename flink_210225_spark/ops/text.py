@@ -6041,7 +6041,7 @@ def _textrank_oracle(iters: int = 6) -> str:
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
                    i -> {'a': t[i], 'b': t[i + 1]})) AS p
-        FROM toks
+        FROM toks WHERE len(t) >= 2
     ),
     pairs AS (
         SELECT CASE WHEN p.a < p.b THEN p.a ELSE p.b END AS u,
@@ -6098,7 +6098,12 @@ def textrank_keywords(
     edge+strength frame is localCheckpoint-ed ONCE (the pagerank
     discipline — round k must not replay the tokenize pipeline)."""
     docs = tables["documents"]
-    t = docs.select(F.split(F.trim("text"), r"\s+").alias("t"))
+    # size >= 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0], the
+    # verify-skill trap), so sub-2-token docs would index element_at(t, 0)
+    # instead of iterating zero times like DuckDB's range(1, 1)
+    t = docs.select(F.split(F.trim("text"), r"\s+").alias("t")).where(
+        F.size("t") >= 2
+    )
     adj = t.select(
         F.explode(
             F.expr(
@@ -6165,7 +6170,9 @@ def char_entropy(tables: dict[str, DataFrame]) -> DataFrame:
     carry (lang, char) and (lang, bigram) — alphabet-bounded domains,
     never corpus rows."""
     docs = tables["documents"]
-    chars = docs.select(
+    # length >= 1 guard: sequence(1, 0) descends on Spark (phantom ''
+    # rows per empty doc) where DuckDB's range is empty
+    chars = docs.where(F.length("text") >= 1).select(
         "lang",
         F.explode(
             F.expr(
@@ -6227,7 +6234,7 @@ ORACLES["text_char_entropy"] = """
         SELECT lang,
                unnest(list_transform(range(1, length(text) + 1),
                    i -> text[i : i])) AS c
-        FROM documents
+        FROM documents WHERE length(text) >= 1
     ),
     bigrams AS (
         SELECT lang,

@@ -883,8 +883,10 @@ def parquet_metadata_audit(tables: dict[str, DataFrame]) -> DataFrame:
     spark = o.sparkSession
     files = [f.replace("file://", "") for f in o.inputFiles()]
     cols = ("o_orderkey", "o_custkey", "o_totalprice")
+    # max(1, ...): inputFiles() is empty for non-file-backed plans and
+    # repartition(0) is an immediate error
     fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
-        min(len(files), 32)
+        max(1, min(len(files), 32))
     )
 
     def footers(it):
@@ -909,11 +911,17 @@ def parquet_metadata_audit(tables: dict[str, DataFrame]) -> DataFrame:
                     for col in cols:
                         c = rg.column(idx[col])
                         st = c.statistics
+                        has = st is not None and st.has_min_max
                         rows["col"].append(col)
                         rows["num_values"].append(int(c.num_values))
-                        rows["null_count"].append(int(st.null_count))
-                        rows["min_val"].append(float(st.min))
-                        rows["max_val"].append(float(st.max))
+                        # a writer may legally omit stats; surface the
+                        # missing-stats condition as NULLs instead of
+                        # failing the audit that exists to detect it
+                        rows["null_count"].append(
+                            int(st.null_count) if st is not None else None
+                        )
+                        rows["min_val"].append(float(st.min) if has else None)
+                        rows["max_val"].append(float(st.max) if has else None)
             yield pd.DataFrame(rows)
 
     per_rg = fdf.mapInPandas(

@@ -1155,18 +1155,12 @@ def test_price_endings_replay(tables):
         assert r["n"] == cnt
         assert r["share_micro"] == np.floor(cnt / n * 1e6 + 0.5)
     digits = ((p % 1000) // 100).value_counts()
+    # full 10-digit grid: zero-count digits contribute (0-E)^2/E = E
     chi2 = sum(
         (digits.get(d, 0) - n / 10) ** 2 / (n / 10) for d in range(10)
-        if digits.get(d, 0) > 0
     )
-    # zero-count digits contribute (0-e)^2/e = e each; add those
-    chi2 += sum(n / 10 for d in range(10) if digits.get(d, 0) == 0)
     r = got[("chi2_dollar_digit", "all")]
-    # kernel sums over PRESENT digit rows only — replicate that contract
-    chi2_present = sum(
-        (c - n / 10) ** 2 / (n / 10) for c in digits.values
-    )
-    assert r["share_micro"] == np.floor(chi2_present * 1e6 + 0.5)
+    assert abs(r["share_micro"] - np.floor(chi2 * 1e6 + 0.5)) <= 1
 
 
 # ---------------------------------------------------------- record breaks
@@ -2042,3 +2036,39 @@ def test_tf_shift_counter_replay(tables):
         assert r["shift_ppm"] == np.floor(
             dd.get(tok, 0) / n_dd * 1e6 - ct / n_raw * 1e6 + 0.5
         )
+
+
+# --------------------------------------------- review-fix regression pins
+
+
+def test_textrank_survives_short_docs(spark):
+    """Review finding (live-verified crash): sub-2-token docs hit
+    Spark's DESCENDING sequence(1, 0) and indexed element_at(t, 0).
+    The guard must make them contribute zero edges, not abort."""
+    from flink_210225_spark.ops.text import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello"),
+            (2, ""),
+            (3, "alpha beta gamma alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = textrank_keywords({"documents": docs}).collect()
+    assert {r["token"] for r in rows} == {"alpha", "beta", "gamma", "delta"}
+
+
+def test_char_entropy_survives_empty_docs(spark):
+    """Review finding (live-verified divergence): empty text exploded
+    two phantom '' rows via sequence(1, 0). Guarded: empty docs are
+    invisible to the counts."""
+    from flink_210225_spark.ops.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "abab", "en"), (2, "", "en")],
+        "doc_id long, text string, lang string",
+    )
+    row = char_entropy({"documents": docs}).collect()[0]
+    assert row["n_chars"] == 4
+    assert row["alphabet"] == 2
