@@ -2762,3 +2762,84 @@ ORACLES["warehouse_medallion_recon"] = """
            TRUE AS gold_covers_silver
     FROM c
 """
+
+
+def storage_tiering(tables: dict[str, DataFrame]) -> DataFrame:
+    """Hot/warm/cold storage-tiering plan — the lifecycle policy input
+    every lakehouse cost review asks for: classify each part by RECENCY
+    of its last shipment against the corpus's last shipping day (hot ≤
+    180 days, warm ≤ 720, else cold) and report per tier the part
+    census, the revenue mass parked there, and the share of revenue a
+    cold-tier migration would move off premium storage. The
+    access-frequency sibling of ``warehouse_ttl_purge`` (which deletes;
+    tiering demotes) and ``warehouse_compaction_plan`` (layout; this is
+    placement).
+
+    Exactness: recency is exact date arithmetic against the exact max
+    ship date (scalar subquery); cents exact; shares pinned.
+
+    Scale: one partkey rollup of lineitem, one 3-row agg."""
+    li = tables["lineitem"]
+    anchor = li.agg(F.max(F.to_date("l_shipdate"))).scalar()
+    per = li.groupBy("l_partkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+            )
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    age = F.datediff(anchor, F.col("last_ship"))
+    tier = (
+        F.when(age <= 180, "1_hot")
+        .when(age <= 720, "2_warm")
+        .otherwise("3_cold")
+    )
+    tot = per.agg(F.sum("cents").cast("long")).scalar()
+    return per.groupBy(tier.alias("tier")).agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.min(age).cast("long").alias("min_age_days"),
+        F.max(age).cast("long").alias("max_age_days"),
+    ).select(
+        "tier",
+        "n_parts",
+        "cents",
+        "min_age_days",
+        "max_age_days",
+        F.floor(
+            F.col("cents").cast("double") / tot.cast("double") * 1000000 + 0.5
+        ).cast("long").alias("revenue_share_micro"),
+    )
+
+
+QUERIES["warehouse_storage_tiering"] = storage_tiering
+ORACLES["warehouse_storage_tiering"] = """
+    WITH per AS (
+        SELECT l_partkey, max(l_shipdate::DATE) AS last_ship,
+               sum(floor(l_extendedprice * (1 - l_discount) * 100
+                         + 0.5)::BIGINT)::BIGINT AS cents
+        FROM lineitem GROUP BY 1
+    ),
+    a AS (SELECT max(last_ship) AS anchor FROM per),
+    t AS (
+        SELECT date_diff('day', last_ship, (SELECT anchor FROM a))::BIGINT
+                   AS age,
+               cents
+        FROM per
+    ),
+    tiered AS (
+        SELECT CASE WHEN age <= 180 THEN '1_hot'
+                    WHEN age <= 720 THEN '2_warm'
+                    ELSE '3_cold' END AS tier,
+               age, cents
+        FROM t
+    )
+    SELECT tier, count(*)::BIGINT AS n_parts, sum(cents)::BIGINT AS cents,
+           min(age)::BIGINT AS min_age_days, max(age)::BIGINT AS max_age_days,
+           floor(sum(cents)::DOUBLE / (SELECT sum(cents) FROM per)::DOUBLE
+                 * 1000000 + 0.5)::BIGINT AS revenue_share_micro
+    FROM tiered GROUP BY tier
+"""

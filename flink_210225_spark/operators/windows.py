@@ -3600,3 +3600,137 @@ ORACLES["window_ljung_box"] = """
                  * 1000000 + 0.5)::BIGINT
     FROM agg
 """
+
+
+def haar_energy(tables: dict[str, DataFrame]) -> DataFrame:
+    """Multiresolution Haar energy — which TIME SCALE carries the daily
+    series' variation? Unnormalized Haar pyramid over the first 16 days
+    (the wHash integer-exactness move applied to a time series): level-1
+    details are day-pair differences, level 2 pair-of-pair, … level 4
+    the two-halves contrast; per level, the exact integer sum of squared
+    detail coefficients. The wavelet complement of
+    ``window_periodogram`` (Fourier localizes frequency, Haar localizes
+    scale AND position — a single spike loads every Fourier bin but one
+    Haar branch).
+
+    Exactness: everything integer — sums/differences of exact cents,
+    decimal(38,0)/HUGEINT squares; the emitted share is the single
+    pinned division.
+
+    Scale: calendar-bounded; the pyramid is log₂(16)=4 chained pairwise
+    aggs on a 16-row frame."""
+    ev = tables["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("x")
+    )
+    wd = Window.orderBy("day")
+    cur = daily.select(
+        (F.row_number().over(wd) - 1).alias("t"), F.col("x").alias("a")
+    ).where(F.col("t") < 16)
+    spark = ev.sparkSession
+    rows = []
+    for level in (1, 2, 3, 4):
+        paired = cur.select(
+            F.floor(F.col("t") / 2).alias("t"),
+            (F.col("t") % 2 == 0).alias("is_even"),
+            "a",
+        )
+        nxt = paired.groupBy("t").agg(
+            F.sum("a").cast("long").alias("a"),
+            (
+                F.sum(F.when(F.col("is_even"), F.col("a")).otherwise(0))
+                - F.sum(F.when(~F.col("is_even"), F.col("a")).otherwise(0))
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        energy = nxt.agg(
+            F.coalesce(
+                F.sum(F.col("d").cast("decimal(38,0)") * F.col("d")), F.lit(0)
+            ).alias("e"),
+            F.count("*").cast("long").alias("n_coeffs"),
+        )
+        rows.append(
+            energy.select(
+                F.lit(level).cast("long").alias("level"),
+                F.lit(2**level).cast("long").alias("scale_days"),
+                "n_coeffs",
+                F.col("e").cast("decimal(38,0)").alias("energy"),
+            )
+        )
+        cur = nxt.select("t", "a")
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    wall = Window.partitionBy()
+    tot = F.sum("energy").over(wall)
+    return out.select(
+        "level",
+        "scale_days",
+        "n_coeffs",
+        # DOUBLE for the hash: Spark Decimal vs DuckDB HUGEINT->float64
+        # canonicalize differently; the share column is the metric, the
+        # raw energy is descriptive (exact under 2^53 at fixture SFs)
+        F.col("energy").cast("double").alias("energy"),
+        F.floor(
+            F.col("energy").cast("double") / tot.cast("double") * 1000000 + 0.5
+        ).cast("long").alias("share_micro"),
+    )
+
+
+QUERIES["window_haar_energy"] = haar_energy
+# Same pyramid unrolled as chained CTEs; HUGEINT squares; detail =
+# even-position partial minus odd-position partial at every level.
+ORACLES["window_haar_energy"] = """
+    WITH daily AS (
+        SELECT ts::DATE AS day,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS x
+        FROM events GROUP BY 1
+    ),
+    l0 AS (
+        SELECT (row_number() OVER (ORDER BY day) - 1)::BIGINT AS t, x AS a
+        FROM daily QUALIFY t < 16
+    ),
+    l1 AS (
+        SELECT t // 2 AS t, sum(a)::BIGINT AS a,
+               (sum(CASE WHEN t % 2 = 0 THEN a ELSE 0 END)
+                - sum(CASE WHEN t % 2 = 1 THEN a ELSE 0 END))::BIGINT AS d
+        FROM l0 GROUP BY 1
+    ),
+    l2 AS (
+        SELECT t // 2 AS t, sum(a)::BIGINT AS a,
+               (sum(CASE WHEN t % 2 = 0 THEN a ELSE 0 END)
+                - sum(CASE WHEN t % 2 = 1 THEN a ELSE 0 END))::BIGINT AS d
+        FROM l1 GROUP BY 1
+    ),
+    l3 AS (
+        SELECT t // 2 AS t, sum(a)::BIGINT AS a,
+               (sum(CASE WHEN t % 2 = 0 THEN a ELSE 0 END)
+                - sum(CASE WHEN t % 2 = 1 THEN a ELSE 0 END))::BIGINT AS d
+        FROM l2 GROUP BY 1
+    ),
+    l4 AS (
+        SELECT t // 2 AS t, sum(a)::BIGINT AS a,
+               (sum(CASE WHEN t % 2 = 0 THEN a ELSE 0 END)
+                - sum(CASE WHEN t % 2 = 1 THEN a ELSE 0 END))::BIGINT AS d
+        FROM l3 GROUP BY 1
+    ),
+    lv AS (
+        SELECT 1 AS level, 2 AS scale_days, count(*)::BIGINT AS n_coeffs,
+               coalesce(sum(d::HUGEINT * d), 0)::HUGEINT AS energy FROM l1
+        UNION ALL
+        SELECT 2, 4, count(*)::BIGINT,
+               coalesce(sum(d::HUGEINT * d), 0)::HUGEINT FROM l2
+        UNION ALL
+        SELECT 3, 8, count(*)::BIGINT,
+               coalesce(sum(d::HUGEINT * d), 0)::HUGEINT FROM l3
+        UNION ALL
+        SELECT 4, 16, count(*)::BIGINT,
+               coalesce(sum(d::HUGEINT * d), 0)::HUGEINT FROM l4
+    )
+    SELECT level::BIGINT AS level, scale_days::BIGINT AS scale_days,
+           n_coeffs, energy::DOUBLE AS energy,
+           floor(energy::DOUBLE / sum(energy) OVER ()::DOUBLE * 1000000
+                 + 0.5)::BIGINT AS share_micro
+    FROM lv
+"""
