@@ -267,3 +267,56 @@ def write_zordered(
 
 
 ORACLES["colocate_zorder_keys"] = _zorder_oracle()
+
+
+def bucket_prune_demo(tables: dict[str, DataFrame]) -> DataFrame:
+    """BUCKET PRUNING on read — the third scan-reduction lever after
+    static partition pruning (``source_partition_prune``) and dynamic
+    partition pruning (``join_dpp_prune``): an equality filter on the
+    BUCKET KEY of a hash-bucketed table lets Spark open only the buckets
+    the key can hash into (SelectedBucketsCount in the scan, pinned by
+    the plan test) — on a 32-bucket layout an IN (k1, k2) probe reads ≤
+    2/32 of the files with NO directory layout at all (bucketing prunes
+    on HASH, partitioning on VALUE; high-cardinality keys that would
+    explode a partition tree bucket happily). Events land bucketed by
+    user_id in scratch; the probe filters two user ids and rolls up.
+
+    Exactness: pure counts/cents replayed by the oracle from the raw
+    table.
+
+    Scale: the write is one shuffle into 32 bucket files; the probe
+    reads 2 buckets regardless of corpus size."""
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    ev = tables["events"]
+    spark = ev.sparkSession
+    out = _scratch(prefix="bktprune_")
+    tbl = "events_bucket_prune_demo"
+    write_bucketed(
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        ),
+        tbl,
+        "user_id",
+        num_buckets=32,
+        path=out,
+    )
+    probe = spark.table(tbl).where(F.col("user_id").isin(7, 42))
+    return probe.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+
+
+QUERIES["colocate_bucket_prune"] = bucket_prune_demo
+ORACLES["colocate_bucket_prune"] = """
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents,
+           count(DISTINCT event_type)::BIGINT AS n_types
+    FROM events WHERE user_id IN (7, 42)
+    GROUP BY user_id
+"""

@@ -401,3 +401,18 @@ def test_dpp_prune_join_carries_dynamic_pruning(spark):
     df = entry_mod.queries()["join_dpp_prune"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "DPP subquery missing from plan"
+
+
+def test_bucket_prune_reads_two_buckets(spark):
+    """colocate_bucket_prune exists to exercise BUCKET pruning: the scan
+    must report SelectedBucketsCount <= 2 of 32 (the hash alone cannot
+    distinguish a pruned scan from a full one)."""
+    import re
+
+    from .conftest import SF_DIR
+
+    df = entry_mod.queries()["colocate_bucket_prune"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "bucket pruning marker missing from scan"
+    assert int(m.group(1)) <= 2 and int(m.group(2)) == 32

@@ -2132,3 +2132,25 @@ def test_storage_tiering_replay(tables):
             sel.c.sum() / tot * 1e6 + 0.5
         )
     assert sum(r["n_parts"] for r in got.values()) == len(per)
+
+
+# ------------------------------------------------------------ bucket prune
+
+
+def test_bucket_prune_replay(tables):
+    import duckdb
+
+    from flink_210225_spark.operators.colocate import bucket_prune_demo
+
+    got = {r["user_id"]: r for r in bucket_prune_demo(tables).collect()}
+    ev = duckdb.sql(
+        "SELECT user_id, event_type, floor(value*100+0.5)::BIGINT c"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+        " WHERE user_id IN (7, 42)"
+    ).df()
+    for uid, g in ev.groupby("user_id"):
+        row = got[uid]
+        assert row["n_events"] == len(g)
+        assert row["cents"] == g.c.sum()
+        assert row["n_types"] == g.event_type.nunique()
+    assert set(got) == set(ev.user_id.unique())
