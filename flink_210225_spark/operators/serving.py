@@ -3414,3 +3414,81 @@ ORACLES["serving_skyline"] = """
                    AND o.p_partkey < b.p_partkey))
     )
 """
+
+
+def user_concentration(tables: dict[str, DataFrame]) -> DataFrame:
+    """Audience concentration — what share of total event value do the
+    top 1% / 5% / 10% / 25% of USERS carry? The Lorenz-curve points
+    behind "whales vs long tail" decisions (``serving_gini`` compresses
+    the curve to one number over PARTS; this reads the user curve at the
+    named operating points — the numbers a rate-limit/VIP policy
+    actually consumes). Cut ranks use exact ceil arithmetic; each row
+    reports the cohort size, its exact cents mass, and the micro share.
+
+    Exactness: cents and rank cuts exact; shares pinned.
+
+    Scale: one user rollup, one value-ordered rank window (two-phase
+    range-partitioned at 100 TB), a 4-row emit."""
+    ev = tables["events"]
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("cents")
+    )
+    n = per.agg(F.count("*").cast("long")).scalar()
+    tot = per.agg(F.sum("cents").cast("long")).scalar()
+    w = Window.orderBy(F.desc("cents"), "user_id")
+    ranked = per.select("cents", F.row_number().over(w).alias("rk"))
+    rows = []
+    for pct_num, pct_den, label in (
+        (1, 100, "top_1pct"),
+        (5, 100, "top_5pct"),
+        (10, 100, "top_10pct"),
+        (25, 100, "top_25pct"),
+    ):
+        cut = ((n * pct_num) + pct_den - 1) / pct_den  # ceil
+        cohort = ranked.where(F.col("rk") <= cut.cast("long"))
+        rows.append(
+            cohort.agg(
+                F.lit(label).alias("cohort"),
+                F.count("*").cast("long").alias("n_users"),
+                F.sum("cents").cast("long").alias("cents"),
+            ).select(
+                "cohort",
+                "n_users",
+                "cents",
+                F.floor(
+                    F.col("cents").cast("double") / tot.cast("double") * 1000000
+                    + 0.5
+                ).cast("long").alias("share_micro"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+QUERIES["serving_user_concentration"] = user_concentration
+ORACLES["serving_user_concentration"] = """
+    WITH per AS (
+        SELECT user_id,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS t FROM per),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents DESC, user_id) AS rk
+        FROM per
+    ),
+    cuts(cohort, num) AS (
+        VALUES ('top_1pct', 1), ('top_5pct', 5), ('top_10pct', 10),
+               ('top_25pct', 25)
+    )
+    SELECT c.cohort, count(*)::BIGINT AS n_users,
+           sum(r.cents)::BIGINT AS cents,
+           floor(sum(r.cents)::DOUBLE / (SELECT t FROM tot)::DOUBLE
+                 * 1000000 + 0.5)::BIGINT AS share_micro
+    FROM cuts c JOIN ranked r
+      ON r.rk <= ((SELECT n FROM tot) * c.num + 99) // 100
+    GROUP BY c.cohort
+"""

@@ -4272,3 +4272,145 @@ ORACLES["multimodal_image_morphology"] = f"""
            n_dilated, (n_dilated - n_eroded)::BIGINT AS gradient
     FROM m
 """
+
+
+def image_otsu_threshold(tables: dict[str, DataFrame]) -> DataFrame:
+    """Otsu's method (1979) — the classic automatic binarization
+    threshold, INTEGER-EXACT: from each decoded image's 256-bin
+    histogram, pick the threshold t maximizing the between-class
+    variance σ²_B(t) = w₀·w₁·(μ₀−μ₁)². Comparing thresholds needs no
+    floats: σ²_B(t) ∝ (sum₀·n − cum₀·S)² / (cum₀·(n−cum₀)) where cum₀/
+    sum₀ are the ≤t pixel count/intensity sums — cross-multiplying the
+    two candidates' fractions stays in exact integers, so the argmax is
+    bit-deterministic (ties → smaller t). Feeds the morphology audit's
+    fixed-128 threshold with the data-driven one; emits per image the
+    chosen t, the class populations, and the class means (micro).
+
+    Exactness: everything integer except the two emitted class means
+    (pinned divisions).
+
+    Scale: embarrassingly parallel mapInPandas; 256-bin math per image,
+    pixels never shuffle."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).cast("int").alias("seed"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "asset_id",
+                    "otsu_t",
+                    "n_below",
+                    "n_above",
+                    "mean_below_micro",
+                    "mean_above_micro",
+                )
+            }
+            for doc_id, seed, ft in zip(pdf["doc_id"], pdf["seed"], pdf["ft"]):
+                seed = int(seed)
+                w = 8 + 4 * (seed % 5)
+                h = 8 + 4 * ((seed * 3) % 4)
+                px = _parse_png(_png_bytes(seed, w, h, filter_type=int(ft)))[
+                    "pixels"
+                ].astype(np.int64)[:, :, 0].ravel()
+                n = len(px)
+                hist = np.bincount(px, minlength=256).astype(object)
+                cum = np.cumsum(hist)
+                csum = np.cumsum(hist * np.arange(256, dtype=object))
+                S = int(csum[-1])
+                best_t, best_ratio = -1, -1.0
+                for t in range(255):
+                    c0, s0 = int(cum[t]), int(csum[t])
+                    if c0 == 0 or c0 == n:
+                        continue
+                    num = (s0 * n - c0 * S) ** 2
+                    den = c0 * (n - c0)
+                    # DOUBLE ratio compare, matching the oracle's
+                    # num::DOUBLE / den::DOUBLE ordering bit-for-bit —
+                    # image dims are seed-derived (≤ 24×20 at every SF),
+                    # so num < 2^53 and float(num)/float(den) is exact
+                    ratio = float(num) / float(den)
+                    if ratio > best_ratio:
+                        best_t, best_ratio = t, ratio
+                t = best_t
+                c0, s0 = int(cum[t]), int(csum[t])
+                out["asset_id"].append(int(doc_id))
+                out["otsu_t"].append(t)
+                out["n_below"].append(c0)
+                out["n_above"].append(n - c0)
+                out["mean_below_micro"].append(
+                    int(np.floor(s0 / c0 * 1e6 + 0.5))
+                )
+                out["mean_above_micro"].append(
+                    int(np.floor((S - s0) / (n - c0) * 1e6 + 0.5))
+                )
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, otsu_t long, n_below long, n_above long,"
+        " mean_below_micro long, mean_above_micro long",
+    )
+
+
+QUERIES["multimodal_image_otsu"] = image_otsu_threshold
+# Pixel-formula replay: per (doc, t) the <=t census from the arithmetic
+# histogram, argmax of the cross-multiplied between-class fraction
+# (HUGEINT keeps (s0·n − c0·S)² exact), smallest t on ties.
+ORACLES["multimodal_image_otsu"] = """
+    WITH g AS (
+        SELECT doc_id, (doc_id % 16)::BIGINT AS seed,
+               (8 + 4 * ((doc_id % 16) % 5))::BIGINT AS w,
+               (8 + 4 * (((doc_id % 16) * 3) % 4))::BIGINT AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w * h AS n,
+               unnest(list_transform(range(w * h),
+                   i -> (seed * 7 + 3 * (i % w) + 11 * (i // w)) % 256)) AS v
+        FROM g
+    ),
+    tot AS (
+        SELECT doc_id, max(n) AS n, sum(v)::BIGINT AS s
+        FROM px GROUP BY doc_id
+    ),
+    cand AS (
+        SELECT p.doc_id, t.t,
+               count(*) FILTER (WHERE p.v <= t.t)::BIGINT AS c0,
+               coalesce(sum(p.v) FILTER (WHERE p.v <= t.t), 0)::BIGINT AS s0
+        FROM px p CROSS JOIN (SELECT unnest(range(255)) AS t) t
+        GROUP BY p.doc_id, t.t
+    ),
+    scored AS (
+        SELECT c.doc_id, c.t, c.c0, c.s0, tt.n, tt.s,
+               (c.s0::HUGEINT * tt.n - c.c0::HUGEINT * tt.s)
+               * (c.s0::HUGEINT * tt.n - c.c0::HUGEINT * tt.s) AS num,
+               (c.c0::HUGEINT * (tt.n - c.c0))::HUGEINT AS den
+        FROM cand c JOIN tot tt USING (doc_id)
+        WHERE c.c0 > 0 AND c.c0 < tt.n
+    ),
+    best AS (
+        SELECT doc_id, t, c0, s0, n, s,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY num::DOUBLE / den::DOUBLE DESC, t
+               ) AS rk
+        FROM scored
+    )
+    SELECT doc_id AS asset_id, t::BIGINT AS otsu_t, c0 AS n_below,
+           (n - c0)::BIGINT AS n_above,
+           floor(s0::DOUBLE / c0::DOUBLE * 1000000 + 0.5)::BIGINT
+               AS mean_below_micro,
+           floor((s - s0)::DOUBLE / (n - c0)::DOUBLE * 1000000 + 0.5)::BIGINT
+               AS mean_above_micro
+    FROM best WHERE rk = 1
+"""

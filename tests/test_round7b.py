@@ -2154,3 +2154,78 @@ def test_bucket_prune_replay(tables):
         assert row["cents"] == g.c.sum()
         assert row["n_types"] == g.event_type.nunique()
     assert set(got) == set(ev.user_id.unique())
+
+
+# --------------------------------------------------------------------- otsu
+
+
+def test_otsu_brute_force_replay(tables):
+    """Classic float-Otsu brute force must agree with the ratio argmax;
+    plus the separation identity w0*mu0 + w1*mu1 == global mean."""
+    from flink_210225_spark.ops.multimodal import image_otsu_threshold
+
+    got = {r["asset_id"]: r for r in image_otsu_threshold(tables).collect()}
+    for aid, row in list(got.items())[:48]:
+        seed = aid % 16
+        w = 8 + 4 * (seed % 5)
+        h = 8 + 4 * ((seed * 3) % 4)
+        x = np.arange(w)
+        y = np.arange(h)[:, None]
+        px = ((seed * 7 + 3 * x + 11 * y) % 256).ravel()
+        n = len(px)
+        best_t, best_v = -1, -1.0
+        for t in range(255):
+            lo = px[px <= t]
+            hi = px[px > t]
+            if len(lo) == 0 or len(hi) == 0:
+                continue
+            v = (
+                len(lo) / n * len(hi) / n * (lo.mean() - hi.mean()) ** 2
+            )
+            if v > best_v + 1e-12:
+                best_t, best_v = t, v
+        assert row["otsu_t"] == best_t
+        lo = px[px <= best_t]
+        hi = px[px > best_t]
+        assert row["n_below"] == len(lo)
+        assert row["n_above"] == len(hi)
+        assert row["mean_below_micro"] == np.floor(
+            lo.sum() / len(lo) * 1e6 + 0.5
+        )
+        # separation identity
+        total_mean = (
+            row["n_below"] * row["mean_below_micro"]
+            + row["n_above"] * row["mean_above_micro"]
+        ) / (row["n_below"] + row["n_above"]) / 1e6
+        assert abs(total_mean - px.mean()) < 1e-3
+
+
+# ----------------------------------------------------------- concentration
+
+
+def test_user_concentration_replay(tables):
+    import duckdb
+
+    from flink_210225_spark.operators.serving import user_concentration
+
+    got = {r["cohort"]: r for r in user_concentration(tables).collect()}
+    per = duckdb.sql(
+        "SELECT user_id, sum(floor(value*100+0.5)::BIGINT)::BIGINT c"
+        " FROM '/root/testdata/sf0.001/events.parquet' GROUP BY 1"
+    ).df().sort_values(["c", "user_id"], ascending=[False, True])
+    n, tot = len(per), per.c.sum()
+    import math
+
+    prev_share = 0
+    for pct, label in ((1, "top_1pct"), (5, "top_5pct"), (10, "top_10pct"),
+                       (25, "top_25pct")):
+        k = math.ceil(n * pct / 100)
+        cohort = per.head(k)
+        row = got[label]
+        assert row["n_users"] == k
+        assert row["cents"] == cohort.c.sum()
+        assert row["share_micro"] == np.floor(cohort.c.sum() / tot * 1e6 + 0.5)
+        # Lorenz monotonicity + concentration (share > population share)
+        assert row["share_micro"] >= prev_share
+        assert row["share_micro"] >= pct * 10000
+        prev_share = row["share_micro"]
