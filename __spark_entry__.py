@@ -118,7 +118,8 @@ def _registry():
 #     cluster_design}, window_{rolling_beta, gumbel_maxima, xmr_chart,
 #     hurst, ljung_box, haar_energy}, cdc_state_reconciliation,
 #     multimodal_image_morphology, source_csv_quoting, sql_multiset_ops,
-#     warehouse_storage_tiering.
+#     warehouse_storage_tiering, colocate_bucket_prune,
+#     multimodal_image_otsu, serving_user_concentration.
 #   round 9 head: the oldest r1-only greens by family — sql_* tumbles
 #     (sql_province_tumble, sql_keyword_tumble), the log_* family
 #     (log_props_extract, log_flag_rows, log_padzero_union), the
