@@ -74,53 +74,33 @@ def _registry():
 # (CORRECTNESS_r01 checked exactly the first 50 of 114). Rotation policy:
 # each round, the front of the registry holds the oracle-gated queries with
 # no green CORRECTNESS row from any prior round; already-verified and
-# rows-only queries sort behind them. Round 7 window = ALL 47 remaining
-# never-driver-gated queries (35 oracled + 12 rows-only) + the 3 SCD2/CDC
-# re-gates (r1-stamped, locally re-verified green in r5) = exactly 50.
-# This zeroes the never-driver-gated debt (for queries that existed at
-# rotation time). Remaining burn-down schedule after round 7, in order,
-# nothing orphaned:
-#   round 8 head: the 52 round-7 additions registered after this
-#     window was committed (never driver-gated; each 3-SF + vanilla gated
-#     at authoring time): source_{orc_roundtrip, partition_prune,
-#     jsonl_nested, jsonl_gzip, binary_files, incremental_listing},
-#     sql_{hof_arrays, window_clause, try_cast_dirty, correlated_scalar,
-#     star_except_all, identifier_clause, pipe_syntax, hints_grammar},
-#     serving_{repeat_gmv, local_supplier_revenue, ab_cuped},
-#     window_{runs_test, yoy_growth, spearman}, join_null_safe,
-#     log_{grok_router, template_mining}, cdc_log_compaction,
-#     session_{growth_accounting, peak_concurrency},
+# rows-only queries sort behind them. Round 8 window = the first 50 of the
+# 110 never-driver-gated round-7 additions, in registry order, exactly as
+# committed in the round-7 burn-down (source_* 8, sql_* 15,
+# colocate_bucket_prune, serving_* 15, window_* 11 — all 110 were
+# independently DuckDB-swept green by the r7 judge at sf0.01).
+# Remaining burn-down schedule after round 8, in order, nothing orphaned:
+#   round 9 head: the 60 round-7 additions that did not fit the r8
+#     window, in registry order: window_haar_energy, join_{null_safe,
+#     anti_followup, waiting_supplier, dpp_prune}, log_{grok_router,
+#     template_mining}, cdc_{log_compaction, state_reconciliation},
+#     session_{growth_accounting, peak_concurrency, return_gaps},
 #     warehouse_{histogram_equiheight, time_travel, fk_inference,
-#     mcv_stats, dynamic_overwrite, wap_publish}, text_{ngram_coverage,
-#     langid_calibration, count_min_sketch, bleu_pairs},
-#     sim_{kmeans_exact, lexical_semantic_gap, inbatch_retrieval_acc},
-#     multimodal_{image_entropy, audio_snr, image_resize,
-#     audio_downsample, image_near_dup, video_motion, audio_tempo,
-#     image_ssim, decode_errors}, sql_values_inline,
-#     sample_{stratified_kfold, pass_at_k, token_waterfill} — the first
-#     50 by registry order form the r8 window; the remainder roll to r9's
-#     head ahead of the r1-stamp rotation, TOGETHER WITH the 32
-#     second-session round-7 additions (each 3-SF + vanilla gated at
-#     authoring time): serving_{kruskal_wallis, benjamini_hochberg,
-#     theil_index, market_share, important_stock, ipw_ate,
-#     segment_migration, price_endings}, dedup_winnowing,
-#     sql_{variant_extract, lateral_join, execute_immediate,
-#     collation_groupby, udf_scalar}, window_{cross_correlation,
-#     periodogram, record_breaks}, text_{good_turing, burrows_delta,
-#     sentence_stats}, join_{anti_followup, waiting_supplier, dpp_prune},
-#     sample_{pps_estimator, snake_shards}, multimodal_{image_phash,
-#     audio_zcr, image_integral}, sim_{recall_curve, pq_distortion_curve},
-#     source_parquet_metadata, session_return_gaps; and the 21 late
-#     second-session additions: text_{textrank, char_entropy},
-#     warehouse_{accumulating_snapshot, scd2_integrity, medallion_recon},
-#     serving_{basket_poissonness, did_estimator, skyline},
-#     dedup_{cascade_funnel, tf_shift}, sample_{padding_waste,
-#     cluster_design}, window_{rolling_beta, gumbel_maxima, xmr_chart,
-#     hurst, ljung_box, haar_energy}, cdc_state_reconciliation,
-#     multimodal_image_morphology, source_csv_quoting, sql_multiset_ops,
-#     warehouse_storage_tiering, colocate_bucket_prune,
-#     multimodal_image_otsu, serving_user_concentration.
-#   round 9 head: the oldest r1-only greens by family — sql_* tumbles
+#     mcv_stats, dynamic_overwrite, wap_publish, accumulating_snapshot,
+#     scd2_integrity, medallion_recon, storage_tiering},
+#     text_{ngram_coverage, langid_calibration, count_min_sketch,
+#     bleu_pairs, good_turing, burrows_delta, sentence_stats, textrank,
+#     char_entropy}, dedup_{winnowing, cascade_funnel, tf_shift},
+#     sim_{kmeans_exact, lexical_semantic_gap, inbatch_retrieval_acc,
+#     recall_curve, pq_distortion_curve}, multimodal_{image_entropy,
+#     audio_snr, image_resize, audio_downsample, image_near_dup,
+#     video_motion, audio_tempo, image_ssim, decode_errors, image_phash,
+#     audio_zcr, image_integral, image_morphology, image_otsu},
+#     sample_{stratified_kfold, pass_at_k, token_waterfill,
+#     pps_estimator, snake_shards, padding_waste, cluster_design} = 60;
+#     any round-8 additions never driver-gated slot in after them; the
+#     r1-stamp re-gates fill the rest of the 50 if room remains.
+#   round 10 head: the oldest r1-only greens by family — sql_* tumbles
 #     (sql_province_tumble, sql_keyword_tumble), the log_* family
 #     (log_props_extract, log_flag_rows, log_padzero_union), the
 #     serving_* dashboard endpoints (serving_gmv, serving_trademark_topn,
@@ -132,62 +112,60 @@ def _registry():
 #     state_uv_dedup — so no green row ages past 3 rounds for touched
 #     modules; then the next-oldest greens (r2/r3 stamps) by the same rule.
 _CHECK_WINDOW = [
-    # the 9 r5-deferred oracled queries (lowest-risk pure-integer/SQL
-    # shapes; each 3-SF gated at authoring time)
-    "serving_wilson_ci",
-    "window_drawdown",
-    "sql_range_frame",
-    "text_ppl_buckets",
-    "text_vocab_coverage",
-    "text_keyword_burst",
-    "dedup_head_boilerplate",
-    "sim_embedding_drift",
-    "sample_temporal_split",
-    # the 26 round-6 additions (each 3-SF + vanilla gated at authoring time)
-    "text_watermark_detect",
-    "text_simpson_diversity",
-    "text_encoding_audit",
-    "text_code_detect",
-    "text_preference_pairs",
-    "text_source_overlap",
-    "sim_triplet_mining",
-    "sim_hubness_audit",
-    "multimodal_image_contrast",
-    "multimodal_audio_clipping",
-    "multimodal_video_fingerprint",
-    "multimodal_image_border",
-    "dedup_tail_head_stitch",
-    "dedup_stop_shingles",
-    "dedup_homoglyph",
-    "sample_grouped_split",
-    "sample_chronological_cv",
-    "sample_matched_pairs",
-    "warehouse_row_policy_audit",
-    "warehouse_merge_upsert",
-    "serving_price_elasticity",
-    "serving_gmv_bridge",
-    "window_page_hinkley",
-    "source_xml_records",
-    "sql_unpivot",
-    "stream_dedup_wm_materialized",
-    # the 12 rows-only entries (weaker rows check; hash coverage stays via
-    # their named audit siblings)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_mips_ann_topk",
-    "sim_lsh_ann_topk",
-    "sim_ivf_ann_topk",
-    "sim_ivfpq_ann_topk",
-    "sim_ivfpq_residual_topk",
-    "sim_diversity_coreset",
-    "sim_diversity_coreset_cached",
-    "sim_semantic_dedup",
-    "sim_semantic_groups",
-    "sim_quantize_pq",
-    # SCD2/CDC re-gates (r1-stamped; churned module, rotate per policy)
-    "cdc_scd2_history",
-    "cdc_scd2_lookup",
-    "cdc_route_config",
+    # round-8 head: first 50 of the 110 never-driver-gated round-7
+    # additions, in registry order (committed in the r7 burn-down; each
+    # was 3-SF + vanilla gated at authoring time and matched the r7
+    # judge's independent DuckDB sweep at sf0.01).
+    "source_orc_roundtrip",
+    "source_partition_prune",
+    "source_jsonl_nested",
+    "source_jsonl_gzip",
+    "source_binary_files",
+    "source_incremental_listing",
+    "source_parquet_metadata",
+    "source_csv_quoting",
+    "sql_hof_arrays",
+    "sql_window_clause",
+    "sql_try_cast_dirty",
+    "sql_correlated_scalar",
+    "sql_star_except_all",
+    "sql_identifier_clause",
+    "sql_pipe_syntax",
+    "sql_hints_grammar",
+    "sql_values_inline",
+    "sql_variant_extract",
+    "sql_lateral_join",
+    "sql_execute_immediate",
+    "sql_collation_groupby",
+    "sql_udf_scalar",
+    "sql_multiset_ops",
+    "colocate_bucket_prune",
+    "serving_repeat_gmv",
+    "serving_local_supplier_revenue",
+    "serving_ab_cuped",
+    "serving_kruskal_wallis",
+    "serving_benjamini_hochberg",
+    "serving_theil_index",
+    "serving_market_share",
+    "serving_important_stock",
+    "serving_ipw_ate",
+    "serving_segment_migration",
+    "serving_price_endings",
+    "serving_basket_poissonness",
+    "serving_did_estimator",
+    "serving_skyline",
+    "serving_user_concentration",
+    "window_runs_test",
+    "window_yoy_growth",
+    "window_spearman",
+    "window_cross_correlation",
+    "window_periodogram",
+    "window_record_breaks",
+    "window_rolling_beta",
+    "window_gumbel_maxima",
+    "window_xmr_chart",
+    "window_hurst",
+    "window_ljung_box",
 ]
 
 
