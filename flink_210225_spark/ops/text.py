@@ -5025,9 +5025,16 @@ def code_detect(tables: dict[str, DataFrame]) -> DataFrame:
     detectors are provably exercised, and the flag fires exactly on the
     injected class.
 
-    Counters are exact regexp_count integers over the same explicit
-    pattern on both engines (word-boundary \\b is common Java-regex/RE2
-    syntax); one pinned division for density. Pure projection."""
+    Counters are exact integers computed over the same explicit character
+    class on both engines; one pinned division for density. Pure
+    projection. Perf note (r8, VERDICT r7 #2): the symbol counter is a
+    translate() length-diff, not a regex — counting a fixed character
+    class needs no regex engine, and dropping one of the two regexp_count
+    passes roughly halves the kernel's scan cost (the r7 bench flagged
+    this query at 2.48x its r4-era pin; the keyword counter keeps the
+    word-bounded alternation because \\b matching genuinely needs a
+    regex). The DuckDB oracle keeps regexp_extract_all for the same
+    class — counts are provably identical."""
     docs = tables["documents"]
     snippet = F.concat(
         F.lit(" def f_"),
@@ -5040,7 +5047,11 @@ def code_detect(tables: dict[str, DataFrame]) -> DataFrame:
         F.col("text")
     )
     base = docs.select("doc_id", t2.alias("t2"))
-    n_sym = F.regexp_count(F.col("t2"), F.lit(r"[(){};=+:]")).cast("long")
+    # n occurrences of any char in the class == length shrink after
+    # deleting exactly that class via translate (exact, no regex).
+    n_sym = (
+        F.length("t2") - F.length(F.translate(F.col("t2"), "(){};=+:", ""))
+    ).cast("long")
     n_kw = F.regexp_count(
         F.col("t2"), F.lit(r"\b(def|return|import|for|while|class)\b")
     ).cast("long")
@@ -6271,4 +6282,91 @@ ORACLES["text_char_entropy"] = """
            floor(h2.h2 * 1000000 + 0.5)::BIGINT AS h2_micro,
            floor((h2.h2 - h1.h1) * 1000000 + 0.5)::BIGINT AS cond_rate_micro
     FROM sizes s JOIN h1 USING (lang) JOIN h2 USING (lang)
+"""
+
+
+def heaps_law(tables: dict[str, DataFrame]) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve — distinct vocabulary size after
+    each tenth of the corpus (by doc_id order), the sublinear V(n) ≈ K·n^β
+    curve every tokenizer-budget and dedup-saturation review starts from
+    (a corpus whose curve bends flat early is heavily duplicated; one that
+    stays near-linear is still gaining novelty — the companion diagnostic
+    to ``text_zipf_profile``'s frequency view).
+
+    Exactness: a token's FIRST corpus position is min(doc_id); decile
+    membership is pure integer arithmetic on (doc_id − lo); the curve is
+    a 10-row cumulative sum of exact counts.
+
+    Scale: one explode + token-keyed min agg (vocab-bounded shuffle — the
+    corpus never re-shuffles), two 10-row frames, one 10-row window
+    cumsum. The decile boundaries are VALUE bands over [lo, hi] (scalar
+    subqueries), not a global row_number over the corpus — no single-task
+    sort at any size."""
+    docs = tables["documents"]
+    lo = docs.agg(F.min("doc_id")).scalar()
+    hi = docs.agg(F.max("doc_id")).scalar()
+    span = hi - lo + F.lit(1)
+    # decile of a doc_id: ceil((doc_id - lo + 1) * 10 / span) in 1..10
+    def decile(c):
+        return F.ceil((c - lo + F.lit(1)) * F.lit(10) / span).cast("long")
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    ).where(F.col("tok") != "")
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    new_per_k = first.groupBy(decile(F.col("first_doc")).alias("k")).agg(
+        F.count("*").cast("long").alias("new_types")
+    )
+    docs_per_k = docs.groupBy(decile(F.col("doc_id")).alias("k")).agg(
+        F.count("*").cast("long").alias("new_docs")
+    )
+    grid = docs.sparkSession.range(1, 11).select(F.col("id").alias("k"))
+    joined = (
+        grid.join(new_per_k, "k", "left")
+        .join(docs_per_k, "k", "left")
+        .select(
+            "k",
+            F.coalesce("new_docs", F.lit(0)).alias("nd"),
+            F.coalesce("new_types", F.lit(0)).alias("nt"),
+        )
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "k",
+        F.sum("nd").over(w).cast("long").alias("n_docs"),
+        F.sum("nt").over(w).cast("long").alias("vocab"),
+    )
+
+
+QUERIES["text_heaps_law"] = heaps_law
+ORACLES["text_heaps_law"] = """
+    WITH b AS (
+        SELECT min(doc_id) AS lo, max(doc_id) - min(doc_id) + 1 AS span
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    first AS (
+        SELECT tok, min(doc_id) AS first_doc FROM toks WHERE tok <> ''
+        GROUP BY tok
+    ),
+    new_k AS (
+        SELECT ceil((first_doc - (SELECT lo FROM b) + 1) * 10.0
+                    / (SELECT span FROM b))::BIGINT AS k,
+               count(*)::BIGINT AS nt
+        FROM first GROUP BY 1
+    ),
+    docs_k AS (
+        SELECT ceil((doc_id - (SELECT lo FROM b) + 1) * 10.0
+                    / (SELECT span FROM b))::BIGINT AS k,
+               count(*)::BIGINT AS nd
+        FROM documents GROUP BY 1
+    ),
+    grid AS (SELECT unnest(range(1, 11))::BIGINT AS k)
+    SELECT g.k,
+           sum(coalesce(d.nd, 0)) OVER (ORDER BY g.k)::BIGINT AS n_docs,
+           sum(coalesce(n.nt, 0)) OVER (ORDER BY g.k)::BIGINT AS vocab
+    FROM grid g LEFT JOIN docs_k d ON g.k = d.k LEFT JOIN new_k n ON g.k = n.k
 """
