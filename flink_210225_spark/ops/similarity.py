@@ -3841,3 +3841,99 @@ ORACLES["sim_pq_distortion_curve"] = """
     FROM (VALUES (2), (4), (8)) m(m),
          (SELECT count(*)::BIGINT AS n FROM embeddings) nv
 """
+
+
+def pq_k1_identity(tables: dict[str, DataFrame]) -> DataFrame:
+    """Degenerate-case EXACTNESS gate for the PQ coding kernel (VERDICT r7
+    #4): with a single-centroid codebook (k_codes=1) Lloyd provably
+    converges to the per-subspace mean in one round, so ``pq_train`` must
+    code EVERY vector as the corpus per-dim mean vector — recon_mse_i ==
+    sum_d (x_id − mu_d)² / dim exactly, and every code is 0. Both facts
+    are independently computable in plain SQL, which upgrades the
+    rows-only ``sim_quantize_pq`` from recall/parity pinning (pytest +
+    ``sim_pq_audit`` booleans) to a PER-VECTOR hash gate on the very same
+    mapInPandas coding pass: a drift in the Lloyd update, the partial-sum
+    fold, or the coding kernel's distance arithmetic moves a 6-dp mse and
+    breaks the driver hash.
+
+    Scale: identical plan shape to the production ``pq_train`` call — two
+    Arrow partial passes + one coding pass, driver state is the (m×1×d_sub)
+    codebook; output is corpus-sized but one row per vector."""
+    codes, _cb = pq_train(tables["embeddings"], m=8, k=1, iters=2)
+    return codes.select(
+        "vec_id",
+        F.size("codes").cast("long").alias("n_codes"),
+        F.aggregate("codes", F.lit(0), lambda a, c: a + c)
+        .cast("long")
+        .alias("code_sum"),
+        (F.floor(F.col("recon_mse") * 1000000 + 0.5) / 1000000).alias("mse6"),
+    )
+
+
+QUERIES["sim_pq_k1_identity"] = pq_k1_identity
+ORACLES["sim_pq_k1_identity"] = """
+    WITH dims AS (
+        SELECT vec_id, i AS d, embedding[i]::DOUBLE AS x
+        FROM embeddings, range(1, 65) t(i)
+    ),
+    mu AS (SELECT d, avg(x) AS m FROM dims GROUP BY d)
+    SELECT dims.vec_id,
+           8::BIGINT AS n_codes,
+           0::BIGINT AS code_sum,
+           floor(sum((x - m) * (x - m)) / 64.0 * 1000000 + 0.5) / 1000000
+               AS mse6
+    FROM dims JOIN mu USING (d)
+    GROUP BY dims.vec_id
+"""
+
+
+def ivfpq_residual_exact(tables: dict[str, DataFrame]) -> DataFrame:
+    """Degenerate-case EXACTNESS gate for the full IVFPQ-residual pipeline
+    (VERDICT r7 #4, the probe-all==exact trick extended to PQ): restrict
+    the corpus to the first 16 vectors and set k_codes=16 — ``pq_train``'s
+    deterministic init seeds every residual subvector as its own centroid,
+    each point's nearest centroid is itself at distance exactly 0, so
+    Lloyd is converged at an IDENTITY codebook and reconstruction is
+    lossless; with n_cells=1 (probe-all by construction) the ADC distance
+    collapses to ‖(q−c)−(x−c)‖² = exact L2, so the END-TO-END pipeline —
+    coarse Lloyd, JVM residuals, codebook training, ADC table build, the
+    fold over codes, shortlist, rerank — must reproduce brute-force kNN
+    bit-for-bit at 6 dp. DuckDB recomputes that kNN from scratch; any
+    drift anywhere in the pipeline breaks the hash. This is the hash-gated
+    degenerate twin for the rows-only ``sim_ivfpq_residual_topk``
+    (production parameters can't be SQL-checked because k-means cells and
+    lossy codebooks aren't SQL-expressible; the degenerate point is)."""
+    emb = tables["embeddings"]
+    small = {"embeddings": emb.filter(F.col("vec_id") < 16)}
+    return ivf_pq_residual_ann_topk(
+        small, num_queries=8, k=3, n_cells=1, n_probe=1, m=8, k_codes=16
+    )
+
+
+QUERIES["sim_ivfpq_residual_exact"] = ivfpq_residual_exact
+ORACLES["sim_ivfpq_residual_exact"] = """
+    WITH sub AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16
+    ),
+    dims AS (
+        SELECT vec_id, i AS d, embedding[i]::DOUBLE AS x
+        FROM sub, range(1, 65) t(i)
+    ),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               floor(sum((a.x - b.x) * (a.x - b.x)) / 64.0 * 1000000 + 0.5)
+                   / 1000000 AS d6
+        FROM dims a JOIN dims b ON a.d = b.d
+        WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, d6,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d6, neighbor_id) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, d6 AS approx_d, d6 AS exact_d,
+           rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 3
+"""
