@@ -291,7 +291,13 @@ def bucket_prune_demo(tables: dict[str, DataFrame]) -> DataFrame:
     ev = tables["events"]
     spark = ev.sparkSession
     out = _scratch(prefix="bktprune_")
-    tbl = "events_bucket_prune_demo"
+    # Catalog name carries the scratch dir's per-run random suffix so two
+    # concurrent sessions sharing a metastore can never race on the same
+    # table name (ADVICE r7 #5); the scratch root already guarantees the
+    # path side of that isolation.
+    import os as _os
+
+    tbl = f"events_{_os.path.basename(out)}"
     write_bucketed(
         ev.select(
             "event_id",

@@ -2723,10 +2723,19 @@ def medallion_recon(tables: dict[str, DataFrame]) -> DataFrame:
 
 
 QUERIES["warehouse_medallion_recon"] = medallion_recon
+# props_ok mirrors Spark get_json_object's null semantics exactly
+# (ADVICE r7 #4): a JSON null $.k is SQL NULL in Spark (row rejected) but
+# a non-NULL JSON 'null' value under DuckDB's json_extract (row kept),
+# and DuckDB json_extract ERRORS on malformed JSON where Spark returns
+# NULL — json_valid + json_extract_string reproduces reject-on-null and
+# reject-on-malformed on the oracle side, so the gate stays aligned even
+# if the events fixture ever gains null/dirty props.
 ORACLES["warehouse_medallion_recon"] = """
     WITH parsed AS (
         SELECT user_id, event_type, value, ts::DATE AS day,
-               (json_extract(props, '$.k') IS NOT NULL) AS props_ok,
+               (CASE WHEN json_valid(props)
+                     THEN json_extract_string(props, '$.k') IS NOT NULL
+                     ELSE FALSE END) AS props_ok,
                (value >= 0) AS value_ok,
                event_type IN ('click', 'view', 'purchase', 'signup',
                               'error') AS type_ok

@@ -2786,8 +2786,12 @@ def cross_correlation(tables: dict[str, DataFrame]) -> DataFrame:
     (companion to ``window_intervention_lift``'s single-cut view).
 
     Exactness: x is an exact count, y exact cents; the Pearson numerator
-    and variance terms are exact BIGINT cross-products (30-day series —
-    no overflow), only the final ratio drops to one pinned double.
+    and variance terms are exact DECIMAL(38,0) cross-products (per-term
+    cast BEFORE the sum, same discipline as the periodogram and
+    cluster_design kernels — daily purchase cents grow ~10× per SF decade,
+    so sum(y·y) grows ~100× per decade and would silently wrap int64
+    around sf10 in non-ANSI Spark; decimal38 holds through sf≥100), only
+    the final ratio drops to one pinned double (ADVICE r7 #2).
 
     Scale: two day-keyed partial aggs (|days| rows each), a 7× explode of
     the DAILY frame (not raw events), one day-keyed equi join (lag folded
@@ -2808,13 +2812,14 @@ def cross_correlation(tables: dict[str, DataFrame]) -> DataFrame:
         y.select(F.col("day").alias("yday"), "y"),
         F.date_add("day", F.col("lag")) == F.col("yday"),
     )
+    dec = "decimal(38,0)"
     agg = j.groupBy("lag").agg(
         F.count("*").cast("long").alias("n_days"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
     )
     n = F.col("n_days")
     varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -2835,7 +2840,10 @@ def cross_correlation(tables: dict[str, DataFrame]) -> DataFrame:
 
 QUERIES["window_cross_correlation"] = cross_correlation
 # Same exact-integer moment basis per lag; generate_series is DuckDB's
-# explode(sequence) twin; y-cents summed as BIGINT before any double.
+# explode(sequence) twin; y-cents summed as BIGINT before any double;
+# cross-products per-term HUGEINT to mirror the Spark decimal(38,0)
+# discipline (DuckDB would ERROR on a BIGINT*BIGINT overflow where
+# non-ANSI Spark silently wraps — this keeps both exact instead).
 ORACLES["window_cross_correlation"] = """
     WITH x AS (
         SELECT ts::DATE AS day, count(*)::BIGINT AS x
@@ -2853,9 +2861,10 @@ ORACLES["window_cross_correlation"] = """
     ),
     agg AS (
         SELECT lag, count(*)::BIGINT AS n_days,
-               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
-               sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
-               sum(x * y)::BIGINT AS sxy
+               sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+               sum(x::HUGEINT * x::HUGEINT) AS sxx,
+               sum(y::HUGEINT * y::HUGEINT) AS syy,
+               sum(x::HUGEINT * y::HUGEINT) AS sxy
         FROM j GROUP BY lag
     )
     SELECT lag::BIGINT AS lag, n_days,

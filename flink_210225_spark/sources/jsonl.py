@@ -899,6 +899,7 @@ def parquet_metadata_audit(tables: dict[str, DataFrame]) -> DataFrame:
                 "null_count": [],
                 "min_val": [],
                 "max_val": [],
+                "missing_stats": [],
             }
             for path in pdf["path"]:
                 md = pq.ParquetFile(path).metadata
@@ -915,46 +916,57 @@ def parquet_metadata_audit(tables: dict[str, DataFrame]) -> DataFrame:
                         rows["col"].append(col)
                         rows["num_values"].append(int(c.num_values))
                         # a writer may legally omit stats; surface the
-                        # missing-stats condition as NULLs instead of
-                        # failing the audit that exists to detect it
+                        # missing-stats condition as NULLs PLUS an explicit
+                        # per-row-group counter — the NULL alone would be
+                        # silently absorbed by the table-level sum/min/max
+                        # (null-skipping aggregates), making an absent
+                        # footer stat indistinguishable from a corrupt one
+                        # (ADVICE r7 #3)
                         rows["null_count"].append(
                             int(st.null_count) if st is not None else None
                         )
                         rows["min_val"].append(float(st.min) if has else None)
                         rows["max_val"].append(float(st.max) if has else None)
+                        rows["missing_stats"].append(0 if has else 1)
             yield pd.DataFrame(rows)
 
     per_rg = fdf.mapInPandas(
         footers,
         "col string, num_values long, null_count long, min_val double,"
-        " max_val double",
+        " max_val double, missing_stats long",
     )
     return per_rg.groupBy("col").agg(
         F.sum("num_values").cast("long").alias("num_values"),
         F.sum("null_count").cast("long").alias("null_count"),
         F.min("min_val").alias("min_val"),
         F.max("max_val").alias("max_val"),
+        F.sum("missing_stats").cast("long").alias("n_missing_stats"),
     )
 
 
 QUERIES["source_parquet_metadata"] = parquet_metadata_audit
 # The data-side recomputation of the footer claims (doubles: BIGINT
-# min/max are < 2^53, exact in double).
+# min/max are < 2^53, exact in double). n_missing_stats is pinned at the
+# literal 0: the fixture writer always emits row-group statistics, so ANY
+# row group with absent stats now flips this column instead of being
+# silently absorbed into the null-skipping sum/min/max (ADVICE r7 #3) —
+# missing stats and corrupt stats break the hash DIFFERENTLY.
 ORACLES["source_parquet_metadata"] = """
     SELECT 'o_orderkey' AS col, count(o_orderkey)::BIGINT AS num_values,
            sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
                AS null_count,
-           min(o_orderkey)::DOUBLE AS min_val, max(o_orderkey)::DOUBLE AS max_val
+           min(o_orderkey)::DOUBLE AS min_val, max(o_orderkey)::DOUBLE AS max_val,
+           0::BIGINT AS n_missing_stats
     FROM orders
     UNION ALL
     SELECT 'o_custkey', count(o_custkey)::BIGINT,
            sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
-           min(o_custkey)::DOUBLE, max(o_custkey)::DOUBLE
+           min(o_custkey)::DOUBLE, max(o_custkey)::DOUBLE, 0::BIGINT
     FROM orders
     UNION ALL
     SELECT 'o_totalprice', count(o_totalprice)::BIGINT,
            sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
-           min(o_totalprice)::DOUBLE, max(o_totalprice)::DOUBLE
+           min(o_totalprice)::DOUBLE, max(o_totalprice)::DOUBLE, 0::BIGINT
     FROM orders
 """
 

@@ -356,6 +356,18 @@ def test_blocked_embedding_dedup_equals_broadcast(tables):
     assert a == b
 
 
+def test_embedding_near_dups_autoswitches_past_broadcast_bound(tables):
+    """Above broadcast_row_bound the broadcast entry point must hand off to
+    the blocked (no-driver-materialization) plan and still emit identical
+    pairs — the 100 TB-safe path is the default behavior, not opt-in
+    (VERDICT r7 #5)."""
+    switched = dedup.embedding_near_dups(tables, broadcast_row_bound=1)
+    baseline = dedup.embedding_near_dups_blocked(tables)
+    assert sorted(map(tuple, switched.collect())) == sorted(
+        map(tuple, baseline.collect())
+    )
+
+
 def test_edit_distance_matches_oracle(tables):
     assert_matches_oracle(
         dedup.QUERIES["dedup_edit_distance"](tables),
