@@ -20,6 +20,8 @@ cannot flip the hash.
 
 from __future__ import annotations
 
+from functools import reduce
+
 import pandas as pd  # module-level: postponed annotations stringify the
 # pandas UDAF's type hints, and infer_eval_type resolves them against
 # MODULE globals — a function-local import leaves 'pd.Series' unresolvable
@@ -3491,4 +3493,211 @@ ORACLES["serving_user_concentration"] = """
     FROM cuts c JOIN ranked r
       ON r.rk <= ((SELECT n FROM tot) * c.num + 99) // 100
     GROUP BY c.cohort
+"""
+
+
+def percentile_bands(tables: dict[str, DataFrame]) -> DataFrame:
+    """Exact percentile bands per order priority — the latency/price-band
+    dashboard shape (P50/P90/P99 + the discrete P90) every serving layer
+    ends up exposing, and the EXACT-percentile aggregate surface the
+    registry lacked (``serving_weighted_median`` covers the weighted
+    median only). percentile_cont/percentile_disc are ANSI WITHIN GROUP
+    aggregates on Spark and quantile_cont/quantile_disc on DuckDB with
+    the SAME linear-interpolation / cume_dist definitions — probed
+    bit-identical on both engines (including the 6.899… float artifact),
+    so values pin without rounding slop; cents are exact ints first.
+
+    Scale: one single-table partial-aggregating pass, 5 output rows —
+    Spark's exact percentile aggregates via a per-group value buffer
+    (group-count-bounded memory, no global sort); the right plan for a
+    bounded group domain. No join, no window."""
+    o = tables["orders"]
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        o.select(F.col("o_orderpriority").alias("priority"), cents.alias("cents"))
+        .groupBy("priority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)").alias(
+                "p50_cents"
+            ),
+            F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY cents)").alias(
+                "p90_cents"
+            ),
+            F.expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY cents)").alias(
+                "p99_cents"
+            ),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)")
+            .cast("long")
+            .alias("p90_disc_cents"),
+        )
+    )
+
+
+QUERIES["serving_percentile_bands"] = percentile_bands
+ORACLES["serving_percentile_bands"] = """
+    WITH c AS (
+        SELECT o_orderpriority AS priority,
+               floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+        FROM orders
+    )
+    SELECT priority, count(*)::BIGINT AS n_orders,
+           quantile_cont(cents, 0.5) AS p50_cents,
+           quantile_cont(cents, 0.9) AS p90_cents,
+           quantile_cont(cents, 0.99) AS p99_cents,
+           quantile_disc(cents, 0.9)::BIGINT AS p90_disc_cents
+    FROM c GROUP BY priority
+"""
+
+
+def rfm_segments(tables: dict[str, DataFrame]) -> DataFrame:
+    """RFM segmentation census — recency / frequency / monetary quartile
+    codes per customer, rolled up to a (r, f, m)-segment census with each
+    segment's revenue mass: the canonical CRM cut ("champions" = 444,
+    "at-risk" = 1xx) and a curation-adjacent stratifier (the same
+    construction stratifies training documents by recency/size/quality).
+
+    Quartile rule pinned IDENTICALLY on both engines (no reliance on
+    either engine's quantile tie semantics, no ntile row-order
+    nondeterminism): q(v) = number of quartile cut ranks {1,2,3} whose
+    threshold value is STRICTLY below v, plus 1, where the threshold for
+    cut j is the value at 1-based rank ceil(j*n/4) in ascending order
+    (ties broken by customer key so the rank permutation is total). The
+    thresholds are 3 scalars per metric; bucketing is a comparison
+    against literals-by-construction, so ties collapse into the same
+    quartile on both engines.
+
+    Scale: one orders scan → customer-keyed agg; the 9 threshold scalars
+    come from per-metric value-ranked windows over the CUSTOMER-level
+    frame (one row per active customer, the already-reduced cardinality)
+    and broadcast back as a scalar-subquery-shaped literal frame; the
+    final census is a ≤64-row agg. The windows sort the customer frame
+    once per metric — rank-threshold selection, not a global per-row
+    ntile."""
+    o = tables["orders"]
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    anchor = per.agg(F.max("last_day")).scalar()  # uncorrelated scalar subquery
+    cust = per.select(
+        "o_custkey",
+        F.datediff(anchor, F.col("last_day")).cast("long").alias("recency"),
+        "freq",
+        "cents",
+    )
+
+    def thresholds(col: str):
+        """3-element sorted array of quartile cut values, as a scalar
+        subquery Column (no driver collect): rank rows by (value, key),
+        keep ranks ceil(j*n/4) via the rank-window identity
+        ceil(j*n/4) = rk ⇔ 4*rk ≥ j*n ∧ 4*(rk−1) < j*n, fold to one
+        sorted array."""
+        w = Window.orderBy(F.asc("v"), F.asc("o_custkey"))
+        ranked = (
+            cust.select(F.col(col).alias("v"), "o_custkey")
+            .withColumn("rk", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(Window.partitionBy()))
+        )
+        keep = reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("rk") * 4 >= F.lit(j) * F.col("n"))
+                & ((F.col("rk") - 1) * 4 < F.lit(j) * F.col("n"))
+                for j in (1, 2, 3)
+            ],
+        )
+        return (
+            ranked.where(keep)
+            .agg(F.sort_array(F.collect_list("v")).alias("ts"))
+            .scalar()
+        )
+
+    # recency: LOWER is better → rank ascending by recency, quartile 4 =
+    # most recent → invert by ranking on ascending recency but scoring
+    # 5 − q so the "good" end is 4 on all three axes.
+    tr = thresholds("recency")
+    tf = thresholds("freq")
+    tm = thresholds("cents")
+
+    def quart(col: str, ts) -> F.Column:
+        q = F.lit(1)
+        for j in (1, 2, 3):
+            q = q + F.when(F.col(col) > F.element_at(ts, j), 1).otherwise(0)
+        return q
+
+    scored = cust.select(
+        "o_custkey",
+        (F.lit(5) - quart("recency", tr)).alias("r"),
+        quart("freq", tf).alias("f"),
+        quart("cents", tm).alias("m"),
+        "cents",
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+QUERIES["serving_rfm_segments"] = rfm_segments
+ORACLES["serving_rfm_segments"] = """
+    WITH per AS (
+        SELECT o_custkey, max(o_orderdate::DATE) AS last_day,
+               count(*)::BIGINT AS freq,
+               sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    cust AS (
+        SELECT o_custkey,
+               date_diff('day', last_day,
+                         (SELECT max(last_day) FROM per))::BIGINT AS recency,
+               freq, cents
+        FROM per
+    ),
+    n AS (SELECT count(*)::BIGINT AS n FROM cust),
+    cuts AS (SELECT unnest([1, 2, 3]) AS j),
+    tr AS (
+        SELECT list(v ORDER BY v) AS ts FROM (
+            SELECT v FROM (
+                SELECT recency AS v,
+                       row_number() OVER (ORDER BY recency, o_custkey) AS rk
+                FROM cust) r
+            WHERE rk IN (SELECT ((j * (SELECT n FROM n)) + 3) // 4 FROM cuts))
+    ),
+    tf AS (
+        SELECT list(v ORDER BY v) AS ts FROM (
+            SELECT v FROM (
+                SELECT freq AS v,
+                       row_number() OVER (ORDER BY freq, o_custkey) AS rk
+                FROM cust) r
+            WHERE rk IN (SELECT ((j * (SELECT n FROM n)) + 3) // 4 FROM cuts))
+    ),
+    tm AS (
+        SELECT list(v ORDER BY v) AS ts FROM (
+            SELECT v FROM (
+                SELECT cents AS v,
+                       row_number() OVER (ORDER BY cents, o_custkey) AS rk
+                FROM cust) r
+            WHERE rk IN (SELECT ((j * (SELECT n FROM n)) + 3) // 4 FROM cuts))
+    ),
+    scored AS (
+        SELECT o_custkey,
+               5 - (1 + (recency > (SELECT ts[1] FROM tr))::INT
+                      + (recency > (SELECT ts[2] FROM tr))::INT
+                      + (recency > (SELECT ts[3] FROM tr))::INT) AS r,
+               1 + (freq > (SELECT ts[1] FROM tf))::INT
+                 + (freq > (SELECT ts[2] FROM tf))::INT
+                 + (freq > (SELECT ts[3] FROM tf))::INT AS f,
+               1 + (cents > (SELECT ts[1] FROM tm))::INT
+                 + (cents > (SELECT ts[2] FROM tm))::INT
+                 + (cents > (SELECT ts[3] FROM tm))::INT AS m,
+               cents
+        FROM cust
+    )
+    SELECT r, f, m, count(*)::BIGINT AS n_customers,
+           sum(cents)::BIGINT AS cents
+    FROM scored GROUP BY r, f, m
 """

@@ -1236,3 +1236,37 @@ def _multiset_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
 
 QUERIES["sql_multiset_ops"] = _multiset_sql_q
 ORACLES["sql_multiset_ops"] = MULTISET_SQL.format(events="events")
+
+
+GROUP_BY_ALL_SQL = """
+    SELECT o_orderstatus AS status,
+           substring(o_orderpriority, 1, 1) AS pclass,
+           (o_custkey % 2 = 0) AS even_cust,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM {orders}
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+def _group_by_all_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL grammar as ONE spark.sql TEXT — the
+    modern analyst shorthand (Spark 3.4+, DuckDB native) that infers the
+    grouping key set from the non-aggregate select items, including a
+    COMPUTED item (substring) and a boolean expression — exactly where
+    hand-maintained GROUP BY 1,2,3 lists silently rot when a column is
+    added. DuckDB runs the IDENTICAL text, so the hash gates that both
+    engines infer the same key set and the same ALL-ordering. Counts and
+    cents exact integers.
+
+    Scale: plans as a plain hash aggregate on the inferred keys — the
+    grammar is free; ORDER BY ALL is a bounded 12-row sort."""
+    o = tables["orders"]
+    o.createOrReplaceTempView("orders_view_sql_gba")
+    return o.sparkSession.sql(GROUP_BY_ALL_SQL.format(orders="orders_view_sql_gba"))
+
+
+QUERIES["sql_group_by_all"] = _group_by_all_sql_q
+ORACLES["sql_group_by_all"] = GROUP_BY_ALL_SQL.format(orders="orders")
