@@ -4414,3 +4414,121 @@ ORACLES["multimodal_image_otsu"] = """
                AS mean_above_micro
     FROM best WHERE rk = 1
 """
+
+
+def image_sobel_energy(tables: dict[str, DataFrame]) -> DataFrame:
+    """Sobel gradient-energy census per image — the classic 3×3 edge
+    operator (|Gx|+|Gy| per interior pixel) behind blur/sharpness QA in
+    image-curation pipelines (a near-zero gradient mass flags blurred or
+    synthetic-flat assets; the spatial-derivative sibling of the
+    INTENSITY-statistics ops ``multimodal_image_contrast`` /
+    ``multimodal_image_entropy``). Runs on the REAL codec path: each
+    asset is PNG-encoded and decoded executor-side, the two convolutions
+    are exact int64 numpy slicing over the decoded plane (no float
+    kernel), and only per-image integer aggregates leave the worker —
+    pixels never shuffle.
+
+    Exactness: Gx/Gy are integer sums; energy = |Gx|+|Gy| (L1 — keeps
+    everything integer, the standard cheap Sobel magnitude); edge pixels
+    = energy ≥ 128. The DuckDB oracle replays the synthesis formula
+    v(x,y) = (seed·7 + 3x + 11y) mod 256 per interior pixel and the same
+    integer convolution — a codec bug (wrong filter reconstruction,
+    channel swap, row/col transpose) lands in the gradients and breaks
+    the hash.
+
+    Scale: embarrassingly parallel mapInPandas; per-image work is
+    O(pixels), output one row per asset."""
+    import numpy as np
+
+    docs = tables["documents"]
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 16).cast("int").alias("seed"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "asset_id",
+                    "n_interior",
+                    "grad_abs_sum",
+                    "grad_max",
+                    "n_edge",
+                )
+            }
+            for doc_id, seed, ft in zip(pdf["doc_id"], pdf["seed"], pdf["ft"]):
+                seed = int(seed)
+                w = 8 + 4 * (seed % 5)
+                h = 8 + 4 * ((seed * 3) % 4)
+                px = _parse_png(_png_bytes(seed, w, h, filter_type=int(ft)))[
+                    "pixels"
+                ].astype(np.int64)[:, :, 0]
+                # Sobel via slicing: p[y+dy, x+dx] neighborhoods of the
+                # interior (h-2)×(w-2) block, all integer.
+                tl, tc, tr = px[:-2, :-2], px[:-2, 1:-1], px[:-2, 2:]
+                ml, mr = px[1:-1, :-2], px[1:-1, 2:]
+                bl, bc, br = px[2:, :-2], px[2:, 1:-1], px[2:, 2:]
+                gx = (tr + 2 * mr + br) - (tl + 2 * ml + bl)
+                gy = (bl + 2 * bc + br) - (tl + 2 * tc + tr)
+                e = np.abs(gx) + np.abs(gy)
+                out["asset_id"].append(int(doc_id))
+                out["n_interior"].append(int(e.size))
+                out["grad_abs_sum"].append(int(e.sum()))
+                out["grad_max"].append(int(e.max()))
+                out["n_edge"].append(int((e >= 128).sum()))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, n_interior long, grad_abs_sum long, grad_max long,"
+        " n_edge long",
+    )
+
+
+QUERIES["multimodal_image_sobel"] = image_sobel_energy
+# Pixel-formula replay: v(x,y) = (seed*7 + 3x + 11y) % 256; the same 3x3
+# integer convolution per interior pixel (x in 1..w-2, y in 1..h-2).
+ORACLES["multimodal_image_sobel"] = """
+    WITH g AS (
+        SELECT doc_id, (doc_id % 16)::BIGINT AS seed,
+               (8 + 4 * ((doc_id % 16) % 5))::BIGINT AS w,
+               (8 + 4 * (((doc_id % 16) * 3) % 4))::BIGINT AS h
+        FROM documents
+    ),
+    inner_px AS (
+        SELECT doc_id, seed, w,
+               1 + (i % (w - 2)) AS x,
+               1 + (i // (w - 2)) AS y
+        FROM g, unnest(range((w - 2) * (h - 2))) t(i)
+    ),
+    e AS (
+        SELECT doc_id,
+               abs(
+                 ((seed*7 + 3*(x+1) + 11*(y-1)) % 256
+                  + 2 * ((seed*7 + 3*(x+1) + 11*y) % 256)
+                  + (seed*7 + 3*(x+1) + 11*(y+1)) % 256)
+                 - ((seed*7 + 3*(x-1) + 11*(y-1)) % 256
+                    + 2 * ((seed*7 + 3*(x-1) + 11*y) % 256)
+                    + (seed*7 + 3*(x-1) + 11*(y+1)) % 256)
+               )
+               + abs(
+                 ((seed*7 + 3*(x-1) + 11*(y+1)) % 256
+                  + 2 * ((seed*7 + 3*x + 11*(y+1)) % 256)
+                  + (seed*7 + 3*(x+1) + 11*(y+1)) % 256)
+                 - ((seed*7 + 3*(x-1) + 11*(y-1)) % 256
+                    + 2 * ((seed*7 + 3*x + 11*(y-1)) % 256)
+                    + (seed*7 + 3*(x+1) + 11*(y-1)) % 256)
+               ) AS energy
+        FROM inner_px
+    )
+    SELECT doc_id AS asset_id, count(*)::BIGINT AS n_interior,
+           sum(energy)::BIGINT AS grad_abs_sum,
+           max(energy)::BIGINT AS grad_max,
+           sum(CASE WHEN energy >= 128 THEN 1 ELSE 0 END)::BIGINT AS n_edge
+    FROM e GROUP BY doc_id
+"""
