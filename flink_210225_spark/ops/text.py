@@ -6370,3 +6370,202 @@ ORACLES["text_heaps_law"] = """
            sum(coalesce(n.nt, 0)) OVER (ORDER BY g.k)::BIGINT AS vocab
     FROM grid g LEFT JOIN docs_k d ON g.k = d.k LEFT JOIN new_k n ON g.k = n.k
 """
+
+
+# NDCG log2(rank+1) discounts for ranks 1..10, generated once in Python and
+# interpolated into BOTH engines as literals (the periodogram integer-basis
+# determinism move applied to ranking eval: no cross-engine libm log2
+# protocol; gains are exact integers, the discount divide is pinned).
+_NDCG_DISCOUNTS = (
+    1.0,
+    1.584962500721156,
+    2.0,
+    2.321928094887362,
+    2.584962500721156,
+    2.807354922057604,
+    3.0,
+    3.169925001442312,
+    3.321928094887362,
+    3.4594316186372973,
+)
+
+
+def mrr_ndcg_eval(
+    tables: dict[str, DataFrame], num_queries: int = 8, k: int = 10
+) -> DataFrame:
+    """Retrieval-eval harness — NDCG@10 and MRR per query, the metrics
+    every RAG/retrieval pipeline reports and the registry's eval surface
+    for lexical ranking (the SEARCH-quality sibling of
+    ``sim_ann_recall_audit``'s index-quality view). The RANKER (distinct-
+    unigram overlap, ties → doc_id) and the RELEVANCE signal (graded
+    distinct-BIGRAM overlap, capped at 3) are deliberately different
+    metrics, so NDCG measures genuine agreement, not identity. Gains are
+    exact integers (2^rel − 1); discounts are the shared literal table
+    above; IDCG re-ranks the SAME candidate pool by gain (desc, doc_id) so
+    the ratio is well-defined on both engines; MRR = 1/rank of the first
+    relevant candidate (NULL when none is relevant).
+
+    Scale: candidate generation is the inverted-index equi-join (query
+    tokens × corpus tokens on the TOKEN key — query side is
+    num_queries-bounded and broadcast; never query×corpus), per-pair
+    counts are group-bys on (query, doc), and the two rankings are
+    windows over each query's candidate set."""
+    docs = tables["documents"]
+    toks = F.array_distinct(tokens_col(F.lower(F.col("text"))))
+
+    def bigrams(c: Column) -> Column:
+        return F.when(
+            F.size(c) >= 2,
+            F.array_distinct(
+                F.transform(
+                    F.slice(c, 1, F.size(c) - 1),
+                    lambda x, i: F.concat_ws(" ", x, F.get(c, i + 1)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    raw = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select(
+        "doc_id", toks.alias("toks"), bigrams(raw).alias("bgs")
+    )
+    q = base.where(F.col("doc_id") < num_queries).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("toks").alias("qtoks"),
+        F.col("bgs").alias("qbgs"),
+    )
+    qtok = q.select("query_id", F.explode("qtoks").alias("tok"))
+    dtok = base.select("doc_id", F.explode("toks").alias("tok"))
+    overlap = (
+        dtok.join(F.broadcast(qtok), "tok")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    cand = (
+        overlap.join(base.select("doc_id", "bgs"), "doc_id")
+        .join(F.broadcast(q.select("query_id", "qbgs")), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "n_shared",
+            F.least(
+                F.lit(3),
+                F.size(
+                    F.filter(
+                        F.col("bgs"), lambda x: F.array_contains(F.col("qbgs"), x)
+                    )
+                ),
+            )
+            .cast("long")
+            .alias("rel"),
+        )
+    )
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISCOUNTS])
+    wr = Window.partitionBy("query_id").orderBy(F.desc("n_shared"), F.asc("doc_id"))
+    wi = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    gained = cand.select(
+        "query_id",
+        "doc_id",
+        "rel",
+        (F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0).alias("gain"),
+        F.row_number().over(wr).alias("rk"),
+        F.row_number().over(wi).alias("irk"),
+    )
+    per_q = gained.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_cand"),
+        F.sum(
+            F.when(
+                F.col("rk") <= k, F.col("gain") / F.element_at(disc, F.col("rk"))
+            ).otherwise(0.0)
+        ).alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("irk") <= k, F.col("gain") / F.element_at(disc, F.col("irk"))
+            ).otherwise(0.0)
+        ).alias("idcg"),
+        F.min(F.when((F.col("rel") >= 1) & (F.col("rk") <= k), F.col("rk"))).alias(
+            "first_rel"
+        ),
+    )
+    r6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return per_q.select(
+        "query_id",
+        "n_cand",
+        F.when(F.col("idcg") > 0, r6(F.col("dcg") / F.col("idcg"))).alias("ndcg6"),
+        F.when(
+            F.col("first_rel").isNotNull(), r6(F.lit(1.0) / F.col("first_rel"))
+        ).alias("mrr6"),
+    )
+
+
+QUERIES["text_mrr_ndcg_eval"] = mrr_ndcg_eval
+ORACLES["text_mrr_ndcg_eval"] = """
+    WITH base AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS toks,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS raw
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(raw) >= 2 THEN list_distinct(list_transform(
+                        range(1, len(raw)), i -> raw[i] || ' ' || raw[i + 1]))
+                    ELSE [] END AS bgs
+        FROM base
+    ),
+    q AS (SELECT doc_id AS query_id, toks AS qtoks, bgs AS qbgs
+          FROM bg WHERE doc_id < 8),
+    qtok AS (SELECT query_id, unnest(qtoks) AS tok FROM q),
+    dtok AS (SELECT doc_id, unnest(toks) AS tok FROM bg),
+    overlap AS (
+        SELECT query_id, doc_id, count(*)::BIGINT AS n_shared
+        FROM dtok JOIN qtok USING (tok)
+        WHERE doc_id <> query_id
+        GROUP BY query_id, doc_id
+    ),
+    cand AS (
+        SELECT o.query_id, o.doc_id, o.n_shared,
+               least(3, len(list_filter(b.bgs,
+                   x -> list_contains(qq.qbgs, x))))::BIGINT AS rel
+        FROM overlap o
+        JOIN bg b ON o.doc_id = b.doc_id
+        JOIN q qq ON o.query_id = qq.query_id
+    ),
+    gained AS (
+        SELECT query_id, doc_id, rel,
+               power(2.0, rel::DOUBLE) - 1.0 AS gain,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY n_shared DESC, doc_id) AS rk,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, doc_id) AS irk
+        FROM cand
+    ),
+    disc(r, d) AS (
+        VALUES (1, 1.0), (2, 1.584962500721156), (3, 2.0),
+               (4, 2.321928094887362), (5, 2.584962500721156),
+               (6, 2.807354922057604), (7, 3.0), (8, 3.169925001442312),
+               (9, 3.321928094887362), (10, 3.4594316186372973)
+    ),
+    per_q AS (
+        SELECT g.query_id, count(*)::BIGINT AS n_cand,
+               sum(CASE WHEN g.rk <= 10
+                        THEN g.gain / (SELECT d FROM disc WHERE r = g.rk)
+                        ELSE 0.0 END) AS dcg,
+               sum(CASE WHEN g.irk <= 10
+                        THEN g.gain / (SELECT d FROM disc WHERE r = g.irk)
+                        ELSE 0.0 END) AS idcg,
+               min(CASE WHEN g.rel >= 1 AND g.rk <= 10 THEN g.rk END)
+                   AS first_rel
+        FROM gained g GROUP BY g.query_id
+    )
+    SELECT query_id, n_cand,
+           CASE WHEN idcg > 0
+                THEN floor(dcg / idcg * 1000000 + 0.5) / 1000000 END AS ndcg6,
+           CASE WHEN first_rel IS NOT NULL
+                THEN floor(1.0 / first_rel * 1000000 + 0.5) / 1000000 END
+               AS mrr6
+    FROM per_q
+"""
