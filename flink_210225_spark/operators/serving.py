@@ -3624,6 +3624,13 @@ def rfm_segments(tables: dict[str, DataFrame]) -> DataFrame:
     tm = thresholds("cents")
 
     def quart(col: str, ts) -> F.Column:
+        # element_at per cut hosts one scalar subquery each (9 total);
+        # a single-reference HOF fold is ILLEGAL here (Spark rejects
+        # subquery expressions inside higher-order functions), but the 9
+        # plans are pairwise identical per metric and physical planning's
+        # ReuseSubquery collapses them to 3 executions — verified in the
+        # executed plan (ReusedSubquery nodes), so no threshold pipeline
+        # runs more than once per metric.
         q = F.lit(1)
         for j in (1, 2, 3):
             q = q + F.when(F.col(col) > F.element_at(ts, j), 1).otherwise(0)
