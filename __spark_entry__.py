@@ -98,9 +98,17 @@ def _registry():
 #     audio_zcr, image_integral, image_morphology, image_otsu},
 #     sample_{stratified_kfold, pass_at_k, token_waterfill,
 #     pps_estimator, snake_shards, padding_waste, cluster_design} = 60;
-#     any round-8 additions never driver-gated slot in after them; the
-#     r1-stamp re-gates fill the rest of the 50 if room remains.
-#   round 10 head: the oldest r1-only greens by family — sql_* tumbles
+#     the first 50 by registry order form the r9 window, and the
+#     remaining 10 roll to r10's head TOGETHER WITH the 9 round-8
+#     additions (each 3-SF + vanilla gated at authoring time, each with
+#     a test_round8.py oracle gate + third-implementation replay):
+#     sim_{pq_k1_identity, ivfpq_residual_exact},
+#     serving_{percentile_bands, rfm_segments}, sql_group_by_all,
+#     text_{heaps_law, mrr_ndcg_eval}, window_theil_sen,
+#     multimodal_image_sobel; the r1-stamp re-gates fill the rest of
+#     r10's 50.
+#   round 10 head (after the 19 above): the oldest r1-only greens by
+#     family — sql_* tumbles
 #     (sql_province_tumble, sql_keyword_tumble), the log_* family
 #     (log_props_extract, log_flag_rows, log_padzero_union), the
 #     serving_* dashboard endpoints (serving_gmv, serving_trademark_topn,
