@@ -1270,3 +1270,46 @@ def _group_by_all_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
 
 QUERIES["sql_group_by_all"] = _group_by_all_sql_q
 ORACLES["sql_group_by_all"] = GROUP_BY_ALL_SQL.format(orders="orders")
+
+
+RECURSIVE_CTE_SQL = """
+    WITH RECURSIVE walk(k, d) AS (
+        SELECT CAST(n_nationkey AS BIGINT), CAST(0 AS BIGINT)
+        FROM {nation} WHERE n_nationkey = 0
+        UNION ALL
+        SELECT (w.k * 7 + 3) % 25, w.d + 1
+        FROM walk w WHERE w.d < 30
+    )
+    SELECT w.k AS nationkey,
+           CAST(min(w.d) AS BIGINT) AS hops,
+           CAST(count(*) AS BIGINT) AS n_visits
+    FROM walk w
+    GROUP BY w.k
+"""
+
+
+def _recursive_cte_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """WITH RECURSIVE grammar as ONE spark.sql TEXT (new in Spark 4.x;
+    DuckDB native) — the iterate-inside-SQL surface behind hierarchy
+    walks, BFS reachability, and sequence generation that previously
+    forced a driver-side loop. The walk follows the deterministic
+    functional graph succ(u) = (7u+3) mod 25 from nation 0 with a depth
+    bound (single out-edge ⇒ the frontier stays ONE row per step — no
+    UNION ALL path explosion; the rho-shaped orbit revisits its cycle,
+    which n_visits exposes and min(d) collapses). Both engines run the
+    IDENTICAL text, so the hash gates anchor/step typing, the
+    depth-guard cutoff, and the post-recursion aggregate. Exact
+    integers throughout.
+
+    Scale: the recursion is depth-bounded and frontier-bounded by
+    construction (31 rows total); the nation scan is the only table
+    access. For data-sized iteration the engine's loop stays the Pregel
+    envelope (``dedup_pagerank``) — a recursive CTE shines for
+    DIMENSION-sized walks exactly like this."""
+    nat = tables["nation"]
+    nat.createOrReplaceTempView("nation_view_sql_rec")
+    return nat.sparkSession.sql(RECURSIVE_CTE_SQL.format(nation="nation_view_sql_rec"))
+
+
+QUERIES["sql_recursive_cte"] = _recursive_cte_sql_q
+ORACLES["sql_recursive_cte"] = RECURSIVE_CTE_SQL.format(nation="nation")
