@@ -104,7 +104,7 @@ def _registry():
 #     a test_round8.py oracle gate + third-implementation replay):
 #     sim_{pq_k1_identity, ivfpq_residual_exact},
 #     serving_{percentile_bands, rfm_segments}, sql_group_by_all,
-#     text_{heaps_law, mrr_ndcg_eval}, window_theil_sen,
+#     text_{heaps_law, mrr_ndcg_eval}, window_theil_sen_daily,
 #     multimodal_image_sobel; the r1-stamp re-gates fill the rest of
 #     r10's 50.
 #   round 10 head (after the 19 above): the oldest r1-only greens by

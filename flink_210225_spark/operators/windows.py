@@ -3745,8 +3745,8 @@ ORACLES["window_haar_energy"] = """
 """
 
 
-def theil_sen(tables: dict[str, DataFrame]) -> DataFrame:
-    """Theil–Sen robust trend estimator over the daily purchase series —
+def theil_sen_daily(tables: dict[str, DataFrame]) -> DataFrame:
+    """Theil–Sen robust trend estimator over the DAILY purchase series —
     the median of all pairwise slopes (and the matching median intercept),
     the outlier-proof alternative to OLS that survives up to ~29% corrupt
     days (one flash-sale spike drags a least-squares line; it moves ONE
@@ -3812,8 +3812,8 @@ def theil_sen(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-QUERIES["window_theil_sen"] = theil_sen
-ORACLES["window_theil_sen"] = """
+QUERIES["window_theil_sen_daily"] = theil_sen_daily
+ORACLES["window_theil_sen_daily"] = """
     WITH daily AS (
         SELECT ts::DATE AS day,
                sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS y

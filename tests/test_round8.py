@@ -39,7 +39,7 @@ def test_heaps_law_matches_oracle(tables):
 
 
 def test_theil_sen_matches_oracle(tables):
-    _gate(windows, "window_theil_sen", tables)
+    _gate(windows, "window_theil_sen_daily", tables)
 
 
 def test_image_sobel_matches_oracle(tables):
@@ -81,7 +81,7 @@ def test_theil_sen_replays_numpy(tables):
     ]
     med = float(np.median(slopes))
     icept = float(np.median(y.astype(np.float64) - med * t))
-    row = windows.QUERIES["window_theil_sen"](tables).collect()[0]
+    row = windows.QUERIES["window_theil_sen_daily"](tables).collect()[0]
     assert row["n_days"] == len(y)
     assert row["n_pairs"] == len(slopes)
     assert abs(row["slope6"] - med) < 1e-6
