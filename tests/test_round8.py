@@ -277,3 +277,46 @@ def test_percentile_bands_replays_numpy(tables):
         # percentile_disc: smallest value whose cume_dist >= q
         k = int(np.ceil(0.9 * len(v)))
         assert r["p90_disc_cents"] == int(v[k - 1])
+
+
+def test_no_module_registers_a_query_name_twice():
+    """Dict assignment silently shadows: QUERIES["x"] = f twice in one
+    module replaces the first registration with no collision anywhere
+    (the cross-module uniqueness test sees only the final dict). Caught
+    live in round 8 (the daily Theil-Sen overwrote the monthly one) —
+    this scans every registry module's SOURCE for literal
+    QUERIES[...]= / ORACLES[...]= statements and asserts each name is
+    bound at most once per module."""
+    import inspect
+    from collections import Counter
+
+    import __spark_entry__ as entry_mod
+
+    import ast
+
+    for mod in entry_mod._registry_modules():
+        tree = ast.parse(inspect.getsource(mod))
+        names = {"QUERIES": [], "ORACLES": []}
+        for node in ast.walk(tree):
+            # QUERIES = { "name": ... } literal keys
+            if isinstance(node, ast.Assign):
+                for tgt in node.targets:
+                    if (
+                        isinstance(tgt, ast.Name)
+                        and tgt.id in names
+                        and isinstance(node.value, ast.Dict)
+                    ):
+                        for k in node.value.keys:
+                            if isinstance(k, ast.Constant):
+                                names[tgt.id].append(k.value)
+                    # QUERIES["name"] = ... subscript rebinds
+                    if (
+                        isinstance(tgt, ast.Subscript)
+                        and isinstance(tgt.value, ast.Name)
+                        and tgt.value.id in names
+                        and isinstance(tgt.slice, ast.Constant)
+                    ):
+                        names[tgt.value.id].append(tgt.slice.value)
+        for kind, ns in names.items():
+            dupes = [n for n, c in Counter(ns).items() if c > 1]
+            assert not dupes, f"{mod.__name__} rebinds {kind} keys: {dupes}"
