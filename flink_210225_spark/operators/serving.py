@@ -3550,8 +3550,8 @@ ORACLES["serving_percentile_bands"] = """
 """
 
 
-def rfm_segments(tables: dict[str, DataFrame]) -> DataFrame:
-    """RFM segmentation census — recency / frequency / monetary quartile
+def rfm_quartile_census(tables: dict[str, DataFrame]) -> DataFrame:
+    """RFM segmentation census — recency / frequency / monetary QUARTILE
     codes per customer, rolled up to a (r, f, m)-segment census with each
     segment's revenue mass: the canonical CRM cut ("champions" = 444,
     "at-risk" = 1xx) and a curation-adjacent stratifier (the same
@@ -3649,7 +3649,7 @@ def rfm_segments(tables: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-QUERIES["serving_rfm_segments"] = rfm_segments
+QUERIES["serving_rfm_segments"] = rfm_quartile_census
 ORACLES["serving_rfm_segments"] = """
     WITH per AS (
         SELECT o_custkey, max(o_orderdate::DATE) AS last_day,

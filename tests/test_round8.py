@@ -320,3 +320,14 @@ def test_no_module_registers_a_query_name_twice():
         for kind, ns in names.items():
             dupes = [n for n, c in Counter(ns).items() if c > 1]
             assert not dupes, f"{mod.__name__} rebinds {kind} keys: {dupes}"
+        # same class of bug one level up: a second top-level `def name`
+        # silently shadows the first (round 8 hit this twice — the daily
+        # Theil-Sen over window_theil_sen, the quartile census over the
+        # quintile rfm_segments)
+        defs = [
+            n.name
+            for n in tree.body
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+        ddupes = [n for n, c in Counter(defs).items() if c > 1]
+        assert not ddupes, f"{mod.__name__} defines twice: {ddupes}"
