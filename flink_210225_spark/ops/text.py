@@ -5568,10 +5568,10 @@ def bleu_pairs(tables: dict[str, DataFrame]) -> DataFrame:
     """BLEU-2 between successor documents — the precision-side sibling of
     ``rouge_pairs`` (ROUGE recalls the reference; BLEU clips candidate
     n-gram counts against it: p_k = Σ_g min(cnt_cand(g), cnt_ref(g)) / #
-    candidate k-grams, Papineni et al. 2002). Clipped counts fold with
-    nested higher-order functions over the token arrays (for each DISTINCT
-    candidate gram: min of the two occurrence counts) — exact integers,
-    zero shuffles, no explode. BLEU-2 = BP · √(p1·p2) where the geometric
+    candidate k-grams, Papineni et al. 2002). Clipped counts come from a
+    gram-keyed explode + equi-join — exact integers, LINEAR in document
+    length (the former nested-HOF fold was quadratic; see the plan note
+    at the kernel). BLEU-2 = BP · √(p1·p2) where the geometric
     mean of TWO orders needs only a sqrt (no exp/log); the brevity penalty
     e^(1−r/c) is the one transcendental, round6-pinned before composing,
     and BLEU pins again after (both stages spelled identically in the
@@ -5602,29 +5602,63 @@ def bleu_pairs(tables: dict[str, DataFrame]) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    def clipped(cand: Column, ref: Column) -> Column:
-        return F.aggregate(
-            F.array_distinct(cand),
-            F.lit(0).cast("long"),
-            lambda acc, g: acc
-            + F.least(
-                F.size(F.filter(cand, lambda x: x == g)),
-                F.size(F.filter(ref, lambda x: x == g)),
+    # Clipped counts via explode + gram-keyed equi-join (r8, VERDICT r7
+    # #7): the former per-row nested-HOF fold re-scanned cand+ref once per
+    # DISTINCT candidate gram — O(distinct grams × doc length) per pair,
+    # quadratic in document length and the #6 heavy-tail bench entry
+    # (9.4 s at sf0.1). Exploding both sides into (pair, order, gram)
+    # occurrence counts and summing least(cc, rc) over the inner join is
+    # the LINEAR formulation of the same exact integers: a pair's gram
+    # missing from the ref contributes 0 (inner join drops it), and a
+    # sub-2-token candidate explodes to no bigram rows (left join → 0 —
+    # the old empty-fold identity). Both gram orders ride ONE explode per
+    # side (tagged structs), so the pairs frame has 3 consumers total;
+    # the gram shuffle is (pairs × grams)-sized with an 8-byte-ish key —
+    # the dedup-family shape that scales, where the old fold scaled with
+    # doc length squared.
+    def gram_structs(c: Column) -> Column:
+        return F.concat(
+            F.transform(c, lambda t: F.struct(F.lit(1).alias("k"), t.alias("g"))),
+            F.transform(
+                grams2(c), lambda t: F.struct(F.lit(2).alias("k"), t.alias("g"))
             ),
         )
 
-    c2 = grams2(F.col("cand"))
-    r2 = grams2(F.col("ref"))
-    scored = pairs.select(
-        "lang",
-        "ref_id",
-        "cand_id",
-        F.size("cand").cast("long").alias("cand_len"),
-        F.size("ref").cast("long").alias("ref_len"),
-        clipped(F.col("cand"), F.col("ref")).alias("p1_num"),
-        F.size("cand").cast("long").alias("p1_den"),
-        clipped(c2, r2).alias("p2_num"),
-        F.greatest(F.size("cand") - 1, F.lit(0)).cast("long").alias("p2_den"),
+    def side_counts(col: Column, cnt_name: str) -> DataFrame:
+        return (
+            pairs.select(
+                "ref_id", "cand_id", F.explode(gram_structs(col)).alias("kg")
+            )
+            .groupBy("ref_id", "cand_id", "kg")
+            .agg(F.count("*").alias(cnt_name))
+        )
+
+    clip = (
+        side_counts(F.col("cand"), "cc")
+        .join(side_counts(F.col("ref"), "rc"), ["ref_id", "cand_id", "kg"])
+        .groupBy("ref_id", "cand_id")
+        .agg(
+            F.sum(F.when(F.col("kg.k") == 1, F.least("cc", "rc")).otherwise(0))
+            .cast("long")
+            .alias("p1c"),
+            F.sum(F.when(F.col("kg.k") == 2, F.least("cc", "rc")).otherwise(0))
+            .cast("long")
+            .alias("p2c"),
+        )
+    )
+    scored = (
+        pairs.join(clip, ["ref_id", "cand_id"], "left")
+        .select(
+            "lang",
+            "ref_id",
+            "cand_id",
+            F.size("cand").cast("long").alias("cand_len"),
+            F.size("ref").cast("long").alias("ref_len"),
+            F.coalesce("p1c", F.lit(0)).cast("long").alias("p1_num"),
+            F.size("cand").cast("long").alias("p1_den"),
+            F.coalesce("p2c", F.lit(0)).cast("long").alias("p2_num"),
+            F.greatest(F.size("cand") - 1, F.lit(0)).cast("long").alias("p2_den"),
+        )
     )
     bp = F.when(F.col("cand_len") >= F.col("ref_len"), F.lit(1.0)).otherwise(
         round6(
