@@ -33,6 +33,17 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
+        # Local-mode driver heap: the JVM default is 1g, which is also the
+        # EXECUTOR heap in local mode — the round-8 clean bench OOMed
+        # ~460 queries in (accumulated broadcast blocks + AQE stage state
+        # across 3 reps × full registry in one JVM), and the earlier
+        # late-rep slowdowns were this heap's GC pressure. The bench box
+        # has 128 GiB; 16g removes the cliff while staying modest.
+        # Only effective when this builder launches the JVM (ignored on
+        # getOrCreate of a live session — harmless).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         # AQE: runtime shuffle coalescing, skew-join splitting, plan re-opt.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
