@@ -6482,13 +6482,13 @@ def mrr_ndcg_eval(
             "query_id",
             "doc_id",
             "n_shared",
+            # both arrays are distinct by construction, so the
+            # hash-based array_intersect size equals the membership-filter
+            # count — O(n+m) instead of the O(n*m) contains-per-element
+            # lambda (this was the #6 heavy-tail bench entry at 8.1 s)
             F.least(
                 F.lit(3),
-                F.size(
-                    F.filter(
-                        F.col("bgs"), lambda x: F.array_contains(F.col("qbgs"), x)
-                    )
-                ),
+                F.size(F.array_intersect("bgs", "qbgs")),
             )
             .cast("long")
             .alias("rel"),
