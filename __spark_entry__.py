@@ -99,14 +99,16 @@ def _registry():
 #     sample_{stratified_kfold, pass_at_k, token_waterfill,
 #     pps_estimator, snake_shards, padding_waste, cluster_design} = 60;
 #     the first 50 by registry order form the r9 window, and the
-#     remaining 10 roll to r10's head TOGETHER WITH the 9 round-8
+#     remaining 10 roll to r10's head TOGETHER WITH the 13 round-8
 #     additions (each 3-SF + vanilla gated at authoring time, each with
 #     a test_round8.py oracle gate + third-implementation replay):
 #     sim_{pq_k1_identity, ivfpq_residual_exact},
 #     serving_{percentile_bands, rfm_segments}, sql_group_by_all,
+#     sql_recursive_cte, sql_session_variables,
 #     text_{heaps_law, mrr_ndcg_eval}, window_theil_sen_daily,
-#     multimodal_image_sobel; the r1-stamp re-gates fill the rest of
-#     r10's 50.
+#     multimodal_image_sobel, sample_purged_walkforward,
+#     warehouse_file_skew_audit (13 total); the r1-stamp re-gates fill
+#     the rest of r10's 50.
 #   round 10 head (after the 19 above): the oldest r1-only greens by
 #     family — sql_* tumbles
 #     (sql_province_tumble, sql_keyword_tumble), the log_* family

@@ -2852,3 +2852,106 @@ ORACLES["warehouse_storage_tiering"] = """
                  * 1000000 + 0.5)::BIGINT AS revenue_share_micro
     FROM tiered GROUP BY tier
 """
+
+
+def file_skew_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Partition FILE-BALANCE audit — the small-files/skew report every
+    lakehouse maintenance loop runs before compaction planning
+    (``warehouse_compaction_plan`` decides what to rewrite; this is the
+    telemetry feeding it): write events day-partitioned with one file
+    per partition (repartition on the partition key makes the file count
+    deterministic), then read back the physical layout — per-partition
+    file count and FOOTER row count — and reconcile against the data
+    (rows_match must be TRUE per partition; footer machinery shared in
+    spirit with ``source_parquet_metadata``, but per PARTITION directory
+    instead of table-level, which is the dimension skew lives in). The
+    skew ratio (partition rows ÷ mean rows, 4dp pinned) is the number a
+    rebalance alert fires on.
+
+    Exactness: file/row counts are exact integers read from real parquet
+    footers executor-side; the oracle recomputes per-day row counts and
+    the same ratio from the data.
+
+    Scale: the write is one shuffle on the partition key; the audit
+    lists the directory tree and reads FOOTERS only (KBs/file),
+    distributed over executors via the same mapInPandas shape as the
+    table-level footer audit."""
+    import os as _os
+
+    import pandas as pd
+
+    from flink_210225_spark.streaming.pipelines import _scratch
+
+    ev = tables["events"]
+    spark = ev.sparkSession
+    out = _scratch(prefix="fileskew_")
+    base = ev.select(
+        "event_id",
+        F.date_format("ts", "yyyyMMdd").alias("day"),
+    )
+    base.repartition("day").write.mode("overwrite").partitionBy("day").parquet(out)
+    # list (day, file) pairs driver-side (directory listing is metadata,
+    # partition-count-sized); footer reads distribute over executors
+    pairs = []
+    for entry in sorted(_os.listdir(out)):
+        if not entry.startswith("day="):
+            continue
+        day = entry.split("=", 1)[1]
+        pdir = _os.path.join(out, entry)
+        for fn in sorted(_os.listdir(pdir)):
+            if fn.endswith(".parquet"):
+                pairs.append((day, _os.path.join(pdir, fn)))
+    fdf = spark.createDataFrame(pairs, "day string, path string").repartition(
+        max(1, min(len(pairs), 32))
+    )
+
+    def footers(it):
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            days, rows = [], []
+            for day, path in zip(pdf["day"], pdf["path"]):
+                md = pq.ParquetFile(path).metadata
+                days.append(day)
+                rows.append(int(md.num_rows))
+            yield pd.DataFrame({"day": days, "footer_rows": rows})
+
+    per_file = fdf.mapInPandas(footers, "day string, footer_rows long")
+    layout = per_file.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("footer_rows").cast("long").alias("footer_rows"),
+    )
+    data = base.groupBy("day").agg(F.count("*").cast("long").alias("data_rows"))
+    mean_rows = data.agg(F.avg("data_rows")).scalar()
+    return (
+        layout.join(data, "day")
+        .select(
+            "day",
+            "n_files",
+            "footer_rows",
+            "data_rows",
+            (F.col("footer_rows") == F.col("data_rows")).alias("rows_match"),
+            (F.floor(F.col("data_rows") / mean_rows * 10000 + 0.5) / 10000).alias(
+                "skew_ratio"
+            ),
+        )
+    )
+
+
+QUERIES["warehouse_file_skew_audit"] = file_skew_audit
+# The oracle recomputes the per-day census and the ratio from the raw
+# table; n_files == 1 and rows_match == TRUE are the layout's invariants
+# under the repartition-by-key writer (a multi-file day or a footer/data
+# divergence breaks the hash).
+ORACLES["warehouse_file_skew_audit"] = """
+    WITH d AS (
+        SELECT strftime(ts, '%Y%m%d') AS day, count(*)::BIGINT AS data_rows
+        FROM events GROUP BY 1
+    ),
+    m AS (SELECT avg(data_rows) AS mu FROM d)
+    SELECT day, 1::BIGINT AS n_files, data_rows AS footer_rows, data_rows,
+           TRUE AS rows_match,
+           floor(data_rows / (SELECT mu FROM m) * 10000 + 0.5) / 10000
+               AS skew_ratio
+    FROM d
+"""

@@ -2263,3 +2263,115 @@ ORACLES["sample_cluster_design"] = """
                  * 1000000 + 0.5)::BIGINT AS deff_micro
     FROM g
 """
+
+
+def purged_walkforward(
+    tables: dict[str, DataFrame], n_folds: int = 5, gap_days: int = 2
+) -> DataFrame:
+    """Purged walk-forward cross-validation splits — the time-series CV
+    protocol (López de Prado's purged K-fold, walk-forward form) every
+    temporal model eval needs: test fold k is a contiguous day band,
+    train is everything ENDING a purge gap BEFORE the band starts, so
+    label/feature windows that straddle the boundary cannot leak (the
+    stricter sibling of ``sample_chronological_cv``, which has no gap).
+    Emits the per-fold census plus an explicit leak_ok check (train max
+    day + gap < test min day) so a boundary regression flips a hash-gated
+    boolean, not a silent metric.
+
+    Exactness: day bands are pure integer arithmetic on day offsets from
+    the corpus minimum (the heaps_law VALUE-band discipline — no global
+    row_number); counts exact.
+
+    Scale: one scan tags rows with (day offset, fold band); the per-fold
+    test starts are an n_folds-row aggregate (collected — config-sized,
+    like a bucket list) that unrolls into ONE conditional-aggregation
+    pass computing every fold's train/test census and train-max
+    simultaneously — no per-fold rescan, no row fan-out, no BNLJ."""
+    ev = tables["events"]
+    lo = ev.agg(F.min(F.to_date("ts"))).scalar()
+    hi = ev.agg(F.max(F.to_date("ts"))).scalar()
+    span = F.datediff(hi, lo) + F.lit(1)
+    off = F.datediff(F.to_date("ts"), lo).cast("long")
+    # fold band of a day offset: ceil((off+1) * n / span) in 1..n
+    band = F.ceil((off + F.lit(1)) * F.lit(n_folds) / span).cast("long")
+    tagged = ev.select(off.alias("off"), band.alias("band"))
+    t_lo_by_fold = {
+        int(r["band"]): r["t_lo"]
+        for r in tagged.groupBy("band").agg(F.min("off").alias("t_lo")).collect()
+    }
+    aggs = []
+    for f in range(1, n_folds + 1):
+        tl = t_lo_by_fold.get(f)
+        cutoff = (tl - gap_days - 1) if tl is not None else -1
+        aggs.append(
+            F.sum(F.when(F.col("off") <= F.lit(cutoff), 1).otherwise(0))
+            .cast("long")
+            .alias(f"train_{f}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("off") <= F.lit(cutoff), F.col("off"))).alias(
+                f"trmax_{f}"
+            )
+        )
+        aggs.append(
+            F.sum(F.when(F.col("band") == f, 1).otherwise(0))
+            .cast("long")
+            .alias(f"test_{f}")
+        )
+    wide = tagged.agg(*aggs)
+    rows = []
+    for f in range(1, n_folds + 1):
+        tl = t_lo_by_fold.get(f)
+        rows.append(
+            wide.select(
+                F.lit(f).cast("long").alias("fold"),
+                F.col(f"train_{f}").alias("n_train"),
+                F.col(f"test_{f}").alias("n_test"),
+                F.col(f"trmax_{f}").cast("long").alias("train_max_off"),
+                F.lit(tl).cast("long").alias("test_min_off"),
+                (
+                    F.coalesce(F.col(f"trmax_{f}"), F.lit(-(10**9)))
+                    + F.lit(gap_days)
+                    < F.lit(tl)
+                ).alias("leak_ok"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+QUERIES["sample_purged_walkforward"] = purged_walkforward
+ORACLES["sample_purged_walkforward"] = """
+    WITH b AS (
+        SELECT min(ts::DATE) AS lo,
+               date_diff('day', min(ts::DATE), max(ts::DATE)) + 1 AS span
+        FROM events
+    ),
+    tagged AS (
+        SELECT date_diff('day', (SELECT lo FROM b), ts::DATE)::BIGINT AS off,
+               ceil((date_diff('day', (SELECT lo FROM b), ts::DATE) + 1) * 5.0
+                    / (SELECT span FROM b))::BIGINT AS band
+        FROM events
+    ),
+    bounds AS (
+        SELECT band AS fold, min(off) AS t_lo FROM tagged GROUP BY band
+    ),
+    folds AS (SELECT unnest(range(1, 6))::BIGINT AS fold),
+    census AS (
+        SELECT f.fold,
+               (SELECT count(*) FROM tagged t
+                WHERE t.off <= coalesce(bo.t_lo, 0) - 3)::BIGINT AS n_train,
+               (SELECT count(*) FROM tagged t
+                WHERE t.band = f.fold)::BIGINT AS n_test,
+               (SELECT max(t.off) FROM tagged t
+                WHERE t.off <= coalesce(bo.t_lo, 0) - 3)::BIGINT
+                   AS train_max_off,
+               bo.t_lo::BIGINT AS test_min_off
+        FROM folds f LEFT JOIN bounds bo ON f.fold = bo.fold
+    )
+    SELECT fold, n_train, n_test, train_max_off, test_min_off,
+           coalesce(train_max_off, -1000000000) + 2 < test_min_off AS leak_ok
+    FROM census
+"""

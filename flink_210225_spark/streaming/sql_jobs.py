@@ -1313,3 +1313,52 @@ def _recursive_cte_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
 
 QUERIES["sql_recursive_cte"] = _recursive_cte_sql_q
 ORACLES["sql_recursive_cte"] = RECURSIVE_CTE_SQL.format(nation="nation")
+
+
+def _session_variables_sql_q(tables: dict[str, DataFrame]) -> DataFrame:
+    """SQL session variables (Spark 4.x DECLARE / SET VAR) as spark.sql
+    TEXT — the parameterized-query surface that replaces string
+    interpolation for dashboard filters (SQL-injection-proof, typed,
+    session-scoped). DECLARE OR REPLACE keeps the query re-runnable in a
+    long-lived session; two variables (a cents threshold and a status)
+    drive the aggregate so the hash gates that variable REFERENCES
+    resolve with their assigned values and types. DuckDB's variable
+    syntax differs (SET VARIABLE / getvariable), so the oracle inlines
+    the same constants — the gate pins the semantics, the Spark side
+    pins the grammar.
+
+    Scale: the variables are driver-side session state; the query plans
+    exactly as its constant-folded equivalent (one scan + aggregate)."""
+    o = tables["orders"]
+    spark = o.sparkSession
+    o.createOrReplaceTempView("orders_view_sql_vars")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE r8_min_cents BIGINT DEFAULT 0"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE r8_status STRING DEFAULT 'O'")
+    spark.sql("SET VAR r8_min_cents = 15000000")
+    spark.sql("SET VAR r8_status = 'F'")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders_view_sql_vars
+        WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) >= r8_min_cents
+          AND o_orderstatus = r8_status
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+QUERIES["sql_session_variables"] = _session_variables_sql_q
+ORACLES["sql_session_variables"] = """
+    SELECT o_orderpriority AS priority,
+           count(*)::BIGINT AS n_orders,
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents
+    FROM orders
+    WHERE floor(o_totalprice * 100 + 0.5)::BIGINT >= 15000000
+      AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+"""

@@ -331,3 +331,67 @@ def test_no_module_registers_a_query_name_twice():
         ]
         ddupes = [n for n, c in Counter(defs).items() if c > 1]
         assert not ddupes, f"{mod.__name__} defines twice: {ddupes}"
+
+
+# ------------------------------------------------- bonus-wave gates
+
+
+def test_session_variables_matches_oracle(tables):
+    _gate(sql_jobs, "sql_session_variables", tables)
+
+
+def test_purged_walkforward_matches_oracle(tables):
+    from flink_210225_spark.ops import sampling
+
+    _gate(sampling, "sample_purged_walkforward", tables)
+
+
+def test_file_skew_audit_matches_oracle(tables):
+    from flink_210225_spark.operators import warehouse
+
+    _gate(warehouse, "warehouse_file_skew_audit", tables)
+
+
+def test_recursive_cte_matches_oracle(tables):
+    _gate(sql_jobs, "sql_recursive_cte", tables)
+
+
+def test_purged_walkforward_never_leaks(tables):
+    """Structural CV invariants independent of the band arithmetic: test
+    folds partition the corpus, every fold's purge gap holds, and train
+    size is non-decreasing in fold order (walk-forward property)."""
+    import duckdb
+
+    from flink_210225_spark.ops import sampling
+
+    rows = sorted(
+        sampling.QUERIES["sample_purged_walkforward"](tables).collect(),
+        key=lambda r: r["fold"],
+    )
+    total = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_test"] for r in rows) == total
+    assert all(r["leak_ok"] for r in rows)
+    trains = [r["n_train"] for r in rows]
+    assert trains == sorted(trains)
+    assert trains[0] == 0  # fold 1 has no history before its gap
+    for r in rows[1:]:
+        assert r["train_max_off"] + 2 < r["test_min_off"]
+
+
+def test_file_skew_layout_invariants(tables):
+    """One file per partition under the repartition-by-key writer, footer
+    row counts reconcile with the data, and the census covers every
+    event exactly once."""
+    import duckdb
+
+    from flink_210225_spark.operators import warehouse
+
+    rows = warehouse.QUERIES["warehouse_file_skew_audit"](tables).collect()
+    total = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/events.parquet'"
+    ).fetchone()[0]
+    assert all(r["n_files"] == 1 for r in rows)
+    assert all(r["rows_match"] for r in rows)
+    assert sum(r["data_rows"] for r in rows) == total
