@@ -122,60 +122,65 @@ def _registry():
 #     state_uv_dedup — so no green row ages past 3 rounds for touched
 #     modules; then the next-oldest greens (r2/r3 stamps) by the same rule.
 _CHECK_WINDOW = [
-    # round-8 head: first 50 of the 110 never-driver-gated round-7
-    # additions, in registry order (committed in the r7 burn-down; each
-    # was 3-SF + vanilla gated at authoring time and matched the r7
-    # judge's independent DuckDB sweep at sf0.01).
-    "source_orc_roundtrip",
-    "source_partition_prune",
-    "source_jsonl_nested",
-    "source_jsonl_gzip",
-    "source_binary_files",
-    "source_incremental_listing",
-    "source_parquet_metadata",
-    "source_csv_quoting",
-    "sql_hof_arrays",
-    "sql_window_clause",
-    "sql_try_cast_dirty",
-    "sql_correlated_scalar",
-    "sql_star_except_all",
-    "sql_identifier_clause",
-    "sql_pipe_syntax",
-    "sql_hints_grammar",
-    "sql_values_inline",
-    "sql_variant_extract",
-    "sql_lateral_join",
-    "sql_execute_immediate",
-    "sql_collation_groupby",
-    "sql_udf_scalar",
-    "sql_multiset_ops",
-    "colocate_bucket_prune",
-    "serving_repeat_gmv",
-    "serving_local_supplier_revenue",
-    "serving_ab_cuped",
-    "serving_kruskal_wallis",
-    "serving_benjamini_hochberg",
-    "serving_theil_index",
-    "serving_market_share",
-    "serving_important_stock",
-    "serving_ipw_ate",
-    "serving_segment_migration",
-    "serving_price_endings",
-    "serving_basket_poissonness",
-    "serving_did_estimator",
-    "serving_skyline",
-    "serving_user_concentration",
-    "window_runs_test",
-    "window_yoy_growth",
-    "window_spearman",
-    "window_cross_correlation",
-    "window_periodogram",
-    "window_record_breaks",
-    "window_rolling_beta",
-    "window_gumbel_maxima",
-    "window_xmr_chart",
-    "window_hurst",
-    "window_ljung_box",
+    # round-9 head: first 50 (registry order) of the 60 round-7 additions
+    # that did not fit the r8 window — exactly the burn-down schedule the
+    # r8 window comment committed to. Each was 3-SF + vanilla gated at
+    # authoring time and was independently DuckDB-swept green by the r7/r8
+    # judges at sf0.01. The remaining 10 (multimodal_image_{integral,
+    # morphology, otsu}, sample_{stratified_kfold, pass_at_k,
+    # token_waterfill, pps_estimator, snake_shards, padding_waste,
+    # cluster_design}) roll to round 10's head together with the 13
+    # round-8 additions, then the r1-stamp re-gates per the schedule above.
+    "window_haar_energy",
+    "join_null_safe",
+    "join_anti_followup",
+    "join_waiting_supplier",
+    "join_dpp_prune",
+    "log_grok_router",
+    "log_template_mining",
+    "cdc_log_compaction",
+    "cdc_state_reconciliation",
+    "session_growth_accounting",
+    "session_peak_concurrency",
+    "session_return_gaps",
+    "warehouse_histogram_equiheight",
+    "warehouse_time_travel",
+    "warehouse_fk_inference",
+    "warehouse_mcv_stats",
+    "warehouse_dynamic_overwrite",
+    "warehouse_wap_publish",
+    "warehouse_accumulating_snapshot",
+    "warehouse_scd2_integrity",
+    "warehouse_medallion_recon",
+    "warehouse_storage_tiering",
+    "text_ngram_coverage",
+    "text_langid_calibration",
+    "text_count_min_sketch",
+    "text_bleu_pairs",
+    "text_good_turing",
+    "text_burrows_delta",
+    "text_sentence_stats",
+    "text_textrank",
+    "text_char_entropy",
+    "dedup_winnowing",
+    "dedup_cascade_funnel",
+    "dedup_tf_shift",
+    "sim_kmeans_exact",
+    "sim_lexical_semantic_gap",
+    "sim_inbatch_retrieval_acc",
+    "sim_recall_curve",
+    "sim_pq_distortion_curve",
+    "multimodal_image_entropy",
+    "multimodal_audio_snr",
+    "multimodal_image_resize",
+    "multimodal_audio_downsample",
+    "multimodal_image_near_dup",
+    "multimodal_video_motion",
+    "multimodal_audio_tempo",
+    "multimodal_image_ssim",
+    "multimodal_decode_errors",
+    "multimodal_image_phash",
+    "multimodal_audio_zcr",
 ]
 
 

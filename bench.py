@@ -69,13 +69,15 @@ def main() -> None:
     per_query = {name: round(statistics.median(ts), 3) for name, ts in times.items()}
 
     # Regression gate vs the pinned baseline medians (VERDICT r2 #8): the
-    # latest accepted round's run (r4) is the reference; every query present in both runs reports its
-    # ratio, and ratios > 1.5x are called out in their own key so a
-    # regression is visible in the bench line itself, not only by diffing
-    # files across rounds.
+    # latest driver-confirmed green round's run is the reference; every
+    # query present in both runs reports its ratio, and ratios > 1.5x are
+    # called out in their own key so a regression is visible in the bench
+    # line itself, not only by diffing files across rounds. Re-pinned to the
+    # r8 driver run per VERDICT r8 #1 (the r4-era pins had drifted ~1.6x
+    # loose after the footer-cache + heap fixes, blunting the gate).
     baseline_path = os.environ.get(
         "SPARK_GRAFT_BASELINE",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_r4.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_PIN_r8.json"),
     )
     baseline_info = {}
     try:

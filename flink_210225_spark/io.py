@@ -57,32 +57,58 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # submission floor" (the flagged text_code_detect spends ~0.1 s scanning
 # and ~0.9 s re-inferring schemas). A real deployment declares tables ONCE
 # in a catalog and reuses the plan; this cache is that pattern. Safety:
-# DataFrames are immutable lazy plans; the fixture dirs are read-only, so
-# the cached file-listing snapshot cannot go stale; keying WEAKLY by the
-# session object means a stopped/collected session drops its entries and a
-# fresh session re-lists from scratch. Callers get a shallow copy so
-# mutating the returned dict (tables["x"] = ...) never leaks into the
-# cache.
-_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = (
+# DataFrames are immutable lazy plans; staleness is keyed out by a cheap
+# dir fingerprint (see _dir_fingerprint — in-place fixture regeneration
+# rotates the key); keying WEAKLY by the session object means a
+# stopped/collected session drops its entries and a fresh session re-lists
+# from scratch. Callers get a shallow copy so mutating the returned dict
+# (tables["x"] = ...) never leaks into the cache.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple, dict[str, DataFrame]]]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def _dir_fingerprint(sf_dir: str) -> tuple:
+    """Cheap staleness key for a fixture dir (ADVICE r8 #4): the sorted
+    (name, mtime_ns, size) of its immediate entries — one listdir + ~10
+    stats, microseconds against the 0.86 s footer-inference it guards.
+    In-place regeneration of a fixture (a test rewriting sf0.01) changes a
+    file's mtime/size or the dir's membership, so the cache key rotates and
+    the stale plan can never be served. Parquet table DIRS get the dir
+    inode's own mtime, which bumps whenever files inside are added/replaced
+    (Spark writers always create new part files)."""
+    try:
+        with os.scandir(sf_dir) as it:
+            return tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size) for e in it
+                )
+            )
+    except OSError:
+        return ("<unlistable>",)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every fixture table; values are lazy DataFrames (no IO yet).
 
-    Cached per (session, sf_dir): the first call lists + schema-infers the
-    10 parquet tables, later calls reuse the lazy plans (catalog pattern —
-    see _TABLE_CACHE note). Execution still scans real data every action.
+    Cached per (session, sf_dir, dir-fingerprint): the first call lists +
+    schema-infers the 10 parquet tables, later calls reuse the lazy plans
+    (catalog pattern — see _TABLE_CACHE note). The fingerprint keys out
+    in-place fixture regeneration (ADVICE r8 #4). Execution still scans
+    real data every action.
     """
     try:
         per_session = _TABLE_CACHE.setdefault(spark, {})
     except TypeError:  # session object not weak-referenceable: skip cache
         return {name: load_table(spark, sf_dir, name) for name in TABLES}
-    cached = per_session.get(sf_dir)
+    key = (sf_dir, _dir_fingerprint(sf_dir))
+    cached = per_session.get(key)
     if cached is None:
+        # evict stale generations of THIS dir only (other sf_dirs stay warm)
+        for k in [k for k in per_session if k[0] == sf_dir]:
+            del per_session[k]
         cached = {name: load_table(spark, sf_dir, name) for name in TABLES}
-        per_session[sf_dir] = cached
+        per_session[key] = cached
     return dict(cached)
 
 

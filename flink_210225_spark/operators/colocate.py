@@ -22,6 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# bucket_prune_demo's per-session catalog bookkeeping (ADVICE r8 #1):
+# id(session) -> the catalog table the LAST invocation created, dropped on
+# re-entry so repeated bench reps don't accumulate catalog entries. Files
+# live under the streaming scratch root, rmtree'd at interpreter exit.
+_BKTPRUNE_TABLES: dict[int, str] = {}
+
 
 def write_bucketed(
     df: DataFrame,
@@ -294,10 +300,19 @@ def bucket_prune_demo(tables: dict[str, DataFrame]) -> DataFrame:
     # Catalog name carries the scratch dir's per-run random suffix so two
     # concurrent sessions sharing a metastore can never race on the same
     # table name (ADVICE r7 #5); the scratch root already guarantees the
-    # path side of that isolation.
+    # path side of that isolation. Re-entry in the same session drops the
+    # PREVIOUS run's table first (ADVICE r8 #1): the scratch rmtree already
+    # reclaims the files at exit, but without the DROP a 3-rep bench leaves
+    # stale catalog entries and keeps each events-sized bucketed copy
+    # undeletable-by-name until interpreter exit.
     import os as _os
 
+    prev = _BKTPRUNE_TABLES.pop(id(spark), None)
+    if prev is not None:
+        spark.sql(f"DROP TABLE IF EXISTS {prev}")
+
     tbl = f"events_{_os.path.basename(out)}"
+    _BKTPRUNE_TABLES[id(spark)] = tbl
     write_bucketed(
         ev.select(
             "event_id",

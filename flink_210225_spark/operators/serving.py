@@ -3631,9 +3631,17 @@ def rfm_quartile_census(tables: dict[str, DataFrame]) -> DataFrame:
         # ReuseSubquery collapses them to 3 executions — verified in the
         # executed plan (ReusedSubquery nodes), so no threshold pipeline
         # runs more than once per metric.
+        # Degenerate guard (ADVICE r8 #2): with n<4 customers or coinciding
+        # cut ranks `ts` can carry fewer than 3 values. try_element_at past
+        # the end is NULL (plain element_at THROWS under Spark 4's ANSI
+        # default — worse than the silent divergence ADVICE flagged) and
+        # when(NULL,...).otherwise(0) scores that cut 0. The oracle
+        # COALESCEs each (v > ts[j])::INT to 0 so both engines treat a
+        # missing threshold as "not exceeded". Gated at n=1,2,3 by
+        # tests/test_round9.py.
         q = F.lit(1)
         for j in (1, 2, 3):
-            q = q + F.when(F.col(col) > F.element_at(ts, j), 1).otherwise(0)
+            q = q + F.when(F.col(col) > F.try_element_at(ts, F.lit(j)), 1).otherwise(0)
         return q
 
     scored = cust.select(
@@ -3692,15 +3700,15 @@ ORACLES["serving_rfm_segments"] = """
     ),
     scored AS (
         SELECT o_custkey,
-               5 - (1 + (recency > (SELECT ts[1] FROM tr))::INT
-                      + (recency > (SELECT ts[2] FROM tr))::INT
-                      + (recency > (SELECT ts[3] FROM tr))::INT) AS r,
-               1 + (freq > (SELECT ts[1] FROM tf))::INT
-                 + (freq > (SELECT ts[2] FROM tf))::INT
-                 + (freq > (SELECT ts[3] FROM tf))::INT AS f,
-               1 + (cents > (SELECT ts[1] FROM tm))::INT
-                 + (cents > (SELECT ts[2] FROM tm))::INT
-                 + (cents > (SELECT ts[3] FROM tm))::INT AS m,
+               5 - (1 + COALESCE((recency > (SELECT ts[1] FROM tr))::INT, 0)
+                      + COALESCE((recency > (SELECT ts[2] FROM tr))::INT, 0)
+                      + COALESCE((recency > (SELECT ts[3] FROM tr))::INT, 0)) AS r,
+               1 + COALESCE((freq > (SELECT ts[1] FROM tf))::INT, 0)
+                 + COALESCE((freq > (SELECT ts[2] FROM tf))::INT, 0)
+                 + COALESCE((freq > (SELECT ts[3] FROM tf))::INT, 0) AS f,
+               1 + COALESCE((cents > (SELECT ts[1] FROM tm))::INT, 0)
+                 + COALESCE((cents > (SELECT ts[2] FROM tm))::INT, 0)
+                 + COALESCE((cents > (SELECT ts[3] FROM tm))::INT, 0) AS m,
                cents
         FROM cust
     )

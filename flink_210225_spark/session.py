@@ -23,6 +23,27 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
 
 
+def _default_driver_mem() -> str:
+    """Local-mode driver-heap default, derived from the host (ADVICE r8 #3).
+
+    The JVM default (1g) is also the EXECUTOR heap in local mode and GC-
+    thrashes a full-registry bench run; 16g fixed that on the 128 GiB bench
+    box but would push a small dev machine into swap/OOM-kill. So: a
+    quarter of physical RAM, clamped to [2g, 16g]; SPARK_GRAFT_DRIVER_MEM
+    overrides unconditionally.
+    """
+    override = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if override:
+        return override
+    try:
+        total_gib = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) / (
+            1024**3
+        )
+    except (ValueError, OSError, AttributeError):  # non-POSIX: keep it modest
+        return "4g"
+    return f"{max(2, min(16, int(total_gib // 4)))}g"
+
+
 def get_spark(
     app_name: str = "flink_210225_spark",
     master: str | None = None,
@@ -37,13 +58,13 @@ def get_spark(
         # EXECUTOR heap in local mode — the round-8 clean bench OOMed
         # ~460 queries in (accumulated broadcast blocks + AQE stage state
         # across 3 reps × full registry in one JVM), and the earlier
-        # late-rep slowdowns were this heap's GC pressure. The bench box
-        # has 128 GiB; 16g removes the cliff while staying modest.
-        # Only effective when this builder launches the JVM (ignored on
-        # getOrCreate of a live session — harmless).
-        .config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
-        )
+        # late-rep slowdowns were this heap's GC pressure. Default derives
+        # from physical RAM (quarter, clamped [2g,16g] — 16g on the
+        # 128 GiB bench box) so small dev machines don't swap;
+        # SPARK_GRAFT_DRIVER_MEM overrides. Only effective when this
+        # builder launches the JVM (ignored on getOrCreate of a live
+        # session — harmless).
+        .config("spark.driver.memory", _default_driver_mem())
         # AQE: runtime shuffle coalescing, skew-join splitting, plan re-opt.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

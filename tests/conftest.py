@@ -2,6 +2,14 @@ import pytest
 
 from flink_210225_spark import get_spark
 
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "broker: needs a live Kafka broker (SPARK_GRAFT_KAFKA_BOOTSTRAP); "
+        "skips otherwise — see tests/test_kafka_broker.py",
+    )
+
 SF_DIR = "/root/testdata/sf0.001"
 SF_DIR_MED = "/root/testdata/sf0.01"
 

@@ -1,0 +1,108 @@
+"""Round-9 battery: regression gates for the ADVICE r8 fixes — the RFM
+degenerate quartile path (n<4 customers → <3 cut values; both engines must
+score a missing threshold as "not exceeded"), bucket_prune catalog
+bookkeeping (re-entry drops the previous run's table), the io table-cache
+dir fingerprint (in-place fixture regeneration must rotate the key), and
+the derived driver-memory default.
+"""
+
+import shutil
+
+import duckdb
+import pandas as pd
+import pytest
+
+from flink_210225_spark.operators import serving
+
+from .oracle import canonical_rows
+
+
+# ------------------------------------------------- RFM degenerate quartiles
+
+
+@pytest.mark.parametrize("n_cust", [1, 2, 3])
+def test_rfm_degenerate_small_n(spark, n_cust):
+    """With n<4 customers the rank identity yields <3 distinct cut ranks,
+    so the threshold array has <3 elements; Spark's element_at past the end
+    is NULL → when(NULL).otherwise(0) scores 0, and the oracle's COALESCE
+    must agree (ADVICE r8 #2 — pre-fix, DuckDB propagated NULL into r/f/m)."""
+    pdf = pd.DataFrame(
+        {
+            "o_custkey": list(range(1, n_cust + 1)),
+            "o_orderdate": ["1995-01-01", "1995-03-01", "1995-06-01"][:n_cust],
+            "o_totalprice": [10.0, 20.0, 30.0][:n_cust],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = serving.QUERIES["serving_rfm_segments"]({"orders": sdf}).toPandas()
+    con = duckdb.connect()
+    try:
+        con.register("orders", pdf)
+        want = con.sql(serving.ORACLES["serving_rfm_segments"]).df()
+    finally:
+        con.close()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want) == n_cust  # distinct (r,f,m) cells per cust here
+    assert canonical_rows(got) == canonical_rows(want)
+    # every customer accounted for, no NULL scores anywhere
+    assert int(got["n_customers"].sum()) == n_cust
+    assert got[["r", "f", "m"]].notna().all().all()
+
+
+# ------------------------------------------------- bucket_prune bookkeeping
+
+
+def test_bucket_prune_reentry_drops_previous_table(spark, tables):
+    from flink_210225_spark.operators import colocate
+
+    fn = colocate.QUERIES["colocate_bucket_prune"]
+    fn(tables).collect()
+    fn(tables).collect()
+    live = [
+        r.tableName
+        for r in spark.sql("SHOW TABLES").collect()
+        if "bktprune" in r.tableName
+    ]
+    assert len(live) == 1, f"stale bucket_prune catalog entries: {live}"
+
+
+# ------------------------------------------------- io cache fingerprint
+
+
+def test_table_cache_rotates_on_fixture_regeneration(spark, tmp_path):
+    from flink_210225_spark.io import TABLES, load_tables
+
+    fix = tmp_path / "sf_regen"
+    shutil.copytree("/root/testdata/sf0.001", fix)
+    d = str(fix)
+    n0 = load_tables(spark, d)["region"].count()
+    assert n0 == 5
+    # regenerate region IN PLACE (the ADVICE r8 #4 scenario): pre-fix the
+    # cached listing/schema survived and served the stale plan
+    (fix / "region.parquet").unlink()
+    load_tables(spark, "/root/testdata/sf0.001")["region"].limit(3).write.parquet(
+        str(fix / "region.parquet")
+    )
+    n1 = load_tables(spark, d)["region"].count()
+    assert n1 == 3, "stale cached plan served after in-place regeneration"
+    # untouched dirs keep their cache entry shape (smoke: still loadable)
+    assert set(load_tables(spark, d)) == set(TABLES)
+
+
+# ------------------------------------------------- driver-memory default
+
+
+def test_driver_mem_default_clamped(monkeypatch):
+    import os
+
+    from flink_210225_spark.session import _default_driver_mem
+
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+    v = _default_driver_mem()
+    assert v.endswith("g") and 2 <= int(v[:-1]) <= 16
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "3g")
+    assert _default_driver_mem() == "3g"
+    # quarter-of-RAM derivation on this box
+    total_gib = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) / 1024**3
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
+    assert int(_default_driver_mem()[:-1]) == max(2, min(16, int(total_gib // 4)))
