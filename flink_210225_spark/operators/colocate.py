@@ -231,12 +231,23 @@ def zorder_value(
     once — the multi-dimensional generalization of ``write_stats``'s
     single-key sort, and what Delta's OPTIMIZE ZORDER BY computes. Pure
     integer expression (floor-scale + shift/mask folds), codegen-friendly."""
-    def scaled(c: Column, lo: float, hi: float) -> Column:
-        frac = (c.cast("double") - F.lit(lo)) / F.lit(hi - lo)
-        clamped = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
-        return F.floor(clamped * F.lit((1 << bits) - 1)).cast("long")
+    sa = scale_to_bits(a, *a_range, bits=bits)
+    sb = scale_to_bits(b, *b_range, bits=bits)
+    return interleave_bits(sa, sb, bits)
 
-    sa, sb = scaled(a, *a_range), scaled(b, *b_range)
+
+def scale_to_bits(c: Column, lo: float, hi: float, bits: int = 16) -> Column:
+    """Clamp-scale a value over its known [lo, hi] range to a ``bits``-bit
+    integer coordinate (the normalization step of ``zorder_value``, split
+    out so layout auditors can reuse the exact same grid)."""
+    frac = (c.cast("double") - F.lit(lo)) / F.lit(hi - lo)
+    clamped = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+    return F.floor(clamped * F.lit((1 << bits) - 1)).cast("long")
+
+
+def interleave_bits(sa: Column, sb: Column, bits: int = 16) -> Column:
+    """Morton interleave of two pre-scaled ``bits``-bit coordinates
+    (a even positions, b odd)."""
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = (

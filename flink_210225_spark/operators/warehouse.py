@@ -2955,3 +2955,159 @@ ORACLES["warehouse_file_skew_audit"] = """
                AS skew_ratio
     FROM d
 """
+
+
+def zorder_prune_stats(
+    tables: dict[str, DataFrame], bits: int = 16, file_bits: int = 6
+) -> DataFrame:
+    """Z-order file-skipping effectiveness — the POSITIVE result that
+    closes the loop ``warehouse_zonemap_prune`` opens (its uncorrelated
+    layout measures near-zero skipping and its docstring says so: that
+    negative result "is the quantitative case for re-clustering
+    (z-order)"; this op quantifies what the re-clustering buys).
+    Both layouts bin the SAME orders rows into 2^file_bits synthetic
+    files and evaluate the SAME 2-D box predicate (the middle 20% of each
+    dimension's scaled range — integer literals on both engines) against
+    per-file min/max zonemaps over (o_custkey, order epoch-day):
+
+    - ``linear``: files = contiguous ranges of the DATE coordinate (the
+      single-key ``write_stats`` sort) — the date zonemaps are tight but
+      custkey min/max spans the whole domain in every file, so the box
+      prunes on one dimension only;
+    - ``zorder``: files = contiguous ranges of the Morton key
+      (``colocate.write_zordered``'s layout) — every file covers a
+      rectangle-ish region, both zonemaps are tight, and the box prunes
+      on BOTH dimensions.
+
+    Exactness: the scaled coordinates, the 32 interleave terms, the top-
+    ``file_bits`` file ids, the overlap test, and all counts are integer
+    arithmetic both engines replay bit-for-bit; scan_ratio is a 1e-4
+    cross-multiply. ``rows_matching`` is layout-invariant by construction
+    — its equality across the two rows is the built-in sanity anchor.
+
+    Plan: one scan computes (sa, sb, z); each layout is one file-keyed
+    partial agg producing a manifest of ≤ 2^file_bits rows; the overlap
+    evaluation never touches the base table again — real OPTIMIZE ZORDER
+    economics (manifest-sized metadata answers the planning question).
+    At 100 TB swap the synthetic top-bits binning for
+    ``write_zordered``'s repartitionByRange and the audit is unchanged."""
+    from flink_210225_spark.operators.colocate import interleave_bits, scale_to_bits
+
+    o = tables["orders"]
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    r = o.agg(
+        F.min("o_custkey").alias("la"),
+        F.max("o_custkey").alias("ha"),
+        F.min(days).alias("lb"),
+        F.max(days).alias("hb"),
+    ).collect()[0]
+    m = (1 << bits) - 1
+    lo_box, hi_box = (m * 2) // 5, (m * 3) // 5  # middle 20% per dim
+    sa = scale_to_bits(F.col("o_custkey"), r.la, r.ha, bits=bits)
+    sb = scale_to_bits(days, r.lb, r.hb, bits=bits)
+    coords = o.select(
+        sa.alias("sa"),
+        sb.alias("sb"),
+        interleave_bits(sa, sb, bits).alias("z"),
+    )
+
+    def manifest(layout: str, file_col) -> DataFrame:
+        in_box = (
+            (F.col("sa") >= lo_box)
+            & (F.col("sa") <= hi_box)
+            & (F.col("sb") >= lo_box)
+            & (F.col("sb") <= hi_box)
+        )
+        files = coords.groupBy(file_col.alias("file_id")).agg(
+            F.count("*").alias("n_rows"),
+            F.min("sa").alias("min_a"),
+            F.max("sa").alias("max_a"),
+            F.min("sb").alias("min_b"),
+            F.max("sb").alias("max_b"),
+            F.sum(in_box.cast("long")).alias("n_match"),
+        )
+        scanned = (F.col("max_a") >= lo_box) & (F.col("min_a") <= hi_box) & (
+            F.col("max_b") >= lo_box
+        ) & (F.col("min_b") <= hi_box)
+        return files.agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(scanned.cast("long")).cast("long").alias("files_scanned"),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("long").alias("rows_matching"),
+        )
+
+    lin = manifest("linear", F.shiftrightunsigned(F.col("sb"), bits - file_bits))
+    zo = manifest("zorder", F.shiftrightunsigned(F.col("z"), 2 * bits - file_bits))
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return lin.unionByName(zo).select(
+        "layout",
+        "n_files",
+        "files_scanned",
+        "rows_scanned",
+        "rows_matching",
+        r4(F.col("files_scanned") / F.col("n_files")).alias("scan_ratio"),
+    )
+
+
+def _zorder_prune_oracle(bits: int = 16, file_bits: int = 6) -> str:
+    terms = " + ".join(
+        f"(((sa >> {i}) & 1) << {2 * i}) + (((sb >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    m = (1 << bits) - 1
+    lo_box, hi_box = (m * 2) // 5, (m * 3) // 5
+    return f"""
+        WITH r AS (
+            SELECT min(o_custkey) AS la, max(o_custkey) AS ha,
+                   min(o_orderdate::DATE - DATE '1970-01-01') AS lb,
+                   max(o_orderdate::DATE - DATE '1970-01-01') AS hb
+            FROM orders
+        ),
+        s AS (
+            SELECT floor(least(greatest(
+                       (o_custkey::DOUBLE - (SELECT la FROM r))
+                           / ((SELECT ha FROM r) - (SELECT la FROM r)), 0.0), 1.0)
+                       * {m})::BIGINT AS sa,
+                   floor(least(greatest(
+                       ((o_orderdate::DATE - DATE '1970-01-01')::DOUBLE - (SELECT lb FROM r))
+                           / ((SELECT hb FROM r) - (SELECT lb FROM r)), 0.0), 1.0)
+                       * {m})::BIGINT AS sb
+            FROM orders
+        ),
+        coords AS (SELECT sa, sb, ({terms})::BIGINT AS z FROM s),
+        both_layouts AS (
+            SELECT 'linear' AS layout, sb >> {bits - file_bits} AS file_id,
+                   sa, sb FROM coords
+            UNION ALL
+            SELECT 'zorder', z >> {2 * bits - file_bits}, sa, sb FROM coords
+        ),
+        files AS (
+            SELECT layout, file_id, count(*)::BIGINT AS n_rows,
+                   min(sa) AS min_a, max(sa) AS max_a,
+                   min(sb) AS min_b, max(sb) AS max_b,
+                   sum(((sa BETWEEN {lo_box} AND {hi_box})
+                        AND (sb BETWEEN {lo_box} AND {hi_box}))::INT)::BIGINT
+                       AS n_match
+            FROM both_layouts GROUP BY layout, file_id
+        )
+        SELECT layout,
+               count(*)::BIGINT AS n_files,
+               sum((max_a >= {lo_box} AND min_a <= {hi_box}
+                    AND max_b >= {lo_box} AND min_b <= {hi_box})::INT)::BIGINT
+                   AS files_scanned,
+               sum(CASE WHEN max_a >= {lo_box} AND min_a <= {hi_box}
+                         AND max_b >= {lo_box} AND min_b <= {hi_box}
+                        THEN n_rows ELSE 0 END)::BIGINT AS rows_scanned,
+               sum(n_match)::BIGINT AS rows_matching,
+               floor(sum((max_a >= {lo_box} AND min_a <= {hi_box}
+                          AND max_b >= {lo_box} AND min_b <= {hi_box})::INT)
+                     * 1.0 / count(*) * 10000 + 0.5) / 10000 AS scan_ratio
+        FROM files GROUP BY layout
+    """
+
+
+QUERIES["warehouse_zorder_prune"] = zorder_prune_stats
+ORACLES["warehouse_zorder_prune"] = _zorder_prune_oracle()

@@ -108,6 +108,13 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    # Repartition BEFORE the explode: the fixture scan is one parquet split
+    # locally, so the shingle explode + downstream hashing otherwise runs
+    # single-threaded (r9 bench root-cause — same fix as multimodal._spread).
+    # One exchange of (doc_id, text) rows buys every shingle consumer full
+    # parallelism; on a real cluster the scan already arrives split and
+    # this is a cheap rebalance.
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return docs.select("doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle"))
 
 
@@ -1525,7 +1532,10 @@ def graph_modularity(tables: dict[str, DataFrame], threshold: float = 0.5) -> Da
     e2 = ngram_jaccard_pairs(tables, threshold=threshold).select(
         F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi")
     )
-    edges = e1.unionByName(e2).distinct()
+    # Checkpoint: edges feeds THREE consumers (ed→intra, ed→deg, the m
+    # scalar) and each otherwise replays the whole shingle-pair pipeline
+    # (the pagerank sym lesson — the edge sliver is tiny, the lineage isn't).
+    edges = e1.unionByName(e2).distinct().localCheckpoint()
     lang = docs.select("doc_id", "lang")
     ed = (
         edges.join(lang.withColumnRenamed("doc_id", "lo").withColumnRenamed("lang", "lang_lo"), "lo")
@@ -1977,9 +1987,18 @@ def pagerank_dup_graph(
     N (node count) is the only driver round-trip — one tiny aggregate,
     the components-loop precedent."""
     edges = ngram_jaccard_pairs(tables, n, threshold).select("doc_a", "doc_b")
-    sym = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # Checkpoint the SYMMETRIZED edge list — the one expensive input — so
+    # deg / ewd / the initial rank vector / the final degree join-back all
+    # derive from materialized edges instead of each replaying the whole
+    # shingle-pair pipeline (measured: 3 full replays ≈ 28 s at sf0.1
+    # pre-fix; post-fix the pipeline runs once).
+    sym = (
+        edges.union(
+            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint()
+    )
     deg = sym.groupBy("src").agg(F.count("*").alias("d"))
     ewd = sym.join(deg, "src").localCheckpoint()
     n_nodes = deg.count()
@@ -2000,9 +2019,19 @@ def pagerank_dup_graph(
         contrib = ewd.join(ranks, ewd.src == ranks.node).select(
             "dst", (F.col("rank") / F.col("d")).alias("c")
         )
-        ranks = contrib.groupBy("dst").agg(
-            (base + damping * F.sum("c")).alias("rank")
-        ).select(F.col("dst").alias("node"), "rank")
+        # localCheckpoint PER ROUND (not just the edge table): leaving the
+        # rank lineage iters-joins deep made the final action one
+        # 17-shuffle-stage plan whose Catalyst re-analysis + empty-task
+        # overhead dominated end-to-end (measured 40 s cold / 9.5 s warm on
+        # a 256-edge sf0.1 graph vs ~2 s checkpointed). Each round
+        # materializes only node-count rows; same discipline as the
+        # components/label-prop loops.
+        ranks = (
+            contrib.groupBy("dst")
+            .agg((base + damping * F.sum("c")).alias("rank"))
+            .select(F.col("dst").alias("node"), "rank")
+            .localCheckpoint()
+        )
     return ranks.join(deg, ranks.node == deg.src).select(
         F.col("node").alias("doc_id"),
         F.col("d").cast("long").alias("degree"),
@@ -3718,4 +3747,138 @@ ORACLES["dedup_tf_shift"] = """
                  - t.raw_ct::DOUBLE / (SELECT n FROM nr)::DOUBLE * 1000000
                  + 0.5)::BIGINT AS shift_ppm
     FROM top t LEFT JOIN dd USING (tok)
+"""
+
+
+def triangle_clustering(
+    tables: dict[str, DataFrame], n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the near-dup
+    graph — the TRANSITIVITY member of the iterative-graph family
+    (``dedup_components`` answers reachability, ``dedup_pagerank``
+    centrality, ``dedup_label_prop`` communities, ``dedup_graph_modularity``
+    partition quality; this measures how CLIQUE-LIKE each doc's dup
+    neighborhood is). High lcc = tight mirror cluster (every variant
+    resembles every other — safe to collapse to one keeper); low lcc at
+    high degree = hub-and-spoke template reuse (a boilerplate shell
+    stitched to unrelated bodies — collapsing it would merge distinct
+    content), exactly the distinction a curation pass needs before acting
+    on connected components. Same undirected edge set as the siblings
+    (exact-dup star edges + Jaccard-verified pairs, lo < hi).
+
+    Exactness: each triangle is enumerated ONCE as an ordered triple
+    a < b < c (the lo<hi edge orientation makes the two equi-joins
+    produce exactly the ordered triples); degree / triangle counts are
+    exact integers and lcc = 2t / (d(d-1)) is pinned 1e-6 with the
+    shared round6 protocol. Only docs with degree ≥ 2 are emitted (lcc
+    undefined below).
+
+    Plan: edges localCheckpoint-ed once (the modularity/pagerank
+    discipline), then triangle enumeration is TWO hash equi-joins on
+    8-byte keys over the edge sliver (wedge b-key join + closing-edge
+    (a,c) join) — the standard distributed triangle count; never corpus².
+    Hot hubs make d² wedges in one task; past real skew the standard
+    mitigation is degree-ordered orientation (point each edge at the
+    HIGHER-degree endpoint), which this lo<hi variant approximates for
+    free on id-assigned-by-crawl-order corpora."""
+    docs = tables["documents"]
+    md5_star = docs.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("m"),
+    )
+    e1 = md5_star.filter(F.col("doc_id") != F.col("m")).select(
+        F.col("m").alias("lo"), F.col("doc_id").alias("hi")
+    )
+    e2 = ngram_jaccard_pairs(tables, n, threshold).select(
+        F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi")
+    )
+    edges = e1.unionByName(e2).distinct().localCheckpoint()
+    ab = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = edges.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = edges.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    tcount = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    deg = (
+        edges.select(F.explode(F.array("lo", "hi")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tcount, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            round6(
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1))
+            ).alias("lcc"),
+        )
+    )
+
+
+QUERIES["dedup_triangles"] = triangle_clustering
+ORACLES["dedup_triangles"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(greatest(len(t) - 3, 0) + 1),
+                   i -> array_to_string(t[i + 1 : i + 3], ' ')))) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac_edges AS (
+        SELECT doc_a AS lo, doc_b AS hi FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE floor((i * 1.0 / (sa.n_sh + sb.n_sh - i)) * 10000 + 0.5) / 10000 >= 0.5
+    ),
+    md5_star AS (
+        SELECT doc_id AS hi, min(doc_id) OVER (PARTITION BY md5(text)) AS lo
+        FROM documents
+    ),
+    edges AS (
+        SELECT lo, hi FROM md5_star WHERE lo != hi
+        UNION
+        SELECT lo, hi FROM jac_edges
+    ),
+    tri AS (
+        SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+        FROM edges ab
+        JOIN edges bc ON bc.lo = ab.hi
+        JOIN edges ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+    ),
+    tcount AS (
+        SELECT doc_id, count(*)::BIGINT AS triangles FROM (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY doc_id
+    ),
+    deg AS (
+        SELECT doc_id, count(*)::BIGINT AS degree FROM (
+            SELECT lo AS doc_id FROM edges
+            UNION ALL SELECT hi FROM edges
+        ) GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.degree,
+           coalesce(t.triangles, 0)::BIGINT AS triangles,
+           floor(2.0 * coalesce(t.triangles, 0)
+                 / (d.degree * (d.degree - 1)) * 1000000 + 0.5) / 1000000 AS lcc
+    FROM deg d LEFT JOIN tcount t USING (doc_id)
+    WHERE d.degree >= 2
 """
