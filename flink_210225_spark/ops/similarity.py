@@ -3937,3 +3937,102 @@ ORACLES["sim_ivfpq_residual_exact"] = """
            rank::BIGINT AS rank
     FROM ranked WHERE rank <= 3
 """
+
+
+def novelty_knn_census(
+    tables: dict[str, DataFrame], k: int = 5, bands: int = 10
+) -> DataFrame:
+    """k-NN novelty census — the per-point DENSITY score a data-selection
+    pass ranks by (Sorscher et al. 2022's self-supervised prototype
+    distance, public): novelty(v) = 1 − mean cosine to v's k nearest
+    neighbors. Low novelty = deep inside a dense semantic clump (safe to
+    subsample aggressively); high novelty = sparse-region / long-tail
+    example (keep). Distinct from the family's other per-point scores:
+    ``sim_outlier_zscore`` flags GLOBAL geometry outliers via the norm,
+    ``sim_hubness_audit`` measures who appears in OTHERS' lists; novelty
+    measures how crowded each point's OWN neighborhood is — the signal
+    data-pruning curricula actually threshold.
+
+    Exactness: composes the hash-gated ``knn_graph`` kernel, then leaves
+    float arithmetic entirely — each neighbor's 6dp cosine is recovered
+    to exact integer micro-units, and the per-point mean, the novelty
+    value, and the decile band are INTEGER division/cross-multiplies
+    (``(n·10⁶ − Σppm)·bands div n·10⁶``), so no summation-order or
+    boundary-rounding hazard exists on either engine. Census rows carry
+    an exact node-id checksum per band (the hubness protocol).
+
+    Scale: nodes×k edges → one node-keyed agg → ≤ ``bands``-row census
+    with map-side partials; the kNN kernel itself is the blocked-GEMM
+    plan documented on ``knn_graph``."""
+    knn = knn_graph(tables, k=k)
+    per = (
+        knn.select(
+            "vec_id",
+            F.floor(F.col("cos6") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("c_ppm"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_nb"),
+            F.sum("c_ppm").cast("long").alias("sum_ppm"),
+        )
+    )
+    scored = per.select(
+        "vec_id",
+        F.expr("(n_nb * 1000000 - sum_ppm) div n_nb").alias("nov_ppm"),
+        F.expr(
+            f"least((n_nb * 1000000 - sum_ppm) * {bands} div (n_nb * 1000000),"
+            f" {bands - 1})"
+        ).alias("band"),
+    )
+    return scored.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.min("nov_ppm").cast("long").alias("min_ppm"),
+        F.max("nov_ppm").cast("long").alias("max_ppm"),
+        F.sum("vec_id").cast("long").alias("id_checksum"),
+    )
+
+
+QUERIES["sim_novelty_knn"] = novelty_knn_census
+ORACLES["sim_novelty_knn"] = """
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> floor(x::DOUBLE * 10000 + 0.5)) AS qv
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q
+        WHERE list_dot_product(qv, qv) > 0
+    ),
+    pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               floor(list_dot_product(a.qv, b.qv)
+                     / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000 + 0.5)
+                 / 1000000 AS cos6
+        FROM n a JOIN n b ON a.vec_id != b.vec_id
+    ),
+    rk AS (
+        SELECT src, dst, cos6,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cos6 DESC, dst ASC) AS rank
+        FROM pairs
+    ),
+    per AS (
+        SELECT src AS vec_id, count(*)::BIGINT AS n_nb,
+               sum(floor(cos6 * 1000000 + 0.5)::BIGINT)::BIGINT AS sum_ppm
+        FROM rk WHERE rank <= 5 GROUP BY src
+    ),
+    scored AS (
+        SELECT vec_id,
+               (n_nb * 1000000 - sum_ppm) // n_nb AS nov_ppm,
+               least((n_nb * 1000000 - sum_ppm) * 10 // (n_nb * 1000000), 9)
+                   AS band
+        FROM per
+    )
+    SELECT band, count(*)::BIGINT AS n_vecs,
+           min(nov_ppm)::BIGINT AS min_ppm,
+           max(nov_ppm)::BIGINT AS max_ppm,
+           sum(vec_id)::BIGINT AS id_checksum
+    FROM scored GROUP BY band
+"""

@@ -164,3 +164,56 @@ def test_decode_spread_parallelism(tables):
         spread.rdd.getNumPartitions()
         == docs.sparkSession.sparkContext.defaultParallelism
     )
+
+
+def test_novelty_knn_matches_oracle(tables):
+    from flink_210225_spark.ops import similarity
+
+    from .conftest import SF_DIR
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        similarity.QUERIES["sim_novelty_knn"](tables),
+        similarity.ORACLES["sim_novelty_knn"],
+        SF_DIR,
+    )
+
+
+def test_novelty_knn_replays_numpy(tables):
+    """Third implementation (the round-6 both-engines-share-a-bug lesson):
+    brute-force numpy kNN → integer novelty → decile census must equal the
+    Spark kernel's census exactly."""
+    import numpy as np
+
+    from flink_210225_spark.ops.similarity import novelty_knn_census
+
+    emb = {
+        r.vec_id: np.floor(np.array(r.embedding, dtype=np.float64) * 10_000 + 0.5)
+        for r in tables["embeddings"].collect()
+    }
+    emb = {i: v for i, v in emb.items() if (v * v).sum() > 0}
+    ids = sorted(emb)
+    mat = np.array([emb[i] for i in ids])
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    cos = np.floor((mat @ mat.T) / np.outer(nrm, nrm) * 1_000_000 + 0.5) / 1_000_000
+    want: dict[int, list] = {}
+    for xi, vid in enumerate(ids):
+        order = sorted(
+            (j for j in range(len(ids)) if j != xi),
+            key=lambda j: (-cos[xi][j], ids[j]),
+        )[:5]
+        sum_ppm = sum(int(round(cos[xi][j] * 1_000_000)) for j in order)
+        n_nb = len(order)
+        nov_ppm = (n_nb * 1_000_000 - sum_ppm) // n_nb
+        band = min((n_nb * 1_000_000 - sum_ppm) * 10 // (n_nb * 1_000_000), 9)
+        want.setdefault(band, [0, 10**9, -1, 0])
+        w = want[band]
+        w[0] += 1
+        w[1] = min(w[1], nov_ppm)
+        w[2] = max(w[2], nov_ppm)
+        w[3] += vid
+    got = {
+        r.band: [r.n_vecs, r.min_ppm, r.max_ppm, r.id_checksum]
+        for r in novelty_knn_census(tables).collect()
+    }
+    assert got == want
