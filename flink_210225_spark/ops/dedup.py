@@ -1385,11 +1385,6 @@ def lsh_family_audit(tables: dict[str, DataFrame]) -> DataFrame:
     )
     mh = minhash_lsh_candidates(tables).persist()
     sh = simhash_near_dups(tables).persist()
-    n_true = true_pairs.count()
-    n_mh = mh.count()
-    n_sh = sh.count()
-    n_md5 = simhash_banded_md5(tables).count()
-    caught = true_pairs.join(mh, ["doc_a", "doc_b"], "left_semi").count()
     dig = docs.select(F.md5("text").alias("d"), "doc_id")
     dup_pairs = (
         dig.alias("a")
@@ -1398,13 +1393,43 @@ def lsh_family_audit(tables: dict[str, DataFrame]) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .persist()
     )
-    n_dup = dup_pairs.count()
-    mh_dup_hit = dup_pairs.join(
-        mh.filter(F.col("est_jaccard") == 1.0), ["doc_a", "doc_b"], "left_semi"
-    ).count()
-    sh_dup_hit = dup_pairs.join(
-        sh.filter(F.col("hamming") == 0), ["doc_a", "doc_b"], "left_semi"
-    ).count()
+    # The audit's 8 counts ran as a sequential chain of driver actions,
+    # each underfilling the cluster (many 1-task stages) — the wall time
+    # was Σ(pipelines), not max. Spark sessions are thread-safe for
+    # concurrent actions, and the two phases have clean data dependencies:
+    # phase 1 materializes the four persisted frames (one action each,
+    # all independent), phase 2's semi-joins then read only cached
+    # frames. Same counts, same rows, ~2× less wall.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f1 = {
+            "n_true": pool.submit(true_pairs.count),
+            "n_mh": pool.submit(mh.count),
+            "n_sh": pool.submit(sh.count),
+            "n_md5": pool.submit(simhash_banded_md5(tables).count),
+            "n_dup": pool.submit(dup_pairs.count),
+        }
+        got = {k: f.result() for k, f in f1.items()}
+        n_true, n_mh, n_sh, n_md5, n_dup = (
+            got["n_true"], got["n_mh"], got["n_sh"], got["n_md5"], got["n_dup"]
+        )
+        f_caught = pool.submit(
+            true_pairs.join(mh, ["doc_a", "doc_b"], "left_semi").count
+        )
+        f_mh_hit = pool.submit(
+            dup_pairs.join(
+                mh.filter(F.col("est_jaccard") == 1.0), ["doc_a", "doc_b"], "left_semi"
+            ).count
+        )
+        f_sh_hit = pool.submit(
+            dup_pairs.join(
+                sh.filter(F.col("hamming") == 0), ["doc_a", "doc_b"], "left_semi"
+            ).count
+        )
+        caught, mh_dup_hit, sh_dup_hit = (
+            f_caught.result(), f_mh_hit.result(), f_sh_hit.result()
+        )
     true_pairs.unpersist()
     mh.unpersist()
     sh.unpersist()

@@ -170,6 +170,9 @@ CARTESIAN_OK = {
     # composes sim_knn_graph's n_blocks² block-pair grid as its edge
     # source; the in-degree histogram after it is equi-keyed
     "sim_hubness_audit",
+    # composes sim_knn_graph identically (novelty = per-node mean of its
+    # kNN list); everything after the kNN frame is one node-keyed agg
+    "sim_novelty_knn",
     # composes the blocked GEMM as its semantic-candidate source — same
     # n_blocks² block grid; the Jaccard verify side is equi-join shaped
     "dedup_paraphrase_mining",
@@ -216,6 +219,7 @@ BNLJ_MUST_BE_VISIBLE = {
     "dedup_paraphrase_mining",
     "sim_knn_graph",
     "sim_hubness_audit",
+    "sim_novelty_knn",
     "sim_maxsim_rerank",
     "text_burrows_delta",
 }
