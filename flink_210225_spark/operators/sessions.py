@@ -1351,3 +1351,173 @@ ORACLES["session_return_gaps"] = """
                AS p90_min
     FROM ranked
 """
+
+
+def shapley_attribution(tables: dict[str, DataFrame]) -> DataFrame:
+    """EXACT Shapley-value channel attribution (Shapley 1953; the
+    simplified data-driven marketing form of Zhao et al. 2018, public):
+    each non-purchase event type is a "player", a user's coalition is the
+    SET of channels they touched, the characteristic function v(T) is the
+    empirical conversion rate (≥1 purchase) among users whose touched-set
+    is exactly T (unobserved coalitions contribute v = 0), and channel
+    i's credit is the exact 4-player Shapley sum
+    φ_i = Σ_{T ⊆ C\\{i}} |T|!(3−|T|)!/4! · (v(T∪{i}) − v(T)).
+    Completes the attribution family: ``session_attribution`` is
+    last-touch (order-based, ignores synergy), ``session_markov`` is the
+    transition fingerprint; Shapley is the order-free cooperative-game
+    answer marketing platforms call data-driven attribution.
+
+    Exactness: coalitions are BITMASKS (alphabetical channel order), the
+    16-subset × 4-channel grid derives from ``range(64)`` arithmetic (no
+    literal tables, no BNLJ), v is integer ppm (``div``), factorial
+    weights ride a popcount CASE, and φ is carried as the exact integer
+    Σ w·Δppm (×24 scale) with ONE pinned division at the end — the
+    efficiency axiom Σφ = v(full)−v(∅) holds as an integer identity on
+    both engines (pytest-gated). Output also carries per-channel reach
+    and converted-reach counts.
+
+    Scale: one user-keyed agg (corpus → |users| rows), one 16-row
+    coalition census, a 64-row grid with two 16-row lookups, a 4-row
+    result — past the first agg everything is state-space-sized. At
+    100 TB the only corpus-wide work is the per-user bit/flag reduce."""
+    ev = tables["events"]
+    chans = ["click", "error", "signup", "view"]
+    bit = {c: 1 << i for i, c in enumerate(chans)}
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("event_type") == c, 1).otherwise(0)).alias(f"b_{c}")
+            for c in chans
+        ],
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    bits = sum(F.col(f"b_{c}") * F.lit(bit[c]) for c in chans)
+    users = per_user.select(bits.cast("int").alias("set_id"), "conv")
+    vsets = users.groupBy("set_id").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+    ).select(
+        "set_id", "n_users", "n_conv",
+        F.expr("n_conv * 1000000 div n_users").alias("v_ppm"),
+    )
+    spark = ev.sparkSession
+    # shiftrightunsigned/shiftleft take a LITERAL bit count in the Python
+    # DSL; column-valued shifts go through the SQL expression form
+    grid = (
+        spark.range(64)
+        .select(
+            (F.col("id") % 16).cast("int").alias("t"),
+            (F.col("id") / 16).cast("int").alias("i"),
+        )
+        .where(F.expr("(shiftrightunsigned(t, i) & 1) = 0"))
+        .withColumn("t1_key", F.expr("t + shiftleft(1, i)"))
+    )
+    w_num = (
+        F.when(F.bit_count("t") == 0, 6)
+        .when(F.bit_count("t") == 3, 6)
+        .otherwise(2)
+    )
+    with_v = (
+        grid.join(
+            vsets.select(F.col("set_id").alias("t1"), F.col("v_ppm").alias("v1")),
+            grid.t1_key == F.col("t1"),
+            "left",
+        )
+        .join(
+            vsets.select(F.col("set_id").alias("t0"), F.col("v_ppm").alias("v0")),
+            grid.t == F.col("t0"),
+            "left",
+        )
+        .select(
+            "i",
+            (w_num * (F.coalesce("v1", F.lit(0)) - F.coalesce("v0", F.lit(0))))
+            .cast("long")
+            .alias("term"),
+        )
+    )
+    phi = with_v.groupBy("i").agg(F.sum("term").cast("long").alias("phi_x24_ppm"))
+    # per-channel reach: one global agg row → 4-row stack unpivot
+    reach_row = per_user.agg(
+        *[F.sum(f"b_{c}").cast("long").alias(f"t_{c}") for c in chans],
+        *[
+            F.sum(F.col(f"b_{c}") * F.col("conv")).cast("long").alias(f"c_{c}")
+            for c in chans
+        ],
+    )
+    reach = reach_row.select(
+        F.expr(
+            "stack(4, "
+            + ", ".join(f"{i}, t_{c}, c_{c}" for i, c in enumerate(chans))
+            + ") AS (i, n_touched, n_conv_touched)"
+        )
+    )
+    name = F.element_at(
+        F.array(*[F.lit(c) for c in chans]), (F.col("i") + 1).cast("int")
+    )
+    return (
+        phi.join(reach, "i", "left")
+        .select(
+            name.alias("channel"),
+            F.coalesce("n_touched", F.lit(0)).cast("long").alias("n_touched"),
+            F.coalesce("n_conv_touched", F.lit(0)).cast("long").alias(
+                "n_conv_touched"
+            ),
+            "phi_x24_ppm",
+            (F.floor(F.col("phi_x24_ppm") / 24.0 + F.lit(0.5)) / 1_000_000).alias(
+                "phi"
+            ),
+        )
+    )
+
+
+QUERIES["session_shapley"] = shapley_attribution
+ORACLES["session_shapley"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               max((event_type = 'click')::INT) AS b0,
+               max((event_type = 'error')::INT) AS b1,
+               max((event_type = 'signup')::INT) AS b2,
+               max((event_type = 'view')::INT) AS b3,
+               max((event_type = 'purchase')::INT) AS conv
+        FROM events GROUP BY user_id
+    ),
+    users AS (
+        SELECT (b0 + b1 * 2 + b2 * 4 + b3 * 8)::INT AS set_id, conv
+        FROM per_user
+    ),
+    vsets AS (
+        SELECT set_id, count(*)::BIGINT AS n_users, sum(conv)::BIGINT AS n_conv,
+               (sum(conv)::BIGINT * 1000000) // count(*)::BIGINT AS v_ppm
+        FROM users GROUP BY set_id
+    ),
+    grid AS (
+        SELECT t::INT AS t, i::INT AS i
+        FROM (SELECT unnest(range(16)) AS t), (SELECT unnest(range(4)) AS i)
+        WHERE ((t >> i) & 1) = 0
+    ),
+    terms AS (
+        SELECT g.i,
+               (CASE WHEN bit_count(g.t) IN (0, 3) THEN 6 ELSE 2 END)::BIGINT
+               * (coalesce(v1.v_ppm, 0) - coalesce(v0.v_ppm, 0)) AS term
+        FROM grid g
+        LEFT JOIN vsets v1 ON v1.set_id = g.t + (1 << g.i)
+        LEFT JOIN vsets v0 ON v0.set_id = g.t
+    ),
+    phi AS (
+        SELECT i, sum(term)::BIGINT AS phi_x24_ppm FROM terms GROUP BY i
+    ),
+    reach AS (
+        SELECT i, count(*)::BIGINT AS n_touched,
+               sum(conv)::BIGINT AS n_conv_touched
+        FROM users, (SELECT unnest(range(4)) AS i)
+        WHERE ((set_id >> i) & 1) = 1
+        GROUP BY i
+    )
+    SELECT ['click', 'error', 'signup', 'view'][p.i + 1] AS channel,
+           coalesce(r.n_touched, 0)::BIGINT AS n_touched,
+           coalesce(r.n_conv_touched, 0)::BIGINT AS n_conv_touched,
+           p.phi_x24_ppm,
+           floor(p.phi_x24_ppm / 24.0 + 0.5) / 1000000 AS phi
+    FROM phi p LEFT JOIN reach r USING (i)
+"""

@@ -2375,3 +2375,159 @@ ORACLES["sample_purged_walkforward"] = """
            coalesce(train_max_off, -1000000000) + 2 < test_min_off AS leak_ok
     FROM census
 """
+
+
+def conformal_interval(tables: dict[str, DataFrame], alpha_pct: int = 90) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; Papadopoulos
+    2002 inductive form, public) — the distribution-free uncertainty
+    wrapper an ML-eval pipeline puts around ANY point predictor: fit on a
+    train split, take the ceil((n+1)·α)-th smallest absolute residual on
+    a held-out CALIBRATION split as the interval half-width q̂, and the
+    marginal coverage guarantee P(|y − ŷ| ≤ q̂) ≥ α holds on exchangeable
+    test data with no model assumptions. Completes the eval family:
+    the CV ops (``sample_kfold_assign``/``sample_purged_walkforward``)
+    estimate ACCURACY; conformal calibrates UNCERTAINTY.
+
+    Concrete instance: predictor = per-event_type mean value (train
+    split), conformity score = absolute residual, α from ``alpha_pct``.
+    Splits are stable md5(event_id) sixteenths (the ``hash_split``
+    protocol: 10/3/3 train/cal/test) so membership replays on both
+    engines.
+
+    Exactness: values quantize to cents FIRST, so the train mean is an
+    integer ``div`` (no float-summation-order hazard), residuals and q̂
+    are exact integers, the calibration rank is the exact-order
+    statistic ceil((n_cal+1)·α/100) = (n_cal+1)·α_pct div-ceil via
+    integer arithmetic ((n+1)·a + 99) div 100, ties broken (residual,
+    event_id) for a total order, and coverage is an integer ppm ratio.
+    Types with an empty calibration split coalesce q̂ to +∞ (cover-all),
+    matching the conformal convention when k > n_cal.
+
+    Scale: one scan computes (type, split, cents); the train mean is a
+    type-keyed partial agg; the rank selection sorts only the
+    calibration sliver per type; coverage is a second type-keyed agg —
+    nothing corpus² and nothing driver-side."""
+    ev = tables["events"]
+    h1 = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    split = (
+        F.when(h1.isin("a", "b", "c"), F.lit("cal"))
+        .when(h1.isin("d", "e", "f"), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    base = ev.select(
+        "event_id",
+        "event_type",
+        split.alias("split"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    train = base.where(F.col("split") == "train").groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_train"),
+        F.expr("sum(cents) div count(*)").alias("pred_cents"),
+    )
+    scored = base.where(F.col("split") != "train").join(train, "event_type").select(
+        "event_id",
+        "event_type",
+        "split",
+        "n_train",
+        "pred_cents",
+        F.abs(F.col("cents") - F.col("pred_cents")).alias("resid"),
+    )
+    cal = scored.where(F.col("split") == "cal")
+    w = Window.partitionBy("event_type").orderBy(F.asc("resid"), F.asc("event_id"))
+    ncal = cal.groupBy("event_type").agg(F.count("*").cast("long").alias("n_cal"))
+    k = F.expr(f"((n_cal + 1) * {alpha_pct} + 99) div 100")
+    qhat = (
+        cal.withColumn("rn", F.row_number().over(w))
+        .join(ncal, "event_type")
+        .where(F.col("rn") == F.least(k, F.col("n_cal")))
+        .select(
+            "event_type",
+            "n_cal",
+            # k > n_cal ⇒ the guarantee needs an infinite interval; the
+            # largest residual stands in ONLY when k == n_cal (least()
+            # above), so flag the cover-all case explicitly
+            F.when(k > F.col("n_cal"), F.lit(None))
+            .otherwise(F.col("resid"))
+            .alias("qhat_cents"),
+        )
+    )
+    test = scored.where(F.col("split") == "test")
+    return (
+        test.join(qhat, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_train").alias("n_train"),
+            F.max("n_cal").alias("n_cal"),
+            F.max("qhat_cents").cast("long").alias("qhat_cents"),
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.col("qhat_cents").isNull()
+                    | (F.col("resid") <= F.col("qhat_cents")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "event_type",
+            "n_train",
+            "n_cal",
+            "qhat_cents",
+            "n_test",
+            "n_covered",
+            F.expr("n_covered * 1000000 div n_test").alias("cov_ppm"),
+        )
+    )
+
+
+QUERIES["sample_conformal_interval"] = conformal_interval
+ORACLES["sample_conformal_interval"] = """
+    WITH base AS (
+        SELECT event_id, event_type,
+               CASE WHEN substring(md5(event_id::VARCHAR), 1, 1) IN ('a','b','c')
+                    THEN 'cal'
+                    WHEN substring(md5(event_id::VARCHAR), 1, 1) IN ('d','e','f')
+                    THEN 'test'
+                    ELSE 'train' END AS split,
+               floor(value * 100 + 0.5)::BIGINT AS cents
+        FROM events
+    ),
+    train AS (
+        SELECT event_type, count(*)::BIGINT AS n_train,
+               sum(cents)::BIGINT // count(*)::BIGINT AS pred_cents
+        FROM base WHERE split = 'train' GROUP BY event_type
+    ),
+    scored AS (
+        SELECT b.event_id, b.event_type, b.split, t.n_train, t.pred_cents,
+               abs(b.cents - t.pred_cents)::BIGINT AS resid
+        FROM base b JOIN train t USING (event_type)
+        WHERE b.split != 'train'
+    ),
+    cal AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY resid ASC, event_id ASC) AS rn,
+               count(*) OVER (PARTITION BY event_type)::BIGINT AS n_cal
+        FROM scored WHERE split = 'cal'
+    ),
+    qhat AS (
+        SELECT event_type, n_cal,
+               CASE WHEN ((n_cal + 1) * 90 + 99) // 100 > n_cal THEN NULL
+                    ELSE resid END AS qhat_cents
+        FROM cal
+        WHERE rn = least(((n_cal + 1) * 90 + 99) // 100, n_cal)
+    )
+    SELECT t.event_type, max(t.n_train)::BIGINT AS n_train,
+           max(q.n_cal)::BIGINT AS n_cal,
+           max(q.qhat_cents)::BIGINT AS qhat_cents,
+           count(*)::BIGINT AS n_test,
+           sum(CASE WHEN q.qhat_cents IS NULL OR t.resid <= q.qhat_cents
+                    THEN 1 ELSE 0 END)::BIGINT AS n_covered,
+           (sum(CASE WHEN q.qhat_cents IS NULL OR t.resid <= q.qhat_cents
+                     THEN 1 ELSE 0 END)::BIGINT * 1000000) // count(*)::BIGINT
+               AS cov_ppm
+    FROM scored t JOIN qhat q USING (event_type)
+    WHERE t.split = 'test'
+    GROUP BY t.event_type
+"""

@@ -4036,3 +4036,222 @@ ORACLES["sim_novelty_knn"] = """
            sum(vec_id)::BIGINT AS id_checksum
     FROM scored GROUP BY band
 """
+
+
+def mmr_rerank(
+    tables: dict[str, DataFrame], num_queries: int = 20, n_cand: int = 10
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998,
+    public) — the DIVERSIFICATION step a retrieval pipeline runs on its
+    candidate list before showing k results: greedily pick
+    argmax λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s), so near-duplicate
+    hits can't crowd the short list. Completes the rerank family:
+    ``sim_maxsim_rerank`` is ColBERT-style token-level scoring (better
+    RELEVANCE), MMR trades relevance for coverage (less REDUNDANCY) —
+    the two standard second-stage moves. λ = 0.7 pinned.
+
+    Exactness: candidates and their pairwise sims use the exact
+    ``cosine_topk`` protocol (same sequential-fold dot, 6dp floor), then
+    scoring leaves floats: rel/sim recover to integer ppm and the MMR
+    objective is the exact integer 7·rel_ppm − 3·maxsim_ppm (λ=0.7 as a
+    7/3 integer split, ×10 scale), ties → lowest neighbor id. The greedy
+    loop is UNROLLED to 3 picks so the DuckDB oracle replays it as 3
+    CTE stages — same contract as the unrolled pagerank iterations.
+
+    Scale: candidate lists are top-``n_cand`` per query (the bounded
+    cosine_topk plan); pair sims are |queries|·n_cand² rows, every join
+    equi-keyed on query_id — never corpus². At 100 TB the candidate
+    generator upgrades to the IVF/LSH path; the rerank cost is unchanged
+    (it never touches the corpus)."""
+    cand = cosine_topk(tables, num_queries, n_cand).select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("cosine") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("rel_ppm"),
+        "rank",
+    )
+    vec = with_norm(tables["embeddings"]).select("vec_id", "v", "nrm")
+    a, b = cand.alias("a"), cand.alias("b")
+    sim = _dot(F.col("va.v"), F.col("vb.v")) / (F.col("va.nrm") * F.col("vb.nrm"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+        )
+        .join(vec.alias("va"), F.col("a.neighbor_id") == F.col("va.vec_id"))
+        .join(vec.alias("vb"), F.col("b.neighbor_id") == F.col("vb.vec_id"))
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.neighbor_id").alias("d"),
+            F.col("b.neighbor_id").alias("s"),
+            F.floor(sim * 1_000_000 + F.lit(0.5)).cast("long").alias("sim_ppm"),
+        )
+    )
+    s1 = cand.where(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("s1"),
+        (7 * F.col("rel_ppm")).alias("score1"),
+    )
+    d1 = pairs.join(s1, (pairs.query_id == s1.query_id) & (pairs.s == s1.s1)).select(
+        pairs.query_id.alias("query_id"), "d", F.col("sim_ppm").alias("s1_ppm")
+    )
+    c2 = (
+        cand.join(s1.select("query_id", "s1"), "query_id")
+        .where(F.col("neighbor_id") != F.col("s1"))
+        .join(
+            d1,
+            (cand.query_id == d1.query_id) & (cand.neighbor_id == d1.d),
+        )
+        .select(
+            cand.query_id.alias("query_id"),
+            "neighbor_id",
+            "rel_ppm",
+            "s1_ppm",
+            (7 * F.col("rel_ppm") - 3 * F.col("s1_ppm")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    s2 = (
+        c2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id", F.col("neighbor_id").alias("s2"), F.col("score").alias("score2")
+        )
+    )
+    d2 = pairs.join(s2, (pairs.query_id == s2.query_id) & (pairs.s == s2.s2)).select(
+        pairs.query_id.alias("query_id"), "d", F.col("sim_ppm").alias("s2_ppm")
+    )
+    c3 = (
+        c2.join(s2.select("query_id", "s2"), "query_id")
+        .where(F.col("neighbor_id") != F.col("s2"))
+        .join(
+            d2,
+            (c2.query_id == d2.query_id) & (c2.neighbor_id == d2.d),
+        )
+        .select(
+            c2.query_id.alias("query_id"),
+            "neighbor_id",
+            (
+                7 * F.col("rel_ppm")
+                - 3 * F.greatest("s1_ppm", "s2_ppm")
+            ).alias("score"),
+        )
+    )
+    s3 = (
+        c3.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id", F.col("neighbor_id").alias("s3"), F.col("score").alias("score3")
+        )
+    )
+    return (
+        s1.select(
+            "query_id",
+            F.lit(1).cast("int").alias("pick"),
+            F.col("s1").alias("neighbor_id"),
+            F.col("score1").cast("long").alias("score_x10_ppm"),
+        )
+        .unionByName(
+            s2.select(
+                "query_id",
+                F.lit(2).cast("int").alias("pick"),
+                F.col("s2").alias("neighbor_id"),
+                F.col("score2").cast("long").alias("score_x10_ppm"),
+            )
+        )
+        .unionByName(
+            s3.select(
+                "query_id",
+                F.lit(3).cast("int").alias("pick"),
+                F.col("s3").alias("neighbor_id"),
+                F.col("score3").cast("long").alias("score_x10_ppm"),
+            )
+        )
+    )
+
+
+QUERIES["sim_mmr_rerank"] = mmr_rerank
+ORACLES["sim_mmr_rerank"] = """
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               floor((
+    list_sum(list_transform(range(64),
+        i -> q.embedding[i + 1]::DOUBLE * n.embedding[i + 1]::DOUBLE))
+    / (sqrt(list_sum(list_transform(range(64), i -> q.embedding[i + 1]::DOUBLE * q.embedding[i + 1]::DOUBLE)))
+       * sqrt(list_sum(list_transform(range(64), i -> n.embedding[i + 1]::DOUBLE * n.embedding[i + 1]::DOUBLE))))
+) * 1000000 + 0.5) / 1000000 AS cosine
+        FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
+        WHERE q.vec_id < 20
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id,
+               floor(cosine * 1000000 + 0.5)::BIGINT AS rel_ppm, rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    ),
+    pairs AS (
+        SELECT a.query_id, a.neighbor_id AS d, b.neighbor_id AS s,
+               floor((
+    list_sum(list_transform(range(64),
+        i -> va.embedding[i + 1]::DOUBLE * vb.embedding[i + 1]::DOUBLE))
+    / (sqrt(list_sum(list_transform(range(64), i -> va.embedding[i + 1]::DOUBLE * va.embedding[i + 1]::DOUBLE)))
+       * sqrt(list_sum(list_transform(range(64), i -> vb.embedding[i + 1]::DOUBLE * vb.embedding[i + 1]::DOUBLE))))
+) * 1000000 + 0.5)::BIGINT AS sim_ppm
+        FROM cand a
+        JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+        JOIN embeddings va ON va.vec_id = a.neighbor_id
+        JOIN embeddings vb ON vb.vec_id = b.neighbor_id
+    ),
+    s1 AS (
+        SELECT query_id, neighbor_id AS s1, 7 * rel_ppm AS score1
+        FROM cand WHERE rank = 1
+    ),
+    d1 AS (
+        SELECT p.query_id, p.d, p.sim_ppm AS s1_ppm
+        FROM pairs p JOIN s1 ON p.query_id = s1.query_id AND p.s = s1.s1
+    ),
+    c2 AS (
+        SELECT c.query_id, c.neighbor_id, c.rel_ppm, d1.s1_ppm,
+               7 * c.rel_ppm - 3 * d1.s1_ppm AS score
+        FROM cand c
+        JOIN s1 ON c.query_id = s1.query_id AND c.neighbor_id != s1.s1
+        JOIN d1 ON c.query_id = d1.query_id AND c.neighbor_id = d1.d
+    ),
+    s2 AS (
+        SELECT query_id, neighbor_id AS s2, score AS score2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, neighbor_id ASC) AS rn
+            FROM c2
+        ) WHERE rn = 1
+    ),
+    d2 AS (
+        SELECT p.query_id, p.d, p.sim_ppm AS s2_ppm
+        FROM pairs p JOIN s2 ON p.query_id = s2.query_id AND p.s = s2.s2
+    ),
+    c3 AS (
+        SELECT c.query_id, c.neighbor_id,
+               7 * c.rel_ppm - 3 * greatest(c.s1_ppm, d2.s2_ppm) AS score
+        FROM c2 c
+        JOIN s2 ON c.query_id = s2.query_id AND c.neighbor_id != s2.s2
+        JOIN d2 ON c.query_id = d2.query_id AND c.neighbor_id = d2.d
+    ),
+    s3 AS (
+        SELECT query_id, neighbor_id AS s3, score AS score3 FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, neighbor_id ASC) AS rn
+            FROM c3
+        ) WHERE rn = 1
+    )
+    SELECT query_id, 1::INT AS pick, s1 AS neighbor_id, score1::BIGINT AS score_x10_ppm FROM s1
+    UNION ALL
+    SELECT query_id, 2::INT, s2, score2::BIGINT FROM s2
+    UNION ALL
+    SELECT query_id, 3::INT, s3, score3::BIGINT FROM s3
+"""

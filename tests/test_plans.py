@@ -173,6 +173,10 @@ CARTESIAN_OK = {
     # composes sim_knn_graph identically (novelty = per-node mean of its
     # kNN list); everything after the kNN frame is one node-keyed agg
     "sim_novelty_knn",
+    # composes sim_cosine_topk (the visible-checked 20-query broadcast
+    # BNLJ) as its candidate generator; the MMR stages after it are all
+    # query_id-equi-keyed joins over n_cand-bounded lists
+    "sim_mmr_rerank",
     # composes the blocked GEMM as its semantic-candidate source — same
     # n_blocks² block grid; the Jaccard verify side is equi-join shaped
     "dedup_paraphrase_mining",
@@ -220,6 +224,7 @@ BNLJ_MUST_BE_VISIBLE = {
     "sim_knn_graph",
     "sim_hubness_audit",
     "sim_novelty_knn",
+    "sim_mmr_rerank",
     "sim_maxsim_rerank",
     "text_burrows_delta",
 }
