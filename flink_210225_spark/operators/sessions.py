@@ -1394,13 +1394,16 @@ def shapley_attribution(tables: dict[str, DataFrame]) -> DataFrame:
     )
     bits = sum(F.col(f"b_{c}") * F.lit(bit[c]) for c in chans)
     users = per_user.select(bits.cast("int").alias("set_id"), "conv")
+    # localCheckpoint: the 16-row coalition census feeds THREE consumers
+    # (the grid's v1/v0 lookups and the per-channel reach below) — left
+    # lazy, each replayed the corpus-wide per-user agg
     vsets = users.groupBy("set_id").agg(
         F.count("*").cast("long").alias("n_users"),
         F.sum("conv").cast("long").alias("n_conv"),
     ).select(
         "set_id", "n_users", "n_conv",
         F.expr("n_conv * 1000000 div n_users").alias("v_ppm"),
-    )
+    ).localCheckpoint()
     spark = ev.sparkSession
     # shiftrightunsigned/shiftleft take a LITERAL bit count in the Python
     # DSL; column-valued shifts go through the SQL expression form
@@ -1437,19 +1440,24 @@ def shapley_attribution(tables: dict[str, DataFrame]) -> DataFrame:
         )
     )
     phi = with_v.groupBy("i").agg(F.sum("term").cast("long").alias("phi_x24_ppm"))
-    # per-channel reach: one global agg row → 4-row stack unpivot
-    reach_row = per_user.agg(
-        *[F.sum(f"b_{c}").cast("long").alias(f"t_{c}") for c in chans],
-        *[
-            F.sum(F.col(f"b_{c}") * F.col("conv")).cast("long").alias(f"c_{c}")
-            for c in chans
-        ],
-    )
-    reach = reach_row.select(
-        F.expr(
-            "stack(4, "
-            + ", ".join(f"{i}, t_{c}, c_{c}" for i, c in enumerate(chans))
-            + ") AS (i, n_touched, n_conv_touched)"
+    # per-channel reach folds from the CHECKPOINTED 16-row census (a
+    # second corpus scan pre-fix): Σ n_users / n_conv over the coalitions
+    # containing each channel bit
+    reach = (
+        vsets.select(
+            "n_users",
+            "n_conv",
+            F.explode(
+                F.expr(
+                    "filter(sequence(0, 3),"
+                    " i -> (shiftrightunsigned(set_id, i) & 1) = 1)"
+                )
+            ).alias("i"),
+        )
+        .groupBy("i")
+        .agg(
+            F.sum("n_users").cast("long").alias("n_touched"),
+            F.sum("n_conv").cast("long").alias("n_conv_touched"),
         )
     )
     name = F.element_at(

@@ -3602,8 +3602,12 @@ def cascade_funnel(tables: dict[str, DataFrame]) -> DataFrame:
     bucketed pair generation); survivors pass stage-to-stage as doc_id
     semi-joins — the funnel never re-touches text after its stage."""
     docs = tables["documents"]
-    # stage 1: byte-exact (the canonical keep rule)
-    keep1 = exact_keep_ids(docs)
+    # stage 1: byte-exact (the canonical keep rule). Both keep frames are
+    # localCheckpoint-ed: each feeds its own count AND the next stage's
+    # semi-join, and left lazy the stage chain re-executed cumulatively
+    # (stage 3's count replayed stages 1+2 again — measured ~6.5 s vs
+    # ~3.5 s checkpointed at sf0.1); the frames are doc_id-only slivers.
+    keep1 = exact_keep_ids(docs).localCheckpoint()
     n0 = docs.count()
     n1 = keep1.count()
     # stage 2: normalized token-sort digest on survivors
@@ -3614,6 +3618,7 @@ def cascade_funnel(tables: dict[str, DataFrame]) -> DataFrame:
         s1.groupBy(F.md5(canon).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .localCheckpoint()
     )
     n2 = keep2.count()
     # stage 3: jaccard >= 0.5 pairs among survivors, keep-first

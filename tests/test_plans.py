@@ -224,7 +224,6 @@ BNLJ_MUST_BE_VISIBLE = {
     "sim_knn_graph",
     "sim_hubness_audit",
     "sim_novelty_knn",
-    "sim_mmr_rerank",
     "sim_maxsim_rerank",
     "text_burrows_delta",
 }
@@ -239,6 +238,8 @@ BNLJ_CHECKPOINT_HIDDEN = {
     "sim_contrastive_pairs",  # checkpoint=False test below
     "sim_ann_recall_audit",  # composes visible-checked sim_cosine_topk
     "sim_mutual_knn_clusters",  # composes visible-checked sim_knn_graph
+    "sim_mmr_rerank",  # candidate checkpoint consumes the BNLJ; composes
+    # visible-checked sim_cosine_topk
 }
 
 
