@@ -130,11 +130,11 @@ _CHECK_WINDOW = [
     # morphology, otsu}, sample_{stratified_kfold, pass_at_k,
     # token_waterfill, pps_estimator, snake_shards, padding_waste,
     # cluster_design}) roll to round 10's head together with the 13
-    # round-8 additions AND the 6 round-9 additions (dedup_triangles,
+    # round-8 additions AND the 7 round-9 additions (dedup_triangles,
     # warehouse_zorder_prune, sim_novelty_knn, session_shapley,
-    # sim_mmr_rerank, sample_conformal_interval — each 3-SF + vanilla
-    # gated + test_round9 replay/invariant-gated at authoring time), then
-    # the r1-stamp re-gates per the schedule above.
+    # sim_mmr_rerank, sample_conformal_interval, serving_ab_power — each
+    # 3-SF + vanilla gated + test_round9 replay/invariant-gated at
+    # authoring time), then the r1-stamp re-gates per the schedule above.
     "window_haar_energy",
     "join_null_safe",
     "join_anti_followup",

@@ -3716,3 +3716,78 @@ ORACLES["serving_rfm_segments"] = """
            sum(cents)::BIGINT AS cents
     FROM scored GROUP BY r, f, m
 """
+
+
+def ab_power_mde(tables: dict[str, DataFrame]) -> DataFrame:
+    """A/B-test POWER ANALYSIS — the planning step before any experiment
+    the family's other members evaluate (``serving_ab_lift`` the effect,
+    ``serving_ab_srm`` the health check, ``serving_ab_cuped`` the variance
+    reduction): for each candidate metric stream (event_type's value),
+    the minimum detectable effect a two-arm test of the CURRENT traffic
+    could resolve at α = 0.05 (two-sided) / 80% power:
+    MDE = (z_{α/2} + z_β) · √(2σ²/n) with n = observed rows per arm.
+    The standard normal-approximation sample-size identity (Lehr's rule's
+    exact form, public); the relative MDE (vs the metric mean) is the
+    number a growth team actually quotes.
+
+    Exactness: moments stay integer as long as possible — cents
+    quantization, then σ² from the n·Σx² − (Σx)² cross-multiply with
+    decimal(38,0)/HUGEINT widening (n·Σx² overflows int64 past ~10⁸
+    cents²-rows, the abc_xyz rule); (z_{α/2}+z_β) is ONE shared literal
+    2.8015855 (adding 1.959964+0.8416212 at runtime would make the
+    constant engine-specific); the sqrt/division chain is the identical
+    expression on both engines, pinned 1e-4 (absolute) / ppm (relative).
+
+    Scale: one scan → one |event_type|-row agg; everything after is
+    constant-space arithmetic on the agg row."""
+    ev = tables["events"]
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("s"),
+        F.sum(cents * cents).cast("long").alias("s2"),
+    )
+    n_d = F.col("n").cast("decimal(38,0)")
+    var = (
+        (n_d * F.col("s2").cast("decimal(38,0)")
+         - F.col("s").cast("decimal(38,0)") * F.col("s").cast("decimal(38,0)"))
+        .cast("double")
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    z = F.lit(2.8015855)
+    mde = z * F.sqrt(F.lit(2.0) * var / F.col("n").cast("double"))
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return m.where(F.col("n") >= 2).select(
+        "event_type",
+        "n",
+        "s",
+        "s2",
+        r4(var).alias("var_cents2"),
+        r4(mde).alias("mde_cents"),
+        F.floor(mde / mean * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("rel_mde_ppm"),
+    )
+
+
+QUERIES["serving_ab_power"] = ab_power_mde
+ORACLES["serving_ab_power"] = """
+    WITH m AS (
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS s,
+               sum(floor(value * 100 + 0.5)::BIGINT
+                   * floor(value * 100 + 0.5)::BIGINT)::BIGINT AS s2
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, s, s2,
+           floor((n::HUGEINT * s2 - s::HUGEINT * s)::DOUBLE
+                 / (n * (n - 1))::DOUBLE * 10000 + 0.5) / 10000 AS var_cents2,
+           floor(2.8015855 * sqrt(2.0 * ((n::HUGEINT * s2 - s::HUGEINT * s)::DOUBLE
+                                         / (n * (n - 1))::DOUBLE) / n::DOUBLE)
+                 * 10000 + 0.5) / 10000 AS mde_cents,
+           floor(2.8015855 * sqrt(2.0 * ((n::HUGEINT * s2 - s::HUGEINT * s)::DOUBLE
+                                         / (n * (n - 1))::DOUBLE) / n::DOUBLE)
+                 / (s::DOUBLE / n::DOUBLE) * 1000000 + 0.5)::BIGINT AS rel_mde_ppm
+    FROM m WHERE n >= 2
+"""

