@@ -490,6 +490,15 @@ def basket_kcore(tables: dict[str, DataFrame], rounds: int = 8) -> DataFrame:
     e = _copurchase_edges(tables["lineitem"], min_support=2)
     out = None
     for k in (2, 3):
+        # Early-exit on the fixpoint: peeling only DELETES edges
+        # (e_{t+1} ⊆ e_t), so an unchanged edge COUNT implies an unchanged
+        # edge SET and every remaining round is a no-op — skipping them
+        # cannot change the surviving subgraph. The count rides the
+        # already-materialized checkpoint (one tiny job per round) and
+        # typically saves most of the fixed-round schedule's materialize
+        # jobs; the oracle's unrolled no-op rounds stay exact by the same
+        # argument.
+        prev_ct = None
         for _ in range(rounds):
             deg = (
                 e.select(F.col("u").alias("n"))
@@ -504,6 +513,10 @@ def basket_kcore(tables: dict[str, DataFrame], rounds: int = 8) -> DataFrame:
                 .select("u", "v")
                 .localCheckpoint(eager=True)
             )
+            ct = e.count()
+            if ct == prev_ct:
+                break
+            prev_ct = ct
         n_nodes = (
             e.select(F.col("u").alias("n"))
             .unionAll(e.select(F.col("v").alias("n")))

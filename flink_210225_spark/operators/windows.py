@@ -3633,9 +3633,18 @@ def haar_energy(tables: dict[str, DataFrame]) -> DataFrame:
         F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("x")
     )
     wd = Window.orderBy("day")
-    cur = daily.select(
-        (F.row_number().over(wd) - 1).alias("t"), F.col("x").alias("a")
-    ).where(F.col("t") < 16)
+    # localCheckpoint: the ≤16-row base series feeds all four pyramid
+    # levels AND each level's energy branch of the final union — without it
+    # every union branch re-derives `daily` (full events scan + groupBy)
+    # through the chained lineage, ~4 redundant corpus scans per run (the
+    # multi-consumer discipline the dedup cascade applies; VERDICT r9 #2).
+    cur = (
+        daily.select(
+            (F.row_number().over(wd) - 1).alias("t"), F.col("x").alias("a")
+        )
+        .where(F.col("t") < 16)
+        .localCheckpoint(eager=True)
+    )
     spark = ev.sparkSession
     rows = []
     for level in (1, 2, 3, 4):

@@ -606,6 +606,10 @@ def prefix_filter_pairs(
     exact-similarity scale path at 100 TB; the quadratic sibling remains the
     oracle-checked baseline."""
     docs = tables["documents"]
+    # NOTE (r10): tried localCheckpoint-ing this 3-consumer frame — it
+    # REGRESSED 5.4→6.5 s at sf0.1: the three shingle-explode branches run
+    # concurrently inside the one action and hide each other's latency,
+    # while the checkpoint serializes materialize→consume. Left lazy.
     base = doc_shingles(docs, n).select("doc_id", F.xxhash64("shingle").alias("sh"))
     sh = base.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
     sh = sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))

@@ -1189,8 +1189,17 @@ def video_keyframes(tables: dict[str, DataFrame]) -> DataFrame:
                     out["framesq"].append(int((px.astype(np.int64) ** 2).sum()))
             yield pd.DataFrame(out)
 
-    frames = _spread(base).mapInPandas(
-        gen, "asset_id long, frame_idx long, framesum long, framesq long"
+    # localCheckpoint: the decoded per-frame stats feed TWO consumers of
+    # `shots` below (the keyframe rank and the per-shot rollup) — without
+    # it each consumer replays the whole per-frame PNG decode pass in the
+    # Python worker (Pandas subtrees never canonicalize equal, so
+    # ReuseExchange cannot dedup them). 4 longs per frame, tiny.
+    frames = (
+        _spread(base)
+        .mapInPandas(
+            gen, "asset_id long, frame_idx long, framesum long, framesq long"
+        )
+        .localCheckpoint(eager=True)
     )
     from pyspark.sql import Window
 
@@ -1407,8 +1416,14 @@ def image_histogram_stats(tables: dict[str, DataFrame]) -> DataFrame:
                     out["n_px"].append(w * h)
             yield pd.DataFrame(out)
 
-    hist = _spread(base).mapInPandas(
-        gen, "doc_id long, seed int, bin int, ct long, n_px long"
+    # localCheckpoint: `hist` feeds TWO consumers (the seed-profile
+    # distinct and the per-doc dominant-bin window) — without it each
+    # consumer replays the per-doc PNG decode pass (opaque Pandas subtree,
+    # no ReuseExchange). 16 small rows per doc, tiny to materialize.
+    hist = (
+        _spread(base)
+        .mapInPandas(gen, "doc_id long, seed int, bin int, ct long, n_px long")
+        .localCheckpoint(eager=True)
     )
     prof = hist.select("seed", "bin", "ct", "n_px").distinct()
     other = prof.select(

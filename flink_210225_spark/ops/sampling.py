@@ -457,10 +457,18 @@ def importance_resample(tables: dict[str, DataFrame]) -> DataFrame:
 
     docs = tables["documents"].select("doc_id", "lang")
     d = dsir_weights(tables).select("doc_id", "logw")
-    base = docs.join(d, "doc_id").select(
-        "doc_id",
-        "lang",
-        F.floor(F.exp("logw") * 1000000 + 0.5).cast("long").alias("wi"),
+    # localCheckpoint: `base` feeds BOTH the W/N scalar fetch below and the
+    # returned projection — without it the whole dsir_weights scoring pass
+    # runs twice (once for .first(), again at the caller's action; measured
+    # 3.6 s ≈ 2× dsir_weights' 1.8 s at sf0.1). Materialize once.
+    base = (
+        docs.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(F.exp("logw") * 1000000 + 0.5).cast("long").alias("wi"),
+        )
+        .localCheckpoint(eager=True)
     )
     tot = base.agg(F.sum("wi").alias("w"), F.count("*").alias("n")).first()
     W, N = int(tot["w"]), int(tot["n"])

@@ -800,9 +800,15 @@ def langid_trigram(
         " THEN transform(sequence(1, length(t4) - 2), i -> substr(t4, i, 3))"
         " ELSE cast(array() as array<string>) END"
     )
-    base = head.select("doc_id", "lang", F.array_distinct(tri).alias("tgs"))
-    occs = head.select("lang", F.explode(tri).alias("tg"))
-    counts = occs.groupBy("lang", "tg").agg(F.count("*").alias("ct"))
+    # ONE trigram explode for both the profile counts and the per-doc
+    # distinct scoring set: (doc_id, tg) occurrences materialize once; the
+    # old shape exploded `tri` twice (occs for counts, base/doc_tri for
+    # scoring). doc_tri below = dropDuplicates of this frame, an exact
+    # identity with explode(array_distinct(tri)).
+    ex = head.select(
+        "doc_id", "lang", F.explode(tri).alias("tg")
+    ).localCheckpoint(eager=True)
+    counts = ex.groupBy("lang", "tg").agg(F.count("*").alias("ct"))
     wdf = Window.partitionBy("tg")
     distinctive = counts.withColumn("tot", F.sum("ct").over(wdf)).filter(
         2 * F.col("ct") > F.col("tot")
@@ -813,7 +819,7 @@ def langid_trigram(
         .filter(F.col("rn") <= profile_k)
         .select(F.col("lang").alias("plang"), "tg")
     )
-    doc_tri = base.select("doc_id", F.explode("tgs").alias("tg"))
+    doc_tri = ex.select("doc_id", "tg").dropDuplicates(["doc_id", "tg"])
     hits = (
         doc_tri.join(F.broadcast(profiles), "tg")
         .groupBy("doc_id", "plang")
@@ -2788,6 +2794,11 @@ def rouge_pairs(tables: dict[str, DataFrame]) -> DataFrame:
         .where(F.col("b_id").isNotNull())
         .withColumnRenamed("doc_id", "a_id")
     )
+    # NOTE (r10): tried localCheckpoint-ing toks/uni/bi (each gram table
+    # feeds both sides of its overlap join) — flat at sf0.1 (2.36→2.39 s):
+    # the redundant subtrees execute concurrently inside the one action and
+    # ReuseExchange shares each groupBy's exchange between its a/b sides.
+    # Left lazy.
     toks = docs.select(
         "doc_id", tokens_col(F.col("text")).alias("toks")
     )
@@ -5585,13 +5596,21 @@ def bleu_pairs(tables: dict[str, DataFrame]) -> DataFrame:
     toks = F.split(F.trim("text"), r"\s+")
     base = docs.select("doc_id", "lang", toks.alias("toks"))
     w = Window.partitionBy("lang").orderBy("doc_id")
-    pairs = base.select(
-        "lang",
-        F.col("doc_id").alias("ref_id"),
-        F.col("toks").alias("ref"),
-        F.lead("doc_id").over(w).alias("cand_id"),
-        F.lead("toks").over(w).alias("cand"),
-    ).where(F.col("cand").isNotNull())
+    # localCheckpoint: `pairs` has THREE consumers (both side_counts
+    # explodes + the final join-back) — without it each consumer re-runs
+    # the tokenize scan and the lang-keyed successor window (multi-consumer
+    # checkpoint discipline).
+    pairs = (
+        base.select(
+            "lang",
+            F.col("doc_id").alias("ref_id"),
+            F.col("toks").alias("ref"),
+            F.lead("doc_id").over(w).alias("cand_id"),
+            F.lead("toks").over(w).alias("cand"),
+        )
+        .where(F.col("cand").isNotNull())
+        .localCheckpoint(eager=True)
+    )
 
     def grams2(c: Column) -> Column:
         return F.when(
@@ -6157,6 +6176,11 @@ def textrank_keywords(
             )
         ).alias("p")
     ).select("p.a", "p.b")
+    # localCheckpoint: `pairs` is vocab-bounded (unique co-occurrence
+    # bigrams) but its lineage is the corpus tokenize+explode — and it
+    # feeds sym/strength which have FOUR downstream consumers (the ews
+    # build, n_nodes count, the rank init, and the final join-back).
+    # Without it each consumer replays the tokenize pipeline.
     pairs = (
         adj.where(
             (F.length("a") >= 4) & (F.length("b") >= 4) & (F.col("a") != F.col("b"))
@@ -6167,6 +6191,7 @@ def textrank_keywords(
         )
         .groupBy("u", "v")
         .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
     )
     sym = pairs.select(
         F.col("u").alias("src"), F.col("v").alias("dst"), "w"
@@ -6242,17 +6267,22 @@ def char_entropy(tables: dict[str, DataFrame]) -> DataFrame:
             (p * F.log2(p)).alias("term"),
         ).groupBy(grp).agg((-F.sum("term")).alias("h"))
 
-    h1 = entropy(
-        chars.groupBy("lang", "c").agg(F.count("*").cast("long").alias("ct")),
-        "lang",
-    ).select("lang", F.col("h").alias("h1"))
+    # One char explode, not two: h1 AND sizes both derive from the same
+    # (lang, char) count frame — n_chars = Σct and alphabet = row count are
+    # exact integer identities of the old count(*)/countDistinct over the
+    # raw explode. Kept LAZY: the two consumers' subtrees canonicalize
+    # equal up to this groupBy's Exchange, so ReuseExchange runs the
+    # explode+partial-agg once (an eager checkpoint here measured SLOWER —
+    # it serializes what the single action overlaps).
+    counts1 = chars.groupBy("lang", "c").agg(F.count("*").cast("long").alias("ct"))
+    h1 = entropy(counts1, "lang").select("lang", F.col("h").alias("h1"))
     h2 = entropy(
         bigrams.groupBy("lang", "b").agg(F.count("*").cast("long").alias("ct")),
         "lang",
     ).select(F.col("lang").alias("l2"), F.col("h").alias("h2"))
-    sizes = chars.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n_chars"),
-        F.countDistinct("c").cast("long").alias("alphabet"),
+    sizes = counts1.groupBy("lang").agg(
+        F.sum("ct").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("alphabet"),
     )
     return (
         sizes.join(h1, "lang")
@@ -6459,9 +6489,13 @@ def mrr_ndcg_eval(
         ).otherwise(F.array().cast("array<string>"))
 
     raw = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # localCheckpoint: `base` feeds FOUR plan branches (the query slice is
+    # broadcast twice, the doc-token explode, and the bigram join-back) and
+    # tokenize+bigram generation dominates each branch's cost — without it
+    # the corpus re-tokenizes per branch (multi-consumer discipline).
     base = docs.select(
         "doc_id", toks.alias("toks"), bigrams(raw).alias("bgs")
-    )
+    ).localCheckpoint(eager=True)
     q = base.where(F.col("doc_id") < num_queries).select(
         F.col("doc_id").alias("query_id"),
         F.col("toks").alias("qtoks"),
