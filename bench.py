@@ -57,6 +57,13 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # r10 (VERDICT r9 #3): ALSO warm up at the benched SF — footer reads,
+    # file listing and broadcast machinery at sf0.1 otherwise bill their
+    # first-touch cost to whichever query sits first in registry order
+    # (window_haar_energy absorbed ~0.4 s of first-query residue in r9).
+    next(iter(queries.values()))(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, list[float]] = {name: [] for name in queries}
@@ -96,12 +103,43 @@ def main() -> None:
                 raise ValueError("baseline is a truncated compact line")
         common = [n for n in per_query if n in base and base[n] > 0]
         ratios = {n: round(per_query[n] / base[n], 2) for n in common}
+        # Drift normalization (VERDICT r9 #3): raw ratios conflate host
+        # drift with real regressions — in r9 the suite ran 0.89x overall
+        # yet 12 queries flagged >1.5x, 11 of which drifted identically to
+        # untouched controls on re-adjudication. Divide every ratio by the
+        # median ratio of a pinned NEVER-OPTIMIZED control set (spanning
+        # families and cost classes) so a real 1.5x can't hide inside (or
+        # be faked by) 1.8x host drift. Raw "regressions" stays for
+        # cross-round continuity; the normalized key is the gate to read.
+        controls = [
+            "serving_gmv",
+            "dedup_exact",
+            "log_props_extract",
+            "join_interval_order_detail",
+            "window_visitor_stats",
+            "state_uv_dedup",
+            "cdc_route_config",
+            "sql_province_tumble",
+            "text_repetition",
+            "sample_hash_split",
+        ]
+        ctrl_ratios = [ratios[n] for n in controls if n in ratios]
+        drift = (
+            round(statistics.median(ctrl_ratios), 3) if len(ctrl_ratios) >= 5 else 1.0
+        )
+        normalized = {n: round(r / drift, 2) for n, r in ratios.items()}
         baseline_info = {
             "baseline": os.path.basename(baseline_path),
             "common_total": round(sum(per_query[n] for n in common), 3),
             "baseline_total": round(sum(base[n] for n in common), 3),
+            "drift_factor": drift,
             "regressions": {
                 n: r for n, r in sorted(ratios.items(), key=lambda kv: -kv[1]) if r > 1.5
+            },
+            "regressions_normalized": {
+                n: r
+                for n, r in sorted(normalized.items(), key=lambda kv: -kv[1])
+                if r > 1.5
             },
         }
     except (OSError, KeyError, ValueError):

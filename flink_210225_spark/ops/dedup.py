@@ -473,6 +473,15 @@ def _pair_intersections(docs: DataFrame, n: int = 3) -> DataFrame:
     past moderate skew, cap document frequency (standard prefix filtering)
     — at threshold 0.5 a shingle shared by >2/J·|corpus| docs can be
     dropped only with recall loss, so the cap is a tuning knob, not free."""
+    # NOTE (r10): tried deriving n_sh from size(shingles_arr) at the source
+    # instead of this count(*) window (one fewer Exchange+sort). Both
+    # implementations REGRESSED at sf0.1: a named-select array gets
+    # CollapseProject-inlined into size() AND the generator (2×
+    # array_distinct in the plan, +18% here, 3-4× on the loop queries),
+    # and the let-binding transform(array(arr), a -> transform(a, x ->
+    # struct(size(a), x))) pays per-element struct allocation on the whole
+    # shingle table — more than the saved window Exchange (prefix_filter,
+    # which evaluates this subtree 3×, went 4.3→6.2 s). Window stays.
     sh = doc_shingles(docs, n).select("doc_id", F.xxhash64("shingle").alias("sh"))
     sh = sh.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
     buckets = (
@@ -1687,6 +1696,17 @@ def components_from_edges(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+
+    # Convergence via one scalar aggregate instead of a join: min-label
+    # propagation only ever DECREASES a node's component and the id set is
+    # fixed, so Σcomponent unchanged ⟺ no label changed — an EXACT check
+    # (every per-id delta is ≤ 0). Decimal sum so 64-bit ids can't overflow
+    # ANSI long addition. Saves one shuffle join + count per round
+    # (r10 wave 2; the star engine's fingerprint precedent, but exact).
+    def _lab_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _lab_sum(labels)
     for _ in range(max_iters):
         msgs = und.join(labels, und["a"] == labels["id"]).select(
             F.col("b").alias("id"), "component"
@@ -1697,14 +1717,11 @@ def components_from_edges(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
-            .filter(F.col("component") < F.col("old"))
-            .count()
-        )
+        cur_sum = _lab_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         # ADVICE r1: exhausting the round budget mid-propagation means a
         # long-diameter chain got NON-minimal labels — surface it instead of

@@ -701,8 +701,14 @@ def poisson_bootstrap(tables: dict[str, DataFrame]) -> DataFrame:
     orders = tables["orders"]
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     base = orders.select(F.col("o_orderkey").alias("k"), cents.alias("v"))
+    # Repartition BEFORE the B-way explode: the fixture scan is one parquet
+    # split locally, so the explode + per-row md5 otherwise runs on ONE core
+    # (r10 wave 2; the doc_shingles/_spread discipline). One cheap exchange
+    # of (k, v) rows buys full parallelism for the 32× expansion; on a real
+    # cluster the scan already arrives split and this is a rebalance.
+    spread = base.repartition(orders.sparkSession.sparkContext.defaultParallelism)
     b_col = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
-    ex = base.select("k", "v", b_col)
+    ex = spread.select("k", "v", b_col)
     h = F.conv(
         F.substring(F.md5(F.concat_ws("|", F.col("k"), F.col("b"))), 1, 4),
         16,

@@ -1222,16 +1222,25 @@ def knn_graph(tables: dict[str, DataFrame], k: int = 5, n_blocks: int = 8) -> Da
         # per src row: partial top-k by (cos desc, dst asc); masked self
         # pairs (-2.0) and zero-norm NaNs are dropped as CANDIDATES, not
         # just out-ranked — with fewer than k real neighbors they would
-        # otherwise surface in the final window (oracle excludes them)
-        for i in range(cos.shape[0]):
-            row = cos[i]
-            valid = np.isfinite(row) & (row > -1.5)
-            order = np.lexsort((dst_ids, -row))
-            order = order[valid[order]][:k]
-            for j in order:
-                out["src"].append(src_ids[i])
-                out["dst"].append(dst_ids[j])
-                out["cos6"].append(row[j])
+        # otherwise surface in the final window (oracle excludes them).
+        # Vectorized (r10 wave 2, guide §4.2): the old per-row Python
+        # lexsort loop is one int64-key argsort over the whole matrix.
+        # cos is 6dp-floored, so q = round(cos·1e6) is an exact integer in
+        # [-1e6, 1e6] (−2e6 for masked self) and key = q·2⁴⁰ − dst
+        # reproduces (cos desc, dst asc) exactly: |q|·2⁴⁰ ≤ 2.2e18 < 2⁶³
+        # and dst < 2⁴⁰. Invalid cells get q = −3e6, below every real q,
+        # so they sort last and the per-row valid count trims them off.
+        valid = np.isfinite(cos) & (cos > -1.5)
+        q = np.where(valid, np.floor(cos * 1_000_000 + 0.5), -3_000_000.0)
+        dst64 = dst_ids.astype(np.int64)
+        key = q.astype(np.int64) * (1 << 40) - dst64[None, :]
+        order = np.argsort(key, axis=1)[:, ::-1][:, :k]
+        m = np.minimum(valid.sum(axis=1), k)
+        ri, ci = np.nonzero(np.arange(order.shape[1])[None, :] < m[:, None])
+        j = order[ri, ci]
+        out["src"].append(src_ids[ri])
+        out["dst"].append(dst64[j])
+        out["cos6"].append(cos[ri, j])
 
     def score(batches):
         for pdf in batches:
@@ -1248,8 +1257,10 @@ def knn_graph(tables: dict[str, DataFrame], k: int = 5, n_blocks: int = 8) -> Da
                 topk_rows(a_ids, b_ids, cos, out)
                 if grow["blk_a"] != grow["blk_b"]:
                     topk_rows(b_ids, a_ids, cos.T, out)
-                if out["src"]:
-                    yield pd.DataFrame(out)
+                if any(len(s) for s in out["src"]):
+                    yield pd.DataFrame(
+                        {c: np.concatenate(out[c]) for c in ("src", "dst", "cos6")}
+                    )
 
     partials = grid.mapInPandas(score, "src long, dst long, cos6 double")
     w = Window.partitionBy("src").orderBy(F.col("cos6").desc(), F.col("dst").asc())
