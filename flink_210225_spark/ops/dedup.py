@@ -1137,6 +1137,13 @@ def simhash_signatures(tables: dict[str, DataFrame]) -> DataFrame:
     effective bits) — the ≥1-exact-band guarantee for hamming ≤ 3 still
     holds (4 disjoint bands, 3 flipped bits can dirty at most 3)."""
     docs = tables["documents"]
+    # NOTE (r10, measured): do NOT _spread the docs scan here. The 63-vote
+    # groupBy(doc_id) has group cardinality == |docs| and 63 agg columns,
+    # so with N upstream partitions nearly every doc appears in every
+    # partial — the partial-agg output (and the shuffle) grows ~N×63 wide
+    # rows vs the single-split plan's one partial per doc (measured
+    # 3.2 -> 4.4 s at sf0.1). The doc_shingles spread wins only where the
+    # partial agg REDUCES (vocab-bounded groups) or there is no agg at all.
     tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
     h = tok.withColumn("th", F.xxhash64("tok"))
     votes = [

@@ -46,6 +46,24 @@ def _quantize_longs(vv: Column, levels: int) -> Column:
 
     return F.get(F.transform(F.array(maxabs), with_m), 0)
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the corpus side of a scoring join across every core
+    BEFORE the heavy per-row work (norm/dot folds, ADC sums, bucket
+    exprs). The fixture tables scan as a SINGLE parquet split locally
+    (one row group), so the 20×corpus GEMM fold + pre-shuffle sort +
+    partial WindowGroupLimit downstream of a broadcast join otherwise run
+    on ONE task (the multimodal._spread / doc_shingles root-cause, r9-r10
+    bench). One exchange of (id, vector) rows buys the whole scoring
+    stage full parallelism; on a real cluster the scan already arrives in
+    many splits and this is a cheap rebalance. ONLY applied to row-level
+    arithmetic paths: kernels whose reductions are order-sensitive
+    (ivf_assign / pq_train partial-sum folds feeding exact-hash twins
+    like sim_pq_k1_identity) must NOT be spread — repartitioning reorders
+    their float partial sums and shifts centroids by ulps."""
+    sess = df.sparkSession
+    return df.repartition(sess.sparkContext.defaultParallelism)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -68,7 +86,9 @@ def cosine_topk(
     q = emb.filter(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    n = emb.select(
+    # corpus side spread BEFORE the norm/dot projections (query side stays
+    # on the bare scan so the vec_id pushdown survives)
+    n = with_norm(_spread(tables["embeddings"])).select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nn")
     )
     cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
@@ -98,7 +118,10 @@ def mips_topk(
     q = emb.filter(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    # corpus side spread (the cosine_topk discipline)
+    n = with_norm(_spread(tables["embeddings"])).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+    )
     dot = _dot(F.col("qv"), F.col("nv"))
     scored = (
         F.broadcast(q)
@@ -166,7 +189,10 @@ def mips_ann_topk(
         masks += [
             (1 << i) | (1 << j) for i in range(bits) for j in range(i + 1, bits)
         ]
-    corpus = emb.select(
+    # corpus side spread BEFORE the augmentation/bucket projections (the
+    # cosine_topk discipline); the agg above and the query side keep the
+    # bare scan
+    corpus = with_norm(_spread(tables["embeddings"])).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("nv"),
         lsh_bucket(aug_corpus, bits).alias("nbucket"),
@@ -278,11 +304,17 @@ def lsh_ann_topk(
             F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("probe"),
     )
-    n = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("nv"),
-        F.col("nrm").alias("nn"),
-        F.col("bucket").alias("nbucket"),
+    # corpus side spread BEFORE the norm/bucket projections (the
+    # cosine_topk discipline); query side stays on the bare scan
+    n = (
+        with_norm(_spread(tables["embeddings"]))
+        .withColumn("bucket", lsh_bucket(F.col("v"), bits))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("nv"),
+            F.col("nrm").alias("nn"),
+            F.col("bucket").alias("nbucket"),
+        )
     )
     cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
     scored = (
@@ -437,7 +469,12 @@ def ivf_ann_topk(
     )
     q = q.withColumn("qn", _norm(F.col("qv"))).join(probe_df, "query_id")
 
-    n = assigned.select(
+    # spread the assigned corpus BEFORE the norm/dot projections — the
+    # assignment pass emits one partition per input split (one, locally),
+    # so the probe join's scoring fold otherwise runs on one task. Safe:
+    # row-level arithmetic only (the centroid training itself is NOT
+    # spread — see _spread's order-sensitivity note).
+    n = _spread(assigned).select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("nv"),
         "cell",
@@ -944,8 +981,12 @@ def ivf_pq_ann_topk(
         rows, "query_id long, cells array<int>, tab array<double>"
     ).select("query_id", F.explode("cells").alias("cell"), "tab")
 
-    corpus = codes_df.join(
-        assigned.select(F.col("vec_id"), "cell"), "vec_id"
+    # _spread: the codes⋈cell join of two single-partition Arrow outputs
+    # AQE-coalesces back to one task — round-robin it so the ADC fold and
+    # the shortlist's pre-shuffle sort run on every core (row-level
+    # arithmetic only; the PQ/IVF training passes stay unspread).
+    corpus = _spread(
+        codes_df.join(assigned.select(F.col("vec_id"), "cell"), "vec_id")
     ).select(F.col("vec_id").alias("neighbor_id"), "cell", "codes")
 
     adc = F.aggregate(
@@ -1063,8 +1104,9 @@ def ivf_pq_residual_ann_topk(
             rows.append((int(qid), int(cell), [float(x) for x in tab.ravel()]))
     q = spark.createDataFrame(rows, "query_id long, cell int, tab array<double>")
 
-    corpus = codes_df.join(
-        res.select("vec_id", "cell"), "vec_id"
+    # _spread: same single-task ADC-fold fix as ivf_pq_ann_topk
+    corpus = _spread(
+        codes_df.join(res.select("vec_id", "cell"), "vec_id")
     ).select(F.col("vec_id").alias("neighbor_id"), "cell", "codes")
 
     adc = F.aggregate(
@@ -1544,8 +1586,7 @@ def ann_recall_audit(
         ),
         "lsh": lsh_ann_topk,
     }
-    rows = []
-    for name, fn in methods.items():
+    def branch(name, fn):
         floor = ANN_RECALL_FLOORS[name]
         ann = (
             fn(tables, num_queries, k)
@@ -1553,31 +1594,41 @@ def ann_recall_audit(
             .withColumn("hit", F.lit(1))
         )
         j = exact.join(ann, ["query_id", "neighbor_id"], "left")
-        rows.append(
-            j.agg(
-                F.countDistinct("query_id").alias("n_queries"),
-                (F.sum(F.coalesce("hit", F.lit(0))) / F.count("*")).alias("r"),
-            ).select(
-                F.lit(name).alias("method"),
-                "n_queries",
-                F.lit(floor).alias("recall_floor"),
-                (F.col("r") >= floor).alias("recall_ok"),
-            )
+        one = j.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            (F.sum(F.coalesce("hit", F.lit(0))) / F.count("*")).alias("r"),
+        ).select(
+            F.lit(name).alias("method"),
+            "n_queries",
+            F.lit(floor).alias("recall_floor"),
+            (F.col("r") >= floor).alias("recall_ok"),
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    # Materialize the 4-row audit, then RELEASE both cached frames — the
-    # result is lazy over them, so unpersisting without collecting first
-    # would silently re-run the exact GEMM per branch at the caller's
-    # collect; returning the materialized rows keeps the contract and
-    # stops each audit invocation from pinning a corpus-sized assignment
-    # block for the session lifetime (the leak ivf_assign's own comment
-    # warns about).
-    res = out.collect()
+        return one.schema, one.collect()[0]
+
+    # The four method branches each run their OWN driver-side work while
+    # being built (pq_train Lloyd actions, query toPandas) before the 1-row
+    # audit aggregate is even collectable — sequentially that chain of
+    # small actions underfills the cluster (the lsh_family_audit lesson,
+    # guide §2.6). Materialize the two shared caches first so concurrent
+    # branches read them instead of racing to compute them, then build +
+    # collect every branch in its own thread. Same rows, same order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        warm_e = pool.submit(exact.count)
+        warm_t = pool.submit(trained[0].count)
+        warm_e.result(), warm_t.result()
+        futs = [pool.submit(branch, name, fn) for name, fn in methods.items()]
+        got = [f.result() for f in futs]
+    # Row results materialized above; RELEASE both cached frames — the
+    # returned frame is built from driver-side rows, so unpersisting here
+    # cannot re-trigger the exact GEMM, and each audit invocation stops
+    # pinning a corpus-sized assignment block for the session lifetime
+    # (the leak ivf_assign's own comment warns about).
     exact.unpersist()
     trained[0].unpersist()
-    return emb.sparkSession.createDataFrame(res, out.schema)
+    schema, res = got[0][0], [r for _, r in got]
+    return emb.sparkSession.createDataFrame(res, schema)
 
 
 def semantic_dedup_audit(
@@ -1648,6 +1699,13 @@ def pq_audit(tables: dict[str, DataFrame]) -> DataFrame:
     Scale: two Arrow coding passes + the shared Lloyd loops; the audit
     outputs 1 row regardless of corpus size."""
     emb = tables["embeddings"]
+    # NOTE (r10, measured): do NOT thread the two training chains — both
+    # pq_train calls and ivf_assign persist the IDENTICAL
+    # emb.select("vec_id","embedding") lineage, so Spark's CacheManager
+    # gives them ONE shared cache entry; run concurrently, each chain's
+    # unpersist() yanks the entry out from under the other mid-Lloyd and
+    # the passes recompute from parquet (measured 5.6 -> 6.1-6.6 s at
+    # sf0.1). Sequential persist→train→unpersist keeps the cache coherent.
     codes_raw, _cb = pq_train(emb)
     assigned, coarse = ivf_assign(emb, 16)
     res = residual_vectors(assigned, coarse)
@@ -3724,6 +3782,7 @@ def ivf_recall_curve(
     emb = tables["embeddings"]
     assigned, cent = ivf_assign(emb, 16)
     trained = (assigned.persist(StorageLevel.MEMORY_AND_DISK), cent)
+
     rows = []
     for n_probe in sorted(RECALL_CURVE_FLOORS):
         floor = RECALL_CURVE_FLOORS[n_probe]
@@ -3748,7 +3807,14 @@ def ivf_recall_curve(
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    # materialize, then release (the ann_recall_audit unpersist contract)
+    # materialize, then release (the ann_recall_audit unpersist contract).
+    # NOTE (r10, measured): do NOT split this union into per-point threaded
+    # collects — the single union action already evaluates the 5 sweep
+    # branches as concurrent stages of ONE job (the points share `trained`,
+    # so their construction is trivial); the threaded variant measured
+    # 6.5 -> 7.8-9.2 s at sf0.1 from added warm-up actions + 5 separate
+    # job submissions. Threading pays only when branch CONSTRUCTION runs
+    # driver actions (ann_recall_audit's pq_train chains), not here.
     res = out.collect()
     exact.unpersist()
     trained[0].unpersist()
@@ -3809,18 +3875,25 @@ def pq_distortion_curve(tables: dict[str, DataFrame]) -> DataFrame:
         .scalar()
     )
     n_vec = emb.agg(F.count("*").cast("long")).scalar()
-    rows = []
-    for m in (2, 4, 8):
+
+    def sweep_point(m):
         codes, _cb = pq_train(emb, m=m)
-        rows.append(
-            codes.agg(F.avg("recon_mse").alias("mse")).select(
-                F.lit(m).cast("long").alias("m_subspaces"),
-                F.lit(4 * m).cast("long").alias("bits_per_vector"),
-                n_vec.alias("n_vectors"),
-                (F.col("mse") < var_mean).alias("beats_mean"),
-                F.col("mse").alias("_mse"),
-            )
+        return codes.agg(F.avg("recon_mse").alias("mse")).select(
+            F.lit(m).cast("long").alias("m_subspaces"),
+            F.lit(4 * m).cast("long").alias("bits_per_vector"),
+            n_vec.alias("n_vectors"),
+            (F.col("mse") < var_mean).alias("beats_mean"),
+            F.col("mse").alias("_mse"),
         )
+
+    # The three sweep points each run pq_train's per-round Lloyd actions
+    # while being BUILT — overlap them (guide §2.6, the ann_recall_audit
+    # discipline); var_mean/n_vec are lazy scalar subqueries, so the
+    # unioned plan collected below is identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        rows = list(pool.map(sweep_point, (2, 4, 8)))
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

@@ -69,6 +69,30 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # parallelismFirst: Spark's docs suggest false (respect the
+        # advisory partition size) — measured A/B over an 18-query
+        # cross-family subset this round (OPTIMIZATION_r10.md wave 5):
+        # false REGRESSED the shingle/join pipelines 40-110% at fixture
+        # scale (post-shuffle stages coalesce to 1-2 tasks and lose the
+        # parallelism the partial-topk/fold work needs) and won only on
+        # a few Python-after-shuffle stages; net -17% suite-side. Default
+        # stays true (Spark's own default); env-overridable for cluster
+        # profiles where the 64 MB advisory floor is the right target.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
+        # preferSortMergeJoin: guide §3.1/§9 — allowing shuffled-hash join
+        # when its size conditions fit skips both sort passes. A/B'd over
+        # a join-heavy subset this round (OPTIMIZATION_r10.md wave 5): one
+        # session pair showed ~15% join-side wins, the re-run was inside
+        # this host's session jitter — not adopted on local evidence.
+        # Env-overridable so cluster profiles (where SHJ's win is
+        # size-condition-driven, not noise-bound) can re-measure.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Dim tables (region/nation/customer/supplier/part) stay broadcast-able
         # well past sf1; the reference's async-lookup+Redis cache (J3) is

@@ -1305,30 +1305,35 @@ def upsert_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
     )
     srcdir = _scratch(prefix="upsert_stream_src_")
-    for i, (lo, hi) in enumerate(
-        [(None, "1994-01-01"), ("1994-01-01", "1996-01-01"), ("1996-01-01", None)]
-    ):
-        sl = orders
-        if lo:
-            sl = sl.filter(F.col("o_orderdate") >= lo)
-        if hi:
-            sl = sl.filter(F.col("o_orderdate") < hi)
-        sl_changes = sl.select(
-            F.col("o_custkey").alias("custkey"),
-            (
-                F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * 10000000000
-                + F.col("o_orderkey")
-            ).alias("ts"),
-            F.col("o_orderstatus").alias("status"),
-        )
-        sl_changes.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(srcdir, f"slice{i}")
-        )
+    # ONE pass stages all three date slices (was: three filtered scans +
+    # three write jobs): tag each row with its slice index, write
+    # partitionBy(slice) with a single file per slice (repartition on the
+    # tag), then hard-link each slice's part file into the landing dir.
+    # Same three batch files, same rows per batch.
+    slice_idx = (
+        F.when(F.col("o_orderdate") < "1994-01-01", F.lit(0))
+        .when(F.col("o_orderdate") < "1996-01-01", F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    orders.select(
+        F.col("o_custkey").alias("custkey"),
+        (
+            F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long") * 10000000000
+            + F.col("o_orderkey")
+        ).alias("ts"),
+        F.col("o_orderstatus").alias("status"),
+        slice_idx.alias("slice"),
+    ).repartition("slice").write.mode("overwrite").partitionBy("slice").parquet(srcdir)
     landing = _scratch(prefix="upsert_stream_landing_")
     for i in range(3):
-        sdir = os.path.join(srcdir, f"slice{i}")
-        part = next(f for f in os.listdir(sdir) if f.endswith(".parquet"))
-        os.link(os.path.join(sdir, part), os.path.join(landing, f"b{i}.parquet"))
+        sdir = os.path.join(srcdir, f"slice={i}")
+        if not os.path.isdir(sdir):  # a tiny SF may leave a slice empty
+            continue
+        parts = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+        for j, part in enumerate(sorted(parts)):
+            os.link(
+                os.path.join(sdir, part), os.path.join(landing, f"b{i}_{j}.parquet")
+            )
     dim_dir = _scratch(prefix="upsert_stream_dim_")
     cp = _scratch(prefix="upsert_stream_cp_")
     stream = (
@@ -1800,7 +1805,6 @@ def cusum_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     spark = ev.sparkSession
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(*_local_paths(ev))
-    max_ts = raw.agg(F.max("ts")).collect()[0][0]
     ts_is_long = dict(raw.dtypes)["ts"] == "bigint"
     if ts_is_long:
         batch_ev = raw.withColumn(
@@ -1808,6 +1812,19 @@ def cusum_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
         )
     else:
         batch_ev = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # ONE full-scan aggregate for every driver-side scalar this pipeline
+    # needs (raw max for the sentinels, day span for the silver watermark) —
+    # previously max_ts and the span were two separate full-scan collects.
+    if ts_is_long:
+        _conv = F.expr("timestamp_micros(ts div 1000)").cast("timestamp")
+    else:
+        _conv = F.col("ts").cast("timestamp")
+    scal = raw.agg(
+        F.max("ts").alias("max_ts"),
+        F.min(F.date_format(_conv, "yyyy-MM-dd")).alias("lo"),
+        F.max(F.date_format(_conv, "yyyy-MM-dd")).alias("hi"),
+    ).collect()[0]
+    max_ts = scal["max_ts"]
     profile = (
         batch_ev.groupBy(
             F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
@@ -1817,6 +1834,13 @@ def cusum_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
         .agg(
             F.count("*").alias("n_days"), F.sum("pv_ct").alias("total_ct")
         )
+        # localCheckpoint: a stream-static join RE-EVALUATES the static side
+        # every micro-batch — un-checkpointed, each silver trigger replayed
+        # this two-level aggregation over the whole events fixture (N
+        # micro-batches × full scan; at 100 TB the profile is a prior batch
+        # job's OUTPUT, i.e. already materialized — this reproduces that
+        # contract). The frame is event-type-sized, trivially small.
+        .localCheckpoint(eager=True)
     )
     # ---- stage 1 (bronze): watermark-flushed daily counts ----
     bronze_out = _scratch(prefix="cusum_stream_bronze_")
@@ -1899,11 +1923,7 @@ def cusum_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
         os.link(os.path.join(bronze_out, f_), os.path.join(landing, f"b{i}.parquet"))
     import datetime as _dt
 
-    span = batch_ev.agg(
-        F.min(F.date_format("ts", "yyyy-MM-dd")).alias("lo"),
-        F.max(F.date_format("ts", "yyyy-MM-dd")).alias("hi"),
-    ).collect()[0]
-    max_day = _dt.date.fromisoformat(span["hi"])
+    max_day = _dt.date.fromisoformat(scal["hi"])
     # The bronze sink's part files carry NO cross-file time order (each
     # flush batch hash-partitions (day, type) rows over the shuffle), so
     # a file-by-file re-ingest sees days arbitrarily out of order. The
@@ -1911,7 +1931,7 @@ def cusum_stream_materialized(tables: dict[str, DataFrame]) -> DataFrame:
     # span plus margin — or later-file rows behind the watermark are
     # dropped as late data before they reach the stateful operator
     # (measured: 50/150 rows survive with a 1-second delay).
-    delay_days = (max_day - _dt.date.fromisoformat(span["lo"])).days + 2
+    delay_days = (max_day - _dt.date.fromisoformat(scal["lo"])).days + 2
     for i, extra in enumerate((2, 4)):
         sent = one_row_df(
             spark,
