@@ -122,69 +122,67 @@ def _registry():
 #     state_uv_dedup — so no green row ages past 3 rounds for touched
 #     modules; then the next-oldest greens (r2/r3 stamps) by the same rule.
 _CHECK_WINDOW = [
-    # round-9 head: first 50 (registry order) of the 60 round-7 additions
-    # that did not fit the r8 window — exactly the burn-down schedule the
-    # r8 window comment committed to. Each was 3-SF + vanilla gated at
-    # authoring time and was independently DuckDB-swept green by the r7/r8
-    # judges at sf0.01. The remaining 10 (multimodal_image_{integral,
-    # morphology, otsu}, sample_{stratified_kfold, pass_at_k,
-    # token_waterfill, pps_estimator, snake_shards, padding_waste,
-    # cluster_design}) roll to round 10's head together with the 13
-    # round-8 additions AND the 7 round-9 additions (dedup_triangles,
-    # warehouse_zorder_prune, sim_novelty_knn, session_shapley,
-    # sim_mmr_rerank, sample_conformal_interval, serving_ab_power — each
-    # 3-SF + vanilla gated + test_round9 replay/invariant-gated at
-    # authoring time), then the r1-stamp re-gates per the schedule above.
-    "window_haar_energy",
-    "join_null_safe",
-    "join_anti_followup",
-    "join_waiting_supplier",
-    "join_dpp_prune",
-    "log_grok_router",
-    "log_template_mining",
-    "cdc_log_compaction",
-    "cdc_state_reconciliation",
-    "session_growth_accounting",
-    "session_peak_concurrency",
-    "session_return_gaps",
-    "warehouse_histogram_equiheight",
-    "warehouse_time_travel",
-    "warehouse_fk_inference",
-    "warehouse_mcv_stats",
-    "warehouse_dynamic_overwrite",
-    "warehouse_wap_publish",
-    "warehouse_accumulating_snapshot",
-    "warehouse_scd2_integrity",
-    "warehouse_medallion_recon",
-    "warehouse_storage_tiering",
-    "text_ngram_coverage",
-    "text_langid_calibration",
-    "text_count_min_sketch",
-    "text_bleu_pairs",
-    "text_good_turing",
-    "text_burrows_delta",
-    "text_sentence_stats",
-    "text_textrank",
-    "text_char_entropy",
-    "dedup_winnowing",
-    "dedup_cascade_funnel",
-    "dedup_tf_shift",
-    "sim_kmeans_exact",
-    "sim_lexical_semantic_gap",
-    "sim_inbatch_retrieval_acc",
-    "sim_recall_curve",
-    "sim_pq_distortion_curve",
-    "multimodal_image_entropy",
-    "multimodal_audio_snr",
-    "multimodal_image_resize",
-    "multimodal_audio_downsample",
-    "multimodal_image_near_dup",
-    "multimodal_video_motion",
-    "multimodal_audio_tempo",
-    "multimodal_image_ssim",
-    "multimodal_decode_errors",
-    "multimodal_image_phash",
-    "multimodal_audio_zcr",
+    # round-11 head (VERDICT r9 #1 / r10 #6 rotation, one round late): the
+    # 30 queued never-driver-gated queries — the 10 round-7 additions that
+    # never fit a window, the 13 round-8 additions, the 7 round-9 additions
+    # (each was 3-SF + vanilla oracle-gated at authoring time, with
+    # test_round8/test_round9 replay gates) — plus the first 20 r1-stamp
+    # re-gates in the documented burn-down order (sql tumbles, log_*,
+    # serving_* dashboards, join_* star joins, window_* rollups).
+    # Remaining burn-down after this round: state_new_visitor,
+    # state_uv_dedup, then the next-oldest r2/r3-stamp greens by family.
+    # The 50 round-9-window queries rotated out here all carry green
+    # CORRECTNESS_r09 AND CORRECTNESS_r10 rows.
+    "multimodal_image_integral",
+    "multimodal_image_morphology",
+    "multimodal_image_otsu",
+    "sample_stratified_kfold",
+    "sample_pass_at_k",
+    "sample_token_waterfill",
+    "sample_pps_estimator",
+    "sample_snake_shards",
+    "sample_padding_waste",
+    "sample_cluster_design",
+    "sim_pq_k1_identity",
+    "sim_ivfpq_residual_exact",
+    "serving_percentile_bands",
+    "serving_rfm_segments",
+    "sql_group_by_all",
+    "sql_recursive_cte",
+    "sql_session_variables",
+    "text_heaps_law",
+    "text_mrr_ndcg_eval",
+    "window_theil_sen_daily",
+    "multimodal_image_sobel",
+    "sample_purged_walkforward",
+    "warehouse_file_skew_audit",
+    "dedup_triangles",
+    "warehouse_zorder_prune",
+    "sim_novelty_knn",
+    "session_shapley",
+    "sim_mmr_rerank",
+    "sample_conformal_interval",
+    "serving_ab_power",
+    "sql_province_tumble",
+    "sql_keyword_tumble",
+    "log_props_extract",
+    "log_flag_rows",
+    "log_padzero_union",
+    "serving_gmv",
+    "serving_trademark_topn",
+    "serving_category_topn",
+    "serving_spu_topn",
+    "serving_province",
+    "serving_visitor",
+    "serving_hourly",
+    "serving_keyword_topn",
+    "join_order_wide",
+    "join_interval_payment",
+    "join_payment_wide",
+    "join_interval_order_detail",
+    "window_visitor_stats",
+    "window_product_stats",
+    "window_keyword_stats",
 ]
 
 

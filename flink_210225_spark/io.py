@@ -118,6 +118,29 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
         df.createOrReplaceTempView(name)
 
 
+def few_input_splits(df: DataFrame) -> bool:
+    """True when ``df``'s file scan arrives in too few splits to keep every
+    core busy — the guard that makes the ``_spread`` helpers (similarity /
+    text / multimodal / sampling / dedup.doc_shingles) SCALE-CONDITIONAL
+    (VERDICT r10 #2). Locally every fixture table is ONE parquet file (one
+    row group ⇒ one split), so explode/decode work downstream of a bare
+    scan runs on one task and a round-robin repartition is a big win. On a
+    real cluster the same scan arrives in thousands of file splits, and the
+    unconditional repartition was a FULL network pass of every corpus row —
+    pure added cost (guide §2.3/§2.4). File count is the cheap proxy for
+    split count: a source with ≥ defaultParallelism/2 files is split at
+    least that wide by the scanner (maxPartitionBytes can only split finer,
+    never merge across files). Non-file sources (checkpointed RDD scans,
+    in-memory frames) report no input files and keep the repartition —
+    the conservative local-mode behavior."""
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return True
+    threshold = max(1, df.sparkSession.sparkContext.defaultParallelism // 2)
+    return n_files < threshold
+
+
 def one_row_df(spark: SparkSession, cols: list[tuple]) -> DataFrame:
     """One-row DataFrame built entirely JVM-side (``range(1)`` + literal
     projections). The python-list ``createDataFrame([(...)])`` alternative

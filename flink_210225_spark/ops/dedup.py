@@ -112,10 +112,37 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     # locally, so the shingle explode + downstream hashing otherwise runs
     # single-threaded (r9 bench root-cause — same fix as multimodal._spread).
     # One exchange of (doc_id, text) rows buys every shingle consumer full
-    # parallelism; on a real cluster the scan already arrives split and
-    # this is a cheap rebalance.
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # parallelism. Scale-conditional (VERDICT r10 #2): on a real cluster
+    # the scan already arrives in thousands of splits and the repartition
+    # would be a full corpus network pass — skipped via few_input_splits.
+    from flink_210225_spark.io import few_input_splits
+
+    if few_input_splits(docs):
+        docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return docs.select("doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle"))
+
+
+def _spread_by_doc(docs: DataFrame) -> DataFrame:
+    """Hash-repartition the docs scan BY doc_id before a token explode that
+    feeds a ``groupBy(doc_id)`` aggregation (r11; the fix for the
+    single-task signature aggregations that round-robin ``_spread`` could
+    not touch). Round-robin is WRONG for those paths — the r10 NOTE at
+    ``simhash_signatures`` measured it: splitting a doc's tokens across N
+    partitions multiplies the 63-column partial-agg output ~N×. Hashing by
+    doc_id keeps every doc in ONE partition, so the partial output stays
+    |docs| rows, AND the downstream groupBy(doc_id) REUSES the partitioning
+    (hash(doc_id) satisfies the aggregation's clustered distribution) — the
+    explode and the wide vote aggregation run defaultParallelism-way with
+    NO second exchange. Scale-conditional like every spread: skipped when
+    the scan already arrives in many splits (io.few_input_splits) — at
+    100 TB the groupBy's own shuffle of |docs| narrow partial rows is far
+    cheaper than re-shuffling corpus text bytes."""
+    from flink_210225_spark.io import few_input_splits
+
+    if not few_input_splits(docs):
+        return docs
+    sess = docs.sparkSession
+    return docs.repartition(sess.sparkContext.defaultParallelism, "doc_id")
 
 
 def keep_best_dedup(tables: dict[str, DataFrame]) -> DataFrame:
@@ -1136,14 +1163,13 @@ def simhash_signatures(tables: dict[str, DataFrame]) -> DataFrame:
     therefore over 63 effective bits, and its band 3 covers bits 48-62 (15
     effective bits) — the ≥1-exact-band guarantee for hamming ≤ 3 still
     holds (4 disjoint bands, 3 flipped bits can dirty at most 3)."""
-    docs = tables["documents"]
-    # NOTE (r10, measured): do NOT _spread the docs scan here. The 63-vote
-    # groupBy(doc_id) has group cardinality == |docs| and 63 agg columns,
-    # so with N upstream partitions nearly every doc appears in every
-    # partial — the partial-agg output (and the shuffle) grows ~N×63 wide
-    # rows vs the single-split plan's one partial per doc (measured
-    # 3.2 -> 4.4 s at sf0.1). The doc_shingles spread wins only where the
-    # partial agg REDUCES (vocab-bounded groups) or there is no agg at all.
+    # NOTE (r10, measured): round-robin _spread REGRESSED here (3.2->4.4 s):
+    # the 63-vote groupBy(doc_id) has group cardinality == |docs|, so
+    # splitting a doc across N partitions grows the 63-wide partial-agg
+    # output ~N×. r11: _spread_by_doc instead — hash(doc_id) keeps each doc
+    # whole (partials stay |docs|) and the groupBy reuses the partitioning,
+    # so the explode + vote aggregation run fully parallel, one exchange.
+    docs = _spread_by_doc(tables["documents"])
     tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
     h = tok.withColumn("th", F.xxhash64("tok"))
     votes = [
@@ -1246,7 +1272,10 @@ def simhash_banded_md5(
     ONE aggregation pass (no explode-per-bit), in-bucket pair generation
     — the only data-sized shuffle is the (band, key) groupBy over 2^16
     buckets per band."""
-    docs = tables["documents"]
+    # _spread_by_doc: same single-task-explode fix as simhash_signatures —
+    # hash(doc_id) parallelizes the md5+63-vote pass without widening
+    # partials, and the groupBy(doc_id) reuses the partitioning.
+    docs = _spread_by_doc(tables["documents"])
     tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
     m = F.md5("tok")
     h = tok.select(

@@ -208,7 +208,14 @@ def _spread(df: DataFrame) -> DataFrame:
     and distributes evenly even for low-cardinality profile frames (24
     rows), where a hash key would collide partitions away. On a real
     cluster the scan already arrives in many splits; one extra exchange of
-    key-sized rows is noise next to the decode it parallelizes."""
+    key-sized rows is noise next to the decode it parallelizes — but at
+    100 TB the payload columns make that exchange a full network pass, so
+    it is scale-conditional (VERDICT r10 #2): skipped when the scan
+    already arrives in enough file splits (io.few_input_splits)."""
+    from flink_210225_spark.io import few_input_splits
+
+    if not few_input_splits(df):
+        return df
     sess = df.sparkSession
     return df.repartition(sess.sparkContext.defaultParallelism)
 

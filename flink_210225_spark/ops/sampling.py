@@ -704,9 +704,16 @@ def poisson_bootstrap(tables: dict[str, DataFrame]) -> DataFrame:
     # Repartition BEFORE the B-way explode: the fixture scan is one parquet
     # split locally, so the explode + per-row md5 otherwise runs on ONE core
     # (r10 wave 2; the doc_shingles/_spread discipline). One cheap exchange
-    # of (k, v) rows buys full parallelism for the 32× expansion; on a real
-    # cluster the scan already arrives split and this is a rebalance.
-    spread = base.repartition(orders.sparkSession.sparkContext.defaultParallelism)
+    # of (k, v) rows buys full parallelism for the 32× expansion.
+    # Scale-conditional (VERDICT r10 #2): skipped when the scan already
+    # arrives in enough file splits — see io.few_input_splits.
+    from flink_210225_spark.io import few_input_splits
+
+    spread = (
+        base.repartition(orders.sparkSession.sparkContext.defaultParallelism)
+        if few_input_splits(base)
+        else base
+    )
     b_col = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
     ex = spread.select("k", "v", b_col)
     h = F.conv(

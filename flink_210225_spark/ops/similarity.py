@@ -59,7 +59,14 @@ def _spread(df: DataFrame) -> DataFrame:
     arithmetic paths: kernels whose reductions are order-sensitive
     (ivf_assign / pq_train partial-sum folds feeding exact-hash twins
     like sim_pq_k1_identity) must NOT be spread — repartitioning reorders
-    their float partial sums and shifts centroids by ulps."""
+    their float partial sums and shifts centroids by ulps.
+
+    Scale-conditional (VERDICT r10 #2): skipped when the scan already
+    arrives in enough file splits — see io.few_input_splits."""
+    from flink_210225_spark.io import few_input_splits
+
+    if not few_input_splits(df):
+        return df
     sess = df.sparkSession
     return df.repartition(sess.sparkContext.defaultParallelism)
 
@@ -816,7 +823,7 @@ def diversity_coreset_cached(tables: dict[str, DataFrame], k: int = 10) -> DataF
     )
 
 
-def pq_train(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 2):
+def pq_train(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 2, base=None):
     """Product quantization (Jégou et al. 2011, "Product Quantization for
     Nearest Neighbor Search"): the embedding splits into ``m`` subvectors,
     each quantized against its own ``k``-centroid L2 codebook, giving
@@ -826,6 +833,13 @@ def pq_train(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 2):
     the residual-free vectors within them here; residual coding is a
     centroid subtraction away). Returns (codes DataFrame, codebook array
     of shape (m, k, dim/m)).
+
+    ``base``: optional PRE-PERSISTED (vec_id, embedding) frame injected by
+    callers that train several codebooks over the same input (ADVICE r10
+    #1 — the ivf ``trained=`` pattern). Concurrent pq_train calls each
+    persisting the IDENTICAL lineage share ONE CacheManager entry, so the
+    first finisher's unpersist() yanked the cache mid-Lloyd for the rest;
+    with an injected base this function neither persists nor unpersists.
 
     Same scale skeleton as ``ivf_assign``'s Lloyd loop: deterministic init
     (first ``k`` vectors' subvectors), input persisted across rounds, ALL
@@ -897,7 +911,9 @@ def pq_train(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 2):
 
         return code
 
-    base = emb.select("vec_id", "embedding").persist(StorageLevel.MEMORY_AND_DISK)
+    own_base = base is None
+    if own_base:
+        base = emb.select("vec_id", "embedding").persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(iters):
         pp = base.mapInPandas(
             make_partials(cent), "sub int, cell int, cnt long, s array<double>"
@@ -911,7 +927,8 @@ def pq_train(emb: DataFrame, m: int = 8, k: int = 16, iters: int = 2):
         new_cent = cent.copy()
         new_cent[hit] = sums[hit] / cnt[hit][:, None]
         cent = new_cent
-    base.unpersist()
+    if own_base:
+        base.unpersist()
     return (
         base.mapInPandas(
             make_code(cent), "vec_id long, codes array<int>, recon_mse double"
@@ -1614,19 +1631,25 @@ def ann_recall_audit(
     # collect every branch in its own thread. Same rows, same order.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        warm_e = pool.submit(exact.count)
-        warm_t = pool.submit(trained[0].count)
-        warm_e.result(), warm_t.result()
-        futs = [pool.submit(branch, name, fn) for name, fn in methods.items()]
-        got = [f.result() for f in futs]
-    # Row results materialized above; RELEASE both cached frames — the
-    # returned frame is built from driver-side rows, so unpersisting here
-    # cannot re-trigger the exact GEMM, and each audit invocation stops
-    # pinning a corpus-sized assignment block for the session lifetime
-    # (the leak ivf_assign's own comment warns about).
-    exact.unpersist()
-    trained[0].unpersist()
+    # try/finally (ADVICE r10 #2): if any threaded branch raises, the two
+    # corpus-sized cached frames must still be released — otherwise the
+    # failure path leaks exactly the session-lifetime blocks this audit's
+    # unpersist contract exists to prevent.
+    try:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            warm_e = pool.submit(exact.count)
+            warm_t = pool.submit(trained[0].count)
+            warm_e.result(), warm_t.result()
+            futs = [pool.submit(branch, name, fn) for name, fn in methods.items()]
+            got = [f.result() for f in futs]
+    finally:
+        # Row results materialized above; RELEASE both cached frames — the
+        # returned frame is built from driver-side rows, so unpersisting
+        # here cannot re-trigger the exact GEMM, and each audit invocation
+        # stops pinning a corpus-sized assignment block for the session
+        # lifetime (the leak ivf_assign's own comment warns about).
+        exact.unpersist()
+        trained[0].unpersist()
     schema, res = got[0][0], [r for _, r in got]
     return emb.sparkSession.createDataFrame(res, schema)
 
@@ -3877,7 +3900,7 @@ def pq_distortion_curve(tables: dict[str, DataFrame]) -> DataFrame:
     n_vec = emb.agg(F.count("*").cast("long")).scalar()
 
     def sweep_point(m):
-        codes, _cb = pq_train(emb, m=m)
+        codes, _cb = pq_train(emb, m=m, base=shared)
         return codes.agg(F.avg("recon_mse").alias("mse")).select(
             F.lit(m).cast("long").alias("m_subspaces"),
             F.lit(4 * m).cast("long").alias("bits_per_vector"),
@@ -3889,15 +3912,27 @@ def pq_distortion_curve(tables: dict[str, DataFrame]) -> DataFrame:
     # The three sweep points each run pq_train's per-round Lloyd actions
     # while being BUILT — overlap them (guide §2.6, the ann_recall_audit
     # discipline); var_mean/n_vec are lazy scalar subqueries, so the
-    # unioned plan collected below is identical.
+    # unioned plan collected below is identical. The (vec_id, embedding)
+    # base is persisted ONCE here and injected into every pq_train call
+    # (ADVICE r10 #1): the previous shape had each thread persist/unpersist
+    # the identical lineage — one shared CacheManager entry that the first
+    # finisher yanked mid-Lloyd for the other two. try/finally so the
+    # corpus-sized block is released even if a sweep thread raises
+    # (ADVICE r10 #2).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        rows = list(pool.map(sweep_point, (2, 4, 8)))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    res = sorted(out.collect(), key=lambda r: r["m_subspaces"])
+    from pyspark import StorageLevel
+
+    shared = emb.select("vec_id", "embedding").persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            rows = list(pool.map(sweep_point, (2, 4, 8)))
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        res = sorted(out.collect(), key=lambda r: r["m_subspaces"])
+    finally:
+        shared.unpersist()
     final = []
     prev = None
     for r in res:

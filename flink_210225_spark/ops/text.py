@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark import StorageLevel
+
 from flink_210225_spark.functions.scalars import round6
+
+# Corpus-scale multi-consumer checkpoints go to disk, not heap (VERDICT
+# r10 #4): replication-1 local blocks either way, but DISK_ONLY keeps a
+# 474-query bench session's storage memory flat while the reuse win stays.
+_DISK_ONLY = StorageLevel.DISK_ONLY
 
 TOKEN_SPLIT_RE = r"\s+"
 
@@ -43,7 +50,14 @@ def _spread(df: DataFrame) -> DataFrame:
     the scan already arrives in many splits and this is a cheap rebalance.
     Applied only where downstream aggregates are partition-order-safe
     (integer counts, or floored doubles re-verified vs the oracle at all
-    three SFs after the change)."""
+    three SFs after the change).
+
+    Scale-conditional (VERDICT r10 #2): skipped when the scan already
+    arrives in enough file splits — see io.few_input_splits."""
+    from flink_210225_spark.io import few_input_splits
+
+    if not few_input_splits(df):
+        return df
     sess = df.sparkSession
     return df.repartition(sess.sparkContext.defaultParallelism)
 
@@ -816,15 +830,28 @@ def langid_trigram(
         " THEN transform(sequence(1, length(t4) - 2), i -> substr(t4, i, 3))"
         " ELSE cast(array() as array<string>) END"
     )
-    # ONE trigram explode for both the profile counts and the per-doc
-    # distinct scoring set: (doc_id, tg) occurrences materialize once; the
-    # old shape exploded `tri` twice (occs for counts, base/doc_tri for
-    # scoring). doc_tri below = dropDuplicates of this frame, an exact
-    # identity with explode(array_distinct(tri)).
-    ex = head.select(
-        "doc_id", "lang", F.explode(tri).alias("tg")
-    ).localCheckpoint(eager=True)
-    counts = ex.groupBy("lang", "tg").agg(F.count("*").alias("ct"))
+    # ONE shared (doc_id, lang, tg) pre-aggregation feeds both the profile
+    # counts and the per-doc distinct scoring set (r11, VERDICT r10 #4: the
+    # r10 shape eagerly localCheckpoint-ed the per-OCCURRENCE explode — a
+    # corpus-token-scale materialization bought for ~0.1 s locally; this is
+    # the char_entropy lazy-shared pattern instead). Exact identities:
+    # counts = Σ per-doc occurrence counts (integer), and the grouped frame
+    # is already distinct per (doc_id, tg) — lang is functionally dependent
+    # on doc_id — so doc_tri needs no dropDuplicates. The two consumers
+    # share one Exchange (ReuseExchange); at scale nothing is pinned and
+    # the profile shuffle carries per-doc-distinct counts, not occurrences.
+    # _spread_by_doc: hash(doc_id) parallelizes the single-split explode
+    # AND keeps the (doc_id, lang, tg) partial aggs doc-local (partials
+    # stay per-doc-distinct sized; the agg reuses the partitioning).
+    from flink_210225_spark.ops.dedup import _spread_by_doc
+
+    per_doc = (
+        _spread_by_doc(head)
+        .select("doc_id", "lang", F.explode(tri).alias("tg"))
+        .groupBy("doc_id", "lang", "tg")
+        .agg(F.count("*").alias("ct"))
+    )
+    counts = per_doc.groupBy("lang", "tg").agg(F.sum("ct").alias("ct"))
     wdf = Window.partitionBy("tg")
     distinctive = counts.withColumn("tot", F.sum("ct").over(wdf)).filter(
         2 * F.col("ct") > F.col("tot")
@@ -835,7 +862,7 @@ def langid_trigram(
         .filter(F.col("rn") <= profile_k)
         .select(F.col("lang").alias("plang"), "tg")
     )
-    doc_tri = ex.select("doc_id", "tg").dropDuplicates(["doc_id", "tg"])
+    doc_tri = per_doc.select("doc_id", "tg")
     hits = (
         doc_tri.join(F.broadcast(profiles), "tg")
         .groupBy("doc_id", "plang")
@@ -1575,8 +1602,11 @@ def perplexity_filter(tables: dict[str, DataFrame]) -> DataFrame:
         # dtf feeds the LM re-agg, the w1 totals, the doc-side join, AND
         # (via the threshold scalar) a full replay — truncate lineage once
         # so the tokenize+explode+agg runs a single time (measured 6 doc
-        # scans without it)
-        .localCheckpoint(eager=True)
+        # scans without it). DISK_ONLY (r11, VERDICT r10 #4): dtf is
+        # corpus-scale (per-doc distinct bigrams), so a memory-resident
+        # checkpoint pins heap for the session-lifetime GC lag; disk blocks
+        # cost one local read-back and zero storage-memory pressure.
+        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     )
     lm = dtf.groupBy("w1", "w2").agg(F.sum("tf").alias("pair_ct"))
     w1_tot = lm.groupBy("w1").agg(F.sum("pair_ct").alias("w1_ct"))
@@ -5619,7 +5649,10 @@ def bleu_pairs(tables: dict[str, DataFrame]) -> DataFrame:
     # localCheckpoint: `pairs` has THREE consumers (both side_counts
     # explodes + the final join-back) — without it each consumer re-runs
     # the tokenize scan and the lang-keyed successor window (multi-consumer
-    # checkpoint discipline).
+    # checkpoint discipline). DISK_ONLY (r11, VERDICT r10 #4): pairs holds
+    # TWO full token arrays per row (~2× corpus bytes) — memory-resident
+    # blocks of that size pin heap for the session lifetime; disk blocks
+    # cost one local read-back per consumer and no storage-memory pressure.
     pairs = (
         base.select(
             "lang",
@@ -5629,7 +5662,7 @@ def bleu_pairs(tables: dict[str, DataFrame]) -> DataFrame:
             F.lead("toks").over(w).alias("cand"),
         )
         .where(F.col("cand").isNotNull())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     )
 
     def grams2(c: Column) -> Column:
@@ -6519,9 +6552,11 @@ def mrr_ndcg_eval(
     # the corpus re-tokenizes per branch (multi-consumer discipline).
     # _spread: the tokenize+bigram transform is the heavy per-row work and
     # otherwise materializes the checkpoint on the single local scan split
+    # DISK_ONLY (r11, VERDICT r10 #4): base holds tokens+bigrams arrays per
+    # doc (corpus-scale) — keep the 4-consumer reuse, drop the heap pin.
     base = _spread(docs).select(
         "doc_id", toks.alias("toks"), bigrams(raw).alias("bgs")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     q = base.where(F.col("doc_id") < num_queries).select(
         F.col("doc_id").alias("query_id"),
         F.col("toks").alias("qtoks"),
