@@ -2921,6 +2921,11 @@ def file_skew_audit(tables: dict[str, DataFrame]) -> DataFrame:
         F.count("*").cast("long").alias("n_files"),
         F.sum("footer_rows").cast("long").alias("footer_rows"),
     )
+    # NOTE (r11, tried and REVERTED): localCheckpoint-ing this two-consumer
+    # census (mean scalar + reconciliation join) measured 2.5 → 3.3-3.6 s —
+    # the eager materialization serializes a scan+agg job in front of work
+    # the lazy shape overlaps inside the final action (the same reason the
+    # r10 dedup_prefix_filter checkpoint regressed). Leave it lazy.
     data = base.groupBy("day").agg(F.count("*").cast("long").alias("data_rows"))
     mean_rows = data.agg(F.avg("data_rows")).scalar()
     return (
