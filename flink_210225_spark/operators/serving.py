@@ -397,6 +397,15 @@ def basket_triangles(tables: dict[str, DataFrame], min_support: int = 2) -> Data
         .agg(F.count("*").alias("t"))
     )
     one = e.sparkSession.range(1)
+    # NOTE (r11, tried and REVERTED): replacing these scalar subqueries
+    # with sequential driver collects measured 2.52 -> 3.08 s — over the
+    # CHECKPOINTED edge table each subquery pass is cheap, and Spark
+    # evaluates uncorrelated scalar subqueries CONCURRENTLY (each
+    # SubqueryExec materializes on the subquery thread pool), so the
+    # duplicate n_tri/n_wedges evaluations hide behind each other.
+    # Collect-and-literal only wins when the replayed subtree is a full
+    # corpus derivation (medallion_recon, pq_audit); here it serialized
+    # five cheap passes.
     n_wedges = nodes_wedges.select("n_wedges").scalar()
     n_tri = tri.select("t").scalar()
     r6 = round6

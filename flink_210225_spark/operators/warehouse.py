@@ -765,6 +765,11 @@ def bloom_index_probe(tables: dict[str, DataFrame]) -> DataFrame:
             )
         ).alias("p"),
     )
+    # localCheckpoint: the per-month word table is (months × ≤m/64)-sized
+    # and feeds TWO consumers (the probe equi-join and the month census
+    # below) — un-checkpointed, the month census re-derived the whole
+    # distinct+explode+bit_or pipeline over orders as its own scan (r11;
+    # plan had orders scanned 3×, now 2×).
     words = (
         ipos.select(
             "part_month",
@@ -775,9 +780,15 @@ def bloom_index_probe(tables: dict[str, DataFrame]) -> DataFrame:
         )
         .groupBy("part_month", "w")
         .agg(F.bit_or("bit").alias("bits"))
+        .localCheckpoint()
     )
-    probe = customer.select(F.col("c_custkey").alias("key")).where(
-        F.col("key") % 199 == 7
+    # localCheckpoint: the deterministic probe-key sliver (custkey ≡ 7 mod
+    # 199, ~0.5% of customer) feeds THREE consumers (ppos, the true-pair
+    # broadcast, the n_keys scalar) — each re-scanned customer.
+    probe = (
+        customer.select(F.col("c_custkey").alias("key"))
+        .where(F.col("key") % 199 == 7)
+        .localCheckpoint()
     )
     ph1, ph2 = h12(F.col("key"))
     ppos = probe.select(
@@ -810,7 +821,11 @@ def bloom_index_probe(tables: dict[str, DataFrame]) -> DataFrame:
     flags = hits.join(true_pairs, ["part_month", "key"], "full").fillna(
         False, ["bloom_pos", "is_true"]
     )
-    months = ins.select("part_month").distinct()
+    # months via the CHECKPOINTED word table, not a third orders scan: every
+    # distinct (part_month, key) row emits exactly k bloom positions (the
+    # transform always yields k elements), so the word table's month set ==
+    # ins's month set — an exact identity, oracle-gated.
+    months = words.select("part_month").distinct()
     n_keys = probe.agg(F.count("*")).scalar()
     per_month = flags.groupBy("part_month").agg(
         F.sum(F.col("bloom_pos").cast("long")).alias("n_bloom_pos"),
@@ -2677,48 +2692,80 @@ def medallion_recon(tables: dict[str, DataFrame]) -> DataFrame:
         (F.col("value") >= 0).alias("value_ok"),
         F.col("event_type").isin(*known).alias("type_ok"),
     )
-    n_bronze = parsed.agg(F.count("*").cast("long")).scalar()
-    n_bad_props = parsed.agg(
-        F.sum(F.when(~F.col("props_ok"), 1).otherwise(0)).cast("long")
-    ).scalar()
-    n_bad_value = parsed.agg(
-        F.sum(F.when(F.col("props_ok") & ~F.col("value_ok"), 1).otherwise(0)).cast(
-            "long"
-        )
-    ).scalar()
-    n_bad_type = parsed.agg(
-        F.sum(
-            F.when(
-                F.col("props_ok") & F.col("value_ok") & ~F.col("type_ok"), 1
-            ).otherwise(0)
-        ).cast("long")
-    ).scalar()
+    # THREE explicit passes instead of eight scalar SUBQUERIES (r11, guide
+    # §1.2/§2.4): each .scalar() embedded its own subquery in the final
+    # 1-row plan and ReuseSubquery deduplicated none of them — the plan
+    # scanned events 17× (the censuses once each, the clean→silver→gold
+    # chain re-derived per scalar; measured 2.4 s vs ~1.1 s pin). The five
+    # bronze-side censuses fold into ONE conditional aggregate (they were
+    # always mutually exclusive cases of one scan — the docstring's scale
+    # claim, now true); silver and gold keep their OWN passes so the
+    # ledger's reconciliation identities stay independently measured, not
+    # algebraically folded away. Values and schema are byte-identical.
     clean = parsed.where("props_ok AND value_ok AND type_ok")
     silver = clean.groupBy("user_id", "event_type", "value", "day").agg(
         F.count("*").cast("long").alias("dup_ct")
     )
-    n_clean = clean.agg(F.count("*").cast("long")).scalar()
-    n_silver = silver.agg(F.count("*").cast("long")).scalar()
     gold = silver.groupBy("day").agg(F.count("*").cast("long").alias("n"))
-    n_gold_rows = gold.agg(F.count("*").cast("long")).scalar()
-    n_gold_mass = gold.agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long")).scalar()
+    # The three passes have no data dependencies between them — collect
+    # them from a small thread pool (guide §2.6, the lsh_family_audit
+    # pattern) so the fixture-scale wall stays max(pass), not Σ(passes);
+    # the old one-job subquery plan got that overlap for free, which is
+    # the only thing it did well.
+    from concurrent.futures import ThreadPoolExecutor
+
+    bronze_agg = parsed.agg(
+        F.count("*").cast("long").alias("n_bronze"),
+        F.sum(F.when(~F.col("props_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad_props"),
+        F.sum(F.when(F.col("props_ok") & ~F.col("value_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad_value"),
+        F.sum(
+            F.when(F.col("props_ok") & F.col("value_ok") & ~F.col("type_ok"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_bad_type"),
+        F.sum(
+            F.when(F.col("props_ok") & F.col("value_ok") & F.col("type_ok"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_clean"),
+    )
+    gold_agg = gold.agg(
+        F.count("*").cast("long").alias("rows"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("mass"),
+    )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_bronze = pool.submit(lambda: bronze_agg.collect()[0])
+        f_silver = pool.submit(lambda: silver.agg(F.count("*")).collect()[0][0])
+        f_gold = pool.submit(lambda: gold_agg.collect()[0])
+        bronze_row, n_silver, gold_row = (
+            f_bronze.result(), int(f_silver.result()), f_gold.result()
+        )
+    n_bronze = int(bronze_row["n_bronze"])
+    n_bad_props = int(bronze_row["n_bad_props"])
+    n_bad_value = int(bronze_row["n_bad_value"])
+    n_bad_type = int(bronze_row["n_bad_type"])
+    n_clean = int(bronze_row["n_clean"])
+    n_gold_rows = int(gold_row["rows"])
+    n_gold_mass = int(gold_row["mass"])
     return tables["events"].sparkSession.range(1).select(
-        n_bronze.alias("bronze_rows"),
-        n_bad_props.alias("rejected_props"),
-        n_bad_value.alias("rejected_value"),
-        n_bad_type.alias("rejected_type"),
-        (n_clean - n_silver).alias("deduped_rows"),
-        n_silver.alias("silver_rows"),
-        n_gold_rows.alias("gold_rows"),
-        (
-            n_bad_props
-            + n_bad_value
-            + n_bad_type
-            + (n_clean - n_silver)
-            + n_silver
+        F.lit(n_bronze).cast("long").alias("bronze_rows"),
+        F.lit(n_bad_props).cast("long").alias("rejected_props"),
+        F.lit(n_bad_value).cast("long").alias("rejected_value"),
+        F.lit(n_bad_type).cast("long").alias("rejected_type"),
+        F.lit(n_clean - n_silver).cast("long").alias("deduped_rows"),
+        F.lit(n_silver).cast("long").alias("silver_rows"),
+        F.lit(n_gold_rows).cast("long").alias("gold_rows"),
+        F.lit(
+            n_bad_props + n_bad_value + n_bad_type + (n_clean - n_silver) + n_silver
             == n_bronze
         ).alias("ledger_balances"),
-        (n_gold_mass == n_silver).alias("gold_covers_silver"),
+        F.lit(n_gold_mass == n_silver).alias("gold_covers_silver"),
     )
 
 

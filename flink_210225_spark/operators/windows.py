@@ -3775,6 +3775,12 @@ def theil_sen_daily(tables: dict[str, DataFrame]) -> DataFrame:
     435 rows. The day-rank window sorts the DAILY frame (day-count-
     bounded), never raw events."""
     ev = tables["events"]
+    # localCheckpoint: the |days|-row daily aggregate feeds SEVEN
+    # derivations (mn/n scalar subqueries — n twice —, the slope pipeline
+    # referenced by TWO consumers through slope_med, icept_med, and the
+    # final agg), and ReuseSubquery dedups none of them: un-checkpointed,
+    # every one replayed the full events scan+agg (r11, the
+    # medallion_recon lesson). One scan, then day-count-sized work only.
     daily = (
         ev.where(F.col("event_type") == "purchase")
         .groupBy(F.to_date("ts").alias("day"))
@@ -3783,6 +3789,7 @@ def theil_sen_daily(tables: dict[str, DataFrame]) -> DataFrame:
             .cast("long")
             .alias("y")
         )
+        .localCheckpoint()
     )
     mn = daily.agg(F.min("day")).scalar()
     n = daily.agg(F.count("*")).scalar()

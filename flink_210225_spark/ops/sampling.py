@@ -2170,6 +2170,12 @@ def cluster_design(tables: dict[str, DataFrame], n_clusters: int = 40) -> DataFr
     the systematic draw is a rank window over user ids (two-phase
     range-partitioned at 100 TB, the PPS posture)."""
     ev = tables["events"]
+    # localCheckpoint: the |users|-row cluster-moment table feeds FIVE
+    # derivations (the n_users scalar, the two sampled-census scalars —
+    # each re-deriving the rank window —, and the ANOVA aggregate), and
+    # ReuseSubquery dedups none of them: un-checkpointed, every one
+    # replayed the full events scan+agg (r11, the medallion_recon lesson;
+    # same frame class as importance_resample's accepted checkpoint).
     per_u = ev.groupBy("user_id").agg(
         F.count("*").cast("long").alias("m"),
         F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("s"),
@@ -2179,8 +2185,8 @@ def cluster_design(tables: dict[str, DataFrame], n_clusters: int = 40) -> DataFr
             F.floor(F.col("value") * 100 + 0.5).cast("decimal(38,0)")
             * F.floor(F.col("value") * 100 + 0.5)
         ).alias("ss"),
-    )
-    n_users = per_u.agg(F.count("*").cast("long")).scalar()
+    ).localCheckpoint()
+    n_users = F.lit(int(per_u.agg(F.count("*")).collect()[0][0])).cast("long")
     w = Window.orderBy(F.md5(F.col("user_id").cast("string")), "user_id")
     ranked = per_u.withColumn("rk", F.row_number().over(w) - 1)
     sampled = ranked.where(
@@ -2213,10 +2219,14 @@ def cluster_design(tables: dict[str, DataFrame], n_clusters: int = 40) -> DataFr
     stats = g.select(
         "k", "n", icc.alias("icc"), (nd / kd).alias("mbar")
     )
-    n_sampled_users = sampled.agg(F.count("*").cast("long")).scalar()
-    n_sampled_events = sampled.agg(
-        F.coalesce(F.sum("m"), F.lit(0)).cast("long")
-    ).scalar()
+    # ONE pass over the sampled sliver for both censuses (two .scalar()
+    # subqueries each replayed the rank window)
+    srow = sampled.agg(
+        F.count("*").cast("long").alias("u"),
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("e"),
+    ).collect()[0]
+    n_sampled_users = F.lit(int(srow["u"])).cast("long")
+    n_sampled_events = F.lit(int(srow["e"])).cast("long")
     return stats.select(
         F.col("k").alias("n_users_total"),
         F.col("n").alias("n_events_total"),

@@ -1676,30 +1676,31 @@ def semantic_dedup_audit(
 
     ex = embedding_near_dups_blocked(tables, threshold).select("vec_a", "vec_b")
     sd = semantic_dedup(tables, n_cells, n_probe, threshold).select("vec_a", "vec_b")
-    j = ex.join(sd.withColumn("hit", F.lit(1)), ["vec_a", "vec_b"], "left")
+    # ONE full-outer join + ONE aggregate, then stack() into the 3-row
+    # long-form frame (r11, guide §1.2/§2.4). The previous shape — a 3-way
+    # union of two aggs over (ex LEFT JOIN sd) and (sd ANTI JOIN ex) —
+    # re-derived the exact blocked GEMM and the cell-blocked kernel once
+    # per branch (plan: embeddings scanned 8×); the three counts are plain
+    # set algebra over one full-outer join of the two unique pair sets:
+    #   n = |ex|, h = |ex ∩ sd|, x = |sd \ ex| — identical values.
+    j = ex.withColumn("e", F.lit(1)).join(
+        sd.withColumn("s", F.lit(1)), ["vec_a", "vec_b"], "full_outer"
+    )
     a = j.agg(
-        F.count("*").alias("n"),
-        F.sum(F.coalesce("hit", F.lit(0))).alias("h"),
+        F.sum(F.coalesce("e", F.lit(0))).alias("n"),
+        F.sum(
+            F.when(F.col("e").isNotNull() & F.col("s").isNotNull(), 1).otherwise(0)
+        ).alias("h"),
+        F.sum(
+            F.when(F.col("s").isNotNull() & F.col("e").isNull(), 1).otherwise(0)
+        ).alias("x"),
     )
-    extras = sd.join(ex, ["vec_a", "vec_b"], "left_anti").agg(
-        F.count("*").alias("x")
-    )
-    return (
-        a.select(
-            F.lit("n_exact_pairs").alias("metric"),
-            F.col("n").cast("long").alias("value"),
-        )
-        .unionByName(
-            a.select(
-                F.lit("recall_ok").alias("metric"),
-                (F.col("h") / F.col("n") >= recall_floor).cast("long").alias("value"),
-            )
-        )
-        .unionByName(
-            extras.select(
-                F.lit("extras").alias("metric"),
-                F.col("x").cast("long").alias("value"),
-            )
+    return a.select(
+        F.expr(
+            "stack(3,"
+            " 'n_exact_pairs', cast(n as long),"
+            f" 'recall_ok', cast((h / n >= {recall_floor!r}) as long),"
+            " 'extras', cast(x as long)) AS (metric, value)"
         )
     )
 
@@ -1734,8 +1735,14 @@ def pq_audit(tables: dict[str, DataFrame]) -> DataFrame:
     res = residual_vectors(assigned, coarse)
     codes_res, _cbr = pq_train(res.select("vec_id", "embedding"))
 
-    mse_raw = codes_raw.agg(F.avg("recon_mse").alias("v")).scalar()
-    mse_res = codes_res.agg(F.avg("recon_mse").alias("v")).scalar()
+    # Driver-side collects, NOT .scalar() subqueries (r11, the
+    # medallion_recon lesson): ReuseSubquery dedups none of these, so the
+    # subquery form re-ran an Arrow coding pass per USE at action time —
+    # mse_raw appears in BOTH booleans, so the raw coding pass executed
+    # twice plus once for the residual and once for the baseline. Three
+    # explicit passes, same values, literals in the returned row.
+    mse_raw = codes_raw.agg(F.avg("recon_mse").alias("v")).collect()[0]["v"]
+    mse_res = codes_res.agg(F.avg("recon_mse").alias("v")).collect()[0]["v"]
     # baseline: mean over dims of per-dim population variance == MSE of
     # coding every vector as the corpus mean vector
     var_mean = (
@@ -1743,12 +1750,12 @@ def pq_audit(tables: dict[str, DataFrame]) -> DataFrame:
         .groupBy("pos")
         .agg(F.var_pop(F.col("val").cast("double")).alias("v"))
         .agg(F.avg("v").alias("v"))
-        .scalar()
+        .collect()[0]["v"]
     )
     return emb.agg(F.count("*").cast("long").alias("n_vectors")).select(
         "n_vectors",
-        (mse_raw * 1.3 < var_mean).alias("raw_beats_mean"),
-        (mse_res < mse_raw).alias("residual_improves"),
+        (F.lit(mse_raw) * 1.3 < F.lit(var_mean)).alias("raw_beats_mean"),
+        (F.lit(mse_res) < F.lit(mse_raw)).alias("residual_improves"),
     )
 
 
