@@ -566,7 +566,14 @@ def state_reconciliation(tables: dict[str, DataFrame]) -> DataFrame:
     the dim key, no row-sized state."""
     c = tables["customer"]
     bal = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
-    base = c.select("c_custkey", "c_mktsegment", bal.alias("bal_cents"))
+    # localCheckpoint (r11): base feeds all four log arms, and fold/s4 are
+    # each re-derived by THREE consumers (the two anti-join count
+    # subqueries + the rollup) — un-checkpointed the plan scanned customer
+    # 27x. base is |customer| rows x 3 narrow columns; with it pinned the
+    # replayed machinery above it is key-sized joins only.
+    base = c.select(
+        "c_custkey", "c_mktsegment", bal.alias("bal_cents")
+    ).localCheckpoint()
     # path A: reuse the compactor's exact log + fold
     # (rebuild the same log arms here so the two paths share inputs)
     ins = base.select(

@@ -247,7 +247,12 @@ def rfm_segments(tables: dict[str, DataFrame]) -> DataFrame:
     at 100 TB swap ``approx_percentile`` in for the cut computation (the
     only all-rows aggregate here) and the rest of the plan is unchanged."""
     o = tables["orders"]
-    ref = o.agg(F.max("o_orderdate").alias("d")).scalar()
+    # localCheckpoint + ref from the checkpoint (r11, the medallion
+    # lesson): melted feeds TWO consumers (the cuts aggregate and the
+    # scored join) and the ref scalar subquery replayed per use — the plan
+    # scanned orders 14x with 22 subqueries. per_cust is |customers| rows;
+    # ref = max(o_orderdate) = max over customers of last_order, so the
+    # reference date reads the checkpoint, not a second orders scan.
     per_cust = (
         o.groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
@@ -257,7 +262,11 @@ def rfm_segments(tables: dict[str, DataFrame]) -> DataFrame:
             .cast("long")
             .alias("m_cents"),
         )
-        .withColumn("r_val", F.datediff(ref, F.col("last_order")).cast("long"))
+        .localCheckpoint()
+    )
+    ref = per_cust.agg(F.max("last_order")).collect()[0][0]
+    per_cust = per_cust.withColumn(
+        "r_val", F.datediff(F.lit(ref), F.col("last_order")).cast("long")
     )
     melted = per_cust.selectExpr(
         "custkey", "stack(3, 'r', r_val, 'f', f_val, 'm', m_cents) AS (metric, value)"
@@ -2613,6 +2622,11 @@ def theil_index(tables: dict[str, DataFrame]) -> DataFrame:
     totals. The per-customer ln never leaves the segment partial."""
     o = tables["orders"]
     c = tables["customer"]
+    # localCheckpoint + one collected totals pass (r11): the n_all/t_all
+    # scalars appeared in mu_ratio (x2 inside the segment agg), the share
+    # algebra, t_total and the output row, and every use replayed the
+    # orders-scan+join — the plan scanned orders and customer 18x each
+    # with 34 subqueries. rev is |customers| rows x 3 columns.
     rev = (
         o.groupBy("o_custkey")
         .agg(
@@ -2624,11 +2638,17 @@ def theil_index(tables: dict[str, DataFrame]) -> DataFrame:
             F.broadcast(c.select("c_custkey", "c_mktsegment")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
+        .localCheckpoint()
     )
-    n_all = rev.agg(F.count("*").cast("long")).scalar()
-    t_all = rev.agg(F.sum("x").cast("long")).scalar()
+    tot = rev.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("t")
+    ).collect()[0]
+    n_all_i, t_all_i = int(tot["n"]), int(tot["t"])
+    n_all = F.lit(n_all_i).cast("long")
+    t_all = F.lit(t_all_i).cast("long")
     # per-customer term of N·T: (x/μ)·ln(x/μ) summed — spelled over exact
-    # integer ratios: ln(x·N/T) with N, T scalar-subquery BIGINTs
+    # integer ratios: ln(x·N/T) with N, T now literal BIGINTs (identical
+    # doubles after the cast: counts/cents sit far below 2^53)
     mu_ratio = F.col("x").cast("double") * n_all.cast("double") / t_all.cast(
         "double"
     )
@@ -3597,14 +3617,20 @@ def rfm_quartile_census(tables: dict[str, DataFrame]) -> DataFrame:
     once per metric — rank-threshold selection, not a global per-row
     ntile."""
     o = tables["orders"]
+    # localCheckpoint + anchor off the checkpoint (r11, the medallion
+    # lesson): cust feeds FOUR derivations (three threshold windows + the
+    # scored projection) and the anchor subquery replayed inside each —
+    # the plan scanned orders 14x with 22 subqueries. per is |customers|
+    # rows; anchor = max(last_day) == max(o_orderdate), read off the
+    # checkpoint instead of a second orders scan.
     per = o.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_day"),
         F.count("*").cast("long").alias("freq"),
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
         .cast("long")
         .alias("cents"),
-    )
-    anchor = per.agg(F.max("last_day")).scalar()  # uncorrelated scalar subquery
+    ).localCheckpoint()
+    anchor = F.lit(per.agg(F.max("last_day")).collect()[0][0])
     cust = per.select(
         "o_custkey",
         F.datediff(anchor, F.col("last_day")).cast("long").alias("recency"),

@@ -1278,19 +1278,26 @@ def return_gaps(tables: dict[str, DataFrame]) -> DataFrame:
         .cast("long")
         .alias("gap_min"),
     ).where(F.col("gap_min").isNotNull())
-    n = gaps.agg(F.count("*").cast("long")).scalar()
+    # localCheckpoint + literal n (r11, the theil_sen/medallion lesson):
+    # the n scalar fed FIVE uses (n_gaps + the four percentile targets) and
+    # ReuseSubquery dedups none of them — every use replayed the whole
+    # sessionize pipeline (plan scanned events 18x). gaps is session-count
+    # rows × 2 narrow columns, far smaller than events.
+    gaps = gaps.localCheckpoint()
+    n = int(gaps.agg(F.count("*")).collect()[0][0])
     wr = Window.orderBy("gap_min")
     ranked = gaps.select("user_id", "gap_min", F.row_number().over(wr).alias("rk"))
 
     def pct(q_num: int, q_den: int):
-        # exact discrete percentile: value at rank ceil(q·n)
-        target = ((n * q_num) + q_den - 1) / q_den  # ceil via int arithmetic
+        # exact discrete percentile: value at rank ceil(q·n), the ceil now
+        # exact Python int arithmetic instead of a double-divide Column
+        target = (n * q_num + q_den - 1) // q_den
         return F.max(
-            F.when(F.col("rk") == target.cast("long"), F.col("gap_min"))
+            F.when(F.col("rk") == F.lit(target), F.col("gap_min"))
         )
 
     return ranked.agg(
-        n.alias("n_gaps"),
+        F.lit(n).cast("long").alias("n_gaps"),
         F.countDistinct("user_id").cast("long").alias("n_returning_users"),
         F.min("gap_min").cast("long").alias("min_gap_min"),
         F.max("gap_min").cast("long").alias("max_gap_min"),

@@ -2058,17 +2058,40 @@ def fk_inference(tables: dict[str, DataFrame]) -> DataFrame:
         ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
         ("orders.o_orderkey->customer.c_custkey", "orders", "o_orderkey", "customer", "c_custkey"),
     ]
+    # Parent-key stats: ONE collected (count, countDistinct) pass per
+    # UNIQUE parent column instead of two scalar subqueries per candidate
+    # (r11 — the subquery pair replayed the parent scan per use and per
+    # boolean: 20 scans / 20 subqueries in the plan; customer was profiled
+    # twice for its two candidates). The containment joins stay a lazy
+    # 5-branch union so they evaluate concurrently in the one action.
+    from concurrent.futures import ThreadPoolExecutor
+
+    uniq = []
+    for _, _, _, pt, pc in cands:
+        if (pt, pc) not in uniq:
+            uniq.append((pt, pc))
+
+    def _pstats(pt: str, pc: str) -> bool:
+        r = (
+            tables[pt]
+            .agg(
+                F.count("*").cast("long").alias("a"),
+                F.countDistinct(pc).cast("long").alias("d"),
+            )
+            .collect()[0]
+        )
+        return int(r["a"]) == int(r["d"])
+
+    # 4-thread pool (the medallion pattern): sequential collects measured
+    # 1.62 -> 2.06 s (the basket_triangles serialization trap); pooled,
+    # the four profile passes overlap like the old subqueries did.
+    with ThreadPoolExecutor(max_workers=len(uniq)) as pool:
+        futs = {k: pool.submit(_pstats, *k) for k in uniq}
+        parent_stats = {k: f.result() for k, f in futs.items()}
     outs = []
     for name, ct, cc, pt, pc in cands:
         child = tables[ct].select(F.col(cc).alias("v")).distinct()
-        parent_all = tables[pt].select(F.col(pc).alias("v"))
-        parent = parent_all.distinct()
-        # parent-key stats ride as scalar subqueries (the analyze_stats
-        # shape), never a 1-row cross join (which would plan a BNLJ)
-        p_rows = parent_all.agg(F.count("*").cast("long").alias("a")).scalar()
-        p_distinct = parent_all.agg(
-            F.countDistinct("v").cast("long").alias("a")
-        ).scalar()
+        parent = tables[pt].select(F.col(pc).alias("v")).distinct()
         joined = child.join(
             parent.withColumn("hit", F.lit(1)), "v", "left"
         ).agg(
@@ -2086,7 +2109,7 @@ def fk_inference(tables: dict[str, DataFrame]) -> DataFrame:
                     * 1000000
                     + 0.5
                 ).cast("long").alias("containment_micro"),
-                (p_rows == p_distinct).alias("parent_unique"),
+                F.lit(parent_stats[(pt, pc)]).alias("parent_unique"),
             )
         )
     out = outs[0]

@@ -3509,52 +3509,62 @@ def ljung_box(tables: dict[str, DataFrame], max_lag: int = 7) -> DataFrame:
     Scale: one day agg; lags via 7 window lags over the daily frame —
     calendar-bounded."""
     ev = tables["events"]
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("x")
+    # localCheckpoint + driver-side finish (r11, the theil_sen/medallion
+    # lesson): n/mean rode as scalar subqueries inside dev, and the 8-row
+    # union re-derived the dev→prods→agg pipeline PER BRANCH — the plan
+    # scanned events 33x with 35 subqueries. Now: one events scan into the
+    # |days|-row checkpoint, ONE stats pass, ONE covariance pass, and the
+    # 8 output rows are exact double arithmetic over the collected c_k
+    # (same IEEE ops in the same association order as the Column form).
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("x"))
+        .localCheckpoint()
     )
-    n_col = daily.agg(F.count("*").cast("long")).scalar()
-    mean = daily.agg(F.sum("x").cast("double") / F.count("*")).scalar()
+    st = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("x").cast("double") / F.count("*")).alias("mean"),
+    ).collect()[0]
+    n_days = int(st["n"])
+    mean = float(st["mean"]) if st["mean"] is not None else 0.0
     w = Window.orderBy("day")
     dev = daily.select(
-        "day", (F.col("x").cast("double") - mean).alias("d")
+        "day", (F.col("x").cast("double") - F.lit(mean)).alias("d")
     )
     lag_cols = [
         (F.col("d") * F.lag("d", k).over(w)).alias(f"p{k}")
         for k in range(1, max_lag + 1)
     ]
     prods = dev.select("d", *lag_cols)
-    agg = prods.agg(
+    c = prods.agg(
         F.sum(F.col("d") * F.col("d")).alias("c0"),
         *[F.sum(f"p{k}").alias(f"c{k}") for k in range(1, max_lag + 1)],
-    )
+    ).collect()[0]
+    import math
+
+    def micro(v: float | None) -> int | None:
+        return None if v is None else int(math.floor(v * 1000000 + 0.5))
+
     rows = []
     q_terms = []
+    c0 = c["c0"]
     for k in range(1, max_lag + 1):
-        rho = F.col(f"c{k}") / F.col("c0")
-        q_terms.append(rho * rho / (n_col.cast("double") - k))
-        rows.append(
-            agg.select(
-                F.lit(k).cast("long").alias("lag"),
-                n_col.alias("n_days"),
-                F.floor(rho * 1000000 + 0.5).cast("long").alias("stat_micro"),
-            )
-        )
-    q = (
-        n_col.cast("double")
-        * (n_col.cast("double") + 2.0)
-        * sum(q_terms[1:], q_terms[0])
+        ck = c[f"c{k}"]
+        rho = None if c0 is None or ck is None else ck / c0
+        if rho is not None:
+            q_terms.append(rho * rho / (float(n_days) - k))
+        rows.append((k, n_days, micro(rho)))
+    if len(q_terms) == max_lag:
+        s = q_terms[0]
+        for t in q_terms[1:]:
+            s = s + t
+        q = float(n_days) * (float(n_days) + 2.0) * s
+    else:
+        q = None
+    rows.append((-1, n_days, micro(q)))
+    return ev.sparkSession.createDataFrame(
+        rows, "lag long, n_days long, stat_micro long"
     )
-    rows.append(
-        agg.select(
-            F.lit(-1).cast("long").alias("lag"),
-            n_col.alias("n_days"),
-            F.floor(q * 1000000 + 0.5).cast("long").alias("stat_micro"),
-        )
-    )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
 
 
 QUERIES["window_ljung_box"] = ljung_box

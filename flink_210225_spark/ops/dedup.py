@@ -432,7 +432,11 @@ def excise_contaminated(
     tok))) per doc — the shuffle is contaminated-docs sized, not corpus
     sized, because the token explode is semi-joined to affected docs
     first."""
-    spans = contamination_spans(tables, bench_source, n)
+    # localCheckpoint (r11): spans feeds THREE consumers (affected, bad,
+    # totals) and each replayed the whole detect pipeline — two shingle
+    # explodes + the island windows (plan scanned documents 7x). The span
+    # table is contaminated-sliver sized (Σ islands rows, 5 columns).
+    spans = contamination_spans(tables, bench_source, n).localCheckpoint()
     docs = tables["documents"]
     affected = spans.select("doc_id").distinct()
     toks = (

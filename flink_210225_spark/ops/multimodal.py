@@ -3222,8 +3222,16 @@ def image_near_dup_groups(tables: dict[str, DataFrame]) -> DataFrame:
             )
 
     hashed = _spread(base).mapInPandas(gen, "doc_id long, h_lo long, h_hi long")
-    prof = hashed.groupBy("h_lo", "h_hi").agg(
-        F.count("*").cast("long").alias("cnt")
+    # localCheckpoint (r11, the video_keyframes/image_histogram class):
+    # prof feeds FOUR derivations (both self-join sides via bands, selfp,
+    # and allp is itself consumed 3x) and Pandas subtrees defeat
+    # ReuseExchange — un-checkpointed, the PNG encode→decode Arrow pass
+    # over every document replayed per consumer (plan scanned documents
+    # 8x). prof is |distinct hash profiles| rows — trivially small.
+    prof = (
+        hashed.groupBy("h_lo", "h_hi")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
     )
     # pid is an internal ordering/grouping key: h_hi can use bit 31, so the
     # packed value needs 33+32 bits — decimal(20,0), never a signed long

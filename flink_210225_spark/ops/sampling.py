@@ -2319,10 +2319,16 @@ def purged_walkforward(
     pass computing every fold's train/test census and train-max
     simultaneously — no per-fold rescan, no row fan-out, no BNLJ."""
     ev = tables["events"]
-    lo = ev.agg(F.min(F.to_date("ts"))).scalar()
-    hi = ev.agg(F.max(F.to_date("ts"))).scalar()
-    span = F.datediff(hi, lo) + F.lit(1)
-    off = F.datediff(F.to_date("ts"), lo).cast("long")
+    # ONE collected pass for both bounds (r11): lo/hi rode as scalar
+    # subqueries inside tagged, and the 5-fold union re-derived the whole
+    # tagged→wide pipeline per branch — the plan scanned events 25x with
+    # 40 subqueries. Bounds and span are exact date/int arithmetic.
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    ).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    span = F.lit((hi - lo).days + 1)
+    off = F.datediff(F.to_date("ts"), F.lit(lo)).cast("long")
     # fold band of a day offset: ceil((off+1) * n / span) in 1..n
     band = F.ceil((off + F.lit(1)) * F.lit(n_folds) / span).cast("long")
     tagged = ev.select(off.alias("off"), band.alias("band"))
@@ -2349,28 +2355,28 @@ def purged_walkforward(
             .cast("long")
             .alias(f"test_{f}")
         )
-    wide = tagged.agg(*aggs)
+    # collect the 1-row census ONCE and unroll driver-side — the previous
+    # 5-branch union replayed the whole conditional-aggregation pass (and
+    # its embedded bound subqueries) per fold. Pure integer arithmetic,
+    # None semantics mirrored (NULL comparison -> NULL leak_ok).
+    wrow = tagged.agg(*aggs).collect()[0]
     rows = []
     for f in range(1, n_folds + 1):
         tl = t_lo_by_fold.get(f)
-        rows.append(
-            wide.select(
-                F.lit(f).cast("long").alias("fold"),
-                F.col(f"train_{f}").alias("n_train"),
-                F.col(f"test_{f}").alias("n_test"),
-                F.col(f"trmax_{f}").cast("long").alias("train_max_off"),
-                F.lit(tl).cast("long").alias("test_min_off"),
-                (
-                    F.coalesce(F.col(f"trmax_{f}"), F.lit(-(10**9)))
-                    + F.lit(gap_days)
-                    < F.lit(tl)
-                ).alias("leak_ok"),
-            )
+        trmax = wrow[f"trmax_{f}"]
+        leak_ok = (
+            None
+            if tl is None
+            else ((trmax if trmax is not None else -(10**9)) + gap_days < tl)
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+        rows.append(
+            (f, wrow[f"train_{f}"], wrow[f"test_{f}"], trmax, tl, leak_ok)
+        )
+    return ev.sparkSession.createDataFrame(
+        rows,
+        "fold long, n_train long, n_test long, train_max_off long,"
+        " test_min_off long, leak_ok boolean",
+    )
 
 
 QUERIES["sample_purged_walkforward"] = purged_walkforward

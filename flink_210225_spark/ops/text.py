@@ -1474,9 +1474,16 @@ def bloom_contamination(
         h2 = F.pmod(F.conv(F.substring(md, 16, 15), 16, 10).cast("long"), F.lit(m))
         return h1, h2
 
-    b_sh = bench.select(
-        F.explode(shingles_col(F.col("text"), n)).alias("shingle")
-    ).distinct()
+    # localCheckpoint (r11): b_sh feeds TWO consumers (the bitset fold
+    # collected below and the exact-verify broadcast) — un-checkpointed,
+    # the bench-side shingle explode+distinct replayed for the verify
+    # join. The set is broadcastable-sized by this op's own construction
+    # (it broadcasts into the verify join); the checkpoint is that frame.
+    b_sh = (
+        bench.select(F.explode(shingles_col(F.col("text"), n)).alias("shingle"))
+        .distinct()
+        .localCheckpoint()
+    )
     bh1, bh2 = h12("shingle")
     pos = b_sh.select(
         F.explode(
@@ -1548,9 +1555,18 @@ def bloom_contamination(
         F.count("*").alias("n_shingles"),
         F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("bloom_hits"),
     )
-    cand = per_doc.filter(F.col("bloom_hits") > 0)
+    # localCheckpoint (r11): cand feeds TWO consumers (the exact-verify
+    # semi-join and the output's left join) — un-checkpointed, the whole
+    # corpus probe pass (explode + md5 + k bitset lookups) replayed per
+    # consumer. cand is the flagged sliver.
+    cand = per_doc.filter(F.col("bloom_hits") > 0).localCheckpoint()
+    # Exact verify explodes ONLY the candidate docs: the semi-join moves
+    # BELOW the shingle explode (join on doc_id commutes with the per-row
+    # explode — identical (doc_id, shingle) multiset), so the second
+    # corpus-wide explode becomes sliver-sized (guide §2.2).
     exact = (
-        c_sh.join(cand.select("doc_id"), "doc_id")
+        corpus.join(cand.select("doc_id"), "doc_id")
+        .select("doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle"))
         .join(F.broadcast(b_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("eh"))
@@ -2327,6 +2343,13 @@ def stupid_backoff_score(tables: dict[str, DataFrame]) -> DataFrame:
         .groupBy("b.b1", "b.b2")
         .agg(F.count("*").alias("bi_ct"))
     )
+    # NOTE (r11, tried and REVERTED): localCheckpoint-ing c1 (it feeds the
+    # c1 join, u2, u3 and the N+V scalar — documents scanned 7x in the
+    # plan) measured 1.88 -> 2.73 s: the eager vocab materialization
+    # serializes a tokenize+agg job in FRONT of the five lookup branches
+    # that otherwise all evaluate concurrently inside the one action (the
+    # file_skew_audit lesson). The redundant derivations hide behind each
+    # other; left lazy.
     c1 = (
         train.select(F.explode("toks").alias("w"))
         .groupBy("w")
